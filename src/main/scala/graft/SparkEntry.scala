@@ -1,13 +1,72 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §I relational anchors -------------------------------------
+    "q1_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    "q3_join_topk" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      // dimension side (filtered customers) is small → broadcast
+      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(li, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_topk" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+  )
 }

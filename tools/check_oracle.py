@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each test parquet as a DuckDB view, runs every oracle_sql.json
+query, and compares (schema-insensitively: columns sorted by name,
+rows sorted, values stringified with float rounding) against the
+Spark-written parquet under <verifyOutDir>/<name>/.
+"""
+import sys, json, glob, math
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def frame(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+    return [cols[i] for i in idx], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            continue
+        cur = con.execute(
+            "SELECT * FROM read_parquet([" +
+            ",".join(f"'{f}'" for f in files) + "])")
+        scols = [d[0] for d in cur.description]
+        srows = cur.fetchall()
+        oc, orows_c = frame(orows, ocols)
+        sc, srows_c = frame(srows, scols)
+        if oc != sc:
+            print(f"FAIL {name}: columns differ oracle={oc} spark={sc}")
+        elif orows_c != srows_c:
+            bad = next((i for i, (a, b) in enumerate(zip(orows_c, srows_c))
+                        if a != b), min(len(orows_c), len(srows_c)))
+            print(f"FAIL {name}: rows differ (oracle {len(orows_c)} vs spark "
+                  f"{len(srows_c)}); first diff at {bad}:")
+            if bad < len(orows_c):
+                print(f"   oracle: {orows_c[bad]}")
+            if bad < len(srows_c):
+                print(f"   spark : {srows_c[bad]}")
+        else:
+            n_ok += 1
+            print(f"OK   {name} ({len(srows_c)} rows)")
+    print(f"{n_ok}/{len(oracle)} queries match")
+    return 0 if n_ok == len(oracle) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
