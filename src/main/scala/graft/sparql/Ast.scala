@@ -1,0 +1,62 @@
+package graft.sparql
+
+/** SPARQL algebra subset matching the reference compiler's coverage
+  * (reference: pidb-rdf-engine/src/main/java/sparql/SparqlToGremlinCompiler.java:235-317,
+  * WhereTraversalBuilder.java:40-117): BGP, FILTER (6 comparators,
+  * &&, ||, EXISTS, NOT EXISTS), OPTIONAL, UNION, projection, DISTINCT,
+  * ORDER BY, LIMIT/OFFSET, GROUP BY with COUNT/COUNT DISTINCT/MAX.
+  */
+object Ast {
+
+  sealed trait Term
+  final case class Var(name: String) extends Term
+  final case class Iri(value: String) extends Term
+  /** Literal with lexical form; `num` set when it parses as a number. */
+  final case class Lit(lexical: String, num: Option[Double]) extends Term
+
+  final case class TriplePattern(s: Term, p: Term, o: Term)
+
+  sealed trait Expr
+  sealed trait CmpOp
+  case object Eq extends CmpOp
+  case object Ne extends CmpOp
+  case object Lt extends CmpOp
+  case object Le extends CmpOp
+  case object Gt extends CmpOp
+  case object Ge extends CmpOp
+  final case class Cmp(op: CmpOp, v: Var, value: Lit) extends Expr
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class Exists(patterns: Seq[TriplePattern]) extends Expr
+  final case class NotExists(patterns: Seq[TriplePattern]) extends Expr
+
+  sealed trait Pattern
+  final case class Bgp(patterns: Seq[TriplePattern]) extends Pattern
+  final case class Filter(exprs: Seq[Expr], input: Pattern) extends Pattern
+  /** OPTIONAL: right side is a BGP (+ filters), reference fills
+    * unmatched vars with the constant "N/A"
+    * (SparqlToGremlinCompiler.java:122). */
+  final case class LeftJoin(left: Pattern, right: Pattern) extends Pattern
+  final case class Union(l: Pattern, r: Pattern) extends Pattern
+  /** Natural join of two sub-patterns (a group joined with a UNION block). */
+  final case class Join(l: Pattern, r: Pattern) extends Pattern
+
+  sealed trait AggOp
+  case object Count extends AggOp
+  case object CountDistinct extends AggOp
+  case object Max extends AggOp
+  case object Min extends AggOp
+  case object Sum extends AggOp
+  case object Avg extends AggOp
+  final case class Agg(op: AggOp, v: Option[Var], alias: String)
+
+  final case class SelectQuery(
+      where: Pattern,
+      projection: Seq[String] = Seq.empty,     // empty + no aggs = SELECT *
+      aggregates: Seq[Agg] = Seq.empty,
+      groupBy: Seq[String] = Seq.empty,
+      distinct: Boolean = false,
+      orderBy: Seq[(String, Boolean)] = Seq.empty, // (var, ascending)
+      offset: Long = 0L,
+      limit: Long = -1L)
+}
