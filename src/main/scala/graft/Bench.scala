@@ -1,24 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. A query that throws is reported in "errors"
+  * with value -1 in "queries" — never folded into the total as if it
+  * were a timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }
+    val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    names.foreach { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          timings(name) = -1.0
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    val total = timings.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -10,6 +10,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Headline subset run by Bench (representative op per section). */
+  def benchQueries: Seq[String] = Seq("q1_agg", "q3_join_topk")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §I relational anchors -------------------------------------

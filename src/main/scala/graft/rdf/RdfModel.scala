@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, StringType, StructFi
   * `lang` (literal language tag or null).
   *
   * Spark-first re-expression of the reference's node-store data model
-  * (reference: pidb-rdf-engine/src/main/java/neo4j/structure/*,
+  * (reference: pidb-rdf-engine/src/main/java/neo4j/structure,
   * pidb-rdf-import/src/main/java/semantics/DirectStatementLoader.java:156-182
   * maps literals → typed props, rdf:type → labels, IRIs → edges; here
   * everything stays one declarative relation and the property-graph

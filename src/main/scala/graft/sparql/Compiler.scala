@@ -50,19 +50,27 @@ object Compiler {
       case Lit(lex, None) => df = df.filter(col("o") === lex && !col("o_is_iri"))
       case Var(_) => ()
     }
-    // same-var-twice patterns (?x :p ?x) constrain within the row
-    (tp.s, tp.o) match {
-      case (Var(a), Var(b)) if a == b => df = df.filter(col("s") === col("o"))
-      case _ => ()
-    }
+    // same-var-twice patterns (?x :p ?x, ?x ?x ?o, …) constrain within
+    // the row; all three pairwise combinations, each var emitted once.
+    Seq((tp.s, tp.p, "s", "p"), (tp.s, tp.o, "s", "o"), (tp.p, tp.o, "p", "o"))
+      .foreach {
+        case (Var(a), Var(b), ca, cb) if a == b =>
+          df = df.filter(col(ca) === col(cb))
+        case _ => ()
+      }
+    val seen = scala.collection.mutable.Set.empty[String]
     val out = Seq.newBuilder[Column]
-    tp.s match { case Var(n) => out += col("s").as(n); case _ => () }
-    tp.p match { case Var(n) => out += col("p").as(n); case _ => () }
-    tp.o match {
-      case Var(n) if !tp.s.isInstanceOf[Var] || tp.s.asInstanceOf[Var].name != n =>
-        out += col("o").as(n); out += col("o_num").as(numCol(n))
+    def emit(position: String, t: Term, withNum: Boolean): Unit = t match {
+      case Var(n) if !seen(n) =>
+        seen += n
+        out += col(position).as(n)
+        if (withNum) out += col("o_num").as(numCol(n))
       case _ => ()
     }
+    emit("s", tp.s, withNum = false)
+    emit("p", tp.p, withNum = false)
+    // if ?x is also s or p it binds an IRI, whose o_num is null anyway
+    emit("o", tp.o, withNum = true)
     df.select(out.result(): _*)
   }
 
@@ -104,8 +112,15 @@ object Compiler {
     val shared = acc.columns.intersect(next.columns).filterNot(isNumCol)
     val dupNums = acc.columns.intersect(next.columns).filter(isNumCol)
     val r = next.drop(dupNums: _*)
-    if (shared.isEmpty) acc.crossJoin(r)
-    else acc.join(r, shared.toSeq, joinType)
+    if (shared.nonEmpty) acc.join(r, shared.toSeq, joinType)
+    else joinType match {
+      // variable-disjoint sides: a TRUE-condition join keeps the
+      // requested semantics (semi: keep left iff right non-empty;
+      // anti: keep left iff right empty; outer: cross but left rows
+      // survive an empty right) where a bare crossJoin would not.
+      case "inner" => acc.crossJoin(r)
+      case other => acc.join(r, lit(true), other)
+    }
   }
 
   private def compileBgp(triples: DataFrame, ps: Seq[TriplePattern]): DataFrame =
@@ -174,13 +189,18 @@ object Compiler {
       val aggCols = q.aggregates.map { case Agg(op, v, alias) =>
         def numOrLex(name: String): Column =
           if (df.columns.contains(numCol(name))) col(numCol(name)) else col(name)
+        def numOnly(name: String, what: String): Column = {
+          require(df.columns.contains(numCol(name)),
+            s"$what over ?$name: variable has no numeric binding")
+          col(numCol(name))
+        }
         val c = op match {
           case Count => v.map(vr => count(col(vr.name))).getOrElse(count(lit(1)))
           case CountDistinct => countDistinct(col(v.get.name))
           case Max => max(numOrLex(v.get.name))
           case Min => min(numOrLex(v.get.name))
-          case Sum => sum(col(numCol(v.get.name)))
-          case Avg => avg(col(numCol(v.get.name)))
+          case Sum => sum(numOnly(v.get.name, "SUM"))
+          case Avg => avg(numOnly(v.get.name, "AVG"))
         }
         c.as(alias)
       }
@@ -190,6 +210,22 @@ object Compiler {
         else df.agg(aggCols.head, aggCols.tail: _*)
     }
 
+    // SPARQL evaluates DISTINCT before ORDER BY: project (keeping the
+    // numeric companions of projected vars — functionally dependent, so
+    // they don't change distinctness — plus any non-projected sort
+    // vars, legal only without DISTINCT), then distinct, then sort,
+    // then slice, then drop the helper columns.
+    val projCols: Seq[String] =
+      if (q.projection.nonEmpty) q.projection
+      else df.columns.filterNot(isNumCol).toSeq
+    val sortExtras =
+      if (q.distinct) Seq.empty
+      else q.orderBy.map(_._1).filterNot(projCols.contains)
+    val keep = (projCols ++ sortExtras).flatMap { c =>
+      Seq(c) ++ (if (df.columns.contains(numCol(c))) Seq(numCol(c)) else Nil)
+    }
+    df = df.select(keep.distinct.map(col): _*)
+    if (q.distinct) df = df.distinct()
     if (q.orderBy.nonEmpty) {
       val sorts = q.orderBy.map { case (v, asc) =>
         val c = if (df.columns.contains(numCol(v))) col(numCol(v)) else col(v)
@@ -197,14 +233,8 @@ object Compiler {
       }
       df = df.orderBy(sorts: _*)
     }
-
-    val projected =
-      if (q.projection.nonEmpty) df.select(q.projection.map(col): _*)
-      else df.select(df.columns.filterNot(isNumCol).map(col).toSeq: _*)
-    df = projected
-    if (q.distinct) df = df.distinct()
     if (q.offset > 0) df = df.offset(q.offset.toInt)
     if (q.limit >= 0) df = df.limit(q.limit.toInt)
-    df
+    df.select(projCols.map(col): _*)
   }
 }
