@@ -14,7 +14,10 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq("q1_agg", "q3_join_topk")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.sparql.SparqlQueries.queries ++ relational
+
+  private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §I relational anchors -------------------------------------
     "q1_agg" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -47,7 +50,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    graft.sparql.SparqlQueries.oracle ++ relationalOracle
+
+  private def relationalOracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -78,8 +78,13 @@ object RdfModel {
     val sup = uri("supp", col("s_suppkey"))
     val pt = uri("part", col("p_partkey"))
     val o = uri("ord", col("o_orderkey"))
+    // (orderkey, linenumber) is not unique in the synthetic data; the
+    // full (ok, ln, pk, sk) quad is — the line URI must carry it all
+    // or the RDF view loses row identity.
     val ln = concat(lit("line:"), col("l_orderkey").cast(StringType),
-      lit("_"), col("l_linenumber").cast(StringType))
+      lit("_"), col("l_linenumber").cast(StringType),
+      lit("_"), col("l_partkey").cast(StringType),
+      lit("_"), col("l_suppkey").cast(StringType))
 
     toTriples(cust, Seq(
       iriT(c, "rdf:type", lit(":Customer")),

@@ -1,0 +1,170 @@
+package graft.sparql
+
+import scala.util.parsing.combinator.RegexParsers
+import Ast._
+
+/** Textual SPARQL SELECT parser for the algebra subset the reference
+  * compiler accepts (reference parses with Jena:
+  * pidb-rdf-engine/src/main/java/sparql/SparqlToGremlinCompiler.java:66-78;
+  * algebra coverage per SparqlToGremlinCompiler.java:235-317).
+  *
+  * Grammar subset: SELECT [DISTINCT] (?var | (AGG(?v) AS ?alias))* | *
+  * WHERE { triples ('.'|';' chains), FILTER(cmp &&/|| ...),
+  * FILTER [NOT] EXISTS {..}, OPTIONAL {..}, {..} UNION {..} }
+  * GROUP BY / ORDER BY [ASC|DESC] / LIMIT / OFFSET. `a` is rdf:type.
+  */
+object SparqlParser extends RegexParsers {
+
+  override val whiteSpace = """(\s|#[^\n]*)+""".r
+
+  // ---- terms -------------------------------------------------------
+  private def varTerm: Parser[Var] =
+    """\?[A-Za-z_][A-Za-z0-9_]*""".r ^^ (s => Var(s.tail))
+  private def iriRef: Parser[Iri] =
+    """<[^<>\s]*>""".r ^^ (s => Iri(s.substring(1, s.length - 1)))
+  private def pname: Parser[Iri] =
+    """[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z_][A-Za-z0-9_.-]*|:[A-Za-z_][A-Za-z0-9_.-]*""".r ^^ Iri.apply
+  private def rdfTypeKw: Parser[Iri] = "a\\b".r ^^^ Iri("rdf:type")
+  private def numLit: Parser[Lit] =
+    """[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?""".r ^^ (s => Lit(s, Some(s.toDouble)))
+  private def strLit: Parser[Lit] =
+    "\"" ~> """[^"\\]*""".r <~ "\"" ^^ (s => Lit(s, None))
+
+  private def term: Parser[Term] =
+    varTerm | iriRef | rdfTypeKw | pname | numLit | strLit
+
+  // ---- triples -----------------------------------------------------
+  /** `s p1 o1 ; p2 o2 .` — predicate-object chains share the subject. */
+  private def triplesSameSubject: Parser[Seq[TriplePattern]] =
+    term ~ rep1sep(term ~ term, ";") <~ opt(".") ^^ { case s ~ pos =>
+      pos.map { case p ~ o => TriplePattern(s, p, o) }
+    }
+
+  // ---- filter expressions ------------------------------------------
+  private def cmpOp: Parser[CmpOp] =
+    "!=" ^^^ Ne | "<=" ^^^ Le | ">=" ^^^ Ge | "=" ^^^ Eq | "<" ^^^ Lt | ">" ^^^ Gt
+  private def cmp: Parser[Expr] =
+    varTerm ~ cmpOp ~ (numLit | strLit) ^^ { case v ~ op ~ l => Cmp(op, v, l) }
+  private def primaryExpr: Parser[Expr] = ("(" ~> orExpr <~ ")") | cmp
+  private def andExpr: Parser[Expr] =
+    rep1sep(primaryExpr, "&&") ^^ (_.reduceLeft(And.apply))
+  private def orExpr: Parser[Expr] =
+    rep1sep(andExpr, "||") ^^ (_.reduceLeft(Or.apply))
+
+  private def bgpOnly: Parser[Seq[TriplePattern]] =
+    "{" ~> rep(triplesSameSubject) <~ "}" ^^ (_.flatten)
+
+  private def filterElem: Parser[GroupElem] =
+    "(?i)FILTER".r ~> (
+      "(?i)NOT\\s+EXISTS".r ~> bgpOnly ^^ (ps => FilterElem(NotExists(ps))) |
+      "(?i)EXISTS".r ~> bgpOnly ^^ (ps => FilterElem(Exists(ps))) |
+      "(" ~> orExpr <~ ")" ^^ FilterElem.apply)
+
+  // ---- group graph pattern -----------------------------------------
+  private sealed trait GroupElem
+  private case class TriplesElem(ps: Seq[TriplePattern]) extends GroupElem
+  private case class FilterElem(e: Expr) extends GroupElem
+  private case class OptionalElem(p: Pattern) extends GroupElem
+  private case class GroupOrUnionElem(p: Pattern) extends GroupElem
+
+  private def optionalElem: Parser[GroupElem] =
+    "(?i)OPTIONAL".r ~> groupGraphPattern ^^ OptionalElem.apply
+  private def groupOrUnion: Parser[GroupElem] =
+    rep1sep(groupGraphPattern, "(?i)UNION".r) ^^ (gs =>
+      GroupOrUnionElem(gs.reduceLeft(Union.apply)))
+
+  private def groupElem: Parser[GroupElem] =
+    filterElem | optionalElem | groupOrUnion |
+      (triplesSameSubject ^^ TriplesElem.apply)
+
+  private def groupGraphPattern: Parser[Pattern] =
+    "{" ~> rep(groupElem) <~ "}" ^^ assemble
+
+  /** SPARQL group semantics: triples merge into one BGP, OPTIONAL
+    * left-joins everything seen so far, sub-groups/UNIONs join in,
+    * FILTERs scope over the whole group (applied last).
+    */
+  private def assemble(elems: Seq[GroupElem]): Pattern = {
+    var current: Option[Pattern] = None
+    var bgp = Vector.empty[TriplePattern]
+    val filters = Seq.newBuilder[Expr]
+    def flushBgp(): Unit = if (bgp.nonEmpty) {
+      val b = Bgp(bgp); bgp = Vector.empty
+      current = Some(current.fold[Pattern](b)(Join(_, b)))
+    }
+    elems.foreach {
+      case TriplesElem(ps) => bgp ++= ps
+      case FilterElem(e) => filters += e
+      case OptionalElem(p) =>
+        flushBgp()
+        current = Some(LeftJoin(current.getOrElse(Bgp(Seq.empty)), p))
+      case GroupOrUnionElem(p) =>
+        flushBgp()
+        current = Some(current.fold(p)(Join(_, p)))
+    }
+    flushBgp()
+    val base = current.getOrElse(Bgp(Seq.empty))
+    val fs = filters.result()
+    if (fs.isEmpty) base else Filter(fs, base)
+  }
+
+  // ---- select clause ----------------------------------------------
+  private sealed trait Selector
+  private case class VarSel(name: String) extends Selector
+  private case class AggSel(agg: Agg) extends Selector
+
+  private def aggOp: Parser[(Boolean, AggOp)] =
+    "(?i)COUNT".r ^^^ (false, Count) | "(?i)SUM".r ^^^ (false, Sum) |
+    "(?i)AVG".r ^^^ (false, Avg) | "(?i)MAX".r ^^^ (false, Max) |
+    "(?i)MIN".r ^^^ (false, Min)
+
+  private def aggSel: Parser[Selector] =
+    "(" ~> aggOp ~ ("(" ~> opt("(?i)DISTINCT".r) ~ (varTerm ^^ Some.apply | "*" ^^^ None) <~ ")") ~
+      ("(?i)AS".r ~> varTerm) <~ ")" ^^ {
+      case (_, op) ~ (dist ~ v) ~ alias =>
+        val realOp = (op, dist.isDefined) match {
+          case (Count, true) => CountDistinct
+          case (o, _) => o
+        }
+        AggSel(Agg(realOp, v, alias.name))
+    }
+
+  private def selector: Parser[Selector] = aggSel | (varTerm ^^ (v => VarSel(v.name)))
+
+  private def orderCond: Parser[(String, Boolean)] =
+    "(?i)DESC".r ~> "(" ~> varTerm <~ ")" ^^ (v => (v.name, false)) |
+    "(?i)ASC".r ~> "(" ~> varTerm <~ ")" ^^ (v => (v.name, true)) |
+    varTerm ^^ (v => (v.name, true))
+
+  private def selectQuery: Parser[SelectQuery] =
+    "(?i)SELECT".r ~> opt("(?i)DISTINCT".r) ~ (rep1(selector) ^^ Some.apply | "*" ^^^ None) ~
+      ("(?i)WHERE".r ~> groupGraphPattern) ~
+      opt("(?i)GROUP\\s+BY".r ~> rep1(varTerm)) ~
+      opt("(?i)ORDER\\s+BY".r ~> rep1(orderCond)) ~
+      opt("(?i)LIMIT".r ~> """\d+""".r ^^ (_.toLong)) ~
+      opt("(?i)OFFSET".r ~> """\d+""".r ^^ (_.toLong)) ^^ {
+      case dist ~ sels ~ where ~ group ~ order ~ limit ~ offset =>
+        val selectors = sels.getOrElse(Seq.empty)
+        SelectQuery(
+          where = where,
+          projection = selectors.map {
+            case VarSel(n) => n
+            case AggSel(a) => a.alias
+          },
+          aggregates = selectors.collect { case AggSel(a) => a },
+          groupBy = group.map(_.map(_.name)).getOrElse(Seq.empty),
+          distinct = dist.isDefined,
+          orderBy = order.getOrElse(Seq.empty),
+          offset = offset.getOrElse(0L),
+          limit = limit.getOrElse(-1L))
+    }
+
+  def parse(text: String): SelectQuery = parseAll(selectQuery, text) match {
+    case Success(q, _) => q
+    case NoSuccess(msg, rest) =>
+      throw new IllegalArgumentException(
+        s"SPARQL parse error at line ${rest.pos.line}:${rest.pos.column}: $msg")
+    case other =>
+      throw new IllegalArgumentException(s"SPARQL parse error: $other")
+  }
+}

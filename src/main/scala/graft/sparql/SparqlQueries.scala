@@ -1,0 +1,219 @@
+package graft.sparql
+
+import graft.rdf.TripleStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import Ast._
+
+/** SURVEY §B: the SPARQL query surface as driver-checkable entries.
+  * Each query compiles an algebra tree (or parses SPARQL text) onto
+  * the cached triple relation; the oracle reconstructs the same answer
+  * with plain SQL over the base tables.
+  *
+  * Numeric variables are projected via their typed companion (cast to
+  * double) so the oracle compares doubles, not lexical forms.
+  */
+object SparqlQueries {
+
+  private def v(n: String) = Var(n)
+  private def i(x: String) = Iri(x)
+  private def num(d: Double) = Lit(d.toString, Some(d))
+  private def str(s: String) = Lit(s, None)
+  private def tp(s: Term, p: String, o: Term) = TriplePattern(s, Iri(p), o)
+
+  private def run(spark: SparkSession, dir: String, q: SelectQuery,
+                  numericVars: Seq[String] = Seq.empty): DataFrame = {
+    val out = Compiler.run(TripleStore.triples(spark, dir), q)
+    numericVars.foldLeft(out)((df, c) => df.withColumn(c, col(c).cast("double")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sparql_bgp_star" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Bgp(Seq(
+          tp(v("c"), "rdf:type", i(":Customer")),
+          tp(v("c"), ":name", v("n")),
+          tp(v("c"), ":mktsegment", v("m")),
+          tp(v("c"), ":acctbal", v("b")))),
+        projection = Seq("c", "n", "m", "b")), numericVars = Seq("b"))
+    },
+    "sparql_bgp_chain" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Filter(Seq(Cmp(Gt, v("q"), num(45))), Bgp(Seq(
+          tp(v("l"), ":ofOrder", v("o")),
+          tp(v("o"), ":byCustomer", v("c")),
+          tp(v("c"), ":hasNation", v("n")),
+          tp(v("n"), ":inRegion", v("r")),
+          tp(v("r"), ":name", v("rn")),
+          tp(v("l"), ":quantity", v("q"))))),
+        projection = Seq("l", "rn", "q")), numericVars = Seq("q"))
+    },
+    "sparql_filter_compare" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Filter(Seq(
+          Cmp(Ge, v("sz"), num(40)),
+          Cmp(Le, v("sz"), num(48)),
+          Cmp(Gt, v("rp"), num(900)),
+          Cmp(Lt, v("rp"), num(1500)),
+          Cmp(Ne, v("b"), str("Brand#33")),
+          Cmp(Eq, v("t"), str("ECONOMY"))), Bgp(Seq(
+          tp(v("p"), "rdf:type", i(":Part")),
+          tp(v("p"), ":size", v("sz")),
+          tp(v("p"), ":brand", v("b")),
+          tp(v("p"), ":ptype", v("t")),
+          tp(v("p"), ":retailprice", v("rp"))))),
+        projection = Seq("p", "sz", "b", "rp")), numericVars = Seq("sz", "rp"))
+    },
+    "sparql_filter_logic" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Filter(Seq(
+          Or(And(Cmp(Gt, v("b"), num(9000)), Cmp(Eq, v("m"), str("BUILDING"))),
+             Cmp(Lt, v("b"), num(-900)))), Bgp(Seq(
+          tp(v("c"), ":acctbal", v("b")),
+          tp(v("c"), ":mktsegment", v("m"))))),
+        projection = Seq("c", "b", "m")), numericVars = Seq("b"))
+    },
+    "sparql_optional" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = LeftJoin(
+          Bgp(Seq(tp(v("c"), "rdf:type", i(":Customer")))),
+          Bgp(Seq(
+            tp(v("o"), ":byCustomer", v("c")),
+            tp(v("o"), ":orderpriority", v("pr"))))),
+        projection = Seq("c", "pr"),
+        distinct = true))
+    },
+    "sparql_union" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Union(
+          Bgp(Seq(tp(v("x"), "rdf:type", i(":Nation")), tp(v("x"), ":name", v("nm")))),
+          Bgp(Seq(tp(v("x"), "rdf:type", i(":Region")), tp(v("x"), ":name", v("nm"))))),
+        projection = Seq("x", "nm")))
+    },
+    "sparql_distinct" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Bgp(Seq(tp(v("c"), ":mktsegment", v("m")))),
+        projection = Seq("m"),
+        distinct = true))
+    },
+    "sparql_orderby_limit" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Bgp(Seq(
+          tp(v("c"), "rdf:type", i(":Customer")),
+          tp(v("c"), ":acctbal", v("b")))),
+        projection = Seq("c", "b"),
+        orderBy = Seq(("b", false), ("c", true)),
+        offset = 5L, limit = 15L), numericVars = Seq("b"))
+    },
+    "sparql_groupby_count" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Bgp(Seq(tp(v("c"), ":mktsegment", v("m")))),
+        projection = Seq("m", "cnt"),
+        aggregates = Seq(Agg(Count, Some(v("c")), "cnt")),
+        groupBy = Seq("m")))
+    },
+    "sparql_count_distinct" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Bgp(Seq(tp(v("p"), ":brand", v("b")), tp(v("p"), ":ptype", v("t")))),
+        projection = Seq("b", "n_types"),
+        aggregates = Seq(Agg(CountDistinct, Some(v("t")), "n_types")),
+        groupBy = Seq("b")))
+    },
+    "sparql_groupby_max" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Bgp(Seq(
+          tp(v("c"), "rdf:type", i(":Customer")),
+          tp(v("c"), ":hasNation", v("n")),
+          tp(v("c"), ":acctbal", v("b")))),
+        projection = Seq("n", "mx"),
+        aggregates = Seq(Agg(Max, Some(v("b")), "mx")),
+        groupBy = Seq("n")))
+    },
+    "sparql_exists" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Filter(
+          Seq(Exists(Seq(
+            tp(v("o"), ":byCustomer", v("c")),
+            tp(v("o"), ":orderstatus", str("F"))))),
+          Bgp(Seq(tp(v("c"), "rdf:type", i(":Customer"))))),
+        projection = Seq("c")))
+    },
+    "sparql_not_exists" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Filter(
+          Seq(NotExists(Seq(
+            tp(v("o"), ":byCustomer", v("c")),
+            tp(v("o"), ":orderpriority", str("1-URGENT"))))),
+          Bgp(Seq(tp(v("c"), "rdf:type", i(":Customer"))))),
+        projection = Seq("c")))
+    },
+    "sparql_parser_e2e" -> { (s, dir) =>
+      val text =
+        """SELECT ?c ?b ?m WHERE {
+          |  ?c a :Customer ; :acctbal ?b ; :mktsegment ?m .
+          |  FILTER(?b >= 9000 && ?m != "MACHINERY")
+          |} ORDER BY DESC(?b) ASC(?c) LIMIT 25""".stripMargin
+      run(s, dir, SparqlParser.parse(text), numericVars = Seq("b"))
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sparql_bgp_star" ->
+      """SELECT 'cust:'||c_custkey AS c, c_name AS n, c_mktsegment AS m,
+        |       c_acctbal AS b FROM customer""".stripMargin,
+    "sparql_bgp_chain" ->
+      """SELECT 'line:'||l_orderkey||'_'||l_linenumber||'_'||l_partkey||'_'||l_suppkey AS l, r_name AS rn,
+        |       l_quantity AS q
+        |FROM lineitem, orders, customer, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND l_quantity > 45""".stripMargin,
+    "sparql_filter_compare" ->
+      """SELECT 'part:'||p_partkey AS p, CAST(p_size AS DOUBLE) AS sz,
+        |       p_brand AS b, p_retailprice AS rp
+        |FROM part
+        |WHERE p_size >= 40 AND p_size <= 48 AND p_retailprice > 900
+        |  AND p_retailprice < 1500 AND p_brand != 'Brand#33'
+        |  AND p_type = 'ECONOMY'""".stripMargin,
+    "sparql_filter_logic" ->
+      """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b, c_mktsegment AS m
+        |FROM customer
+        |WHERE (c_acctbal > 9000 AND c_mktsegment = 'BUILDING')
+        |   OR c_acctbal < -900""".stripMargin,
+    "sparql_optional" ->
+      """SELECT DISTINCT 'cust:'||c_custkey AS c,
+        |       coalesce(o_orderpriority, 'N/A') AS pr
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey""".stripMargin,
+    "sparql_union" ->
+      """SELECT 'nat:'||n_nationkey AS x, n_name AS nm FROM nation
+        |UNION ALL
+        |SELECT 'reg:'||r_regionkey AS x, r_name AS nm FROM region""".stripMargin,
+    "sparql_distinct" ->
+      "SELECT DISTINCT c_mktsegment AS m FROM customer",
+    "sparql_orderby_limit" ->
+      """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b FROM customer
+        |ORDER BY b DESC, c ASC LIMIT 15 OFFSET 5""".stripMargin,
+    "sparql_groupby_count" ->
+      "SELECT c_mktsegment AS m, count(*) AS cnt FROM customer GROUP BY 1",
+    "sparql_count_distinct" ->
+      """SELECT p_brand AS b, count(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY 1""".stripMargin,
+    "sparql_groupby_max" ->
+      """SELECT 'nat:'||c_nationkey AS n, max(c_acctbal) AS mx
+        |FROM customer GROUP BY 1""".stripMargin,
+    "sparql_exists" ->
+      """SELECT 'cust:'||c_custkey AS c FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "sparql_not_exists" ->
+      """SELECT 'cust:'||c_custkey AS c FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "sparql_parser_e2e" ->
+      """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b, c_mktsegment AS m
+        |FROM customer
+        |WHERE c_acctbal >= 9000 AND c_mktsegment != 'MACHINERY'
+        |ORDER BY b DESC, c ASC LIMIT 25""".stripMargin,
+  )
+}
