@@ -15,7 +15,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.sparql.SparqlQueries.queries ++ relational
+    graft.rdf.RdfQueries.queries ++
+      graft.sparql.SparqlQueries.queries ++
+      relational
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §I relational anchors -------------------------------------
@@ -51,7 +53,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.sparql.SparqlQueries.oracle ++ relationalOracle
+    graft.rdf.RdfQueries.oracle ++
+      graft.sparql.SparqlQueries.oracle ++
+      relationalOracle
 
   private def relationalOracle: Map[String, String] = Map(
     "q1_agg" ->

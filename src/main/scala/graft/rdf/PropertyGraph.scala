@@ -1,0 +1,54 @@
+package graft.rdf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Property-graph view derived from the triple relation — the
+  * Spark-first counterpart of the reference's statement loader, which
+  * materializes literals as node properties, rdf:type as labels, and
+  * IRI-object triples as deduplicated relationships
+  * (reference: pidb-rdf-import/src/main/java/semantics/DirectStatementLoader.java:156-182).
+  *
+  * Where the reference mutates a node store statement-at-a-time, this
+  * is two declarative aggregations over the triple table — both plain
+  * shuffles on `s` that scale linearly and co-locate with any
+  * subject-bucketed layout.
+  */
+object PropertyGraph {
+
+  /** Nodes: uri, sorted label array, lexical property map, numeric
+    * property map. Multi-valued properties are collapsed to their
+    * minimum for determinism (the reference's last-write-wins is
+    * order-dependent and meaningless under parallel ingest).
+    */
+  def nodes(triples: DataFrame): DataFrame = {
+    val labels = triples
+      .filter(col("p") === "rdf:type")
+      .groupBy(col("s"))
+      .agg(array_sort(collect_set(col("o"))).as("labels"))
+    val props = triples
+      .filter(!col("o_is_iri"))
+      .groupBy(col("s"), col("p"))
+      .agg(min(col("o")).as("lex"), min(col("o_num")).as("num"))
+      .groupBy(col("s"))
+      .agg(
+        map_from_entries(array_sort(collect_list(
+          struct(col("p"), col("lex"))))).as("props"),
+        map_from_entries(array_sort(collect_list(
+          when(col("num").isNotNull, struct(col("p"), col("num")))))).as("props_num"))
+    // both sides are keyed (and so co-partitioned) on s
+    labels.join(props, Seq("s"), "full_outer")
+      .select(col("s").as("uri"),
+        coalesce(col("labels"), array().cast("array<string>")).as("labels"),
+        col("props"), col("props_num"))
+  }
+
+  /** Edges: deduplicated (src, rel, dst) from IRI-object triples;
+    * rdf:type statements become labels, not edges.
+    */
+  def edges(triples: DataFrame): DataFrame =
+    triples
+      .filter(col("o_is_iri") && col("p") =!= "rdf:type")
+      .select(col("s").as("src"), col("p").as("rel"), col("o").as("dst"))
+      .distinct()
+}

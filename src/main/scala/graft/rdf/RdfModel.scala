@@ -95,6 +95,9 @@ object RdfModel {
     .unionAll(toTriples(nat, Seq(
       iriT(n, "rdf:type", lit(":Nation")),
       litT(n, ":name", col("n_name")),
+      // language-tagged literals (rdf_lang_filter exercises these)
+      litT(n, ":comment", concat(col("n_name"), lit(" comment")),
+        lang = when(col("n_nationkey") % 2 === 0, "en").otherwise("fr")),
       iriT(n, ":inRegion", uri("reg", col("n_regionkey"))))))
     .unionAll(toTriples(reg, Seq(
       iriT(r, "rdf:type", lit(":Region")),

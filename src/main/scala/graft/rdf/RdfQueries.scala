@@ -1,0 +1,140 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §A: RDF data model & ingestion operators as driver-checkable
+  * entries (triple build, N-Triples round-trip, property-graph view,
+  * URI functions, language filter, export, Turtle parse).
+  */
+object RdfQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // canonical triple view — customer slice, all six columns
+    "rdf_build_triples" -> { (s, dir) =>
+      TripleStore.triples(s, dir).filter(col("s").startsWith("cust:"))
+    },
+    // distributed N-Triples writer → parser → query (supplier slice)
+    "rdf_ntriples_roundtrip" -> { (s, dir) =>
+      val nt = NTriples.format(TripleStore.dimensionTriples(s, dir))
+      NTriples.parse(nt)
+        .filter(col("s").startsWith("supp:") && col("p").isin(":name", ":acctbal"))
+    },
+    // DirectStatementLoader semantics: labels + typed props, URIs
+    // shortened through the auto-minted namespace registry
+    "rdf_property_graph_nodes" -> { (s, dir) =>
+      val triples = TripleStore.triples(s, dir)
+      val nodes = PropertyGraph.nodes(triples)
+      val reg = Namespaces.registry(triples.select(col("s").as("u")), col("u"))
+      Namespaces.shorten(nodes, reg, "uri")
+        .filter(array_contains(col("labels"), ":Customer"))
+        .select(
+          col("uri"),
+          array_join(col("labels"), "|").as("labels"),
+          element_at(col("props"), ":name").as("nm"),
+          element_at(col("props_num"), ":acctbal").as("bal"))
+    },
+    // IRI-object triples → deduplicated edges; per-relation counts
+    "rdf_property_graph_edges" -> { (s, dir) =>
+      PropertyGraph.edges(TripleStore.triples(s, dir))
+        .groupBy(col("rel")).agg(count(lit(1)).as("cnt"))
+    },
+    "rdf_uri_functions" -> { (s, dir) =>
+      TripleStore.dimensionTriples(s, dir)
+        .filter(col("s").startsWith("nat:") || col("s").startsWith("reg:"))
+        .select(col("s")).distinct()
+        .select(col("s"),
+          UriFunctions.localName(col("s")).as("local"),
+          UriFunctions.namespace(col("s")).as("ns"))
+    },
+    // ingest-time literal language filter: keep IRIs, untagged
+    // literals, and literals tagged with the requested language
+    "rdf_lang_filter" -> { (s, dir) =>
+      TripleStore.triples(s, dir)
+        .filter(col("o_is_iri") || col("lang").isNull || col("lang") === "en")
+        .filter(col("p") === ":comment")
+        .select(col("s"), col("o"), col("lang"))
+    },
+    // property graph → N-Triples serialization (nation/region subgraph)
+    "rdf_export_ntriples" -> { (s, dir) =>
+      NTriples.format(TripleStore.dimensionTriples(s, dir)
+        .filter(col("s").startsWith("nat:") || col("s").startsWith("reg:")))
+    },
+    // Turtle write → parse round-trip (part slice, numeric literals)
+    "rdf_turtle_parse" -> { (s, dir) =>
+      val slice = TripleStore.dimensionTriples(s, dir)
+        .filter(col("s").startsWith("part:"))
+      Turtle.parse(s, Turtle.format(slice))
+        .filter(col("p").isin(":size", ":brand"))
+        .select(col("s"), col("p"), col("o"), col("o_num"))
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "rdf_build_triples" ->
+      """SELECT 'cust:'||c_custkey AS s, 'rdf:type' AS p, ':Customer' AS o,
+        |       CAST(NULL AS DOUBLE) AS o_num, true AS o_is_iri,
+        |       CAST(NULL AS VARCHAR) AS lang FROM customer
+        |UNION ALL
+        |SELECT 'cust:'||c_custkey, ':name', c_name, NULL, false, NULL FROM customer
+        |UNION ALL
+        |SELECT 'cust:'||c_custkey, ':acctbal', CAST(c_acctbal AS VARCHAR),
+        |       c_acctbal, false, NULL FROM customer
+        |UNION ALL
+        |SELECT 'cust:'||c_custkey, ':mktsegment', c_mktsegment, NULL, false, NULL
+        |FROM customer
+        |UNION ALL
+        |SELECT 'cust:'||c_custkey, ':hasNation', 'nat:'||c_nationkey, NULL, true,
+        |       NULL FROM customer""".stripMargin,
+    "rdf_ntriples_roundtrip" ->
+      """SELECT 'supp:'||s_suppkey AS s, ':name' AS p, s_name AS o,
+        |       CAST(NULL AS DOUBLE) AS o_num, false AS o_is_iri,
+        |       CAST(NULL AS VARCHAR) AS lang FROM supplier
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, ':acctbal', CAST(s_acctbal AS VARCHAR),
+        |       s_acctbal, false, NULL FROM supplier""".stripMargin,
+    // namespaces sorted: :, cust:, line:, nat:, ord:, part:, reg:, supp:
+    // over subject URIs only -> cust: is ns0
+    "rdf_property_graph_nodes" ->
+      """SELECT 'ns0:'||c_custkey AS uri, ':Customer' AS labels,
+        |       c_name AS nm, c_acctbal AS bal FROM customer""".stripMargin,
+    "rdf_property_graph_edges" ->
+      """SELECT ':hasNation' AS rel,
+        |       (SELECT count(*) FROM customer)+(SELECT count(*) FROM supplier) AS cnt
+        |UNION ALL SELECT ':inRegion', (SELECT count(*) FROM nation)
+        |UNION ALL SELECT ':byCustomer', (SELECT count(*) FROM orders)
+        |UNION ALL SELECT ':ofOrder', (SELECT count(*) FROM lineitem)
+        |UNION ALL SELECT ':ofPart', (SELECT count(*) FROM lineitem)
+        |UNION ALL SELECT ':bySupplier', (SELECT count(*) FROM lineitem)""".stripMargin,
+    "rdf_uri_functions" ->
+      """SELECT 'nat:'||n_nationkey AS s, CAST(n_nationkey AS VARCHAR) AS local,
+        |       'nat:' AS ns FROM nation
+        |UNION ALL
+        |SELECT 'reg:'||r_regionkey, CAST(r_regionkey AS VARCHAR), 'reg:'
+        |FROM region""".stripMargin,
+    "rdf_lang_filter" ->
+      """SELECT 'nat:'||n_nationkey AS s, n_name||' comment' AS o, 'en' AS lang
+        |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin,
+    "rdf_export_ntriples" ->
+      """SELECT '<nat:'||n_nationkey||'> <rdf:type> <:Nation> .' AS line FROM nation
+        |UNION ALL
+        |SELECT '<nat:'||n_nationkey||'> <:name> "'||n_name||'" .' FROM nation
+        |UNION ALL
+        |SELECT '<nat:'||n_nationkey||'> <:comment> "'||n_name||' comment"@'||
+        |       CASE WHEN n_nationkey % 2 = 0 THEN 'en' ELSE 'fr' END||' .'
+        |FROM nation
+        |UNION ALL
+        |SELECT '<nat:'||n_nationkey||'> <:inRegion> <reg:'||n_regionkey||'> .'
+        |FROM nation
+        |UNION ALL
+        |SELECT '<reg:'||r_regionkey||'> <rdf:type> <:Region> .' FROM region
+        |UNION ALL
+        |SELECT '<reg:'||r_regionkey||'> <:name> "'||r_name||'" .' FROM region""".stripMargin,
+    "rdf_turtle_parse" ->
+      """SELECT 'part:'||p_partkey AS s, ':size' AS p,
+        |       CAST(p_size AS VARCHAR) AS o,
+        |       CAST(p_size AS DOUBLE) AS o_num FROM part
+        |UNION ALL
+        |SELECT 'part:'||p_partkey, ':brand', p_brand, NULL FROM part""".stripMargin,
+  )
+}

@@ -1,0 +1,175 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Turtle-subset writer and parser.
+  *
+  * Subset: `@prefix` declarations, prefixed names, one statement per
+  * line with `;` predicate-object chains, string literals (with @lang
+  * or ^^xsd:double), full IRIs in angle brackets. One statement per
+  * line keeps files line-splittable, so parsing stays a parallel scan
+  * (the reference funnels Turtle through a single RDF4J parser:
+  * pidb-rdf-import/src/main/java/semantics/RDFImport.java:50-155).
+  *
+  * The prefix table is ontology-sized metadata: collecting it to the
+  * driver and broadcasting is the right call at any scale.
+  */
+object Turtle {
+
+  private val XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+
+  /** Triple relation → DataFrame("line"): @prefix header then one
+    * `subject pred obj ; pred obj .` statement line per subject.
+    */
+  def format(triples: DataFrame): DataFrame = {
+    val uris = triples.select(col("s").as("u"))
+      .unionAll(triples.select(col("p").as("u")))
+      .unionAll(triples.filter(col("o_is_iri")).select(col("o").as("u")))
+    val reg = Namespaces.registry(uris, col("u"))
+    val header = reg.select(
+      concat(lit("@prefix "), col("prefix"), lit(": <"), col("ns"),
+        lit("> .")).as("line"))
+
+    def short(dfCol: String)(df: DataFrame): DataFrame =
+      Namespaces.shorten(df, reg, dfCol)
+
+    val withTerms = short("o_term")(short("p_term")(short("s_term")(
+      triples
+        .withColumn("s_term", col("s"))
+        .withColumn("p_term", col("p"))
+        .withColumn("o_term", when(col("o_is_iri"), col("o"))))))
+    val objRendered = when(col("o_is_iri"), col("o_term"))
+      .when(col("lang").isNotNull,
+        concat(lit("\""), col("o"), lit("\"@"), col("lang")))
+      .when(col("o_num").isNotNull,
+        concat(lit("\""), col("o"), lit("\"^^<" + XSD_DOUBLE + ">")))
+      .otherwise(concat(lit("\""), col("o"), lit("\"")))
+    val statements = withTerms
+      .select(col("s_term"),
+        concat(col("p_term"), lit(" "), objRendered).as("po"))
+      .groupBy(col("s_term"))
+      .agg(array_sort(collect_list(col("po"))).as("pos"))
+      .select(concat(col("s_term"), lit(" "),
+        array_join(col("pos"), " ; "), lit(" .")).as("line"))
+    header.unionAll(statements)
+  }
+
+  private[rdf] final case class ParsedTriple(
+      s: String, p: String, o: String, o_num: Option[Double],
+      o_is_iri: Boolean, lang: Option[String])
+
+  /** Tokenize one statement line: angle-IRIs, quoted literals with
+    * optional @lang / ^^<dt> suffix, prefixed names, `;`, `.`.
+    */
+  private[rdf] def tokenize(line: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '<') {
+        val end = line.indexOf('>', i)
+        require(end >= 0, s"unclosed IRI in: $line")
+        out += line.substring(i, end + 1); i = end + 1
+      } else if (c == '"') {
+        var j = i + 1
+        while (j < n && !(line.charAt(j) == '"' && line.charAt(j - 1) != '\\')) j += 1
+        require(j < n, s"unclosed literal in: $line")
+        var end = j + 1
+        // attach @lang or ^^<dt> suffix to the literal token
+        if (end < n && line.charAt(end) == '@') {
+          while (end < n && !line.charAt(end).isWhitespace) end += 1
+        } else if (end + 1 < n && line.charAt(end) == '^' && line.charAt(end + 1) == '^') {
+          val dtEnd = line.indexOf('>', end)
+          require(dtEnd >= 0, s"unclosed datatype in: $line")
+          end = dtEnd + 1
+        }
+        out += line.substring(i, end); i = end
+      } else if (c == ';' || c == '.') {
+        out += c.toString; i += 1
+      } else {
+        var j = i
+        while (j < n && !line.charAt(j).isWhitespace && line.charAt(j) != ';') j += 1
+        // a trailing '.' after a pname is the statement terminator
+        var tok = line.substring(i, j)
+        if (tok.length > 1 && tok.endsWith(".")) {
+          out += tok.dropRight(1); tok = "."
+        }
+        out += tok; i = j
+      }
+    }
+    out.result()
+  }
+
+  private[rdf] def parseStatement(
+      line: String, prefixes: Map[String, String]): Seq[ParsedTriple] = {
+    def resolveIri(t: String): String =
+      if (t.startsWith("<")) t.substring(1, t.length - 1)
+      else {
+        val i = t.indexOf(':')
+        require(i >= 0, s"not an IRI: $t")
+        val pfx = t.substring(0, i + 1)
+        prefixes.get(pfx).map(_ + t.substring(i + 1)).getOrElse(t)
+      }
+    val toks = tokenize(line)
+    require(toks.nonEmpty && toks.last == ".", s"statement must end with '.': $line")
+    val subject = resolveIri(toks.head)
+    val body = toks.tail.dropRight(1)
+    // body = p o (';' p o)*
+    val groups = Vector.newBuilder[(String, String)]
+    var rest = body
+    while (rest.nonEmpty) {
+      require(rest.length >= 2, s"dangling predicate in: $line")
+      groups += ((rest(0), rest(1)))
+      rest = rest.drop(2)
+      if (rest.nonEmpty) {
+        require(rest.head == ";", s"expected ';' in: $line")
+        rest = rest.tail
+      }
+    }
+    groups.result().map { case (pTok, oTok) =>
+      val p = resolveIri(pTok)
+      if (oTok.startsWith("\"")) {
+        val lexEnd = {
+          var j = 1
+          while (!(oTok.charAt(j) == '"' && oTok.charAt(j - 1) != '\\')) j += 1
+          j
+        }
+        val lex = oTok.substring(1, lexEnd)
+          .replace("\\\"", "\"").replace("\\\\", "\\")
+        val suffix = oTok.substring(lexEnd + 1)
+        val lang = if (suffix.startsWith("@")) Some(suffix.tail) else None
+        val num =
+          if (suffix.startsWith("^^<") && suffix.contains(XSD_DOUBLE))
+            Some(lex.toDouble)
+          else None
+        ParsedTriple(subject, p, lex, num, o_is_iri = false, lang)
+      } else ParsedTriple(subject, p, resolveIri(oTok), None,
+        o_is_iri = true, None)
+    }
+  }
+
+  /** DataFrame("line") → triple relation. Pass 1 collects the (tiny)
+    * prefix table; pass 2 parses statement lines in parallel.
+    */
+  def parse(spark: SparkSession, lines: DataFrame): DataFrame = {
+    import spark.implicits._
+    val trimmed = lines.select(trim(col("line")).as("line"))
+      .filter(col("line") =!= "" && !col("line").startsWith("#"))
+    val prefixes: Map[String, String] = trimmed
+      .filter(col("line").startsWith("@prefix"))
+      .as[String].collect()
+      .map { l =>
+        val m = "@prefix\\s+([^\\s]+)\\s+<([^>]*)>\\s*\\.".r
+          .findFirstMatchIn(l)
+          .getOrElse(throw new IllegalArgumentException(s"bad @prefix: $l"))
+        m.group(1) -> m.group(2)
+      }.toMap
+    val stmts = trimmed.filter(!col("line").startsWith("@prefix")).as[String]
+    stmts.flatMap(parseStatement(_, prefixes)).toDF()
+      .select(col("s"), col("p"), col("o"), col("o_num"),
+        col("o_is_iri"), col("lang"))
+  }
+}
