@@ -17,6 +17,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.rdf.RdfQueries.queries ++
       graft.sparql.SparqlQueries.queries ++
+      graft.inference.InferenceQueries.queries ++
+      graft.graphx.GraphQueries.queries ++
       relational
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -55,6 +57,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.rdf.RdfQueries.oracle ++
       graft.sparql.SparqlQueries.oracle ++
+      graft.inference.InferenceQueries.oracle ++
+      graft.graphx.GraphQueries.oracle ++
       relationalOracle
 
   private def relationalOracle: Map[String, String] = Map(

@@ -1,0 +1,90 @@
+package graft.graphx
+
+import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
+import org.apache.spark.graphx.lib.ShortestPaths
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX analytics over the RDF edge set — the north star's "GraphX
+  * for RDF analytics queries". URIs get stable 64-bit vertex ids via
+  * xxhash64 (collision chance ~n^2/2^64 — negligible below trillions
+  * of nodes); every result joins back to URIs so downstream stays in
+  * DataFrame land.
+  */
+object Analytics {
+
+  /** (vertices(id,uri), edges RDD) from a (src,dst) DataFrame. */
+  private def build(spark: SparkSession, edges: DataFrame,
+                    undirected: Boolean = false): (DataFrame, Graph[String, Int]) = {
+    val verts = edges.select(col("src").as("uri"))
+      .unionAll(edges.select(col("dst").as("uri")))
+      .distinct()
+      .select(xxhash64(col("uri")).as("id"), col("uri"))
+    val dir = edges.select(xxhash64(col("src")).as("sid"), xxhash64(col("dst")).as("did"))
+    val e = if (undirected) dir.unionAll(dir.select(col("did").as("sid"), col("sid").as("did"))) else dir
+    val vertRdd = verts.rdd.map(r => (r.getLong(0), r.getString(1)))
+    val edgeRdd = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    (verts, Graph(vertRdd, edgeRdd))
+  }
+
+  /** Per-URI in/out degree (missing side = 0). */
+  def degrees(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val (verts, g) = build(spark, edges)
+    val in = spark.createDataFrame(g.inDegrees).toDF("id", "indeg")
+    val out = spark.createDataFrame(g.outDegrees).toDF("id", "outdeg")
+    verts.join(in, Seq("id"), "left_outer").join(out, Seq("id"), "left_outer")
+      .select(col("uri"),
+        coalesce(col("indeg"), lit(0)).as("indeg"),
+        coalesce(col("outdeg"), lit(0)).as("outdeg"))
+  }
+
+  /** Connected components; component named by its min URI (stable
+    * across runs, unlike GraphX's min-vertex-id label).
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val (verts, g) = build(spark, edges)
+    val cc = spark.createDataFrame(g.connectedComponents().vertices).toDF("id", "comp_id")
+    verts.join(cc, Seq("id"))
+      .groupBy(col("comp_id"))
+      .agg(min(col("uri")).as("comp"), count(lit(1)).as("size"))
+      .select(col("comp"), col("size"))
+  }
+
+  /** Total triangle count (canonical edges required by GraphX). */
+  def triangleTotal(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(xxhash64(col("src")).as("sid"), xxhash64(col("dst")).as("did"))
+      .select(least(col("sid"), col("did")).as("sid"),
+        greatest(col("sid"), col("did")).as("did"))
+      .filter(col("sid") =!= col("did"))
+      .distinct()
+    val g = Graph.fromEdgeTuples(
+      canon.rdd.map(r => (r.getLong(0), r.getLong(1))), 1)
+      .partitionBy(PartitionStrategy.RandomVertexCut)
+    val perVertex = g.triangleCount().vertices.map(_._2.toLong)
+    val total = spark.createDataFrame(perVertex.map(Tuple1.apply)).toDF("t")
+      .agg((sum(col("t")) / 3).cast("long").as("triangles"))
+    total
+  }
+
+  /** Static PageRank, fixed iteration count. */
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    val (verts, g) = build(spark, edges)
+    val pr = spark.createDataFrame(g.staticPageRank(iters).vertices).toDF("id", "rank")
+    verts.join(pr, Seq("id")).select(col("uri"), col("rank"))
+  }
+
+  /** Min hop count from any vertex of `sources` (undirected). The
+    * source list is bounded metadata (e.g. the 5 regions) — collected
+    * and broadcast into the Pregel landmark set.
+    */
+  def shortestHops(spark: SparkSession, edges: DataFrame, sources: DataFrame): DataFrame = {
+    val (verts, g) = build(spark, edges, undirected = true)
+    val landmarks = sources.select(xxhash64(col("uri")).as("id"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val sp = ShortestPaths.run(g, landmarks).vertices
+      .flatMap { case (id, m) => if (m.isEmpty) None else Some((id, m.values.min)) }
+    val dists = spark.createDataFrame(sp).toDF("id", "dist")
+    verts.join(dists, Seq("id")).select(col("uri"), col("dist"))
+  }
+}

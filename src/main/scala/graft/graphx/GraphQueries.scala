@@ -1,0 +1,96 @@
+package graft.graphx
+
+import graft.Tables
+import graft.rdf.{PropertyGraph, TripleStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §D: graph analytics over the RDF edge set.
+  *
+  * Edge sets: the "geo" graph is customer/supplier→nation→region; the
+  * triangle graph links parts co-occurring in an order.
+  */
+object GraphQueries {
+
+  private def geoEdges(s: SparkSession, dir: String,
+                       withSuppliers: Boolean = true): DataFrame = {
+    val e = PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
+      .filter(col("rel").isin(":hasNation", ":inRegion"))
+    val base = if (withSuppliers) e else e.filter(!col("src").startsWith("supp:"))
+    base.select(col("src"), col("dst"))
+  }
+
+  private def coOrderPartEdges(s: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    pp.as("a").join(pp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(concat(lit("part:"), col("a.pk")).as("src"),
+        concat(lit("part:"), col("b.pk")).as("dst"))
+      .distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degrees" -> { (s, dir) =>
+      Analytics.degrees(s, geoEdges(s, dir))
+    },
+    "graph_connected_components" -> { (s, dir) =>
+      Analytics.connectedComponents(s, geoEdges(s, dir, withSuppliers = false))
+    },
+    "graph_triangle_count" -> { (s, dir) =>
+      Analytics.triangleTotal(s, coOrderPartEdges(s, dir))
+    },
+    "graph_pagerank" -> { (s, dir) =>
+      Analytics.pageRank(s, geoEdges(s, dir), iters = 10)
+        .orderBy(col("rank").desc, col("uri"))
+        .limit(30)
+        .select(col("uri"), round(col("rank"), 6).as("rank"))
+    },
+    "graph_shortest_paths" -> { (s, dir) =>
+      val sources = TripleStore.dimensionTriples(s, dir)
+        .filter(col("s").startsWith("reg:")).select(col("s").as("uri")).distinct()
+      Analytics.shortestHops(s, geoEdges(s, dir), sources)
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "graph_degrees" ->
+      """SELECT 'cust:'||c_custkey AS uri, 0 AS indeg, 1 AS outdeg FROM customer
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, 0, 1 FROM supplier
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey,
+        |       (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) +
+        |       (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey),
+        |       1
+        |FROM nation
+        |UNION ALL
+        |SELECT 'reg:'||r_regionkey,
+        |       (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey),
+        |       0
+        |FROM region""".stripMargin,
+    "graph_connected_components" ->
+      """WITH m AS (
+        |  SELECT n_regionkey AS r, 'nat:'||n_nationkey AS uri FROM nation
+        |  UNION ALL
+        |  SELECT r_regionkey, 'reg:'||r_regionkey FROM region
+        |  UNION ALL
+        |  SELECT n_regionkey, 'cust:'||c_custkey
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT min(uri) AS comp, count(*) AS size FROM m GROUP BY r""".stripMargin,
+    "graph_triangle_count" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT count(*) AS triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
+        |JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2""".stripMargin,
+    // graph_pagerank: rows-only (fp iteration order nondeterminism)
+    "graph_shortest_paths" ->
+      """SELECT 'reg:'||r_regionkey AS uri, 0 AS dist FROM region
+        |UNION ALL SELECT 'nat:'||n_nationkey, 1 FROM nation
+        |UNION ALL SELECT 'cust:'||c_custkey, 2 FROM customer
+        |UNION ALL SELECT 'supp:'||s_suppkey, 2 FROM supplier""".stripMargin,
+  )
+}

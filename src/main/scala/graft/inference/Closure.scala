@@ -1,0 +1,52 @@
+package graft.inference
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive closure by iterated self-join with path doubling —
+  * O(log diameter) rounds. The reference re-walks the hierarchy
+  * per-query with Cypher (reference:
+  * pidb-rdf-import/src/main/java/semantics/inference/MicroReasoners.java:20-22);
+  * here the closure is materialized once and broadcast everywhere,
+  * which is the right trade at any scale because ontologies are tiny
+  * relative to data.
+  *
+  * The driver-side loop is bounded by log2(hierarchy depth), not data
+  * size; `localCheckpoint` truncates the growing plan lineage.
+  */
+object Closure {
+
+  /** Strict transitive closure of (sub, sup) edges. */
+  def transitive(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    var cur = edges.select(col("sub"), col("sup")).distinct().localCheckpoint()
+    var size = cur.count()
+    var round = 0
+    var grown = true
+    while (grown && round < maxRounds) {
+      val next = cur.as("a")
+        .join(cur.as("b"), col("a.sup") === col("b.sub"))
+        .select(col("a.sub").as("sub"), col("b.sup").as("sup"))
+        .union(cur)
+        .distinct()
+        .localCheckpoint()
+      val nextSize = next.count()
+      grown = nextSize > size
+      cur = next
+      size = nextSize
+      round += 1
+    }
+    cur
+  }
+
+  /** Reflexive-transitive sub-closure seeded at `top`: `top` itself
+    * plus everything below it. One column, "c".
+    */
+  def below(edges: DataFrame, top: String): DataFrame = {
+    val spark = edges.sparkSession
+    transitive(edges)
+      .filter(col("sup") === top)
+      .select(col("sub").as("c"))
+      .union(spark.createDataFrame(Seq(Tuple1(top))).toDF("c"))
+      .distinct()
+  }
+}

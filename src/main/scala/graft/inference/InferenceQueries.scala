@@ -1,0 +1,77 @@
+package graft.inference
+
+import graft.rdf.TripleStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §C: inference / micro-reasoner operators. Oracles replicate
+  * the static ontology as VALUES lists and use recursive CTEs for the
+  * closure parts.
+  */
+object InferenceQueries {
+
+  private val scoValues = Ontology.subClassOf
+    .map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+  private val spoValues = Ontology.subPropertyOf
+    .map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "infer_subclass_closure" -> { (s, _) =>
+      Closure.transitive(Ontology.subClassDf(s))
+    },
+    "infer_nodes_with_label" -> { (s, dir) =>
+      Reasoner.nodesWithLabel(s, TripleStore.dimensionTriples(s, dir), ":Agent")
+    },
+    "infer_rels_subproperty" -> { (s, dir) =>
+      val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
+      Reasoner.rels(s, edges, ":locatedIn")
+    },
+    "infer_has_label" -> { (s, dir) =>
+      Reasoner.hasLabel(s, TripleStore.dimensionTriples(s, dir), ":Place")
+        .filter(col("uri").startsWith("nat:") || col("uri").startsWith("cust:"))
+    },
+    "onto_import_lite" -> { (s, _) =>
+      val t = Ontology.triples(s)
+      val classes = t.filter(col("p") === Ontology.SCO)
+        .select(explode(array(col("s"), col("o"))).as("uri"))
+        .distinct().withColumn("kind", lit("Class"))
+      val props = t.filter(col("p") === Ontology.SPO)
+        .select(explode(array(col("s"), col("o"))).as("uri"))
+        .distinct().withColumn("kind", lit("Relationship"))
+      classes.unionAll(props)
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "infer_subclass_closure" ->
+      s"""WITH RECURSIVE base(sub, sup) AS (SELECT * FROM (VALUES $scoValues)),
+         |sco(sub, sup) AS (
+         |  SELECT sub, sup FROM base
+         |  UNION
+         |  SELECT s.sub, b.sup FROM sco s JOIN base b ON s.sup = b.sub)
+         |SELECT sub, sup FROM sco""".stripMargin,
+    "infer_nodes_with_label" ->
+      """SELECT 'cust:'||c_custkey AS uri FROM customer
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey FROM supplier""".stripMargin,
+    "infer_rels_subproperty" ->
+      """SELECT 'cust:'||c_custkey AS src, ':hasNation' AS rel,
+        |       'nat:'||c_nationkey AS dst FROM customer
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey FROM supplier
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey, ':inRegion', 'reg:'||n_regionkey FROM nation""".stripMargin,
+    "infer_has_label" ->
+      """SELECT 'nat:'||n_nationkey AS uri, true AS has FROM nation
+        |UNION ALL
+        |SELECT 'cust:'||c_custkey, false FROM customer""".stripMargin,
+    "onto_import_lite" ->
+      s"""WITH sco(sub, sup) AS (SELECT * FROM (VALUES $scoValues)),
+         |     spo(sub, sup) AS (SELECT * FROM (VALUES $spoValues))
+         |SELECT uri, 'Class' AS kind FROM
+         |  (SELECT sub AS uri FROM sco UNION SELECT sup FROM sco)
+         |UNION ALL
+         |SELECT uri, 'Relationship' FROM
+         |  (SELECT sub AS uri FROM spo UNION SELECT sup FROM spo)""".stripMargin,
+  )
+}

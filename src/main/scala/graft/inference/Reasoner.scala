@@ -1,0 +1,44 @@
+package graft.inference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RDFS micro-reasoners over the triple relation — Spark-first
+  * re-expressions of the reference's procedures (reference:
+  * pidb-rdf-import/src/main/java/semantics/inference/MicroReasoners.java:
+  * getNodesWithLabel :31, getRels :79, hasLabel :101), each a
+  * broadcast semi-join of the data against the materialized
+  * ontology closure instead of a per-query Cypher walk.
+  */
+object Reasoner {
+
+  private def typeTriples(triples: DataFrame): DataFrame =
+    triples.filter(col("p") === "rdf:type")
+      .select(col("s"), col("o"))
+
+  /** Nodes carrying `label` directly or via any subclass of it. */
+  def nodesWithLabel(spark: SparkSession, triples: DataFrame, label: String): DataFrame = {
+    val labels = broadcast(Closure.below(Ontology.subClassDf(spark), label))
+    typeTriples(triples)
+      .join(labels, col("o") === col("c"), "left_semi")
+      .select(col("s").as("uri"))
+      .distinct()
+  }
+
+  /** Edges whose relation is `rel` or any subproperty of it. */
+  def rels(spark: SparkSession, edges: DataFrame, rel: String): DataFrame = {
+    val props = broadcast(Closure.below(Ontology.subPropertyDf(spark), rel))
+    edges.join(props, col("rel") === col("c"), "left_semi")
+      .select(col("src"), col("rel"), col("dst"))
+  }
+
+  /** For every typed node: does it carry `label` (incl. implied)? */
+  def hasLabel(spark: SparkSession, triples: DataFrame, label: String): DataFrame = {
+    val labels = Closure.below(Ontology.subClassDf(spark), label)
+      .withColumn("__hit", lit(true))
+    typeTriples(triples)
+      .join(broadcast(labels), col("o") === col("c"), "left_outer")
+      .groupBy(col("s").as("uri"))
+      .agg(max(coalesce(col("__hit"), lit(false))).as("has"))
+  }
+}
