@@ -19,6 +19,7 @@ object SparkEntry {
       graft.sparql.SparqlQueries.queries ++
       graft.inference.InferenceQueries.queries ++
       graft.graphx.GraphQueries.queries ++
+      graft.pipeline.PipelineQueries.queries ++
       relational
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -59,6 +60,7 @@ object SparkEntry {
       graft.sparql.SparqlQueries.oracle ++
       graft.inference.InferenceQueries.oracle ++
       graft.graphx.GraphQueries.oracle ++
+      graft.pipeline.PipelineQueries.oracle ++
       relationalOracle
 
   private def relationalOracle: Map[String, String] = Map(

@@ -24,7 +24,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp; read nanos as long and truncate to micros
+    * (integer division — a double division would lose precision at
+    * 1e18 nanos). DuckDB's reader truncates to micros the same way.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the documents table.
+  *
+  * Scale notes (100 TB posture): every variant is
+  * block-then-verify — candidate generation is a key-equality shuffle
+  * (shingle, band signature, simhash band, label) whose volume is
+  * O(docs x keys-per-doc), never all-pairs; the exact verification
+  * join runs only on candidate pairs. Hashes are md5-derived so any
+  * engine (the DuckDB oracle included) reproduces them bit-for-bit.
+  */
+object Dedup {
+
+  /** Word n-gram shingles, distinct per doc: (doc_id, sh). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k + 1)): _*))
+      ).as("sh"))
+      .distinct()
+  }
+
+  /** Exact duplicate groups: md5(text) → group size. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Exact Jaccard over shingle sets for a pair candidate set.
+    * `pairs` must have columns (a, b).
+    */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
+                            sizes: DataFrame, tau: Double): DataFrame = {
+    val shared = pairs
+      .join(sh.withColumnRenamed("doc_id", "a"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("sh", "sh_b"), "b")
+      .filter(col("sh") === col("sh_b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jac",
+        col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jac") >= tau)
+  }
+
+  /** Inverted-index-blocked n-gram Jaccard: pairs sharing >=1 shingle,
+    * verified >= tau. Emits (a, b, jac).
+    */
+  def ngramJaccard(docs: DataFrame, tau: Double = 0.8): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cand = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(cand, sh, sizes, tau).select(col("a"), col("b"), col("jac"))
+  }
+
+  /** MinHash signature column h{i} = min md5("i|" + shingle) — the
+    * lexicographic min of fixed-width hex strings is the min of the
+    * 128-bit hash value, portable across engines.
+    */
+  def minhashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                 tau: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hashCols = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")).cast("binary"))).as(s"h$i"))
+    val sigs = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+          .as("key"))
+    }
+    val buckets = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(cand, sh, sizes, tau).select(col("a"), col("b"))
+  }
+
+  /** 64-bit simhash kept as four 16-bit chunks (c0..c3, low chunk
+    * first) so both Spark and the SQL oracle parse hex 4 chars at a
+    * time with exact integer arithmetic.
+    */
+  def simhashChunks(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val withChunks = toks.select(col("doc_id") +: (0 until 4).map(c =>
+      conv(substring(col("h"), 1 + 4 * c, 4), 16, 10).cast("int").as(s"tc$c")): _*)
+    val aggs = for (c <- 0 until 4; b <- 0 until 16) yield
+      sum(when(shiftright(col(s"tc$c"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s${c}_$b")
+    val bitSums = withChunks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    bitSums.select(col("doc_id") +: (0 until 4).map { c =>
+      (0 until 16).map(b =>
+        when(col(s"s${c}_$b") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _).as(s"c$c")
+    }: _*)
+  }
+
+  /** Simhash near-dup pairs: candidates share at least one 16-bit
+    * chunk (4-band blocking, Hamming<=3 implies >=1 equal chunk by
+    * pigeonhole when bits spread), verified by total Hamming <= maxHam.
+    */
+  def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+    val sig = simhashChunks(docs)
+    val buckets = sig.select(col("doc_id"), explode(array((0 until 4).map(c =>
+      struct(lit(c).as("band"), col(s"c$c").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "a" else c + "_a"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "b" else c + "_b"): _*)
+    val ham = (0 until 4).map(c =>
+      bit_count(col(s"c${c}_a").bitwiseXOR(col(s"c${c}_b")))).reduce(_ + _)
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("ham", ham.cast("int"))
+      .filter(col("ham") <= maxHam)
+      .select(col("a"), col("b"), col("ham"))
+  }
+
+  /** Embedding near-dups: label-blocked pairwise cosine >= tau. */
+  def embeddingCosine(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", Similarity.cosine(col("x.v"), col("y.v")))
+      .filter(col("cos") >= tau)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+  }
+}

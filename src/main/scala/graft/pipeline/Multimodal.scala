@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads with typed
+  * metadata, a decode/feature-extract stage, and frame sampling.
+  *
+  * The codec itself is STUBBED (this container has no image/audio
+  * libraries): `decodeStub` derives deterministic pseudo-features from
+  * the raw bytes. The Spark-side plumbing is real — binary column +
+  * metadata schema, typed Dataset, per-partition batch decode via
+  * mapPartitions (the shape a JNI/FFmpeg decoder would use), and
+  * pure-SQL frame sampling.
+  *
+  * Payloads are synthesized from the documents table's text bytes
+  * (UTF-8; the corpus is ASCII so byte arithmetic is reproducible in
+  * the SQL oracle).
+  */
+object Multimodal {
+
+  final case class Payload(doc_id: Long, payload: Array[Byte], mime: String)
+  final case class Features(doc_id: Long, byte_len: Int, first_byte: Int,
+                            last_byte: Int, checksum: Long,
+                            width: Int, height: Int)
+
+  /** documents → (doc_id, payload binary, mime, byte_len) view. */
+  def payloads(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      lit("application/octet-stream").as("mime"),
+      length(col("text")).as("byte_len"))
+
+  /** The fake codec: deterministic features from raw bytes. A real
+    * build swaps this body for the native decoder call; the batch
+    * shape (one JVM-side iterator per partition, no per-row setup)
+    * is exactly what that decoder would need.
+    */
+  private def decodeStub(p: Payload): Features = {
+    val len = p.payload.length
+    val first = p.payload.head & 0xff
+    val last = p.payload.last & 0xff
+    val checksum = 31L * len + first + last
+    Features(p.doc_id, len, first, last, checksum,
+      width = (checksum % 640L).toInt, height = (checksum % 480L).toInt)
+  }
+
+  /** Binary payload column → per-doc feature rows. */
+  def binaryFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    payloads(docs)
+      .select(col("doc_id"), col("payload"), col("mime"))
+      .as[Payload]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+  }
+
+  /** Treat the payload as fixed-size frames; sample every `stride`-th
+    * frame and fingerprint it. Pure column expressions (sequence with
+    * step + explode), no driver loop.
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    docs
+      .filter(length(col("text")) >= frameBytes)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          (floor(length(col("text")) / frameBytes) - 1).cast("int"),
+          lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("text").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .cast("binary")).as("frame_md5"))
+}

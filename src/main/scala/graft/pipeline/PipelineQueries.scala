@@ -1,0 +1,212 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §E-§I: the LLM-data-pipeline operators (dedup, similarity
+  * search, text analysis, multimodal plumbing) and the event anchors,
+  * each as a driver-checkable entry. Hash-heavy oracles (minhash,
+  * simhash) are generated SQL that reproduces the md5-derived hashes
+  * bit-for-bit in DuckDB.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §E dedup ---------------------------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir))),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosine(Tables.embeddings(s, dir))),
+    // ---- §F similarity search --------------------------------------
+    "ann_bruteforce_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryId = 0, k = 20)),
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
+    // ---- §G text analysis ------------------------------------------
+    "text_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "text_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    // ---- §H multimodal ---------------------------------------------
+    "mm_binary_features" -> ((s, dir) =>
+      Multimodal.binaryFeatures(Tables.documents(s, dir))),
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Tables.documents(s, dir))),
+    // ---- §I events -------------------------------------------------
+    "events_window_agg" -> ((s, dir) =>
+      Events.windowAgg(Tables.events(s, dir))),
+    "events_sessionize" -> ((s, dir) =>
+      Events.sessionize(Tables.events(s, dir))),
+  )
+
+  // shared oracle CTE fragments ---------------------------------------
+  private val TOKS =
+    raw"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+         |         FROM documents)""".stripMargin
+  private val SH =
+    """sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3)""".stripMargin
+  private val SIZES = "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"
+  private val SHARED =
+    """shared AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+      |           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |           GROUP BY 1, 2)""".stripMargin
+
+  // simhash oracle: generated so the hex→int parsing and the 64
+  // per-bit sums exactly mirror Dedup.simhashChunks
+  private val simhashSql: String = {
+    def nib(pos: Int) = s"(strpos('0123456789abcdef', substr(h, $pos, 1)) - 1)"
+    def chunk(c: Int) =
+      (1 until 4).foldLeft(nib(1 + 4 * c))((e, k) => s"($e * 16 + ${nib(1 + 4 * c + k)})")
+    val tcCols = (0 until 4).map(c => s"${chunk(c)} AS tc$c").mkString(", ")
+    val bsCols = (for (c <- 0 until 4; b <- 0 until 16) yield
+      s"sum(CASE WHEN (tc$c >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s${c}_$b")
+      .mkString(", ")
+    val sigCols = (0 until 4).map(c =>
+      "(" + (0 until 16).map(b =>
+        s"CASE WHEN s${c}_$b > 0 THEN ${1 << b} ELSE 0 END").mkString(" + ") +
+        s") AS c$c").mkString(", ")
+    val bandKey = "CASE band WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END"
+    val ham = (0 until 4).map(c => s"bit_count(xor(sa.c$c, sb.c$c))").mkString(" + ")
+    raw"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+         |              FROM documents),
+         |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+         |tc AS (SELECT doc_id, $tcCols FROM th),
+         |bs AS (SELECT doc_id, $bsCols FROM tc GROUP BY 1),
+         |sig AS (SELECT doc_id, $sigCols FROM bs),
+         |bands AS (SELECT doc_id, band, $bandKey AS key
+         |          FROM sig, UNNEST(range(0, 4)) t(band)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT cand.a, cand.b, $ham AS ham
+         |FROM cand JOIN sig sa ON sa.doc_id = cand.a
+         |JOIN sig sb ON sb.doc_id = cand.b
+         |WHERE $ham <= 3""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT md5(text) AS text_hash, count(*) AS cnt FROM documents GROUP BY 1",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $TOKS, $SH, $SIZES, $SHARED
+         |SELECT a, b, c * 1.0 / (sa.n + sb.n - c) AS jac
+         |FROM shared JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $TOKS, $SH,
+         |mhash AS (SELECT doc_id, i, min(md5(i || '|' || s)) AS h
+         |          FROM sh, UNNEST(range(0, 16)) AS t(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |                 string_agg(h, '' ORDER BY i) AS key
+         |          FROM mhash GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |$SIZES, $SHARED
+         |SELECT cand.a, cand.b FROM cand
+         |JOIN shared ON shared.a = cand.a AND shared.b = cand.b
+         |JOIN sizes sa ON sa.doc_id = cand.a
+         |JOIN sizes sb ON sb.doc_id = cand.b
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7""".stripMargin,
+    "dedup_simhash" -> simhashSql,
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b
+        |FROM embeddings a JOIN embeddings b
+        |ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+    "ann_bruteforce_topk" ->
+      """SELECT b.vec_id FROM embeddings b WHERE b.vec_id != 0
+        |ORDER BY list_cosine_similarity(
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0), b.embedding) DESC,
+        |  b.vec_id
+        |LIMIT 20""".stripMargin,
+    // ann_lsh_topk / ann_ivf_topk: rows-only (bucketing is engine-side)
+    "text_token_count" ->
+      raw"""SELECT doc_id,
+           |  len(string_split_regex(trim(text), '\s+')) AS n_ws,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+           |FROM documents""".stripMargin,
+    "text_quality_score" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)), '\s+') AS toks,
+           |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text)
+           |    AS punct_ratio
+           |FROM documents),
+           |y AS (SELECT doc_id, len(toks) * 1.0 AS n, punct_ratio,
+           |  len(list_filter(toks,
+           |      t -> list_contains(['the','a','and','of','in'], t))) * 1.0
+           |    / len(toks) AS stop_ratio
+           |FROM x)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, punct_ratio, stop_ratio,
+           |  least(1.0, n / 100.0) * (1.0 - punct_ratio) * (1.0 - 0.5 * stop_ratio)
+           |    AS score
+           |FROM y""".stripMargin,
+    "text_langid" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+           |h AS (SELECT doc_id,
+           |  len(list_filter(toks, t -> list_contains(['the','a','and','of','in'], t))) AS en,
+           |  len(list_filter(toks, t -> list_contains(['le','la','et','un','dans'], t))) AS fr,
+           |  len(list_filter(toks, t -> list_contains(['der','die','und','das','ein'], t))) AS de,
+           |  len(list_filter(toks, t -> list_contains(['el','los','y','una','por'], t))) AS es
+           |FROM x)
+           |SELECT doc_id,
+           |  CASE WHEN en + fr + de + es = 0 THEN 'und'
+           |       WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+           |       WHEN fr >= de AND fr >= es THEN 'fr'
+           |       WHEN de >= es THEN 'de'
+           |       ELSE 'es' END AS pred_lang,
+           |  en AS en_hits
+           |FROM h""".stripMargin,
+    "text_fingerprint" ->
+      raw"""SELECT doc_id,
+           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           |FROM documents""".stripMargin,
+    "mm_binary_features" ->
+      """SELECT doc_id, length(text) AS byte_len,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  ascii(substr(text, length(text), 1)) AS last_byte,
+        |  31 * length(text) + ascii(substr(text, 1, 1))
+        |    + ascii(substr(text, length(text), 1)) AS checksum,
+        |  (31 * length(text) + ascii(substr(text, 1, 1))
+        |    + ascii(substr(text, length(text), 1))) % 640 AS width,
+        |  (31 * length(text) + ascii(substr(text, 1, 1))
+        |    + ascii(substr(text, length(text), 1))) % 480 AS height
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx, md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+        |FROM documents, UNNEST(range(0, length(text) // 64, 4)) AS t(i)
+        |WHERE length(text) >= 64""".stripMargin,
+    "events_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |  count(*) AS cnt, round(sum(value), 6) AS sv
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |y AS (SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |  FROM y)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts
+        |FROM z GROUP BY 1, 2""".stripMargin,
+  )
+}

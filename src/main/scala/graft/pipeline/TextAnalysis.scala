@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token
+  * counting, quality scoring, language ID, fingerprinting. All pure
+  * `functions._` column expressions — fully codegen'd, no UDFs, so a
+  * 100 TB corpus scan stays a single narrow pass.
+  */
+object TextAnalysis {
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
+  val BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace tokens of the trimmed text. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Canonical form: lowercase, whitespace collapsed, trimmed. */
+  def canonical(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).as("n_ws"),
+      size(regexp_extract_all(col("text"), lit(BPE_PATTERN), lit(0))).as("n_bpe"))
+
+  /** Stopword sets per language for the language-ID heuristic. */
+  val STOPWORDS: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "in"),
+    "fr" -> Seq("le", "la", "et", "un", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "los", "y", "una", "por"))
+
+  private def stopHits(toks: Column, words: Seq[String]): Column = {
+    val stopArr = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(stopArr, t)))
+  }
+
+  /** Length / punctuation / stopword-ratio quality score in [0, 1]. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val nTok = size(toks).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("double")
+    val punctRatio = punct / length(col("text")).cast("double")
+    val stopRatio = stopHits(toks, STOPWORDS("en")).cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stop_ratio"),
+      (least(lit(1.0), nTok / 100.0) * (lit(1.0) - punctRatio)
+        * (lit(1.0) - lit(0.5) * stopRatio)).as("score"))
+  }
+
+  /** Stopword-hit language ID with fixed priority on ties
+    * (en > fr > de > es); "und" when nothing hits.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val hits = Seq("en", "fr", "de", "es").map(l => l -> stopHits(toks, STOPWORDS(l)))
+    val Seq(en, fr, de, es) = hits.map(_._2)
+    val pred = when(en + fr + de + es === 0, "und")
+      .when(en >= fr && en >= de && en >= es, "en")
+      .when(fr >= de && fr >= es, "fr")
+      .when(de >= es, "de")
+      .otherwise("es")
+    docs.select(col("doc_id"), pred.as("pred_lang"), en.as("en_hits"))
+  }
+
+  /** md5 fingerprint of the canonicalized text. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(canonical(col("text")).cast("binary")).as("fp"))
+}
