@@ -22,7 +22,7 @@ object NTriples {
   /** Backslash-escape per N-Triples rules. Order matters: backslash
     * first so introduced escapes are not re-escaped.
     */
-  private def esc(c: Column): Column = {
+  private[rdf] def esc(c: Column): Column = {
     val steps = Seq("\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"",
       "\n" -> "\\\\n", "\r" -> "\\\\r", "\t" -> "\\\\t")
     steps.foldLeft(c) { case (acc, (from, to)) =>

@@ -39,12 +39,13 @@ object Turtle {
         .withColumn("s_term", col("s"))
         .withColumn("p_term", col("p"))
         .withColumn("o_term", when(col("o_is_iri"), col("o"))))))
+    val lex = NTriples.esc(col("o"))
     val objRendered = when(col("o_is_iri"), col("o_term"))
       .when(col("lang").isNotNull,
-        concat(lit("\""), col("o"), lit("\"@"), col("lang")))
+        concat(lit("\""), lex, lit("\"@"), col("lang")))
       .when(col("o_num").isNotNull,
-        concat(lit("\""), col("o"), lit("\"^^<" + XSD_DOUBLE + ">")))
-      .otherwise(concat(lit("\""), col("o"), lit("\"")))
+        concat(lit("\""), lex, lit("\"^^<" + XSD_DOUBLE + ">")))
+      .otherwise(concat(lit("\""), lex, lit("\"")))
     val statements = withTerms
       .select(col("s_term"),
         concat(col("p_term"), lit(" "), objRendered).as("po"))
@@ -53,6 +54,28 @@ object Turtle {
       .select(concat(col("s_term"), lit(" "),
         array_join(col("pos"), " ; "), lit(" .")).as("line"))
     header.unionAll(statements)
+  }
+
+  /** Char-wise inverse of the writer's escaping (\\, \", \n, \r, \t) —
+    * sequential scan, so an escaped backslash followed by 'n' is not
+    * misread as a newline.
+    */
+  private def unescapeLit(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'
+          case 'r' => sb += '\r'
+          case 't' => sb += '\t'
+          case x => sb += x
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   private[rdf] final case class ParsedTriple(
@@ -74,9 +97,17 @@ object Turtle {
         require(end >= 0, s"unclosed IRI in: $line")
         out += line.substring(i, end + 1); i = end + 1
       } else if (c == '"') {
+        // escape-aware scan (a literal may end in an escaped backslash)
         var j = i + 1
-        while (j < n && !(line.charAt(j) == '"' && line.charAt(j - 1) != '\\')) j += 1
-        require(j < n, s"unclosed literal in: $line")
+        var closed = false
+        while (j < n && !closed) {
+          line.charAt(j) match {
+            case '\\' => j += 2
+            case '"' => closed = true
+            case _ => j += 1
+          }
+        }
+        require(closed && j < n, s"unclosed literal in: $line")
         var end = j + 1
         // attach @lang or ^^<dt> suffix to the literal token
         if (end < n && line.charAt(end) == '@') {
@@ -134,11 +165,12 @@ object Turtle {
       if (oTok.startsWith("\"")) {
         val lexEnd = {
           var j = 1
-          while (!(oTok.charAt(j) == '"' && oTok.charAt(j - 1) != '\\')) j += 1
+          while (oTok.charAt(j) != '"') {
+            if (oTok.charAt(j) == '\\') j += 2 else j += 1
+          }
           j
         }
-        val lex = oTok.substring(1, lexEnd)
-          .replace("\\\"", "\"").replace("\\\\", "\\")
+        val lex = unescapeLit(oTok.substring(1, lexEnd))
         val suffix = oTok.substring(lexEnd + 1)
         val lang = if (suffix.startsWith("@")) Some(suffix.tail) else None
         val num =

@@ -1,0 +1,41 @@
+package graft.inference
+
+import graft.SharedSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class InferenceSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("transitive closure on a chain and a diamond") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"),
+      ("x", "y1"), ("x", "y2"), ("y1", "z"), ("y2", "z"))
+      .toDF("sub", "sup")
+    val got = Closure.transitive(edges).as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "d"), ("a", "d"),
+      ("x", "y1"), ("x", "y2"), ("y1", "z"), ("y2", "z"), ("x", "z")))
+  }
+
+  test("below() is reflexive at the top") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("sub", "sup")
+    assert(Closure.below(edges, "c").as[String].collect().toSet == Set("a", "b", "c"))
+    assert(Closure.below(edges, "b").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("ontology reasoners agree with the static hierarchy") {
+    val t = Seq(
+      ("c:1", "rdf:type", ":Customer"),
+      ("s:1", "rdf:type", ":Supplier"),
+      ("p:1", "rdf:type", ":Part"))
+      .map { case (a, b, c) => (a, b, c, Option.empty[Double], true, Option.empty[String]) }
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(Reasoner.nodesWithLabel(spark, t, ":Agent")
+      .as[String].collect().toSet == Set("c:1", "s:1"))
+    assert(Reasoner.nodesWithLabel(spark, t, ":Thing")
+      .as[String].collect().toSet == Set("c:1", "s:1", "p:1"))
+    val has = Reasoner.hasLabel(spark, t, ":Artifact")
+      .as[(String, Boolean)].collect().toMap
+    assert(has == Map("c:1" -> false, "s:1" -> false, "p:1" -> true))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+
+  test("exact dedup groups identical texts") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val groups = Dedup.exact(d).as[(String, Long)].collect().map(_._2).sorted
+    assert(groups.toSeq == Seq(1L, 2L))
+  }
+
+  test("shingles are distinct word n-grams") {
+    val d = docs(1L -> "a b c d b c d")
+    val sh = Dedup.shingles(d).as[(Long, String)].collect().map(_._2).toSet
+    assert(sh == Set("a b c", "b c d", "c d b", "d b c"))
+  }
+
+  test("ngram jaccard finds near-dups, not strangers") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tomorrow",
+      3L -> "completely different words appear in this one here now")
+    val pairs = Dedup.ngramJaccard(d, tau = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash lsh finds the same near-dup pair") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tomorrow",
+      3L -> "completely different words appear in this one here now")
+    val pairs = Dedup.minhashLsh(d, tau = 0.5).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash of identical docs has hamming 0") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta")
+    val pairs = Dedup.simhashPairs(d).as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("cosine is exact on known vectors") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 1.0), Array(1.0, 1.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val c = df.as[Double].collect()
+    assert(math.abs(c(0)) < 1e-12 && math.abs(c(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force topk returns nearest first") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.5f, 0.5f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(e, 0, 2).as[Long].collect()
+    assert(top.toSeq == Seq(1L, 3L))
+  }
+
+  test("quality score favors long clean text") {
+    val d = docs(1L -> "the data pipeline runs smoothly with many fine tokens",
+      2L -> "!!! ??? ***")
+    val s = TextAnalysis.qualityScore(d)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(s(1L) > s(2L))
+  }
+
+  test("langid votes by stopwords with fixed tie priority") {
+    val d = docs(1L -> "the cat and the dog", 2L -> "le chat et la chatte", 3L -> "zzz qqq")
+    val got = TextAnalysis.langId(d)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "und"))
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    val d = docs(1L -> "Hello  World", 2L -> "hello world")
+    assert(TextAnalysis.fingerprint(d).select("fp").distinct().count() == 1)
+  }
+
+  test("binary features are deterministic byte math") {
+    val d = docs(1L -> "abc")
+    val f = Multimodal.binaryFeatures(d).head()
+    // len 3, first 'a'=97, last 'c'=99 => checksum 31*3+97+99 = 289
+    assert(f.getInt(1) == 3 && f.getInt(2) == 97 && f.getInt(3) == 99)
+    assert(f.getLong(4) == 289L && f.getInt(5) == 289 && f.getInt(6) == 289 % 480)
+  }
+
+  test("frame sampling strides over 64-byte frames") {
+    val d = docs(1L -> ("x" * 640))
+    val idx = Multimodal.frameSample(d).select("frame_idx").as[Int].collect().sorted
+    assert(idx.toSeq == Seq(0, 4, 8))
+  }
+
+  test("sessionize splits on the idle gap") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(50)), (1L, ts(55)),
+      (2L, ts(0)))
+      .toDF("user_id", "ts")
+    val sess = Events.sessionize(ev)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sess == Set((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+}

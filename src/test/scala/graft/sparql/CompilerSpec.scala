@@ -1,0 +1,94 @@
+package graft.sparql
+
+import graft.SharedSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import Ast._
+
+class CompilerSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** tiny triple fixture: two people, one typed, one number */
+  private lazy val triples: DataFrame = Seq(
+    ("p:1", "rdf:type", ":Person", Option.empty[Double], true, Option.empty[String]),
+    ("p:2", "rdf:type", ":Person", None, true, None),
+    ("p:1", ":name", "ann", None, false, None),
+    ("p:2", ":name", "bob", None, false, None),
+    ("p:1", ":age", "30", Some(30.0), false, None),
+    ("p:2", ":age", "40", Some(40.0), false, None),
+    ("p:1", ":knows", "p:2", None, true, None))
+    .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+
+  private def v(n: String) = Var(n)
+  private def tp(s: Term, p: String, o: Term) = TriplePattern(s, Iri(p), o)
+
+  test("BGP star join binds shared subject var") {
+    val q = SelectQuery(
+      where = Bgp(Seq(tp(v("x"), ":name", v("n")), tp(v("x"), ":age", v("a")))),
+      projection = Seq("x", "n", "a"))
+    val rows = Compiler.run(triples, q).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSet == Set(("p:1", "ann"), ("p:2", "bob")))
+  }
+
+  test("numeric FILTER uses the typed companion") {
+    val q = SelectQuery(
+      where = Filter(Seq(Cmp(Gt, v("a"), Lit("35", Some(35.0)))),
+        Bgp(Seq(tp(v("x"), ":age", v("a"))))),
+      projection = Seq("x"))
+    assert(Compiler.run(triples, q).collect().map(_.getString(0)).toSeq == Seq("p:2"))
+  }
+
+  test("DISTINCT applies before ORDER BY and keeps sort valid") {
+    val q = SelectQuery(
+      where = Bgp(Seq(tp(v("x"), ":age", v("a")))),
+      projection = Seq("a"), distinct = true,
+      orderBy = Seq(("a", false)))
+    assert(Compiler.run(triples, q).collect().map(_.getString(0)).toSeq ==
+      Seq("40", "30"))
+  }
+
+  test("NOT EXISTS with variable-disjoint pattern keeps/drops whole side") {
+    // disconnected non-empty pattern => all rows dropped
+    val q = SelectQuery(
+      where = Filter(Seq(NotExists(Seq(tp(v("y"), "rdf:type", Iri(":Person"))))),
+        Bgp(Seq(tp(v("x"), ":name", v("n"))))),
+      projection = Seq("x"))
+    assert(Compiler.run(triples, q).count() == 0)
+    // disconnected empty pattern => all rows kept
+    val q2 = q.copy(where = Filter(
+      Seq(NotExists(Seq(tp(v("y"), "rdf:type", Iri(":Nothing"))))),
+      Bgp(Seq(tp(v("x"), ":name", v("n"))))))
+    assert(Compiler.run(triples, q2).count() == 2)
+  }
+
+  test("OPTIONAL fills unmatched vars with N/A") {
+    val q = SelectQuery(
+      where = LeftJoin(
+        Bgp(Seq(tp(v("x"), "rdf:type", Iri(":Person")))),
+        Bgp(Seq(tp(v("x"), ":knows", v("k"))))),
+      projection = Seq("x", "k"))
+    val rows = Compiler.run(triples, q).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("p:1", "p:2"), ("p:2", "N/A")))
+  }
+
+  test("same variable twice in a pattern constrains within the row") {
+    val selfRef = Seq(("p:9", ":knows", "p:9", Option.empty[Double], true, Option.empty[String]))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val q = SelectQuery(
+      where = Bgp(Seq(tp(v("x"), ":knows", v("x")))),
+      projection = Seq("x"))
+    assert(Compiler.run(triples.unionByName(selfRef), q)
+      .collect().map(_.getString(0)).toSeq == Seq("p:9"))
+  }
+
+  test("SUM over a binding with no numeric companion fails fast") {
+    val q = SelectQuery(
+      where = Bgp(Seq(tp(v("x"), ":name", v("n")))),
+      projection = Seq("t"),
+      aggregates = Seq(Agg(Sum, Some(v("x")), "t")))
+    val e = intercept[IllegalArgumentException](Compiler.run(triples, q))
+    assert(e.getMessage.contains("no numeric binding"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.sparql
+
+import org.scalatest.funsuite.AnyFunSuite
+import Ast._
+
+class SparqlParserSpec extends AnyFunSuite {
+
+  test("parses BGP with ';' chains, 'a' keyword, and modifiers") {
+    val q = SparqlParser.parse(
+      """SELECT ?c ?b WHERE {
+        |  ?c a :Customer ; :acctbal ?b .
+        |} ORDER BY DESC(?b) LIMIT 5 OFFSET 2""".stripMargin)
+    assert(q.projection == Seq("c", "b"))
+    assert(q.where == Bgp(Seq(
+      TriplePattern(Var("c"), Iri("rdf:type"), Iri(":Customer")),
+      TriplePattern(Var("c"), Iri(":acctbal"), Var("b")))))
+    assert(q.orderBy == Seq(("b", false)))
+    assert(q.limit == 5L && q.offset == 2L)
+  }
+
+  test("parses FILTER expressions with precedence and literals") {
+    val q = SparqlParser.parse(
+      """SELECT ?x WHERE { ?x :age ?a . ?x :name ?n .
+        |  FILTER(?a >= 30 && ?n != "bob" || ?a < 10) }""".stripMargin)
+    val Filter(Seq(expr), _) = q.where: @unchecked
+    assert(expr == Or(
+      And(Cmp(Ge, Var("a"), Lit("30", Some(30.0))),
+        Cmp(Ne, Var("n"), Lit("bob", None))),
+      Cmp(Lt, Var("a"), Lit("10", Some(10.0)))))
+  }
+
+  test("parses OPTIONAL, UNION, EXISTS, aggregates, DISTINCT") {
+    val q = SparqlParser.parse(
+      """SELECT DISTINCT ?g (COUNT(DISTINCT ?x) AS ?n) WHERE {
+        |  { ?x :in ?g } UNION { ?x :at ?g }
+        |  OPTIONAL { ?x :label ?l }
+        |  FILTER EXISTS { ?x :ok "yes" }
+        |} GROUP BY ?g""".stripMargin)
+    assert(q.distinct)
+    assert(q.groupBy == Seq("g"))
+    assert(q.aggregates == Seq(Agg(CountDistinct, Some(Var("x")), "n")))
+    val Filter(Seq(Exists(_)), LeftJoin(Union(_, _), Bgp(_))) = q.where: @unchecked
+  }
+
+  test("rejects malformed input with a position") {
+    val e = intercept[IllegalArgumentException](
+      SparqlParser.parse("SELECT ?x WHERE { ?x :p }"))
+    assert(e.getMessage.contains("parse error"))
+  }
+}
