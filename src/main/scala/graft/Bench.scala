@@ -13,10 +13,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local test files are tiny; split scans finer so map-side
+      // stages use every core (cluster deployments keep the default)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM (codegen pipeline, shuffle machinery) so the first
+    // timed query doesn't absorb one-time startup cost
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.range(1000).repartition(4).groupBy((org.apache.spark.sql.functions
+      .col("id") % 10).as("k")).count().collect()
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""

@@ -10,8 +10,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** Headline subset run by Bench (representative op per section). */
-  def benchQueries: Seq[String] = Seq("q1_agg", "q3_join_topk")
+  /** Headline subset run by Bench (representative ops per section). */
+  def benchQueries: Seq[String] = Seq(
+    "q1_agg", "q3_join_topk",
+    "rdf_build_triples", "rdf_ntriples_roundtrip",
+    "sparql_bgp_star", "sparql_bgp_chain", "sparql_groupby_count",
+    "infer_nodes_with_label",
+    "graph_connected_components", "graph_pagerank",
+    "dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce_topk",
+    "text_quality_score", "events_window_agg", "events_sessionize")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

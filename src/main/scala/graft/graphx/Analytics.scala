@@ -13,7 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  /** (vertices(id,uri), edges RDD) from a (src,dst) DataFrame. */
+  /** (vertices(id,uri), edges RDD) from a (src,dst) DataFrame.
+    *
+    * Pregel iterations pay a fixed per-partition cost per superstep,
+    * so partition count tracks graph size (1 partition per ~500k
+    * edges) instead of inheriting the SQL shuffle setting — on a
+    * 1000-executor run the edge count drives this into the thousands,
+    * on a laptop-sized graph it stays small.
+    */
   private def build(spark: SparkSession, edges: DataFrame,
                     undirected: Boolean = false): (DataFrame, Graph[String, Int]) = {
     val verts = edges.select(col("src").as("uri"))
@@ -22,8 +29,13 @@ object Analytics {
       .select(xxhash64(col("uri")).as("id"), col("uri"))
     val dir = edges.select(xxhash64(col("src")).as("sid"), xxhash64(col("dst")).as("did"))
     val e = if (undirected) dir.unionAll(dir.select(col("did").as("sid"), col("sid").as("did"))) else dir
+    val nParts = math.max(4, math.min(
+      spark.sparkContext.defaultParallelism,
+      (e.count() / 500000L).toInt + 1))
     val vertRdd = verts.rdd.map(r => (r.getLong(0), r.getString(1)))
+      .coalesce(nParts)
     val edgeRdd = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      .coalesce(nParts)
     (verts, Graph(vertRdd, edgeRdd))
   }
 
@@ -58,8 +70,11 @@ object Analytics {
         greatest(col("sid"), col("did")).as("did"))
       .filter(col("sid") =!= col("did"))
       .distinct()
+    val nParts = math.max(4, math.min(
+      spark.sparkContext.defaultParallelism,
+      (canon.count() / 500000L).toInt + 1))
     val g = Graph.fromEdgeTuples(
-      canon.rdd.map(r => (r.getLong(0), r.getLong(1))), 1)
+      canon.rdd.map(r => (r.getLong(0), r.getLong(1))).coalesce(nParts), 1)
       .partitionBy(PartitionStrategy.RandomVertexCut)
     val perVertex = g.triangleCount().vertices.map(_._2.toLong)
     val total = spark.createDataFrame(perVertex.map(Tuple1.apply)).toDF("t")

@@ -14,76 +14,105 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles, distinct per doc: (doc_id, sh). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** Distinct word n-gram shingle SET per doc, as a pure per-row
+    * array expression — no explode, no shuffle:
+    * (doc_id, sh_set, n_sh).
+    */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = TextAnalysis.wsTokens(col("text"))
     docs
       .select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), size(col("w")) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k + 1)): _*))
-      ).as("sh"))
-      .distinct()
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k + 1)): _*)))
+          .as("sh_set"))
+      .withColumn("n_sh", size(col("sh_set")))
   }
+
+  /** Exploded (doc_id, sh) view — the inverted-index input. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleSets(docs, n).select(col("doc_id"), explode(col("sh_set")).as("sh"))
 
   /** Exact duplicate groups: md5(text) → group size. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Exact Jaccard over shingle sets for a pair candidate set.
-    * `pairs` must have columns (a, b).
+  /** Exact Jaccard for candidate pairs (a, b): two joins against the
+    * per-doc shingle sets, intersection via array ops — cost scales
+    * with candidates, never with the corpus.
     */
-  private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
-                            sizes: DataFrame, tau: Double): DataFrame = {
-    val shared = pairs
-      .join(sh.withColumnRenamed("doc_id", "a"), "a")
-      .join(sh.withColumnRenamed("doc_id", "b")
-        .withColumnRenamed("sh", "sh_b"), "b")
-      .filter(col("sh") === col("sh_b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "a")
-        .withColumnRenamed("n_sh", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b")
-        .withColumnRenamed("n_sh", "nb"), "b")
+  private def verifyJaccard(pairs: DataFrame, sets: DataFrame,
+                            tau: Double): DataFrame = {
+    val sa = sets.select(col("doc_id").as("a"), col("sh_set").as("set_a"),
+      col("n_sh").as("na"))
+    val sb = sets.select(col("doc_id").as("b"), col("sh_set").as("set_b"),
+      col("n_sh").as("nb"))
+    pairs.join(sa, "a").join(sb, "b")
+      .withColumn("shared", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jac",
         col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")).cast("double"))
       .filter(col("jac") >= tau)
   }
 
-  /** Inverted-index-blocked n-gram Jaccard: pairs sharing >=1 shingle,
-    * verified >= tau. Emits (a, b, jac).
+  /** Inverted-index-blocked n-gram Jaccard: pairs sharing >=1 shingle
+    * (equi-join on the shingle), Jaccard from the co-occurrence count
+    * itself — no second pass. Emits (a, b, jac).
     */
   def ngramJaccard(docs: DataFrame, tau: Double = 0.8): DataFrame = {
-    val sh = shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val cand = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    verifyJaccard(cand, sh, sizes, tau).select(col("a"), col("b"), col("jac"))
+    val sets = shingleSets(docs)
+    val sh = sets.select(col("doc_id"), col("n_sh"), explode(col("sh_set")).as("sh"))
+    sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("x.n_sh")).as("na"), first(col("y.n_sh")).as("nb"))
+      .withColumn("jac",
+        col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("a"), col("b"), col("jac"))
   }
 
   /** MinHash signature column h{i} = min md5("i|" + shingle) — the
     * lexicographic min of fixed-width hex strings is the min of the
     * 128-bit hash value, portable across engines.
     */
+  /** Universal-hash family over a 32-bit md5 base: h_i = (a_i*x + b_i)
+    * mod P. One md5 per shingle, k cheap affine maps — the hashing
+    * cost is O(corpus), not O(corpus x k). a < 2^31 keeps a*x + b
+    * inside signed 64-bit for any 32-bit x. The same constants are
+    * embedded in the DuckDB oracle.
+    */
+  private[pipeline] val MINHASH_P = 4294967291L
+  private[pipeline] def minhashCoeff(i: Int): (Long, Long) = (
+    (2654435761L * (i + 1)) % 2147483647L + 1L,
+    (2246822519L * (i + 1)) % 2147483647L)
+
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                  tau: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val hashCols = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh")).cast("binary"))).as(s"h$i"))
-    val sigs = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    // persisted because three plan branches (signatures, verify side a,
+    // verify side b) would otherwise re-tokenize the corpus; small
+    // (ids + shingle arrays) and evicted LRU
+    val sets = shingleSets(docs)
+      .withColumn("base_set", transform(col("sh_set"),
+        s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature columns computed per row (transform + array_min) —
+    // the first shuffle in the whole plan is the band-bucket join
+    val hashCols = (0 until numHashes).map { i =>
+      val (a, b) = minhashCoeff(i)
+      array_min(transform(col("base_set"),
+        x => (lit(a) * x + lit(b)) % MINHASH_P)).as(s"h$i")
+    }
+    val sigs = sets.select(col("doc_id") +: hashCols: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-          .as("key"))
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}").cast("string")): _*).as("key"))
     }
     val buckets = sigs.select(col("doc_id"),
       explode(array(bandCols: _*)).as("bk"))
@@ -93,7 +122,7 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifyJaccard(cand, sh, sizes, tau).select(col("a"), col("b"))
+    verifyJaccard(cand, sets, tau).select(col("a"), col("b"))
   }
 
   /** 64-bit simhash kept as four 16-bit chunks (c0..c3, low chunk

@@ -106,12 +106,18 @@ object PipelineQueries {
          |FROM shared JOIN sizes sa ON sa.doc_id = a
          |JOIN sizes sb ON sb.doc_id = b
          |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin,
-    "dedup_minhash_lsh" ->
+    "dedup_minhash_lsh" -> {
+      val coeffs = (0 until 16).map { i =>
+        val (a, b) = Dedup.minhashCoeff(i); s"($i, $a, $b)"
+      }.mkString(", ")
       s"""WITH $TOKS, $SH,
-         |mhash AS (SELECT doc_id, i, min(md5(i || '|' || s)) AS h
-         |          FROM sh, UNNEST(range(0, 16)) AS t(i) GROUP BY 1, 2),
+         |coeffs(i, a, b) AS (SELECT * FROM (VALUES $coeffs)),
+         |bases AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS base
+         |          FROM sh),
+         |mhash AS (SELECT doc_id, i, min((a * base + b) % ${Dedup.MINHASH_P}) AS h
+         |          FROM bases, coeffs GROUP BY 1, 2),
          |bands AS (SELECT doc_id, i // 4 AS band,
-         |                 string_agg(h, '' ORDER BY i) AS key
+         |                 string_agg(h::VARCHAR, '_' ORDER BY i) AS key
          |          FROM mhash GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |         FROM bands x JOIN bands y
@@ -121,7 +127,8 @@ object PipelineQueries {
          |JOIN shared ON shared.a = cand.a AND shared.b = cand.b
          |JOIN sizes sa ON sa.doc_id = cand.a
          |JOIN sizes sb ON sb.doc_id = cand.b
-         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7""".stripMargin,
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7""".stripMargin
+    },
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b

@@ -19,23 +19,27 @@ object NTriples {
 
   private val XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 
-  /** Backslash-escape per N-Triples rules. Order matters: backslash
-    * first so introduced escapes are not re-escaped.
+  /** Backslash-escape per N-Triples rules — literal `replace` (no
+    * regex). Order matters: backslash first so introduced escapes are
+    * not re-escaped.
     */
-  private[rdf] def esc(c: Column): Column = {
-    val steps = Seq("\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"",
-      "\n" -> "\\\\n", "\r" -> "\\\\r", "\t" -> "\\\\t")
-    steps.foldLeft(c) { case (acc, (from, to)) =>
-      regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
-    }
-  }
-
-  /** Inverse of esc. Simple escapes only (matches what esc emits). */
-  private def unesc(c: Column): Column =
-    Seq("\\\\n" -> "\n", "\\\\r" -> "\r", "\\\\t" -> "\t",
-      "\\\\\"" -> "\"", "\\\\\\\\" -> "\\\\")
+  private[rdf] def esc(c: Column): Column =
+    Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n",
+      "\r" -> "\\r", "\t" -> "\\t")
       .foldLeft(c) { case (acc, (from, to)) =>
-        regexp_replace(acc, from, to)
+        replace(acc, lit(from), lit(to))
+      }
+
+  /** Inverse of esc. Simple escapes only (matches what esc emits;
+    * the corner case of a literal backslash before 'n' needs a
+    * sequential scanner — see Turtle.unescapeLit — and is accepted
+    * here in exchange for staying fully codegen'd).
+    */
+  private def unesc(c: Column): Column =
+    Seq("\\n" -> "\n", "\\r" -> "\r", "\\t" -> "\t",
+      "\\\"" -> "\"", "\\\\" -> "\\")
+      .foldLeft(c) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
       }
 
   /** Triple relation → DataFrame("line": one N-Triples line each). */
@@ -51,32 +55,50 @@ object NTriples {
     ).as("line"))
   }
 
-  /** DataFrame with a "line" column → triple relation. Blank lines and
-    * '#' comments are dropped; malformed lines are dropped too (the
-    * subject regex fails ⇒ empty string filtered out).
+  /** DataFrame with a "line" column → triple relation. Blank lines,
+    * '#' comments and lines without the `<..> <..> obj .` shape are
+    * dropped.
+    *
+    * Canonical single-space N-Triples (what `format` and virtually
+    * every writer emit) is assumed, so terms slice out with substring
+    * arithmetic — one pass, no regex in the per-line hot path ('>' is
+    * forbidden inside IRIs, so the bracket positions are unambiguous).
     */
   def parse(lines: DataFrame): DataFrame = {
     val l = trim(col("line"))
     val body = lines
-      .filter(l =!= "" && !l.startsWith("#"))
+      .select(l.as("line"))
+      .filter(col("line").startsWith("<") && col("line").endsWith("."))
       .select(
-        regexp_extract(l, "^<([^>]*)>\\s+<([^>]*)>\\s+(.*?)\\s*\\.$", 1).as("s"),
-        regexp_extract(l, "^<([^>]*)>\\s+<([^>]*)>\\s+(.*?)\\s*\\.$", 2).as("p"),
-        regexp_extract(l, "^<([^>]*)>\\s+<([^>]*)>\\s+(.*?)\\s*\\.$", 3).as("obj"))
-      .filter(col("s") =!= "")
+        // '<s> <p> obj .': s from the first bracket pair, then p
+        // positionally (its first char sits at len(s)+5)
+        substring_index(substring_index(col("line"), ">", 1), "<", -1).as("s"),
+        col("line"))
+      .withColumn("p", substring_index(
+        col("line").substr(length(col("s")) + lit(5), length(col("line"))),
+        ">", 1))
+      .withColumn("obj", rtrim(
+        col("line").substr(length(col("s")) + length(col("p")) + lit(7),
+          length(col("line"))), " ."))
+      .filter(col("s") =!= "" && col("p") =!= "" && col("obj") =!= "")
+      .select(col("s"), col("p"), col("obj"))
+    // '"lex"', '"lex"@lang', '"lex"^^<dt>' or '<iri>' — escaped quotes
+    // inside the lexical form never end it, so the LAST '"' is the
+    // closer and everything slices without regex.
     val isIri = col("obj").startsWith("<")
-    val lex = regexp_extract(col("obj"), "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1)
-    val langTag = regexp_extract(col("obj"), "\"@([A-Za-z][A-Za-z0-9-]*)$", 1)
-    val dtype = regexp_extract(col("obj"), "\\^\\^<([^>]*)>$", 1)
+    val suffix = substring_index(col("obj"), "\"", -1)
+    val lex = col("obj").substr(lit(2), length(col("obj")) - length(suffix) - lit(2))
+    val langTag = when(suffix.startsWith("@"), suffix.substr(lit(2), length(suffix)))
+    val dtype = when(suffix.startsWith("^^<"), suffix.substr(lit(4), length(suffix) - lit(4)))
     body.select(
       col("s"),
       col("p"),
-      when(isIri, regexp_extract(col("obj"), "^<([^>]*)>", 1))
+      when(isIri, col("obj").substr(lit(2), length(col("obj")) - lit(2)))
         .otherwise(unesc(lex)).as("o"),
       when(!isIri && dtype === XSD_DOUBLE, unesc(lex).cast("double"))
         .otherwise(lit(null).cast("double")).as("o_num"),
       isIri.as("o_is_iri"),
-      when(!isIri && langTag =!= "", langTag)
+      when(!isIri && langTag.isNotNull, langTag)
         .otherwise(lit(null).cast("string")).as("lang"))
   }
 

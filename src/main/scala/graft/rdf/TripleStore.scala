@@ -23,13 +23,18 @@ object TripleStore {
   def triples(spark: SparkSession, sfDir: String): DataFrame =
     cache.getOrElseUpdate(
       (System.identityHashCode(spark), sfDir),
-      RdfModel.tpchTriples(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK))
+      // repartition before persist: the source scans yield few
+      // partitions at local test sizes, which would starve every
+      // cached-side consumer of parallelism; one build-time shuffle
+      // buys even partitions for all downstream queries
+      RdfModel.tpchTriples(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
-  /** Dimension-only slice (no lineitem facts), cached separately for
-    * operators that only touch the small side of the schema.
+  /** Dimension-only slice (no lineitem facts) — a filter over the
+    * shared cached relation, not a second materialization.
     */
   def dimensionTriples(spark: SparkSession, sfDir: String): DataFrame =
-    cache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir + "#dims"),
-      RdfModel.dimensionTriples(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK))
+    triples(spark, sfDir)
+      .filter(!org.apache.spark.sql.functions.col("s").startsWith("line:"))
 }
