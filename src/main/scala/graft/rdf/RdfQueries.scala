@@ -60,6 +60,18 @@ object RdfQueries {
       NTriples.format(TripleStore.dimensionTriples(s, dir)
         .filter(col("s").startsWith("nat:") || col("s").startsWith("reg:")))
     },
+    // JSON-LD subset: flat node objects (one per line) → triples
+    "rdf_jsonld_parse" -> { (s, dir) =>
+      val lines = graft.Tables.nation(s, dir).select(to_json(struct(
+        concat(lit("nat:"), col("n_nationkey")).as("@id"),
+        struct(lit(":Nation").as("@id")).as("rdf:type"),
+        col("n_name").as(":name"),
+        struct(concat(col("n_name"), lit(" comment")).as("@value"),
+          when(col("n_nationkey") % 2 === 0, "en").otherwise("fr")
+            .as("@language")).as(":comment"),
+        col("n_regionkey").as(":regionkey"))).as("line"))
+      JsonLd.parse(s, lines)
+    },
     // Turtle write → parse round-trip (part slice, numeric literals)
     "rdf_turtle_parse" -> { (s, dir) =>
       val slice = TripleStore.dimensionTriples(s, dir)
@@ -130,6 +142,18 @@ object RdfQueries {
         |SELECT '<reg:'||r_regionkey||'> <rdf:type> <:Region> .' FROM region
         |UNION ALL
         |SELECT '<reg:'||r_regionkey||'> <:name> "'||r_name||'" .' FROM region""".stripMargin,
+    "rdf_jsonld_parse" ->
+      """SELECT 'nat:'||n_nationkey AS s, 'rdf:type' AS p, ':Nation' AS o,
+        |       CAST(NULL AS DOUBLE) AS o_num, true AS o_is_iri,
+        |       CAST(NULL AS VARCHAR) AS lang FROM nation
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey, ':name', n_name, NULL, false, NULL FROM nation
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey, ':comment', n_name||' comment', NULL, false,
+        |       CASE WHEN n_nationkey % 2 = 0 THEN 'en' ELSE 'fr' END FROM nation
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey, ':regionkey', CAST(n_regionkey AS VARCHAR),
+        |       CAST(n_regionkey AS DOUBLE), false, NULL FROM nation""".stripMargin,
     "rdf_turtle_parse" ->
       """SELECT 'part:'||p_partkey AS s, ':size' AS p,
         |       CAST(p_size AS VARCHAR) AS o,

@@ -40,6 +40,10 @@ object Ast {
   final case class Union(l: Pattern, r: Pattern) extends Pattern
   /** Natural join of two sub-patterns (a group joined with a UNION block). */
   final case class Join(l: Pattern, r: Pattern) extends Pattern
+  /** Property path `(p1|p2|…)+`: s and o related by one or more hops
+    * over any of the predicates (SPARQL alternation + OneOrMore).
+    */
+  final case class PathPlus(s: Term, preds: Seq[String], o: Term) extends Pattern
 
   sealed trait AggOp
   case object Count extends AggOp

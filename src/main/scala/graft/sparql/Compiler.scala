@@ -176,6 +176,31 @@ object Compiler {
       pad(ldf).unionByName(pad(rdf))
     case Join(l, r) =>
       joinOnVars(compilePattern(triples, l), compilePattern(triples, r))
+    case PathPlus(s, preds, o) =>
+      // one-or-more hops: transitive closure of the predicate slice
+      // (log-diameter rounds of path doubling; see inference.Closure)
+      val edges = triples.filter(col("p").isin(preds: _*))
+        .select(col("s").as("sub"), col("o").as("sup"))
+      var df = graft.inference.Closure.transitive(edges)
+      s match {
+        case Iri(value) => df = df.filter(col("sub") === value)
+        case _ => ()
+      }
+      o match {
+        case Iri(value) => df = df.filter(col("sup") === value)
+        case _ => ()
+      }
+      (s, o) match {
+        case (Var(a), Var(b)) if a == b => df = df.filter(col("sub") === col("sup"))
+        case _ => ()
+      }
+      val out = Seq.newBuilder[Column]
+      s match { case Var(n) => out += col("sub").as(n); case _ => () }
+      o match {
+        case Var(n) if s != o => out += col("sup").as(n)
+        case _ => ()
+      }
+      df.select(out.result(): _*)
   }
 
   /** Full SELECT pipeline: where → group/aggregate → order → project →

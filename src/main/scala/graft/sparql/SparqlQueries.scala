@@ -2,7 +2,7 @@ package graft.sparql
 
 import graft.rdf.TripleStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, round}
 import Ast._
 
 /** SURVEY §B: the SPARQL query surface as driver-checkable entries.
@@ -147,6 +147,27 @@ object SparqlQueries {
           Bgp(Seq(tp(v("c"), "rdf:type", i(":Customer"))))),
         projection = Seq("c")))
     },
+    "sparql_groupby_sum_avg" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = Bgp(Seq(
+          tp(v("o"), ":byCustomer", v("c")),
+          tp(v("o"), ":totalprice", v("t")))),
+        projection = Seq("c", "total", "mn", "cnt"),
+        aggregates = Seq(
+          Agg(Sum, Some(v("t")), "total"),
+          Agg(Min, Some(v("t")), "mn"),
+          Agg(Count, Some(v("o")), "cnt")),
+        groupBy = Seq("c")))
+        // totalprice is 2-decimal-quantized, so the rounded sum is
+        // drift-proof under the oracle hash; AVG (whose division
+        // lands on rounding boundaries) is exercised in CompilerSpec
+        .withColumn("total", round(col("total"), 2))
+    },
+    "sparql_path_plus" -> { (s, dir) =>
+      run(s, dir, SelectQuery(
+        where = PathPlus(v("x"), Seq(":hasNation", ":inRegion"), v("y")),
+        projection = Seq("x", "y")))
+    },
     "sparql_parser_e2e" -> { (s, dir) =>
       val text =
         """SELECT ?c ?b ?m WHERE {
@@ -210,6 +231,20 @@ object SparqlQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "sparql_groupby_sum_avg" ->
+      """SELECT 'cust:'||o_custkey AS c, round(sum(o_totalprice), 2) AS total,
+        |       min(o_totalprice) AS mn, count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    "sparql_path_plus" ->
+      """WITH RECURSIVE e(s, o) AS (
+        |  SELECT 'cust:'||c_custkey, 'nat:'||c_nationkey FROM customer
+        |  UNION ALL SELECT 'supp:'||s_suppkey, 'nat:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'nat:'||n_nationkey, 'reg:'||n_regionkey FROM nation),
+        |c(x, y) AS (
+        |  SELECT s, o FROM e
+        |  UNION
+        |  SELECT c.x, e.o FROM c JOIN e ON c.y = e.s)
+        |SELECT x, y FROM c""".stripMargin,
     "sparql_parser_e2e" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b, c_mktsegment AS m
         |FROM customer

@@ -83,6 +83,16 @@ class CompilerSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq == Seq("p:9"))
   }
 
+  test("SUM/AVG/MIN aggregate over the numeric companion") {
+    val q = SelectQuery(
+      where = Bgp(Seq(tp(v("x"), ":age", v("a")))),
+      projection = Seq("t", "av", "mn"),
+      aggregates = Seq(Agg(Sum, Some(v("a")), "t"),
+        Agg(Avg, Some(v("a")), "av"), Agg(Min, Some(v("a")), "mn")))
+    val r = Compiler.run(triples, q).head()
+    assert(r.getDouble(0) == 70.0 && r.getDouble(1) == 35.0 && r.getDouble(2) == 30.0)
+  }
+
   test("SUM over a binding with no numeric companion fails fast") {
     val q = SelectQuery(
       where = Bgp(Seq(tp(v("x"), ":name", v("n")))),
