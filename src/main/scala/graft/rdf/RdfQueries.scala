@@ -60,6 +60,18 @@ object RdfQueries {
       NTriples.format(TripleStore.dimensionTriples(s, dir)
         .filter(col("s").startsWith("nat:") || col("s").startsWith("reg:")))
     },
+    // export endpoint, Turtle flavor (ref RDFEndpoint serializes the
+    // graph in multiple RDF formats; N-Triples flavor above)
+    "rdf_export_turtle" -> { (s, dir) =>
+      Turtle.format(TripleStore.dimensionTriples(s, dir)
+        .filter(col("s").startsWith("reg:")))
+    },
+    // the auto-minted namespace registry itself (ref MappingUtils /
+    // namespace map handling)
+    "rdf_namespace_registry" -> { (s, dir) =>
+      val t = TripleStore.triples(s, dir)
+      Namespaces.registry(t.select(col("s").as("u")), col("u"))
+    },
     // JSON-LD subset: flat node objects (one per line) → triples
     "rdf_jsonld_parse" -> { (s, dir) =>
       val lines = graft.Tables.nation(s, dir).select(to_json(struct(
@@ -142,6 +154,17 @@ object RdfQueries {
         |SELECT '<reg:'||r_regionkey||'> <rdf:type> <:Region> .' FROM region
         |UNION ALL
         |SELECT '<reg:'||r_regionkey||'> <:name> "'||r_name||'" .' FROM region""".stripMargin,
+    "rdf_export_turtle" ->
+      """SELECT '@prefix ns0: <:> .' AS line
+        |UNION ALL SELECT '@prefix ns1: <rdf:> .'
+        |UNION ALL SELECT '@prefix ns2: <reg:> .'
+        |UNION ALL
+        |SELECT 'ns2:'||r_regionkey||' ns0:name "'||r_name||
+        |       '" ; ns1:type ns0:Region .' FROM region""".stripMargin,
+    "rdf_namespace_registry" ->
+      """SELECT * FROM (VALUES ('cust:','ns0'), ('line:','ns1'), ('nat:','ns2'),
+        |  ('ord:','ns3'), ('part:','ns4'), ('reg:','ns5'), ('supp:','ns6'))
+        |  t(ns, prefix)""".stripMargin,
     "rdf_jsonld_parse" ->
       """SELECT 'nat:'||n_nationkey AS s, 'rdf:type' AS p, ':Nation' AS o,
         |       CAST(NULL AS DOUBLE) AS o_num, true AS o_is_iri,

@@ -8,7 +8,7 @@ query, and compares (schema-insensitively: columns sorted by name,
 rows sorted, values stringified with float rounding) against the
 Spark-written parquet under <verifyOutDir>/<name>/.
 """
-import sys, json, glob, math
+import sys, json, glob, math, decimal
 
 import duckdb
 
@@ -19,6 +19,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(v):
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)  # share the %.10g path; avoids '38273.2300' vs '38273.23'
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
