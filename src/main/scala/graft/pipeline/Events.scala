@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-stream operators. `windowAgg` is the shared transform for
   * the batch anchor and its Structured Streaming twin (the streaming
@@ -24,6 +25,64 @@ object Events {
     */
   def windowAggStreaming(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "2 hours"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(session_id: Long, start_us: Long,
+                                last_us: Long, n_events: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              start_ts: java.sql.Timestamp,
+                              end_ts: java.sql.Timestamp)
+
+  /** Streaming sessionization: custom per-user state via
+    * flatMapGroupsWithState. A session closes (and emits) when a new
+    * event arrives after the idle gap, or when the event-time
+    * watermark passes the gap (state timeout) — the watermark is what
+    * bounds state at scale.
+    */
+  def sessionizeStreaming(events: DataFrame, gapMinutes: Int = 30,
+                          watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    def toTs(u: Long): java.sql.Timestamp = new java.sql.Timestamp(u / 1000L)
+    def emit(uid: Long, st: SessionState): SessionOut =
+      SessionOut(uid, st.session_id, st.n_events, toTs(st.start_us), toTs(st.last_us))
+
+    events.selectExpr("user_id", "ts")
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, events, state) =>
+          val out = Seq.newBuilder[SessionOut]
+          if (state.hasTimedOut) {
+            state.getOption.foreach(st => out += emit(uid, st))
+            state.remove()
+          } else {
+            var st = state.getOption.orNull
+            events.toSeq.sortBy(e => us(e.ts)).foreach { e =>
+              val t = us(e.ts)
+              st match {
+                case null =>
+                  st = SessionState(1L, t, t, 1L)
+                case s if t - s.last_us > gapUs =>
+                  out += emit(uid, s)
+                  st = SessionState(s.session_id + 1L, t, t, 1L)
+                case s =>
+                  st = s.copy(last_us = math.max(s.last_us, t),
+                    n_events = s.n_events + 1L)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.last_us / 1000L + gapMinutes * 60000L)
+            }
+          }
+          out.result().iterator
+      }
+  }
 
   /** Gap-based sessionization (new session after `gapMinutes` idle):
     * lag + cumulative-sum session ids, then per-session rollup.

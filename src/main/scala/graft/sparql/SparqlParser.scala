@@ -67,6 +67,12 @@ object SparqlParser extends RegexParsers {
   private case class OptionalElem(p: Pattern) extends GroupElem
   private case class GroupOrUnionElem(p: Pattern) extends GroupElem
 
+  /** Property path triple: `term (p1|p2|…)+ term .` */
+  private def pathTriple: Parser[GroupElem] =
+    term ~ ("(" ~> rep1sep(iriRef | pname, "|") <~ ")" <~ "+") ~ term <~ opt(".") ^^ {
+      case s ~ preds ~ o => GroupOrUnionElem(PathPlus(s, preds.map(_.value), o))
+    }
+
   private def optionalElem: Parser[GroupElem] =
     "(?i)OPTIONAL".r ~> groupGraphPattern ^^ OptionalElem.apply
   private def groupOrUnion: Parser[GroupElem] =
@@ -74,7 +80,7 @@ object SparqlParser extends RegexParsers {
       GroupOrUnionElem(gs.reduceLeft(Union.apply)))
 
   private def groupElem: Parser[GroupElem] =
-    filterElem | optionalElem | groupOrUnion |
+    filterElem | optionalElem | pathTriple | groupOrUnion |
       (triplesSameSubject ^^ TriplesElem.apply)
 
   private def groupGraphPattern: Parser[Pattern] =

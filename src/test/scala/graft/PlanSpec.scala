@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the plans we tuned for: pushdown reaches the scans, small
+  * dims broadcast, top-k never globally sorts, BGP patterns read the
+  * cached triple relation. A regression here is a scale bug even when
+  * results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = SharedSpark.sfDir
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q3_join_topk: pushdown + broadcast dims + TakeOrderedAndProject") {
+    val p = plan("q3_join_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("BroadcastHashJoin"), "filtered dims must broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must reach the scan")
+  }
+
+  test("q1_agg: filter and pruning reach the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "date filter must push down")
+    assert(!p.contains("l_partkey"), "unused columns must be pruned")
+  }
+
+  test("sparql_bgp_chain: patterns scan the cached triple relation") {
+    val p = plan("sparql_bgp_chain")
+    assert(p.contains("InMemoryTableScan"), "BGP must read the persisted triple store")
+  }
+
+  test("facade: textual SPARQL end-to-end") {
+    val df = Graft.sparql(spark, dir,
+      """SELECT ?c ?b WHERE { ?c a :Customer ; :acctbal ?b . FILTER(?b >= 0) }""")
+    assert(df.columns.toSeq == Seq("c", "b") && df.count() > 0)
+  }
+}

@@ -37,4 +37,32 @@ class StreamingSpec extends AnyFunSuite {
       .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
     assert(got == want && got.size == 4)
   }
+
+  test("sessionizeStreaming closes sessions on gap and emits via state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Events.sessionizeStreaming(
+        stream.toDF().toDF("user_id", "ts"), gapMinutes = 30,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      // session 1: two events 10 min apart; then a 110-min gap
+      stream.addData(Seq((1L, ts(0)), (1L, ts(10))))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, ts(120))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess_test")
+      .select("user_id", "session_id", "n_events", "start_ts", "end_ts")
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    assert(got == Set((1L, 1L, 2L, ts(0), ts(10))))
+  }
 }

@@ -42,6 +42,13 @@ class SparqlParserSpec extends AnyFunSuite {
     val Filter(Seq(Exists(_)), LeftJoin(Union(_, _), Bgp(_))) = q.where: @unchecked
   }
 
+  test("parses property paths into PathPlus") {
+    val q = SparqlParser.parse(
+      "SELECT ?x ?y WHERE { ?x (:hasNation|:inRegion)+ ?y . ?x a :Customer . }")
+    val Join(PathPlus(Var("x"), preds, Var("y")), Bgp(_)) = q.where: @unchecked
+    assert(preds == Seq(":hasNation", ":inRegion"))
+  }
+
   test("rejects malformed input with a position") {
     val e = intercept[IllegalArgumentException](
       SparqlParser.parse("SELECT ?x WHERE { ?x :p }"))
