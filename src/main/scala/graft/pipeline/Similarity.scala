@@ -13,10 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine over two array<double> columns — `zip_with` + `aggregate`
-    * stay codegen-friendly; no UDF.
+  /** Cosine over two array<double> columns: a fused native Catalyst
+    * expression (one loop, no intermediate arrays, whole-stage
+    * codegen) — see [[graft.functions.CosineSimilarity]].
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** The composable functions._ form (zip_with + aggregate), kept as
+    * the reference implementation the native expression is tested
+    * against.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))

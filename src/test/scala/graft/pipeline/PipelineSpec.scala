@@ -58,6 +58,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(c(0)) < 1e-12 && math.abs(c(1) - 1.0) < 1e-12)
   }
 
+  test("native cosine expression agrees with the HOF form and SQL registration") {
+    val e = graft.SharedSpark.spark.read
+      .parquet(graft.SharedSpark.sfDir + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val both = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(
+        Similarity.cosine(col("x.v"), col("y.v")).as("native"),
+        Similarity.cosineHof(col("x.v"), col("y.v")).as("hof"))
+    assert(both.filter(abs(col("native") - col("hof")) > 1e-12).count() == 0)
+
+    graft.functions.CosineSimilarity.register(spark)
+    val viaSql = e.selectExpr("cosine_sim(v, v) AS c")
+      .filter(abs(col("c") - 1.0) > 1e-12)
+    assert(viaSql.count() == 0)
+  }
+
   test("brute-force topk returns nearest first") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
