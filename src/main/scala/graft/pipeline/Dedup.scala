@@ -151,7 +151,9 @@ object Dedup {
     * pigeonhole when bits spread), verified by total Hamming <= maxHam.
     */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+    // persisted: the band explode and both verify sides reuse it
     val sig = simhashChunks(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sig.select(col("doc_id"), explode(array((0 until 4).map(c =>
       struct(lit(c).as("band"), col(s"c$c").as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))

@@ -60,6 +60,16 @@ object RdfQueries {
       NTriples.format(TripleStore.dimensionTriples(s, dir)
         .filter(col("s").startsWith("nat:") || col("s").startsWith("reg:")))
     },
+    // import preview (ref RDFImport.previewRDF): parse a bounded,
+    // deterministic prefix of the input instead of the whole file
+    "rdf_import_preview" -> { (s, dir) =>
+      val nt = NTriples.format(TripleStore.dimensionTriples(s, dir)
+        .filter(col("s").startsWith("nat:")))
+      NTriples.parse(nt)
+        .orderBy(col("s"), col("p"), col("o"))
+        .limit(30)
+        .select(col("s"), col("p"), col("o"))
+    },
     // export endpoint, Turtle flavor (ref RDFEndpoint serializes the
     // graph in multiple RDF formats; N-Triples flavor above)
     "rdf_export_turtle" -> { (s, dir) =>
@@ -154,6 +164,15 @@ object RdfQueries {
         |SELECT '<reg:'||r_regionkey||'> <rdf:type> <:Region> .' FROM region
         |UNION ALL
         |SELECT '<reg:'||r_regionkey||'> <:name> "'||r_name||'" .' FROM region""".stripMargin,
+    "rdf_import_preview" ->
+      """WITH t AS (
+        |  SELECT 'nat:'||n_nationkey AS s, ':comment' AS p,
+        |         n_name||' comment' AS o FROM nation
+        |  UNION ALL SELECT 'nat:'||n_nationkey, ':inRegion',
+        |         'reg:'||n_regionkey FROM nation
+        |  UNION ALL SELECT 'nat:'||n_nationkey, ':name', n_name FROM nation
+        |  UNION ALL SELECT 'nat:'||n_nationkey, 'rdf:type', ':Nation' FROM nation)
+        |SELECT s, p, o FROM t ORDER BY s, p, o LIMIT 30""".stripMargin,
     "rdf_export_turtle" ->
       """SELECT '@prefix ns0: <:> .' AS line
         |UNION ALL SELECT '@prefix ns1: <rdf:> .'
