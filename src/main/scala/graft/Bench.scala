@@ -44,7 +44,7 @@ object Bench {
         case e: Throwable =>
           timings(name) = -1.0
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      }
+      } finally graft.pipeline.Dedup.releaseCaches()
     }
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")

@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Intermediates persisted because several plan branches reuse them
+    * (signatures + both verify sides). Tracked so long-lived sessions
+    * can release them: call [[releaseCaches]] once the returned
+    * DataFrames are consumed.
+    */
+  private val persistedIntermediates =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[DataFrame]())
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedIntermediates.add(p)
+    p
+  }
+
+  /** Unpersist every tracked intermediate (blocking=false). */
+  def releaseCaches(): Unit = {
+    val it = persistedIntermediates.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+  }
+
   /** Distinct word n-gram shingle SET per doc, as a pure per-row
     * array expression — no explode, no shuffle:
     * (doc_id, sh_set, n_sh).
@@ -97,10 +118,9 @@ object Dedup {
     // persisted because three plan branches (signatures, verify side a,
     // verify side b) would otherwise re-tokenize the corpus; small
     // (ids + shingle arrays) and evicted LRU
-    val sets = shingleSets(docs)
+    val sets = persistTracked(shingleSets(docs)
       .withColumn("base_set", transform(col("sh_set"),
-        s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))))
     // signature columns computed per row (transform + array_min) —
     // the first shuffle in the whole plan is the band-bucket join
     val hashCols = (0 until numHashes).map { i =>
@@ -152,8 +172,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
     // persisted: the band explode and both verify sides reuse it
-    val sig = simhashChunks(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = persistTracked(simhashChunks(docs))
     val buckets = sig.select(col("doc_id"), explode(array((0 until 4).map(c =>
       struct(lit(c).as("band"), col(s"c$c").as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))

@@ -60,14 +60,13 @@ object RdfQueries {
       NTriples.format(TripleStore.dimensionTriples(s, dir)
         .filter(col("s").startsWith("nat:") || col("s").startsWith("reg:")))
     },
-    // import preview (ref RDFImport.previewRDF): parse a bounded,
-    // deterministic prefix of the input instead of the whole file
+    // import preview (ref RDFImport.previewRDF): bound the RAW lines
+    // first (per-partition top-K merge, no global sort), parse only
+    // the preview slice — the rest of the corpus is never parsed
     "rdf_import_preview" -> { (s, dir) =>
       val nt = NTriples.format(TripleStore.dimensionTriples(s, dir)
         .filter(col("s").startsWith("nat:")))
-      NTriples.parse(nt)
-        .orderBy(col("s"), col("p"), col("o"))
-        .limit(30)
+      NTriples.parse(nt.orderBy(col("line")).limit(30))
         .select(col("s"), col("p"), col("o"))
     },
     // export endpoint, Turtle flavor (ref RDFEndpoint serializes the
@@ -172,7 +171,8 @@ object RdfQueries {
         |         'reg:'||n_regionkey FROM nation
         |  UNION ALL SELECT 'nat:'||n_nationkey, ':name', n_name FROM nation
         |  UNION ALL SELECT 'nat:'||n_nationkey, 'rdf:type', ':Nation' FROM nation)
-        |SELECT s, p, o FROM t ORDER BY s, p, o LIMIT 30""".stripMargin,
+        |SELECT s, p, o FROM t
+        |ORDER BY '<'||s||'> <'||p||'>' LIMIT 30""".stripMargin,
     "rdf_export_turtle" ->
       """SELECT '@prefix ns0: <:> .' AS line
         |UNION ALL SELECT '@prefix ns1: <rdf:> .'
