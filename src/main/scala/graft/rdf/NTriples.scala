@@ -30,17 +30,21 @@ object NTriples {
         replace(acc, lit(from), lit(to))
       }
 
-  /** Inverse of esc. Simple escapes only (matches what esc emits;
-    * the corner case of a literal backslash before 'n' needs a
-    * sequential scanner — see Turtle.unescapeLit — and is accepted
-    * here in exchange for staying fully codegen'd).
+  /** Exact inverse of esc, still pure column expressions: split on
+    * the two-backslash token first, decode the single-char escapes
+    * inside each segment (where any remaining backslash can only
+    * start \n \r \t \"), and rejoin with a literal backslash — this
+    * avoids the classic chained-replace ambiguity where an escaped
+    * backslash followed by 'n' would decode as a newline.
     */
-  private def unesc(c: Column): Column =
-    Seq("\\n" -> "\n", "\\r" -> "\r", "\\t" -> "\t",
-      "\\\"" -> "\"", "\\\\" -> "\\")
-      .foldLeft(c) { case (acc, (from, to)) =>
-        replace(acc, lit(from), lit(to))
-      }
+  private def unesc(c: Column): Column = {
+    def seg(s: Column): Column =
+      Seq("\\n" -> "\n", "\\r" -> "\r", "\\t" -> "\t", "\\\"" -> "\"")
+        .foldLeft(s) { case (acc, (from, to)) =>
+          replace(acc, lit(from), lit(to))
+        }
+    array_join(transform(split(c, "\\\\\\\\", -1), seg(_)), "\\")
+  }
 
   /** Triple relation → DataFrame("line": one N-Triples line each). */
   def format(triples: DataFrame): DataFrame = {
