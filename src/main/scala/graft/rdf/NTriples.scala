@@ -113,4 +113,12 @@ object NTriples {
   /** Read N-Triples text files back into the triple relation. */
   def read(spark: SparkSession, path: String): DataFrame =
     parse(spark.read.text(path).withColumnRenamed("value", "line"))
+
+  /** Streaming ingest (the reference's streamRDF): parse is stateless
+    * column expressions, so the same transform runs unchanged under
+    * Structured Streaming — new files landing in `path` become new
+    * triples incrementally.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame =
+    parse(spark.readStream.text(path).withColumnRenamed("value", "line"))
 }

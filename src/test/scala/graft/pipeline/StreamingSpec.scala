@@ -38,6 +38,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.size == 4)
   }
 
+  test("N-Triples parse runs unchanged under Structured Streaming") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = graft.rdf.NTriples.parse(stream.toDF().toDF("line"))
+      .writeStream.format("memory").queryName("nt_stream_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        "<s:1> <:name> \"ann\" .",
+        "<s:1> <:age> \"30\"^^<http://www.w3.org/2001/XMLSchema#double> .",
+        "<s:1> <:knows> <s:2> ."))
+      q.processAllAvailable()
+      stream.addData(Seq("<s:2> <:name> \"bob\"@en ."))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("nt_stream_test")
+    assert(rows.count() == 4)
+    assert(rows.filter($"o_is_iri").count() == 1)
+    assert(rows.filter($"o_num" === 30.0).count() == 1)
+    assert(rows.filter($"lang" === "en").count() == 1)
+  }
+
   test("sessionizeStreaming closes sessions on gap and emits via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
