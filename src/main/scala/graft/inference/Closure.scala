@@ -38,6 +38,29 @@ object Closure {
     cur
   }
 
+  /** Nodes reachable in one or more hops from a constant source —
+    * frontier-seeded BFS, so a bound-endpoint path query touches the
+    * frontier's neighborhood instead of materializing the whole
+    * graph's closure. One column, "sup".
+    */
+  def reachableFrom(edges: DataFrame, src: String): DataFrame = {
+    var reached = edges.filter(col("sub") === src)
+      .select(col("sup")).distinct().localCheckpoint()
+    var frontier = reached
+    var done = reached.isEmpty
+    while (!done) {
+      val next = frontier.join(edges, frontier("sup") === edges("sub"))
+        .select(edges("sup")).distinct()
+        .except(reached).localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        reached = reached.union(next).distinct().localCheckpoint()
+        frontier = next
+      }
+    }
+    reached
+  }
+
   /** Reflexive-transitive sub-closure seeded at `top`: `top` itself
     * plus everything below it. One column, "c".
     */

@@ -52,10 +52,14 @@ object Compiler {
     }
     // same-var-twice patterns (?x :p ?x, ?x ?x ?o, …) constrain within
     // the row; all three pairwise combinations, each var emitted once.
+    // Pairs involving the object also require o_is_iri — a literal
+    // whose lexical form coincides with the subject IRI is a
+    // different RDF term and must not match.
     Seq((tp.s, tp.p, "s", "p"), (tp.s, tp.o, "s", "o"), (tp.p, tp.o, "p", "o"))
       .foreach {
         case (Var(a), Var(b), ca, cb) if a == b =>
-          df = df.filter(col(ca) === col(cb))
+          val base = col(ca) === col(cb)
+          df = df.filter(if (cb == "o") base && col("o_is_iri") else base)
         case _ => ()
       }
     val seen = scala.collection.mutable.Set.empty[String]
@@ -123,25 +127,44 @@ object Compiler {
     }
   }
 
+  /** Zero-column single-row relation — the unit of joins, and the
+    * value of an empty group pattern.
+    */
+  private def unitTable(triples: DataFrame): DataFrame =
+    triples.sparkSession.range(1).toDF().select()
+
   private def compileBgp(triples: DataFrame, ps: Seq[TriplePattern]): DataFrame =
-    orderPatterns(ps).map(patternDf(triples, _)).reduceLeft(joinOnVars(_, _))
+    if (ps.isEmpty) unitTable(triples)
+    else orderPatterns(ps).map(patternDf(triples, _)).reduceLeft(joinOnVars(_, _))
 
   /** Scalar filter → Column predicate (numeric when the literal and
     * the binding are numeric, lexical otherwise).
     */
   private def exprColumn(df: DataFrame, e: Expr): Column = e match {
     case Cmp(op, v, value) =>
-      val useNum = value.num.isDefined && df.columns.contains(numCol(v.name))
-      val (c, l) =
-        if (useNum) (col(numCol(v.name)), lit(value.num.get))
-        else (col(v.name), lit(value.lexical))
-      op match {
-        case Eq => c === l
-        case Ne => c =!= l
-        case Lt => c < l
-        case Le => c <= l
-        case Gt => c > l
-        case Ge => c >= l
+      val hasNum = df.columns.contains(numCol(v.name))
+      // ordering comparison of a numeric literal against a binding
+      // that can never be numeric (subject/predicate/path position):
+      // SPARQL raises a type error, which a FILTER treats as false —
+      // a lexicographic fallback would silently pass IRI strings
+      val orderingOp = op match {
+        case Lt | Le | Gt | Ge => true
+        case _ => false
+      }
+      if (value.num.isDefined && !hasNum && orderingOp) lit(false)
+      else {
+        val useNum = value.num.isDefined && hasNum
+        val (c, l) =
+          if (useNum) (col(numCol(v.name)), lit(value.num.get))
+          else (col(v.name), lit(value.lexical))
+        op match {
+          case Eq => c === l
+          case Ne => c =!= l
+          case Lt => c < l
+          case Le => c <= l
+          case Gt => c > l
+          case Ge => c >= l
+        }
       }
     case And(a, b) => exprColumn(df, a) && exprColumn(df, b)
     case Or(a, b) => exprColumn(df, a) || exprColumn(df, b)
@@ -177,14 +200,21 @@ object Compiler {
     case Join(l, r) =>
       joinOnVars(compilePattern(triples, l), compilePattern(triples, r))
     case PathPlus(s, preds, o) =>
-      // one-or-more hops: transitive closure of the predicate slice
-      // (log-diameter rounds of path doubling; see inference.Closure)
+      // one-or-more hops over the predicate slice. A constant endpoint
+      // seeds a frontier BFS (touches only the reachable neighborhood);
+      // only the var-var form pays for the full transitive closure
+      // (log-diameter rounds of path doubling; see inference.Closure).
       val edges = triples.filter(col("p").isin(preds: _*))
         .select(col("s").as("sub"), col("o").as("sup"))
-      var df = graft.inference.Closure.transitive(edges)
-      s match {
-        case Iri(value) => df = df.filter(col("sub") === value)
-        case _ => ()
+      var df = (s, o) match {
+        case (Iri(sv), _) =>
+          graft.inference.Closure.reachableFrom(edges, sv)
+            .select(lit(sv).as("sub"), col("sup"))
+        case (_, Iri(ov)) =>
+          val flipped = edges.select(col("sup").as("sub"), col("sub").as("sup"))
+          graft.inference.Closure.reachableFrom(flipped, ov)
+            .select(col("sup").as("sub"), lit(ov).as("sup"))
+        case _ => graft.inference.Closure.transitive(edges)
       }
       o match {
         case Iri(value) => df = df.filter(col("sup") === value)
@@ -219,13 +249,15 @@ object Compiler {
             s"$what over ?$name: variable has no numeric binding")
           col(numCol(name))
         }
+        def varOf(what: String): Var = v.getOrElse(
+          throw new IllegalArgumentException(s"$what(*) is not supported — name a variable"))
         val c = op match {
           case Count => v.map(vr => count(col(vr.name))).getOrElse(count(lit(1)))
-          case CountDistinct => countDistinct(col(v.get.name))
-          case Max => max(numOrLex(v.get.name))
-          case Min => min(numOrLex(v.get.name))
-          case Sum => sum(numOnly(v.get.name, "SUM"))
-          case Avg => avg(numOnly(v.get.name, "AVG"))
+          case CountDistinct => countDistinct(col(varOf("COUNT(DISTINCT").name))
+          case Max => max(numOrLex(varOf("MAX").name))
+          case Min => min(numOrLex(varOf("MIN").name))
+          case Sum => sum(numOnly(varOf("SUM").name, "SUM"))
+          case Avg => avg(numOnly(varOf("AVG").name, "AVG"))
         }
         c.as(alias)
       }

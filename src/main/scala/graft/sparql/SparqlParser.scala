@@ -24,11 +24,15 @@ object SparqlParser extends RegexParsers {
     """<[^<>\s]*>""".r ^^ (s => Iri(s.substring(1, s.length - 1)))
   private def pname: Parser[Iri] =
     """[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z_][A-Za-z0-9_.-]*|:[A-Za-z_][A-Za-z0-9_.-]*""".r ^^ Iri.apply
-  private def rdfTypeKw: Parser[Iri] = "a\\b".r ^^^ Iri("rdf:type")
+  // negative lookahead: `a:knows` is a prefixed name, not the keyword
+  private def rdfTypeKw: Parser[Iri] = """a(?![\w:])""".r ^^^ Iri("rdf:type")
+  // DECIMAL needs digits after the dot, so `5.` lexes as 5 + terminator
   private def numLit: Parser[Lit] =
-    """[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?""".r ^^ (s => Lit(s, Some(s.toDouble)))
+    """[+-]?(\d+\.\d+|\.\d+|\d+)([eE][+-]?\d+)?""".r ^^ (s => Lit(s, Some(s.toDouble)))
+  // one token including the quotes — tokenizing the body separately
+  // would let whitespace/comment skipping mangle literal content
   private def strLit: Parser[Lit] =
-    "\"" ~> """[^"\\]*""".r <~ "\"" ^^ (s => Lit(s, None))
+    """"[^"\\]*"""".r ^^ (s => Lit(s.substring(1, s.length - 1), None))
 
   private def term: Parser[Term] =
     varTerm | iriRef | rdfTypeKw | pname | numLit | strLit
@@ -119,20 +123,22 @@ object SparqlParser extends RegexParsers {
   private case class VarSel(name: String) extends Selector
   private case class AggSel(agg: Agg) extends Selector
 
-  private def aggOp: Parser[(Boolean, AggOp)] =
-    "(?i)COUNT".r ^^^ (false, Count) | "(?i)SUM".r ^^^ (false, Sum) |
-    "(?i)AVG".r ^^^ (false, Avg) | "(?i)MAX".r ^^^ (false, Max) |
-    "(?i)MIN".r ^^^ (false, Min)
+  private def aggOp: Parser[AggOp] =
+    "(?i)COUNT".r ^^^ Count | "(?i)SUM".r ^^^ Sum |
+    "(?i)AVG".r ^^^ Avg | "(?i)MAX".r ^^^ Max | "(?i)MIN".r ^^^ Min
 
   private def aggSel: Parser[Selector] =
     "(" ~> aggOp ~ ("(" ~> opt("(?i)DISTINCT".r) ~ (varTerm ^^ Some.apply | "*" ^^^ None) <~ ")") ~
-      ("(?i)AS".r ~> varTerm) <~ ")" ^^ {
-      case (_, op) ~ (dist ~ v) ~ alias =>
+      ("(?i)AS".r ~> varTerm) <~ ")" >> {
+      case op ~ (dist ~ v) ~ alias =>
         val realOp = (op, dist.isDefined) match {
           case (Count, true) => CountDistinct
           case (o, _) => o
         }
-        AggSel(Agg(realOp, v, alias.name))
+        // only plain COUNT takes '*'
+        if (v.isEmpty && realOp != Count)
+          failure(s"$realOp(*) is not supported — name a variable")
+        else success(AggSel(Agg(realOp, v, alias.name)))
     }
 
   private def selector: Parser[Selector] = aggSel | (varTerm ^^ (v => VarSel(v.name)))
@@ -147,9 +153,12 @@ object SparqlParser extends RegexParsers {
       ("(?i)WHERE".r ~> groupGraphPattern) ~
       opt("(?i)GROUP\\s+BY".r ~> rep1(varTerm)) ~
       opt("(?i)ORDER\\s+BY".r ~> rep1(orderCond)) ~
-      opt("(?i)LIMIT".r ~> """\d+""".r ^^ (_.toLong)) ~
-      opt("(?i)OFFSET".r ~> """\d+""".r ^^ (_.toLong)) ^^ {
-      case dist ~ sels ~ where ~ group ~ order ~ limit ~ offset =>
+      // LIMIT/OFFSET in either order, per the SPARQL grammar
+      rep(("(?i)LIMIT".r ~> """\d+""".r ^^ (n => ("limit", n.toLong))) |
+          ("(?i)OFFSET".r ~> """\d+""".r ^^ (n => ("offset", n.toLong)))) ^^ {
+      case dist ~ sels ~ where ~ group ~ order ~ slices =>
+        val limit = slices.collectFirst { case ("limit", n) => n }
+        val offset = slices.collectFirst { case ("offset", n) => n }
         val selectors = sels.getOrElse(Seq.empty)
         SelectQuery(
           where = where,

@@ -83,6 +83,35 @@ class CompilerSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq == Seq("p:9"))
   }
 
+  test("empty group patterns evaluate as the unit table") {
+    // OPTIONAL hanging off an empty group: right side drives the rows
+    val q = SelectQuery(
+      where = LeftJoin(Bgp(Seq.empty), Bgp(Seq(tp(v("x"), ":name", v("n"))))),
+      projection = Seq("x", "n"))
+    assert(Compiler.run(triples, q).count() == 2)
+  }
+
+  test("ordering filter on a never-numeric binding is a type error (false)") {
+    // ?x is subject-bound (IRI): FILTER(?x > 5) must drop all rows,
+    // not pass IRIs by lexicographic comparison
+    val q = SelectQuery(
+      where = Filter(Seq(Cmp(Gt, v("x"), Lit("5", Some(5.0)))),
+        Bgp(Seq(tp(v("x"), ":name", v("n"))))),
+      projection = Seq("x"))
+    assert(Compiler.run(triples, q).count() == 0)
+  }
+
+  test("same-var object match requires an IRI, not a lexical twin") {
+    val twin = Seq(
+      ("p:7", ":alias", "p:7", Option.empty[Double], false, Option.empty[String]),
+      ("p:8", ":alias", "p:8", Option.empty[Double], true, Option.empty[String]))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val q = SelectQuery(
+      where = Bgp(Seq(tp(v("x"), ":alias", v("x")))),
+      projection = Seq("x"))
+    assert(Compiler.run(twin, q).collect().map(_.getString(0)).toSeq == Seq("p:8"))
+  }
+
   test("SUM/AVG/MIN aggregate over the numeric companion") {
     val q = SelectQuery(
       where = Bgp(Seq(tp(v("x"), ":age", v("a")))),

@@ -49,6 +49,37 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(preds == Seq(":hasNation", ":inRegion"))
   }
 
+  test("string literals keep leading whitespace and '#'") {
+    val q = SparqlParser.parse(
+      """SELECT ?x WHERE { ?x :name ?n . FILTER(?n = " # BUILDING") }""")
+    val Filter(Seq(Cmp(Eq, _, lit)), _) = q.where: @unchecked
+    assert(lit == Lit(" # BUILDING", None))
+  }
+
+  test("OFFSET before LIMIT parses (either order is legal)") {
+    val q = SparqlParser.parse(
+      "SELECT ?x WHERE { ?x a :Customer } OFFSET 5 LIMIT 10")
+    assert(q.offset == 5L && q.limit == 10L)
+  }
+
+  test("integer followed by statement dot does not swallow the terminator") {
+    val q = SparqlParser.parse("SELECT ?x WHERE { ?x :size 5. ?x :name ?n . }")
+    val Bgp(ps) = q.where: @unchecked
+    assert(ps.size == 2 && ps.head.o == Lit("5", Some(5.0)))
+  }
+
+  test("'a' with an 'a:' prefix is a prefixed name, not rdf:type") {
+    val q = SparqlParser.parse("SELECT ?s WHERE { ?s a:knows ?o . }")
+    val Bgp(Seq(tp)) = q.where: @unchecked
+    assert(tp.p == Iri("a:knows"))
+  }
+
+  test("MAX(*) is rejected with a clear message") {
+    val e = intercept[IllegalArgumentException](SparqlParser.parse(
+      "SELECT (MAX(*) AS ?m) WHERE { ?s ?p ?o }"))
+    assert(e.getMessage.contains("parse error"))
+  }
+
   test("rejects malformed input with a position") {
     val e = intercept[IllegalArgumentException](
       SparqlParser.parse("SELECT ?x WHERE { ?x :p }"))
