@@ -30,20 +30,26 @@ object NTriples {
         replace(acc, lit(from), lit(to))
       }
 
-  /** Exact inverse of esc, still pure column expressions: split on
-    * the two-backslash token first, decode the single-char escapes
-    * inside each segment (where any remaining backslash can only
-    * start \n \r \t \"), and rejoin with a literal backslash — this
-    * avoids the classic chained-replace ambiguity where an escaped
-    * backslash followed by 'n' would decode as a newline.
+  /** Inverse of esc. The escape set of an N-Triples literal is a
+    * subset of JSON's string escapes (\\ \" \n \r \t \uXXXX), so the
+    * fast path delegates decoding — including Unicode escapes — to
+    * the JSON parser. Input that is not JSON-decodable (e.g. a lone
+    * \' or an 8-digit \U escape) falls back to a split-on-double-
+    * backslash decode of the simple escapes, which is exact for what
+    * `esc` emits (splitting first avoids the chained-replace
+    * ambiguity where an escaped backslash before 'n' would decode as
+    * a newline).
     */
   private def unesc(c: Column): Column = {
+    val viaJson = get_json_object(
+      concat(lit("{\"v\":\""), c, lit("\"}")), "$.v")
     def seg(s: Column): Column =
       Seq("\\n" -> "\n", "\\r" -> "\r", "\\t" -> "\t", "\\\"" -> "\"")
         .foldLeft(s) { case (acc, (from, to)) =>
           replace(acc, lit(from), lit(to))
         }
-    array_join(transform(split(c, "\\\\\\\\", -1), seg(_)), "\\")
+    coalesce(viaJson,
+      array_join(transform(split(c, "\\\\\\\\", -1), seg(_)), "\\"))
   }
 
   /** Triple relation → DataFrame("line": one N-Triples line each). */
@@ -63,10 +69,10 @@ object NTriples {
     * '#' comments and lines without the `<..> <..> obj .` shape are
     * dropped.
     *
-    * Canonical single-space N-Triples (what `format` and virtually
-    * every writer emit) is assumed, so terms slice out with substring
-    * arithmetic — one pass, no regex in the per-line hot path ('>' is
-    * forbidden inside IRIs, so the bracket positions are unambiguous).
+    * Terms slice out with substring arithmetic ('>' is forbidden
+    * inside IRIs, so bracket positions are unambiguous); the grammar's
+    * one-or-more spaces/tabs between terms are trimmed before each
+    * slice, so pretty-printed files parse correctly too.
     */
   def parse(lines: DataFrame): DataFrame = {
     val l = trim(col("line"))
@@ -74,16 +80,17 @@ object NTriples {
       .select(l.as("line"))
       .filter(col("line").startsWith("<") && col("line").endsWith("."))
       .select(
-        // '<s> <p> obj .': s from the first bracket pair, then p
-        // positionally (its first char sits at len(s)+5)
         substring_index(substring_index(col("line"), ">", 1), "<", -1).as("s"),
         col("line"))
-      .withColumn("p", substring_index(
-        col("line").substr(length(col("s")) + lit(5), length(col("line"))),
-        ">", 1))
-      .withColumn("obj", rtrim(
-        col("line").substr(length(col("s")) + length(col("p")) + lit(7),
-          length(col("line"))), " ."))
+      .withColumn("rest", regexp_replace(
+        col("line").substr(length(col("s")) + lit(3), length(col("line"))),
+        "^[ \\t]+", ""))
+      .filter(col("rest").startsWith("<"))
+      .withColumn("p",
+        substring_index(substring_index(col("rest"), ">", 1), "<", -1))
+      .withColumn("obj", rtrim(regexp_replace(
+        col("rest").substr(length(col("p")) + lit(3), length(col("rest"))),
+        "^[ \\t]+", ""), " ."))
       .filter(col("s") =!= "" && col("p") =!= "" && col("obj") =!= "")
       .select(col("s"), col("p"), col("obj"))
     // '"lex"', '"lex"@lang', '"lex"^^<dt>' or '<iri>' — escaped quotes

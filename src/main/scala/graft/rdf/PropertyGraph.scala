@@ -29,7 +29,12 @@ object PropertyGraph {
     val props = triples
       .filter(!col("o_is_iri"))
       .groupBy(col("s"), col("p"))
-      .agg(min(col("o")).as("lex"), min(col("o_num")).as("num"))
+      // struct-min keeps (lex, num) from ONE source triple — separate
+      // mins could pair the lexical of one value with the numeric of
+      // another on multi-valued properties
+      .agg(min(struct(col("o"), col("o_num"))).as("m"))
+      .select(col("s"), col("p"),
+        col("m.o").as("lex"), col("m.o_num").as("num"))
       .groupBy(col("s"))
       .agg(
         map_from_entries(array_sort(collect_list(

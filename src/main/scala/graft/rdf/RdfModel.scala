@@ -133,12 +133,4 @@ object RdfModel {
       litT(ln, ":shipdate", col("l_shipdate")))))
   }
 
-  /** Small dimension-only slice (customer/nation/region/supplier/part/
-    * orders, no lineitem) for operators whose oracle would otherwise
-    * need the full fact table.
-    */
-  def dimensionTriples(spark: SparkSession, sfDir: String): DataFrame = {
-    val all = tpchTriples(spark, sfDir)
-    all.filter(!col("s").startsWith("line:"))
-  }
 }

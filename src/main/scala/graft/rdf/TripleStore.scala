@@ -17,12 +17,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object TripleStore {
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  // weak keys: entries die with their session, so a long-lived
+  // process creating many sessions neither leaks plans nor serves a
+  // cached DataFrame bound to a stopped session
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def sessionCache(spark: SparkSession) = cache.synchronized {
+    cache.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+  }
 
   def triples(spark: SparkSession, sfDir: String): DataFrame =
-    cache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir),
+    sessionCache(spark).getOrElseUpdate(sfDir,
       // repartition before persist: the source scans yield few
       // partitions at local test sizes, which would starve every
       // cached-side consumer of parallelism; one build-time shuffle

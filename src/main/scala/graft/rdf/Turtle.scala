@@ -109,9 +109,13 @@ object Turtle {
         }
         require(closed && j < n, s"unclosed literal in: $line")
         var end = j + 1
-        // attach @lang or ^^<dt> suffix to the literal token
+        // attach @lang or ^^<dt> suffix to the literal token; the lang
+        // tag is [A-Za-z0-9-]+ so a directly-attached '.' or ';'
+        // terminator is NOT swallowed
         if (end < n && line.charAt(end) == '@') {
-          while (end < n && !line.charAt(end).isWhitespace) end += 1
+          end += 1
+          while (end < n && (line.charAt(end).isLetterOrDigit ||
+            line.charAt(end) == '-')) end += 1
         } else if (end + 1 < n && line.charAt(end) == '^' && line.charAt(end + 1) == '^') {
           val dtEnd = line.indexOf('>', end)
           require(dtEnd >= 0, s"unclosed datatype in: $line")
@@ -173,9 +177,11 @@ object Turtle {
         val lex = unescapeLit(oTok.substring(1, lexEnd))
         val suffix = oTok.substring(lexEnd + 1)
         val lang = if (suffix.startsWith("@")) Some(suffix.tail) else None
+        // exact datatype match; a malformed numeric lexical degrades
+        // to a plain literal instead of aborting the whole job
         val num =
-          if (suffix.startsWith("^^<") && suffix.contains(XSD_DOUBLE))
-            Some(lex.toDouble)
+          if (suffix == s"^^<$XSD_DOUBLE>")
+            scala.util.Try(lex.toDouble).toOption
           else None
         ParsedTriple(subject, p, lex, num, o_is_iri = false, lang)
       } else ParsedTriple(subject, p, resolveIri(oTok), None,

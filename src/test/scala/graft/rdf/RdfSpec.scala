@@ -33,6 +33,42 @@ class RdfSpec extends AnyFunSuite {
     assert(NTriples.read(spark, dir).count() == 5)
   }
 
+  test("N-Triples parse handles multi-space separators and unicode escapes") {
+    val lines = Seq(
+      "<s:1>  <:p>\t<s:2> .",                 // grammar allows 1+ spaces/tabs
+      "<s:1> <:q> \"caf\\u00E9\" .",          // \uXXXX numeric escape
+      "<s:1> <:r> \"plain\"  .").toDF("line")
+    val got = NTriples.parse(lines).orderBy("p").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(2) == "s:2" && got(0).getBoolean(4))
+    assert(got(1).getString(2) == "café")
+    assert(got(2).getString(2) == "plain")
+  }
+
+  test("Turtle tolerates attached terminators and malformed doubles") {
+    val lines = Seq(
+      "@prefix n: <nat:> .",
+      "n:1 n:p \"x\"@en.",                    // no space before '.'
+      "n:2 n:q \"zz\"^^<http://www.w3.org/2001/XMLSchema#double> .")
+      .toDF("line")
+    val got = Turtle.parse(SharedSpark.spark, lines).orderBy("s").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(5) == "en")
+    assert(got(1).isNullAt(3) && got(1).getString(2) == "zz") // degraded literal
+  }
+
+  test("multi-valued numeric props keep (lex, num) from one triple") {
+    val t = Seq(
+      ("n:1", ":x", "9", Some(9.0), false, Option.empty[String]),
+      ("n:1", ":x", "10", Some(10.0), false, Option.empty[String]))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val n = PropertyGraph.nodes(t).head()
+    val lex = n.getMap[String, String](2)(":x")
+    val num = n.getMap[String, Double](3)(":x")
+    // "10" < "9" lexicographically, and its numeric twin must be 10.0
+    assert(lex == "10" && num == 10.0)
+  }
+
   test("Turtle round-trips via prefix table") {
     val back = Turtle.parse(spark, Turtle.format(nasty))
     assert(back.count() == 5)
