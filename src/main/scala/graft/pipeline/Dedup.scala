@@ -29,8 +29,14 @@ object Dedup {
     p
   }
 
-  /** Unpersist every tracked intermediate (blocking=false). */
-  def releaseCaches(): Unit = {
+  /** Unpersist every tracked intermediate (blocking=false). Callers
+    * must not run this while another query on the same process is
+    * mid-flight — the registry is process-global, so it would evict
+    * that query's still-needed caches (they recompute, correctly but
+    * slowly). Iteration holds the list's own lock, as
+    * Collections.synchronizedList requires.
+    */
+  def releaseCaches(): Unit = persistedIntermediates.synchronized {
     val it = persistedIntermediates.iterator()
     while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
   }

@@ -27,9 +27,8 @@ object Events {
     windowAgg(events.withWatermark("ts", "2 hours"))
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
-  final case class SessionState(session_id: Long, start_us: Long,
-                                last_us: Long, n_events: Long)
-  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+  final case class SessionState(start_us: Long, last_us: Long, n_events: Long)
+  final case class SessionOut(user_id: Long, n_events: Long,
                               start_ts: java.sql.Timestamp,
                               end_ts: java.sql.Timestamp)
 
@@ -38,6 +37,14 @@ object Events {
     * event arrives after the idle gap, or when the event-time
     * watermark passes the gap (state timeout) — the watermark is what
     * bounds state at scale.
+    *
+    * A session's identity is (user_id, start_ts) — stable under
+    * restarts and timeouts, unlike an ordinal counter, which would
+    * reset when the timeout removes state. Out-of-order events inside
+    * the watermark extend the open session's bounds; a late event
+    * more than a gap BEFORE the open session emits immediately as its
+    * own session (best effort — exact late-data sessionization would
+    * require buffering the raw events in state).
     */
   def sessionizeStreaming(events: DataFrame, gapMinutes: Int = 30,
                           watermark: String = "1 hour"): Dataset[SessionOut] = {
@@ -47,7 +54,7 @@ object Events {
     def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
     def toTs(u: Long): java.sql.Timestamp = new java.sql.Timestamp(u / 1000L)
     def emit(uid: Long, st: SessionState): SessionOut =
-      SessionOut(uid, st.session_id, st.n_events, toTs(st.start_us), toTs(st.last_us))
+      SessionOut(uid, st.n_events, toTs(st.start_us), toTs(st.last_us))
 
     events.selectExpr("user_id", "ts")
       .withWatermark("ts", watermark)
@@ -66,12 +73,16 @@ object Events {
               val t = us(e.ts)
               st match {
                 case null =>
-                  st = SessionState(1L, t, t, 1L)
-                case s if t - s.last_us > gapUs =>
+                  st = SessionState(t, t, 1L)
+                case s if t > s.last_us + gapUs =>
                   out += emit(uid, s)
-                  st = SessionState(s.session_id + 1L, t, t, 1L)
+                  st = SessionState(t, t, 1L)
+                case s if t < s.start_us - gapUs =>
+                  // late lone event well before the open session
+                  out += emit(uid, SessionState(t, t, 1L))
                 case s =>
-                  st = s.copy(last_us = math.max(s.last_us, t),
+                  st = s.copy(start_us = math.min(s.start_us, t),
+                    last_us = math.max(s.last_us, t),
                     n_events = s.n_events + 1L)
               }
             }

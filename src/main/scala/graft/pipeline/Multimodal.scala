@@ -29,8 +29,11 @@ object Multimodal {
     docs.select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),
-      lit("application/octet-stream").as("mime"),
-      length(col("text")).as("byte_len"))
+      lit("application/octet-stream").as("mime"))
+      // length over the binary column = UTF-8 octets, which is what
+      // the decoded Features.byte_len reports too (char count would
+      // silently diverge on non-ASCII text)
+      .withColumn("byte_len", length(col("payload")))
 
   /** The fake codec: deterministic features from raw bytes. A real
     * build swaps this body for the native decoder call; the batch
@@ -39,8 +42,9 @@ object Multimodal {
     */
   private def decodeStub(p: Payload): Features = {
     val len = p.payload.length
-    val first = p.payload.head & 0xff
-    val last = p.payload.last & 0xff
+    // empty payloads decode to zero features instead of crashing the task
+    val first = if (len == 0) 0 else p.payload.head & 0xff
+    val last = if (len == 0) 0 else p.payload.last & 0xff
     val checksum = 31L * len + first + last
     Features(p.doc_id, len, first, last, checksum,
       width = (checksum % 640L).toInt, height = (checksum % 480L).toInt)

@@ -83,9 +83,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
 
     val got = spark.table("sess_test")
-      .select("user_id", "session_id", "n_events", "start_ts", "end_ts")
-      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .select("user_id", "n_events", "start_ts", "end_ts")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
       .collect().toSet
-    assert(got == Set((1L, 1L, 2L, ts(0), ts(10))))
+    assert(got == Set((1L, 2L, ts(0), ts(10))))
+  }
+
+  test("sessionizeStreaming: out-of-order events extend the open session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Events.sessionizeStreaming(
+        stream.toDF().toDF("user_id", "ts"), gapMinutes = 30,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("sess_ooo_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((7L, ts(60))))
+      q.processAllAvailable()
+      // late but mergeable: must lower start_ts, not be swallowed
+      stream.addData(Seq((7L, ts(40))))
+      q.processAllAvailable()
+      // close the session via gap
+      stream.addData(Seq((7L, ts(200))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_ooo_test")
+      .select("user_id", "n_events", "start_ts", "end_ts")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    assert(got == Set((7L, 2L, ts(40), ts(60))))
   }
 }
