@@ -32,19 +32,28 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       }
-    val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    names.foreach { name =>
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          timings(name) = -1.0
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      } finally graft.pipeline.Dedup.releaseCaches()
+    SparkEntry.benchQueries.foreach { name =>
+      if (!SparkEntry.queries.contains(name)) {
+        // a renamed/unregistered headline query must not silently
+        // shrink the benchmark
+        timings(name) = -1.0
+        errors(name) = "not in SparkEntry.queries"
+      } else {
+        val t0 = System.nanoTime()
+        try {
+          // noop sink materializes every output column — count() would
+          // let Catalyst prune away the very expressions under test
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          timings(name) = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            timings(name) = -1.0
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        } finally graft.pipeline.Dedup.releaseCaches()
+      }
     }
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")

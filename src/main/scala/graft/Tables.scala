@@ -28,6 +28,10 @@ object Tables {
     * read as a timestamp; read nanos as long and truncate to micros
     * (integer division — a double division would lose precision at
     * 1e18 nanos). DuckDB's reader truncates to micros the same way.
+    *
+    * Deliberately session-wide: the legacy flag is consulted again at
+    * scan execution, so restoring it after load() would break the
+    * deferred read. The only nanos table in this schema is events.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -31,17 +31,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // Semantics: null for length-mismatched vectors or null elements
+  // (a truncated or zero-filled score would be a plausible-looking
+  // wrong number); 0.0 for a zero-norm vector (NaN would sort ABOVE
+  // every real similarity in a descending top-k).
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / math.sqrt(na) / math.sqrt(nb)
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / math.sqrt(na) / math.sqrt(nb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -52,14 +61,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xv = $a.getDouble($i);
-         |  double yv = $b.getDouble($i);
-         |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double xv = $a.getDouble($i);
+         |    double yv = $b.getDouble($i);
+         |    $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |      : $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+         |  }
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
        """.stripMargin
     })
 
@@ -79,5 +95,9 @@ object CosineSimilarity {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"cosine_sim expects exactly 2 arguments, got ${children.size}")
+        CosineSimilarity(children.head, children(1))
+      })
 }

@@ -29,13 +29,20 @@ object Analytics {
       .select(xxhash64(col("uri")).as("id"), col("uri"))
     val dir = edges.select(xxhash64(col("src")).as("sid"), xxhash64(col("dst")).as("did"))
     val e = if (undirected) dir.unionAll(dir.select(col("did").as("sid"), col("sid").as("did"))) else dir
+    // persist before the sizing count — the count and the graph build
+    // would otherwise each run the full edge derivation; repartition
+    // (not coalesce) when growing, since coalesce can only shrink
+    val edgeRdd0 = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nParts = math.max(4, math.min(
       spark.sparkContext.defaultParallelism,
-      (e.count() / 500000L).toInt + 1))
-    val vertRdd = verts.rdd.map(r => (r.getLong(0), r.getString(1)))
-      .coalesce(nParts)
-    val edgeRdd = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-      .coalesce(nParts)
+      (edgeRdd0.count() / 500000L).toInt + 1))
+    def resize[T: scala.reflect.ClassTag](r: org.apache.spark.rdd.RDD[T]) =
+      if (nParts < r.getNumPartitions) r.coalesce(nParts)
+      else if (nParts > r.getNumPartitions) r.repartition(nParts)
+      else r
+    val vertRdd = resize(verts.rdd.map(r => (r.getLong(0), r.getString(1))))
+    val edgeRdd = resize(edgeRdd0)
     (verts, Graph(vertRdd, edgeRdd))
   }
 
@@ -70,16 +77,20 @@ object Analytics {
         greatest(col("sid"), col("did")).as("did"))
       .filter(col("sid") =!= col("did"))
       .distinct()
+    val canonRdd = canon.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nParts = math.max(4, math.min(
       spark.sparkContext.defaultParallelism,
-      (canon.count() / 500000L).toInt + 1))
-    val g = Graph.fromEdgeTuples(
-      canon.rdd.map(r => (r.getLong(0), r.getLong(1))).coalesce(nParts), 1)
+      (canonRdd.count() / 500000L).toInt + 1))
+    val sized =
+      if (nParts < canonRdd.getNumPartitions) canonRdd.coalesce(nParts)
+      else canonRdd
+    val g = Graph.fromEdgeTuples(sized, 1)
       .partitionBy(PartitionStrategy.RandomVertexCut)
     val perVertex = g.triangleCount().vertices.map(_._2.toLong)
-    val total = spark.createDataFrame(perVertex.map(Tuple1.apply)).toDF("t")
-      .agg((sum(col("t")) / 3).cast("long").as("triangles"))
-    total
+    spark.createDataFrame(perVertex.map(Tuple1.apply)).toDF("t")
+      // empty graph => sum is NULL; the count of triangles is 0
+      .agg(coalesce((sum(col("t")) / 3).cast("long"), lit(0L)).as("triangles"))
   }
 
   /** Static PageRank, fixed iteration count. */
