@@ -136,9 +136,12 @@ object RdfQueries {
         |       (SELECT count(*) FROM customer)+(SELECT count(*) FROM supplier) AS cnt
         |UNION ALL SELECT ':inRegion', (SELECT count(*) FROM nation)
         |UNION ALL SELECT ':byCustomer', (SELECT count(*) FROM orders)
-        |UNION ALL SELECT ':ofOrder', (SELECT count(*) FROM lineitem)
-        |UNION ALL SELECT ':ofPart', (SELECT count(*) FROM lineitem)
-        |UNION ALL SELECT ':bySupplier', (SELECT count(*) FROM lineitem)""".stripMargin,
+        |UNION ALL SELECT ':ofOrder', (SELECT count(DISTINCT
+        |  (l_orderkey, l_linenumber, l_partkey, l_suppkey)) FROM lineitem)
+        |UNION ALL SELECT ':ofPart', (SELECT count(DISTINCT
+        |  (l_orderkey, l_linenumber, l_partkey, l_suppkey)) FROM lineitem)
+        |UNION ALL SELECT ':bySupplier', (SELECT count(DISTINCT
+        |  (l_orderkey, l_linenumber, l_partkey, l_suppkey)) FROM lineitem)""".stripMargin,
     "rdf_uri_functions" ->
       """SELECT 'nat:'||n_nationkey AS s, CAST(n_nationkey AS VARCHAR) AS local,
         |       'nat:' AS ns FROM nation

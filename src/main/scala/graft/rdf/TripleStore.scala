@@ -30,12 +30,13 @@ object TripleStore {
 
   def triples(spark: SparkSession, sfDir: String): DataFrame =
     sessionCache(spark).getOrElseUpdate(sfDir,
-      // repartition before persist: the source scans yield few
-      // partitions at local test sizes, which would starve every
-      // cached-side consumer of parallelism; one build-time shuffle
-      // buys even partitions for all downstream queries
+      // an RDF graph is a SET of triples: duplicate source rows (they
+      // exist — sf0.001 has a duplicate lineitem quad) must not yield
+      // duplicate triples. The distinct's shuffle doubles as the
+      // repartitioning that gives every cached-side consumer even
+      // parallelism (source scans yield few partitions locally).
       RdfModel.tpchTriples(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Dimension-only slice (no lineitem facts) — a filter over the

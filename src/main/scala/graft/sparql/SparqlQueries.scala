@@ -183,7 +183,7 @@ object SparqlQueries {
       """SELECT 'cust:'||c_custkey AS c, c_name AS n, c_mktsegment AS m,
         |       c_acctbal AS b FROM customer""".stripMargin,
     "sparql_bgp_chain" ->
-      """SELECT 'line:'||l_orderkey||'_'||l_linenumber||'_'||l_partkey||'_'||l_suppkey AS l, r_name AS rn,
+      """SELECT DISTINCT 'line:'||l_orderkey||'_'||l_linenumber||'_'||l_partkey||'_'||l_suppkey AS l, r_name AS rn,
         |       l_quantity AS q
         |FROM lineitem, orders, customer, nation, region
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
