@@ -28,9 +28,12 @@ object Events {
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start_us: Long, last_us: Long, n_events: Long)
+  /** Session bounds as epoch-micros longs — bit-identical with the
+    * batch `sessionize` output (a Timestamp here would truncate to
+    * millis and let the twins disagree on micro-resolution events).
+    */
   final case class SessionOut(user_id: Long, n_events: Long,
-                              start_ts: java.sql.Timestamp,
-                              end_ts: java.sql.Timestamp)
+                              start_us: Long, end_us: Long)
 
   /** Streaming sessionization: custom per-user state via
     * flatMapGroupsWithState. A session closes (and emits) when a new
@@ -51,10 +54,10 @@ object Events {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
-    def toTs(u: Long): java.sql.Timestamp = new java.sql.Timestamp(u / 1000L)
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     def emit(uid: Long, st: SessionState): SessionOut =
-      SessionOut(uid, st.n_events, toTs(st.start_us), toTs(st.last_us))
+      SessionOut(uid, st.n_events, st.start_us, st.last_us)
 
     events.selectExpr("user_id", "ts")
       .withWatermark("ts", watermark)
@@ -98,6 +101,11 @@ object Events {
   /** Gap-based sessionization (new session after `gapMinutes` idle):
     * lag + cumulative-sum session ids, then per-session rollup.
     * One shuffle, partitioned by user — the classic scalable shape.
+    *
+    * Session bounds are epoch-microsecond BIGINTs, not timestamps:
+    * integers render identically in every engine, while timestamp
+    * stringification varies with source precision (the events parquet
+    * is TIMESTAMP_NS; DuckDB keeps nanos, Spark truncates to micros).
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -110,6 +118,7 @@ object Events {
       .withColumn("session_id", sum(col("new_sess")).over(byUser))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"))
   }
 }
