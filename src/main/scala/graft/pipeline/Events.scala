@@ -55,7 +55,7 @@ object Events {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     def us(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     def emit(uid: Long, st: SessionState): SessionOut =
       SessionOut(uid, st.n_events, st.start_us, st.last_us)
 

@@ -213,7 +213,7 @@ object PipelineQueries {
         |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
         |  FROM y)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(ts) AS start_ts, max(ts) AS end_ts
+        |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM z GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -82,11 +82,12 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
 
+    def us(t: java.sql.Timestamp) = t.getTime * 1000L
     val got = spark.table("sess_test")
-      .select("user_id", "n_events", "start_ts", "end_ts")
-      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .select("user_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)]
       .collect().toSet
-    assert(got == Set((1L, 2L, ts(0), ts(10))))
+    assert(got == Set((1L, 2L, us(ts(0)), us(ts(10)))))
   }
 
   test("sessionizeStreaming: out-of-order events extend the open session") {
@@ -110,10 +111,11 @@ class StreamingSpec extends AnyFunSuite {
       stream.addData(Seq((7L, ts(200))))
       q.processAllAvailable()
     } finally q.stop()
+    def us(t: java.sql.Timestamp) = t.getTime * 1000L
     val got = spark.table("sess_ooo_test")
-      .select("user_id", "n_events", "start_ts", "end_ts")
-      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .select("user_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)]
       .collect().toSet
-    assert(got == Set((7L, 2L, ts(40), ts(60))))
+    assert(got == Set((7L, 2L, us(ts(40)), us(ts(60)))))
   }
 }
