@@ -18,6 +18,7 @@ object SparkEntry {
     "infer_nodes_with_label",
     "graph_connected_components", "graph_pagerank",
     "dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce_topk",
+    "ann_lsh_topk", "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "text_quality_score", "events_window_agg", "events_sessionize")
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -13,6 +13,44 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Release thunks for every RDD/graph a query persisted (our edge
+    * RDDs plus the GraphX graphs, whose constructors cache their
+    * vertex/edge RDDs internally). Same caller contract as
+    * [[graft.pipeline.Dedup.releaseCaches]]: release once the
+    * returned DataFrames are consumed, never mid-flight.
+    */
+  private val released =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[() => Unit]())
+
+  private def track[T](value: T)(release: T => Unit): T = {
+    released.add(() => release(value))
+    value
+  }
+
+  /** Unpersist everything graph queries cached. Long-lived sessions
+    * call this between graph workloads so Pregel's MEMORY_AND_DISK
+    * blocks don't accumulate.
+    *
+    * After the tracked releases, sweep the context for remaining
+    * graphx-typed RDDs: GraphX algorithms cache intermediate
+    * vertex/edge RDDs they never expose (e.g. Pregel's per-iteration
+    * graphs), so a sweep is the only complete release. Only GraphX
+    * classes are swept — SQL/DataFrame caches are untouched.
+    */
+  def releaseCaches(): Unit = released.synchronized {
+    val it = released.iterator()
+    while (it.hasNext) { it.next().apply(); it.remove() }
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach { s =>
+        s.sparkContext.getPersistentRDDs.values
+          .filter(r => r.getClass.getName.startsWith("org.apache.spark.graphx") ||
+            r.name == "VertexRDD" || r.name == "EdgeRDD")
+          .foreach(_.unpersist(blocking = false))
+      }
+  }
+
   /** (vertices(id,uri), edges RDD) from a (src,dst) DataFrame.
     *
     * Pregel iterations pay a fixed per-partition cost per superstep,
@@ -32,8 +70,9 @@ object Analytics {
     // persist before the sizing count — the count and the graph build
     // would otherwise each run the full edge derivation; repartition
     // (not coalesce) when growing, since coalesce can only shrink
-    val edgeRdd0 = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgeRdd0 = track(e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))(
+      _.unpersist(blocking = false))
     val nParts = math.max(4, math.min(
       spark.sparkContext.defaultParallelism,
       (edgeRdd0.count() / 500000L).toInt + 1))
@@ -43,7 +82,7 @@ object Analytics {
       else r
     val vertRdd = resize(verts.rdd.map(r => (r.getLong(0), r.getString(1))))
     val edgeRdd = resize(edgeRdd0)
-    (verts, Graph(vertRdd, edgeRdd))
+    (verts, track(Graph(vertRdd, edgeRdd))(_.unpersist(blocking = false)))
   }
 
   /** Per-URI in/out degree (missing side = 0). */
@@ -62,7 +101,9 @@ object Analytics {
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     val (verts, g) = build(spark, edges)
-    val cc = spark.createDataFrame(g.connectedComponents().vertices).toDF("id", "comp_id")
+    val cc = spark.createDataFrame(
+      track(g.connectedComponents())(_.unpersist(blocking = false))
+        .vertices).toDF("id", "comp_id")
     verts.join(cc, Seq("id"))
       .groupBy(col("comp_id"))
       .agg(min(col("uri")).as("comp"), count(lit(1)).as("size"))
@@ -77,17 +118,20 @@ object Analytics {
         greatest(col("sid"), col("did")).as("did"))
       .filter(col("sid") =!= col("did"))
       .distinct()
-    val canonRdd = canon.rdd.map(r => (r.getLong(0), r.getLong(1)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canonRdd = track(canon.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))(
+      _.unpersist(blocking = false))
     val nParts = math.max(4, math.min(
       spark.sparkContext.defaultParallelism,
       (canonRdd.count() / 500000L).toInt + 1))
     val sized =
       if (nParts < canonRdd.getNumPartitions) canonRdd.coalesce(nParts)
       else canonRdd
-    val g = Graph.fromEdgeTuples(sized, 1)
-      .partitionBy(PartitionStrategy.RandomVertexCut)
-    val perVertex = g.triangleCount().vertices.map(_._2.toLong)
+    val g = track(Graph.fromEdgeTuples(sized, 1)
+      .partitionBy(PartitionStrategy.RandomVertexCut))(
+      _.unpersist(blocking = false))
+    val perVertex = track(g.triangleCount())(_.unpersist(blocking = false))
+      .vertices.map(_._2.toLong)
     spark.createDataFrame(perVertex.map(Tuple1.apply)).toDF("t")
       // empty graph => sum is NULL; the count of triangles is 0
       .agg(coalesce((sum(col("t")) / 3).cast("long"), lit(0L)).as("triangles"))
@@ -96,7 +140,9 @@ object Analytics {
   /** Static PageRank, fixed iteration count. */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     val (verts, g) = build(spark, edges)
-    val pr = spark.createDataFrame(g.staticPageRank(iters).vertices).toDF("id", "rank")
+    val pr = spark.createDataFrame(
+      track(g.staticPageRank(iters))(_.unpersist(blocking = false))
+        .vertices).toDF("id", "rank")
     verts.join(pr, Seq("id")).select(col("uri"), col("rank"))
   }
 
@@ -108,7 +154,8 @@ object Analytics {
     val (verts, g) = build(spark, edges, undirected = true)
     val landmarks = sources.select(xxhash64(col("uri")).as("id"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val sp = ShortestPaths.run(g, landmarks).vertices
+    val sp = track(ShortestPaths.run(g, landmarks))(_.unpersist(blocking = false))
+      .vertices
       .flatMap { case (id, m) => if (m.isEmpty) None else Some((id, m.values.min)) }
     val dists = spark.createDataFrame(sp).toDF("id", "dist")
     verts.join(dists, Seq("id")).select(col("uri"), col("dist"))

@@ -30,6 +30,13 @@ object InferenceQueries {
       Reasoner.hasLabel(s, TripleStore.dimensionTriples(s, dir), ":Place")
         .filter(col("uri").startsWith("nat:") || col("uri").startsWith("cust:"))
     },
+    // category micro-reasoner (ref MicroReasoners.getNodesLinkedTo):
+    // members of reg:1 = anything :hasNation-linked into the
+    // :inRegion-closure below reg:1
+    "infer_nodes_in_category" -> { (s, dir) =>
+      val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
+      Reasoner.nodesInCategory(s, edges, "reg:1", ":inRegion", ":hasNation")
+    },
     "onto_import_lite" -> { (s, _) =>
       val t = Ontology.triples(s)
       val classes = t.filter(col("p") === Ontology.SCO)
@@ -65,6 +72,18 @@ object InferenceQueries {
       """SELECT 'nat:'||n_nationkey AS uri, true AS has FROM nation
         |UNION ALL
         |SELECT 'cust:'||c_custkey, false FROM customer""".stripMargin,
+    "infer_nodes_in_category" ->
+      """WITH RECURSIVE cat(c) AS (
+        |  SELECT 'reg:1'
+        |  UNION
+        |  SELECT 'nat:'||n_nationkey FROM nation, cat
+        |  WHERE 'reg:'||n_regionkey = cat.c)
+        |SELECT DISTINCT uri FROM (
+        |  SELECT 'cust:'||c_custkey AS uri, 'nat:'||c_nationkey AS dst
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'supp:'||s_suppkey, 'nat:'||s_nationkey FROM supplier) m
+        |JOIN cat ON m.dst = cat.c""".stripMargin,
     "onto_import_lite" ->
       s"""WITH sco(sub, sup) AS (SELECT * FROM (VALUES $scoValues)),
          |     spo(sub, sup) AS (SELECT * FROM (VALUES $spoValues))

@@ -32,6 +32,24 @@ object Reasoner {
       .select(col("src"), col("rel"), col("dst"))
   }
 
+  /** Nodes linked by a `memberRel` edge into category `cat` or any
+    * category below it — the reference's category micro-reasoner
+    * (MicroReasoners.getNodesLinkedTo :54-75). Unlike the label
+    * reasoners, the hierarchy here is category-to-category edges in
+    * the DATA (`catRel`), not the static ontology; the closure below
+    * `cat` is still ontology-sized, so it broadcasts.
+    */
+  def nodesInCategory(spark: SparkSession, edges: DataFrame, cat: String,
+                      catRel: String, memberRel: String): DataFrame = {
+    val catEdges = edges.filter(col("rel") === catRel)
+      .select(col("src").as("sub"), col("dst").as("sup"))
+    val cats = broadcast(Closure.below(catEdges, cat))
+    edges.filter(col("rel") === memberRel)
+      .join(cats, col("dst") === col("c"), "left_semi")
+      .select(col("src").as("uri"))
+      .distinct()
+  }
+
   /** For every typed node: does it carry `label` (incl. implied)? */
   def hasLabel(spark: SparkSession, triples: DataFrame, label: String): DataFrame = {
     val labels = Closure.below(Ontology.subClassDf(spark), label)

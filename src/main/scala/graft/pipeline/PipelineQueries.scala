@@ -141,7 +141,39 @@ object PipelineQueries {
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0), b.embedding) DESC,
         |  b.vec_id
         |LIMIT 20""".stripMargin,
-    // ann_lsh_topk / ann_ivf_topk: rows-only (bucketing is engine-side)
+    // lsh: rebuild the md5-deterministic ±1 hyperplanes and the integer
+    // bucket codes in SQL, then multi-probe = bit_count(xor) <= ham
+    "ann_lsh_topk" ->
+      """WITH coef AS (
+        |  SELECT p, d,
+        |    CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT
+        |              % 2 = 0 THEN 1.0 ELSE -1.0 END AS c
+        |  FROM range(0, 8) tp(p), range(0, 64) td(d)),
+        |dots AS (SELECT e.vec_id, c.p, sum(e.embedding[c.d + 1] * c.c) AS s
+        |         FROM embeddings e, coef c GROUP BY 1, 2),
+        |buck AS (SELECT vec_id,
+        |           CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+        |         FROM dots GROUP BY 1),
+        |q AS (SELECT b.bucket AS qb, e.embedding AS qv
+        |      FROM buck b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0)
+        |SELECT b.vec_id
+        |FROM buck b JOIN embeddings e ON e.vec_id = b.vec_id, q
+        |WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, q.qb)) <= 2
+        |ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, b.vec_id
+        |LIMIT 10""".stripMargin,
+    // ivf: centroids are per-label per-dim averages; probe the 2
+    // nearest-centroid labels, exact top-k within
+    "ann_ivf_topk" ->
+      """WITH cent AS (SELECT label, d, avg(embedding[d + 1]) AS m
+        |              FROM embeddings, range(0, 64) td(d) GROUP BY 1, 2),
+        |cv AS (SELECT label, list(m ORDER BY d) AS cv FROM cent GROUP BY 1),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |probed AS (SELECT label FROM cv, q
+        |           ORDER BY list_cosine_similarity(cv, qv) DESC, label LIMIT 2)
+        |SELECT e.vec_id FROM embeddings e JOIN probed USING (label), q
+        |WHERE e.vec_id != 0
+        |ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
     "text_token_count" ->
       raw"""SELECT doc_id,
            |  len(string_split_regex(trim(text), '\s+')) AS n_ws,

@@ -60,22 +60,47 @@ object Similarity {
     }
   }
 
-  /** Random-hyperplane LSH: bucket = sign-bit string over `planes`
-    * hyperplanes; candidates share the query's bucket; exact top-k
-    * within.
+  /** Integer LSH bucket code (long, so up to 63 planes fit): bit p set
+    * iff the vector's dot product with hyperplane p is non-negative.
+    *
+    * One nested fold over a plane MATRIX literal, not `planes`
+    * separate dot-product expressions — the expression tree (and the
+    * generated code) stays constant-size however many planes are
+    * requested; 48 unrolled dots blew janino's 64 KB method limit and
+    * dropped the whole stage to interpreted eval.
+    */
+  private[pipeline] def bucketCode(v: Column, planes: Int, dims: Int): Column = {
+    val mat = typedLit(Array.tabulate(planes)(p => hyperplane(p, dims)))
+    val powers = typedLit(Array.tabulate(planes)(p => 1L << p))
+    val dots = transform(mat, pl =>
+      aggregate(zip_with(v, pl, (x, y) => x * y), lit(0.0), (a, x) => a + x))
+    aggregate(zip_with(dots, powers,
+      (d, pw) => when(d >= 0, pw).otherwise(lit(0L))), lit(0L), (a, x) => a + x)
+  }
+
+  /** Random-hyperplane LSH with multi-probe: candidates live in any
+    * bucket within Hamming distance `probeHam` of the query's bucket
+    * (probing neighbor buckets buys recall without extra hash
+    * tables); exact top-k within the candidates.
+    *
+    * Scale shape: the probe set is enumerated as XOR masks
+    * (sum_{i<=probeHam} C(planes,i) buckets — 37 for 8 planes, ham 2)
+    * and broadcast, so candidate generation stays a broadcast
+    * equality join on the bucket code no matter the corpus size;
+    * scoring cost is proportional to candidates only.
     */
   def lshTopK(embeddings: DataFrame, queryId: Long, k: Int,
-              planes: Int = 8, dims: Int = 64): DataFrame = {
-    val coefs = (0 until planes).map(p => typedLit(hyperplane(p, dims)))
-    def bucket(v: Column): Column =
-      concat(coefs.map(c =>
-        when(aggregate(zip_with(v, c, (x, y) => x * y), lit(0.0), (a, x) => a + x) >= 0,
-          "1").otherwise("0")): _*)
-    val e = vecs(embeddings).withColumn("bucket", bucket(col("v")))
-    val q = broadcast(e.filter(col("vec_id") === queryId)
-      .select(col("v").as("qv"), col("bucket").as("qbucket")))
+              planes: Int = 8, dims: Int = 64, probeHam: Int = 2): DataFrame = {
+    val e = vecs(embeddings)
+      .withColumn("bucket", bucketCode(col("v"), planes, dims))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    val masks = (0 until (1 << planes)).filter(Integer.bitCount(_) <= probeHam)
+    val probes = broadcast(q.select(col("qv"),
+      explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*))
+        .as("pbucket")))
     e.filter(col("vec_id") =!= queryId)
-      .join(q, col("bucket") === col("qbucket"))
+      .join(probes, col("bucket") === col("pbucket"))
       .withColumn("cos", cosine(col("v"), col("qv")))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)

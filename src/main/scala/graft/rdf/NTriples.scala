@@ -52,22 +52,39 @@ object NTriples {
       array_join(transform(split(c, "\\\\\\\\", -1), seg(_)), "\\"))
   }
 
-  /** Triple relation → DataFrame("line": one N-Triples line each). */
+  /** Triple relation → DataFrame("line": one N-Triples line each).
+    * Blank-node terms (stored with their `_:` prefix, o_is_iri=true —
+    * they are resource terms, not literals) serialize bare, per the
+    * N-Triples grammar.
+    */
   def format(triples: DataFrame): DataFrame = {
-    val obj = when(col("o_is_iri"), concat(lit("<"), col("o"), lit(">")))
+    val subj = when(col("s").startsWith("_:"), col("s"))
+      .otherwise(concat(lit("<"), col("s"), lit(">")))
+    val obj = when(col("o_is_iri") && col("o").startsWith("_:"), col("o"))
+      .when(col("o_is_iri"), concat(lit("<"), col("o"), lit(">")))
       .when(col("lang").isNotNull,
         concat(lit("\""), esc(col("o")), lit("\"@"), col("lang")))
       .when(col("o_num").isNotNull,
         concat(lit("\""), esc(col("o")), lit("\"^^<" + XSD_DOUBLE + ">")))
       .otherwise(concat(lit("\""), esc(col("o")), lit("\"")))
-    triples.select(concat(
-      lit("<"), col("s"), lit("> <"), col("p"), lit("> "), obj, lit(" .")
-    ).as("line"))
+    // columns beyond the triple schema (e.g. TriG's graph column)
+    // pass through beside the formatted line
+    val keep = triples.columns
+      .filterNot(Set("s", "p", "o", "o_num", "o_is_iri", "lang")).map(col)
+    triples.select(keep :+ concat(
+      subj, lit(" <"), col("p"), lit("> "), obj, lit(" .")
+    ).as("line"): _*)
   }
 
   /** DataFrame with a "line" column → triple relation. Blank lines,
-    * '#' comments and lines without the `<..> <..> obj .` shape are
-    * dropped.
+    * '#' comments and lines without the `subj <pred> obj .` shape are
+    * dropped; an object that is neither `<iri>`, `"literal"` nor
+    * `_:bnode` drops the line rather than fabricating a literal.
+    *
+    * Blank-node subjects and objects parse as resource terms with
+    * their `_:` prefix kept (reference accepts them via RDF4J,
+    * pidb-rdf-import/src/main/java/semantics/RDFImport.java:50-155);
+    * `format` serializes them back bare, so round-trips are exact.
     *
     * Terms slice out with substring arithmetic ('>' is forbidden
     * inside IRIs, so bracket positions are unambiguous); the grammar's
@@ -75,15 +92,21 @@ object NTriples {
     * slice, so pretty-printed files parse correctly too.
     */
   def parse(lines: DataFrame): DataFrame = {
-    val l = trim(col("line"))
+    // columns beyond "line" (e.g. TriG's graph column) pass through
+    val keep = lines.columns.filterNot(_ == "line").map(col)
     val body = lines
-      .select(l.as("line"))
-      .filter(col("line").startsWith("<") && col("line").endsWith("."))
-      .select(
-        substring_index(substring_index(col("line"), ">", 1), "<", -1).as("s"),
-        col("line"))
+      .withColumn("line", trim(col("line")))
+      .filter((col("line").startsWith("<") || col("line").startsWith("_:")) &&
+        col("line").endsWith("."))
+      .withColumn("s",
+        when(col("line").startsWith("<"),
+          substring_index(substring_index(col("line"), ">", 1), "<", -1))
+          .otherwise(regexp_extract(col("line"), "^(_:[^ \\t]+)", 1)))
+      // chars consumed by the subject term: <s> for IRIs, bare s for bnodes
+      .withColumn("s_end", length(col("s")) +
+        when(col("line").startsWith("<"), lit(2)).otherwise(lit(0)))
       .withColumn("rest", regexp_replace(
-        col("line").substr(length(col("s")) + lit(3), length(col("line"))),
+        col("line").substr(col("s_end") + lit(1), length(col("line"))),
         "^[ \\t]+", ""))
       .filter(col("rest").startsWith("<"))
       .withColumn("p",
@@ -92,25 +115,29 @@ object NTriples {
         col("rest").substr(length(col("p")) + lit(3), length(col("rest"))),
         "^[ \\t]+", ""), " ."))
       .filter(col("s") =!= "" && col("p") =!= "" && col("obj") =!= "")
-      .select(col("s"), col("p"), col("obj"))
-    // '"lex"', '"lex"@lang', '"lex"^^<dt>' or '<iri>' — escaped quotes
-    // inside the lexical form never end it, so the LAST '"' is the
-    // closer and everything slices without regex.
+      .filter(col("obj").startsWith("<") || col("obj").startsWith("\"") ||
+        col("obj").startsWith("_:"))
+      .select(keep ++ Seq(col("s"), col("p"), col("obj")): _*)
+    // '"lex"', '"lex"@lang', '"lex"^^<dt>', '<iri>' or '_:bnode' —
+    // escaped quotes inside the lexical form never end it, so the
+    // LAST '"' is the closer and everything slices without regex.
     val isIri = col("obj").startsWith("<")
+    val isBnode = col("obj").startsWith("_:")
     val suffix = substring_index(col("obj"), "\"", -1)
     val lex = col("obj").substr(lit(2), length(col("obj")) - length(suffix) - lit(2))
     val langTag = when(suffix.startsWith("@"), suffix.substr(lit(2), length(suffix)))
     val dtype = when(suffix.startsWith("^^<"), suffix.substr(lit(4), length(suffix) - lit(4)))
-    body.select(
+    body.select(keep ++ Seq(
       col("s"),
       col("p"),
       when(isIri, col("obj").substr(lit(2), length(col("obj")) - lit(2)))
+        .when(isBnode, col("obj"))
         .otherwise(unesc(lex)).as("o"),
-      when(!isIri && dtype === XSD_DOUBLE, unesc(lex).cast("double"))
+      when(!isIri && !isBnode && dtype === XSD_DOUBLE, unesc(lex).cast("double"))
         .otherwise(lit(null).cast("double")).as("o_num"),
-      isIri.as("o_is_iri"),
-      when(!isIri && langTag.isNotNull, langTag)
-        .otherwise(lit(null).cast("string")).as("lang"))
+      (isIri || isBnode).as("o_is_iri"),
+      when(!isIri && !isBnode && langTag.isNotNull, langTag)
+        .otherwise(lit(null).cast("string")).as("lang")): _*)
   }
 
   /** Write triples as N-Triples text files (one line per triple). */

@@ -93,6 +93,63 @@ object RdfQueries {
         col("n_regionkey").as(":regionkey"))).as("line"))
       JsonLd.parse(s, lines)
     },
+    // TriG named graphs (ref RDFImport.java:46): quads round-trip
+    // through the line-splittable `<g> { s p o . }` subset
+    "rdf_trig_parse" -> { (s, dir) =>
+      val t = TripleStore.dimensionTriples(s, dir)
+      val quads = t
+        .filter(col("s").startsWith("nat:") && col("p") === ":name")
+        .withColumn("g", lit("g:nation"))
+        .unionAll(t.filter(col("s").startsWith("reg:") && col("p") === ":name")
+          .withColumn("g", lit("g:region")))
+        .select(col("g"), col("s"), col("p"), col("o"),
+          col("o_num"), col("o_is_iri"), col("lang"))
+      TriG.parse(TriG.format(quads)).select(col("g"), col("s"), col("o"))
+    },
+    // DESCRIBE-a-node endpoint lookup (ref RDFEndpoint.java:210):
+    // outgoing star + incoming edges, direction-tagged
+    "rdf_describe" -> { (s, dir) =>
+      Endpoint.describe(TripleStore.triples(s, dir), "nat:1")
+        .select(col("dir"), col("s"), col("p"), col("o"))
+    },
+    // JSON-LD writer → parser round-trip (ref RDFEndpoint format
+    // negotiation; jsonld_parse covers external input above)
+    "rdf_jsonld_roundtrip" -> { (s, dir) =>
+      val slice = TripleStore.dimensionTriples(s, dir)
+        .filter(col("s").startsWith("supp:"))
+      JsonLd.parse(s, JsonLd.format(slice))
+    },
+    // schema mappings applied on export (ref MappingUtils.java:76-131)
+    "rdf_mapped_export" -> { (s, dir) =>
+      val m = Mappings()
+        .addSchema("sch", "http://schema.org/")
+        .addMapping(":name", "sch", "name")
+        .addMapping(":inRegion", "sch", "containedInPlace")
+        .addMapping(":Nation", "sch", "Country")
+      NTriples.format(m.applyOnExport(
+        TripleStore.dimensionTriples(s, dir).filter(col("s").startsWith("nat:"))))
+    },
+    // RDF/XML subset import (ref RDFImport.java:45): document
+    // assembled from the bounded 25-row dimension (ontology-sized,
+    // driver-side by design), parsed via the executor-safe StAX path
+    "rdf_xml_parse" -> { (s, dir) =>
+      val frags = graft.Tables.nation(s, dir).select(concat(
+        lit("  <rdf:Description rdf:about=\"nat:"), col("n_nationkey"),
+        lit("\">\n    <rdf:type rdf:resource=\":Nation\"/>\n    <g:name>"),
+        col("n_name"),
+        lit("</g:name>\n    <g:comment xml:lang=\""),
+        when(col("n_nationkey") % 2 === 0, "en").otherwise("fr"),
+        lit("\">"), col("n_name"),
+        lit(" comment</g:comment>\n    <g:regionkey rdf:datatype=\"" +
+          "http://www.w3.org/2001/XMLSchema#double\">"),
+        col("n_regionkey"),
+        lit("</g:regionkey>\n  </rdf:Description>")).as("frag"))
+        .collect().map(_.getString(0))
+      val doc = "<?xml version=\"1.0\"?>\n<rdf:RDF xmlns:rdf=" +
+        "\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" xmlns:g=\":\">\n" +
+        frags.mkString("\n") + "\n</rdf:RDF>"
+      RdfXml.parse(s, doc)
+    },
     // Turtle write → parse round-trip (part slice, numeric literals)
     "rdf_turtle_parse" -> { (s, dir) =>
       val slice = TripleStore.dimensionTriples(s, dir)
@@ -188,6 +245,64 @@ object RdfQueries {
         |  ('ord:','ns3'), ('part:','ns4'), ('reg:','ns5'), ('supp:','ns6'))
         |  t(ns, prefix)""".stripMargin,
     "rdf_jsonld_parse" ->
+      """SELECT 'nat:'||n_nationkey AS s, 'rdf:type' AS p, ':Nation' AS o,
+        |       CAST(NULL AS DOUBLE) AS o_num, true AS o_is_iri,
+        |       CAST(NULL AS VARCHAR) AS lang FROM nation
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey, ':name', n_name, NULL, false, NULL FROM nation
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey, ':comment', n_name||' comment', NULL, false,
+        |       CASE WHEN n_nationkey % 2 = 0 THEN 'en' ELSE 'fr' END FROM nation
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey, ':regionkey', CAST(n_regionkey AS VARCHAR),
+        |       CAST(n_regionkey AS DOUBLE), false, NULL FROM nation""".stripMargin,
+    "rdf_trig_parse" ->
+      """SELECT 'g:nation' AS g, 'nat:'||n_nationkey AS s, n_name AS o FROM nation
+        |UNION ALL
+        |SELECT 'g:region', 'reg:'||r_regionkey, r_name FROM region""".stripMargin,
+    "rdf_describe" ->
+      """SELECT 'out' AS dir, 'nat:1' AS s, 'rdf:type' AS p, ':Nation' AS o
+        |FROM nation WHERE n_nationkey = 1
+        |UNION ALL
+        |SELECT 'out', 'nat:1', ':name', n_name FROM nation WHERE n_nationkey = 1
+        |UNION ALL
+        |SELECT 'out', 'nat:1', ':comment', n_name||' comment'
+        |FROM nation WHERE n_nationkey = 1
+        |UNION ALL
+        |SELECT 'out', 'nat:1', ':inRegion', 'reg:'||n_regionkey
+        |FROM nation WHERE n_nationkey = 1
+        |UNION ALL
+        |SELECT 'in', 'cust:'||c_custkey, ':hasNation', 'nat:1'
+        |FROM customer WHERE c_nationkey = 1
+        |UNION ALL
+        |SELECT 'in', 'supp:'||s_suppkey, ':hasNation', 'nat:1'
+        |FROM supplier WHERE s_nationkey = 1""".stripMargin,
+    "rdf_jsonld_roundtrip" ->
+      """SELECT 'supp:'||s_suppkey AS s, 'rdf:type' AS p, ':Supplier' AS o,
+        |       CAST(NULL AS DOUBLE) AS o_num, true AS o_is_iri,
+        |       CAST(NULL AS VARCHAR) AS lang FROM supplier
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, ':name', s_name, NULL, false, NULL FROM supplier
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, ':acctbal', CAST(s_acctbal AS VARCHAR),
+        |       s_acctbal, false, NULL FROM supplier
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey, NULL, true,
+        |       NULL FROM supplier""".stripMargin,
+    "rdf_mapped_export" ->
+      """SELECT '<nat:'||n_nationkey||'> <rdf:type> <http://schema.org/Country> .'
+        |       AS line FROM nation
+        |UNION ALL
+        |SELECT '<nat:'||n_nationkey||'> <http://schema.org/name> "'||n_name||'" .'
+        |FROM nation
+        |UNION ALL
+        |SELECT '<nat:'||n_nationkey||'> <:comment> "'||n_name||' comment"@'||
+        |       CASE WHEN n_nationkey % 2 = 0 THEN 'en' ELSE 'fr' END||' .'
+        |FROM nation
+        |UNION ALL
+        |SELECT '<nat:'||n_nationkey||'> <http://schema.org/containedInPlace> <reg:'||
+        |       n_regionkey||'> .' FROM nation""".stripMargin,
+    "rdf_xml_parse" ->
       """SELECT 'nat:'||n_nationkey AS s, 'rdf:type' AS p, ':Nation' AS o,
         |       CAST(NULL AS DOUBLE) AS o_num, true AS o_is_iri,
         |       CAST(NULL AS VARCHAR) AS lang FROM nation

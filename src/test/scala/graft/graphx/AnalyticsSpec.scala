@@ -39,4 +39,17 @@ class AnalyticsSpec extends AnyFunSuite {
     val pr = Analytics.pageRank(spark, edges, 10).as[(String, Double)].collect().toMap
     assert(pr("c") > pr("b"))
   }
+
+  test("releaseCaches unpersists every RDD a graph query cached") {
+    Analytics.releaseCaches() // drop whatever earlier tests left
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Analytics.connectedComponents(spark, edges).collect()
+    Analytics.pageRank(spark, edges, 3).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size > before.size)
+    Analytics.releaseCaches()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val detail = leaked.map(id =>
+      s"$id:${spark.sparkContext.getPersistentRDDs(id)}")
+    assert(leaked.isEmpty, s"leaked RDDs: $detail")
+  }
 }

@@ -23,6 +23,16 @@ class InferenceSpec extends AnyFunSuite {
     assert(Closure.below(edges, "b").as[String].collect().toSet == Set("a", "b"))
   }
 
+  test("nodesInCategory walks the data-side category hierarchy") {
+    val edges = Seq(
+      ("catB", ":sub", "catA"), ("catC", ":sub", "catB"),
+      ("x", ":in", "catC"), ("y", ":in", "catA"), ("z", ":in", "other"))
+      .toDF("src", "rel", "dst")
+    val got = Reasoner.nodesInCategory(spark, edges, "catA", ":sub", ":in")
+      .as[String].collect().toSet
+    assert(got == Set("x", "y"))
+  }
+
   test("ontology reasoners agree with the static hierarchy") {
     val t = Seq(
       ("c:1", "rdf:type", ":Customer"),

@@ -35,6 +35,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ngram jaccard df cap drops ubiquitous shingles from the index") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tomorrow")
+    // every shared shingle has df=2 > 1, so the capped index yields no
+    // candidates; the default cap leaves the pair intact
+    assert(Dedup.ngramJaccard(d, tau = 0.5, maxDf = 1).count() == 0)
+    assert(Dedup.ngramJaccard(d, tau = 0.5).count() == 1)
+  }
+
+  test("embedding cosine banding keeps all true pairs, prunes candidates") {
+    val e = spark.read.parquet(graft.SharedSpark.sfDir + "/embeddings.parquet")
+    val blocked = Dedup.embeddingCosine(e)
+      .as[(Long, Long)].collect().toSet
+    val v = e.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val exact = v.as("x").join(v.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .filter(Similarity.cosine(col("x.v"), col("y.v")) >= 0.4)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(blocked == exact && blocked.nonEmpty)
+    val coded = Dedup.codedVectors(e, 48, 64)
+    val nCand = Dedup.embeddingCandidates(coded, 48, 4).count()
+    val nAll = v.as("x").join(v.as("y"),
+      col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id")).count()
+    assert(nCand < (nAll * 2) / 3)
+  }
+
   test("minhash lsh finds the same near-dup pair") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",
@@ -84,6 +113,24 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
     val top = Similarity.bruteForceTopK(e, 0, 2).as[Long].collect()
     assert(top.toSeq == Seq(1L, 3L))
+  }
+
+  test("lsh multi-probe returns a full top-k in brute-force order") {
+    val e = spark.read.parquet(graft.SharedSpark.sfDir + "/embeddings.parquet")
+    val lsh = Similarity.lshTopK(e, 0, 10).as[Long].collect()
+    assert(lsh.length == 10 && lsh.distinct.length == 10)
+    // candidates are exact-scored, so any that are true top-50
+    // neighbors must appear in brute-force relative order
+    val pos = Similarity.bruteForceTopK(e, 0, 50).as[Long]
+      .collect().zipWithIndex.toMap
+    val ranks = lsh.flatMap(pos.get)
+    assert(ranks.nonEmpty && ranks.sameElements(ranks.sorted))
+  }
+
+  test("ivf probes nearest-centroid labels and returns k rows") {
+    val e = spark.read.parquet(graft.SharedSpark.sfDir + "/embeddings.parquet")
+    val ivf = Similarity.ivfTopK(e, 0, 10).as[Long].collect()
+    assert(ivf.length == 10 && ivf.distinct.length == 10)
   }
 
   test("quality score favors long clean text") {

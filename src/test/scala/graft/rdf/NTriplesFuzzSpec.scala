@@ -18,6 +18,25 @@ class NTriplesFuzzSpec extends AnyFunSuite {
   private val literal: Gen[String] =
     Gen.nonEmptyListOf(nastyChar).map(_.mkString)
 
+  test("blank-node terms round-trip; malformed objects drop the line") {
+    import spark.implicits._
+    val lines = Seq(
+      "_:b0 <:p> <s:1> .",
+      "<s:1> <:p> _:b0 .",
+      "<s:2> <:p> b0gus .", // neither IRI, literal nor bnode: dropped
+      "<s:3> <:p> _:x9.cafe .",
+      "<s:4> <:p> \"lit\" .").toDF("line")
+    val got = NTriples.parse(lines)
+    assert(got.count() == 4)
+    val asObj = got.filter($"o" === "_:b0").collect()
+    assert(asObj.length == 1 && asObj(0).getAs[Boolean]("o_is_iri"))
+    assert(got.filter($"s" === "_:b0").count() == 1)
+    val back = NTriples.parse(NTriples.format(got))
+    assert(back.count() == 4)
+    assert(back.filter($"s" === "_:b0").count() == 1 &&
+      back.filter($"o" === "_:x9.cafe" && $"o_is_iri").count() == 1)
+  }
+
   test("format/parse round-trips fuzzed literals exactly") {
     import spark.implicits._
     val samples = Gen.listOfN(300, literal).sample.get.distinct

@@ -45,6 +45,109 @@ class RdfSpec extends AnyFunSuite {
     assert(got(2).getString(2) == "plain")
   }
 
+  test("RDF/XML formatString/parse round-trips the triple relation") {
+    val withBnodes = nasty.unionAll(Seq(
+      ("_:b0", ":ref", "_:b1", Option.empty[Double], true, Option.empty[String]))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang"))
+    val back = RdfXml.parse(spark, RdfXml.formatString(withBnodes))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.get(3)), r.getBoolean(4), Option(r.getString(5)))).toSet
+    assert(key(back) == key(withBnodes))
+  }
+
+  test("RDF/XML parses typed nodes, resources, datatypes, lang, nodeID") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:g=":">
+        |  <g:Nation rdf:about="nat:1">
+        |    <g:name xml:lang="en">ALGERIA</g:name>
+        |    <g:size rdf:datatype="http://www.w3.org/2001/XMLSchema#double">7.5</g:size>
+        |    <g:inRegion rdf:resource="reg:0"/>
+        |    <g:peer rdf:nodeID="b7"/>
+        |  </g:Nation>
+        |</rdf:RDF>""".stripMargin
+    val t = RdfXml.parse(spark, xml)
+    assert(t.count() == 5)
+    assert(t.filter($"p" === "rdf:type" && $"o" === ":Nation" && $"o_is_iri").count() == 1)
+    assert(t.filter($"p" === ":name" && $"lang" === "en" && $"o" === "ALGERIA").count() == 1)
+    assert(t.filter($"p" === ":size" && $"o_num" === 7.5).count() == 1)
+    assert(t.filter($"p" === ":inRegion" && $"o" === "reg:0" && $"o_is_iri").count() == 1)
+    assert(t.filter($"p" === ":peer" && $"o" === "_:b7" && $"o_is_iri").count() == 1)
+  }
+
+  test("TriG quads round-trip; bare lines land in the default graph") {
+    val quads = Seq(
+      ("g:a", "s:1", ":p", "x", Option.empty[Double], false, Option.empty[String]),
+      ("g:b", "s:2", ":q", "s:3", None, true, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    val back = TriG.parse(TriG.format(quads))
+    assert(back.count() == 2)
+    assert(back.filter($"g" === "g:b" && $"o" === "s:3" && $"o_is_iri").count() == 1)
+    val mixed = Seq(
+      "<g:x> { <s:1> <:p> \"v\" . }",
+      "<s:9> <:p> <s:8> .",
+      "GRAPH <g:y> { <s:2> <:p> \"w\" . }").toDF("line")
+    val t = TriG.parse(mixed)
+    assert(t.count() == 3)
+    assert(t.filter($"g" === "").count() == 1)
+    assert(t.filter($"g" === "g:y" && $"o" === "w").count() == 1)
+  }
+
+  test("Endpoint.describe returns the star plus incoming edges, all formats") {
+    val t = Seq(
+      ("n:1", ":name", "X", Option.empty[Double], false, Option.empty[String]),
+      ("n:1", ":in", "r:1", None, true, None),
+      ("c:1", ":has", "n:1", None, true, None),
+      ("c:2", ":other", "zzz", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val d = Endpoint.describe(t, "n:1")
+    assert(d.count() == 3)
+    assert(d.filter($"dir" === "in").select("s").as[String].collect().toSeq
+      == Seq("c:1"))
+    for (f <- Seq("ntriples", "jsonld", "rdfxml"))
+      assert(Endpoint.describeAs(t, "n:1", f).contains("n:1"), f)
+    // turtle shortens URIs through the minted prefix registry
+    assert(Endpoint.describeAs(t, "n:1", "turtle").contains("@prefix"))
+    intercept[IllegalArgumentException](Endpoint.describeAs(t, "n:1", "bogus"))
+  }
+
+  test("JSON-LD format/parse round-trips, keeping numeric lexical forms") {
+    val t = Seq(
+      ("s:1", ":name", "ann", Option.empty[Double], false, Option.empty[String]),
+      ("s:1", ":bal", "100.00", Some(100.0), false, None),
+      ("s:1", ":knows", "s:2", None, true, None),
+      ("s:1", ":greet", "bonjour", None, false, Some("fr")),
+      ("s:2", ":name", "bob", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val back = JsonLd.parse(spark, JsonLd.format(t))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.get(3)), r.getBoolean(4), Option(r.getString(5)))).toSet
+    assert(key(back) == key(t))
+  }
+
+  test("Mappings add/drop/list and broadcast export application") {
+    val m = Mappings()
+      .addSchema("sch", "http://schema.org/")
+      .addMapping(":name", "sch", "name")
+      .addMapping(":x", "sch", "x")
+    assert(m.list(spark).as[(String, String)].collect().toSet ==
+      Set(":name" -> "http://schema.org/name", ":x" -> "http://schema.org/x"))
+    assert(m.list(spark, "nam").count() == 1)
+    assert(m.dropMapping(":x").list(spark).count() == 1)
+    assert(m.dropSchema("sch").list(spark).count() == 0)
+    intercept[IllegalArgumentException](m.addMapping(":y", "nope", "y"))
+    val t = Seq(
+      ("s:1", ":name", "ann", Option.empty[Double], false, Option.empty[String]),
+      ("s:1", "rdf:type", ":Thing", None, true, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val out = m.applyOnExport(t)
+    assert(out.filter($"p" === "http://schema.org/name").count() == 1)
+    assert(out.filter($"p" === "rdf:type" && $"o" === ":Thing").count() == 1)
+  }
+
   test("Turtle tolerates attached terminators and malformed doubles") {
     val lines = Seq(
       "@prefix n: <nat:> .",
