@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the documents table.
@@ -103,9 +102,13 @@ object Dedup {
     // persisted: the index and both exact-verify sides reuse it
     val sets = persistTracked(shingleSets(docs))
     val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("sh"))
-    val rare = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("df") <= maxDf)
+    // over-threshold shingles are FEW by construction (at most
+    // total-shingle-instances / maxDf), so aggregate them and anti-join
+    // — cheaper than windowing the whole inverted index (no sort), and
+    // AQE broadcasts the hot list when it is small
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val rare = sh.join(hot, Seq("sh"), "left_anti")
     val cand = rare.as("x").join(rare.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -20,9 +20,14 @@ final case class Mappings(
     schemas: Map[String, String] = Map.empty,          // prefix -> ns IRI
     pairs: Map[String, (String, String)] = Map.empty) { // elem -> (prefix, local)
 
-  /** Register a schema (namespace + prefix). */
+  /** Register a schema (namespace + prefix). No two prefixes for one
+    * namespace and no two namespaces for one prefix — a conflicting
+    * registration is a no-op, like the reference's addSchema
+    * (MappingUtils.java:21-33).
+    */
   def addSchema(prefix: String, ns: String): Mappings =
-    copy(schemas = schemas + (prefix -> ns))
+    if (schemas.contains(prefix) || schemas.values.exists(_ == ns)) this
+    else copy(schemas = schemas + (prefix -> ns))
 
   /** Map a graph element name to `prefix:local` in a registered
     * schema; the schema must exist (same contract as the reference).
@@ -68,4 +73,21 @@ final case class Mappings(
         .drop("__from", "__to")
     }
   }
+}
+
+object Mappings {
+
+  /** The reference's addCommonSchemas preset
+    * (MappingUtils.java:36-61): well-known public vocabularies
+    * pre-registered (the reference also ships a FIBO block; the
+    * general-purpose core is what transfers).
+    */
+  def withCommonSchemas: Mappings = Mappings(schemas = Map(
+    "sch" -> "http://schema.org/",
+    "dc" -> "http://purl.org/dc/elements/1.1/",
+    "dct" -> "http://purl.org/dc/terms/",
+    "skos" -> "http://www.w3.org/2004/02/skos/core#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "owl" -> "http://www.w3.org/2002/07/owl#",
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#"))
 }

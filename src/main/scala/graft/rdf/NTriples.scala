@@ -127,17 +127,25 @@ object NTriples {
     val lex = col("obj").substr(lit(2), length(col("obj")) - length(suffix) - lit(2))
     val langTag = when(suffix.startsWith("@"), suffix.substr(lit(2), length(suffix)))
     val dtype = when(suffix.startsWith("^^<"), suffix.substr(lit(4), length(suffix) - lit(4)))
-    body.select(keep ++ Seq(
-      col("s"),
-      col("p"),
-      when(isIri, col("obj").substr(lit(2), length(col("obj")) - lit(2)))
-        .when(isBnode, col("obj"))
-        .otherwise(unesc(lex)).as("o"),
-      when(!isIri && !isBnode && dtype === XSD_DOUBLE, unesc(lex).cast("double"))
-        .otherwise(lit(null).cast("double")).as("o_num"),
-      (isIri || isBnode).as("o_is_iri"),
-      when(!isIri && !isBnode && langTag.isNotNull, langTag)
-        .otherwise(lit(null).cast("string")).as("lang")): _*)
+    // o_num derives from the already-decoded o, not a second
+    // unesc(lex): the unescape chain (JSON fast path + split fallback)
+    // is the parser's heaviest expression, and inlining it twice per
+    // projected row blew whole-stage codegen's 64 KB method limit on
+    // the fused format→parse plan (which then ran interpreted).
+    body
+      .withColumn("o",
+        when(isIri, col("obj").substr(lit(2), length(col("obj")) - lit(2)))
+          .when(isBnode, col("obj"))
+          .otherwise(unesc(lex)))
+      .select(keep ++ Seq(
+        col("s"),
+        col("p"),
+        col("o"),
+        when(!isIri && !isBnode && dtype === XSD_DOUBLE, col("o").cast("double"))
+          .otherwise(lit(null).cast("double")).as("o_num"),
+        (isIri || isBnode).as("o_is_iri"),
+        when(!isIri && !isBnode && langTag.isNotNull, langTag)
+          .otherwise(lit(null).cast("string")).as("lang")): _*)
   }
 
   /** Write triples as N-Triples text files (one line per triple). */

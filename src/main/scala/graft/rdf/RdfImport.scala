@@ -1,0 +1,60 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Format-dispatching import facade — the reference's importRDF /
+  * previewRDFSnippet accept (source, format) pairs over the same five
+  * parser formats (reference:
+  * pidb-rdf-import/src/main/java/semantics/RDFImport.java:45-47
+  * availableParsers, :157 previewRDFSnippet).
+  */
+object RdfImport {
+
+  /** Normalized format tags accepted everywhere below. */
+  val formats: Seq[String] =
+    Seq("ntriples", "turtle", "trig", "jsonld", "rdfxml")
+
+  private def norm(format: String): String =
+    format.toLowerCase.replaceAll("[^a-z]", "") match {
+      case "ntriples" | "nt" => "ntriples"
+      case "turtle" | "ttl" => "turtle"
+      case "trig" => "trig"
+      case "jsonld" => "jsonld"
+      case "rdfxml" | "xml" => "rdfxml"
+      case other => throw new IllegalArgumentException(
+        s"unknown RDF format: $other (accepted: ${formats.mkString(", ")})")
+    }
+
+  /** Parse an in-memory fragment (previewRDFSnippet analog) — handy
+    * for endpoint payloads and tests; bulk data goes through `read`.
+    */
+  def parseFragment(spark: SparkSession, fragment: String,
+                    format: String): DataFrame = {
+    import spark.implicits._
+    def lines = spark.createDataset(fragment.split("\n").toSeq).toDF("line")
+    norm(format) match {
+      case "rdfxml" => RdfXml.parse(spark, fragment)
+      case "jsonld" => JsonLd.parse(spark,
+        lines.filter(trim(col("line")) =!= ""))
+      case "turtle" => Turtle.parse(spark, lines)
+      case "ntriples" => NTriples.parse(lines)
+      case "trig" => TriG.parse(lines)
+    }
+  }
+
+  /** Distributed file import (importRDF analog). Line-based formats
+    * parallelize per line-split; RDF/XML parallelizes per file.
+    */
+  def read(spark: SparkSession, path: String, format: String): DataFrame = {
+    def lines = spark.read.text(path).withColumnRenamed("value", "line")
+    norm(format) match {
+      case "rdfxml" => RdfXml.read(spark, path)
+      case "jsonld" => JsonLd.parse(spark,
+        lines.filter(trim(col("line")) =!= ""))
+      case "turtle" => Turtle.parse(spark, lines)
+      case "ntriples" => NTriples.parse(lines)
+      case "trig" => TriG.parse(lines)
+    }
+  }
+}

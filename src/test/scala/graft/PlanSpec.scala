@@ -33,6 +33,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), "BGP must read the persisted triple store")
   }
 
+  test("ann_lsh_topk: broadcast probe join + top-k without global sort") {
+    val p = plan("ann_lsh_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the 37-bucket probe set must broadcast")
+  }
+
+  test("dedup_ngram_jaccard: df cap is an anti-join, not a window sort") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("LeftAnti"), "hot-shingle cap must be an anti-join")
+    assert(!p.contains("Window"), "no window over the full inverted index")
+  }
+
+  test("rdf_describe: both lookup arms filter the cached triple relation") {
+    val p = plan("rdf_describe")
+    assert(p.contains("InMemoryTableScan"), "describe must read the persisted store")
+  }
+
   test("facade: textual SPARQL end-to-end") {
     val df = Graft.sparql(spark, dir,
       """SELECT ?c ?b WHERE { ?c a :Customer ; :acctbal ?b . FILTER(?b >= 0) }""")

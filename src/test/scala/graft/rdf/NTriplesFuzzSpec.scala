@@ -14,7 +14,8 @@ class NTriplesFuzzSpec extends AnyFunSuite {
   private val nastyChar: Gen[Char] =
     Gen.frequency(
       6 -> Gen.alphaNumChar,
-      1 -> Gen.oneOf('\\', '"', '\n', '\r', '\t', ' ', 'n', 't', '<', '>'))
+      1 -> Gen.oneOf('\\', '"', '\n', '\r', '\t', ' ', 'n', 't', '<', '>',
+        '{', '}', '.', '@'))
   private val literal: Gen[String] =
     Gen.nonEmptyListOf(nastyChar).map(_.mkString)
 
@@ -46,6 +47,36 @@ class NTriplesFuzzSpec extends AnyFunSuite {
       }
       .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
     val back = NTriples.parse(NTriples.format(df))
+      .select("s", "o").as[(String, String)].collect().toMap
+    val want = samples.zipWithIndex.map { case (t, i) => s"s:$i" -> t }.toMap
+    assert(back == want)
+  }
+
+  test("TriG round-trips fuzzed literals under graph wrappers exactly") {
+    import spark.implicits._
+    val samples = Gen.listOfN(150, literal).sample.get.distinct
+    val df = samples.zipWithIndex
+      .map { case (text, i) =>
+        (s"g:${i % 5}", s"s:$i", ":p", text,
+          Option.empty[Double], false, Option.empty[String])
+      }
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    val back = graft.rdf.TriG.parse(graft.rdf.TriG.format(df))
+      .select("g", "s", "o").as[(String, String, String)].collect().toSet
+    val want = samples.zipWithIndex
+      .map { case (t, i) => (s"g:${i % 5}", s"s:$i", t) }.toSet
+    assert(back == want)
+  }
+
+  test("JSON-LD round-trips fuzzed literals exactly") {
+    import spark.implicits._
+    val samples = Gen.listOfN(150, literal).sample.get.distinct
+    val df = samples.zipWithIndex
+      .map { case (text, i) =>
+        (s"s:$i", ":p", text, Option.empty[Double], false, Option.empty[String])
+      }
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val back = JsonLd.parse(spark, JsonLd.format(df))
       .select("s", "o").as[(String, String)].collect().toMap
     val want = samples.zipWithIndex.map { case (t, i) => s"s:$i" -> t }.toMap
     assert(back == want)

@@ -148,6 +148,27 @@ class RdfSpec extends AnyFunSuite {
     assert(out.filter($"p" === "rdf:type" && $"o" === ":Thing").count() == 1)
   }
 
+  test("RdfImport facade dispatches every reference parser format") {
+    val nt = "<s:1> <:p> \"v\" ."
+    assert(RdfImport.parseFragment(spark, nt, "N-Triples").count() == 1)
+    assert(RdfImport.parseFragment(spark, s"<g:1> { $nt }", "TriG").count() == 1)
+    assert(RdfImport.parseFragment(spark,
+      "@prefix x: <s:> .\nx:1 <:p> \"v\" .", "Turtle").count() == 1)
+    assert(RdfImport.parseFragment(spark,
+      """{"@id":"s:1",":p":"v"}""", "JSON-LD").count() == 1)
+    val xml = "<?xml version=\"1.0\"?><rdf:RDF " +
+      "xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" xmlns:g=\":\">" +
+      "<rdf:Description rdf:about=\"s:1\"><g:p>v</g:p></rdf:Description></rdf:RDF>"
+    assert(RdfImport.parseFragment(spark, xml, "RDF/XML").count() == 1)
+    intercept[IllegalArgumentException](
+      RdfImport.parseFragment(spark, nt, "n3"))
+    // common-schemas preset: conflicting re-registration is a no-op
+    val cs = Mappings.withCommonSchemas
+    assert(cs.schemas.size == 7)
+    assert(cs.addSchema("x", "http://schema.org/").schemas == cs.schemas)
+    assert(cs.addSchema("sch", "http://other/").schemas == cs.schemas)
+  }
+
   test("Turtle tolerates attached terminators and malformed doubles") {
     val lines = Seq(
       "@prefix n: <nat:> .",
