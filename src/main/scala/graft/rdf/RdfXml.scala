@@ -52,12 +52,14 @@ object RdfXml {
     var lang: Option[String] = None
     var dtype: Option[String] = None
     var emitted = false
+    var nested = false // saw out-of-subset nested node elements
     val text = new StringBuilder
     try {
       while (r.hasNext) {
         r.next() match {
           case C.START_ELEMENT =>
             depth += 1
+            if (depth > 3) nested = true
             if (depth == 2) {
               subject = Option(r.getAttributeValue(RDF_NS, "about"))
                 .orElse(Option(r.getAttributeValue(RDF_NS, "nodeID")).map("_:" + _))
@@ -73,6 +75,7 @@ object RdfXml {
               dtype = Option(r.getAttributeValue(RDF_NS, "datatype"))
               text.clear()
               emitted = false
+              nested = false
               Option(r.getAttributeValue(RDF_NS, "resource"))
                 .orElse(Option(r.getAttributeValue(RDF_NS, "nodeID")).map("_:" + _))
                 .foreach { o =>
@@ -83,7 +86,10 @@ object RdfXml {
           case C.CHARACTERS | C.CDATA =>
             if (depth == 3) text.append(r.getText)
           case C.END_ELEMENT =>
-            if (depth == 3 && !emitted) {
+            // a property that contained nested node elements is out of
+            // subset: drop it (same policy as N-Triples' malformed
+            // objects) rather than emit a partial literal
+            if (depth == 3 && !emitted && !nested) {
               val o = text.toString
               val num =
                 if (dtype.contains(XSD_DOUBLE)) o.toDoubleOption else None
@@ -110,9 +116,19 @@ object RdfXml {
     toDf(spark, spark.createDataset(Seq(xml)))
   }
 
-  /** Parse a directory of RDF/XML files — one whole file per task. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    toDf(spark, spark.read.option("wholetext", "true").textFile(path))
+  /** Parse a directory of RDF/XML files — one whole file per task.
+    * Lenient on corrupt files (a malformed document yields no triples
+    * instead of failing the whole job — the reference's importers log
+    * and continue too, RDFImport.java:175-180); use `parse` for the
+    * strict single-document path.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").textFile(path)
+      .flatMap(xml =>
+        scala.util.Try(parseDocument(xml)).getOrElse(Seq.empty))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+  }
 
   private def xmlEsc(v: String): String =
     v.replace("&", "&amp;").replace("<", "&lt;")

@@ -46,6 +46,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "no window over the full inverted index")
   }
 
+  test("ann_ivf_topk: probed labels broadcast into a semi-join") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("LeftSemi"), "probed labels must prune via semi-join")
+  }
+
   test("rdf_describe: both lookup arms filter the cached triple relation") {
     val p = plan("rdf_describe")
     assert(p.contains("InMemoryTableScan"), "describe must read the persisted store")

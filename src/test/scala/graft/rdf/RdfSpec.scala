@@ -169,6 +169,23 @@ class RdfSpec extends AnyFunSuite {
     assert(cs.addSchema("sch", "http://other/").schemas == cs.schemas)
   }
 
+  test("RDF/XML file read parses per-file, skips corrupt, drops nested") {
+    val dir = java.nio.file.Files.createTempDirectory("rdfxml")
+    def doc(n: Int) =
+      "<?xml version=\"1.0\"?><rdf:RDF " +
+        "xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" xmlns:g=\":\">" +
+        s"<rdf:Description rdf:about=\"s:$n\"><g:p>v$n</g:p>" +
+        "<g:deep><rdf:Description rdf:about=\"s:x\"/></g:deep>" + // nested: dropped
+        "</rdf:Description></rdf:RDF>"
+    java.nio.file.Files.writeString(dir.resolve("a.rdf"), doc(1))
+    java.nio.file.Files.writeString(dir.resolve("b.rdf"), doc(2))
+    java.nio.file.Files.writeString(dir.resolve("c.rdf"), "<broken")
+    val t = RdfXml.read(spark, dir.toString)
+    assert(t.count() == 2)
+    assert(t.filter($"p" === ":p").count() == 2)
+    assert(t.filter($"p" === ":deep").count() == 0)
+  }
+
   test("Turtle tolerates attached terminators and malformed doubles") {
     val lines = Seq(
       "@prefix n: <nat:> .",
