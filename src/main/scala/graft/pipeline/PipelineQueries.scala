@@ -39,6 +39,10 @@ object PipelineQueries {
       TextAnalysis.langId(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir))),
+    "text_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(Tables.documents(s, dir))),
     // ---- §H multimodal ---------------------------------------------
     "mm_binary_features" -> ((s, dir) =>
       Multimodal.binaryFeatures(Tables.documents(s, dir))),
@@ -215,6 +219,21 @@ object PipelineQueries {
       raw"""SELECT doc_id,
            |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
            |FROM documents""".stripMargin,
+    "text_chunk" ->
+      raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           |              FROM documents)
+           |SELECT doc_id, s // 48 AS chunk_idx,
+           |  array_to_string(w[s + 1 : s + 64], ' ') AS chunk,
+           |  least(64, len(w) - s) AS n_tokens
+           |FROM toks, UNNEST(range(0, len(w), 48)) t(s)
+           |WHERE len(w) > 0""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS clean
+        |FROM documents""".stripMargin,
     "mm_binary_features" ->
       """SELECT doc_id, length(text) AS byte_len,
         |  ascii(substr(text, 1, 1)) AS first_byte,

@@ -74,4 +74,38 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(canonical(col("text")).cast("binary")).as("fp"))
+
+  /** Fixed-size token-window chunking with overlap — the standard
+    * context-window prep for a training corpus: (doc_id, chunk_idx,
+    * chunk, n_tokens). Pure per-row array expressions; explode is the
+    * only row multiplier, no shuffle, so the pass stays narrow at any
+    * corpus size. Chunk starts stride by (chunkTokens - overlap); the
+    * final chunks shorten at the document tail.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64,
+            overlap: Int = 16): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val step = chunkTokens - overlap
+    docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(step))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / step).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunkTokens)))
+          .as("chunk"),
+        least(lit(chunkTokens), size(col("w")) - col("start")).as("n_tokens"))
+  }
+
+  /** Deterministic PII scrubbing: emails then long digit runs become
+    * placeholder tokens. A fixed chain of codegen'd regexp_replace
+    * calls (patterns restricted to syntax Java regex and RE2 share,
+    * so the DuckDB oracle reproduces it verbatim).
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "[0-9]{7,}", "<NUM>").as("clean"))
 }

@@ -148,6 +148,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "und"))
   }
 
+  test("chunking strides with overlap and shortens at the tail") {
+    val d = docs(1L -> (1 to 10).map(i => s"t$i").mkString(" "))
+    val c = TextAnalysis.chunk(d, chunkTokens = 4, overlap = 2)
+      .select("chunk_idx", "chunk", "n_tokens")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(c.length == 5)
+    assert(c(0) == ((0L, "t1 t2 t3 t4", 4)))
+    assert(c(1) == ((1L, "t3 t4 t5 t6", 4)))
+    assert(c(4) == ((4L, "t9 t10", 2)))
+  }
+
+  test("pii scrub redacts emails and long digit runs") {
+    val d = docs(1L -> "contact a.b+c@mail.example.org or 12345678 now")
+    val clean = TextAnalysis.piiScrub(d).select("clean").as[String].head()
+    assert(clean == "contact <EMAIL> or <NUM> now")
+  }
+
   test("fingerprint is whitespace/case canonical") {
     val d = docs(1L -> "Hello  World", 2L -> "hello world")
     assert(TextAnalysis.fingerprint(d).select("fp").distinct().count() == 1)
