@@ -37,6 +37,22 @@ object InferenceQueries {
       val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
       Reasoner.nodesInCategory(s, edges, "reg:1", ":inRegion", ":hasNation")
     },
+    // end-to-end ontology import: static ontology serialized as an
+    // RDF/XML document, re-parsed, then extracted into typed
+    // meta-nodes (LiteOntologyImporter over the RDFXML parser path)
+    "onto_import_rdfxml" -> { (s, _) =>
+      import s.implicits._
+      val classes = Ontology.subClassOf.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val props = Ontology.subPropertyOf.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val none = Option.empty[String]
+      val rows =
+        classes.map(c => (c, "rdf:type", "owl:Class", Option.empty[Double], true, none)) ++
+          classes.map(c => (c, "rdfs:label", c.stripPrefix(":"), Option.empty[Double], false, none)) ++
+          props.map(p => (p, "rdf:type", "owl:ObjectProperty", Option.empty[Double], true, none))
+      val onto = rows.toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+      Ontology.importLite(
+        graft.rdf.RdfXml.parse(s, graft.rdf.RdfXml.formatString(onto)))
+    },
     "onto_import_lite" -> { (s, _) =>
       val t = Ontology.triples(s)
       val classes = t.filter(col("p") === Ontology.SCO)
@@ -84,6 +100,14 @@ object InferenceQueries {
         |  UNION ALL
         |  SELECT 'supp:'||s_suppkey, 'nat:'||s_nationkey FROM supplier) m
         |JOIN cat ON m.dst = cat.c""".stripMargin,
+    "onto_import_rdfxml" -> {
+      val classes = Ontology.subClassOf.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val props = Ontology.subPropertyOf.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val vals = (classes.map(c => s"('$c','Class','${c.stripPrefix(":")}')") ++
+        props.map(p => s"('$p','Relationship','${p.stripPrefix(":")}')"))
+        .mkString(", ")
+      s"SELECT * FROM (VALUES $vals) t(uri, kind, name)"
+    },
     "onto_import_lite" ->
       s"""WITH sco(sub, sup) AS (SELECT * FROM (VALUES $scoValues)),
          |     spo(sub, sup) AS (SELECT * FROM (VALUES $spoValues))

@@ -1,6 +1,7 @@
 package graft.inference
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Static test ontology over the TPC-H-ish RDF vocabulary: a class
   * hierarchy (rdfs:subClassOf, "SCO") and a property hierarchy
@@ -53,5 +54,31 @@ object Ontology {
     val rows = subClassOf.map { case (a, b) => (a, SCO, b) } ++
       subPropertyOf.map { case (a, b) => (a, SPO, b) }
     spark.createDataFrame(rows).toDF("s", "p", "o")
+  }
+
+  /** LiteOntologyImporter analog over a PARSED ontology triple
+    * relation (reference LiteOntologyImporter.java:40-95): typed
+    * class/property meta-nodes (owl:Class → Class,
+    * owl:ObjectProperty → Relationship, owl:DatatypeProperty /
+    * rdf:Property → Property), named by rdfs:label with IRI
+    * local-name fallback. Composes with any of the five import
+    * formats — e.g. RdfXml.read(ontology file) feeds straight in.
+    */
+  def importLite(triples: DataFrame): DataFrame = {
+    val spark = triples.sparkSession
+    val kinds = spark.createDataFrame(Seq(
+      ("owl:Class", "Class"),
+      ("owl:ObjectProperty", "Relationship"),
+      ("owl:DatatypeProperty", "Property"),
+      ("rdf:Property", "Property"))).toDF("t", "kind")
+    val typed = triples.filter(col("p") === "rdf:type")
+      .select(col("s").as("uri"), col("o").as("t"))
+      .join(broadcast(kinds), "t")
+    val labels = triples.filter(col("p") === "rdfs:label")
+      .select(col("s").as("uri"), col("o").as("lbl"))
+    typed.join(labels, Seq("uri"), "left_outer")
+      .select(col("uri"), col("kind"),
+        coalesce(col("lbl"),
+          graft.rdf.UriFunctions.localName(col("uri"))).as("name"))
   }
 }

@@ -30,7 +30,8 @@ object TriG {
     */
   def parse(lines: DataFrame): DataFrame = {
     val l = regexp_replace(trim(col("line")), "^GRAPH[ \\t]+", "")
-    val quads = lines.select(l.as("line")).filter(col("line").endsWith("}"))
+    val quads = lines.select(l.as("line"))
+      .filter(col("line").endsWith("}") && instr(col("line"), "{") > 0)
     val inner = trim(regexp_replace(
       col("line").substr(instr(col("line"), "{") + lit(1), length(col("line"))),
       "\\}$", ""))

@@ -23,6 +23,22 @@ class InferenceSpec extends AnyFunSuite {
     assert(Closure.below(edges, "b").as[String].collect().toSet == Set("a", "b"))
   }
 
+  test("importLite types meta-nodes and falls back to local names") {
+    val t = Seq(
+      ("o:C1", "rdf:type", "owl:Class", Option.empty[Double], true, Option.empty[String]),
+      ("o:C1", "rdfs:label", "Customer Class", None, false, None),
+      ("o:p1", "rdf:type", "owl:ObjectProperty", None, true, None),
+      ("o:d1", "rdf:type", "owl:DatatypeProperty", None, true, None),
+      ("o:x", "rdf:type", "o:SomethingElse", None, true, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val got = Ontology.importLite(t)
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("o:C1", "Class", "Customer Class"),
+      ("o:p1", "Relationship", "p1"),
+      ("o:d1", "Property", "d1")))
+  }
+
   test("nodesInCategory walks the data-side category hierarchy") {
     val edges = Seq(
       ("catB", ":sub", "catA"), ("catC", ":sub", "catB"),

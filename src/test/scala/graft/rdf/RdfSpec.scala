@@ -93,6 +93,9 @@ class RdfSpec extends AnyFunSuite {
     assert(t.count() == 3)
     assert(t.filter($"g" === "").count() == 1)
     assert(t.filter($"g" === "g:y" && $"o" === "w").count() == 1)
+    // a brace-terminated line with no opening brace is malformed: drop
+    val bad = Seq("<g:z> <s:1> <:p> \"v\" . }").toDF("line")
+    assert(TriG.parse(bad).count() == 0)
   }
 
   test("Endpoint.describe returns the star plus incoming edges, all formats") {
