@@ -52,7 +52,10 @@ object Bench {
           case e: Throwable =>
             timings(name) = -1.0
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        } finally graft.pipeline.Dedup.releaseCaches()
+        } finally {
+          graft.pipeline.Dedup.releaseCaches()
+          graft.graphx.Analytics.releaseCaches()
+        }
       }
     }
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")

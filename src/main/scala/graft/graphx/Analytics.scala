@@ -110,6 +110,23 @@ object Analytics {
       .select(col("comp"), col("size"))
   }
 
+  /** Connected components over NUMERIC-id edges (src, dst): returns
+    * (id, comp) where comp is the component's minimum vertex id
+    * (GraphX's labeling — deterministic). Used by dedup cluster
+    * resolution, where doc ids are already longs and the min id is
+    * the canonical representative.
+    */
+  def componentsById(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val edgeRdd = track(edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))(
+      _.unpersist(blocking = false))
+    val g = track(Graph.fromEdges(edgeRdd, 0))(_.unpersist(blocking = false))
+    val cc = track(g.connectedComponents())(_.unpersist(blocking = false))
+    spark.createDataFrame(cc.vertices).toDF("id", "comp")
+  }
+
   /** Total triangle count (canonical edges required by GraphX). */
   def triangleTotal(spark: SparkSession, edges: DataFrame): DataFrame = {
     val canon = edges

@@ -210,6 +210,22 @@ object Dedup {
       .select(col("a"), col("b"), col("ham"))
   }
 
+  /** Duplicate-cluster resolution — the step that turns near-dup
+    * PAIRS into a dedup decision: connected components over the pair
+    * graph, every document mapped to its cluster's canonical (minimum)
+    * doc_id; documents with no duplicate map to themselves. Output
+    * (doc_id, canonical): keep rows where doc_id == canonical, drop
+    * the rest.
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = graft.graphx.Analytics.componentsById(docs.sparkSession,
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("canonical"))
+  }
+
   /** Vectors + their random-hyperplane sign code, persisted (the band
     * index and both verify sides reuse it).
     */

@@ -23,6 +23,10 @@ object PipelineQueries {
       Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosine(Tables.embeddings(s, dir))),
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusters(docs, Dedup.minhashLsh(docs))
+    }),
     // ---- §F similarity search --------------------------------------
     "ann_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryId = 0, k = 20)),
@@ -101,6 +105,32 @@ object PipelineQueries {
          |WHERE $ham <= 3""".stripMargin
   }
 
+  // minhash pair oracle, shared by dedup_minhash_lsh and the
+  // cluster-resolution oracle built on top of it
+  private val minhashPairsSql: String = {
+    val coeffs = (0 until 16).map { i =>
+      val (a, b) = Dedup.minhashCoeff(i); s"($i, $a, $b)"
+    }.mkString(", ")
+    s"""WITH $TOKS, $SH,
+       |coeffs(i, a, b) AS (SELECT * FROM (VALUES $coeffs)),
+       |bases AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS base
+       |          FROM sh),
+       |mhash AS (SELECT doc_id, i, min((a * base + b) % ${Dedup.MINHASH_P}) AS h
+       |          FROM bases, coeffs GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // 4 AS band,
+       |                 string_agg(h::VARCHAR, '_' ORDER BY i) AS key
+       |          FROM mhash GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y
+       |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |$SIZES, $SHARED
+       |SELECT cand.a, cand.b FROM cand
+       |JOIN shared ON shared.a = cand.a AND shared.b = cand.b
+       |JOIN sizes sa ON sa.doc_id = cand.a
+       |JOIN sizes sb ON sb.doc_id = cand.b
+       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, count(*) AS cnt FROM documents GROUP BY 1",
@@ -110,29 +140,20 @@ object PipelineQueries {
          |FROM shared JOIN sizes sa ON sa.doc_id = a
          |JOIN sizes sb ON sb.doc_id = b
          |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin,
-    "dedup_minhash_lsh" -> {
-      val coeffs = (0 until 16).map { i =>
-        val (a, b) = Dedup.minhashCoeff(i); s"($i, $a, $b)"
-      }.mkString(", ")
-      s"""WITH $TOKS, $SH,
-         |coeffs(i, a, b) AS (SELECT * FROM (VALUES $coeffs)),
-         |bases AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS base
-         |          FROM sh),
-         |mhash AS (SELECT doc_id, i, min((a * base + b) % ${Dedup.MINHASH_P}) AS h
-         |          FROM bases, coeffs GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, i // 4 AS band,
-         |                 string_agg(h::VARCHAR, '_' ORDER BY i) AS key
-         |          FROM mhash GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bands x JOIN bands y
-         |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |$SIZES, $SHARED
-         |SELECT cand.a, cand.b FROM cand
-         |JOIN shared ON shared.a = cand.a AND shared.b = cand.b
-         |JOIN sizes sa ON sa.doc_id = cand.a
-         |JOIN sizes sb ON sb.doc_id = cand.b
-         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7""".stripMargin
-    },
+    "dedup_minhash_lsh" -> minhashPairsSql,
+    // clusters: recursive reachability over the (deterministic)
+    // minhash pair graph; canonical = min reachable id (GraphX's CC
+    // labeling on the Spark side)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE mh AS ($minhashPairsSql),
+         |e(a, b) AS (SELECT a, b FROM mh UNION SELECT b, a FROM mh),
+         |r(a, b) AS (SELECT a, b FROM e
+         |            UNION
+         |            SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS canonical
+         |FROM documents d LEFT JOIN r ON r.a = d.doc_id
+         |GROUP BY d.doc_id""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b

@@ -73,6 +73,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dedup clusters map every doc to its component minimum") {
+    val dd = docs(1L -> "a", 2L -> "b", 3L -> "c", 5L -> "d", 7L -> "e", 9L -> "f")
+    val pairs = Seq((2L, 5L), (5L, 9L), (3L, 7L)).toDF("a", "b")
+    val got = Dedup.clusters(dd, pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 5L -> 2L, 7L -> 3L, 9L -> 2L))
+  }
+
   test("simhash of identical docs has hamming 0") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta")
     val pairs = Dedup.simhashPairs(d).as[(Long, Long, Int)].collect()
