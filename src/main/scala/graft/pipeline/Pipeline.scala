@@ -1,0 +1,33 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data preparation: the §E/§G operators composed
+  * into the pipeline a real corpus run executes — one declarative
+  * plan, so Catalyst sees (and optimizes) the whole flow instead of
+  * materialized stage boundaries.
+  */
+object Pipeline {
+
+  /** quality-filter → exact-dedup (keep the minimum doc_id per text
+    * hash) → token-window chunking, emitting compact chunk
+    * fingerprints. Shape notes: the quality filter is a narrow pass;
+    * the dedup keep-list is one hash aggregation; chunking explodes
+    * per-row. No driver-side loops, nothing quadratic.
+    */
+  def prepare(docs: DataFrame, minScore: Double = 0.5): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs)
+      .filter(col("score") >= minScore)
+      .select(col("doc_id"))
+    val keep = docs
+      .join(scored, Seq("doc_id"), "left_semi")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = docs.join(keep, Seq("doc_id"), "left_semi")
+    TextAnalysis.chunk(kept)
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+  }
+}

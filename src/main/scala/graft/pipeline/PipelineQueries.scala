@@ -52,6 +52,9 @@ object PipelineQueries {
       Multimodal.binaryFeatures(Tables.documents(s, dir))),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir))),
+    // composed end-to-end prep: quality filter → exact dedup → chunk
+    "pipeline_prepare" -> ((s, dir) =>
+      Pipeline.prepare(Tables.documents(s, dir))),
     // ---- §I events -------------------------------------------------
     "events_window_agg" -> ((s, dir) =>
       Events.windowAgg(Tables.events(s, dir))),
@@ -270,6 +273,29 @@ object PipelineQueries {
       """SELECT doc_id, i AS frame_idx, md5(substr(text, i * 64 + 1, 64)) AS frame_md5
         |FROM documents, UNNEST(range(0, length(text) // 64, 4)) AS t(i)
         |WHERE length(text) >= 64""".stripMargin,
+    "pipeline_prepare" ->
+      raw"""WITH x AS (SELECT doc_id, text,
+           |  string_split_regex(trim(lower(text)), '\s+') AS ltoks,
+           |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text)
+           |    AS punct_ratio
+           |FROM documents),
+           |y AS (SELECT doc_id, text, len(ltoks) * 1.0 AS n, punct_ratio,
+           |  len(list_filter(ltoks,
+           |      t -> list_contains(['the','a','and','of','in'], t))) * 1.0
+           |    / len(ltoks) AS stop_ratio
+           |FROM x),
+           |q AS (SELECT doc_id, text FROM y
+           |  WHERE least(1.0, n / 100.0) * (1.0 - punct_ratio)
+           |        * (1.0 - 0.5 * stop_ratio) >= 0.5),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+           |kept AS (SELECT d.doc_id, d.text FROM documents d
+           |         JOIN keep USING (doc_id)),
+           |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           |         FROM kept)
+           |SELECT doc_id, s // 48 AS chunk_idx,
+           |  md5(array_to_string(w[s + 1 : s + 64], ' ')) AS chunk_md5
+           |FROM toks, UNNEST(range(0, len(w), 48)) t(s)
+           |WHERE len(w) > 0""".stripMargin,
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |  count(*) AS cnt, round(sum(value), 6) AS sv

@@ -166,6 +166,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(c(4) == ((4L, "t9 t10", 2)))
   }
 
+  test("pipeline prepare filters, dedups, and chunks in one plan") {
+    val long = ("the data " * 60).trim
+    val d = docs(1L -> long, 2L -> long, 3L -> "!!! ??")
+    val out = Pipeline.prepare(d)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    // doc 2 is an exact dup of 1 (min id wins), doc 3 fails quality
+    assert(out == Set(1L))
+  }
+
   test("pii scrub redacts emails and long digit runs") {
     val d = docs(1L -> "contact a.b+c@mail.example.org or 12345678 now")
     val clean = TextAnalysis.piiScrub(d).select("clean").as[String].head()
