@@ -19,7 +19,8 @@ object SparkEntry {
     "graph_connected_components", "graph_pagerank",
     "dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce_topk",
     "ann_lsh_topk", "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "text_quality_score", "events_window_agg", "events_sessionize")
+    "text_quality_score", "pipeline_prepare",
+    "events_window_agg", "events_sessionize")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
