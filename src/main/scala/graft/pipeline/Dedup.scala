@@ -210,6 +210,17 @@ object Dedup {
       .select(col("a"), col("b"), col("ham"))
   }
 
+  /** Streaming twin of exact dedup: the first occurrence of each text
+    * hash is emitted immediately; later duplicates arriving within
+    * the watermark are dropped, and the per-hash state is evicted
+    * once the watermark passes — which is what bounds state on an
+    * unbounded corpus stream.
+    */
+  def exactStreaming(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Duplicate-cluster resolution — the step that turns near-dup
     * PAIRS into a dedup decision: connected components over the pair
     * graph, every document mapped to its cluster's canonical (minimum)

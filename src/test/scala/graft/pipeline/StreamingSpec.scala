@@ -61,6 +61,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter($"lang" === "en").count() == 1)
   }
 
+  test("streaming exact dedup drops in-watermark duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Dedup.exactStreaming(stream.toDF().toDF("ts", "text"))
+      .select("text")
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((ts(0), "aaa"), (ts(1), "bbb")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(2), "aaa"), (ts(3), "ccc")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_stream_test").as[String].collect()
+    assert(got.length == 3 && got.toSet == Set("aaa", "bbb", "ccc"))
+  }
+
   test("sessionizeStreaming closes sessions on gap and emits via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
