@@ -44,6 +44,15 @@ object Ast {
     * over any of the predicates (SPARQL alternation + OneOrMore).
     */
   final case class PathPlus(s: Term, preds: Seq[String], o: Term) extends Pattern
+  /** One step of a sequence path: a predicate, inverted when written
+    * `^p` (SPARQL InversePath).
+    */
+  final case class PathStep(pred: String, inverse: Boolean)
+  /** Sequence path `s p1/p2/… o` (SPARQL SequencePath, steps
+    * optionally inverse); compiles by desugaring into a BGP chain
+    * over fresh intermediate variables.
+    */
+  final case class PathSeq(s: Term, steps: Seq[PathStep], o: Term) extends Pattern
 
   sealed trait AggOp
   case object Count extends AggOp

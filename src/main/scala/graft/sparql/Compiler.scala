@@ -199,6 +199,19 @@ object Compiler {
       pad(ldf).unionByName(pad(rdf))
     case Join(l, r) =>
       joinOnVars(compilePattern(triples, l), compilePattern(triples, r))
+    case PathSeq(s, steps, o) =>
+      // desugar to the BGP chain s step1 ?__path1 . ?__path1 step2 … o
+      // (an inverse step swaps its pattern's endpoints); the fresh
+      // intermediate variables are dropped after the joins so they
+      // never reach projections or SELECT *
+      val terms: Seq[Term] =
+        s +: (1 until steps.size).map(i => Var(s"__path$i")) :+ o
+      val patterns = steps.zipWithIndex.map { case (st, i) =>
+        if (st.inverse) TriplePattern(terms(i + 1), Iri(st.pred), terms(i))
+        else TriplePattern(terms(i), Iri(st.pred), terms(i + 1))
+      }
+      val df = compileBgp(triples, patterns)
+      df.drop(df.columns.filter(_.startsWith("__path")): _*)
     case PathPlus(s, preds, o) =>
       // one-or-more hops over the predicate slice. A constant endpoint
       // seeds a frontier BFS (touches only the reachable neighborhood);

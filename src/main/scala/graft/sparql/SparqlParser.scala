@@ -77,6 +77,22 @@ object SparqlParser extends RegexParsers {
       case s ~ preds ~ o => GroupOrUnionElem(PathPlus(s, preds.map(_.value), o))
     }
 
+  /** Sequence path triple: `term step/step/… term .` where a step is
+    * `p` or `^p`. A single non-inverse step backtracks to the plain
+    * triple rule.
+    */
+  private def pathStep: Parser[PathStep] =
+    opt("^") ~ (iriRef | pname | rdfTypeKw) ^^ {
+      case inv ~ p => PathStep(p.value, inv.isDefined)
+    }
+  private def seqPathTriple: Parser[GroupElem] =
+    term ~ rep1sep(pathStep, "/") ~ term <~ opt(".") >> {
+      case s ~ steps ~ o =>
+        if (steps.size == 1 && !steps.head.inverse)
+          failure("single plain step is an ordinary triple")
+        else success(GroupOrUnionElem(PathSeq(s, steps, o)))
+    }
+
   private def optionalElem: Parser[GroupElem] =
     "(?i)OPTIONAL".r ~> groupGraphPattern ^^ OptionalElem.apply
   private def groupOrUnion: Parser[GroupElem] =
@@ -84,7 +100,7 @@ object SparqlParser extends RegexParsers {
       GroupOrUnionElem(gs.reduceLeft(Union.apply)))
 
   private def groupElem: Parser[GroupElem] =
-    filterElem | optionalElem | pathTriple | groupOrUnion |
+    filterElem | optionalElem | pathTriple | seqPathTriple | groupOrUnion |
       (triplesSameSubject ^^ TriplesElem.apply)
 
   private def groupGraphPattern: Parser[Pattern] =

@@ -176,6 +176,16 @@ object SparqlQueries {
           |} ORDER BY DESC(?b) ASC(?c) LIMIT 25""".stripMargin
       run(s, dir, SparqlParser.parse(text), numericVars = Seq("b"))
     },
+    // sequence path (p1/p2 with fresh intermediates) through the
+    // textual parser — customers' region names in one path expression
+    "sparql_path_seq" -> { (s, dir) =>
+      val text =
+        """SELECT ?c ?n WHERE {
+          |  ?c a :Customer .
+          |  ?c :hasNation/:inRegion/:name ?n .
+          |}""".stripMargin
+      run(s, dir, SparqlParser.parse(text))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -250,5 +260,10 @@ object SparqlQueries {
         |FROM customer
         |WHERE c_acctbal >= 9000 AND c_mktsegment != 'MACHINERY'
         |ORDER BY b DESC, c ASC LIMIT 25""".stripMargin,
+    "sparql_path_seq" ->
+      """SELECT 'cust:'||c_custkey AS c, r_name AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
   )
 }

@@ -48,6 +48,28 @@ class CompilerSpec extends AnyFunSuite {
       Seq("40", "30"))
   }
 
+  test("sequence paths chain hops; inverse steps flip direction") {
+    // forward 2-step: ?x :knows/:name ?n
+    val fwd = SelectQuery(
+      where = PathSeq(v("x"),
+        Seq(PathStep(":knows", inverse = false), PathStep(":name", inverse = false)),
+        v("n")),
+      projection = Seq("x", "n"))
+    assert(Compiler.run(triples, fwd).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == Set(("p:1", "bob")))
+    // single inverse step: ?y ^:knows ?x  ==  ?x :knows ?y
+    val inv = SelectQuery(
+      where = PathSeq(v("y"), Seq(PathStep(":knows", inverse = true)), v("x")),
+      projection = Seq("y", "x"))
+    assert(Compiler.run(triples, inv).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == Set(("p:2", "p:1")))
+    // intermediates never leak into SELECT *
+    val star = SelectQuery(where = PathSeq(v("x"),
+      Seq(PathStep(":knows", inverse = false), PathStep(":name", inverse = false)),
+      v("n")))
+    assert(Compiler.run(triples, star).columns.toSet == Set("x", "n"))
+  }
+
   test("NOT EXISTS with variable-disjoint pattern keeps/drops whole side") {
     // disconnected non-empty pattern => all rows dropped
     val q = SelectQuery(

@@ -49,6 +49,18 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(preds == Seq(":hasNation", ":inRegion"))
   }
 
+  test("parses sequence and inverse paths into PathSeq") {
+    val q = SparqlParser.parse(
+      "SELECT ?x ?n WHERE { ?x :knows/^:likes/:name ?n . ?x a :Person . }")
+    val Join(PathSeq(Var("x"), steps, Var("n")), Bgp(_)) = q.where: @unchecked
+    assert(steps == Seq(PathStep(":knows", false), PathStep(":likes", true),
+      PathStep(":name", false)))
+    // a single plain step stays an ordinary triple pattern
+    val plain = SparqlParser.parse("SELECT ?x WHERE { ?x :knows ?y . }")
+    assert(plain.where == Bgp(Seq(
+      TriplePattern(Var("x"), Iri(":knows"), Var("y")))))
+  }
+
   test("string literals keep leading whitespace and '#'") {
     val q = SparqlParser.parse(
       """SELECT ?x WHERE { ?x :name ?n . FILTER(?n = " # BUILDING") }""")
