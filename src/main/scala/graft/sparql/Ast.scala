@@ -53,6 +53,10 @@ object Ast {
     * over fresh intermediate variables.
     */
   final case class PathSeq(s: Term, steps: Seq[PathStep], o: Term) extends Pattern
+  /** Inline binding `VALUES ?v { const… }` (single-variable subset):
+    * joins the group against the constant list.
+    */
+  final case class ValuesPattern(v: Var, values: Seq[Term]) extends Pattern
 
   sealed trait AggOp
   case object Count extends AggOp

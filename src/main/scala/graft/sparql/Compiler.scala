@@ -199,6 +199,18 @@ object Compiler {
       pad(ldf).unionByName(pad(rdf))
     case Join(l, r) =>
       joinOnVars(compilePattern(triples, l), compilePattern(triples, r))
+    case ValuesPattern(v, values) =>
+      // constant inline-binding table: lexical column + numeric
+      // companion (so VALUES over numbers composes with numeric
+      // FILTER/aggregation); always broadcast-sized
+      val rows = values.map {
+        case Iri(x) => (x, Option.empty[Double])
+        case Lit(lex, num) => (lex, num)
+        case Var(_) =>
+          throw new IllegalArgumentException("VALUES entries must be constants")
+      }
+      triples.sparkSession.createDataFrame(rows)
+        .toDF(v.name, numCol(v.name))
     case PathSeq(s, steps, o) =>
       // desugar to the BGP chain s step1 ?__path1 . ?__path1 step2 … o
       // (an inverse step swaps its pattern's endpoints); the fresh

@@ -95,13 +95,17 @@ object SparqlParser extends RegexParsers {
 
   private def optionalElem: Parser[GroupElem] =
     "(?i)OPTIONAL".r ~> groupGraphPattern ^^ OptionalElem.apply
+  private def valuesElem: Parser[GroupElem] =
+    "(?i)VALUES".r ~> varTerm ~ ("{" ~> rep1(iriRef | pname | numLit | strLit) <~ "}") ^^ {
+      case v ~ vals => GroupOrUnionElem(ValuesPattern(v, vals))
+    }
   private def groupOrUnion: Parser[GroupElem] =
     rep1sep(groupGraphPattern, "(?i)UNION".r) ^^ (gs =>
       GroupOrUnionElem(gs.reduceLeft(Union.apply)))
 
   private def groupElem: Parser[GroupElem] =
-    filterElem | optionalElem | pathTriple | seqPathTriple | groupOrUnion |
-      (triplesSameSubject ^^ TriplesElem.apply)
+    filterElem | optionalElem | valuesElem | pathTriple | seqPathTriple |
+      groupOrUnion | (triplesSameSubject ^^ TriplesElem.apply)
 
   private def groupGraphPattern: Parser[Pattern] =
     "{" ~> rep(groupElem) <~ "}" ^^ assemble

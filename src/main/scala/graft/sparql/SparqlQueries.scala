@@ -176,6 +176,15 @@ object SparqlQueries {
           |} ORDER BY DESC(?b) ASC(?c) LIMIT 25""".stripMargin
       run(s, dir, SparqlParser.parse(text), numericVars = Seq("b"))
     },
+    // VALUES inline binding joined against the group
+    "sparql_values" -> { (s, dir) =>
+      val text =
+        """SELECT ?c ?m WHERE {
+          |  ?c :mktsegment ?m .
+          |  VALUES ?m { "BUILDING" "MACHINERY" }
+          |}""".stripMargin
+      run(s, dir, SparqlParser.parse(text))
+    },
     // sequence path (p1/p2 with fresh intermediates) through the
     // textual parser — customers' region names in one path expression
     "sparql_path_seq" -> { (s, dir) =>
@@ -260,6 +269,9 @@ object SparqlQueries {
         |FROM customer
         |WHERE c_acctbal >= 9000 AND c_mktsegment != 'MACHINERY'
         |ORDER BY b DESC, c ASC LIMIT 25""".stripMargin,
+    "sparql_values" ->
+      """SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin,
     "sparql_path_seq" ->
       """SELECT 'cust:'||c_custkey AS c, r_name AS n
         |FROM customer

@@ -70,6 +70,17 @@ class CompilerSpec extends AnyFunSuite {
     assert(Compiler.run(triples, star).columns.toSet == Set("x", "n"))
   }
 
+  test("VALUES joins the group against the inline constants") {
+    val q = SparqlParser.parse(
+      """SELECT ?x ?n WHERE { ?x :name ?n . VALUES ?n { "ann" "zed" } }""")
+    assert(Compiler.run(triples, q).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == Set(("p:1", "ann")))
+    // numeric VALUES carries the numeric companion into filters
+    val qn = SparqlParser.parse(
+      "SELECT ?x WHERE { ?x :age ?a . VALUES ?a { 30 99 } FILTER(?a <= 35) }")
+    assert(Compiler.run(triples, qn).collect().map(_.getString(0)).toSeq == Seq("p:1"))
+  }
+
   test("NOT EXISTS with variable-disjoint pattern keeps/drops whole side") {
     // disconnected non-empty pattern => all rows dropped
     val q = SelectQuery(
