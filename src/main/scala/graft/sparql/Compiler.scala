@@ -258,6 +258,34 @@ object Compiler {
       df.select(out.result(): _*)
   }
 
+  /** ASK query form: one row, one boolean column. The underlying
+    * check is limit-1 short-circuited (isEmpty), so the match scan
+    * stops at the first solution at any scale.
+    */
+  def ask(triples: DataFrame, where: Pattern): DataFrame = {
+    val nonEmpty = !compilePattern(triples, where).isEmpty
+    triples.sparkSession.createDataFrame(Seq(Tuple1(nonEmpty))).toDF("ask")
+  }
+
+  /** CONSTRUCT query form: instantiate the template for every
+    * solution, union the per-template slices, and emit the resulting
+    * GRAPH as a set of (s, p, o) rows (term-typing columns are not
+    * reconstructable from lexical bindings — documented subset).
+    */
+  def construct(triples: DataFrame, template: Seq[TriplePattern],
+                where: Pattern): DataFrame = {
+    val df = compilePattern(triples, where)
+    def termCol(t: Term): Column = t match {
+      case Var(n) => col(n)
+      case Iri(x) => lit(x)
+      case Lit(lex, _) => lit(lex)
+    }
+    template.map(tp => df.select(termCol(tp.s).as("s"),
+        termCol(tp.p).as("p"), termCol(tp.o).as("o")))
+      .reduce(_.unionAll(_))
+      .distinct()
+  }
+
   /** Full SELECT pipeline: where → group/aggregate → order → project →
     * distinct → slice. Output columns are the projected variable names
     * (lexical strings) and aggregate aliases (typed).

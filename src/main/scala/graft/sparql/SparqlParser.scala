@@ -194,7 +194,7 @@ object SparqlParser extends RegexParsers {
           limit = limit.getOrElse(-1L))
     }
 
-  def parse(text: String): SelectQuery = parseAll(selectQuery, text) match {
+  private def finish[T](res: ParseResult[T]): T = res match {
     case Success(q, _) => q
     case NoSuccess(msg, rest) =>
       throw new IllegalArgumentException(
@@ -202,4 +202,19 @@ object SparqlParser extends RegexParsers {
     case other =>
       throw new IllegalArgumentException(s"SPARQL parse error: $other")
   }
+
+  def parse(text: String): SelectQuery = finish(parseAll(selectQuery, text))
+
+  /** ASK query form: the group pattern whose non-emptiness is the
+    * answer.
+    */
+  def parseAsk(text: String): Pattern =
+    finish(parseAll("(?i)ASK".r ~> groupGraphPattern, text))
+
+  /** CONSTRUCT query form: (template triples, where pattern). */
+  def parseConstruct(text: String): (Seq[TriplePattern], Pattern) =
+    finish(parseAll(
+      "(?i)CONSTRUCT".r ~> bgpOnly ~ ("(?i)WHERE".r ~> groupGraphPattern) ^^ {
+        case tmpl ~ where => (tmpl, where)
+      }, text))
 }

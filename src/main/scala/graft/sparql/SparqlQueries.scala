@@ -176,6 +176,23 @@ object SparqlQueries {
           |} ORDER BY DESC(?b) ASC(?c) LIMIT 25""".stripMargin
       run(s, dir, SparqlParser.parse(text), numericVars = Seq("b"))
     },
+    // ASK query form: limit-1 short-circuited existence check
+    "sparql_ask" -> { (s, dir) =>
+      val yes = Compiler.ask(TripleStore.triples(s, dir), SparqlParser.parseAsk(
+        "ASK { ?c a :Customer . ?c :acctbal ?b . FILTER(?b >= 0) }"))
+        .withColumnRenamed("ask", "ask_pos")
+      val no = Compiler.ask(TripleStore.triples(s, dir), SparqlParser.parseAsk(
+        """ASK { ?c :mktsegment "NO_SUCH_SEGMENT" }"""))
+        .withColumnRenamed("ask", "ask_neg")
+      yes.crossJoin(no)
+    },
+    // CONSTRUCT query form: template instantiated per solution
+    "sparql_construct" -> { (s, dir) =>
+      val (tmpl, where) = SparqlParser.parseConstruct(
+        """CONSTRUCT { ?c :inSegment ?m . ?c a :Client }
+          |WHERE { ?c a :Customer ; :mktsegment ?m . }""".stripMargin)
+      Compiler.construct(TripleStore.triples(s, dir), tmpl, where)
+    },
     // VALUES inline binding joined against the group
     "sparql_values" -> { (s, dir) =>
       val text =
@@ -272,6 +289,15 @@ object SparqlQueries {
     "sparql_values" ->
       """SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m
         |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin,
+    "sparql_ask" ->
+      """SELECT EXISTS(SELECT 1 FROM customer WHERE c_acctbal >= 0) AS ask_pos,
+        |       EXISTS(SELECT 1 FROM customer
+        |              WHERE c_mktsegment = 'NO_SUCH_SEGMENT') AS ask_neg""".stripMargin,
+    "sparql_construct" ->
+      """SELECT 'cust:'||c_custkey AS s, ':inSegment' AS p, c_mktsegment AS o
+        |FROM customer
+        |UNION ALL
+        |SELECT 'cust:'||c_custkey, 'rdf:type', ':Client' FROM customer""".stripMargin,
     "sparql_path_seq" ->
       """SELECT 'cust:'||c_custkey AS c, r_name AS n
         |FROM customer

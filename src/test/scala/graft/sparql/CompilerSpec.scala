@@ -70,6 +70,18 @@ class CompilerSpec extends AnyFunSuite {
     assert(Compiler.run(triples, star).columns.toSet == Set("x", "n"))
   }
 
+  test("ASK short-circuits to a boolean; CONSTRUCT instantiates templates") {
+    assert(Compiler.ask(triples, SparqlParser.parseAsk(
+      "ASK { ?x :age ?a . FILTER(?a > 35) }")).head().getBoolean(0))
+    assert(!Compiler.ask(triples, SparqlParser.parseAsk(
+      "ASK { ?x :age ?a . FILTER(?a > 99) }")).head().getBoolean(0))
+    val (tmpl, where) = SparqlParser.parseConstruct(
+      "CONSTRUCT { ?x :called ?n } WHERE { ?x :name ?n . }")
+    val got = Compiler.construct(triples, tmpl, where).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("p:1", ":called", "ann"), ("p:2", ":called", "bob")))
+  }
+
   test("VALUES joins the group against the inline constants") {
     val q = SparqlParser.parse(
       """SELECT ?x ?n WHERE { ?x :name ?n . VALUES ?n { "ann" "zed" } }""")
