@@ -25,6 +25,10 @@ object Ast {
   case object Gt extends CmpOp
   case object Ge extends CmpOp
   final case class Cmp(op: CmpOp, v: Var, value: Lit) extends Expr
+  /** `LANG(?v) = "tag"` / `LANG(?v) != "tag"`; a plain literal's
+    * language is the empty string per the SPARQL lang() builtin.
+    */
+  final case class LangCmp(eq: Boolean, v: Var, tag: String) extends Expr
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
   final case class Exists(patterns: Seq[TriplePattern]) extends Expr

@@ -25,9 +25,15 @@ import Ast._
 object Compiler {
 
   private val NUM = "__num"
+  private val LANG = "__lang"
 
   def isNumCol(c: String): Boolean = c.endsWith(NUM)
   def numCol(v: String): String = v + NUM
+  def langCol(v: String): String = v + LANG
+  /** Hidden companion columns (numeric value / language tag) that ride
+    * beside a variable's lexical column and never join or project.
+    */
+  def isCompanion(c: String): Boolean = c.endsWith(NUM) || c.endsWith(LANG)
 
   /** One triple pattern → filtered projection of the triple table. */
   private def patternDf(triples: DataFrame, tp: TriplePattern): DataFrame = {
@@ -68,7 +74,10 @@ object Compiler {
       case Var(n) if !seen(n) =>
         seen += n
         out += col(position).as(n)
-        if (withNum) out += col("o_num").as(numCol(n))
+        if (withNum) {
+          out += col("o_num").as(numCol(n))
+          out += col("lang").as(langCol(n))
+        }
       case _ => ()
     }
     emit("s", tp.s, withNum = false)
@@ -113,8 +122,8 @@ object Compiler {
     * numeric companions are dropped (equal by construction).
     */
   private def joinOnVars(acc: DataFrame, next: DataFrame, joinType: String = "inner"): DataFrame = {
-    val shared = acc.columns.intersect(next.columns).filterNot(isNumCol)
-    val dupNums = acc.columns.intersect(next.columns).filter(isNumCol)
+    val shared = acc.columns.intersect(next.columns).filterNot(isCompanion)
+    val dupNums = acc.columns.intersect(next.columns).filter(isCompanion)
     val r = next.drop(dupNums: _*)
     if (shared.nonEmpty) acc.join(r, shared.toSeq, joinType)
     else joinType match {
@@ -166,6 +175,14 @@ object Compiler {
           case Ge => c >= l
         }
       }
+    case LangCmp(eq, v, tag) =>
+      // lang() of a non-literal binding is a SPARQL type error, which
+      // FILTER treats as false; a plain literal's language is ""
+      if (!df.columns.contains(langCol(v.name))) lit(false)
+      else {
+        val l = coalesce(col(langCol(v.name)), lit(""))
+        if (eq) l === tag else l =!= tag
+      }
     case And(a, b) => exprColumn(df, a) && exprColumn(df, b)
     case Or(a, b) => exprColumn(df, a) || exprColumn(df, b)
     case _: Exists | _: NotExists =>
@@ -186,7 +203,7 @@ object Compiler {
       val joined = joinOnVars(ldf, rdf, "left_outer")
       // reference fills unmatched OPTIONAL vars with constant "N/A"
       // (SparqlToGremlinCompiler.java:122)
-      val optOnly = rdf.columns.filterNot(isNumCol).diff(ldf.columns)
+      val optOnly = rdf.columns.filterNot(isCompanion).diff(ldf.columns)
       optOnly.foldLeft(joined)((df, c) => df.withColumn(c, coalesce(col(c), lit("N/A"))))
     case Union(l, r) =>
       val ldf = compilePattern(triples, l)
@@ -327,7 +344,7 @@ object Compiler {
     // then slice, then drop the helper columns.
     val projCols: Seq[String] =
       if (q.projection.nonEmpty) q.projection
-      else df.columns.filterNot(isNumCol).toSeq
+      else df.columns.filterNot(isCompanion).toSeq
     val sortExtras =
       if (q.distinct) Seq.empty
       else q.orderBy.map(_._1).filterNot(projCols.contains)

@@ -49,7 +49,11 @@ object SparqlParser extends RegexParsers {
     "!=" ^^^ Ne | "<=" ^^^ Le | ">=" ^^^ Ge | "=" ^^^ Eq | "<" ^^^ Lt | ">" ^^^ Gt
   private def cmp: Parser[Expr] =
     varTerm ~ cmpOp ~ (numLit | strLit) ^^ { case v ~ op ~ l => Cmp(op, v, l) }
-  private def primaryExpr: Parser[Expr] = ("(" ~> orExpr <~ ")") | cmp
+  private def langCmp: Parser[Expr] =
+    ("(?i)LANG".r ~> "(" ~> varTerm <~ ")") ~ ("!=" | "=") ~ strLit ^^ {
+      case v ~ op ~ tag => LangCmp(op == "=", v, tag.lexical)
+    }
+  private def primaryExpr: Parser[Expr] = ("(" ~> orExpr <~ ")") | langCmp | cmp
   private def andExpr: Parser[Expr] =
     rep1sep(primaryExpr, "&&") ^^ (_.reduceLeft(And.apply))
   private def orExpr: Parser[Expr] =

@@ -176,6 +176,12 @@ object SparqlQueries {
           |} ORDER BY DESC(?b) ASC(?c) LIMIT 25""".stripMargin
       run(s, dir, SparqlParser.parse(text), numericVars = Seq("b"))
     },
+    // query-time language filter (the reference only filters language
+    // at import time) — lang() over the hidden language companion
+    "sparql_lang_filter" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?n ?c WHERE { ?n :comment ?c . FILTER(LANG(?c) = "en") }"""))
+    },
     // ASK query form: limit-1 short-circuited existence check
     "sparql_ask" -> { (s, dir) =>
       val yes = Compiler.ask(TripleStore.triples(s, dir), SparqlParser.parseAsk(
@@ -289,6 +295,9 @@ object SparqlQueries {
     "sparql_values" ->
       """SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m
         |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin,
+    "sparql_lang_filter" ->
+      """SELECT 'nat:'||n_nationkey AS n, n_name||' comment' AS c
+        |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin,
     "sparql_ask" ->
       """SELECT EXISTS(SELECT 1 FROM customer WHERE c_acctbal >= 0) AS ask_pos,
         |       EXISTS(SELECT 1 FROM customer

@@ -70,6 +70,25 @@ class CompilerSpec extends AnyFunSuite {
     assert(Compiler.run(triples, star).columns.toSet == Set("x", "n"))
   }
 
+  test("LANG() filters tagged literals; plain literals are ''; IRIs error") {
+    val t = Seq(
+      ("x:1", ":label", "chat", Option.empty[Double], false, Some("fr")),
+      ("x:2", ":label", "cat", None, false, Some("en")),
+      ("x:3", ":label", "plain", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    def q(text: String) =
+      Compiler.run(t, SparqlParser.parse(text)).collect().map(_.getString(0)).toSet
+    assert(q("""SELECT ?s WHERE { ?s :label ?l . FILTER(LANG(?l) = "fr") }""")
+      == Set("x:1"))
+    assert(q("""SELECT ?s WHERE { ?s :label ?l . FILTER(LANG(?l) != "fr") }""")
+      == Set("x:2", "x:3"))
+    assert(q("""SELECT ?s WHERE { ?s :label ?l . FILTER(LANG(?l) = "") }""")
+      == Set("x:3"))
+    // lang() of a subject-position (IRI) binding is a type error -> false
+    assert(q("""SELECT ?s WHERE { ?s :label ?l . FILTER(LANG(?s) = "fr") }""")
+      == Set.empty)
+  }
+
   test("ASK short-circuits to a boolean; CONSTRUCT instantiates templates") {
     assert(Compiler.ask(triples, SparqlParser.parseAsk(
       "ASK { ?x :age ?a . FILTER(?a > 35) }")).head().getBoolean(0))
