@@ -130,9 +130,15 @@ object RdfXml {
       .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
   }
 
+  /** XML-escape markup chars plus whitespace the parser would
+    * otherwise normalize away: bare CR becomes LF in text content,
+    * and tabs/newlines collapse to spaces inside attribute values —
+    * numeric character references survive both.
+    */
   private def xmlEsc(v: String): String =
     v.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
+      .replace("\r", "&#13;").replace("\n", "&#10;").replace("\t", "&#9;")
 
   /** Serialize a BOUNDED triple slice as one RDF/XML document string
     * (driver-side assembly — endpoint responses and ontology exports;

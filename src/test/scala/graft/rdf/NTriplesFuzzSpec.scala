@@ -68,6 +68,20 @@ class NTriplesFuzzSpec extends AnyFunSuite {
     assert(back == want)
   }
 
+  test("RDF/XML round-trips fuzzed literals exactly") {
+    import spark.implicits._
+    val samples = Gen.listOfN(120, literal).sample.get.distinct
+    val df = samples.zipWithIndex
+      .map { case (text, i) =>
+        (s"s:$i", ":p", text, Option.empty[Double], false, Option.empty[String])
+      }
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val back = RdfXml.parse(spark, RdfXml.formatString(df))
+      .select("s", "o").as[(String, String)].collect().toMap
+    val want = samples.zipWithIndex.map { case (t, i) => s"s:$i" -> t }.toMap
+    assert(back == want)
+  }
+
   test("JSON-LD round-trips fuzzed literals exactly") {
     import spark.implicits._
     val samples = Gen.listOfN(150, literal).sample.get.distinct
