@@ -57,10 +57,11 @@ object Ast {
     * over fresh intermediate variables.
     */
   final case class PathSeq(s: Term, steps: Seq[PathStep], o: Term) extends Pattern
-  /** Inline binding `VALUES ?v { const… }` (single-variable subset):
-    * joins the group against the constant list.
+  /** Inline bindings `VALUES ?v { const… }` /
+    * `VALUES (?a ?b) { (c1 c2) … }`: joins the group against the
+    * constant table. Every row arity must match the variable list.
     */
-  final case class ValuesPattern(v: Var, values: Seq[Term]) extends Pattern
+  final case class ValuesPattern(vars: Seq[Var], rows: Seq[Seq[Term]]) extends Pattern
 
   sealed trait AggOp
   case object Count extends AggOp

@@ -216,18 +216,25 @@ object Compiler {
       pad(ldf).unionByName(pad(rdf))
     case Join(l, r) =>
       joinOnVars(compilePattern(triples, l), compilePattern(triples, r))
-    case ValuesPattern(v, values) =>
-      // constant inline-binding table: lexical column + numeric
-      // companion (so VALUES over numbers composes with numeric
-      // FILTER/aggregation); always broadcast-sized
-      val rows = values.map {
-        case Iri(x) => (x, Option.empty[Double])
-        case Lit(lex, num) => (lex, num)
-        case Var(_) =>
-          throw new IllegalArgumentException("VALUES entries must be constants")
+    case ValuesPattern(vs, valueRows) =>
+      // constant inline-binding table: per variable a lexical column +
+      // numeric companion (so VALUES over numbers composes with
+      // numeric FILTER/aggregation); always broadcast-sized
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+      val schema = StructType(vs.flatMap(v => Seq(
+        StructField(v.name, StringType, nullable = false),
+        StructField(numCol(v.name), DoubleType, nullable = true))))
+      val rows: java.util.List[Row] = new java.util.ArrayList[Row]
+      valueRows.foreach { r =>
+        rows.add(Row.fromSeq(r.flatMap {
+          case Iri(x) => Seq(x, null)
+          case Lit(lex, num) => Seq(lex, num.map(Double.box).orNull)
+          case Var(_) =>
+            throw new IllegalArgumentException("VALUES entries must be constants")
+        }))
       }
-      triples.sparkSession.createDataFrame(rows)
-        .toDF(v.name, numCol(v.name))
+      triples.sparkSession.createDataFrame(rows, schema)
     case PathSeq(s, steps, o) =>
       // desugar to the BGP chain s step1 ?__path1 . ?__path1 step2 … o
       // (an inverse step swaps its pattern's endpoints); the fresh

@@ -99,10 +99,21 @@ object SparqlParser extends RegexParsers {
 
   private def optionalElem: Parser[GroupElem] =
     "(?i)OPTIONAL".r ~> groupGraphPattern ^^ OptionalElem.apply
+  private def valuesConst: Parser[Term] = iriRef | pname | numLit | strLit
   private def valuesElem: Parser[GroupElem] =
-    "(?i)VALUES".r ~> varTerm ~ ("{" ~> rep1(iriRef | pname | numLit | strLit) <~ "}") ^^ {
-      case v ~ vals => GroupOrUnionElem(ValuesPattern(v, vals))
-    }
+    "(?i)VALUES".r ~> (
+      // multi-var form: VALUES (?a ?b) { (c1 c2) … }
+      ("(" ~> rep1(varTerm) <~ ")") ~
+        ("{" ~> rep1("(" ~> rep1(valuesConst) <~ ")") <~ "}") >> {
+        case vs ~ rows =>
+          if (rows.exists(_.size != vs.size))
+            failure(s"VALUES row arity must be ${vs.size}")
+          else success(GroupOrUnionElem(ValuesPattern(vs, rows)))
+      } |
+      // single-var form: VALUES ?v { c… }
+      varTerm ~ ("{" ~> rep1(valuesConst) <~ "}") ^^ {
+        case v ~ vals => GroupOrUnionElem(ValuesPattern(Seq(v), vals.map(Seq(_))))
+      })
   private def groupOrUnion: Parser[GroupElem] =
     rep1sep(groupGraphPattern, "(?i)UNION".r) ^^ (gs =>
       GroupOrUnionElem(gs.reduceLeft(Union.apply)))

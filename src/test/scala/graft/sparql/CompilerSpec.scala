@@ -110,6 +110,13 @@ class CompilerSpec extends AnyFunSuite {
     val qn = SparqlParser.parse(
       "SELECT ?x WHERE { ?x :age ?a . VALUES ?a { 30 99 } FILTER(?a <= 35) }")
     assert(Compiler.run(triples, qn).collect().map(_.getString(0)).toSeq == Seq("p:1"))
+    // multi-var form constrains variable COMBINATIONS, not columns
+    val qm = SparqlParser.parse(
+      """SELECT ?x WHERE { ?x :name ?n ; :age ?a .
+        |  VALUES (?n ?a) { ("ann" 30) ("bob" 99) } }""".stripMargin)
+    assert(Compiler.run(triples, qm).collect().map(_.getString(0)).toSeq == Seq("p:1"))
+    intercept[IllegalArgumentException](SparqlParser.parse(
+      """SELECT ?x WHERE { VALUES (?a ?b) { ("one") } }"""))
   }
 
   test("NOT EXISTS with variable-disjoint pattern keeps/drops whole side") {
