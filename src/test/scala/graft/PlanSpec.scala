@@ -57,6 +57,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), "describe must read the persisted store")
   }
 
+  test("pipeline_prepare: filters evaluate on the scan, keeps semi-join") {
+    val p = plan("pipeline_prepare")
+    assert(p.contains("LeftSemi"), "keep-list must apply as a semi-join")
+    assert(!p.contains("SortMergeJoin"),
+      "doc-id keep joins should broadcast at this scale")
+  }
+
   test("facade: textual SPARQL end-to-end") {
     val df = Graft.sparql(spark, dir,
       """SELECT ?c ?b WHERE { ?c a :Customer ; :acctbal ?b . FILTER(?b >= 0) }""")
