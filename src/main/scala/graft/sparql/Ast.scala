@@ -70,7 +70,12 @@ object Ast {
   case object Min extends AggOp
   case object Sum extends AggOp
   case object Avg extends AggOp
-  final case class Agg(op: AggOp, v: Option[Var], alias: String)
+  /** GROUP_CONCAT — values sorted before joining, so the result is
+    * deterministic under distributed, order-free aggregation.
+    */
+  case object GroupConcat extends AggOp
+  final case class Agg(op: AggOp, v: Option[Var], alias: String,
+                       sep: String = " ")
 
   final case class SelectQuery(
       where: Pattern,

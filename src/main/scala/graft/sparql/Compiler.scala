@@ -318,7 +318,7 @@ object Compiler {
     var df = compilePattern(triples, q.where)
 
     if (q.aggregates.nonEmpty) {
-      val aggCols = q.aggregates.map { case Agg(op, v, alias) =>
+      val aggCols = q.aggregates.map { case Agg(op, v, alias, sep) =>
         def numOrLex(name: String): Column =
           if (df.columns.contains(numCol(name))) col(numCol(name)) else col(name)
         def numOnly(name: String, what: String): Column = {
@@ -335,6 +335,10 @@ object Compiler {
           case Min => min(numOrLex(varOf("MIN").name))
           case Sum => sum(numOnly(varOf("SUM").name, "SUM"))
           case Avg => avg(numOnly(varOf("AVG").name, "AVG"))
+          case GroupConcat =>
+            // sort before joining: collect_list order is partition-
+            // dependent, the sorted join is deterministic anywhere
+            array_join(array_sort(collect_list(col(varOf("GROUP_CONCAT").name))), sep)
         }
         c.as(alias)
       }

@@ -159,13 +159,15 @@ object SparqlParser extends RegexParsers {
   private case class AggSel(agg: Agg) extends Selector
 
   private def aggOp: Parser[AggOp] =
-    "(?i)COUNT".r ^^^ Count | "(?i)SUM".r ^^^ Sum |
-    "(?i)AVG".r ^^^ Avg | "(?i)MAX".r ^^^ Max | "(?i)MIN".r ^^^ Min
+    "(?i)GROUP_CONCAT".r ^^^ GroupConcat | "(?i)COUNT".r ^^^ Count |
+    "(?i)SUM".r ^^^ Sum | "(?i)AVG".r ^^^ Avg |
+    "(?i)MAX".r ^^^ Max | "(?i)MIN".r ^^^ Min
 
   private def aggSel: Parser[Selector] =
-    "(" ~> aggOp ~ ("(" ~> opt("(?i)DISTINCT".r) ~ (varTerm ^^ Some.apply | "*" ^^^ None) <~ ")") ~
+    "(" ~> aggOp ~ ("(" ~> opt("(?i)DISTINCT".r) ~ (varTerm ^^ Some.apply | "*" ^^^ None) ~
+      opt(";" ~> "(?i)SEPARATOR".r ~> "=" ~> strLit) <~ ")") ~
       ("(?i)AS".r ~> varTerm) <~ ")" >> {
-      case op ~ (dist ~ v) ~ alias =>
+      case op ~ (dist ~ v ~ sep) ~ alias =>
         val realOp = (op, dist.isDefined) match {
           case (Count, true) => CountDistinct
           case (o, _) => o
@@ -173,7 +175,10 @@ object SparqlParser extends RegexParsers {
         // only plain COUNT takes '*'
         if (v.isEmpty && realOp != Count)
           failure(s"$realOp(*) is not supported — name a variable")
-        else success(AggSel(Agg(realOp, v, alias.name)))
+        else if (sep.isDefined && realOp != GroupConcat)
+          failure("SEPARATOR only applies to GROUP_CONCAT")
+        else success(AggSel(
+          Agg(realOp, v, alias.name, sep.map(_.lexical).getOrElse(" "))))
     }
 
   private def selector: Parser[Selector] = aggSel | (varTerm ^^ (v => VarSel(v.name)))

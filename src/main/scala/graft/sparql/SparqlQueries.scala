@@ -176,6 +176,14 @@ object SparqlQueries {
           |} ORDER BY DESC(?b) ASC(?c) LIMIT 25""".stripMargin
       run(s, dir, SparqlParser.parse(text), numericVars = Seq("b"))
     },
+    // GROUP_CONCAT: values sorted before joining (deterministic under
+    // distributed aggregation), custom separator
+    "sparql_group_concat" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?r (GROUP_CONCAT(?n; SEPARATOR="|") AS ?names) WHERE {
+          |  ?x :inRegion ?r . ?x :name ?n .
+          |} GROUP BY ?r""".stripMargin))
+    },
     // query-time language filter (the reference only filters language
     // at import time) — lang() over the hidden language companion
     "sparql_lang_filter" -> { (s, dir) =>
@@ -295,6 +303,10 @@ object SparqlQueries {
     "sparql_values" ->
       """SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m
         |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin,
+    "sparql_group_concat" ->
+      """SELECT 'reg:'||n_regionkey AS r,
+        |       string_agg(n_name, '|' ORDER BY n_name) AS names
+        |FROM nation GROUP BY 1""".stripMargin,
     "sparql_lang_filter" ->
       """SELECT 'nat:'||n_nationkey AS n, n_name||' comment' AS c
         |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin,

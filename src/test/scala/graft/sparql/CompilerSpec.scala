@@ -70,6 +70,14 @@ class CompilerSpec extends AnyFunSuite {
     assert(Compiler.run(triples, star).columns.toSet == Set("x", "n"))
   }
 
+  test("GROUP_CONCAT sorts values and honors SEPARATOR") {
+    val q = SparqlParser.parse(
+      """SELECT (GROUP_CONCAT(?n; SEPARATOR=",") AS ?all) WHERE { ?x :name ?n . }""")
+    assert(Compiler.run(triples, q).head().getString(0) == "ann,bob")
+    intercept[IllegalArgumentException](SparqlParser.parse(
+      """SELECT (SUM(?n; SEPARATOR=",") AS ?x) WHERE { ?s :age ?n . }"""))
+  }
+
   test("LANG() filters tagged literals; plain literals are ''; IRIs error") {
     val t = Seq(
       ("x:1", ":label", "chat", Option.empty[Double], false, Some("fr")),
