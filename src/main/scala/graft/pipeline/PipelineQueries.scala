@@ -308,7 +308,8 @@ object PipelineQueries {
         |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
         |  FROM x),
         |z AS (SELECT user_id, ts,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+        |      AS session_id
         |  FROM y)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
