@@ -46,16 +46,20 @@ object Closure {
   def reachableFrom(edges: DataFrame, src: String): DataFrame = {
     var reached = edges.filter(col("sub") === src)
       .select(col("sup")).distinct().localCheckpoint()
-    var frontier = reached
+    // the frontier column is renamed so the frontier-edges join never
+    // carries the same attribute on both sides (localCheckpoint keeps
+    // expression ids, so an unrenamed frontier is a self-join that
+    // trips Spark's ambiguity detection)
+    var frontier = reached.toDF("f_sup")
     var done = reached.isEmpty
     while (!done) {
-      val next = frontier.join(edges, frontier("sup") === edges("sub"))
-        .select(edges("sup")).distinct()
+      val next = frontier.join(edges, col("f_sup") === col("sub"))
+        .select(col("sup")).distinct()
         .except(reached).localCheckpoint()
       done = next.isEmpty
       if (!done) {
         reached = reached.union(next).distinct().localCheckpoint()
-        frontier = next
+        frontier = next.toDF("f_sup")
       }
     }
     reached

@@ -25,6 +25,14 @@ object Ast {
   case object Gt extends CmpOp
   case object Ge extends CmpOp
   final case class Cmp(op: CmpOp, v: Var, value: Lit) extends Expr
+  sealed trait StrOp
+  /** REGEX(?v, "pat") — unanchored match, like the SPARQL builtin. */
+  case object RegexMatch extends StrOp
+  case object StrStarts extends StrOp
+  case object StrEnds extends StrOp
+  case object StrContains extends StrOp
+  /** String-builtin filters over a variable's lexical form. */
+  final case class StrFilter(op: StrOp, v: Var, arg: String) extends Expr
   /** `LANG(?v) = "tag"` / `LANG(?v) != "tag"`; a plain literal's
     * language is the empty string per the SPARQL lang() builtin.
     */
@@ -44,10 +52,39 @@ object Ast {
   final case class Union(l: Pattern, r: Pattern) extends Pattern
   /** Natural join of two sub-patterns (a group joined with a UNION block). */
   final case class Join(l: Pattern, r: Pattern) extends Pattern
+  /** SPARQL MINUS: drop left solutions compatible with a right
+    * solution on at least one shared variable; sides with disjoint
+    * variable domains remove nothing (per SPARQL 1.1 §8.3).
+    */
+  final case class Minus(left: Pattern, right: Pattern) extends Pattern
+  /** BIND(expr AS ?v): extends each solution with a computed binding. */
+  final case class Bind(input: Pattern, expr: VExpr, as: String) extends Pattern
+
+  /** BIND value expressions: arithmetic over numeric bindings plus the
+    * string builtins STR/STRLEN/UCASE/LCASE/CONCAT.
+    */
+  sealed trait VExpr
+  final case class VVar(name: String) extends VExpr
+  final case class VNum(value: Double) extends VExpr
+  final case class VStr(value: String) extends VExpr
+  sealed trait ArithOp
+  case object AddOp extends ArithOp
+  case object SubOp extends ArithOp
+  case object MulOp extends ArithOp
+  case object DivOp extends ArithOp
+  final case class Arith(op: ArithOp, l: VExpr, r: VExpr) extends VExpr
+  /** fn ∈ {STR, STRLEN, UCASE, LCASE, CONCAT}. */
+  final case class FnCall(fn: String, args: Seq[VExpr]) extends VExpr
   /** Property path `(p1|p2|…)+`: s and o related by one or more hops
     * over any of the predicates (SPARQL alternation + OneOrMore).
     */
   final case class PathPlus(s: Term, preds: Seq[String], o: Term) extends Pattern
+  /** Property path `(p1|p2|…)*`: zero or more hops. The zero-length
+    * path relates every graph node (and any bound endpoint) to itself.
+    */
+  final case class PathStar(s: Term, preds: Seq[String], o: Term) extends Pattern
+  /** Property path `(p1|p2|…)?`: zero or one hop. */
+  final case class PathZeroOne(s: Term, preds: Seq[String], o: Term) extends Pattern
   /** One step of a sequence path: a predicate, inverted when written
     * `^p` (SPARQL InversePath).
     */

@@ -183,10 +183,69 @@ object Compiler {
         val l = coalesce(col(langCol(v.name)), lit(""))
         if (eq) l === tag else l =!= tag
       }
+    case StrFilter(op, v, arg) =>
+      // string builtins over the lexical form; an unbound variable is
+      // a type error, which FILTER treats as false
+      if (!df.columns.contains(v.name)) lit(false)
+      else op match {
+        case RegexMatch => col(v.name).rlike(arg)
+        case StrStarts => col(v.name).startsWith(arg)
+        case StrEnds => col(v.name).endsWith(arg)
+        case StrContains => col(v.name).contains(arg)
+      }
     case And(a, b) => exprColumn(df, a) && exprColumn(df, b)
     case Or(a, b) => exprColumn(df, a) || exprColumn(df, b)
     case _: Exists | _: NotExists =>
       throw new IllegalArgumentException("EXISTS must be a top-level filter")
+  }
+
+  /** Numeric evaluation of a BIND expression. A non-numeric operand is
+    * a SPARQL type error, which leaves the bound variable unbound
+    * (null) for that solution rather than failing the query.
+    */
+  private def numVExpr(df: DataFrame, e: VExpr): Column = e match {
+    case VVar(n) =>
+      if (df.columns.contains(numCol(n))) col(numCol(n))
+      else lit(null).cast("double")
+    case VNum(d) => lit(d)
+    case VStr(_) => lit(null).cast("double")
+    case Arith(op, l, r) =>
+      val (a, b) = (numVExpr(df, l), numVExpr(df, r))
+      op match {
+        case AddOp => a + b
+        case SubOp => a - b
+        case MulOp => a * b
+        case DivOp => a / b
+      }
+    case FnCall("STRLEN", Seq(a)) => length(strVExpr(df, a)).cast("double")
+    case FnCall(fn, _) =>
+      throw new IllegalArgumentException(s"$fn is not numeric in BIND")
+  }
+
+  /** String evaluation of a BIND expression (STR semantics: a
+    * variable's lexical form).
+    */
+  private def strVExpr(df: DataFrame, e: VExpr): Column = e match {
+    case VVar(n) =>
+      if (df.columns.contains(n)) col(n) else lit(null).cast("string")
+    case VStr(s) => lit(s)
+    case VNum(d) => lit(d.toString)
+    case FnCall("STR", Seq(a)) => strVExpr(df, a)
+    case FnCall("UCASE", Seq(a)) => upper(strVExpr(df, a))
+    case FnCall("LCASE", Seq(a)) => lower(strVExpr(df, a))
+    case FnCall("CONCAT", as) if as.nonEmpty => concat(as.map(strVExpr(df, _)): _*)
+    case other =>
+      throw new IllegalArgumentException(s"$other is not a string BIND expression")
+  }
+
+  /** An arithmetic or STRLEN expression binds a typed numeric value
+    * (projected as a double, like aggregate aliases); everything else
+    * binds a string.
+    */
+  private def isNumericVExpr(e: VExpr): Boolean = e match {
+    case _: Arith | _: VNum => true
+    case FnCall("STRLEN", _) => true
+    case _ => false
   }
 
   def compilePattern(triples: DataFrame, p: Pattern): DataFrame = p match {
@@ -216,6 +275,34 @@ object Compiler {
       pad(ldf).unionByName(pad(rdf))
     case Join(l, r) =>
       joinOnVars(compilePattern(triples, l), compilePattern(triples, r))
+    case Minus(l, r) =>
+      // SPARQL 1.1 §8.3: remove left solutions compatible with a right
+      // solution sharing ≥1 variable; with disjoint domains MINUS is a
+      // no-op (unlike NOT EXISTS, which would drop everything when the
+      // right side is non-empty)
+      val ldf = compilePattern(triples, l)
+      val rdf = compilePattern(triples, r)
+      val shared = ldf.columns.intersect(rdf.columns).filterNot(isCompanion)
+      if (shared.isEmpty) ldf else joinOnVars(ldf, rdf, "left_anti")
+    case Bind(input, expr, as) =>
+      val df = compilePattern(triples, input)
+      require(!df.columns.contains(as), s"BIND ?$as: variable already in scope")
+      expr match {
+        // plain variable copy keeps the companion columns too, so the
+        // alias stays filterable/sortable exactly like its source
+        case VVar(src) if df.columns.contains(src) =>
+          val withLex = df.withColumn(as, col(src))
+          Seq(numCol _, langCol _).foldLeft(withLex) { (d, f) =>
+            if (df.columns.contains(f(src))) d.withColumn(f(as), col(f(src))) else d
+          }
+        case e if isNumericVExpr(e) =>
+          // numeric BINDs are typed doubles (like aggregate aliases) —
+          // both engines compute them row-locally from identical
+          // inputs, so they hash stably, unlike a formatted lexical
+          df.withColumn(as, numVExpr(df, e)).withColumn(numCol(as), col(as))
+        case e =>
+          df.withColumn(as, strVExpr(df, e))
+      }
     case ValuesPattern(vs, valueRows) =>
       // constant inline-binding table: per variable a lexical column +
       // numeric companion (so VALUES over numbers composes with
@@ -249,37 +336,83 @@ object Compiler {
       val df = compileBgp(triples, patterns)
       df.drop(df.columns.filter(_.startsWith("__path")): _*)
     case PathPlus(s, preds, o) =>
-      // one-or-more hops over the predicate slice. A constant endpoint
-      // seeds a frontier BFS (touches only the reachable neighborhood);
-      // only the var-var form pays for the full transitive closure
-      // (log-diameter rounds of path doubling; see inference.Closure).
-      val edges = triples.filter(col("p").isin(preds: _*))
+      projectPathEndpoints(plusPairs(triples, preds, s, o), s, o)
+    case PathStar(s, preds, o) =>
+      // zero-or-more = one-or-more pairs ∪ the zero-length identity;
+      // distinct because a cycle can reproduce an identity pair
+      projectPathEndpoints(
+        plusPairs(triples, preds, s, o)
+          .unionByName(zeroPairs(triples, s, o)).distinct(), s, o)
+    case PathZeroOne(s, preds, o) =>
+      val hop = triples.filter(col("p").isin(preds: _*))
         .select(col("s").as("sub"), col("o").as("sup"))
-      var df = (s, o) match {
-        case (Iri(sv), _) =>
-          graft.inference.Closure.reachableFrom(edges, sv)
-            .select(lit(sv).as("sub"), col("sup"))
-        case (_, Iri(ov)) =>
-          val flipped = edges.select(col("sup").as("sub"), col("sub").as("sup"))
-          graft.inference.Closure.reachableFrom(flipped, ov)
-            .select(col("sup").as("sub"), lit(ov).as("sup"))
-        case _ => graft.inference.Closure.transitive(edges)
-      }
-      o match {
-        case Iri(value) => df = df.filter(col("sup") === value)
-        case _ => ()
-      }
-      (s, o) match {
-        case (Var(a), Var(b)) if a == b => df = df.filter(col("sub") === col("sup"))
-        case _ => ()
-      }
-      val out = Seq.newBuilder[Column]
-      s match { case Var(n) => out += col("sub").as(n); case _ => () }
-      o match {
-        case Var(n) if s != o => out += col("sup").as(n)
-        case _ => ()
-      }
-      df.select(out.result(): _*)
+      projectPathEndpoints(
+        hop.unionByName(zeroPairs(triples, s, o)).distinct(), s, o)
+  }
+
+  /** One-or-more-hop pairs over the predicate slice. A constant
+    * endpoint seeds a frontier BFS (touches only the reachable
+    * neighborhood); only the var-var form pays for the full transitive
+    * closure (log-diameter rounds of path doubling; see
+    * inference.Closure).
+    */
+  private def plusPairs(triples: DataFrame, preds: Seq[String],
+                        s: Term, o: Term): DataFrame = {
+    val edges = triples.filter(col("p").isin(preds: _*))
+      .select(col("s").as("sub"), col("o").as("sup"))
+    (s, o) match {
+      case (Iri(sv), _) =>
+        graft.inference.Closure.reachableFrom(edges, sv)
+          .select(lit(sv).as("sub"), col("sup"))
+      case (_, Iri(ov)) =>
+        val flipped = edges.select(col("sup").as("sub"), col("sub").as("sup"))
+        graft.inference.Closure.reachableFrom(flipped, ov)
+          .select(col("sup").as("sub"), lit(ov).as("sup"))
+      case _ => graft.inference.Closure.transitive(edges)
+    }
+  }
+
+  /** The zero-length path pairs: a bound endpoint relates to itself;
+    * with both endpoints variable, every graph node (subjects ∪ IRI
+    * objects — one distinct over the triple cache, inherent to SPARQL
+    * zero-length-path semantics) relates to itself.
+    */
+  private def zeroPairs(triples: DataFrame, s: Term, o: Term): DataFrame = {
+    val spark = triples.sparkSession
+    def single(v: String) =
+      spark.range(1).select(lit(v).as("sub"), lit(v).as("sup"))
+    (s, o) match {
+      case (Iri(sv), Iri(ov)) =>
+        if (sv == ov) single(sv)
+        else spark.range(0).select(lit("").as("sub"), lit("").as("sup"))
+      case (Iri(sv), _) => single(sv)
+      case (_, Iri(ov)) => single(ov)
+      case _ =>
+        triples.select(col("s"))
+          .unionByName(triples.filter(col("o_is_iri")).select(col("o").as("s")))
+          .distinct()
+          .select(col("s").as("sub"), col("s").as("sup"))
+    }
+  }
+
+  /** Endpoint filters + variable projection shared by all path forms
+    * over a (sub, sup) pair relation.
+    */
+  private def projectPathEndpoints(pairs: DataFrame, s: Term, o: Term): DataFrame = {
+    var df = pairs
+    s match { case Iri(v) => df = df.filter(col("sub") === v); case _ => () }
+    o match { case Iri(v) => df = df.filter(col("sup") === v); case _ => () }
+    (s, o) match {
+      case (Var(a), Var(b)) if a == b => df = df.filter(col("sub") === col("sup"))
+      case _ => ()
+    }
+    val out = Seq.newBuilder[Column]
+    s match { case Var(n) => out += col("sub").as(n); case _ => () }
+    o match {
+      case Var(n) if s != o => out += col("sup").as(n)
+      case _ => ()
+    }
+    df.select(out.result(): _*)
   }
 
   /** ASK query form: one row, one boolean column. The underlying

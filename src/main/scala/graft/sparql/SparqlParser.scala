@@ -53,7 +53,15 @@ object SparqlParser extends RegexParsers {
     ("(?i)LANG".r ~> "(" ~> varTerm <~ ")") ~ ("!=" | "=") ~ strLit ^^ {
       case v ~ op ~ tag => LangCmp(op == "=", v, tag.lexical)
     }
-  private def primaryExpr: Parser[Expr] = ("(" ~> orExpr <~ ")") | langCmp | cmp
+  private def strOp: Parser[StrOp] =
+    "(?i)REGEX".r ^^^ RegexMatch | "(?i)STRSTARTS".r ^^^ StrStarts |
+    "(?i)STRENDS".r ^^^ StrEnds | "(?i)CONTAINS".r ^^^ StrContains
+  private def strFilter: Parser[Expr] =
+    strOp ~ ("(" ~> varTerm) ~ ("," ~> strLit <~ ")") ^^ {
+      case op ~ v ~ l => StrFilter(op, v, l.lexical)
+    }
+  private def primaryExpr: Parser[Expr] =
+    ("(" ~> orExpr <~ ")") | langCmp | strFilter | cmp
   private def andExpr: Parser[Expr] =
     rep1sep(primaryExpr, "&&") ^^ (_.reduceLeft(And.apply))
   private def orExpr: Parser[Expr] =
@@ -73,12 +81,33 @@ object SparqlParser extends RegexParsers {
   private case class TriplesElem(ps: Seq[TriplePattern]) extends GroupElem
   private case class FilterElem(e: Expr) extends GroupElem
   private case class OptionalElem(p: Pattern) extends GroupElem
+  private case class MinusElem(p: Pattern) extends GroupElem
+  private case class BindElem(e: VExpr, as: String) extends GroupElem
   private case class GroupOrUnionElem(p: Pattern) extends GroupElem
 
-  /** Property path triple: `term (p1|p2|…)+ term .` */
+  /** Property path triple with a `+`/`*`/`?` modifier:
+    * `term (p1|p2|…)+ term .` or the bare form `term p+ term .` —
+    * the modifier must touch the predicate (no whitespace), otherwise
+    * `?s :p ?o` would lex its object's `?` as a modifier.
+    */
+  private def parenPathPreds: Parser[(Seq[String], Char)] =
+    ("(" ~> rep1sep(iriRef | pname, "|")) ~ """\)[+*?]""".r ^^ {
+      case ps ~ close => (ps.map(_.value), close.charAt(1))
+    }
+  private def barePathPred: Parser[(Seq[String], Char)] =
+    """(<[^<>\s]*>|[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z_][A-Za-z0-9_.-]*|:[A-Za-z_][A-Za-z0-9_.-]*)[+*?]""".r ^^ { tok =>
+      val raw = tok.init
+      val iri = if (raw.startsWith("<")) raw.substring(1, raw.length - 1) else raw
+      (Seq(iri), tok.last)
+    }
   private def pathTriple: Parser[GroupElem] =
-    term ~ ("(" ~> rep1sep(iriRef | pname, "|") <~ ")" <~ "+") ~ term <~ opt(".") ^^ {
-      case s ~ preds ~ o => GroupOrUnionElem(PathPlus(s, preds.map(_.value), o))
+    term ~ (parenPathPreds | barePathPred) ~ term <~ opt(".") ^^ {
+      case s ~ ((preds, mod)) ~ o =>
+        GroupOrUnionElem(mod match {
+          case '+' => PathPlus(s, preds, o)
+          case '*' => PathStar(s, preds, o)
+          case '?' => PathZeroOne(s, preds, o)
+        })
     }
 
   /** Sequence path triple: `term step/step/… term .` where a step is
@@ -99,6 +128,39 @@ object SparqlParser extends RegexParsers {
 
   private def optionalElem: Parser[GroupElem] =
     "(?i)OPTIONAL".r ~> groupGraphPattern ^^ OptionalElem.apply
+  private def minusElem: Parser[GroupElem] =
+    "(?i)MINUS".r ~> groupGraphPattern ^^ MinusElem.apply
+
+  // ---- BIND value expressions --------------------------------------
+  // STRLEN before STR: regex alternation is ordered and STR is a prefix
+  private def fnName: Parser[String] =
+    "(?i)(CONCAT|UCASE|LCASE|STRLEN|STR)".r ^^ (_.toUpperCase)
+  private def vPrimary: Parser[VExpr] =
+    ("(" ~> vAdditive <~ ")") |
+    fnName ~ ("(" ~> rep1sep(vAdditive, ",") <~ ")") ^^ {
+      case f ~ args => FnCall(f, args)
+    } |
+    varTerm ^^ (v => VVar(v.name)) |
+    numLit ^^ (l => VNum(l.num.get)) |
+    strLit ^^ (l => VStr(l.lexical))
+  private def vMultiplicative: Parser[VExpr] =
+    vPrimary ~ rep(("*" | "/") ~ vPrimary) ^^ { case h ~ t =>
+      t.foldLeft(h) {
+        case (acc, "*" ~ r) => Arith(MulOp, acc, r)
+        case (acc, _ ~ r) => Arith(DivOp, acc, r)
+      }
+    }
+  private def vAdditive: Parser[VExpr] =
+    vMultiplicative ~ rep(("+" | "-") ~ vMultiplicative) ^^ { case h ~ t =>
+      t.foldLeft(h) {
+        case (acc, "+" ~ r) => Arith(AddOp, acc, r)
+        case (acc, _ ~ r) => Arith(SubOp, acc, r)
+      }
+    }
+  private def bindElem: Parser[GroupElem] =
+    "(?i)BIND".r ~> "(" ~> vAdditive ~ ("(?i)AS".r ~> varTerm) <~ ")" ^^ {
+      case e ~ v => BindElem(e, v.name)
+    }
   private def valuesConst: Parser[Term] = iriRef | pname | numLit | strLit
   private def valuesElem: Parser[GroupElem] =
     "(?i)VALUES".r ~> (
@@ -119,7 +181,8 @@ object SparqlParser extends RegexParsers {
       GroupOrUnionElem(gs.reduceLeft(Union.apply)))
 
   private def groupElem: Parser[GroupElem] =
-    filterElem | optionalElem | valuesElem | pathTriple | seqPathTriple |
+    filterElem | optionalElem | minusElem | bindElem | valuesElem |
+      pathTriple | seqPathTriple |
       groupOrUnion | (triplesSameSubject ^^ TriplesElem.apply)
 
   private def groupGraphPattern: Parser[Pattern] =
@@ -143,6 +206,12 @@ object SparqlParser extends RegexParsers {
       case OptionalElem(p) =>
         flushBgp()
         current = Some(LeftJoin(current.getOrElse(Bgp(Seq.empty)), p))
+      case MinusElem(p) =>
+        flushBgp()
+        current = Some(Minus(current.getOrElse(Bgp(Seq.empty)), p))
+      case BindElem(e, as) =>
+        flushBgp()
+        current = Some(Bind(current.getOrElse(Bgp(Seq.empty)), e, as))
       case GroupOrUnionElem(p) =>
         flushBgp()
         current = Some(current.fold(p)(Join(_, p)))

@@ -226,6 +226,49 @@ object SparqlQueries {
           |}""".stripMargin
       run(s, dir, SparqlParser.parse(text))
     },
+    // MINUS: anti-join on the shared variable (vs NOT EXISTS, which
+    // correlates; MINUS with disjoint domains removes nothing)
+    "sparql_minus" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?m WHERE {
+          |  ?c :mktsegment ?m .
+          |  MINUS { ?c :hasNation <nat:3> }
+          |}""".stripMargin))
+    },
+    // BIND: computed bindings — numeric arithmetic (typed double, like
+    // aggregate aliases) and a string builtin over an IRI's lexical
+    "sparql_bind" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?o ?cu ?disc WHERE {
+          |  ?o :totalprice ?t .
+          |  ?o :byCustomer ?c .
+          |  BIND(?t * 0.9 AS ?disc)
+          |  BIND(UCASE(?c) AS ?cu)
+          |  FILTER(?disc > 150000)
+          |}""".stripMargin))
+    },
+    // string-builtin filters: REGEX (unanchored), STRSTARTS, STRENDS,
+    // CONTAINS, composed with || — all codegen'd Column predicates
+    "sparql_str_filters" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?p ?n ?t WHERE {
+          |  ?p a :Part ; :name ?n ; :ptype ?t .
+          |  FILTER(REGEX(?n, "^(red|blue) ") || CONTAINS(?n, "gear"))
+          |  FILTER(STRSTARTS(?t, "PROMO") || STRENDS(?n, "t"))
+          |}""".stripMargin))
+    },
+    // zero-or-more path from a bound subject: the endpoint itself plus
+    // everything reachable over the predicate alternation
+    "sparql_path_star" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        "SELECT ?y WHERE { <cust:7> (:hasNation|:inRegion)* ?y }"))
+    },
+    // zero-or-one path: each customer relates to itself (zero hops)
+    // and to its nation (one hop)
+    "sparql_path_zeroone" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        "SELECT ?c ?y WHERE { ?c a :Customer . ?c :hasNation? ?y }"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -324,5 +367,30 @@ object SparqlQueries {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "sparql_minus" ->
+      """SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m
+        |FROM customer WHERE c_nationkey != 3""".stripMargin,
+    "sparql_bind" ->
+      """SELECT 'ord:'||o_orderkey AS o, upper('cust:'||o_custkey) AS cu,
+        |       o_totalprice * 0.9 AS disc
+        |FROM orders WHERE o_totalprice * 0.9 > 150000""".stripMargin,
+    "sparql_str_filters" ->
+      """SELECT 'part:'||p_partkey AS p, p_name AS n, p_type AS t
+        |FROM part
+        |WHERE (regexp_matches(p_name, '^(red|blue) ')
+        |       OR contains(p_name, 'gear'))
+        |  AND (starts_with(p_type, 'PROMO') OR p_name LIKE '%t')""".stripMargin,
+    "sparql_path_star" ->
+      """SELECT 'cust:7' AS y
+        |UNION ALL
+        |SELECT 'nat:'||c_nationkey FROM customer WHERE c_custkey = 7
+        |UNION ALL
+        |SELECT 'reg:'||n_regionkey
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey = 7""".stripMargin,
+    "sparql_path_zeroone" ->
+      """SELECT 'cust:'||c_custkey AS c, 'cust:'||c_custkey AS y FROM customer
+        |UNION ALL
+        |SELECT 'cust:'||c_custkey, 'nat:'||c_nationkey FROM customer""".stripMargin,
   )
 }

@@ -209,4 +209,82 @@ class CompilerSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Compiler.run(triples, q))
     assert(e.getMessage.contains("no numeric binding"))
   }
+
+  test("MINUS drops compatible solutions; disjoint domains drop nothing") {
+    // everyone with a name, minus those who know p:2 → only p:2 left
+    val q = SelectQuery(
+      where = Minus(
+        Bgp(Seq(tp(v("x"), ":name", v("n")))),
+        Bgp(Seq(tp(v("x"), ":knows", Iri("p:2"))))),
+      projection = Seq("x"))
+    assert(Compiler.run(triples, q).collect().map(_.getString(0)).toSeq == Seq("p:2"))
+    // right side binds only unrelated vars → MINUS is a no-op (§8.3)
+    val disjoint = SelectQuery(
+      where = Minus(
+        Bgp(Seq(tp(v("x"), ":name", v("n")))),
+        Bgp(Seq(tp(v("y"), ":knows", Iri("p:2"))))),
+      projection = Seq("x"))
+    assert(Compiler.run(triples, disjoint).collect().length == 2)
+  }
+
+  test("BIND: arithmetic is typed-numeric, string builtins are lexical") {
+    val q = SelectQuery(
+      where = Filter(Seq(Cmp(Gt, v("a2"), Lit("65", Some(65.0)))),
+        Bind(Bgp(Seq(tp(v("x"), ":age", v("a")))),
+          Arith(MulOp, VVar("a"), VNum(2.0)), "a2")),
+      projection = Seq("x", "a2"))
+    val rows = Compiler.run(triples, q).collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSet == Set(("p:2", 80.0)))
+
+    val s = SelectQuery(
+      where = Bind(Bgp(Seq(tp(v("x"), ":name", v("n")))),
+        FnCall("CONCAT", Seq(FnCall("UCASE", Seq(VVar("n"))), VStr("!"))), "u"),
+      projection = Seq("u"))
+    assert(Compiler.run(triples, s).collect().map(_.getString(0)).toSet ==
+      Set("ANN!", "BOB!"))
+  }
+
+  test("BIND of a plain variable copies its numeric companion") {
+    val q = SelectQuery(
+      where = Filter(Seq(Cmp(Ge, v("b"), Lit("40", Some(40.0)))),
+        Bind(Bgp(Seq(tp(v("x"), ":age", v("a")))), VVar("a"), "b")),
+      projection = Seq("x"))
+    assert(Compiler.run(triples, q).collect().map(_.getString(0)).toSeq == Seq("p:2"))
+  }
+
+  test("string-builtin filters: REGEX, STRSTARTS, STRENDS, CONTAINS") {
+    def names(e: Expr): Set[String] = {
+      val q = SelectQuery(
+        where = Filter(Seq(e), Bgp(Seq(tp(v("x"), ":name", v("n"))))),
+        projection = Seq("n"))
+      Compiler.run(triples, q).collect().map(_.getString(0)).toSet
+    }
+    assert(names(StrFilter(RegexMatch, v("n"), "^a.n$")) == Set("ann"))
+    assert(names(StrFilter(StrStarts, v("n"), "bo")) == Set("bob"))
+    assert(names(StrFilter(StrEnds, v("n"), "n")) == Set("ann"))
+    assert(names(StrFilter(StrContains, v("n"), "o")) == Set("bob"))
+  }
+
+  test("path star includes the zero-length identity; zero-or-one is one hop max") {
+    // bound subject: itself plus everything reachable
+    val star = SelectQuery(
+      where = PathStar(Iri("p:1"), Seq(":knows"), v("y")),
+      projection = Seq("y"))
+    assert(Compiler.run(triples, star).collect().map(_.getString(0)).toSet ==
+      Set("p:1", "p:2"))
+    // var-var: every node relates to itself, plus the one :knows hop
+    val vv = SelectQuery(
+      where = PathStar(v("x"), Seq(":knows"), v("y")),
+      projection = Seq("x", "y"))
+    val pairs = Compiler.run(triples, vv).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("p:1", "p:2")))
+    assert(pairs.filter(p => p._1 == p._2).map(_._1) ==
+      Set("p:1", "p:2", ":Person"))
+    val zo = SelectQuery(
+      where = PathZeroOne(Iri("p:2"), Seq(":knows"), v("y")),
+      projection = Seq("y"))
+    assert(Compiler.run(triples, zo).collect().map(_.getString(0)).toSet ==
+      Set("p:2"))
+  }
 }

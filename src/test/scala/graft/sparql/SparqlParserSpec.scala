@@ -97,4 +97,48 @@ class SparqlParserSpec extends AnyFunSuite {
       SparqlParser.parse("SELECT ?x WHERE { ?x :p }"))
     assert(e.getMessage.contains("parse error"))
   }
+
+  test("parses MINUS against the preceding group") {
+    val q = SparqlParser.parse(
+      "SELECT ?x WHERE { ?x :name ?n . MINUS { ?x :knows <p:2> } }")
+    val Minus(Bgp(_), Bgp(Seq(tp))) = q.where: @unchecked
+    assert(tp == TriplePattern(Var("x"), Iri(":knows"), Iri("p:2")))
+  }
+
+  test("parses BIND with arithmetic precedence and function calls") {
+    val q = SparqlParser.parse(
+      """SELECT ?y WHERE { ?x :age ?a . BIND(?a + ?a * 2 AS ?y) }""")
+    val Bind(Bgp(_), e, "y") = q.where: @unchecked
+    assert(e == Arith(AddOp, VVar("a"), Arith(MulOp, VVar("a"), VNum(2.0))))
+    val s = SparqlParser.parse(
+      """SELECT ?u WHERE { ?x :name ?n . BIND(CONCAT(UCASE(?n), "!") AS ?u) }""")
+    val Bind(Bgp(_), fe, "u") = s.where: @unchecked
+    assert(fe == FnCall("CONCAT", Seq(FnCall("UCASE", Seq(VVar("n"))), VStr("!"))))
+  }
+
+  test("parses string-builtin filters") {
+    val q = SparqlParser.parse(
+      """SELECT ?n WHERE { ?x :name ?n .
+        |  FILTER(REGEX(?n, "^a") || STRSTARTS(?n, "b") && CONTAINS(?n, "o"))
+        |  FILTER(STRENDS(?n, "b")) }""".stripMargin)
+    val Filter(Seq(first, second), _) = q.where: @unchecked
+    assert(first == Or(StrFilter(RegexMatch, Var("n"), "^a"),
+      And(StrFilter(StrStarts, Var("n"), "b"), StrFilter(StrContains, Var("n"), "o"))))
+    assert(second == StrFilter(StrEnds, Var("n"), "b"))
+  }
+
+  test("parses * and ? path modifiers, bare and parenthesized") {
+    val star = SparqlParser.parse("SELECT ?y WHERE { <cust:7> (:a|:b)* ?y }")
+    val PathStar(Iri("cust:7"), sp, Var("y")) = star.where: @unchecked
+    assert(sp == Seq(":a", ":b"))
+    val zo = SparqlParser.parse("SELECT ?y WHERE { ?x :knows? ?y }")
+    val PathZeroOne(Var("x"), Seq(":knows"), Var("y")) = zo.where: @unchecked
+    val plus = SparqlParser.parse("SELECT ?y WHERE { ?x :knows+ ?y }")
+    val PathPlus(Var("x"), Seq(":knows"), Var("y")) = plus.where: @unchecked
+    // no modifier: still a plain triple, the object's '?' is not a
+    // path modifier (the modifier must touch the predicate)
+    val plain = SparqlParser.parse("SELECT ?y WHERE { ?x :knows ?y }")
+    assert(plain.where == Bgp(Seq(
+      TriplePattern(Var("x"), Iri(":knows"), Var("y")))))
+  }
 }
