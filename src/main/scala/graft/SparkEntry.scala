@@ -18,8 +18,9 @@ object SparkEntry {
     "infer_nodes_with_label",
     "graph_connected_components", "graph_pagerank",
     "dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce_topk",
-    "ann_lsh_topk", "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "text_quality_score", "pipeline_prepare",
+    "ann_lsh_topk", "ann_knn_join", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "text_quality_score", "text_contamination", "pipeline_prepare",
     "events_window_agg", "events_sessionize")
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -34,6 +34,8 @@ object PipelineQueries {
       Similarity.lshTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
+    "ann_knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(Tables.embeddings(s, dir))),
     // ---- §G text analysis ------------------------------------------
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -47,6 +49,12 @@ object PipelineQueries {
       TextAnalysis.chunk(Tables.documents(s, dir))),
     "text_pii_scrub" -> ((s, dir) =>
       TextAnalysis.piiScrub(Tables.documents(s, dir))),
+    "text_contamination" -> ((s, dir) =>
+      TextAnalysis.contamination(Tables.documents(s, dir))),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir))),
+    "data_split" -> ((s, dir) =>
+      TextAnalysis.assignSplit(Tables.documents(s, dir))),
     // ---- §H multimodal ---------------------------------------------
     "mm_binary_features" -> ((s, dir) =>
       Multimodal.binaryFeatures(Tables.documents(s, dir))),
@@ -202,6 +210,40 @@ object PipelineQueries {
         |WHERE e.vec_id != 0
         |ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
         |LIMIT 10""".stripMargin,
+    "ann_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |ranked AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id)
+        |      AS rnk
+        |  FROM embeddings e, q WHERE e.vec_id != q.query_id)
+        |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "text_contamination" ->
+      raw"""WITH $TOKS,
+           |grams AS (SELECT DISTINCT doc_id,
+           |    md5(array_to_string(w[s + 1 : s + 5], ' ')) AS g
+           |  FROM toks, UNNEST(range(0, len(w) - 4)) t(s)
+           |  WHERE len(w) >= 5),
+           |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+           |SELECT doc_id, count(*) AS n_hits FROM grams
+           |WHERE doc_id % 97 != 0 AND g IN (SELECT g FROM bench)
+           |GROUP BY 1""".stripMargin,
+    "text_repetition" ->
+      raw"""WITH $TOKS,
+           |grams AS (SELECT doc_id, array_to_string(w[s + 1 : s + 3], ' ') AS g
+           |  FROM toks, UNNEST(range(0, len(w) - 2)) t(s) WHERE len(w) >= 3)
+           |SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
+           |  1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS dup_ratio
+           |FROM grams GROUP BY 1""".stripMargin,
+    "data_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+        |      FROM documents)""".stripMargin,
     "text_token_count" ->
       raw"""SELECT doc_id,
            |  len(string_split_regex(trim(text), '\s+')) AS n_ws,

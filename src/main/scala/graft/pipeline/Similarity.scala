@@ -107,6 +107,30 @@ object Similarity {
       .select(col("vec_id"))
   }
 
+  /** Batch k-NN join: a deterministic id-sliced query subset against
+    * the whole corpus — the bulk companion of the single-query top-k
+    * forms. The query side is broadcast and the corpus is scanned once
+    * (broadcast nested-loop with the fused cosine), then one shuffle
+    * partitioned by query for the per-query top-k window. At 100 TB
+    * the corpus side stays a single narrow pass; once the query set
+    * outgrows broadcast, the LSH bucket join (lshTopK's shape)
+    * replaces the nested loop.
+    */
+  def knnJoin(embeddings: DataFrame, k: Int = 5,
+              querySlice: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(embeddings)
+    val q = broadcast(e.filter(col("vec_id") % querySlice === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+
   /** IVF-style: centroids = per-label mean vectors ("trained"
     * partition assignment), probe the `nprobe` centroids nearest the
     * query, exact top-k within the probed partitions.

@@ -97,6 +97,62 @@ object TextAnalysis {
         least(lit(chunkTokens), size(col("w")) - col("start")).as("n_tokens"))
   }
 
+  /** Benchmark-contamination check: corpus docs sharing any token
+    * n-gram with the benchmark slice (doc_id ≡ 0 mod benchSlice stands
+    * in for an external eval set). Grams are md5'd and deduped per row
+    * (array_distinct BEFORE explode — no corpus-wide gram shuffle);
+    * the benchmark gram set is broadcast into a semi-join, so the
+    * corpus side stays one narrow pass plus the final per-doc count.
+    */
+  def contamination(docs: DataFrame, n: Int = 5,
+                    benchSlice: Int = 97): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(n)))
+          .cast("binary"))))).as("g"))
+    val bench = broadcast(grams.filter(col("doc_id") % benchSlice === 0)
+      .select(col("g")).distinct())
+    grams.filter(col("doc_id") % benchSlice =!= 0)
+      .join(bench, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Repeated-n-gram ratio — the standard "repetitive document"
+    * quality signal: dup_ratio = 1 − distinct/total over token
+    * n-grams. Pure per-row array expressions, narrow at any scale.
+    */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+
+  /** Deterministic train/val/test assignment from an md5 bucket of
+    * doc_id — stable under reruns and corpus growth (a doc's split
+    * never depends on the other docs), stratification-checkable by
+    * grouping on (split, source).
+    */
+  def assignSplit(docs: DataFrame, trainPct: Int = 80,
+                  valPct: Int = 10): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+        16, 10).cast("long") % 100
+    docs.select(col("doc_id"), col("source"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Deterministic PII scrubbing: emails then long digit runs become
     * placeholder tokens. A fixed chain of codegen'd regexp_replace
     * calls (patterns restricted to syntax Java regex and RE2 share,

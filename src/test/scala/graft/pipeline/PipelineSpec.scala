@@ -212,4 +212,52 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(sess == Set((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
   }
+
+  test("knn join ranks each query's neighbors by cosine") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (50L, Array(0.0f, 0.9f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    // queries: ids 0 and 50; k=2 nearest among the other three
+    // (cos ties — 2 and 50 are both orthogonal to 0 — break on id)
+    val out = Similarity.knnJoin(e, k = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((0L, 1L, 1), (0L, 2L, 2), (50L, 2L, 1), (50L, 1L, 2)))
+  }
+
+  test("contamination flags only docs sharing a benchmark n-gram") {
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon zeta",       // benchmark (0 % 97)
+      1L -> "alpha beta gamma delta epsilon eta theta",  // shares one 5-gram
+      2L -> "one two three four five six seven")         // clean
+    val hits = TextAnalysis.contamination(d)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L))
+  }
+
+  test("repetition measures the duplicate n-gram ratio") {
+    val d = docs(
+      1L -> "spam spam spam spam spam spam",  // all 3-grams identical
+      2L -> "one two three four five six")    // all distinct
+    val r = TextAnalysis.repetition(d)
+      .select("doc_id", "n_grams", "n_distinct", "dup_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(r(1L) == ((4L, 1L, 0.75)) && r(2L) == ((4L, 4L, 0.0)))
+  }
+
+  test("split assignment is deterministic and covers every doc") {
+    val d = docs((0L until 100L).map(i => i -> s"doc number $i"): _*)
+    val s1 = TextAnalysis.assignSplit(d).as[(Long, String, String)]
+      .collect().toSet
+    val s2 = TextAnalysis.assignSplit(d).as[(Long, String, String)]
+      .collect().toSet
+    assert(s1 == s2 && s1.size == 100)
+    val bySplit = s1.groupBy(_._3).view.mapValues(_.size).toMap
+    // md5 buckets approximate 80/10/10; every class must be non-empty
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
 }
