@@ -106,19 +106,34 @@ object TextAnalysis {
     */
   def contamination(docs: DataFrame, n: Int = 5,
                     benchSlice: Int = 97): DataFrame = {
-    val grams = docs
+    val grams = docGrams(docs, n)
+    val bench = grams.filter(col("doc_id") % benchSlice === 0)
+      .select(col("g")).distinct()
+    contaminationAgainst(
+      grams.filter(col("doc_id") % benchSlice =!= 0), bench)
+  }
+
+  /** Per-row distinct md5'd token n-grams: (doc_id, g). Stateless and
+    * narrow, so it runs unchanged under Structured Streaming.
+    */
+  def docGrams(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), wsTokens(col("text")).as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(array_distinct(transform(
         sequence(lit(0), size(col("w")) - n),
         i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(n)))
           .cast("binary"))))).as("g"))
-    val bench = broadcast(grams.filter(col("doc_id") % benchSlice === 0)
-      .select(col("g")).distinct())
-    grams.filter(col("doc_id") % benchSlice =!= 0)
-      .join(bench, Seq("g"), "left_semi")
+
+  /** Contamination core: corpus grams (batch OR a stream) semi-joined
+    * against a static benchmark gram set — stream-static broadcast
+    * joins are supported by Structured Streaming, so the same code
+    * screens a live ingest feed against the eval set.
+    */
+  def contaminationAgainst(grams: DataFrame,
+                           benchGrams: DataFrame): DataFrame =
+    grams.join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-  }
 
   /** Repeated-n-gram ratio — the standard "repetitive document"
     * quality signal: dup_ratio = 1 − distinct/total over token

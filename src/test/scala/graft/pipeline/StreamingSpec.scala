@@ -81,6 +81,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 3 && got.toSet == Set("aaa", "bbb", "ccc"))
   }
 
+  test("contamination screens a doc stream against the static benchmark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = TextAnalysis.docGrams(
+      Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"), 5)
+      .select("g")
+    val stream = MemoryStream[(Long, String)]
+    val q = TextAnalysis.contaminationAgainst(
+        TextAnalysis.docGrams(stream.toDF().toDF("doc_id", "text"), 5), bench)
+      .writeStream.format("memory").queryName("contam_stream_test")
+      .outputMode("complete").start()
+    try {
+      stream.addData(Seq(
+        (1L, "alpha beta gamma delta epsilon eta theta"), // shares one 5-gram
+        (2L, "one two three four five six seven")))       // clean
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("contam_stream_test")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L)))
+  }
+
   test("sessionizeStreaming closes sessions on gap and emits via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
