@@ -64,6 +64,28 @@ class PlanSpec extends AnyFunSuite {
       "doc-id keep joins should broadcast at this scale")
   }
 
+  test("ann_knn_join: broadcast queries + rank limited before the shuffle") {
+    val p = plan("ann_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query subset must broadcast against the single corpus scan")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must prune before the window shuffle")
+  }
+
+  test("text_contamination: benchmark grams broadcast into a semi-join") {
+    val p = plan("text_contamination")
+    assert(p.contains("LeftSemi"), "benchmark screen must be a semi-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark gram set must broadcast — the corpus side never shuffles grams")
+  }
+
+  test("text_repetition and data_split stay narrow single passes") {
+    for (name <- Seq("text_repetition", "data_split")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must not shuffle")
+    }
+  }
+
   test("facade: textual SPARQL end-to-end") {
     val df = Graft.sparql(spark, dir,
       """SELECT ?c ?b WHERE { ?c a :Customer ; :acctbal ?b . FILTER(?b >= 0) }""")
