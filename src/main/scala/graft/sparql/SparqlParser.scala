@@ -283,6 +283,62 @@ object SparqlParser extends RegexParsers {
           limit = limit.getOrElse(-1L))
     }
 
+  // ---- PREFIX declarations -----------------------------------------
+  /** `PREFIX ns: <iri>` header lines (reference prepends these and
+    * lets Jena resolve them: pidb-rdf-engine/src/main/java/sparql/
+    * Prefixes.java). Resolution is a post-parse rewrite: any prefixed
+    * name whose prefix is declared expands to the declared namespace +
+    * local part; undeclared prefixes pass through verbatim (the triple
+    * store's own short-form vocabulary keeps working).
+    */
+  private def prefixDecl: Parser[(String, String)] =
+    "(?i)PREFIX".r ~> ("""[A-Za-z][A-Za-z0-9_-]*:""".r | ":") ~ iriRef ^^ {
+      case p ~ i => (p, i.value)
+    }
+  private def prologue: Parser[Map[String, String]] =
+    rep(prefixDecl) ^^ (_.toMap)
+
+  private def expandIri(v: String, pfx: Map[String, String]): String = {
+    val idx = v.indexOf(':')
+    if (idx < 0 || pfx.isEmpty) v
+    else pfx.get(v.substring(0, idx + 1))
+      .map(_ + v.substring(idx + 1)).getOrElse(v)
+  }
+
+  private def rewriteTerm(t: Term, f: String => String): Term = t match {
+    case Iri(v) => Iri(f(v))
+    case other => other
+  }
+  private def rewriteTp(tp: TriplePattern, f: String => String): TriplePattern =
+    TriplePattern(rewriteTerm(tp.s, f), rewriteTerm(tp.p, f), rewriteTerm(tp.o, f))
+  private def rewriteExpr(e: Expr, f: String => String): Expr = e match {
+    case Exists(ps) => Exists(ps.map(rewriteTp(_, f)))
+    case NotExists(ps) => NotExists(ps.map(rewriteTp(_, f)))
+    case And(l, r) => And(rewriteExpr(l, f), rewriteExpr(r, f))
+    case Or(l, r) => Or(rewriteExpr(l, f), rewriteExpr(r, f))
+    case other => other // Cmp / LangCmp / StrFilter carry no IRIs
+  }
+  private def rewritePattern(p: Pattern, f: String => String): Pattern = p match {
+    case Bgp(ps) => Bgp(ps.map(rewriteTp(_, f)))
+    case Filter(es, in) => Filter(es.map(rewriteExpr(_, f)), rewritePattern(in, f))
+    case LeftJoin(l, r) => LeftJoin(rewritePattern(l, f), rewritePattern(r, f))
+    case Union(l, r) => Union(rewritePattern(l, f), rewritePattern(r, f))
+    case Join(l, r) => Join(rewritePattern(l, f), rewritePattern(r, f))
+    case Minus(l, r) => Minus(rewritePattern(l, f), rewritePattern(r, f))
+    case Bind(in, e, as) => Bind(rewritePattern(in, f), e, as) // VExpr: no IRIs
+    case ValuesPattern(vs, rows) =>
+      ValuesPattern(vs, rows.map(_.map(rewriteTerm(_, f))))
+    case PathPlus(s, preds, o) =>
+      PathPlus(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
+    case PathStar(s, preds, o) =>
+      PathStar(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
+    case PathZeroOne(s, preds, o) =>
+      PathZeroOne(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
+    case PathSeq(s, steps, o) =>
+      PathSeq(rewriteTerm(s, f),
+        steps.map(st => PathStep(f(st.pred), st.inverse)), rewriteTerm(o, f))
+  }
+
   private def finish[T](res: ParseResult[T]): T = res match {
     case Success(q, _) => q
     case NoSuccess(msg, rest) =>
@@ -292,18 +348,32 @@ object SparqlParser extends RegexParsers {
       throw new IllegalArgumentException(s"SPARQL parse error: $other")
   }
 
-  def parse(text: String): SelectQuery = finish(parseAll(selectQuery, text))
+  def parse(text: String): SelectQuery = {
+    val (pfx, q) = finish(parseAll(prologue ~ selectQuery ^^ {
+      case p ~ s => (p, s)
+    }, text))
+    if (pfx.isEmpty) q
+    else q.copy(where = rewritePattern(q.where, expandIri(_, pfx)))
+  }
 
   /** ASK query form: the group pattern whose non-emptiness is the
     * answer.
     */
-  def parseAsk(text: String): Pattern =
-    finish(parseAll("(?i)ASK".r ~> groupGraphPattern, text))
+  def parseAsk(text: String): Pattern = {
+    val (pfx, w) = finish(parseAll(
+      prologue ~ ("(?i)ASK".r ~> groupGraphPattern) ^^ { case p ~ s => (p, s) },
+      text))
+    rewritePattern(w, expandIri(_, pfx))
+  }
 
   /** CONSTRUCT query form: (template triples, where pattern). */
-  def parseConstruct(text: String): (Seq[TriplePattern], Pattern) =
-    finish(parseAll(
-      "(?i)CONSTRUCT".r ~> bgpOnly ~ ("(?i)WHERE".r ~> groupGraphPattern) ^^ {
-        case tmpl ~ where => (tmpl, where)
+  def parseConstruct(text: String): (Seq[TriplePattern], Pattern) = {
+    val (pfx, tmpl, where) = finish(parseAll(
+      prologue ~ ("(?i)CONSTRUCT".r ~> bgpOnly) ~
+        ("(?i)WHERE".r ~> groupGraphPattern) ^^ {
+        case p ~ t ~ w => (p, t, w)
       }, text))
+    (tmpl.map(rewriteTp(_, expandIri(_, pfx))),
+      rewritePattern(where, expandIri(_, pfx)))
+  }
 }

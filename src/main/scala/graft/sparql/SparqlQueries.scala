@@ -269,6 +269,18 @@ object SparqlQueries {
       run(s, dir, SparqlParser.parse(
         "SELECT ?c ?y WHERE { ?c a :Customer . ?c :hasNation? ?y }"))
     },
+    // PREFIX declarations: prefixed names expand to the declared
+    // namespace before compilation (two prefixes, both resolved)
+    "sparql_prefix_decl" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """PREFIX t: <:>
+          |PREFIX typ: <rdf:>
+          |SELECT ?c ?b WHERE {
+          |  ?c typ:type t:Customer .
+          |  ?c t:acctbal ?b .
+          |  FILTER(?b >= 5000)
+          |}""".stripMargin), numericVars = Seq("b"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -392,5 +404,8 @@ object SparqlQueries {
       """SELECT 'cust:'||c_custkey AS c, 'cust:'||c_custkey AS y FROM customer
         |UNION ALL
         |SELECT 'cust:'||c_custkey, 'nat:'||c_nationkey FROM customer""".stripMargin,
+    "sparql_prefix_decl" ->
+      """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b
+        |FROM customer WHERE c_acctbal >= 5000""".stripMargin,
   )
 }

@@ -127,6 +127,29 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(second == StrFilter(StrEnds, Var("n"), "b"))
   }
 
+  test("PREFIX declarations expand prefixed names everywhere") {
+    val q = SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |PREFIX : <urn:base#>
+        |SELECT ?x WHERE {
+        |  ?x ex:knows/:likes ?y .
+        |  { ?x a ex:Person } UNION { ?x ex:tag :thing }
+        |  FILTER NOT EXISTS { ?x ex:banned ?b }
+        |}""".stripMargin)
+    val Filter(Seq(NotExists(Seq(ne))), Join(path, Union(l, _))) =
+      q.where: @unchecked
+    assert(ne.p == Iri("http://ex.org/banned"))
+    val PathSeq(_, steps, _) = path: @unchecked
+    assert(steps.map(_.pred) ==
+      Seq("http://ex.org/knows", "urn:base#likes"))
+    val Bgp(Seq(tpl)) = l: @unchecked
+    assert(tpl.o == Iri("http://ex.org/Person"))
+    // undeclared prefixes pass through verbatim
+    val raw = SparqlParser.parse("SELECT ?x WHERE { ?x :name ?n }")
+    val Bgp(Seq(t2)) = raw.where: @unchecked
+    assert(t2.p == Iri(":name"))
+  }
+
   test("parses * and ? path modifiers, bare and parenthesized") {
     val star = SparqlParser.parse("SELECT ?y WHERE { <cust:7> (:a|:b)* ?y }")
     val PathStar(Iri("cust:7"), sp, Var("y")) = star.where: @unchecked
