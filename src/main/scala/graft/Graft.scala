@@ -30,6 +30,27 @@ object Graft {
   def sparql(triples: DataFrame, query: String): DataFrame =
     Compiler.run(triples, SparqlParser.parse(query))
 
+  /** Dispatch a textual query on its form — SELECT / ASK / CONSTRUCT /
+    * DESCRIBE, the reference endpoint's full query surface. The form
+    * keyword is located outside IRI brackets, so a namespace like
+    * `<http://x/select>` in the prologue can't misroute.
+    */
+  def query(triples: DataFrame, text: String): DataFrame = {
+    val scrubbed = text.replaceAll("<[^<>]*>", "<>")
+    "(?i)\\b(SELECT|ASK|CONSTRUCT|DESCRIBE)\\b".r
+      .findFirstMatchIn(scrubbed).map(_.group(1).toUpperCase) match {
+      case Some("SELECT") => sparql(triples, text)
+      case Some("ASK") => Compiler.ask(triples, SparqlParser.parseAsk(text))
+      case Some("CONSTRUCT") =>
+        val (tmpl, where) = SparqlParser.parseConstruct(text)
+        Compiler.construct(triples, tmpl, where)
+      case Some("DESCRIBE") =>
+        Endpoint.describe(triples, SparqlParser.parseDescribe(text))
+      case _ => throw new IllegalArgumentException(
+        "query must be SELECT, ASK, CONSTRUCT or DESCRIBE")
+    }
+  }
+
   def importNTriples(spark: SparkSession, path: String): DataFrame =
     NTriples.read(spark, path)
 

@@ -45,4 +45,19 @@ object TripleStore {
   def dimensionTriples(spark: SparkSession, sfDir: String): DataFrame =
     triples(spark, sfDir)
       .filter(!org.apache.spark.sql.functions.col("s").startsWith("line:"))
+
+  /** The cluster layout made concrete: the triple relation as parquet
+    * partitioned by predicate (vertical partitioning à la S2RDF).
+    * Predicate cardinality is vocabulary-sized, so the directory
+    * fan-out stays small while every constant-predicate BGP pattern
+    * prunes to its partition directories before any I/O — at 100 TB
+    * that is the difference between scanning one predicate's slice
+    * and scanning the world. PlanSpec proves the pruning
+    * (PartitionFilters on the scan).
+    */
+  def writePartitioned(triples: DataFrame, path: String): Unit =
+    triples.write.mode("overwrite").partitionBy("p").parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

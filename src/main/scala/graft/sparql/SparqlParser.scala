@@ -366,6 +366,18 @@ object SparqlParser extends RegexParsers {
     rewritePattern(w, expandIri(_, pfx))
   }
 
+  /** DESCRIBE query form: the resource IRI to look up, after prefix
+    * expansion (reference serves this via its endpoint:
+    * pidb-rdf-import/src/main/java/semantics/extension/RDFEndpoint.java).
+    */
+  def parseDescribe(text: String): String = {
+    val (pfx, iri) = finish(parseAll(
+      prologue ~ ("(?i)DESCRIBE".r ~> (iriRef | pname)) ^^ {
+        case p ~ i => (p, i)
+      }, text))
+    expandIri(iri.value, pfx)
+  }
+
   /** CONSTRUCT query form: (template triples, where pattern). */
   def parseConstruct(text: String): (Seq[TriplePattern], Pattern) = {
     val (pfx, tmpl, where) = finish(parseAll(

@@ -91,4 +91,27 @@ class PlanSpec extends AnyFunSuite {
       """SELECT ?c ?b WHERE { ?c a :Customer ; :acctbal ?b . FILTER(?b >= 0) }""")
     assert(df.columns.toSeq == Seq("c", "b") && df.count() > 0)
   }
+
+  test("facade: query() dispatches all four query forms") {
+    val t = Graft.triples(spark, dir)
+    assert(Graft.query(t, "ASK { ?c a :Customer }").columns.toSeq == Seq("ask"))
+    assert(Graft.query(t, "DESCRIBE <nat:1>").count() > 0)
+    assert(Graft.query(t,
+      "CONSTRUCT { ?c a :Client } WHERE { ?c a :Customer }").columns.length == 3)
+    assert(Graft.query(t, "SELECT ?c WHERE { ?c a :Customer }").count() > 0)
+  }
+
+  test("predicate-partitioned store prunes constant-predicate patterns") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pstore").toString
+    graft.rdf.TripleStore.writePartitioned(Graft.triples(spark, dir), path)
+    val pt = graft.rdf.TripleStore.readPartitioned(spark, path)
+    val df = Graft.sparql(pt, "SELECT ?c ?n WHERE { ?c :hasNation ?n }")
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("hasNation"),
+      s"constant predicate must prune partitions, got: $scan")
+    // pruned scan still answers correctly (customers + suppliers)
+    assert(df.count() ==
+      Graft.sparql(spark, dir, "SELECT ?c ?n WHERE { ?c :hasNation ?n }").count())
+  }
 }
