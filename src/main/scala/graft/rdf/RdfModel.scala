@@ -63,14 +63,48 @@ object RdfModel {
     * Deterministic: oracle SQL reconstructs any slice of it with plain
     * string concatenation over the original tables.
     */
-  def tpchTriples(spark: SparkSession, sfDir: String): DataFrame = {
+  def tpchTriples(spark: SparkSession, sfDir: String): DataFrame =
+    dimensionAndOrderTriples(spark, sfDir)
+      .unionAll(toTriples(Tables.lineitem(spark, sfDir), lineitemTripleCols))
+
+  /** The lineitem quad key — the URI-forming columns (see the line-URI
+    * note below): rows sharing all four are the only way the derived
+    * relation can contain duplicate triples.
+    */
+  val lineitemKey: Seq[String] =
+    Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  /** tpchTriples with RDF SET semantics, without a triple-level
+    * distinct over the exploded relation: every other source key is
+    * unique, so those triples are duplicate-free by construction, and
+    * only lineitem rows sharing a line URI — found with one narrow
+    * 4-int groupBy whose tiny result broadcasts back — pay a
+    * triple-level distinct. The wide shuffle of ~9× exploded string
+    * rows becomes a narrow shuffle of source rows (the repartition
+    * that also spreads the cached bulk evenly), which is what makes
+    * the one-time store build cheap at any scale.
+    */
+  def tpchTriplesSet(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val li = Tables.lineitem(spark, sfDir).repartition(parts)
+    val dupKeys = li.groupBy(lineitemKey.map(col): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).drop("__c")
+    val dupRows = li.join(broadcast(dupKeys), lineitemKey, "left_semi")
+    val uniqueRows = li.join(broadcast(dupKeys), lineitemKey, "left_anti")
+    dimensionAndOrderTriples(spark, sfDir)
+      .unionAll(toTriples(uniqueRows, lineitemTripleCols))
+      .unionAll(toTriples(dupRows, lineitemTripleCols).distinct())
+  }
+
+  private def dimensionAndOrderTriples(spark: SparkSession,
+                                       sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val nat = Tables.nation(spark, sfDir)
     val reg = Tables.region(spark, sfDir)
     val supp = Tables.supplier(spark, sfDir)
     val part = Tables.part(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
-    val li = Tables.lineitem(spark, sfDir)
 
     val c = uri("cust", col("c_custkey"))
     val n = uri("nat", col("n_nationkey"))
@@ -78,13 +112,6 @@ object RdfModel {
     val sup = uri("supp", col("s_suppkey"))
     val pt = uri("part", col("p_partkey"))
     val o = uri("ord", col("o_orderkey"))
-    // (orderkey, linenumber) is not unique in the synthetic data; the
-    // full (ok, ln, pk, sk) quad is — the line URI must carry it all
-    // or the RDF view loses row identity.
-    val ln = concat(lit("line:"), col("l_orderkey").cast(StringType),
-      lit("_"), col("l_linenumber").cast(StringType),
-      lit("_"), col("l_partkey").cast(StringType),
-      lit("_"), col("l_suppkey").cast(StringType))
 
     toTriples(cust, Seq(
       iriT(c, "rdf:type", lit(":Customer")),
@@ -121,7 +148,18 @@ object RdfModel {
       litT(o, ":orderdate", col("o_orderdate")),
       litT(o, ":orderstatus", col("o_orderstatus")),
       litT(o, ":orderpriority", col("o_orderpriority")))))
-    .unionAll(toTriples(li, Seq(
+  }
+
+  /** Lineitem triple columns. (orderkey, linenumber) is not unique in
+    * the synthetic data; the full (ok, ln, pk, sk) quad is — the line
+    * URI must carry it all or the RDF view loses row identity.
+    */
+  private def lineitemTripleCols: Seq[Column] = {
+    val ln = concat(lit("line:"), col("l_orderkey").cast(StringType),
+      lit("_"), col("l_linenumber").cast(StringType),
+      lit("_"), col("l_partkey").cast(StringType),
+      lit("_"), col("l_suppkey").cast(StringType))
+    Seq(
       iriT(ln, "rdf:type", lit(":Lineitem")),
       iriT(ln, ":ofOrder", uri("ord", col("l_orderkey"))),
       iriT(ln, ":ofPart", uri("part", col("l_partkey"))),
@@ -130,7 +168,6 @@ object RdfModel {
       litT(ln, ":extendedprice", col("l_extendedprice"), num = true),
       litT(ln, ":discount", col("l_discount"), num = true),
       litT(ln, ":returnflag", col("l_returnflag")),
-      litT(ln, ":shipdate", col("l_shipdate")))))
+      litT(ln, ":shipdate", col("l_shipdate")))
   }
-
 }
