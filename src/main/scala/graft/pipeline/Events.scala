@@ -26,6 +26,19 @@ object Events {
   def windowAggStreaming(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "2 hours"))
 
+  /** Dimension enrichment: events joined with the customer dimension
+    * and rolled up by market segment and event type. The dimension is
+    * broadcast — the classic stream-enrichment shape, and the same
+    * join is append-safe under Structured Streaming (stream-static).
+    */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start_us: Long, last_us: Long, n_events: Long)
   /** Session bounds as epoch-micros longs — bit-identical with the

@@ -68,6 +68,8 @@ object PipelineQueries {
       Events.windowAgg(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(Tables.events(s, dir))),
+    "events_enrich" -> ((s, dir) =>
+      Events.enrich(Tables.events(s, dir), Tables.customer(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -342,6 +344,11 @@ object PipelineQueries {
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |  count(*) AS cnt, round(sum(value), 6) AS sv
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_enrich" ->
+      """SELECT c_mktsegment AS segment, event_type,
+        |  count(*) AS n, round(sum(value), 6) AS sv
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -213,6 +213,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(sess == Set((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("enrich joins the broadcast dimension and rolls up by segment") {
+    val ev = Seq((1L, "click", 2.0), (1L, "click", 3.0), (2L, "view", 4.0))
+      .toDF("user_id", "event_type", "value")
+    val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val got = Events.enrich(ev, cust)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(("BUILDING", "click", 2L, 5.0),
+      ("MACHINERY", "view", 1L, 4.0)))
+  }
+
   test("knn join ranks each query's neighbors by cosine") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
