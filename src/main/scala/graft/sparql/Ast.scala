@@ -119,6 +119,8 @@ object Ast {
       projection: Seq[String] = Seq.empty,     // empty + no aggs = SELECT *
       aggregates: Seq[Agg] = Seq.empty,
       groupBy: Seq[String] = Seq.empty,
+      /** HAVING constraints over aggregate aliases (typed columns). */
+      having: Seq[Expr] = Seq.empty,
       distinct: Boolean = false,
       orderBy: Seq[(String, Boolean)] = Seq.empty, // (var, ascending)
       offset: Long = 0L,

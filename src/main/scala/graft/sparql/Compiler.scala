@@ -443,6 +443,29 @@ object Compiler {
       .distinct()
   }
 
+  /** HAVING constraint over group/aggregate output columns: the
+    * referenced "variables" are aggregate aliases or group keys, whose
+    * columns are typed — compare them directly.
+    */
+  private def havingColumn(e: Expr): Column = e match {
+    case Cmp(op, v, value) =>
+      val c = col(v.name)
+      val l = value.num.map(n => lit(n): Column).getOrElse(lit(value.lexical))
+      op match {
+        case Eq => c === l
+        case Ne => c =!= l
+        case Lt => c < l
+        case Le => c <= l
+        case Gt => c > l
+        case Ge => c >= l
+      }
+    case And(a, b) => havingColumn(a) && havingColumn(b)
+    case Or(a, b) => havingColumn(a) || havingColumn(b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"HAVING supports comparisons over aliases, got $other")
+  }
+
   /** Full SELECT pipeline: where → group/aggregate → order → project →
     * distinct → slice. Output columns are the projected variable names
     * (lexical strings) and aggregate aliases (typed).
@@ -479,6 +502,10 @@ object Compiler {
         if (q.groupBy.nonEmpty)
           df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
         else df.agg(aggCols.head, aggCols.tail: _*)
+      // HAVING compares the typed aggregate outputs directly (they
+      // carry real numeric types, unlike pattern bindings, which
+      // compare through their lexical/companion split)
+      q.having.foreach(e => df = df.filter(havingColumn(e)))
     }
 
     // SPARQL evaluates DISTINCT before ORDER BY: project (keeping the

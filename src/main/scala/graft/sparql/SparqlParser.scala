@@ -261,11 +261,12 @@ object SparqlParser extends RegexParsers {
     "(?i)SELECT".r ~> opt("(?i)DISTINCT".r) ~ (rep1(selector) ^^ Some.apply | "*" ^^^ None) ~
       ("(?i)WHERE".r ~> groupGraphPattern) ~
       opt("(?i)GROUP\\s+BY".r ~> rep1(varTerm)) ~
+      opt("(?i)HAVING".r ~> "(" ~> orExpr <~ ")") ~
       opt("(?i)ORDER\\s+BY".r ~> rep1(orderCond)) ~
       // LIMIT/OFFSET in either order, per the SPARQL grammar
       rep(("(?i)LIMIT".r ~> """\d+""".r ^^ (n => ("limit", n.toLong))) |
           ("(?i)OFFSET".r ~> """\d+""".r ^^ (n => ("offset", n.toLong)))) ^^ {
-      case dist ~ sels ~ where ~ group ~ order ~ slices =>
+      case dist ~ sels ~ where ~ group ~ hav ~ order ~ slices =>
         val limit = slices.collectFirst { case ("limit", n) => n }
         val offset = slices.collectFirst { case ("offset", n) => n }
         val selectors = sels.getOrElse(Seq.empty)
@@ -277,6 +278,7 @@ object SparqlParser extends RegexParsers {
           },
           aggregates = selectors.collect { case AggSel(a) => a },
           groupBy = group.map(_.map(_.name)).getOrElse(Seq.empty),
+          having = hav.toSeq,
           distinct = dist.isDefined,
           orderBy = order.getOrElse(Seq.empty),
           offset = offset.getOrElse(0L),

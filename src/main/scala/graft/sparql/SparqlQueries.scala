@@ -269,6 +269,14 @@ object SparqlQueries {
       run(s, dir, SparqlParser.parse(
         "SELECT ?c ?y WHERE { ?c a :Customer . ?c :hasNation? ?y }"))
     },
+    // HAVING over aggregate aliases: post-aggregation constraint on
+    // the typed outputs
+    "sparql_having" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c (COUNT(?o) AS ?cnt) WHERE {
+          |  ?o :byCustomer ?c .
+          |} GROUP BY ?c HAVING(?cnt >= 3)""".stripMargin))
+    },
     // PREFIX declarations: prefixed names expand to the declared
     // namespace before compilation (two prefixes, both resolved)
     "sparql_prefix_decl" -> { (s, dir) =>
@@ -407,5 +415,8 @@ object SparqlQueries {
     "sparql_prefix_decl" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b
         |FROM customer WHERE c_acctbal >= 5000""".stripMargin,
+    "sparql_having" ->
+      """SELECT 'cust:'||o_custkey AS c, count(*) AS cnt
+        |FROM orders GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
   )
 }

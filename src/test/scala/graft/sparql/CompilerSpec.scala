@@ -210,6 +210,17 @@ class CompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no numeric binding"))
   }
 
+  test("HAVING filters on typed aggregate outputs; ORDER BY sorts aliases") {
+    val q = SparqlParser.parse(
+      """SELECT ?x (COUNT(?p) AS ?cnt) WHERE { ?x ?p ?o }
+        |GROUP BY ?x HAVING(?cnt >= 3) ORDER BY DESC(?cnt) ?x""".stripMargin)
+    assert(q.having.nonEmpty)
+    val rows = Compiler.run(triples, q).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // p:1 has 4 triples, p:2 has 3; :Person/:30 etc. fall below 3
+    assert(rows.toSeq == Seq(("p:1", 4L), ("p:2", 3L)))
+  }
+
   test("MINUS drops compatible solutions; disjoint domains drop nothing") {
     // everyone with a name, minus those who know p:2 → only p:2 left
     val q = SelectQuery(
