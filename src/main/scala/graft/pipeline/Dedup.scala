@@ -99,17 +99,34 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, tau: Double = 0.8,
                    maxDf: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // persisted: the index and both exact-verify sides reuse it
     val sets = persistTracked(shingleSets(docs))
-    val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("sh"))
+    val sh = sets.select(col("doc_id"), col("n_sh"),
+      explode(col("sh_set")).as("sh"))
+    val dfAgg = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // over-threshold shingles are FEW by construction (at most
     // total-shingle-instances / maxDf), so aggregate them and anti-join
-    // — cheaper than windowing the whole inverted index (no sort), and
-    // AQE broadcasts the hot list when it is small
-    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("sh"))
+    // — cheaper than windowing the whole inverted index, and AQE
+    // broadcasts the hot list when it is small
+    val hot = dfAgg.filter(col("df") > maxDf).select(col("sh"))
     val rare = sh.join(hot, Seq("sh"), "left_anti")
-    val cand = rare.as("x").join(rare.as("y"),
+    // prefix filter (AllPairs/PPJoin, LOSSLESS for Jaccard >= tau):
+    // under one global (df, sh) order, a qualifying pair must collide
+    // inside each side's first n - ceil(tau*n) + 1 shingles, so only
+    // those enter the inverted index — candidate volume shrinks
+    // ~(1-tau)^2 while the verified result set stays identical.
+    // Rarest-first order maximizes the pruning. The shuffles this adds
+    // are all narrow (df attach + per-doc rank); the join it shrinks
+    // is the quadratic one.
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("sh"))
+    val prefixLen = col("n_sh") - ceil(col("n_sh") * lit(tau)) + 1
+    val prefix = rare.join(dfAgg, "sh")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= prefixLen)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()

@@ -40,10 +40,13 @@ class PlanSpec extends AnyFunSuite {
       "the 37-bucket probe set must broadcast")
   }
 
-  test("dedup_ngram_jaccard: df cap is an anti-join, not a window sort") {
+  test("dedup_ngram_jaccard: df cap anti-joins; prefix rank is per-doc") {
     val p = plan("dedup_ngram_jaccard")
     assert(p.contains("LeftAnti"), "hot-shingle cap must be an anti-join")
-    assert(!p.contains("Window"), "no window over the full inverted index")
+    // the prefix filter's row_number is the only window, partitioned
+    // by doc_id — never a single-partition global sort
+    assert(!p.contains("Window [") || !p.contains("partitionBy=[]"),
+      "prefix rank must partition by doc")
   }
 
   test("ann_ivf_topk: probed labels broadcast into a semi-join") {
