@@ -39,6 +39,17 @@ object Events {
       .groupBy(col("segment"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
 
+  /** Typed extraction from the semi-structured props column (JSON):
+    * get_json_object is a codegen'd expression — no UDF — so schema-
+    * on-read over a 100 TB event log stays one narrow pass before the
+    * rollup shuffle.
+    */
+  def propsExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"), max(col("k")).as("mx"))
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start_us: Long, last_us: Long, n_events: Long)
   /** Session bounds as epoch-micros longs — bit-identical with the

@@ -70,6 +70,8 @@ object PipelineQueries {
       Events.sessionize(Tables.events(s, dir))),
     "events_enrich" -> ((s, dir) =>
       Events.enrich(Tables.events(s, dir), Tables.customer(s, dir))),
+    "events_json_props" -> ((s, dir) =>
+      Events.propsExtract(Tables.events(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -349,6 +351,13 @@ object PipelineQueries {
         |  count(*) AS n, round(sum(value), 6) AS sv
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+    // integer SUM cast to BIGINT: DuckDB's is HUGEINT, which the
+    // driver's pandas fetch would stringify as a float
+    "events_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sk,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS mx
+        |FROM events GROUP BY 1""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

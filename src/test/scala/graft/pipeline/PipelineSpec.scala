@@ -224,6 +224,16 @@ class PipelineSpec extends AnyFunSuite {
       ("MACHINERY", "view", 1L, 4.0)))
   }
 
+  test("props JSON extraction types and aggregates the field") {
+    val ev = Seq(("click", """{"k": 3}"""), ("click", """{"k": 5}"""),
+      ("view", """{"k": 7}"""), ("view", "not json"))
+      .toDF("event_type", "props")
+    val got = Events.propsExtract(ev)
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(("click", 2L, Some(8L), Some(5L)),
+      ("view", 2L, Some(7L), Some(7L))))
+  }
+
   test("knn join ranks each query's neighbors by cosine") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
