@@ -39,6 +39,22 @@ object Events {
       .groupBy(col("segment"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
 
+  /** Gap sessionization via Spark's NATIVE session_window operator —
+    * the idiomatic twin of [[sessionize]]'s lag/cumsum formulation,
+    * and the form that runs under Structured Streaming with merging
+    * session state out of the box. Bounds are epoch-micros; the
+    * native window's end is last-event + gap.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
   /** Typed extraction from the semi-structured props column (JSON):
     * get_json_object is a codegen'd expression — no UDF — so schema-
     * on-read over a 100 TB event log stays one narrow pass before the

@@ -72,6 +72,8 @@ object PipelineQueries {
       Events.enrich(Tables.events(s, dir), Tables.customer(s, dir))),
     "events_json_props" -> ((s, dir) =>
       Events.propsExtract(Tables.events(s, dir))),
+    "events_session_window" -> ((s, dir) =>
+      Events.sessionWindowAgg(Tables.events(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -358,6 +360,25 @@ object PipelineQueries {
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sk,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS mx
         |FROM events GROUP BY 1""".stripMargin,
+    // native session_window semantics: an event at exactly gap after
+    // the previous still MERGES (windows touch), so the split is
+    // strictly > gap — same rule as events_sessionize, pinned by a
+    // PipelineSpec boundary test; window end = last event + gap
+    "events_session_window" ->
+      """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |y AS (SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (SELECT user_id, ts,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+        |      AS sid
+        |  FROM y)
+        |SELECT user_id, min(epoch_us(ts)) AS start_us,
+        |  max(epoch_us(ts)) + 1800000000 AS end_us,
+        |  count(*) AS n_events
+        |FROM z GROUP BY user_id, sid""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

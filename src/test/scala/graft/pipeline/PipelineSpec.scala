@@ -224,6 +224,22 @@ class PipelineSpec extends AnyFunSuite {
       ("MACHINERY", "view", 1L, 4.0)))
   }
 
+  test("native session_window merges at exactly the gap, splits beyond it") {
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // 29→59 is exactly the 30-min gap: windows touch and still merge
+    // (split is strictly > gap — pins the oracle's split condition);
+    // 59→95 exceeds it and splits
+    val ev = Seq((1L, ts(0)), (1L, ts(29)), (1L, ts(59)), (1L, ts(95)))
+      .toDF("user_id", "ts")
+    def us(t: java.sql.Timestamp) = t.getTime * 1000L
+    val got = Events.sessionWindowAgg(ev)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, us(ts(0)), us(ts(59)) + 1800000000L, 3L),
+      (1L, us(ts(95)), us(ts(95)) + 1800000000L, 1L)))
+  }
+
   test("props JSON extraction types and aggregates the field") {
     val ev = Seq(("click", """{"k": 3}"""), ("click", """{"k": 5}"""),
       ("view", """{"k": 7}"""), ("view", "not json"))
