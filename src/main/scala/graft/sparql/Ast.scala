@@ -33,6 +33,11 @@ object Ast {
   case object StrContains extends StrOp
   /** String-builtin filters over a variable's lexical form. */
   final case class StrFilter(op: StrOp, v: Var, arg: String) extends Expr
+  /** Comparison whose left side is a computed expression (the BIND
+    * expression language): `FILTER(STRLEN(?n) >= 10)`,
+    * `FILTER(?price * 2 > 1500)`.
+    */
+  final case class ExprCmp(op: CmpOp, e: VExpr, value: Lit) extends Expr
   /** `LANG(?v) = "tag"` / `LANG(?v) != "tag"`; a plain literal's
     * language is the empty string per the SPARQL lang() builtin.
     */

@@ -163,18 +163,17 @@ object Compiler {
       if (value.num.isDefined && !hasNum && orderingOp) lit(false)
       else {
         val useNum = value.num.isDefined && hasNum
-        val (c, l) =
-          if (useNum) (col(numCol(v.name)), lit(value.num.get))
-          else (col(v.name), lit(value.lexical))
-        op match {
-          case Eq => c === l
-          case Ne => c =!= l
-          case Lt => c < l
-          case Le => c <= l
-          case Gt => c > l
-          case Ge => c >= l
-        }
+        if (useNum) applyCmp(op, col(numCol(v.name)), lit(value.num.get))
+        else applyCmp(op, col(v.name), lit(value.lexical))
       }
+    case ExprCmp(op, e, value) =>
+      // typed evaluation of the computed side; a numeric/string
+      // mismatch against the literal is a type error → false
+      if (isNumericVExpr(e) && value.num.isDefined)
+        applyCmp(op, numVExpr(df, e), lit(value.num.get))
+      else if (!isNumericVExpr(e) && value.num.isEmpty)
+        applyCmp(op, strVExpr(df, e), lit(value.lexical))
+      else lit(false)
     case LangCmp(eq, v, tag) =>
       // lang() of a non-literal binding is a SPARQL type error, which
       // FILTER treats as false; a plain literal's language is ""
@@ -197,6 +196,15 @@ object Compiler {
     case Or(a, b) => exprColumn(df, a) || exprColumn(df, b)
     case _: Exists | _: NotExists =>
       throw new IllegalArgumentException("EXISTS must be a top-level filter")
+  }
+
+  private def applyCmp(op: CmpOp, c: Column, l: Column): Column = op match {
+    case Eq => c === l
+    case Ne => c =!= l
+    case Lt => c < l
+    case Le => c <= l
+    case Gt => c > l
+    case Ge => c >= l
   }
 
   /** Numeric evaluation of a BIND expression. A non-numeric operand is
@@ -449,16 +457,8 @@ object Compiler {
     */
   private def havingColumn(e: Expr): Column = e match {
     case Cmp(op, v, value) =>
-      val c = col(v.name)
-      val l = value.num.map(n => lit(n): Column).getOrElse(lit(value.lexical))
-      op match {
-        case Eq => c === l
-        case Ne => c =!= l
-        case Lt => c < l
-        case Le => c <= l
-        case Gt => c > l
-        case Ge => c >= l
-      }
+      applyCmp(op, col(v.name),
+        value.num.map(n => lit(n): Column).getOrElse(lit(value.lexical)))
     case And(a, b) => havingColumn(a) && havingColumn(b)
     case Or(a, b) => havingColumn(a) || havingColumn(b)
     case other =>

@@ -47,8 +47,15 @@ object SparqlParser extends RegexParsers {
   // ---- filter expressions ------------------------------------------
   private def cmpOp: Parser[CmpOp] =
     "!=" ^^^ Ne | "<=" ^^^ Le | ">=" ^^^ Ge | "=" ^^^ Eq | "<" ^^^ Lt | ">" ^^^ Gt
+  /** Comparison: a bare variable keeps the companion-aware Cmp path;
+    * any computed left side (arithmetic, STRLEN, CONCAT, …) becomes a
+    * typed ExprCmp.
+    */
   private def cmp: Parser[Expr] =
-    varTerm ~ cmpOp ~ (numLit | strLit) ^^ { case v ~ op ~ l => Cmp(op, v, l) }
+    vAdditive ~ cmpOp ~ (numLit | strLit) ^^ {
+      case VVar(n) ~ op ~ l => Cmp(op, Var(n), l)
+      case e ~ op ~ l => ExprCmp(op, e, l)
+    }
   private def langCmp: Parser[Expr] =
     ("(?i)LANG".r ~> "(" ~> varTerm <~ ")") ~ ("!=" | "=") ~ strLit ^^ {
       case v ~ op ~ tag => LangCmp(op == "=", v, tag.lexical)

@@ -269,6 +269,16 @@ object SparqlQueries {
       run(s, dir, SparqlParser.parse(
         "SELECT ?c ?y WHERE { ?c a :Customer . ?c :hasNation? ?y }"))
     },
+    // expression FILTERs: computed left sides (string length,
+    // arithmetic) compared against literals
+    "sparql_expr_filter" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?p ?n ?rp WHERE {
+          |  ?p a :Part ; :name ?n ; :retailprice ?rp .
+          |  FILTER(STRLEN(?n) >= 10)
+          |  FILTER(?rp * 2 > 1500)
+          |}""".stripMargin), numericVars = Seq("rp"))
+    },
     // HAVING over aggregate aliases: post-aggregation constraint on
     // the typed outputs
     "sparql_having" -> { (s, dir) =>
@@ -418,5 +428,9 @@ object SparqlQueries {
     "sparql_having" ->
       """SELECT 'cust:'||o_custkey AS c, count(*) AS cnt
         |FROM orders GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    "sparql_expr_filter" ->
+      """SELECT 'part:'||p_partkey AS p, p_name AS n, p_retailprice AS rp
+        |FROM part
+        |WHERE length(p_name) >= 10 AND p_retailprice * 2 > 1500""".stripMargin,
   )
 }

@@ -263,6 +263,22 @@ class CompilerSpec extends AnyFunSuite {
     assert(Compiler.run(triples, q).collect().map(_.getString(0)).toSeq == Seq("p:2"))
   }
 
+  test("expression filters compare typed computed sides") {
+    // STRLEN(?n) = 3 matches both; ?a * 2 > 70 only p:2
+    val q = SparqlParser.parse(
+      """SELECT ?x WHERE { ?x :name ?n . ?x :age ?a .
+        |  FILTER(STRLEN(?n) = 3) FILTER(?a * 2 > 70) }""".stripMargin)
+    assert(Compiler.run(triples, q).collect().map(_.getString(0)).toSeq == Seq("p:2"))
+    // string-typed expression vs string literal
+    val s = SparqlParser.parse(
+      """SELECT ?x WHERE { ?x :name ?n . FILTER(UCASE(?n) = "ANN") }""")
+    assert(Compiler.run(triples, s).collect().map(_.getString(0)).toSeq == Seq("p:1"))
+    // type mismatch (string expr vs number) is an error → false
+    val m = SparqlParser.parse(
+      """SELECT ?x WHERE { ?x :name ?n . FILTER(UCASE(?n) = 5) }""")
+    assert(Compiler.run(triples, m).isEmpty)
+  }
+
   test("string-builtin filters: REGEX, STRSTARTS, STRENDS, CONTAINS") {
     def names(e: Expr): Set[String] = {
       val q = SelectQuery(
