@@ -233,6 +233,11 @@ object SparqlParser extends RegexParsers {
   private sealed trait Selector
   private case class VarSel(name: String) extends Selector
   private case class AggSel(agg: Agg) extends Selector
+  /** SELECT expression `(expr AS ?alias)` — desugared into a BIND
+    * wrapped around the group pattern (projection-phase extension;
+    * not supported alongside aggregates).
+    */
+  private case class ExprSel(e: VExpr, alias: String) extends Selector
 
   private def aggOp: Parser[AggOp] =
     "(?i)GROUP_CONCAT".r ^^^ GroupConcat | "(?i)COUNT".r ^^^ Count |
@@ -257,7 +262,12 @@ object SparqlParser extends RegexParsers {
           Agg(realOp, v, alias.name, sep.map(_.lexical).getOrElse(" "))))
     }
 
-  private def selector: Parser[Selector] = aggSel | (varTerm ^^ (v => VarSel(v.name)))
+  private def exprSel: Parser[Selector] =
+    "(" ~> vAdditive ~ ("(?i)AS".r ~> varTerm) <~ ")" ^^ {
+      case e ~ v => ExprSel(e, v.name)
+    }
+  private def selector: Parser[Selector] =
+    aggSel | exprSel | (varTerm ^^ (v => VarSel(v.name)))
 
   private def orderCond: Parser[(String, Boolean)] =
     "(?i)DESC".r ~> "(" ~> varTerm <~ ")" ^^ (v => (v.name, false)) |
@@ -277,11 +287,16 @@ object SparqlParser extends RegexParsers {
         val limit = slices.collectFirst { case ("limit", n) => n }
         val offset = slices.collectFirst { case ("offset", n) => n }
         val selectors = sels.getOrElse(Seq.empty)
+        val exprSels = selectors.collect { case e: ExprSel => e }
+        if (exprSels.nonEmpty && selectors.exists(_.isInstanceOf[AggSel]))
+          throw new IllegalArgumentException(
+            "SELECT expressions alongside aggregates are not supported")
         SelectQuery(
-          where = where,
+          where = exprSels.foldLeft(where)((w, s) => Bind(w, s.e, s.alias)),
           projection = selectors.map {
             case VarSel(n) => n
             case AggSel(a) => a.alias
+            case ExprSel(_, alias) => alias
           },
           aggregates = selectors.collect { case AggSel(a) => a },
           groupBy = group.map(_.map(_.name)).getOrElse(Seq.empty),
