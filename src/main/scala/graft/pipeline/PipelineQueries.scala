@@ -55,6 +55,12 @@ object PipelineQueries {
       TextAnalysis.repetition(Tables.documents(s, dir))),
     "data_split" -> ((s, dir) =>
       TextAnalysis.assignSplit(Tables.documents(s, dir))),
+    "text_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(Tables.documents(s, dir))),
+    "data_sample_stratified" -> ((s, dir) =>
+      TextAnalysis.sampleStratified(Tables.documents(s, dir))),
+    "emb_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     // ---- §H multimodal ---------------------------------------------
     "mm_binary_features" -> ((s, dir) =>
       Multimodal.binaryFeatures(Tables.documents(s, dir))),
@@ -250,6 +256,34 @@ object PipelineQueries {
         |FROM (SELECT doc_id, source,
         |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
         |      FROM documents)""".stripMargin,
+    "text_vocab_topk" ->
+      raw"""SELECT token, count(*) AS n
+           |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+           |        AS token FROM documents)
+           |WHERE token != ''
+           |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "data_sample_stratified" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 100 AS b
+        |  FROM documents)
+        |WHERE b < CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25
+        |          ELSE 10 END""".stripMargin,
+    // trunc() before the int cast: DuckDB's double→int CAST rounds,
+    // Spark's truncates — trunc makes both engines agree bit-for-bit
+    "emb_quantize" ->
+      """WITH x AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS m
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, m,
+        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+        |      ELSE CAST(trunc(CAST(x AS DOUBLE) * 127 / m) AS INT) END) AS qv
+        |  FROM x)
+        |SELECT vec_id, m / 127 AS scale,
+        |  md5(array_to_string(qv, ',')) AS q_md5,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum
+        |FROM q""".stripMargin,
     "text_token_count" ->
       raw"""SELECT doc_id,
            |  len(string_split_regex(trim(text), '\s+')) AS n_ws,

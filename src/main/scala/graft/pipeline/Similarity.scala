@@ -131,6 +131,28 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** Symmetric int8 quantization, per-vector max-abs scale — the
+    * standard storage/bandwidth reduction before an ANN index is
+    * built (4 bytes/dim → 1). Pure per-row array expressions, one
+    * narrow pass at any corpus size. Truncation (cast, not round) is
+    * used so the result is engine-portable bit-for-bit; the max-abs
+    * element itself maps to ±127 exactly. Projects a scalar digest
+    * (md5 of the comma-joined codes + their sum) rather than the raw
+    * array so the oracle compare stays string-stable.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("m",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("q", transform(col("embedding"),
+        x => when(col("m") === 0d, lit(0))
+          .otherwise((x.cast("double") * 127d / col("m")).cast("int"))))
+      .select(col("vec_id"),
+        (col("m") / 127d).as("scale"),
+        md5(concat_ws(",", transform(col("q"), _.cast("string")))
+          .cast("binary")).as("q_md5"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"))
+
   /** IVF-style: centroids = per-label mean vectors ("trained"
     * partition assignment), probe the `nprobe` centroids nearest the
     * query, exact top-k within the probed partitions.

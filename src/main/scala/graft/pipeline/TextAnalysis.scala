@@ -168,6 +168,44 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** Corpus-wide vocabulary: top-k lowercased whitespace tokens by
+    * frequency. The groupBy count gets map-side partial aggregation
+    * for free (one row per distinct (token, partition) reaches the
+    * shuffle — tokens are Zipfian, so the combine absorbs almost all
+    * of the volume), and the top-k rides TakeOrderedAndProject, never
+    * a full sort. Ties break on the token for determinism.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(wsTokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Per-source stratified sampling with deterministic md5 buckets —
+    * the per-domain quota pass of a corpus build. A doc's keep/drop
+    * depends only on its own id (stable under reruns and corpus
+    * growth); per-source rates arrive as a (source, pct) table and
+    * broadcast-join onto the scan, so the pass stays narrow. The
+    * bucket reads md5 hex chars 5-8 — decorrelated from
+    * [[assignSplit]]'s chars 1-4, so sampling is independent of the
+    * train/val/test assignment.
+    */
+  def sampleStratified(docs: DataFrame,
+                       rates: Map[String, Int] = Map("src0" -> 50, "src1" -> 25),
+                       defaultPct: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF("source", "pct")
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 5, 4),
+        16, 10).cast("long") % 100
+    docs.join(broadcast(ratesDf), Seq("source"), "left")
+      .withColumn("pct", coalesce(col("pct"), lit(defaultPct)))
+      .filter(bucket < col("pct"))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Deterministic PII scrubbing: emails then long digit runs become
     * placeholder tokens. A fixed chain of codegen'd regexp_replace
     * calls (patterns restricted to syntax Java regex and RE2 share,

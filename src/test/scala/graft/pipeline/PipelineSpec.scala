@@ -297,4 +297,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(bySplit.keySet == Set("train", "val", "test"))
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
+
+  test("vocab topk counts lowercased tokens, ties break on token") {
+    val d = docs(1L -> "B b a c", 2L -> "a c x")
+    val v = TextAnalysis.vocabTopK(d, k = 3).as[(String, Long)].collect().toSeq
+    // b and a both occur twice: count desc, then token asc
+    assert(v == Seq("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("stratified sample keeps per-source rates, deterministic") {
+    val d = (0L until 200L).map(i => (i, s"doc $i", "en",
+      if (i % 2 == 0) "src0" else "other", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s1 = TextAnalysis.sampleStratified(d).as[(Long, String)].collect().toSet
+    val s2 = TextAnalysis.sampleStratified(d).as[(Long, String)].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    val bySrc = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    // src0 sampled at 50%, unknown sources at the 10% default
+    assert(bySrc("src0") > bySrc.getOrElse("other", 0))
+    assert(bySrc.getOrElse("other", 0) < 30)
+  }
+
+  test("int8 quantization maps the max-abs element to ±127") {
+    val e = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val q = Similarity.quantizeInt8(e)
+      .select("vec_id", "scale", "q_sum").as[(Long, Double, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // codes: trunc(0.5*127)=63, -127, trunc(0.25*127)=31 → sum -33
+    assert(q(1L) == ((1.0 / 127, -33L)))
+    // zero vector: scale 0, all codes 0
+    assert(q(2L) == ((0.0, 0L)))
+  }
 }
