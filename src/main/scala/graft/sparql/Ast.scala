@@ -44,6 +44,16 @@ object Ast {
   final case class LangCmp(eq: Boolean, v: Var, tag: String) extends Expr
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
+  /** `?v [NOT] IN (c1, c2, …)` — value-equality against a constant
+    * list (numeric when the binding has a numeric companion).
+    */
+  final case class In(v: Var, values: Seq[Term], neg: Boolean) extends Expr
+  /** BOUND(?v). Unmatched OPTIONAL vars carry the engine's "N/A"
+    * sentinel (the reference compiler's unmatched constant), so BOUND
+    * is "in scope, not null, and not the sentinel".
+    */
+  final case class Bound(v: Var) extends Expr
+  final case class Not(e: Expr) extends Expr
   final case class Exists(patterns: Seq[TriplePattern]) extends Expr
   final case class NotExists(patterns: Seq[TriplePattern]) extends Expr
 
@@ -78,8 +88,12 @@ object Ast {
   case object MulOp extends ArithOp
   case object DivOp extends ArithOp
   final case class Arith(op: ArithOp, l: VExpr, r: VExpr) extends VExpr
-  /** fn ∈ {STR, STRLEN, UCASE, LCASE, CONCAT}. */
+  /** fn ∈ {STR, STRLEN, UCASE, LCASE, CONCAT, COALESCE, SUBSTR,
+    * STRBEFORE, STRAFTER, REPLACE}.
+    */
   final case class FnCall(fn: String, args: Seq[VExpr]) extends VExpr
+  /** IF(cond, then, else) — conditional value expression. */
+  final case class VIf(cond: Expr, t: VExpr, f: VExpr) extends VExpr
   /** Property path `(p1|p2|…)+`: s and o related by one or more hops
     * over any of the predicates (SPARQL alternation + OneOrMore).
     */
@@ -104,6 +118,17 @@ object Ast {
     * constant table. Every row arity must match the variable list.
     */
   final case class ValuesPattern(vars: Seq[Var], rows: Seq[Seq[Term]]) extends Pattern
+  /** Negated property set `s !(p1|p2|…) o`: one hop over any
+    * predicate NOT in the list (SPARQL 1.1 §9.1 PathNegatedPropertySet,
+    * forward form).
+    */
+  final case class NegPath(s: Term, preds: Seq[String], o: Term) extends Pattern
+  /** Nested `{ SELECT … }` subquery: evaluated bottom-up, its
+    * projected variables join with the enclosing group (SPARQL 1.1
+    * §12). Numeric outputs (aggregate aliases) re-derive their typed
+    * companions on exit so outer FILTER/ORDER stay typed.
+    */
+  final case class SubSelect(q: SelectQuery) extends Pattern
 
   sealed trait AggOp
   case object Count extends AggOp
@@ -116,6 +141,10 @@ object Ast {
     * deterministic under distributed, order-free aggregation.
     */
   case object GroupConcat extends AggOp
+  /** SAMPLE — SPARQL allows any group member; this engine picks the
+    * minimum lexical value so results are reproducible anywhere.
+    */
+  case object Sample extends AggOp
   final case class Agg(op: AggOp, v: Option[Var], alias: String,
                        sep: String = " ")
 

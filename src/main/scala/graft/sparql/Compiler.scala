@@ -192,6 +192,30 @@ object Compiler {
         case StrEnds => col(v.name).endsWith(arg)
         case StrContains => col(v.name).contains(arg)
       }
+    case In(v, values, neg) =>
+      // value-equality against each constant; numeric constants use
+      // the companion when present. An out-of-scope variable is a
+      // type error → false (for IN and NOT IN alike, per SPARQL)
+      if (!df.columns.contains(v.name)) lit(false)
+      else {
+        val hasNum = df.columns.contains(numCol(v.name))
+        val tests = values.map {
+          case Iri(x) => col(v.name) === x
+          case Lit(_, Some(n)) if hasNum => col(numCol(v.name)) === n
+          case Lit(lex, _) => col(v.name) === lex
+          case Var(_) =>
+            throw new IllegalArgumentException("IN values must be constants")
+        }
+        val c = tests.reduce(_ || _)
+        if (neg) !c else c
+      }
+    case Bound(v) =>
+      // unmatched OPTIONAL vars hold the reference's "N/A" sentinel
+      // (SparqlToGremlinCompiler.java:122), so bound = in scope, not
+      // null, and not the sentinel
+      if (!df.columns.contains(v.name)) lit(false)
+      else col(v.name).isNotNull && col(v.name) =!= "N/A"
+    case Not(e) => !exprColumn(df, e)
     case And(a, b) => exprColumn(df, a) && exprColumn(df, b)
     case Or(a, b) => exprColumn(df, a) || exprColumn(df, b)
     case _: Exists | _: NotExists =>
@@ -226,6 +250,8 @@ object Compiler {
         case DivOp => a / b
       }
     case FnCall("STRLEN", Seq(a)) => length(strVExpr(df, a)).cast("double")
+    case VIf(c, t, f) =>
+      when(exprColumn(df, c), numVExpr(df, t)).otherwise(numVExpr(df, f))
     case FnCall(fn, _) =>
       throw new IllegalArgumentException(s"$fn is not numeric in BIND")
   }
@@ -242,6 +268,30 @@ object Compiler {
     case FnCall("UCASE", Seq(a)) => upper(strVExpr(df, a))
     case FnCall("LCASE", Seq(a)) => lower(strVExpr(df, a))
     case FnCall("CONCAT", as) if as.nonEmpty => concat(as.map(strVExpr(df, _)): _*)
+    case FnCall("COALESCE", as) if as.nonEmpty =>
+      coalesce(as.map(strVExpr(df, _)): _*)
+    // SPARQL SUBSTR is 1-based; the 2-arg form runs to the end
+    case FnCall("SUBSTR", Seq(a, st)) =>
+      val sa = strVExpr(df, a)
+      sa.substr(numVExpr(df, st).cast("int"), length(sa))
+    case FnCall("SUBSTR", Seq(a, st, ln)) =>
+      strVExpr(df, a).substr(numVExpr(df, st).cast("int"),
+        numVExpr(df, ln).cast("int"))
+    // STRBEFORE/STRAFTER return "" when the separator is absent (the
+    // SPARQL builtins' no-match value, unlike substring_index's
+    // whole-string); separators are constant in this subset
+    case FnCall("STRBEFORE", Seq(a, VStr(sep))) =>
+      val sa = strVExpr(df, a)
+      when(instr(sa, sep) > 0, substring_index(sa, sep, 1)).otherwise(lit(""))
+    case FnCall("STRAFTER", Seq(a, VStr(sep))) =>
+      val sa = strVExpr(df, a)
+      when(instr(sa, sep) > 0,
+        sa.substr(instr(sa, sep) + lit(sep.length), length(sa)))
+        .otherwise(lit(""))
+    case FnCall("REPLACE", Seq(a, VStr(pat), VStr(rep))) =>
+      regexp_replace(strVExpr(df, a), pat, rep)
+    case VIf(c, t, f) =>
+      when(exprColumn(df, c), strVExpr(df, t)).otherwise(strVExpr(df, f))
     case other =>
       throw new IllegalArgumentException(s"$other is not a string BIND expression")
   }
@@ -253,6 +303,7 @@ object Compiler {
   private def isNumericVExpr(e: VExpr): Boolean = e match {
     case _: Arith | _: VNum => true
     case FnCall("STRLEN", _) => true
+    case VIf(_, t, f) => isNumericVExpr(t) && isNumericVExpr(f)
     case _ => false
   }
 
@@ -330,6 +381,21 @@ object Compiler {
         }))
       }
       triples.sparkSession.createDataFrame(rows, schema)
+    case NegPath(s, preds, o) =>
+      // one hop over any predicate outside the set: the ordinary
+      // pattern machinery over a predicate-filtered slice, with a
+      // fresh predicate variable that is dropped after projection
+      patternDf(triples.filter(!col("p").isin(preds: _*)),
+        TriplePattern(s, Var("__negp"), o)).drop("__negp")
+    case SubSelect(q) =>
+      // evaluate the inner SELECT bottom-up; aggregate aliases come
+      // out typed, so re-derive the numeric companions the enclosing
+      // group's FILTER/ORDER machinery expects
+      val df = run(triples, q)
+      df.schema.fields
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        .foldLeft(df)((d, f) =>
+          d.withColumn(numCol(f.name), col(f.name).cast("double")))
     case PathSeq(s, steps, o) =>
       // desugar to the BGP chain s step1 ?__path1 . ?__path1 step2 … o
       // (an inverse step swaps its pattern's endpoints); the fresh
@@ -495,6 +561,10 @@ object Compiler {
             // sort before joining: collect_list order is partition-
             // dependent, the sorted join is deterministic anywhere
             array_join(array_sort(collect_list(col(varOf("GROUP_CONCAT").name))), sep)
+          case Sample =>
+            // SPARQL permits any group member; the lexical minimum is
+            // the deterministic choice (same answer on any cluster)
+            min(col(varOf("SAMPLE").name))
         }
         c.as(alias)
       }

@@ -67,8 +67,18 @@ object SparqlParser extends RegexParsers {
     strOp ~ ("(" ~> varTerm) ~ ("," ~> strLit <~ ")") ^^ {
       case op ~ v ~ l => StrFilter(op, v, l.lexical)
     }
+  private def inFilter: Parser[Expr] =
+    varTerm ~ (opt("(?i)NOT".r) <~ "(?i)IN".r) ~
+      ("(" ~> rep1sep(valuesConst, ",") <~ ")") ^^ {
+      case v ~ neg ~ vals => In(v, vals, neg.isDefined)
+    }
+  private def boundExpr: Parser[Expr] =
+    "(?i)BOUND".r ~> "(" ~> varTerm <~ ")" ^^ Bound.apply
+  private def notExpr: Parser[Expr] =
+    "!" ~> primaryExpr ^^ Not.apply
   private def primaryExpr: Parser[Expr] =
-    ("(" ~> orExpr <~ ")") | langCmp | strFilter | cmp
+    ("(" ~> orExpr <~ ")") | notExpr | langCmp | strFilter | boundExpr |
+      inFilter | cmp
   private def andExpr: Parser[Expr] =
     rep1sep(primaryExpr, "&&") ^^ (_.reduceLeft(And.apply))
   private def orExpr: Parser[Expr] =
@@ -117,6 +127,16 @@ object SparqlParser extends RegexParsers {
         })
     }
 
+  /** Negated property set: `term !(p1|p2) term .` or `term !p term .`
+    * — one hop over any predicate outside the list.
+    */
+  private def negPathTriple: Parser[GroupElem] =
+    term ~ ("!" ~> (("(" ~> rep1sep(iriRef | pname | rdfTypeKw, "|") <~ ")") |
+      ((iriRef | pname | rdfTypeKw) ^^ (Seq(_))))) ~ term <~ opt(".") ^^ {
+      case s ~ preds ~ o =>
+        GroupOrUnionElem(NegPath(s, preds.map(_.value), o))
+    }
+
   /** Sequence path triple: `term step/step/… term .` where a step is
     * `p` or `^p`. A single non-inverse step backtracks to the plain
     * triple rule.
@@ -139,11 +159,18 @@ object SparqlParser extends RegexParsers {
     "(?i)MINUS".r ~> groupGraphPattern ^^ MinusElem.apply
 
   // ---- BIND value expressions --------------------------------------
-  // STRLEN before STR: regex alternation is ordered and STR is a prefix
+  // longer names before their prefixes: regex alternation is ordered
+  // (STRBEFORE/STRAFTER/STRLEN before STR, SUBSTR before STR)
   private def fnName: Parser[String] =
-    "(?i)(CONCAT|UCASE|LCASE|STRLEN|STR)".r ^^ (_.toUpperCase)
+    "(?i)(CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR)".r ^^
+      (_.toUpperCase)
+  private def ifExpr: Parser[VExpr] =
+    "(?i)IF".r ~> "(" ~> orExpr ~ ("," ~> vAdditive) ~ ("," ~> vAdditive) <~ ")" ^^ {
+      case c ~ t ~ f => VIf(c, t, f)
+    }
   private def vPrimary: Parser[VExpr] =
     ("(" ~> vAdditive <~ ")") |
+    ifExpr |
     fnName ~ ("(" ~> rep1sep(vAdditive, ",") <~ ")") ^^ {
       case f ~ args => FnCall(f, args)
     } |
@@ -187,10 +214,14 @@ object SparqlParser extends RegexParsers {
     rep1sep(groupGraphPattern, "(?i)UNION".r) ^^ (gs =>
       GroupOrUnionElem(gs.reduceLeft(Union.apply)))
 
+  /** Nested `{ SELECT … }` subquery inside a group pattern. */
+  private def subSelectElem: Parser[GroupElem] =
+    "{" ~> selectQuery <~ "}" ^^ (q => GroupOrUnionElem(SubSelect(q)))
+
   private def groupElem: Parser[GroupElem] =
     filterElem | optionalElem | minusElem | bindElem | valuesElem |
-      pathTriple | seqPathTriple |
-      groupOrUnion | (triplesSameSubject ^^ TriplesElem.apply)
+      negPathTriple | pathTriple | seqPathTriple |
+      subSelectElem | groupOrUnion | (triplesSameSubject ^^ TriplesElem.apply)
 
   private def groupGraphPattern: Parser[Pattern] =
     "{" ~> rep(groupElem) <~ "}" ^^ assemble
@@ -242,7 +273,8 @@ object SparqlParser extends RegexParsers {
   private def aggOp: Parser[AggOp] =
     "(?i)GROUP_CONCAT".r ^^^ GroupConcat | "(?i)COUNT".r ^^^ Count |
     "(?i)SUM".r ^^^ Sum | "(?i)AVG".r ^^^ Avg |
-    "(?i)MAX".r ^^^ Max | "(?i)MIN".r ^^^ Min
+    "(?i)MAX".r ^^^ Max | "(?i)MIN".r ^^^ Min |
+    "(?i)SAMPLE".r ^^^ Sample
 
   private def aggSel: Parser[Selector] =
     "(" ~> aggOp ~ ("(" ~> opt("(?i)DISTINCT".r) ~ (varTerm ^^ Some.apply | "*" ^^^ None) ~
@@ -340,7 +372,9 @@ object SparqlParser extends RegexParsers {
     case NotExists(ps) => NotExists(ps.map(rewriteTp(_, f)))
     case And(l, r) => And(rewriteExpr(l, f), rewriteExpr(r, f))
     case Or(l, r) => Or(rewriteExpr(l, f), rewriteExpr(r, f))
-    case other => other // Cmp / LangCmp / StrFilter carry no IRIs
+    case Not(x) => Not(rewriteExpr(x, f))
+    case In(v, vals, neg) => In(v, vals.map(rewriteTerm(_, f)), neg)
+    case other => other // Cmp / LangCmp / StrFilter / Bound carry no IRIs
   }
   private def rewritePattern(p: Pattern, f: String => String): Pattern = p match {
     case Bgp(ps) => Bgp(ps.map(rewriteTp(_, f)))
@@ -361,6 +395,9 @@ object SparqlParser extends RegexParsers {
     case PathSeq(s, steps, o) =>
       PathSeq(rewriteTerm(s, f),
         steps.map(st => PathStep(f(st.pred), st.inverse)), rewriteTerm(o, f))
+    case NegPath(s, preds, o) =>
+      NegPath(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
+    case SubSelect(q) => SubSelect(q.copy(where = rewritePattern(q.where, f)))
   }
 
   private def finish[T](res: ParseResult[T]): T = res match {

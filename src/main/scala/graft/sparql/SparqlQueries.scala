@@ -287,6 +287,73 @@ object SparqlQueries {
           |  ?o :byCustomer ?c .
           |} GROUP BY ?c HAVING(?cnt >= 3)""".stripMargin))
     },
+    // nested SELECT subquery: inner aggregation joined with an outer
+    // pattern on the shared variable (SPARQL 1.1 §12)
+    "sparql_subquery" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?nm ?cnt WHERE {
+          |  { SELECT ?n (COUNT(?c) AS ?cnt) WHERE {
+          |      ?c a :Customer . ?c :hasNation ?n .
+          |    } GROUP BY ?n }
+          |  ?n :name ?nm .
+          |}""".stripMargin))
+    },
+    // IN / NOT IN value lists (string, and IRIs through NOT IN)
+    "sparql_in_filter" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?m ?n WHERE {
+          |  ?c :mktsegment ?m . ?c :hasNation ?n .
+          |  FILTER(?m IN ("BUILDING", "AUTOMOBILE"))
+          |  FILTER(?n NOT IN (<nat:1>, <nat:2>))
+          |}""".stripMargin))
+    },
+    // !BOUND over an OPTIONAL: customers with no pending order (the
+    // classic left-join-null idiom; unmatched vars hold the N/A
+    // sentinel the reference uses for unmatched OPTIONALs)
+    "sparql_bound_filter" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c WHERE {
+          |  ?c a :Customer .
+          |  OPTIONAL { ?o :byCustomer ?c . ?o :orderstatus "P" }
+          |  FILTER(!BOUND(?o))
+          |}""".stripMargin))
+    },
+    // IF conditional + COALESCE over an out-of-scope variable
+    "sparql_if_coalesce" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?tier ?fall WHERE {
+          |  ?c a :Customer ; :acctbal ?b .
+          |  BIND(IF(?b >= 5000, "high", "low") AS ?tier)
+          |  BIND(COALESCE(?missing, "none") AS ?fall)
+          |}""".stripMargin))
+    },
+    // negated property set: every supplier edge that is neither
+    // acctbal nor rdf:type (name literal + nation IRI remain)
+    "sparql_neg_path" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?s ?o WHERE {
+          |  ?s a :Supplier .
+          |  ?s !(:acctbal|a) ?o .
+          |}""".stripMargin))
+    },
+    // SAMPLE aggregate — deterministic (minimum) group member
+    "sparql_sample" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?m (SAMPLE(?c) AS ?rep) WHERE {
+          |  ?c :mktsegment ?m .
+          |} GROUP BY ?m""".stripMargin))
+    },
+    // SUBSTR / STRBEFORE / STRAFTER / REPLACE value builtins
+    "sparql_str_builtins" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?p ?pre ?bef ?aft ?und WHERE {
+          |  ?p a :Part ; :name ?n .
+          |  BIND(SUBSTR(?n, 1, 5) AS ?pre)
+          |  BIND(STRBEFORE(?n, " ") AS ?bef)
+          |  BIND(STRAFTER(?n, " ") AS ?aft)
+          |  BIND(REPLACE(?n, " ", "_") AS ?und)
+          |}""".stripMargin))
+    },
     // PREFIX declarations: prefixed names expand to the declared
     // namespace before compilation (two prefixes, both resolved)
     "sparql_prefix_decl" -> { (s, dir) =>
@@ -425,6 +492,42 @@ object SparqlQueries {
     "sparql_prefix_decl" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b
         |FROM customer WHERE c_acctbal >= 5000""".stripMargin,
+    "sparql_subquery" ->
+      """SELECT n_name AS nm, cnt FROM (
+        |  SELECT c_nationkey AS k, count(*) AS cnt
+        |  FROM customer GROUP BY 1) t
+        |JOIN nation ON n_nationkey = t.k""".stripMargin,
+    "sparql_in_filter" ->
+      """SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m,
+        |       'nat:'||c_nationkey AS n
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |  AND c_nationkey NOT IN (1, 2)""".stripMargin,
+    "sparql_bound_filter" ->
+      """SELECT 'cust:'||c_custkey AS c FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderstatus = 'P')""".stripMargin,
+    "sparql_if_coalesce" ->
+      """SELECT 'cust:'||c_custkey AS c,
+        |  CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'low' END AS tier,
+        |  'none' AS fall
+        |FROM customer""".stripMargin,
+    "sparql_neg_path" ->
+      """SELECT 'supp:'||s_suppkey AS s, s_name AS o FROM supplier
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, 'nat:'||s_nationkey FROM supplier""".stripMargin,
+    "sparql_sample" ->
+      """SELECT c_mktsegment AS m, min('cust:'||c_custkey) AS rep
+        |FROM customer GROUP BY 1""".stripMargin,
+    "sparql_str_builtins" ->
+      """SELECT 'part:'||p_partkey AS p, substr(p_name, 1, 5) AS pre,
+        |  CASE WHEN strpos(p_name, ' ') > 0
+        |       THEN substr(p_name, 1, strpos(p_name, ' ') - 1) ELSE '' END AS bef,
+        |  CASE WHEN strpos(p_name, ' ') > 0
+        |       THEN substr(p_name, strpos(p_name, ' ') + 1) ELSE '' END AS aft,
+        |  replace(p_name, ' ', '_') AS und
+        |FROM part""".stripMargin,
     "sparql_having" ->
       """SELECT 'cust:'||o_custkey AS c, count(*) AS cnt
         |FROM orders GROUP BY 1 HAVING count(*) >= 3""".stripMargin,

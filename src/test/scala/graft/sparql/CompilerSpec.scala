@@ -314,4 +314,100 @@ class CompilerSpec extends AnyFunSuite {
     assert(Compiler.run(triples, zo).collect().map(_.getString(0)).toSet ==
       Set("p:2"))
   }
+
+  test("IN uses the numeric companion; NOT IN negates; unbound is false") {
+    def who(e: Expr): Set[String] = {
+      val q = SelectQuery(
+        where = Filter(Seq(e), Bgp(Seq(tp(v("x"), ":age", v("a"))))),
+        projection = Seq("x"))
+      Compiler.run(triples, q).collect().map(_.getString(0)).toSet
+    }
+    assert(who(In(v("a"), Seq(Lit("30", Some(30.0)), Lit("99", Some(99.0))),
+      neg = false)) == Set("p:1"))
+    assert(who(In(v("a"), Seq(Lit("30", Some(30.0))), neg = true)) == Set("p:2"))
+    // out-of-scope variable: type error → false for IN and NOT IN
+    assert(who(In(v("zz"), Seq(Lit("1", Some(1.0))), neg = true)).isEmpty)
+  }
+
+  test("BOUND sees through the OPTIONAL N/A sentinel") {
+    // p:1 knows someone, p:2 does not
+    val q = SelectQuery(
+      where = Filter(Seq(Not(Bound(v("y")))),
+        LeftJoin(
+          Bgp(Seq(tp(v("x"), "rdf:type", Iri(":Person")))),
+          Bgp(Seq(tp(v("x"), ":knows", v("y")))))),
+      projection = Seq("x"))
+    assert(Compiler.run(triples, q).collect().map(_.getString(0)).toSet ==
+      Set("p:2"))
+  }
+
+  test("IF is typed by its branches; COALESCE falls back on unbound") {
+    val q = SelectQuery(
+      where = Bind(
+        Bind(
+          Bgp(Seq(tp(v("x"), ":age", v("a")))),
+          VIf(Cmp(Ge, v("a"), Lit("35", Some(35.0))), VStr("old"), VStr("young")),
+          "t"),
+        FnCall("COALESCE", Seq(VVar("zz"), VStr("dflt"))), "u"),
+      projection = Seq("x", "t", "u"))
+    val rows = Compiler.run(triples, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(("p:1", "young", "dflt"), ("p:2", "old", "dflt")))
+    // numeric IF: both branches numeric ⇒ typed double binding
+    val nq = SelectQuery(
+      where = Bind(Bgp(Seq(tp(v("x"), ":age", v("a")))),
+        VIf(Cmp(Gt, v("a"), Lit("35", Some(35.0))), VNum(1), VNum(0)), "flag"),
+      projection = Seq("x", "flag"))
+    val nrows = Compiler.run(triples, nq).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(nrows == Set(("p:1", 0.0), ("p:2", 1.0)))
+  }
+
+  test("substring builtins: SUBSTR 1-based, STRBEFORE/STRAFTER empty on no match") {
+    val q = SelectQuery(
+      where = Bind(Bind(Bind(
+        Bgp(Seq(tp(v("x"), ":name", v("n")))),
+        FnCall("SUBSTR", Seq(VVar("n"), VNum(2), VNum(2))), "sub"),
+        FnCall("STRBEFORE", Seq(VVar("n"), VStr("n"))), "bef"),
+        FnCall("STRAFTER", Seq(VVar("n"), VStr("o"))), "aft"),
+      projection = Seq("n", "sub", "bef", "aft"))
+    val rows = Compiler.run(triples, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    // ann: substr(2,2)=nn, before first 'n'="a", no 'o' → ""
+    // bob: substr(2,2)=ob, no 'n' → "", after first 'o'="b"
+    assert(rows == Set(("ann", "nn", "a", ""), ("bob", "ob", "", "b")))
+  }
+
+  test("negated property set hops over predicates outside the list") {
+    val q = SelectQuery(
+      where = NegPath(Iri("p:1"), Seq(":knows", "rdf:type"), v("o")),
+      projection = Seq("o"))
+    assert(Compiler.run(triples, q).collect().map(_.getString(0)).toSet ==
+      Set("ann", "30"))
+  }
+
+  test("subquery aggregates join the enclosing group with typed outputs") {
+    val inner = SelectQuery(
+      where = Bgp(Seq(tp(v("x"), ":age", v("a")))),
+      projection = Seq("x", "mx"),
+      aggregates = Seq(Agg(Max, Some(v("a")), "mx")),
+      groupBy = Seq("x"))
+    val q = SelectQuery(
+      where = Filter(Seq(Cmp(Gt, v("mx"), Lit("35", Some(35.0)))),
+        Join(SubSelect(inner), Bgp(Seq(tp(v("x"), ":name", v("n")))))),
+      projection = Seq("n"))
+    assert(Compiler.run(triples, q).collect().map(_.getString(0)).toSeq ==
+      Seq("bob"))
+  }
+
+  test("SAMPLE picks the deterministic minimum group member") {
+    val q = SelectQuery(
+      where = Bgp(Seq(tp(v("x"), "rdf:type", v("t")))),
+      projection = Seq("t", "rep"),
+      aggregates = Seq(Agg(Sample, Some(v("x")), "rep")),
+      groupBy = Seq("t"))
+    assert(Compiler.run(triples, q).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set((":Person", "p:1")))
+  }
 }

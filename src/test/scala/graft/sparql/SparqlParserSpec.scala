@@ -164,4 +164,65 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(plain.where == Bgp(Seq(
       TriplePattern(Var("x"), Iri(":knows"), Var("y")))))
   }
+
+  test("parses IN / NOT IN, BOUND, and !-negation") {
+    val q = SparqlParser.parse(
+      """SELECT ?x WHERE {
+        |  ?x :seg ?m . OPTIONAL { ?x :p ?y }
+        |  FILTER(?m IN ("A", "B"))
+        |  FILTER(?x NOT IN (<n:1>, 5))
+        |  FILTER(!BOUND(?y))
+        |}""".stripMargin)
+    val Filter(es, _) = q.where: @unchecked
+    assert(es.contains(In(Var("m"), Seq(Lit("A", None), Lit("B", None)), neg = false)))
+    assert(es.contains(In(Var("x"), Seq(Iri("n:1"), Lit("5", Some(5.0))), neg = true)))
+    assert(es.contains(Not(Bound(Var("y")))))
+    // '!=' still lexes as the comparator, not '!' + '='
+    val ne = SparqlParser.parse("SELECT ?x WHERE { ?x :p ?v . FILTER(?v != 3) }")
+    val Filter(Seq(Cmp(Ne, Var("v"), _)), _) = ne.where: @unchecked
+  }
+
+  test("parses IF, COALESCE, and the substring builtins in BIND") {
+    val q = SparqlParser.parse(
+      """SELECT ?t WHERE {
+        |  ?x :age ?a .
+        |  BIND(IF(?a >= 10, "big", "small") AS ?t)
+        |  BIND(COALESCE(?zz, "d") AS ?u)
+        |  BIND(SUBSTR(?t, 1, 2) AS ?v)
+        |  BIND(STRAFTER(?t, "-") AS ?w)
+        |}""".stripMargin)
+    def binds(p: Ast.Pattern): Seq[(String, VExpr)] = p match {
+      case Bind(in, e, as) => binds(in) :+ (as -> e)
+      case _ => Seq.empty
+    }
+    val bs = binds(q.where).toMap
+    assert(bs("t") == VIf(Cmp(Ge, Var("a"), Lit("10", Some(10.0))),
+      VStr("big"), VStr("small")))
+    assert(bs("u") == FnCall("COALESCE", Seq(VVar("zz"), VStr("d"))))
+    assert(bs("v") == FnCall("SUBSTR", Seq(VVar("t"), VNum(1), VNum(2))))
+    assert(bs("w") == FnCall("STRAFTER", Seq(VVar("t"), VStr("-"))))
+  }
+
+  test("parses negated property sets, bare and parenthesized") {
+    val q = SparqlParser.parse("SELECT ?o WHERE { ?s !(:a|rdf:type) ?o }")
+    val Bgp(_) = SparqlParser.parse("SELECT ?o WHERE { ?s :a ?o }").where: @unchecked
+    assert(q.where == NegPath(Var("s"), Seq(":a", "rdf:type"), Var("o")))
+    val bare = SparqlParser.parse("SELECT ?o WHERE { ?s !:a ?o . ?s :b ?o }")
+    val Join(NegPath(Var("s"), Seq(":a"), Var("o")), _) = bare.where: @unchecked
+  }
+
+  test("parses a nested SELECT subquery joined with outer triples") {
+    val q = SparqlParser.parse(
+      """SELECT ?nm ?cnt WHERE {
+        |  { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c :in ?n } GROUP BY ?n }
+        |  ?n :name ?nm .
+        |}""".stripMargin)
+    val Join(SubSelect(inner), Bgp(_)) = q.where: @unchecked
+    assert(inner.groupBy == Seq("n") &&
+      inner.aggregates == Seq(Agg(Count, Some(Var("c")), "cnt")))
+    // SAMPLE parses as an aggregate
+    val s = SparqlParser.parse(
+      "SELECT ?m (SAMPLE(?c) AS ?r) WHERE { ?c :seg ?m } GROUP BY ?m")
+    assert(s.aggregates == Seq(Agg(Sample, Some(Var("c")), "r")))
+  }
 }
