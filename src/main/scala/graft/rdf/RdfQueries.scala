@@ -106,6 +106,25 @@ object RdfQueries {
           col("o_num"), col("o_is_iri"), col("lang"))
       TriG.parse(TriG.format(quads)).select(col("g"), col("s"), col("o"))
     },
+    // N-Quads: graph as a fourth term — the round-trip mixes a
+    // literal+graph slice, a default-graph IRI-object slice (the
+    // object/graph ambiguity case), and a typed-literal+graph slice
+    "rdf_nquads_roundtrip" -> { (s, dir) =>
+      val t = TripleStore.dimensionTriples(s, dir)
+      val quads = t
+        .filter(col("s").startsWith("nat:") && col("p") === ":name")
+        .withColumn("g", lit("g:nation"))
+        .unionAll(t.filter(col("s").startsWith("supp:") && col("p") === ":hasNation")
+          .withColumn("g", lit("")))
+        .unionAll(t.filter(col("s").startsWith("cust:") && col("p") === ":acctbal")
+          .withColumn("g", lit("g:bal")))
+        .select(col("g"), col("s"), col("p"), col("o"),
+          col("o_num"), col("o_is_iri"), col("lang"))
+      NQuads.parse(NQuads.format(quads))
+        .select(col("g"), col("s"), col("p"),
+          when(col("o_num").isNull, col("o")).otherwise(lit("")).as("o"),
+          col("o_num").as("num"))
+    },
     // DESCRIBE-a-node endpoint lookup (ref RDFEndpoint.java:210):
     // outgoing star + incoming edges, direction-tagged
     "rdf_describe" -> { (s, dir) =>
@@ -260,6 +279,15 @@ object RdfQueries {
       """SELECT 'g:nation' AS g, 'nat:'||n_nationkey AS s, n_name AS o FROM nation
         |UNION ALL
         |SELECT 'g:region', 'reg:'||r_regionkey, r_name FROM region""".stripMargin,
+    "rdf_nquads_roundtrip" ->
+      """SELECT 'g:nation' AS g, 'nat:'||n_nationkey AS s, ':name' AS p,
+        |       n_name AS o, CAST(NULL AS DOUBLE) AS num FROM nation
+        |UNION ALL
+        |SELECT '', 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey, NULL
+        |FROM supplier
+        |UNION ALL
+        |SELECT 'g:bal', 'cust:'||c_custkey, ':acctbal', '', c_acctbal
+        |FROM customer""".stripMargin,
     "rdf_describe" ->
       """SELECT 'out' AS dir, 'nat:1' AS s, 'rdf:type' AS p, ':Nation' AS o
         |FROM nation WHERE n_nationkey = 1

@@ -261,4 +261,41 @@ class RdfSpec extends AnyFunSuite {
     val short = Namespaces.shorten(df, reg, "u").collect().map(_.getString(0)).toSet
     assert(short == Set("ns1:1", "ns0:2", "ns1:3"))
   }
+
+  test("N-Quads distinguishes a graph label from an IRI object") {
+    val lines = Seq(
+      "<s:1> <p:a> <o:1> .",                       // 3-term: IRI object
+      "<s:1> <p:a> <o:1> <g:x> .",                 // 4-term: graph
+      "<s:2> <p:b> \"lit with <g:fake>\" .",       // quote blocks misread
+      "<s:2> <p:c> \"5.0\"^^<http://www.w3.org/2001/XMLSchema#double> <g:y> .",
+      "<s:3> <p:d> \"hi\"@en <g:y> .")
+      .toDF("line")
+    val q = NQuads.parse(lines).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(q == Set(
+      ("", "s:1", "p:a", "o:1"),
+      ("g:x", "s:1", "p:a", "o:1"),
+      ("", "s:2", "p:b", "lit with <g:fake>"),
+      ("g:y", "s:2", "p:c", "5.0"),
+      ("g:y", "s:3", "p:d", "hi")))
+  }
+
+  test("N-Quads round-trip preserves graphs, types, and language tags") {
+    val quads = Seq(
+      ("", "s:1", "p:a", "o:1", Option.empty[Double], true, Option.empty[String]),
+      ("g:x", "s:1", "p:n", "12.5", Some(12.5), false, None),
+      ("g:y", "s:2", "p:l", "bonjour", None, false, Some("fr")),
+      ("g:y", "s:2", "p:t", "tab\tand \"quote\"", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    val back = NQuads.parse(NQuads.format(quads))
+      .select("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+      .as[(String, String, String, String, Option[Double], Boolean, Option[String])]
+      .collect().toSet
+    assert(back == Set(
+      ("", "s:1", "p:a", "o:1", None, true, None),
+      ("g:x", "s:1", "p:n", "12.5", Some(12.5), false, None),
+      ("g:y", "s:2", "p:l", "bonjour", None, false, Some("fr")),
+      ("g:y", "s:2", "p:t", "tab\tand \"quote\"", None, false, None)))
+  }
 }
