@@ -160,4 +160,30 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSet
     assert(got == Set((7L, 2L, us(ts(40)), us(ts(60)))))
   }
+
+  test("enrich runs as a stream-static broadcast join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = Events.enrich(
+        stream.toDF().toDF("user_id", "event_type", "value"), dim)
+      .writeStream.format("memory").queryName("enrich_stream_test")
+      .outputMode("complete").start()
+    try {
+      stream.addData(Seq((1L, "click", 1.5), (2L, "click", 2.0),
+        (1L, "view", 4.0), (3L, "click", 8.0))) // 3 has no dim row
+      q.processAllAvailable()
+      stream.addData(Seq((1L, "click", 0.5)))   // rollup updates
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_stream_test")
+      .select("segment", "event_type", "n", "sv")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("BUILDING", "click", 2L, 2.0),
+      ("BUILDING", "view", 1L, 4.0),
+      ("MACHINERY", "click", 1L, 2.0)))
+  }
 }
