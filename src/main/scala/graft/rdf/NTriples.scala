@@ -48,8 +48,12 @@ object NTriples {
         .foldLeft(s) { case (acc, (from, to)) =>
           replace(acc, lit(from), lit(to))
         }
-    coalesce(viaJson,
-      array_join(transform(split(c, "\\\\\\\\", -1), seg(_)), "\\"))
+    // escape-free fast path first: almost every real-world literal has
+    // no backslash, and one instr beats running a JSON decode per row
+    // (the parse stage's dominant cost before this guard)
+    when(instr(c, "\\") === 0, c)
+      .otherwise(coalesce(viaJson,
+        array_join(transform(split(c, "\\\\\\\\", -1), seg(_)), "\\")))
   }
 
   /** Triple relation → DataFrame("line": one N-Triples line each).
@@ -105,15 +109,17 @@ object NTriples {
       // chars consumed by the subject term: <s> for IRIs, bare s for bnodes
       .withColumn("s_end", length(col("s")) +
         when(col("line").startsWith("<"), lit(2)).otherwise(lit(0)))
-      .withColumn("rest", regexp_replace(
+      // ltrim with an explicit char set replaces a per-line regex —
+      // same "one or more spaces/tabs" semantics, no regex engine
+      .withColumn("rest", ltrim(
         col("line").substr(col("s_end") + lit(1), length(col("line"))),
-        "^[ \\t]+", ""))
+        " \t"))
       .filter(col("rest").startsWith("<"))
       .withColumn("p",
         substring_index(substring_index(col("rest"), ">", 1), "<", -1))
-      .withColumn("obj", rtrim(regexp_replace(
+      .withColumn("obj", rtrim(ltrim(
         col("rest").substr(length(col("p")) + lit(3), length(col("rest"))),
-        "^[ \\t]+", ""), " ."))
+        " \t"), " ."))
       .filter(col("s") =!= "" && col("p") =!= "" && col("obj") =!= "")
       .filter(col("obj").startsWith("<") || col("obj").startsWith("\"") ||
         col("obj").startsWith("_:"))
