@@ -89,6 +89,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("text_vocab_topk: partial agg before the shuffle, top-k without sort") {
+    val p = plan("text_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "token counts must map-side combine before the shuffle")
+  }
+
+  test("data_sample_stratified: rates broadcast; emb_quantize stays narrow") {
+    val p = plan("data_sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), "the rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "sampling must not shuffle the corpus")
+    val q = plan("emb_quantize")
+    assert(!q.contains("Exchange"), "quantization must be one narrow pass")
+  }
+
+  test("sparql_subquery: inner aggregate joins without a cartesian") {
+    val p = plan("sparql_subquery")
+    assert(!p.contains("CartesianProduct"),
+      "subquery must equi-join the outer pattern on the shared var")
+  }
+
   test("facade: textual SPARQL end-to-end") {
     val df = Graft.sparql(spark, dir,
       """SELECT ?c ?b WHERE { ?c a :Customer ; :acctbal ?b . FILTER(?b >= 0) }""")
