@@ -61,6 +61,8 @@ object PipelineQueries {
       TextAnalysis.sampleStratified(Tables.documents(s, dir))),
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+    "data_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir))),
     // ---- §H multimodal ---------------------------------------------
     "mm_binary_features" -> ((s, dir) =>
       Multimodal.binaryFeatures(Tables.documents(s, dir))),
@@ -269,6 +271,20 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE b < CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25
         |          ELSE 10 END""".stripMargin,
+    // window SUM cast to BIGINT before use (DuckDB's is HUGEINT);
+    // '//' floor-division matches Spark's truncating cast on the
+    // non-negative offsets
+    "data_pack_sequences" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |    ('0x' || substr(md5(doc_id::VARCHAR), 9, 4))::BIGINT % 8 AS bucket,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+           |  FROM documents),
+           |c AS (SELECT doc_id, bucket, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+           |      AS BIGINT) AS cum
+           |  FROM x)
+           |SELECT doc_id, bucket, (cum - n_tokens) // 512 AS pack_id, n_tokens
+           |FROM c""".stripMargin,
     // trunc() before the int cast: DuckDB's double→int CAST rounds,
     // Spark's truncates — trunc makes both engines agree bit-for-bit
     "emb_quantize" ->

@@ -168,6 +168,33 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** Pack documents into fixed token-budget training sequences —
+    * the standard "sequence packing" prep that turns a corpus of
+    * variable-length docs into ~seqTokens-sized concatenation units
+    * without splitting documents. Docs are first sharded into
+    * `buckets` deterministic md5 shards (hex chars 9-12, independent
+    * of the split/sample hashes), then packed greedily inside each
+    * shard by cumulative token count in doc_id order: pack =
+    * (bucket, start_offset / seqTokens). The only shuffle is the
+    * per-bucket window — buckets scale with the cluster, so no
+    * single-partition bottleneck; each pack lands within one bucket.
+    */
+  def packSequences(docs: DataFrame, seqTokens: Int = 512,
+                    buckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 9, 4),
+        16, 10).cast("long") % buckets
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), bucket.as("bucket"),
+        size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"),
+        ((col("cum") - col("n_tokens")) / seqTokens).cast("long").as("pack_id"),
+        col("n_tokens"))
+  }
+
   /** Corpus-wide vocabulary: top-k lowercased whitespace tokens by
     * frequency. The groupBy count gets map-side partial aggregation
     * for free (one row per distinct (token, partition) reaches the

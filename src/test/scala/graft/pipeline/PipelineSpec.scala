@@ -318,6 +318,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(bySrc.getOrElse("other", 0) < 30)
   }
 
+  test("sequence packing fills the token budget in order, never splits docs") {
+    val d = docs((0L until 6L).map(i => i -> "t "*9).map {
+      case (i, t) => i -> t.trim }: _*)
+    // one bucket so the packing order is just doc_id order
+    val p = TextAnalysis.packSequences(d, seqTokens = 20, buckets = 1)
+      .select("doc_id", "pack_id", "n_tokens").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(p.map(_._3).forall(_ == 9L))
+    // cumulative starts 0,9,18,27,36,45 → packs 0,0,0,1,1,2 at budget 20
+    assert(p.map(_._2).toSeq == Seq(0L, 0L, 0L, 1L, 1L, 2L))
+  }
+
   test("int8 quantization maps the max-abs element to ±127") {
     val e = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f), 0),
