@@ -26,6 +26,12 @@ object InferenceQueries {
       val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
       Reasoner.rels(s, edges, ":locatedIn")
     },
+    // node-anchored directional getRels (ref MicroReasoners.getRels
+    // reldir param): everything :locatedIn-ish touching nat:1
+    "infer_rels_directed" -> { (s, dir) =>
+      val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
+      Reasoner.relsOf(s, edges, "nat:1", ":locatedIn")
+    },
     "infer_has_label" -> { (s, dir) =>
       Reasoner.hasLabel(s, TripleStore.dimensionTriples(s, dir), ":Place")
         .filter(col("uri").startsWith("nat:") || col("uri").startsWith("cust:"))
@@ -84,6 +90,15 @@ object InferenceQueries {
         |SELECT 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey FROM supplier
         |UNION ALL
         |SELECT 'nat:'||n_nationkey, ':inRegion', 'reg:'||n_regionkey FROM nation""".stripMargin,
+    "infer_rels_directed" ->
+      """SELECT '>' AS dir, ':inRegion' AS rel, 'reg:'||n_regionkey AS other
+        |FROM nation WHERE n_nationkey = 1
+        |UNION ALL
+        |SELECT '<', ':hasNation', 'cust:'||c_custkey FROM customer
+        |WHERE c_nationkey = 1
+        |UNION ALL
+        |SELECT '<', ':hasNation', 'supp:'||s_suppkey FROM supplier
+        |WHERE s_nationkey = 1""".stripMargin,
     "infer_has_label" ->
       """SELECT 'nat:'||n_nationkey AS uri, true AS has FROM nation
         |UNION ALL

@@ -32,6 +32,27 @@ object Reasoner {
       .select(col("src"), col("rel"), col("dst"))
   }
 
+  /** The reference's node-anchored form of [[rels]]: relationships of
+    * `rel` or any subproperty touching `node`, direction-filtered —
+    * ">" outgoing, "<" incoming, "" both, each row direction-tagged
+    * (MicroReasoners.getRels :79-94). The node filter lands on the
+    * edge scan, so only the anchored slice survives the closure
+    * semi-join.
+    */
+  def relsOf(spark: SparkSession, edges: DataFrame, node: String,
+             rel: String, dir: String = ""): DataFrame = {
+    val all = rels(spark, edges, rel)
+    val out = all.filter(col("src") === node)
+      .select(lit(">").as("dir"), col("rel"), col("dst").as("other"))
+    val in = all.filter(col("dst") === node)
+      .select(lit("<").as("dir"), col("rel"), col("src").as("other"))
+    dir match {
+      case ">" => out
+      case "<" => in
+      case _ => out.unionByName(in)
+    }
+  }
+
   /** Nodes linked by a `memberRel` edge into category `cat` or any
     * category below it — the reference's category micro-reasoner
     * (MicroReasoners.getNodesLinkedTo :54-75). Unlike the label

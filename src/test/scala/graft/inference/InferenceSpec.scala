@@ -64,4 +64,18 @@ class InferenceSpec extends AnyFunSuite {
       .as[(String, Boolean)].collect().toMap
     assert(has == Map("c:1" -> false, "s:1" -> false, "p:1" -> true))
   }
+
+  test("relsOf anchors a node and filters by direction under SRO closure") {
+    // :hasNation and :inRegion are subproperties of :locatedIn
+    val edges = Seq(
+      ("c:1", ":hasNation", "n:1"), ("n:1", ":inRegion", "r:1"),
+      ("c:2", ":hasNation", "n:2"), ("c:9", ":other", "n:1"))
+      .toDF("src", "rel", "dst")
+    def got(dir: String) =
+      Reasoner.relsOf(spark, edges, "n:1", ":locatedIn", dir)
+        .as[(String, String, String)].collect().toSet
+    assert(got(">") == Set((">", ":inRegion", "r:1")))
+    assert(got("<") == Set(("<", ":hasNation", "c:1")))
+    assert(got("") == Set((">", ":inRegion", "r:1"), ("<", ":hasNation", "c:1")))
+  }
 }
