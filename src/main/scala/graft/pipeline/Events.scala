@@ -39,6 +39,23 @@ object Events {
       .groupBy(col("segment"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
 
+  /** Top-k users per event type by activity — the classic grouped
+    * leaderboard. Two-level shape: the (type, user) rollup shuffles
+    * once with map-side partial aggregation, then the per-type
+    * row_number window ranks within each type's partition; ranking
+    * keys are integers (count, then user id), so results are
+    * engine-portable with no float ordering anywhere.
+    */
+  def topUsers(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id").asc)
+    events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Gap sessionization via Spark's NATIVE session_window operator —
     * the idiomatic twin of [[sessionize]]'s lag/cumsum formulation,
     * and the form that runs under Structured Streaming with merging

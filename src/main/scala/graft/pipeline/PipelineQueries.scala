@@ -36,6 +36,8 @@ object PipelineQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
     "ann_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(Tables.embeddings(s, dir))),
+    "ann_range_search" -> ((s, dir) =>
+      Similarity.rangeSearch(Tables.embeddings(s, dir), queryId = 0)),
     // ---- §G text analysis ------------------------------------------
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -82,6 +84,8 @@ object PipelineQueries {
       Events.propsExtract(Tables.events(s, dir))),
     "events_session_window" -> ((s, dir) =>
       Events.sessionWindowAgg(Tables.events(s, dir))),
+    "events_topk_users" -> ((s, dir) =>
+      Events.topUsers(Tables.events(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -224,6 +228,11 @@ object PipelineQueries {
         |WHERE e.vec_id != 0
         |ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
         |LIMIT 10""".stripMargin,
+    "ann_range_search" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id FROM embeddings e, q
+        |WHERE e.vec_id != 0
+        |  AND list_cosine_similarity(e.embedding, q.qv) >= 0.3""".stripMargin,
     "ann_knn_join" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),
@@ -429,6 +438,17 @@ object PipelineQueries {
         |  max(epoch_us(ts)) + 1800000000 AS end_us,
         |  count(*) AS n_events
         |FROM z GROUP BY user_id, sid""".stripMargin,
+    // rank strictly by integers (count, user_id) so no float ordering
+    // can flip adjacent ranks between engines; sv is projected only
+    "events_topk_users" ->
+      """WITH g AS (SELECT event_type, user_id, count(*) AS n,
+        |    round(sum(value), 6) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, n, sv,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, user_id ASC) AS rnk
+        |  FROM g)
+        |SELECT event_type, user_id, n, sv, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -131,6 +131,20 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** Range search: every vector within cosine ≥ tau of the query —
+    * the threshold companion of top-k (what vector stores call a
+    * radius/range query). One narrow corpus pass with the broadcast
+    * query vector and the fused cosine; no sort, no window — the
+    * filter is the whole operator, so it scales as a pure scan.
+    */
+  def rangeSearch(embeddings: DataFrame, queryId: Long,
+                  tau: Double = 0.3): DataFrame =
+    vecs(embeddings)
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(queryVec(embeddings, queryId))
+      .filter(cosine(col("v"), col("qv")) >= tau)
+      .select(col("vec_id"))
+
   /** Symmetric int8 quantization, per-vector max-abs scale — the
     * standard storage/bandwidth reduction before an ANN index is
     * built (4 bytes/dim → 1). Pure per-row array expressions, one

@@ -330,6 +330,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.map(_._2).toSeq == Seq(0L, 0L, 0L, 1L, 1L, 2L))
   }
 
+  test("range search returns exactly the vectors above the threshold") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // query
+      (1L, Array(1.0f, 0.1f), 0),   // cos ≈ .995
+      (2L, Array(0.0f, 1.0f), 0),   // cos = 0
+      (3L, Array(-1.0f, 0.0f), 0))  // cos = -1
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.rangeSearch(e, queryId = 0, tau = 0.5)
+      .as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  test("top users rank by integer activity with deterministic ties") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(
+      (7L, "click", 1.0), (7L, "click", 2.0), (9L, "click", 4.0),
+      (5L, "click", 8.0), (9L, "view", 16.0))
+      .map { case (u, t, x) => (1L, base, u, t, x, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.topUsers(ev, k = 2)
+      .select("event_type", "user_id", "n", "rnk")
+      .as[(String, Long, Long, Int)].collect().toSet
+    // click: user 7 (n=2) then tie n=1 broken by user_id → 5
+    assert(got == Set(
+      ("click", 7L, 2L, 1), ("click", 5L, 1L, 2), ("view", 9L, 1L, 1)))
+  }
+
   test("int8 quantization maps the max-abs element to ±127") {
     val e = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f), 0),
