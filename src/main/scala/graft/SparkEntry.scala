@@ -13,15 +13,17 @@ object SparkEntry {
   /** Headline subset run by Bench (representative ops per section). */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_join_topk",
-    "rdf_build_triples", "rdf_ntriples_roundtrip",
+    "rdf_build_triples", "rdf_ntriples_roundtrip", "rdf_nquads_roundtrip",
     "sparql_bgp_star", "sparql_bgp_chain", "sparql_groupby_count",
+    "sparql_subquery",
     "infer_nodes_with_label",
     "graph_connected_components", "graph_pagerank",
     "dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce_topk",
     "ann_lsh_topk", "ann_knn_join", "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
-    "text_quality_score", "text_contamination", "pipeline_prepare",
-    "events_window_agg", "events_sessionize")
+    "text_quality_score", "text_contamination", "text_vocab_topk",
+    "data_pack_sequences", "pipeline_prepare",
+    "events_window_agg", "events_sessionize", "events_topk_users")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

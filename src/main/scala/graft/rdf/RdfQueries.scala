@@ -120,7 +120,13 @@ object RdfQueries {
           .withColumn("g", lit("g:bal")))
         .select(col("g"), col("s"), col("p"), col("o"),
           col("o_num"), col("o_is_iri"), col("lang"))
-      NQuads.parse(NQuads.format(quads))
+      // materialize the formatted lines at the format/parse boundary
+      // (what a real file round-trip does): fusing the writer's and
+      // the parser's expression trees into ONE lineage made Catalyst
+      // optimize+codegen a multi-megabyte plan — seconds of driver
+      // time for kilobytes of data — while a line leaf plans in ms
+      val lines = NQuads.format(quads).localCheckpoint()
+      NQuads.parse(lines)
         .select(col("g"), col("s"), col("p"),
           when(col("o_num").isNull, col("o")).otherwise(lit("")).as("o"),
           col("o_num").as("num"))
