@@ -57,6 +57,13 @@ object Graft {
   def exportNTriples(triples: DataFrame, path: String): Unit =
     NTriples.write(triples, path)
 
+  /** Quad (named-graph) interchange: N-Quads files. */
+  def importNQuads(spark: SparkSession, path: String): DataFrame =
+    NQuads.read(spark, path)
+
+  def exportNQuads(quads: DataFrame, path: String): Unit =
+    NQuads.write(quads, path)
+
   def importTurtle(spark: SparkSession, lines: DataFrame): DataFrame =
     Turtle.parse(spark, lines)
 
