@@ -145,8 +145,13 @@ object Ast {
     * minimum lexical value so results are reproducible anywhere.
     */
   case object Sample extends AggOp
+  /** Aggregate call. `v` is the plain-variable form; `expr` (SPARQL
+    * allows any expression inside an aggregate) takes precedence when
+    * set and evaluates through the numeric BIND machinery — e.g.
+    * `SUM(?price * (1 - ?disc))`.
+    */
   final case class Agg(op: AggOp, v: Option[Var], alias: String,
-                       sep: String = " ")
+                       sep: String = " ", expr: Option[VExpr] = None)
 
   final case class SelectQuery(
       where: Pattern,

@@ -540,7 +540,7 @@ object Compiler {
     var df = compilePattern(triples, q.where)
 
     if (q.aggregates.nonEmpty) {
-      val aggCols = q.aggregates.map { case Agg(op, v, alias, sep) =>
+      val aggCols = q.aggregates.map { case Agg(op, v, alias, sep, aggExpr) =>
         def numOrLex(name: String): Column =
           if (df.columns.contains(numCol(name))) col(numCol(name)) else col(name)
         def numOnly(name: String, what: String): Column = {
@@ -550,13 +550,23 @@ object Compiler {
         }
         def varOf(what: String): Var = v.getOrElse(
           throw new IllegalArgumentException(s"$what(*) is not supported — name a variable"))
+        // expression form: evaluate through the numeric BIND machinery
+        // per input row, then aggregate the computed column
+        def arg(what: String): Column = aggExpr match {
+          case Some(e) => numVExpr(df, e)
+          case None => numOrLex(varOf(what).name)
+        }
         val c = op match {
-          case Count => v.map(vr => count(col(vr.name))).getOrElse(count(lit(1)))
+          case Count => v.map(vr => count(col(vr.name)))
+            .orElse(aggExpr.map(e => count(numVExpr(df, e))))
+            .getOrElse(count(lit(1)))
           case CountDistinct => countDistinct(col(varOf("COUNT(DISTINCT").name))
-          case Max => max(numOrLex(varOf("MAX").name))
-          case Min => min(numOrLex(varOf("MIN").name))
-          case Sum => sum(numOnly(varOf("SUM").name, "SUM"))
-          case Avg => avg(numOnly(varOf("AVG").name, "AVG"))
+          case Max => max(arg("MAX"))
+          case Min => min(arg("MIN"))
+          case Sum => aggExpr.map(e => sum(numVExpr(df, e)))
+            .getOrElse(sum(numOnly(varOf("SUM").name, "SUM")))
+          case Avg => aggExpr.map(e => avg(numVExpr(df, e)))
+            .getOrElse(avg(numOnly(varOf("AVG").name, "AVG")))
           case GroupConcat =>
             // sort before joining: collect_list order is partition-
             // dependent, the sorted join is deterministic anywhere

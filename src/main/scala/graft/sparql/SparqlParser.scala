@@ -277,21 +277,33 @@ object SparqlParser extends RegexParsers {
     "(?i)SAMPLE".r ^^^ Sample
 
   private def aggSel: Parser[Selector] =
-    "(" ~> aggOp ~ ("(" ~> opt("(?i)DISTINCT".r) ~ (varTerm ^^ Some.apply | "*" ^^^ None) ~
+    "(" ~> aggOp ~ ("(" ~> opt("(?i)DISTINCT".r) ~
+      (vAdditive ^^ Some.apply | "*" ^^^ None) ~
       opt(";" ~> "(?i)SEPARATOR".r ~> "=" ~> strLit) <~ ")") ~
       ("(?i)AS".r ~> varTerm) <~ ")" >> {
-      case op ~ (dist ~ v ~ sep) ~ alias =>
+      case op ~ (dist ~ arg ~ sep) ~ alias =>
         val realOp = (op, dist.isDefined) match {
           case (Count, true) => CountDistinct
           case (o, _) => o
         }
-        // only plain COUNT takes '*'
-        if (v.isEmpty && realOp != Count)
-          failure(s"$realOp(*) is not supported — name a variable")
-        else if (sep.isDefined && realOp != GroupConcat)
-          failure("SEPARATOR only applies to GROUP_CONCAT")
-        else success(AggSel(
-          Agg(realOp, v, alias.name, sep.map(_.lexical).getOrElse(" "))))
+        val sepStr = sep.map(_.lexical).getOrElse(" ")
+        arg match {
+          // only plain COUNT takes '*'
+          case None if realOp != Count =>
+            failure(s"$realOp(*) is not supported — name a variable")
+          case None =>
+            success(AggSel(Agg(realOp, None, alias.name, sepStr)))
+          case Some(VVar(n)) =>
+            if (sep.isDefined && realOp != GroupConcat)
+              failure("SEPARATOR only applies to GROUP_CONCAT")
+            else success(AggSel(Agg(realOp, Some(Var(n)), alias.name, sepStr)))
+          // expression argument: numeric aggregates only
+          case Some(e) =>
+            if (!Seq(Count, Sum, Avg, Max, Min).contains(realOp))
+              failure(s"$realOp over an expression is not supported")
+            else success(AggSel(
+              Agg(realOp, None, alias.name, sepStr, expr = Some(e))))
+        }
     }
 
   private def exprSel: Parser[Selector] =

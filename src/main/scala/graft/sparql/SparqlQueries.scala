@@ -354,6 +354,22 @@ object SparqlQueries {
           |  BIND(REPLACE(?n, " ", "_") AS ?und)
           |}""".stripMargin))
     },
+    // aggregates over expressions (SPARQL 1.1 allows any expression
+    // inside an aggregate): the sum's addends are integer-valued, so
+    // it is bit-exact under any summation order; MAX over a computed
+    // double is order-independent by definition (part, not lineitem —
+    // lineitem's duplicate quad would collapse under RDF set
+    // semantics and break row-count parity with the oracle)
+    "sparql_agg_expr" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?b (SUM(?sz * ?sz) AS ?s2)
+          |       (MAX(?rp * 2 - ?sz) AS ?mx)
+          |       (COUNT(?sz) AS ?n) WHERE {
+          |  ?p :brand ?b .
+          |  ?p :size ?sz .
+          |  ?p :retailprice ?rp .
+          |} GROUP BY ?b""".stripMargin))
+    },
     // PREFIX declarations: prefixed names expand to the declared
     // namespace before compilation (two prefixes, both resolved)
     "sparql_prefix_decl" -> { (s, dir) =>
@@ -492,6 +508,11 @@ object SparqlQueries {
     "sparql_prefix_decl" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b
         |FROM customer WHERE c_acctbal >= 5000""".stripMargin,
+    "sparql_agg_expr" ->
+      """SELECT p_brand AS b, sum(CAST(p_size AS DOUBLE) * p_size) AS s2,
+        |  max(p_retailprice * 2 - p_size) AS mx,
+        |  count(*) AS n
+        |FROM part GROUP BY 1""".stripMargin,
     "sparql_subquery" ->
       """SELECT n_name AS nm, cnt FROM (
         |  SELECT c_nationkey AS k, count(*) AS cnt

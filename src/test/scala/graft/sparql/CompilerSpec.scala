@@ -400,6 +400,22 @@ class CompilerSpec extends AnyFunSuite {
       Seq("bob"))
   }
 
+  test("aggregates evaluate expression arguments per input row") {
+    val q = SelectQuery(
+      where = Bgp(Seq(tp(v("x"), ":age", v("a")))),
+      projection = Seq("t", "s2", "mx"),
+      aggregates = Seq(
+        Agg(Sum, None, "s2", expr = Some(Arith(MulOp, VVar("a"), VVar("a")))),
+        Agg(Max, None, "mx", expr = Some(Arith(SubOp, VVar("a"), VNum(5))))),
+      groupBy = Seq("t"))
+    val withType = q.copy(where = Bgp(Seq(
+      tp(v("x"), ":age", v("a")), tp(v("x"), "rdf:type", v("t")))))
+    val rows = Compiler.run(triples, withType).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // ages 30, 40 → sum of squares 2500, max(a-5) = 35
+    assert(rows.toSeq == Seq((":Person", 2500.0, 35.0)))
+  }
+
   test("SAMPLE picks the deterministic minimum group member") {
     val q = SelectQuery(
       where = Bgp(Seq(tp(v("x"), "rdf:type", v("t")))),

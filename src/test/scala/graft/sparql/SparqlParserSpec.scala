@@ -225,4 +225,13 @@ class SparqlParserSpec extends AnyFunSuite {
       "SELECT ?m (SAMPLE(?c) AS ?r) WHERE { ?c :seg ?m } GROUP BY ?m")
     assert(s.aggregates == Seq(Agg(Sample, Some(Var("c")), "r")))
   }
+
+  test("parses aggregates over expressions; plain vars keep the var form") {
+    val q = SparqlParser.parse(
+      """SELECT ?b (SUM(?x * ?y) AS ?s) (COUNT(?x) AS ?n)
+        |WHERE { ?p :a ?x ; :b ?y ; :c ?b } GROUP BY ?b""".stripMargin)
+    assert(q.aggregates == Seq(
+      Agg(Sum, None, "s", expr = Some(Arith(MulOp, VVar("x"), VVar("y")))),
+      Agg(Count, Some(Var("x")), "n")))
+  }
 }
