@@ -54,6 +54,14 @@ object Ast {
     */
   final case class Bound(v: Var) extends Expr
   final case class Not(e: Expr) extends Expr
+  /** Term-type tests isIRI / isLiteral / isBlank over a binding. An
+    * object-position binding reads its hidden is-IRI companion;
+    * subject/predicate bindings are resource terms by construction
+    * (IRI unless `_:`-prefixed).
+    */
+  final case class IsIri(v: Var) extends Expr
+  final case class IsLiteral(v: Var) extends Expr
+  final case class IsBlank(v: Var) extends Expr
   final case class Exists(patterns: Seq[TriplePattern]) extends Expr
   final case class NotExists(patterns: Seq[TriplePattern]) extends Expr
 

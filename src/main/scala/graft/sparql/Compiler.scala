@@ -26,14 +26,19 @@ object Compiler {
 
   private val NUM = "__num"
   private val LANG = "__lang"
+  private val IRI = "__iri"
 
   def isNumCol(c: String): Boolean = c.endsWith(NUM)
+  def isIriCol(c: String): Boolean = c.endsWith(IRI)
   def numCol(v: String): String = v + NUM
   def langCol(v: String): String = v + LANG
-  /** Hidden companion columns (numeric value / language tag) that ride
-    * beside a variable's lexical column and never join or project.
+  def iriCol(v: String): String = v + IRI
+  /** Hidden companion columns (numeric value / language tag / is-IRI
+    * flag) that ride beside a variable's lexical column and never
+    * join or project.
     */
-  def isCompanion(c: String): Boolean = c.endsWith(NUM) || c.endsWith(LANG)
+  def isCompanion(c: String): Boolean =
+    c.endsWith(NUM) || c.endsWith(LANG) || c.endsWith(IRI)
 
   /** One triple pattern → filtered projection of the triple table. */
   private def patternDf(triples: DataFrame, tp: TriplePattern): DataFrame = {
@@ -77,6 +82,7 @@ object Compiler {
         if (withNum) {
           out += col("o_num").as(numCol(n))
           out += col("lang").as(langCol(n))
+          out += col("o_is_iri").as(iriCol(n))
         }
       case _ => ()
     }
@@ -215,6 +221,23 @@ object Compiler {
       // null, and not the sentinel
       if (!df.columns.contains(v.name)) lit(false)
       else col(v.name).isNotNull && col(v.name) =!= "N/A"
+    case IsIri(v) =>
+      // object position: the is-IRI companion (null ⇒ unbound ⇒ type
+      // error ⇒ false); subject/predicate position: a resource term
+      // by construction — IRI unless a blank node
+      if (df.columns.contains(iriCol(v.name)))
+        coalesce(col(iriCol(v.name)) && !col(v.name).startsWith("_:"), lit(false))
+      else if (df.columns.contains(v.name)) !col(v.name).startsWith("_:")
+      else lit(false)
+    case IsLiteral(v) =>
+      if (df.columns.contains(iriCol(v.name)))
+        coalesce(!col(iriCol(v.name)), lit(false))
+      else lit(false) // s/p bindings are never literals; unbound → false
+    case IsBlank(v) =>
+      if (!df.columns.contains(v.name)) lit(false)
+      else if (df.columns.contains(iriCol(v.name)))
+        coalesce(col(iriCol(v.name)) && col(v.name).startsWith("_:"), lit(false))
+      else col(v.name).startsWith("_:")
     case Not(e) => !exprColumn(df, e)
     case And(a, b) => exprColumn(df, a) && exprColumn(df, b)
     case Or(a, b) => exprColumn(df, a) || exprColumn(df, b)
@@ -330,7 +353,10 @@ object Compiler {
       def pad(df: DataFrame): DataFrame =
         df.select(allCols.map(c =>
           if (df.columns.contains(c)) col(c)
-          else lit(null).cast(if (isNumCol(c)) "double" else "string").as(c)): _*)
+          else lit(null).cast(
+            if (isNumCol(c)) "double"
+            else if (isIriCol(c)) "boolean"
+            else "string").as(c)): _*)
       pad(ldf).unionByName(pad(rdf))
     case Join(l, r) =>
       joinOnVars(compilePattern(triples, l), compilePattern(triples, r))
@@ -351,7 +377,7 @@ object Compiler {
         // alias stays filterable/sortable exactly like its source
         case VVar(src) if df.columns.contains(src) =>
           val withLex = df.withColumn(as, col(src))
-          Seq(numCol _, langCol _).foldLeft(withLex) { (d, f) =>
+          Seq(numCol _, langCol _, iriCol _).foldLeft(withLex) { (d, f) =>
             if (df.columns.contains(f(src))) d.withColumn(f(as), col(f(src))) else d
           }
         case e if isNumericVExpr(e) =>

@@ -74,11 +74,17 @@ object SparqlParser extends RegexParsers {
     }
   private def boundExpr: Parser[Expr] =
     "(?i)BOUND".r ~> "(" ~> varTerm <~ ")" ^^ Bound.apply
+  // isIRI (and its isURI synonym) before isLiteral/isBlank is fine:
+  // regex alternation tries each full keyword
+  private def termTest: Parser[Expr] =
+    ("(?i)isIRI".r | "(?i)isURI".r) ~> "(" ~> varTerm <~ ")" ^^ IsIri.apply |
+    "(?i)isLiteral".r ~> "(" ~> varTerm <~ ")" ^^ IsLiteral.apply |
+    "(?i)isBlank".r ~> "(" ~> varTerm <~ ")" ^^ IsBlank.apply
   private def notExpr: Parser[Expr] =
     "!" ~> primaryExpr ^^ Not.apply
   private def primaryExpr: Parser[Expr] =
     ("(" ~> orExpr <~ ")") | notExpr | langCmp | strFilter | boundExpr |
-      inFilter | cmp
+      termTest | inFilter | cmp
   private def andExpr: Parser[Expr] =
     rep1sep(primaryExpr, "&&") ^^ (_.reduceLeft(And.apply))
   private def orExpr: Parser[Expr] =

@@ -370,6 +370,18 @@ object SparqlQueries {
           |  ?p :retailprice ?rp .
           |} GROUP BY ?b""".stripMargin))
     },
+    // term-type tests: isIRI over an object binding's is-IRI
+    // companion, isLiteral over a literal binding, !isBlank over a
+    // subject (resource by construction)
+    "sparql_term_filters" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?s ?n ?nm WHERE {
+          |  ?s :hasNation ?n . ?s :name ?nm .
+          |  FILTER(isIRI(?n))
+          |  FILTER(isLiteral(?nm))
+          |  FILTER(!isBlank(?s))
+          |}""".stripMargin))
+    },
     // PREFIX declarations: prefixed names expand to the declared
     // namespace before compilation (two prefixes, both resolved)
     "sparql_prefix_decl" -> { (s, dir) =>
@@ -508,6 +520,12 @@ object SparqlQueries {
     "sparql_prefix_decl" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b
         |FROM customer WHERE c_acctbal >= 5000""".stripMargin,
+    "sparql_term_filters" ->
+      """SELECT 'cust:'||c_custkey AS s, 'nat:'||c_nationkey AS n,
+        |       c_name AS nm FROM customer
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, 'nat:'||s_nationkey, s_name
+        |FROM supplier""".stripMargin,
     "sparql_agg_expr" ->
       """SELECT p_brand AS b, sum(CAST(p_size AS DOUBLE) * p_size) AS s2,
         |  max(p_retailprice * 2 - p_size) AS mx,

@@ -416,6 +416,32 @@ class CompilerSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((":Person", 2500.0, 35.0)))
   }
 
+  test("term-type tests distinguish IRI, literal, and blank bindings") {
+    val withBnode = triples.unionByName(Seq(
+      ("p:1", ":knows", "_:b0", Option.empty[Double], true, Option.empty[String]))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang"))
+    def who(e: Expr): Set[String] = {
+      val q = SelectQuery(
+        where = Filter(Seq(e), Bgp(Seq(tp(v("x"), ":knows", v("y"))))),
+        projection = Seq("y"))
+      Compiler.run(withBnode, q).collect().map(_.getString(0)).toSet
+    }
+    assert(who(IsIri(v("y"))) == Set("p:2"))
+    assert(who(IsBlank(v("y"))) == Set("_:b0"))
+    assert(who(IsLiteral(v("y"))).isEmpty)
+    // subject position: resource by construction
+    val q2 = SelectQuery(
+      where = Filter(Seq(IsIri(v("x"))), Bgp(Seq(tp(v("x"), ":name", v("n"))))),
+      projection = Seq("x"))
+    assert(Compiler.run(triples, q2).collect().length == 2)
+    // literal object: isLiteral true, isIRI false
+    val q3 = SelectQuery(
+      where = Filter(Seq(IsLiteral(v("n"))), Bgp(Seq(tp(v("x"), ":name", v("n"))))),
+      projection = Seq("n"))
+    assert(Compiler.run(triples, q3).collect().map(_.getString(0)).toSet ==
+      Set("ann", "bob"))
+  }
+
   test("SAMPLE picks the deterministic minimum group member") {
     val q = SelectQuery(
       where = Bgp(Seq(tp(v("x"), "rdf:type", v("t")))),
