@@ -61,6 +61,40 @@ object Multimodal {
       .toDF()
   }
 
+  /** Stub "resize": byte-stride downsampling — keep the first of
+    * every `factor` payload bytes (the codec-free analog of image
+    * downscaling; a real build decodes, scales, re-encodes inside
+    * the same one-pass projection). One codegen'd regexp per row,
+    * no shuffle. Regex '.' excludes newlines identically in Java
+    * and RE2, so the oracle reproduces the output byte-for-byte.
+    */
+  def resizeStub(docs: DataFrame, factor: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_replace(col("text"), s"(.).{0,${factor - 1}}", "$1").as("resized"))
+      .select(col("doc_id"),
+        length(col("resized")).cast("long").as("out_len"),
+        md5(col("resized").cast("binary")).as("out_md5"))
+
+  /** Overlapping analysis windows over the byte stream — the audio
+    * framing shape (window / hop), with a deterministic per-window
+    * "energy" (sum of byte values) standing in for the real DSP. The
+    * explode is the only row multiplier; the inner fold is a pure
+    * per-row expression, so the pass stays narrow at corpus scale.
+    */
+  def audioWindows(docs: DataFrame, winBytes: Int = 32,
+                   hop: Int = 16): DataFrame =
+    docs
+      .filter(length(col("text")) >= winBytes)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - winBytes, lit(hop)))
+          .as("s"))
+      .select(col("doc_id"),
+        (col("s") / hop).cast("long").as("win_idx"),
+        aggregate(sequence(lit(1), lit(winBytes)), lit(0L),
+          (acc, i) => acc + ascii(col("text").substr(col("s") + i, lit(1)))
+            .cast("long")).as("energy"))
+
   /** Treat the payload as fixed-size frames; sample every `stride`-th
     * frame and fingerprint it. Pure column expressions (sequence with
     * step + explode), no driver loop.

@@ -70,6 +70,10 @@ object PipelineQueries {
       Multimodal.binaryFeatures(Tables.documents(s, dir))),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir))),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(Tables.documents(s, dir))),
+    "mm_audio_windows" -> ((s, dir) =>
+      Multimodal.audioWindows(Tables.documents(s, dir))),
     // composed end-to-end prep: quality filter → exact dedup → chunk
     "pipeline_prepare" -> ((s, dir) =>
       Pipeline.prepare(Tables.documents(s, dir))),
@@ -380,6 +384,18 @@ object PipelineQueries {
       """SELECT doc_id, i AS frame_idx, md5(substr(text, i * 64 + 1, 64)) AS frame_md5
         |FROM documents, UNNEST(range(0, length(text) // 64, 4)) AS t(i)
         |WHERE length(text) >= 64""".stripMargin,
+    "mm_resize" ->
+      raw"""SELECT doc_id,
+           |  length(regexp_replace(text, '(.).{0,3}', '\1', 'g')) AS out_len,
+           |  md5(regexp_replace(text, '(.).{0,3}', '\1', 'g')) AS out_md5
+           |FROM documents""".stripMargin,
+    "mm_audio_windows" ->
+      """SELECT doc_id, s // 16 AS win_idx,
+        |  CAST(list_aggregate(list_transform(range(1, 33),
+        |    i -> ascii(substr(text, CAST(s + i AS INT), 1))), 'sum') AS BIGINT)
+        |    AS energy
+        |FROM documents, UNNEST(range(0, length(text) - 32 + 1, 16)) t(s)
+        |WHERE length(text) >= 32""".stripMargin,
     "pipeline_prepare" ->
       raw"""WITH x AS (SELECT doc_id, text,
            |  string_split_regex(trim(lower(text)), '\s+') AS ltoks,

@@ -194,6 +194,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(f.getLong(4) == 289L && f.getInt(5) == 289 && f.getInt(6) == 289 % 480)
   }
 
+  test("resize keeps the first of every 4 bytes; audio windows overlap") {
+    val d = docs(1L -> "abcdefgh")
+    val r = Multimodal.resizeStub(d).select("out_len").as[Long].collect()
+    assert(r.toSeq == Seq(2L)) // "ae"
+    // 8 chars can't fit a 32-byte window → filtered
+    assert(Multimodal.audioWindows(d).count() == 0)
+    val long = docs(2L -> "a" * 48)
+    val w = Multimodal.audioWindows(long)
+      .select("win_idx", "energy").as[(Long, Long)].collect().toSet
+    // windows at 0 and 16, each 32 × 'a'(97)
+    assert(w == Set((0L, 32L * 97), (1L, 32L * 97)))
+  }
+
   test("frame sampling strides over 64-byte frames") {
     val d = docs(1L -> ("x" * 640))
     val idx = Multimodal.frameSample(d).select("frame_idx").as[Int].collect().sorted
