@@ -313,6 +313,23 @@ object Compiler {
         .otherwise(lit(""))
     case FnCall("REPLACE", Seq(a, VStr(pat), VStr(rep))) =>
       regexp_replace(strVExpr(df, a), pat, rep)
+    // DATATYPE/LANG read the hidden companions: literal bindings type
+    // as xsd:double / rdf:langString / xsd:string; an IRI (or s/p
+    // position, or unbound) is a type error → null binding
+    case FnCall("DATATYPE", Seq(VVar(n))) =>
+      if (!df.columns.contains(iriCol(n))) lit(null).cast("string")
+      else when(coalesce(col(iriCol(n)), lit(true)), lit(null).cast("string"))
+        .otherwise(
+          when(col(numCol(n)).isNotNull,
+            lit("http://www.w3.org/2001/XMLSchema#double"))
+            .when(col(langCol(n)).isNotNull,
+              lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+            .otherwise(lit("http://www.w3.org/2001/XMLSchema#string")))
+    case FnCall("LANG", Seq(VVar(n))) =>
+      // a plain literal's language is ""; IRIs/unbound are errors
+      if (!df.columns.contains(iriCol(n))) lit(null).cast("string")
+      else when(coalesce(col(iriCol(n)), lit(true)), lit(null).cast("string"))
+        .otherwise(coalesce(col(langCol(n)), lit("")))
     case VIf(c, t, f) =>
       when(exprColumn(df, c), strVExpr(df, t)).otherwise(strVExpr(df, f))
     case other =>

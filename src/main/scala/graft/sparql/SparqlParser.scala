@@ -168,7 +168,7 @@ object SparqlParser extends RegexParsers {
   // longer names before their prefixes: regex alternation is ordered
   // (STRBEFORE/STRAFTER/STRLEN before STR, SUBSTR before STR)
   private def fnName: Parser[String] =
-    "(?i)(CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR)".r ^^
+    "(?i)(CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG)".r ^^
       (_.toUpperCase)
   private def ifExpr: Parser[VExpr] =
     "(?i)IF".r ~> "(" ~> orExpr ~ ("," ~> vAdditive) ~ ("," ~> vAdditive) <~ ")" ^^ {

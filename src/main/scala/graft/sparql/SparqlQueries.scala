@@ -382,6 +382,19 @@ object SparqlQueries {
           |  FILTER(!isBlank(?s))
           |}""".stripMargin))
     },
+    // DATATYPE/LANG as value builtins over the hidden companions:
+    // lang-tagged → rdf:langString + tag, plain → xsd:string + "",
+    // IRI → type error (null)
+    "sparql_datatype_lang" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?x ?dtc ?lgc ?dtn ?dtr WHERE {
+          |  ?x :comment ?c . ?x :name ?nm . ?x :inRegion ?r .
+          |  BIND(DATATYPE(?c) AS ?dtc)
+          |  BIND(LANG(?c) AS ?lgc)
+          |  BIND(DATATYPE(?nm) AS ?dtn)
+          |  BIND(DATATYPE(?r) AS ?dtr)
+          |}""".stripMargin))
+    },
     // PREFIX declarations: prefixed names expand to the declared
     // namespace before compilation (two prefixes, both resolved)
     "sparql_prefix_decl" -> { (s, dir) =>
@@ -520,6 +533,13 @@ object SparqlQueries {
     "sparql_prefix_decl" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b
         |FROM customer WHERE c_acctbal >= 5000""".stripMargin,
+    "sparql_datatype_lang" ->
+      """SELECT 'nat:'||n_nationkey AS x,
+        |  'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' AS dtc,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN 'en' ELSE 'fr' END AS lgc,
+        |  'http://www.w3.org/2001/XMLSchema#string' AS dtn,
+        |  CAST(NULL AS VARCHAR) AS dtr
+        |FROM nation""".stripMargin,
     "sparql_term_filters" ->
       """SELECT 'cust:'||c_custkey AS s, 'nat:'||c_nationkey AS n,
         |       c_name AS nm FROM customer
