@@ -62,4 +62,18 @@ object TripleStore {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** The other half of the cluster layout: the triple relation as a
+    * SUBJECT-BUCKETED table. BGP self-joins are equi-joins on the
+    * subject; with both sides bucketed by `s` the join consumes the
+    * bucketing (`HashPartitioning(s)` propagates through the pattern
+    * projections' aliases), so an n-pattern star join runs with ZERO
+    * exchanges — at 100 TB that removes the dominant shuffle of every
+    * star query. PlanSpec proves the exchange-free plan.
+    */
+  def writeBucketed(triples: DataFrame, table: String,
+                    buckets: Int = 32): Unit =
+    triples.write.mode("overwrite")
+      .bucketBy(buckets, "s").sortBy("s")
+      .format("parquet").saveAsTable(table)
 }

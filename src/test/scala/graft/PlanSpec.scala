@@ -125,6 +125,28 @@ class PlanSpec extends AnyFunSuite {
     assert(Graft.query(t, "SELECT ?c WHERE { ?c a :Customer }").count() > 0)
   }
 
+  test("subject-bucketed store joins star patterns without an exchange") {
+    graft.rdf.TripleStore.writeBucketed(Graft.triples(spark, dir),
+      "graft_bucketed_test", buckets = 4)
+    val bucketed = spark.table("graft_bucketed_test")
+    // force the shuffle-join path: broadcast would mask the bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Graft.sparql(bucketed,
+        """SELECT ?c ?n ?m WHERE {
+          |  ?c :name ?n . ?c :mktsegment ?m . ?c :acctbal ?b .
+          |  FILTER(?b >= 0)
+          |}""".stripMargin)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"subject-bucketed self-joins must consume the bucketing, got:\n${p.take(2000)}")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
+    }
+  }
+
   test("predicate-partitioned store prunes constant-predicate patterns") {
     val path = java.nio.file.Files.createTempDirectory("graft_pstore").toString
     graft.rdf.TripleStore.writePartitioned(Graft.triples(spark, dir), path)
