@@ -97,7 +97,8 @@ object Ast {
   case object DivOp extends ArithOp
   final case class Arith(op: ArithOp, l: VExpr, r: VExpr) extends VExpr
   /** fn ∈ {STR, STRLEN, UCASE, LCASE, CONCAT, COALESCE, SUBSTR,
-    * STRBEFORE, STRAFTER, REPLACE}.
+    * STRBEFORE, STRAFTER, REPLACE, ABS, CEIL, FLOOR, ROUND, MD5,
+    * SHA256}.
     */
   final case class FnCall(fn: String, args: Seq[VExpr]) extends VExpr
   /** IF(cond, then, else) — conditional value expression. */
@@ -112,6 +113,13 @@ object Ast {
   final case class PathStar(s: Term, preds: Seq[String], o: Term) extends Pattern
   /** Property path `(p1|p2|…)?`: zero or one hop. */
   final case class PathZeroOne(s: Term, preds: Seq[String], o: Term) extends Pattern
+  /** Fixed-range path `(p1|p2|…){n,m}`: between n and m hops (the
+    * SPARQL 1.1 draft / Jena ARQ repetition form). Compiles to the
+    * union of the k-hop chains for k ∈ [n, m]; k = 0 contributes the
+    * zero-length identity pairs.
+    */
+  final case class PathRange(s: Term, preds: Seq[String], min: Int,
+                             max: Int, o: Term) extends Pattern
   /** One step of a sequence path: a predicate, inverted when written
     * `^p` (SPARQL InversePath).
     */

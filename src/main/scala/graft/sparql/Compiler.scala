@@ -273,6 +273,15 @@ object Compiler {
         case DivOp => a / b
       }
     case FnCall("STRLEN", Seq(a)) => length(strVExpr(df, a)).cast("double")
+    // XPath fn:numeric-* semantics. ROUND resolves ties toward +∞
+    // (xsd:round: "the one whose value is greater"), which is exactly
+    // floor(x + 0.5) — and that formulation is engine-portable, unlike
+    // HALF_UP rounding, which differs on negative ties
+    case FnCall("ABS", Seq(a)) => abs(numVExpr(df, a))
+    case FnCall("CEIL", Seq(a)) => ceil(numVExpr(df, a)).cast("double")
+    case FnCall("FLOOR", Seq(a)) => floor(numVExpr(df, a)).cast("double")
+    case FnCall("ROUND", Seq(a)) =>
+      floor(numVExpr(df, a) + lit(0.5)).cast("double")
     case VIf(c, t, f) =>
       when(exprColumn(df, c), numVExpr(df, t)).otherwise(numVExpr(df, f))
     case FnCall(fn, _) =>
@@ -313,6 +322,10 @@ object Compiler {
         .otherwise(lit(""))
     case FnCall("REPLACE", Seq(a, VStr(pat), VStr(rep))) =>
       regexp_replace(strVExpr(df, a), pat, rep)
+    // SPARQL hash builtins: lowercase hex digests of the UTF-8 lexical
+    // form (native codegen'd expressions in both engines)
+    case FnCall("MD5", Seq(a)) => md5(strVExpr(df, a))
+    case FnCall("SHA256", Seq(a)) => sha2(strVExpr(df, a), 256)
     // DATATYPE/LANG read the hidden companions: literal bindings type
     // as xsd:double / rdf:langString / xsd:string; an IRI (or s/p
     // position, or unbound) is a type error → null binding
@@ -342,7 +355,7 @@ object Compiler {
     */
   private def isNumericVExpr(e: VExpr): Boolean = e match {
     case _: Arith | _: VNum => true
-    case FnCall("STRLEN", _) => true
+    case FnCall("STRLEN" | "ABS" | "CEIL" | "FLOOR" | "ROUND", _) => true
     case VIf(_, t, f) => isNumericVExpr(t) && isNumericVExpr(f)
     case _ => false
   }
@@ -465,6 +478,25 @@ object Compiler {
         .select(col("s").as("sub"), col("o").as("sup"))
       projectPathEndpoints(
         hop.unionByName(zeroPairs(triples, s, o)).distinct(), s, o)
+    case PathRange(s, preds, mn, mx, o) =>
+      // union of the k-hop chain relations for k ∈ [mn, mx]: edges
+      // composed k times (each composition an equi-join on the hop
+      // var, so AQE broadcast/shuffle applies per join), k = 0 the
+      // zero-length identity. The bounded repetition never computes a
+      // closure — m is a query constant, so the plan is m-1 joins of
+      // the predicate slice regardless of graph size.
+      val edges = triples.filter(col("p").isin(preds: _*))
+        .select(col("s").as("sub"), col("o").as("sup"))
+      def kHop(k: Int): DataFrame =
+        (2 to k).foldLeft(edges) { (acc, _) =>
+          acc.join(edges.select(col("sub").as("sup"), col("sup").as("nxt")), "sup")
+            .select(col("sub"), col("nxt").as("sup"))
+        }
+      val ks = (mn max 1) to mx
+      val hops = ks.map(kHop) ++
+        (if (mn == 0) Seq(zeroPairs(triples, s, o)) else Nil)
+      projectPathEndpoints(
+        hops.reduceLeft(_.unionByName(_)).distinct(), s, o)
   }
 
   /** One-or-more-hop pairs over the predicate slice. A constant

@@ -133,6 +133,28 @@ object SparqlParser extends RegexParsers {
         })
     }
 
+  /** Fixed-range repetition path `term (p1|p2){n,m} term .` (also the
+    * `{n}` exact and bare-predicate `p{n,m}` forms) — the Jena ARQ /
+    * SPARQL 1.1 draft repetition operator the reference accepts
+    * through Jena. As with the other modifiers the `{` must touch the
+    * predicate (no whitespace).
+    */
+  private def rangeSuffix: Parser[(Int, Int)] =
+    """\{\d+,\d+\}""".r ^^ { t =>
+      val parts = t.substring(1, t.length - 1).split(',')
+      (parts(0).toInt, parts(1).toInt)
+    } |
+    """\{\d+\}""".r ^^ { t =>
+      val n = t.substring(1, t.length - 1).toInt; (n, n)
+    }
+  private def rangePathTriple: Parser[GroupElem] =
+    term ~ ("(" ~> rep1sep(iriRef | pname, "|") <~ ")" |
+            ((iriRef | pname) ^^ (Seq(_)))) ~ rangeSuffix ~ term <~ opt(".") >> {
+      case s ~ preds ~ ((mn, mx)) ~ o =>
+        if (mn > mx) failure(s"path range {$mn,$mx}: min exceeds max")
+        else success(GroupOrUnionElem(PathRange(s, preds.map(_.value), mn, mx, o)))
+    }
+
   /** Negated property set: `term !(p1|p2) term .` or `term !p term .`
     * — one hop over any predicate outside the list.
     */
@@ -168,7 +190,7 @@ object SparqlParser extends RegexParsers {
   // longer names before their prefixes: regex alternation is ordered
   // (STRBEFORE/STRAFTER/STRLEN before STR, SUBSTR before STR)
   private def fnName: Parser[String] =
-    "(?i)(CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG)".r ^^
+    "(?i)(CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG|ABS|CEIL|FLOOR|ROUND|MD5|SHA256)".r ^^
       (_.toUpperCase)
   private def ifExpr: Parser[VExpr] =
     "(?i)IF".r ~> "(" ~> orExpr ~ ("," ~> vAdditive) ~ ("," ~> vAdditive) <~ ")" ^^ {
@@ -226,7 +248,7 @@ object SparqlParser extends RegexParsers {
 
   private def groupElem: Parser[GroupElem] =
     filterElem | optionalElem | minusElem | bindElem | valuesElem |
-      negPathTriple | pathTriple | seqPathTriple |
+      negPathTriple | pathTriple | rangePathTriple | seqPathTriple |
       subSelectElem | groupOrUnion | (triplesSameSubject ^^ TriplesElem.apply)
 
   private def groupGraphPattern: Parser[Pattern] =
@@ -319,10 +341,25 @@ object SparqlParser extends RegexParsers {
   private def selector: Parser[Selector] =
     aggSel | exprSel | (varTerm ^^ (v => VarSel(v.name)))
 
-  private def orderCond: Parser[(String, Boolean)] =
-    "(?i)DESC".r ~> "(" ~> varTerm <~ ")" ^^ (v => (v.name, false)) |
-    "(?i)ASC".r ~> "(" ~> varTerm <~ ")" ^^ (v => (v.name, true)) |
-    varTerm ^^ (v => (v.name, true))
+  /** An ORDER BY condition is a variable or a computed expression;
+    * expressions desugar into a hidden BIND (`__ord<i>`) wrapped
+    * around the group pattern, and the hidden column is dropped after
+    * the sort (Compiler.run never projects non-projection vars).
+    */
+  private sealed trait OrderKey
+  private case class OrderVar(name: String) extends OrderKey
+  private case class OrderExpr(e: VExpr) extends OrderKey
+  // parse the full expression first, then classify: a committed `|`
+  // would stop a bare-var parse from extending into `?x * 2`
+  private def orderKey: Parser[OrderKey] =
+    vAdditive ^^ {
+      case VVar(n) => OrderVar(n)
+      case e => OrderExpr(e)
+    }
+  private def orderCond: Parser[(OrderKey, Boolean)] =
+    "(?i)DESC".r ~> "(" ~> orderKey <~ ")" ^^ ((_, false)) |
+    "(?i)ASC".r ~> "(" ~> orderKey <~ ")" ^^ ((_, true)) |
+    varTerm ^^ (v => (OrderVar(v.name): OrderKey, true))
 
   private def selectQuery: Parser[SelectQuery] =
     "(?i)SELECT".r ~> opt("(?i)DISTINCT".r) ~ (rep1(selector) ^^ Some.apply | "*" ^^^ None) ~
@@ -341,8 +378,27 @@ object SparqlParser extends RegexParsers {
         if (exprSels.nonEmpty && selectors.exists(_.isInstanceOf[AggSel]))
           throw new IllegalArgumentException(
             "SELECT expressions alongside aggregates are not supported")
+        // expression order keys become hidden pre-projection BINDs, so
+        // they only compose with pattern-level (non-aggregated,
+        // non-DISTINCT) queries — variables (incl. aggregate aliases)
+        // keep the direct path
+        val orderConds = order.getOrElse(Seq.empty)
+        val orderExprs = orderConds.zipWithIndex.collect {
+          case ((OrderExpr(e), _), idx) => (s"__ord$idx", e)
+        }
+        if (orderExprs.nonEmpty &&
+            (dist.isDefined || selectors.exists(_.isInstanceOf[AggSel])))
+          throw new IllegalArgumentException(
+            "ORDER BY expressions alongside DISTINCT/aggregates are not supported")
+        val orderBy = orderConds.zipWithIndex.map {
+          case ((OrderVar(n), asc), _) => (n, asc)
+          case ((OrderExpr(_), asc), idx) => (s"__ord$idx", asc)
+        }
+        val whereWithSels = exprSels.foldLeft(where)((w, s) => Bind(w, s.e, s.alias))
         SelectQuery(
-          where = exprSels.foldLeft(where)((w, s) => Bind(w, s.e, s.alias)),
+          where = orderExprs.foldLeft(whereWithSels) {
+            case (w, (nm, e)) => Bind(w, e, nm)
+          },
           projection = selectors.map {
             case VarSel(n) => n
             case AggSel(a) => a.alias
@@ -352,7 +408,7 @@ object SparqlParser extends RegexParsers {
           groupBy = group.map(_.map(_.name)).getOrElse(Seq.empty),
           having = hav.toSeq,
           distinct = dist.isDefined,
-          orderBy = order.getOrElse(Seq.empty),
+          orderBy = orderBy,
           offset = offset.getOrElse(0L),
           limit = limit.getOrElse(-1L))
     }
@@ -410,6 +466,8 @@ object SparqlParser extends RegexParsers {
       PathStar(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
     case PathZeroOne(s, preds, o) =>
       PathZeroOne(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
+    case PathRange(s, preds, mn, mx, o) =>
+      PathRange(rewriteTerm(s, f), preds.map(f), mn, mx, rewriteTerm(o, f))
     case PathSeq(s, steps, o) =>
       PathSeq(rewriteTerm(s, f),
         steps.map(st => PathStep(f(st.pred), st.inverse)), rewriteTerm(o, f))

@@ -395,6 +395,42 @@ object SparqlQueries {
           |  BIND(DATATYPE(?r) AS ?dtr)
           |}""".stripMargin))
     },
+    // numeric value builtins (XPath fn:numeric-*): ABS/CEIL/FLOOR over
+    // negative-capable doubles, ROUND with ties-toward-+∞ semantics
+    "sparql_num_builtins" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?ab ?ce ?fl ?rd WHERE {
+          |  ?c a :Customer ; :acctbal ?b .
+          |  BIND(ABS(?b) AS ?ab)
+          |  BIND(CEIL(?b) AS ?ce)
+          |  BIND(FLOOR(?b) AS ?fl)
+          |  BIND(ROUND(?b) AS ?rd)
+          |}""".stripMargin))
+    },
+    // hash value builtins: lowercase hex digests, codegen'd natively
+    // in both engines
+    "sparql_hash_builtins" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?n ?h ?h2 WHERE {
+          |  ?x a :Nation ; :name ?n .
+          |  BIND(MD5(?n) AS ?h)
+          |  BIND(SHA256(?n) AS ?h2)
+          |}""".stripMargin))
+    },
+    // ORDER BY over a computed expression (hidden BIND + dropped sort
+    // column); the ASC(?p) tie-break keeps the LIMIT cut deterministic
+    "sparql_orderby_expr" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?p ?sz ?rp WHERE {
+          |  ?p :size ?sz ; :retailprice ?rp .
+          |} ORDER BY DESC(?rp - ?sz * 10) ASC(?p) LIMIT 20""".stripMargin),
+        numericVars = Seq("sz", "rp"))
+    },
+    // fixed-range repetition path {n,m}: bounded hops, no closure
+    "sparql_path_range" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        "SELECT ?y WHERE { <cust:7> (:hasNation|:inRegion){1,2} ?y }"))
+    },
     // PREFIX declarations: prefixed names expand to the declared
     // namespace before compilation (two prefixes, both resolved)
     "sparql_prefix_decl" -> { (s, dir) =>
@@ -533,6 +569,25 @@ object SparqlQueries {
     "sparql_prefix_decl" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b
         |FROM customer WHERE c_acctbal >= 5000""".stripMargin,
+    "sparql_num_builtins" ->
+      """SELECT 'cust:'||c_custkey AS c, abs(c_acctbal) AS ab,
+        |  ceil(c_acctbal) AS ce, floor(c_acctbal) AS fl,
+        |  floor(c_acctbal + 0.5) AS rd
+        |FROM customer""".stripMargin,
+    "sparql_hash_builtins" ->
+      """SELECT n_name AS n, md5(n_name) AS h, sha256(n_name) AS h2
+        |FROM nation""".stripMargin,
+    "sparql_orderby_expr" ->
+      """SELECT 'part:'||p_partkey AS p, CAST(p_size AS DOUBLE) AS sz,
+        |       p_retailprice AS rp
+        |FROM part
+        |ORDER BY (p_retailprice - p_size * 10) DESC, p ASC LIMIT 20""".stripMargin,
+    "sparql_path_range" ->
+      """SELECT 'nat:'||c_nationkey AS y FROM customer WHERE c_custkey = 7
+        |UNION
+        |SELECT 'reg:'||n_regionkey
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey = 7""".stripMargin,
     "sparql_datatype_lang" ->
       """SELECT 'nat:'||n_nationkey AS x,
         |  'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' AS dtc,

@@ -442,6 +442,56 @@ class CompilerSpec extends AnyFunSuite {
       Set("ann", "bob"))
   }
 
+  test("numeric builtins: ROUND breaks ties toward +∞, CEIL/FLOOR/ABS") {
+    val nums = Seq(
+      ("n:1", ":v", "-2.5", Some(-2.5), false, Option.empty[String]),
+      ("n:2", ":v", "2.5", Some(2.5), false, None),
+      ("n:3", ":v", "-1.2", Some(-1.2), false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val q = SparqlParser.parse(
+      """SELECT ?x ?rd ?ce ?fl ?ab WHERE {
+        |  ?x :v ?n .
+        |  BIND(ROUND(?n) AS ?rd) BIND(CEIL(?n) AS ?ce)
+        |  BIND(FLOOR(?n) AS ?fl) BIND(ABS(?n) AS ?ab)
+        |}""".stripMargin)
+    val rows = Compiler.run(nums, q).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    // xsd:round(-2.5) = -2 (toward +∞), not HALF_UP's -3
+    assert(rows == Set(
+      ("n:1", -2.0, -2.0, -3.0, 2.5),
+      ("n:2", 3.0, 3.0, 2.0, 2.5),
+      ("n:3", -1.0, -1.0, -2.0, 1.2)))
+  }
+
+  test("path range {n,m} unions the bounded hop chains") {
+    val chain = Seq(
+      ("a", ":next", "b", Option.empty[Double], true, Option.empty[String]),
+      ("b", ":next", "c", None, true, None),
+      ("c", ":next", "d", None, true, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    def reach(text: String): Set[String] =
+      Compiler.run(chain, SparqlParser.parse(text))
+        .collect().map(_.getString(0)).toSet
+    assert(reach("SELECT ?y WHERE { <a> :next{2} ?y }") == Set("c"))
+    assert(reach("SELECT ?y WHERE { <a> (:next){1,3} ?y }") == Set("b", "c", "d"))
+    assert(reach("SELECT ?y WHERE { <a> :next{0,1} ?y }") == Set("a", "b"))
+  }
+
+  test("ORDER BY expression sorts without projecting the hidden column") {
+    val q = SparqlParser.parse(
+      """SELECT ?x WHERE { ?x :age ?a . }
+        |ORDER BY DESC(?a * 2 - 1) LIMIT 1""".stripMargin)
+    val out = Compiler.run(triples, q)
+    assert(out.columns.toSeq == Seq("x"))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("p:2"))
+    // guarded: expression order keys can't ride DISTINCT or aggregates
+    intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        "SELECT DISTINCT ?x WHERE { ?x :age ?a } ORDER BY ASC(?a + 1)")
+    }
+  }
+
   test("SAMPLE picks the deterministic minimum group member") {
     val q = SelectQuery(
       where = Bgp(Seq(tp(v("x"), "rdf:type", v("t")))),
