@@ -38,6 +38,8 @@ object PipelineQueries {
       Similarity.knnJoin(Tables.embeddings(s, dir))),
     "ann_range_search" -> ((s, dir) =>
       Similarity.rangeSearch(Tables.embeddings(s, dir), queryId = 0)),
+    "ann_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.embeddings(s, dir))),
     // ---- §G text analysis ------------------------------------------
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -55,6 +57,10 @@ object PipelineQueries {
       TextAnalysis.contamination(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir))),
+    "text_gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, dir))),
+    "text_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
     "data_split" -> ((s, dir) =>
       TextAnalysis.assignSplit(Tables.documents(s, dir))),
     "text_vocab_topk" -> ((s, dir) =>
@@ -264,6 +270,51 @@ object PipelineQueries {
            |SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
            |  1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS dup_ratio
            |FROM grams GROUP BY 1""".stripMargin,
+    "text_gopher_quality" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |    string_split_regex(trim(text), '\s+') AS w,
+           |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS lw,
+           |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
+           |  FROM documents),
+           |y AS (SELECT doc_id, len(w) AS n_words,
+           |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum')
+           |      AS BIGINT) * 1.0 / len(w) AS mean_word_len,
+           |    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+           |    n_symbols,
+           |    len(list_intersect(lw,
+           |      ['the','be','to','of','and','that','have','with'])) AS n_stop
+           |  FROM x)
+           |SELECT doc_id, n_words, mean_word_len, n_alpha, n_symbols, n_stop,
+           |  (n_words BETWEEN 20 AND 80 AND mean_word_len BETWEEN 3 AND 10
+           |   AND n_symbols * 10 <= n_words AND n_alpha * 10 >= n_words * 8
+           |   AND n_stop >= 2) AS keep
+           |FROM y""".stripMargin,
+    "text_ngram_novelty" ->
+      raw"""WITH $TOKS,
+           |grams AS (SELECT DISTINCT doc_id,
+           |    md5(array_to_string(w[s + 1 : s + 3], ' ')) AS g
+           |  FROM toks, UNNEST(range(0, len(w) - 2)) t(s)
+           |  WHERE len(w) >= 3),
+           |df AS (SELECT g, count(*) AS c FROM grams GROUP BY 1)
+           |SELECT doc_id, count(*) AS n_distinct,
+           |  count(CASE WHEN c = 1 THEN 1 END) AS n_novel
+           |FROM grams JOIN df USING (g) GROUP BY 1""".stripMargin,
+    "ann_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |ranked AS (
+        |  SELECT q.query_id, e.label,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id)
+        |      AS rnk
+        |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+        |votes AS (SELECT query_id, label, count(*) AS n_votes
+        |          FROM ranked WHERE rnk <= 5 GROUP BY 1, 2),
+        |best AS (SELECT query_id, label, n_votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n_votes DESC, label ASC) AS r
+        |  FROM votes)
+        |SELECT query_id, label AS pred_label, n_votes FROM best WHERE r = 1""".stripMargin,
     "data_split" ->
       """SELECT doc_id, source,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'

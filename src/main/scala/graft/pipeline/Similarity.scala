@@ -131,6 +131,34 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** k-NN classification: each query vector takes the majority label
+    * of its k nearest corpus neighbors (ties break on the smaller
+    * label — deterministic on any cluster). Same scale shape as
+    * [[knnJoin]]: broadcast query side, one corpus scan, per-query
+    * top-k window; the vote is a per-query-sized aggregation on top.
+    * Integer outputs only, so the result hashes stably cross-engine.
+    */
+  def knnClassify(embeddings: DataFrame, k: Int = 5,
+                  querySlice: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(embeddings)
+    val q = broadcast(e.filter(col("vec_id") % querySlice === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val byCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val byVotes = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    e.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rnk", row_number().over(byCos))
+      .filter(col("rnk") <= k)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("r", row_number().over(byVotes))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+  }
+
   /** Range search: every vector within cosine ≥ tau of the query —
     * the threshold companion of top-k (what vector stores call a
     * radius/range query). One narrow corpus pass with the broadcast

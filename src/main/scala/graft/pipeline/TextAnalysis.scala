@@ -233,6 +233,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Gopher-style rule set for the document-quality filter (Rae et
+    * al. 2021 §A1.1, public): word-count bounds, mean word length in
+    * [3, 10], symbol-to-word ratio ≤ 0.1, ≥ 80% of words containing a
+    * letter, and ≥ 2 distinct members of an 8-word English stopword
+    * set. Pure per-row array/regex expressions — one narrow codegen'd
+    * pass, same shape at any corpus size. Ratio rules compare via
+    * integer cross-multiplication (x * 10 ≤ n), so `keep` never
+    * touches float rounding.
+    */
+  def gopherQuality(docs: DataFrame, minWords: Int = 20,
+                    maxWords: Int = 80): DataFrame = {
+    val w = wsTokens(col("text"))
+    val lw = wsTokens(lower(col("text")))
+    val nWords = size(w)
+    val charSum = aggregate(transform(w, t => length(t)), lit(0), (a, x) => a + x)
+    val meanLen = charSum.cast("double") / nWords.cast("double")
+    val nAlpha = size(filter(w, t => t.rlike("[A-Za-z]")))
+    val nSymbols = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(array_intersect(array_distinct(lw),
+      array(gopherStops.map(lit): _*)))
+    docs.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      nAlpha.cast("long").as("n_alpha"),
+      nSymbols.cast("long").as("n_symbols"),
+      nStop.cast("long").as("n_stop"),
+      (nWords.between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) &&
+        nSymbols * 10 <= nWords &&
+        nAlpha * 10 >= nWords * 8 &&
+        nStop >= 2).as("keep"))
+  }
+
+  /** Corpus-level n-gram novelty: per doc, how many of its distinct
+    * n-grams appear in NO other document (df = 1) vs its distinct
+    * total — the inverse of the contamination signal (high novelty =
+    * fresh text, low = boilerplate). The gram df is the one global
+    * shuffle (inherent to any corpus-frequency statistic), keyed by
+    * uniform md5 grams so there is no skew; the per-doc re-aggregation
+    * rides the same keys. Integer outputs — hash-stable anywhere.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docGrams(docs, n)
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        count(when(col("df") === 1, 1)).as("n_novel"))
+  }
+
   /** Deterministic PII scrubbing: emails then long digit runs become
     * placeholder tokens. A fixed chain of codegen'd regexp_replace
     * calls (patterns restricted to syntax Java regex and RE2 share,

@@ -277,6 +277,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Set((0L, 1L, 1), (0L, 2L, 2), (50L, 2L, 1), (50L, 1L, 2)))
   }
 
+  test("gopher rules fail short, symbol-heavy, non-alpha, stopless docs") {
+    val good = ("the data and thought of that line be good with more " +
+      "words to fill out the minimum twenty word requirement here now")
+    val d = docs(
+      1L -> good,                                // passes every rule
+      2L -> "the of and short",                  // < 20 words
+      3L -> (good + " " + Seq.fill(4)("# # # # #").mkString(" ")), // symbols
+      4L -> ("0 1 2 3 4 5 6 7 8 9 " * 3 + "the of and x"))  // < 80% alpha
+    val r = TextAnalysis.gopherQuality(d)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(r == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("ngram novelty counts df-1 grams only") {
+    val d = docs(
+      1L -> "alpha beta gamma delta",   // grams: abc bcd (abc shared w/ 2)
+      2L -> "alpha beta gamma epsilon", // abc shared, bce unique
+      3L -> "one two three four five")  // all unique
+    val r = TextAnalysis.ngramNovelty(d)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc1: 2 distinct grams, 1 novel; doc2 same; doc3: 3 of 3 novel
+    assert(r == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((3L, 3L))))
+  }
+
+  test("knn classify takes the majority label, ties to the smaller") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 9),   // query; own label ignored
+      (1L, Array(0.9f, 0.1f, 0.0f), 1),
+      (2L, Array(0.8f, 0.2f, 0.0f), 1),
+      (3L, Array(0.7f, 0.3f, 0.0f), 2),
+      (4L, Array(0.0f, 1.0f, 0.0f), 2),
+      (5L, Array(0.0f, 0.9f, 0.1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    // k=3 nearest to q0: ids 1,2 (label 1), 3 (label 2) → majority 1
+    val out = Similarity.knnClassify(e, k = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(out == Set((0L, 1, 2L)))
+    // k=4 brings id 4: votes 2-2, tie breaks to label 1
+    val tied = Similarity.knnClassify(e, k = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(tied == Set((0L, 1, 2L)))
+  }
+
   test("contamination flags only docs sharing a benchmark n-gram") {
     val d = docs(
       0L -> "alpha beta gamma delta epsilon zeta",       // benchmark (0 % 97)
