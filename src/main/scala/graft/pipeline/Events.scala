@@ -72,6 +72,38 @@ object Events {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"))
 
+  /** Ordered-stage conversion funnel: per user, the first `stages(0)`
+    * event, then the first `stages(1)` within `gapMinutes` after it,
+    * and so on — the classic product-analytics funnel. One filtered
+    * aggregation per stage, every shuffle keyed by user_id (AQE reuses
+    * the partitioning), and each stage only shuffles ITS OWN slice of
+    * the log — at 100 TB that is k narrow passes, not a per-user
+    * event-list collection. Stage times are epoch-micros BIGINTs and
+    * the depth is an integer, so the result hashes identically on any
+    * engine.
+    */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase"),
+             gapMinutes: Int = 60): DataFrame = {
+    require(stages.nonEmpty, "funnel requires at least one stage")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val s0 = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("t0"))
+    val full = stages.zipWithIndex.drop(1).foldLeft(s0) { case (acc, (st, i)) =>
+      val prev = s"t${i - 1}"
+      val next = events.filter(col("event_type") === st)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .join(acc.select(col("user_id"), col(prev)), "user_id")
+        .filter(col("us") > col(prev) && col("us") <= col(prev) + gapUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as(s"t$i"))
+      acc.join(next, Seq("user_id"), "left")
+    }
+    full.withColumn("stage",
+      stages.indices.map(i =>
+        when(col(s"t$i").isNotNull, 1).otherwise(0)).reduce(_ + _))
+  }
+
   /** Typed extraction from the semi-structured props column (JSON):
     * get_json_object is a codegen'd expression — no UDF — so schema-
     * on-read over a 100 TB event log stays one narrow pass before the

@@ -40,6 +40,8 @@ object PipelineQueries {
       Similarity.rangeSearch(Tables.embeddings(s, dir), queryId = 0)),
     "ann_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir))),
+    "emb_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, dir))),
     // ---- §G text analysis ------------------------------------------
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -96,6 +98,8 @@ object PipelineQueries {
       Events.sessionWindowAgg(Tables.events(s, dir))),
     "events_topk_users" -> ((s, dir) =>
       Events.topUsers(Tables.events(s, dir))),
+    "events_funnel" -> ((s, dir) =>
+      Events.funnel(Tables.events(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -270,6 +274,32 @@ object PipelineQueries {
            |SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
            |  1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS dup_ratio
            |FROM grams GROUP BY 1""".stripMargin,
+    "emb_kmeans_assign" ->
+      """WITH cent AS (SELECT label AS c_label, d, avg(embedding[d + 1]) AS m
+        |              FROM embeddings, range(0, 64) td(d) GROUP BY 1, 2),
+        |cv AS (SELECT c_label, list(m ORDER BY d) AS cv FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, c.c_label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+        |               c.c_label ASC) AS r
+        |  FROM embeddings e, cv c)
+        |SELECT vec_id, label, c_label AS assigned, label = c_label AS stable
+        |FROM sc WHERE r = 1""".stripMargin,
+    "events_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+        |       FROM events e JOIN s0 USING (user_id)
+        |       WHERE event_type = 'click' AND epoch_us(ts) > t0
+        |         AND epoch_us(ts) <= t0 + 3600000000 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND epoch_us(ts) > t1
+        |         AND epoch_us(ts) <= t1 + 3600000000 GROUP BY 1)
+        |SELECT s0.user_id, t0, t1, t2,
+        |  1 + CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END AS stage
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin,
     "text_gopher_quality" ->
       raw"""WITH x AS (SELECT doc_id,
            |    string_split_regex(trim(text), '\s+') AS w,

@@ -195,6 +195,37 @@ object Similarity {
           .cast("binary")).as("q_md5"),
         aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"))
 
+  /** Per-label mean vectors — the "trained" coarse quantizer shared by
+    * the IVF probe and the k-means assignment step.
+    */
+  private def centroids(e: DataFrame): DataFrame = e
+    .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+    .groupBy(col("label"))
+    .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+    .select(col("label"), transform(col("pm"), s => s.getField("m")).as("cv"))
+
+  /** One Lloyd assignment step over the label-seeded centroids: each
+    * vector moves to its nearest centroid by cosine (ties to the
+    * smaller label) — the re-clustering pass an IVF index runs to
+    * rebalance its partitions. The centroid table is broadcast and the
+    * per-vector argmax is a map-side-combined max over (cos, -label)
+    * structs, so the shuffle carries ONE row per vector regardless of
+    * how many centroids exist. Integer outputs.
+    */
+  def kmeansAssign(embeddings: DataFrame): DataFrame = {
+    val e = vecs(embeddings)
+    val cent = broadcast(centroids(e)
+      .select(col("label").as("c_label"), col("cv")))
+    e.crossJoin(cent)
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos"), (-col("c_label")).as("neg"))).as("best"))
+      .select(col("vec_id"), col("label"),
+        (-col("best.neg")).cast("int").as("assigned"))
+      .withColumn("stable", col("label") === col("assigned"))
+  }
+
   /** IVF-style: centroids = per-label mean vectors ("trained"
     * partition assignment), probe the `nprobe` centroids nearest the
     * query, exact top-k within the probed partitions.
@@ -202,14 +233,9 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nprobe: Int = 2): DataFrame = {
     val e = vecs(embeddings)
-    val centroids = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label"), transform(col("pm"), s => s.getField("m")).as("cv"))
+    val centroidTable = centroids(e)
     val q = queryVec(embeddings, queryId)
-    val probed = broadcast(centroids.crossJoin(q)
+    val probed = broadcast(centroidTable.crossJoin(q)
       .withColumn("cdist", cosine(col("cv"), col("qv")))
       .orderBy(col("cdist").desc, col("label"))
       .limit(nprobe)

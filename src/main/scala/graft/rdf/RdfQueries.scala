@@ -175,6 +175,32 @@ object RdfQueries {
         frags.mkString("\n") + "\n</rdf:RDF>"
       RdfXml.parse(s, doc)
     },
+    // store mutation as derivation (ref write procedures:
+    // RDFImport.importRDF onto an existing store): add a derived VIP
+    // delta plus an overlapping slice — idempotent under set
+    // semantics, so the overlap must not duplicate
+    "rdf_store_add" -> { (s, dir) =>
+      val store = TripleStore.dimensionTriples(s, dir)
+      val vip = graft.Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 9000)
+        .select(
+          concat(lit("cust:"), col("c_custkey")).as("s"),
+          lit("rdf:type").as("p"), lit(":VIP").as("o"),
+          lit(null).cast("double").as("o_num"),
+          lit(true).as("o_is_iri"), lit(null).cast("string").as("lang"))
+      val overlap = store.filter(col("p") === "rdf:type" && col("o") === ":Region")
+      TripleOps.add(store, vip.unionByName(overlap))
+        .filter(col("p") === "rdf:type" && col("o").isin(":VIP", ":Region"))
+        .select(col("s"), col("o"))
+    },
+    // pattern removal (null = wildcard): drop every :comment triple,
+    // then nat:1's outgoing star; count what remains per predicate
+    "rdf_store_remove" -> { (s, dir) =>
+      val store = TripleStore.dimensionTriples(s, dir)
+      TripleOps.remove(TripleOps.remove(store, p = ":comment"), s = "nat:1")
+        .filter(col("s").startsWith("nat:"))
+        .groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+    },
     // Turtle write → parse round-trip (part slice, numeric literals)
     "rdf_turtle_parse" -> { (s, dir) =>
       val slice = TripleStore.dimensionTriples(s, dir)
@@ -348,6 +374,15 @@ object RdfQueries {
         |UNION ALL
         |SELECT 'nat:'||n_nationkey, ':regionkey', CAST(n_regionkey AS VARCHAR),
         |       CAST(n_regionkey AS DOUBLE), false, NULL FROM nation""".stripMargin,
+    "rdf_store_add" ->
+      """SELECT 'cust:'||c_custkey AS s, ':VIP' AS o FROM customer
+        |WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT 'reg:'||r_regionkey, ':Region' FROM region""".stripMargin,
+    "rdf_store_remove" ->
+      """SELECT 'rdf:type' AS p, count(*) - 1 AS cnt FROM nation
+        |UNION ALL SELECT ':name', count(*) - 1 FROM nation
+        |UNION ALL SELECT ':inRegion', count(*) - 1 FROM nation""".stripMargin,
     "rdf_turtle_parse" ->
       """SELECT 'part:'||p_partkey AS s, ':size' AS p,
         |       CAST(p_size AS VARCHAR) AS o,

@@ -1,0 +1,48 @@
+package graft.rdf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Store mutation as derivation: the reference's write procedures
+  * (importRDF onto an existing store, mapping add/drop —
+  * pidb-rdf-import/src/main/java/semantics/RDFImport.java:50,
+  * MappingUtils.java:21-122) mutate a Neo4j store in place; the Spark
+  * re-expression derives a NEW immutable triple relation, which is
+  * what a data-lake deployment actually does (write the delta, compact
+  * on merge).
+  *
+  * Set semantics ride SQL EXCEPT (null-safe, distinct), so re-adding
+  * an overlapping graph is idempotent and removal never leaves
+  * duplicates behind. At 100 TB `add` is the merge-on-write compaction
+  * path: one shuffle keyed by the full term, or a bucket-local merge
+  * when both sides share the store's subject bucketing
+  * ([[TripleStore.writeBucketed]]).
+  */
+object TripleOps {
+
+  /** RDF graph union: store ∪ delta with set semantics. The anti-slice
+    * (delta triples not already present) is computed with EXCEPT —
+    * null-safe on the lang/o_num columns, where an equi-join would
+    * drop null = null matches and duplicate language-less literals.
+    */
+  def add(store: DataFrame, delta: DataFrame): DataFrame =
+    store.unionByName(delta.select(store.columns.map(col): _*).except(store))
+
+  /** Remove every triple matching the constant pattern (null = wildcard
+    * position, like the reference endpoint's node-delete semantics).
+    * A pure filter — narrow, no shuffle at any scale.
+    */
+  def remove(store: DataFrame, s: String = null, p: String = null,
+             o: String = null): DataFrame = {
+    val conds = Seq(
+      Option(s).map(col("s") === _),
+      Option(p).map(col("p") === _),
+      Option(o).map(col("o") === _)).flatten
+    require(conds.nonEmpty, "remove requires at least one bound position")
+    store.filter(!conds.reduce(_ && _))
+  }
+
+  /** Graph difference: store ∖ other (term-identity set minus). */
+  def subtract(store: DataFrame, other: DataFrame): DataFrame =
+    store.except(other.select(store.columns.map(col): _*))
+}

@@ -320,6 +320,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(tied == Set((0L, 1, 2L)))
   }
 
+  test("funnel advances stages only within the gap, in order") {
+    import java.sql.Timestamp
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val e = Seq(
+      // user 1: view → click (+10m) → purchase (+20m): full funnel
+      (1L, t(0), "view"), (1L, t(10), "click"), (1L, t(30), "purchase"),
+      // user 2: view → click only after the 60m gap: stalls at stage 1
+      (2L, t(0), "view"), (2L, t(70), "click"),
+      // user 3: click before any view: stage counts only ordered hits
+      (3L, t(0), "click"), (3L, t(5), "view"),
+      // user 4: never views: absent from the funnel
+      (4L, t(0), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val out = Events.funnel(e)
+      .select("user_id", "stage").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
+  test("kmeans assignment moves each vector to its nearest centroid") {
+    val e = Seq(
+      // label 0 centroid ~ x-axis, label 1 centroid ~ y-axis
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.1f, 0.9f), 1),
+      // mislabeled: sits on the x-axis but carries label 1
+      (4L, Array(1.0f, 0.05f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansAssign(e)
+      .select("vec_id", "assigned", "stable")
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (id, a, st) => id -> ((a, st)) }.toMap
+    assert(out(4L) == ((0, false)))
+    assert(Seq(0L, 1L).forall(out(_) == ((0, true))))
+    assert(Seq(2L, 3L).forall(out(_) == ((1, true))))
+  }
+
   test("contamination flags only docs sharing a benchmark n-gram") {
     val d = docs(
       0L -> "alpha beta gamma delta epsilon zeta",       // benchmark (0 % 97)

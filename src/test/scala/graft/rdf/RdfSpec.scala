@@ -298,4 +298,24 @@ class RdfSpec extends AnyFunSuite {
       ("g:y", "s:2", "p:l", "bonjour", None, false, Some("fr")),
       ("g:y", "s:2", "p:t", "tab\tand \"quote\"", None, false, None)))
   }
+
+  test("store add is idempotent and null-lang-safe; remove wildcards") {
+    val store = nasty
+    // re-adding the whole store (incl. null-lang literals) adds nothing
+    assert(TripleOps.add(store, store).count() == store.count())
+    // a genuinely new triple lands exactly once even when sent twice
+    val delta = Seq(("s:9", ":new", "v", Option.empty[Double], false,
+      Option.empty[String])).toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val grown = TripleOps.add(store, delta.unionAll(delta))
+    assert(grown.count() == store.count() + 1)
+    // same lexical, different language = a different literal
+    val fr2 = Seq(("s:1", ":tagged", "bonjour", Option.empty[Double], false,
+      Some("de"))).toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(TripleOps.add(store, fr2).count() == store.count() + 1)
+    // remove by predicate wildcard, then by subject
+    assert(TripleOps.remove(store, p = ":num").count() == store.count() - 1)
+    assert(TripleOps.remove(store, s = "s:1").count() == 0)
+    assert(TripleOps.subtract(store, store.limit(2)).count() ==
+      store.count() - 2)
+  }
 }
