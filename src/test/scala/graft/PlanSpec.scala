@@ -110,6 +110,46 @@ class PlanSpec extends AnyFunSuite {
       "subquery must equi-join the outer pattern on the shared var")
   }
 
+  test("ann_knn_classify: broadcast queries; vote window partitions by query") {
+    val p = plan("ann_knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query subset must broadcast")
+    assert(!p.contains("partitionBy=[]"), "no global single-partition window")
+  }
+
+  test("emb_kmeans_assign: centroids broadcast; argmax combines map-side") {
+    val p = plan("emb_kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid table must broadcast")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      "per-vector argmax must partial-aggregate before the shuffle")
+    assert(!p.contains("Window"), "assignment must not use a window")
+  }
+
+  test("text_gopher_quality and text_ngram_novelty plan shapes") {
+    // gopher: one narrow pass, no shuffle at all
+    val g = SparkEntry.queries("text_gopher_quality")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!g.contains("Exchange"), "gopher rules must stay narrow")
+    // novelty: the df aggregation combines map-side
+    val n = plan("text_ngram_novelty")
+    assert(n.contains("partial_count") || n.contains("HashAggregate"),
+      "gram df must partial-aggregate")
+  }
+
+  test("events_funnel: every stage shuffles only its own slice") {
+    val p = plan("events_funnel")
+    // stage filters must reach the parquet scan, so each aggregation
+    // reads one event-type slice, not the whole log
+    assert(p.contains("EqualTo(event_type,view)"), "stage filter must push down")
+    assert(p.contains("EqualTo(event_type,click)"), "stage filter must push down")
+  }
+
+  test("rdf_store_add: the overlap anti-slice aggregates, never cartesians") {
+    val p = plan("rdf_store_add")
+    assert(!p.contains("CartesianProduct"), "set-union must not cartesian")
+  }
+
   test("facade: textual SPARQL end-to-end") {
     val df = Graft.sparql(spark, dir,
       """SELECT ?c ?b WHERE { ?c a :Customer ; :acctbal ?b . FILTER(?b >= 0) }""")

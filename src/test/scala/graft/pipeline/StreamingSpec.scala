@@ -103,6 +103,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L)))
   }
 
+  test("gopher quality gate runs stateless on a doc stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = ("the data and thought of that line be good with more " +
+      "words to fill out the minimum twenty word requirement here now")
+    val stream = MemoryStream[(Long, String)]
+    // append mode: the rules are a narrow per-row pass, no state at all
+    val q = TextAnalysis.gopherQuality(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_stream_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, good), (2L, "too short of a doc")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gopher_stream_test")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toSet
+    assert(got == Set((1L, true), (2L, false)))
+  }
+
   test("sessionizeStreaming closes sessions on gap and emits via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
