@@ -30,6 +30,13 @@ object Graft {
   def sparql(triples: DataFrame, query: String): DataFrame =
     Compiler.run(triples, SparqlParser.parse(query))
 
+  /** Run a textual SPARQL SELECT against a quad (named-graph)
+    * relation — GRAPH groups scope to / bind the graph term; patterns
+    * outside GRAPH match the union default graph.
+    */
+  def sparqlQuads(quads: DataFrame, query: String): DataFrame =
+    Compiler.runQuads(quads, SparqlParser.parse(query))
+
   /** Dispatch a textual query on its form — SELECT / ASK / CONSTRUCT /
     * DESCRIBE, the reference endpoint's full query surface. The form
     * keyword is located outside IRI brackets, so a namespace like

@@ -139,6 +139,14 @@ object Ast {
     * forward form).
     */
   final case class NegPath(s: Term, preds: Seq[String], o: Term) extends Pattern
+  /** `GRAPH g { bgp }` — the inner BGP matches entirely within one
+    * named graph of the quad dataset: a constant g scopes to that
+    * graph's slice, a variable g binds the graph name per solution
+    * (every pattern of the BGP carries the same graph binding, so the
+    * joins align it). Body restricted to a BGP — documented subset.
+    * Compiles only through the quad entry point (Compiler.runQuads).
+    */
+  final case class GraphBgp(g: Term, patterns: Seq[TriplePattern]) extends Pattern
   /** Nested `{ SELECT … }` subquery: evaluated bottom-up, its
     * projected variables join with the enclosing group (SPARQL 1.1
     * §12). Numeric outputs (aggregate aliases) re-derive their typed

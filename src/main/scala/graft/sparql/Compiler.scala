@@ -40,8 +40,14 @@ object Compiler {
   def isCompanion(c: String): Boolean =
     c.endsWith(NUM) || c.endsWith(LANG) || c.endsWith(IRI)
 
-  /** One triple pattern → filtered projection of the triple table. */
-  private def patternDf(triples: DataFrame, tp: TriplePattern): DataFrame = {
+  /** One triple pattern → filtered projection of the triple table.
+    * With `graphVar` set the input is the QUAD table and the graph
+    * column is emitted as that variable — every pattern of a
+    * GRAPH ?g group emits it, so the BGP's natural joins align the
+    * graph binding across patterns (all must match within one graph).
+    */
+  private def patternDf(triples: DataFrame, tp: TriplePattern,
+                        graphVar: Option[String] = None): DataFrame = {
     var df = triples
     tp.p match {
       case Iri(v) => df = df.filter(col("p") === v)
@@ -90,6 +96,7 @@ object Compiler {
     emit("p", tp.p, withNum = false)
     // if ?x is also s or p it binds an IRI, whose o_num is null anyway
     emit("o", tp.o, withNum = true)
+    graphVar.foreach(gn => if (!seen(gn)) { seen += gn; out += col("g").as(gn) })
     df.select(out.result(): _*)
   }
 
@@ -151,6 +158,23 @@ object Compiler {
   private def compileBgp(triples: DataFrame, ps: Seq[TriplePattern]): DataFrame =
     if (ps.isEmpty) unitTable(triples)
     else orderPatterns(ps).map(patternDf(triples, _)).reduceLeft(joinOnVars(_, _))
+
+  /** GRAPH-scoped BGP over the quad relation: a constant graph prunes
+    * to its slice BEFORE any pattern filter (at cluster scale the quad
+    * table is partitioned by graph, so this is partition pruning); a
+    * variable graph rides each pattern as an extra emitted column and
+    * the joins align it.
+    */
+  private def compileGraphBgp(quads: DataFrame, g: Term,
+                              ps: Seq[TriplePattern]): DataFrame = g match {
+    case Iri(gv) => compileBgp(quads.filter(col("g") === gv).drop("g"), ps)
+    case Var(gn) =>
+      if (ps.isEmpty) quads.select(col("g").as(gn)).distinct()
+      else orderPatterns(ps).map(patternDf(quads, _, Some(gn)))
+        .reduceLeft(joinOnVars(_, _))
+    case Lit(_, _) =>
+      throw new IllegalArgumentException("literal graph name")
+  }
 
   /** Scalar filter → Column predicate (numeric when the literal and
     * the binding are numeric, lexical otherwise).
@@ -360,25 +384,37 @@ object Compiler {
     case _ => false
   }
 
-  def compilePattern(triples: DataFrame, p: Pattern): DataFrame = p match {
+  def compilePattern(triples: DataFrame, p: Pattern): DataFrame =
+    compilePattern(triples, None, p)
+
+  /** `quads` carries the named-graph dataset when the query entered
+    * through [[runQuads]]; GRAPH groups compile against it, everything
+    * else against the (default-graph) triple relation.
+    */
+  private def compilePattern(triples: DataFrame, quads: Option[DataFrame],
+                             p: Pattern): DataFrame = p match {
+    case GraphBgp(g, ps) =>
+      val qd = quads.getOrElse(throw new IllegalArgumentException(
+        "GRAPH requires a quad dataset — run the query via runQuads"))
+      compileGraphBgp(qd, g, ps)
     case Bgp(ps) => compileBgp(triples, ps)
     case Filter(exprs, input) =>
-      exprs.foldLeft(compilePattern(triples, input)) {
+      exprs.foldLeft(compilePattern(triples, quads, input)) {
         case (df, Exists(ps)) => joinOnVars(df, compileBgp(triples, ps), "left_semi")
         case (df, NotExists(ps)) => joinOnVars(df, compileBgp(triples, ps), "left_anti")
         case (df, e) => df.filter(exprColumn(df, e))
       }
     case LeftJoin(l, r) =>
-      val ldf = compilePattern(triples, l)
-      val rdf = compilePattern(triples, r)
+      val ldf = compilePattern(triples, quads, l)
+      val rdf = compilePattern(triples, quads, r)
       val joined = joinOnVars(ldf, rdf, "left_outer")
       // reference fills unmatched OPTIONAL vars with constant "N/A"
       // (SparqlToGremlinCompiler.java:122)
       val optOnly = rdf.columns.filterNot(isCompanion).diff(ldf.columns)
       optOnly.foldLeft(joined)((df, c) => df.withColumn(c, coalesce(col(c), lit("N/A"))))
     case Union(l, r) =>
-      val ldf = compilePattern(triples, l)
-      val rdf = compilePattern(triples, r)
+      val ldf = compilePattern(triples, quads, l)
+      val rdf = compilePattern(triples, quads, r)
       val allCols = (ldf.columns ++ rdf.columns.diff(ldf.columns)).toSeq
       def pad(df: DataFrame): DataFrame =
         df.select(allCols.map(c =>
@@ -389,18 +425,19 @@ object Compiler {
             else "string").as(c)): _*)
       pad(ldf).unionByName(pad(rdf))
     case Join(l, r) =>
-      joinOnVars(compilePattern(triples, l), compilePattern(triples, r))
+      joinOnVars(compilePattern(triples, quads, l),
+        compilePattern(triples, quads, r))
     case Minus(l, r) =>
       // SPARQL 1.1 §8.3: remove left solutions compatible with a right
       // solution sharing ≥1 variable; with disjoint domains MINUS is a
       // no-op (unlike NOT EXISTS, which would drop everything when the
       // right side is non-empty)
-      val ldf = compilePattern(triples, l)
-      val rdf = compilePattern(triples, r)
+      val ldf = compilePattern(triples, quads, l)
+      val rdf = compilePattern(triples, quads, r)
       val shared = ldf.columns.intersect(rdf.columns).filterNot(isCompanion)
       if (shared.isEmpty) ldf else joinOnVars(ldf, rdf, "left_anti")
     case Bind(input, expr, as) =>
-      val df = compilePattern(triples, input)
+      val df = compilePattern(triples, quads, input)
       require(!df.columns.contains(as), s"BIND ?$as: variable already in scope")
       expr match {
         // plain variable copy keeps the companion columns too, so the
@@ -447,7 +484,7 @@ object Compiler {
       // evaluate the inner SELECT bottom-up; aggregate aliases come
       // out typed, so re-derive the numeric companions the enclosing
       // group's FILTER/ORDER machinery expects
-      val df = run(triples, q)
+      val df = run(triples, quads, q)
       df.schema.fields
         .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
         .foldLeft(df)((d, f) =>
@@ -611,8 +648,21 @@ object Compiler {
     * distinct → slice. Output columns are the projected variable names
     * (lexical strings) and aggregate aliases (typed).
     */
-  def run(triples: DataFrame, q: SelectQuery): DataFrame = {
-    var df = compilePattern(triples, q.where)
+  def run(triples: DataFrame, q: SelectQuery): DataFrame =
+    run(triples, None, q)
+
+  /** Entry point for GRAPH-aware queries over a quad relation
+    * (g, s, p, o, o_num, o_is_iri, lang). The default graph — what
+    * patterns OUTSIDE any GRAPH group match — is the union of the
+    * named graphs with set semantics (the store-union dataset
+    * configuration most RDF stores ship).
+    */
+  def runQuads(quads: DataFrame, q: SelectQuery): DataFrame =
+    run(quads.drop("g").distinct(), Some(quads), q)
+
+  private def run(triples: DataFrame, quads: Option[DataFrame],
+                  q: SelectQuery): DataFrame = {
+    var df = compilePattern(triples, quads, q.where)
 
     if (q.aggregates.nonEmpty) {
       val aggCols = q.aggregates.map { case Agg(op, v, alias, sep, aggExpr) =>

@@ -181,6 +181,14 @@ object SparqlParser extends RegexParsers {
         else success(GroupOrUnionElem(PathSeq(s, steps, o)))
     }
 
+  /** `GRAPH (<g>|?g) { triples }` — named-graph scoping (body
+    * restricted to a BGP; see Ast.GraphBgp).
+    */
+  private def graphElem: Parser[GroupElem] =
+    "(?i)GRAPH".r ~> (varTerm | iriRef | pname) ~ bgpOnly ^^ {
+      case g ~ ps => GroupOrUnionElem(GraphBgp(g, ps))
+    }
+
   private def optionalElem: Parser[GroupElem] =
     "(?i)OPTIONAL".r ~> groupGraphPattern ^^ OptionalElem.apply
   private def minusElem: Parser[GroupElem] =
@@ -248,7 +256,7 @@ object SparqlParser extends RegexParsers {
 
   private def groupElem: Parser[GroupElem] =
     filterElem | optionalElem | minusElem | bindElem | valuesElem |
-      negPathTriple | pathTriple | rangePathTriple | seqPathTriple |
+      graphElem | negPathTriple | pathTriple | rangePathTriple | seqPathTriple |
       subSelectElem | groupOrUnion | (triplesSameSubject ^^ TriplesElem.apply)
 
   private def groupGraphPattern: Parser[Pattern] =
@@ -468,6 +476,8 @@ object SparqlParser extends RegexParsers {
       PathZeroOne(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
     case PathRange(s, preds, mn, mx, o) =>
       PathRange(rewriteTerm(s, f), preds.map(f), mn, mx, rewriteTerm(o, f))
+    case GraphBgp(g, ps) =>
+      GraphBgp(rewriteTerm(g, f), ps.map(rewriteTp(_, f)))
     case PathSeq(s, steps, o) =>
       PathSeq(rewriteTerm(s, f),
         steps.map(st => PathStep(f(st.pred), st.inverse)), rewriteTerm(o, f))

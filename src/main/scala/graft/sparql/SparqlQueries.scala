@@ -27,6 +27,23 @@ object SparqlQueries {
     numericVars.foldLeft(out)((df, c) => df.withColumn(c, col(c).cast("double")))
   }
 
+  /** A small named-graph dataset over the dimension slice: per-entity
+    * :name triples split into three graphs (the quad-store shape the
+    * TriG/N-Quads importers produce).
+    */
+  private def namedGraphQuads(spark: SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val t = TripleStore.dimensionTriples(spark, dir)
+    def slice(pfx: String, g: String) =
+      t.filter(col("s").startsWith(pfx) && col("p") === ":name")
+        .withColumn("g", org.apache.spark.sql.functions.lit(g))
+    slice("nat:", "g:nation")
+      .unionAll(slice("reg:", "g:region"))
+      .unionAll(slice("supp:", "g:supp"))
+      .select(col("g"), col("s"), col("p"), col("o"),
+        col("o_num"), col("o_is_iri"), col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sparql_bgp_star" -> { (s, dir) =>
       run(s, dir, SelectQuery(
@@ -431,6 +448,18 @@ object SparqlQueries {
       run(s, dir, SparqlParser.parse(
         "SELECT ?y WHERE { <cust:7> (:hasNation|:inRegion){1,2} ?y }"))
     },
+    // GRAPH with a constant name: the pattern prunes to one named
+    // graph's slice of the quad dataset
+    "sparql_graph_const" -> { (s, dir) =>
+      Compiler.runQuads(namedGraphQuads(s, dir), SparqlParser.parse(
+        "SELECT ?s ?n WHERE { GRAPH <g:region> { ?s :name ?n } }"))
+    },
+    // GRAPH with a variable: the graph name binds per solution, and a
+    // default-graph pattern joins across it
+    "sparql_graph_var" -> { (s, dir) =>
+      Compiler.runQuads(namedGraphQuads(s, dir), SparqlParser.parse(
+        "SELECT ?g ?s ?n WHERE { GRAPH ?g { ?s :name ?n } }"))
+    },
     // PREFIX declarations: prefixed names expand to the declared
     // namespace before compilation (two prefixes, both resolved)
     "sparql_prefix_decl" -> { (s, dir) =>
@@ -569,6 +598,14 @@ object SparqlQueries {
     "sparql_prefix_decl" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b
         |FROM customer WHERE c_acctbal >= 5000""".stripMargin,
+    "sparql_graph_const" ->
+      "SELECT 'reg:'||r_regionkey AS s, r_name AS n FROM region",
+    "sparql_graph_var" ->
+      """SELECT 'g:nation' AS g, 'nat:'||n_nationkey AS s, n_name AS n FROM nation
+        |UNION ALL
+        |SELECT 'g:region', 'reg:'||r_regionkey, r_name FROM region
+        |UNION ALL
+        |SELECT 'g:supp', 'supp:'||s_suppkey, s_name FROM supplier""".stripMargin,
     "sparql_num_builtins" ->
       """SELECT 'cust:'||c_custkey AS c, abs(c_acctbal) AS ab,
         |  ceil(c_acctbal) AS ce, floor(c_acctbal) AS fl,

@@ -492,6 +492,35 @@ class CompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAPH scopes to one graph; GRAPH ?g aligns patterns within it") {
+    val quads = Seq(
+      ("g:a", "p:1", ":name", "ann", Option.empty[Double], false, Option.empty[String]),
+      ("g:a", "p:1", ":age", "30", Some(30.0), false, None),
+      ("g:b", "p:1", ":name", "ann2", None, false, None),
+      ("g:b", "p:2", ":name", "bob", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    def q(text: String) = Compiler.runQuads(quads, SparqlParser.parse(text))
+    // constant graph prunes to its slice
+    assert(q("SELECT ?n WHERE { GRAPH <g:b> { ?x :name ?n } }")
+      .collect().map(_.getString(0)).toSet == Set("ann2", "bob"))
+    // variable graph binds per solution
+    assert(q("SELECT ?g WHERE { GRAPH ?g { ?x :age ?a } }")
+      .collect().map(_.getString(0)).toSeq == Seq("g:a"))
+    // both patterns must match in the SAME graph: p:1's name+age only
+    // co-occur in g:a — the g:b name must not pair with the g:a age
+    assert(q("SELECT ?g ?n WHERE { GRAPH ?g { ?x :name ?n . ?x :age ?a } }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("g:a", "ann")))
+    // patterns outside GRAPH match the union default graph
+    assert(q("SELECT ?n WHERE { ?x :name ?n . ?x :age ?a }")
+      .collect().map(_.getString(0)).toSet == Set("ann", "ann2"))
+    // GRAPH without a quad dataset is rejected, not silently empty
+    intercept[IllegalArgumentException] {
+      Compiler.run(triples, SparqlParser.parse(
+        "SELECT ?n WHERE { GRAPH <g:a> { ?x :name ?n } }")).collect()
+    }
+  }
+
   test("SAMPLE picks the deterministic minimum group member") {
     val q = SelectQuery(
       where = Bgp(Seq(tp(v("x"), "rdf:type", v("t")))),
