@@ -39,6 +39,22 @@ object Events {
       .groupBy(col("segment"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
 
+  /** [[enrich]] for the skewed-fact case: when the per-user event
+    * distribution is hot enough that a single reducer would drown (and
+    * the dimension outgrows broadcast), the join salts on the unique
+    * event id — same answer, the hot user spread over `salts`
+    * reducers. See [[SkewJoin.salted]].
+    */
+  def enrichSkewSafe(events: DataFrame, customers: DataFrame,
+                     salts: Int = 8): DataFrame =
+    SkewJoin.salted(
+      events,
+      customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")),
+      "user_id", col("event_id"), salts)
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
+
   /** Top-k users per event type by activity — the classic grouped
     * leaderboard. Two-level shape: the (type, user) rollup shuffles
     * once with map-side partial aggregation, then the per-type

@@ -100,6 +100,10 @@ object PipelineQueries {
       Events.topUsers(Tables.events(s, dir))),
     "events_funnel" -> ((s, dir) =>
       Events.funnel(Tables.events(s, dir))),
+    "events_enrich_skewsafe" -> ((s, dir) =>
+      Events.enrichSkewSafe(Tables.events(s, dir), Tables.customer(s, dir))),
+    "data_mix" -> ((s, dir) =>
+      TextAnalysis.mixToTarget(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -546,6 +550,21 @@ object PipelineQueries {
         |      ORDER BY n DESC, user_id ASC) AS rnk
         |  FROM g)
         |SELECT event_type, user_id, n, sv, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    // same rollup as events_enrich: the salt must not change the answer
+    "events_enrich_skewsafe" ->
+      """SELECT c_mktsegment AS segment, event_type,
+        |  count(*) AS n, round(sum(value), 6) AS sv
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "data_mix" ->
+      """WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        |j AS (SELECT c.source, cnt, w.w FROM c JOIN w USING (source)),
+        |n AS (SELECT min(cnt / w) AS n_total FROM j),
+        |r AS (SELECT source, least(1.0, n_total * w / cnt) AS rate FROM j, n)
+        |SELECT doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 13, 4))::BIGINT % 10000
+        |      < floor(rate * 10000)""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

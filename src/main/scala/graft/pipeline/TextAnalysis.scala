@@ -285,6 +285,37 @@ object TextAnalysis {
         count(when(col("df") === 1, 1)).as("n_novel"))
   }
 
+  /** Domain mixing: downsample sources to hit a target mixture — the
+    * corpus-composition step of a training-data build (e.g. "50% web,
+    * 30% code, 20% books"). The bottleneck source caps the total
+    * (N = min over sources of count/weight); every other source keeps
+    * a deterministic md5-bucket fraction so the kept corpus matches
+    * the target ratios exactly. One count aggregation + one broadcast
+    * of the (source, rate) table onto the scan — the corpus side
+    * never shuffles. Bucket reads md5 hex chars 13-16, decorrelated
+    * from the split/sample/pack hashes.
+    */
+  def mixToTarget(docs: DataFrame,
+                  weights: Map[String, Double] =
+                    Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.toDF("source", "w")
+    // sources outside the target mix contribute nothing (inner join)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(wDf), "source")
+    val nTotal = counts.agg(min(col("cnt") / col("w")).as("n_total"))
+    val rates = counts.crossJoin(nTotal)
+      .select(col("source"),
+        least(lit(1.0), col("n_total") * col("w") / col("cnt")).as("rate"))
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 13, 4),
+        16, 10).cast("long") % 10000
+    docs.join(broadcast(rates), "source")
+      .filter(bucket < floor(col("rate") * 10000))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Deterministic PII scrubbing: emails then long digit runs become
     * placeholder tokens. A fixed chain of codegen'd regexp_replace
     * calls (patterns restricted to syntax Java regex and RE2 share,

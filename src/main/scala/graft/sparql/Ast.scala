@@ -175,7 +175,8 @@ object Ast {
     * `SUM(?price * (1 - ?disc))`.
     */
   final case class Agg(op: AggOp, v: Option[Var], alias: String,
-                       sep: String = " ", expr: Option[VExpr] = None)
+                       sep: String = " ", expr: Option[VExpr] = None,
+                       distinct: Boolean = false)
 
   final case class SelectQuery(
       where: Pattern,

@@ -665,7 +665,7 @@ object Compiler {
     var df = compilePattern(triples, quads, q.where)
 
     if (q.aggregates.nonEmpty) {
-      val aggCols = q.aggregates.map { case Agg(op, v, alias, sep, aggExpr) =>
+      val aggCols = q.aggregates.map { case Agg(op, v, alias, sep, aggExpr, dist) =>
         def numOrLex(name: String): Column =
           if (df.columns.contains(numCol(name))) col(numCol(name)) else col(name)
         def numOnly(name: String, what: String): Column = {
@@ -688,6 +688,8 @@ object Compiler {
           case CountDistinct => countDistinct(col(varOf("COUNT(DISTINCT").name))
           case Max => max(arg("MAX"))
           case Min => min(arg("MIN"))
+          case Sum if dist => aggExpr.map(e => sum_distinct(numVExpr(df, e)))
+            .getOrElse(sum_distinct(numOnly(varOf("SUM").name, "SUM")))
           case Sum => aggExpr.map(e => sum(numVExpr(df, e)))
             .getOrElse(sum(numOnly(varOf("SUM").name, "SUM")))
           case Avg => aggExpr.map(e => avg(numVExpr(df, e)))

@@ -322,6 +322,13 @@ object SparqlParser extends RegexParsers {
           case (Count, true) => CountDistinct
           case (o, _) => o
         }
+        // DISTINCT beyond COUNT: set semantics for SUM (AVG/MAX/MIN
+        // DISTINCT either isn't order-safe under the oracle hash or is
+        // a no-op; COUNT has its own op)
+        val distFlag = dist.isDefined && realOp == Sum
+        if (dist.isDefined && !Seq(Count, CountDistinct, Sum).contains(realOp))
+          failure(s"DISTINCT is not supported for $realOp")
+        else {
         val sepStr = sep.map(_.lexical).getOrElse(" ")
         arg match {
           // only plain COUNT takes '*'
@@ -332,13 +339,16 @@ object SparqlParser extends RegexParsers {
           case Some(VVar(n)) =>
             if (sep.isDefined && realOp != GroupConcat)
               failure("SEPARATOR only applies to GROUP_CONCAT")
-            else success(AggSel(Agg(realOp, Some(Var(n)), alias.name, sepStr)))
+            else success(AggSel(Agg(realOp, Some(Var(n)), alias.name, sepStr,
+              distinct = distFlag)))
           // expression argument: numeric aggregates only
           case Some(e) =>
             if (!Seq(Count, Sum, Avg, Max, Min).contains(realOp))
               failure(s"$realOp over an expression is not supported")
             else success(AggSel(
-              Agg(realOp, None, alias.name, sepStr, expr = Some(e))))
+              Agg(realOp, None, alias.name, sepStr, expr = Some(e),
+                distinct = distFlag)))
+        }
         }
     }
 

@@ -371,6 +371,15 @@ object SparqlQueries {
           |  BIND(REPLACE(?n, " ", "_") AS ?und)
           |}""".stripMargin))
     },
+    // SUM DISTINCT: set semantics over the summed values (integer
+    // sizes, so the distinct sum is bit-exact under any order)
+    "sparql_sum_distinct" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?b (SUM(DISTINCT ?sz) AS ?ds) (COUNT(?sz) AS ?n) WHERE {
+          |  ?p :brand ?b .
+          |  ?p :size ?sz .
+          |} GROUP BY ?b""".stripMargin))
+    },
     // aggregates over expressions (SPARQL 1.1 allows any expression
     // inside an aggregate): the sum's addends are integer-valued, so
     // it is bit-exact under any summation order; MAX over a computed
@@ -638,6 +647,10 @@ object SparqlQueries {
         |UNION ALL
         |SELECT 'supp:'||s_suppkey, 'nat:'||s_nationkey, s_name
         |FROM supplier""".stripMargin,
+    "sparql_sum_distinct" ->
+      """SELECT p_brand AS b, sum(DISTINCT CAST(p_size AS DOUBLE)) AS ds,
+        |  count(*) AS n
+        |FROM part GROUP BY 1""".stripMargin,
     "sparql_agg_expr" ->
       """SELECT p_brand AS b, sum(CAST(p_size AS DOUBLE) * p_size) AS s2,
         |  max(p_retailprice * 2 - p_size) AS mx,

@@ -150,6 +150,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "set-union must not cartesian")
   }
 
+  test("events_enrich_skewsafe joins on the salt; data_mix broadcasts rates") {
+    val p = plan("events_enrich_skewsafe")
+    assert(p.contains("__salt"), "the join must be keyed by (user_id, salt)")
+    val m = plan("data_mix")
+    assert(m.contains("BroadcastHashJoin") || m.contains("BroadcastExchange"),
+      "the (source, rate) table must broadcast onto the scan")
+  }
+
   test("facade: textual SPARQL end-to-end") {
     val df = Graft.sparql(spark, dir,
       """SELECT ?c ?b WHERE { ?c a :Customer ; :acctbal ?b . FILTER(?b >= 0) }""")

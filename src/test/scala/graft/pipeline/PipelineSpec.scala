@@ -320,6 +320,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(tied == Set((0L, 1, 2L)))
   }
 
+  test("salted join matches the plain join on a skewed fact") {
+    val fact = (1L to 100L).map(i => (i, if (i <= 90) 7L else i % 3, i * 1.0))
+      .toDF("event_id", "user_id", "value") // user 7 owns 90% of rows
+    val dim = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("user_id", "segment")
+    val plain = fact.join(dim, "user_id")
+      .groupBy("segment").agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .as[(String, Long, Double)].collect().toSet
+    val salted = SkewJoin.salted(fact, dim, "user_id", col("event_id"), 8)
+      .groupBy("segment").agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(salted == plain)
+    // the hot key's rows really do spread: >1 distinct salt for user 7
+    val spread = fact.filter(col("user_id") === 7)
+      .select(pmod(xxhash64(col("event_id")), lit(8)))
+      .distinct().count()
+    assert(spread > 1)
+  }
+
+  test("mix keeps the bottleneck source whole and drops unlisted sources") {
+    val d = ((1L to 4L).map(i => (i, s"doc $i", "a")) ++
+      (5L to 8L).map(i => (i, s"doc $i", "b")) ++
+      Seq((9L, "doc 9", "other")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    // equal weights, equal counts: both sources keep everything
+    val all = TextAnalysis.mixToTarget(d, Map("a" -> 0.5, "b" -> 0.5))
+      .as[(Long, String)].collect()
+    assert(all.length == 8 && !all.exists(_._2 == "other"))
+    // a is the bottleneck (w=0.8): it keeps all 4; b downsamples
+    val skewed = TextAnalysis.mixToTarget(d, Map("a" -> 0.8, "b" -> 0.2))
+      .as[(Long, String)].collect()
+    assert(skewed.count(_._2 == "a") == 4 && skewed.count(_._2 == "b") <= 4)
+  }
+
   test("funnel advances stages only within the gap, in order") {
     import java.sql.Timestamp
     def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
