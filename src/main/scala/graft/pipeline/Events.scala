@@ -120,6 +120,27 @@ object Events {
         when(col(s"t$i").isNotNull, 1).otherwise(0)).reduce(_ + _))
   }
 
+  /** Weekly cohort retention: users bucket into the week of their
+    * first event; each later active week counts toward
+    * (cohort_week, offset_weeks). Week numbers are floor(epoch-days/7)
+    * BIGINTs — integer outputs end to end. The (user, week) distinct
+    * collapses the event volume FIRST (the only pass over the raw
+    * log); everything after is user-keyed on the collapsed relation.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L))
+    val userWeeks = events
+      .select(col("user_id"), floor(day / 7).cast("long").as("week"))
+      .distinct()
+    val cohorts = userWeeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    userWeeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("offset_weeks"))
+      // (user, week) is distinct, so the count IS the user count
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Typed extraction from the semi-structured props column (JSON):
     * get_json_object is a codegen'd expression — no UDF — so schema-
     * on-read over a 100 TB event log stays one narrow pass before the

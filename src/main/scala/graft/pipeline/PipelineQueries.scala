@@ -104,6 +104,10 @@ object PipelineQueries {
       Events.enrichSkewSafe(Tables.events(s, dir), Tables.customer(s, dir))),
     "data_mix" -> ((s, dir) =>
       TextAnalysis.mixToTarget(Tables.documents(s, dir))),
+    "events_retention" -> ((s, dir) =>
+      Events.retention(Tables.events(s, dir))),
+    "text_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -550,6 +554,24 @@ object PipelineQueries {
         |      ORDER BY n DESC, user_id ASC) AS rnk
         |  FROM g)
         |SELECT event_type, user_id, n, sv, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "events_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 // 7 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS offset_weeks,
+        |  count(*) AS n_users
+        |FROM uw JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "text_top_terms" ->
+      raw"""WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+           |      AS token FROM documents)
+           |  WHERE token != '' GROUP BY 1, 2),
+           |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           |r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           |    row_number() OVER (PARTITION BY tf.doc_id
+           |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
+           |  FROM tf JOIN df USING (token))
+           |SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin,
     // same rollup as events_enrich: the salt must not change the answer
     "events_enrich_skewsafe" ->
       """SELECT c_mktsegment AS segment, event_type,

@@ -195,6 +195,28 @@ object TextAnalysis {
         col("n_tokens"))
   }
 
+  /** Per-doc top-k characteristic terms: rank by term frequency, then
+    * RARE-first corpus document frequency, then the token — a tf-idf
+    * stand-in whose ranking keys are all integers, so the result is
+    * bit-stable on any engine (real idf would order by a float log).
+    * Two shuffles (tf by (doc, token), df by token) + the per-doc
+    * window; both aggregations combine map-side.
+    */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rnk"))
+  }
+
   /** Corpus-wide vocabulary: top-k lowercased whitespace tokens by
     * frequency. The groupBy count gets map-side partial aggregation
     * for free (one row per distinct (token, partition) reaches the

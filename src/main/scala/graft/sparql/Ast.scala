@@ -188,5 +188,12 @@ object Ast {
       distinct: Boolean = false,
       orderBy: Seq[(String, Boolean)] = Seq.empty, // (var, ascending)
       offset: Long = 0L,
-      limit: Long = -1L)
+      limit: Long = -1L,
+      /** Dataset clause (SPARQL 1.1 §13.2), only meaningful through
+        * the quad entry point: `FROM <g>` graphs compose the default
+        * graph; `FROM NAMED <g>` graphs bound what GRAPH may match.
+        * Empty = the whole dataset on both axes.
+        */
+      fromGraphs: Seq[String] = Seq.empty,
+      fromNamed: Seq[String] = Seq.empty)
 }

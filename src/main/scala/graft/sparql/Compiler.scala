@@ -652,16 +652,27 @@ object Compiler {
     run(triples, None, q)
 
   /** Entry point for GRAPH-aware queries over a quad relation
-    * (g, s, p, o, o_num, o_is_iri, lang). The default graph — what
-    * patterns OUTSIDE any GRAPH group match — is the union of the
-    * named graphs with set semantics (the store-union dataset
-    * configuration most RDF stores ship).
+    * (g, s, p, o, o_num, o_is_iri, lang). Without a dataset clause
+    * the default graph — what patterns OUTSIDE any GRAPH group
+    * match — is the union of the named graphs with set semantics (the
+    * store-union dataset configuration most RDF stores ship). With
+    * FROM / FROM NAMED the clause REPLACES the dataset (SPARQL 1.1
+    * §13.2): FROM graphs compose the default graph, FROM NAMED bounds
+    * what GRAPH may match, and an axis with no clause is empty.
     */
-  def runQuads(quads: DataFrame, q: SelectQuery): DataFrame =
-    run(quads.drop("g").distinct(), Some(quads), q)
+  def runQuads(quads: DataFrame, q: SelectQuery): DataFrame = {
+    val hasDataset = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
+    val defaultSrc =
+      if (!hasDataset) quads else quads.filter(col("g").isin(q.fromGraphs: _*))
+    val named =
+      if (!hasDataset) quads else quads.filter(col("g").isin(q.fromNamed: _*))
+    run(defaultSrc.drop("g").distinct(), Some(named), q)
+  }
 
   private def run(triples: DataFrame, quads: Option[DataFrame],
                   q: SelectQuery): DataFrame = {
+    require(quads.nonEmpty || (q.fromGraphs.isEmpty && q.fromNamed.isEmpty),
+      "FROM / FROM NAMED require a quad dataset — run the query via runQuads")
     var df = compilePattern(triples, quads, q.where)
 
     if (q.aggregates.nonEmpty) {

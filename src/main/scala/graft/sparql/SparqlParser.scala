@@ -379,8 +379,17 @@ object SparqlParser extends RegexParsers {
     "(?i)ASC".r ~> "(" ~> orderKey <~ ")" ^^ ((_, true)) |
     varTerm ^^ (v => (OrderVar(v.name): OrderKey, true))
 
+  /** Dataset clause: `FROM <g>` / `FROM NAMED <g>` lines between the
+    * projection and WHERE (SPARQL 1.1 §13.2).
+    */
+  private def datasetClause: Parser[(Boolean, String)] =
+    "(?i)FROM".r ~> opt("(?i)NAMED".r) ~ (iriRef | pname) ^^ {
+      case named ~ g => (named.isDefined, g.value)
+    }
+
   private def selectQuery: Parser[SelectQuery] =
     "(?i)SELECT".r ~> opt("(?i)DISTINCT".r) ~ (rep1(selector) ^^ Some.apply | "*" ^^^ None) ~
+      rep(datasetClause) ~
       ("(?i)WHERE".r ~> groupGraphPattern) ~
       opt("(?i)GROUP\\s+BY".r ~> rep1(varTerm)) ~
       opt("(?i)HAVING".r ~> "(" ~> orExpr <~ ")") ~
@@ -388,7 +397,7 @@ object SparqlParser extends RegexParsers {
       // LIMIT/OFFSET in either order, per the SPARQL grammar
       rep(("(?i)LIMIT".r ~> """\d+""".r ^^ (n => ("limit", n.toLong))) |
           ("(?i)OFFSET".r ~> """\d+""".r ^^ (n => ("offset", n.toLong)))) ^^ {
-      case dist ~ sels ~ where ~ group ~ hav ~ order ~ slices =>
+      case dist ~ sels ~ dataset ~ where ~ group ~ hav ~ order ~ slices =>
         val limit = slices.collectFirst { case ("limit", n) => n }
         val offset = slices.collectFirst { case ("offset", n) => n }
         val selectors = sels.getOrElse(Seq.empty)
@@ -428,7 +437,9 @@ object SparqlParser extends RegexParsers {
           distinct = dist.isDefined,
           orderBy = orderBy,
           offset = offset.getOrElse(0L),
-          limit = limit.getOrElse(-1L))
+          limit = limit.getOrElse(-1L),
+          fromGraphs = dataset.collect { case (false, g) => g },
+          fromNamed = dataset.collect { case (true, g) => g })
     }
 
   // ---- PREFIX declarations -----------------------------------------
@@ -510,7 +521,9 @@ object SparqlParser extends RegexParsers {
       case p ~ s => (p, s)
     }, text))
     if (pfx.isEmpty) q
-    else q.copy(where = rewritePattern(q.where, expandIri(_, pfx)))
+    else q.copy(where = rewritePattern(q.where, expandIri(_, pfx)),
+      fromGraphs = q.fromGraphs.map(expandIri(_, pfx)),
+      fromNamed = q.fromNamed.map(expandIri(_, pfx)))
   }
 
   /** ASK query form: the group pattern whose non-emptiness is the

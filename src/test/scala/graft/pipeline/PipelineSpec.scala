@@ -355,6 +355,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(skewed.count(_._2 == "a") == 4 && skewed.count(_._2 == "b") <= 4)
   }
 
+  test("retention buckets users by first-activity week") {
+    import java.sql.Timestamp
+    // absolute epoch instants (TZ-proof): noon of epoch day 19726
+    // (2024-01-04 UTC, a week-bucket start: 19726 % 7 == 0) + i days
+    def t(day: Int) = new Timestamp((19726L + day) * 86400000L + 43200000L)
+    val e = Seq(
+      (1L, t(0)), (1L, t(7)), (1L, t(15)),  // cohort w0, active w0 w1 w2
+      (2L, t(1)), (2L, t(16)),              // cohort w0, active w0 w2
+      (3L, t(8)))                            // cohort w1 only
+      .toDF("user_id", "ts")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val rows = Events.retention(e).as[(Long, Long, Long)].collect()
+    val w0 = rows.map(_._1).min
+    assert(w0 == 19726L / 7)
+    val norm = rows.map { case (c, o, n) => (c - w0, o) -> n }.toMap
+    assert(norm == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
+      (1L, 0L) -> 1L))
+  }
+
+  test("top terms rank by tf then rare-first df") {
+    val d = docs(
+      1L -> "apple apple banana cherry",
+      2L -> "banana banana cherry date")
+    val out = TextAnalysis.topTerms(d, k = 2)
+      .select("doc_id", "token", "rnk")
+      .as[(Long, String, Int)].collect()
+      .map { case (id, tok, r) => (id, r) -> tok }.toMap
+    // doc1: apple tf=2; then cherry (df 2) vs banana (df 2)... both
+    // tf=1 df=2 → lexicographic: banana
+    assert(out((1L, 1)) == "apple" && out((1L, 2)) == "banana")
+    // doc2: banana tf=2; then date (df 1, rarer) beats cherry (df 2)
+    assert(out((2L, 1)) == "banana" && out((2L, 2)) == "date")
+  }
+
   test("funnel advances stages only within the gap, in order") {
     import java.sql.Timestamp
     def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")

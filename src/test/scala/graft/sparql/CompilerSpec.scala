@@ -521,6 +521,30 @@ class CompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("FROM / FROM NAMED replace the dataset per SPARQL 13.2") {
+    val quads = Seq(
+      ("g:a", "p:1", ":name", "ann", Option.empty[Double], false, Option.empty[String]),
+      ("g:b", "p:2", ":name", "bob", None, false, None),
+      ("g:c", "p:3", ":name", "cat", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    def q(text: String) = Compiler.runQuads(quads, SparqlParser.parse(text))
+      .collect().map(_.getString(0)).toSet
+    // FROM composes the default graph from the listed graphs only
+    assert(q("SELECT ?n FROM <g:a> FROM <g:c> WHERE { ?x :name ?n }") ==
+      Set("ann", "cat"))
+    // FROM NAMED bounds GRAPH; with only FROM, GRAPH matches nothing
+    assert(q("SELECT ?n FROM NAMED <g:b> WHERE { GRAPH ?g { ?x :name ?n } }") ==
+      Set("bob"))
+    assert(q("SELECT ?n FROM <g:a> WHERE { GRAPH ?g { ?x :name ?n } }").isEmpty)
+    // ...and with only FROM NAMED, the default graph is empty
+    assert(q("SELECT ?n FROM NAMED <g:b> WHERE { ?x :name ?n }").isEmpty)
+    // triples-only entry rejects a dataset clause instead of ignoring it
+    intercept[IllegalArgumentException] {
+      Compiler.run(triples, SparqlParser.parse(
+        "SELECT ?n FROM <g:a> WHERE { ?x :name ?n }"))
+    }
+  }
+
   test("SAMPLE picks the deterministic minimum group member") {
     val q = SelectQuery(
       where = Bgp(Seq(tp(v("x"), "rdf:type", v("t")))),
