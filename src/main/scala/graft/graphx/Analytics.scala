@@ -127,6 +127,34 @@ object Analytics {
     spark.createDataFrame(cc.vertices).toDF("id", "comp")
   }
 
+  /** Bounded k-core peeling over the undirected edge set: `rounds`
+    * synchronous rounds of "drop every node with degree < k (and its
+    * edges)". At convergence further rounds are no-ops, so a bound
+    * big enough for the graph IS the k-core; the bound also makes the
+    * result reproducible round-for-round in plain SQL (the oracle
+    * unrolls the same rounds). A DataFrame loop, not Pregel: each
+    * round is one partial-aggregated degree count + two semi-joins,
+    * localCheckpoint()ed so the plan stays round-sized — the
+    * iterative-DataFrame idiom that scales with AQE picking the join
+    * strategy per round as the graph shrinks.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var cur = und
+    for (_ <- 1 to rounds) {
+      val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      cur = cur
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    cur.select(col("src").as("uri")).distinct()
+  }
+
   /** Total triangle count (canonical edges required by GraphX). */
   def triangleTotal(spark: SparkSession, edges: DataFrame): DataFrame = {
     val canon = edges

@@ -51,7 +51,29 @@ object GraphQueries {
         .filter(col("s").startsWith("reg:")).select(col("s").as("uri")).distinct()
       Analytics.shortestHops(s, geoEdges(s, dir), sources)
     },
+    "graph_kcore" -> { (s, dir) =>
+      Analytics.kCore(coOrderPartEdges(s, dir), k = 3, rounds = 4)
+    },
   )
+
+  /** Unrolled-round k-core oracle: exactly the same 4 synchronous
+    * peels as Analytics.kCore, so Spark and DuckDB agree round for
+    * round whether or not the peeling has converged.
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val base =
+      """pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |r0 AS (SELECT DISTINCT 'part:'||a.pk AS src, 'part:'||b.pk AS dst
+        |       FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk != b.pk)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT src, count(*) AS deg FROM r${i - 1} GROUP BY 1),
+         |k$i AS (SELECT src FROM d$i WHERE deg >= $k),
+         |r$i AS (SELECT e.src, e.dst FROM r${i - 1} e
+         |        JOIN k$i a ON a.src = e.src JOIN k$i b ON b.src = e.dst)""".stripMargin
+    }
+    s"WITH $base,\n${steps.mkString(",\n")}\n" +
+      s"SELECT DISTINCT src AS uri FROM r$rounds"
+  }
 
   val oracle: Map[String, String] = Map(
     "graph_degrees" ->
@@ -92,5 +114,6 @@ object GraphQueries {
         |UNION ALL SELECT 'nat:'||n_nationkey, 1 FROM nation
         |UNION ALL SELECT 'cust:'||c_custkey, 2 FROM customer
         |UNION ALL SELECT 'supp:'||s_suppkey, 2 FROM supplier""".stripMargin,
+    "graph_kcore" -> kcoreSql(k = 3, rounds = 4),
   )
 }

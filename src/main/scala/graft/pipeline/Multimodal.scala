@@ -50,6 +50,37 @@ object Multimodal {
       width = (checksum % 640L).toInt, height = (checksum % 480L).toInt)
   }
 
+  /** Deterministic pseudo-embedding of a binary payload — the encoder
+    * stub of a multimodal retrieval pipeline (a real build swaps the
+    * hash for a vision/audio model; the plumbing — payload digest →
+    * fixed-dim double vector, exact k/1000 rationals so every engine
+    * agrees bit-for-bit — is the real part). One narrow codegen'd
+    * pass.
+    */
+  def embedStub(docs: DataFrame, dims: Int = 16): DataFrame =
+    payloads(docs).select(col("doc_id"),
+      transform(sequence(lit(0), lit(dims - 1)), d =>
+        (conv(substring(md5(concat(md5(col("payload")), lit("_"),
+          d.cast("string")).cast("binary")), 1, 4), 16, 10).cast("long")
+          % 2000 - 1000) / 1000.0).as("emb"))
+
+  /** Multimodal retrieval: embed the payloads, then exact top-k by
+    * cosine against one payload's embedding — [[embedStub]] composed
+    * with the [[Similarity]] scan shape (broadcast query vector, one
+    * pass, TakeOrderedAndProject).
+    */
+  def embedTopK(docs: DataFrame, queryDoc: Long = 0L, k: Int = 10): DataFrame = {
+    val emb = embedStub(docs)
+    val q = broadcast(emb.filter(col("doc_id") === queryDoc)
+      .select(col("emb").as("qv")))
+    emb.filter(col("doc_id") =!= queryDoc)
+      .crossJoin(q)
+      .withColumn("cos", Similarity.cosine(col("emb"), col("qv")))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"))
+  }
+
   /** Binary payload column → per-doc feature rows. */
   def binaryFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

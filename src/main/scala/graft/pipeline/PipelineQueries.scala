@@ -82,6 +82,8 @@ object PipelineQueries {
       Multimodal.resizeStub(Tables.documents(s, dir))),
     "mm_audio_windows" -> ((s, dir) =>
       Multimodal.audioWindows(Tables.documents(s, dir))),
+    "mm_embed_topk" -> ((s, dir) =>
+      Multimodal.embedTopK(Tables.documents(s, dir))),
     // composed end-to-end prep: quality filter → exact dedup → chunk
     "pipeline_prepare" -> ((s, dir) =>
       Pipeline.prepare(Tables.documents(s, dir))),
@@ -485,6 +487,16 @@ object PipelineQueries {
         |    AS energy
         |FROM documents, UNNEST(range(0, length(text) - 32 + 1, 16)) t(s)
         |WHERE length(text) >= 32""".stripMargin,
+    "mm_embed_topk" ->
+      """WITH emb AS (SELECT doc_id, list_transform(range(0, 16), d ->
+        |    (('0x' || substr(md5(md5(text) || '_' || d), 1, 4))::BIGINT
+        |      % 2000 - 1000) / 1000.0) AS emb
+        |  FROM documents),
+        |q AS (SELECT emb AS qv FROM emb WHERE doc_id = 0)
+        |SELECT e.doc_id FROM emb e, q
+        |WHERE e.doc_id != 0
+        |ORDER BY list_cosine_similarity(e.emb, q.qv) DESC, e.doc_id
+        |LIMIT 10""".stripMargin,
     "pipeline_prepare" ->
       raw"""WITH x AS (SELECT doc_id, text,
            |  string_split_regex(trim(lower(text)), '\s+') AS ltoks,

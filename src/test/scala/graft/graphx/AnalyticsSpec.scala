@@ -40,6 +40,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pr("c") > pr("b"))
   }
 
+  test("k-core peels pendants and cascades, bounded by rounds") {
+    // triangle a-b-c with pendant tail c-d
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    def core(k: Int, rounds: Int) =
+      Analytics.kCore(tri, k, rounds).as[String].collect().toSet
+    assert(core(2, 3) == Set("a", "b", "c")) // pendant d peels, triangle stays
+    assert(core(3, 3).isEmpty)               // no 3-core in a triangle
+    // chain: the peel cascades one layer per round
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    def chainCore(rounds: Int) =
+      Analytics.kCore(chain, 2, rounds).as[String].collect().toSet
+    assert(chainCore(1) == Set("b", "c")) // ends gone after one round
+    assert(chainCore(2).isEmpty)          // the rest follows next round
+  }
+
   test("releaseCaches unpersists every RDD a graph query cached") {
     Analytics.releaseCaches() // drop whatever earlier tests left
     val before = spark.sparkContext.getPersistentRDDs.keySet
