@@ -22,8 +22,11 @@ object SparkEntry {
     "ann_lsh_topk", "ann_knn_join", "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "text_quality_score", "text_contamination", "text_vocab_topk",
-    "data_pack_sequences", "pipeline_prepare",
-    "events_window_agg", "events_sessionize", "events_topk_users")
+    "text_gopher_quality", "text_ngram_novelty", "text_top_terms",
+    "data_pack_sequences", "data_mix", "pipeline_prepare",
+    "ann_knn_classify", "emb_kmeans_assign", "graph_kcore",
+    "events_window_agg", "events_sessionize", "events_topk_users",
+    "events_funnel", "events_retention")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

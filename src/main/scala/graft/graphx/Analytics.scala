@@ -139,10 +139,13 @@ object Analytics {
     * strategy per round as the graph shrinks.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
+    // precondition: `edges` is DISTINCT and canonical (one row per
+    // undirected edge, src < dst) — then the doubled relation is
+    // distinct by construction and no dedup shuffle is needed. Peel
+    // on the caller's key type: numeric ids shuffle/join far cheaper
+    // than URI strings, so callers should map to strings AFTER.
+    var cur = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    var cur = und
     for (_ <- 1 to rounds) {
       val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))

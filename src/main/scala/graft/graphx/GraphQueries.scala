@@ -20,15 +20,23 @@ object GraphQueries {
     base.select(col("src"), col("dst"))
   }
 
-  private def coOrderPartEdges(s: SparkSession, dir: String): DataFrame = {
+  /** Canonical (src < dst) distinct co-order part edges on LONG keys —
+    * numeric ids keep the iterative consumers' shuffles cheap; string
+    * URIs are minted only at output time.
+    */
+  private def coOrderPartEdgeKeys(s: SparkSession, dir: String): DataFrame = {
     val pp = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     pp.as("a").join(pp.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(concat(lit("part:"), col("a.pk")).as("src"),
-        concat(lit("part:"), col("b.pk")).as("dst"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
   }
+
+  private def coOrderPartEdges(s: SparkSession, dir: String): DataFrame =
+    coOrderPartEdgeKeys(s, dir)
+      .select(concat(lit("part:"), col("src")).as("src"),
+        concat(lit("part:"), col("dst")).as("dst"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degrees" -> { (s, dir) =>
@@ -52,7 +60,8 @@ object GraphQueries {
       Analytics.shortestHops(s, geoEdges(s, dir), sources)
     },
     "graph_kcore" -> { (s, dir) =>
-      Analytics.kCore(coOrderPartEdges(s, dir), k = 3, rounds = 4)
+      Analytics.kCore(coOrderPartEdgeKeys(s, dir), k = 3, rounds = 4)
+        .select(concat(lit("part:"), col("uri")).as("uri"))
     },
   )
 

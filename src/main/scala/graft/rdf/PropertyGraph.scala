@@ -56,4 +56,35 @@ object PropertyGraph {
       .filter(col("o_is_iri") && col("p") =!= "rdf:type")
       .select(col("s").as("src"), col("p").as("rel"), col("o").as("dst"))
       .distinct()
+
+  /** The inverse mapping: a property graph (ANY nodes/edges frames,
+    * not necessarily RDF-born) serialized back to the triple relation
+    * — the reference's /cypher endpoint direction, which exports plain
+    * LPG query results as RDF
+    * (pidb-rdf-import/src/main/java/semantics/extension/RDFEndpoint.java:50-99).
+    * Labels become rdf:type, properties become literal triples (with
+    * the numeric companion when the property has one), edges become
+    * IRI-object triples. Three narrow projections + a union — no
+    * shuffle at all; language tags don't exist on LPG properties, so
+    * exported literals are plain (the reference's keepLangTag=false
+    * behavior).
+    */
+  def toTriples(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val typeTriples = nodes
+      .select(col("uri").as("s"), explode(col("labels")).as("o"))
+      .select(col("s"), lit("rdf:type").as("p"), col("o"),
+        lit(null).cast("double").as("o_num"), lit(true).as("o_is_iri"),
+        lit(null).cast("string").as("lang"))
+    val propTriples = nodes
+      .select(col("uri").as("s"), col("props_num"),
+        explode(col("props")).as(Seq("p", "o")))
+      .select(col("s"), col("p"), col("o"),
+        element_at(col("props_num"), col("p")).as("o_num"),
+        lit(false).as("o_is_iri"), lit(null).cast("string").as("lang"))
+    val edgeTriples = edges
+      .select(col("src").as("s"), col("rel").as("p"), col("dst").as("o"),
+        lit(null).cast("double").as("o_num"), lit(true).as("o_is_iri"),
+        lit(null).cast("string").as("lang"))
+    typeTriples.unionByName(propTriples).unionByName(edgeTriples)
+  }
 }

@@ -175,6 +175,16 @@ object RdfQueries {
         frags.mkString("\n") + "\n</rdf:RDF>"
       RdfXml.parse(s, doc)
     },
+    // the /cypher endpoint direction: a property graph (here the part
+    // slice's LPG view) serialized back to the triple relation —
+    // labels → rdf:type, props → literals (+ numeric companions),
+    // edges → IRI objects
+    "rdf_lpg_to_rdf" -> { (s, dir) =>
+      val slice = TripleStore.dimensionTriples(s, dir)
+        .filter(col("s").startsWith("part:"))
+      PropertyGraph.toTriples(
+        PropertyGraph.nodes(slice), PropertyGraph.edges(slice))
+    },
     // store mutation as derivation (ref write procedures:
     // RDFImport.importRDF onto an existing store): add a derived VIP
     // delta plus an overlapping slice — idempotent under set
@@ -374,6 +384,23 @@ object RdfQueries {
         |UNION ALL
         |SELECT 'nat:'||n_nationkey, ':regionkey', CAST(n_regionkey AS VARCHAR),
         |       CAST(n_regionkey AS DOUBLE), false, NULL FROM nation""".stripMargin,
+    "rdf_lpg_to_rdf" ->
+      """SELECT 'part:'||p_partkey AS s, 'rdf:type' AS p, ':Part' AS o,
+        |       CAST(NULL AS DOUBLE) AS o_num, true AS o_is_iri,
+        |       CAST(NULL AS VARCHAR) AS lang FROM part
+        |UNION ALL
+        |SELECT 'part:'||p_partkey, ':name', p_name, NULL, false, NULL FROM part
+        |UNION ALL
+        |SELECT 'part:'||p_partkey, ':brand', p_brand, NULL, false, NULL FROM part
+        |UNION ALL
+        |SELECT 'part:'||p_partkey, ':ptype', p_type, NULL, false, NULL FROM part
+        |UNION ALL
+        |SELECT 'part:'||p_partkey, ':size', CAST(p_size AS VARCHAR),
+        |       CAST(p_size AS DOUBLE), false, NULL FROM part
+        |UNION ALL
+        |SELECT 'part:'||p_partkey, ':retailprice',
+        |       CAST(p_retailprice AS VARCHAR), p_retailprice, false, NULL
+        |FROM part""".stripMargin,
     "rdf_store_add" ->
       """SELECT 'cust:'||c_custkey AS s, ':VIP' AS o FROM customer
         |WHERE c_acctbal > 9000

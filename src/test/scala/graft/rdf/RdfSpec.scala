@@ -299,6 +299,18 @@ class RdfSpec extends AnyFunSuite {
       ("g:y", "s:2", "p:t", "tab\tand \"quote\"", None, false, None)))
   }
 
+  test("LPG → RDF round-trips the lang-free triple relation") {
+    val langFree = nasty.filter(col("lang").isNull)
+      .unionAll(Seq(("s:1", "rdf:type", ":Thing", Option.empty[Double], true,
+        Option.empty[String])).toDF("s", "p", "o", "o_num", "o_is_iri", "lang"))
+    val back = PropertyGraph.toTriples(
+      PropertyGraph.nodes(langFree), PropertyGraph.edges(langFree))
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .as[(String, String, String, Option[Double], Boolean, Option[String])]
+      .collect().toSet
+    assert(key(back) == key(langFree))
+  }
+
   test("store add is idempotent and null-lang-safe; remove wildcards") {
     val store = nasty
     // re-adding the whole store (incl. null-lang literals) adds nothing
