@@ -59,6 +59,22 @@ object InferenceQueries {
       Ontology.importLite(
         graft.rdf.RdfXml.parse(s, graft.rdf.RdfXml.formatString(onto)))
     },
+    // ontology meta-edges through a full Turtle round-trip: hierarchy
+    // + domain/range assertions → typed relationships between the
+    // meta-nodes (ref LiteOntologyImporter.java:112-146)
+    "onto_import_edges" -> { (s, _) =>
+      import s.implicits._
+      val none = Option.empty[String]
+      def iriRows(pairs: Seq[(String, String)], p: String) =
+        pairs.map { case (a, b) => (a, p, b, Option.empty[Double], true, none) }
+      val onto = (iriRows(Ontology.subClassOf, "rdfs:subClassOf") ++
+        iriRows(Ontology.subPropertyOf, "rdfs:subPropertyOf") ++
+        iriRows(Ontology.domains, "rdfs:domain") ++
+        iriRows(Ontology.ranges, "rdfs:range"))
+        .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+      Ontology.importLiteEdges(
+        graft.rdf.Turtle.parse(s, graft.rdf.Turtle.format(onto)))
+    },
     "onto_import_lite" -> { (s, _) =>
       val t = Ontology.triples(s)
       val classes = t.filter(col("p") === Ontology.SCO)
@@ -122,6 +138,15 @@ object InferenceQueries {
         props.map(p => s"('$p','Relationship','${p.stripPrefix(":")}')"))
         .mkString(", ")
       s"SELECT * FROM (VALUES $vals) t(uri, kind, name)"
+    },
+    "onto_import_edges" -> {
+      def vals(pairs: Seq[(String, String)], rel: String) =
+        pairs.map { case (a, b) => s"('$a','$rel','$b')" }
+      val all = (vals(Ontology.subClassOf, "SUBCLASS_OF") ++
+        vals(Ontology.subPropertyOf, "SUBPROP_OF") ++
+        vals(Ontology.domains, "DOMAIN") ++
+        vals(Ontology.ranges, "RANGE")).mkString(", ")
+      s"SELECT * FROM (VALUES $all) t(src, rel, dst)"
     },
     "onto_import_lite" ->
       s"""WITH sco(sub, sup) AS (SELECT * FROM (VALUES $scoValues)),

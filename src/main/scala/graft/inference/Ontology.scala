@@ -41,6 +41,16 @@ object Ontology {
     ":ofOrder" -> ":partOf",
     ":partOf" -> ":related")
 
+  /** (property, class) rdfs:domain / rdfs:range assertions. */
+  val domains: Seq[(String, String)] = Seq(
+    ":hasNation" -> ":Agent",
+    ":inRegion" -> ":Nation",
+    ":byCustomer" -> ":Order")
+  val ranges: Seq[(String, String)] = Seq(
+    ":hasNation" -> ":Nation",
+    ":inRegion" -> ":Region",
+    ":byCustomer" -> ":Customer")
+
   def subClassDf(spark: SparkSession): DataFrame =
     spark.createDataFrame(subClassOf).toDF("sub", "sup")
 
@@ -80,5 +90,24 @@ object Ontology {
       .select(col("uri"), col("kind"),
         coalesce(col("lbl"),
           graft.rdf.UriFunctions.localName(col("uri"))).as("name"))
+  }
+
+  /** The meta-EDGES the reference's importer also materializes
+    * (LiteOntologyImporter.java:112-146): rdfs:subClassOf /
+    * subPropertyOf hierarchy plus rdfs:domain / rdfs:range typed
+    * SUBCLASS_OF / SUBPROP_OF / DOMAIN / RANGE relationships between
+    * the meta-nodes. One broadcast of the 4-row predicate table onto
+    * the parsed ontology relation.
+    */
+  def importLiteEdges(triples: DataFrame): DataFrame = {
+    val rels = triples.sparkSession.createDataFrame(Seq(
+      ("rdfs:subClassOf", "SUBCLASS_OF"),
+      ("rdfs:subPropertyOf", "SUBPROP_OF"),
+      ("rdfs:domain", "DOMAIN"),
+      ("rdfs:range", "RANGE"))).toDF("p", "rel")
+    triples.filter(col("o_is_iri"))
+      .join(broadcast(rels), "p")
+      .select(col("s").as("src"), col("rel"), col("o").as("dst"))
+      .distinct()
   }
 }
