@@ -59,6 +59,12 @@ object InferenceQueries {
       Ontology.importLite(
         graft.rdf.RdfXml.parse(s, graft.rdf.RdfXml.formatString(onto)))
     },
+    // RDFS rules rdfs2/rdfs3: domain types the subject, range the
+    // object — over the dimension edge set
+    "infer_domain_range_types" -> { (s, dir) =>
+      val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
+      Reasoner.typesFromDomainRange(s, edges)
+    },
     // ontology meta-edges through a full Turtle round-trip: hierarchy
     // + domain/range assertions → typed relationships between the
     // meta-nodes (ref LiteOntologyImporter.java:112-146)
@@ -139,6 +145,14 @@ object InferenceQueries {
         .mkString(", ")
       s"SELECT * FROM (VALUES $vals) t(uri, kind, name)"
     },
+    "infer_domain_range_types" ->
+      """SELECT DISTINCT uri, t FROM (
+        |  SELECT 'cust:'||c_custkey AS uri, ':Agent' AS t FROM customer
+        |  UNION ALL SELECT 'supp:'||s_suppkey, ':Agent' FROM supplier
+        |  UNION ALL SELECT 'nat:'||n_nationkey, ':Nation' FROM nation
+        |  UNION ALL SELECT 'ord:'||o_orderkey, ':Order' FROM orders
+        |  UNION ALL SELECT 'reg:'||r_regionkey, ':Region' FROM region
+        |  UNION ALL SELECT 'cust:'||o_custkey, ':Customer' FROM orders)""".stripMargin,
     "onto_import_edges" -> {
       def vals(pairs: Seq[(String, String)], rel: String) =
         pairs.map { case (a, b) => s"('$a','$rel','$b')" }

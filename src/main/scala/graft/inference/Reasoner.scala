@@ -25,6 +25,21 @@ object Reasoner {
       .distinct()
   }
 
+  /** RDFS entailment rules rdfs2/rdfs3: a property's rdfs:domain
+    * types every subject that uses it, its rdfs:range every IRI
+    * object (W3C RDF 1.1 Semantics §9.2.1 — the forward-chaining step
+    * the reference's importer sets up DOMAIN/RANGE edges for). One
+    * broadcast of the ontology-sized assertion tables onto the edge
+    * scan; distinct on the (node, type) output.
+    */
+  def typesFromDomainRange(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val dom = broadcast(spark.createDataFrame(Ontology.domains).toDF("rel", "t"))
+    val rng = broadcast(spark.createDataFrame(Ontology.ranges).toDF("rel", "t"))
+    edges.join(dom, "rel").select(col("src").as("uri"), col("t"))
+      .unionAll(edges.join(rng, "rel").select(col("dst").as("uri"), col("t")))
+      .distinct()
+  }
+
   /** Edges whose relation is `rel` or any subproperty of it. */
   def rels(spark: SparkSession, edges: DataFrame, rel: String): DataFrame = {
     val props = broadcast(Closure.below(Ontology.subPropertyDf(spark), rel))

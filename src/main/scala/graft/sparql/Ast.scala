@@ -38,6 +38,11 @@ object Ast {
     * `FILTER(?price * 2 > 1500)`.
     */
   final case class ExprCmp(op: CmpOp, e: VExpr, value: Lit) extends Expr
+  /** Comparison of two computed sides (`FILTER(?a < ?b)`,
+    * `FILTER(?x * 2 >= STRLEN(?n))`): numeric when both sides have a
+    * numeric interpretation, else lexical.
+    */
+  final case class CmpVV(op: CmpOp, l: VExpr, r: VExpr) extends Expr
   /** `LANG(?v) = "tag"` / `LANG(?v) != "tag"`; a plain literal's
     * language is the empty string per the SPARQL lang() builtin.
     */
@@ -62,6 +67,12 @@ object Ast {
   final case class IsIri(v: Var) extends Expr
   final case class IsLiteral(v: Var) extends Expr
   final case class IsBlank(v: Var) extends Expr
+  /** isNumeric(?v): the binding carries a numeric value. */
+  final case class IsNumeric(v: Var) extends Expr
+  /** sameTerm(?a, ?b): RDF-term identity — lexical form AND term kind
+    * AND language tag all equal (unlike `=`, which value-compares).
+    */
+  final case class SameTerm(a: Var, b: Var) extends Expr
   final case class Exists(patterns: Seq[TriplePattern]) extends Expr
   final case class NotExists(patterns: Seq[TriplePattern]) extends Expr
 

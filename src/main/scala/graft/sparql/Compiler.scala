@@ -262,6 +262,32 @@ object Compiler {
       else if (df.columns.contains(iriCol(v.name)))
         coalesce(col(iriCol(v.name)) && col(v.name).startsWith("_:"), lit(false))
       else col(v.name).startsWith("_:")
+    case CmpVV(op, l, r) =>
+      // SPARQL value comparison with runtime type dispatch: numeric
+      // when BOTH sides hold numeric values on this row (via the
+      // companions), lexical otherwise — a static choice would
+      // null-compare string rows of a sometimes-numeric variable
+      val (ln, rn) = (numVExpr(df, l), numVExpr(df, r))
+      when(ln.isNotNull && rn.isNotNull, applyCmp(op, ln, rn))
+        .otherwise(applyCmp(op, strVExpr(df, l), strVExpr(df, r)))
+    case IsNumeric(v) =>
+      if (df.columns.contains(numCol(v.name))) col(numCol(v.name)).isNotNull
+      else lit(false)
+    case SameTerm(a, b) =>
+      // term identity: lexical AND kind AND language, all null-safe.
+      // s/p-position bindings are resource terms (is-IRI unless a
+      // blank-node lexical, which the lexical compare distinguishes).
+      if (!df.columns.contains(a.name) || !df.columns.contains(b.name)) lit(false)
+      else {
+        def kind(v: Var): Column =
+          if (df.columns.contains(iriCol(v.name)))
+            coalesce(col(iriCol(v.name)), lit(true)) else lit(true)
+        def lang(v: Var): Column =
+          if (df.columns.contains(langCol(v.name))) col(langCol(v.name))
+          else lit(null).cast("string")
+        col(a.name) === col(b.name) && kind(a) === kind(b) &&
+          (lang(a) <=> lang(b))
+      }
     case Not(e) => !exprColumn(df, e)
     case And(a, b) => exprColumn(df, a) && exprColumn(df, b)
     case Or(a, b) => exprColumn(df, a) || exprColumn(df, b)
@@ -350,6 +376,9 @@ object Compiler {
     // form (native codegen'd expressions in both engines)
     case FnCall("MD5", Seq(a)) => md5(strVExpr(df, a))
     case FnCall("SHA256", Seq(a)) => sha2(strVExpr(df, a), 256)
+    // IRI()/URI() mint a resource term from the lexical value; the
+    // Bind case marks the bound column's is-IRI companion
+    case FnCall("IRI" | "URI", Seq(a)) => strVExpr(df, a)
     // DATATYPE/LANG read the hidden companions: literal bindings type
     // as xsd:double / rdf:langString / xsd:string; an IRI (or s/p
     // position, or unbound) is a type error → null binding
@@ -452,6 +481,10 @@ object Compiler {
           // both engines compute them row-locally from identical
           // inputs, so they hash stably, unlike a formatted lexical
           df.withColumn(as, numVExpr(df, e)).withColumn(numCol(as), col(as))
+        case FnCall("IRI" | "URI", Seq(inner)) =>
+          // a minted IRI is a resource term: isIRI/DATATYPE see it so
+          df.withColumn(as, strVExpr(df, inner))
+            .withColumn(iriCol(as), lit(true))
         case e =>
           df.withColumn(as, strVExpr(df, e))
       }

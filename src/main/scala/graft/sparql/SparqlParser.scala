@@ -55,6 +55,10 @@ object SparqlParser extends RegexParsers {
     vAdditive ~ cmpOp ~ (numLit | strLit) ^^ {
       case VVar(n) ~ op ~ l => Cmp(op, Var(n), l)
       case e ~ op ~ l => ExprCmp(op, e, l)
+    } |
+    // var-var / expr-expr form: both sides computed
+    vAdditive ~ cmpOp ~ vAdditive ^^ {
+      case l ~ op ~ r => CmpVV(op, l, r)
     }
   private def langCmp: Parser[Expr] =
     ("(?i)LANG".r ~> "(" ~> varTerm <~ ")") ~ ("!=" | "=") ~ strLit ^^ {
@@ -79,7 +83,11 @@ object SparqlParser extends RegexParsers {
   private def termTest: Parser[Expr] =
     ("(?i)isIRI".r | "(?i)isURI".r) ~> "(" ~> varTerm <~ ")" ^^ IsIri.apply |
     "(?i)isLiteral".r ~> "(" ~> varTerm <~ ")" ^^ IsLiteral.apply |
-    "(?i)isBlank".r ~> "(" ~> varTerm <~ ")" ^^ IsBlank.apply
+    "(?i)isBlank".r ~> "(" ~> varTerm <~ ")" ^^ IsBlank.apply |
+    "(?i)isNumeric".r ~> "(" ~> varTerm <~ ")" ^^ IsNumeric.apply |
+    "(?i)sameTerm".r ~> "(" ~> (varTerm ~ ("," ~> varTerm)) <~ ")" ^^ {
+      case a ~ b => SameTerm(a, b)
+    }
   private def notExpr: Parser[Expr] =
     "!" ~> primaryExpr ^^ Not.apply
   private def primaryExpr: Parser[Expr] =
@@ -198,7 +206,7 @@ object SparqlParser extends RegexParsers {
   // longer names before their prefixes: regex alternation is ordered
   // (STRBEFORE/STRAFTER/STRLEN before STR, SUBSTR before STR)
   private def fnName: Parser[String] =
-    "(?i)(CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG|ABS|CEIL|FLOOR|ROUND|MD5|SHA256)".r ^^
+    "(?i)(CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG|ABS|CEIL|FLOOR|ROUND|MD5|SHA256|IRI|URI)".r ^^
       (_.toUpperCase)
   private def ifExpr: Parser[VExpr] =
     "(?i)IF".r ~> "(" ~> orExpr ~ ("," ~> vAdditive) ~ ("," ~> vAdditive) <~ ")" ^^ {

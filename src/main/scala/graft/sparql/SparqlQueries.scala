@@ -457,6 +457,28 @@ object SparqlQueries {
       run(s, dir, SparqlParser.parse(
         "SELECT ?y WHERE { <cust:7> (:hasNation|:inRegion){1,2} ?y }"))
     },
+    // var-var FILTER comparison (numeric through the companions):
+    // same-nation customer/supplier pairs where the customer balance
+    // exceeds the supplier's
+    "sparql_cmp_vars" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?s ?cb ?sb WHERE {
+          |  ?c a :Customer ; :acctbal ?cb ; :hasNation ?n .
+          |  ?s a :Supplier ; :acctbal ?sb ; :hasNation ?n .
+          |  FILTER(?cb > ?sb)
+          |}""".stripMargin), numericVars = Seq("cb", "sb"))
+    },
+    // IRI minting + isNumeric: a minted term passes isIRI, numeric
+    // bindings pass isNumeric (both filters are pass-through on this
+    // data — the point is they compile and evaluate typed)
+    "sparql_iri_isnumeric" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?p ?minted ?sz WHERE {
+          |  ?p :size ?sz . FILTER(isNumeric(?sz))
+          |  BIND(IRI(CONCAT("resized:", STR(?p))) AS ?minted)
+          |  FILTER(isIRI(?minted))
+          |}""".stripMargin), numericVars = Seq("sz"))
+    },
     // GRAPH with a constant name: the pattern prunes to one named
     // graph's slice of the quad dataset
     "sparql_graph_const" -> { (s, dir) =>
@@ -607,6 +629,14 @@ object SparqlQueries {
     "sparql_prefix_decl" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b
         |FROM customer WHERE c_acctbal >= 5000""".stripMargin,
+    "sparql_iri_isnumeric" ->
+      """SELECT 'part:'||p_partkey AS p, 'resized:part:'||p_partkey AS minted,
+        |       CAST(p_size AS DOUBLE) AS sz FROM part""".stripMargin,
+    "sparql_cmp_vars" ->
+      """SELECT 'cust:'||c_custkey AS c, 'supp:'||s_suppkey AS s,
+        |       c_acctbal AS cb, s_acctbal AS sb
+        |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |WHERE c_acctbal > s_acctbal""".stripMargin,
     "sparql_graph_const" ->
       "SELECT 'reg:'||r_regionkey AS s, r_name AS n FROM region",
     "sparql_graph_var" ->

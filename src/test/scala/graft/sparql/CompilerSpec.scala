@@ -492,6 +492,30 @@ class CompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("sameTerm distinguishes language tags and term kinds; isNumeric types") {
+    val t = Seq(
+      ("x:1", ":a", "hi", Option.empty[Double], false, Option.empty[String]),
+      ("x:1", ":b", "hi", None, false, Some("en")),
+      ("x:1", ":c", "hi", None, false, None),
+      ("x:1", ":d", "5", Some(5.0), false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    def pairs(f: String): Set[(String, String)] = {
+      val q = SparqlParser.parse(
+        s"""SELECT ?p1 ?p2 WHERE {
+           |  ?x ?p1 ?a . ?x ?p2 ?b . FILTER($f) FILTER(?p1 < ?p2)
+           |}""".stripMargin)
+      Compiler.run(t, q).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    // same lexical "hi": plain=:a/:c identical; @en=:b differs from both
+    assert(pairs("sameTerm(?a, ?b)") == Set((":a", ":c")))
+    // value equality `=` compares lexically — all three "hi" pair up
+    assert(pairs("?a = ?b && !sameTerm(?a, ?b)").contains((":a", ":b")))
+    // isNumeric only passes the typed binding
+    val q2 = SparqlParser.parse(
+      "SELECT ?p WHERE { ?x ?p ?v . FILTER(isNumeric(?v)) }")
+    assert(Compiler.run(t, q2).collect().map(_.getString(0)).toSeq == Seq(":d"))
+  }
+
   test("GRAPH scopes to one graph; GRAPH ?g aligns patterns within it") {
     val quads = Seq(
       ("g:a", "p:1", ":name", "ann", Option.empty[Double], false, Option.empty[String]),
