@@ -167,11 +167,26 @@ object Similarity {
     */
   def rangeSearch(embeddings: DataFrame, queryId: Long,
                   tau: Double = 0.3): DataFrame =
-    vecs(embeddings)
-      .filter(col("vec_id") =!= queryId)
-      .crossJoin(queryVec(embeddings, queryId))
+    rangeSearchAgainst(
+      vecs(embeddings).filter(col("vec_id") =!= queryId),
+      embeddings.filter(col("vec_id") === queryId), tau)
+
+  /** The stream-capable form: corpus and query come from SEPARATE
+    * relations, so the corpus can be an unbounded stream screened
+    * against a static query set (stream-static broadcast join +
+    * stateless filter — append mode, no state store at all).
+    */
+  def rangeSearchAgainst(corpus: DataFrame, query: DataFrame,
+                         tau: Double): DataFrame = {
+    val c =
+      if (corpus.columns.contains("v")) corpus
+      else corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    c.crossJoin(broadcast(
+        query.select(col("embedding").cast("array<double>").as("qv"))))
       .filter(cosine(col("v"), col("qv")) >= tau)
       .select(col("vec_id"))
+  }
 
   /** Symmetric int8 quantization, per-vector max-abs scale — the
     * standard storage/bandwidth reduction before an ANN index is

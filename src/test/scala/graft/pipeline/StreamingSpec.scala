@@ -103,6 +103,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L)))
   }
 
+  test("range search screens an embedding stream against a static query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus arrives as a stream; vec 0 is registered statically.
+    // rangeSearch is a stateless filter, so it streams in append mode
+    val static = Seq((0L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val stream = MemoryStream[(Long, Array[Float], Int)]
+    val q = Similarity.rangeSearchAgainst(
+        stream.toDF().toDF("vec_id", "embedding", "label"), static, tau = 0.9)
+      .writeStream.format("memory").queryName("range_stream_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, Array(0.99f, 0.05f), 0),   // cos ~0.998 → in range
+        (2L, Array(0.0f, 1.0f), 1)))    // orthogonal → out
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("range_stream_test").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("incremental N-Triples ingest merges idempotently via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming-import story: parse the line stream, merge each
+    // micro-batch into the store with set semantics — re-delivered
+    // lines (at-least-once sources) must not duplicate triples
+    var store = Seq.empty[(String, String, String, Option[Double], Boolean,
+      Option[String])].toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val stream = MemoryStream[String]
+    val q = graft.rdf.NTriples.parse(stream.toDF().toDF("line"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store = graft.rdf.TripleOps.add(store, batch).localCheckpoint()
+      }
+      .start()
+    try {
+      stream.addData(Seq("<s:1> <:name> \"ann\" .", "<s:2> <:name> \"bob\" ."))
+      q.processAllAvailable()
+      // redelivery of batch 1 plus one new line
+      stream.addData(Seq("<s:1> <:name> \"ann\" .", "<s:3> <:ref> <s:1> ."))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(store.count() == 3)
+    assert(store.filter(col("o_is_iri")).count() == 1)
+  }
+
   test("gopher quality gate runs stateless on a doc stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -492,6 +492,19 @@ class CompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("FILTER inside OPTIONAL scopes to the optional group") {
+    // :age only for p:1/p:2; the filter inside OPTIONAL must not drop
+    // the outer row, only the optional binding
+    val q = SparqlParser.parse(
+      """SELECT ?x ?a WHERE {
+        |  ?x :name ?n .
+        |  OPTIONAL { ?x :age ?a . FILTER(?a > 35) }
+        |}""".stripMargin)
+    val rows = Compiler.run(triples, q).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("p:1", "N/A"), ("p:2", "40")))
+  }
+
   test("sameTerm distinguishes language tags and term kinds; isNumeric types") {
     val t = Seq(
       ("x:1", ":a", "hi", Option.empty[Double], false, Option.empty[String]),
