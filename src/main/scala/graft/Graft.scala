@@ -58,6 +58,12 @@ object Graft {
     }
   }
 
+  /** Apply a textual SPARQL Update (INSERT DATA / DELETE DATA /
+    * DELETE WHERE) to a triple relation, returning the derived store.
+    */
+  def update(triples: DataFrame, text: String): DataFrame =
+    graft.sparql.Update(triples, SparqlParser.parseUpdate(text))
+
   def importNTriples(spark: SparkSession, path: String): DataFrame =
     NTriples.read(spark, path)
 

@@ -556,6 +556,22 @@ object SparqlParser extends RegexParsers {
     expandIri(iri.value, pfx)
   }
 
+  /** SPARQL Update forms: INSERT DATA / DELETE DATA / DELETE WHERE. */
+  def parseUpdate(text: String): Update.Op = {
+    val (pfx, op) = finish(parseAll(prologue ~ (
+      "(?i)INSERT\\s+DATA".r ~> bgpOnly ^^ Update.InsertData.apply |
+      "(?i)DELETE\\s+DATA".r ~> bgpOnly ^^ Update.DeleteData.apply |
+      "(?i)DELETE\\s+WHERE".r ~> bgpOnly ^^ Update.DeleteWhere.apply) ^^ {
+      case p ~ o => (p, o)
+    }, text))
+    def rw(ts: Seq[TriplePattern]) = ts.map(rewriteTp(_, expandIri(_, pfx)))
+    op match {
+      case Update.InsertData(ts) => Update.InsertData(rw(ts))
+      case Update.DeleteData(ts) => Update.DeleteData(rw(ts))
+      case Update.DeleteWhere(ts) => Update.DeleteWhere(rw(ts))
+    }
+  }
+
   /** CONSTRUCT query form: (template triples, where pattern). */
   def parseConstruct(text: String): (Seq[TriplePattern], Pattern) = {
     val (pfx, tmpl, where) = finish(parseAll(

@@ -2,7 +2,7 @@ package graft.sparql
 
 import graft.rdf.TripleStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, round}
+import org.apache.spark.sql.functions.{col, count, lit, round}
 import Ast._
 
 /** SURVEY §B: the SPARQL query surface as driver-checkable entries.
@@ -457,6 +457,19 @@ object SparqlQueries {
       run(s, dir, SparqlParser.parse(
         "SELECT ?y WHERE { <cust:7> (:hasNation|:inRegion){1,2} ?y }"))
     },
+    // SPARQL Update pipeline: INSERT DATA adds a ground nation, then
+    // DELETE WHERE pattern-drops every :comment triple; the nation
+    // slice's per-predicate counts prove both took effect
+    "sparql_update" -> { (s, dir) =>
+      val store = graft.rdf.TripleStore.dimensionTriples(s, dir)
+      val inserted = graft.Graft.update(store,
+        """INSERT DATA { <nat:999> rdf:type :Nation .
+          |              <nat:999> :name "ATLANTIS" . }""".stripMargin)
+      val updated = graft.Graft.update(inserted,
+        "DELETE WHERE { ?n :comment ?c . }")
+      updated.filter(col("s").startsWith("nat:"))
+        .groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+    },
     // var-var FILTER comparison (numeric through the companions):
     // same-nation customer/supplier pairs where the customer balance
     // exceeds the supplier's
@@ -632,6 +645,10 @@ object SparqlQueries {
     "sparql_iri_isnumeric" ->
       """SELECT 'part:'||p_partkey AS p, 'resized:part:'||p_partkey AS minted,
         |       CAST(p_size AS DOUBLE) AS sz FROM part""".stripMargin,
+    "sparql_update" ->
+      """SELECT 'rdf:type' AS p, count(*) + 1 AS cnt FROM nation
+        |UNION ALL SELECT ':name', count(*) + 1 FROM nation
+        |UNION ALL SELECT ':inRegion', count(*) FROM nation""".stripMargin,
     "sparql_cmp_vars" ->
       """SELECT 'cust:'||c_custkey AS c, 'supp:'||s_suppkey AS s,
         |       c_acctbal AS cb, s_acctbal AS sb

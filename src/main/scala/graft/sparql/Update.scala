@@ -1,0 +1,86 @@
+package graft.sparql
+
+import graft.rdf.TripleOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Ast._
+
+/** SPARQL 1.1 Update subset: INSERT DATA / DELETE DATA (ground
+  * triples) and DELETE WHERE (pattern-matched deletion). The
+  * reference mutates its store through write procedures
+  * (pidb-rdf-import/src/main/java/semantics/RDFImport.java:50); the
+  * Spark re-expression derives a NEW store via [[TripleOps]] set
+  * operations, so updates compose with the same merge-on-write
+  * posture as bulk import.
+  */
+object Update {
+
+  sealed trait Op
+  final case class InsertData(triples: Seq[TriplePattern]) extends Op
+  final case class DeleteData(triples: Seq[TriplePattern]) extends Op
+  final case class DeleteWhere(patterns: Seq[TriplePattern]) extends Op
+
+  /** Apply one update to the store, returning the derived store. */
+  def apply(store: DataFrame, op: Op): DataFrame = op match {
+    case InsertData(ts) => TripleOps.add(store, ground(store, ts))
+    case DeleteData(ts) => TripleOps.subtract(store, ground(store, ts))
+    case DeleteWhere(ps) =>
+      // solutions of the pattern join, then each pattern instantiated
+      // per solution — the SPARQL DELETE WHERE template semantics.
+      // Object-position vars rebuild full term identity from their
+      // hidden companions, so a deleted literal can't take an
+      // identically-spelled IRI with it.
+      val sol = Compiler.compilePattern(store, Bgp(ps))
+      val doomed = ps.map(instantiate(sol, _)).reduce(_.unionByName(_))
+      TripleOps.subtract(store, doomed)
+  }
+
+  /** Ground triples (no variables) as a triple relation. */
+  private def ground(store: DataFrame, ts: Seq[TriplePattern]): DataFrame = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    val rows = ts.map { tp =>
+      val s = constResource(tp.s, "subject")
+      val p = constResource(tp.p, "predicate")
+      tp.o match {
+        case Iri(v) => (s, p, v, Option.empty[Double], true, Option.empty[String])
+        case Lit(lex, num) => (s, p, lex, num, false, Option.empty[String])
+        case Var(n) =>
+          throw new IllegalArgumentException(s"DATA block must be ground, got ?$n")
+      }
+    }
+    rows.toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+  }
+
+  private def constResource(t: Term, pos: String): String = t match {
+    case Iri(v) => v
+    case other =>
+      throw new IllegalArgumentException(s"$pos must be an IRI, got $other")
+  }
+
+  /** One pattern instantiated over the solution relation. */
+  private def instantiate(sol: DataFrame, tp: TriplePattern): DataFrame = {
+    def res(t: Term, pos: String): Column = t match {
+      case Var(n) => col(n)
+      case other => lit(constResource(other, pos))
+    }
+    val (o, oNum, oIri, lang) = tp.o match {
+      case Var(n) => (
+        col(n),
+        if (sol.columns.contains(Compiler.numCol(n))) col(Compiler.numCol(n))
+        else lit(null).cast("double"),
+        if (sol.columns.contains(Compiler.iriCol(n)))
+          coalesce(col(Compiler.iriCol(n)), lit(true))
+        else lit(true),
+        if (sol.columns.contains(Compiler.langCol(n))) col(Compiler.langCol(n))
+        else lit(null).cast("string"))
+      case Iri(v) => (lit(v): Column, lit(null).cast("double"),
+        lit(true): Column, lit(null).cast("string"))
+      case Lit(lex, num) => (lit(lex): Column,
+        num.map(d => lit(d): Column).getOrElse(lit(null).cast("double")),
+        lit(false): Column, lit(null).cast("string"))
+    }
+    sol.select(res(tp.s, "subject").as("s"), res(tp.p, "predicate").as("p"),
+      o.as("o"), oNum.as("o_num"), oIri.as("o_is_iri"), lang.as("lang"))
+  }
+}

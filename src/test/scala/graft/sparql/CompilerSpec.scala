@@ -492,6 +492,36 @@ class CompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE: insert/delete data and pattern-scoped delete where") {
+    val store = Seq(
+      ("p:1", ":name", "ann", Option.empty[Double], false, Option.empty[String]),
+      ("p:1", ":knows", "p:2", None, true, None),
+      // literal spelled like an IRI — DELETE WHERE on the edge
+      // pattern must not take it (term identity, not lexical)
+      ("p:3", ":note", "p:2", None, false, None),
+      ("p:1", ":age", "30", Some(30.0), false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    def upd(df: org.apache.spark.sql.DataFrame, text: String) =
+      graft.Graft.update(df, text)
+    val grown = upd(store, """INSERT DATA { <p:9> :age 42 . }""")
+    assert(grown.count() == 5)
+    assert(grown.filter(org.apache.spark.sql.functions.col("s") === "p:9").select("o_num")
+      .collect().head.getDouble(0) == 42.0)
+    // idempotent re-insert
+    assert(upd(grown, "INSERT DATA { <p:9> :age 42 . }").count() == 5)
+    // pattern delete: only the IRI-object edge goes; the lookalike
+    // literal stays
+    val pruned = upd(store, "DELETE WHERE { ?x :knows ?y . }")
+    assert(pruned.count() == 3)
+    assert(pruned.filter(org.apache.spark.sql.functions.col("p") === ":note").count() == 1)
+    // ground delete of a typed literal
+    assert(upd(store, "DELETE DATA { <p:1> :age 30 . }").count() == 3)
+    // variables in a DATA block are rejected
+    intercept[IllegalArgumentException] {
+      upd(store, "INSERT DATA { ?x :name \"who\" . }")
+    }
+  }
+
   test("FILTER inside OPTIONAL scopes to the optional group") {
     // :age only for p:1/p:2; the filter inside OPTIONAL must not drop
     // the outer row, only the optional binding
