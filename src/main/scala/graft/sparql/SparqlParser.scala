@@ -556,12 +556,23 @@ object SparqlParser extends RegexParsers {
     expandIri(iri.value, pfx)
   }
 
-  /** SPARQL Update forms: INSERT DATA / DELETE DATA / DELETE WHERE. */
+  /** SPARQL Update forms: INSERT DATA / DELETE DATA / DELETE WHERE /
+    * the DELETE-INSERT-WHERE template modify.
+    */
   def parseUpdate(text: String): Update.Op = {
+    val modify: Parser[Update.Op] =
+      ("(?i)DELETE".r ~> bgpOnly) ~ opt("(?i)INSERT".r ~> bgpOnly) ~
+        ("(?i)WHERE".r ~> groupGraphPattern) ^^ {
+        case del ~ ins ~ where => Update.Modify(del, ins.getOrElse(Nil), where)
+      } |
+      ("(?i)INSERT".r ~> bgpOnly) ~ ("(?i)WHERE".r ~> groupGraphPattern) ^^ {
+        case ins ~ where => Update.Modify(Nil, ins, where)
+      }
     val (pfx, op) = finish(parseAll(prologue ~ (
       "(?i)INSERT\\s+DATA".r ~> bgpOnly ^^ Update.InsertData.apply |
       "(?i)DELETE\\s+DATA".r ~> bgpOnly ^^ Update.DeleteData.apply |
-      "(?i)DELETE\\s+WHERE".r ~> bgpOnly ^^ Update.DeleteWhere.apply) ^^ {
+      "(?i)DELETE\\s+WHERE".r ~> bgpOnly ^^ Update.DeleteWhere.apply |
+      modify) ^^ {
       case p ~ o => (p, o)
     }, text))
     def rw(ts: Seq[TriplePattern]) = ts.map(rewriteTp(_, expandIri(_, pfx)))
@@ -569,6 +580,8 @@ object SparqlParser extends RegexParsers {
       case Update.InsertData(ts) => Update.InsertData(rw(ts))
       case Update.DeleteData(ts) => Update.DeleteData(rw(ts))
       case Update.DeleteWhere(ts) => Update.DeleteWhere(rw(ts))
+      case Update.Modify(d, i, w) =>
+        Update.Modify(rw(d), rw(i), rewritePattern(w, expandIri(_, pfx)))
     }
   }
 

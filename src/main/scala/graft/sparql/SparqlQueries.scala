@@ -470,6 +470,17 @@ object SparqlQueries {
       updated.filter(col("s").startsWith("nat:"))
         .groupBy(col("p")).agg(count(lit(1)).as("cnt"))
     },
+    // template modify: rename the B-segment membership property in
+    // one DELETE/INSERT WHERE pass
+    "sparql_update_modify" -> { (s, dir) =>
+      val store = graft.rdf.TripleStore.dimensionTriples(s, dir)
+      val updated = graft.Graft.update(store,
+        """DELETE { ?c :mktsegment ?m }
+          |INSERT { ?c :segment ?m }
+          |WHERE { ?c :mktsegment ?m . FILTER(STRSTARTS(?m, "B")) }""".stripMargin)
+      updated.filter(col("p").isin(":mktsegment", ":segment"))
+        .groupBy(col("p"), col("o")).agg(count(lit(1)).as("cnt"))
+    },
     // var-var FILTER comparison (numeric through the companions):
     // same-nation customer/supplier pairs where the customer balance
     // exceeds the supplier's
@@ -645,6 +656,11 @@ object SparqlQueries {
     "sparql_iri_isnumeric" ->
       """SELECT 'part:'||p_partkey AS p, 'resized:part:'||p_partkey AS minted,
         |       CAST(p_size AS DOUBLE) AS sz FROM part""".stripMargin,
+    "sparql_update_modify" ->
+      """SELECT CASE WHEN c_mktsegment LIKE 'B%' THEN ':segment'
+        |            ELSE ':mktsegment' END AS p,
+        |       c_mktsegment AS o, count(*) AS cnt
+        |FROM customer GROUP BY 1, 2""".stripMargin,
     "sparql_update" ->
       """SELECT 'rdf:type' AS p, count(*) + 1 AS cnt FROM nation
         |UNION ALL SELECT ':name', count(*) + 1 FROM nation

@@ -19,6 +19,11 @@ object Update {
   final case class InsertData(triples: Seq[TriplePattern]) extends Op
   final case class DeleteData(triples: Seq[TriplePattern]) extends Op
   final case class DeleteWhere(patterns: Seq[TriplePattern]) extends Op
+  /** `DELETE { tmpl } INSERT { tmpl } WHERE { pattern }` — the
+    * template modify form; either template may be empty.
+    */
+  final case class Modify(del: Seq[TriplePattern], ins: Seq[TriplePattern],
+                          where: Pattern) extends Op
 
   /** Apply one update to the store, returning the derived store. */
   def apply(store: DataFrame, op: Op): DataFrame = op match {
@@ -33,6 +38,18 @@ object Update {
       val sol = Compiler.compilePattern(store, Bgp(ps))
       val doomed = ps.map(instantiate(sol, _)).reduce(_.unionByName(_))
       TripleOps.subtract(store, doomed)
+    case Modify(del, ins, where) =>
+      // bindings come from the ORIGINAL store (SPARQL Update §3.1.3:
+      // WHERE evaluates against the pre-update state), then delete
+      // applies before insert
+      val sol = Compiler.compilePattern(store, where)
+      val afterDel =
+        if (del.isEmpty) store
+        else TripleOps.subtract(store,
+          del.map(instantiate(sol, _)).reduce(_.unionByName(_)))
+      if (ins.isEmpty) afterDel
+      else TripleOps.add(afterDel,
+        ins.map(instantiate(sol, _)).reduce(_.unionByName(_)))
   }
 
   /** Ground triples (no variables) as a triple relation. */

@@ -522,6 +522,22 @@ class CompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE modify renames a property in one delete-insert pass") {
+    val moved = graft.Graft.update(triples,
+      """DELETE { ?x :age ?a } INSERT { ?x :years ?a }
+        |WHERE { ?x :age ?a . FILTER(?a > 35) }""".stripMargin)
+    val byP = moved.groupBy("p").count().as[(String, Long)].collect().toMap
+    assert(byP(":years") == 1 && byP(":age") == 1)
+    // the moved triple keeps its numeric companion
+    assert(moved.filter(org.apache.spark.sql.functions.col("p") === ":years")
+      .select("o_num").collect().head.getDouble(0) == 40.0)
+    // INSERT-only form
+    val tagged = graft.Graft.update(triples,
+      "INSERT { ?x :isAdult \"yes\" } WHERE { ?x :age ?a . FILTER(?a >= 30) }")
+    assert(tagged.filter(org.apache.spark.sql.functions.col("p") === ":isAdult")
+      .count() == 2)
+  }
+
   test("FILTER inside OPTIONAL scopes to the optional group") {
     // :age only for p:1/p:2; the filter inside OPTIONAL must not drop
     // the outer row, only the optional binding
