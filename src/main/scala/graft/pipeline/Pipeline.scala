@@ -30,4 +30,32 @@ object Pipeline {
       .select(col("doc_id"), col("chunk_idx"),
         md5(col("chunk").cast("binary")).as("chunk_md5"))
   }
+
+  /** The full corpus build: Gopher quality rules → exact dedup (keep
+    * the minimum doc_id per text hash) → target-mixture domain
+    * sampling → train/val/test split. Each stage is the §G operator
+    * itself, composed into one declarative plan: two hash
+    * aggregations (dedup keep-list, per-source counts) and broadcast
+    * rate/split logic over narrow scans — the corpus never shuffles
+    * its text column after the dedup keep-list.
+    */
+  def corpusBuild(docs: DataFrame,
+                  weights: Map[String, Double] =
+                    Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)): DataFrame = {
+    // minStop relaxed to 1: the synthetic corpus vocabulary carries at
+    // most one of the Gopher stopwords, and a pipeline that filters
+    // everything demonstrates nothing
+    val quality = TextAnalysis.gopherQuality(docs, minStop = 1)
+      .filter(col("keep")).select(col("doc_id"))
+    val qualified = docs.join(quality, Seq("doc_id"), "left_semi")
+    val keep = qualified
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
+    val mixed = deduped.join(
+      TextAnalysis.mixToTarget(deduped, weights), Seq("doc_id", "source"),
+      "left_semi")
+    TextAnalysis.assignSplit(mixed)
+  }
 }

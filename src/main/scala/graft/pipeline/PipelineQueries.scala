@@ -87,6 +87,9 @@ object PipelineQueries {
     // composed end-to-end prep: quality filter → exact dedup → chunk
     "pipeline_prepare" -> ((s, dir) =>
       Pipeline.prepare(Tables.documents(s, dir))),
+    // the full corpus build: gopher → dedup → mixture → split
+    "pipeline_corpus_build" -> ((s, dir) =>
+      Pipeline.corpusBuild(Tables.documents(s, dir))),
     // ---- §I events -------------------------------------------------
     "events_window_agg" -> ((s, dir) =>
       Events.windowAgg(Tables.events(s, dir))),
@@ -520,6 +523,41 @@ object PipelineQueries {
            |  md5(array_to_string(w[s + 1 : s + 64], ' ')) AS chunk_md5
            |FROM toks, UNNEST(range(0, len(w), 48)) t(s)
            |WHERE len(w) > 0""".stripMargin,
+    "pipeline_corpus_build" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |    string_split_regex(trim(text), '\s+') AS w,
+           |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS lw,
+           |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
+           |  FROM documents),
+           |y AS (SELECT doc_id, len(w) AS n_words,
+           |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum')
+           |      AS BIGINT) * 1.0 / len(w) AS mean_word_len,
+           |    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+           |    n_symbols,
+           |    len(list_intersect(lw,
+           |      ['the','be','to','of','and','that','have','with'])) AS n_stop
+           |  FROM x),
+           |g0 AS (SELECT doc_id FROM y
+           |  WHERE n_words BETWEEN 20 AND 80 AND mean_word_len BETWEEN 3 AND 10
+           |    AND n_symbols * 10 <= n_words AND n_alpha * 10 >= n_words * 8
+           |    AND n_stop >= 1),
+           |dq AS (SELECT d.doc_id, d.text FROM documents d JOIN g0 USING (doc_id)),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM dq GROUP BY md5(text)),
+           |dd AS (SELECT d.doc_id, d.source FROM documents d JOIN keep USING (doc_id)),
+           |c AS (SELECT source, count(*) AS cnt FROM dd GROUP BY 1),
+           |w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+           |j AS (SELECT c.source, cnt, w.w FROM c JOIN w USING (source)),
+           |n AS (SELECT min(cnt / w) AS n_total FROM j),
+           |r AS (SELECT source, least(1.0, n_total * w / cnt) AS rate FROM j, n),
+           |mixed AS (SELECT dd.doc_id, dd.source FROM dd JOIN r USING (source)
+           |  WHERE ('0x' || substr(md5(dd.doc_id::VARCHAR), 13, 4))::BIGINT
+           |        % 10000 < floor(rate * 10000))
+           |SELECT doc_id, source,
+           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id, source,
+           |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+           |      FROM mixed)""".stripMargin,
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |  count(*) AS cnt, round(sum(value), 6) AS sv

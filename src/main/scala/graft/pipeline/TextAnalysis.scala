@@ -265,7 +265,7 @@ object TextAnalysis {
     * touches float rounding.
     */
   def gopherQuality(docs: DataFrame, minWords: Int = 20,
-                    maxWords: Int = 80): DataFrame = {
+                    maxWords: Int = 80, minStop: Int = 2): DataFrame = {
     val w = wsTokens(col("text"))
     val lw = wsTokens(lower(col("text")))
     val nWords = size(w)
@@ -287,7 +287,7 @@ object TextAnalysis {
         meanLen.between(3.0, 10.0) &&
         nSymbols * 10 <= nWords &&
         nAlpha * 10 >= nWords * 8 &&
-        nStop >= 2).as("keep"))
+        nStop >= minStop).as("keep"))
   }
 
   /** Corpus-level n-gram novelty: per doc, how many of its distinct
