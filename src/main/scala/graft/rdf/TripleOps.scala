@@ -45,4 +45,31 @@ object TripleOps {
   /** Graph difference: store ∖ other (term-identity set minus). */
   def subtract(store: DataFrame, other: DataFrame): DataFrame =
     store.except(other.select(store.columns.map(col): _*))
+
+  // ---- named-graph management over the quad relation ----------------
+  // SPARQL 1.1 Update §3.2 graph-management forms, each a derivation
+  // over the (g, s, p, o, …) quad dataset. CLEAR/MOVE are narrow
+  // filters; COPY/ADD pay one set-union dedup on the touched graphs
+  // only (the rest of the dataset passes through untouched).
+
+  /** CLEAR GRAPH g: drop the named graph's quads. */
+  def clearGraph(quads: DataFrame, g: String): DataFrame =
+    quads.filter(col("g") =!= g)
+
+  /** ADD g1 TO g2: union g1's triples into g2 (set semantics). */
+  def addGraph(quads: DataFrame, from: String, to: String): DataFrame = {
+    val merged = quads.filter(col("g") === to)
+      .unionByName(quads.filter(col("g") === from).withColumn("g", lit(to)))
+      .distinct()
+    quads.filter(col("g") =!= to).unionByName(merged)
+  }
+
+  /** COPY g1 TO g2: replace g2 with g1's triples. */
+  def copyGraph(quads: DataFrame, from: String, to: String): DataFrame =
+    quads.filter(col("g") =!= to)
+      .unionByName(quads.filter(col("g") === from).withColumn("g", lit(to)))
+
+  /** MOVE g1 TO g2: COPY then drop the source graph. */
+  def moveGraph(quads: DataFrame, from: String, to: String): DataFrame =
+    copyGraph(quads, from, to).filter(col("g") =!= from)
 }

@@ -457,6 +457,17 @@ object SparqlQueries {
       run(s, dir, SparqlParser.parse(
         "SELECT ?y WHERE { <cust:7> (:hasNation|:inRegion){1,2} ?y }"))
     },
+    // named-graph management (SPARQL Update §3.2): COPY the nation
+    // graph over the supplier graph, ADD regions into it, CLEAR the
+    // region graph; per-graph counts prove each form
+    "sparql_graph_mgmt" -> { (s, dir) =>
+      import graft.rdf.TripleOps
+      val q0 = namedGraphQuads(s, dir)
+      val q1 = TripleOps.copyGraph(q0, "g:nation", "g:supp")
+      val q2 = TripleOps.addGraph(q1, "g:region", "g:supp")
+      val q3 = TripleOps.clearGraph(q2, "g:region")
+      q3.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    },
     // SPARQL Update pipeline: INSERT DATA adds a ground nation, then
     // DELETE WHERE pattern-drops every :comment triple; the nation
     // slice's per-predicate counts prove both took effect
@@ -656,6 +667,11 @@ object SparqlQueries {
     "sparql_iri_isnumeric" ->
       """SELECT 'part:'||p_partkey AS p, 'resized:part:'||p_partkey AS minted,
         |       CAST(p_size AS DOUBLE) AS sz FROM part""".stripMargin,
+    "sparql_graph_mgmt" ->
+      """SELECT 'g:nation' AS g, count(*) AS cnt FROM nation
+        |UNION ALL
+        |SELECT 'g:supp',
+        |  (SELECT count(*) FROM nation) + (SELECT count(*) FROM region)""".stripMargin,
     "sparql_update_modify" ->
       """SELECT CASE WHEN c_mktsegment LIKE 'B%' THEN ':segment'
         |            ELSE ':mktsegment' END AS p,

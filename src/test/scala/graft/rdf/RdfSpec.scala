@@ -311,6 +311,25 @@ class RdfSpec extends AnyFunSuite {
     assert(key(back) == key(langFree))
   }
 
+  test("graph management: clear/copy/add/move derive the quad dataset") {
+    val quads = Seq(
+      ("g:a", "s:1", ":p", "x", Option.empty[Double], false, Option.empty[String]),
+      ("g:a", "s:2", ":p", "y", None, false, None),
+      ("g:b", "s:1", ":p", "x", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    def counts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts(TripleOps.clearGraph(quads, "g:a")) == Map("g:b" -> 1L))
+    // copy replaces the target
+    assert(counts(TripleOps.copyGraph(quads, "g:a", "g:b")) ==
+      Map("g:a" -> 2L, "g:b" -> 2L))
+    // add merges with set semantics: s:1/:p/x already in g:b
+    assert(counts(TripleOps.addGraph(quads, "g:a", "g:b")) ==
+      Map("g:a" -> 2L, "g:b" -> 2L))
+    assert(counts(TripleOps.moveGraph(quads, "g:a", "g:b")) ==
+      Map("g:b" -> 2L))
+  }
+
   test("store add is idempotent and null-lang-safe; remove wildcards") {
     val store = nasty
     // re-adding the whole store (incl. null-lang literals) adds nothing
