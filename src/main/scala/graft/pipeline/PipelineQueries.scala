@@ -42,6 +42,18 @@ object PipelineQueries {
       Similarity.knnClassify(Tables.embeddings(s, dir))),
     "emb_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.embeddings(s, dir))),
+    "ann_int8_topk" -> ((s, dir) =>
+      Similarity.int8TopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
+    "dedup_embedding_clusters" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val comp = graft.graphx.Analytics.componentsById(s,
+        Dedup.embeddingCosine(e)
+          .select(col("a").as("src"), col("b").as("dst")))
+      e.select(col("vec_id"))
+        .join(comp, col("vec_id") === col("id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("comp"), col("vec_id")).as("canonical"))
+    }),
     // ---- §G text analysis ------------------------------------------
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -287,6 +299,40 @@ object PipelineQueries {
            |SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
            |  1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS dup_ratio
            |FROM grams GROUP BY 1""".stripMargin,
+    // SQ8 retrieval: rebuild the trunc-quantized codes, score by the
+    // integer dot (bit-exact) rescaled by both scales
+    "ann_int8_topk" ->
+      """WITH x AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS m
+        |  FROM embeddings),
+        |q8 AS (SELECT vec_id, m / 127 AS scale,
+        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+        |      ELSE CAST(trunc(CAST(x AS DOUBLE) * 127 / m) AS INT) END) AS q
+        |  FROM x),
+        |qq AS (SELECT q AS qv, scale AS qscale FROM q8 WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id,
+        |    CAST(list_aggregate(list_transform(range(1, 65),
+        |      i -> e.q[i] * qq.qv[i]), 'sum') AS BIGINT) AS dot,
+        |    e.scale, qq.qscale
+        |  FROM q8 e, qq WHERE e.vec_id != 0)
+        |SELECT vec_id, dot FROM s
+        |ORDER BY (CAST(dot AS DOUBLE) * scale) * qscale DESC, vec_id
+        |LIMIT 10""".stripMargin,
+    "dedup_embedding_clusters" ->
+      """WITH RECURSIVE mh AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |e(a, b) AS (SELECT a, b FROM mh UNION SELECT b, a FROM mh),
+        |r(a, b) AS (SELECT a, b FROM e
+        |            UNION
+        |            SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+        |SELECT v.vec_id,
+        |  least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS canonical
+        |FROM embeddings v LEFT JOIN r ON r.a = v.vec_id
+        |GROUP BY v.vec_id""".stripMargin,
     "emb_kmeans_assign" ->
       """WITH cent AS (SELECT label AS c_label, d, avg(embedding[d + 1]) AS m
         |              FROM embeddings, range(0, 64) td(d) GROUP BY 1, 2),

@@ -197,18 +197,49 @@ object Similarity {
     * (md5 of the comma-joined codes + their sum) rather than the raw
     * array so the oracle compare stays string-stable.
     */
-  def quantizeInt8(embeddings: DataFrame): DataFrame =
+  /** (vec_id, label, q int-code array, scale) — the quantized view
+    * shared by the digest key and the SQ8 retrieval path.
+    */
+  private[pipeline] def quantized(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("m",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
       .withColumn("q", transform(col("embedding"),
         x => when(col("m") === 0d, lit(0))
           .otherwise((x.cast("double") * 127d / col("m")).cast("int"))))
+      .select(col("vec_id"), col("label"), col("q"),
+        (col("m") / 127d).as("scale"))
+
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
       .select(col("vec_id"),
-        (col("m") / 127d).as("scale"),
+        col("scale"),
         md5(concat_ws(",", transform(col("q"), _.cast("string")))
           .cast("binary")).as("q_md5"),
         aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"))
+
+  /** SQ8 retrieval: exact top-k over the QUANTIZED codes — the score
+    * is an INTEGER dot product (bit-exact on any engine) rescaled by
+    * the two per-vector scales. This is the memory-bandwidth path a
+    * 100 TB vector corpus actually serves from (1 byte/dim instead of
+    * 4), and the integer arithmetic keeps the ranking reproducible
+    * where float dots could drift. One narrow pass + broadcast query
+    * codes + TakeOrderedAndProject.
+    */
+  def int8TopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val qn = quantized(embeddings)
+    val query = broadcast(qn.filter(col("vec_id") === queryId)
+      .select(col("q").as("qq"), col("scale").as("qscale")))
+    qn.filter(col("vec_id") =!= queryId)
+      .crossJoin(query)
+      .withColumn("dot",
+        aggregate(zip_with(col("q"), col("qq"),
+          (a, b) => (a * b).cast("long")), lit(0L), (acc, x) => acc + x))
+      .withColumn("score", col("dot").cast("double") * col("scale") * col("qscale"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("dot"))
+  }
 
   /** Per-label mean vectors — the "trained" coarse quantizer shared by
     * the IVF probe and the k-means assignment step.
