@@ -245,6 +245,26 @@ object Dedup {
     * (doc_id, canonical): keep rows where doc_id == canonical, drop
     * the rest.
     */
+  /** Keep the best group member: resolve the near-dup pair graph to
+    * clusters, then pick each cluster's representative by quality
+    * score (doc_id ascending on exact ties — both ranking inputs are
+    * computed identically on any engine, so the choice is
+    * reproducible). The real corpus-build decision rule: near-dups
+    * don't just collapse to the smallest id, they keep the BEST copy.
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQuality = Window.partitionBy(col("canonical"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    clusters(docs, pairs)
+      .join(TextAnalysis.qualityScore(docs).select(col("doc_id"), col("score")),
+        "doc_id")
+      .withColumn("rnk", row_number().over(byQuality))
+      .groupBy(col("canonical"))
+      .agg(min(when(col("rnk") === 1, col("doc_id"))).as("best_doc"),
+        count(lit(1)).as("n_members"))
+  }
+
   def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = graft.graphx.Analytics.componentsById(docs.sparkSession,
       pairs.select(col("a").as("src"), col("b").as("dst")))

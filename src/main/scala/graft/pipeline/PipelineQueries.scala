@@ -27,6 +27,10 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       Dedup.clusters(docs, Dedup.minhashLsh(docs))
     }),
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.keepBest(docs, Dedup.minhashLsh(docs))
+    }),
     // ---- §F similarity search --------------------------------------
     "ann_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryId = 0, k = 20)),
@@ -222,6 +226,38 @@ object PipelineQueries {
          |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS canonical
          |FROM documents d LEFT JOIN r ON r.a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      raw"""WITH RECURSIVE mh AS ($minhashPairsSql),
+           |e(a, b) AS (SELECT a, b FROM mh UNION SELECT b, a FROM mh),
+           |rr(a, b) AS (SELECT a, b FROM e
+           |             UNION
+           |             SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
+           |cl AS (SELECT d.doc_id,
+           |    least(d.doc_id, coalesce(min(rr.b), d.doc_id)) AS canonical
+           |  FROM documents d LEFT JOIN rr ON rr.a = d.doc_id
+           |  GROUP BY d.doc_id),
+           |qx AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+           |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+           |      / length(text) AS punct_ratio
+           |  FROM documents),
+           |qy AS (SELECT doc_id, len(toks) * 1.0 AS n, punct_ratio,
+           |    len(list_filter(toks,
+           |        t -> list_contains(['the','a','and','of','in'], t))) * 1.0
+           |      / len(toks) AS stop_ratio
+           |  FROM qx),
+           |qs AS (SELECT doc_id,
+           |    least(1.0, n / 100.0) * (1.0 - punct_ratio)
+           |      * (1.0 - 0.5 * stop_ratio) AS score
+           |  FROM qy),
+           |ranked AS (SELECT cl.canonical, cl.doc_id,
+           |    row_number() OVER (PARTITION BY cl.canonical
+           |      ORDER BY qs.score DESC, cl.doc_id ASC) AS rnk
+           |  FROM cl JOIN qs ON qs.doc_id = cl.doc_id)
+           |SELECT canonical,
+           |  min(CASE WHEN rnk = 1 THEN doc_id END) AS best_doc,
+           |  count(*) AS n_members
+           |FROM ranked GROUP BY 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b
