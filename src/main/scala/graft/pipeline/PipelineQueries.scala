@@ -73,6 +73,8 @@ object PipelineQueries {
       TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "text_contamination" -> ((s, dir) =>
       TextAnalysis.contamination(Tables.documents(s, dir))),
+    "text_contamination_chars" -> ((s, dir) =>
+      TextAnalysis.contaminationChars(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir))),
     "text_gopher_quality" -> ((s, dir) =>
@@ -328,6 +330,15 @@ object PipelineQueries {
            |SELECT doc_id, count(*) AS n_hits FROM grams
            |WHERE doc_id % 97 != 0 AND g IN (SELECT g FROM bench)
            |GROUP BY 1""".stripMargin,
+    "text_contamination_chars" ->
+      """WITH grams AS (SELECT DISTINCT doc_id,
+        |    md5(substr(text, s * 8 + 1, 20)) AS g
+        |  FROM documents, UNNEST(range(0, (length(text) - 20) // 8 + 1)) t(s)
+        |  WHERE length(text) >= 20),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS n_hits FROM grams
+        |WHERE doc_id % 97 != 0 AND g IN (SELECT g FROM bench)
+        |GROUP BY 1""".stripMargin,
     "text_repetition" ->
       raw"""WITH $TOKS,
            |grams AS (SELECT doc_id, array_to_string(w[s + 1 : s + 3], ' ') AS g

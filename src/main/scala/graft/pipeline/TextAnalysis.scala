@@ -113,6 +113,27 @@ object TextAnalysis {
       grams.filter(col("doc_id") % benchSlice =!= 0), bench)
   }
 
+  /** Character-level contamination: strided fixed-width char windows
+    * hashed per doc — the tokenization-robust companion of the token
+    * n-gram screen (an eval answer re-spaced or re-punctuated still
+    * matches at the char level). Same scale shape as [[contamination]]:
+    * per-row distinct hashes, broadcast benchmark set, one narrow
+    * corpus pass.
+    */
+  def contaminationChars(docs: DataFrame, win: Int = 20, stride: Int = 8,
+                         benchSlice: Int = 97): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= win)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), ((length(col("text")) - win) / stride).cast("int")),
+        i => md5(col("text").substr(i * stride + 1, lit(win))
+          .cast("binary"))))).as("g"))
+    val bench = grams.filter(col("doc_id") % benchSlice === 0)
+      .select(col("g")).distinct()
+    contaminationAgainst(
+      grams.filter(col("doc_id") % benchSlice =!= 0), bench)
+  }
+
   /** Per-row distinct md5'd token n-grams: (doc_id, g). Stateless and
     * narrow, so it runs unchanged under Structured Streaming.
     */
