@@ -120,6 +120,20 @@ object Events {
         when(col(s"t$i").isNotNull, 1).otherwise(0)).reduce(_ + _))
   }
 
+  /** Daily activity rollup: DAU + event volume per epoch day —
+    * integer outputs, one map-side-combined aggregation over the
+    * (user, day) distinct. The companion health metric every event
+    * log reports.
+    */
+  def dailyActive(events: DataFrame): DataFrame = {
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    val perUserDay = events.select(day.as("day"), col("user_id"))
+    perUserDay.distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .join(perUserDay.groupBy(col("day")).agg(count(lit(1)).as("n_events")),
+        "day")
+  }
+
   /** Weekly cohort retention: users bucket into the week of their
     * first event; each later active week counts toward
     * (cohort_week, offset_weeks). Week numbers are floor(epoch-days/7)

@@ -129,6 +129,8 @@ object PipelineQueries {
       TextAnalysis.mixToTarget(Tables.documents(s, dir))),
     "events_retention" -> ((s, dir) =>
       Events.retention(Tables.events(s, dir))),
+    "events_daily_active" -> ((s, dir) =>
+      Events.dailyActive(Tables.events(s, dir))),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir))),
   )
@@ -697,6 +699,11 @@ object PipelineQueries {
         |      ORDER BY n DESC, user_id ASC) AS rnk
         |  FROM g)
         |SELECT event_type, user_id, n, sv, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "events_daily_active" ->
+      """WITH ud AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+        |            FROM events)
+        |SELECT day, count(DISTINCT user_id) AS dau, count(*) AS n_events
+        |FROM ud GROUP BY 1""".stripMargin,
     "events_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 // 7 AS week FROM events),

@@ -304,6 +304,14 @@ object SparqlQueries {
           |  ?o :byCustomer ?c .
           |} GROUP BY ?c HAVING(?cnt >= 3)""".stripMargin))
     },
+    // ORDER BY an aggregate alias (the typed output column drives the
+    // sort) with a group-key tie-break and LIMIT
+    "sparql_orderby_agg" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?n (COUNT(?c) AS ?cnt) WHERE {
+          |  ?c a :Customer . ?c :hasNation ?n .
+          |} GROUP BY ?n ORDER BY DESC(?cnt) ASC(?n) LIMIT 10""".stripMargin))
+    },
     // nested SELECT subquery: inner aggregation joined with an outer
     // pattern on the shared variable (SPARQL 1.1 §12)
     "sparql_subquery" -> { (s, dir) =>
@@ -735,6 +743,10 @@ object SparqlQueries {
         |  max(p_retailprice * 2 - p_size) AS mx,
         |  count(*) AS n
         |FROM part GROUP BY 1""".stripMargin,
+    "sparql_orderby_agg" ->
+      """SELECT 'nat:'||c_nationkey AS n, count(*) AS cnt
+        |FROM customer GROUP BY 1
+        |ORDER BY cnt DESC, n ASC LIMIT 10""".stripMargin,
     "sparql_subquery" ->
       """SELECT n_name AS nm, cnt FROM (
         |  SELECT c_nationkey AS k, count(*) AS cnt
