@@ -150,6 +150,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "set-union must not cartesian")
   }
 
+  test("dedup_embedding_cosine: the cell self-join is keyed on label") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct"),
+      "the similarity join must block by cell, never cross")
+  }
+
   test("events_enrich_skewsafe joins on the salt; data_mix broadcasts rates") {
     val p = plan("events_enrich_skewsafe")
     assert(p.contains("__salt"), "the join must be keyed by (user_id, salt)")
