@@ -120,6 +120,27 @@ object Events {
         when(col(s"t$i").isNotNull, 1).otherwise(0)).reduce(_ + _))
   }
 
+  /** Per-type hourly load profile: how many distinct hours the type
+    * fired in, its median and peak hourly volumes, and how many hours
+    * ran over 2× the median (the anomaly count a monitoring rule
+    * would page on). Median is the exact interpolated percentile over
+    * integer counts — lands on .0/.5 exactly, so it compares
+    * bit-for-bit across engines.
+    */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    val hour = floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+    val perHour = events.groupBy(col("event_type"), hour.as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = perHour.groupBy(col("event_type"))
+      .agg(percentile(col("cnt"), lit(0.5)).as("median_cnt"),
+        max(col("cnt")).as("peak_cnt"), count(lit(1)).as("n_hours"))
+    perHour.join(med, "event_type")
+      .groupBy(col("event_type"), col("median_cnt"), col("peak_cnt"),
+        col("n_hours"))
+      .agg(count(when(col("cnt") > col("median_cnt") * 2, 1))
+        .as("n_anomalous"))
+  }
+
   /** Daily activity rollup: DAU + event volume per epoch day —
     * integer outputs, one map-side-combined aggregation over the
     * (user, day) distinct. The companion health metric every event

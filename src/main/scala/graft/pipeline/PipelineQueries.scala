@@ -131,6 +131,8 @@ object PipelineQueries {
       Events.retention(Tables.events(s, dir))),
     "events_daily_active" -> ((s, dir) =>
       Events.dailyActive(Tables.events(s, dir))),
+    "events_hourly_profile" -> ((s, dir) =>
+      Events.hourlyProfile(Tables.events(s, dir))),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir))),
   )
@@ -699,6 +701,17 @@ object PipelineQueries {
         |      ORDER BY n DESC, user_id ASC) AS rnk
         |  FROM g)
         |SELECT event_type, user_id, n, sv, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "events_hourly_profile" ->
+      """WITH ph AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, median(cnt) AS median_cnt,
+        |    max(cnt) AS peak_cnt, count(*) AS n_hours
+        |  FROM ph GROUP BY 1)
+        |SELECT ph.event_type, median_cnt, peak_cnt, n_hours,
+        |  count(CASE WHEN cnt > median_cnt * 2 THEN 1 END) AS n_anomalous
+        |FROM ph JOIN m USING (event_type)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     "events_daily_active" ->
       """WITH ud AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
         |            FROM events)
