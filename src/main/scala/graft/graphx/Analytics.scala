@@ -28,6 +28,23 @@ object Analytics {
     value
   }
 
+  /** Eager localCheckpoint whose backing block is registered for
+    * [[releaseCaches]] — a bare localCheckpoint() persists an RDD the
+    * session can never drop. The iterative loops also unpersist each
+    * superseded round directly (via the returned RDD handle) so peak
+    * storage stays at one generation, not one per round.
+    */
+  private def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val out = df.localCheckpoint()
+    val rdd = out.queryExecution.analyzed.collectLeaves().collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.get
+    track(rdd)(_.unpersist(blocking = false))
+    (out, rdd)
+  }
+
+  private def checkpointTracked(df: DataFrame): DataFrame = ckpt(df)._1
+
   /** Unpersist everything graph queries cached. Long-lived sessions
     * call this between graph workloads so Pregel's MEMORY_AND_DISK
     * blocks don't accumulate.
@@ -127,34 +144,54 @@ object Analytics {
     spark.createDataFrame(cc.vertices).toDF("id", "comp")
   }
 
-  /** Bounded k-core peeling over the undirected edge set: `rounds`
-    * synchronous rounds of "drop every node with degree < k (and its
-    * edges)". At convergence further rounds are no-ops, so a bound
-    * big enough for the graph IS the k-core; the bound also makes the
-    * result reproducible round-for-round in plain SQL (the oracle
-    * unrolls the same rounds). A DataFrame loop, not Pregel: each
-    * round is one partial-aggregated degree count + two semi-joins,
-    * localCheckpoint()ed so the plan stays round-sized — the
-    * iterative-DataFrame idiom that scales with AQE picking the join
-    * strategy per round as the graph shrinks.
+  /** Peel rounds the most recent [[kCore]] call actually ran
+    * (including the final no-op round that proved the fixpoint).
+    * Read by the oracle generator so the unrolled SQL replays exactly
+    * as many rounds as the converged computation took.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+  @volatile var lastKCoreRounds: Int = 0
+
+  /** K-core peeling over the undirected edge set: synchronous rounds
+    * of "drop every node with degree < k (and its edges)" until the
+    * edge count stops shrinking — peeling only removes edges, so an
+    * unchanged count IS the fixpoint, and the loop needs no bound
+    * tuned to the graph's depth (a fixed round count silently returns
+    * a superset on a deeper graph). `maxRounds` is a safety valve and
+    * a way for tests to observe the bounded intermediate states; the
+    * rounds actually run land in [[lastKCoreRounds]]. A DataFrame
+    * loop, not Pregel: each round is one partial-aggregated degree
+    * count + two semi-joins, localCheckpoint()ed so the plan stays
+    * round-sized — the iterative-DataFrame idiom that scales with AQE
+    * picking the join strategy per round as the graph shrinks. The
+    * convergence count() per round is free: it reads the
+    * just-materialized checkpoint.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 10000): DataFrame = {
     // precondition: `edges` is DISTINCT and canonical (one row per
     // undirected edge, src < dst) — then the doubled relation is
     // distinct by construction and no dedup shuffle is needed. Peel
     // on the caller's key type: numeric ids shuffle/join far cheaper
     // than URI strings, so callers should map to strings AFTER.
-    var cur = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    for (_ <- 1 to rounds) {
+    var (cur, curRdd) = ckpt(edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var prev = cur.count()
+    var rounds = 0
+    var converged = prev == 0L
+    while (!converged && rounds < maxRounds) {
       val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
-      cur = cur
+      val (next, nextRdd) = ckpt(cur
         .join(keep, Seq("src"), "left_semi")
         .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .select(col("src"), col("dst")))
+      val n = next.count()
+      rounds += 1
+      converged = n == prev
+      prev = n
+      curRdd.unpersist(blocking = false)
+      cur = next; curRdd = nextRdd
     }
+    lastKCoreRounds = rounds
     cur.select(col("src").as("uri")).distinct()
   }
 
@@ -185,13 +222,51 @@ object Analytics {
       .agg(coalesce((sum(col("t")) / 3).cast("long"), lit(0L)).as("triangles"))
   }
 
-  /** Static PageRank, fixed iteration count. */
-  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
-    val (verts, g) = build(spark, edges)
-    val pr = spark.createDataFrame(
-      track(g.staticPageRank(iters))(_.unpersist(blocking = false))
-        .vertices).toDF("id", "rank")
-    verts.join(pr, Seq("id")).select(col("uri"), col("rank"))
+  /** Static PageRank, fixed iteration count, on EXACT fixed-point
+    * integer arithmetic: ranks are longs scaled by `scale`
+    * (rank 1.0 = `scale`), updated synchronously as
+    * `r'(v) = 0.15·scale + 0.85 · Σ_{u→v} r(u) div outdeg(u)`
+    * with truncating integer division — so the result is bit-identical
+    * on any engine and any partitioning (float PageRank depends on
+    * summation order, which makes it unverifiable cross-engine).
+    * Dangling mass is dropped, matching GraphX's staticPageRank.
+    *
+    * The damping multiply is computed as
+    * `(m div 100)·85 + ((m mod 100)·85) div 100` — algebraically equal
+    * to `(m·85) div 100` for non-negative m but overflow-safe: the
+    * intermediate never exceeds 85·m/100, so hub vertices aggregating
+    * billions of contributions stay within Long range.
+    *
+    * Scale shape: each iteration is one shuffle join (edges ⋈ rank on
+    * src) + one aggregation keyed by dst + one left join back to the
+    * vertex set — the canonical distributed PageRank data flow. The
+    * edge list, vertex set, and out-degrees are localCheckpoint()ed
+    * once and reused every iteration, and each rank generation is
+    * checkpointed so the plan stays iteration-sized.
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int,
+               scale: Long = 1000000000L): DataFrame = {
+    val e = checkpointTracked(edges.select(col("src"), col("dst")))
+    val verts = checkpointTracked(e.select(col("src").as("uri"))
+      .unionAll(e.select(col("dst").as("uri"))).distinct())
+    val withDeg = checkpointTracked(e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src")))
+    var rank = verts.select(col("uri"), lit(scale).as("rank"))
+    var rankRdd: org.apache.spark.rdd.RDD[_] = null
+    for (_ <- 1 to iters) {
+      val msgs = withDeg
+        .join(rank.select(col("uri").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("uri"), expr("rank div outdeg").as("c"))
+        .groupBy(col("uri")).agg(sum(col("c")).as("msum"))
+      val (next, nextRdd) = ckpt(verts.join(msgs, Seq("uri"), "left_outer")
+        .select(col("uri"),
+          (lit(scale * 15 / 100) +
+            expr("(coalesce(msum, 0L) div 100) * 85 " +
+              "+ ((coalesce(msum, 0L) % 100) * 85) div 100")).as("rank")))
+      if (rankRdd != null) rankRdd.unpersist(blocking = false)
+      rank = next; rankRdd = nextRdd
+    }
+    rank
   }
 
   /** Min hop count from any vertex of `sources` (undirected). The

@@ -49,10 +49,12 @@ object GraphQueries {
       Analytics.triangleTotal(s, coOrderPartEdges(s, dir))
     },
     "graph_pagerank" -> { (s, dir) =>
+      // exact fixed-point ranks (longs) — deterministic top-30, so the
+      // key is fully hash-verifiable against the unrolled SQL oracle
       Analytics.pageRank(s, geoEdges(s, dir), iters = 10)
         .orderBy(col("rank").desc, col("uri"))
         .limit(30)
-        .select(col("uri"), round(col("rank"), 6).as("rank"))
+        .select(col("uri"), col("rank"))
     },
     "graph_shortest_paths" -> { (s, dir) =>
       val sources = TripleStore.dimensionTriples(s, dir)
@@ -60,14 +62,48 @@ object GraphQueries {
       Analytics.shortestHops(s, geoEdges(s, dir), sources)
     },
     "graph_kcore" -> { (s, dir) =>
-      Analytics.kCore(coOrderPartEdgeKeys(s, dir), k = 3, rounds = 4)
+      Analytics.kCore(coOrderPartEdgeKeys(s, dir), k = 3)
         .select(concat(lit("part:"), col("uri")).as("uri"))
     },
   )
 
-  /** Unrolled-round k-core oracle: exactly the same 4 synchronous
-    * peels as Analytics.kCore, so Spark and DuckDB agree round for
-    * round whether or not the peeling has converged.
+  /** Unrolled-round pagerank oracle: replays [[Analytics.pageRank]]'s
+    * exact integer recurrence iteration by iteration in plain SQL.
+    * DuckDB's `//` and Spark's `div` are both truncating on the
+    * non-negative longs involved, and the overflow-safe damping split
+    * is written identically, so every intermediate rank is equal
+    * bit-for-bit. DuckDB SUMs BIGINT into HUGEINT, hence the explicit
+    * casts back.
+    */
+  private def pagerankSql(iters: Int, scale: Long, topK: Int): String = {
+    val reset = scale * 15 / 100
+    val base =
+      s"""e AS (
+         |  SELECT 'cust:'||c_custkey AS src, 'nat:'||c_nationkey AS dst FROM customer
+         |  UNION ALL SELECT 'supp:'||s_suppkey, 'nat:'||s_nationkey FROM supplier
+         |  UNION ALL SELECT 'nat:'||n_nationkey, 'reg:'||n_regionkey FROM nation),
+         |v AS (SELECT src AS uri FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT uri, CAST($scale AS BIGINT) AS rank FROM v)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS uri, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS msum
+         |        FROM e JOIN r${i - 1} r ON r.uri = e.src
+         |        JOIN od ON od.src = e.src GROUP BY 1),
+         |r$i AS (SELECT v.uri, CAST($reset + (COALESCE(c.msum, 0) // 100) * 85
+         |          + ((COALESCE(c.msum, 0) % 100) * 85) // 100 AS BIGINT) AS rank
+         |        FROM v LEFT JOIN c$i c ON c.uri = v.uri)""".stripMargin
+    }
+    s"WITH $base,\n${steps.mkString(",\n")}\n" +
+      s"SELECT uri, rank FROM r$iters ORDER BY rank DESC, uri LIMIT $topK"
+  }
+
+  /** Unrolled-round k-core oracle: replays exactly the synchronous
+    * peels Analytics.kCore RAN (the converged computation records its
+    * round count in [[Analytics.lastKCoreRounds]]; Verify runs queries
+    * before dumping oracles, so the count is observed, not guessed).
+    * Extra rounds past the fixpoint are no-ops, so the oracle is
+    * correct for any unroll >= the observed count — but replaying the
+    * observed count keeps the two computations step-for-step equal.
     */
   private def kcoreSql(k: Int, rounds: Int): String = {
     val base =
@@ -84,7 +120,10 @@ object GraphQueries {
       s"SELECT DISTINCT src AS uri FROM r$rounds"
   }
 
-  val oracle: Map[String, String] = Map(
+  /** A def, not a val: the kcore entry reads the round count the
+    * just-run query observed (see [[kcoreSql]]).
+    */
+  def oracle: Map[String, String] = Map(
     "graph_degrees" ->
       """SELECT 'cust:'||c_custkey AS uri, 0 AS indeg, 1 AS outdeg FROM customer
         |UNION ALL
@@ -117,12 +156,13 @@ object GraphQueries {
         |FROM e e1
         |JOIN e e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
         |JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2""".stripMargin,
-    // graph_pagerank: rows-only (fp iteration order nondeterminism)
+    "graph_pagerank" -> pagerankSql(iters = 10, scale = 1000000000L, topK = 30),
     "graph_shortest_paths" ->
       """SELECT 'reg:'||r_regionkey AS uri, 0 AS dist FROM region
         |UNION ALL SELECT 'nat:'||n_nationkey, 1 FROM nation
         |UNION ALL SELECT 'cust:'||c_custkey, 2 FROM customer
         |UNION ALL SELECT 'supp:'||s_suppkey, 2 FROM supplier""".stripMargin,
-    "graph_kcore" -> kcoreSql(k = 3, rounds = 4),
+    "graph_kcore" -> kcoreSql(k = 3,
+      rounds = math.max(Analytics.lastKCoreRounds, 1)),
   )
 }

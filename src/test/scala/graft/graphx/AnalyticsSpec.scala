@@ -36,8 +36,18 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("pagerank ranks the triangle above the pendant") {
-    val pr = Analytics.pageRank(spark, edges, 10).as[(String, Double)].collect().toMap
+    val pr = Analytics.pageRank(spark, edges, 10).as[(String, Long)].collect().toMap
     assert(pr("c") > pr("b"))
+  }
+
+  test("pagerank fixed-point arithmetic is exact") {
+    // after one iteration: f got e's full initial rank (outdeg 1), so
+    // r(f) = 0.15·1e9 + 0.85·1e9 exactly; e received nothing
+    val pr = Analytics.pageRank(spark, edges, 1).as[(String, Long)].collect().toMap
+    assert(pr("f") == 1000000000L)
+    assert(pr("e") == 150000000L)
+    // b got half of a's rank: 0.15e9 + (1e9 div 2)·85/100 = 575000000
+    assert(pr("b") == 575000000L)
   }
 
   test("k-core peels pendants and cascades, bounded by rounds") {
@@ -54,6 +64,18 @@ class AnalyticsSpec extends AnyFunSuite {
       Analytics.kCore(chain, 2, rounds).as[String].collect().toSet
     assert(chainCore(1) == Set("b", "c")) // ends gone after one round
     assert(chainCore(2).isEmpty)          // the rest follows next round
+  }
+
+  test("k-core converges to the fixpoint where a fixed bound under-peels") {
+    // a 12-node path: each k=2 peel round only removes the two ends,
+    // so 4 rounds (the old fixed bound) leave a non-empty superset
+    // while the true 2-core is empty
+    val path = (1 to 11).map(i => (f"v$i%02d", f"v${i + 1}%02d")).toDF("src", "dst")
+    val bounded = Analytics.kCore(path, 2, maxRounds = 4).as[String].collect()
+    assert(bounded.nonEmpty) // the bound demonstrably under-peels
+    val full = Analytics.kCore(path, 2).as[String].collect()
+    assert(full.isEmpty)
+    assert(Analytics.lastKCoreRounds > 4)
   }
 
   test("releaseCaches unpersists every RDD a graph query cached") {
