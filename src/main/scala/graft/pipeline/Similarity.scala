@@ -107,51 +107,88 @@ object Similarity {
       .select(col("vec_id"))
   }
 
-  /** Batch k-NN join: a deterministic id-sliced query subset against
-    * the whole corpus — the bulk companion of the single-query top-k
-    * forms. The query side is broadcast and the corpus is scanned once
-    * (broadcast nested-loop with the fused cosine), then one shuffle
-    * partitioned by query for the per-query top-k window. At 100 TB
-    * the corpus side stays a single narrow pass; once the query set
-    * outgrows broadcast, the LSH bucket join (lshTopK's shape)
-    * replaces the nested loop.
+  /** Scored per-query top-k of `q` (query_id, qv) against corpus `e`
+    * (vec_id, label, v): the shared engine behind [[knnJoin]] and
+    * [[knnClassify]]. Returns (query_id, vec_id, label, rnk).
+    *
+    * Two regimes, gated on the ACTUAL query count (one cheap narrow
+    * count, not a guess from configuration):
+    *
+    * - `count <= maxBroadcastQueries`: exact — the query side is
+    *   broadcast and the corpus scanned once (broadcast nested-loop
+    *   with the fused cosine). The right plan while the query set fits
+    *   an executor.
+    * - above the gate: the broadcast would OOM, so candidates come
+    *   from the multi-probe hyperplane-LSH band machinery instead
+    *   ([[bucketCode]], same probe-mask enumeration as [[lshTopK]]):
+    *   both sides hash to bucket codes, the query side explodes its
+    *   probe masks, and the join is a plain shuffled equi-join on the
+    *   bucket code — no broadcast, no nested loop, candidate volume
+    *   O(probes × bucket occupancy) regardless of either side's size.
+    *   This path is approximate (band recall < 1), the standard
+    *   trade at the scale where the exact join stops being runnable.
     */
-  def knnJoin(embeddings: DataFrame, k: Int = 5,
-              querySlice: Int = 50): DataFrame = {
+  private[pipeline] def knnTopK(e: DataFrame, q: DataFrame, k: Int,
+                                maxBroadcastQueries: Long,
+                                planes: Int = 8, dims: Int = 64,
+                                probeHam: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = vecs(embeddings)
-    val q = broadcast(e.filter(col("vec_id") % querySlice === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val paired =
+      if (q.count() <= maxBroadcastQueries)
+        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      else {
+        val eb = e.withColumn("bucket", bucketCode(col("v"), planes, dims))
+        val masks = (0 until (1 << planes)).filter(Integer.bitCount(_) <= probeHam)
+        val qb = q
+          .withColumn("qbucket", bucketCode(col("qv"), planes, dims))
+          .select(col("query_id"), col("qv"),
+            explode(array(masks.map(m =>
+              col("qbucket").bitwiseXOR(lit(m.toLong))): _*)).as("bucket"))
+        eb.join(qb, Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .drop("bucket")
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(q, col("vec_id") =!= col("query_id"))
+    paired
       .withColumn("cos", cosine(col("v"), col("qv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("label"), col("rnk"))
+  }
+
+  /** Batch k-NN join: a deterministic id-sliced query subset against
+    * the whole corpus — the bulk companion of the single-query top-k
+    * forms. Plan regime (exact broadcast vs LSH band shuffle) is
+    * picked by [[knnTopK]]'s query-count gate; the default gate keeps
+    * every query set that plausibly fits an executor on the exact
+    * path, so the driver-tested slice is bit-reproducible.
+    */
+  def knnJoin(embeddings: DataFrame, k: Int = 5, querySlice: Int = 50,
+              maxBroadcastQueries: Long = 1000000L): DataFrame = {
+    val e = vecs(embeddings)
+    val q = e.filter(col("vec_id") % querySlice === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    knnTopK(e, q, k, maxBroadcastQueries)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
   /** k-NN classification: each query vector takes the majority label
     * of its k nearest corpus neighbors (ties break on the smaller
     * label — deterministic on any cluster). Same scale shape as
-    * [[knnJoin]]: broadcast query side, one corpus scan, per-query
-    * top-k window; the vote is a per-query-sized aggregation on top.
-    * Integer outputs only, so the result hashes stably cross-engine.
+    * [[knnJoin]] (regime picked by [[knnTopK]]'s query-count gate);
+    * the vote is a per-query-sized aggregation on top. Integer
+    * outputs only, so the result hashes stably cross-engine.
     */
-  def knnClassify(embeddings: DataFrame, k: Int = 5,
-                  querySlice: Int = 50): DataFrame = {
+  def knnClassify(embeddings: DataFrame, k: Int = 5, querySlice: Int = 50,
+                  maxBroadcastQueries: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = vecs(embeddings)
-    val q = broadcast(e.filter(col("vec_id") % querySlice === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv")))
-    val byCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+    val q = e.filter(col("vec_id") % querySlice === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val byVotes = Window.partitionBy(col("query_id"))
       .orderBy(col("n_votes").desc, col("label").asc)
-    e.join(q, col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("v"), col("qv")))
-      .withColumn("rnk", row_number().over(byCos))
-      .filter(col("rnk") <= k)
+    knnTopK(e, q, k, maxBroadcastQueries)
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("n_votes"))
       .withColumn("r", row_number().over(byVotes))

@@ -26,6 +26,11 @@ object SkewJoin {
   def salted(fact: DataFrame, dim: DataFrame, key: String,
              saltSource: Column, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // withColumn would silently OVERWRITE a pre-existing __salt column
+    // (corrupting the join and leaking the caller's column); refuse
+    // loudly instead — the name is this operator's private plumbing
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(saltSource), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",

@@ -31,13 +31,22 @@ object TripleOps {
   /** Remove every triple matching the constant pattern (null = wildcard
     * position, like the reference endpoint's node-delete semantics).
     * A pure filter — narrow, no shuffle at any scale.
+    *
+    * The object position matches by LEXICAL VALUE by default — a
+    * deliberate wildcard over term kind, so `remove(o = "p:2")`
+    * deletes both the IRI edge and an identically-spelled plain
+    * literal. When term identity matters (the semantics the SPARQL
+    * UPDATE `DELETE WHERE` path implements), pass `oIsIri` to pin the
+    * object's kind: `Some(true)` touches only the IRI term,
+    * `Some(false)` only the literal.
     */
   def remove(store: DataFrame, s: String = null, p: String = null,
-             o: String = null): DataFrame = {
+             o: String = null, oIsIri: Option[Boolean] = None): DataFrame = {
     val conds = Seq(
       Option(s).map(col("s") === _),
       Option(p).map(col("p") === _),
-      Option(o).map(col("o") === _)).flatten
+      Option(o).map(v => oIsIri.foldLeft(col("o") === v)(
+        (c, iri) => c && col("o_is_iri") === iri))).flatten
     require(conds.nonEmpty, "remove requires at least one bound position")
     store.filter(!conds.reduce(_ && _))
   }

@@ -79,11 +79,11 @@ object Compiler {
           df = df.filter(if (cb == "o") base && col("o_is_iri") else base)
         case _ => ()
       }
-    val seen = scala.collection.mutable.Set.empty[String]
+    val seen = scala.collection.mutable.Map.empty[String, String]
     val out = Seq.newBuilder[Column]
     def emit(position: String, t: Term, withNum: Boolean): Unit = t match {
-      case Var(n) if !seen(n) =>
-        seen += n
+      case Var(n) if !seen.contains(n) =>
+        seen(n) = position
         out += col(position).as(n)
         if (withNum) {
           out += col("o_num").as(numCol(n))
@@ -96,7 +96,19 @@ object Compiler {
     emit("p", tp.p, withNum = false)
     // if ?x is also s or p it binds an IRI, whose o_num is null anyway
     emit("o", tp.o, withNum = true)
-    graphVar.foreach(gn => if (!seen(gn)) { seen += gn; out += col("g").as(gn) })
+    graphVar.foreach { gn =>
+      seen.get(gn) match {
+        case None => out += col("g").as(gn)
+        case Some(src) =>
+          // GRAPH ?g { … ?g … }: the variable is already bound by a
+          // triple position, so the graph name constrains THIS row —
+          // filter rather than silently dropping the equation. An
+          // object binding must also be an IRI: a literal spelled
+          // like the graph name is a different RDF term.
+          val eq = col("g") === col(src)
+          df = df.filter(if (src == "o") eq && col("o_is_iri") else eq)
+      }
+    }
     df.select(out.result(): _*)
   }
 
@@ -265,11 +277,16 @@ object Compiler {
     case CmpVV(op, l, r) =>
       // SPARQL value comparison with runtime type dispatch: numeric
       // when BOTH sides hold numeric values on this row (via the
-      // companions), lexical otherwise — a static choice would
-      // null-compare string rows of a sometimes-numeric variable
+      // companions), lexical when NEITHER does — a static choice
+      // would null-compare string rows of a sometimes-numeric
+      // variable. Mixed rows (number vs IRI/plain string) are a
+      // SPARQL type error: no branch matches, the comparison yields
+      // null, the solution drops — a lexical fallback would wrongly
+      // keep rows like "5" < "nat:1".
       val (ln, rn) = (numVExpr(df, l), numVExpr(df, r))
       when(ln.isNotNull && rn.isNotNull, applyCmp(op, ln, rn))
-        .otherwise(applyCmp(op, strVExpr(df, l), strVExpr(df, r)))
+        .when(ln.isNull && rn.isNull,
+          applyCmp(op, strVExpr(df, l), strVExpr(df, r)))
     case IsNumeric(v) =>
       if (df.columns.contains(numCol(v.name))) col(numCol(v.name)).isNotNull
       else lit(false)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards the plans we tuned for: pushdown reaches the scans, small
@@ -73,6 +74,25 @@ class PlanSpec extends AnyFunSuite {
       "query subset must broadcast against the single corpus scan")
     assert(p.contains("WindowGroupLimit"),
       "per-query top-k must prune before the window shuffle")
+  }
+
+  test("ann_knn_join above the broadcast gate: LSH bands, no nested loop") {
+    val emb = Tables.embeddings(spark, dir)
+    val df = graft.pipeline.Similarity.knnJoin(emb, k = 3, querySlice = 50,
+      maxBroadcastQueries = 0L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "above the gate the query side must not broadcast into a nested loop")
+    assert(p.contains("WindowGroupLimit"),
+      "fallback keeps the per-query top-k prune")
+    // recall floor: a query vector always collides with its own bucket,
+    // so every query must surface candidates (its band probes include
+    // the unmasked code)
+    import spark.implicits._
+    val nQueries = emb.filter(col("vec_id") % 50 === 0).count()
+    val got = df.select("query_id").distinct().as[Long].collect()
+    assert(got.length == nQueries,
+      s"every query should find band candidates, got ${got.length}/$nQueries")
   }
 
   test("text_contamination: benchmark grams broadcast into a semi-join") {

@@ -69,6 +69,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.embeddingCosine(e, tau = 0.8).count() == 0)
   }
 
+  test("banded blocking at tau >= 0.7 keeps every true near-dup pair") {
+    // non-vacuous recall check for the tau >= 0.7 regime: 40 planted
+    // near-dup pairs (cosine ~0.995) among random 64-dim noise — the
+    // banded path must return EXACTLY the exhaustive within-label
+    // join's answer, not a survivable subset of it
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian())
+    val rows = (0 until 40).flatMap { i =>
+      val base = vec()
+      val dup = base.map(x => x + 0.05 * rnd.nextGaussian())
+      Seq((i.toLong * 2, i % 4, base), (i.toLong * 2 + 1, i % 4, dup))
+    } ++ (1000 until 1040).map(id => (id.toLong, id % 4, vec()))
+    val e = rows.toDF("vec_id", "label", "embedding")
+    val banded = Dedup.embeddingCosine(e, tau = 0.8)
+      .as[(Long, Long)].collect().toSet
+    val v = e.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val exact = v.as("x").join(v.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .filter(Similarity.cosine(col("x.v"), col("y.v")) >= 0.8)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(banded == exact)
+    assert(banded.size >= 40, "every planted dup pair must survive banding")
+  }
+
   test("minhash lsh finds the same near-dup pair") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",

@@ -346,6 +346,17 @@ class RdfSpec extends AnyFunSuite {
     // remove by predicate wildcard, then by subject
     assert(TripleOps.remove(store, p = ":num").count() == store.count() - 1)
     assert(TripleOps.remove(store, s = "s:1").count() == 0)
+    // object position: lexical wildcard by default, term-pinned with
+    // oIsIri — an IRI edge and a lookalike literal are different terms
+    val twins = Seq(
+      ("s:1", ":edge", "p:2", Option.empty[Double], true, Option.empty[String]),
+      ("s:1", ":label", "p:2", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(TripleOps.remove(twins, o = "p:2").count() == 0)
+    assert(TripleOps.remove(twins, o = "p:2", oIsIri = Some(true))
+      .select("p").as[String].collect().toSeq == Seq(":label"))
+    assert(TripleOps.remove(twins, o = "p:2", oIsIri = Some(false))
+      .select("p").as[String].collect().toSeq == Seq(":edge"))
     assert(TripleOps.subtract(store, store.limit(2)).count() ==
       store.count() - 2)
   }

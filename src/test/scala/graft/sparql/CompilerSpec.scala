@@ -604,6 +604,33 @@ class CompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("var-var comparison on mixed types is a type error, not lexical") {
+    // ?a numeric (age), ?n plain string (name): SPARQL calls the
+    // comparison a type error and drops the row — a lexical fallback
+    // would wrongly keep "30" < "ann"
+    val q = SparqlParser.parse(
+      "SELECT ?x WHERE { ?x :age ?a . ?x :name ?n . FILTER(?a < ?n) }")
+    assert(Compiler.run(triples, q).collect().isEmpty)
+    // rows where NEITHER side is numeric still compare lexically
+    val q2 = SparqlParser.parse(
+      "SELECT ?x WHERE { ?x :name ?n . ?y :name ?m . FILTER(?n < ?m) }")
+    assert(Compiler.run(triples, q2).collect().map(_.getString(0)).toSeq == Seq("p:1"))
+  }
+
+  test("GRAPH ?g with ?g also in a triple position constrains the row") {
+    val quads = Seq(
+      // g:a's edge points AT g:a itself — the only self-referential row
+      ("g:a", "p:1", ":inGraph", "g:a", Option.empty[Double], true, Option.empty[String]),
+      ("g:a", "p:2", ":inGraph", "g:b", None, true, None),
+      // lookalike LITERAL "g:b" inside g:b: lexical match, different term
+      ("g:b", "p:3", ":inGraph", "g:b", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    val rows = Compiler.runQuads(quads, SparqlParser.parse(
+      "SELECT ?s ?g WHERE { GRAPH ?g { ?s :inGraph ?g } }"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSet == Set(("p:1", "g:a")))
+  }
+
   test("FROM / FROM NAMED replace the dataset per SPARQL 13.2") {
     val quads = Seq(
       ("g:a", "p:1", ":name", "ann", Option.empty[Double], false, Option.empty[String]),
