@@ -55,13 +55,22 @@ object Bench {
         } finally {
           graft.pipeline.Dedup.releaseCaches()
           graft.graphx.Analytics.releaseCaches()
+          graft.Checkpoints.releaseCaches()
         }
       }
     }
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
+    println(line)
+    // stable per-run artifact: round-over-round comparison reads this
+    // file instead of scraping sbt output tails
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_latest.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

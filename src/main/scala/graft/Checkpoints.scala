@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Tracked eager localCheckpoints for query bodies that need a plan
+  * barrier (e.g. the fused derive→format→parse round-trip tests,
+  * whose single janino method otherwise grows past 64 KB and drops
+  * the whole stage to interpreted eval). A bare localCheckpoint()
+  * persists a block the session can never drop; this registry lets
+  * the harness release them with the same contract as
+  * [[graft.pipeline.Dedup.releaseCaches]]: release once the returned
+  * DataFrames are consumed, never mid-flight.
+  */
+object Checkpoints {
+
+  private val released =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[() => Unit]())
+
+  /** Eager localCheckpoint whose backing RDD is registered for
+    * [[releaseCaches]].
+    */
+  def tracked(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint()
+    out.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        released.add(() => l.rdd.unpersist(blocking = false))
+      case _ => ()
+    }
+    out
+  }
+
+  def releaseCaches(): Unit = released.synchronized {
+    val it = released.iterator()
+    while (it.hasNext) { it.next().apply(); it.remove() }
+  }
+}

@@ -31,6 +31,7 @@ object Verify {
       finally {
         graft.pipeline.Dedup.releaseCaches()
         graft.graphx.Analytics.releaseCaches()
+        graft.Checkpoints.releaseCaches()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

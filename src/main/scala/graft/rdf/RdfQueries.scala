@@ -14,9 +14,14 @@ object RdfQueries {
     "rdf_build_triples" -> { (s, dir) =>
       TripleStore.triples(s, dir).filter(col("s").startsWith("cust:"))
     },
-    // distributed N-Triples writer → parser → query (supplier slice)
+    // distributed N-Triples writer → parser → query (supplier slice).
+    // The checkpoint between format and parse is the file boundary a
+    // real round-trip has: fused, the single codegen method crosses
+    // janino's 64 KB limit and the whole stage drops to interpreted
+    // eval (plus a ~2s compile-fail penalty per run).
     "rdf_ntriples_roundtrip" -> { (s, dir) =>
-      val nt = NTriples.format(TripleStore.dimensionTriples(s, dir))
+      val nt = graft.Checkpoints.tracked(
+        NTriples.format(TripleStore.dimensionTriples(s, dir)))
       NTriples.parse(nt)
         .filter(col("s").startsWith("supp:") && col("p").isin(":name", ":acctbal"))
     },
@@ -104,7 +109,11 @@ object RdfQueries {
           .withColumn("g", lit("g:region")))
         .select(col("g"), col("s"), col("p"), col("o"),
           col("o_num"), col("o_is_iri"), col("lang"))
-      TriG.parse(TriG.format(quads)).select(col("g"), col("s"), col("o"))
+      // checkpoints = the file boundary plus the unwrap/parse split;
+      // see rdf_ntriples_roundtrip and TriG.parse's barrier doc
+      TriG.parse(graft.Checkpoints.tracked(TriG.format(quads)),
+          barrier = graft.Checkpoints.tracked)
+        .select(col("g"), col("s"), col("o"))
     },
     // N-Quads: graph as a fourth term — the round-trip mixes a
     // literal+graph slice, a default-graph IRI-object slice (the

@@ -27,8 +27,16 @@ object TriG {
     * with the same substring arithmetic as the triple terms; the
     * inner statement reuses [[NTriples.parse]] with the graph column
     * passed through.
+    *
+    * `barrier` is an optional plan split between the graph unwrap and
+    * the inner triple parse: fused, the two stages' generated code
+    * crosses janino's 64 KB method limit and the stage silently runs
+    * interpreted (plus a compile-fail penalty). Callers that care
+    * pass a materializer (e.g. [[graft.Checkpoints.tracked]]); the
+    * default keeps parse a single narrow pass.
     */
-  def parse(lines: DataFrame): DataFrame = {
+  def parse(lines: DataFrame,
+            barrier: DataFrame => DataFrame = identity): DataFrame = {
     val l = regexp_replace(trim(col("line")), "^GRAPH[ \\t]+", "")
     val quads = lines.select(l.as("line"))
       .filter(col("line").endsWith("}") && instr(col("line"), "{") > 0)
@@ -39,7 +47,7 @@ object TriG {
     val defaults = lines.select(trim(col("line")).as("line"))
       .filter(!col("line").endsWith("}"))
       .select(lit("").as("g"), col("line"))
-    NTriples.parse(
-      quads.select(g.as("g"), inner.as("line")).unionAll(defaults))
+    NTriples.parse(barrier(
+      quads.select(g.as("g"), inner.as("line")).unionAll(defaults)))
   }
 }
