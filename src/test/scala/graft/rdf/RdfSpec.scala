@@ -229,6 +229,33 @@ class RdfSpec extends AnyFunSuite {
     assert(toks == Vector("ns0:1", "ns0:p", "\"a b ; c\"", ";", "ns0:q", "ns0:2", "."))
   }
 
+  test("RdfImport reads http sources with header params") {
+    // local HTTP fixture (JDK built-in server) — parity with the
+    // reference's importRDF(url, format, headerParams) entry point
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seenAuth = new java.util.concurrent.atomic.AtomicReference[String]
+    server.createContext("/dump.nt", (ex: com.sun.net.httpserver.HttpExchange) => {
+      seenAuth.set(ex.getRequestHeaders.getFirst("Authorization"))
+      val body = "<s:1> <:p> \"v\" .\n<s:2> <:p> \"w\" .\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/dump.nt"
+      val got = RdfImport.read(spark, url, "ntriples",
+        headerParams = Map("Authorization" -> "Bearer t0k"))
+      assert(got.count() == 2)
+      assert(seenAuth.get() == "Bearer t0k")
+      // header params on a storage path are a caller bug, not a no-op
+      intercept[IllegalArgumentException](
+        RdfImport.read(spark, "/tmp/nope.nt", "ntriples",
+          headerParams = Map("a" -> "b")))
+    } finally server.stop(0)
+  }
+
   test("PropertyGraph splits labels, props, edges; dedups edges") {
     val t = Seq(
       ("n:1", "rdf:type", ":A", Option.empty[Double], true, Option.empty[String]),
