@@ -389,6 +389,13 @@ object Compiler {
         .otherwise(lit(""))
     case FnCall("REPLACE", Seq(a, VStr(pat), VStr(rep))) =>
       regexp_replace(strVExpr(df, a), pat, rep)
+    // RFC 3986 percent-encoding over the unreserved set. Spark's
+    // url_encode is FORM encoding — three divergences from the SPARQL
+    // builtin (space → '+', '*' passes, '~' encodes) are post-fixed
+    case FnCall("ENCODE_FOR_URI", Seq(a)) =>
+      regexp_replace(regexp_replace(regexp_replace(
+        url_encode(strVExpr(df, a)),
+        "\\+", "%20"), "\\*", "%2A"), "%7E", "~")
     // SPARQL hash builtins: lowercase hex digests of the UTF-8 lexical
     // form (native codegen'd expressions in both engines)
     case FnCall("MD5", Seq(a)) => md5(strVExpr(df, a))
@@ -756,9 +763,12 @@ object Compiler {
           case Avg => aggExpr.map(e => avg(numVExpr(df, e)))
             .getOrElse(avg(numOnly(varOf("AVG").name, "AVG")))
           case GroupConcat =>
-            // sort before joining: collect_list order is partition-
-            // dependent, the sorted join is deterministic anywhere
-            array_join(array_sort(collect_list(col(varOf("GROUP_CONCAT").name))), sep)
+            // sort before joining: collect order is partition-
+            // dependent, the sorted join is deterministic anywhere;
+            // DISTINCT collects the value SET
+            val src = col(varOf("GROUP_CONCAT").name)
+            array_join(array_sort(
+              if (dist) collect_set(src) else collect_list(src)), sep)
           case Sample =>
             // SPARQL permits any group member; the lexical minimum is
             // the deterministic choice (same answer on any cluster)

@@ -206,7 +206,7 @@ object SparqlParser extends RegexParsers {
   // longer names before their prefixes: regex alternation is ordered
   // (STRBEFORE/STRAFTER/STRLEN before STR, SUBSTR before STR)
   private def fnName: Parser[String] =
-    "(?i)(CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG|ABS|CEIL|FLOOR|ROUND|MD5|SHA256|IRI|URI)".r ^^
+    "(?i)(ENCODE_FOR_URI|CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG|ABS|CEIL|FLOOR|ROUND|MD5|SHA256|IRI|URI)".r ^^
       (_.toUpperCase)
   private def ifExpr: Parser[VExpr] =
     "(?i)IF".r ~> "(" ~> orExpr ~ ("," ~> vAdditive) ~ ("," ~> vAdditive) <~ ")" ^^ {
@@ -330,11 +330,13 @@ object SparqlParser extends RegexParsers {
           case (Count, true) => CountDistinct
           case (o, _) => o
         }
-        // DISTINCT beyond COUNT: set semantics for SUM (AVG/MAX/MIN
-        // DISTINCT either isn't order-safe under the oracle hash or is
-        // a no-op; COUNT has its own op)
-        val distFlag = dist.isDefined && realOp == Sum
-        if (dist.isDefined && !Seq(Count, CountDistinct, Sum).contains(realOp))
+        // DISTINCT beyond COUNT: set semantics for SUM and
+        // GROUP_CONCAT (AVG/MAX/MIN DISTINCT either isn't order-safe
+        // under the oracle hash or is a no-op; COUNT has its own op)
+        val distFlag = dist.isDefined &&
+          (realOp == Sum || realOp == GroupConcat)
+        if (dist.isDefined &&
+          !Seq(Count, CountDistinct, Sum, GroupConcat).contains(realOp))
           failure(s"DISTINCT is not supported for $realOp")
         else {
         val sepStr = sep.map(_.lexical).getOrElse(" ")

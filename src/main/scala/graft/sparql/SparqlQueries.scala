@@ -201,6 +201,22 @@ object SparqlQueries {
           |  ?x :inRegion ?r . ?x :name ?n .
           |} GROUP BY ?r""".stripMargin))
     },
+    // GROUP_CONCAT(DISTINCT): the value SET, sorted then joined —
+    // duplicate segments from a nation's many customers collapse
+    "sparql_group_concat_distinct" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?n (GROUP_CONCAT(DISTINCT ?m; SEPARATOR=",") AS ?segs) WHERE {
+          |  ?c :hasNation ?n . ?c :mktsegment ?m .
+          |} GROUP BY ?n""".stripMargin))
+    },
+    // ENCODE_FOR_URI: RFC 3986 percent-encoding of the lexical form
+    "sparql_encode_uri" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?x ?e WHERE {
+          |  ?x :inRegion ?r . ?x :name ?n .
+          |  BIND(ENCODE_FOR_URI(?n) AS ?e)
+          |}""".stripMargin))
+    },
     // query-time language filter (the reference only filters language
     // at import time) — lang() over the hidden language companion
     "sparql_lang_filter" -> { (s, dir) =>
@@ -627,6 +643,15 @@ object SparqlQueries {
       """SELECT 'reg:'||n_regionkey AS r,
         |       string_agg(n_name, '|' ORDER BY n_name) AS names
         |FROM nation GROUP BY 1""".stripMargin,
+    "sparql_group_concat_distinct" ->
+      """SELECT 'nat:'||c_nationkey AS n,
+        |       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+        |FROM customer GROUP BY 1""".stripMargin,
+    // nation names are uppercase ASCII + spaces: the space is the only
+    // character the builtin escapes on this data
+    "sparql_encode_uri" ->
+      """SELECT 'nat:'||n_nationkey AS x, replace(n_name, ' ', '%20') AS e
+        |FROM nation""".stripMargin,
     "sparql_lang_filter" ->
       """SELECT 'nat:'||n_nationkey AS n, n_name||' comment' AS c
         |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin,

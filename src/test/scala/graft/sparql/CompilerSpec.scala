@@ -604,6 +604,24 @@ class CompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP_CONCAT DISTINCT collects the value set; ENCODE_FOR_URI escapes") {
+    val t = Seq(
+      ("x", ":a", "v", Option.empty[Double], false, Option.empty[String]),
+      ("x", ":b", "v", None, false, None),
+      ("x", ":c", "w", None, false, None),
+      ("x", ":name", "a b~c*#", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val q = SparqlParser.parse(
+      """SELECT ?s (GROUP_CONCAT(DISTINCT ?v; SEPARATOR=",") AS ?vs)
+        |WHERE { ?s ?p ?v } GROUP BY ?s""".stripMargin)
+    assert(Compiler.run(t, q).collect().head.getString(1) == "a b~c*#,v,w")
+    // RFC 3986: space/'*'/'#' escape, '~' stays (unreserved)
+    val q2 = SparqlParser.parse(
+      "SELECT ?e WHERE { ?s :name ?n . BIND(ENCODE_FOR_URI(?n) AS ?e) }")
+    assert(Compiler.run(t, q2).collect().map(_.getString(0)).toSeq ==
+      Seq("a%20b~c%2A%23"))
+  }
+
   test("var-var comparison on mixed types is a type error, not lexical") {
     // ?a numeric (age), ?n plain string (name): SPARQL calls the
     // comparison a type error and drops the row — a lexical fallback
