@@ -47,6 +47,11 @@ object Ast {
     * language is the empty string per the SPARQL lang() builtin.
     */
   final case class LangCmp(eq: Boolean, v: Var, tag: String) extends Expr
+  /** `LANGMATCHES(LANG(?v), "range")` — RFC 4647 basic filtering:
+    * "*" matches any tagged literal; a plain range matches itself and
+    * any subtag extension (case-insensitive).
+    */
+  final case class LangMatches(v: Var, range: String) extends Expr
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
   /** `?v [NOT] IN (c1, c2, …)` — value-equality against a constant

@@ -224,6 +224,18 @@ object Compiler {
         val l = coalesce(col(langCol(v.name)), lit(""))
         if (eq) l === tag else l =!= tag
       }
+    case LangMatches(v, range) =>
+      // RFC 4647 basic filtering, case-insensitive: "*" passes every
+      // TAGGED literal; "en" passes "en" and "en-US"-style extensions
+      if (!df.columns.contains(langCol(v.name))) lit(false)
+      else {
+        val l = lower(coalesce(col(langCol(v.name)), lit("")))
+        if (range == "*") l =!= ""
+        else {
+          val r = range.toLowerCase
+          l === r || l.startsWith(r + "-")
+        }
+      }
     case StrFilter(op, v, arg) =>
       // string builtins over the lexical form; an unbound variable is
       // a type error, which FILTER treats as false
@@ -396,6 +408,9 @@ object Compiler {
       regexp_replace(regexp_replace(regexp_replace(
         url_encode(strVExpr(df, a)),
         "\\+", "%20"), "\\*", "%2A"), "%7E", "~")
+    // STRLANG/STRDT outside BIND: the lexical form (the companions
+    // only attach where a variable is bound)
+    case FnCall("STRLANG" | "STRDT", Seq(a, _)) => strVExpr(df, a)
     // SPARQL hash builtins: lowercase hex digests of the UTF-8 lexical
     // form (native codegen'd expressions in both engines)
     case FnCall("MD5", Seq(a)) => md5(strVExpr(df, a))
@@ -509,6 +524,24 @@ object Compiler {
           // a minted IRI is a resource term: isIRI/DATATYPE see it so
           df.withColumn(as, strVExpr(df, inner))
             .withColumn(iriCol(as), lit(true))
+        case FnCall("STRLANG", Seq(inner, VStr(tag))) =>
+          // a minted language-tagged literal: LANG()/LANGMATCHES and
+          // the lang-aware serializers see the tag via the companion
+          df.withColumn(as, strVExpr(df, inner))
+            .withColumn(langCol(as), lit(tag))
+        case FnCall("STRDT", Seq(inner, VStr(dt))) =>
+          // a minted typed literal; the double datatype also fills the
+          // numeric companion so the term is filterable/sortable like
+          // a parsed typed literal (other datatypes keep lexical-only).
+          // try_cast, not cast: an invalid lexical form means "no
+          // numeric value" in SPARQL — and Catalyst may push the
+          // expression below the joins that restrict the rows, where a
+          // strict ANSI cast would throw on unrelated bindings
+          val base = df.withColumn(as, strVExpr(df, inner))
+          if (dt == "http://www.w3.org/2001/XMLSchema#double" ||
+            dt == "xsd:double")
+            base.withColumn(numCol(as), base(as).try_cast("double"))
+          else base
         case e =>
           df.withColumn(as, strVExpr(df, e))
       }

@@ -64,6 +64,11 @@ object SparqlParser extends RegexParsers {
     ("(?i)LANG".r ~> "(" ~> varTerm <~ ")") ~ ("!=" | "=") ~ strLit ^^ {
       case v ~ op ~ tag => LangCmp(op == "=", v, tag.lexical)
     }
+  private def langMatches: Parser[Expr] =
+    ("(?i)LANGMATCHES".r ~> "(" ~> "(?i)LANG".r ~> "(" ~> varTerm <~ ")") ~
+      ("," ~> strLit <~ ")") ^^ {
+      case v ~ range => LangMatches(v, range.lexical)
+    }
   private def strOp: Parser[StrOp] =
     "(?i)REGEX".r ^^^ RegexMatch | "(?i)STRSTARTS".r ^^^ StrStarts |
     "(?i)STRENDS".r ^^^ StrEnds | "(?i)CONTAINS".r ^^^ StrContains
@@ -91,7 +96,7 @@ object SparqlParser extends RegexParsers {
   private def notExpr: Parser[Expr] =
     "!" ~> primaryExpr ^^ Not.apply
   private def primaryExpr: Parser[Expr] =
-    ("(" ~> orExpr <~ ")") | notExpr | langCmp | strFilter | boundExpr |
+    ("(" ~> orExpr <~ ")") | notExpr | langMatches | langCmp | strFilter | boundExpr |
       termTest | inFilter | cmp
   private def andExpr: Parser[Expr] =
     rep1sep(primaryExpr, "&&") ^^ (_.reduceLeft(And.apply))
@@ -212,9 +217,20 @@ object SparqlParser extends RegexParsers {
     "(?i)IF".r ~> "(" ~> orExpr ~ ("," ~> vAdditive) ~ ("," ~> vAdditive) <~ ")" ^^ {
       case c ~ t ~ f => VIf(c, t, f)
     }
+  /** STRLANG / STRDT: the second argument is a constant tag / a
+    * datatype IRI (angle-bracket or prefixed form both accepted),
+    * normalized to a VStr so the compiler sees one shape.
+    */
+  private def strLangDt: Parser[VExpr] =
+    ("(?i)(STRLANG|STRDT)".r ^^ (_.toUpperCase)) ~ ("(" ~> vAdditive) ~
+      ("," ~> (iriRef ^^ (i => VStr(i.value)) | strLit ^^ (l => VStr(l.lexical)))
+        <~ ")") ^^ {
+      case f ~ lex ~ arg => FnCall(f, Seq(lex, arg))
+    }
   private def vPrimary: Parser[VExpr] =
     ("(" ~> vAdditive <~ ")") |
     ifExpr |
+    strLangDt |
     fnName ~ ("(" ~> rep1sep(vAdditive, ",") <~ ")") ^^ {
       case f ~ args => FnCall(f, args)
     } |

@@ -223,6 +223,25 @@ object SparqlQueries {
       run(s, dir, SparqlParser.parse(
         """SELECT ?n ?c WHERE { ?n :comment ?c . FILTER(LANG(?c) = "en") }"""))
     },
+    // LANGMATCHES: RFC 4647 basic filtering over the lang companion
+    "sparql_langmatches" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?n ?c WHERE {
+          |  ?n :comment ?c . FILTER(LANGMATCHES(LANG(?c), "fr"))
+          |}""".stripMargin))
+    },
+    // STRLANG/STRDT literal construction: the minted tag feeds
+    // LANGMATCHES (subtag matching), the minted double feeds a
+    // numeric FILTER — proving the companions attach, not just lexify
+    "sparql_strlang_strdt" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?x ?t ?k WHERE {
+          |  ?x :inRegion ?r . ?x :name ?n .
+          |  BIND(STRLANG(?n, "en-GB") AS ?t)
+          |  BIND(STRDT(SUBSTR(STR(?x), 5), "xsd:double") AS ?k)
+          |  FILTER(LANGMATCHES(LANG(?t), "en") && ?k >= 10)
+          |}""".stripMargin))
+    },
     // ASK query form: limit-1 short-circuited existence check
     "sparql_ask" -> { (s, dir) =>
       val yes = Compiler.ask(TripleStore.triples(s, dir), SparqlParser.parseAsk(
@@ -655,6 +674,14 @@ object SparqlQueries {
     "sparql_lang_filter" ->
       """SELECT 'nat:'||n_nationkey AS n, n_name||' comment' AS c
         |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin,
+    // odd nation keys carry the @fr tag (RdfModel's comment minting)
+    "sparql_langmatches" ->
+      """SELECT 'nat:'||n_nationkey AS n, n_name||' comment' AS c
+        |FROM nation WHERE n_nationkey % 2 = 1""".stripMargin,
+    "sparql_strlang_strdt" ->
+      """SELECT 'nat:'||n_nationkey AS x, n_name AS t,
+        |       CAST(n_nationkey AS VARCHAR) AS k
+        |FROM nation WHERE n_nationkey >= 10""".stripMargin,
     "sparql_ask" ->
       """SELECT EXISTS(SELECT 1 FROM customer WHERE c_acctbal >= 0) AS ask_pos,
         |       EXISTS(SELECT 1 FROM customer

@@ -622,6 +622,22 @@ class CompilerSpec extends AnyFunSuite {
       Seq("a%20b~c%2A%23"))
   }
 
+  test("LANGMATCHES: basic filtering incl. subtags; '*' skips plain literals") {
+    val t = Seq(
+      ("a", ":c", "x", Option.empty[Double], false, Some("en")),
+      ("b", ":c", "y", None, false, Some("en-US")),
+      ("c", ":c", "z", None, false, Some("fr")),
+      ("d", ":c", "w", None, false, Option.empty[String]))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    def q(range: String) = Compiler.run(t, SparqlParser.parse(
+      s"""SELECT ?s WHERE { ?s :c ?v . FILTER(LANGMATCHES(LANG(?v), "$range")) }"""))
+      .collect().map(_.getString(0)).toSet
+    assert(q("en") == Set("a", "b")) // range matches itself + extensions
+    assert(q("EN") == Set("a", "b")) // case-insensitive
+    assert(q("*") == Set("a", "b", "c")) // any TAGGED literal, not plain
+    assert(q("de").isEmpty)
+  }
+
   test("var-var comparison on mixed types is a type error, not lexical") {
     // ?a numeric (age), ?n plain string (name): SPARQL calls the
     // comparison a type error and drops the row — a lexical fallback
