@@ -222,6 +222,35 @@ object Analytics {
       .agg(coalesce((sum(col("t")) / 3).cast("long"), lit(0L)).as("triangles"))
   }
 
+  /** Per-URI triangle participation counts (canonical edges, like
+    * [[triangleTotal]]); vertices on no triangle are omitted so the
+    * result is triangle-sized, not graph-sized.
+    */
+  def trianglePerVertex(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val verts = edges.select(col("src").as("uri"))
+      .unionAll(edges.select(col("dst").as("uri")))
+      .distinct()
+      .select(xxhash64(col("uri")).as("id"), col("uri"))
+    val canon = edges
+      .select(xxhash64(col("src")).as("sid"), xxhash64(col("dst")).as("did"))
+      .select(least(col("sid"), col("did")).as("sid"),
+        greatest(col("sid"), col("did")).as("did"))
+      .filter(col("sid") =!= col("did"))
+      .distinct()
+    val canonRdd = track(canon.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))(
+      _.unpersist(blocking = false))
+    val g = track(Graph.fromEdgeTuples(canonRdd, 1)
+      .partitionBy(PartitionStrategy.RandomVertexCut))(
+      _.unpersist(blocking = false))
+    val pv = spark.createDataFrame(
+      track(g.triangleCount())(_.unpersist(blocking = false)).vertices)
+      .toDF("id", "t")
+    verts.join(pv, Seq("id"))
+      .filter(col("t") > 0)
+      .select(col("uri"), col("t").cast("long").as("triangles"))
+  }
+
   /** Static PageRank, fixed iteration count, on EXACT fixed-point
     * integer arithmetic: ranks are longs scaled by `scale`
     * (rank 1.0 = `scale`), updated synchronously as

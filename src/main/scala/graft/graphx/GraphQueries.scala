@@ -48,6 +48,9 @@ object GraphQueries {
     "graph_triangle_count" -> { (s, dir) =>
       Analytics.triangleTotal(s, coOrderPartEdges(s, dir))
     },
+    "graph_triangle_vertex" -> { (s, dir) =>
+      Analytics.trianglePerVertex(s, coOrderPartEdges(s, dir))
+    },
     "graph_pagerank" -> { (s, dir) =>
       // exact fixed-point ranks (longs) — deterministic top-30, so the
       // key is fully hash-verifiable against the unrolled SQL oracle
@@ -156,6 +159,18 @@ object GraphQueries {
         |FROM e e1
         |JOIN e e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
         |JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2""".stripMargin,
+    "graph_triangle_vertex" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |t AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |      FROM e e1
+        |      JOIN e e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
+        |      JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2)
+        |SELECT 'part:'||v AS uri, count(*) AS triangles FROM (
+        |  SELECT a AS v FROM t UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t)
+        |GROUP BY 1""".stripMargin,
     "graph_pagerank" -> pagerankSql(iters = 10, scale = 1000000000L, topK = 30),
     "graph_shortest_paths" ->
       """SELECT 'reg:'||r_regionkey AS uri, 0 AS dist FROM region

@@ -411,6 +411,10 @@ object Compiler {
     // STRLANG/STRDT outside BIND: the lexical form (the companions
     // only attach where a variable is bound)
     case FnCall("STRLANG" | "STRDT", Seq(a, _)) => strVExpr(df, a)
+    // fresh UUIDs per solution row (necessarily nondeterministic, so
+    // no oracled key uses them; tests assert format + uniqueness)
+    case FnCall("STRUUID", Nil) => expr("uuid()")
+    case FnCall("UUID", Nil) => concat(lit("urn:uuid:"), expr("uuid()"))
     // SPARQL hash builtins: lowercase hex digests of the UTF-8 lexical
     // form (native codegen'd expressions in both engines)
     case FnCall("MD5", Seq(a)) => md5(strVExpr(df, a))
@@ -542,6 +546,10 @@ object Compiler {
             dt == "xsd:double")
             base.withColumn(numCol(as), base(as).try_cast("double"))
           else base
+        case e @ FnCall("UUID", Nil) =>
+          // a minted urn:uuid is a resource term like IRI()
+          df.withColumn(as, strVExpr(df, e))
+            .withColumn(iriCol(as), lit(true))
         case e =>
           df.withColumn(as, strVExpr(df, e))
       }

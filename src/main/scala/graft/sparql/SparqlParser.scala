@@ -227,10 +227,18 @@ object SparqlParser extends RegexParsers {
         <~ ")") ^^ {
       case f ~ lex ~ arg => FnCall(f, Seq(lex, arg))
     }
+  /** Zero-argument builtins: UUID() mints a fresh urn:uuid IRI,
+    * STRUUID() the bare simple-literal form.
+    */
+  private def zeroArgFn: Parser[VExpr] =
+    "(?i)(STRUUID|UUID)".r ~ "(" ~ ")" ^^ {
+      case f ~ _ ~ _ => FnCall(f.toUpperCase, Nil)
+    }
   private def vPrimary: Parser[VExpr] =
     ("(" ~> vAdditive <~ ")") |
     ifExpr |
     strLangDt |
+    zeroArgFn |
     fnName ~ ("(" ~> rep1sep(vAdditive, ",") <~ ")") ^^ {
       case f ~ args => FnCall(f, args)
     } |

@@ -535,6 +535,18 @@ object SparqlQueries {
       updated.filter(col("p").isin(":mktsegment", ":segment"))
         .groupBy(col("p"), col("o")).agg(count(lit(1)).as("cnt"))
     },
+    // VALUES inside an UPDATE's WHERE: the inline constant table
+    // drives which bindings the templates instantiate
+    "sparql_update_values" -> { (s, dir) =>
+      val store = graft.rdf.TripleStore.dimensionTriples(s, dir)
+      val updated = graft.Graft.update(store,
+        """DELETE { ?c :mktsegment ?m }
+          |INSERT { ?c :segment ?m }
+          |WHERE { ?c :mktsegment ?m .
+          |        VALUES ?m { "BUILDING" "MACHINERY" } }""".stripMargin)
+      updated.filter(col("p").isin(":mktsegment", ":segment"))
+        .groupBy(col("p"), col("o")).agg(count(lit(1)).as("cnt"))
+    },
     // var-var FILTER comparison (numeric through the companions):
     // same-nation customer/supplier pairs where the customer balance
     // exceeds the supplier's
@@ -735,6 +747,11 @@ object SparqlQueries {
     "sparql_update_modify" ->
       """SELECT CASE WHEN c_mktsegment LIKE 'B%' THEN ':segment'
         |            ELSE ':mktsegment' END AS p,
+        |       c_mktsegment AS o, count(*) AS cnt
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "sparql_update_values" ->
+      """SELECT CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY')
+        |            THEN ':segment' ELSE ':mktsegment' END AS p,
         |       c_mktsegment AS o, count(*) AS cnt
         |FROM customer GROUP BY 1, 2""".stripMargin,
     "sparql_update" ->

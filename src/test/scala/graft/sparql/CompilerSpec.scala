@@ -622,6 +622,24 @@ class CompilerSpec extends AnyFunSuite {
       Seq("a%20b~c%2A%23"))
   }
 
+  test("UUID()/STRUUID() mint fresh per-row terms") {
+    val q = SparqlParser.parse(
+      """SELECT ?x ?u ?su WHERE {
+        |  ?x :name ?n .
+        |  BIND(UUID() AS ?u) BIND(STRUUID() AS ?su)
+        |  FILTER(isIRI(?u))
+        |}""".stripMargin)
+    val rows = Compiler.run(triples, q).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(rows.length == 2)
+    val hex = "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    assert(rows.forall { case (u, su) =>
+      u.matches(s"urn:uuid:$hex") && su.matches(hex)
+    })
+    // fresh per solution: both rows differ
+    assert(rows.map(_._2).distinct.length == 2)
+  }
+
   test("LANGMATCHES: basic filtering incl. subtags; '*' skips plain literals") {
     val t = Seq(
       ("a", ":c", "x", Option.empty[Double], false, Some("en")),
