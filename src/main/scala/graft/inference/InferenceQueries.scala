@@ -1,7 +1,7 @@
 package graft.inference
 
 import graft.rdf.TripleStore
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §C: inference / micro-reasoner operators. Oracles replicate
@@ -18,6 +18,33 @@ object InferenceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "infer_subclass_closure" -> { (s, _) =>
       Closure.transitive(Ontology.subClassDf(s))
+    },
+    // owl:sameAs smushing: each customer's identity is deliberately
+    // split across three URI spaces (name under custA:, balance under
+    // custB:, the rest under cust:) linked only by a sameAs CHAIN
+    // (cust→custA→custB, so resolution must be transitive). The
+    // name+balance star join below ONLY matches if canonicalization
+    // merged the identities — unmerged, it returns zero rows.
+    "infer_sameas_canon" -> { (s, dir) =>
+      val cust = TripleStore.dimensionTriples(s, dir)
+        .filter(col("s").startsWith("cust:"))
+      def alias(space: String) = regexp_replace(col("s"), "^cust:", space + ":")
+      val split = cust.withColumn("s",
+        when(col("p") === ":name", alias("custA"))
+          .when(col("p") === ":acctbal", alias("custB"))
+          .otherwise(col("s")))
+      val subs = cust.select(col("s")).distinct()
+      def sameAs(from: Column, to: Column) = subs.select(
+        from.as("s"), lit(SameAs.OWL_SAMEAS).as("p"), to.as("o"),
+        lit(null).cast("double").as("o_num"), lit(true).as("o_is_iri"),
+        lit(null).cast("string").as("lang"))
+      val links = sameAs(col("s"), alias("custA"))
+        .unionAll(sameAs(alias("custA"), alias("custB")))
+      val merged = SameAs.canonicalize(s, split.unionByName(links))
+      merged.filter(col("p") === ":name")
+        .select(col("s").as("c"), col("o").as("n"))
+        .join(merged.filter(col("p") === ":acctbal")
+          .select(col("s").as("c"), col("o_num").as("b")), Seq("c"))
     },
     "infer_nodes_with_label" -> { (s, dir) =>
       Reasoner.nodesWithLabel(s, TripleStore.dimensionTriples(s, dir), ":Agent")
@@ -94,6 +121,10 @@ object InferenceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // merged identities reunite each customer's name and balance
+    "infer_sameas_canon" ->
+      """SELECT 'cust:'||c_custkey AS c, c_name AS n, c_acctbal AS b
+        |FROM customer""".stripMargin,
     "infer_subclass_closure" ->
       s"""WITH RECURSIVE base(sub, sup) AS (SELECT * FROM (VALUES $scoValues)),
          |sco(sub, sup) AS (

@@ -1,0 +1,69 @@
+package graft.inference
+
+import graft.graphx.Analytics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** owl:sameAs identity resolution ("smushing"): every sameAs-connected
+  * cluster of URIs collapses onto one canonical representative — the
+  * entity-resolution micro-reasoner a linked-data import needs before
+  * joins mean anything (the reference's reasoners resolve labels and
+  * property hierarchies; identity is the remaining axis, and the one
+  * that matters most when several sources describe the same entity
+  * under different URIs).
+  *
+  * Scale shape: connected components run on the sameAs edge set ONLY
+  * (tiny next to the store — identity links, not data), the
+  * (uri → canon) map is one narrow relation, and the rewrite is two
+  * key-equi left joins against the store (subject, then IRI objects)
+  * plus one set-dedup of the merged result. All shuffles are keyed by
+  * URI; nothing is quadratic in anything.
+  */
+object SameAs {
+
+  val OWL_SAMEAS = "owl:sameAs"
+
+  /** (uri, canon) for every URI that appears in a sameAs link; canon
+    * is the component's minimum URI (deterministic on any cluster,
+    * like [[Analytics.connectedComponents]]'s naming). Transitive and
+    * symmetric by construction: GraphX CC ignores edge direction, so
+    * `a sameAs b . b sameAs c` lands all three on one canon.
+    */
+  def canonicalMap(spark: SparkSession, sameAs: DataFrame): DataFrame = {
+    val verts = sameAs.select(col("s").as("uri"))
+      .unionAll(sameAs.select(col("o").as("uri")))
+      .distinct()
+      .select(xxhash64(col("uri")).as("id"), col("uri"))
+    val comp = Analytics.componentsById(spark,
+      sameAs.select(xxhash64(col("s")).as("src"), xxhash64(col("o")).as("dst")))
+    verts.join(comp, Seq("id"))
+      .withColumn("canon", min(col("uri")).over(Window.partitionBy(col("comp"))))
+      .select(col("uri"), col("canon"))
+      .filter(col("uri") =!= col("canon"))
+  }
+
+  /** Rewrite the store onto canonical URIs: subjects and IRI objects
+    * that appear in a sameAs cluster are replaced by the cluster's
+    * canon; the sameAs triples themselves are dropped (they carry no
+    * information after the merge); duplicates created by the collapse
+    * dedup with set semantics. Literals are never rewritten — a
+    * literal spelled like a clustered URI is a different RDF term,
+    * which is why the object join also keys on o_is_iri.
+    */
+  def canonicalize(spark: SparkSession, store: DataFrame): DataFrame = {
+    val m = canonicalMap(spark, store.filter(col("p") === OWL_SAMEAS))
+    val base = store.filter(col("p") =!= OWL_SAMEAS)
+    val ms = m.select(col("uri").as("s"), col("canon").as("__s_canon"))
+    val mo = m.select(col("uri").as("__o_uri"), col("canon").as("__o_canon"))
+    base
+      .join(ms, Seq("s"), "left_outer")
+      .join(mo, base("o") === mo("__o_uri") && base("o_is_iri"), "left_outer")
+      .select(
+        coalesce(col("__s_canon"), col("s")).as("s"),
+        col("p"),
+        coalesce(col("__o_canon"), col("o")).as("o"),
+        col("o_num"), col("o_is_iri"), col("lang"))
+      .distinct()
+  }
+}

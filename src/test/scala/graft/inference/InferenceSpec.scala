@@ -78,4 +78,28 @@ class InferenceSpec extends AnyFunSuite {
     assert(got("<") == Set(("<", ":hasNation", "c:1")))
     assert(got("") == Set((">", ":inRegion", "r:1"), ("<", ":hasNation", "c:1")))
   }
+
+  test("sameAs canonicalization smushes chains, spares literal lookalikes") {
+    val store = Seq(
+      // one entity under three URIs, linked by a CHAIN (a→b, b→c):
+      // resolution must be transitive to reunite all three
+      ("e:a", ":p1", "v1", Option.empty[Double], false, Option.empty[String]),
+      ("e:b", ":p2", "v2", None, false, None),
+      ("e:c", ":p3", "e:ref", None, true, None),
+      ("e:a", "owl:sameAs", "e:b", None, true, None),
+      ("e:b", "owl:sameAs", "e:c", None, true, None),
+      // an IRI object inside the cluster rewrites too
+      ("x:1", ":link", "e:b", None, true, None),
+      // a LITERAL spelled like a clustered URI is a different term
+      ("x:1", ":label", "e:b", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val got = SameAs.canonicalize(spark, store)
+      .select("s", "p", "o").as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("e:a", ":p1", "v1"),
+      ("e:a", ":p2", "v2"),   // e:b's triple moved to the canon e:a
+      ("e:a", ":p3", "e:ref"), // e:c's too (transitive hop)
+      ("x:1", ":link", "e:a"), // IRI object rewritten
+      ("x:1", ":label", "e:b"))) // literal untouched; sameAs dropped
+  }
 }
