@@ -68,6 +68,36 @@ class NTriplesFuzzSpec extends AnyFunSuite {
     assert(back == want)
   }
 
+  test("N-Quads round-trips fuzzed literals under graph terms exactly") {
+    import spark.implicits._
+    val samples = Gen.listOfN(150, literal).sample.get.distinct
+    val df = samples.zipWithIndex
+      .map { case (text, i) =>
+        (s"g:${i % 5}", s"s:$i", ":p", text,
+          Option.empty[Double], false, Option.empty[String])
+      }
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    val back = NQuads.parse(NQuads.format(df))
+      .select("g", "s", "o").as[(String, String, String)].collect().toSet
+    val want = samples.zipWithIndex
+      .map { case (t, i) => (s"g:${i % 5}", s"s:$i", t) }.toSet
+    assert(back == want)
+  }
+
+  test("Turtle round-trips fuzzed literals exactly") {
+    import spark.implicits._
+    val samples = Gen.listOfN(150, literal).sample.get.distinct
+    val df = samples.zipWithIndex
+      .map { case (text, i) =>
+        (s"s:$i", ":p", text, Option.empty[Double], false, Option.empty[String])
+      }
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val back = Turtle.parse(spark, Turtle.format(df))
+      .select("s", "o").as[(String, String)].collect().toMap
+    val want = samples.zipWithIndex.map { case (t, i) => s"s:$i" -> t }.toMap
+    assert(back == want)
+  }
+
   test("RDF/XML round-trips fuzzed literals exactly") {
     import spark.implicits._
     val samples = Gen.listOfN(120, literal).sample.get.distinct
