@@ -269,9 +269,9 @@ object Similarity {
       .select(col("q").as("qq"), col("scale").as("qscale")))
     qn.filter(col("vec_id") =!= queryId)
       .crossJoin(query)
-      .withColumn("dot",
-        aggregate(zip_with(col("q"), col("qq"),
-          (a, b) => (a * b).cast("long")), lit(0L), (acc, x) => acc + x))
+      // fused native integer dot product (one codegen loop, no
+      // intermediate product array) — see functions.DotProductInt
+      .withColumn("dot", graft.functions.DotProductInt(col("q"), col("qq")))
       .withColumn("score", col("dot").cast("double") * col("scale") * col("qscale"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)

@@ -142,6 +142,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSql.count() == 0)
   }
 
+  test("native int dot product agrees with the HOF form; null semantics") {
+    val df = Seq(
+      (Array(1, 2, 3), Array(4, 5, 6)),      // 4+10+18 = 32
+      (Array(-127, 127), Array(127, 127)),   // 0
+      (Array(127, 127, 127), Array(127, 127, 127))) // 3*16129
+      .toDF("a", "b")
+    val got = df.select(
+        graft.functions.DotProductInt(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+          .as("hof"))
+      .as[(Long, Long)].collect()
+    assert(got.forall { case (n, h) => n == h })
+    assert(got.map(_._1).toSeq == Seq(32L, 0L, 48387L))
+    // length mismatch is null, not a truncated partial sum
+    val mismatch = Seq((Array(1, 2), Array(1, 2, 3))).toDF("a", "b")
+      .select(graft.functions.DotProductInt(col("a"), col("b")).as("d"))
+    assert(mismatch.filter(col("d").isNull).count() == 1)
+    graft.functions.DotProductInt.register(spark)
+    assert(Seq((Array(2, 3), Array(4, 5))).toDF("a", "b")
+      .selectExpr("dot_int(a, b) AS d").as[Long].head() == 23L)
+  }
+
   test("brute-force topk returns nearest first") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
