@@ -18,6 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
+  /** Register graft's native SQL functions (`cosine_sim`, `dot_int`)
+    * on a session, so textual SQL reaches the fused codegen kernels.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.DotProductInt.register(spark)
+  }
+
   /** The cached canonical triple relation for a test-data directory. */
   def triples(spark: SparkSession, sfDir: String): DataFrame =
     TripleStore.triples(spark, sfDir)

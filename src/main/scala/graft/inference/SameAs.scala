@@ -52,7 +52,11 @@ object SameAs {
     * which is why the object join also keys on o_is_iri.
     */
   def canonicalize(spark: SparkSession, store: DataFrame): DataFrame = {
-    val m = canonicalMap(spark, store.filter(col("p") === OWL_SAMEAS))
+    // identity links must join two RESOURCES; a malformed sameAs with
+    // a literal object is dropped with the rest of the sameAs slice
+    // but never seeds a cluster
+    val m = canonicalMap(spark,
+      store.filter(col("p") === OWL_SAMEAS && col("o_is_iri")))
     val base = store.filter(col("p") =!= OWL_SAMEAS)
     val ms = m.select(col("uri").as("s"), col("canon").as("__s_canon"))
     val mo = m.select(col("uri").as("__o_uri"), col("canon").as("__o_canon"))

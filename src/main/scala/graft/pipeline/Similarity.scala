@@ -165,7 +165,7 @@ object Similarity {
     * path, so the driver-tested slice is bit-reproducible.
     */
   def knnJoin(embeddings: DataFrame, k: Int = 5, querySlice: Int = 50,
-              maxBroadcastQueries: Long = 1000000L): DataFrame = {
+              maxBroadcastQueries: Long = 100000L): DataFrame = {
     val e = vecs(embeddings)
     val q = e.filter(col("vec_id") % querySlice === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -181,7 +181,7 @@ object Similarity {
     * outputs only, so the result hashes stably cross-engine.
     */
   def knnClassify(embeddings: DataFrame, k: Int = 5, querySlice: Int = 50,
-                  maxBroadcastQueries: Long = 1000000L): DataFrame = {
+                  maxBroadcastQueries: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = vecs(embeddings)
     val q = e.filter(col("vec_id") % querySlice === 0)

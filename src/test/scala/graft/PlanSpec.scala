@@ -50,6 +50,12 @@ class PlanSpec extends AnyFunSuite {
       "prefix rank must partition by doc")
   }
 
+  test("ann_int8_topk: native dot_int kernel scores, no HOF lambdas") {
+    val p = plan("ann_int8_topk")
+    assert(p.contains("dot_int"), "SQ8 scoring must use the fused kernel")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
   test("ann_ivf_topk: probed labels broadcast into a semi-join") {
     val p = plan("ann_ivf_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")

@@ -91,7 +91,9 @@ class InferenceSpec extends AnyFunSuite {
       // an IRI object inside the cluster rewrites too
       ("x:1", ":link", "e:b", None, true, None),
       // a LITERAL spelled like a clustered URI is a different term
-      ("x:1", ":label", "e:b", None, false, None))
+      ("x:1", ":label", "e:b", None, false, None),
+      // malformed sameAs with a literal object: dropped, never a link
+      ("x:1", "owl:sameAs", "e:b", None, false, None))
       .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
     val got = SameAs.canonicalize(spark, store)
       .select("s", "p", "o").as[(String, String, String)].collect().toSet
