@@ -83,6 +83,8 @@ object PipelineQueries {
       TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
     "data_split" -> ((s, dir) =>
       TextAnalysis.assignSplit(Tables.documents(s, dir))),
+    "data_curriculum" -> ((s, dir) =>
+      TextAnalysis.curriculumPhases(Tables.documents(s, dir))),
     "text_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "data_sample_stratified" -> ((s, dir) =>
@@ -462,6 +464,27 @@ object PipelineQueries {
         |FROM (SELECT doc_id, source,
         |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
         |      FROM documents)""".stripMargin,
+    "data_curriculum" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)), '\s+') AS toks,
+           |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text)
+           |    AS punct_ratio
+           |FROM documents),
+           |y AS (SELECT doc_id, len(toks) * 1.0 AS n, punct_ratio,
+           |  len(list_filter(toks,
+           |      t -> list_contains(['the','a','and','of','in'], t))) * 1.0
+           |    / len(toks) AS stop_ratio
+           |FROM x),
+           |sc AS (SELECT doc_id,
+           |  least(1.0, n / 100.0) * (1.0 - punct_ratio) * (1.0 - 0.5 * stop_ratio)
+           |    AS score
+           |FROM y),
+           |c AS (SELECT quantile_cont(score,
+           |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM sc)
+           |SELECT sc.doc_id, sc.score,
+           |  CAST(1 + len(list_filter(c.cuts, x -> sc.score > x)) AS INTEGER)
+           |    AS phase
+           |FROM sc, c""".stripMargin,
     "text_vocab_topk" ->
       raw"""SELECT token, count(*) AS n
            |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))

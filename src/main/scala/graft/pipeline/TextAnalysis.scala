@@ -178,6 +178,29 @@ object TextAnalysis {
     * never depends on the other docs), stratification-checkable by
     * grouping on (split, source).
     */
+  /** Curriculum phase assignment: documents bucket into `phases`
+    * quality bands (phase 1 = lowest-quality decile, trained first in
+    * an easy-to-hard curriculum — or dropped; the policy is the
+    * caller's). The cut points are EXACT percentiles from one
+    * aggregation, broadcast back for a map-side comparison — never an
+    * ntile/window over the whole corpus, which would single-partition
+    * the sort at 100 TB. Ties at a cut go to the lower phase; both
+    * engines compare the same exact doubles, so assignment is
+    * reproducible.
+    */
+  def curriculumPhases(docs: DataFrame, phases: Int = 10): DataFrame = {
+    val scored = qualityScore(docs).select(col("doc_id"), col("score"))
+    val ps = (1 until phases).map(i =>
+      (BigDecimal(i) / phases).toString).mkString(",")
+    val cuts = scored.agg(
+      expr(s"percentile(score, array($ps))").as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("score"),
+        aggregate(col("cuts"), lit(1),
+          (acc, c) => acc + when(col("score") > c, 1).otherwise(0))
+          .as("phase"))
+  }
+
   def assignSplit(docs: DataFrame, trainPct: Int = 80,
                   valPct: Int = 10): DataFrame = {
     val bucket =

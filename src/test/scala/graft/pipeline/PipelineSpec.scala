@@ -142,6 +142,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSql.count() == 0)
   }
 
+  test("curriculum phases are monotone in quality score") {
+    val d = docs((1L to 40L).map(i =>
+      i -> (Seq.fill(i.toInt)("the word").mkString(" "))): _*)
+    val got = TextAnalysis.curriculumPhases(d, phases = 4)
+      .select("doc_id", "score", "phase")
+      .as[(Long, Double, Int)].collect().sortBy(_._2)
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq) // monotone
+    assert(got.map(_._3).distinct.sorted.toSeq == Seq(1, 2, 3, 4))
+    // identical scores land in the same phase (cut comparison, not rank)
+    val byScore = got.groupBy(_._2).values
+    assert(byScore.forall(g => g.map(_._3).distinct.length == 1))
+  }
+
   test("native int dot product agrees with the HOF form; null semantics") {
     val df = Seq(
       (Array(1, 2, 3), Array(4, 5, 6)),      // 4+10+18 = 32
