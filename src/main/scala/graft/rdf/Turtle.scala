@@ -122,11 +122,12 @@ object Turtle {
           end = dtEnd + 1
         }
         out += line.substring(i, end); i = end
-      } else if (c == ';' || c == '.') {
+      } else if (c == ';' || c == '.' || c == ',') {
         out += c.toString; i += 1
       } else {
         var j = i
-        while (j < n && !line.charAt(j).isWhitespace && line.charAt(j) != ';') j += 1
+        while (j < n && !line.charAt(j).isWhitespace &&
+          line.charAt(j) != ';' && line.charAt(j) != ',') j += 1
         // a trailing '.' after a pname is the statement terminator
         var tok = line.substring(i, j)
         if (tok.length > 1 && tok.endsWith(".")) {
@@ -142,6 +143,8 @@ object Turtle {
       line: String, prefixes: Map[String, String]): Seq[ParsedTriple] = {
     def resolveIri(t: String): String =
       if (t.startsWith("<")) t.substring(1, t.length - 1)
+      else if (t.startsWith("_:")) t // blank node label, never resolved
+      else if (t == "a") "rdf:type" // Turtle's rdf:type keyword
       else {
         val i = t.indexOf(':')
         require(i >= 0, s"not an IRI: $t")
@@ -152,13 +155,19 @@ object Turtle {
     require(toks.nonEmpty && toks.last == ".", s"statement must end with '.': $line")
     val subject = resolveIri(toks.head)
     val body = toks.tail.dropRight(1)
-    // body = p o (';' p o)*
+    // body = p o (',' o)* (';' p o (',' o)*)*
     val groups = Vector.newBuilder[(String, String)]
     var rest = body
     while (rest.nonEmpty) {
       require(rest.length >= 2, s"dangling predicate in: $line")
-      groups += ((rest(0), rest(1)))
+      val pTok = rest.head
+      groups += ((pTok, rest(1)))
       rest = rest.drop(2)
+      while (rest.headOption.contains(",")) {
+        require(rest.length >= 2, s"dangling ',' in: $line")
+        groups += ((pTok, rest(1)))
+        rest = rest.drop(2)
+      }
       if (rest.nonEmpty) {
         require(rest.head == ";", s"expected ';' in: $line")
         rest = rest.tail
@@ -196,16 +205,22 @@ object Turtle {
     import spark.implicits._
     val trimmed = lines.select(trim(col("line")).as("line"))
       .filter(col("line") =!= "" && !col("line").startsWith("#"))
+    // both declaration forms: Turtle's `@prefix p: <ns> .` and the
+    // Turtle 1.1 / SPARQL-style `PREFIX p: <ns>` (no dot, any case).
+    // "prefix " can't collide with a subject pname — a pname has ':'
+    // where the keyword has whitespace.
+    val isPrefixLine = col("line").startsWith("@prefix") ||
+      lower(col("line")).startsWith("prefix ")
     val prefixes: Map[String, String] = trimmed
-      .filter(col("line").startsWith("@prefix"))
+      .filter(isPrefixLine)
       .as[String].collect()
       .map { l =>
-        val m = "@prefix\\s+([^\\s]+)\\s+<([^>]*)>\\s*\\.".r
+        val m = "(?i)@?prefix\\s+([^\\s]+)\\s+<([^>]*)>\\s*\\.?\\s*$".r
           .findFirstMatchIn(l)
           .getOrElse(throw new IllegalArgumentException(s"bad @prefix: $l"))
         m.group(1) -> m.group(2)
       }.toMap
-    val stmts = trimmed.filter(!col("line").startsWith("@prefix")).as[String]
+    val stmts = trimmed.filter(!isPrefixLine).as[String]
     stmts.flatMap(parseStatement(_, prefixes)).toDF()
       .select(col("s"), col("p"), col("o"), col("o_num"),
         col("o_is_iri"), col("lang"))

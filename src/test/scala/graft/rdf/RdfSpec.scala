@@ -229,6 +229,29 @@ class RdfSpec extends AnyFunSuite {
     assert(toks == Vector("ns0:1", "ns0:p", "\"a b ; c\"", ";", "ns0:q", "ns0:2", "."))
   }
 
+  test("Turtle: 'a' keyword, comma object lists, bnodes, PREFIX form") {
+    val lines = Seq(
+      "PREFIX n: <nat:>", // Turtle 1.1 / SPARQL-style, no dot
+      "@prefix t: <type:> .",
+      "n:1 a t:Nation .",
+      "n:2 n:p n:3, n:4 ; n:q \"x\", \"y\"@en .", // attached commas
+      "_:b1 n:p _:b2 .")
+      .toDF("line")
+    val got = Turtle.parse(spark, lines).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getBoolean(4))).toSet
+    assert(got == Set(
+      ("nat:1", "rdf:type", "type:Nation", true),
+      ("nat:2", "nat:p", "nat:3", true),
+      ("nat:2", "nat:p", "nat:4", true),
+      ("nat:2", "nat:q", "x", false),
+      ("nat:2", "nat:q", "y", false),
+      ("_:b1", "nat:p", "_:b2", true)))
+    // lang tag survives the comma list
+    assert(Turtle.parse(spark, lines)
+      .filter(col("o") === "y").head().getString(5) == "en")
+  }
+
   test("RdfImport reads http sources with header params") {
     // local HTTP fixture (JDK built-in server) — parity with the
     // reference's importRDF(url, format, headerParams) entry point
