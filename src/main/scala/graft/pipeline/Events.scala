@@ -26,6 +26,23 @@ object Events {
   def windowAggStreaming(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "2 hours"))
 
+  /** Sliding-window rates: `width` windows advancing every `slide` —
+    * each event lands in width/slide overlapping windows (4 here), the
+    * shape behind rolling rate/alerting dashboards. Spark's window()
+    * explodes the assignments map-side, so the shuffle carries one row
+    * per (event, window) with partial aggregation; under streaming the
+    * same plan's state is bounded by watermark × overlap.
+    */
+  def slidingWindow(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+
+  def slidingWindowStreaming(events: DataFrame): DataFrame =
+    slidingWindow(events.withWatermark("ts", "2 hours"))
+
   /** Dimension enrichment: events joined with the customer dimension
     * and rolled up by market segment and event type. The dimension is
     * broadcast — the classic stream-enrichment shape, and the same

@@ -113,6 +113,8 @@ object PipelineQueries {
     // ---- §I events -------------------------------------------------
     "events_window_agg" -> ((s, dir) =>
       Events.windowAgg(Tables.events(s, dir))),
+    "events_sliding_window" -> ((s, dir) =>
+      Events.slidingWindow(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(Tables.events(s, dir))),
     "events_enrich" -> ((s, dir) =>
@@ -682,6 +684,17 @@ object PipelineQueries {
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |  count(*) AS cnt, round(sum(value), 6) AS sv
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // every event belongs to 4 overlapping 1h/15min windows whose
+    // starts are floor15(ts) - k*15min, k in 0..3 (each start is
+    // <= ts by construction and ts < start + 1h since k*900 <= 2700
+    // and ts - floor15 < 900)
+    "events_sliding_window" ->
+      """SELECT make_timestamp(
+        |  (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900)
+        |    * 1000000) AS ws,
+        |  event_type, count(*) AS cnt
+        |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+        |GROUP BY 1, 2""".stripMargin,
     "events_enrich" ->
       """SELECT c_mktsegment AS segment, event_type,
         |  count(*) AS n, round(sum(value), 6) AS sv

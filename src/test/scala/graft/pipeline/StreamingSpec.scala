@@ -38,6 +38,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.size == 4)
   }
 
+  test("slidingWindowStreaming matches the batch twin, 4 windows per event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val rows = Seq((base, "click", 1.0),
+      (new java.sql.Timestamp(base.getTime + 40 * 60000L), "click", 2.0))
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    stream.addData(rows)
+    val q = Events.slidingWindowStreaming(
+        stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("slide_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("slide_test")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val want = Events.slidingWindow(rows.toDF("ts", "event_type", "value"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    // 2 events x 4 overlapping windows; the 00:45 and 01:00 starts are
+    // shared (40 min apart), so 6 distinct (window, type) rows
+    assert(got == want && got.size == 6)
+    assert(got.count(_._3 == 2L) == 2)
+  }
+
   test("N-Triples parse runs unchanged under Structured Streaming") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
