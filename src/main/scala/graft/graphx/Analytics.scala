@@ -222,6 +222,37 @@ object Analytics {
       .agg(coalesce((sum(col("t")) / 3).cast("long"), lit(0L)).as("triangles"))
   }
 
+  /** Synchronous label propagation over NUMERIC-id edges, fixed round
+    * count: labels start as the vertex id; each round every vertex
+    * adopts the most frequent label among its neighbors, ties to the
+    * SMALLER label. Unlike GraphX's LPA (async, nondeterministic
+    * hash-order ties) this is deterministic on any cluster and any
+    * partitioning, so the oracle can replay the rounds in SQL.
+    * Fixed rounds are the semantics here (LPA has no monotone
+    * fixpoint — labels can oscillate — so "run to convergence" is not
+    * well-defined the way k-core's peel is). Each round is one join +
+    * two partial-agg shuffles keyed by vertex; the max-struct pick
+    * avoids a window. Returns (v, label).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val und = checkpointTracked(edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var (lab, labRdd) = ckpt(und.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label")))
+    for (_ <- 1 to rounds) {
+      val counts = und
+        .join(lab.select(col("v").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+      val next = counts.groupBy(col("src"))
+        .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("best"))
+        .select(col("src").as("v"), (-col("best.neg")).as("label"))
+      val (n2, r2) = ckpt(next)
+      labRdd.unpersist(blocking = false)
+      lab = n2; labRdd = r2
+    }
+    lab
+  }
+
   /** Per-URI triangle participation counts (canonical edges, like
     * [[triangleTotal]]); vertices on no triangle are omitted so the
     * result is triangle-sized, not graph-sized.

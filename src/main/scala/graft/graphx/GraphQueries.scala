@@ -51,6 +51,12 @@ object GraphQueries {
     "graph_triangle_vertex" -> { (s, dir) =>
       Analytics.trianglePerVertex(s, coOrderPartEdges(s, dir))
     },
+    "graph_label_propagation" -> { (s, dir) =>
+      Analytics.labelPropagation(coOrderPartEdgeKeys(s, dir), rounds = 4)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("size"))
+        .select(concat(lit("part:"), col("label")).as("community"), col("size"))
+    },
     "graph_pagerank" -> { (s, dir) =>
       // exact fixed-point ranks (longs) — deterministic top-30, so the
       // key is fully hash-verifiable against the unrolled SQL oracle
@@ -69,6 +75,31 @@ object GraphQueries {
         .select(concat(lit("part:"), col("uri")).as("uri"))
     },
   )
+
+  /** Unrolled-round label-propagation oracle: replays the synchronous
+    * LPA rounds (most-frequent neighbor label, ties to the smaller)
+    * over the co-order part graph, then sizes the communities.
+    */
+  private def lpaSql(rounds: Int): String = {
+    val base =
+      """pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |       FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT p1 AS src, p2 AS dst FROM e0
+        |      UNION ALL SELECT p2, p1 FROM e0),
+        |l0 AS (SELECT DISTINCT src AS v, src AS label FROM e)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT e.src, l.label, count(*) AS n
+         |        FROM e JOIN l${i - 1} l ON l.v = e.dst GROUP BY 1, 2),
+         |l$i AS (SELECT src AS v, label FROM (
+         |          SELECT src, label, row_number() OVER (
+         |            PARTITION BY src ORDER BY n DESC, label ASC) AS r
+         |          FROM c$i) WHERE r = 1)""".stripMargin
+    }
+    s"WITH $base,\n${steps.mkString(",\n")}\n" +
+      s"SELECT 'part:'||label AS community, count(*) AS size " +
+      s"FROM l$rounds GROUP BY 1"
+  }
 
   /** Unrolled-round pagerank oracle: replays [[Analytics.pageRank]]'s
     * exact integer recurrence iteration by iteration in plain SQL.
@@ -171,6 +202,7 @@ object GraphQueries {
         |  SELECT a AS v FROM t UNION ALL SELECT b FROM t
         |  UNION ALL SELECT c FROM t)
         |GROUP BY 1""".stripMargin,
+    "graph_label_propagation" -> lpaSql(rounds = 4),
     "graph_pagerank" -> pagerankSql(iters = 10, scale = 1000000000L, topK = 30),
     "graph_shortest_paths" ->
       """SELECT 'reg:'||r_regionkey AS uri, 0 AS dist FROM region

@@ -78,6 +78,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Analytics.lastKCoreRounds > 4)
   }
 
+  test("label propagation separates disconnected communities deterministically") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val got = Analytics.labelPropagation(e, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // each triangle settles on its own min-id label; no cross-talk
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+  }
+
   test("releaseCaches unpersists every RDD a graph query cached") {
     Analytics.releaseCaches() // drop whatever earlier tests left
     val before = spark.sparkContext.getPersistentRDDs.keySet
