@@ -26,7 +26,10 @@ object SparkEntry {
     "data_pack_sequences", "data_mix", "pipeline_prepare",
     "ann_knn_classify", "emb_kmeans_assign", "graph_kcore",
     "events_window_agg", "events_sessionize", "events_topk_users",
-    "events_funnel", "events_retention")
+    "events_funnel", "events_retention",
+    // r7 additions: one representative per new component family
+    "graph_label_propagation", "infer_sameas_canon", "data_curriculum",
+    "events_sliding_window", "ann_int8_topk")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
