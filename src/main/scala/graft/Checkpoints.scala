@@ -20,14 +20,21 @@ object Checkpoints {
   /** Eager localCheckpoint whose backing RDD is registered for
     * [[releaseCaches]].
     */
-  def tracked(df: DataFrame): DataFrame = {
+  def tracked(df: DataFrame): DataFrame = trackedWithHandle(df)._1
+
+  /** [[tracked]], also returning the backing RDD — iterative loops
+    * (pagerank, k-core, LPA) unpersist each superseded generation
+    * directly so peak storage stays at one generation; the registry
+    * still drains whatever remains at release time (double-unpersist
+    * is a no-op).
+    */
+  def trackedWithHandle(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val out = df.localCheckpoint()
-    out.queryExecution.analyzed.collectLeaves().foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        released.add(() => l.rdd.unpersist(blocking = false))
-      case _ => ()
-    }
-    out
+    val rdd = out.queryExecution.analyzed.collectLeaves().collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.get
+    released.add(() => rdd.unpersist(blocking = false))
+    (out, rdd)
   }
 
   def releaseCaches(): Unit = released.synchronized {

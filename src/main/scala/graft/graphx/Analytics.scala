@@ -28,20 +28,13 @@ object Analytics {
     value
   }
 
-  /** Eager localCheckpoint whose backing block is registered for
-    * [[releaseCaches]] — a bare localCheckpoint() persists an RDD the
-    * session can never drop. The iterative loops also unpersist each
-    * superseded round directly (via the returned RDD handle) so peak
-    * storage stays at one generation, not one per round.
+  /** Tracked eager localCheckpoints — one shared registry for the
+    * whole library ([[graft.Checkpoints]]); [[releaseCaches]] drains
+    * it along with the graph caches so a harness only needs this one
+    * call for graph workloads.
     */
-  private def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
-    val out = df.localCheckpoint()
-    val rdd = out.queryExecution.analyzed.collectLeaves().collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.get
-    track(rdd)(_.unpersist(blocking = false))
-    (out, rdd)
-  }
+  private def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) =
+    graft.Checkpoints.trackedWithHandle(df)
 
   private def checkpointTracked(df: DataFrame): DataFrame = ckpt(df)._1
 
@@ -56,6 +49,7 @@ object Analytics {
     * classes are swept — SQL/DataFrame caches are untouched.
     */
   def releaseCaches(): Unit = released.synchronized {
+    graft.Checkpoints.releaseCaches() // graph loops checkpoint there
     val it = released.iterator()
     while (it.hasNext) { it.next().apply(); it.remove() }
     org.apache.spark.sql.SparkSession.getActiveSession

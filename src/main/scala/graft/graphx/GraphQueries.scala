@@ -38,6 +38,12 @@ object GraphQueries {
       .select(concat(lit("part:"), col("src")).as("src"),
         concat(lit("part:"), col("dst")).as("dst"))
 
+  /** Round count observed by the LAST run of the graph_kcore query
+    * itself (not any other kCore caller in the JVM) — read by the
+    * generated oracle. Verify runs queries before dumping oracles.
+    */
+  @volatile private var kcoreObservedRounds: Int = 0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degrees" -> { (s, dir) =>
       Analytics.degrees(s, geoEdges(s, dir))
@@ -71,8 +77,12 @@ object GraphQueries {
       Analytics.shortestHops(s, geoEdges(s, dir), sources)
     },
     "graph_kcore" -> { (s, dir) =>
-      Analytics.kCore(coOrderPartEdgeKeys(s, dir), k = 3)
-        .select(concat(lit("part:"), col("uri")).as("uri"))
+      // kCore's checkpoint loop runs EAGERLY during construction, so
+      // the observed round count can be captured here — keyed to THIS
+      // query, immune to other kCore callers in the same JVM
+      val res = Analytics.kCore(coOrderPartEdgeKeys(s, dir), k = 3)
+      kcoreObservedRounds = Analytics.lastKCoreRounds
+      res.select(concat(lit("part:"), col("uri")).as("uri"))
     },
   )
 
@@ -210,6 +220,6 @@ object GraphQueries {
         |UNION ALL SELECT 'cust:'||c_custkey, 2 FROM customer
         |UNION ALL SELECT 'supp:'||s_suppkey, 2 FROM supplier""".stripMargin,
     "graph_kcore" -> kcoreSql(k = 3,
-      rounds = math.max(Analytics.lastKCoreRounds, 1)),
+      rounds = math.max(kcoreObservedRounds, 1)),
   )
 }

@@ -133,8 +133,12 @@ object Similarity {
                                 planes: Int = 8, dims: Int = 64,
                                 probeHam: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // bounded probe, not a full count: only the threshold crossing
+    // matters, and limit(gate+1) short-circuits via LocalLimit instead
+    // of scanning the whole query derivation a second time
+    val probe = math.min(maxBroadcastQueries + 1, Int.MaxValue.toLong).toInt
     val paired =
-      if (q.count() <= maxBroadcastQueries)
+      if (q.limit(probe).count() <= maxBroadcastQueries)
         e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       else {
         val eb = e.withColumn("bucket", bucketCode(col("v"), planes, dims))

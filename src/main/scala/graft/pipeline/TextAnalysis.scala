@@ -173,11 +173,6 @@ object TextAnalysis {
       .withColumn("dup_ratio",
         lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
 
-  /** Deterministic train/val/test assignment from an md5 bucket of
-    * doc_id — stable under reruns and corpus growth (a doc's split
-    * never depends on the other docs), stratification-checkable by
-    * grouping on (split, source).
-    */
   /** Curriculum phase assignment: documents bucket into `phases`
     * quality bands (phase 1 = lowest-quality decile, trained first in
     * an easy-to-hard curriculum — or dropped; the policy is the
@@ -185,8 +180,10 @@ object TextAnalysis {
     * aggregation, broadcast back for a map-side comparison — never an
     * ntile/window over the whole corpus, which would single-partition
     * the sort at 100 TB. Ties at a cut go to the lower phase; both
-    * engines compare the same exact doubles, so assignment is
-    * reproducible.
+    * engines compare the same exact doubles. Caveat: interpolated
+    * percentile arithmetic can differ by 1 ulp between engines when a
+    * cut lands inside a run of duplicated scores — the oracle gate
+    * guards the combination actually shipped.
     */
   def curriculumPhases(docs: DataFrame, phases: Int = 10): DataFrame = {
     val scored = qualityScore(docs).select(col("doc_id"), col("score"))
@@ -201,6 +198,11 @@ object TextAnalysis {
           .as("phase"))
   }
 
+  /** Deterministic train/val/test assignment from an md5 bucket of
+    * doc_id — stable under reruns and corpus growth (a doc's split
+    * never depends on the other docs), stratification-checkable by
+    * grouping on (split, source).
+    */
   def assignSplit(docs: DataFrame, trainPct: Int = 80,
                   valPct: Int = 10): DataFrame = {
     val bucket =

@@ -48,16 +48,17 @@ object RdfImport {
     *
     * `http(s)://` sources match the reference entry point's URL +
     * headerParams surface (RDFImport.java:51,67-68): the payload is
-    * fetched ONCE on the driver into a temp file and parsed through
-    * the same distributed readers. That is the right shape for what
-    * URL imports carry — bounded-size ontologies and vocabularies; a
-    * 100 TB corpus lives in object storage and takes the path form,
-    * where the readers parallelize per split.
+    * fetched ONCE on the driver and parallelized into the cluster as
+    * an in-memory dataset — never via a driver-local temp path, which
+    * executors on a real cluster could not read. That is the right
+    * shape for what URL imports carry — bounded-size ontologies and
+    * vocabularies; a 100 TB corpus lives in object storage and takes
+    * the path form, where the readers parallelize per split.
     */
   def read(spark: SparkSession, path: String, format: String,
            headerParams: Map[String, String] = Map.empty): DataFrame = {
     if (path.startsWith("http://") || path.startsWith("https://"))
-      return read(spark, fetchToTemp(path, headerParams), format)
+      return parseFragment(spark, fetchBody(path, headerParams), format)
     require(headerParams.isEmpty, "headerParams only apply to http(s) sources")
     def lines = spark.read.text(path).withColumnRenamed("value", "line")
     norm(format) match {
@@ -72,18 +73,17 @@ object RdfImport {
 
   /** Driver-side fetch of a bounded-size URL import; header params
     * (auth tokens, accept types — the reference's headerParams map)
-    * ride the single request.
+    * ride the single request. Bounded timeouts: a server that accepts
+    * the connection but never responds must fail the import, not hang
+    * the driver forever.
     */
-  private def fetchToTemp(url: String,
-                          headerParams: Map[String, String]): String = {
+  private def fetchBody(url: String,
+                        headerParams: Map[String, String]): String = {
     val conn = java.net.URI.create(url).toURL.openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(60000)
     headerParams.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-    val tmp = java.nio.file.Files.createTempFile("graft-rdf-import", ".dat")
-    tmp.toFile.deleteOnExit()
     val in = conn.getInputStream
-    try java.nio.file.Files.copy(in, tmp,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
-    tmp.toString
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 }

@@ -144,7 +144,6 @@ object Turtle {
     def resolveIri(t: String): String =
       if (t.startsWith("<")) t.substring(1, t.length - 1)
       else if (t.startsWith("_:")) t // blank node label, never resolved
-      else if (t == "a") "rdf:type" // Turtle's rdf:type keyword
       else {
         val i = t.indexOf(':')
         require(i >= 0, s"not an IRI: $t")
@@ -174,7 +173,9 @@ object Turtle {
       }
     }
     groups.result().map { case (pTok, oTok) =>
-      val p = resolveIri(pTok)
+      // 'a' is rdf:type ONLY in predicate position (Turtle grammar);
+      // as a subject or object it is a malformed term and rejected
+      val p = if (pTok == "a") "rdf:type" else resolveIri(pTok)
       if (oTok.startsWith("\"")) {
         val lexEnd = {
           var j = 1

@@ -223,7 +223,9 @@ object SparqlParser extends RegexParsers {
     */
   private def strLangDt: Parser[VExpr] =
     ("(?i)(STRLANG|STRDT)".r ^^ (_.toUpperCase)) ~ ("(" ~> vAdditive) ~
-      ("," ~> (iriRef ^^ (i => VStr(i.value)) | strLit ^^ (l => VStr(l.lexical)))
+      ("," ~> (iriRef ^^ (i => VStr(i.value)) |
+               pname ^^ (i => VStr(i.value)) |
+               strLit ^^ (l => VStr(l.lexical)))
         <~ ")") ^^ {
       case f ~ lex ~ arg => FnCall(f, Seq(lex, arg))
     }

@@ -250,6 +250,11 @@ class RdfSpec extends AnyFunSuite {
     // lang tag survives the comma list
     assert(Turtle.parse(spark, lines)
       .filter(col("o") === "y").head().getString(5) == "en")
+    // 'a' is the type keyword ONLY in predicate position
+    intercept[Exception] {
+      Turtle.parse(spark, Seq("@prefix n: <nat:> .", "n:1 n:p a .")
+        .toDF("line")).collect()
+    }
   }
 
   test("RdfImport reads http sources with header params") {

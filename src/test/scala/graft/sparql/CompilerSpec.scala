@@ -622,6 +622,18 @@ class CompilerSpec extends AnyFunSuite {
       Seq("a%20b~c%2A%23"))
   }
 
+  test("STRDT accepts the bare prefixed datatype form") {
+    // the canonical SPARQL spelling: pname, not a quoted string
+    val q = SparqlParser.parse(
+      """SELECT ?x ?k WHERE {
+        |  ?x :age ?a .
+        |  BIND(STRDT(STR(?a), xsd:double) AS ?k)
+        |  FILTER(?k >= 35)
+        |}""".stripMargin)
+    assert(Compiler.run(triples, q).collect().map(_.getString(0)).toSeq ==
+      Seq("p:2"))
+  }
+
   test("UUID()/STRUUID() mint fresh per-row terms") {
     val q = SparqlParser.parse(
       """SELECT ?x ?u ?su WHERE {
