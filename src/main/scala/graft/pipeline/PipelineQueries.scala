@@ -46,6 +46,8 @@ object PipelineQueries {
       Similarity.knnClassify(Tables.embeddings(s, dir))),
     "emb_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.embeddings(s, dir))),
+    "ann_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
     "ann_int8_topk" -> ((s, dir) =>
       Similarity.int8TopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
     "dedup_embedding_clusters" -> ((s, dir) => {
@@ -213,6 +215,43 @@ object PipelineQueries {
        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7""".stripMargin
   }
 
+  /** PQ oracle: replays [[Similarity.pqTopK]] — median codebooks per
+    * (subspace, label, dim), nearest-entry encoding, fixed-point ADC
+    * scoring. The per-slice arithmetic is written as EXPLICIT
+    * left-associated term sums so DuckDB evaluates the identical
+    * float operation order as Spark's sequential array folds.
+    */
+  private def pqSql(queryId: Long, k: Int, subspaces: Int, sub: Int): String = {
+    def terms(f: (String, String) => String): String =
+      (1 to sub).map(i => f(s"sv[$i]", s"cv[$i]")).mkString(" + ")
+    val d2 = terms((a, b) => s"($a - $b) * ($a - $b)")
+    val pd = terms((a, b) => s"$a * $b")
+    s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |f AS (SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+       |      FROM emb),
+       |cb AS (SELECT pos // $sub AS s, label AS c, pos % $sub AS d,
+       |         quantile_cont(x, 0.5) AS m FROM f GROUP BY 1, 2, 3),
+       |cbv AS (SELECT s, c, list(m ORDER BY d) AS cv FROM cb GROUP BY 1, 2),
+       |vs AS (SELECT vec_id, ss.s AS s,
+       |         v[(ss.s * $sub + 1):(ss.s * $sub + $sub)] AS sv
+       |       FROM emb, (SELECT unnest(range(0, $subspaces)) AS s) ss),
+       |enc AS (SELECT vec_id, vs.s AS s, c, $d2 AS d2
+       |        FROM vs JOIN cbv ON cbv.s = vs.s),
+       |codes AS (SELECT vec_id, s, c AS code FROM (
+       |   SELECT vec_id, s, c, row_number() OVER (
+       |     PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS r FROM enc)
+       |   WHERE r = 1),
+       |adc AS (SELECT vs.s AS s, c,
+       |          CAST(floor(($pd) * 1000000) AS BIGINT) AS pdot
+       |        FROM vs JOIN cbv ON cbv.s = vs.s WHERE vec_id = $queryId)
+       |SELECT vec_id FROM (
+       |  SELECT codes.vec_id AS vec_id, sum(pdot) AS score
+       |  FROM codes JOIN adc ON adc.s = codes.s AND adc.c = codes.code
+       |  WHERE codes.vec_id != $queryId GROUP BY 1)
+       |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, count(*) AS cnt FROM documents GROUP BY 1",
@@ -300,6 +339,10 @@ object PipelineQueries {
         |WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, q.qb)) <= 2
         |ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, b.vec_id
         |LIMIT 10""".stripMargin,
+    // pq: median codebooks (order-independent), explicit left-assoc
+    // term sums replicate Spark's sequential array folds bit-for-bit,
+    // fixed-point ADC partials make the final score an integer sum
+    "ann_pq_topk" -> pqSql(queryId = 0, k = 10, subspaces = 8, sub = 8),
     // ivf: centroids are per-label per-dim averages; probe the 2
     // nearest-centroid labels, exact top-k within
     "ann_ivf_topk" ->

@@ -282,6 +282,66 @@ object Similarity {
       .select(col("vec_id"), col("dot"))
   }
 
+  /** Product-quantization top-k: the third classic ANN index family
+    * (alongside the LSH and IVF variants). The vector space splits
+    * into `subspaces` slices; each slice gets a per-label MEDIAN
+    * codebook entry (medians, not means: a median is order-
+    * independent, so the codebook is bit-identical on any engine or
+    * partitioning, where a float mean depends on summation order);
+    * every vector encodes as one small int per subspace (nearest
+    * codebook entry by squared L2, ties to the smaller label). A
+    * query then scores the whole corpus from an ADC table — per
+    * (subspace, codebook entry) partial dot products, FIXED-POINT
+    * quantized (floor ×1e6 → long) so the per-vector score is an
+    * integer SUM, exact under any aggregation order.
+    *
+    * Scale shape: the codebook and ADC table are tiny and broadcast;
+    * encoding is one narrow pass over (vector × subspace); scoring
+    * joins codes to the broadcast table and sums longs —
+    * memory-bandwidth bound on 1 byte/subspace codes, which is the
+    * entire point of PQ at a 100 TB corpus.
+    */
+  def pqTopK(embeddings: DataFrame, queryId: Long, k: Int,
+             subspaces: Int = 8, dims: Int = 64,
+             scale: Double = 1e6): DataFrame = {
+    val sub = dims / subspaces
+    val e = vecs(embeddings)
+    val cbv = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("s", (col("pos") / sub).cast("int"))
+      .withColumn("d", (col("pos") % sub).cast("int"))
+      .groupBy(col("s"), col("label").as("c"), col("d"))
+      .agg(expr("percentile(x, 0.5)").as("m"))
+      .groupBy(col("s"), col("c"))
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("s"), col("c"),
+        transform(col("dm"), t => t.getField("m")).as("cv"))
+    val vs = e.select(col("vec_id"),
+        explode(array((0 until subspaces).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("v"), s * sub + 1, sub).as("sv"))): _*)).as("z"))
+      .select(col("vec_id"), col("z.s").as("s"), col("z.sv").as("sv"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val codes = vs.join(broadcast(cbv), Seq("s"))
+      .withColumn("d2", sqDist(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max(struct((-col("d2")).as("nd"), (-col("c")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("s"), (-col("best.nc")).cast("int").as("code"))
+    val adc = broadcast(vs.filter(col("vec_id") === queryId)
+      .join(cbv, Seq("s"))
+      .select(col("s").as("qs"), col("c"),
+        floor(dot(col("sv"), col("cv")) * scale).cast("long").as("pdot")))
+    codes.filter(col("vec_id") =!= queryId)
+      .join(adc, col("s") === col("qs") && col("code") === col("c"))
+      .groupBy(col("vec_id")).agg(sum(col("pdot")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"))
+  }
+
   /** Per-label mean vectors — the "trained" coarse quantizer shared by
     * the IVF probe and the k-means assignment step.
     */

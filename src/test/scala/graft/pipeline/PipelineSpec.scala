@@ -155,6 +155,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(byScore.forall(g => g.map(_._3).distinct.length == 1))
   }
 
+  test("pq topk is deterministic and overlaps the exact ranking") {
+    val emb = graft.SharedSpark.spark.read
+      .parquet(graft.SharedSpark.sfDir + "/embeddings.parquet")
+    val pq = Similarity.pqTopK(emb, queryId = 0, k = 10).as[Long].collect()
+    assert(pq.length == 10 && pq.distinct.length == 10)
+    // bit-reproducible: the median codebooks and fixed-point ADC make
+    // a second run identical, not merely similar
+    assert(Similarity.pqTopK(emb, queryId = 0, k = 10)
+      .as[Long].collect().toSeq == pq.toSeq)
+    val bf = Similarity.bruteForceTopK(emb, queryId = 0, k = 10)
+      .as[Long].collect().toSet
+    // the 16-entry label codebook is deliberately coarse at this SF —
+    // the assertion pins nonzero agreement, determinism pins the rest
+    assert(pq.toSet.intersect(bf).nonEmpty,
+      s"pq ${pq.toSet} vs brute ${bf}")
+  }
+
   test("native int dot product agrees with the HOF form; null semantics") {
     val df = Seq(
       (Array(1, 2, 3), Array(4, 5, 6)),      // 4+10+18 = 32
