@@ -215,21 +215,32 @@ object PipelineQueries {
        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7""".stripMargin
   }
 
-  /** PQ oracle: replays [[Similarity.pqTopK]] — median codebooks per
-    * (subspace, label, dim), nearest-entry encoding, fixed-point ADC
-    * scoring. The per-slice arithmetic is written as EXPLICIT
-    * left-associated term sums so DuckDB evaluates the identical
-    * float operation order as Spark's sequential array folds.
+  /** PQ oracle: replays [[Similarity.pqTopK]] — capped md5-bucket
+    * training sample, median codebooks per (subspace, label, dim),
+    * nearest-entry encoding, fixed-point ADC scoring. The per-slice
+    * arithmetic is written as EXPLICIT left-associated term sums so
+    * DuckDB evaluates the identical float operation order as Spark's
+    * sequential array folds.
     */
-  private def pqSql(queryId: Long, k: Int, subspaces: Int, sub: Int): String = {
+  private def pqSql(queryId: Long, k: Int, subspaces: Int, sub: Int,
+                    samplePct: Int, sampleCap: Int): String = {
     def terms(f: (String, String) => String): String =
       (1 to sub).map(i => f(s"sv[$i]", s"cv[$i]")).mkString(" + ")
     val d2 = terms((a, b) => s"($a - $b) * ($a - $b)")
     val pd = terms((a, b) => s"$a * $b")
     s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |            FROM embeddings),
+       |hb AS (SELECT vec_id, label, v,
+       |         ('0x' || substr(md5(vec_id::VARCHAR), 1, 4))::BIGINT % 100
+       |           AS hb
+       |       FROM emb),
+       |tr AS (SELECT label, v FROM (
+       |         SELECT label, v, row_number() OVER (
+       |           PARTITION BY label ORDER BY hb, vec_id) AS rn
+       |         FROM hb WHERE hb < $samplePct)
+       |       WHERE rn <= $sampleCap),
        |f AS (SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
-       |      FROM emb),
+       |      FROM tr),
        |cb AS (SELECT pos // $sub AS s, label AS c, pos % $sub AS d,
        |         quantile_cont(x, 0.5) AS m FROM f GROUP BY 1, 2, 3),
        |cbv AS (SELECT s, c, list(m ORDER BY d) AS cv FROM cb GROUP BY 1, 2),
@@ -342,7 +353,8 @@ object PipelineQueries {
     // pq: median codebooks (order-independent), explicit left-assoc
     // term sums replicate Spark's sequential array folds bit-for-bit,
     // fixed-point ADC partials make the final score an integer sum
-    "ann_pq_topk" -> pqSql(queryId = 0, k = 10, subspaces = 8, sub = 8),
+    "ann_pq_topk" -> pqSql(queryId = 0, k = 10, subspaces = 8, sub = 8,
+      samplePct = 50, sampleCap = 128),
     // ivf: centroids are per-label per-dim averages; probe the 2
     // nearest-centroid labels, exact top-k within
     "ann_ivf_topk" ->

@@ -282,6 +282,48 @@ object Similarity {
       .select(col("vec_id"), col("dot"))
   }
 
+  /** Deterministic codebook TRAINING SAMPLE: an md5 bucket of vec_id
+    * keeps `samplePct`% of the corpus (same split idiom as
+    * `TextAnalysis.assignSplit` — a vector's membership never depends
+    * on the other vectors), then a per-label row_number over
+    * (bucket, vec_id) caps the survivors at `sampleCap` rows per
+    * label. The cap is what makes codebook training 100 TB-safe: the
+    * exact-percentile state per (subspace, label, dim) group is
+    * bounded by the cap, not by the corpus — real PQ trains on a
+    * sample, and a capped deterministic sample is one both engines
+    * can replay bit-for-bit (no sampling RNG to disagree on).
+    */
+  private[pipeline] def pqTrainSample(e: DataFrame, samplePct: Int,
+                                      sampleCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hb = conv(substring(md5(col("vec_id").cast("string").cast("binary")),
+      1, 4), 16, 10).cast("long") % 100
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("hb"), col("vec_id"))
+    e.withColumn("hb", hb)
+      .filter(col("hb") < samplePct)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= sampleCap)
+      .select(col("label"), col("v"))
+  }
+
+  /** Per-(subspace, label, dim) median codebook, trained on
+    * [[pqTrainSample]] — each entry is the median over at most
+    * `sampleCap` sampled values, never the full corpus.
+    */
+  private[pipeline] def pqCodebook(e: DataFrame, sub: Int,
+                                   samplePct: Int, sampleCap: Int): DataFrame =
+    pqTrainSample(e, samplePct, sampleCap)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("s", (col("pos") / sub).cast("int"))
+      .withColumn("d", (col("pos") % sub).cast("int"))
+      .groupBy(col("s"), col("label").as("c"), col("d"))
+      .agg(expr("percentile(x, 0.5)").as("m"))
+      .groupBy(col("s"), col("c"))
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("s"), col("c"),
+        transform(col("dm"), t => t.getField("m")).as("cv"))
+
   /** Product-quantization top-k: the third classic ANN index family
     * (alongside the LSH and IVF variants). The vector space splits
     * into `subspaces` slices; each slice gets a per-label MEDIAN
@@ -295,26 +337,21 @@ object Similarity {
     * quantized (floor ×1e6 → long) so the per-vector score is an
     * integer SUM, exact under any aggregation order.
     *
-    * Scale shape: the codebook and ADC table are tiny and broadcast;
-    * encoding is one narrow pass over (vector × subspace); scoring
-    * joins codes to the broadcast table and sums longs —
-    * memory-bandwidth bound on 1 byte/subspace codes, which is the
-    * entire point of PQ at a 100 TB corpus.
+    * Scale shape: the codebook trains on a capped deterministic
+    * sample ([[pqTrainSample]] — bounded per-group percentile state);
+    * the codebook and ADC table are tiny and broadcast; encoding is
+    * one narrow pass over (vector × subspace); scoring joins codes to
+    * the broadcast table and sums longs — memory-bandwidth bound on
+    * 1 byte/subspace codes, which is the entire point of PQ at a
+    * 100 TB corpus.
     */
   def pqTopK(embeddings: DataFrame, queryId: Long, k: Int,
              subspaces: Int = 8, dims: Int = 64,
-             scale: Double = 1e6): DataFrame = {
+             scale: Double = 1e6, samplePct: Int = 50,
+             sampleCap: Int = 128): DataFrame = {
     val sub = dims / subspaces
     val e = vecs(embeddings)
-    val cbv = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .withColumn("s", (col("pos") / sub).cast("int"))
-      .withColumn("d", (col("pos") % sub).cast("int"))
-      .groupBy(col("s"), col("label").as("c"), col("d"))
-      .agg(expr("percentile(x, 0.5)").as("m"))
-      .groupBy(col("s"), col("c"))
-      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-      .select(col("s"), col("c"),
-        transform(col("dm"), t => t.getField("m")).as("cv"))
+    val cbv = pqCodebook(e, sub, samplePct, sampleCap)
     val vs = e.select(col("vec_id"),
         explode(array((0 until subspaces).map(s =>
           struct(lit(s).as("s"),

@@ -56,6 +56,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
   }
 
+  test("ann_pq_topk: codebook trains on the capped md5-bucket sample") {
+    val p = plan("ann_pq_topk")
+    // sample filter evaluates directly on the scan, before any agg
+    assert(p.contains("conv(substring(md5("),
+      "md5-bucket sample filter must gate the codebook input")
+    // the per-label cap applies map-side (Partial WindowGroupLimit),
+    // so percentile state is bounded by the cap, not the corpus
+    assert(p.contains("WindowGroupLimit"),
+      "per-label cap must bound the training sample before the shuffle")
+    assert(p.contains("partial_percentile"),
+      "codebook medians must partial-aggregate")
+  }
+
   test("ann_ivf_topk: probed labels broadcast into a semi-join") {
     val p = plan("ann_ivf_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")

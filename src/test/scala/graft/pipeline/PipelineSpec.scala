@@ -172,6 +172,24 @@ class PipelineSpec extends AnyFunSuite {
       s"pq ${pq.toSet} vs brute ${bf}")
   }
 
+  test("pq training sample caps per label and is bucket-deterministic") {
+    val emb = graft.SharedSpark.spark.read
+      .parquet(graft.SharedSpark.sfDir + "/embeddings.parquet")
+    val e = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val capped = Similarity.pqTrainSample(e, samplePct = 50, sampleCap = 4)
+      .groupBy("label").count().as[(Int, Long)].collect()
+    assert(capped.nonEmpty && capped.forall(_._2 <= 4),
+      s"cap must bind: ${capped.toSeq}")
+    // with the cap loose, the bucket filter alone decides membership:
+    // roughly half the corpus survives, and a rerun is identical
+    val loose = Similarity.pqTrainSample(e, samplePct = 50, sampleCap = 1 << 30)
+    val n = loose.count()
+    val total = e.count()
+    assert(n > total / 4 && n < 3 * total / 4, s"$n of $total sampled")
+    assert(loose.count() == n)
+  }
+
   test("native int dot product agrees with the HOF form; null semantics") {
     val df = Seq(
       (Array(1, 2, 3), Array(4, 5, 6)),      // 4+10+18 = 32
