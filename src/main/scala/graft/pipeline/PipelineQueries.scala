@@ -536,8 +536,25 @@ object PipelineQueries {
            |  least(1.0, n / 100.0) * (1.0 - punct_ratio) * (1.0 - 0.5 * stop_ratio)
            |    AS score
            |FROM y),
-           |c AS (SELECT quantile_cont(score,
-           |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM sc)
+           |smp AS (SELECT score FROM (
+           |  SELECT score,
+           |    row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+           |      AS rn
+           |  FROM (SELECT doc_id, score,
+           |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100
+           |            AS hb,
+           |          ('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 8
+           |            AS shard,
+           |          ('0x' || substr(md5(doc_id::VARCHAR), 9, 4))::BIGINT AS ord
+           |        FROM sc)
+           |  WHERE hb < 50)
+           |WHERE rn <= 512),
+           |rk AS (SELECT score, row_number() OVER (ORDER BY score) AS r,
+           |         count(*) OVER () AS n
+           |       FROM smp),
+           |c AS (SELECT ${(1 to 9).map(i =>
+                    s"max(CASE WHEN r = (n * $i + 9) // 10 THEN score END)")
+                    .mkString("[", ", ", "]")} AS cuts FROM rk)
            |SELECT sc.doc_id, sc.score,
            |  CAST(1 + len(list_filter(c.cuts, x -> sc.score > x)) AS INTEGER)
            |    AS phase

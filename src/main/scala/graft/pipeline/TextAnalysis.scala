@@ -176,21 +176,52 @@ object TextAnalysis {
   /** Curriculum phase assignment: documents bucket into `phases`
     * quality bands (phase 1 = lowest-quality decile, trained first in
     * an easy-to-hard curriculum — or dropped; the policy is the
-    * caller's). The cut points are EXACT percentiles from one
-    * aggregation, broadcast back for a map-side comparison — never an
-    * ntile/window over the whole corpus, which would single-partition
-    * the sort at 100 TB. Ties at a cut go to the lower phase; both
-    * engines compare the same exact doubles. Caveat: interpolated
-    * percentile arithmetic can differ by 1 ulp between engines when a
-    * cut lands inside a run of duplicated scores — the oracle gate
-    * guards the combination actually shipped.
+    * caller's). The cut points are EXACT percentiles over a capped
+    * deterministic md5-bucket sample, broadcast back for a map-side
+    * comparison — never an ntile/window over the whole corpus, which
+    * would single-partition the sort at 100 TB, and never a
+    * full-corpus percentile buffer, which is a reducer-memory cliff.
+    * Cuts are NEAREST-RANK (type-1) percentiles — each cut is an
+    * actual sampled score, never an interpolated midpoint, so the
+    * doubles are bit-identical on any engine (interpolated percentile
+    * formulas differ by 1 ulp between engines). Ties at a cut go to
+    * the lower phase.
     */
-  def curriculumPhases(docs: DataFrame, phases: Int = 10): DataFrame = {
+  def curriculumPhases(docs: DataFrame, phases: Int = 10,
+                       samplePct: Int = 50, shards: Int = 8,
+                       capPerShard: Int = 512): DataFrame = {
     val scored = qualityScore(docs).select(col("doc_id"), col("score"))
-    val ps = (1 until phases).map(i =>
-      (BigDecimal(i) / phases).toString).mkString(",")
-    val cuts = scored.agg(
-      expr(s"percentile(score, array($ps))").as("cuts"))
+    // The cut points come from a deterministic, HARD-BOUNDED sample:
+    // an md5 bucket of doc_id keeps samplePct% (membership independent
+    // of the rest of the corpus), survivors shard on decorrelated md5
+    // hex chars, and a per-shard row_number cap bounds the total at
+    // shards × capPerShard rows. The sample window partitions by
+    // shard, so no global sort; only the final rank over the ALREADY
+    // BOUNDED sample is single-partition, which is fine at any corpus
+    // size because its input never exceeds shards × capPerShard rows.
+    import org.apache.spark.sql.expressions.Window
+    def hx(from: Int): Column =
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        from, 4), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+    val sample = scored
+      .withColumn("hb", hx(1) % 100).filter(col("hb") < samplePct)
+      .withColumn("shard", hx(5) % shards)
+      .withColumn("ord", hx(9))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= capPerShard)
+    // nearest-rank cut i = the ceil(i*n/phases)-th smallest sampled
+    // score (pure integer rank arithmetic — no interpolation, no
+    // engine-dependent float formula)
+    val ranked = sample
+      .withColumn("r", row_number().over(Window.orderBy(col("score"))))
+      .withColumn("nn", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val cuts = ranked.agg(
+      array((1 until phases).map(i =>
+        max(when(col("r") ===
+          expr(s"(nn * $i + ${phases - 1}) div $phases"), col("score")))): _*)
+        .as("cuts"))
     scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("score"),
         aggregate(col("cuts"), lit(1),

@@ -69,6 +69,17 @@ class PlanSpec extends AnyFunSuite {
       "codebook medians must partial-aggregate")
   }
 
+  test("data_curriculum: cuts come from the capped sample, not a " +
+       "full-corpus percentile") {
+    val p = plan("data_curriculum")
+    assert(!p.contains("percentile"),
+      "no exact-percentile buffer over any input — cuts are rank-picked")
+    assert(p.contains("conv(substring(md5("),
+      "md5-bucket sample filter must gate the cut input")
+    assert(p.contains("WindowGroupLimit"),
+      "per-shard cap must bound the sample before the rank")
+  }
+
   test("ann_ivf_topk: probed labels broadcast into a semi-join") {
     val p = plan("ann_ivf_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
