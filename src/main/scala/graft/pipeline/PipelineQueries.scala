@@ -40,6 +40,11 @@ object PipelineQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
     "ann_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(Tables.embeddings(s, dir))),
+    // the approximate regime, forced: gate at 0 queries so the LSH
+    // band equi-join (not the exact broadcast) produces the answers
+    // the oracle checks
+    "ann_knn_join_banded" -> ((s, dir) =>
+      Similarity.knnJoin(Tables.embeddings(s, dir), maxBroadcastQueries = 0)),
     "ann_range_search" -> ((s, dir) =>
       Similarity.rangeSearch(Tables.embeddings(s, dir), queryId = 0)),
     "ann_knn_classify" -> ((s, dir) =>
@@ -382,6 +387,33 @@ object PipelineQueries {
         |      ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id)
         |      AS rnk
         |  FROM embeddings e, q WHERE e.vec_id != q.query_id)
+        |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    // the forced-approximate regime: rebuild the hyperplane bucket
+    // codes (same md5 coefficients as ann_lsh_topk), candidates =
+    // bucket pairs within Hamming 2 — exactly the probe-mask set the
+    // Spark side explodes — then exact rank within candidates
+    "ann_knn_join_banded" ->
+      """WITH coef AS (
+        |  SELECT p, d,
+        |    CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT
+        |              % 2 = 0 THEN 1.0 ELSE -1.0 END AS c
+        |  FROM range(0, 8) tp(p), range(0, 64) td(d)),
+        |dots AS (SELECT e.vec_id, c.p, sum(e.embedding[c.d + 1] * c.c) AS s
+        |         FROM embeddings e, coef c GROUP BY 1, 2),
+        |buck AS (SELECT vec_id,
+        |           CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+        |         FROM dots GROUP BY 1),
+        |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket AS qb
+        |      FROM embeddings e JOIN buck b USING (vec_id)
+        |      WHERE e.vec_id % 50 = 0),
+        |ranked AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id)
+        |      AS rnk
+        |  FROM embeddings e JOIN buck b ON b.vec_id = e.vec_id, q
+        |  WHERE e.vec_id != q.query_id
+        |    AND bit_count(xor(b.bucket, q.qb)) <= 2)
         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
     "text_contamination" ->
       raw"""WITH $TOKS,
