@@ -65,9 +65,11 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
     println(line)
     // stable per-run artifact: round-over-round comparison reads this
-    // file instead of scraping sbt output tails
+    // file instead of scraping sbt output tails; path overridable so
+    // concurrent runs don't clobber each other (file is gitignored)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_latest.json"), line + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_latest.json")), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }

@@ -32,7 +32,9 @@ object Checkpoints {
     val out = df.localCheckpoint()
     val rdd = out.queryExecution.analyzed.collectLeaves().collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.get
+    }.getOrElse(sys.error(
+      "localCheckpoint did not produce a LogicalRDD leaf — " +
+        "Spark version drift in checkpoint plan shape"))
     released.add(() => rdd.unpersist(blocking = false))
     (out, rdd)
   }

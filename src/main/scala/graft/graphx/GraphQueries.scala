@@ -219,7 +219,12 @@ object GraphQueries {
         |UNION ALL SELECT 'nat:'||n_nationkey, 1 FROM nation
         |UNION ALL SELECT 'cust:'||c_custkey, 2 FROM customer
         |UNION ALL SELECT 'supp:'||s_suppkey, 2 FROM supplier""".stripMargin,
-    "graph_kcore" -> kcoreSql(k = 3,
-      rounds = math.max(kcoreObservedRounds, 1)),
-  )
+  ) ++ (
+    // emitted only after the graph_kcore query itself has run: an
+    // unobserved round count would unroll a wrong 1-round superset
+    // oracle; omitting the entry downgrades the driver's check to
+    // rows-only instead of silently comparing against bad SQL
+    if (kcoreObservedRounds > 0)
+      Map("graph_kcore" -> kcoreSql(k = 3, rounds = kcoreObservedRounds))
+    else Map.empty[String, String])
 }

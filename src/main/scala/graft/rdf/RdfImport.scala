@@ -71,11 +71,21 @@ object RdfImport {
     }
   }
 
+  /** Hard ceiling on a URL import body (256 MB): the fetch buffers on
+    * the driver, so an unbounded response is a driver OOM, not a slow
+    * import. Larger sources belong on distributed storage where
+    * `spark.read` streams them per-partition.
+    */
+  private val MaxFetchBytes: Long = 256L * 1024 * 1024
+
   /** Driver-side fetch of a bounded-size URL import; header params
     * (auth tokens, accept types — the reference's headerParams map)
     * ride the single request. Bounded timeouts: a server that accepts
     * the connection but never responds must fail the import, not hang
-    * the driver forever.
+    * the driver forever. The body is read through a [[MaxFetchBytes]]
+    * cap and fails loudly past it. Redirects follow the JDK default,
+    * which never crosses protocols — an https source cannot be bounced
+    * to plain http.
     */
   private def fetchBody(url: String,
                         headerParams: Map[String, String]): String = {
@@ -84,6 +94,18 @@ object RdfImport {
     conn.setReadTimeout(60000)
     headerParams.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     val in = conn.getInputStream
-    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        require(out.size() <= MaxFetchBytes,
+          s"URL import body exceeds $MaxFetchBytes bytes: $url — " +
+            "stage oversized sources on distributed storage instead")
+        n = in.read(buf)
+      }
+      out.toString("UTF-8")
+    } finally in.close()
   }
 }
