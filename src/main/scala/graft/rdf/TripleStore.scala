@@ -63,6 +63,25 @@ object TripleStore {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The predicate-partitioned layout, materialized once per
+    * (session, sfDir) under the JVM temp dir and served read-back —
+    * so gate queries exercise the REAL cluster path end-to-end:
+    * parquet directories per predicate, constant-predicate patterns
+    * pruned via PartitionFilters before any I/O. The path is
+    * process-unique (pid) so concurrent runs don't clobber each
+    * other; overwrite-on-first-use keeps reruns in one JVM cheap.
+    */
+  def partitionedTriples(spark: SparkSession, sfDir: String): DataFrame =
+    sessionCache(spark).getOrElseUpdate("partitioned:" + sfDir, {
+      val pid = ProcessHandle.current().pid()
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_pstore_${pid}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      ).getAbsolutePath
+      writePartitioned(triples(spark, sfDir), path)
+      readPartitioned(spark, path)
+    })
+
   /** The other half of the cluster layout: the triple relation as a
     * SUBJECT-BUCKETED table. BGP self-joins are equi-joins on the
     * subject; with both sides bucketed by `s` the join consumes the

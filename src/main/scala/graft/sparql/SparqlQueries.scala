@@ -27,6 +27,18 @@ object SparqlQueries {
     numericVars.foldLeft(out)((df, c) => df.withColumn(c, col(c).cast("double")))
   }
 
+  /** [[run]] against the PREDICATE-PARTITIONED parquet layout instead
+    * of the in-memory cached relation — the BGP and property-path
+    * gate keys go through this so partition pruning (the 100 TB scan
+    * shape) is exercised under the oracle end-to-end, not just
+    * asserted in PlanSpec.
+    */
+  private def runP(spark: SparkSession, dir: String, q: SelectQuery,
+                   numericVars: Seq[String] = Seq.empty): DataFrame = {
+    val out = Compiler.run(TripleStore.partitionedTriples(spark, dir), q)
+    numericVars.foldLeft(out)((df, c) => df.withColumn(c, col(c).cast("double")))
+  }
+
   /** A small named-graph dataset over the dimension slice: per-entity
     * :name triples split into three graphs (the quad-store shape the
     * TriG/N-Quads importers produce).
@@ -46,7 +58,7 @@ object SparqlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sparql_bgp_star" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
+      runP(s, dir, SelectQuery(
         where = Bgp(Seq(
           tp(v("c"), "rdf:type", i(":Customer")),
           tp(v("c"), ":name", v("n")),
@@ -55,7 +67,7 @@ object SparqlQueries {
         projection = Seq("c", "n", "m", "b")), numericVars = Seq("b"))
     },
     "sparql_bgp_chain" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
+      runP(s, dir, SelectQuery(
         where = Filter(Seq(Cmp(Gt, v("q"), num(45))), Bgp(Seq(
           tp(v("l"), ":ofOrder", v("o")),
           tp(v("o"), ":byCustomer", v("c")),
@@ -181,7 +193,7 @@ object SparqlQueries {
         .withColumn("total", round(col("total"), 2))
     },
     "sparql_path_plus" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
+      runP(s, dir, SelectQuery(
         where = PathPlus(v("x"), Seq(":hasNation", ":inRegion"), v("y")),
         projection = Seq("x", "y")))
     },
@@ -276,7 +288,7 @@ object SparqlQueries {
           |  ?c a :Customer .
           |  ?c :hasNation/:inRegion/:name ?n .
           |}""".stripMargin
-      run(s, dir, SparqlParser.parse(text))
+      runP(s, dir, SparqlParser.parse(text))
     },
     // MINUS: anti-join on the shared variable (vs NOT EXISTS, which
     // correlates; MINUS with disjoint domains removes nothing)
@@ -312,13 +324,13 @@ object SparqlQueries {
     // zero-or-more path from a bound subject: the endpoint itself plus
     // everything reachable over the predicate alternation
     "sparql_path_star" -> { (s, dir) =>
-      run(s, dir, SparqlParser.parse(
+      runP(s, dir, SparqlParser.parse(
         "SELECT ?y WHERE { <cust:7> (:hasNation|:inRegion)* ?y }"))
     },
     // zero-or-one path: each customer relates to itself (zero hops)
     // and to its nation (one hop)
     "sparql_path_zeroone" -> { (s, dir) =>
-      run(s, dir, SparqlParser.parse(
+      runP(s, dir, SparqlParser.parse(
         "SELECT ?c ?y WHERE { ?c a :Customer . ?c :hasNation? ?y }"))
     },
     // expression FILTERs: computed left sides (string length,
@@ -390,7 +402,7 @@ object SparqlQueries {
     // negated property set: every supplier edge that is neither
     // acctbal nor rdf:type (name literal + nation IRI remain)
     "sparql_neg_path" -> { (s, dir) =>
-      run(s, dir, SparqlParser.parse(
+      runP(s, dir, SparqlParser.parse(
         """SELECT ?s ?o WHERE {
           |  ?s a :Supplier .
           |  ?s !(:acctbal|a) ?o .
@@ -497,7 +509,7 @@ object SparqlQueries {
     },
     // fixed-range repetition path {n,m}: bounded hops, no closure
     "sparql_path_range" -> { (s, dir) =>
-      run(s, dir, SparqlParser.parse(
+      runP(s, dir, SparqlParser.parse(
         "SELECT ?y WHERE { <cust:7> (:hasNation|:inRegion){1,2} ?y }"))
     },
     // named-graph management (SPARQL Update §3.2): COPY the nation

@@ -29,9 +29,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_partkey"), "unused columns must be pruned")
   }
 
-  test("sparql_bgp_chain: patterns scan the cached triple relation") {
+  test("sparql_bgp_chain: patterns prune the predicate-partitioned store") {
     val p = plan("sparql_bgp_chain")
-    assert(p.contains("InMemoryTableScan"), "BGP must read the persisted triple store")
+    assert(p.contains("PartitionFilters: [isnotnull(p"),
+      "constant-predicate patterns must prune parquet partitions")
+    assert(!p.contains("PartitionFilters: []"),
+      "no pattern may scan every predicate directory")
+  }
+
+  test("sparql_bgp_star: star patterns prune the partitioned store") {
+    val p = plan("sparql_bgp_star")
+    assert(p.contains("PartitionFilters: [isnotnull(p"),
+      "constant-predicate patterns must prune parquet partitions")
   }
 
   test("ann_lsh_topk: broadcast probe join + top-k without global sort") {
