@@ -58,144 +58,111 @@ object SparqlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sparql_bgp_star" -> { (s, dir) =>
-      runP(s, dir, SelectQuery(
-        where = Bgp(Seq(
-          tp(v("c"), "rdf:type", i(":Customer")),
-          tp(v("c"), ":name", v("n")),
-          tp(v("c"), ":mktsegment", v("m")),
-          tp(v("c"), ":acctbal", v("b")))),
-        projection = Seq("c", "n", "m", "b")), numericVars = Seq("b"))
+      runP(s, dir, SparqlParser.parse(
+        """SELECT ?c ?n ?m ?b WHERE {
+          |  ?c a :Customer .
+          |  ?c :name ?n .
+          |  ?c :mktsegment ?m .
+          |  ?c :acctbal ?b .
+          |}""".stripMargin), numericVars = Seq("b"))
     },
     "sparql_bgp_chain" -> { (s, dir) =>
-      runP(s, dir, SelectQuery(
-        where = Filter(Seq(Cmp(Gt, v("q"), num(45))), Bgp(Seq(
-          tp(v("l"), ":ofOrder", v("o")),
-          tp(v("o"), ":byCustomer", v("c")),
-          tp(v("c"), ":hasNation", v("n")),
-          tp(v("n"), ":inRegion", v("r")),
-          tp(v("r"), ":name", v("rn")),
-          tp(v("l"), ":quantity", v("q"))))),
-        projection = Seq("l", "rn", "q")), numericVars = Seq("q"))
+      runP(s, dir, SparqlParser.parse(
+        """SELECT ?l ?rn ?q WHERE {
+          |  ?l :ofOrder ?o . ?o :byCustomer ?c .
+          |  ?c :hasNation ?n . ?n :inRegion ?r . ?r :name ?rn .
+          |  ?l :quantity ?q .
+          |  FILTER(?q > 45)
+          |}""".stripMargin), numericVars = Seq("q"))
     },
     "sparql_filter_compare" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = Filter(Seq(
-          Cmp(Ge, v("sz"), num(40)),
-          Cmp(Le, v("sz"), num(48)),
-          Cmp(Gt, v("rp"), num(900)),
-          Cmp(Lt, v("rp"), num(1500)),
-          Cmp(Ne, v("b"), str("Brand#33")),
-          Cmp(Eq, v("t"), str("ECONOMY"))), Bgp(Seq(
-          tp(v("p"), "rdf:type", i(":Part")),
-          tp(v("p"), ":size", v("sz")),
-          tp(v("p"), ":brand", v("b")),
-          tp(v("p"), ":ptype", v("t")),
-          tp(v("p"), ":retailprice", v("rp"))))),
-        projection = Seq("p", "sz", "b", "rp")), numericVars = Seq("sz", "rp"))
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?p ?sz ?b ?rp WHERE {
+          |  ?p a :Part .
+          |  ?p :size ?sz . ?p :brand ?b .
+          |  ?p :ptype ?t . ?p :retailprice ?rp .
+          |  FILTER(?sz >= 40) FILTER(?sz <= 48)
+          |  FILTER(?rp > 900) FILTER(?rp < 1500)
+          |  FILTER(?b != "Brand#33") FILTER(?t = "ECONOMY")
+          |}""".stripMargin), numericVars = Seq("sz", "rp"))
     },
     "sparql_filter_logic" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = Filter(Seq(
-          Or(And(Cmp(Gt, v("b"), num(9000)), Cmp(Eq, v("m"), str("BUILDING"))),
-             Cmp(Lt, v("b"), num(-900)))), Bgp(Seq(
-          tp(v("c"), ":acctbal", v("b")),
-          tp(v("c"), ":mktsegment", v("m"))))),
-        projection = Seq("c", "b", "m")), numericVars = Seq("b"))
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?b ?m WHERE {
+          |  ?c :acctbal ?b . ?c :mktsegment ?m .
+          |  FILTER(?b > 9000 && ?m = "BUILDING" || ?b < -900)
+          |}""".stripMargin), numericVars = Seq("b"))
     },
     "sparql_optional" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = LeftJoin(
-          Bgp(Seq(tp(v("c"), "rdf:type", i(":Customer")))),
-          Bgp(Seq(
-            tp(v("o"), ":byCustomer", v("c")),
-            tp(v("o"), ":orderpriority", v("pr"))))),
-        projection = Seq("c", "pr"),
-        distinct = true))
+      run(s, dir, SparqlParser.parse(
+        """SELECT DISTINCT ?c ?pr WHERE {
+          |  ?c a :Customer .
+          |  OPTIONAL { ?o :byCustomer ?c . ?o :orderpriority ?pr }
+          |}""".stripMargin))
     },
     "sparql_union" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = Union(
-          Bgp(Seq(tp(v("x"), "rdf:type", i(":Nation")), tp(v("x"), ":name", v("nm")))),
-          Bgp(Seq(tp(v("x"), "rdf:type", i(":Region")), tp(v("x"), ":name", v("nm"))))),
-        projection = Seq("x", "nm")))
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?x ?nm WHERE {
+          |  { ?x a :Nation . ?x :name ?nm }
+          |  UNION { ?x a :Region . ?x :name ?nm }
+          |}""".stripMargin))
     },
     "sparql_distinct" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = Bgp(Seq(tp(v("c"), ":mktsegment", v("m")))),
-        projection = Seq("m"),
-        distinct = true))
+      run(s, dir, SparqlParser.parse(
+        "SELECT DISTINCT ?m WHERE { ?c :mktsegment ?m }"))
     },
     "sparql_orderby_limit" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = Bgp(Seq(
-          tp(v("c"), "rdf:type", i(":Customer")),
-          tp(v("c"), ":acctbal", v("b")))),
-        projection = Seq("c", "b"),
-        orderBy = Seq(("b", false), ("c", true)),
-        offset = 5L, limit = 15L), numericVars = Seq("b"))
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?b WHERE { ?c a :Customer . ?c :acctbal ?b }
+          |ORDER BY DESC(?b) ASC(?c) LIMIT 15 OFFSET 5""".stripMargin),
+        numericVars = Seq("b"))
     },
     "sparql_groupby_count" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = Bgp(Seq(tp(v("c"), ":mktsegment", v("m")))),
-        projection = Seq("m", "cnt"),
-        aggregates = Seq(Agg(Count, Some(v("c")), "cnt")),
-        groupBy = Seq("m")))
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?m (COUNT(?c) AS ?cnt) WHERE { ?c :mktsegment ?m }
+          |GROUP BY ?m""".stripMargin))
     },
     "sparql_count_distinct" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = Bgp(Seq(tp(v("p"), ":brand", v("b")), tp(v("p"), ":ptype", v("t")))),
-        projection = Seq("b", "n_types"),
-        aggregates = Seq(Agg(CountDistinct, Some(v("t")), "n_types")),
-        groupBy = Seq("b")))
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?b (COUNT(DISTINCT ?t) AS ?n_types)
+          |WHERE { ?p :brand ?b . ?p :ptype ?t }
+          |GROUP BY ?b""".stripMargin))
     },
     "sparql_groupby_max" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = Bgp(Seq(
-          tp(v("c"), "rdf:type", i(":Customer")),
-          tp(v("c"), ":hasNation", v("n")),
-          tp(v("c"), ":acctbal", v("b")))),
-        projection = Seq("n", "mx"),
-        aggregates = Seq(Agg(Max, Some(v("b")), "mx")),
-        groupBy = Seq("n")))
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?n (MAX(?b) AS ?mx) WHERE {
+          |  ?c a :Customer . ?c :hasNation ?n . ?c :acctbal ?b
+          |} GROUP BY ?n""".stripMargin))
     },
     "sparql_exists" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = Filter(
-          Seq(Exists(Seq(
-            tp(v("o"), ":byCustomer", v("c")),
-            tp(v("o"), ":orderstatus", str("F"))))),
-          Bgp(Seq(tp(v("c"), "rdf:type", i(":Customer"))))),
-        projection = Seq("c")))
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c WHERE {
+          |  ?c a :Customer .
+          |  FILTER EXISTS { ?o :byCustomer ?c . ?o :orderstatus "F" }
+          |}""".stripMargin))
     },
     "sparql_not_exists" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = Filter(
-          Seq(NotExists(Seq(
-            tp(v("o"), ":byCustomer", v("c")),
-            tp(v("o"), ":orderpriority", str("1-URGENT"))))),
-          Bgp(Seq(tp(v("c"), "rdf:type", i(":Customer"))))),
-        projection = Seq("c")))
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c WHERE {
+          |  ?c a :Customer .
+          |  FILTER NOT EXISTS { ?o :byCustomer ?c .
+          |                      ?o :orderpriority "1-URGENT" }
+          |}""".stripMargin))
     },
     "sparql_groupby_sum_avg" -> { (s, dir) =>
-      run(s, dir, SelectQuery(
-        where = Bgp(Seq(
-          tp(v("o"), ":byCustomer", v("c")),
-          tp(v("o"), ":totalprice", v("t")))),
-        projection = Seq("c", "total", "mn", "cnt"),
-        aggregates = Seq(
-          Agg(Sum, Some(v("t")), "total"),
-          Agg(Min, Some(v("t")), "mn"),
-          Agg(Count, Some(v("o")), "cnt")),
-        groupBy = Seq("c")))
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c (SUM(?t) AS ?total) (MIN(?t) AS ?mn)
+          |       (COUNT(?o) AS ?cnt)
+          |WHERE { ?o :byCustomer ?c . ?o :totalprice ?t }
+          |GROUP BY ?c""".stripMargin))
         // totalprice is 2-decimal-quantized, so the rounded sum is
         // drift-proof under the oracle hash; AVG (whose division
         // lands on rounding boundaries) is exercised in CompilerSpec
         .withColumn("total", round(col("total"), 2))
     },
     "sparql_path_plus" -> { (s, dir) =>
-      runP(s, dir, SelectQuery(
-        where = PathPlus(v("x"), Seq(":hasNation", ":inRegion"), v("y")),
-        projection = Seq("x", "y")))
+      runP(s, dir, SparqlParser.parse(
+        "SELECT ?x ?y WHERE { ?x (:hasNation|:inRegion)+ ?y }"))
     },
     "sparql_parser_e2e" -> { (s, dir) =>
       val text =
