@@ -37,8 +37,17 @@ object NQuads {
     * Raw tabs cannot occur inside a well-formed literal (the writer
     * escapes them as \t), so normalizing separators to single spaces
     * before the token split is exact.
+    *
+    * `barrier` splits the plan between the quad unwrap and the inner
+    * triple parse, exactly like [[TriG.parse]]'s: fused, the two
+    * stages' generated code crosses janino's 64 KB method limit and
+    * the stage silently runs interpreted (plus a compile-fail
+    * penalty). Callers that care pass a materializer (e.g.
+    * [[graft.Checkpoints.tracked]]); the default keeps parse a single
+    * narrow pass.
     */
-  def parse(lines: DataFrame): DataFrame = {
+  def parse(lines: DataFrame,
+            barrier: DataFrame => DataFrame = identity): DataFrame = {
     val prepared = lines
       .select(trim(col("line")).as("raw"))
       .filter(col("raw").endsWith("."))
@@ -53,11 +62,11 @@ object NQuads {
         col("cand").startsWith("<") && col("cand").endsWith(">") &&
           !col("cand").contains("\"") &&
           size(split(col("pre"), " +")) >= 3)
-    NTriples.parse(prepared.select(
+    NTriples.parse(barrier(prepared.select(
       when(col("hasg"), col("cand").substr(lit(2), length(col("cand")) - 2))
         .otherwise(lit("")).as("g"),
       concat(when(col("hasg"), col("pre")).otherwise(col("stmt")),
-        lit(" .")).as("line")))
+        lit(" .")).as("line"))))
   }
 
   /** Write quads as N-Quads text files (one line per quad). */

@@ -135,7 +135,9 @@ object RdfQueries {
       // optimize+codegen a multi-megabyte plan — seconds of driver
       // time for kilobytes of data — while a line leaf plans in ms
       val lines = NQuads.format(quads).localCheckpoint()
-      NQuads.parse(lines)
+      // second barrier inside parse: the quad unwrap fused with the
+      // triple parse crosses janino's 64 KB limit (see NQuads.parse)
+      NQuads.parse(lines, barrier = graft.Checkpoints.tracked)
         .select(col("g"), col("s"), col("p"),
           when(col("o_num").isNull, col("o")).otherwise(lit("")).as("o"),
           col("o_num").as("num"))
