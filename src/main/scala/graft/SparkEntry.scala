@@ -29,7 +29,9 @@ object SparkEntry {
     "events_funnel", "events_retention",
     // r7 additions: one representative per new component family
     "graph_label_propagation", "infer_sameas_canon", "data_curriculum",
-    "events_sliding_window", "ann_int8_topk", "ann_pq_topk")
+    "events_sliding_window", "ann_int8_topk", "ann_pq_topk",
+    // r8: the forced-approximate knn regime
+    "ann_knn_join_banded")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

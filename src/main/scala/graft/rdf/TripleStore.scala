@@ -57,8 +57,18 @@ object TripleStore {
     * and scanning the world. PlanSpec proves the pruning
     * (PartitionFilters on the scan).
     */
+  /** The write clusters rows by predicate first: without it every
+    * input task writes a file into every predicate directory (tasks ×
+    * predicates small files, each behind a dynamic-partition sort);
+    * clustered, each directory gets one well-sized file per holding
+    * task. At cluster scale add a salt to the repartition key so a
+    * hot predicate spreads over many writers — locally the predicate
+    * count (~40) already exceeds the core count's useful write
+    * parallelism.
+    */
   def writePartitioned(triples: DataFrame, path: String): Unit =
-    triples.write.mode("overwrite").partitionBy("p").parquet(path)
+    triples.repartition(org.apache.spark.sql.functions.col("p"))
+      .write.mode("overwrite").partitionBy("p").parquet(path)
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
