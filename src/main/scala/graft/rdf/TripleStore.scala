@@ -105,4 +105,19 @@ object TripleStore {
     triples.write.mode("overwrite")
       .bucketBy(buckets, "s").sortBy("s")
       .format("parquet").saveAsTable(table)
+
+  /** The subject-bucketed layout, materialized once per (session,
+    * sfDir) as a catalog table — the star-join half of the cluster
+    * posture, exercised end-to-end by a gate key the same way
+    * [[partitionedTriples]] serves the pruning half. Table name is
+    * process-unique so concurrent runs sharing a warehouse dir don't
+    * clobber each other.
+    */
+  def bucketedTriples(spark: SparkSession, sfDir: String): DataFrame =
+    sessionCache(spark).getOrElseUpdate("bucketed:" + sfDir, {
+      val table = s"graft_triples_${ProcessHandle.current().pid()}_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      writeBucketed(triples(spark, sfDir), table)
+      spark.table(table)
+    })
 }

@@ -66,6 +66,20 @@ object SparqlQueries {
           |  ?c :acctbal ?b .
           |}""".stripMargin), numericVars = Seq("b"))
     },
+    // the same star BGP against the SUBJECT-BUCKETED catalog table —
+    // the star-join half of the cluster layout under the oracle
+    // (PlanSpec proves the exchange-free join; this proves answers)
+    "sparql_bgp_star_bucketed" -> { (s, dir) =>
+      val out = Compiler.run(TripleStore.bucketedTriples(s, dir),
+        SparqlParser.parse(
+          """SELECT ?c ?n ?m ?b WHERE {
+            |  ?c a :Customer .
+            |  ?c :name ?n .
+            |  ?c :mktsegment ?m .
+            |  ?c :acctbal ?b .
+            |}""".stripMargin))
+      out.withColumn("b", col("b").cast("double"))
+    },
     "sparql_bgp_chain" -> { (s, dir) =>
       runP(s, dir, SparqlParser.parse(
         """SELECT ?l ?rn ?q WHERE {
@@ -576,6 +590,9 @@ object SparqlQueries {
 
   val oracle: Map[String, String] = Map(
     "sparql_bgp_star" ->
+      """SELECT 'cust:'||c_custkey AS c, c_name AS n, c_mktsegment AS m,
+        |       c_acctbal AS b FROM customer""".stripMargin,
+    "sparql_bgp_star_bucketed" ->
       """SELECT 'cust:'||c_custkey AS c, c_name AS n, c_mktsegment AS m,
         |       c_acctbal AS b FROM customer""".stripMargin,
     "sparql_bgp_chain" ->

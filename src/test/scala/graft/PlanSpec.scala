@@ -43,6 +43,16 @@ class PlanSpec extends AnyFunSuite {
       "constant-predicate patterns must prune parquet partitions")
   }
 
+  test("sparql_bgp_star_bucketed: patterns scan the bucketed table") {
+    val p = plan("sparql_bgp_star_bucketed")
+    // at gate SF the dims broadcast, so the planner may not CONSUME
+    // the bucketing (the dedicated bucketed-join test forces and
+    // proves the exchange-free path); here we pin that the gate key
+    // actually reads the bucketed catalog table
+    assert(p.contains("spark_catalog.default.graft_triples_"),
+      "the gate key must read the subject-bucketed catalog table")
+  }
+
   test("ann_lsh_topk: broadcast probe join + top-k without global sort") {
     val p = plan("ann_lsh_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
