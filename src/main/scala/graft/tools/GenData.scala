@@ -125,10 +125,14 @@ object GenData {
         (h(24, id) % 2100).cast("int"))).as("l_shipdate")),
       "lineitem", 16 * times10)
 
+    // ts mirrors the shipped parquet's nanosecond int64: Spark has no
+    // nanos timestamp, so the driver's timestamp[ns] column surfaces
+    // as LongType and the events operators do their own `div` math —
+    // emit the same raw nanos here
     save(spark.range(nEvents).select(
       id.as("event_id"),
-      timestamp_seconds(lit(1704067200L) + (id * 6) / 10 +
-        (h(25, id) % 1000) / lit(1000.0)).as("ts"),
+      (lit(1704067200000000000L) + id * 600000000L +
+        h(25, id) % 1000000000L).as("ts"),
       (h(26, id) % (200L * times10)).as("user_id"),
       pick(Seq("click", "error", "purchase", "signup", "view"), 27)
         .as("event_type"),
