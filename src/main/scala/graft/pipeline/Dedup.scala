@@ -125,9 +125,17 @@ object Dedup {
     val prefix = rare.join(dfAgg, "sh")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= prefixLen)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("sh"), col("n_sh"))
+    // length filter (lossless for Jaccard >= tau: |A∩B| >= τ|A∪B|
+    // forces min(|A|,|B|) >= τ·max) — evaluated inside the candidate
+    // join so size-mismatched pairs never reach the distinct or the
+    // verifier; at 10× corpus this is the difference between pair
+    // volume tracking shared-shingle df² and tracking only the
+    // same-length band of it
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n_sh"), col("y.n_sh")) >=
+            lit(tau) * greatest(col("x.n_sh"), col("y.n_sh")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     verifyJaccard(cand, sets, tau).select(col("a"), col("b"), col("jac"))
