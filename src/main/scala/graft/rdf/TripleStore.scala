@@ -80,6 +80,10 @@ object TripleStore {
     * pruned via PartitionFilters before any I/O. The path is
     * process-unique (pid) so concurrent runs don't clobber each
     * other; overwrite-on-first-use keeps reruns in one JVM cheap.
+    * The JVM temp dir is only valid storage on local[*] (driver and
+    * executors share a filesystem); on a cluster, materialize with
+    * [[writePartitioned]]/[[readPartitioned]] against shared storage
+    * instead — this helper exists so gate runs exercise that layout.
     */
   def partitionedTriples(spark: SparkSession, sfDir: String): DataFrame =
     sessionCache(spark).getOrElseUpdate("partitioned:" + sfDir, {
