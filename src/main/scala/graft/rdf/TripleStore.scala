@@ -88,12 +88,21 @@ object TripleStore {
   def partitionedTriples(spark: SparkSession, sfDir: String): DataFrame =
     sessionCache(spark).getOrElseUpdate("partitioned:" + sfDir, {
       val pid = ProcessHandle.current().pid()
-      val path = new java.io.File(
+      val dir = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft_pstore_${pid}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      ).getAbsolutePath
-      writePartitioned(triples(spark, sfDir), path)
-      readPartitioned(spark, path)
+        s"graft_pstore_${pid}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      // the layout is a per-process scratch materialization (~GB at
+      // larger SFs) — reap it when the JVM exits so repeated gate
+      // runs don't accumulate dead copies in the temp dir
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(dir)
+      }))
+      writePartitioned(triples(spark, sfDir), dir.getAbsolutePath)
+      readPartitioned(spark, dir.getAbsolutePath)
     })
 
   /** The other half of the cluster layout: the triple relation as a
