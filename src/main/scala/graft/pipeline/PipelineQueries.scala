@@ -155,6 +155,24 @@ object PipelineQueries {
   private val SH =
     """sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3)""".stripMargin
+  /** Shared hyperplane-bucket CTE block (coef → dots → buck): the
+    * DuckDB replay of `Similarity.hyperplane`/`bucketCode` at the
+    * default 8 planes × 64 dims. Both LSH-family oracles
+    * (`ann_lsh_topk`, `ann_knn_join_banded`) build on this one string
+    * so the two replays can never drift apart.
+    */
+  private val BUCKET_CTES =
+    """coef AS (
+      |  SELECT p, d,
+      |    CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT
+      |              % 2 = 0 THEN 1.0 ELSE -1.0 END AS c
+      |  FROM range(0, 8) tp(p), range(0, 64) td(d)),
+      |dots AS (SELECT e.vec_id, c.p, sum(e.embedding[c.d + 1] * c.c) AS s
+      |         FROM embeddings e, coef c GROUP BY 1, 2),
+      |buck AS (SELECT vec_id,
+      |           CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+      |         FROM dots GROUP BY 1)""".stripMargin
+
   private val SIZES = "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"
   private val SHARED =
     """shared AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
@@ -338,16 +356,7 @@ object PipelineQueries {
     // lsh: rebuild the md5-deterministic ±1 hyperplanes and the integer
     // bucket codes in SQL, then multi-probe = bit_count(xor) <= ham
     "ann_lsh_topk" ->
-      """WITH coef AS (
-        |  SELECT p, d,
-        |    CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT
-        |              % 2 = 0 THEN 1.0 ELSE -1.0 END AS c
-        |  FROM range(0, 8) tp(p), range(0, 64) td(d)),
-        |dots AS (SELECT e.vec_id, c.p, sum(e.embedding[c.d + 1] * c.c) AS s
-        |         FROM embeddings e, coef c GROUP BY 1, 2),
-        |buck AS (SELECT vec_id,
-        |           CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
-        |         FROM dots GROUP BY 1),
+      s"""WITH $BUCKET_CTES,
         |q AS (SELECT b.bucket AS qb, e.embedding AS qv
         |      FROM buck b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0)
         |SELECT b.vec_id
@@ -388,21 +397,12 @@ object PipelineQueries {
         |      AS rnk
         |  FROM embeddings e, q WHERE e.vec_id != q.query_id)
         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
-    // the forced-approximate regime: rebuild the hyperplane bucket
-    // codes (same md5 coefficients as ann_lsh_topk), candidates =
-    // bucket pairs within Hamming 2 — exactly the probe-mask set the
-    // Spark side explodes — then exact rank within candidates
+    // the forced-approximate regime: same bucket-code CTEs as
+    // ann_lsh_topk, candidates = bucket pairs within Hamming 2 —
+    // exactly the probe-mask set the Spark side explodes — then
+    // exact rank within candidates
     "ann_knn_join_banded" ->
-      """WITH coef AS (
-        |  SELECT p, d,
-        |    CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT
-        |              % 2 = 0 THEN 1.0 ELSE -1.0 END AS c
-        |  FROM range(0, 8) tp(p), range(0, 64) td(d)),
-        |dots AS (SELECT e.vec_id, c.p, sum(e.embedding[c.d + 1] * c.c) AS s
-        |         FROM embeddings e, coef c GROUP BY 1, 2),
-        |buck AS (SELECT vec_id,
-        |           CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
-        |         FROM dots GROUP BY 1),
+      s"""WITH $BUCKET_CTES,
         |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket AS qb
         |      FROM embeddings e JOIN buck b USING (vec_id)
         |      WHERE e.vec_id % 50 = 0),

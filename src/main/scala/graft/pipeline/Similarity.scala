@@ -142,11 +142,14 @@ object Similarity {
         e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       else {
         // regime change is visible to callers, not silent: above the
-        // gate results are approximate (band recall < 1)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"knnTopK: query count exceeds maxBroadcastQueries=" +
-            s"$maxBroadcastQueries — using approximate LSH-band " +
-            "candidates (recall < 1) instead of the exact broadcast join")
+        // gate results are approximate (band recall < 1). A
+        // non-positive gate means the caller FORCED this regime —
+        // warning about deliberate configuration would cry wolf.
+        if (maxBroadcastQueries > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"knnTopK: query count exceeds maxBroadcastQueries=" +
+              s"$maxBroadcastQueries — using approximate LSH-band " +
+              "candidates (recall < 1) instead of the exact broadcast join")
         val eb = e.withColumn("bucket", bucketCode(col("v"), planes, dims))
         val masks = (0 until (1 << planes)).filter(Integer.bitCount(_) <= probeHam)
         val qb = q

@@ -85,25 +85,37 @@ object TripleStore {
     * [[writePartitioned]]/[[readPartitioned]] against shared storage
     * instead — this helper exists so gate runs exercise that layout.
     */
+  /** Process- and session-unique suffix for scratch artifacts: the
+    * pid separates concurrent JVMs, the session identity hash
+    * separates multiple sessions inside one JVM (each session caches
+    * its own materialization — two sessions sharing a path would
+    * overwrite the files backing each other's cached DataFrames).
+    */
+  private def scratchTag(spark: SparkSession): String =
+    s"${ProcessHandle.current().pid()}_${System.identityHashCode(spark)}"
+
   def partitionedTriples(spark: SparkSession, sfDir: String): DataFrame =
     sessionCache(spark).getOrElseUpdate("partitioned:" + sfDir, {
-      val pid = ProcessHandle.current().pid()
       val dir = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft_pstore_${pid}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+        s"graft_pstore_${scratchTag(spark)}_" +
+          sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
       // the layout is a per-process scratch materialization (~GB at
       // larger SFs) — reap it when the JVM exits so repeated gate
       // runs don't accumulate dead copies in the temp dir
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(dir)
-      }))
+      reapOnExit(dir)
       writePartitioned(triples(spark, sfDir), dir.getAbsolutePath)
       readPartitioned(spark, dir.getAbsolutePath)
     })
+
+  private def reapOnExit(dir: java.io.File): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }))
 
   /** The other half of the cluster layout: the triple relation as a
     * SUBJECT-BUCKETED table. BGP self-joins are equi-joins on the
@@ -128,9 +140,15 @@ object TripleStore {
     */
   def bucketedTriples(spark: SparkSession, sfDir: String): DataFrame =
     sessionCache(spark).getOrElseUpdate("bucketed:" + sfDir, {
-      val table = s"graft_triples_${ProcessHandle.current().pid()}_" +
+      val table = s"graft_triples_${scratchTag(spark)}_" +
         sfDir.replaceAll("[^A-Za-z0-9]", "_")
       writeBucketed(triples(spark, sfDir), table)
+      // same scratch-lifecycle as the partitioned layout: the
+      // catalog metadata dies with the JVM (in-memory catalog), so
+      // reaping the warehouse files is the whole cleanup
+      reapOnExit(new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+          .getPath, table))
       spark.table(table)
     })
 }

@@ -56,29 +56,30 @@ object SparqlQueries {
         col("o_num"), col("o_is_iri"), col("lang"))
   }
 
+  /** One star-BGP text shared by the partitioned and bucketed gate
+    * keys — the pair exists to prove identical answers over two
+    * storage layouts, so a single definition keeps them locked
+    * together (same for the oracle SQL below).
+    */
+  private val STAR_BGP =
+    """SELECT ?c ?n ?m ?b WHERE {
+      |  ?c a :Customer .
+      |  ?c :name ?n .
+      |  ?c :mktsegment ?m .
+      |  ?c :acctbal ?b .
+      |}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sparql_bgp_star" -> { (s, dir) =>
-      runP(s, dir, SparqlParser.parse(
-        """SELECT ?c ?n ?m ?b WHERE {
-          |  ?c a :Customer .
-          |  ?c :name ?n .
-          |  ?c :mktsegment ?m .
-          |  ?c :acctbal ?b .
-          |}""".stripMargin), numericVars = Seq("b"))
+      runP(s, dir, SparqlParser.parse(STAR_BGP), numericVars = Seq("b"))
     },
     // the same star BGP against the SUBJECT-BUCKETED catalog table —
     // the star-join half of the cluster layout under the oracle
     // (PlanSpec proves the exchange-free join; this proves answers)
     "sparql_bgp_star_bucketed" -> { (s, dir) =>
-      val out = Compiler.run(TripleStore.bucketedTriples(s, dir),
-        SparqlParser.parse(
-          """SELECT ?c ?n ?m ?b WHERE {
-            |  ?c a :Customer .
-            |  ?c :name ?n .
-            |  ?c :mktsegment ?m .
-            |  ?c :acctbal ?b .
-            |}""".stripMargin))
-      out.withColumn("b", col("b").cast("double"))
+      Compiler.run(TripleStore.bucketedTriples(s, dir),
+          SparqlParser.parse(STAR_BGP))
+        .withColumn("b", col("b").cast("double"))
     },
     "sparql_bgp_chain" -> { (s, dir) =>
       runP(s, dir, SparqlParser.parse(
@@ -588,13 +589,13 @@ object SparqlQueries {
     },
   )
 
+  private val STAR_BGP_ORACLE =
+    """SELECT 'cust:'||c_custkey AS c, c_name AS n, c_mktsegment AS m,
+      |       c_acctbal AS b FROM customer""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "sparql_bgp_star" ->
-      """SELECT 'cust:'||c_custkey AS c, c_name AS n, c_mktsegment AS m,
-        |       c_acctbal AS b FROM customer""".stripMargin,
-    "sparql_bgp_star_bucketed" ->
-      """SELECT 'cust:'||c_custkey AS c, c_name AS n, c_mktsegment AS m,
-        |       c_acctbal AS b FROM customer""".stripMargin,
+    "sparql_bgp_star" -> STAR_BGP_ORACLE,
+    "sparql_bgp_star_bucketed" -> STAR_BGP_ORACLE,
     "sparql_bgp_chain" ->
       """SELECT DISTINCT 'line:'||l_orderkey||'_'||l_linenumber||'_'||l_partkey||'_'||l_suppkey AS l, r_name AS rn,
         |       l_quantity AS q
