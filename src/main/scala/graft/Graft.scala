@@ -72,6 +72,13 @@ object Graft {
   def update(triples: DataFrame, text: String): DataFrame =
     graft.sparql.Update(triples, SparqlParser.parseUpdate(text))
 
+  /** Apply a textual SPARQL Update to a quad (named-graph) relation —
+    * the §3.2 graph-management forms (CLEAR / DROP / CREATE / COPY /
+    * MOVE / ADD) land here, returning the derived quad set.
+    */
+  def updateQuads(quads: DataFrame, text: String): DataFrame =
+    graft.sparql.Update.applyQuads(quads, SparqlParser.parseUpdate(text))
+
   def importNTriples(spark: SparkSession, path: String): DataFrame =
     NTriples.read(spark, path)
 

@@ -585,7 +585,15 @@ object SparqlParser extends RegexParsers {
   }
 
   /** SPARQL Update forms: INSERT DATA / DELETE DATA / DELETE WHERE /
-    * the DELETE-INSERT-WHERE template modify.
+    * the DELETE-INSERT-WHERE template modify / the §3.2
+    * graph-management forms (CLEAR, DROP, CREATE, COPY, MOVE, ADD).
+    *
+    * Graph-management notes: the quad model has no empty graphs, so
+    * DROP normalizes to CLEAR and CREATE parses to a checked no-op;
+    * SILENT is accepted (every form is already total over a quad
+    * relation); DEFAULT as a management target is rejected — the
+    * default graph here is the read-time union of the triple store,
+    * not a mutable graph slot.
     */
   def parseUpdate(text: String): Update.Op = {
     val modify: Parser[Update.Op] =
@@ -596,20 +604,54 @@ object SparqlParser extends RegexParsers {
       ("(?i)INSERT".r ~> bgpOnly) ~ ("(?i)WHERE".r ~> groupGraphPattern) ^^ {
         case ins ~ where => Update.Modify(Nil, ins, where)
       }
+    // `[GRAPH] <g>` — the GRAPH keyword is optional in COPY/MOVE/ADD
+    // (GraphOrDefault) and required in CLEAR/DROP/CREATE (GraphRef);
+    // DEFAULT fails with a pointed message instead of a generic one.
+    val graphName: Parser[String] =
+      (iriRef | pname) ^^ (_.value) |
+      "(?i)DEFAULT".r >> (_ => failure(
+        "DEFAULT is not a managed graph — the default graph is the union view"))
+    val silent = opt("(?i)SILENT".r)
+    val graphRef: Parser[String] = "(?i)GRAPH".r ~> graphName
+    val graphOrDefault: Parser[String] = opt("(?i)GRAPH".r) ~> graphName
+    val graphMgmt: Parser[Update.Op] =
+      "(?i)CLEAR".r ~> silent ~> graphRef ^^ Update.ClearGraph.apply |
+      // DROP ≡ CLEAR over quads: no graph outlives its last quad
+      "(?i)DROP".r ~> silent ~> graphRef ^^ Update.ClearGraph.apply |
+      "(?i)CREATE".r ~> silent ~> graphRef ^^ Update.CreateGraph.apply |
+      ("(?i)COPY".r ~> silent ~> graphOrDefault) ~
+        ("(?i)TO".r ~> graphOrDefault) ^^ {
+        case f ~ t => Update.CopyGraph(f, t)
+      } |
+      ("(?i)MOVE".r ~> silent ~> graphOrDefault) ~
+        ("(?i)TO".r ~> graphOrDefault) ^^ {
+        case f ~ t => Update.MoveGraph(f, t)
+      } |
+      ("(?i)ADD".r ~> silent ~> graphOrDefault) ~
+        ("(?i)TO".r ~> graphOrDefault) ^^ {
+        case f ~ t => Update.AddToGraph(f, t)
+      }
     val (pfx, op) = finish(parseAll(prologue ~ (
       "(?i)INSERT\\s+DATA".r ~> bgpOnly ^^ Update.InsertData.apply |
       "(?i)DELETE\\s+DATA".r ~> bgpOnly ^^ Update.DeleteData.apply |
       "(?i)DELETE\\s+WHERE".r ~> bgpOnly ^^ Update.DeleteWhere.apply |
+      graphMgmt |
       modify) ^^ {
       case p ~ o => (p, o)
     }, text))
     def rw(ts: Seq[TriplePattern]) = ts.map(rewriteTp(_, expandIri(_, pfx)))
+    def rg(g: String) = expandIri(g, pfx)
     op match {
       case Update.InsertData(ts) => Update.InsertData(rw(ts))
       case Update.DeleteData(ts) => Update.DeleteData(rw(ts))
       case Update.DeleteWhere(ts) => Update.DeleteWhere(rw(ts))
       case Update.Modify(d, i, w) =>
         Update.Modify(rw(d), rw(i), rewritePattern(w, expandIri(_, pfx)))
+      case Update.ClearGraph(g) => Update.ClearGraph(rg(g))
+      case Update.CreateGraph(g) => Update.CreateGraph(rg(g))
+      case Update.CopyGraph(f, t) => Update.CopyGraph(rg(f), rg(t))
+      case Update.MoveGraph(f, t) => Update.MoveGraph(rg(f), rg(t))
+      case Update.AddToGraph(f, t) => Update.AddToGraph(rg(f), rg(t))
     }
   }
 

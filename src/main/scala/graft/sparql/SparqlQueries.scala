@@ -498,11 +498,12 @@ object SparqlQueries {
     // graph over the supplier graph, ADD regions into it, CLEAR the
     // region graph; per-graph counts prove each form
     "sparql_graph_mgmt" -> { (s, dir) =>
-      import graft.rdf.TripleOps
+      // textual §3.2 management forms end to end: COPY replaces the
+      // supplier graph, ADD unions region in, CLEAR drops the source
       val q0 = namedGraphQuads(s, dir)
-      val q1 = TripleOps.copyGraph(q0, "g:nation", "g:supp")
-      val q2 = TripleOps.addGraph(q1, "g:region", "g:supp")
-      val q3 = TripleOps.clearGraph(q2, "g:region")
+      val q1 = graft.Graft.updateQuads(q0, "COPY GRAPH g:nation TO g:supp")
+      val q2 = graft.Graft.updateQuads(q1, "ADD g:region TO g:supp")
+      val q3 = graft.Graft.updateQuads(q2, "CLEAR GRAPH g:region")
       q3.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
     },
     // SPARQL Update pipeline: INSERT DATA adds a ground nation, then

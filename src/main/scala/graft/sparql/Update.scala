@@ -25,6 +25,18 @@ object Update {
   final case class Modify(del: Seq[TriplePattern], ins: Seq[TriplePattern],
                           where: Pattern) extends Op
 
+  /** SPARQL 1.1 Update §3.2 graph-management forms, applied to a quad
+    * relation via [[applyQuads]]. In the quad model a graph exists iff
+    * it has quads, so DROP normalizes to [[ClearGraph]] at parse and
+    * CREATE is a no-op derivation.
+    */
+  sealed trait GraphOp extends Op
+  final case class ClearGraph(g: String) extends GraphOp
+  final case class CreateGraph(g: String) extends GraphOp
+  final case class CopyGraph(from: String, to: String) extends GraphOp
+  final case class MoveGraph(from: String, to: String) extends GraphOp
+  final case class AddToGraph(from: String, to: String) extends GraphOp
+
   /** Apply one update to the store, returning the derived store. */
   def apply(store: DataFrame, op: Op): DataFrame = op match {
     case InsertData(ts) => TripleOps.add(store, ground(store, ts))
@@ -50,6 +62,25 @@ object Update {
       if (ins.isEmpty) afterDel
       else TripleOps.add(afterDel,
         ins.map(instantiate(sol, _)).reduce(_.unionByName(_)))
+    case g: GraphOp =>
+      throw new IllegalArgumentException(
+        s"graph-management update $g needs a quad relation — use applyQuads")
+  }
+
+  /** Apply a graph-management update to a quad (g, s, p, o, …)
+    * relation, returning the derived quad set. CLEAR/MOVE are narrow
+    * filters and CREATE passes the relation through (graphs exist iff
+    * non-empty); only COPY/ADD touch more than a per-graph slice.
+    */
+  def applyQuads(quads: DataFrame, op: Op): DataFrame = op match {
+    case ClearGraph(g) => TripleOps.clearGraph(quads, g)
+    case CreateGraph(_) => quads
+    case CopyGraph(from, to) => TripleOps.copyGraph(quads, from, to)
+    case MoveGraph(from, to) => TripleOps.moveGraph(quads, from, to)
+    case AddToGraph(from, to) => TripleOps.addGraph(quads, from, to)
+    case other =>
+      throw new IllegalArgumentException(
+        s"triple-store update $other on a quad relation — use apply")
   }
 
   /** Ground triples (no variables) as a triple relation. */

@@ -538,6 +538,50 @@ class CompilerSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("UPDATE graph management: textual CLEAR/DROP/CREATE/COPY/MOVE/ADD") {
+    import org.apache.spark.sql.functions.col
+    val quads = Seq(
+      ("g:a", "x:1", ":v", "1", Some(1.0), false, Option.empty[String]),
+      ("g:a", "x:2", ":v", "2", Some(2.0), false, None),
+      ("g:b", "x:3", ":v", "3", Some(3.0), false, None),
+      // duplicate of a g:a quad under g:b — ADD must set-union it away
+      ("g:b", "x:1", ":v", "1", Some(1.0), false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    def upd(df: org.apache.spark.sql.DataFrame, text: String) =
+      graft.Graft.updateQuads(df, text)
+    def graphCounts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").count().as[(String, Long)].collect().toMap
+    // COPY replaces the target with the source slice
+    assert(graphCounts(upd(quads, "COPY GRAPH g:a TO g:b")) ==
+      Map("g:a" -> 2L, "g:b" -> 2L))
+    // ADD unions with set semantics: the shared x:1 quad dedups
+    assert(graphCounts(upd(quads, "ADD g:a TO g:b")) ==
+      Map("g:a" -> 2L, "g:b" -> 3L))
+    // MOVE = COPY + drop source
+    assert(graphCounts(upd(quads, "MOVE SILENT g:a TO g:b")) ==
+      Map("g:b" -> 2L))
+    // CLEAR and DROP both drop the slice (no empty-graph existence)
+    assert(graphCounts(upd(quads, "CLEAR GRAPH g:a")) == Map("g:b" -> 2L))
+    assert(graphCounts(upd(quads, "DROP SILENT GRAPH g:a")) == Map("g:b" -> 2L))
+    // CREATE is a checked no-op derivation
+    assert(upd(quads, "CREATE GRAPH g:new").count() == quads.count())
+    // prefixes expand in graph names
+    val expanded = upd(quads, "PREFIX ex: <g:> CLEAR GRAPH ex:a")
+    assert(graphCounts(expanded) == Map("g:b" -> 2L))
+    // a triple-store form on a quad relation is a loud error…
+    intercept[IllegalArgumentException] {
+      upd(quads, "INSERT DATA { <x:9> :v 9 . }")
+    }
+    // …and a graph form on a triple store likewise
+    intercept[IllegalArgumentException] {
+      graft.Graft.update(triples, "CLEAR GRAPH g:a")
+    }
+    // DEFAULT is not a managed slot in the union-default-graph model
+    intercept[IllegalArgumentException] {
+      upd(quads, "COPY DEFAULT TO g:b")
+    }
+  }
+
   test("FILTER inside OPTIONAL scopes to the optional group") {
     // :age only for p:1/p:2; the filter inside OPTIONAL must not drop
     // the outer row, only the optional binding

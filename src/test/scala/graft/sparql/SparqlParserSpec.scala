@@ -226,6 +226,31 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(s.aggregates == Seq(Agg(Sample, Some(Var("c")), "r")))
   }
 
+  test("parses graph-management update forms to their ops") {
+    assert(SparqlParser.parseUpdate("CLEAR GRAPH <urn:g1>") ==
+      Update.ClearGraph("urn:g1"))
+    // DROP normalizes to CLEAR: graphs exist iff non-empty over quads
+    assert(SparqlParser.parseUpdate("DROP SILENT GRAPH g:a") ==
+      Update.ClearGraph("g:a"))
+    assert(SparqlParser.parseUpdate("create graph g:fresh") ==
+      Update.CreateGraph("g:fresh"))
+    // GRAPH keyword optional on the COPY/MOVE/ADD operands
+    assert(SparqlParser.parseUpdate("COPY g:a TO GRAPH g:b") ==
+      Update.CopyGraph("g:a", "g:b"))
+    assert(SparqlParser.parseUpdate("MOVE GRAPH g:a TO g:b") ==
+      Update.MoveGraph("g:a", "g:b"))
+    assert(SparqlParser.parseUpdate("ADD SILENT <urn:a> TO <urn:b>") ==
+      Update.AddToGraph("urn:a", "urn:b"))
+    // prologue prefixes expand inside graph names
+    assert(SparqlParser.parseUpdate(
+      "PREFIX ex: <http://x/> ADD ex:src TO ex:dst") ==
+      Update.AddToGraph("http://x/src", "http://x/dst"))
+    // the management keyword must carry a graph operand
+    intercept[IllegalArgumentException] {
+      SparqlParser.parseUpdate("CLEAR GRAPH")
+    }
+  }
+
   test("parses aggregates over expressions; plain vars keep the var form") {
     val q = SparqlParser.parse(
       """SELECT ?b (SUM(?x * ?y) AS ?s) (COUNT(?x) AS ?n)
