@@ -96,6 +96,12 @@ object PipelineQueries {
       TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "data_sample_stratified" -> ((s, dir) =>
       TextAnalysis.sampleStratified(Tables.documents(s, dir))),
+    "text_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir))),
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir))),
+    "data_shard_assign" -> ((s, dir) =>
+      TextAnalysis.shardAssign(Tables.documents(s, dir))),
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     "data_pack_sequences" -> ((s, dir) =>
@@ -144,8 +150,12 @@ object PipelineQueries {
       Events.dailyActive(Tables.events(s, dir))),
     "events_hourly_profile" -> ((s, dir) =>
       Events.hourlyProfile(Tables.events(s, dir))),
+    "events_latest_state" -> ((s, dir) =>
+      Events.latestState(Tables.events(s, dir))),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir))),
+    "sketch_hll_distinct" -> ((s, dir) =>
+      Sketch.hllNgramDistinct(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -875,6 +885,94 @@ object PipelineQueries {
            |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
            |  FROM tf JOIN df USING (token))
            |SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    // the oracle ranks with a window; the Spark side uses max_by over
+    // a (ts, event_id) struct — same deterministic answer, different
+    // (and at scale much cheaper: no sort) mechanism
+    "events_latest_state" ->
+      """WITH r AS (SELECT user_id, event_type, value, epoch_us(ts) AS us,
+        |    props,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value,
+        |  us AS last_ts_us, props AS last_props, n_events
+        |FROM r WHERE rn = 1""".stripMargin,
+    // portable HLL: register construction is integer/string-only (hex
+    // leading zeros, 15-way digit CASE), the harmonic sum is
+    // fixed-point BIGINT, and only the final alpha*m^2/sum runs in
+    // (IEEE-exact, fixed-shape) doubles — replayed here verbatim
+    "sketch_hll_distinct" ->
+      raw"""WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS l
+           |  FROM documents),
+           |g AS (SELECT md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+           |    || l[i+3] || ' ' || l[i+4]) AS hx
+           |  FROM t, (SELECT unnest(range(1, 4096)) AS i) ix
+           |  WHERE i + 4 <= len(l)),
+           |reg AS (SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS r,
+           |  CASE WHEN substr(hx, 3, 12) = '000000000000' THEN 49
+           |  ELSE length(regexp_extract(substr(hx, 3, 12), '^0*')) * 4 +
+           |    CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
+           |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+           |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+           |      WHEN '7' THEN 1 ELSE 0 END + 1 END AS rho
+           |  FROM g),
+           |m AS (SELECT r, max(rho) AS mx FROM reg GROUP BY 1),
+           |s AS (SELECT count(*) AS n_present,
+           |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (52 - mx)), 0) AS BIGINT) AS fp
+           |  FROM m)
+           |SELECT n_present,
+           |  fp + (256 - n_present) * 4503599627370496 AS sum_fp,
+           |  (0.7213e0 / (1.0e0 + 1.079e0 / 256)) * 65536 * 4503599627370496.0e0
+           |    / CAST(fp + (256 - n_present) * 4503599627370496 AS DOUBLE)
+           |    AS estimate
+           |FROM s""".stripMargin,
+    // literals carry e0 so DuckDB binds DOUBLE (a bare 2.2 is DECIMAL
+    // there); the parenthesization mirrors bm25TopK token for token —
+    // rational idf only, so the double tree is IEEE-exact on both
+    "text_bm25_topk" ->
+      raw"""WITH d AS (SELECT doc_id,
+           |    len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+           |  FROM documents),
+           |c AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+           |  FROM d),
+           |h AS (SELECT doc_id, token, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+           |      AS token FROM documents)
+           |  WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+           |fr AS (SELECT token, count(*) AS df FROM h GROUP BY 1),
+           |sc AS (SELECT h.doc_id, h.token,
+           |    (((c.n_docs - fr.df) + 0.5e0) / (fr.df + 0.5e0)) *
+           |    ((h.tf * 2.2e0) / (h.tf + 1.2e0 * (0.25e0 +
+           |      0.75e0 * d.dl / (CAST(c.sum_dl AS DOUBLE) / c.n_docs)))) AS s
+           |  FROM h JOIN fr USING (token) JOIN d USING (doc_id), c)
+           |SELECT doc_id,
+           |  coalesce(sum(CASE WHEN token = 'spark' THEN s END), 0.0e0)
+           |  + coalesce(sum(CASE WHEN token = 'merge' THEN s END), 0.0e0)
+           |  + coalesce(sum(CASE WHEN token = 'window' THEN s END), 0.0e0)
+           |    AS score,
+           |  count(*) AS matched
+           |FROM sc GROUP BY doc_id
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "text_bpe_pairs" ->
+      raw"""WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS l
+           |  FROM documents),
+           |z AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr
+           |  FROM t WHERE len(l) >= 2)
+           |SELECT pr[1] AS tok_l, pr[2] AS tok_r, count(*) AS n
+           |FROM z GROUP BY 1, 2
+           |ORDER BY n DESC, tok_l, tok_r LIMIT 200""".stripMargin,
+    // md5 hex chars 17-20: decorrelated from the split (1-4),
+    // stratified-sample (5-8), pack (9-12) and mix (13-16) hashes
+    "data_shard_assign" ->
+      """WITH x AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |    CAST(('0x' || substr(h, 17, 4))::BIGINT % 16 AS INTEGER) AS shard
+        |  FROM x)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s""".stripMargin,
     // same rollup as events_enrich: the salt must not change the answer
     "events_enrich_skewsafe" ->
       """SELECT c_mktsegment AS segment, event_type,

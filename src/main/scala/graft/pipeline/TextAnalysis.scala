@@ -426,4 +426,92 @@ object TextAnalysis {
         regexp_replace(col("text"),
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "[0-9]{7,}", "<NUM>").as("clean"))
+
+  /** BM25 keyword retrieval: top-k documents for a bag of query
+    * terms. Everything narrows to the query vocabulary FIRST (the
+    * token explode filters to the broadcast term list before any
+    * shuffle), so per-term stats cost O(matching docs), not a corpus
+    * gram shuffle; corpus size and total length come from one
+    * broadcast 1-row aggregate. Scoring is the Robertson rational-idf
+    * form, idf = (N - df + ½)/(df + ½) — no log, so the double tree
+    * (IEEE exact +,*,/ only) is bit-identical on any engine. Per-term
+    * scores land in FIXED addition order via conditional aggregation
+    * (one sum per query term, then a left-fold add), never a
+    * data-ordered float sum. Final top-k is ORDER BY + LIMIT →
+    * TakeOrderedAndProject.
+    */
+  def bm25TopK(docs: DataFrame,
+               terms: Seq[String] = Seq("spark", "merge", "window"),
+               k: Int = 10): DataFrame = {
+    val dl = docs.select(col("doc_id"),
+      size(wsTokens(lower(col("text")))).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val hits = docs
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // hits is unique per (doc, token), so df is a plain count
+    val dfreq = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = hits
+      .join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+    // k1 = 1.2, b = 0.75; parenthesization mirrors the oracle SQL
+    // token for token so both engines run the identical double tree
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfD = col("tf").cast("double")
+    val tfc = (tfD * lit(2.2)) /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    val perTerm = scored.select(col("doc_id"), col("token"), (idf * tfc).as("s"))
+    val termSums = terms.map(t =>
+      coalesce(sum(when(col("token") === t, col("s"))), lit(0.0)))
+    perTerm.groupBy(col("doc_id"))
+      .agg(termSums.reduceLeft(_ + _).as("score"),
+        count(lit(1)).as("matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Adjacent token-pair frequencies — the statistic a BPE tokenizer
+    * trainer computes each merge round (the merge IS the argmax of
+    * this table). Pairs come from zipping the token array against its
+    * own tail per row (narrow, no self-join), the count combines
+    * map-side, and the top-k ends in TakeOrderedAndProject — the same
+    * Zipfian-absorbing shape as [[vocabTopK]].
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 200): DataFrame = {
+    val l = col("l")
+    docs.select(wsTokens(lower(col("text"))).as("l"))
+      .filter(size(l) >= 2)
+      .select(explode(zip_with(
+        slice(l, lit(1), size(l) - 1),
+        slice(l, lit(2), size(l) - 1),
+        (a, b) => struct(a.as("tok_l"), b.as("tok_r")))).as("pr"))
+      .select(col("pr.tok_l").as("tok_l"), col("pr.tok_r").as("tok_r"))
+      .groupBy(col("tok_l"), col("tok_r")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok_l"), col("tok_r"))
+      .limit(k)
+  }
+
+  /** Deterministic shuffled shards for a training data loader: every
+    * doc gets a (shard, pos) — shard from md5 hex chars 17-20
+    * (decorrelated from the split/sample/pack hashes), pos by ranking
+    * the FULL md5 inside the shard, i.e. a reproducible global
+    * shuffle expressed as per-shard local sorts. No global sort, no
+    * single-partition window: shard count scales with the cluster,
+    * and each shard's order is independent of every other's, which is
+    * exactly the property a sharded data loader needs.
+    */
+  def shardAssign(docs: DataFrame, shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val shard = (conv(substring(h, 17, 4), 16, 10).cast("long") % shards)
+      .cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), shard.as("shard"), h.as("h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 }

@@ -625,6 +625,85 @@ class PipelineSpec extends AnyFunSuite {
       ("click", 7L, 2L, 1), ("click", 5L, 1L, 2), ("view", 9L, 1L, 1)))
   }
 
+  test("bm25 ranks the term-dense short doc first; misses score 0-matched out") {
+    val d = docs(
+      1L -> "spark spark spark merge",          // dense in two query terms
+      2L -> "spark alpha beta gamma delta epsilon zeta eta theta iota",
+      3L -> "alpha beta gamma",                 // no query terms: absent
+      4L -> "window merge")
+    val r = TextAnalysis.bm25TopK(d, Seq("spark", "merge", "window"), 10)
+      .select("doc_id", "matched").as[(Long, Long)].collect()
+    // doc 3 never scores; dense doc 1 beats the long diluted doc 2
+    // (the 2-token doc 4 wins outright: length normalization)
+    assert(!r.map(_._1).contains(3L))
+    assert(r.map(_._1).indexOf(1L) < r.map(_._1).indexOf(2L))
+    assert(r.toMap == Map(1L -> 2L, 2L -> 1L, 4L -> 2L))
+    // every score positive, descending
+    val scores = TextAnalysis.bm25TopK(d, Seq("spark", "merge", "window"), 10)
+      .select("score").as[Double].collect()
+    assert(scores.forall(_ > 0) && scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("bpe pair counts count adjacent pairs, in order, with ties by token") {
+    val d = docs(1L -> "a b a b c", 2L -> "a b")
+    val r = TextAnalysis.bpePairCounts(d, 10)
+      .as[(String, String, Long)].collect()
+    // pairs: (a,b)x3, (b,a)x1, (b,c)x1
+    assert(r.head == (("a", "b", 3L)))
+    assert(r.toSet == Set(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L)))
+    // single-token docs contribute nothing
+    assert(TextAnalysis.bpePairCounts(docs(1L -> "solo"), 10).count() == 0)
+  }
+
+  test("shard assign: every doc gets a shard; positions are 1..n per shard") {
+    val d = docs((0L until 40L).map(i => i -> s"doc $i"): _*)
+    val r = TextAnalysis.shardAssign(d, 4)
+      .as[(Long, Int, Long)].collect()
+    assert(r.length == 40 && r.map(_._1).distinct.length == 40)
+    assert(r.forall(t => t._2 >= 0 && t._2 < 4))
+    // per-shard positions are a contiguous 1..n ranking
+    r.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic across runs
+    val again = TextAnalysis.shardAssign(d, 4).as[(Long, Int, Long)].collect()
+    assert(r.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("latest state compacts to the max (ts, event_id) event per user") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:01", 7L, "view", 1.5, """{"k":1}"""),
+      (2L, "2024-01-01 00:00:05", 7L, "click", 2.5, """{"k":2}"""),
+      // same timestamp as event 2: the higher event_id must win
+      (3L, "2024-01-01 00:00:05", 7L, "purchase", 3.5, """{"k":3}"""),
+      (4L, "2024-01-01 00:00:02", 8L, "view", 4.5, """{"k":4}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Events.latestState(ev)
+      .select("user_id", "last_type", "last_value", "last_props", "n_events")
+      .as[(Long, String, Double, String, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (7L, "purchase", 3.5, """{"k":3}""", 3L),
+      (8L, "view", 4.5, """{"k":4}""", 1L)))
+  }
+
+  test("hll sketch ignores duplicates and estimates inside raw-range error") {
+    // each doc carries exactly one distinct 5-gram → 1500 true distincts
+    val d = docs((0L until 1500L).map(i =>
+      i -> s"w${i}a w${i}b w${i}c w${i}d w${i}e"): _*)
+    val r1 = Sketch.hllNgramDistinct(d).collect().head
+    assert(r1.getLong(0) <= 256)
+    val est = r1.getDouble(2)
+    // raw-range HLL at m=256: sigma ~ 6.5%; 1500 is safely > 2.5m
+    assert(est > 1500 * 0.75 && est < 1500 * 1.3, s"estimate $est")
+    // registers fold by max, so a fully duplicated corpus is a no-op
+    val r2 = Sketch.hllNgramDistinct(d.unionByName(d)).collect().head
+    assert(r1 == r2)
+    // short docs (< n tokens) contribute nothing rather than throwing
+    val empty = Sketch.hllNgramDistinct(docs(1L -> "a b")).collect().head
+    assert(empty.getLong(0) == 0L)
+  }
+
   test("int8 quantization maps the max-abs element to ±127") {
     val e = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f), 0),
