@@ -31,8 +31,10 @@ object SparkEntry {
     "graph_label_propagation", "infer_sameas_canon", "data_curriculum",
     "events_sliding_window", "ann_int8_topk", "ann_pq_topk",
     // r8: the forced-approximate knn regime, plus one representative
-    // each for retrieval scoring and tokenizer-training statistics
-    "ann_knn_join_banded", "text_bm25_topk", "text_bpe_pairs")
+    // each for retrieval scoring, tokenizer-training statistics,
+    // changelog compaction, and the portable HLL sketch
+    "ann_knn_join_banded", "text_bm25_topk", "text_bpe_pairs",
+    "events_latest_state", "sketch_hll_distinct")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
