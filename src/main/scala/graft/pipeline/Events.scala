@@ -304,11 +304,14 @@ object Events {
     * user carrying the most recent event's fields, tie-broken by
     * event_id so the answer is deterministic even at equal
     * timestamps. Built on max_by over a (ts, event_id) struct key —
-    * an ALGEBRAIC aggregate, so it combines map-side and never sorts:
-    * the shuffle carries one candidate row per (user, partition),
-    * where the equivalent ranking window would shuffle every event
-    * and sort each user's history. That difference is the whole game
-    * on a 100 TB changelog.
+    * an algebraic aggregate that COMBINES MAP-SIDE, so the shuffle
+    * carries one candidate row per (user, map partition), where the
+    * equivalent ranking window shuffles every event. That reduction
+    * is the whole game on a 100 TB changelog. (The string-typed
+    * outputs keep the physical operator SortAggregate — local
+    * per-partition sorts by user id, cheap next to shipping the full
+    * history; PlanSpec pins the partial_max_by + single-exchange
+    * shape.)
     */
   def latestState(events: DataFrame): DataFrame = {
     val key = struct(col("ts"), col("event_id"))

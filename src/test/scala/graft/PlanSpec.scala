@@ -165,6 +165,50 @@ class PlanSpec extends AnyFunSuite {
       "token counts must map-side combine before the shuffle")
   }
 
+  test("events_latest_state: map-side max_by combine, no window, one exchange") {
+    val p = plan("events_latest_state")
+    assert(p.contains("partial_max_by"),
+      "compaction must combine map-side — one candidate per (user, partition)")
+    assert(!p.contains("Window"), "compaction must not rank a window")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one shuffle, keyed by user")
+  }
+
+  test("sketch_hll_distinct: registers fold map-side; no distinct, no gram shuffle") {
+    val p = plan("sketch_hll_distinct")
+    assert(p.contains("partial_max"),
+      "register maxima must combine map-side")
+    // the only shuffles are the 256-key register exchange + the final
+    // single-row fold — never the exploded gram stream itself
+    assert("Exchange hashpartitioning\\(r#".r.findAllIn(p).size == 1 &&
+      p.contains("Exchange SinglePartition"),
+      "shuffles must be register-keyed + single-row fold only")
+    assert(!p.contains("Expand") && !p.toLowerCase.contains("distinct"),
+      "the sketch must not deduplicate grams — max folds duplicates")
+  }
+
+  test("text_bm25_topk: stats broadcast, query filter before the shuffle, top-k") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("BroadcastHashJoin"), "per-term df must broadcast")
+    // the token stream narrows to the query vocabulary before any
+    // aggregation shuffle
+    assert(p.contains("Filter token") && p.contains(" IN (spark,merge,window)"),
+      "the query-vocabulary filter must precede the tf aggregation")
+  }
+
+  test("data_shard_assign and text_bpe_pairs plan shapes") {
+    val p = plan("data_shard_assign")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1,
+      "the only shuffle is the per-shard repartition")
+    assert(!p.contains("rangepartitioning"),
+      "shard positions must never need a global sort")
+    val q = plan("text_bpe_pairs")
+    assert(q.contains("TakeOrderedAndProject") && q.contains("partial_count"),
+      "pair counts must map-side combine and top-k without a global sort")
+    assert(!q.contains("Join"), "pairs come from a per-row zip, not a self-join")
+  }
+
   test("data_sample_stratified: rates broadcast; emb_quantize stays narrow") {
     val p = plan("data_sample_stratified")
     assert(p.contains("BroadcastHashJoin"), "the rate table must broadcast")
