@@ -156,6 +156,8 @@ object PipelineQueries {
       TextAnalysis.topTerms(Tables.documents(s, dir))),
     "sketch_hll_distinct" -> ((s, dir) =>
       Sketch.hllNgramDistinct(Tables.documents(s, dir))),
+    "sketch_hll_by_source" -> ((s, dir) =>
+      Sketch.hllNgramDistinctBy(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -922,6 +924,34 @@ object PipelineQueries {
            |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (52 - mx)), 0) AS BIGINT) AS fp
            |  FROM m)
            |SELECT n_present,
+           |  fp + (256 - n_present) * 4503599627370496 AS sum_fp,
+           |  (0.7213e0 / (1.0e0 + 1.079e0 / 256)) * 65536 * 4503599627370496.0e0
+           |    / CAST(fp + (256 - n_present) * 4503599627370496 AS DOUBLE)
+           |    AS estimate
+           |FROM s""".stripMargin,
+    // the grouped sketch: identical construction keyed by source
+    "sketch_hll_by_source" ->
+      raw"""WITH t AS (SELECT source,
+           |    string_split_regex(trim(lower(text)), '\s+') AS l
+           |  FROM documents),
+           |g AS (SELECT source, md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+           |    || ' ' || l[i+3] || ' ' || l[i+4]) AS hx
+           |  FROM t, (SELECT unnest(range(1, 4096)) AS i) ix
+           |  WHERE i + 4 <= len(l)),
+           |reg AS (SELECT source, ('0x' || substr(hx, 1, 2))::BIGINT AS r,
+           |  CASE WHEN substr(hx, 3, 12) = '000000000000' THEN 49
+           |  ELSE length(regexp_extract(substr(hx, 3, 12), '^0*')) * 4 +
+           |    CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
+           |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+           |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+           |      WHEN '7' THEN 1 ELSE 0 END + 1 END AS rho
+           |  FROM g),
+           |m AS (SELECT source, r, max(rho) AS mx FROM reg GROUP BY 1, 2),
+           |s AS (SELECT source, count(*) AS n_present,
+           |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (52 - mx)), 0) AS BIGINT)
+           |      AS fp
+           |  FROM m GROUP BY 1)
+           |SELECT source, n_present,
            |  fp + (256 - n_present) * 4503599627370496 AS sum_fp,
            |  (0.7213e0 / (1.0e0 + 1.079e0 / 256)) * 65536 * 4503599627370496.0e0
            |    / CAST(fp + (256 - n_present) * 4503599627370496 AS DOUBLE)

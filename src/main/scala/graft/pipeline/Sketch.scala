@@ -36,15 +36,12 @@ object Sketch {
     * bit-portable across engines, and the corpus gram space sits far
     * above the raw threshold anyway.
     */
-  def hllNgramDistinct(docs: DataFrame, n: Int = 5): DataFrame = {
-    val grams = docs
-      .select(TextAnalysis.wsTokens(lower(col("text"))).as("w"))
-      .filter(size(col("w")) >= n)
-      .select(explode(transform(
-        sequence(lit(0), size(col("w")) - n),
-        i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(n)))
-          .cast("binary")))).as("hx"))
-    val slice48 = substring(col("hx"), 3, 12)
+  /** (register index, rho) of one md5 hex digest — the shared
+    * register construction (see [[hllNgramDistinct]]).
+    */
+  private def registerRho(hx: org.apache.spark.sql.Column):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val slice48 = substring(hx, 3, 12)
     val zerosHex = length(regexp_extract(slice48, "^0*", 0))
     val firstNonzero = substring(regexp_replace(slice48, "^0*", ""), 1, 1)
     val headBits = when(firstNonzero === "1", 3)
@@ -53,26 +50,64 @@ object Sketch {
       .otherwise(0)
     val rho = when(slice48 === "000000000000", lit(49))
       .otherwise(zerosHex * 4 + headBits + 1)
-    val registers = grams
-      .select(conv(substring(col("hx"), 1, 2), 16, 10).cast("long").as("r"),
-        rho.as("rho"))
-      .groupBy(col("r")).agg(max(col("rho")).as("mx"))
-    val folded = registers.agg(
-      count(lit(1)).as("n_present"),
-      // coalesce keeps the no-grams corpus total (all registers absent
-      // → the documented raw-range floor), instead of a null estimate
-      coalesce(sum(
-        expr("cast(shiftleft(cast(1 as bigint), 52 - mx) as bigint)")),
-        lit(0L)).as("fp"))
-    // absent registers contribute 2^-0 = 1 → 2^52 in fixed point;
-    // the double tree mirrors the oracle SQL token for token
+    (conv(substring(hx, 1, 2), 16, 10).cast("long"), rho)
+  }
+
+  /** The estimate columns over a folded (n_present, fp) relation —
+    * absent registers contribute 2^-0 = 1 → 2^52 in fixed point; the
+    * double tree mirrors the oracle SQL token for token.
+    */
+  private def estimated(folded: DataFrame, keep: Seq[String]): DataFrame =
     folded.select(
-      col("n_present"),
-      (col("fp") + (lit(256) - col("n_present")) * lit(4503599627370496L))
-        .as("sum_fp"))
-      .select(col("n_present"), col("sum_fp"),
-        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256))) * lit(65536) *
-          lit(4503599627370496.0) / col("sum_fp").cast("double"))
-          .as("estimate"))
+      (keep.map(col) :+ col("n_present") :+
+        (col("fp") + (lit(256) - col("n_present")) * lit(4503599627370496L))
+          .as("sum_fp")): _*)
+      .select(
+        (keep.map(col) :+ col("n_present") :+ col("sum_fp") :+
+          ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256))) * lit(65536) *
+            lit(4503599627370496.0) / col("sum_fp").cast("double"))
+            .as("estimate")): _*)
+
+  private val fpSum =
+    coalesce(sum(
+      expr("cast(shiftleft(cast(1 as bigint), 52 - mx) as bigint)")),
+      lit(0L))
+
+  private def gramDigests(docs: DataFrame, n: Int, keep: Seq[String]): DataFrame =
+    docs
+      .select((keep.map(col) :+
+        TextAnalysis.wsTokens(lower(col("text"))).as("w")): _*)
+      .filter(size(col("w")) >= n)
+      .select((keep.map(col) :+ explode(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(n)))
+          .cast("binary")))).as("hx")): _*)
+
+  def hllNgramDistinct(docs: DataFrame, n: Int = 5): DataFrame = {
+    val (r, rho) = registerRho(col("hx"))
+    val registers = gramDigests(docs, n, Nil)
+      .select(r.as("r"), rho.as("rho"))
+      .groupBy(col("r")).agg(max(col("rho")).as("mx"))
+    estimated(
+      registers.agg(count(lit(1)).as("n_present"), fpSum.as("fp")), Nil)
+  }
+
+  /** The sketch as a GROUPED aggregation: per-`groupCol` distinct
+    * n-gram estimates in one pass. Register rows are keyed by
+    * (group, register) — at most 256 per group survive the map-side
+    * combine, so a million-group corpus shuffles ≤ 256M tiny rows
+    * regardless of corpus size; the equivalent exact count shuffles
+    * every distinct (group, gram).
+    */
+  def hllNgramDistinctBy(docs: DataFrame, groupCol: String = "source",
+                         n: Int = 5): DataFrame = {
+    val (r, rho) = registerRho(col("hx"))
+    val registers = gramDigests(docs, n, Seq(groupCol))
+      .select(col(groupCol), r.as("r"), rho.as("rho"))
+      .groupBy(col(groupCol), col("r")).agg(max(col("rho")).as("mx"))
+    estimated(
+      registers.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_present"), fpSum.as("fp")),
+      Seq(groupCol))
   }
 }

@@ -704,6 +704,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(empty.getLong(0) == 0L)
   }
 
+  test("grouped hll agrees with the global sketch on a one-source corpus") {
+    val d = docs((0L until 900L).map(i =>
+      i -> s"g${i}a g${i}b g${i}c g${i}d g${i}e"): _*)
+    val g = Sketch.hllNgramDistinctBy(d, "source").collect()
+    val o = Sketch.hllNgramDistinct(d).collect().head
+    // docs() stamps every row source 't' → one group, identical fold
+    assert(g.length == 1 && g.head.getString(0) == "t")
+    assert(g.head.getLong(1) == o.getLong(0) &&
+      g.head.getLong(2) == o.getLong(1) &&
+      g.head.getDouble(3) == o.getDouble(2))
+    // two disjoint sources estimate independently (each > 2.5m, the
+    // raw-range floor)
+    val two = docs((0L until 2000L).map(i =>
+      i -> s"h${i}a h${i}b h${i}c h${i}d h${i}e"): _*)
+      .withColumn("source",
+        when(col("doc_id") < 1000, "s0").otherwise("s1"))
+    val per = Sketch.hllNgramDistinctBy(two, "source").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(per.keySet == Set("s0", "s1"))
+    assert(per.values.forall(e => e > 1000 * 0.75 && e < 1000 * 1.3),
+      per.toString)
+  }
+
   test("int8 quantization maps the max-abs element to ±127") {
     val e = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f), 0),

@@ -38,6 +38,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.size == 4)
   }
 
+  test("latestState runs as a streaming aggregation and matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, ts(1), 7L, "view", 1.5, """{"k":1}"""),
+      (2L, ts(5), 7L, "click", 2.5, """{"k":2}"""),
+      (3L, ts(5), 7L, "purchase", 3.5, """{"k":3}"""),
+      (4L, ts(2), 8L, "view", 4.5, """{"k":4}"""))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val stream =
+      MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    // two arrival batches: the compacted state must keep updating
+    stream.addData(rows.take(2))
+    val q = Events.latestState(stream.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("latest_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("latest_test")
+      .select("user_id", "last_type", "last_value", "n_events")
+      .as[(Long, String, Double, Long)].collect().toSet
+    val want = Events.latestState(rows.toDF(cols: _*))
+      .select("user_id", "last_type", "last_value", "n_events")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == want &&
+      got == Set((7L, "purchase", 3.5, 3L), (8L, "view", 4.5, 1L)))
+  }
+
   test("slidingWindowStreaming matches the batch twin, 4 windows per event") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
