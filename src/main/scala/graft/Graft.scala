@@ -18,12 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
-  /** Register graft's native SQL functions (`cosine_sim`, `dot_int`)
-    * on a session, so textual SQL reaches the fused codegen kernels.
+  /** Register graft's native SQL functions (`cosine_sim`, `dot_int`,
+    * `bloom_contains`) on a session, so textual SQL reaches the fused
+    * codegen kernels.
     */
   def registerFunctions(spark: SparkSession): Unit = {
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.DotProductInt.register(spark)
+    graft.functions.BloomContains.register(spark)
   }
 
   /** The cached canonical triple relation for a test-data directory. */

@@ -34,7 +34,7 @@ object SparkEntry {
     // each for retrieval scoring, tokenizer-training statistics,
     // changelog compaction, and the portable HLL sketch
     "ann_knn_join_banded", "text_bm25_topk", "text_bpe_pairs",
-    "events_latest_state", "sketch_hll_distinct")
+    "events_latest_state", "sketch_hll_distinct", "text_contamination_bloom")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -82,6 +82,8 @@ object PipelineQueries {
       TextAnalysis.contamination(Tables.documents(s, dir))),
     "text_contamination_chars" -> ((s, dir) =>
       TextAnalysis.contaminationChars(Tables.documents(s, dir))),
+    "text_contamination_bloom" -> ((s, dir) =>
+      TextAnalysis.contaminationBloom(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir))),
     "text_gopher_quality" -> ((s, dir) =>
@@ -436,6 +438,28 @@ object PipelineQueries {
            |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
            |SELECT doc_id, count(*) AS n_hits FROM grams
            |WHERE doc_id % 97 != 0 AND g IN (SELECT g FROM bench)
+           |GROUP BY 1""".stripMargin,
+    // replays the Bloom DECISION: 4 20-bit probes from md5 hex chars
+    // 1-20; a corpus gram is flagged iff all 4 probe positions are in
+    // the union of the benchmark's probe positions (bit identity of
+    // the filter — which probe set a bit is irrelevant, as in Bloom)
+    "text_contamination_bloom" ->
+      raw"""WITH $TOKS,
+           |grams AS (SELECT DISTINCT doc_id,
+           |    md5(array_to_string(w[s + 1 : s + 5], ' ')) AS g
+           |  FROM toks, UNNEST(range(0, len(w) - 4)) t(s)
+           |  WHERE len(w) >= 5),
+           |jj(j) AS (VALUES (0), (1), (2), (3)),
+           |bpos AS (SELECT DISTINCT
+           |    ('0x' || substr(g, 1 + 5 * j, 5))::BIGINT % 1048576 AS p
+           |  FROM grams, jj WHERE doc_id % 97 = 0),
+           |cand AS (SELECT doc_id, g,
+           |    ('0x' || substr(g, 1 + 5 * j, 5))::BIGINT % 1048576 AS p
+           |  FROM grams, jj WHERE doc_id % 97 != 0),
+           |hit AS (SELECT doc_id, g FROM cand
+           |  WHERE p IN (SELECT p FROM bpos)
+           |  GROUP BY doc_id, g HAVING count(*) = 4)
+           |SELECT doc_id, count(*) AS n_flagged FROM hit
            |GROUP BY 1""".stripMargin,
     "text_contamination_chars" ->
       """WITH grams AS (SELECT DISTINCT doc_id,

@@ -113,6 +113,31 @@ object TextAnalysis {
       grams.filter(col("doc_id") % benchSlice =!= 0), bench)
   }
 
+  /** Bloom-filter contamination screen — the "ship the filter, not
+    * the set" variant of [[contamination]]: the benchmark gram set
+    * folds into a 2^20-bit Bloom filter (128 KB in the task binary at
+    * ANY benchmark size) and the corpus side tests each per-row
+    * distinct gram against it with the native
+    * [[graft.functions.BloomContains]] codegen expression — no join,
+    * no shuffle beyond the final per-doc count. Flag counts include
+    * Bloom false positives by design (rate (set bits / 2^20)^4, ~1e-11
+    * at the gate scale); the decision is a deterministic function of
+    * the md5 probes, so an external engine replays it exactly.
+    * Driver-side filter build reads only the benchmark slice —
+    * metadata-sized, same posture as [[contamination]]'s broadcast.
+    */
+  def contaminationBloom(docs: DataFrame, n: Int = 5, benchSlice: Int = 97,
+                         mBits: Int = 1 << 20): DataFrame = {
+    val grams = docGrams(docs, n)
+    val bench = grams.filter(col("doc_id") % benchSlice === 0)
+      .select(col("g")).distinct()
+    val bits = graft.functions.BloomContains.build(
+      bench.collect().iterator.map(_.getString(0)), mBits)
+    grams.filter(col("doc_id") % benchSlice =!= 0)
+      .filter(graft.functions.BloomContains(lit(bits), col("g")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** Character-level contamination: strided fixed-width char windows
     * hashed per doc — the tokenization-robust companion of the token
     * n-gram screen (an eval answer re-spaced or re-punctuated still

@@ -209,6 +209,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!q.contains("Join"), "pairs come from a per-row zip, not a self-join")
   }
 
+  test("text_contamination_bloom: the screen is a joinless codegen filter") {
+    val p = plan("text_contamination_bloom")
+    assert(p.contains("bloom_contains"),
+      "the native expression must survive into the physical plan")
+    assert(!p.contains("Join"),
+      "the Bloom screen must not join — the filter ships in the task binary")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "only the per-doc count shuffles")
+  }
+
   test("data_sample_stratified: rates broadcast; emb_quantize stays narrow") {
     val p = plan("data_sample_stratified")
     assert(p.contains("BroadcastHashJoin"), "the rate table must broadcast")

@@ -190,6 +190,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(loose.count() == n)
   }
 
+  test("bloom contains: build/test round-trip, absent keys, malformed digests") {
+    import graft.functions.BloomContains
+    val members = Seq("alpha", "beta", "gamma")
+    def hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bits = BloomContains.build(members.map(hex).iterator)
+    val df = (members ++ Seq("delta", "epsilon", "zeta", "eta"))
+      .toDF("word").select(col("word"), md5(col("word").cast("binary")).as("g"))
+    val got = df.select(col("word"),
+        BloomContains(lit(bits), col("g")).as("hit"))
+      .as[(String, Boolean)].collect().toMap
+    // every member hits; with 12 set bits of 2^20 a false positive
+    // needs 4 independent 1e-5 collisions — the absent words miss
+    assert(members.forall(got(_)))
+    assert(Seq("delta", "epsilon", "zeta", "eta").forall(!got(_)))
+    // malformed digest is null (a silent false would read "clean")
+    val bad = Seq("xy", "zz-not-hex-but-long-enough!!").toDF("g")
+      .select(BloomContains(lit(bits), col("g")).as("hit"))
+    assert(bad.filter(col("hit").isNull).count() == 2)
+    // SQL registration reaches the same kernel
+    graft.Graft.registerFunctions(spark)
+    assert(df.withColumn("bs", lit(bits))
+      .selectExpr("bloom_contains(bs, g) AS hit")
+      .filter(col("hit")).count() == 3)
+  }
+
+  test("bloom contamination flags the docs the exact screen flags") {
+    // doc 0 (0 % 97 == 0) is the benchmark slice; doc 1 shares a
+    // 5-gram with it, doc 2 does not
+    val d = docs(
+      0L -> "the quick brown fox jumps over it",
+      1L -> "xx the quick brown fox jumps yy",
+      2L -> "entirely different words in this document here")
+    val flagged = TextAnalysis.contaminationBloom(d)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged == Map(1L -> 1L))
+    val exact = TextAnalysis.contamination(d)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged == exact)
+  }
+
   test("native int dot product agrees with the HOF form; null semantics") {
     val df = Seq(
       (Array(1, 2, 3), Array(4, 5, 6)),      // 4+10+18 = 32
