@@ -97,8 +97,17 @@ object Dedup {
     * ordinary documents doesn't hit (they share most of their
     * shingles, including their rare ones).
     */
+  /** Exact-regime candidate-pair budget. Above it the operator
+    * reroutes to minhash-band candidate generation (recall < 1) with
+    * the same exact verification — the regime switch that keeps the
+    * quadratic join off the cluster when the corpus outgrows it.
+    */
+  private[pipeline] val DefaultMaxCandidatePairs = 100000000L
+
   def ngramJaccard(docs: DataFrame, tau: Double = 0.8,
-                   maxDf: Int = 10000): DataFrame = {
+                   maxDf: Int = 10000,
+                   maxCandidatePairs: Long = DefaultMaxCandidatePairs
+                  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // persisted: the index and both exact-verify sides reuse it
     val sets = persistTracked(shingleSets(docs))
@@ -122,23 +131,56 @@ object Dedup {
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("sh"))
     val prefixLen = col("n_sh") - ceil(col("n_sh") * lit(tau)) + 1
-    val prefix = rare.join(dfAgg, "sh")
+    // persisted: the gate's volume count and the candidate self-join
+    // both read it
+    val prefix = persistTracked(rare.join(dfAgg, "sh")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= prefixLen)
-      .select(col("doc_id"), col("sh"), col("n_sh"))
-    // length filter (lossless for Jaccard >= tau: |A∩B| >= τ|A∪B|
-    // forces min(|A|,|B|) >= τ·max) — evaluated inside the candidate
-    // join so size-mismatched pairs never reach the distinct or the
-    // verifier; at 10× corpus this is the difference between pair
-    // volume tracking shared-shingle df² and tracking only the
-    // same-length band of it
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.n_sh"), col("y.n_sh")) >=
-            lit(tau) * greatest(col("x.n_sh"), col("y.n_sh")))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    verifyJaccard(cand, sets, tau).select(col("a"), col("b"), col("jac"))
+      .select(col("doc_id"), col("sh"), col("n_sh")))
+    // candidate-volume gate (the knnTopK count-gate idiom applied to
+    // pair volume): the exact regime's join emits exactly
+    // sum_sh c*(c-1)/2 raw pairs over the prefix index, so one narrow
+    // aggregation prices the shuffle BEFORE the quadratic join
+    // launches. The r8 sf10 soak showed that volume tracking
+    // shared-shingle df^2 past this box's disk; past the budget the
+    // operator reroutes to minhash-band candidates (recall < 1, the
+    // standard trade) with the same exact verification. The linear
+    // index build is paid either way — what the gate avoids is only
+    // ever the quadratic part.
+    val exactPairVolume: Long =
+      if (maxCandidatePairs <= 0) Long.MaxValue
+      else {
+        val row = prefix.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - lit(1L))).as("twice_pairs"))
+          .head()
+        if (row.isNullAt(0)) 0L else row.getLong(0) / 2
+      }
+    if (exactPairVolume <= maxCandidatePairs) {
+      // length filter (lossless for Jaccard >= tau: |A∩B| >= τ|A∪B|
+      // forces min(|A|,|B|) >= τ·max) — evaluated inside the candidate
+      // join so size-mismatched pairs never reach the distinct or the
+      // verifier; at 10× corpus this is the difference between pair
+      // volume tracking shared-shingle df² and tracking only the
+      // same-length band of it
+      val cand = prefix.as("x").join(prefix.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+            least(col("x.n_sh"), col("y.n_sh")) >=
+              lit(tau) * greatest(col("x.n_sh"), col("y.n_sh")))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      verifyJaccard(cand, sets, tau).select(col("a"), col("b"), col("jac"))
+    } else {
+      // regime change is visible, not silent — unless the caller
+      // FORCED this path with a non-positive budget (deliberate
+      // configuration; warning would cry wolf)
+      if (maxCandidatePairs > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ngramJaccard: exact-regime candidate volume $exactPairVolume " +
+            s"exceeds maxCandidatePairs=$maxCandidatePairs — using " +
+            "minhash-band candidates (recall < 1) with exact verification")
+      val cand = bandCandidates(withBaseSet(sets))
+      verifyJaccard(cand, sets, tau).select(col("a"), col("b"), col("jac"))
+    }
   }
 
   /** MinHash signature column h{i} = min md5("i|" + shingle) — the
@@ -156,17 +198,23 @@ object Dedup {
     (2654435761L * (i + 1)) % 2147483647L + 1L,
     (2246822519L * (i + 1)) % 2147483647L)
 
-  def minhashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-                 tau: Double = 0.7): DataFrame = {
+  /** Attach the 32-bit md5 base hash per shingle — the input every
+    * minhash signature is an affine map of. A projection over the
+    * (persisted) shingle sets, no shuffle.
+    */
+  private[pipeline] def withBaseSet(sets: DataFrame): DataFrame =
+    sets.withColumn("base_set", transform(col("sh_set"),
+      s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
+
+  /** Minhash band-bucket candidate pairs (a, b) from shingle sets
+    * carrying `base_set`: signature columns computed per row
+    * (transform + array_min) — the first shuffle in the whole plan is
+    * the band-bucket join. Shared by [[minhashLsh]] and
+    * [[ngramJaccard]]'s over-budget regime.
+    */
+  private[pipeline] def bandCandidates(sets: DataFrame, numHashes: Int = 16,
+                                       bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // persisted because three plan branches (signatures, verify side a,
-    // verify side b) would otherwise re-tokenize the corpus; small
-    // (ids + shingle arrays) and evicted LRU
-    val sets = persistTracked(shingleSets(docs)
-      .withColumn("base_set", transform(col("sh_set"),
-        s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))))
-    // signature columns computed per row (transform + array_min) —
-    // the first shuffle in the whole plan is the band-bucket join
     val hashCols = (0 until numHashes).map { i =>
       val (a, b) = minhashCoeff(i)
       array_min(transform(col("base_set"),
@@ -181,11 +229,20 @@ object Dedup {
     val buckets = sigs.select(col("doc_id"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+  }
+
+  def minhashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                 tau: Double = 0.7): DataFrame = {
+    // persisted because three plan branches (signatures, verify side a,
+    // verify side b) would otherwise re-tokenize the corpus; small
+    // (ids + shingle arrays) and evicted LRU
+    val sets = persistTracked(withBaseSet(shingleSets(docs)))
+    val cand = bandCandidates(sets, numHashes, bands)
     verifyJaccard(cand, sets, tau).select(col("a"), col("b"))
   }
 

@@ -17,6 +17,12 @@ object PipelineQueries {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir))),
+    // the over-budget regime, forced: budget 0 reroutes candidate
+    // generation to minhash bands (exact verification unchanged), the
+    // path a 100 TB corpus takes when the exact pair volume outgrows
+    // the gate
+    "dedup_ngram_jaccard_gated" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), maxCandidatePairs = 0)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
@@ -226,12 +232,17 @@ object PipelineQueries {
          |WHERE $ham <= 3""".stripMargin
   }
 
-  // minhash pair oracle, shared by dedup_minhash_lsh and the
-  // cluster-resolution oracle built on top of it
-  private val minhashPairsSql: String = {
+  // minhash band-candidate + exact-verify oracle, shared by
+  // dedup_minhash_lsh, the cluster-resolution oracles built on top of
+  // it, and ngramJaccard's forced over-budget regime (which verifies
+  // the same band candidates at its own tau and keeps the jac column)
+  private def minhashVerifiedSql(tauSql: String, selectJac: Boolean): String = {
     val coeffs = (0 until 16).map { i =>
       val (a, b) = Dedup.minhashCoeff(i); s"($i, $a, $b)"
     }.mkString(", ")
+    val proj =
+      if (selectJac) "cand.a, cand.b, c * 1.0 / (sa.n + sb.n - c) AS jac"
+      else "cand.a, cand.b"
     s"""WITH $TOKS, $SH,
        |coeffs(i, a, b) AS (SELECT * FROM (VALUES $coeffs)),
        |bases AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS base
@@ -245,12 +256,14 @@ object PipelineQueries {
        |         FROM bands x JOIN bands y
        |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |$SIZES, $SHARED
-       |SELECT cand.a, cand.b FROM cand
+       |SELECT $proj FROM cand
        |JOIN shared ON shared.a = cand.a AND shared.b = cand.b
        |JOIN sizes sa ON sa.doc_id = cand.a
        |JOIN sizes sb ON sb.doc_id = cand.b
-       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7""".stripMargin
+       |WHERE c * 1.0 / (sa.n + sb.n - c) >= $tauSql""".stripMargin
   }
+
+  private val minhashPairsSql: String = minhashVerifiedSql("0.7", selectJac = false)
 
   /** PQ oracle: replays [[Similarity.pqTopK]] — capped md5-bucket
     * training sample, median codebooks per (subspace, label, dim),
@@ -310,6 +323,9 @@ object PipelineQueries {
          |JOIN sizes sb ON sb.doc_id = b
          |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    // same band candidates, verified at ngramJaccard's tau with the
+    // jac column kept — the answer oracle for the forced gate regime
+    "dedup_ngram_jaccard_gated" -> minhashVerifiedSql("0.8", selectJac = true),
     // clusters: recursive reachability over the (deterministic)
     // minhash pair graph; canonical = min reachable id (GraphX's CC
     // labeling on the Spark side)
@@ -604,22 +620,29 @@ object PipelineQueries {
            |  least(1.0, n / 100.0) * (1.0 - punct_ratio) * (1.0 - 0.5 * stop_ratio)
            |    AS score
            |FROM y),
+           |hs AS (SELECT doc_id, score,
+           |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS hb,
+           |  ('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 8 AS shard,
+           |  ('0x' || substr(md5(doc_id::VARCHAR), 9, 4))::BIGINT AS ord
+           |FROM sc),
            |smp AS (SELECT score FROM (
            |  SELECT score,
            |    row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
            |      AS rn
-           |  FROM (SELECT doc_id, score,
-           |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100
-           |            AS hb,
-           |          ('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 8
-           |            AS shard,
-           |          ('0x' || substr(md5(doc_id::VARCHAR), 9, 4))::BIGINT AS ord
-           |        FROM sc)
-           |  WHERE hb < 50)
+           |  FROM hs WHERE hb < 50)
            |WHERE rn <= 512),
+           |smpall AS (SELECT score FROM (
+           |  SELECT score,
+           |    row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+           |      AS rn
+           |  FROM hs)
+           |WHERE rn <= 512),
+           |smp2 AS (SELECT score FROM smp UNION ALL
+           |         SELECT score FROM smpall
+           |         WHERE NOT EXISTS (SELECT 1 FROM smp)),
            |rk AS (SELECT score, row_number() OVER (ORDER BY score) AS r,
            |         count(*) OVER () AS n
-           |       FROM smp),
+           |       FROM smp2),
            |c AS (SELECT ${(1 to 9).map(i =>
                     s"max(CASE WHEN r = (n * $i + 9) // 10 THEN score END)")
                     .mkString("[", ", ", "]")} AS cuts FROM rk)
@@ -933,8 +956,8 @@ object PipelineQueries {
            |  FROM documents),
            |g AS (SELECT md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
            |    || l[i+3] || ' ' || l[i+4]) AS hx
-           |  FROM t, (SELECT unnest(range(1, 4096)) AS i) ix
-           |  WHERE i + 4 <= len(l)),
+           |  FROM t, UNNEST(range(1, len(l) - 3)) AS ix(i)
+           |  WHERE len(l) >= 5),
            |reg AS (SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS r,
            |  CASE WHEN substr(hx, 3, 12) = '000000000000' THEN 49
            |  ELSE length(regexp_extract(substr(hx, 3, 12), '^0*')) * 4 +
@@ -960,8 +983,8 @@ object PipelineQueries {
            |  FROM documents),
            |g AS (SELECT source, md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
            |    || ' ' || l[i+3] || ' ' || l[i+4]) AS hx
-           |  FROM t, (SELECT unnest(range(1, 4096)) AS i) ix
-           |  WHERE i + 4 <= len(l)),
+           |  FROM t, UNNEST(range(1, len(l) - 3)) AS ix(i)
+           |  WHERE len(l) >= 5),
            |reg AS (SELECT source, ('0x' || substr(hx, 1, 2))::BIGINT AS r,
            |  CASE WHEN substr(hx, 3, 12) = '000000000000' THEN 49
            |  ELSE length(regexp_extract(substr(hx, 3, 12), '^0*')) * 4 +

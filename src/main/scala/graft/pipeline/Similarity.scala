@@ -62,14 +62,24 @@ object Similarity {
 
   /** Integer LSH bucket code (long, so up to 63 planes fit): bit p set
     * iff the vector's dot product with hyperplane p is non-negative.
-    *
-    * One nested fold over a plane MATRIX literal, not `planes`
-    * separate dot-product expressions — the expression tree (and the
-    * generated code) stays constant-size however many planes are
-    * requested; 48 unrolled dots blew janino's 64 KB method limit and
-    * dropped the whole stage to interpreted eval.
+    * Native fused expression ([[graft.functions.HyperplaneCode]]) —
+    * the per-row hot kernel of every LSH path, including the at-scale
+    * banded knn regime, runs as one codegen'd planes × dims loop nest
+    * with zero per-row allocation. (The composable HOF twin it
+    * replaced lives on in [[bucketCodeHof]] as the spec's
+    * equivalence witness.)
     */
-  private[pipeline] def bucketCode(v: Column, planes: Int, dims: Int): Column = {
+  private[pipeline] def bucketCode(v: Column, planes: Int, dims: Int): Column =
+    graft.functions.HyperplaneCode(v, planes, dims)
+
+  /** The composable-form twin of [[bucketCode]]: one nested fold over
+    * a plane MATRIX literal, not `planes` separate dot-product
+    * expressions — the expression tree stays constant-size however
+    * many planes are requested (48 unrolled dots blew janino's 64 KB
+    * method limit). Kept as the independently-derived implementation
+    * the spec checks the native expression against.
+    */
+  private[pipeline] def bucketCodeHof(v: Column, planes: Int, dims: Int): Column = {
     val mat = typedLit(Array.tabulate(planes)(p => hyperplane(p, dims)))
     val powers = typedLit(Array.tabulate(planes)(p => 1L << p))
     val dots = transform(mat, pl =>

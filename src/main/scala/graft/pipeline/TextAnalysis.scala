@@ -229,19 +229,40 @@ object TextAnalysis {
       conv(substring(md5(col("doc_id").cast("string").cast("binary")),
         from, 4), 16, 10).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
-    val sample = scored
-      .withColumn("hb", hx(1) % 100).filter(col("hb") < samplePct)
+    def mkSample(pct: Int) = scored
+      .withColumn("hb", hx(1) % 100).filter(col("hb") < pct)
       .withColumn("shard", hx(5) % shards)
       .withColumn("ord", hx(9))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= capPerShard)
+    // empty-sample fallback (the count-gate idiom): a tiny corpus can
+    // have NO doc_id hashing under samplePct — with all cuts NULL every
+    // document would silently land in phase 1. Resample at 100% then
+    // (still capped, so still bounded); limit(1) makes the probe a
+    // short-circuit existence check, not a second corpus scan.
+    val sample0 = mkSample(samplePct)
+    val sample =
+      if (samplePct >= 100 || sample0.limit(1).count() > 0) sample0
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"curriculumPhases: md5-bucket sample at $samplePct% is empty " +
+            "(tiny corpus) — falling back to a 100% capped sample")
+        mkSample(100)
+      }
     // nearest-rank cut i = the ceil(i*n/phases)-th smallest sampled
     // score (pure integer rank arithmetic — no interpolation, no
     // engine-dependent float formula)
+    // the global rank over the ALREADY BOUNDED sample needs one
+    // partition either way; partitioning by a NON-FOLDABLE constant
+    // (a bare lit would be stripped by EliminateWindowPartitions)
+    // keeps the spec defined so WindowExec doesn't log its
+    // single-partition warning on every bench run
+    val one = substring(col("score").cast("string"), 0, 0)
     val ranked = sample
-      .withColumn("r", row_number().over(Window.orderBy(col("score"))))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(one).orderBy(col("score"))))
       .withColumn("nn", count(lit(1)).over(
-        Window.partitionBy(lit(1))))
+        Window.partitionBy(one)))
     val cuts = ranked.agg(
       array((1 until phases).map(i =>
         max(when(col("r") ===

@@ -21,9 +21,16 @@ object Namespaces {
   def registry(df: DataFrame, uriCol: Column): DataFrame = {
     val ns = df.select(UriFunctions.namespace(uriCol).as("ns"))
       .filter(col("ns") =!= "").distinct()
+    // the global rank over the tiny distinct set needs one partition
+    // either way; partitioning by a NON-FOLDABLE constant (lit(0)
+    // would be stripped by EliminateWindowPartitions) keeps the spec
+    // defined so WindowExec doesn't log its single-partition warning
+    // on every run
     ns.withColumn("prefix",
       concat(lit("ns"),
-        (row_number().over(Window.orderBy(col("ns"))) - 1).cast("string")))
+        (row_number().over(
+          Window.partitionBy(substring(col("ns"), 0, 0)).orderBy(col("ns"))) - 1)
+          .cast("string")))
   }
 
   /** Rewrites `uriCol` of `df` to its shortened `nsK:local` form using

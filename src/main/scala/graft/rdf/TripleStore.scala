@@ -108,14 +108,55 @@ object TripleStore {
       readPartitioned(spark, dir.getAbsolutePath)
     })
 
-  private def reapOnExit(dir: java.io.File): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir)
-    }))
+  // ONE shutdown hook draining a list — per-materialization hooks
+  // would accumulate threads in a long-lived JVM; and a SIGKILL'd
+  // process runs no hook at all, which is why registration also
+  // triggers the stale-scratch sweep below
+  private val reapList =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.io.File]())
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
+  private lazy val reapHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      reapList.synchronized {
+        reapList.forEach(rmTree(_)) }))
+    sweepStaleScratch()
+  }
+
+  private def reapOnExit(dir: java.io.File): Unit = {
+    reapHook
+    reapList.add(dir): Unit
+  }
+
+  /** Reclaim scratch layouts leaked by DEAD processes (a SIGKILL'd or
+    * OOM-killed JVM never runs its shutdown hook, and pid-unique names
+    * mean no later run ever overwrites them): any graft_pstore_* /
+    * graft_triples_* entry whose embedded pid is no longer alive is
+    * fair game. Live pids — concurrent runs — are left alone.
+    */
+  private[rdf] def sweepStaleScratch(): Unit = {
+    val name = raw"graft_(?:pstore|triples)_(\d+)_.*".r
+    def sweep(parent: java.io.File): Unit =
+      Option(parent.listFiles()).foreach(_.foreach { f =>
+        f.getName match {
+          case name(pid) =>
+            val alive = ProcessHandle.of(pid.toLong)
+              .map[Boolean](_.isAlive).orElse(false)
+            if (!alive && pid.toLong != ProcessHandle.current().pid())
+              rmTree(f)
+          case _ => ()
+        }
+      })
+    sweep(new java.io.File(sys.props("java.io.tmpdir")))
+    // bucketed layouts live under the warehouse dir as table dirs —
+    // same naming scheme, same sweep; the warehouse path is only
+    // known per-session, so sweep the default local one
+    sweep(new java.io.File("spark-warehouse"))
+  }
 
   /** The other half of the cluster layout: the triple relation as a
     * SUBJECT-BUCKETED table. BGP self-joins are equi-joins on the

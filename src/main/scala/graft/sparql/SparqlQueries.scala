@@ -175,6 +175,23 @@ object SparqlQueries {
         // lands on rounding boundaries) is exercised in CompilerSpec
         .withColumn("total", round(col("total"), 2))
     },
+    "sparql_groupby_avg_rational" -> { (s, dir) =>
+      // AVG under the driver hash, via its exact rational witness:
+      // the division result itself drifts ulps across engines, but
+      // av*cnt reconstructs the 2-decimal-quantized group sum to well
+      // within rounding distance (relative error ~1e-16 of a value
+      // whose true form has 2 decimals), so round(av*cnt, 2) is
+      // hash-stable on BOTH engines iff each engine's AVG really is
+      // SUM/COUNT of the same group — the oracle AVG escaped until now
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c (AVG(?t) AS ?av) (COUNT(?o) AS ?cnt)
+          |       (SUM(?t) AS ?sm)
+          |WHERE { ?o :byCustomer ?c . ?o :totalprice ?t }
+          |GROUP BY ?c""".stripMargin))
+        .select(col("c"),
+          round(col("av") * col("cnt"), 2).as("av_times_cnt"),
+          round(col("sm"), 2).as("sm"), col("cnt"))
+    },
     "sparql_path_plus" -> { (s, dir) =>
       runP(s, dir, SparqlParser.parse(
         "SELECT ?x ?y WHERE { ?x (:hasNation|:inRegion)+ ?y }"))
@@ -649,6 +666,11 @@ object SparqlQueries {
     "sparql_groupby_sum_avg" ->
       """SELECT 'cust:'||o_custkey AS c, round(sum(o_totalprice), 2) AS total,
         |       min(o_totalprice) AS mn, count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    "sparql_groupby_avg_rational" ->
+      """SELECT 'cust:'||o_custkey AS c,
+        |       round(avg(o_totalprice) * count(*), 2) AS av_times_cnt,
+        |       round(sum(o_totalprice), 2) AS sm, count(*) AS cnt
         |FROM orders GROUP BY 1""".stripMargin,
     "sparql_path_plus" ->
       """WITH RECURSIVE e(s, o) AS (

@@ -219,6 +219,14 @@ class PlanSpec extends AnyFunSuite {
       "only the per-doc count shuffles")
   }
 
+  test("ann_lsh_topk: bucket hashing is the fused native expression") {
+    val p = plan("ann_lsh_topk")
+    assert(p.contains("hyperplane_code"),
+      "the native LSH kernel must survive into the physical plan")
+    assert(!p.contains("zip_with"),
+      "no composable HOF tree in the hot hashing path")
+  }
+
   test("data_sample_stratified: rates broadcast; emb_quantize stays narrow") {
     val p = plan("data_sample_stratified")
     assert(p.contains("BroadcastHashJoin"), "the rate table must broadcast")

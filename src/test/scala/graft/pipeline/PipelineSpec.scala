@@ -45,6 +45,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccard(d, tau = 0.5).count() == 1)
   }
 
+  test("ngram jaccard candidate-volume gate reroutes to band candidates") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "completely different words appear in this one here now")
+    // forced over-budget regime (budget 0): identical texts agree on
+    // every minhash band, so the banded candidates find the pair and
+    // exact verification scores it at jac 1.0
+    val gated = Dedup.ngramJaccard(d, tau = 0.8, maxCandidatePairs = 0)
+      .as[(Long, Long, Double)].collect()
+    assert(gated.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(gated.head._3 == 1.0)
+    // under budget the exact regime runs and agrees
+    val exact = Dedup.ngramJaccard(d, tau = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(exact.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    // a budget of 1 is exceeded by this corpus's prefix-index volume,
+    // so the gate itself (not just the forced switch) reroutes
+    val rerouted = Dedup.ngramJaccard(d, tau = 0.8, maxCandidatePairs = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(rerouted.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+  }
+
   test("embedding cosine: exact recall below 0.7, banded pruning above") {
     val e = spark.read.parquet(graft.SharedSpark.sfDir + "/embeddings.parquet")
     // similarity-join regime: the label-cell path is exhaustive
@@ -142,6 +165,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSql.count() == 0)
   }
 
+  test("native hyperplane code is bit-identical to the HOF twin") {
+    val e = graft.SharedSpark.spark.read
+      .parquet(graft.SharedSpark.sfDir + "/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    // the exact-equality assertion is the point: same fold order and
+    // ±1.0 multiplies mean the codes must match bit-for-bit, at both
+    // the 8-plane probe width and the 48-plane blocking width
+    for ((planes, dims) <- Seq((8, 64), (48, 64))) {
+      val diff = e.select(
+          Similarity.bucketCode(col("v"), planes, dims).as("native"),
+          Similarity.bucketCodeHof(col("v"), planes, dims).as("hof"))
+        .filter(col("native") =!= col("hof"))
+      assert(diff.count() == 0, s"planes=$planes")
+    }
+    // degenerate inputs keep the HOF contract: mismatched length and
+    // null elements code to 0, a null vector stays null
+    val weird = Seq[(Long, Option[Seq[Option[Double]]])](
+      (1L, Some(Seq(Some(1.0), Some(2.0)))),
+      (2L, Some(Seq(Some(1.0), None))),
+      (3L, None))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    val got = weird
+      .select(col("id"), Similarity.bucketCode(col("v"), 8, 64).as("c"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(0L) && got(2L).contains(0L) && got(3L).isEmpty)
+  }
+
   test("curriculum phases are monotone in quality score") {
     val d = docs((1L to 40L).map(i =>
       i -> (Seq.fill(i.toInt)("the word").mkString(" "))): _*)
@@ -153,6 +204,18 @@ class PipelineSpec extends AnyFunSuite {
     // identical scores land in the same phase (cut comparison, not rank)
     val byScore = got.groupBy(_._2).values
     assert(byScore.forall(g => g.map(_._3).distinct.length == 1))
+  }
+
+  test("curriculum empty-sample fallback still cuts phases") {
+    // every one of these doc_ids md5-hashes ABOVE the 50% sample
+    // bucket, so without the fallback all cuts would be NULL and every
+    // doc would land in phase 1
+    val ids = Seq(1L, 5L, 6L, 8L, 9L, 11L, 12L, 13L, 14L, 18L)
+    val d = docs(ids.zipWithIndex.map { case (id, i) =>
+      id -> Seq.fill(5 * (i + 1))("the word").mkString(" ") }: _*)
+    val got = TextAnalysis.curriculumPhases(d, phases = 2)
+      .select("doc_id", "phase").as[(Long, Int)].collect()
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(1, 2))
   }
 
   test("pq topk is deterministic and overlaps the exact ranking") {
