@@ -110,4 +110,72 @@ object Sketch {
         .agg(count(lit(1)).as("n_present"), fpSum.as("fp")),
       Seq(groupCol))
   }
+
+  private[pipeline] case class HllOut(n_present: Long, fp: Long)
+
+  /** The register fold as ONE typed aggregation — the form Structured
+    * Streaming requires (the batch twin's register→group two-level
+    * aggregation is two chained stateful aggs, which a streaming plan
+    * cannot run). State per group is the 256-byte register vector
+    * itself; merge is elementwise max — associative, commutative, and
+    * exactly the monoid the batch groupBy computes, so the folded
+    * (n_present, fp) integers — and therefore the estimate — are
+    * bit-identical to the batch path. A typed Aggregator (not a SQL
+    * function tree) is the right tool precisely here: custom BOUNDED
+    * aggregation state walked through the streaming state store.
+    */
+  private object HllRegistersAgg extends org.apache.spark.sql.expressions
+      .Aggregator[(Long, Int), Array[Byte], HllOut] {
+    override def zero: Array[Byte] = new Array[Byte](256)
+    override def reduce(b: Array[Byte], a: (Long, Int)): Array[Byte] = {
+      val i = a._1.toInt
+      if (a._2 > b(i)) b(i) = a._2.toByte
+      b
+    }
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < 256) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Byte]): HllOut = {
+      var np = 0L; var fp = 0L; var i = 0
+      while (i < 256) {
+        if (b(i) > 0) { np += 1; fp += 1L << (52 - b(i)) }
+        i += 1
+      }
+      HllOut(np, fp)
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[HllOut] =
+      org.apache.spark.sql.Encoders.product[HllOut]
+  }
+
+  /** Streaming twin of [[hllNgramDistinctBy]]: per-(event-time
+    * window, group) distinct-gram estimates over an unbounded doc
+    * stream. The watermark evicts closed windows from the state
+    * store, and per live (window, group) the state is just the
+    * 256-byte register vector — per-source distinct tracking on an
+    * unbounded corpus with state that never grows with cardinality.
+    * Works identically on a batch frame (window + group aggregation),
+    * which is what the spec asserts against.
+    */
+  def hllNgramDistinctByWindowed(docs: DataFrame, groupCol: String = "source",
+                                 n: Int = 5, width: String = "1 hour",
+                                 watermark: String = "2 hours"): DataFrame = {
+    val (r, rho) = registerRho(col("hx"))
+    val hllFold = udaf(HllRegistersAgg,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt))
+    val grams =
+      gramDigests(docs.withWatermark("ts", watermark), n, Seq(groupCol, "ts"))
+        .select(col(groupCol), col("ts"), r.as("r"), rho.cast("int").as("rho"))
+    val folded = grams
+      .groupBy(window(col("ts"), width), col(groupCol))
+      .agg(hllFold(col("r"), col("rho")).as("h"))
+      .select(col("window.start").as("ws"), col(groupCol),
+        col("h.n_present").as("n_present"), col("h.fp").as("fp"))
+    estimated(folded, Seq("ws", groupCol))
+  }
 }

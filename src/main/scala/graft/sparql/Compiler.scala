@@ -714,17 +714,46 @@ object Compiler {
     * reconstructable from lexical bindings — documented subset).
     */
   def construct(triples: DataFrame, template: Seq[TriplePattern],
-                where: Pattern): DataFrame = {
+                where: Pattern): DataFrame =
+    constructSlices(triples, template, where)
+      .select("s", "p", "o").distinct()
+
+  /** [[construct]] with the term-typing columns the serializers need
+    * (o_num, o_is_iri, lang), derived from the TEMPLATE: a template
+    * IRI object is a resource, a template literal carries its
+    * language tag, and a variable binding serializes as a plain
+    * literal (its source typing is not reconstructable from the
+    * lexical binding — same documented subset as [[construct]]).
+    * This is the query→RDF composition the reference exposes as its
+    * "query the graph, respond in RDF" endpoint
+    * (pidb-rdf-import RDFEndpoint.java:100 /cypheronrdf): feed the
+    * result straight to NTriples.format / Turtle.format.
+    */
+  def constructTyped(triples: DataFrame, template: Seq[TriplePattern],
+                     where: Pattern): DataFrame =
+    constructSlices(triples, template, where).distinct()
+
+  private def constructSlices(triples: DataFrame, template: Seq[TriplePattern],
+                              where: Pattern): DataFrame = {
     val df = compilePattern(triples, where)
     def termCol(t: Term): Column = t match {
       case Var(n) => col(n)
       case Iri(x) => lit(x)
       case Lit(lex, _) => lit(lex)
     }
-    template.map(tp => df.select(termCol(tp.s).as("s"),
-        termCol(tp.p).as("p"), termCol(tp.o).as("o")))
-      .reduce(_.unionAll(_))
-      .distinct()
+    def typing(t: Term): (Column, Column) = t match {
+      case Iri(_) => (lit(true), lit(null).cast("double"))
+      case Lit(_, num) =>
+        (lit(false), num.map(n => lit(n): Column)
+          .getOrElse(lit(null).cast("double")))
+      case Var(_) => (lit(false), lit(null).cast("double"))
+    }
+    template.map { tp =>
+      val (isIri, num) = typing(tp.o)
+      df.select(termCol(tp.s).as("s"), termCol(tp.p).as("p"),
+        termCol(tp.o).as("o"), num.as("o_num"),
+        isIri.as("o_is_iri"), lit(null).cast("string").as("lang"))
+    }.reduce(_.unionAll(_))
   }
 
   /** HAVING constraint over group/aggregate output columns: the

@@ -270,6 +270,16 @@ object SparqlQueries {
           |WHERE { ?c a :Customer ; :mktsegment ?m . }""".stripMargin)
       Compiler.construct(TripleStore.triples(s, dir), tmpl, where)
     },
+    // the reference's /cypheronrdf composition (RDFEndpoint.java:100):
+    // query the graph, respond in RDF — textual CONSTRUCT compiled to
+    // a typed triple set, serialized straight to N-Triples lines
+    "sparql_construct_ntriples" -> { (s, dir) =>
+      val (tmpl, where) = SparqlParser.parseConstruct(
+        """CONSTRUCT { ?c :inSegment ?m . ?c a :Client }
+          |WHERE { ?c a :Customer ; :mktsegment ?m . }""".stripMargin)
+      graft.rdf.NTriples.format(
+        Compiler.constructTyped(TripleStore.triples(s, dir), tmpl, where))
+    },
     // VALUES inline binding joined against the group
     "sparql_values" -> { (s, dir) =>
       val text =
@@ -723,6 +733,11 @@ object SparqlQueries {
         |FROM customer
         |UNION ALL
         |SELECT 'cust:'||c_custkey, 'rdf:type', ':Client' FROM customer""".stripMargin,
+    "sparql_construct_ntriples" ->
+      """SELECT '<cust:'||c_custkey||'> <:inSegment> "'||c_mktsegment||'" .'
+        |  AS line FROM customer
+        |UNION ALL
+        |SELECT '<cust:'||c_custkey||'> <rdf:type> <:Client> .' FROM customer""".stripMargin,
     "sparql_path_seq" ->
       """SELECT 'cust:'||c_custkey AS c, r_name AS n
         |FROM customer

@@ -137,6 +137,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 3 && got.toSet == Set("aaa", "bbb", "ccc"))
   }
 
+  test("windowed hll sketch streams and matches the batch grouped sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // all rows inside one 1-hour window, so per-source results must
+    // equal the batch grouped sketch over the same rows exactly —
+    // same registers, same integers, same estimate double
+    val rows = Seq(
+      (1L, ts(1), "the quick brown fox jumps over the lazy dog today", "s0"),
+      (2L, ts(5), "pack my box with five dozen liquor jugs right now", "s0"),
+      (3L, ts(7), "the quick brown fox jumps over the lazy dog today", "s1"))
+    val cols = Seq("doc_id", "ts", "text", "source")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    stream.addData(rows.take(2))
+    val q = Sketch.hllNgramDistinctByWindowed(stream.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(2)) // second arrival batch: registers merge
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hll_stream_test")
+      .select("source", "n_present", "sum_fp", "estimate")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val want = Sketch.hllNgramDistinctBy(rows.toDF(cols: _*))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == want && got.size == 2)
+    // duplicate-blindness carries over: s1 is a subset duplicate of
+    // s0's first doc, so its registers fold to that doc's sketch
+    assert(got.map(_._1) == Set("s0", "s1"))
+  }
+
   test("contamination screens a doc stream against the static benchmark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
