@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-command scale soak: generate the synthetic tables at the
+  * requested multiple of sf0.1 (skipped if already present) and run
+  * the soak key set isolated-and-warm in this JVM, printing one
+  * per-key line plus a final JSON summary — the reproducible form of
+  * the r8 hand-driven sf1/sf10 soaks (SURVEY §8 r8.7/r8.13).
+  *
+  * Usage:
+  *   runMain graft.tools.Soak <dataDir> <times10> [keys] [reps]
+  * e.g. sf10, default keys, 1 rep (the forked JVM already defaults to
+  * -Xmx48g via build.sbt — override with SPARK_DRIVER_MEM):
+  *   sbt "runMain graft.tools.Soak target/sf10 100"
+  *
+  * Timings here measure SCALE SHAPE (ratio vs the sf0.1 bench), not
+  * correctness — the DuckDB oracle still gates at sf0.01.
+  */
+object Soak {
+
+  /** The keys the r8 soaks tracked: one representative per heavy
+    * family (store build, dedup exact/banded/minhash, ANN, events,
+    * curriculum sampling, GraphX CC, sameAs closure, sketch, BM25).
+    */
+  val defaultKeys: Seq[String] = Seq(
+    "q1_agg", "rdf_build_triples", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_gated",
+    "ann_pq_topk", "events_window_agg", "data_curriculum",
+    "graph_connected_components", "infer_sameas_canon",
+    "sketch_hll_distinct", "text_bm25_topk")
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = args(0)
+    val times10 = if (args.length > 1) args(1).toInt else 10
+    val keys = if (args.length > 2 && args(2).nonEmpty) args(2).split(',').toSeq
+      else defaultKeys
+    val reps = if (args.length > 3) args(3).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$dataDir/lineitem.parquet").exists()) {
+      System.err.println(s"[soak] generating sf${times10 / 10.0} data at $dataDir")
+      val t0 = System.nanoTime()
+      GenData.write(spark, dataDir, times10)
+      System.err.println(f"[soak] generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } else System.err.println(s"[soak] reusing data at $dataDir")
+
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    keys.foreach { name =>
+      val runs = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          graft.SparkEntry.queries(name)(spark, dataDir)
+            .write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            None
+        } finally {
+          graft.pipeline.Dedup.releaseCaches()
+          graft.graphx.Analytics.releaseCaches()
+          graft.Checkpoints.releaseCaches()
+        }
+      }.sorted
+      if (runs.nonEmpty) {
+        timings(name) = runs(runs.length / 2)
+        println(f"[soak] $name median=${timings(name)}%.1f " +
+          s"runs=${runs.map(t => f"$t%.1f").mkString(",")}")
+      } else println(s"[soak] $name FAILED: ${errors(name)}")
+    }
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => " "; case c => c.toString
+    }
+    val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"soak","sf":${times10 / 10.0},"queries":$qs,""" +
+      s""""errors":$es,"n_err":${errors.size}}""")
+    spark.stop()
+  }
+}

@@ -53,6 +53,14 @@ class PlanSpec extends AnyFunSuite {
       "the gate key must read the subject-bucketed catalog table")
   }
 
+  test("dedup_ngram_jaccard_gated: band candidates, no quadratic prefix join") {
+    val p = plan("dedup_ngram_jaccard_gated")
+    assert(!p.contains("row_number"),
+      "the over-budget regime must not build the rarity-ranked prefix index")
+    assert(p.contains("array_min"),
+      "candidates must come from the minhash signature bands")
+  }
+
   test("ann_lsh_topk: broadcast probe join + top-k without global sort") {
     val p = plan("ann_lsh_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
