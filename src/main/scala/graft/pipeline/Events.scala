@@ -43,6 +43,46 @@ object Events {
   def slidingWindowStreaming(events: DataFrame): DataFrame =
     slidingWindow(events.withWatermark("ts", "2 hours"))
 
+  /** AS-OF join, the union-window formulation: each `leftType` event
+    * picks the MOST RECENT strictly-prior `rightType` event of the
+    * same user — the point-in-time lookup relational engines ship as
+    * ASOF JOIN and Spark lacks as a primitive. Composition beats a
+    * join here: both slices union, shuffle ONCE on user_id, and a
+    * running last-non-null window carries the right side forward to
+    * each left row. A sort-merge as-of join would need both sides
+    * co-partitioned and time-ordered anyway — exactly what the single
+    * union sort provides, minus the join machinery and the second
+    * shuffle. "Prior" is strict in the total (ts, event_id) order
+    * (frame ends at -1), so same-timestamp pairs resolve
+    * deterministically on any engine. Output: one row per left event
+    * with the matched right id/time and the gap in micros (NULLs when
+    * no prior right event exists); integers only → portable hashes.
+    *
+    * At 100 TB: one exchange keyed by user, per-user local sort, no
+    * broadcast, no skew amplification (the window is a linear pass
+    * per partition). The streaming twin of this shape is
+    * flatMapGroupsWithState carrying the latest right-side event as
+    * state — the same state [[latestState]]'s compaction maintains.
+    */
+  def asofJoin(events: DataFrame, leftType: String = "purchase",
+               rightType: String = "view"): DataFrame = {
+    val slice = events.filter(col("event_type").isin(leftType, rightType))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def carried(c: org.apache.spark.sql.Column) =
+      last(when(col("event_type") === rightType, c), ignoreNulls = true).over(w)
+    slice
+      .withColumn("prev_id", carried(col("event_id")))
+      .withColumn("prev_us", carried(col("us")))
+      .filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), col("us").as("ts_us"),
+        col("prev_id"), col("prev_us"),
+        (col("us") - col("prev_us")).as("gap_us"))
+  }
+
   /** Dimension enrichment: events joined with the customer dimension
     * and rolled up by market segment and event type. The dimension is
     * broadcast — the classic stream-enrichment shape, and the same

@@ -160,12 +160,16 @@ object PipelineQueries {
       Events.hourlyProfile(Tables.events(s, dir))),
     "events_latest_state" -> ((s, dir) =>
       Events.latestState(Tables.events(s, dir))),
+    "events_asof_join" -> ((s, dir) =>
+      Events.asofJoin(Tables.events(s, dir))),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir))),
     "sketch_hll_distinct" -> ((s, dir) =>
       Sketch.hllNgramDistinct(Tables.documents(s, dir))),
     "sketch_hll_by_source" -> ((s, dir) =>
       Sketch.hllNgramDistinctBy(Tables.documents(s, dir))),
+    "sketch_cms_counts" -> ((s, dir) =>
+      Sketch.cmsTokenCounts(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -934,6 +938,24 @@ object PipelineQueries {
            |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
            |  FROM tf JOIN df USING (token))
            |SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    // the as-of replay: identical union-window formulation — strict
+    // priority via the ROWS ... AND 1 PRECEDING frame over the total
+    // (us, event_id) order, so same-timestamp resolution matches
+    // Spark's exactly
+    "events_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'view' THEN event_id END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+        |  last_value(CASE WHEN event_type = 'view' THEN us END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us
+        |  FROM e)
+        |SELECT event_id, user_id, us AS ts_us, prev_id, prev_us,
+        |  us - prev_us AS gap_us
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
     // the oracle ranks with a window; the Spark side uses max_by over
     // a (ts, event_id) struct — same deterministic answer, different
     // (and at scale much cheaper: no sort) mechanism
@@ -1004,6 +1026,28 @@ object PipelineQueries {
            |    / CAST(fp + (256 - n_present) * 4503599627370496 AS DOUBLE)
            |    AS estimate
            |FROM s""".stripMargin,
+    // CMS replay: same single-md5 construction (row j's bucket = hex
+    // chars 2j+1..2j+2), min-over-rows estimate, exact companion
+    "sketch_cms_counts" ->
+      raw"""WITH tok AS (SELECT unnest(
+           |    string_split_regex(trim(lower(text)), '\s+')) AS token
+           |  FROM documents),
+           |t AS (SELECT token, md5(token) AS h FROM tok WHERE token != ''),
+           |cells AS (SELECT j, ('0x' || substr(h, 1 + 2 * j, 2))::INT AS b,
+           |    count(*) AS cnt
+           |  FROM t, UNNEST(range(0, 4)) AS r(j) GROUP BY 1, 2),
+           |p AS (SELECT unnest(['spark', 'merge', 'window', 'the', 'data'])
+           |    AS token),
+           |pb AS (SELECT token, j,
+           |    ('0x' || substr(md5(token), 1 + 2 * j, 2))::INT AS b
+           |  FROM p, UNNEST(range(0, 4)) AS r(j)),
+           |est AS (SELECT token, min(coalesce(cnt, 0)) AS est
+           |  FROM pb LEFT JOIN cells USING (j, b) GROUP BY 1),
+           |ex AS (SELECT token, count(*) AS n_exact FROM t
+           |  WHERE token IN ('spark', 'merge', 'window', 'the', 'data')
+           |  GROUP BY 1)
+           |SELECT token, est, coalesce(n_exact, 0) AS n_exact
+           |FROM est LEFT JOIN ex USING (token)""".stripMargin,
     // literals carry e0 so DuckDB binds DOUBLE (a bare 2.2 is DECIMAL
     // there); the parenthesization mirrors bm25TopK token for token —
     // rational idf only, so the double tree is IEEE-exact on both

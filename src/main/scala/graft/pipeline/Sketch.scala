@@ -111,6 +111,52 @@ object Sketch {
       Seq(groupCol))
   }
 
+  /** Portable Count-Min sketch over corpus tokens, depth 4 × width
+    * 256: row j's bucket is md5 hex chars (2j+1, 2j+2) — four
+    * disjoint 8-bit slices of one digest, so the whole sketch costs
+    * ONE hash per token. The sketch itself is 1024 (j, bucket, cnt)
+    * rows built with map-side combine — bounded state at any corpus
+    * size, the frequency-estimation companion of the HLL cardinality
+    * sketch (exact token counts shuffle the full vocabulary; the CMS
+    * shuffles 1024 rows). Estimates for the broadcast `probes` list
+    * are the classic min-over-rows upper bound, reported next to the
+    * exact count of the same probes so the overcount is visible.
+    * Integer-only output; DuckDB replays the construction exactly.
+    */
+  def cmsTokenCounts(docs: DataFrame,
+                     probes: Seq[String] = Seq("spark", "merge", "window",
+                       "the", "data")): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(explode(TextAnalysis.wsTokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+    def buckets(h: org.apache.spark.sql.Column) =
+      (0 until 4).map(j =>
+        struct(lit(j).as("j"),
+          conv(substring(h, 1 + 2 * j, 2), 16, 10).cast("int").as("b")))
+    val cells = toks
+      .select(explode(array(buckets(md5(col("token").cast("binary"))): _*))
+        .as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    import spark.implicits._
+    val probeBuckets = probes.toDF("token")
+      .select(col("token"),
+        explode(array(buckets(md5(col("token").cast("binary"))): _*)).as("c"))
+      .select(col("token"), col("c.j").as("j"), col("c.b").as("b"))
+    // LEFT join + coalesce(0): an empty bucket is a ZERO estimate
+    // (the min must include it) — an inner join would silently drop
+    // empty buckets and overestimate absent tokens
+    val est = probeBuckets
+      .join(broadcast(cells), Seq("j", "b"), "left_outer")
+      .groupBy(col("token")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = toks.filter(col("token").isin(probes: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("token"), "left_outer")
+      .select(col("token"), col("est"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+
   private[pipeline] case class HllOut(n_present: Long, fp: Long)
 
   /** The register fold as ONE typed aggregation — the form Structured

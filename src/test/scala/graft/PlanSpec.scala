@@ -276,6 +276,16 @@ class PlanSpec extends AnyFunSuite {
       "gram df must partial-aggregate")
   }
 
+  test("events_asof_join: one user-keyed exchange, no join") {
+    val p = plan("events_asof_join")
+    assert(!p.contains("Join"),
+      "the as-of must be the union-window form, never an actual join")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "both slices must ride ONE user-keyed shuffle")
+    assert(p.contains("In(event_type"),
+      "the two-type slice filter must push down to the scan")
+  }
+
   test("events_funnel: every stage shuffles only its own slice") {
     val p = plan("events_funnel")
     // stage filters must reach the parquet scan, so each aggregation

@@ -791,6 +791,45 @@ class PipelineSpec extends AnyFunSuite {
       (8L, "view", 4.5, """{"k":4}""", 1L)))
   }
 
+  test("asof join picks the most recent strictly-prior right event") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:01", 7L, "view", 0.0, "{}"),
+      (2L, "2024-01-01 00:00:03", 7L, "view", 0.0, "{}"),
+      // purchase at 00:05 must match the view at 00:03, not 00:01
+      (3L, "2024-01-01 00:00:05", 7L, "purchase", 1.0, "{}"),
+      // same timestamp as the view with a HIGHER event_id: the view
+      // (id 4) is strictly prior in (ts, id) order, so it matches
+      (4L, "2024-01-01 00:00:08", 7L, "view", 0.0, "{}"),
+      (5L, "2024-01-01 00:00:08", 7L, "purchase", 1.0, "{}"),
+      // user with no prior view: NULL match
+      (6L, "2024-01-01 00:00:09", 8L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Events.asofJoin(ev)
+      .select("event_id", "prev_id", "gap_us")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (3L, Some(2L), Some(2000000L)),
+      (5L, Some(4L), Some(0L)),
+      (6L, None, None)))
+  }
+
+  test("cms estimates are upper bounds and tight on a small vocabulary") {
+    val d = docs(
+      1L -> "spark spark merge data data data",
+      2L -> "window spark merge merge other words here")
+    val got = Sketch.cmsTokenCounts(d)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // CMS never undercounts, and with ~8 distinct tokens in 1024
+    // cells there are no collisions — estimates are exact here
+    assert(got("spark") == ((3L, 3L)))
+    assert(got("merge") == ((3L, 3L)))
+    assert(got("data") == ((3L, 3L)))
+    assert(got("window") == ((1L, 1L)))
+    assert(got.values.forall { case (est, exact) => est >= exact })
+  }
+
   test("hll sketch ignores duplicates and estimates inside raw-range error") {
     // each doc carries exactly one distinct 5-gram → 1500 true distincts
     val d = docs((0L until 1500L).map(i =>
