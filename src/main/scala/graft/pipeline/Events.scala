@@ -83,6 +83,71 @@ object Events {
         (col("us") - col("prev_us")).as("gap_us"))
   }
 
+  final case class AsofEvent(event_id: Long, user_id: Long,
+                             ts: java.sql.Timestamp, event_type: String)
+  final case class AsofState(prev_id: Long, prev_us: Long)
+  final case class AsofOut(event_id: Long, user_id: Long, ts_us: Long,
+                           prev_id: Option[Long], prev_us: Option[Long],
+                           gap_us: Option[Long])
+
+  /** Streaming twin of [[asofJoin]]: per-user state is just the
+    * LATEST right-side event seen (16 bytes — the same compacted
+    * state [[latestState]] maintains), and each left event emits its
+    * match immediately. Within a micro-batch events apply in
+    * (ts, event_id) order, so the batch answer is reproduced exactly
+    * whenever arrival order respects per-user event order across
+    * batches (the per-key-ordered contract a Kafka-partitioned-by-user
+    * feed provides); a right event arriving AFTER a later left event
+    * already fired cannot retroactively re-match it — that's the
+    * inherent trade of emitting point-in-time lookups eagerly on an
+    * unbounded stream. State for idle users is evicted by event-time
+    * timeout at the watermark plus `idleEvictMinutes`.
+    */
+  def asofJoinStreaming(events: DataFrame, leftType: String = "purchase",
+                        rightType: String = "view",
+                        watermark: String = "1 hour",
+                        idleEvictMinutes: Int = 120): Dataset[AsofOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.filter(col("event_type").isin(leftType, rightType))
+      .selectExpr("event_id", "user_id", "ts", "event_type")
+      .withWatermark("ts", watermark)
+      .as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, evs, state) =>
+          val out = Seq.newBuilder[AsofOut]
+          if (state.hasTimedOut) state.remove()
+          else {
+            var st = state.getOption.orNull
+            var lastUs = 0L
+            evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+              val t = us(e.ts)
+              lastUs = math.max(lastUs, t)
+              if (e.event_type == rightType) {
+                if (st == null || t > st.prev_us ||
+                  (t == st.prev_us && e.event_id > st.prev_id))
+                  st = AsofState(e.event_id, t)
+              } else {
+                val m = Option(st)
+                out += AsofOut(e.event_id, uid, t,
+                  m.map(_.prev_id), m.map(_.prev_us),
+                  m.map(s => t - s.prev_us))
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                lastUs / 1000L + idleEvictMinutes * 60000L)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   /** Dimension enrichment: events joined with the customer dimension
     * and rolled up by market segment and event type. The dimension is
     * broadcast — the classic stream-enrichment shape, and the same

@@ -137,6 +137,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 3 && got.toSet == Set("aaa", "bbb", "ccc"))
   }
 
+  test("streaming asof join matches the batch twin on ordered arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, ts(1), 7L, "view"),
+      (2L, ts(3), 7L, "view"),
+      (3L, ts(5), 7L, "purchase"),   // matches view 2
+      (4L, ts(8), 7L, "view"),
+      (5L, ts(9), 7L, "purchase"),   // matches view 4 (state updated
+                                     // across arrival batches)
+      (6L, ts(9), 8L, "purchase"))   // no prior view for this user
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    stream.addData(rows.take(3))
+    val q = Events.asofJoinStreaming(stream.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("asof_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_stream_test")
+      .select("event_id", "prev_id", "gap_us")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    val want = Events.asofJoin(rows.toDF(cols: _*)
+        .withColumn("value", lit(0.0)).withColumn("props", lit("{}")))
+      .select("event_id", "prev_id", "gap_us")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == want && got == Set(
+      (3L, Some(2L), Some(120000000L)),
+      (5L, Some(4L), Some(60000000L)),
+      (6L, None, None)))
+  }
+
   test("windowed hll sketch streams and matches the batch grouped sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
