@@ -38,7 +38,10 @@ object SparkEntry {
     // r9: the forced over-budget dedup regime, the zero-exchange
     // bucketed star join, the as-of join, and the CMS sketch
     "dedup_ngram_jaccard_gated", "sparql_bgp_star_bucketed",
-    "events_asof_join", "sketch_cms_counts")
+    "events_asof_join", "sketch_cms_counts",
+    // r9 batch 2: substring-level dedup, the quantile sketch, and the
+    // exact-k bottom-k sample
+    "dedup_dup_spans", "sketch_quantile_hist", "data_sample_bottomk")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -246,6 +246,48 @@ object Dedup {
     verifyJaccard(cand, sets, tau).select(col("a"), col("b"))
   }
 
+  /** Exact duplicated-span detection (substring-level dedup, the
+    * signal doc-level dedup misses): every `w`-token window of every
+    * document is hashed; a window whose corpus-wide occurrence count
+    * reaches `minDf` is DUPLICATED TEXT (boilerplate, licence
+    * headers, templated spans — within-doc repeats included, they are
+    * duplicated text too). Emits per affected document the number of
+    * duplicated windows, the number of tokens covered by at least one
+    * duplicated window (overlaps unioned, not double-counted), and
+    * the covered fraction — the score pipelines threshold on to drop
+    * or trim boilerplate-heavy documents.
+    *
+    * Scale shape: the window explode is O(tokens) rows that fold
+    * map-side into per-hash counts (one co-partitioned equi-join back
+    * on the hash — never all-pairs, never a doc×doc product); only
+    * HOT windows (df >= minDf, typically a small fraction) explode
+    * into their w covered positions for the per-doc union, so the
+    * second aggregation is O(hot × w) keyed by doc_id.
+    */
+  def duplicatedSpans(docs: DataFrame, w: Int = 8,
+                      minDf: Int = 2): DataFrame = {
+    val toks = TextAnalysis.wsTokens(lower(col("text")))
+    val wins = docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), size(col("t")).as("n_toks"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - w),
+          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(w)))
+            .cast("binary")))))
+      .withColumnRenamed("col", "hx")
+    val hotHashes = wins.groupBy(col("hx"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    wins.join(hotHashes, "hx")
+      .select(col("doc_id"), col("n_toks"), col("pos"),
+        explode(sequence(col("pos"), col("pos") + w - 1)).as("tp"))
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(countDistinct(col("pos")).as("dup_windows"),
+        countDistinct(col("tp")).as("dup_tokens"))
+      .withColumn("dup_frac",
+        col("dup_tokens").cast("double") / col("n_toks").cast("double"))
+  }
+
   /** 64-bit simhash kept as four 16-bit chunks (c0..c3, low chunk
     * first) so both Spark and the SQL oracle parse hex 4 chars at a
     * time with exact integer arithmetic.

@@ -170,6 +170,12 @@ object PipelineQueries {
       Sketch.hllNgramDistinctBy(Tables.documents(s, dir))),
     "sketch_cms_counts" -> ((s, dir) =>
       Sketch.cmsTokenCounts(Tables.documents(s, dir))),
+    "sketch_quantile_hist" -> ((s, dir) =>
+      Sketch.quantileHist(Tables.documents(s, dir))),
+    "dedup_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir))),
+    "data_sample_bottomk" -> ((s, dir) =>
+      TextAnalysis.sampleBottomK(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -1048,6 +1054,53 @@ object PipelineQueries {
            |  GROUP BY 1)
            |SELECT token, est, coalesce(n_exact, 0) AS n_exact
            |FROM est LEFT JOIN ex USING (token)""".stripMargin,
+    // log2 bucket via length(bin(v)) - 1 on both engines (integer-
+    // exact); window sums cast to BIGINT (DuckDB's SUM is HUGEINT);
+    // nearest-rank ceil via (n*q + 99) // 100 floor-division
+    "sketch_quantile_hist" ->
+      raw"""WITH v AS (SELECT len(string_split_regex(trim(text), '\s+')) AS v
+           |  FROM documents),
+           |b AS (SELECT length(bin(v)) - 1 AS b, count(*) AS cnt
+           |  FROM v GROUP BY 1),
+           |c AS (SELECT b, CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS cum,
+           |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+           |  FROM b),
+           |q AS (SELECT unnest([50, 90, 99]) AS q)
+           |SELECT q.q AS q, min(c.b) AS bucket,
+           |  (CAST(1 AS BIGINT) << min(c.b)) AS lo,
+           |  (CAST(1 AS BIGINT) << (min(c.b) + 1)) - 1 AS hi,
+           |  max(c.n) AS n_docs
+           |FROM q, c
+           |WHERE c.cum >= (c.n * q.q + 99) // 100
+           |GROUP BY 1""".stripMargin,
+    // 8-token windows, 1-based inclusive list slice l[i:i+7]; df
+    // counts every occurrence (within-doc repeats are duplicated
+    // text); dup_frac is ONE double division of the same two BIGINTs
+    // on both engines
+    "dedup_dup_spans" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\s+') AS l
+           |  FROM documents),
+           |w AS (SELECT doc_id, len(l) AS n_toks, i - 1 AS pos,
+           |    md5(array_to_string(l[i:i+7], ' ')) AS h
+           |  FROM t, UNNEST(range(1, len(l) - 6)) AS ix(i)
+           |  WHERE len(l) >= 8),
+           |d AS (SELECT h FROM w GROUP BY 1 HAVING count(*) >= 2),
+           |hot AS (SELECT w.doc_id, w.n_toks, w.pos FROM w JOIN d USING (h)),
+           |cov AS (SELECT doc_id, n_toks, pos,
+           |    unnest(range(pos, pos + 8)) AS tp FROM hot)
+           |SELECT doc_id, n_toks,
+           |  CAST(count(DISTINCT pos) AS BIGINT) AS dup_windows,
+           |  CAST(count(DISTINCT tp) AS BIGINT) AS dup_tokens,
+           |  CAST(count(DISTINCT tp) AS DOUBLE) / CAST(n_toks AS DOUBLE)
+           |    AS dup_frac
+           |FROM cov GROUP BY 1, 2""".stripMargin,
+    // ties in the 24-char digest tail are 2^-96-improbable, so the
+    // ORDER BY is total in practice and LIMIT is deterministic
+    "data_sample_bottomk" ->
+      """SELECT doc_id, source,
+        |  substr(md5(doc_id::VARCHAR), 9, 24) AS h
+        |FROM documents ORDER BY h LIMIT 100""".stripMargin,
     // literals carry e0 so DuckDB binds DOUBLE (a bare 2.2 is DECIMAL
     // there); the parenthesization mirrors bm25TopK token for token —
     // rational idf only, so the double tree is IEEE-exact on both

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed sketches for corpus statistics. The cardinality sketch
@@ -155,6 +156,55 @@ object Sketch {
     est.join(exact, Seq("token"), "left_outer")
       .select(col("token"), col("est"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+
+  /** Portable approximate quantiles of the per-document token count
+    * via a log2 (exponential) histogram — the quantile companion of
+    * the HLL (cardinality) and CMS (frequency) sketches. Bucket =
+    * floor(log2(v)) computed as length(bin(v)) - 1: pure integer/
+    * string ops, so any engine reproduces the histogram exactly.
+    *
+    * Scale shape: the corpus folds map-side into at most 64 bucket
+    * rows (one count per power of two) — the shuffle carries ≤ 64
+    * rows per map partition at any corpus size, where an exact
+    * quantile sorts (or multi-passes) the full value column. Each
+    * requested quantile q is then the first bucket whose cumulative
+    * count reaches the nearest rank ceil(q·n/100), reported with its
+    * exact [2^b, 2^(b+1)-1] value bounds — a deterministic bracket,
+    * never an interpolated float (interpolation formulas drift
+    * between engines; bucket ranks cannot).
+    */
+  def quantileHist(docs: DataFrame,
+                   qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val v = size(TextAnalysis.wsTokens(col("text")))
+    val hist = docs
+      .select((length(bin(v.cast("long"))) - 1).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    // cumulative over the ALREADY BOUNDED histogram needs one
+    // partition; the non-foldable constant keeps the spec defined so
+    // WindowExec doesn't warn (a bare lit is stripped by
+    // EliminateWindowPartitions)
+    val one = substring(col("b").cast("string"), 0, 0)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(one).orderBy(col("b"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(one)))
+    // one row: for each q the minimal bucket at/above its rank
+    val aggCols = max(col("n")).as("n_docs") +:
+      qs.map(q => min(when(
+        col("cum") >= expr(s"(n * $q + 99) div 100"), col("b")))
+        .as(s"b$q"))
+    val wide = cum.agg(aggCols.head, aggCols.tail: _*)
+    wide.select(
+      explode(array(qs.map(q =>
+        struct(lit(q).as("q"), col(s"b$q").as("bucket"))): _*)).as("s"),
+      col("n_docs"))
+      .select(col("s.q").as("q"), col("s.bucket").as("bucket"),
+        expr("cast(shiftleft(cast(1 as bigint), s.bucket) as bigint)")
+          .as("lo"),
+        expr("cast(shiftleft(cast(1 as bigint), s.bucket + 1) - 1 as bigint)")
+          .as("hi"),
+        col("n_docs"))
   }
 
   private[pipeline] case class HllOut(n_present: Long, fp: Long)

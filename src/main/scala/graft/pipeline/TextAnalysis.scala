@@ -378,6 +378,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"))
   }
 
+  /** EXACT-k uniform sample in one pass: the k documents with the
+    * smallest md5(doc_id) — a deterministic bottom-k (KMV) sample.
+    * Rate-based sampling ([[sampleStratified]]) yields a BINOMIAL
+    * count; pipelines that need "exactly 10k eval docs from the whole
+    * corpus, same docs on every run" need bottom-k. The hash reads
+    * chars 9-12 prefix ordering on the full digest — decorrelated
+    * from the split (chars 1-4) and sampling (chars 5-8) buckets by
+    * using the digest tail from char 9.
+    *
+    * Scale shape: orderBy+limit plans as TakeOrderedAndProject —
+    * each task keeps a k-row heap, the driver merges partitions×k
+    * rows, no global sort, no shuffle of the corpus. Bounded driver
+    * state at any corpus size (k ≪ corpus by design; PlanSpec pins
+    * the TakeOrderedAndProject).
+    */
+  def sampleBottomK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 9, 24)
+          .as("h"))
+      .orderBy(col("h"))
+      .limit(k)
+
   /** Gopher-style rule set for the document-quality filter (Rae et
     * al. 2021 §A1.1, public): word-count bounds, mean word length in
     * [3, 10], symbol-to-word ratio ≤ 0.1, ≥ 80% of words containing a

@@ -276,6 +276,23 @@ class PlanSpec extends AnyFunSuite {
       "gram df must partial-aggregate")
   }
 
+  test("bottom-k sample heaps per task; dup spans join keyed; hist folds map-side") {
+    val p = plan("data_sample_bottomk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bottom-k must heap per partition, never globally sort")
+    val q = plan("dedup_dup_spans")
+    assert(!q.contains("CartesianProduct") &&
+      !q.contains("BroadcastNestedLoopJoin"),
+      "window-hash join must be key-equality, never a product")
+    assert(q.contains("hx"), "the join key must be the window hash")
+    val h = plan("sketch_quantile_hist")
+    // the corpus folds into ≤64 bucket rows BEFORE any exchange
+    assert(h.contains("partial_count") || h.contains("partial count")
+      || h.contains("HashAggregate"),
+      "histogram must combine map-side")
+    assert(!h.toLowerCase.contains("cartesian"))
+  }
+
   test("events_asof_join: one user-keyed exchange, no join") {
     val p = plan("events_asof_join")
     assert(!p.contains("Join"),

@@ -870,6 +870,59 @@ class PipelineSpec extends AnyFunSuite {
       per.toString)
   }
 
+  test("quantile histogram brackets nearest-rank quantiles by log2 bucket") {
+    // token counts 1,2,3,4,8,16 → buckets 0,1,1,2,3,4; n=6
+    val d = docs(
+      1L -> "a", 2L -> "a b", 3L -> "a b c", 4L -> "a b c d",
+      5L -> "a b c d e f g h",
+      6L -> "a b c d e f g h i j k l m n o p")
+    val got = Sketch.quantileHist(d)
+      .as[(Int, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // q50: rank ceil(3.0)=3 → cum(b1)=3 → bucket 1, bounds [2,3]
+    assert(got(50) == ((1, 2L, 3L, 6L)))
+    // q90: rank ceil(5.4)=6 → bucket 4, bounds [16,31]
+    assert(got(90) == ((4, 16L, 31L, 6L)))
+    assert(got(99) == ((4, 16L, 31L, 6L)))
+  }
+
+  test("duplicated spans union overlapping windows and skip unique docs") {
+    val common = (1 to 8).map(i => s"c$i").mkString(" ")
+    val nine = (1 to 9).map(i => s"d$i").mkString(" ")
+    val d = docs(
+      1L -> s"$common x1 x2",       // 10 toks, window pos0 duplicated
+      2L -> s"y1 y2 $common",       // 10 toks, window pos2 duplicated
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", // all windows unique
+      4L -> nine, 5L -> nine)       // 9 toks, windows pos0+pos1 both hot
+    val got = Dedup.duplicatedSpans(d)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // unique doc 3 emits no row
+    assert(got.keySet == Set(1L, 2L, 4L, 5L))
+    assert(got(1L) == ((10, 1L, 8L, 0.8)))
+    assert(got(2L) == ((10, 1L, 8L, 0.8)))
+    // overlapping hot windows cover 9 tokens, not 16 — the union
+    assert(got(4L) == ((9, 2L, 9L, 1.0)))
+    assert(got(5L) == ((9, 2L, 9L, 1.0)))
+  }
+
+  test("bottom-k sample picks the k smallest digest tails, deterministically") {
+    val d = docs((0L until 20L).map(i => i -> s"doc $i text"): _*)
+    def tail24(id: Long): String = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      dig.map("%02x".format(_)).mkString.substring(8)
+    }
+    val expect = (0L until 20L).sortBy(tail24).take(3)
+    val got = TextAnalysis.sampleBottomK(d, k = 3)
+      .select("doc_id").as[Long].collect()
+    assert(got.sorted.toSeq == expect.sorted.toSeq)
+    // the bottom-k property: a larger sample CONTAINS the smaller one
+    val got5 = TextAnalysis.sampleBottomK(d, k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.forall(got5.contains))
+  }
+
   test("int8 quantization maps the max-abs element to ±127") {
     val e = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f), 0),
