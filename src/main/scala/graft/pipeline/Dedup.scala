@@ -288,6 +288,50 @@ object Dedup {
         col("dup_tokens").cast("double") / col("n_toks").cast("double"))
   }
 
+  /** CCNet-style paragraph-level dedup (ref keeps one copy of every
+    * duplicated paragraph corpus-wide; here a "paragraph" is a
+    * fixed-size non-overlapping chunk of `chunkTokens` tokens, since
+    * the corpus is single-line). Every chunk is hashed; each hash
+    * keeps exactly ONE canonical occurrence — the lexicographically
+    * first (doc_id, chunk_pos), encoded as one comparable long so the
+    * keeper pick is a plain min aggregate, no window. Within-doc
+    * repeats dedup too (only the first survives). Emits per document
+    * the chunk counts and the kept-token fraction — the retention
+    * score after paragraph dedup.
+    *
+    * Unlike [[duplicatedSpans]] (overlapping windows, detection only)
+    * this PARTITIONS the text into disjoint chunks and resolves a
+    * canonical keeper, i.e. it decides what survives.
+    *
+    * Scale shape: O(tokens / chunkTokens) exploded rows; the keeper
+    * table is one map-side-combinable min per hash; one equi-join
+    * back on the hash. Never doc×doc, no global sort, no window.
+    */
+  def paragraphDedup(docs: DataFrame, chunkTokens: Int = 20): DataFrame = {
+    val ct = chunkTokens
+    val chunks = docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), size(col("t")).as("n_toks"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("t")) + ct - 1) / ct).cast("int") - 1),
+          i => md5(concat_ws(" ", slice(col("t"), i * ct + 1, lit(ct)))
+            .cast("binary")))))
+      .withColumnRenamed("col", "hx")
+      .withColumn("ctoks", least(lit(ct), col("n_toks") - col("pos") * ct))
+      .withColumn("ck", col("doc_id") * 1000000L + col("pos"))
+    val keeper = chunks.groupBy(col("hx")).agg(min(col("ck")).as("keep_ck"))
+    chunks.join(keeper, "hx")
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ck") === col("keep_ck"), 1L).otherwise(0L))
+          .as("kept_chunks"),
+        sum(when(col("ck") === col("keep_ck"), col("ctoks").cast("long"))
+          .otherwise(0L)).as("kept_tokens"))
+      .withColumn("kept_frac",
+        col("kept_tokens").cast("double") / col("n_toks").cast("double"))
+  }
+
   /** 64-bit simhash kept as four 16-bit chunks (c0..c3, low chunk
     * first) so both Spark and the SQL oracle parse hex 4 chars at a
     * time with exact integer arithmetic.

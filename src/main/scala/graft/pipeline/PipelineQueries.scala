@@ -174,6 +174,8 @@ object PipelineQueries {
       Sketch.quantileHist(Tables.documents(s, dir))),
     "dedup_dup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir))),
+    "dedup_paragraphs" -> ((s, dir) =>
+      Dedup.paragraphDedup(Tables.documents(s, dir))),
     "data_sample_bottomk" -> ((s, dir) =>
       TextAnalysis.sampleBottomK(Tables.documents(s, dir))),
   )
@@ -1095,6 +1097,29 @@ object PipelineQueries {
            |  CAST(count(DISTINCT tp) AS DOUBLE) / CAST(n_toks AS DOUBLE)
            |    AS dup_frac
            |FROM cov GROUP BY 1, 2""".stripMargin,
+    // 20-token disjoint chunks l[i*20+1 : i*20+20]; the keeper key
+    // doc_id*1e6+pos is one comparable BIGINT on both engines, so
+    // "first occurrence" is a plain min — no window replay needed
+    "dedup_paragraphs" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\s+') AS l
+           |  FROM documents),
+           |ch AS (SELECT doc_id, len(l) AS n_toks, i AS pos,
+           |    md5(array_to_string(l[i*20+1 : i*20+20], ' ')) AS h,
+           |    least(20, len(l) - i*20) AS ctoks,
+           |    doc_id*1000000 + i AS ck
+           |  FROM t, UNNEST(range(0, (len(l)+19)//20)) ix(i)
+           |  WHERE len(l) >= 1),
+           |k AS (SELECT h, min(ck) AS keep_ck FROM ch GROUP BY 1)
+           |SELECT doc_id, n_toks,
+           |  CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(sum(CASE WHEN ck = keep_ck THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS kept_chunks,
+           |  CAST(sum(CASE WHEN ck = keep_ck THEN ctoks ELSE 0 END) AS BIGINT)
+           |    AS kept_tokens,
+           |  CAST(sum(CASE WHEN ck = keep_ck THEN ctoks ELSE 0 END) AS DOUBLE)
+           |    / CAST(n_toks AS DOUBLE) AS kept_frac
+           |FROM ch JOIN k USING (h) GROUP BY 1, 2""".stripMargin,
     // ties in the 24-char digest tail are 2^-96-improbable, so the
     // ORDER BY is total in practice and LIMIT is deterministic
     "data_sample_bottomk" ->

@@ -906,6 +906,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(5L) == ((9, 2L, 9L, 1.0)))
   }
 
+  test("paragraph dedup keeps only the first occurrence of each chunk") {
+    val d = docs(
+      1L -> "a b c d e f g h",  // chunks [a b c d] [e f g h]
+      2L -> "a b c d x y z",    // chunk0 already kept by doc 1
+      3L -> "e f g h",          // whole doc is a duplicated chunk
+      4L -> "p q r s p q r s")  // within-doc repeat: second copy drops
+    val got = Dedup.paragraphDedup(d, chunkTokens = 4)
+      .as[(Long, Int, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((8, 2L, 2L, 8L, 1.0)))
+    assert(got(2L) == ((7, 2L, 1L, 3L, 3.0 / 7.0)))
+    assert(got(3L) == ((4, 1L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((8, 2L, 1L, 4L, 0.5)))
+  }
+
   test("bottom-k sample picks the k smallest digest tails, deterministically") {
     val d = docs((0L until 20L).map(i => i -> s"doc $i text"): _*)
     def tail24(id: Long): String = {
