@@ -189,6 +189,117 @@ object Analytics {
     cur.select(col("src").as("uri")).distinct()
   }
 
+  /** Outer peel rounds the most recent [[stronglyConnectedComponents]]
+    * call ran — observability only (the oracle is closed-form mutual
+    * reachability, independent of the round count).
+    */
+  @volatile var lastSccOuterRounds: Int = 0
+
+  /** Strongly connected components over NUMERIC-id directed edges
+    * (src, dst), labeled by each SCC's MINIMUM vertex id — the same
+    * closed-form definition an oracle can state directly
+    * (comp(v) = min{u : u ⇄ v} ∪ {v}), with no dependence on how
+    * many rounds the computation took.
+    *
+    * Algorithm: deterministic forward-max coloring (Orzan's SCC
+    * coloring, the standard distributed SCC decomposition):
+    * each peel round (1) floods the MAX vertex id forward to a
+    * fixpoint — color(v) = max id that reaches v; every nonempty
+    * color class c contains its root c (anything bigger reaching c
+    * would have recolored the whole class); (2) walks REVERSE edges
+    * from each root within its own color class — a member reaches
+    * its root, and its root reaches it (that is what the color
+    * says), so the reached set is exactly the root's SCC; (3)
+    * removes those SCCs and repeats on the remainder. A DAG drains
+    * in one round (every vertex whose color it can reach back is a
+    * singleton root); rounds track the depth of the SCC condensation
+    * below local maxima, not the vertex count.
+    *
+    * Scale shape: every step is an equi-join + partial-aggregated
+    * max/min keyed by vertex — the GraphX-CC data flow in DataFrame
+    * form, AQE re-picking join strategies as the graph shrinks; each
+    * generation is localCheckpoint()ed so plans stay round-sized.
+    * Convergence tests are free scans of the just-materialized
+    * checkpoint: the forward flood is monotone (colors only grow),
+    * so an unchanged sum(color) IS the fixpoint; the backward set
+    * only grows, so an unchanged count is its fixpoint. Sync flood
+    * rounds are bounded by the SCC diameter — the known cost of
+    * distributed SCC; path-doubling trades shuffle volume for rounds
+    * if a high-diameter graph ever needs it.
+    */
+  def stronglyConnectedComponents(edges: DataFrame): DataFrame = {
+    var (rem, remRdd) = ckpt(edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var (verts, vertsRdd) = ckpt(rem.select(col("src").as("v"))
+      .unionAll(rem.select(col("dst").as("v"))).distinct())
+    var nVerts = verts.count()
+    val pieces = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var outer = 0
+    while (nVerts > 0) {
+      outer += 1
+      // (1) forward max flood: color(v) = max id reaching v
+      var (c, cRdd) = ckpt(verts.select(col("v"), col("v").as("color")))
+      var csum = c.agg(sum(col("color"))).head.getLong(0)
+      var flooded = false
+      while (!flooded) {
+        val msgs = rem
+          .join(c.select(col("v").as("src"), col("color")), Seq("src"))
+          .groupBy(col("dst")).agg(max(col("color")).as("mc"))
+        val (next, nextRdd) = ckpt(c
+          .join(msgs.select(col("dst").as("v"), col("mc")), Seq("v"), "left_outer")
+          .select(col("v"), greatest(col("color"), coalesce(col("mc"), col("color")))
+            .as("color")))
+        val s2 = next.agg(sum(col("color"))).head.getLong(0)
+        cRdd.unpersist(blocking = false)
+        c = next; cRdd = nextRdd
+        flooded = s2 == csum; csum = s2
+      }
+      // (2) reverse walk from roots within each color class
+      var (reached, reachedRdd) = ckpt(c.filter(col("v") === col("color")))
+      var n = reached.count()
+      var walked = false
+      while (!walked) {
+        val step = rem
+          .join(reached.select(col("v").as("dst"), col("color")), Seq("dst"))
+          .select(col("src").as("v"), col("color"))
+          .join(c.withColumnRenamed("color", "vc"), Seq("v"))
+          .filter(col("color") === col("vc"))
+          .select(col("v"), col("color"))
+        val (next, nextRdd) = ckpt(reached.unionAll(step).distinct())
+        val n2 = next.count()
+        reachedRdd.unpersist(blocking = false)
+        reached = next; reachedRdd = nextRdd
+        walked = n2 == n; n = n2
+      }
+      // (3) label removed SCCs by min member and peel them off
+      val (piece, _) = ckpt(reached
+        .join(reached.groupBy(col("color")).agg(min(col("v")).as("comp")),
+          Seq("color"))
+        .select(col("v"), col("comp")))
+      pieces += piece
+      val (nextVerts, nvRdd) = ckpt(
+        verts.join(reached, Seq("v"), "left_anti"))
+      val (nextRem, nrRdd) = ckpt(rem
+        .join(reached.select(col("v").as("src")), Seq("src"), "left_anti")
+        .join(reached.select(col("v").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst")))
+      cRdd.unpersist(blocking = false)
+      reachedRdd.unpersist(blocking = false)
+      vertsRdd.unpersist(blocking = false)
+      remRdd.unpersist(blocking = false)
+      verts = nextVerts; vertsRdd = nvRdd
+      rem = nextRem; remRdd = nrRdd
+      nVerts = verts.count()
+    }
+    vertsRdd.unpersist(blocking = false)
+    remRdd.unpersist(blocking = false)
+    lastSccOuterRounds = outer
+    pieces.reduceOption(_ unionAll _)
+      .getOrElse(edges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("v"), lit(0L).as("comp")).limit(0))
+  }
+
   /** Total triangle count (canonical edges required by GraphX). */
   def triangleTotal(spark: SparkSession, edges: DataFrame): DataFrame = {
     val canon = edges

@@ -44,6 +44,31 @@ object GraphQueries {
     */
   @volatile private var kcoreObservedRounds: Int = 0
 
+  /** DIRECTED part-succession edges: part a → part b when b fills the
+    * next line of the same order, hash-sampled to 1/7 of the distinct
+    * pairs. The full succession graph (avg out-degree ~15) collapses
+    * into one giant SCC — true but useless as an SCC fixture; the 1/7
+    * sample sits in the critical regime where a mid-size giant SCC,
+    * small cycles AND directed tails that must NOT merge all coexist,
+    * so a plain CC (or any direction-blind bug) produces a different
+    * answer. The sampling digest is the BUCKET_CTES md5 idiom, exactly
+    * replayable in the oracle.
+    */
+  private def successionEdgeKeys(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    l.as("a")
+      .join(l.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("b.l_linenumber") === col("a.l_linenumber") + 1)
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .filter(conv(substring(md5(
+        concat(col("src").cast("string"), lit("_"), col("dst").cast("string"))),
+        1, 4), 16, 10).cast("int") % 7 === 0)
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degrees" -> { (s, dir) =>
       Analytics.degrees(s, geoEdges(s, dir))
@@ -75,6 +100,10 @@ object GraphQueries {
       val sources = TripleStore.dimensionTriples(s, dir)
         .filter(col("s").startsWith("reg:")).select(col("s").as("uri")).distinct()
       Analytics.shortestHops(s, geoEdges(s, dir), sources)
+    },
+    "graph_scc" -> { (s, dir) =>
+      Analytics.stronglyConnectedComponents(successionEdgeKeys(s, dir))
+        .select(col("v").cast("long").as("v"), col("comp").cast("long").as("comp"))
     },
     "graph_kcore" -> { (s, dir) =>
       // kCore's checkpoint loop runs EAGERLY during construction, so
@@ -213,6 +242,28 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM t)
         |GROUP BY 1""".stripMargin,
     "graph_label_propagation" -> lpaSql(rounds = 4),
+    // closed-form SCC: comp(v) = min over the mutual-reachability set
+    // — states WHAT an SCC is, with no replay of the peel rounds
+    "graph_scc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |    FROM lineitem a JOIN lineitem b
+        |      ON a.l_orderkey = b.l_orderkey
+        |     AND b.l_linenumber = a.l_linenumber + 1
+        |    WHERE a.l_partkey <> b.l_partkey)
+        |  WHERE ('0x' || substr(md5(src::VARCHAR || '_' || dst::VARCHAR),
+        |                        1, 4))::INT % 7 = 0),
+        |reach(s, d) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d),
+        |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |mutual AS (SELECT r1.s AS v, r1.d AS u
+        |           FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s)
+        |SELECT CAST(v AS BIGINT) AS v,
+        |       CAST(least(v, coalesce(min(u), v)) AS BIGINT) AS comp
+        |FROM verts LEFT JOIN mutual USING (v) GROUP BY v""".stripMargin,
     "graph_pagerank" -> pagerankSql(iters = 10, scale = 1000000000L, topK = 30),
     "graph_shortest_paths" ->
       """SELECT 'reg:'||r_regionkey AS uri, 0 AS dist FROM region

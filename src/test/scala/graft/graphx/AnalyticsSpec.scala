@@ -88,6 +88,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
   }
 
+  test("scc separates cycles from tails and labels by min member") {
+    // 3-cycle {1,2,3}, 2-cycle {10,11} fed by the bridge 3→10,
+    // directed chain 20→21→22, and an inbound tail 30→1: tails and
+    // chains must stay singletons even though CC would merge them
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 10L), (3L, 10L),
+      (20L, 21L), (21L, 22L), (30L, 1L)).toDF("src", "dst")
+    val got = Analytics.stronglyConnectedComponents(e)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 9)
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L, 22L, 30L).forall(v => got(v) == v))
+  }
+
   test("releaseCaches unpersists every RDD a graph query cached") {
     Analytics.releaseCaches() // drop whatever earlier tests left
     val before = spark.sparkContext.getPersistentRDDs.keySet
