@@ -247,6 +247,95 @@ object Sketch {
       org.apache.spark.sql.Encoders.product[HllOut]
   }
 
+  private[pipeline] case class CmsWinOut(est: Seq[Long])
+
+  /** The 4×256 CMS count fold as ONE typed aggregation, for the same
+    * reason as [[HllRegistersAgg]]: the batch path's per-cell count +
+    * min-probe is two chained stateful aggs, which a streaming plan
+    * cannot run. State per group is the flattened 1024-cell count
+    * vector (8 KiB, big-endian longs in a byte buffer — the state
+    * store walks byte arrays); merge is elementwise ADD — the CMS
+    * monoid — so folded cell counts equal the batch groupBy counts
+    * exactly. The probe cells are fixed at construction (4 md5-slice
+    * buckets per probe token), so finish() emits the min-over-rows
+    * estimates directly; an empty cell keeps its zero in the min,
+    * preserving the batch path's LEFT-join semantics.
+    */
+  private[pipeline] class CmsCellsAgg(probeCells: Seq[Seq[Int]])
+      extends org.apache.spark.sql.expressions
+        .Aggregator[(Int, Int, Int, Int), Array[Byte], CmsWinOut]
+      with Serializable {
+    private def get(b: Array[Byte], i: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < 8) { v = (v << 8) | (b(i * 8 + k) & 0xffL); k += 1 }
+      v
+    }
+    private def put(b: Array[Byte], i: Int, v: Long): Unit = {
+      var k = 0
+      while (k < 8) { b(i * 8 + k) = (v >>> (8 * (7 - k))).toByte; k += 1 }
+    }
+    override def zero: Array[Byte] = new Array[Byte](8192)
+    override def reduce(b: Array[Byte], a: (Int, Int, Int, Int)): Array[Byte] = {
+      put(b, a._1, get(b, a._1) + 1L)
+      put(b, a._2, get(b, a._2) + 1L)
+      put(b, a._3, get(b, a._3) + 1L)
+      put(b, a._4, get(b, a._4) + 1L)
+      b
+    }
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < 1024) { put(x, i, get(x, i) + get(y, i)); i += 1 }
+      x
+    }
+    override def finish(b: Array[Byte]): CmsWinOut =
+      CmsWinOut(probeCells.map(cells => cells.map(get(b, _)).min))
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[CmsWinOut] =
+      org.apache.spark.sql.Encoders.product[CmsWinOut]
+  }
+
+  /** Streaming twin of [[cmsTokenCounts]]: per-event-time-window
+    * frequency estimates for the probe tokens over an unbounded doc
+    * stream. The watermark evicts closed windows; per live window the
+    * state is the 8 KiB cell vector — bounded-state frequency
+    * estimation regardless of how many distinct tokens a window sees.
+    * Works identically on a batch frame, which is what the spec
+    * asserts against.
+    */
+  def cmsTokenCountsWindowed(docs: DataFrame,
+                             probes: Seq[String] = Seq("spark", "merge",
+                               "window", "the", "data"),
+                             width: String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame = {
+    val probeCells = probes.map { t =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 4).map(j =>
+        j * 256 + Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16))
+    }
+    val fold = udaf(new CmsCellsAgg(probeCells),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaInt))
+    def cell(j: Int) =
+      (conv(substring(md5(col("token").cast("binary")), 1 + 2 * j, 2),
+        16, 10).cast("int") + j * 256).as(s"c$j")
+    val toks = docs.withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(TextAnalysis.wsTokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("ts") +: (0 until 4).map(cell): _*)
+    toks.groupBy(window(col("ts"), width))
+      .agg(fold(col("c0"), col("c1"), col("c2"), col("c3")).as("o"))
+      .select(col("window.start").as("ws"), posexplode(col("o.est")))
+      .select(col("ws"),
+        element_at(array(probes.map(lit): _*), col("pos") + 1).as("token"),
+        col("col").as("est"))
+  }
+
   /** Streaming twin of [[hllNgramDistinctBy]]: per-(event-time
     * window, group) distinct-gram estimates over an unbounded doc
     * stream. The watermark evicts closed windows from the state

@@ -208,6 +208,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1) == Set("s0", "s1"))
   }
 
+  test("windowed CMS merges arrival batches into per-window counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // window A gets text split across TWO arrival batches — the cell
+    // vectors must ADD across batches; window B opens in the second
+    val rows = Seq(
+      (ts(1), "spark spark merge"),
+      (ts(5), "spark data"),
+      (ts(70), "merge merge window"))
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    stream.addData(rows.take(1))
+    val q = Sketch.cmsTokenCountsWindowed(stream.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("cms_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(1)) // second batch: counts merge into A
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cms_stream_test")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val want = Sketch.cmsTokenCountsWindowed(rows.toDF("ts", "text"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == want && got.size == 10) // 2 windows × 5 probes
+    // with this handful of distinct tokens no cells collide, so the
+    // min-over-rows estimates are the exact per-window counts —
+    // including ZERO for probes the window never saw
+    val byKey = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byKey((ts(0), "spark")) == 3L)
+    assert(byKey((ts(0), "merge")) == 1L)
+    assert(byKey((ts(0), "data")) == 1L)
+    assert(byKey((ts(0), "window")) == 0L)
+    assert(byKey((ts(60), "merge")) == 2L)
+    assert(byKey((ts(60), "spark")) == 0L)
+  }
+
   test("contamination screens a doc stream against the static benchmark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
