@@ -96,11 +96,41 @@ object NTriples {
     * slice, so pretty-printed files parse correctly too.
     */
   def parse(lines: DataFrame): DataFrame = {
+    // Whole-stage-codegen router: GetJsonObject and the HOF in
+    // `unesc`'s fallback are both CodegenFallback expressions, and a
+    // single CodegenFallback drops the whole projection out of WSCG —
+    // every escape-free line (virtually all of them) then pays
+    // interpreted eval, which measured ~4× the entire rest of the
+    // parse. A codegen'd backslash test routes lines instead: the
+    // escape-free majority parses in one fused WSCG stage where the
+    // lexical IS the value, and only lines that actually contain a
+    // backslash take the (interpreted, but now tiny) decoding branch.
+    val hasEsc = instr(col("line"), "\\") > 0
+    parseRoute(lines.filter(hasEsc), decode = true)
+      .unionAll(parseRoute(lines.filter(!hasEsc), decode = false))
+  }
+
+  private def parseRoute(lines: DataFrame, decode: Boolean): DataFrame = {
     // columns beyond "line" (e.g. TriG's graph column) pass through
     val keep = lines.columns.filterNot(_ == "line").map(col)
+    // `_nb` barrier columns: a Project gets codegen subexpression
+    // elimination, so inside one projection each derivation chain
+    // evaluates once — but a filter conjunct does not (short-circuit
+    // semantics), so a conjunct pushed below the projections
+    // re-derives the whole trim→s→rest→obj chain per row, which
+    // measured ~3× the entire rest of the parse. Each filter
+    // therefore carries an always-true predicate on a
+    // monotonically_increasing_id column: the reference keeps the
+    // column from being pruned, its nondeterminism makes the
+    // projection unpushable-through, and `>= 0` (unlike isNotNull on
+    // a non-nullable expr) survives the optimizer — so the shape
+    // checks evaluate against MATERIALIZED columns. Both barriers are
+    // dropped by the output select.
     val body = lines
       .withColumn("line", trim(col("line")))
-      .filter((col("line").startsWith("<") || col("line").startsWith("_:")) &&
+      .withColumn("_nb1", monotonically_increasing_id())
+      .filter(col("_nb1") >= 0 &&
+        (col("line").startsWith("<") || col("line").startsWith("_:")) &&
         col("line").endsWith("."))
       .withColumn("s",
         when(col("line").startsWith("<"),
@@ -114,15 +144,20 @@ object NTriples {
       .withColumn("rest", ltrim(
         col("line").substr(col("s_end") + lit(1), length(col("line"))),
         " \t"))
-      .filter(col("rest").startsWith("<"))
       .withColumn("p",
         substring_index(substring_index(col("rest"), ">", 1), "<", -1))
       .withColumn("obj", rtrim(ltrim(
         col("rest").substr(length(col("p")) + lit(3), length(col("rest"))),
         " \t"), " ."))
-      .filter(col("s") =!= "" && col("p") =!= "" && col("obj") =!= "")
-      .filter(col("obj").startsWith("<") || col("obj").startsWith("\"") ||
-        col("obj").startsWith("_:"))
+      .withColumn("_nb2", monotonically_increasing_id())
+      // `p`/`obj` slice garbage when rest is not `<`-led, but slicing
+      // garbage is safe and the row drops right here — evaluating the
+      // shape checks on the materialized columns is the whole point
+      .filter(col("_nb2") >= 0 &&
+        col("rest").startsWith("<") &&
+        col("s") =!= "" && col("p") =!= "" && col("obj") =!= "" &&
+        (col("obj").startsWith("<") || col("obj").startsWith("\"") ||
+          col("obj").startsWith("_:")))
       .select(keep ++ Seq(col("s"), col("p"), col("obj")): _*)
     // '"lex"', '"lex"@lang', '"lex"^^<dt>', '<iri>' or '_:bnode' —
     // escaped quotes inside the lexical form never end it, so the
@@ -142,7 +177,7 @@ object NTriples {
       .withColumn("o",
         when(isIri, col("obj").substr(lit(2), length(col("obj")) - lit(2)))
           .when(isBnode, col("obj"))
-          .otherwise(unesc(lex)))
+          .otherwise(if (decode) unesc(lex) else lex))
       .select(keep ++ Seq(
         col("s"),
         col("p"),
