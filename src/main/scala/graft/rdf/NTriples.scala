@@ -119,17 +119,18 @@ object NTriples {
     // semantics), so a conjunct pushed below the projections
     // re-derives the whole trim→s→rest→obj chain per row, which
     // measured ~3× the entire rest of the parse. Each filter
-    // therefore carries an always-true predicate on a
-    // monotonically_increasing_id column: the reference keeps the
-    // column from being pruned, its nondeterminism makes the
-    // projection unpushable-through, and `>= 0` (unlike isNotNull on
-    // a non-nullable expr) survives the optimizer — so the shape
-    // checks evaluate against MATERIALIZED columns. Both barriers are
-    // dropped by the output select.
+    // therefore carries an always-true predicate on a rand() column:
+    // the reference keeps the column from being pruned, its
+    // nondeterminism makes the projection unpushable-through, and
+    // `>= -1` (unlike isNotNull on a non-nullable expr) survives the
+    // optimizer — so the shape checks evaluate against MATERIALIZED
+    // columns. rand(), not monotonically_increasing_id: the streaming
+    // ingest path reuses this parse, and the streaming checker
+    // rejects mid. Both barriers are dropped by the output select.
     val body = lines
       .withColumn("line", trim(col("line")))
-      .withColumn("_nb1", monotonically_increasing_id())
-      .filter(col("_nb1") >= 0 &&
+      .withColumn("_nb1", rand())
+      .filter(col("_nb1") >= -1 &&
         (col("line").startsWith("<") || col("line").startsWith("_:")) &&
         col("line").endsWith("."))
       .withColumn("s",
@@ -149,11 +150,11 @@ object NTriples {
       .withColumn("obj", rtrim(ltrim(
         col("rest").substr(length(col("p")) + lit(3), length(col("rest"))),
         " \t"), " ."))
-      .withColumn("_nb2", monotonically_increasing_id())
+      .withColumn("_nb2", rand())
       // `p`/`obj` slice garbage when rest is not `<`-led, but slicing
       // garbage is safe and the row drops right here — evaluating the
       // shape checks on the materialized columns is the whole point
-      .filter(col("_nb2") >= 0 &&
+      .filter(col("_nb2") >= -1 &&
         col("rest").startsWith("<") &&
         col("s") =!= "" && col("p") =!= "" && col("obj") =!= "" &&
         (col("obj").startsWith("<") || col("obj").startsWith("\"") ||
