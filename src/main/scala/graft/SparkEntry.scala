@@ -41,7 +41,12 @@ object SparkEntry {
     "events_asof_join", "sketch_cms_counts",
     // r9 batch 2: substring-level dedup, the quantile sketch, and the
     // exact-k bottom-k sample
-    "dedup_dup_spans", "sketch_quantile_hist", "data_sample_bottomk")
+    "dedup_dup_spans", "sketch_quantile_hist", "data_sample_bottomk",
+    // r9 batch 3: paragraph-level dedup with canonical keepers
+    // (graph_scc stays verify-only: ~45 synchronous flood rounds make
+    // it an outlier next to the second-scale bench keys, and kcore/
+    // pagerank/cc already represent the iterative-graph family here)
+    "dedup_paragraphs")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

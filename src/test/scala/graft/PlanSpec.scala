@@ -293,6 +293,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!h.toLowerCase.contains("cartesian"))
   }
 
+  test("dedup_paragraphs: keeper pick is a keyed min, never a window") {
+    val p = plan("dedup_paragraphs")
+    assert(!p.contains("Window"),
+      "first-occurrence keeper must be a min aggregate, not a window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "keeper join must be key-equality on the chunk hash")
+    assert(p.contains("hx"), "the join key must be the chunk hash")
+  }
+
   test("events_asof_join: one user-keyed exchange, no join") {
     val p = plan("events_asof_join")
     assert(!p.contains("Join"),
