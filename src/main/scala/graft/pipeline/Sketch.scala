@@ -247,6 +247,26 @@ object Sketch {
       org.apache.spark.sql.Encoders.product[HllOut]
   }
 
+  /** Big-endian long vectors in byte buffers — the shape streaming
+    * Aggregator state wants (the state store walks byte arrays).
+    */
+  private[pipeline] object LongVec {
+    def get(b: Array[Byte], i: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < 8) { v = (v << 8) | (b(i * 8 + k) & 0xffL); k += 1 }
+      v
+    }
+    def put(b: Array[Byte], i: Int, v: Long): Unit = {
+      var k = 0
+      while (k < 8) { b(i * 8 + k) = (v >>> (8 * (7 - k))).toByte; k += 1 }
+    }
+    def addInto(x: Array[Byte], y: Array[Byte], cells: Int): Array[Byte] = {
+      var i = 0
+      while (i < cells) { put(x, i, get(x, i) + get(y, i)); i += 1 }
+      x
+    }
+  }
+
   private[pipeline] case class CmsWinOut(est: Seq[Long])
 
   /** The 4×256 CMS count fold as ONE typed aggregation, for the same
@@ -265,15 +285,7 @@ object Sketch {
       extends org.apache.spark.sql.expressions
         .Aggregator[(Int, Int, Int, Int), Array[Byte], CmsWinOut]
       with Serializable {
-    private def get(b: Array[Byte], i: Int): Long = {
-      var v = 0L; var k = 0
-      while (k < 8) { v = (v << 8) | (b(i * 8 + k) & 0xffL); k += 1 }
-      v
-    }
-    private def put(b: Array[Byte], i: Int, v: Long): Unit = {
-      var k = 0
-      while (k < 8) { b(i * 8 + k) = (v >>> (8 * (7 - k))).toByte; k += 1 }
-    }
+    import LongVec.{get, put}
     override def zero: Array[Byte] = new Array[Byte](8192)
     override def reduce(b: Array[Byte], a: (Int, Int, Int, Int)): Array[Byte] = {
       put(b, a._1, get(b, a._1) + 1L)
@@ -282,11 +294,8 @@ object Sketch {
       put(b, a._4, get(b, a._4) + 1L)
       b
     }
-    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
-      var i = 0
-      while (i < 1024) { put(x, i, get(x, i) + get(y, i)); i += 1 }
-      x
-    }
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      LongVec.addInto(x, y, 1024)
     override def finish(b: Array[Byte]): CmsWinOut =
       CmsWinOut(probeCells.map(cells => cells.map(get(b, _)).min))
     override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
@@ -334,6 +343,74 @@ object Sketch {
       .select(col("ws"),
         element_at(array(probes.map(lit): _*), col("pos") + 1).as("token"),
         col("col").as("est"))
+  }
+
+  private[pipeline] case class QBracket(q: Int, bucket: Int, lo: Long, hi: Long)
+  private[pipeline] case class QHistOut(n_docs: Long, brackets: Seq[QBracket])
+
+  /** The log2-histogram quantile fold as ONE typed aggregation — the
+    * third sketch monoid after HLL (max) and CMS (add): state is the
+    * 64-cell bucket-count vector (512 bytes per live window), merge
+    * is elementwise add, finish replays [[quantileHist]]'s
+    * nearest-rank bucket walk exactly ((n·q+99) div 100, minimal
+    * bucket whose cumulative count reaches the rank), so brackets
+    * match the batch sketch on the same rows.
+    */
+  private[pipeline] class QuantHistAgg(qs: Seq[Int])
+      extends org.apache.spark.sql.expressions
+        .Aggregator[Int, Array[Byte], QHistOut]
+      with Serializable {
+    import LongVec.{get, put}
+    override def zero: Array[Byte] = new Array[Byte](512)
+    override def reduce(b: Array[Byte], bucket: Int): Array[Byte] = {
+      put(b, bucket, get(b, bucket) + 1L)
+      b
+    }
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      LongVec.addInto(x, y, 64)
+    override def finish(b: Array[Byte]): QHistOut = {
+      var n = 0L
+      var i = 0
+      while (i < 64) { n += get(b, i); i += 1 }
+      val brackets = qs.map { q =>
+        val rank = (n * q + 99) / 100
+        var cum = 0L; var bkt = -1; var j = 0
+        while (j < 64 && bkt < 0) {
+          cum += get(b, j)
+          if (cum >= rank) bkt = j
+          j += 1
+        }
+        QBracket(q, bkt, 1L << bkt, (1L << (bkt + 1)) - 1)
+      }
+      QHistOut(n, brackets)
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[QHistOut] =
+      org.apache.spark.sql.Encoders.product[QHistOut]
+  }
+
+  /** Streaming twin of [[quantileHist]]: per-event-time-window
+    * token-count quantile brackets over an unbounded doc stream.
+    * Watermark evicts closed windows; 512 bytes of state per live
+    * window regardless of corpus size. Works identically on a batch
+    * frame, which is what the spec asserts against.
+    */
+  def quantileHistWindowed(docs: DataFrame, qs: Seq[Int] = Seq(50, 90, 99),
+                           width: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame = {
+    val fold = udaf(new QuantHistAgg(qs),
+      org.apache.spark.sql.Encoders.scalaInt)
+    val bucket = (length(bin(
+      size(TextAnalysis.wsTokens(col("text"))).cast("long"))) - 1).cast("int")
+    docs.withWatermark("ts", watermark)
+      .select(col("ts"), bucket.as("b"))
+      .groupBy(window(col("ts"), width))
+      .agg(fold(col("b")).as("o"))
+      .select(col("window.start").as("ws"), col("o.n_docs").as("n_docs"),
+        explode(col("o.brackets")).as("br"))
+      .select(col("ws"), col("br.q").as("q"), col("br.bucket").as("bucket"),
+        col("br.lo").as("lo"), col("br.hi").as("hi"), col("n_docs"))
   }
 
   /** Streaming twin of [[hllNgramDistinctBy]]: per-(event-time

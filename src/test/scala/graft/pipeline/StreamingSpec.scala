@@ -246,6 +246,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey((ts(60), "spark")) == 0L)
   }
 
+  test("windowed quantile histogram matches the batch brackets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // window A holds the batch spec's fixture (counts 1,2,3,4,8,16)
+    // SPLIT across two arrival batches; window B is a lone doc
+    val rows = Seq(
+      (ts(1), words(1)), (ts(2), words(2)), (ts(3), words(3)),
+      (ts(4), words(4)), (ts(5), words(8)), (ts(6), words(16)),
+      (ts(70), words(5)))
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    stream.addData(rows.take(3))
+    val q = Sketch.quantileHistWindowed(stream.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("qhist_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(3)) // bucket counts must ADD across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    // columns: ws, q, bucket, lo, hi, n_docs
+    val got = spark.table("qhist_stream_test")
+      .as[(java.sql.Timestamp, Int, Int, Long, Long, Long)].collect().toSet
+    val want = Sketch.quantileHistWindowed(rows.toDF("ts", "text"))
+      .as[(java.sql.Timestamp, Int, Int, Long, Long, Long)].collect().toSet
+    assert(got == want && got.size == 6) // 2 windows × 3 quantiles
+    // window A replays the batch PipelineSpec fixture: q50 → bucket 1
+    // [2,3], q90/q99 → bucket 4 [16,31], n=6
+    val a = got.filter(_._1 == ts(0)).map(t => t._2 -> ((t._3, t._4, t._5))).toMap
+    assert(a(50) == ((1, 2L, 3L)) && a(90) == ((4, 16L, 31L)) &&
+      a(99) == ((4, 16L, 31L)))
+    assert(got.filter(_._1 == ts(0)).forall(_._6 == 6L))
+    // window B: one 5-token doc → every quantile brackets [4,7]
+    val b = got.filter(_._1 == ts(60))
+    assert(b.forall(t => t._3 == 2 && t._4 == 4L && t._5 == 7L && t._6 == 1L))
+  }
+
   test("contamination screens a doc stream against the static benchmark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
