@@ -427,4 +427,33 @@ object Events {
       max_by(col("props"), key).as("last_props"),
       count(lit(1)).as("n_events"))
   }
+
+  /** Stream-stream interval join: each purchase matched to ALL of the
+    * same user's views within the preceding hour — BOTH sides
+    * unbounded streams (unlike [[asofJoinStreaming]], which keeps one
+    * latest-right row per user, this is Structured Streaming's
+    * watermarked two-buffer join). The watermarks plus the time-range
+    * predicate are what let the engine size and EVICT both state
+    * buffers: a view is droppable once the purchase-side watermark
+    * passes its timestamp + 1 hour, so state stays bounded by the
+    * interval, not the stream length. Works identically on batch
+    * frames (watermarks are no-ops there), which is what the spec
+    * asserts against.
+    */
+  def intervalJoinStreaming(views: DataFrame, purchases: DataFrame,
+                            watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
+  }
 }

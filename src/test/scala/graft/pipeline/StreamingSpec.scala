@@ -246,6 +246,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey((ts(60), "spark")) == 0L)
   }
 
+  test("stream-stream interval join buffers both sides and honors the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-04-01 06:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // user 1: views at 0 and 30, purchase at 59 → both views match;
+    // a view at 61 min BEFORE the purchase must not (hour boundary);
+    // user 2: view AFTER its purchase must not match
+    val views = Seq((10L, 1L, ts(0)), (11L, 1L, ts(30)), (12L, 2L, ts(50)),
+      (13L, 1L, ts(-2)))
+    val purchases = Seq((20L, 1L, ts(59)), (21L, 2L, ts(40)))
+    val vs = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val ps = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cols = Seq("event_id", "user_id", "ts")
+    // views arrive in one batch, purchases in a LATER one — the view
+    // buffer must still hold rows when the purchase side catches up
+    vs.addData(views)
+    val q = Events.intervalJoinStreaming(
+        vs.toDF().toDF(cols: _*), ps.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("ivj_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ps.addData(purchases)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ivj_stream_test")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Events.intervalJoinStreaming(
+        views.toDF(cols: _*), purchases.toDF(cols: _*))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.map(t => (t._2, t._3)) == Set((20L, 10L), (20L, 11L)))
+  }
+
   test("windowed quantile histogram matches the batch brackets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
