@@ -293,6 +293,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!h.toLowerCase.contains("cartesian"))
   }
 
+  test("rdf_ntriples_roundtrip: shape filters stay off re-derived chains") {
+    val p = plan("rdf_ntriples_roundtrip")
+    assert(p.contains("rand("),
+      "the parse barrier column must be present — without it predicate " +
+        "pushdown re-derives the term chains inside every filter conjunct")
+    // no filter conjunct may re-derive rest/obj (ltrim-of-substr is the
+    // signature of the pushed chain); the derivations belong in Projects,
+    // where codegen subexpression elimination evaluates them once
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("ltrim(substr(")),
+      "a shape filter re-derives the term chain instead of reading a " +
+        "materialized column")
+  }
+
   test("dedup_paragraphs: keeper pick is a keyed min, never a window") {
     val p = plan("dedup_paragraphs")
     assert(!p.contains("Window"),
