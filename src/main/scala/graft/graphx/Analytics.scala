@@ -189,17 +189,14 @@ object Analytics {
     cur.select(col("src").as("uri")).distinct()
   }
 
-  /** Outer peel rounds the most recent [[stronglyConnectedComponents]]
-    * call ran — observability only (the oracle is closed-form mutual
-    * reachability, independent of the round count).
-    */
-  @volatile var lastSccOuterRounds: Int = 0
-
   /** Strongly connected components over NUMERIC-id directed edges
     * (src, dst), labeled by each SCC's MINIMUM vertex id — the same
     * closed-form definition an oracle can state directly
     * (comp(v) = min{u : u ⇄ v} ∪ {v}), with no dependence on how
-    * many rounds the computation took.
+    * many rounds the computation took. Every vertex of the input
+    * appears in the output: self-loops are dropped as EDGES (they
+    * never change SCC membership) but their endpoints stay in the
+    * vertex set and emit their singleton components.
     *
     * Algorithm: deterministic forward-max coloring (Orzan's SCC
     * coloring, the standard distributed SCC decomposition):
@@ -221,26 +218,34 @@ object Analytics {
     * generation is localCheckpoint()ed so plans stay round-sized.
     * Convergence tests are free scans of the just-materialized
     * checkpoint: the forward flood is monotone (colors only grow),
-    * so an unchanged sum(color) IS the fixpoint; the backward set
-    * only grows, so an unchanged count is its fixpoint. Sync flood
-    * rounds are bounded by the SCC diameter — the known cost of
-    * distributed SCC; path-doubling trades shuffle volume for rounds
-    * if a high-diameter graph ever needs it.
+    * so an unchanged sum IS the fixpoint — summed as decimal(38,0)
+    * so full-range 64-bit ids (e.g. xxhash64 keys) cannot wrap a
+    * Long and cancel a real change. The reverse walk advances a
+    * FRONTIER (only rows added last iteration expand — an already-
+    * reached row can only rediscover members), so its total join
+    * volume is one pass over the intra-class edges, not
+    * depth × reached. Sync flood rounds are bounded by the SCC
+    * diameter — the known cost of distributed SCC; path-doubling
+    * trades shuffle volume for rounds if a high-diameter graph ever
+    * needs it.
     */
   def stronglyConnectedComponents(edges: DataFrame): DataFrame = {
-    var (rem, remRdd) = ckpt(edges
-      .select(col("src").cast("long"), col("dst").cast("long"))
+    val typed = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    var (rem, remRdd) = ckpt(typed
       .filter(col("src") =!= col("dst")).distinct())
-    var (verts, vertsRdd) = ckpt(rem.select(col("src").as("v"))
-      .unionAll(rem.select(col("dst").as("v"))).distinct())
+    // vertex set from the UNFILTERED edges: a vertex whose only edges
+    // are self-loops still owns a singleton SCC
+    var (verts, vertsRdd) = ckpt(typed.select(col("src").as("v"))
+      .unionAll(typed.select(col("dst").as("v"))).distinct())
     var nVerts = verts.count()
     val pieces = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var outer = 0
+    def colorSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("color").cast("decimal(38,0)"))).head
+        .getDecimal(0)
     while (nVerts > 0) {
-      outer += 1
       // (1) forward max flood: color(v) = max id reaching v
       var (c, cRdd) = ckpt(verts.select(col("v"), col("v").as("color")))
-      var csum = c.agg(sum(col("color"))).head.getLong(0)
+      var csum = colorSum(c)
       var flooded = false
       while (!flooded) {
         val msgs = rem
@@ -250,27 +255,36 @@ object Analytics {
           .join(msgs.select(col("dst").as("v"), col("mc")), Seq("v"), "left_outer")
           .select(col("v"), greatest(col("color"), coalesce(col("mc"), col("color")))
             .as("color")))
-        val s2 = next.agg(sum(col("color"))).head.getLong(0)
+        val s2 = colorSum(next)
         cRdd.unpersist(blocking = false)
         c = next; cRdd = nextRdd
-        flooded = s2 == csum; csum = s2
+        flooded = s2.compareTo(csum) == 0; csum = s2
       }
-      // (2) reverse walk from roots within each color class
+      // (2) reverse frontier walk from roots within each color class
       var (reached, reachedRdd) = ckpt(c.filter(col("v") === col("color")))
-      var n = reached.count()
+      var frontier = reached
+      var frontierRdd = reachedRdd
       var walked = false
       while (!walked) {
-        val step = rem
-          .join(reached.select(col("v").as("dst"), col("color")), Seq("dst"))
+        val (step, stepRdd) = ckpt(rem
+          .join(frontier.select(col("v").as("dst"), col("color")), Seq("dst"))
           .select(col("src").as("v"), col("color"))
           .join(c.withColumnRenamed("color", "vc"), Seq("v"))
           .filter(col("color") === col("vc"))
           .select(col("v"), col("color"))
-        val (next, nextRdd) = ckpt(reached.unionAll(step).distinct())
-        val n2 = next.count()
-        reachedRdd.unpersist(blocking = false)
-        reached = next; reachedRdd = nextRdd
-        walked = n2 == n; n = n2
+          .distinct()
+          .join(reached, Seq("v"), "left_anti"))
+        if (frontierRdd ne reachedRdd) frontierRdd.unpersist(blocking = false)
+        walked = step.isEmpty
+        if (walked) {
+          stepRdd.unpersist(blocking = false)
+          frontier = reached; frontierRdd = reachedRdd
+        } else {
+          val (next, nextRdd) = ckpt(reached.unionAll(step))
+          reachedRdd.unpersist(blocking = false)
+          reached = next; reachedRdd = nextRdd
+          frontier = step; frontierRdd = stepRdd
+        }
       }
       // (3) label removed SCCs by min member and peel them off
       val (piece, _) = ckpt(reached
@@ -294,7 +308,6 @@ object Analytics {
     }
     vertsRdd.unpersist(blocking = false)
     remRdd.unpersist(blocking = false)
-    lastSccOuterRounds = outer
     pieces.reduceOption(_ unionAll _)
       .getOrElse(edges.sparkSession.emptyDataFrame
         .select(lit(0L).as("v"), lit(0L).as("comp")).limit(0))

@@ -306,6 +306,14 @@ object Dedup {
     * Scale shape: O(tokens / chunkTokens) exploded rows; the keeper
     * table is one map-side-combinable min per hash; one equi-join
     * back on the hash. Never doc×doc, no global sort, no window.
+    *
+    * Keeper-key bounds: the key packs (doc_id << 20) | pos, so it is
+    * collision-free for doc_id < 2^43 and < 2^20 chunks per document
+    * (~21M tokens at the default width) — beyond either bound two
+    * different chunks could share a key and both survive as
+    * "keepers". Corpora with longer documents should raise
+    * `chunkTokens` (or pre-split documents), which is the right
+    * call anyway: a 21M-token "paragraph corpus" wants bigger units.
     */
   def paragraphDedup(docs: DataFrame, chunkTokens: Int = 20): DataFrame = {
     val ct = chunkTokens
@@ -319,7 +327,7 @@ object Dedup {
             .cast("binary")))))
       .withColumnRenamed("col", "hx")
       .withColumn("ctoks", least(lit(ct), col("n_toks") - col("pos") * ct))
-      .withColumn("ck", col("doc_id") * 1000000L + col("pos"))
+      .withColumn("ck", shiftleft(col("doc_id"), 20) + col("pos"))
     val keeper = chunks.groupBy(col("hx")).agg(min(col("ck")).as("keep_ck"))
     chunks.join(keeper, "hx")
       .groupBy(col("doc_id"), col("n_toks"))

@@ -429,30 +429,32 @@ object Events {
   }
 
   /** Stream-stream interval join: each purchase matched to ALL of the
-    * same user's views within the preceding hour — BOTH sides
+    * same user's views within the preceding `interval` — BOTH sides
     * unbounded streams (unlike [[asofJoinStreaming]], which keeps one
     * latest-right row per user, this is Structured Streaming's
-    * watermarked two-buffer join). The watermarks plus the time-range
-    * predicate are what let the engine size and EVICT both state
-    * buffers: a view is droppable once the purchase-side watermark
-    * passes its timestamp + 1 hour, so state stays bounded by the
-    * interval, not the stream length. Works identically on batch
-    * frames (watermarks are no-ops there), which is what the spec
-    * asserts against.
+    * watermarked two-buffer join). ONE parameter drives both the
+    * time-range predicate and the watermarks, so the state-eviction
+    * horizon always covers the match window (a lateness bound
+    * SHORTER than the range would silently drop views the range
+    * still implies): a view is droppable once the purchase-side
+    * watermark passes its timestamp + interval, so state stays
+    * bounded by the interval, not the stream length. Works
+    * identically on batch frames (watermarks are no-ops there),
+    * which is what the spec asserts against.
     */
   def intervalJoinStreaming(views: DataFrame, purchases: DataFrame,
-                            watermark: String = "1 hour"): DataFrame = {
+                            interval: String = "1 hour"): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("v_ts"))
-      .withWatermark("v_ts", watermark)
+      .withWatermark("v_ts", interval)
     val p = purchases
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"))
-      .withWatermark("p_ts", watermark)
+      .withWatermark("p_ts", interval)
     p.join(v, col("user_id") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL '$interval'"))
       .select(col("user_id"), col("purchase_id"), col("view_id"),
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
   }

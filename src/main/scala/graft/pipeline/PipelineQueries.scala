@@ -1098,8 +1098,8 @@ object PipelineQueries {
            |    AS dup_frac
            |FROM cov GROUP BY 1, 2""".stripMargin,
     // 20-token disjoint chunks l[i*20+1 : i*20+20]; the keeper key
-    // doc_id*1e6+pos is one comparable BIGINT on both engines, so
-    // "first occurrence" is a plain min — no window replay needed
+    // (doc_id << 20) | pos is one comparable BIGINT on both engines,
+    // so "first occurrence" is a plain min — no window replay needed
     "dedup_paragraphs" ->
       raw"""WITH t AS (SELECT doc_id,
            |    string_split_regex(trim(lower(text)), '\s+') AS l
@@ -1107,7 +1107,7 @@ object PipelineQueries {
            |ch AS (SELECT doc_id, len(l) AS n_toks, i AS pos,
            |    md5(array_to_string(l[i*20+1 : i*20+20], ' ')) AS h,
            |    least(20, len(l) - i*20) AS ctoks,
-           |    doc_id*1000000 + i AS ck
+           |    doc_id*1048576 + i AS ck
            |  FROM t, UNNEST(range(0, (len(l)+19)//20)) ix(i)
            |  WHERE len(l) >= 1),
            |k AS (SELECT h, min(ck) AS keep_ck FROM ch GROUP BY 1)

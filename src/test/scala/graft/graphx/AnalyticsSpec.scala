@@ -94,13 +94,15 @@ class AnalyticsSpec extends AnyFunSuite {
     // chains must stay singletons even though CC would merge them
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
       (10L, 11L), (11L, 10L), (3L, 10L),
-      (20L, 21L), (21L, 22L), (30L, 1L)).toDF("src", "dst")
+      (20L, 21L), (21L, 22L), (30L, 1L),
+      (40L, 40L)).toDF("src", "dst") // self-loop-only vertex
     val got = Analytics.stronglyConnectedComponents(e)
       .as[(Long, Long)].collect().toMap
-    assert(got.size == 9)
+    assert(got.size == 10)
     assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
     assert(Seq(10L, 11L).forall(got(_) == 10L))
-    assert(Seq(20L, 21L, 22L, 30L).forall(v => got(v) == v))
+    // tails, chain members, and the self-loop vertex stay singletons
+    assert(Seq(20L, 21L, 22L, 30L, 40L).forall(v => got(v) == v))
   }
 
   test("releaseCaches unpersists every RDD a graph query cached") {
