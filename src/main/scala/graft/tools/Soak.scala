@@ -28,7 +28,9 @@ object Soak {
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_gated",
     "ann_pq_topk", "events_window_agg", "data_curriculum",
     "graph_connected_components", "infer_sameas_canon",
-    "sketch_hll_distinct", "text_bm25_topk")
+    "sketch_hll_distinct", "text_bm25_topk",
+    // r9 additions: substring/paragraph dedup and the SCC peel
+    "dedup_dup_spans", "dedup_paragraphs", "graph_scc")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)
