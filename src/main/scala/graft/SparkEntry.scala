@@ -46,7 +46,14 @@ object SparkEntry {
     // (graph_scc stays verify-only: ~45 synchronous flood rounds make
     // it an outlier next to the second-scale bench keys, and kcore/
     // pagerank/cc already represent the iterative-graph family here)
-    "dedup_paragraphs")
+    "dedup_paragraphs",
+    // r9 batch 4: the stream-stream interval join's batch twin, the
+    // multi-level OLAP rollup, and the HLL source-overlap matrix
+    // (ann_recall_eval and graph_common_neighbors stay verify-only:
+    // recall is two already-benched top-k ops plus a k-row join, and
+    // the wedge enumeration shares its cost shape with the iterative
+    // graph keys already representing that family here)
+    "events_interval_join", "q_rollup_pricing", "sketch_hll_overlap")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -86,6 +93,20 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
+    // multi-level OLAP rollup: Spark's rollup() expands the grouping
+    // sets MAP-SIDE with partial aggregation — one shuffle carries all
+    // three levels; gid is the standard grouping bitmask so subtotal
+    // rows are self-describing. The price sum runs in DECIMAL(18,2):
+    // exact integer-cent arithmetic, so the grand-total row cannot
+    // drift with float summation order on either engine.
+    "q_rollup_pricing" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,5 +143,13 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
   )
 }

@@ -35,9 +35,23 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    // schema-adaptive: a NANOS parquet reads as LongType under the
+    // legacy flag and is truncated to micros here; a MICROS parquet
+    // reads as a timestamp already (the flag only touches nanos
+    // columns) and must pass through untouched — the generator's
+    // precision changed once before, so don't assume either
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ =>
+        // parquet micros surface as TIMESTAMP_NTZ; the operators use
+        // unix_micros/window over TIMESTAMP_LTZ — under the UTC
+        // session zone this cast is a wall-clock identity
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

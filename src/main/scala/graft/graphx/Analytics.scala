@@ -461,4 +461,43 @@ object Analytics {
     val dists = spark.createDataFrame(sp).toDF("id", "dist")
     verts.join(dists, Seq("id")).select(col("uri"), col("dist"))
   }
+
+  /** Common-neighbor link prediction over a canonical undirected edge
+    * set (src < dst, distinct, long keys): the top `k` NON-adjacent
+    * pairs ranked by shared-neighbor count, with both endpoint degrees
+    * alongside so any normalized score (Jaccard, Adamic-Adar-style)
+    * derives from the integer columns. All-integer output, total
+    * (cn desc, u, v) order — deterministic on any engine.
+    *
+    * Scale shape: the wedge enumeration (adjacency self-joined on the
+    * shared middle vertex) is the triangle-count join — Σ deg(w)²
+    * pairs, partial-aggregated map-side before the (u, v) shuffle.
+    * That cost concentrates in hub vertices, and at 100 TB the standard
+    * move is the same df-cap dedup blocking uses: drop middles with
+    * deg above a cap (a hub shared by everything predicts nothing —
+    * exactly the idf intuition), which bounds the join at cap × deg
+    * sums. Here the co-order graph's max degree is order-bounded, so
+    * the exact enumeration is the right default; the anti-join against
+    * the edge list prunes known links BEFORE the global top-k, and the
+    * top-k itself is a per-task k-row heap (TakeOrderedAndProject),
+    * never a full sort.
+    */
+  def commonNeighbors(edges: DataFrame, k: Int = 20): DataFrame = {
+    val adj = edges.select(col("src").as("v"), col("dst").as("w"))
+      .union(edges.select(col("dst").as("v"), col("src").as("w")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.as("a")
+      .join(adj.as("b"),
+        col("a.w") === col("b.w") && col("a.v") < col("b.v"))
+      .groupBy(col("a.v").as("u"), col("b.v").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    wedges
+      .join(edges, wedges("u") === edges("src") && wedges("v") === edges("dst"),
+        "left_anti")
+      .join(deg.select(col("v").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("v"), col("deg").as("deg_v")), "v")
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(k)
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"))
+  }
 }

@@ -105,6 +105,9 @@ object GraphQueries {
       Analytics.stronglyConnectedComponents(successionEdgeKeys(s, dir))
         .select(col("v").cast("long").as("v"), col("comp").cast("long").as("comp"))
     },
+    "graph_common_neighbors" -> { (s, dir) =>
+      Analytics.commonNeighbors(coOrderPartEdgeKeys(s, dir))
+    },
     "graph_kcore" -> { (s, dir) =>
       // kCore's checkpoint loop runs EAGERLY during construction, so
       // the observed round count can be captured here — keyed to THIS
@@ -264,6 +267,20 @@ object GraphQueries {
         |SELECT CAST(v AS BIGINT) AS v,
         |       CAST(least(v, coalesce(min(u), v)) AS BIGINT) AS comp
         |FROM verts LEFT JOIN mutual USING (v) GROUP BY v""".stripMargin,
+    "graph_common_neighbors" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+        |wed AS (SELECT a.v AS u, b.v AS v, count(*) AS cn
+        |        FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v GROUP BY 1, 2),
+        |ne AS (SELECT u, v, cn FROM wed WHERE NOT EXISTS (
+        |         SELECT 1 FROM e WHERE e.p1 = wed.u AND e.p2 = wed.v))
+        |SELECT u, ne.v AS v, cn, du.deg AS deg_u, dv.deg AS deg_v
+        |FROM ne JOIN deg du ON du.v = ne.u JOIN deg dv ON dv.v = ne.v
+        |ORDER BY cn DESC, u, ne.v LIMIT 20""".stripMargin,
     "graph_pagerank" -> pagerankSql(iters = 10, scale = 1000000000L, topK = 30),
     "graph_shortest_paths" ->
       """SELECT 'reg:'||r_regionkey AS uri, 0 AS dist FROM region

@@ -178,6 +178,22 @@ object PipelineQueries {
       Dedup.paragraphDedup(Tables.documents(s, dir))),
     "data_sample_bottomk" -> ((s, dir) =>
       TextAnalysis.sampleBottomK(Tables.documents(s, dir))),
+    // the batch twin of the watermarked stream-stream interval join
+    // (StreamingSpec pins the streaming side against this same
+    // transform; watermarks are no-ops on batch frames)
+    "events_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      Events.intervalJoinStreaming(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"))
+    }),
+    // ANN index evaluation: recall@10 of the shipped LSH path against
+    // brute-force ground truth for the probe query
+    "ann_recall_eval" -> ((s, dir) =>
+      Similarity.recallAtK(Tables.embeddings(s, dir))),
+    // pairwise source-overlap matrix via HLL register-max merge
+    "sketch_hll_overlap" -> ((s, dir) =>
+      Sketch.hllSourceOverlap(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -323,6 +339,57 @@ object PipelineQueries {
        |  FROM codes JOIN adc ON adc.s = codes.s AND adc.c = codes.code
        |  WHERE codes.vec_id != $queryId GROUP BY 1)
        |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Pairwise HLL overlap oracle: the by-source register construction
+    * (verbatim from the `sketch_hll_by_source` oracle), then per-pair
+    * register-max union folds and inclusion-exclusion — mirroring
+    * [[Sketch.hllSourceOverlap]] token for token in the estimate tree.
+    */
+  private val hllOverlapSql: String = {
+    val rho =
+      """CASE WHEN substr(hx, 3, 12) = '000000000000' THEN 49
+        |  ELSE length(regexp_extract(substr(hx, 3, 12), '^0*')) * 4 +
+        |    CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
+        |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |      WHEN '7' THEN 1 ELSE 0 END + 1 END""".stripMargin
+    val est =
+      """(0.7213e0 / (1.0e0 + 1.079e0 / 256)) * 65536 * 4503599627370496.0e0
+        |    / CAST(fp + (256 - n_present) * 4503599627370496 AS DOUBLE)"""
+        .stripMargin
+    val fp =
+      "CAST(coalesce(sum(CAST(1 AS BIGINT) << (52 - mx)), 0) AS BIGINT)"
+    raw"""WITH t AS (SELECT source,
+         |    string_split_regex(trim(lower(text)), '\s+') AS l
+         |  FROM documents),
+         |g AS (SELECT source, md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+         |    || ' ' || l[i+3] || ' ' || l[i+4]) AS hx
+         |  FROM t, UNNEST(range(1, len(l) - 3)) AS ix(i)
+         |  WHERE len(l) >= 5),
+         |reg AS (SELECT source, ('0x' || substr(hx, 1, 2))::BIGINT AS r,
+         |  $rho AS rho
+         |  FROM g),
+         |m AS (SELECT source, r, max(rho) AS mx FROM reg GROUP BY 1, 2),
+         |per AS (SELECT source, count(*) AS n_present, $fp AS fp
+         |  FROM m GROUP BY 1),
+         |pe AS (SELECT source, $est AS est FROM per),
+         |pairs AS (SELECT a.source AS ga, b.source AS gb
+         |  FROM (SELECT DISTINCT source FROM m) a
+         |  JOIN (SELECT DISTINCT source FROM m) b ON a.source < b.source),
+         |ur AS (SELECT ga, gb, r, max(mx) AS mx FROM (
+         |    SELECT p.ga, p.gb, m.r, m.mx FROM pairs p JOIN m ON m.source = p.ga
+         |    UNION ALL
+         |    SELECT p.ga, p.gb, m.r, m.mx FROM pairs p JOIN m ON m.source = p.gb)
+         |  GROUP BY 1, 2, 3),
+         |uf AS (SELECT ga, gb, count(*) AS n_present, $fp AS fp
+         |  FROM ur GROUP BY 1, 2),
+         |ue AS (SELECT ga, gb, $est AS est_union FROM uf)
+         |SELECT ue.ga AS source_a, ue.gb AS source_b, ea.est AS est_a,
+         |  eb.est AS est_b, ue.est_union,
+         |  ea.est + eb.est - ue.est_union AS est_inter
+         |FROM ue JOIN pe ea ON ea.source = ue.ga
+         |JOIN pe eb ON eb.source = ue.gb""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -1201,5 +1268,36 @@ object PipelineQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM z GROUP BY 1, 2""".stripMargin,
+    // comparisons run on epoch-micros on BOTH engines (the parquet ts
+    // is nanos; Spark reads micro-truncated, so a raw ns-resolution
+    // timestamp compare in DuckDB could admit different pairs)
+    "events_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+        |  p.us AS p_us, v.us AS v_us
+        |FROM e p JOIN e v ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.us <= p.us AND v.us >= p.us - 3600000000""".stripMargin,
+    // both top-k sets replay their shipped oracles (bf = the
+    // ann_bruteforce ORDER BY, ap = the ann_lsh probe semantics over
+    // the shared BUCKET_CTES), so the recall scalar is checked
+    // end-to-end against the same ground truth the operators serve
+    "ann_recall_eval" ->
+      s"""WITH $BUCKET_CTES,
+        |q AS (SELECT b.bucket AS qb, e.embedding AS qv
+        |      FROM buck b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0),
+        |ap AS (SELECT b.vec_id
+        |       FROM buck b JOIN embeddings e ON e.vec_id = b.vec_id, q
+        |       WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, q.qb)) <= 2
+        |       ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, b.vec_id
+        |       LIMIT 10),
+        |bf AS (SELECT b.vec_id FROM embeddings b, q WHERE b.vec_id != 0
+        |       ORDER BY list_cosine_similarity(b.embedding, q.qv) DESC, b.vec_id
+        |       LIMIT 10)
+        |SELECT 10 AS k, count(*) AS n_hit,
+        |  CAST(count(*) AS DOUBLE) / 10 AS recall
+        |FROM ap JOIN bf USING (vec_id)""".stripMargin,
+    "sketch_hll_overlap" -> hllOverlapSql,
   )
 }

@@ -117,6 +117,31 @@ object Similarity {
       .select(col("vec_id"))
   }
 
+  /** Recall@k of the approximate LSH path against brute-force ground
+    * truth for one query — the evaluation operator every ANN
+    * deployment runs before trusting an index. Both top-k sets come
+    * from the ALREADY-SHIPPED operators ([[lshTopK]],
+    * [[bruteForceTopK]]), so this measures exactly what production
+    * would serve; the overlap count is a join of two k-row frames —
+    * driver-size inputs, integer/exact-division output (n_hit/k over
+    * two small ints is one deterministic IEEE divide, no float
+    * accumulation anywhere).
+    *
+    * At 100 TB the ground-truth side is the expensive half — which is
+    * the point: recall is evaluated on a sampled query set (here one
+    * probe id), never the full corpus, and the result is a scalar per
+    * query that rolls up with a plain avg.
+    */
+  def recallAtK(embeddings: DataFrame, queryId: Long = 0,
+                k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryId, k)
+    val approx = lshTopK(embeddings, queryId, k)
+    approx.join(truth, "vec_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(k).as("k"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(k)).as("recall"))
+  }
+
   /** Scored per-query top-k of `q` (query_id, qv) against corpus `e`
     * (vec_id, label, v): the shared engine behind [[knnJoin]] and
     * [[knnClassify]]. Returns (query_id, vec_id, label, rnk).

@@ -112,6 +112,60 @@ object Sketch {
       Seq(groupCol))
   }
 
+  /** Pairwise source-overlap matrix from the per-source HLL sketches:
+    * for every pair of sources, the distinct-gram estimate of each
+    * side, of their UNION, and (by inclusion-exclusion) of their
+    * INTERSECTION — "how much does source A's content overlap source
+    * B's", the dataset-curation question behind mixture design and
+    * cross-source contamination checks.
+    *
+    * The union sketch is free by the HLL merge property: max the two
+    * register vectors — no second corpus pass, no gram shuffle. So the
+    * corpus is read ONCE (the same ≤256-rows-per-source register fold
+    * as [[hllNgramDistinctBy]]); everything after operates on S×256
+    * register rows where S is the number of SOURCES — metadata scale.
+    * Pair enumeration is O(S²) register-row joins, fine for catalog
+    * source counts; a million-source corpus would pre-filter pairs by
+    * a cheaper signal first. Estimates are the same fixed-shape double
+    * expression over exact integer register sums as the base sketch,
+    * and the intersection is one subtraction of those doubles — every
+    * engine computes the identical IEEE tree.
+    */
+  def hllSourceOverlap(docs: DataFrame, groupCol: String = "source",
+                       n: Int = 5): DataFrame = {
+    val (r, rho) = registerRho(col("hx"))
+    // the register relation feeds FOUR branches (per-source fold,
+    // source list, both pair-join sides); checkpointed, the corpus
+    // gram pass runs once and every branch reads S×256 tiny rows
+    val regs = graft.Checkpoints.tracked(gramDigests(docs, n, Seq(groupCol))
+      .select(col(groupCol).as("g"), r.as("r"), rho.as("rho"))
+      .groupBy(col("g"), col("r")).agg(max(col("rho")).as("mx")))
+    val perSource = estimated(
+      regs.groupBy(col("g"))
+        .agg(count(lit(1)).as("n_present"), fpSum.as("fp")), Seq("g"))
+      .select(col("g"), col("estimate"))
+    val srcs = regs.select(col("g")).distinct()
+    val pairs = srcs.select(col("g").as("ga"))
+      .join(srcs.select(col("g").as("gb")), col("ga") < col("gb"))
+    val unionRegs = pairs.join(regs, col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("r"), col("mx"))
+      .union(pairs.join(regs, col("g") === col("gb"))
+        .select(col("ga"), col("gb"), col("r"), col("mx")))
+      .groupBy(col("ga"), col("gb"), col("r")).agg(max(col("mx")).as("mx"))
+    val unionEst = estimated(
+      unionRegs.groupBy(col("ga"), col("gb"))
+        .agg(count(lit(1)).as("n_present"), fpSum.as("fp")), Seq("ga", "gb"))
+      .select(col("ga"), col("gb"), col("estimate").as("est_union"))
+    unionEst
+      .join(perSource.select(col("g").as("ga"), col("estimate").as("est_a")),
+        "ga")
+      .join(perSource.select(col("g").as("gb"), col("estimate").as("est_b")),
+        "gb")
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_inter"))
+  }
+
   /** Portable Count-Min sketch over corpus tokens, depth 4 × width
     * 256: row j's bucket is md5 hex chars (2j+1, 2j+2) — four
     * disjoint 8-bit slices of one digest, so the whole sketch costs

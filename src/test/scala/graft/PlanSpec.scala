@@ -354,6 +354,53 @@ class PlanSpec extends AnyFunSuite {
       "the (source, rate) table must broadcast onto the scan")
   }
 
+  test("events_interval_join: keyed join with pushed side filters, no product") {
+    val p = plan("events_interval_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the interval join must be keyed on user_id with the time range " +
+        "as a join condition, never a product")
+    assert(p.contains("EqualTo(event_type,view)") &&
+      p.contains("EqualTo(event_type,purchase)"),
+      "each side's type filter must push down to its scan")
+  }
+
+  test("q_rollup_pricing: grouping sets expand before ONE shuffle") {
+    val p = plan("q_rollup_pricing")
+    assert(p.contains("Expand"), "rollup must expand grouping sets map-side")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "all levels must partial-aggregate before the exchange")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "one shuffle must carry every rollup level")
+  }
+
+  test("graph_common_neighbors: anti-join prunes edges; top-k heaps per task") {
+    val p = plan("graph_common_neighbors")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("LeftAnti"),
+      "known edges must be pruned with an anti-join before the top-k")
+    assert(!p.contains("CartesianProduct"),
+      "the wedge join must be keyed on the shared middle vertex")
+  }
+
+  test("ann_recall_eval: both top-k sides heap per task") {
+    val p = plan("ann_recall_eval")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
+  test("sketch_hll_overlap: one corpus pass feeds all four branches") {
+    val p = plan("sketch_hll_overlap")
+    // the register relation is checkpointed at construction — every
+    // branch (per-source fold, source list, both pair-join sides)
+    // must read the materialized S×256 rows, never the corpus again
+    assert(!p.contains("FileScan"),
+      "a branch re-reads the corpus instead of the materialized registers")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      "branches must scan the checkpointed register relation")
+    assert(!p.contains("CartesianProduct"),
+      "only the source-pair frame (metadata-size) may nested-loop")
+  }
+
   test("facade: textual SPARQL end-to-end") {
     val df = Graft.sparql(spark, dir,
       """SELECT ?c ?b WHERE { ?c a :Customer ; :acctbal ?b . FILTER(?b >= 0) }""")

@@ -105,6 +105,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Seq(20L, 21L, 22L, 30L, 40L).forall(v => got(v) == v))
   }
 
+  test("common neighbors ranks non-adjacent pairs by shared neighbors") {
+    // square 1-2-3-4-1 with diagonal 1-3 and pendant 5 on 4: the
+    // ADJACENT pair (1,3) shares two neighbors but must be pruned by
+    // the anti-join; the open diagonal (2,4) wins with cn=2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Analytics.commonNeighbors(e)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 4L, 2L, 2L, 3L),
+      (1L, 5L, 1L, 3L, 1L),
+      (3L, 5L, 1L, 3L, 1L)))
+  }
+
   test("releaseCaches unpersists every RDD a graph query cached") {
     Analytics.releaseCaches() // drop whatever earlier tests left
     val before = spark.sparkContext.getPersistentRDDs.keySet

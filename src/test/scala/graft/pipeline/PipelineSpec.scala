@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.SharedSpark
+import graft.{SharedSpark, Tables}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -936,6 +936,56 @@ class PipelineSpec extends AnyFunSuite {
     val got5 = TextAnalysis.sampleBottomK(d, k = 5)
       .select("doc_id").as[Long].collect().toSet
     assert(got.forall(got5.contains))
+  }
+
+  test("interval join matches every view in the preceding hour, inclusive") {
+    val ev = Seq(
+      (1L, "2024-01-01 09:59:59", 7L, "view", 0.0, "{}"),     // > 1h before
+      (2L, "2024-01-01 10:00:00", 7L, "view", 0.0, "{}"),     // exactly 1h
+      (3L, "2024-01-01 10:30:00", 7L, "view", 0.0, "{}"),     // inside
+      (4L, "2024-01-01 11:00:00", 7L, "purchase", 1.0, "{}"),
+      (5L, "2024-01-01 11:00:01", 7L, "view", 0.0, "{}"),     // after
+      (6L, "2024-01-01 10:45:00", 8L, "view", 0.0, "{}"),     // other user
+      (7L, "2024-01-01 10:50:00", 9L, "purchase", 1.0, "{}")) // no views
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Events.intervalJoinStreaming(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((4L, 2L), (4L, 3L)))
+  }
+
+  test("recall@k counts the lsh/brute-force overlap of the shipped operators") {
+    val e = Tables.embeddings(spark, SharedSpark.sfDir)
+    val truth = Similarity.bruteForceTopK(e, 0, 10).as[Long].collect().toSet
+    val approx = Similarity.lshTopK(e, 0, 10).as[Long].collect().toSet
+    val r = Similarity.recallAtK(e).as[(Int, Long, Double)].collect().head
+    assert(r._1 == 10)
+    assert(r._2 == (truth & approx).size.toLong)
+    assert(r._3 == r._2.toDouble / 10)
+  }
+
+  test("hll overlap: union estimate is the merged-register sketch, exactly") {
+    val two = docs((0L until 1600L).map(i =>
+      i -> s"o${i}a o${i}b o${i}c o${i}d o${i}e"): _*)
+      .withColumn("source",
+        when(col("doc_id") < 700, "s0")
+          .when(col("doc_id") < 1400, "s1").otherwise("s2"))
+    val got = Sketch.hllSourceOverlap(two)
+      .as[(String, String, Double, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got.keySet == Set(("s0", "s1"), ("s0", "s2"), ("s1", "s2")))
+    got.values.foreach { case (ea, eb, eu, ei) =>
+      // register-max merge: the union can never estimate below a side
+      assert(eu >= math.max(ea, eb) && ei <= math.min(ea, eb))
+      assert(ei == ea + eb - eu) // inclusion-exclusion, exact IEEE
+    }
+    // the pair union must equal the single sketch over both sources'
+    // rows BIT FOR BIT — merging registers is rereading the corpus
+    val direct = Sketch.hllNgramDistinct(two.filter(col("source") =!= "s2"))
+      .select("estimate").as[Double].collect().head
+    assert(got(("s0", "s1"))._3 == direct)
   }
 
   test("int8 quantization maps the max-abs element to ±127") {
