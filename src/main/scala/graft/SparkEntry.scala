@@ -107,6 +107,19 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
           count(lit(1)).as("n_rows"))
     },
+    // ratio-to-group window over the fact table: each line's share of
+    // its order's revenue — ONE order-keyed shuffle, linear window
+    // pass per partition. The share rounds to 6dp because the window
+    // sum's float accumulation order is engine-specific; at 1e-6 the
+    // per-partition ulp noise cannot flip the rounded digit.
+    "q_window_share" -> { (s, dir) =>
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      import org.apache.spark.sql.expressions.Window
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), rev.as("rev"))
+        .withColumn("share", round(col("rev") /
+          sum(col("rev")).over(Window.partitionBy(col("l_orderkey"))), 6))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,5 +164,12 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_window_share" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS rev,
+        |  round(l_extendedprice * (1.0 - l_discount) /
+        |    sum(l_extendedprice * (1.0 - l_discount))
+        |      OVER (PARTITION BY l_orderkey), 6) AS share
+        |FROM lineitem""".stripMargin,
   )
 }

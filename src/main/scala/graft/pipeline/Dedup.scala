@@ -246,6 +246,34 @@ object Dedup {
     verifyJaccard(cand, sets, tau).select(col("a"), col("b"))
   }
 
+  /** Recall of the minhash-band blocking against the exact all-pairs
+    * operator at the SAME tau — the dedup analog of the ANN
+    * recall@k evaluation, and the number that justifies shipping the
+    * band path as the 100 TB regime: both sides are the SHIPPED
+    * operators ([[minhashLsh]] band candidates, [[ngramJaccard]]
+    * exact enumeration), so this measures exactly what the regime
+    * gate trades away when it reroutes. The overlap is a semi-join of
+    * two pair sets (already small relative to the corpus); output is
+    * one row of counts plus one exact IEEE divide.
+    *
+    * At 100 TB this runs on a SAMPLED corpus slice (the exact side is
+    * the quadratic one — that's the point of measuring on a sample
+    * before trusting the bands on the full corpus).
+    */
+  def blockingRecall(docs: DataFrame, tau: Double = 0.8): DataFrame = {
+    val exact = ngramJaccard(docs, tau).select(col("a"), col("b"))
+    val band = minhashLsh(docs, tau = tau).select(col("a"), col("b"))
+    val matched = exact.join(band, Seq("a", "b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(matched.agg(count(lit(1)).as("n_matched")))
+      .select(col("n_exact"), col("n_matched"),
+        // NULL when the exact set is empty (a sparse sample has
+        // nothing to measure; ANSI mode would throw on the division)
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(col("n_matched").cast("double") / col("n_exact"))
+          .as("recall"))
+  }
+
   /** Exact duplicated-span detection (substring-level dedup, the
     * signal doc-level dedup misses): every `w`-token window of every
     * document is hashed; a window whose corpus-wide occurrence count

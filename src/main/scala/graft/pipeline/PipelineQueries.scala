@@ -57,6 +57,9 @@ object PipelineQueries {
       Similarity.knnClassify(Tables.embeddings(s, dir))),
     "emb_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.embeddings(s, dir))),
+    // the Lloyd UPDATE step: recompute centroids from the assignment
+    "emb_kmeans_update" -> ((s, dir) =>
+      Similarity.kmeansUpdate(Tables.embeddings(s, dir))),
     "ann_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
     "ann_int8_topk" -> ((s, dir) =>
@@ -194,6 +197,11 @@ object PipelineQueries {
     // pairwise source-overlap matrix via HLL register-max merge
     "sketch_hll_overlap" -> ((s, dir) =>
       Sketch.hllSourceOverlap(Tables.documents(s, dir))),
+    // blocking evaluation: recall of the minhash bands against the
+    // exact all-pairs operator at the same tau — the measured number
+    // behind trusting the band regime at scale
+    "dedup_blocking_recall" -> ((s, dir) =>
+      Dedup.blockingRecall(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -617,6 +625,23 @@ object PipelineQueries {
         |  FROM embeddings e, cv c)
         |SELECT vec_id, label, c_label AS assigned, label = c_label AS stable
         |FROM sc WHERE r = 1""".stripMargin,
+    // the update step replays the assignment CTEs, then re-averages
+    // each assigned cluster per dimension — the same avg-over-float
+    // form the centroid CTE itself uses
+    "emb_kmeans_update" ->
+      """WITH cent AS (SELECT label AS c_label, d, avg(embedding[d + 1]) AS m
+        |              FROM embeddings, range(0, 64) td(d) GROUP BY 1, 2),
+        |cv AS (SELECT c_label, list(m ORDER BY d) AS cv FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, c.c_label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+        |               c.c_label ASC) AS r
+        |  FROM embeddings e, cv c),
+        |a AS (SELECT vec_id, c_label AS assigned FROM sc WHERE r = 1)
+        |SELECT a.assigned, d AS pos, count(*) AS n,
+        |  avg(e.embedding[d + 1]) AS m
+        |FROM embeddings e JOIN a USING (vec_id), range(0, 64) td(d)
+        |GROUP BY 1, 2""".stripMargin,
     "events_funnel" ->
       """WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
@@ -1299,5 +1324,24 @@ object PipelineQueries {
         |  CAST(count(*) AS DOUBLE) / 10 AS recall
         |FROM ap JOIN bf USING (vec_id)""".stripMargin,
     "sketch_hll_overlap" -> hllOverlapSql,
+    // both sides replay their shipped oracles: ex = the exact
+    // all-pairs set, bd = the minhash-band verified set at the SAME
+    // tau (nested WITH — DuckDB scopes the inner toks/sh/... CTEs to
+    // the bd branch); recall = matched/exact with one exact divide
+    "dedup_blocking_recall" ->
+      s"""WITH $TOKS, $SH, $SIZES, $SHARED,
+         |ex AS (SELECT a, b FROM shared
+         |       JOIN sizes sa ON sa.doc_id = a
+         |       JOIN sizes sb ON sb.doc_id = b
+         |       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         |bd AS (${minhashVerifiedSql("0.8", selectJac = false)}),
+         |ne AS (SELECT count(*) AS n_exact FROM ex),
+         |nm AS (SELECT count(*) AS n_matched FROM ex
+         |       WHERE EXISTS (SELECT 1 FROM bd
+         |                     WHERE bd.a = ex.a AND bd.b = ex.b))
+         |SELECT n_exact, n_matched,
+         |  CASE WHEN n_exact = 0 THEN NULL
+         |       ELSE CAST(n_matched AS DOUBLE) / n_exact END AS recall
+         |FROM ne, nm""".stripMargin,
   )
 }

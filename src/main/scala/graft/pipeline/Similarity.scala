@@ -454,6 +454,28 @@ object Similarity {
       .withColumn("stable", col("label") === col("assigned"))
   }
 
+  /** The Lloyd UPDATE step completing the k-means iteration
+    * [[kmeansAssign]] starts: recompute each cluster's centroid from
+    * the vectors just assigned to it. Output is one row per
+    * (cluster, dimension) with the member count and the new mean —
+    * the shape the next assignment step's centroid table loads from.
+    *
+    * Scale shape: the assignment shuffles one row per vector (see
+    * [[kmeansAssign]]); the join back to the vectors is keyed on
+    * vec_id; the dimension fold then partial-aggregates map-side, so
+    * the final shuffle carries at most clusters × dims rows per map
+    * partition — bounded at any corpus size. This is exactly how a
+    * distributed k-means trainer iterates at 100 TB: no driver-side
+    * centroid math, each round is two keyed shuffles.
+    */
+  def kmeansUpdate(embeddings: DataFrame): DataFrame = {
+    val assign = kmeansAssign(embeddings).select(col("vec_id"), col("assigned"))
+    vecs(embeddings).join(assign, "vec_id")
+      .select(col("assigned"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("assigned"), col("pos"))
+      .agg(count(lit(1)).as("n"), avg(col("x")).as("m"))
+  }
+
   /** IVF-style: centroids = per-label mean vectors ("trained"
     * partition assignment), probe the `nprobe` centroids nearest the
     * query, exact top-k within the probed partitions.

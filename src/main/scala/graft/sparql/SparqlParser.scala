@@ -30,9 +30,31 @@ object SparqlParser extends RegexParsers {
   private def numLit: Parser[Lit] =
     """[+-]?(\d+\.\d+|\.\d+|\d+)([eE][+-]?\d+)?""".r ^^ (s => Lit(s, Some(s.toDouble)))
   // one token including the quotes — tokenizing the body separately
-  // would let whitespace/comment skipping mangle literal content
+  // would let whitespace/comment skipping mangle literal content.
+  // ECHAR escapes per the SPARQL grammar: \t \b \n \r \f \" \' \\
   private def strLit: Parser[Lit] =
-    """"[^"\\]*"""".r ^^ (s => Lit(s.substring(1, s.length - 1), None))
+    """"(?:[^"\\]|\\[tbnrf"'\\])*"""".r ^^ (s =>
+      Lit(unescapeEchar(s.substring(1, s.length - 1)), None))
+
+  private def unescapeEchar(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        b += (s.charAt(i + 1) match {
+          case 't' => '\t'
+          case 'b' => '\b'
+          case 'n' => '\n'
+          case 'r' => '\r'
+          case 'f' => '\f'
+          case q => q // " ' \
+        })
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.result()
+  }
 
   private def term: Parser[Term] =
     varTerm | iriRef | rdfTypeKw | pname | numLit | strLit

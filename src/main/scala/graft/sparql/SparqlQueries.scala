@@ -280,6 +280,18 @@ object SparqlQueries {
       graft.rdf.NTriples.format(
         Compiler.constructTyped(TripleStore.triples(s, dir), tmpl, where))
     },
+    // SELECT results serialized to SPARQL-CSV lines (the /cypher
+    // response leg of the reference endpoint): the BIND injects a
+    // comma and a quote so the RFC 4180 quoting path is actually
+    // exercised under the oracle, not just the passthrough
+    "sparql_results_csv" -> { (s, dir) =>
+      val text =
+        """SELECT ?c ?m ?q WHERE {
+          |  ?c a :Customer ; :mktsegment ?m .
+          |  BIND(CONCAT(?m, ",\"x\"") AS ?q)
+          |}""".stripMargin
+      Results.toCsv(run(s, dir, SparqlParser.parse(text)))
+    },
     // VALUES inline binding joined against the group
     "sparql_values" -> { (s, dir) =>
       val text =
@@ -738,6 +750,13 @@ object SparqlQueries {
         |  AS line FROM customer
         |UNION ALL
         |SELECT '<cust:'||c_custkey||'> <rdf:type> <:Client> .' FROM customer""".stripMargin,
+    // the ?q field carries a comma and a quote, so it serializes
+    // RFC-4180-quoted with the inner quotes doubled; c and m pass
+    // through bare
+    "sparql_results_csv" ->
+      """SELECT 'cust:'||c_custkey||','||c_mktsegment
+        |  ||',"'||c_mktsegment||',""x""'||'"' AS line
+        |FROM customer""".stripMargin,
     "sparql_path_seq" ->
       """SELECT 'cust:'||c_custkey AS c, r_name AS n
         |FROM customer

@@ -401,6 +401,36 @@ class PlanSpec extends AnyFunSuite {
       "only the source-pair frame (metadata-size) may nested-loop")
   }
 
+  test("dedup_blocking_recall: overlap is a semi-join of the pair sets") {
+    val p = plan("dedup_blocking_recall")
+    assert(p.contains("LeftSemi"),
+      "matched pairs must come from a semi-join, never a rebuild")
+  }
+
+  test("q_window_share: window partitions by order key, pruned scan") {
+    val p = plan("q_window_share")
+    assert(!p.contains("partitionBy=[]"),
+      "the ratio-to-group window must partition by l_orderkey")
+    assert(!p.contains("l_shipdate"),
+      "unused columns must be pruned from the scan")
+  }
+
+  test("Results.toCsv adds no shuffle of its own") {
+    val df = spark.range(5).selectExpr("cast(id as string) AS a", "'x,y' AS b")
+    val p = graft.sparql.Results.toCsv(df)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "CSV serialization must stay a narrow per-row projection")
+  }
+
+  test("emb_kmeans_update: dimension fold combines map-side, no window") {
+    val p = plan("emb_kmeans_update")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "the (cluster, dim) fold must partial-aggregate before its shuffle")
+    assert(!p.contains("Window"),
+      "the update step must not rank anything — argmax stays an aggregate")
+  }
+
   test("facade: textual SPARQL end-to-end") {
     val df = Graft.sparql(spark, dir,
       """SELECT ?c ?b WHERE { ?c a :Customer ; :acctbal ?b . FILTER(?b >= 0) }""")

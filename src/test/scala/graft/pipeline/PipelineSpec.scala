@@ -636,6 +636,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(Seq(2L, 3L).forall(out(_) == ((1, true))))
   }
 
+  test("kmeans update recomputes centroids from the new assignment") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.1f, 0.9f), 1),
+      // mislabeled: reassigned to cluster 0 by the assign step, so the
+      // UPDATED centroid 0 must average over three members
+      (4L, Array(1.0f, 0.05f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.kmeansUpdate(e)
+      .as[(Int, Int, Long, Double)].collect()
+      .map { case (c, p, n, m) => (c, p) -> ((n, m)) }.toMap
+    assert(got((0, 0))._1 == 3L && got((1, 0))._1 == 2L)
+    assert(math.abs(got((0, 0))._2 - (1.0f + 0.9f + 1.0f) / 3.0) < 1e-7)
+    assert(math.abs(got((0, 1))._2 - (0.0f + 0.1f + 0.05f) / 3.0) < 1e-7)
+    assert(math.abs(got((1, 0))._2 - (0.0f + 0.1f) / 2.0) < 1e-7)
+    assert(math.abs(got((1, 1))._2 - (1.0f + 0.9f) / 2.0) < 1e-7)
+  }
+
   test("contamination flags only docs sharing a benchmark n-gram") {
     val d = docs(
       0L -> "alpha beta gamma delta epsilon zeta",       // benchmark (0 % 97)
@@ -954,6 +974,24 @@ class PipelineSpec extends AnyFunSuite {
       ev.filter(col("event_type") === "purchase"))
       .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
     assert(got == Set((4L, 2L), (4L, 3L)))
+  }
+
+  test("blocking recall compares the band pairs against the exact pairs") {
+    // 20 tokens, one differing tail word → Jaccard 17/19 ≈ 0.89 ≥ 0.8
+    val base = (1 to 19).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> s"$base today",
+      2L -> s"$base tonight",
+      3L -> "completely different text with no shared shingles at all here")
+    val r = Dedup.blockingRecall(d)
+      .as[(Long, Long, Option[Double])].collect().head
+    val nExact = Dedup.ngramJaccard(d).count()
+    assert(r._1 == nExact && nExact > 0)
+    assert(r._2 <= r._1 && r._3.contains(r._2.toDouble / r._1))
+    // an exact-empty corpus reports NULL recall instead of throwing
+    val empty = Dedup.blockingRecall(docs(9L -> "one two three"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(empty == ((0L, 0L, None)))
   }
 
   test("recall@k counts the lsh/brute-force overlap of the shipped operators") {

@@ -773,4 +773,11 @@ class CompilerSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet ==
       Set((":Person", "p:1")))
   }
+
+  test("Results.toCsv quotes per RFC 4180, nulls serialize empty") {
+    val df = Seq(("plain", "a,b", "q\"t", "nl\nx", null: String))
+      .toDF("a", "b", "c", "d", "e")
+    val line = Results.toCsv(df).as[String].collect().head
+    assert(line == "plain,\"a,b\",\"q\"\"t\",\"nl\nx\",")
+  }
 }

@@ -68,6 +68,13 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(lit == Lit(" # BUILDING", None))
   }
 
+  test("string literals decode ECHAR escapes (\\\" \\\\ \\t \\n)") {
+    val q = SparqlParser.parse(
+      "SELECT ?x WHERE { ?x :name ?n . FILTER(?n = \"a\\\"b\\\\c\\td\\ne\") }")
+    val Filter(Seq(Cmp(Eq, _, lit)), _) = q.where: @unchecked
+    assert(lit == Lit("a\"b\\c\td\ne", None))
+  }
+
   test("OFFSET before LIMIT parses (either order is legal)") {
     val q = SparqlParser.parse(
       "SELECT ?x WHERE { ?x a :Customer } OFFSET 5 LIMIT 10")
