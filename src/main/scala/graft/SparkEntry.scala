@@ -53,7 +53,11 @@ object SparkEntry {
     // recall is two already-benched top-k ops plus a k-row join, and
     // the wedge enumeration shares its cost shape with the iterative
     // graph keys already representing that family here)
-    "events_interval_join", "q_rollup_pricing", "sketch_hll_overlap")
+    "events_interval_join", "q_rollup_pricing", "sketch_hll_overlap",
+    // r9 batches 5-7: the ratio-to-group window anchor and the
+    // skip-gram co-occurrence statistic (the rest of the new keys are
+    // compositions of already-benched shapes and stay verify-only)
+    "q_window_share", "text_window_cooc")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

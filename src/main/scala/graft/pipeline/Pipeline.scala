@@ -58,4 +58,30 @@ object Pipeline {
       "left_semi")
     TextAnalysis.assignSplit(mixed)
   }
+
+  /** Dataset profile — the QA summary a curation run records before
+    * and after every transform: per column, row/null/distinct counts
+    * plus min/max lengths (string columns measure length; numeric
+    * columns their value). One aggregation per column over a narrow
+    * scan, unioned — each count_distinct is its own partial-agg
+    * shuffle of one column, never a row-wide distinct. Integer-only
+    * output, deterministic on any engine.
+    */
+  def dataProfile(docs: DataFrame): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    cols.map { c =>
+      val metric = docs.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => length(col(c))
+        case _ => col(c)
+      }
+      docs.agg(
+        count(lit(1)).as("n_rows"),
+        count(lit(1)).minus(count(col(c))).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(metric).cast("long").as("min_len"),
+        max(metric).cast("long").as("max_len"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_len"), col("max_len"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -202,6 +202,15 @@ object PipelineQueries {
     // behind trusting the band regime at scale
     "dedup_blocking_recall" -> ((s, dir) =>
       Dedup.blockingRecall(Tables.documents(s, dir))),
+    // skip-gram co-occurrence (window=4): word2vec/PMI statistics
+    "text_window_cooc" -> ((s, dir) =>
+      TextAnalysis.windowCooc(Tables.documents(s, dir))),
+    // the mixture by TOKEN budget (pretraining mixtures' real unit)
+    "data_mix_tokens" -> ((s, dir) =>
+      TextAnalysis.mixToTokenBudget(Tables.documents(s, dir))),
+    // per-column dataset QA profile
+    "data_profile" -> ((s, dir) =>
+      Pipeline.dataProfile(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -1343,5 +1352,67 @@ object PipelineQueries {
          |  CASE WHEN n_exact = 0 THEN NULL
          |       ELSE CAST(n_matched AS DOUBLE) / n_exact END AS recall
          |FROM ne, nm""".stripMargin,
+    // one zip per distance, statically unrolled to the window width
+    "text_window_cooc" ->
+      raw"""WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS l
+           |  FROM documents),
+           |z AS (
+           |  SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr
+           |  FROM t WHERE len(l) >= 2
+           |  UNION ALL
+           |  SELECT unnest(list_zip(l[1:len(l)-2], l[3:len(l)]))
+           |  FROM t WHERE len(l) >= 3
+           |  UNION ALL
+           |  SELECT unnest(list_zip(l[1:len(l)-3], l[4:len(l)]))
+           |  FROM t WHERE len(l) >= 4
+           |  UNION ALL
+           |  SELECT unnest(list_zip(l[1:len(l)-4], l[5:len(l)]))
+           |  FROM t WHERE len(l) >= 5)
+           |SELECT pr[1] AS tok_l, pr[2] AS tok_r, count(*) AS n
+           |FROM z GROUP BY 1, 2
+           |ORDER BY n DESC, tok_l, tok_r LIMIT 200""".stripMargin,
+    // md5 hex 21-24: decorrelated from split (1-4), sample (5-8),
+    // pack (9-12), mix (13-16) and shard (17-20)
+    "data_mix_tokens" ->
+      raw"""WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+           |tk AS (SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           |      AS n_toks
+           |  FROM documents),
+           |c AS (SELECT source, sum(n_toks) AS t FROM tk GROUP BY 1),
+           |j AS (SELECT c.source, t, w.w FROM c JOIN w USING (source)),
+           |n AS (SELECT min(t / w) AS n_total FROM j),
+           |r AS (SELECT source, least(1.0, n_total * w / t) AS rate FROM j, n)
+           |SELECT doc_id, tk.source, n_toks
+           |FROM tk JOIN r ON tk.source = r.source
+           |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 21, 4))::BIGINT % 10000
+           |      < floor(rate * 10000)""".stripMargin,
+    "data_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_null,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  CAST(min(doc_id) AS BIGINT) AS min_len,
+        |  CAST(max(doc_id) AS BIGINT) AS max_len
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*), count(*) - count(text),
+        |  count(DISTINCT text),
+        |  CAST(min(length(text)) AS BIGINT),
+        |  CAST(max(length(text)) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang),
+        |  count(DISTINCT lang),
+        |  CAST(min(length(lang)) AS BIGINT),
+        |  CAST(max(length(lang)) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source),
+        |  CAST(min(length(source)) AS BIGINT),
+        |  CAST(max(length(source)) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT n_chars),
+        |  CAST(min(n_chars) AS BIGINT),
+        |  CAST(max(n_chars) AS BIGINT) FROM documents""".stripMargin,
   )
 }

@@ -564,6 +564,65 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Skip-gram co-occurrence counts within a `window`-token radius —
+    * the corpus statistic behind word2vec-style embedding training
+    * and PMI association mining ([[bpePairCounts]] is exactly the
+    * window=1 special case). Pure per-row array expansion (one
+    * zip-with-offset per distance, flattened) — O(tokens × window)
+    * rows with NO join anywhere, folded by a map-side-combined count
+    * before the single pair-keyed shuffle, then a per-task top-k
+    * heap. At 100 TB the pair space is what explodes, not the plan:
+    * production runs put a vocabulary filter before the expansion
+    * (the bm25 query-vocab idiom) — the operator shape is unchanged.
+    */
+  def windowCooc(docs: DataFrame, window: Int = 4, k: Int = 200): DataFrame = {
+    val l = col("l")
+    docs.select(wsTokens(lower(col("text"))).as("l"))
+      .filter(size(l) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), least(lit(window), size(l) - 1)),
+        d => zip_with(
+          slice(l, lit(1), size(l) - d),
+          slice(l, d + 1, size(l) - d),
+          (a, b) => struct(a.as("tok_l"), b.as("tok_r")))))).as("pr"))
+      .select(col("pr.tok_l").as("tok_l"), col("pr.tok_r").as("tok_r"))
+      .groupBy(col("tok_l"), col("tok_r")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok_l"), col("tok_r"))
+      .limit(k)
+  }
+
+  /** [[mixToTarget]] weighted by TOKENS instead of document counts —
+    * the budget pretraining mixtures are actually specified in. The
+    * bottleneck source still caps the corpus (n_total tokens = min
+    * over sources of T_s/w_s), per-source acceptance rates broadcast
+    * onto the scan, and the md5 bucket (hex 21-24, decorrelated from
+    * the split/sample/pack/mix/shard hashes) keeps the decision
+    * map-side and reproducible. Doc-level sampling approximates the
+    * token budget in expectation — exact budget tracking would need a
+    * cumulative order, which is a global sort for no curation gain.
+    */
+  def mixToTokenBudget(docs: DataFrame,
+                       weights: Map[String, Double] =
+                         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.toDF("source", "w")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(wsTokens(col("text"))).cast("long").as("n_toks"))
+    val totals = toks.groupBy(col("source")).agg(sum(col("n_toks")).as("t"))
+      .join(broadcast(wDf), "source")
+    val nTotal = totals.agg(min(col("t") / col("w")).as("n_total"))
+    val rates = totals.crossJoin(nTotal)
+      .select(col("source"),
+        least(lit(1.0), col("n_total") * col("w") / col("t")).as("rate"))
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 21, 4),
+        16, 10).cast("long") % 10000
+    toks.join(broadcast(rates), "source")
+      .filter(bucket < floor(col("rate") * 10000))
+      .select(col("doc_id"), col("source"), col("n_toks"))
+  }
+
   /** Deterministic shuffled shards for a training data loader: every
     * doc gets a (shard, pos) — shard from md5 hex chars 17-20
     * (decorrelated from the split/sample/pack hashes), pos by ranking

@@ -423,6 +423,19 @@ class PlanSpec extends AnyFunSuite {
       "CSV serialization must stay a narrow per-row projection")
   }
 
+  test("text_window_cooc: per-row expansion, no join, heap top-k") {
+    val p = plan("text_window_cooc")
+    assert(!p.contains("Join"),
+      "the skip-gram expansion must be per-row zips, never a self-join")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
+  test("data_mix_tokens: rates broadcast onto the scan") {
+    val p = plan("data_mix_tokens")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the (source, rate) table must broadcast")
+  }
+
   test("emb_kmeans_update: dimension fold combines map-side, no window") {
     val p = plan("emb_kmeans_update")
     assert(p.contains("partial_count") || p.contains("HashAggregate"),

@@ -1026,6 +1026,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(("s0", "s1"))._3 == direct)
   }
 
+  test("window cooc counts skip-gram pairs per distance, union over offsets") {
+    val d = docs(1L -> "a b a b")
+    val got = TextAnalysis.windowCooc(d, window = 2, k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    // d=1: (a,b) (b,a) (a,b); d=2: (a,a) (b,b)
+    assert(got == Seq(
+      ("a", "b", 2L), ("a", "a", 1L), ("b", "a", 1L), ("b", "b", 1L)))
+    // bpe pairs is exactly the window=1 slice of this statistic
+    val bpe = TextAnalysis.bpePairCounts(d, k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(bpe == Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
+  test("token-budget mix keeps the bottleneck source whole") {
+    val rows = (0L until 40L).map(i => i -> "t1 t2 t3 t4 t5") ++
+      Seq(50L -> "u1 u2 u3", 51L -> "u4 u5 u6")
+    val d = docs(rows: _*)
+      .withColumn("source", when(col("doc_id") < 50, "big").otherwise("small"))
+    // weights 50/50: small (6 tokens) is the bottleneck → rate 1;
+    // big (200 tokens) accepts ~6/200
+    val got = TextAnalysis.mixToTokenBudget(d,
+      Map("big" -> 0.5, "small" -> 0.5))
+      .as[(Long, String, Long)].collect()
+    val bySource = got.groupBy(_._2)
+    assert(bySource("small").map(_._1).toSet == Set(50L, 51L))
+    assert(bySource("small").forall(_._3 == 3L))
+    assert(!bySource.contains("big") || bySource("big").length < 40)
+  }
+
+  test("data profile reports nulls, distincts, and length bounds per column") {
+    val d = Seq(
+      (1L, "ab", "en", "s0", 2L),
+      (2L, "abcd", null: String, "s0", 4L),
+      (3L, "ab", "fr", "s1", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Pipeline.dataProfile(d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("doc_id") == ((3L, 0L, 3L, 1L, 3L)))
+    assert(got("text") == ((3L, 0L, 2L, 2L, 4L)))
+    assert(got("lang") == ((3L, 1L, 2L, 2L, 2L)))
+    assert(got("source") == ((3L, 0L, 2L, 2L, 2L)))
+    assert(got("n_chars") == ((3L, 0L, 2L, 2L, 4L)))
+  }
+
   test("int8 quantization maps the max-abs element to ±127") {
     val e = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f), 0),
