@@ -211,6 +211,9 @@ object PipelineQueries {
     // per-column dataset QA profile
     "data_profile" -> ((s, dir) =>
       Pipeline.dataProfile(Tables.documents(s, dir))),
+    // approximate DAU: the HLL fold keyed by day over user-id hashes
+    "events_hll_dau" -> ((s, dir) =>
+      Sketch.hllDailyActive(Tables.events(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -1414,5 +1417,30 @@ object PipelineQueries {
         |  count(DISTINCT n_chars),
         |  CAST(min(n_chars) AS BIGINT),
         |  CAST(max(n_chars) AS BIGINT) FROM documents""".stripMargin,
+    // the by-source HLL oracle construction keyed by epoch day over
+    // md5(user_id) instead of gram digests
+    "events_hll_dau" ->
+      """WITH g AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    md5(user_id::VARCHAR) AS hx
+        |  FROM events),
+        |reg AS (SELECT day, ('0x' || substr(hx, 1, 2))::BIGINT AS r,
+        |  CASE WHEN substr(hx, 3, 12) = '000000000000' THEN 49
+        |  ELSE length(regexp_extract(substr(hx, 3, 12), '^0*')) * 4 +
+        |    CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
+        |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |      WHEN '7' THEN 1 ELSE 0 END + 1 END AS rho
+        |  FROM g),
+        |m AS (SELECT day, r, max(rho) AS mx FROM reg GROUP BY 1, 2),
+        |s AS (SELECT day, count(*) AS n_present,
+        |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (52 - mx)), 0) AS BIGINT)
+        |      AS fp
+        |  FROM m GROUP BY 1)
+        |SELECT day, n_present,
+        |  fp + (256 - n_present) * 4503599627370496 AS sum_fp,
+        |  (0.7213e0 / (1.0e0 + 1.079e0 / 256)) * 65536 * 4503599627370496.0e0
+        |    / CAST(fp + (256 - n_present) * 4503599627370496 AS DOUBLE)
+        |    AS estimate
+        |FROM s""".stripMargin,
   )
 }

@@ -112,6 +112,25 @@ object Sketch {
       Seq(groupCol))
   }
 
+  /** Approximate daily active users over the event log — the HLL
+    * register fold keyed by epoch day, hashing user ids instead of
+    * grams. The exact DAU (`events_daily_active`) shuffles one row
+    * per distinct (user, day); this folds to ≤256 register rows per
+    * day map-side — at 100 TB of events the shuffle shrinks from the
+    * user×day distinct to kilobytes per day, and the SAME fold runs
+    * under a watermarked event-time window for streaming DAU (the
+    * windowed-HLL Aggregator in this file is exactly that monoid).
+    */
+  def hllDailyActive(events: DataFrame): DataFrame = {
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    val (r, rho) = registerRho(md5(col("user_id").cast("string").cast("binary")))
+    val regs = events.select(day.as("day"), r.as("r"), rho.as("rho"))
+      .groupBy(col("day"), col("r")).agg(max(col("rho")).as("mx"))
+    estimated(
+      regs.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_present"), fpSum.as("fp")), Seq("day"))
+  }
+
   /** Pairwise source-overlap matrix from the per-source HLL sketches:
     * for every pair of sources, the distinct-gram estimate of each
     * side, of their UNION, and (by inclusion-exclusion) of their

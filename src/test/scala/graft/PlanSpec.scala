@@ -436,6 +436,14 @@ class PlanSpec extends AnyFunSuite {
       "the (source, rate) table must broadcast")
   }
 
+  test("events_hll_dau: register fold combines map-side, no distinct") {
+    val p = plan("events_hll_dau")
+    assert(p.contains("partial_max"),
+      "the day-keyed register fold must combine before its shuffle")
+    assert(!p.toLowerCase.contains("distinct"),
+      "approximate DAU must never compute the exact user distinct")
+  }
+
   test("emb_kmeans_update: dimension fold combines map-side, no window") {
     val p = plan("emb_kmeans_update")
     assert(p.contains("partial_count") || p.contains("HashAggregate"),

@@ -1071,6 +1071,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got("n_chars") == ((3L, 0L, 2L, 2L, 4L)))
   }
 
+  test("hll dau estimates per day without a distinct, duplicates free") {
+    val rows = for (d <- 0 to 1; u <- 0 until 1500; rep <- 0 to 1) yield
+      (d * 3000L + u * 2 + rep, s"2024-01-0${d + 1} 00:00:00",
+        u.toLong, "view", 0.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Sketch.hllDailyActive(ev)
+      .select("day", "estimate").as[(Long, Double)].collect().toMap
+    assert(got.size == 2)
+    // raw-range HLL at m=256 on 1500 true distincts: ~6.5% sigma
+    got.values.foreach(e => assert(e > 1500 * 0.75 && e < 1500 * 1.3, e))
+    // same user set both days → identical registers → identical estimate
+    assert(got.values.toSeq.distinct.size == 1)
+  }
+
   test("int8 quantization maps the max-abs element to ±127") {
     val e = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f), 0),
