@@ -261,7 +261,16 @@ object Dedup {
     * before trusting the bands on the full corpus).
     */
   def blockingRecall(docs: DataFrame, tau: Double = 0.8): DataFrame = {
-    val exact = ngramJaccard(docs, tau).select(col("a"), col("b"))
+    // the exact side is PINNED to the exact regime (gate disabled):
+    // past the budget the default gate would reroute it to the same
+    // band candidates as the other side and recall would read 1.0 by
+    // construction — the eval must pay the quadratic cost, which is
+    // why it runs on a sampled slice at scale. The pair set is then
+    // checkpointed: it feeds two count branches, and re-running the
+    // candidate join per branch would double the dominant cost.
+    val exact = graft.Checkpoints.tracked(
+      ngramJaccard(docs, tau, maxCandidatePairs = Long.MaxValue)
+        .select(col("a"), col("b")))
     val band = minhashLsh(docs, tau = tau).select(col("a"), col("b"))
     val matched = exact.join(band, Seq("a", "b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))

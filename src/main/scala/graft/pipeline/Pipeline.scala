@@ -68,7 +68,7 @@ object Pipeline {
     * output, deterministic on any engine.
     */
   def dataProfile(docs: DataFrame): DataFrame = {
-    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val cols = docs.columns.toSeq
     cols.map { c =>
       val metric = docs.schema(c).dataType match {
         case org.apache.spark.sql.types.StringType => length(col(c))

@@ -30,7 +30,10 @@ object Soak {
     "graph_connected_components", "infer_sameas_canon",
     "sketch_hll_distinct", "text_bm25_topk",
     // r9 additions: substring/paragraph dedup and the SCC peel
-    "dedup_dup_spans", "dedup_paragraphs", "graph_scc")
+    "dedup_dup_spans", "dedup_paragraphs", "graph_scc",
+    // r9 batches 4-8: register-merge sketch, fact-table window,
+    // skip-gram expansion — one representative per new shape
+    "sketch_hll_overlap", "q_window_share", "text_window_cooc")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)
