@@ -53,6 +53,11 @@ object InferenceQueries {
       val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
       Reasoner.rels(s, edges, ":locatedIn")
     },
+    // owl:inverseOf materialization (OWL 2 RL prp-inv1/prp-inv2)
+    "infer_inverse_rels" -> { (s, dir) =>
+      val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
+      Reasoner.inverseEdges(s, edges)
+    },
     // node-anchored directional getRels (ref MicroReasoners.getRels
     // reldir param): everything :locatedIn-ish touching nat:1
     "infer_rels_directed" -> { (s, dir) =>
@@ -143,6 +148,16 @@ object InferenceQueries {
         |SELECT 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey FROM supplier
         |UNION ALL
         |SELECT 'nat:'||n_nationkey, ':inRegion', 'reg:'||n_regionkey FROM nation""".stripMargin,
+    // the base graph carries no :nationOf/:regionContains edges, so
+    // the entailment is exactly the inverted geo edges
+    "infer_inverse_rels" ->
+      """SELECT 'nat:'||c_nationkey AS src, ':nationOf' AS rel,
+        |       'cust:'||c_custkey AS dst FROM customer
+        |UNION ALL
+        |SELECT 'nat:'||s_nationkey, ':nationOf', 'supp:'||s_suppkey FROM supplier
+        |UNION ALL
+        |SELECT 'reg:'||n_regionkey, ':regionContains', 'nat:'||n_nationkey
+        |FROM nation""".stripMargin,
     "infer_rels_directed" ->
       """SELECT '>' AS dir, ':inRegion' AS rel, 'reg:'||n_regionkey AS other
         |FROM nation WHERE n_nationkey = 1

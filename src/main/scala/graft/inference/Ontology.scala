@@ -41,6 +41,13 @@ object Ontology {
     ":ofOrder" -> ":partOf",
     ":partOf" -> ":related")
 
+  /** (p, q) owl:inverseOf declarations — each direction entails the
+    * other (OWL 2 RL prp-inv1/prp-inv2).
+    */
+  val inverseOf: Seq[(String, String)] = Seq(
+    ":hasNation" -> ":nationOf",
+    ":inRegion" -> ":regionContains")
+
   /** (property, class) rdfs:domain / rdfs:range assertions. */
   val domains: Seq[(String, String)] = Seq(
     ":hasNation" -> ":Agent",

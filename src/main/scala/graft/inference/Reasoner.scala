@@ -40,6 +40,20 @@ object Reasoner {
       .distinct()
   }
 
+  /** OWL 2 RL prp-inv1/prp-inv2: for each declared owl:inverseOf pair
+    * (p, q), an edge s-p-o entails o-q-s and vice versa. The inverse
+    * table (BOTH directions of each declaration) is ontology-sized
+    * metadata broadcast onto the edge scan — one narrow pass, the
+    * entailed edges never shuffle.
+    */
+  def inverseEdges(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val pairs = Ontology.inverseOf ++ Ontology.inverseOf.map(_.swap)
+    val inv = broadcast(spark.createDataFrame(pairs).toDF("rel", "inv_rel"))
+    edges.join(inv, "rel")
+      .select(col("dst").as("src"), col("inv_rel").as("rel"),
+        col("src").as("dst"))
+  }
+
   /** Edges whose relation is `rel` or any subproperty of it. */
   def rels(spark: SparkSession, edges: DataFrame, rel: String): DataFrame = {
     val props = broadcast(Closure.below(Ontology.subPropertyDf(spark), rel))

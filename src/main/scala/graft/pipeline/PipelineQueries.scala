@@ -214,6 +214,12 @@ object PipelineQueries {
     // approximate DAU: the HLL fold keyed by day over user-id hashes
     "events_hll_dau" -> ((s, dir) =>
       Sketch.hllDailyActive(Tables.events(s, dir))),
+    // sentence segmentation stats (RE2-safe split pattern)
+    "text_sentence_stats" -> ((s, dir) =>
+      TextAnalysis.sentenceStats(Tables.documents(s, dir))),
+    // deterministic k-fold CV assignment, seventh decorrelated hash
+    "data_kfold" -> ((s, dir) =>
+      TextAnalysis.kfoldAssign(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -1442,5 +1448,19 @@ object PipelineQueries {
         |    / CAST(fp + (256 - n_present) * 4503599627370496 AS DOUBLE)
         |    AS estimate
         |FROM s""".stripMargin,
+    "text_sentence_stats" ->
+      raw"""WITH s AS (SELECT doc_id,
+           |    list_filter(string_split_regex(trim(text), '[.!?]+\s+'),
+           |                x -> len(x) > 0) AS f
+           |  FROM documents)
+           |SELECT doc_id, len(f) AS n_sents,
+           |  coalesce(list_max(list_transform(f, x -> len(x))), 0)
+           |    AS max_sent_chars
+           |FROM s""".stripMargin,
+    "data_kfold" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(doc_id::VARCHAR), 25, 4))::BIGINT % 5
+        |    AS INTEGER) AS fold
+        |FROM documents""".stripMargin,
   )
 }

@@ -623,6 +623,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_toks"))
   }
 
+  /** Sentence segmentation stats: sentences split on terminal
+    * punctuation followed by whitespace (`[.!?]+\s+` — syntax Java
+    * regex and RE2 share; no lookbehind, which RE2 lacks), empties
+    * dropped, per doc the sentence count and the longest sentence's
+    * character length. One narrow codegen pass — the preprocessing
+    * signal chunkers and quality filters slice on.
+    */
+  def sentenceStats(docs: DataFrame): DataFrame = {
+    val sents = filter(split(trim(col("text")), "[.!?]+\\s+"),
+      s => length(s) > 0)
+    docs.select(col("doc_id"), size(sents).as("n_sents"),
+      coalesce(array_max(transform(sents, s => length(s))), lit(0))
+        .as("max_sent_chars"))
+  }
+
+  /** K-fold cross-validation assignment: fold = md5 hex chars 25-28
+    * (the seventh decorrelated hash slice after split/sample/pack/
+    * mix/shard/token-mix) mod k — deterministic, stable under corpus
+    * growth, map-side like every other assignment here.
+    */
+  def kfoldAssign(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        25, 4), 16, 10).cast("long") % k).cast("int").as("fold"))
+
   /** Deterministic shuffled shards for a training data loader: every
     * doc gets a (shard, pos) — shard from md5 hex chars 17-20
     * (decorrelated from the split/sample/pack hashes), pos by ranking

@@ -65,6 +65,21 @@ class InferenceSpec extends AnyFunSuite {
     assert(has == Map("c:1" -> false, "s:1" -> false, "p:1" -> true))
   }
 
+  test("inverseEdges entails both directions of a declared inverse") {
+    val e = Seq(
+      ("c:1", ":hasNation", "n:1"),
+      // an already-materialized inverse entails the forward edge back
+      ("n:2", ":nationOf", "c:2"),
+      // undeclared relation: no entailment
+      ("c:1", ":name", "x"))
+      .toDF("src", "rel", "dst")
+    val got = Reasoner.inverseEdges(spark, e)
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("n:1", ":nationOf", "c:1"),
+      ("c:2", ":hasNation", "n:2")))
+  }
+
   test("relsOf anchors a node and filters by direction under SRO closure") {
     // :hasNation and :inRegion are subproperties of :locatedIn
     val edges = Seq(

@@ -1087,6 +1087,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.toSeq.distinct.size == 1)
   }
 
+  test("sentence stats split on terminal punctuation, empties dropped") {
+    val d = docs(
+      1L -> "One two. Three! Four five six? Seven",
+      2L -> "no terminal punctuation here",
+      3L -> "")
+    val got = TextAnalysis.sentenceStats(d)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // "One two" (7), "Three" (5), "Four five six" (13), "Seven" (5)
+    assert(got(1L) == ((4, 13)))
+    assert(got(2L) == ((1, 28)))
+    assert(got(3L) == ((0, 0)))
+  }
+
+  test("kfold assignment covers every doc with folds in [0, k)") {
+    val d = docs((0L until 100L).map(i => i -> "x"): _*)
+    val got = TextAnalysis.kfoldAssign(d, k = 5)
+      .as[(Long, Int)].collect()
+    assert(got.length == 100)
+    assert(got.forall(r => r._2 >= 0 && r._2 < 5))
+    // every fold populated at n=100 (md5 spreads uniformly)
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3, 4))
+    // decorrelated from the split assignment: folds are not constant
+    // within a split bucket
+    val both = TextAnalysis.assignSplit(d)
+      .join(TextAnalysis.kfoldAssign(d, 5), "doc_id")
+      .select("split", "fold").as[(String, Int)].collect()
+    assert(both.groupBy(_._1).values.exists(_.map(_._2).distinct.length > 1))
+  }
+
   test("int8 quantization maps the max-abs element to ±127") {
     val e = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f), 0),
