@@ -47,11 +47,16 @@ object Reasoner {
     * entailed edges never shuffle.
     */
   def inverseEdges(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val pairs = Ontology.inverseOf ++ Ontology.inverseOf.map(_.swap)
+    // .distinct twice: the pair list so a symmetric declaration
+    // (p, p) — or a redundant (p, q) + (q, p) — joins once, and the
+    // output so one entailment reached via two routes emits one row
+    // (the sibling reasoners all end in distinct for the same reason)
+    val pairs = (Ontology.inverseOf ++ Ontology.inverseOf.map(_.swap)).distinct
     val inv = broadcast(spark.createDataFrame(pairs).toDF("rel", "inv_rel"))
     edges.join(inv, "rel")
       .select(col("dst").as("src"), col("inv_rel").as("rel"),
         col("src").as("dst"))
+      .distinct()
   }
 
   /** Edges whose relation is `rel` or any subproperty of it. */

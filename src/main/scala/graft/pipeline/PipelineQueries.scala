@@ -1448,9 +1448,11 @@ object PipelineQueries {
         |    / CAST(fp + (256 - n_present) * 4503599627370496 AS DOUBLE)
         |    AS estimate
         |FROM s""".stripMargin,
+    // explicit whitespace class: Java \s has \x0B, RE2's does not
     "text_sentence_stats" ->
       raw"""WITH s AS (SELECT doc_id,
-           |    list_filter(string_split_regex(trim(text), '[.!?]+\s+'),
+           |    list_filter(string_split_regex(trim(text),
+           |                                   '[.!?]+[ \t\n\f\r]+'),
            |                x -> len(x) > 0) AS f
            |  FROM documents)
            |SELECT doc_id, len(f) AS n_sents,

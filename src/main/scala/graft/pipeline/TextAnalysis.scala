@@ -20,6 +20,18 @@ object TextAnalysis {
   def canonical(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** One 16-bit slice of md5(doc_id) as a long — THE deterministic
+    * assignment hash. The slice ledger (keep offsets disjoint so
+    * assignments stay decorrelated; oracles replay each slice as
+    * ('0x' || substr(md5(doc_id::VARCHAR), from, 4))::BIGINT):
+    * 1-4 split · 5-8 stratified sample · 9-12 pack · 13-16 mix ·
+    * 17-20 shard · 21-24 token mix · 25-28 kfold · (curriculum
+    * samples reuse 1-4 over its own capped frame).
+    */
+  private def hashSlice(from: Int): Column =
+    conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      from, 4), 16, 10).cast("long")
+
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -225,9 +237,7 @@ object TextAnalysis {
     // BOUNDED sample is single-partition, which is fine at any corpus
     // size because its input never exceeds shards × capPerShard rows.
     import org.apache.spark.sql.expressions.Window
-    def hx(from: Int): Column =
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")),
-        from, 4), 16, 10).cast("long")
+    def hx(from: Int): Column = hashSlice(from)
     val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
     def mkSample(pct: Int) = scored
       .withColumn("hb", hx(1) % 100).filter(col("hb") < pct)
@@ -282,9 +292,7 @@ object TextAnalysis {
     */
   def assignSplit(docs: DataFrame, trainPct: Int = 80,
                   valPct: Int = 10): DataFrame = {
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
-        16, 10).cast("long") % 100
+    val bucket = hashSlice(1) % 100
     docs.select(col("doc_id"), col("source"),
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
@@ -305,9 +313,7 @@ object TextAnalysis {
   def packSequences(docs: DataFrame, seqTokens: Int = 512,
                     buckets: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 9, 4),
-        16, 10).cast("long") % buckets
+    val bucket = hashSlice(9) % buckets
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
     docs
       .select(col("doc_id"), bucket.as("bucket"),
@@ -369,9 +375,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val ratesDf = rates.toSeq.toDF("source", "pct")
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 5, 4),
-        16, 10).cast("long") % 100
+    val bucket = hashSlice(5) % 100
     docs.join(broadcast(ratesDf), Seq("source"), "left")
       .withColumn("pct", coalesce(col("pct"), lit(defaultPct)))
       .filter(bucket < col("pct"))
@@ -476,9 +480,7 @@ object TextAnalysis {
     val rates = counts.crossJoin(nTotal)
       .select(col("source"),
         least(lit(1.0), col("n_total") * col("w") / col("cnt")).as("rate"))
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 13, 4),
-        16, 10).cast("long") % 10000
+    val bucket = hashSlice(13) % 10000
     docs.join(broadcast(rates), "source")
       .filter(bucket < floor(col("rate") * 10000))
       .select(col("doc_id"), col("source"))
@@ -615,23 +617,24 @@ object TextAnalysis {
     val rates = totals.crossJoin(nTotal)
       .select(col("source"),
         least(lit(1.0), col("n_total") * col("w") / col("t")).as("rate"))
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 21, 4),
-        16, 10).cast("long") % 10000
+    val bucket = hashSlice(21) % 10000
     toks.join(broadcast(rates), "source")
       .filter(bucket < floor(col("rate") * 10000))
       .select(col("doc_id"), col("source"), col("n_toks"))
   }
 
   /** Sentence segmentation stats: sentences split on terminal
-    * punctuation followed by whitespace (`[.!?]+\s+` — syntax Java
-    * regex and RE2 share; no lookbehind, which RE2 lacks), empties
-    * dropped, per doc the sentence count and the longest sentence's
-    * character length. One narrow codegen pass — the preprocessing
-    * signal chunkers and quality filters slice on.
+    * punctuation followed by whitespace, empties dropped, per doc the
+    * sentence count and the longest sentence's character length. The
+    * whitespace class is EXPLICIT (`[ \t\n\f\r]`): Java's `\s`
+    * includes vertical tab, RE2's does not — spelling the class out
+    * is what actually makes the pattern engine-identical (and RE2
+    * has no lookbehind, so the split consumes the terminator). One
+    * narrow codegen pass — the preprocessing signal chunkers and
+    * quality filters slice on.
     */
   def sentenceStats(docs: DataFrame): DataFrame = {
-    val sents = filter(split(trim(col("text")), "[.!?]+\\s+"),
+    val sents = filter(split(trim(col("text")), "[.!?]+[ \\t\\n\\f\\r]+"),
       s => length(s) > 0)
     docs.select(col("doc_id"), size(sents).as("n_sents"),
       coalesce(array_max(transform(sents, s => length(s))), lit(0))
@@ -645,8 +648,7 @@ object TextAnalysis {
     */
   def kfoldAssign(docs: DataFrame, k: Int = 5): DataFrame =
     docs.select(col("doc_id"),
-      (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
-        25, 4), 16, 10).cast("long") % k).cast("int").as("fold"))
+      (hashSlice(25) % k).cast("int").as("fold"))
 
   /** Deterministic shuffled shards for a training data loader: every
     * doc gets a (shard, pos) — shard from md5 hex chars 17-20

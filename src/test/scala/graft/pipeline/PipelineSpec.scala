@@ -1101,19 +1101,23 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("kfold assignment covers every doc with folds in [0, k)") {
-    val d = docs((0L until 100L).map(i => i -> "x"): _*)
+    val d = docs((0L until 1000L).map(i => i -> "x"): _*)
     val got = TextAnalysis.kfoldAssign(d, k = 5)
       .as[(Long, Int)].collect()
-    assert(got.length == 100)
+    assert(got.length == 1000)
     assert(got.forall(r => r._2 >= 0 && r._2 < 5))
-    // every fold populated at n=100 (md5 spreads uniformly)
-    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3, 4))
-    // decorrelated from the split assignment: folds are not constant
-    // within a split bucket
+    // decorrelated from the split assignment: EVERY split bucket must
+    // contain EVERY fold (a fold reusing the split's hash slice would
+    // nest folds inside splits; at ≥100 docs per bucket a missing
+    // fold has probability ~(4/5)^100 — vanishing)
     val both = TextAnalysis.assignSplit(d)
       .join(TextAnalysis.kfoldAssign(d, 5), "doc_id")
       .select("split", "fold").as[(String, Int)].collect()
-    assert(both.groupBy(_._1).values.exists(_.map(_._2).distinct.length > 1))
+    val bySplit = both.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.toSeq)
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    bySplit.foreach { case (s, folds) =>
+      assert(folds == Seq(0, 1, 2, 3, 4), s"split $s missing folds: $folds")
+    }
   }
 
   test("int8 quantization maps the max-abs element to ±127") {
