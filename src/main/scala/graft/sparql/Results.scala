@@ -30,4 +30,26 @@ object Results {
   def toCsv(df: DataFrame): DataFrame =
     df.select(concat_ws(",", df.columns.map(c => field(col(c))): _*)
       .as("line"))
+
+  /** One JSON object per result row (JSON-lines — the streamable
+    * form of the endpoint's JSON response), keys in projection
+    * order. Every bound value serializes as a JSON STRING (the W3C
+    * SPARQL JSON results format also carries values stringified with
+    * type annotations) — engine-neutral by construction, where raw
+    * numeric JSON would inherit each engine's float formatting.
+    * Unbound (NULL) serializes as JSON null. Same scale shape as
+    * [[toCsv]]: one narrow codegen projection, no shuffle.
+    */
+  def toJsonLines(df: DataFrame): DataFrame = {
+    val fields = df.columns.map { c =>
+      val s = col(c).cast("string")
+      val esc = regexp_replace(
+        regexp_replace(s, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+      concat(lit("\"" + c + "\":"),
+        when(s.isNull, lit("null"))
+          .otherwise(concat(lit("\""), esc, lit("\""))))
+    }
+    df.select(
+      concat(lit("{"), concat_ws(",", fields: _*), lit("}")).as("line"))
+  }
 }

@@ -292,6 +292,16 @@ object SparqlQueries {
           |}""".stripMargin
       Results.toCsv(run(s, dir, SparqlParser.parse(text)))
     },
+    // the same projection as JSON-lines — quote/backslash escaping
+    // exercised by the same injected ?q value
+    "sparql_results_json" -> { (s, dir) =>
+      val text =
+        """SELECT ?c ?m ?q WHERE {
+          |  ?c a :Customer ; :mktsegment ?m .
+          |  BIND(CONCAT(?m, ",\"x\"") AS ?q)
+          |}""".stripMargin
+      Results.toJsonLines(run(s, dir, SparqlParser.parse(text)))
+    },
     // VALUES inline binding joined against the group
     "sparql_values" -> { (s, dir) =>
       val text =
@@ -757,6 +767,14 @@ object SparqlQueries {
       """SELECT 'cust:'||c_custkey||','||c_mktsegment
         |  ||',"'||c_mktsegment||',""x""'||'"' AS line
         |FROM customer""".stripMargin,
+    "sparql_results_json" ->
+      """WITH r AS (SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m,
+        |                  c_mktsegment||',"x"' AS q FROM customer)
+        |SELECT '{"c":"'||replace(replace(c, '\', '\\'), '"', '\"')
+        |  ||'","m":"'||replace(replace(m, '\', '\\'), '"', '\"')
+        |  ||'","q":"'||replace(replace(q, '\', '\\'), '"', '\"')||'"}'
+        |  AS line
+        |FROM r""".stripMargin,
     "sparql_path_seq" ->
       """SELECT 'cust:'||c_custkey AS c, r_name AS n
         |FROM customer

@@ -780,4 +780,11 @@ class CompilerSpec extends AnyFunSuite {
     val line = Results.toCsv(df).as[String].collect().head
     assert(line == "plain,\"a,b\",\"q\"\"t\",\"nl\nx\",")
   }
+
+  test("Results.toJsonLines escapes quotes/backslashes, nulls go bare") {
+    val df = Seq(("plain", "q\"t", "b\\s", null: String))
+      .toDF("a", "b", "c", "d")
+    val line = Results.toJsonLines(df).as[String].collect().head
+    assert(line == """{"a":"plain","b":"q\"t","c":"b\\s","d":null}""")
+  }
 }
