@@ -371,6 +371,44 @@ object Analytics {
     lab
   }
 
+  /** Newman modularity of a vertex partition over a canonical
+    * (src < dst, distinct) undirected edge set — the quality score
+    * that tells you whether a community detection run found real
+    * structure (Q near 0 = no better than random for the degree
+    * sequence). Q = Σ_c [ L_c/m − (d_c/2m)² ] with L_c intra-edges,
+    * d_c degree mass, m total edges.
+    *
+    * Scale shape: ONE shuffle folds the edge-label join to the
+    * (l_src, l_dst) community-pair matrix (≤ C² rows, checkpointed —
+    * it feeds the m/d_c/L_c branches), and every quantity derives
+    * from that matrix; the per-community terms are fixed-shape double
+    * expressions over exact integers, summed over C communities and
+    * rounded to 9dp so community-count-scale float reassociation
+    * cannot move the hash.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val g = graft.Checkpoints.tracked(edges
+      .join(labels.select(col("v").as("src"), col("label").as("l_src")),
+        "src")
+      .join(labels.select(col("v").as("dst"), col("label").as("l_dst")),
+        "dst")
+      .groupBy(col("l_src"), col("l_dst")).agg(count(lit(1)).as("cnt")))
+    val mDf = g.agg(sum(col("cnt")).as("m"))
+    val dc = g.select(col("l_src").as("label"), col("cnt"))
+      .unionAll(g.select(col("l_dst").as("label"), col("cnt")))
+      .groupBy(col("label")).agg(sum(col("cnt")).as("dc"))
+    val lc = g.filter(col("l_src") === col("l_dst"))
+      .select(col("l_src").as("label"), col("cnt").as("lc"))
+    val nc = labels.agg(count_distinct(col("label")).as("n_comm"))
+    val half = col("dc").cast("double") / (lit(2) * col("m"))
+    val term = coalesce(col("lc"), lit(0L)).cast("double") / col("m") -
+      half * half
+    dc.join(lc, Seq("label"), "left_outer")
+      .crossJoin(mDf).crossJoin(nc)
+      .agg(max(col("m")).as("m"), max(col("n_comm")).as("n_comm"),
+        round(sum(term), 9).as("q"))
+  }
+
   /** Per-URI triangle participation counts (canonical edges, like
     * [[triangleTotal]]); vertices on no triangle are omitted so the
     * result is triangle-sized, not graph-sized.

@@ -108,6 +108,12 @@ object GraphQueries {
     "graph_common_neighbors" -> { (s, dir) =>
       Analytics.commonNeighbors(coOrderPartEdgeKeys(s, dir))
     },
+    // community-quality evaluation: modularity of the LPA partition
+    // (same rounds as the graph_label_propagation key)
+    "graph_modularity" -> { (s, dir) =>
+      val e = coOrderPartEdgeKeys(s, dir)
+      Analytics.modularity(e, Analytics.labelPropagation(e, rounds = 4))
+    },
     "graph_kcore" -> { (s, dir) =>
       // kCore's checkpoint loop runs EAGERLY during construction, so
       // the observed round count can be captured here — keyed to THIS
@@ -122,7 +128,11 @@ object GraphQueries {
     * LPA rounds (most-frequent neighbor label, ties to the smaller)
     * over the co-order part graph, then sizes the communities.
     */
-  private def lpaSql(rounds: Int): String = {
+  /** The unrolled LPA CTE chain (shared by the community-size oracle
+    * and the modularity oracle): base graph + `rounds` synchronous
+    * steps; the final label table is `l<rounds>`.
+    */
+  private def lpaCtes(rounds: Int): String = {
     val base =
       """pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e0 AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
@@ -138,10 +148,36 @@ object GraphQueries {
          |            PARTITION BY src ORDER BY n DESC, label ASC) AS r
          |          FROM c$i) WHERE r = 1)""".stripMargin
     }
-    s"WITH $base,\n${steps.mkString(",\n")}\n" +
+    s"$base,\n${steps.mkString(",\n")}"
+  }
+
+  private def lpaSql(rounds: Int): String =
+    s"WITH ${lpaCtes(rounds)}\n" +
       s"SELECT 'part:'||label AS community, count(*) AS size " +
       s"FROM l$rounds GROUP BY 1"
-  }
+
+  /** Modularity oracle: the LPA labels, folded to the community-pair
+    * matrix, then the identical fixed-shape double term per community
+    * as [[Analytics.modularity]].
+    */
+  private def modularitySql(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)},
+       |gp AS (SELECT ls.label AS l_src, ld.label AS l_dst,
+       |         count(*) AS cnt
+       |       FROM e0 JOIN l$rounds ls ON ls.v = e0.p1
+       |       JOIN l$rounds ld ON ld.v = e0.p2 GROUP BY 1, 2),
+       |mm AS (SELECT CAST(sum(cnt) AS BIGINT) AS m FROM gp),
+       |dc AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS dc FROM (
+       |         SELECT l_src AS label, cnt FROM gp
+       |         UNION ALL SELECT l_dst, cnt FROM gp) GROUP BY 1),
+       |lcx AS (SELECT l_src AS label, cnt AS lc FROM gp
+       |        WHERE l_src = l_dst),
+       |nc AS (SELECT count(DISTINCT label) AS n_comm FROM l$rounds)
+       |SELECT max(m) AS m, max(n_comm) AS n_comm,
+       |  round(sum(CAST(coalesce(lc, 0) AS DOUBLE) / m
+       |    - (CAST(dc AS DOUBLE) / (2 * m))
+       |      * (CAST(dc AS DOUBLE) / (2 * m))), 9) AS q
+       |FROM dc LEFT JOIN lcx USING (label), mm, nc""".stripMargin
 
   /** Unrolled-round pagerank oracle: replays [[Analytics.pageRank]]'s
     * exact integer recurrence iteration by iteration in plain SQL.
@@ -245,6 +281,7 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM t)
         |GROUP BY 1""".stripMargin,
     "graph_label_propagation" -> lpaSql(rounds = 4),
+    "graph_modularity" -> modularitySql(rounds = 4),
     // closed-form SCC: comp(v) = min over the mutual-reachability set
     // — states WHAT an SCC is, with no replay of the peel rounds
     "graph_scc" ->

@@ -119,6 +119,22 @@ class AnalyticsSpec extends AnyFunSuite {
       (3L, 5L, 1L, 3L, 1L)))
   }
 
+  test("modularity scores a perfect 2-community split 0.5, one blob 0") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("src", "dst")
+    val perfect = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("v", "label")
+    val p = Analytics.modularity(e, perfect)
+      .as[(Long, Long, Double)].collect().head
+    // two triangles: L_c=3, d_c=6, m=6 → 2 × (3/6 − (6/12)²) = 0.5
+    assert(p == ((6L, 2L, 0.5)))
+    import org.apache.spark.sql.functions.{col, lit}
+    val blob = perfect.select(col("v"), lit(1L).as("label"))
+    val q0 = Analytics.modularity(e, blob)
+      .as[(Long, Long, Double)].collect().head
+    assert(q0 == ((6L, 1L, 0.0)))
+  }
+
   test("releaseCaches unpersists every RDD a graph query cached") {
     Analytics.releaseCaches() // drop whatever earlier tests left
     val before = spark.sparkContext.getPersistentRDDs.keySet
