@@ -59,6 +59,31 @@ object Pipeline {
     TextAnalysis.assignSplit(mixed)
   }
 
+  /** The token-budget corpus build — [[corpusBuild]] rebuilt from the
+    * r9 operator generation: Gopher quality rules → paragraph-level
+    * dedup survival (docs keeping ≥ `minKeptFrac` of their tokens
+    * after corpus-wide chunk dedup — substring-aware, where
+    * corpusBuild's exact dedup only catches identical docs) →
+    * mixture by TOKEN budget → k-fold assignment. One declarative
+    * plan; the only corpus-wide shuffle is the chunk-hash keeper fold
+    * (everything downstream is broadcast rates and map-side hashes).
+    */
+  def tokenCorpusBuild(docs: DataFrame,
+                       weights: Map[String, Double] =
+                         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+                       minKeptFrac: Double = 0.5): DataFrame = {
+    val quality = TextAnalysis.gopherQuality(docs, minStop = 1)
+      .filter(col("keep")).select(col("doc_id"))
+    val qualified = docs.join(quality, Seq("doc_id"), "left_semi")
+    val surviving = qualified.join(
+      Dedup.paragraphDedup(qualified)
+        .filter(col("kept_frac") >= minKeptFrac).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    TextAnalysis.mixToTokenBudget(surviving, weights)
+      .join(TextAnalysis.kfoldAssign(surviving), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_toks"), col("fold"))
+  }
+
   /** Dataset profile — the QA summary a curation run records before
     * and after every transform: per column, row/null/distinct counts
     * plus min/max lengths (string columns measure length; numeric

@@ -214,6 +214,10 @@ object PipelineQueries {
     // approximate DAU: the HLL fold keyed by day over user-id hashes
     "events_hll_dau" -> ((s, dir) =>
       Sketch.hllDailyActive(Tables.events(s, dir))),
+    // the r9-generation composed build: gopher → paragraph-survival
+    // → token-budget mix → kfold, one declarative plan
+    "pipeline_tokens_build" -> ((s, dir) =>
+      Pipeline.tokenCorpusBuild(Tables.documents(s, dir))),
     // sentence segmentation stats (RE2-safe split pattern)
     "text_sentence_stats" -> ((s, dir) =>
       TextAnalysis.sentenceStats(Tables.documents(s, dir))),
@@ -1464,5 +1468,58 @@ object PipelineQueries {
         |  CAST(('0x' || substr(md5(doc_id::VARCHAR), 25, 4))::BIGINT % 5
         |    AS INTEGER) AS fold
         |FROM documents""".stripMargin,
+    // the composed build: the gopher block (verbatim from the
+    // corpus_build oracle), paragraph keeper fold over the QUALIFIED
+    // corpus, token-budget rates over the survivors, kfold tail
+    "pipeline_tokens_build" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |    string_split_regex(trim(text), '\s+') AS w,
+           |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS lw,
+           |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
+           |  FROM documents),
+           |y AS (SELECT doc_id, len(w) AS n_words,
+           |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum')
+           |      AS BIGINT) * 1.0 / len(w) AS mean_word_len,
+           |    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+           |    n_symbols,
+           |    len(list_intersect(lw,
+           |      ['the','be','to','of','and','that','have','with'])) AS n_stop
+           |  FROM x),
+           |g0 AS (SELECT doc_id FROM y
+           |  WHERE n_words BETWEEN 20 AND 80 AND mean_word_len BETWEEN 3 AND 10
+           |    AND n_symbols * 10 <= n_words AND n_alpha * 10 >= n_words * 8
+           |    AND n_stop >= 1),
+           |dq AS (SELECT d.doc_id, d.text, d.source
+           |  FROM documents d JOIN g0 USING (doc_id)),
+           |t AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\s+') AS l FROM dq),
+           |ch AS (SELECT doc_id, len(l) AS n_toks, i AS pos,
+           |    md5(array_to_string(l[i*20+1 : i*20+20], ' ')) AS h,
+           |    least(20, len(l) - i*20) AS ctoks,
+           |    doc_id*1048576 + i AS ck
+           |  FROM t, UNNEST(range(0, (len(l)+19)//20)) ix(i)
+           |  WHERE len(l) >= 1),
+           |k AS (SELECT h, min(ck) AS keep_ck FROM ch GROUP BY 1),
+           |pd AS (SELECT doc_id,
+           |    CAST(sum(CASE WHEN ck = keep_ck THEN ctoks ELSE 0 END) AS DOUBLE)
+           |      / CAST(n_toks AS DOUBLE) AS kept_frac
+           |  FROM ch JOIN k USING (h) GROUP BY doc_id, n_toks),
+           |sv AS (SELECT dq.doc_id, dq.source, dq.text
+           |  FROM dq JOIN pd USING (doc_id) WHERE pd.kept_frac >= 0.5),
+           |tk AS (SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           |      AS n_toks
+           |  FROM sv),
+           |c AS (SELECT source, sum(n_toks) AS t FROM tk GROUP BY 1),
+           |w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+           |j AS (SELECT c.source, t, w.w FROM c JOIN w USING (source)),
+           |n AS (SELECT min(t / w) AS n_total FROM j),
+           |r AS (SELECT source, least(1.0, n_total * w / t) AS rate FROM j, n)
+           |SELECT tk.doc_id, tk.source, tk.n_toks,
+           |  CAST(('0x' || substr(md5(tk.doc_id::VARCHAR), 25, 4))::BIGINT % 5
+           |    AS INTEGER) AS fold
+           |FROM tk JOIN r ON tk.source = r.source
+           |WHERE ('0x' || substr(md5(tk.doc_id::VARCHAR), 21, 4))::BIGINT % 10000
+           |      < floor(rate * 10000)""".stripMargin,
   )
 }

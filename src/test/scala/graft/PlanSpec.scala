@@ -430,6 +430,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
   }
 
+  test("pipeline_tokens_build: composed plan keeps rates broadcast, no product") {
+    val p = plan("pipeline_tokens_build")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the token-budget rates must broadcast onto the survivor scan")
+    assert(!p.contains("CartesianProduct"),
+      "nothing in the composed build may cross-join corpus-sized frames")
+  }
+
   test("data_mix_tokens: rates broadcast onto the scan") {
     val p = plan("data_mix_tokens")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
