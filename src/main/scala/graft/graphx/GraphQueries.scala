@@ -69,6 +69,18 @@ object GraphQueries {
       .distinct()
   }
 
+  /** DIRECTED bipartite purchase edges customer → part (distinct),
+    * LONG keys — the HITS fixture: hubs live on the customer side,
+    * authorities on the part side.
+    */
+  private def custPartEdgeKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degrees" -> { (s, dir) =>
       Analytics.degrees(s, geoEdges(s, dir))
@@ -121,6 +133,16 @@ object GraphQueries {
       val res = Analytics.kCore(coOrderPartEdgeKeys(s, dir), k = 3)
       kcoreObservedRounds = Analytics.lastKCoreRounds
       res.select(concat(lit("part:"), col("uri")).as("uri"))
+    },
+    // HITS hubs & authorities over the DIRECTED customer→part
+    // purchase bipartite graph — hubs are broad buyers, authorities
+    // widely-bought parts weighted by their buyers' breadth
+    "graph_hits" -> { (s, dir) =>
+      Analytics.hits(custPartEdgeKeys(s, dir))
+        .select(col("kind"),
+          concat(when(col("kind") === "hub", "cust:").otherwise("part:"),
+            col("vid")).as("id"),
+          col("score"))
     },
   )
 
@@ -319,6 +341,21 @@ object GraphQueries {
         |FROM ne JOIN deg du ON du.v = ne.u JOIN deg dv ON dv.v = ne.v
         |ORDER BY cn DESC, u, ne.v LIMIT 20""".stripMargin,
     "graph_pagerank" -> pagerankSql(iters = 10, scale = 1000000000L, topK = 30),
+    // two unrolled integer HITS half-round pairs; sum() over BIGINT
+    // widens to HUGEINT in DuckDB but stringifies identically
+    "graph_hits" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |a1 AS (SELECT dst, count(*) AS a1 FROM e GROUP BY dst),
+        |h1 AS (SELECT src, sum(a1) AS h1 FROM e JOIN a1 USING (dst)
+        |  GROUP BY src),
+        |a2 AS (SELECT dst, sum(h1) AS a2 FROM e JOIN h1 USING (src)
+        |  GROUP BY dst),
+        |ta AS (SELECT 'authority' AS kind, 'part:' || dst AS id, a2 AS score
+        |  FROM a2 ORDER BY a2 DESC, dst LIMIT 20),
+        |th AS (SELECT 'hub' AS kind, 'cust:' || src AS id, h1 AS score
+        |  FROM h1 ORDER BY h1 DESC, src LIMIT 20)
+        |SELECT * FROM ta UNION ALL SELECT * FROM th""".stripMargin,
     "graph_shortest_paths" ->
       """SELECT 'reg:'||r_regionkey AS uri, 0 AS dist FROM region
         |UNION ALL SELECT 'nat:'||n_nationkey, 1 FROM nation

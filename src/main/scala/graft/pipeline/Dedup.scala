@@ -402,9 +402,19 @@ object Dedup {
     * chunk (4-band blocking, Hamming<=3 implies >=1 equal chunk by
     * pigeonhole when bits spread), verified by total Hamming <= maxHam.
     */
-  def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame =
+    chunkPairs(simhashChunks(docs), maxHam)
+
+  /** Band-join near-dup pairing over ANY 64-bit signature carried as
+    * four 16-bit chunks (doc_id, c0..c3): candidates share ≥1 chunk
+    * (pigeonhole blocking), verified by total Hamming ≤ maxHam.
+    * Shared by the text simhash and the multimodal perceptual hash —
+    * the signature family changes, the scalable pairing shape
+    * doesn't.
+    */
+  private[pipeline] def chunkPairs(sigIn: DataFrame, maxHam: Int): DataFrame = {
     // persisted: the band explode and both verify sides reuse it
-    val sig = persistTracked(simhashChunks(docs))
+    val sig = persistTracked(sigIn)
     val buckets = sig.select(col("doc_id"), explode(array((0 until 4).map(c =>
       struct(lit(c).as("band"), col(s"c$c").as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))

@@ -458,4 +458,75 @@ object Events {
       .select(col("user_id"), col("purchase_id"), col("view_id"),
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
   }
+
+  /** Slowly-changing-dimension Type 2 build from the changelog: every
+    * event becomes a VERSIONED validity interval — `valid_from_us` =
+    * its own timestamp, `valid_to_us` = the instant before the next
+    * change (NULL while current), plus a version counter and an
+    * `is_current` flag. The warehouse pattern for turning a CDC feed
+    * into a point-in-time-joinable dimension ([[asofJoin]] is the
+    * query-side twin that reads such a table).
+    *
+    * One exchange keyed by user, then a single linear window pass
+    * computes version / lead — the same scalable shape as
+    * [[sessionize]]. Interval bounds are epoch-micros BIGINTs (never
+    * engine-formatted timestamps), values are carried verbatim (no
+    * arithmetic → no float drift).
+    */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("version"),
+        col("us").as("valid_from_us"),
+        (col("next_us") - 1).as("valid_to_us"),
+        when(col("next_us").isNull, 1).otherwise(0).as("is_current"),
+        col("event_type"), col("value"))
+  }
+
+  /** Time-series gap fill: resample each user's stream onto an hourly
+    * grid spanning their observed range and FORWARD-FILL empty hours
+    * with the last observation — the standard feature-store /
+    * monitoring densification step before windowed models.
+    *
+    * Three bounded stages: (1) per-(user, hour) compaction via max_by
+    * over the (us, event_id) struct — algebraic, combines map-side, so
+    * the shuffle carries hours not events (the [[latestState]] idiom);
+    * (2) the grid generated per user by `sequence()` over the min/max
+    * hour — grid size is users × span-hours, governed by wall-clock
+    * time, not event volume, so it GROWS SLOWER than the data at
+    * scale; (3) one user-keyed window pass carries the fill. The
+    * first grid hour always holds an observation (the span starts at
+    * an observed hour), so fills are never NULL. Values are carried,
+    * never computed — hash-portable.
+    */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val key = struct(col("us"), col("event_id"))
+    val obs = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      // integer DIV, not a double divide: micros exceed 2^50, where a
+      // float quotient invites boundary rounding; timestamps are
+      // positive so truncating DIV is floor on both engines
+      .withColumn("hour_us", expr(s"us DIV ${hourUs}L * ${hourUs}L"))
+      .groupBy(col("user_id"), col("hour_us"))
+      .agg(count(lit(1)).as("n_obs"),
+        max_by(col("value"), key).as("v"),
+        max_by(col("us"), key).as("obs_us"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("hour_us")).as("h0"), max(col("hour_us")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(hourUs))).as("hour_us"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("hour_us"))
+    grid.join(obs, Seq("user_id", "hour_us"), "left")
+      .select(col("user_id"), col("hour_us"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("v"), ignoreNulls = true).over(fill).as("filled_value"),
+        last(col("obs_us"), ignoreNulls = true).over(fill).as("filled_from_us"))
+  }
 }

@@ -126,6 +126,46 @@ object Multimodal {
           (acc, i) => acc + ascii(col("text").substr(col("s") + i, lit(1)))
             .cast("long")).as("energy"))
 
+  /** Stub PERCEPTUAL hash (block-mean aHash shape): the payload is
+    * cut into 64 equal byte blocks, each block's byte-sum is compared
+    * against the global mean (64·blockSum > total — strict integer
+    * compare, no division), and the 64 sign bits form the signature,
+    * carried as four 16-bit chunks like [[Dedup.simhashChunks]]. A
+    * real build swaps the byte-sum for DCT coefficients of the
+    * decoded image; the structure — fixed block partition → per-block
+    * statistic → sign-vs-mean bits → chunked 64-bit code — IS
+    * pHash's, and everything around it (the narrow one-pass scan,
+    * the band-join pairing) is the production path. Payloads shorter
+    * than one byte per block are skipped (no decodable "image").
+    */
+  def phashChunks(docs: DataFrame, blocks: Int = 64): DataFrame = {
+    val len = length(col("text"))
+    // block bounds by exact floor division: len·k/64 is a power-of-two
+    // divide of an integer-valued double → floor is engine-exact
+    def bound(k: org.apache.spark.sql.Column) =
+      floor((len * k).cast("double") / blocks).cast("int")
+    val sums = transform(sequence(lit(0), lit(blocks - 1)), k =>
+      aggregate(sequence(bound(k) + 1, bound(k + 1)), lit(0L),
+        (acc, p) => acc + ascii(col("text").substr(p, lit(1)))))
+    docs.filter(len >= blocks)
+      .select(col("doc_id"), sums.as("s"))
+      .withColumn("total", aggregate(col("s"), lit(0L), _ + _))
+      .select(col("doc_id") +: (0 until 4).map { c =>
+        (0 until 16).map(b =>
+          when(element_at(col("s"), c * 16 + b + 1) * 64 > col("total"),
+            lit(1 << b)).otherwise(lit(0)))
+          .reduce(_ + _).as(s"c$c")
+      }: _*)
+  }
+
+  /** Multimodal near-dup detection: perceptual-hash signatures paired
+    * by the shared chunk band join ([[Dedup.chunkPairs]]) under a
+    * Hamming budget — visually-similar payloads (here: byte-profile-
+    * similar) surface as pairs without any quadratic scan.
+    */
+  def phashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame =
+    Dedup.chunkPairs(phashChunks(docs), maxHam)
+
   /** Treat the payload as fixed-size frames; sample every `stride`-th
     * frame and fingerprint it. Pure column expressions (sequence with
     * step + explode), no driver loop.

@@ -128,6 +128,9 @@ object PipelineQueries {
       Multimodal.audioWindows(Tables.documents(s, dir))),
     "mm_embed_topk" -> ((s, dir) =>
       Multimodal.embedTopK(Tables.documents(s, dir))),
+    // perceptual-hash near-dup pairs over the binary payloads (r10)
+    "mm_phash_dedup" -> ((s, dir) =>
+      Multimodal.phashPairs(Tables.documents(s, dir))),
     // composed end-to-end prep: quality filter → exact dedup → chunk
     "pipeline_prepare" -> ((s, dir) =>
       Pipeline.prepare(Tables.documents(s, dir))),
@@ -224,6 +227,18 @@ object PipelineQueries {
     // deterministic k-fold CV assignment, seventh decorrelated hash
     "data_kfold" -> ((s, dir) =>
       TextAnalysis.kfoldAssign(Tables.documents(s, dir))),
+    // SCD Type 2 dimension build from the changelog (r10)
+    "events_scd2" -> ((s, dir) =>
+      Events.scd2(Tables.events(s, dir))),
+    // exact integer Gram matrix over the int8 codes — the PCA fold (r10)
+    "emb_gram_matrix" -> ((s, dir) =>
+      Similarity.gramMatrix(Tables.embeddings(s, dir))),
+    // Flesch reading-ease, integer-rational exact (r10)
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir))),
+    // hourly forward-fill resample per user (r10)
+    "events_gap_fill" -> ((s, dir) =>
+      Events.gapFillHourly(Tables.events(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -281,6 +296,39 @@ object PipelineQueries {
          |sig AS (SELECT doc_id, $sigCols FROM bs),
          |bands AS (SELECT doc_id, band, $bandKey AS key
          |          FROM sig, UNNEST(range(0, 4)) t(band)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT cand.a, cand.b, $ham AS ham
+         |FROM cand JOIN sig sa ON sa.doc_id = cand.a
+         |JOIN sig sb ON sb.doc_id = cand.b
+         |WHERE $ham <= 3""".stripMargin
+  }
+
+  /** Perceptual-hash oracle: 64 block byte-sums → sign-vs-mean bits →
+    * the same four-chunk band-join pairing the simhash oracle runs.
+    * Block bounds replay Spark's exact floor division; ord() = byte
+    * value on the ASCII corpus (the documented payload assumption).
+    */
+  private val phashSql: String = {
+    val sigCols = (0 until 4).map(c =>
+      "(" + (0 until 16).map(b =>
+        s"CASE WHEN s[${c * 16 + b + 1}] * 64 > total THEN ${1 << b} ELSE 0 END")
+        .mkString(" + ") + s") AS c$c").mkString(", ")
+    val bandKey = "CASE band WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END"
+    val ham = (0 until 4).map(c => s"bit_count(xor(sa.c$c, sb.c$c))").mkString(" + ")
+    raw"""WITH d AS (SELECT doc_id, text, length(text) AS len
+         |           FROM documents WHERE length(text) >= 64),
+         |bs AS (SELECT doc_id, list_transform(range(0, 64), k ->
+         |    list_aggregate(list_transform(
+         |      string_split(substr(text, CAST(len * k // 64 AS INT) + 1,
+         |        CAST(len * (k + 1) // 64 - len * k // 64 AS INT)), ''),
+         |      c -> CAST(ord(c) AS BIGINT)), 'sum')) AS s
+         |  FROM d),
+         |t AS (SELECT doc_id, s, list_aggregate(s, 'sum') AS total FROM bs),
+         |sig AS (SELECT doc_id, $sigCols FROM t),
+         |bands AS (SELECT doc_id, band, $bandKey AS key
+         |          FROM sig, UNNEST(range(0, 4)) tb(band)),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |         FROM bands x JOIN bands y
          |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
@@ -481,6 +529,7 @@ object PipelineQueries {
            |  count(*) AS n_members
            |FROM ranked GROUP BY 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
+    "mm_phash_dedup" -> phashSql,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b
         |FROM embeddings a JOIN embeddings b
@@ -1060,6 +1109,78 @@ object PipelineQueries {
            |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
            |  FROM tf JOIN df USING (token))
            |SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    // Gram matrix: replays the quantize CTE, then the double-lateral
+    // upper-triangle expansion; 1-based list indexing vs the 0-based
+    // cell labels
+    "emb_gram_matrix" ->
+      """WITH x AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS m
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+        |      ELSE CAST(trunc(CAST(x AS DOUBLE) * 127 / m) AS INT) END) AS qv
+        |  FROM x),
+        |cells AS (SELECT a.i AS i, b.j AS j,
+        |    CAST(qv[a.i + 1] AS BIGINT) * qv[b.j + 1] AS p
+        |  FROM q, UNNEST(range(0, len(qv))) AS a(i),
+        |       UNNEST(range(0, len(qv))) AS b(j)
+        |  WHERE b.j >= a.i)
+        |SELECT i, j, CAST(sum(p) AS BIGINT) AS gram, count(*) AS n_vecs
+        |FROM cells GROUP BY i, j""".stripMargin,
+    // Flesch: integer numerator over S·W, ONE IEEE divide, floor to
+    // milli-units — identical arithmetic on both engines
+    "text_readability" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |    len(string_split_regex(trim(text), '\s+')) AS w,
+           |    greatest(len(list_filter(
+           |      string_split_regex(trim(text), '[.!?]+[ \t\n\f\r]+'),
+           |      s -> length(s) > 0)), 1) AS s,
+           |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+           |  FROM documents)
+           |SELECT doc_id, w AS n_words, s AS n_sents, syl AS n_syl,
+           |  CAST(floor(CAST(206835 * s * w - 1015 * w * w - 84600 * syl * s
+           |    AS DOUBLE) / CAST(s * w AS DOUBLE)) AS BIGINT) AS flesch_milli
+           |FROM x""".stripMargin,
+    // SCD2: the oracle is the same one-window formulation — version,
+    // lead-derived validity bounds, epoch-micros integers throughout
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type, value FROM events)
+        |SELECT user_id, event_id,
+        |  row_number() OVER w AS version,
+        |  us AS valid_from_us,
+        |  lead(us) OVER w - 1 AS valid_to_us,
+        |  CASE WHEN lead(us) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+        |  event_type, value
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+    // gap fill: per-(user, hour) last observation (window-ranked here,
+    // max_by-compacted on the Spark side — same deterministic row),
+    // generate_series grid, forward-fill window carried IGNORE NULLS
+    "events_gap_fill" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |    FROM events),
+        |h AS (SELECT user_id, us // 3600000000 * 3600000000 AS hour_us,
+        |    us, value,
+        |    row_number() OVER (PARTITION BY user_id, us // 3600000000
+        |      ORDER BY us DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, us // 3600000000) AS n_obs
+        |  FROM e),
+        |obs AS (SELECT user_id, hour_us, n_obs, value AS v, us AS obs_us
+        |  FROM h WHERE rn = 1),
+        |span AS (SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1
+        |  FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.hour_us,
+        |    coalesce(o.n_obs, 0) AS n_obs, o.v, o.obs_us
+        |  FROM grid g LEFT JOIN obs o
+        |    ON o.user_id = g.user_id AND o.hour_us = g.hour_us)
+        |SELECT user_id, hour_us, n_obs,
+        |  last_value(v IGNORE NULLS) OVER w AS filled_value,
+        |  last_value(obs_us IGNORE NULLS) OVER w AS filled_from_us
+        |FROM j WINDOW w AS (PARTITION BY user_id ORDER BY hour_us)""".stripMargin,
     // the as-of replay: identical union-window formulation — strict
     // priority via the ROWS ... AND 1 PRECEDING frame over the total
     // (us, event_id) order, so same-timestamp resolution matches

@@ -303,6 +303,30 @@ object Similarity {
           .cast("binary")).as("q_md5"),
         aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"))
 
+  /** Distributed Gram matrix XᵀX over the INT8-quantized codes — the
+    * covariance fold PCA / whitening / OPQ rotation training starts
+    * from, exact in integer arithmetic (the float Gram would drift
+    * with partition summation order). Each row explodes into its
+    * dims·(dims+1)/2 upper-triangle products and the aggregation
+    * combines MAP-SIDE, so any partition contributes at most ~2k cell
+    * rows to the one shuffle regardless of corpus size — the shuffle
+    * is dims², not rows, which is what makes a 100 TB pass feasible.
+    * Products are ≤127² and cells sum |rows| of them: BIGINT holds to
+    * ~5·10¹⁴ vectors.
+    */
+  def gramMatrix(embeddings: DataFrame): DataFrame = {
+    val idx = sequence(lit(0), size(col("q")) - 1)
+    val cells = flatten(transform(idx, i =>
+      transform(slice(idx, i + 1, size(col("q")) - i), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("q"), i + 1).cast("long") *
+            element_at(col("q"), j + 1)).as("p")))))
+    quantized(embeddings)
+      .select(explode(cells).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p")).as("gram"), count(lit(1)).as("n_vecs"))
+  }
+
   /** SQ8 retrieval: exact top-k over the QUANTIZED codes — the score
     * is an INTEGER dot product (bit-exact on any engine) rescaled by
     * the two per-vector scales. This is the memory-bandwidth path a

@@ -641,6 +641,35 @@ object TextAnalysis {
         .as("max_sent_chars"))
   }
 
+  /** Flesch reading-ease readability scoring — the classic
+    * quality-filter signal (Gopher's word-bound cousin) computed
+    * EXACTLY: words = whitespace tokens, sentences = the
+    * [[sentenceStats]] RE2-safe terminal-punctuation split (min 1),
+    * syllables ≈ vowel-group runs (the standard regex surrogate; the
+    * codec is the heuristic, the arithmetic is not). The score
+    * 206.835 − 1.015·W/S − 84.6·Syl/W is carried as ONE integer
+    * numerator over S·W (both < 2⁵³, so the single double divide is
+    * IEEE-exact-rounded identically on every engine) and floored to
+    * milli-units — no float expression tree to drift. One narrow
+    * codegen pass, trivially map-parallel at any corpus size.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = size(wsTokens(col("text")))
+    val sents = filter(split(trim(col("text")), "[.!?]+[ \\t\\n\\f\\r]+"),
+      s => length(s) > 0)
+    val syl = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+    docs.select(col("doc_id"), w.as("n_words"),
+        greatest(size(sents), lit(1)).as("n_sents"), syl.as("n_syl"))
+      .withColumn("num",
+        lit(206835L) * col("n_sents") * col("n_words") -
+          lit(1015L) * col("n_words") * col("n_words") -
+          lit(84600L) * col("n_syl") * col("n_sents"))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syl"),
+        floor(col("num").cast("double") /
+          (col("n_sents") * col("n_words")).cast("double"))
+          .cast("long").as("flesch_milli"))
+  }
+
   /** K-fold cross-validation assignment: fold = md5 hex chars 25-28
     * (the seventh decorrelated hash slice after split/sample/pack/
     * mix/shard/token-mix) mod k — deterministic, stable under corpus

@@ -119,6 +119,21 @@ class AnalyticsSpec extends AnyFunSuite {
       (3L, 5L, 1L, 3L, 1L)))
   }
 
+  test("hits integer rounds rank breadth-weighted authorities") {
+    // hubs 1,2,3 → authorities 10,11,12: part 10 bought by all three,
+    // 11 by {1,2}, 12 only by 3. a1 = indegree (3,2,1); h1 = 1:5, 2:5,
+    // 3:4; a2 = 10:14, 11:10, 12:4 — authority 11 (2 buyers, both
+    // broad) must beat 12 (1 buyer) AFTER weighting, and hub 3 must
+    // trail despite touching the top authority
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L),
+      (3L, 12L)).toDF("src", "dst")
+    val got = Analytics.hits(e, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("authority", 10L, 14L), ("authority", 11L, 10L), ("authority", 12L, 4L),
+      ("hub", 1L, 5L), ("hub", 2L, 5L), ("hub", 3L, 4L)))
+  }
+
   test("modularity scores a perfect 2-community split 0.5, one blob 0") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
       .toDF("src", "dst")

@@ -834,6 +834,48 @@ class PipelineSpec extends AnyFunSuite {
       (6L, None, None)))
   }
 
+  test("scd2 versions the changelog with abutting validity intervals") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:01", 7L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 00:00:05", 7L, "click", 2.0, "{}"),
+      // same timestamp as event 2: (ts, event_id) order decides
+      (3L, "2024-01-01 00:00:05", 7L, "purchase", 3.0, "{}"),
+      (4L, "2024-01-01 00:00:02", 8L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    val r = Events.scd2(ev)
+      .select("event_id", "version", "valid_from_us", "valid_to_us", "is_current")
+      .as[(Long, Int, Long, Option[Long], Int)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, 1, base + 1000000L, Some(base + 4999999L), 0),
+      (2L, 2, base + 5000000L, Some(base + 4999999L), 0), // zero-length epoch
+      (3L, 3, base + 5000000L, None, 1),
+      (4L, 1, base + 2000000L, None, 1)))
+  }
+
+  test("gap fill carries the last observation over empty hours") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:10:00", 7L, "view", 1.5, "{}"),
+      (2L, "2024-01-01 00:40:00", 7L, "view", 2.5, "{}"),
+      // hour 01 empty; next observation in hour 02
+      (3L, "2024-01-01 02:20:00", 7L, "view", 9.5, "{}"),
+      (4L, "2024-01-01 05:00:00", 8L, "view", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val hr = 3600000000L
+    val base = 1704067200000000L
+    val r = Events.gapFillHourly(ev)
+      .select("user_id", "hour_us", "n_obs", "filled_value", "filled_from_us")
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq(
+      (7L, base, 2L, 2.5, base + 2400000000L),          // last obs in-hour wins
+      (7L, base + hr, 0L, 2.5, base + 2400000000L),     // filled from hour 00
+      (7L, base + 2 * hr, 1L, 9.5, base + 2 * hr + 1200000000L),
+      (8L, base + 5 * hr, 1L, 7.0, base + 5 * hr)))
+  }
+
   test("cms estimates are upper bounds and tight on a small vocabulary") {
     val d = docs(
       1L -> "spark spark merge data data data",
@@ -1132,5 +1174,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(q(1L) == ((1.0 / 127, -33L)))
     // zero vector: scale 0, all codes 0
     assert(q(2L) == ((0.0, 0L)))
+  }
+
+  test("gram matrix folds exact integer upper-triangle products") {
+    // codes quantize to exactly (127, 0) and (127, 127): cells —
+    // (0,0): 127² + 127² = 32258; (0,1): 0 + 127² = 16129; (1,1):
+    // 0 + 127² = 16129
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val g = Similarity.gramMatrix(e)
+      .as[(Int, Int, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(g == Map(
+      (0, 0) -> ((32258L, 2L)),
+      (0, 1) -> ((16129L, 2L)),
+      (1, 1) -> ((16129L, 2L))))
+  }
+
+  test("phash pairs byte-profile twins and separates a different profile") {
+    import org.apache.spark.sql.functions.col
+    // 64-byte payloads, one byte per block: docs 1 and 2 differ in a
+    // SINGLE byte (one sign bit apart at most), doc 3 alternates
+    // high/low bytes — a far signature
+    val base = ("a" * 32) + ("z" * 32)
+    val d = docs(
+      1L -> base,
+      2L -> (base.substring(0, 63) + "y"),
+      3L -> ("az" * 32))
+    val sig = Multimodal.phashChunks(d)
+    assert(sig.count() == 3)
+    val pairs = Multimodal.phashPairs(d)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 <= 1)
+    // short payloads (< one byte per block) are skipped, not hashed
+    assert(Multimodal.phashChunks(docs(9L -> "short")).count() == 0)
+  }
+
+  test("readability floors the exact milli-Flesch rational") {
+    // "aa ee. io uu" → W=4 (trim-split), S=2, vowel runs aa/ee/io/uu
+    // → Syl=4. num = 206835·2·4 − 1015·16 − 84600·4·2 = 961640;
+    // den = 8 → 120205 exactly
+    val d = Seq((1L, "aa ee. io uu", "en", "web", 12))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.readability(d)
+      .as[(Long, Int, Int, Int, Long)].collect().head
+    assert(r == ((1L, 4, 2, 4, 120205L)))
   }
 }
