@@ -148,6 +148,61 @@ object Events {
       }
   }
 
+  final case class Scd2State(event_id: Long, us: Long, version: Int,
+                             event_type: String, value: Double)
+  final case class Scd2Closed(user_id: Long, event_id: Long, version: Int,
+                              valid_from_us: Long, valid_to_us: Long,
+                              event_type: String, value: Double)
+
+  /** Streaming twin of [[scd2]]: per-user state is the one OPEN
+    * version (id, start, counter — constant bytes per key); each
+    * arriving event CLOSES it, emitting the finished validity
+    * interval, and becomes the new open version. Append mode can
+    * never retract, so the open row itself is not emitted — the
+    * streaming output is exactly the batch scd2 rows with
+    * `is_current = 0`, which is what the spec pins (per-key-ordered
+    * arrival, the Kafka-partitioned-by-user contract, same as
+    * [[asofJoinStreaming]]). Idle users evict by event-time timeout;
+    * their open version simply never closes, matching batch.
+    */
+  def scd2Streaming(events: DataFrame, watermark: String = "1 hour",
+                    idleEvictMinutes: Int = 120): Dataset[Scd2Closed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .selectExpr("event_id", "user_id", "ts", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp, String, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, evs, state) =>
+          val out = Seq.newBuilder[Scd2Closed]
+          if (state.hasTimedOut) state.remove()
+          else {
+            var st = state.getOption.orNull
+            var lastUs = 0L
+            evs.toSeq.sortBy(e => (us(e._3), e._1)).foreach { e =>
+              val t = us(e._3)
+              lastUs = math.max(lastUs, t)
+              if (st != null)
+                out += Scd2Closed(uid, st.event_id, st.version, st.us,
+                  t - 1, st.event_type, st.value)
+              st = Scd2State(e._1, t,
+                if (st == null) 1 else st.version + 1, e._4, e._5)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                lastUs / 1000L + idleEvictMinutes * 60000L)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   /** Dimension enrichment: events joined with the customer dimension
     * and rolled up by market segment and event type. The dimension is
     * broadcast — the classic stream-enrichment shape, and the same

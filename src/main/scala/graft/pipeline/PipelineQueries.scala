@@ -236,6 +236,9 @@ object PipelineQueries {
     // Flesch reading-ease, integer-rational exact (r10)
     "text_readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir))),
+    // corpus vocabulary statistics (Heaps/Zipf card numbers) (r10)
+    "text_vocab_stats" -> ((s, dir) =>
+      TextAnalysis.vocabStats(Tables.documents(s, dir))),
     // hourly forward-fill resample per user (r10)
     "events_gap_fill" -> ((s, dir) =>
       Events.gapFillHourly(Tables.events(s, dir))),
@@ -831,6 +834,16 @@ object PipelineQueries {
            |        AS token FROM documents)
            |WHERE token != ''
            |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "text_vocab_stats" ->
+      raw"""WITH tf AS (SELECT token, count(*) AS n
+           |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+           |          AS token FROM documents)
+           |  WHERE token != '' GROUP BY token)
+           |SELECT CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+           |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           |  CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+           |  max(n) AS max_tf
+           |FROM tf""".stripMargin,
     "data_sample_stratified" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

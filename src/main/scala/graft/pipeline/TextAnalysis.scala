@@ -360,6 +360,24 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Corpus vocabulary statistics — the Heaps/Zipf numbers a corpus
+    * card reports and a tokenizer-training run sizes itself by: total
+    * token volume, distinct types, hapax/dis legomena (freq 1 and 2 —
+    * the long-tail mass that dominates vocabulary growth), and the
+    * head frequency. One map-side-combined token aggregation (the
+    * [[vocabTopK]] shuffle), then the type table folds to a SINGLE
+    * row — no second corpus pass, no sort; all-integer outputs.
+    */
+  def vocabStats(docs: DataFrame): DataFrame =
+    docs.select(explode(wsTokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("n_dis"),
+        max(col("n")).as("max_tf"))
+
   /** Per-source stratified sampling with deterministic md5 buckets —
     * the per-domain quota pass of a corpus build. A doc's keep/drop
     * depends only on its own id (stable under reruns and corpus

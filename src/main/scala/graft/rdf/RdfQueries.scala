@@ -230,6 +230,35 @@ object RdfQueries {
         .filter(col("p").isin(":size", ":brand"))
         .select(col("s"), col("p"), col("o"), col("o_num"))
     },
+    // VoID dataset descriptor (W3C VoID: the statistics an RDF store
+    // publishes about itself — void:triples, void:distinctSubjects,
+    // void:propertyPartition, void:classPartition) over the dimension
+    // store. Three aggregations over the ONE cached triple relation;
+    // each count_distinct shuffles a single column (never a row-wide
+    // distinct), and the property/class partitions combine map-side —
+    // at 100 TB this is the predicate-partitioned layout's metadata
+    // pass, one scan per statistic family.
+    "rdf_void_stats" -> { (s, dir) =>
+      val t = TripleStore.dimensionTriples(s, dir)
+      val props = t.groupBy(col("p"))
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct(col("s")).as("n_subjects"),
+          countDistinct(col("o")).as("n_objects"))
+        .select(lit("property").as("kind"), col("p").as("name"),
+          col("n_triples"), col("n_subjects"), col("n_objects"))
+      val classes = t.filter(col("p") === "rdf:type")
+        .groupBy(col("o"))
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct(col("s")).as("n_subjects"))
+        .select(lit("class").as("kind"), col("o").as("name"),
+          col("n_triples"), col("n_subjects"), lit(1L).as("n_objects"))
+      val ds = t.agg(count(lit(1)).as("n_triples"),
+          countDistinct(col("s")).as("n_subjects"),
+          countDistinct(col("o")).as("n_objects"))
+        .select(lit("dataset").as("kind"), lit("all").as("name"),
+          col("n_triples"), col("n_subjects"), col("n_objects"))
+      props.union(classes).union(ds)
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -427,5 +456,49 @@ object RdfQueries {
         |       CAST(p_size AS DOUBLE) AS o_num FROM part
         |UNION ALL
         |SELECT 'part:'||p_partkey, ':brand', p_brand, NULL FROM part""".stripMargin,
+    // VoID: the full dimension-store enumeration (RdfModel
+    // dimensionAndOrderTriples verbatim — only (s, p, o) matter for
+    // the counts; numeric/timestamp literal formatting differs per
+    // engine but string casts are injective, so distinct counts agree)
+    "rdf_void_stats" ->
+      """WITH t AS (
+        |  SELECT 'cust:'||c_custkey AS s, 'rdf:type' AS p, ':Customer' AS o FROM customer
+        |  UNION ALL SELECT 'cust:'||c_custkey, ':name', c_name FROM customer
+        |  UNION ALL SELECT 'cust:'||c_custkey, ':acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'cust:'||c_custkey, ':mktsegment', c_mktsegment FROM customer
+        |  UNION ALL SELECT 'cust:'||c_custkey, ':hasNation', 'nat:'||c_nationkey FROM customer
+        |  UNION ALL SELECT 'nat:'||n_nationkey, 'rdf:type', ':Nation' FROM nation
+        |  UNION ALL SELECT 'nat:'||n_nationkey, ':name', n_name FROM nation
+        |  UNION ALL SELECT 'nat:'||n_nationkey, ':comment', n_name||' comment' FROM nation
+        |  UNION ALL SELECT 'nat:'||n_nationkey, ':inRegion', 'reg:'||n_regionkey FROM nation
+        |  UNION ALL SELECT 'reg:'||r_regionkey, 'rdf:type', ':Region' FROM region
+        |  UNION ALL SELECT 'reg:'||r_regionkey, ':name', r_name FROM region
+        |  UNION ALL SELECT 'supp:'||s_suppkey, 'rdf:type', ':Supplier' FROM supplier
+        |  UNION ALL SELECT 'supp:'||s_suppkey, ':name', s_name FROM supplier
+        |  UNION ALL SELECT 'supp:'||s_suppkey, ':acctbal', CAST(s_acctbal AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'part:'||p_partkey, 'rdf:type', ':Part' FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, ':name', p_name FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, ':brand', p_brand FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, ':ptype', p_type FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, ':size', CAST(p_size AS VARCHAR) FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, ':retailprice', CAST(p_retailprice AS VARCHAR) FROM part
+        |  UNION ALL SELECT 'ord:'||o_orderkey, 'rdf:type', ':Order' FROM orders
+        |  UNION ALL SELECT 'ord:'||o_orderkey, ':byCustomer', 'cust:'||o_custkey FROM orders
+        |  UNION ALL SELECT 'ord:'||o_orderkey, ':totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'ord:'||o_orderkey, ':orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'ord:'||o_orderkey, ':orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'ord:'||o_orderkey, ':orderpriority', o_orderpriority FROM orders),
+        |props AS (SELECT 'property' AS kind, p AS name, count(*) AS n_triples,
+        |    count(DISTINCT s) AS n_subjects, count(DISTINCT o) AS n_objects
+        |  FROM t GROUP BY p),
+        |cls AS (SELECT 'class' AS kind, o AS name, count(*) AS n_triples,
+        |    count(DISTINCT s) AS n_subjects, CAST(1 AS BIGINT) AS n_objects
+        |  FROM t WHERE p = 'rdf:type' GROUP BY o),
+        |ds AS (SELECT 'dataset' AS kind, 'all' AS name, count(*) AS n_triples,
+        |    count(DISTINCT s) AS n_subjects, count(DISTINCT o) AS n_objects
+        |  FROM t)
+        |SELECT * FROM props UNION ALL SELECT * FROM cls
+        |UNION ALL SELECT * FROM ds""".stripMargin,
   )
 }

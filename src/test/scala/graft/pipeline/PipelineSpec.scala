@@ -1213,6 +1213,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.phashChunks(docs(9L -> "short")).count() == 0)
   }
 
+  test("vocab stats count types, hapax, and dis legomena exactly") {
+    val d = docs(
+      1L -> "spark spark spark data data one",
+      2L -> "two two other")
+    // tf: spark 3, data 2, two 2, one 1, other 1
+    val r = TextAnalysis.vocabStats(d)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((9L, 5L, 2L, 2L, 3L)))
+  }
+
   test("readability floors the exact milli-Flesch rational") {
     // "aa ee. io uu" → W=4 (trim-split), S=2, vowel runs aa/ee/io/uu
     // → Syl=4. num = 206835·2·4 − 1015·16 − 84600·4·2 = 961640;

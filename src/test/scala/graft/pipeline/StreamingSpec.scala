@@ -174,6 +174,41 @@ class StreamingSpec extends AnyFunSuite {
       (6L, None, None)))
   }
 
+  test("streaming scd2 emits exactly the batch CLOSED versions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, ts(1), 7L, "view", 1.0),
+      (2L, ts(3), 7L, "click", 2.0),
+      (3L, ts(5), 8L, "view", 3.0),
+      // second arrival batch: closes version 2 for user 7 — state
+      // carried across batches; user 8's single version never closes
+      (4L, ts(9), 7L, "purchase", 4.0))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    stream.addData(rows.take(3))
+    val q = Events.scd2Streaming(stream.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("scd2_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scd2_stream_test")
+      .select("user_id", "event_id", "version", "valid_from_us",
+        "valid_to_us", "event_type", "value")
+      .as[(Long, Long, Int, Long, Long, String, Double)].collect().toSet
+    val want = Events.scd2(rows.toDF(cols: _*).withColumn("props", lit("{}")))
+      .filter(col("is_current") === 0)
+      .select("user_id", "event_id", "version", "valid_from_us",
+        "valid_to_us", "event_type", "value")
+      .as[(Long, Long, Int, Long, Long, String, Double)].collect().toSet
+    assert(got == want && got.size == 2)
+  }
+
   test("windowed hll sketch streams and matches the batch grouped sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
