@@ -57,7 +57,13 @@ object SparkEntry {
     // r9 batches 5-7: the ratio-to-group window anchor and the
     // skip-gram co-occurrence statistic (the rest of the new keys are
     // compositions of already-benched shapes and stay verify-only)
-    "q_window_share", "text_window_cooc")
+    "q_window_share", "text_window_cooc",
+    // r10: the hourly-grid resample (sequence-explode + fill shape),
+    // the dims²-cell Gram fold, and the multimodal perceptual-hash
+    // band dedup (the rest of the r10 keys — scd2, pivot, readability,
+    // vocab/void stats, HITS — are compositions of already-benched
+    // shapes and stay verify-only)
+    "events_gap_fill", "emb_gram_matrix", "mm_phash_dedup")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

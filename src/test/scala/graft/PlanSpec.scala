@@ -460,6 +460,64 @@ class PlanSpec extends AnyFunSuite {
       "the update step must not rank anything — argmax stays an aggregate")
   }
 
+  test("events_scd2: one user-keyed exchange, no join") {
+    val p = plan("events_scd2")
+    assert(!p.contains("Join"), "scd2 is one window pass, never a join")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "version + lead must ride ONE user-keyed shuffle")
+  }
+
+  test("events_gap_fill: hour compaction combines map-side; grid join keyed") {
+    val p = plan("events_gap_fill")
+    assert(p.contains("partial_max_by") || p.contains("partial_finalmerge_max_by")
+      || p.contains("max_by"),
+      "per-hour last-observation must be the algebraic max_by compaction")
+    assert(!p.contains("CartesianProduct"), "grid join must stay keyed")
+    assert(p.contains("Generate explode"),
+      "the hourly grid must come from a sequence explode, not a join")
+  }
+
+  test("emb_gram_matrix: cell products fold map-side into one exchange") {
+    val p = plan("emb_gram_matrix")
+    assert(p.contains("partial_sum"),
+      "cell sums must partial-aggregate before the shuffle")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "the Gram fold is ONE dims²-row shuffle")
+    assert(!p.contains("Join"), "the fold is per-row expansion, never a join")
+  }
+
+  test("graph_hits: message passing stays keyed; top-k heaps per task") {
+    val p = plan("graph_hits")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(!p.contains("CartesianProduct"),
+      "score propagation must join on vertex keys")
+  }
+
+  test("mm_phash_dedup: shared signature relation; band join keyed") {
+    val p = plan("mm_phash_dedup")
+    assert(!p.contains("CartesianProduct"), "band join must stay keyed")
+    assert(p.contains("InMemoryTableScan"),
+      "bands and both verify sides must reuse the persisted signatures")
+  }
+
+  test("q_pivot_status: explicit values skip discovery; partial agg first") {
+    val p = plan("q_pivot_status")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "pivot cells must partial-aggregate before the exchange")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "pivot is the two-level aggregate, nothing more")
+    assert(!p.contains("Sort "), "no global sort in a pivot")
+  }
+
+  test("text_readability stays narrow; vocab stats folds map-side") {
+    val p = plan("text_readability")
+    assert(!p.contains("Exchange"), "readability is a per-row pass, no shuffle")
+    val v = plan("text_vocab_stats")
+    assert(v.contains("partial_count") || v.contains("partial_sum"),
+      "token counts must combine map-side")
+    assert(!v.contains("Sort "), "vocab stats never sorts")
+  }
+
   test("facade: textual SPARQL end-to-end") {
     val df = Graft.sparql(spark, dir,
       """SELECT ?c ?b WHERE { ?c a :Customer ; :acctbal ?b . FILTER(?b >= 0) }""")
