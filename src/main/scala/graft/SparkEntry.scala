@@ -58,12 +58,20 @@ object SparkEntry {
     // skip-gram co-occurrence statistic (the rest of the new keys are
     // compositions of already-benched shapes and stay verify-only)
     "q_window_share", "text_window_cooc",
-    // r10: the hourly-grid resample (sequence-explode + fill shape),
+    // r9 batch 10: the hourly-grid resample (sequence-explode + fill shape),
     // the dims²-cell Gram fold, and the multimodal perceptual-hash
-    // band dedup (the rest of the r10 keys — scd2, pivot, readability,
+    // band dedup (the rest of the batch-10 keys — scd2, pivot, readability,
     // vocab/void stats, HITS — are compositions of already-benched
     // shapes and stay verify-only)
-    "events_gap_fill", "emb_gram_matrix", "mm_phash_dedup")
+    "events_gap_fill", "emb_gram_matrix", "mm_phash_dedup",
+    // r9 batch 11: the canonical multi-way star join (the other three
+    // batch-11 keys — transitive entailment, transition matrix,
+    // reification — reuse already-benched closure/window/explode
+    // shapes and stay verify-only)
+    "q5_local_supplier",
+    // r9 batch 12: the correlated-aggregate anchor (idf/power-iter
+    // reuse benched fold shapes and stay verify-only)
+    "q17_small_quantity")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -102,6 +110,59 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    },
+    // TPC-H Q5-style local-supplier volume: the canonical multi-way
+    // star join. The region→nation chain folds to a ≤nation-count
+    // lookup BROADCAST onto supplier; lineitem⋈orders is the one
+    // fact-fact shuffle (both sides keyed by orderkey); customer
+    // joins on custkey (dimension-scale hash join, AQE free to
+    // broadcast at small SF) with the SAME-NATION predicate
+    // (c_nationkey = s_nationkey) closing the cycle. Revenue ordering
+    // ties broken by name → deterministic rows (r9 batch 11).
+    "q5_local_supplier" -> { (s, dir) =>
+      val asiaNations = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    // TPC-H Q17-style small-quantity revenue: the correlated-aggregate
+    // anchor. The per-part average is ONE partial-agg shuffle over the
+    // fact table (the decorrelated form of the subquery — computing it
+    // per probe row is the trap); the brand slice broadcasts onto the
+    // fact scan BEFORE the avg join, so the avg join's probe side is
+    // already pruned. The threshold compare is engine-exact: integer-
+    // valued quantities sum exactly in doubles, so avg = exact-sum /
+    // count is bit-identical on both engines (r9 batch 12).
+    "q17_small_quantity" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(avg(col("l_quantity")).as("aq"))
+      li.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, "l_partkey")
+        .filter(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     },
     // multi-level OLAP rollup: Spark's rollup() expands the grouping
     // sets MAP-SIDE with partial aggregation — one shuffle carries all
@@ -187,6 +248,25 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN (SELECT l_partkey, avg(l_quantity) AS aq
+        |      FROM lineitem GROUP BY l_partkey) a
+        |  ON a.l_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.aq""".stripMargin,
     "q_rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  GROUPING(l_returnflag, l_linestatus) AS gid,

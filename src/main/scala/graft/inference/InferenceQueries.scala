@@ -58,6 +58,13 @@ object InferenceQueries {
       val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
       Reasoner.inverseEdges(s, edges)
     },
+    // owl:TransitiveProperty materialization (OWL 2 RL prp-trp
+    // composed with the rdfs7 subproperty lift): the geo containment
+    // chain closes — customer/supplier :locatedIn region appears
+    "infer_transitive_rels" -> { (s, dir) =>
+      val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
+      Reasoner.transitiveEdges(s, edges)
+    },
     // node-anchored directional getRels (ref MicroReasoners.getRels
     // reldir param): everything :locatedIn-ish touching nat:1
     "infer_rels_directed" -> { (s, dir) =>
@@ -158,6 +165,21 @@ object InferenceQueries {
         |UNION ALL
         |SELECT 'reg:'||n_regionkey, ':regionContains', 'nat:'||n_nationkey
         |FROM nation""".stripMargin,
+    // the closed geo chain: every base containment edge plus the
+    // composed customer/supplier→region pairs, all entailed at the
+    // transitive superproperty
+    "infer_transitive_rels" ->
+      """WITH RECURSIVE base(src, dst) AS (
+        |  SELECT 'cust:'||c_custkey, 'nat:'||c_nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'supp:'||s_suppkey, 'nat:'||s_nationkey FROM supplier
+        |  UNION ALL
+        |  SELECT 'nat:'||n_nationkey, 'reg:'||n_regionkey FROM nation),
+        |tc(src, dst) AS (
+        |  SELECT src, dst FROM base
+        |  UNION
+        |  SELECT t.src, b.dst FROM tc t JOIN base b ON t.dst = b.src)
+        |SELECT src, ':locatedIn' AS rel, dst FROM tc""".stripMargin,
     "infer_rels_directed" ->
       """SELECT '>' AS dir, ':inRegion' AS rel, 'reg:'||n_regionkey AS other
         |FROM nation WHERE n_nationkey = 1

@@ -48,6 +48,14 @@ object Ontology {
     ":hasNation" -> ":nationOf",
     ":inRegion" -> ":regionContains")
 
+  /** owl:TransitiveProperty declarations (OWL 2 RL prp-trp): chains
+    * of p compose — s p o, o p o' entails s p o'. Declared on the
+    * geo-containment superproperty, so the entailment composes with
+    * rdfs7 (the subproperty lift): customer→nation→region closes to
+    * customer :locatedIn region.
+    */
+  val transitiveProps: Seq[String] = Seq(":locatedIn")
+
   /** (property, class) rdfs:domain / rdfs:range assertions. */
   val domains: Seq[(String, String)] = Seq(
     ":hasNation" -> ":Agent",

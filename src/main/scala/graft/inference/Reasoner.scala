@@ -59,6 +59,27 @@ object Reasoner {
       .distinct()
   }
 
+  /** OWL 2 RL prp-trp over each declared owl:TransitiveProperty p:
+    * the data edges of p — including the rdfs7 subproperty lift, so a
+    * :hasNation edge participates in a :locatedIn chain — close
+    * transitively and every closure pair is entailed AT p. Unlike the
+    * broadcast reasoners above, the closure here runs over DATA-scale
+    * edges: [[Closure.transitive]]'s path doubling costs O(log depth)
+    * keyed self-join rounds, and the output is bounded by
+    * depth × |edges| for a hierarchy-shaped relation (each node's
+    * ancestor set is its path to the root) — the regime geo/part-of
+    * containment lives in. A non-hierarchical transitive relation
+    * (dense reachability) would need the SCC-condensation route
+    * instead; that trade is the operator's documented contract.
+    */
+  def transitiveEdges(spark: SparkSession, edges: DataFrame): DataFrame =
+    Ontology.transitiveProps.map { p =>
+      val base = rels(spark, edges, p)
+        .select(col("src").as("sub"), col("dst").as("sup"))
+      Closure.transitive(base)
+        .select(col("sub").as("src"), lit(p).as("rel"), col("sup").as("dst"))
+    }.reduce(_ unionAll _).distinct()
+
   /** Edges whose relation is `rel` or any subproperty of it. */
   def rels(spark: SparkSession, edges: DataFrame, rel: String): DataFrame = {
     val props = broadcast(Closure.below(Ontology.subPropertyDf(spark), rel))

@@ -543,6 +543,85 @@ object Events {
         col("event_type"), col("value"))
   }
 
+  final case class TransState(us: Long, event_id: Long, event_type: String)
+  final case class TransPair(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of [[transitionMatrix]]'s bigram derivation:
+    * per-user state is the LATEST event (type + order key — constant
+    * bytes per key); each arrival emits its (prev, cur) transition
+    * pair and replaces the state. Counting the emitted pairs yields
+    * exactly the batch matrix under per-key-ordered arrival (the
+    * Kafka-partitioned-by-user contract, same as [[asofJoinStreaming]]);
+    * idle users evict by event-time timeout — their last event simply
+    * never becomes a `from`, matching batch.
+    */
+  def transitionPairsStreaming(events: DataFrame,
+                               watermark: String = "1 hour",
+                               idleEvictMinutes: Int = 120): Dataset[TransPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .selectExpr("event_id", "user_id", "ts", "event_type")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[TransState, TransPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, evs, state) =>
+          val out = Seq.newBuilder[TransPair]
+          if (state.hasTimedOut) state.remove()
+          else {
+            var st = state.getOption.orNull
+            var lastUs = 0L
+            evs.toSeq.sortBy(e => (us(e._3), e._1)).foreach { e =>
+              val t = us(e._3)
+              lastUs = math.max(lastUs, t)
+              if (st != null) out += TransPair(uid, st.event_type, e._4)
+              st = TransState(t, e._1, e._4)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                lastUs / 1000L + idleEvictMinutes * 60000L)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Behavioral transition matrix: for each ordered pair of event
+    * types, how often the second directly follows the first within a
+    * user's stream — the first-order Markov statistic behind funnel
+    * design, next-event prediction baselines, and bot detection.
+    *
+    * One user-keyed exchange, a linear lead() pass per partition (the
+    * [[sessionize]] shape), then the bigram counts partial-aggregate
+    * map-side down to the ≤|types|² matrix; the row-conditional
+    * probability is computed by a window over that matrix — metadata
+    * scale, so the second pass is free. Ties are impossible: the
+    * window orders by (us, event_id) with event_id unique, so every
+    * engine sees the same successor. The probability rounds to 6dp
+    * (one divide of two exact integers — rounding only guards the
+    * engines' float FORMATTING, not accumulation, so 6dp is exact).
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(byFrom), 6))
+  }
+
   /** Time-series gap fill: resample each user's stream onto an hourly
     * grid spanning their observed range and FORWARD-FILL empty hours
     * with the last observation — the standard feature-store /

@@ -128,7 +128,7 @@ object PipelineQueries {
       Multimodal.audioWindows(Tables.documents(s, dir))),
     "mm_embed_topk" -> ((s, dir) =>
       Multimodal.embedTopK(Tables.documents(s, dir))),
-    // perceptual-hash near-dup pairs over the binary payloads (r10)
+    // perceptual-hash near-dup pairs over the binary payloads (r9 batch 10)
     "mm_phash_dedup" -> ((s, dir) =>
       Multimodal.phashPairs(Tables.documents(s, dir))),
     // composed end-to-end prep: quality filter → exact dedup → chunk
@@ -227,21 +227,30 @@ object PipelineQueries {
     // deterministic k-fold CV assignment, seventh decorrelated hash
     "data_kfold" -> ((s, dir) =>
       TextAnalysis.kfoldAssign(Tables.documents(s, dir))),
-    // SCD Type 2 dimension build from the changelog (r10)
+    // SCD Type 2 dimension build from the changelog (r9 batch 10)
     "events_scd2" -> ((s, dir) =>
       Events.scd2(Tables.events(s, dir))),
-    // exact integer Gram matrix over the int8 codes — the PCA fold (r10)
+    // exact integer Gram matrix over the int8 codes — the PCA fold (r9 batch 10)
     "emb_gram_matrix" -> ((s, dir) =>
       Similarity.gramMatrix(Tables.embeddings(s, dir))),
-    // Flesch reading-ease, integer-rational exact (r10)
+    // Flesch reading-ease, integer-rational exact (r9 batch 10)
     "text_readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir))),
-    // corpus vocabulary statistics (Heaps/Zipf card numbers) (r10)
+    // corpus vocabulary statistics (Heaps/Zipf card numbers) (r9 batch 10)
     "text_vocab_stats" -> ((s, dir) =>
       TextAnalysis.vocabStats(Tables.documents(s, dir))),
-    // hourly forward-fill resample per user (r10)
+    // hourly forward-fill resample per user (r9 batch 10)
     "events_gap_fill" -> ((s, dir) =>
       Events.gapFillHourly(Tables.events(s, dir))),
+    // first-order Markov transition matrix over event types (r9 b11)
+    "events_transition_matrix" -> ((s, dir) =>
+      Events.transitionMatrix(Tables.events(s, dir))),
+    // document-frequency / IDF rational table (r9 batch 12)
+    "text_idf_table" -> ((s, dir) =>
+      TextAnalysis.idfTable(Tables.documents(s, dir))),
+    // two integer power-iteration steps over the Gram fold (r9 b12)
+    "emb_power_iter" -> ((s, dir) =>
+      Similarity.powerIter(Tables.embeddings(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -1194,6 +1203,63 @@ object PipelineQueries {
         |  last_value(v IGNORE NULLS) OVER w AS filled_value,
         |  last_value(obs_us IGNORE NULLS) OVER w AS filled_from_us
         |FROM j WINDOW w AS (PARTITION BY user_id ORDER BY hour_us)""".stripMargin,
+    // bigram successor counts + row-conditional probability; the lead
+    // orders by (us, event_id) — event_id unique, so both engines see
+    // the same successor for same-timestamp events
+    // df over in-row-distinct tokens; (df, n_docs) is the exact
+    // rational every idf variant derives from — no engine libm baked in
+    "text_idf_table" ->
+      raw"""WITH d AS (SELECT DISTINCT doc_id, token FROM (
+           |    SELECT doc_id,
+           |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           |    FROM documents) WHERE token != ''),
+           |df AS (SELECT token, count(*) AS df FROM d GROUP BY token)
+           |SELECT token, df, (SELECT count(*) FROM documents) AS n_docs
+           |FROM df WHERE df >= 2""".stripMargin,
+    // the gram CTE composed with the symmetric mirror and two integer
+    // matvecs; the inter-step rescale is floor of one IEEE divide of
+    // exactly-representable integers (mx // 1000 is positive, so
+    // DuckDB's floor-div == Spark's DIV here)
+    "emb_power_iter" ->
+      """WITH x AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS m
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+        |      ELSE CAST(trunc(CAST(x AS DOUBLE) * 127 / m) AS INT) END) AS qv
+        |  FROM x),
+        |cells AS (SELECT a.i AS i, b.j AS j,
+        |    CAST(qv[a.i + 1] AS BIGINT) * qv[b.j + 1] AS p
+        |  FROM q, UNNEST(range(0, len(qv))) AS a(i),
+        |       UNNEST(range(0, len(qv))) AS b(j)
+        |  WHERE b.j >= a.i),
+        |g AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS gram
+        |  FROM cells GROUP BY i, j),
+        |f AS (SELECT i, j, gram FROM g
+        |  UNION ALL SELECT j, i, gram FROM g WHERE i != j),
+        |v1 AS (SELECT i, CAST(sum(gram) AS BIGINT) AS v1 FROM f GROUP BY i),
+        |mx AS (SELECT max(abs(v1)) AS mx FROM v1),
+        |sc AS (SELECT i AS j,
+        |    CAST(floor(CAST(v1 AS DOUBLE) / (mx // 1000 + 1)) AS BIGINT)
+        |      AS v1s
+        |  FROM v1, mx),
+        |v2 AS (SELECT f.i, CAST(sum(f.gram * s.v1s) AS BIGINT) AS v2
+        |  FROM f JOIN sc s ON f.j = s.j GROUP BY f.i)
+        |SELECT v2.i, v1.v1, v2.v2 FROM v2 JOIN v1 ON v2.i = v1.i""".stripMargin,
+    "events_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |    FROM events),
+        |b AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |m AS (SELECT from_type, to_type, count(*) AS n FROM b
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM m""".stripMargin,
     // the as-of replay: identical union-window formulation — strict
     // priority via the ROWS ... AND 1 PRECEDING frame over the total
     // (us, event_id) order, so same-timestamp resolution matches

@@ -327,6 +327,42 @@ object Similarity {
       .agg(sum(col("c.p")).as("gram"), count(lit(1)).as("n_vecs"))
   }
 
+  /** Two deterministic power-iteration steps over the [[gramMatrix]]
+    * fold — the distributed core of PCA / top-eigenvector extraction
+    * (the direction v₂ converges toward is the corpus's principal
+    * axis). The corpus is touched ONCE (the Gram fold, checkpointed);
+    * everything after is dims²-row metadata: mirror the upper
+    * triangle to the full symmetric matrix, v₁ = G·1, rescale, then
+    * v₂ = G·v₁'.
+    *
+    * All-integer arithmetic end to end. The rescale between steps —
+    * v₁' = trunc(v₁ / (max|v₁| DIV 1000 + 1)), one IEEE divide of two
+    * exactly-representable integers (< 2⁵³), identical on every
+    * engine — bounds |v₁'| ≤ 1000 so v₂ stays inside BIGINT at any
+    * corpus size where Gram cells do (~10¹⁴ vectors), exactly the
+    * float-normalization step of textbook power iteration replaced by
+    * a deterministic integer one (normalization only rescales the
+    * direction, so convergence is untouched).
+    */
+  def powerIter(embeddings: DataFrame): DataFrame = {
+    val g = graft.Checkpoints.tracked(gramMatrix(embeddings)
+      .select(col("i"), col("j"), col("gram")))
+    val full = g.unionAll(g.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("gram")))
+    val v1 = full.groupBy(col("i")).agg(sum(col("gram")).as("v1"))
+    val scaled = v1
+      .crossJoin(broadcast(v1.agg(max(abs(col("v1"))).as("mx"))))
+      .select(col("i").as("j"),
+        floor(col("v1").cast("double") /
+          (expr("mx DIV 1000") + lit(1L)).cast("double"))
+          .cast("long").as("v1s"))
+    full.join(scaled, "j")
+      .groupBy(col("i"))
+      .agg(sum(col("gram") * col("v1s")).as("v2"))
+      .join(v1, "i")
+      .select(col("i"), col("v1"), col("v2"))
+  }
+
   /** SQ8 retrieval: exact top-k over the QUANTIZED codes — the score
     * is an INTEGER dot product (bit-exact on any engine) rescaled by
     * the two per-vector scales. This is the memory-bandwidth path a

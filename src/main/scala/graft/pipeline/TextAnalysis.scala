@@ -378,6 +378,27 @@ object TextAnalysis {
         sum(when(col("n") === 2, 1L).otherwise(0L)).as("n_dis"),
         max(col("n")).as("max_tf"))
 
+  /** Document-frequency / IDF table — the vocabulary-level statistic
+    * TF-IDF features, BM25 scoring, and stop-word discovery all read
+    * from. Per-doc tokens dedupe IN-ROW (array_distinct before the
+    * explode — df counts documents, and the corpus never shuffles
+    * per-occurrence rows), the df fold combines map-side, and the
+    * doc total rides along as a broadcast single-row frame, so the
+    * output carries the EXACT (df, n_docs) rational every idf variant
+    * derives from — emitting a float log here would just bake in one
+    * engine's libm; the rational is the portable witness.
+    */
+  def idfTable(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(explode(array_distinct(wsTokens(lower(col("text")))))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(total))
+  }
+
   /** Per-source stratified sampling with deterministic md5 buckets —
     * the per-domain quota pass of a corpus build. A doc's keep/drop
     * depends only on its own id (stable under reruns and corpus

@@ -259,6 +259,16 @@ object RdfQueries {
           col("n_triples"), col("n_subjects"), col("n_objects"))
       props.union(classes).union(ds)
     },
+    // RDF reification of the geo edge slice: every :hasNation
+    // statement becomes a content-addressed statement resource with
+    // rdf:subject/predicate/object — deterministic IRIs, one narrow
+    // explode pass (r9 batch 11)
+    "rdf_reify" -> { (s, dir) =>
+      Reification.reify(
+        TripleStore.dimensionTriples(s, dir)
+          .filter(col("p") === ":hasNation")
+          .select(col("s"), col("p"), col("o")))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -500,5 +510,19 @@ object RdfQueries {
         |  FROM t)
         |SELECT * FROM props UNION ALL SELECT * FROM cls
         |UNION ALL SELECT * FROM ds""".stripMargin,
+    // content-addressed statement IRIs: md5 over the canonical s|p|o
+    // string on both engines
+    "rdf_reify" ->
+      """WITH t(s, p, o) AS (
+        |  SELECT 'cust:'||c_custkey, ':hasNation', 'nat:'||c_nationkey
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey
+        |  FROM supplier),
+        |r AS (SELECT 'stmt:'||md5(s||'|'||p||'|'||o) AS stmt, s, p, o FROM t)
+        |SELECT stmt AS s, 'rdf:type' AS p, 'rdf:Statement' AS o FROM r
+        |UNION ALL SELECT stmt, 'rdf:subject', s FROM r
+        |UNION ALL SELECT stmt, 'rdf:predicate', p FROM r
+        |UNION ALL SELECT stmt, 'rdf:object', o FROM r""".stripMargin,
   )
 }

@@ -94,6 +94,24 @@ class InferenceSpec extends AnyFunSuite {
     assert(got("") == Set((">", ":inRegion", "r:1"), ("<", ":hasNation", "c:1")))
   }
 
+  test("transitive property entailment composes the subproperty lift") {
+    // :hasNation/:inRegion lift to :locatedIn (rdfs7), which is
+    // declared owl:TransitiveProperty — the chain closes across the
+    // two DIFFERENT base predicates; unrelated edges never enter
+    val edges = Seq(
+      ("c:1", ":hasNation", "n:1"), ("n:1", ":inRegion", "r:1"),
+      ("c:2", ":hasNation", "n:2"),
+      ("c:9", ":other", "n:1"))
+      .toDF("src", "rel", "dst")
+    val got = Reasoner.transitiveEdges(spark, edges)
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("c:1", ":locatedIn", "n:1"),
+      ("n:1", ":locatedIn", "r:1"),
+      ("c:1", ":locatedIn", "r:1"), // the composed entailment
+      ("c:2", ":locatedIn", "n:2")))
+  }
+
   test("sameAs canonicalization smushes chains, spares literal lookalikes") {
     val store = Seq(
       // one entity under three URIs, linked by a CHAIN (a→b, b→c):

@@ -1233,4 +1233,29 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Int, Int, Int, Long)].collect().head
     assert(r == ((1L, 4, 2, 4, 120205L)))
   }
+
+  test("transition matrix counts per-user successors, ties by event_id") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:01", 7L, "view", 0.0, "{}"),
+      (2L, "2024-01-01 00:00:02", 7L, "click", 0.0, "{}"),
+      // same timestamp as event 2: id order makes purchase the
+      // successor of click, not the other way round
+      (3L, "2024-01-01 00:00:02", 7L, "purchase", 0.0, "{}"),
+      (4L, "2024-01-01 00:00:09", 8L, "view", 0.0, "{}"),
+      (5L, "2024-01-01 00:00:10", 8L, "click", 0.0, "{}"),
+      // user 9's single event yields no bigram
+      (6L, "2024-01-01 00:00:10", 9L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Events.transitionMatrix(ev)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(r == Set(
+      ("view", "click", 2L, 1.0),
+      ("click", "purchase", 1L, 1.0)))
+    // row-conditional probabilities sum to 1 per from_type
+    val sums = Events.transitionMatrix(ev)
+      .groupBy("from_type").agg(sum("p").as("sp"))
+      .as[(String, Double)].collect().toMap
+    assert(sums.values.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
 }

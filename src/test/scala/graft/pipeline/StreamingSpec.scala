@@ -209,6 +209,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.size == 2)
   }
 
+  test("streaming transition pairs reproduce the batch bigram counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, ts(1), 7L, "view", 0.0),
+      (2L, ts(3), 7L, "click", 0.0),
+      (3L, ts(5), 8L, "view", 0.0),
+      // second arrival batch: pairs across the batch boundary — state
+      // (the latest event) carried; user 8 stays single, no pair
+      (4L, ts(9), 7L, "purchase", 0.0),
+      (5L, ts(11), 7L, "view", 0.0))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    stream.addData(rows.take(3))
+    val q = Events.transitionPairsStreaming(stream.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("trans_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trans_stream_test")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    val want = Events.transitionMatrix(rows.toDF(cols: _*)
+        .withColumn("props", lit("{}")))
+      .select("from_type", "to_type", "n")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want && got == Set(
+      ("view", "click", 1L),
+      ("click", "purchase", 1L),
+      ("purchase", "view", 1L)))
+  }
+
   test("windowed hll sketch streams and matches the batch grouped sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

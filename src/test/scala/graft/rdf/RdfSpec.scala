@@ -415,4 +415,24 @@ class RdfSpec extends AnyFunSuite {
     assert(TripleOps.subtract(store, store.limit(2)).count() ==
       store.count() - 2)
   }
+
+  test("reification is deterministic, content-addressed, 4 rows/stmt") {
+    val t = Seq(("s:1", ":p", "o:1"), ("s:2", ":p", "lit"))
+      .toDF("s", "p", "o")
+    val r = Reification.reify(t).as[(String, String, String)].collect()
+    assert(r.length == 4 * 2)
+    val byStmt = r.groupBy(_._1)
+    assert(byStmt.size == 2)
+    // each statement resource carries exactly the four reification
+    // predicates, and its object triple points back at the original o
+    byStmt.values.foreach { rows =>
+      assert(rows.map(_._2).toSet ==
+        Set("rdf:type", "rdf:subject", "rdf:predicate", "rdf:object"))
+    }
+    // content-addressing: re-reifying yields the SAME statement IRIs
+    val again = Reification.reify(t).select("s").as[String].collect().toSet
+    assert(again == r.map(_._1).toSet)
+    // distinct statements get distinct IRIs
+    assert(r.map(_._1).toSet.size == 2)
+  }
 }
