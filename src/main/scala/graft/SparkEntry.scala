@@ -164,6 +164,30 @@ object SparkEntry {
         .filter(col("l_quantity") < lit(0.2) * col("aq"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     },
+    // TPC-H Q22-style idle high-balance customers: the scalar-subquery
+    // + anti-join anchor. The positive-balance average arrives as its
+    // EXACT integer-cents rational (sum, count) on a broadcast
+    // single-row frame, and the threshold compare is cents·n > sum —
+    // pure BIGINT, no float average to drift at any scale (balances
+    // are exact cents; cents·count < 2⁶³ to ~10¹² customers). The
+    // no-recent-orders test is a LEFT ANTI join against the pruned
+    // orders slice — the decorrelated NOT EXISTS (r9 batch 13).
+    "q22_idle_customers" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val pos = cust.filter(col("cents") > 0)
+        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("nc"))
+      cust
+        .crossJoin(broadcast(pos))
+        .filter(col("cents") * col("nc") > col("sc"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("total_cents"))
+    },
     // multi-level OLAP rollup: Spark's rollup() expands the grouping
     // sets MAP-SIDE with partial aggregation — one shuffle carries all
     // three levels; gid is the standard grouping bitmask so subtotal
@@ -267,6 +291,20 @@ object SparkEntry {
         |      FROM lineitem GROUP BY l_partkey) a
         |  ON a.l_partkey = l.l_partkey
         |WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.aq""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |p AS (SELECT sum(cents) AS sc, count(*) AS nc FROM c
+        |  WHERE cents > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM c, p
+        |WHERE cents * nc > sc
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  GROUPING(l_returnflag, l_linestatus) AS gid,

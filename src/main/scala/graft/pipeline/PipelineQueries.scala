@@ -248,6 +248,9 @@ object PipelineQueries {
     // document-frequency / IDF rational table (r9 batch 12)
     "text_idf_table" -> ((s, dir) =>
       TextAnalysis.idfTable(Tables.documents(s, dir))),
+    // langid confusion matrix vs the labeled lang column (r9 b13)
+    "text_langid_eval" -> ((s, dir) =>
+      TextAnalysis.langIdEval(Tables.documents(s, dir))),
     // two integer power-iteration steps over the Gram fold (r9 b12)
     "emb_power_iter" -> ((s, dir) =>
       Similarity.powerIter(Tables.embeddings(s, dir))),
@@ -1206,6 +1209,26 @@ object PipelineQueries {
     // bigram successor counts + row-conditional probability; the lead
     // orders by (us, event_id) — event_id unique, so both engines see
     // the same successor for same-timestamp events
+    // the langid oracle CTEs joined back to the truth column
+    "text_langid_eval" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+           |h AS (SELECT doc_id,
+           |  len(list_filter(toks, t -> list_contains(['the','a','and','of','in'], t))) AS en,
+           |  len(list_filter(toks, t -> list_contains(['le','la','et','un','dans'], t))) AS fr,
+           |  len(list_filter(toks, t -> list_contains(['der','die','und','das','ein'], t))) AS de,
+           |  len(list_filter(toks, t -> list_contains(['el','los','y','una','por'], t))) AS es
+           |FROM x),
+           |pr AS (SELECT doc_id,
+           |  CASE WHEN en + fr + de + es = 0 THEN 'und'
+           |       WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+           |       WHEN fr >= de AND fr >= es THEN 'fr'
+           |       WHEN de >= es THEN 'de'
+           |       ELSE 'es' END AS pred_lang
+           |FROM h)
+           |SELECT d.lang, pr.pred_lang, count(*) AS n
+           |FROM pr JOIN documents d USING (doc_id)
+           |GROUP BY d.lang, pr.pred_lang""".stripMargin,
     // df over in-row-distinct tokens; (df, n_docs) is the exact
     // rational every idf variant derives from — no engine libm baked in
     "text_idf_table" ->

@@ -82,6 +82,20 @@ object TextAnalysis {
     docs.select(col("doc_id"), pred.as("pred_lang"), en.as("en_hits"))
   }
 
+  /** Language-ID evaluation: the confusion matrix of the SHIPPED
+    * [[langId]] operator against the corpus's labeled `lang` column —
+    * the measured-regime principle applied to language detection (the
+    * per-language precision/recall every filtering threshold is set
+    * from derives exactly from these integer cells). One doc-keyed
+    * join of the operator's output back onto the truth column, then
+    * a map-side-combined fold to the ≤langs² matrix.
+    */
+  def langIdEval(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
   /** md5 fingerprint of the canonicalized text. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -129,6 +129,12 @@ object Ast {
   final case class PathStar(s: Term, preds: Seq[String], o: Term) extends Pattern
   /** Property path `(p1|p2|…)?`: zero or one hop. */
   final case class PathZeroOne(s: Term, preds: Seq[String], o: Term) extends Pattern
+  /** Bare alternation path `(p1|p2|…)`: exactly one hop over ANY of
+    * the predicates (SPARQL PathAlternative without a repetition
+    * modifier) — the disjunctive-edge query the modifier forms build
+    * on.
+    */
+  final case class PathAlt(s: Term, preds: Seq[String], o: Term) extends Pattern
   /** Fixed-range path `(p1|p2|…){n,m}`: between n and m hops (the
     * SPARQL 1.1 draft / Jena ARQ repetition form). Compiles to the
     * union of the k-hop chains for k ∈ [n, m]; k = 0 contributes the

@@ -578,6 +578,12 @@ object Compiler {
       // fresh predicate variable that is dropped after projection
       patternDf(triples.filter(!col("p").isin(preds: _*)),
         TriplePattern(s, Var("__negp"), o)).drop("__negp")
+    case PathAlt(s, preds, o) =>
+      // the positive twin of NegPath: one hop over any predicate IN
+      // the set — an isin filter the partitioned store turns into
+      // multi-directory partition pruning
+      patternDf(triples.filter(col("p").isin(preds: _*)),
+        TriplePattern(s, Var("__altp"), o)).drop("__altp")
     case SubSelect(q) =>
       // evaluate the inner SELECT bottom-up; aggregate aliases come
       // out typed, so re-derive the numeric companions the enclosing

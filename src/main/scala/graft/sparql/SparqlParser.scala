@@ -190,6 +190,22 @@ object SparqlParser extends RegexParsers {
         else success(GroupOrUnionElem(PathRange(s, preds.map(_.value), mn, mx, o)))
     }
 
+  /** Bare alternation path: `term (p1|p2|…) term .` — exactly one hop
+    * over any listed predicate (SPARQL PathAlternative with no
+    * repetition modifier; the modifier forms are handled by
+    * [[parenPathPreds]]/[[rangePathTriple]], which this rule only
+    * reaches after their suffix match fails). At least two
+    * alternatives: a one-element parenthesized path is an ordinary
+    * triple.
+    */
+  private def altPathTriple: Parser[GroupElem] =
+    term ~ ("(" ~> rep1sep(iriRef | pname | rdfTypeKw, "|") <~ ")") ~
+      term <~ opt(".") >> {
+      case s ~ preds ~ o =>
+        if (preds.size < 2) failure("single-predicate parens: plain triple")
+        else success(GroupOrUnionElem(PathAlt(s, preds.map(_.value), o)))
+    }
+
   /** Negated property set: `term !(p1|p2) term .` or `term !p term .`
     * — one hop over any predicate outside the list.
     */
@@ -312,7 +328,8 @@ object SparqlParser extends RegexParsers {
 
   private def groupElem: Parser[GroupElem] =
     filterElem | optionalElem | minusElem | bindElem | valuesElem |
-      graphElem | negPathTriple | pathTriple | rangePathTriple | seqPathTriple |
+      graphElem | negPathTriple | pathTriple | rangePathTriple |
+      altPathTriple | seqPathTriple |
       subSelectElem | groupOrUnion | (triplesSameSubject ^^ TriplesElem.apply)
 
   private def groupGraphPattern: Parser[Pattern] =
@@ -562,6 +579,8 @@ object SparqlParser extends RegexParsers {
         steps.map(st => PathStep(f(st.pred), st.inverse)), rewriteTerm(o, f))
     case NegPath(s, preds, o) =>
       NegPath(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
+    case PathAlt(s, preds, o) =>
+      PathAlt(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
     case SubSelect(q) => SubSelect(q.copy(where = rewritePattern(q.where, f)))
   }
 

@@ -364,6 +364,12 @@ object SparqlQueries {
       runP(s, dir, SparqlParser.parse(
         "SELECT ?c ?y WHERE { ?c a :Customer . ?c :hasNation? ?y }"))
     },
+    // bare PathAlternative (no modifier): one hop over either geo
+    // predicate — the isin filter prunes BOTH predicate partitions
+    "sparql_path_alt" -> { (s, dir) =>
+      runP(s, dir, SparqlParser.parse(
+        "SELECT ?a ?b WHERE { ?a (:hasNation|:inRegion) ?b }"))
+    },
     // expression FILTERs: computed left sides (string length,
     // arithmetic) compared against literals
     "sparql_expr_filter" -> { (s, dir) =>
@@ -805,6 +811,12 @@ object SparqlQueries {
       """SELECT 'cust:'||c_custkey AS c, 'cust:'||c_custkey AS y FROM customer
         |UNION ALL
         |SELECT 'cust:'||c_custkey, 'nat:'||c_nationkey FROM customer""".stripMargin,
+    "sparql_path_alt" ->
+      """SELECT 'cust:'||c_custkey AS a, 'nat:'||c_nationkey AS b FROM customer
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, 'nat:'||s_nationkey FROM supplier
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey, 'reg:'||n_regionkey FROM nation""".stripMargin,
     "sparql_prefix_decl" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b
         |FROM customer WHERE c_acctbal >= 5000""".stripMargin,

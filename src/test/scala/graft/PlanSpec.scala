@@ -621,5 +621,28 @@ class PlanSpec extends AnyFunSuite {
     // pruned scan still answers correctly (customers + suppliers)
     assert(df.count() ==
       Graft.sparql(spark, dir, "SELECT ?c ?n WHERE { ?c :hasNation ?n }").count())
+    // the alternation path's isin filter prunes BOTH listed predicate
+    // partitions (and only them)
+    val alt = Graft.sparql(pt,
+      "SELECT ?a ?b WHERE { ?a (:hasNation|:inRegion) ?b }")
+    val altScan = alt.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(altScan.contains("hasNation") && altScan.contains("inRegion"),
+      s"alternation must prune to its predicate set, got: $altScan")
+  }
+
+  test("q22: rational threshold broadcasts; NOT EXISTS is an anti join") {
+    val p = plan("q22_idle_customers")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row (sum, count) rational must broadcast onto the scan")
+    assert(p.contains("LeftAnti"), "no-recent-orders must be a left anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_langid_eval: confusion fold combines map-side") {
+    val p = plan("text_langid_eval")
+    assert(p.contains("partial_count"),
+      "matrix cells must partial-aggregate before the shuffle")
+    assert(!p.contains("Sort "), "no sort in a confusion matrix fold")
   }
 }

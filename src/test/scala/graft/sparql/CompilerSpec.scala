@@ -378,6 +378,21 @@ class CompilerSpec extends AnyFunSuite {
     assert(rows == Set(("ann", "nn", "a", ""), ("bob", "ob", "", "b")))
   }
 
+  test("path alternation hops over exactly the listed predicates") {
+    val q = SelectQuery(
+      where = PathAlt(Iri("p:1"), Seq(":name", ":knows"), v("o")),
+      projection = Seq("o"))
+    assert(Compiler.run(triples, q).collect().map(_.getString(0)).toSet ==
+      Set("ann", "p:2"))
+    // var-var form: every edge under either predicate, nothing else
+    val q2 = SelectQuery(
+      where = PathAlt(v("a"), Seq(":knows", ":age"), v("b")),
+      projection = Seq("a", "b"))
+    assert(Compiler.run(triples, q2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("p:1", "p:2"), ("p:1", "30"), ("p:2", "40")))
+  }
+
   test("negated property set hops over predicates outside the list") {
     val q = SelectQuery(
       where = NegPath(Iri("p:1"), Seq(":knows", "rdf:type"), v("o")),

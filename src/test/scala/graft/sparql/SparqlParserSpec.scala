@@ -172,6 +172,20 @@ class SparqlParserSpec extends AnyFunSuite {
       TriplePattern(Var("x"), Iri(":knows"), Var("y")))))
   }
 
+  test("parses bare path alternation, prefers modifier forms") {
+    val alt = SparqlParser.parse("SELECT ?y WHERE { ?x (:a|:b) ?y }")
+    val PathAlt(Var("x"), ap, Var("y")) = alt.where: @unchecked
+    assert(ap == Seq(":a", ":b"))
+    // prefixes expand inside the alternation list
+    val pfx = SparqlParser.parse(
+      "PREFIX ex: <http://e/> SELECT ?y WHERE { ?x (ex:a|:b) ?y }")
+    val PathAlt(_, pp, _) = pfx.where: @unchecked
+    assert(pp == Seq("http://e/a", ":b"))
+    // a modifier after the parens still parses as the modifier form
+    val star = SparqlParser.parse("SELECT ?y WHERE { ?x (:a|:b)* ?y }")
+    assert(star.where.isInstanceOf[PathStar])
+  }
+
   test("parses IN / NOT IN, BOUND, and !-negation") {
     val q = SparqlParser.parse(
       """SELECT ?x WHERE {
