@@ -544,4 +544,31 @@ object Dedup {
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
     }
   }
+
+  /** Incremental (cross-snapshot) exact dedup — the pattern every
+    * continuously-ingested corpus runs: an INCOMING batch screened
+    * against the fingerprint set of the EXISTING corpus, so each new
+    * crawl pays one keyed join instead of re-deduping the world. Here
+    * the split is simulated deterministically (an md5 bucket on
+    * doc_id — the eighth decorrelated slice, chars 29-32); in
+    * production the existing side is the stored fingerprint table the
+    * previous run wrote. The existing side dedupes to DISTINCT
+    * fingerprints before the join (the fingerprint TABLE, not the
+    * corpus), so the join's build side is bounded by unique content,
+    * and the per-doc verdict is a left-join existence flag — every
+    * incoming doc survives with its keep/drop decision attached.
+    */
+  def incrementalDedup(docs: DataFrame, existingPct: Int = 50): DataFrame = {
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 29, 4), 16, 10)
+      .cast("long") % 100
+    val fp = docs.select(col("doc_id"), bucket.as("b"),
+      md5(col("text").cast("binary")).as("fp"))
+    val existing = fp.filter(col("b") < existingPct)
+      .select(col("fp")).distinct().withColumn("__hit", lit(1))
+    fp.filter(col("b") >= existingPct)
+      .join(existing, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        col("__hit").isNotNull.as("dup_of_existing"))
+  }
 }

@@ -622,6 +622,36 @@ object Events {
         sum(col("n")).over(byFrom), 6))
   }
 
+  /** Event-time lateness profile — the measurement a streaming
+    * deployment SETS ITS WATERMARK from: treating event_id as the
+    * ingest/arrival sequence (the ledger order ids are assigned in),
+    * an event's lateness is how far its timestamp lags the running
+    * maximum seen before it in the same user's arrival order. Per
+    * event type: totals, late counts, the max, and threshold buckets
+    * (1 min / 1 h) — all exact integers, so the "1 hour" in every
+    * withWatermark call in this module is a number this key justifies
+    * rather than folklore. One user-keyed exchange + a linear window
+    * pass, then a map-side-combined fold to ≤types rows.
+    */
+  def latenessProfile(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("late_us",
+        greatest(coalesce(max(col("us")).over(w) - col("us"), lit(0L)),
+          lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(when(col("late_us") > 60000000L, 1L).otherwise(0L))
+          .as("n_over_1m"),
+        sum(when(col("late_us") > 3600000000L, 1L).otherwise(0L))
+          .as("n_over_1h"))
+  }
+
   /** Time-series gap fill: resample each user's stream onto an hourly
     * grid spanning their observed range and FORWARD-FILL empty hours
     * with the last observation — the standard feature-store /

@@ -251,6 +251,12 @@ object PipelineQueries {
     // langid confusion matrix vs the labeled lang column (r9 b13)
     "text_langid_eval" -> ((s, dir) =>
       TextAnalysis.langIdEval(Tables.documents(s, dir))),
+    // incremental cross-snapshot exact dedup (r9 batch 14)
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalDedup(Tables.documents(s, dir))),
+    // event-time lateness profile — the watermark-tuning numbers (r9 b14)
+    "events_lateness_profile" -> ((s, dir) =>
+      Events.latenessProfile(Tables.events(s, dir))),
     // two integer power-iteration steps over the Gram fold (r9 b12)
     "emb_power_iter" -> ((s, dir) =>
       Similarity.powerIter(Tables.embeddings(s, dir))),
@@ -1209,6 +1215,35 @@ object PipelineQueries {
     // bigram successor counts + row-conditional probability; the lead
     // orders by (us, event_id) — event_id unique, so both engines see
     // the same successor for same-timestamp events
+    // the md5-bucket split replayed; DISTINCT existing fingerprints
+    "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 29, 4))::BIGINT % 100 AS b,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |ex AS (SELECT DISTINCT fp FROM f WHERE b < 50)
+        |SELECT i.doc_id, i.fp, ex.fp IS NOT NULL AS dup_of_existing
+        |FROM f i LEFT JOIN ex ON i.fp = ex.fp
+        |WHERE i.b >= 50""".stripMargin,
+    // lateness vs the running max over the event_id (arrival) order
+    "events_lateness_profile" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |    FROM events),
+        |l AS (SELECT event_type,
+        |    greatest(coalesce(max(us) OVER (PARTITION BY user_id
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us,
+        |      0), 0) AS late_us
+        |  FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  max(late_us) AS max_late_us,
+        |  CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_over_1m,
+        |  CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_over_1h
+        |FROM l GROUP BY event_type""".stripMargin,
     // the langid oracle CTEs joined back to the truth column
     "text_langid_eval" ->
       raw"""WITH x AS (SELECT doc_id,

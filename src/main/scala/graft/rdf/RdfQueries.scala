@@ -9,6 +9,40 @@ import org.apache.spark.sql.functions._
   */
 object RdfQueries {
 
+  /** The dimension-triple relation (no lineitem facts) as one SQL CTE
+    * body — shared by every oracle that must replicate the whole
+    * store slice (void stats, graph digest).
+    */
+  private val DIM_T: String =
+    """t AS (
+      |  SELECT 'cust:'||c_custkey AS s, 'rdf:type' AS p, ':Customer' AS o FROM customer
+      |  UNION ALL SELECT 'cust:'||c_custkey, ':name', c_name FROM customer
+      |  UNION ALL SELECT 'cust:'||c_custkey, ':acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+      |  UNION ALL SELECT 'cust:'||c_custkey, ':mktsegment', c_mktsegment FROM customer
+      |  UNION ALL SELECT 'cust:'||c_custkey, ':hasNation', 'nat:'||c_nationkey FROM customer
+      |  UNION ALL SELECT 'nat:'||n_nationkey, 'rdf:type', ':Nation' FROM nation
+      |  UNION ALL SELECT 'nat:'||n_nationkey, ':name', n_name FROM nation
+      |  UNION ALL SELECT 'nat:'||n_nationkey, ':comment', n_name||' comment' FROM nation
+      |  UNION ALL SELECT 'nat:'||n_nationkey, ':inRegion', 'reg:'||n_regionkey FROM nation
+      |  UNION ALL SELECT 'reg:'||r_regionkey, 'rdf:type', ':Region' FROM region
+      |  UNION ALL SELECT 'reg:'||r_regionkey, ':name', r_name FROM region
+      |  UNION ALL SELECT 'supp:'||s_suppkey, 'rdf:type', ':Supplier' FROM supplier
+      |  UNION ALL SELECT 'supp:'||s_suppkey, ':name', s_name FROM supplier
+      |  UNION ALL SELECT 'supp:'||s_suppkey, ':acctbal', CAST(s_acctbal AS VARCHAR) FROM supplier
+      |  UNION ALL SELECT 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey FROM supplier
+      |  UNION ALL SELECT 'part:'||p_partkey, 'rdf:type', ':Part' FROM part
+      |  UNION ALL SELECT 'part:'||p_partkey, ':name', p_name FROM part
+      |  UNION ALL SELECT 'part:'||p_partkey, ':brand', p_brand FROM part
+      |  UNION ALL SELECT 'part:'||p_partkey, ':ptype', p_type FROM part
+      |  UNION ALL SELECT 'part:'||p_partkey, ':size', CAST(p_size AS VARCHAR) FROM part
+      |  UNION ALL SELECT 'part:'||p_partkey, ':retailprice', CAST(p_retailprice AS VARCHAR) FROM part
+      |  UNION ALL SELECT 'ord:'||o_orderkey, 'rdf:type', ':Order' FROM orders
+      |  UNION ALL SELECT 'ord:'||o_orderkey, ':byCustomer', 'cust:'||o_custkey FROM orders
+      |  UNION ALL SELECT 'ord:'||o_orderkey, ':totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'ord:'||o_orderkey, ':orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'ord:'||o_orderkey, ':orderstatus', o_orderstatus FROM orders
+      |  UNION ALL SELECT 'ord:'||o_orderkey, ':orderpriority', o_orderpriority FROM orders)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // canonical triple view — customer slice, all six columns
     "rdf_build_triples" -> { (s, dir) =>
@@ -269,6 +303,13 @@ object RdfQueries {
           .filter(col("p") === ":hasNation")
           .select(col("s"), col("p"), col("o")))
     },
+    // order-independent dataset digest over the dimension store —
+    // the versioned-export fingerprint (r9 batch 14)
+    "rdf_graph_digest" -> { (s, dir) =>
+      Reification.graphDigest(
+        TripleStore.dimensionTriples(s, dir)
+          .select(col("s"), col("p"), col("o")))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -471,35 +512,8 @@ object RdfQueries {
     // the counts; numeric/timestamp literal formatting differs per
     // engine but string casts are injective, so distinct counts agree)
     "rdf_void_stats" ->
-      """WITH t AS (
-        |  SELECT 'cust:'||c_custkey AS s, 'rdf:type' AS p, ':Customer' AS o FROM customer
-        |  UNION ALL SELECT 'cust:'||c_custkey, ':name', c_name FROM customer
-        |  UNION ALL SELECT 'cust:'||c_custkey, ':acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
-        |  UNION ALL SELECT 'cust:'||c_custkey, ':mktsegment', c_mktsegment FROM customer
-        |  UNION ALL SELECT 'cust:'||c_custkey, ':hasNation', 'nat:'||c_nationkey FROM customer
-        |  UNION ALL SELECT 'nat:'||n_nationkey, 'rdf:type', ':Nation' FROM nation
-        |  UNION ALL SELECT 'nat:'||n_nationkey, ':name', n_name FROM nation
-        |  UNION ALL SELECT 'nat:'||n_nationkey, ':comment', n_name||' comment' FROM nation
-        |  UNION ALL SELECT 'nat:'||n_nationkey, ':inRegion', 'reg:'||n_regionkey FROM nation
-        |  UNION ALL SELECT 'reg:'||r_regionkey, 'rdf:type', ':Region' FROM region
-        |  UNION ALL SELECT 'reg:'||r_regionkey, ':name', r_name FROM region
-        |  UNION ALL SELECT 'supp:'||s_suppkey, 'rdf:type', ':Supplier' FROM supplier
-        |  UNION ALL SELECT 'supp:'||s_suppkey, ':name', s_name FROM supplier
-        |  UNION ALL SELECT 'supp:'||s_suppkey, ':acctbal', CAST(s_acctbal AS VARCHAR) FROM supplier
-        |  UNION ALL SELECT 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey FROM supplier
-        |  UNION ALL SELECT 'part:'||p_partkey, 'rdf:type', ':Part' FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, ':name', p_name FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, ':brand', p_brand FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, ':ptype', p_type FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, ':size', CAST(p_size AS VARCHAR) FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, ':retailprice', CAST(p_retailprice AS VARCHAR) FROM part
-        |  UNION ALL SELECT 'ord:'||o_orderkey, 'rdf:type', ':Order' FROM orders
-        |  UNION ALL SELECT 'ord:'||o_orderkey, ':byCustomer', 'cust:'||o_custkey FROM orders
-        |  UNION ALL SELECT 'ord:'||o_orderkey, ':totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
-        |  UNION ALL SELECT 'ord:'||o_orderkey, ':orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
-        |  UNION ALL SELECT 'ord:'||o_orderkey, ':orderstatus', o_orderstatus FROM orders
-        |  UNION ALL SELECT 'ord:'||o_orderkey, ':orderpriority', o_orderpriority FROM orders),
-        |props AS (SELECT 'property' AS kind, p AS name, count(*) AS n_triples,
+      (s"WITH $DIM_T,\n" +
+      """|props AS (SELECT 'property' AS kind, p AS name, count(*) AS n_triples,
         |    count(DISTINCT s) AS n_subjects, count(DISTINCT o) AS n_objects
         |  FROM t GROUP BY p),
         |cls AS (SELECT 'class' AS kind, o AS name, count(*) AS n_triples,
@@ -509,7 +523,7 @@ object RdfQueries {
         |    count(DISTINCT s) AS n_subjects, count(DISTINCT o) AS n_objects
         |  FROM t)
         |SELECT * FROM props UNION ALL SELECT * FROM cls
-        |UNION ALL SELECT * FROM ds""".stripMargin,
+        |UNION ALL SELECT * FROM ds""".stripMargin),
     // content-addressed statement IRIs: md5 over the canonical s|p|o
     // string on both engines
     "rdf_reify" ->
@@ -524,5 +538,12 @@ object RdfQueries {
         |UNION ALL SELECT stmt, 'rdf:subject', s FROM r
         |UNION ALL SELECT stmt, 'rdf:predicate', p FROM r
         |UNION ALL SELECT stmt, 'rdf:object', o FROM r""".stripMargin,
+    // bit_xor over 60-bit content-hash prefixes: commutative fold,
+    // so the digest is shard-order-independent on both engines
+    "rdf_graph_digest" ->
+      (s"WITH $DIM_T,\n" +
+      """|h AS (SELECT ('0x' || substr(md5(s||'|'||p||'|'||o), 1, 15))::BIGINT
+        |    AS h FROM t)
+        |SELECT count(*) AS n_triples, bit_xor(h) AS digest FROM h""".stripMargin),
   )
 }

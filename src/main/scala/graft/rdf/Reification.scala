@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Reification {
 
+  /** Order-independent content digest of an RDF graph — the dataset
+    * fingerprint a versioned export stamps: bit_xor over the 60-bit
+    * prefixes of each triple's content hash. XOR is commutative and
+    * associative with no overflow, so 1000 executors fold shards in
+    * any order and the digest is identical — and equal graphs hash
+    * equal regardless of storage layout. Set semantics is REQUIRED
+    * (a triple appearing twice cancels itself out of an XOR); the
+    * store guarantees it, which is exactly why the digest composes
+    * with it. One narrow pass, one 1-row output.
+    */
+  def graphDigest(triples: DataFrame): DataFrame =
+    triples
+      .select(conv(substring(
+        md5(concat_ws("|", col("s"), col("p"), col("o")).cast("binary")),
+        1, 15), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_triples"), expr("bit_xor(h)").as("digest"))
+
   /** (s, p, o) → four reification triples per statement. */
   def reify(triples: DataFrame): DataFrame = {
     val stmt = concat(lit("stmt:"),

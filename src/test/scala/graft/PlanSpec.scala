@@ -563,6 +563,29 @@ class PlanSpec extends AnyFunSuite {
       "both matvecs must read the checkpointed Gram fold, not re-fold the corpus")
   }
 
+  test("dedup_incremental: one fp-keyed join, no product") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), "the screen joins on fp")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"),
+      "incoming must probe the distinct existing fingerprints by key")
+  }
+
+  test("events_lateness_profile: user window then map-side type fold") {
+    val p = plan("events_lateness_profile")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "the running-max window rides ONE user-keyed shuffle")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the per-type fold combines map-side")
+  }
+
+  test("rdf_graph_digest: narrow fold above the store, partial xor") {
+    val p = plan("rdf_graph_digest").split("InMemoryRelation")(0)
+    assert(!p.contains("Join"), "the digest is a pure aggregation")
+    assert(p.contains("partial_bit_xor") || p.contains("bit_xor"),
+      "the xor fold must combine map-side")
+  }
+
   test("text_readability stays narrow; vocab stats folds map-side") {
     val p = plan("text_readability")
     assert(!p.contains("Exchange"), "readability is a per-row pass, no shuffle")

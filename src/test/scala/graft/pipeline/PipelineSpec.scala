@@ -1234,6 +1234,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == ((1L, 4, 2, 4, 120205L)))
   }
 
+  test("incremental dedup flags incoming docs whose content exists") {
+    // enough docs that both hash buckets populate; duplicate content
+    // spread across ids so some incoming doc collides with existing
+    val docs = (1L to 40L).map(i => (i, s"text ${i % 8}", "en", "s", 6))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.incrementalDedup(docs)
+      .as[(Long, String, Boolean)].collect()
+    val bucket = docs.select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 29, 4),
+        16, 10).cast("long") % 100).as("b"),
+      md5(col("text").cast("binary")).as("fp"))
+      .as[(Long, Long, String)].collect()
+    val existingFps = bucket.filter(_._2 < 50).map(_._3).toSet
+    val incoming = bucket.filter(_._2 >= 50)
+    assert(incoming.nonEmpty && existingFps.nonEmpty, "both buckets populate")
+    // output is exactly the incoming slice, flag = fp ∈ existing set
+    assert(r.map(_._1).toSet == incoming.map(_._1).toSet)
+    r.foreach { case (_, fp, dup) => assert(dup == existingFps.contains(fp)) }
+    // with only 8 distinct texts over 40 docs, collisions must occur
+    assert(r.exists(_._3))
+  }
+
+  test("lateness profile measures ts lag behind the arrival-order max") {
+    val ev = Seq(
+      // user 7 arrival order (by event_id): ts 10, 5 (late by 5m),
+      // 20, 19 (late by 1m) — max lateness 5m, 2 late, 1 over 1m?
+      // 5m late = 300s > 60s, 1m late = 60s NOT > 60s (strict)
+      (1L, "2024-01-01 00:10:00", 7L, "view", 0.0, "{}"),
+      (2L, "2024-01-01 00:05:00", 7L, "view", 0.0, "{}"),
+      (3L, "2024-01-01 00:20:00", 7L, "view", 0.0, "{}"),
+      (4L, "2024-01-01 00:19:00", 7L, "view", 0.0, "{}"),
+      // user 8 in order: never late
+      (5L, "2024-01-01 00:01:00", 8L, "purchase", 0.0, "{}"),
+      (6L, "2024-01-01 00:02:00", 8L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Events.latenessProfile(ev)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r("view") == (("view", 4L, 2L, 300000000L, 1L, 0L)))
+    assert(r("purchase") == (("purchase", 2L, 0L, 0L, 0L, 0L)))
+  }
+
   test("transition matrix counts per-user successors, ties by event_id") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:01", 7L, "view", 0.0, "{}"),

@@ -416,6 +416,22 @@ class RdfSpec extends AnyFunSuite {
       store.count() - 2)
   }
 
+  test("graph digest is order-independent and content-sensitive") {
+    val t = Seq(("s:1", ":p", "o:1"), ("s:2", ":p", "o:2"),
+      ("s:3", ":q", "o:3")).toDF("s", "p", "o")
+    val d1 = Reification.graphDigest(t)
+      .as[(Long, Long)].collect().head
+    // any row order / partitioning yields the identical digest
+    val d2 = Reification.graphDigest(t.orderBy(col("o").desc).repartition(3))
+      .as[(Long, Long)].collect().head
+    assert(d1 == d2 && d1._1 == 3L)
+    // changing one triple changes the digest
+    val t2 = Seq(("s:1", ":p", "o:1"), ("s:2", ":p", "o:2"),
+      ("s:3", ":q", "o:CHANGED")).toDF("s", "p", "o")
+    val d3 = Reification.graphDigest(t2).as[(Long, Long)].collect().head
+    assert(d3._2 != d1._2)
+  }
+
   test("reification is deterministic, content-addressed, 4 rows/stmt") {
     val t = Seq(("s:1", ":p", "o:1"), ("s:2", ":p", "lit"))
       .toDF("s", "p", "o")
