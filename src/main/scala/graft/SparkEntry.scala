@@ -164,6 +164,32 @@ object SparkEntry {
         .filter(col("l_quantity") < lit(0.2) * col("aq"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     },
+    // TPC-H Q19-style disjunctive-predicate revenue: OR-of-ANDs over
+    // a fact⋈dim join. The part build side pre-filters to the UNION
+    // of the disjuncts' brands (the pushdown a naive OR evaluation
+    // misses — the build side shrinks before broadcast), the join
+    // stays a single keyed broadcast, and the full disjunction
+    // evaluates post-join in one codegen'd predicate. Sum rounds to
+    // 2dp — formatting guard only (r9 batch 15).
+    "q19_disjunctive_revenue" -> { (s, dir) =>
+      val part = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val disj =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(disj)
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
     // TPC-H Q22-style idle high-balance customers: the scalar-subquery
     // + anti-join anchor. The positive-balance average arrives as its
     // EXACT integer-cents rational (sum, count) on a broadcast
@@ -291,6 +317,16 @@ object SparkEntry {
         |      FROM lineitem GROUP BY l_partkey) a
         |  ON a.l_partkey = l.l_partkey
         |WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.aq""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q22_idle_customers" ->
       """WITH c AS (SELECT c_custkey, c_mktsegment,
         |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents

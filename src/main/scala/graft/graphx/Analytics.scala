@@ -539,6 +539,44 @@ object Analytics {
       .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"))
   }
 
+  /** Deterministic hash-guided walk sampling — the corpus-generation
+    * step of node2vec/DeepWalk-style graph embeddings, with the
+    * random choice replaced by a reproducible one: at step k the walk
+    * at `cur` moves to the neighbor minimizing
+    * md5(start|k|cur|neighbor). The hash keys on (start, step), so
+    * walks from different starts diverge like independent random
+    * walks, yet every engine and every rerun produces the SAME walks
+    * (the property a distributed corpus build needs — re-running a
+    * failed shard regenerates identical rows).
+    *
+    * Per step: one keyed join of the frontier against the
+    * checkpointed bidirectional edge relation (frontier size =
+    * surviving starts — AQE broadcasts it while small, shuffles when
+    * a production run walks from millions of starts) and one min_by
+    * fold. `steps` is a query constant, so the plan is `steps` joins
+    * regardless of graph size; ties are impossible (min_by keys on a
+    * full md5 of distinct inputs).
+    */
+  def walkSample(edges: DataFrame, starts: DataFrame, steps: Int = 3): DataFrame = {
+    val bi = checkpointTracked(
+      edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var cur = starts.select(col("v").as("start"), col("v").as("cur"))
+    val outs = Seq.newBuilder[DataFrame]
+    outs += cur.select(col("start"), lit(0).as("step"), col("cur").as("node"))
+    for (k <- 1 to steps) {
+      cur = cur.join(bi, col("cur") === col("src"))
+        .withColumn("h", md5(concat_ws("|",
+          col("start"), lit(k), col("cur"), col("dst")).cast("binary")))
+        .groupBy(col("start"))
+        .agg(min_by(col("dst"), col("h")).as("nxt"))
+        .select(col("start"), col("nxt").as("cur"))
+      outs += cur.select(col("start"), lit(k).as("step"), col("cur").as("node"))
+    }
+    outs.result().reduce(_ unionAll _)
+  }
+
   /** HITS hubs & authorities over a DIRECTED edge set, two full
     * Kleinberg rounds in EXACT integer arithmetic: a₁ = in-degree
     * (the uniform-hub first authority pass), h₁ = Σ_out a₁,

@@ -144,6 +144,15 @@ object GraphQueries {
             col("vid")).as("id"),
           col("score"))
     },
+    // deterministic hash-guided walk sampling over the co-order graph
+    // (the node2vec/DeepWalk corpus-generation step, reproducible by
+    // construction) — starts are the pk % 20 == 0 node slice (r9 b15)
+    "graph_walk_sample" -> { (s, dir) =>
+      val e = coOrderPartEdgeKeys(s, dir)
+      val starts = e.select(explode(array(col("src"), col("dst"))).as("v"))
+        .distinct().filter(col("v") % 20 === 0)
+      Analytics.walkSample(e, starts)
+    },
   )
 
   /** Unrolled-round label-propagation oracle: replays the synchronous
@@ -361,6 +370,28 @@ object GraphQueries {
         |UNION ALL SELECT 'nat:'||n_nationkey, 1 FROM nation
         |UNION ALL SELECT 'cust:'||c_custkey, 2 FROM customer
         |UNION ALL SELECT 'supp:'||s_suppkey, 2 FROM supplier""".stripMargin,
+    // the walk replayed step by step: min_by over the same md5 choice
+    "graph_walk_sample" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |bi AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |w0 AS (SELECT DISTINCT src AS start, src AS cur FROM bi
+        |  WHERE src % 20 = 0),
+        |w1 AS (SELECT start,
+        |    min_by(dst, md5(concat_ws('|', start, 1, cur, dst))) AS cur
+        |  FROM w0 JOIN bi ON cur = src GROUP BY start),
+        |w2 AS (SELECT start,
+        |    min_by(dst, md5(concat_ws('|', start, 2, cur, dst))) AS cur
+        |  FROM w1 JOIN bi ON cur = src GROUP BY start),
+        |w3 AS (SELECT start,
+        |    min_by(dst, md5(concat_ws('|', start, 3, cur, dst))) AS cur
+        |  FROM w2 JOIN bi ON cur = src GROUP BY start)
+        |SELECT start, 0 AS step, cur AS node FROM w0
+        |UNION ALL SELECT start, 1, cur FROM w1
+        |UNION ALL SELECT start, 2, cur FROM w2
+        |UNION ALL SELECT start, 3, cur FROM w3""".stripMargin,
   ) ++ (
     // emitted only after the graph_kcore query itself has run: an
     // unobserved round count would unroll a wrong 1-round superset

@@ -543,6 +543,45 @@ object Events {
         col("event_type"), col("value"))
   }
 
+  final case class MaxTsState(max_us: Long)
+  final case class LateEvent(user_id: Long, event_id: Long,
+                             event_type: String, late_us: Long)
+
+  /** Streaming twin of [[latenessProfile]]'s per-event lateness: the
+    * per-user state is just the running max timestamp (8 bytes); each
+    * arrival emits its lateness against that max and advances it.
+    * Folding the emitted rows by type reproduces the batch profile
+    * under per-key event_id-ordered arrival — and unlike batch, this
+    * form measures TRUE arrival order when run against a live source,
+    * which is exactly the watermark-tuning deployment.
+    */
+  def latenessStreaming(events: DataFrame,
+                        watermark: String = "24 hours"): Dataset[LateEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .selectExpr("event_id", "user_id", "ts", "event_type")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[MaxTsState, LateEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, evs, state) =>
+          val out = Seq.newBuilder[LateEvent]
+          var mx = state.getOption.map(_.max_us).getOrElse(Long.MinValue)
+          evs.toSeq.sortBy(_._1).foreach { e =>
+            val t = us(e._3)
+            val late = if (mx == Long.MinValue) 0L else math.max(mx - t, 0L)
+            out += LateEvent(uid, e._1, e._4, late)
+            mx = math.max(mx, t)
+          }
+          state.update(MaxTsState(mx))
+          out.result().iterator
+      }
+  }
+
   final case class TransState(us: Long, event_id: Long, event_type: String)
   final case class TransPair(user_id: Long, from_type: String, to_type: String)
 

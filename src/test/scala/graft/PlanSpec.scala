@@ -537,6 +537,15 @@ class PlanSpec extends AnyFunSuite {
       "reification is a per-row pass — no join, no added shuffle")
   }
 
+  test("q19: pre-filtered build side broadcasts; disjunction post-join") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      "the brand-filtered part slice must broadcast")
+    assert(p.contains("Brand#1"),
+      "the brand union must reach the part scan as a pushed filter")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),

@@ -162,4 +162,32 @@ class AnalyticsSpec extends AnyFunSuite {
       s"$id:${spark.sparkContext.getPersistentRDDs(id)}")
     assert(leaked.isEmpty, s"leaked RDDs: $detail")
   }
+
+  test("walk sample is deterministic and follows real edges") {
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val starts = Seq(1L, 3L).toDF("v")
+    val w1 = Analytics.walkSample(edges, starts, steps = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    // every start opens its walk; one row per (start, step)
+    assert(w1.count(_._2 == 0) == 2)
+    (0 to 3).foreach(k => assert(w1.count(_._2 == k) == 2))
+    // each consecutive hop is a real (bidirectional) edge
+    val bi = Set((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val byStart = w1.groupBy(_._1)
+    byStart.values.foreach { rows =>
+      rows.toSeq.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, a), (_, _, b)) => assert(bi.contains((a, b)))
+        case _ =>
+      }
+    }
+    // reruns reproduce the identical walks (the shard-replay property)
+    val w2 = Analytics.walkSample(edges.orderBy(col("dst")), starts, steps = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(w1 == w2)
+    Analytics.releaseCaches()
+    graft.Checkpoints.releaseCaches()
+  }
 }

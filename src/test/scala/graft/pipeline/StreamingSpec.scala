@@ -246,6 +246,44 @@ class StreamingSpec extends AnyFunSuite {
       ("purchase", "view", 1L)))
   }
 
+  test("streaming lateness matches the batch profile across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-07-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, ts(10), 7L, "view", 0.0),
+      (2L, ts(5), 7L, "view", 0.0),   // 5 min late vs event 1
+      (3L, ts(20), 7L, "view", 0.0),
+      // second batch: running max carried across the batch boundary
+      (4L, ts(19), 7L, "view", 0.0),  // 1 min late vs event 3
+      (5L, ts(1), 8L, "purchase", 0.0))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    stream.addData(rows.take(3))
+    val q = Events.latenessStreaming(stream.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("late_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("late_stream_test")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(when(col("late_us") > 60000000L, 1L).otherwise(0L)).as("n_over_1m"),
+        sum(when(col("late_us") > 3600000000L, 1L).otherwise(0L)).as("n_over_1h"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val want = Events.latenessProfile(rows.toDF(cols: _*)
+        .withColumn("props", lit("{}")))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.contains(("view", 4L, 2L, 300000000L, 1L, 0L)))
+  }
+
   test("windowed hll sketch streams and matches the batch grouped sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
