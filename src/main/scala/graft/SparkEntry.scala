@@ -164,6 +164,25 @@ object SparkEntry {
         .filter(col("l_quantity") < lit(0.2) * col("aq"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     },
+    // TPC-H Q4-style order-priority check: the EXISTS/semi-join anchor
+    // completing the subquery trio (Q17 correlated-aggregate, Q22
+    // anti-join, Q4 semi-join). One LEFT SEMI join keyed by orderkey
+    // with the correlated ship-after-order condition as a join-side
+    // predicate — the lineitem probe never duplicates orders, so the
+    // count is right without a distinct (r9 batch 16).
+    "q4_order_priority" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      ord.join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
     // TPC-H Q19-style disjunctive-predicate revenue: OR-of-ANDs over
     // a fact⋈dim join. The part build side pre-filters to the UNION
     // of the disjuncts' brands (the pushdown a naive OR evaluation
@@ -317,6 +336,15 @@ object SparkEntry {
         |      FROM lineitem GROUP BY l_partkey) a
         |  ON a.l_partkey = l.l_partkey
         |WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.aq""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q19_disjunctive_revenue" ->
       """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
         |  count(*) AS n_lines

@@ -545,6 +545,21 @@ object Dedup {
     }
   }
 
+  /** Threshold sweep — the curve a dedup tau is PICKED from: pair
+    * counts at 0.7 / 0.8 / 0.9 similarity from ONE candidate pass
+    * (the shipped [[ngramJaccard]] run at the loosest threshold,
+    * whose prefix/length filters are lossless AT that threshold, so
+    * the [0.7, 0.8) band is fully present). Re-running the operator
+    * per threshold would triple the corpus cost for numbers one
+    * conditional aggregation already holds; the jac compare is the
+    * same IEEE divide of exact integers on both engines.
+    */
+  def thresholdSweep(docs: DataFrame): DataFrame =
+    ngramJaccard(docs, tau = 0.7)
+      .agg(count(lit(1)).as("n_tau70"),
+        sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_tau80"),
+        sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).as("n_tau90"))
+
   /** Incremental (cross-snapshot) exact dedup — the pattern every
     * continuously-ingested corpus runs: an INCOMING batch screened
     * against the fingerprint set of the EXISTING corpus, so each new

@@ -254,6 +254,15 @@ object PipelineQueries {
     // incremental cross-snapshot exact dedup (r9 batch 14)
     "dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalDedup(Tables.documents(s, dir))),
+    // similarity-threshold sweep from one candidate pass (r9 b16)
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(Tables.documents(s, dir))),
+    // Matryoshka-style dimension-truncation recall eval (r9 b16)
+    "ann_dim_trunc_eval" -> ((s, dir) =>
+      Similarity.dimTruncEval(Tables.embeddings(s, dir))),
+    // per-(split, shard) resumable-writer manifest (r9 b16)
+    "data_manifest" -> ((s, dir) =>
+      TextAnalysis.shardManifest(Tables.documents(s, dir))),
     // event-time lateness profile — the watermark-tuning numbers (r9 b14)
     "events_lateness_profile" -> ((s, dir) =>
       Events.latenessProfile(Tables.events(s, dir))),
@@ -1215,6 +1224,50 @@ object PipelineQueries {
     // bigram successor counts + row-conditional probability; the lead
     // orders by (us, event_id) — event_id unique, so both engines see
     // the same successor for same-timestamp events
+    // one unfiltered all-pairs base at >= 0.7, conditional counts above
+    "dedup_threshold_sweep" ->
+      s"""WITH $TOKS, $SH, $SIZES, $SHARED,
+         |j AS (SELECT c * 1.0 / (sa.n + sb.n - c) AS jac
+         |  FROM shared JOIN sizes sa ON sa.doc_id = a
+         |  JOIN sizes sb ON sb.doc_id = b
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7)
+         |SELECT count(*) AS n_tau70,
+         |  CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tau80,
+         |  CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tau90
+         |FROM j""".stripMargin,
+    // truncated-prefix cosine top-k vs the full-width truth, per width
+    "ann_dim_trunc_eval" -> {
+      def topSql(expr: String, name: String) =
+        s"""$name AS (SELECT b.vec_id FROM embeddings b WHERE b.vec_id != 0
+           |  ORDER BY list_cosine_similarity(
+           |    (SELECT $expr FROM embeddings WHERE vec_id = 0),
+           |    ${expr.replace("embedding", "b.embedding")}) DESC, b.vec_id
+           |  LIMIT 10)""".stripMargin
+      val widths = Seq(8, 16, 32)
+      val ctes = (topSql("embedding", "truth") +:
+        widths.map(d => topSql(s"embedding[1:$d]", s"t$d"))).mkString(",\n")
+      val rows = widths.map(d =>
+        s"SELECT $d AS dims, 10 AS k, (SELECT count(*) FROM t$d " +
+          "JOIN truth USING (vec_id)) AS n_hit").mkString("\nUNION ALL ")
+      s"WITH $ctes\n$rows"
+    },
+    // split/shard buckets + token sums + the xor digest, map-side
+    "data_manifest" ->
+      raw"""WITH x AS (SELECT
+           |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+           |      % 100 < 80 THEN 'train'
+           |      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+           |      % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+           |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 17, 4))::BIGINT
+           |      % 16 AS INTEGER) AS shard,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_toks,
+           |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+           |  FROM documents)
+           |SELECT split, shard, count(*) AS n_docs,
+           |  CAST(sum(n_toks) AS BIGINT) AS n_tokens, bit_xor(h) AS digest
+           |FROM x GROUP BY split, shard""".stripMargin,
     // the md5-bucket split replayed; DISTINCT existing fingerprints
     "dedup_incremental" ->
       """WITH f AS (SELECT doc_id,

@@ -327,6 +327,30 @@ object Similarity {
       .agg(sum(col("c.p")).as("gram"), count(lit(1)).as("n_vecs"))
   }
 
+  /** Dimension-truncation retrieval evaluation (the Matryoshka /
+    * MRL question): recall@k of top-k under the FIRST d dimensions'
+    * cosine against the full-dimension ground truth, for each probe
+    * width — the measurement that decides how much of a 100 TB
+    * vector corpus's storage and bandwidth a truncated index can
+    * reclaim. Both sides are the shipped [[bruteForceTopK]]; each
+    * truncation is a per-row slice (narrow), and each overlap is a
+    * k-row join — the evaluation costs |dims| corpus scans, run on a
+    * sampled slice at scale like every other eval key.
+    */
+  def dimTruncEval(embeddings: DataFrame, queryId: Long = 0, k: Int = 10,
+                   dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val truth = graft.Checkpoints.tracked(
+      bruteForceTopK(embeddings, queryId, k))
+    dims.map { d =>
+      val trunc = embeddings.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"), col("label"))
+      bruteForceTopK(trunc, queryId, k)
+        .join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(d).as("dims"), lit(k).as("k"), col("n_hit"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Two deterministic power-iteration steps over the [[gramMatrix]]
     * fold — the distributed core of PCA / top-eigenvector extraction
     * (the direction v₂ converges toward is the corpus's principal

@@ -732,6 +732,30 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       (hashSlice(25) % k).cast("int").as("fold"))
 
+  /** Per-(split, shard) output manifest — what a resumable corpus
+    * writer records beside its shards: doc count, token volume, and
+    * an order-independent content digest (bit_xor over 60-bit text-
+    * hash prefixes, the [[graft.rdf.Reification.graphDigest]] monoid).
+    * A restarted job regenerates a shard and compares digests instead
+    * of bytes; a mixture rebalance reads token sums instead of
+    * re-tokenizing. One narrow pass, ≤ splits×shards output rows,
+    * every column folding map-side.
+    */
+  def shardManifest(docs: DataFrame, shards: Int = 16): DataFrame = {
+    val split = {
+      val b = hashSlice(1) % 100
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    val shard = (hashSlice(17) % shards).cast("int")
+    docs.select(split.as("split"), shard.as("shard"),
+        size(wsTokens(col("text"))).cast("long").as("n_toks"),
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        expr("bit_xor(h)").as("digest"))
+  }
+
   /** Deterministic shuffled shards for a training data loader: every
     * doc gets a (shard, pos) — shard from md5 hex chars 17-20
     * (decorrelated from the split/sample/pack hashes), pos by ranking

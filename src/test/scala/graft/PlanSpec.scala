@@ -546,6 +546,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q4: EXISTS runs as a left semi join, no distinct") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a semi join")
+    assert(!p.toLowerCase.contains("distinct"),
+      "the semi join never duplicates orders — a distinct means the shape broke")
+  }
+
+  test("data_manifest: map-side folds, no window, no join") {
+    val p = plan("data_manifest")
+    assert(p.contains("partial_count") && p.contains("partial_bit_xor"),
+      "counts and the digest must combine map-side")
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
+
+  test("ann_dim_trunc_eval: the truth side is checkpointed once") {
+    val p = plan("ann_dim_trunc_eval")
+    assert(p.contains("Scan ExistingRDD") || p.contains("Checkpoint"),
+      "all three width evaluations must reuse the checkpointed truth top-k")
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
