@@ -263,6 +263,9 @@ object PipelineQueries {
     // per-(split, shard) resumable-writer manifest (r9 b16)
     "data_manifest" -> ((s, dir) =>
       TextAnalysis.shardManifest(Tables.documents(s, dir))),
+    // epoch-2 deterministic reshuffle (r9 batch 17)
+    "data_epoch_order" -> ((s, dir) =>
+      TextAnalysis.epochOrder(Tables.documents(s, dir), epoch = 2)),
     // event-time lateness profile — the watermark-tuning numbers (r9 b14)
     "events_lateness_profile" -> ((s, dir) =>
       Events.latenessProfile(Tables.events(s, dir))),
@@ -1253,6 +1256,17 @@ object PipelineQueries {
           "JOIN truth USING (vec_id)) AS n_hit").mkString("\nUNION ALL ")
       s"WITH $ctes\n$rows"
     },
+    // the shard_assign shape re-keyed by (doc_id, epoch)
+    "data_epoch_order" ->
+      """WITH x AS (SELECT doc_id, md5(doc_id::VARCHAR || '|2') AS h
+        |    FROM documents),
+        |s AS (SELECT doc_id, h,
+        |    CAST(('0x' || substr(h, 1, 4))::BIGINT % 16 AS INTEGER) AS shard
+        |  FROM x)
+        |SELECT doc_id, 2 AS epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s""".stripMargin,
     // split/shard buckets + token sums + the xor digest, map-side
     "data_manifest" ->
       raw"""WITH x AS (SELECT

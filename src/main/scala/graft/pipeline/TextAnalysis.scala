@@ -756,6 +756,26 @@ object TextAnalysis {
         expr("bit_xor(h)").as("digest"))
   }
 
+  /** Per-EPOCH deterministic reshuffle: [[shardAssign]]'s sharded
+    * global shuffle, re-keyed by (doc_id, epoch) — every epoch deals
+    * every document a fresh shard AND a fresh position (the property
+    * multi-epoch training needs: epoch 2's order is decorrelated from
+    * epoch 1's, yet any worker can recompute any epoch's order from
+    * the epoch number alone, no shuffle files to keep). Same shape:
+    * no global sort, per-shard local ranks.
+    */
+  def epochOrder(docs: DataFrame, epoch: Int, shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws("|", col("doc_id"), lit(epoch)).cast("binary"))
+    val shard = (conv(substring(col("h"), 1, 4), 16, 10).cast("long")
+      % shards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), lit(epoch).as("epoch"), col("shard"), col("pos"))
+  }
+
   /** Deterministic shuffled shards for a training data loader: every
     * doc gets a (shard, pos) — shard from md5 hex chars 17-20
     * (decorrelated from the split/sample/pack hashes), pos by ranking

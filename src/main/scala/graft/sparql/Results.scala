@@ -31,6 +31,27 @@ object Results {
     df.select(concat_ws(",", df.columns.map(c => field(col(c))): _*)
       .as("line"))
 
+  /** One TSV line per result row — the W3C SPARQL 1.1 Query Results
+    * TSV format: no quoting at all; tab, newline, CR and backslash
+    * ESCAPE as \t \n \r \\ (TSV is the format built for streaming
+    * splitters — a reader splits on raw tabs/newlines with no quote
+    * state machine, which is why bulk exporters prefer it). Unbound
+    * serializes as the empty field. Same scale shape as [[toCsv]]:
+    * one narrow codegen projection, no shuffle.
+    */
+  def toTsv(df: DataFrame): DataFrame = {
+    def esc(c: Column): Column = {
+      val s = c.cast("string")
+      coalesce(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          s, "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n"),
+          "\r", "\\\\r"),
+        lit(""))
+    }
+    df.select(concat_ws("\t", df.columns.map(c => esc(col(c))): _*)
+      .as("line"))
+  }
+
   /** One JSON object per result row (JSON-lines — the streamable
     * form of the endpoint's JSON response), keys in projection
     * order. Every bound value serializes as a JSON STRING (the W3C

@@ -292,6 +292,16 @@ object SparqlQueries {
           |}""".stripMargin
       Results.toCsv(run(s, dir, SparqlParser.parse(text)))
     },
+    // the endpoint's third results leg: W3C SPARQL-TSV — escape, not
+    // quote; the BIND injects a tab + backslash so the escaping path
+    // runs under the oracle
+    "sparql_results_tsv" -> { (s, dir) =>
+      val text =
+        "SELECT ?c ?m ?q WHERE {\n" +
+          "  ?c a :Customer ; :mktsegment ?m .\n" +
+          "  BIND(CONCAT(?m, \"\\ta\\\\b\") AS ?q)\n}"
+      Results.toTsv(run(s, dir, SparqlParser.parse(text)))
+    },
     // the same projection as JSON-lines — quote/backslash escaping
     // exercised by the same injected ?q value
     "sparql_results_json" -> { (s, dir) =>
@@ -773,6 +783,12 @@ object SparqlQueries {
       """SELECT 'cust:'||c_custkey||','||c_mktsegment
         |  ||',"'||c_mktsegment||',""x""'||'"' AS line
         |FROM customer""".stripMargin,
+    "sparql_results_tsv" ->
+      """WITH r AS (SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m,
+        |                  c_mktsegment || chr(9) || 'a\b' AS q FROM customer)
+        |SELECT c || chr(9) || m || chr(9) ||
+        |  replace(replace(q, '\', '\\'), chr(9), '\t') AS line
+        |FROM r""".stripMargin,
     "sparql_results_json" ->
       """WITH r AS (SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m,
         |                  c_mktsegment||',"x"' AS q FROM customer)

@@ -1277,6 +1277,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r("purchase") == (("purchase", 2L, 0L, 0L, 0L, 0L)))
   }
 
+  test("epoch order decorrelates between epochs, reproduces within") {
+    val docs = (1L to 200L).map(i => (i, s"t$i", "en", "s", 2))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e1 = TextAnalysis.epochOrder(docs, epoch = 1)
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    val e2 = TextAnalysis.epochOrder(docs, epoch = 2)
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    // same doc set, every doc placed in both epochs
+    assert(e1.keySet == e2.keySet && e1.size == 200)
+    // epochs decorrelate: most docs move shard or position
+    assert(e1.count { case (id, sp) => e2(id) != sp } > 150)
+    // rerun of the same epoch reproduces the identical deal
+    val e1b = TextAnalysis.epochOrder(docs, epoch = 1)
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    assert(e1b == e1)
+    // positions are a permutation of 1..count within each shard
+    val byShard = TextAnalysis.epochOrder(docs, epoch = 1)
+      .as[(Long, Int, Int, Long)].collect().groupBy(_._3)
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("transition matrix counts per-user successors, ties by event_id") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:01", 7L, "view", 0.0, "{}"),

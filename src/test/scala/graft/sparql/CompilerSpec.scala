@@ -802,4 +802,13 @@ class CompilerSpec extends AnyFunSuite {
     val line = Results.toJsonLines(df).as[String].collect().head
     assert(line == """{"a":"plain","b":"q\"t","c":"b\\s","d":null}""")
   }
+
+  test("Results.toTsv escapes tab/newline/backslash, nulls go empty") {
+    // backslash doubles FIRST, so a literal "\t" in the data becomes
+    // \\t, distinct from a real tab's \t — the round-trippable order
+    val df = Seq(("plain", "a\tb", "n\nx", "c\\t", null: String))
+      .toDF("a", "b", "c", "d", "e")
+    val line = Results.toTsv(df).as[String].collect().head
+    assert(line == "plain\ta\\tb\tn\\nx\tc\\\\t\t")
+  }
 }
