@@ -71,7 +71,11 @@ object SparkEntry {
     "q5_local_supplier",
     // r9 batch 12: the correlated-aggregate anchor (idf/power-iter
     // reuse benched fold shapes and stay verify-only)
-    "q17_small_quantity")
+    "q17_small_quantity",
+    // r9 batch 18: the symmetric nation-pair join and the HAVING-
+    // subquery anchor (q14/q15/q13/clustering-coeff/path-inverse
+    // reuse already-benched shapes and stay verify-only)
+    "q7_nation_volume", "q18_large_orders")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -233,6 +237,130 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("total_cents"))
     },
+    // TPC-H Q7-style volume shipping between two nations: the
+    // symmetric nation-pair join. Supplier-nation is a dim-scale
+    // broadcast; the customer side at 100 TB is fact-scale, so it
+    // joins KEYED on custkey (AQE free to broadcast the two-nation
+    // slice at small SF); lineitem⋈orders is the one fact-fact
+    // shuffle. The pair filter (supp ≠ cust within the two listed
+    // nations) evaluates post-join in one codegen predicate — both
+    // directions in a single pass, no UNION of two plans (r9 b18).
+    "q7_nation_volume" -> { (s, dir) =>
+      val nations = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val suppN = Tables.supplier(s, dir)
+        .join(broadcast(nations
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val custN = Tables.customer(s, dir)
+        .join(broadcast(nations
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    // TPC-H Q14-style promo revenue share: conditional aggregation
+    // ratio over a fact⋈dim broadcast join — ONE pass computes both
+    // the promo slice and the total (two filtered sums in the same
+    // aggregate, never two scans). The ratio is one divide of two
+    // full-precision sums rounded at 6dp; per-sum ulp noise is ~1e-10
+    // relative, so the rounded digit cannot flip (r9 b18).
+    "q14_promo_share" -> { (s, dir) =>
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"), rev.as("rev"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0)) /
+            sum(col("rev")), 6).as("promo_share"),
+          round(sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(0.0)), 2).as("promo_revenue"),
+          round(sum(col("rev")), 2).as("total_revenue"))
+    },
+    // TPC-H Q18-style large-volume orders: the HAVING-subquery anchor.
+    // The per-order quantity total is ONE partial-agg shuffle over the
+    // fact table; the survivors (a tiny slice — the threshold sits in
+    // the distribution's upper tail) join back to orders KEYED by
+    // orderkey, then to customer. Quantities are integer-valued, so
+    // the double sum is exact and the > threshold compare cannot
+    // drift. Top-k via TakeOrderedAndProject — ties on o_totalprice
+    // break by orderkey, so the row set is deterministic (r9 b18).
+    "q18_large_orders" -> { (s, dir) =>
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300.0)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    // TPC-H Q15-style top supplier: the agg-vs-global-max anchor. The
+    // per-supplier revenue total runs in EXACT integer units (cents ×
+    // discount-percent — price and discount are exact 2dp values, so
+    // the product is an exact BIGINT and sums exactly at any scale),
+    // which makes the EQUALITY against the global max safe: float
+    // revenue totals summed in different orders can differ in the
+    // last ulp and silently drop the winner on one engine. The max is
+    // one single-row broadcast frame; the formatted dollars column is
+    // one divide of the exact total (r9 b19).
+    "q15_top_supplier" -> { (s, dir) =>
+      val revU = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      val perSupp = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revU).as("total_u"))
+      val mx = perSupp.agg(max(col("total_u")).as("max_u"))
+      perSupp.crossJoin(broadcast(mx))
+        .filter(col("total_u") === col("max_u"))
+        .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_u"),
+          round(col("total_u") / 10000.0, 2).as("total_revenue"))
+    },
+    // TPC-H Q13-style customer order-count distribution: the outer-
+    // join histogram anchor — two-level aggregation where the first
+    // level shuffles fact-scale keys (per-customer order counts, the
+    // LEFT join keeping zero-order customers) and the second folds to
+    // the tiny count domain map-side. All integers (r9 b19).
+    "q13_cust_distribution" -> { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
     // multi-level OLAP rollup: Spark's rollup() expands the grouping
     // sets MAP-SIDE with partial aggregation — one shuffle carries all
     // three levels; gid is the standard grouping bitmask so subtotal
@@ -369,6 +497,66 @@ object SparkEntry {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(100.0 *
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share,
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |    AS promo_revenue,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  t.total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 300.0) t
+        |  ON o_orderkey = t.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_u
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_u AS BIGINT) AS total_u,
+        |  round(total_u / 10000.0, 2) AS total_revenue
+        |FROM r JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_u = (SELECT max(total_u) FROM r)""".stripMargin,
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
     "q_rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  GROUPING(l_returnflag, l_linestatus) AS gid,

@@ -126,6 +126,26 @@ object GraphQueries {
       val e = coOrderPartEdgeKeys(s, dir)
       Analytics.modularity(e, Analytics.labelPropagation(e, rounds = 4))
     },
+    // local clustering coefficient: lcc(v) = 2·triangles(v) /
+    // (deg(v)·(deg(v)−1)) over the co-order part graph — the
+    // per-vertex density statistic completing the triangle family
+    // (count → per-vertex → normalized). The edge set checkpoints
+    // ONCE (the triangle pass and the degree fold both read it);
+    // triangles and deg are exact integers, so the lcc is one IEEE
+    // divide rounded for formatting only (r9 b18).
+    "graph_clustering_coeff" -> { (s, dir) =>
+      val e = graft.Checkpoints.tracked(coOrderPartEdges(s, dir))
+      val deg = e.select(col("src").as("uri"))
+        .unionAll(e.select(col("dst").as("uri")))
+        .groupBy(col("uri")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+      deg.join(Analytics.trianglePerVertex(s, e), Seq("uri"), "left_outer")
+        .select(col("uri"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          col("deg"),
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1L))), 9).as("lcc"))
+    },
     "graph_kcore" -> { (s, dir) =>
       // kCore's checkpoint loop runs EAGERLY during construction, so
       // the observed round count can be captured here — keyed to THIS
@@ -312,6 +332,26 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM t)
         |GROUP BY 1""".stripMargin,
     "graph_label_propagation" -> lpaSql(rounds = 4),
+    "graph_clustering_coeff" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+        |t AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |      FROM e e1
+        |      JOIN e e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
+        |      JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2),
+        |tv AS (SELECT v, count(*) AS triangles FROM (
+        |         SELECT a AS v FROM t UNION ALL SELECT b FROM t
+        |         UNION ALL SELECT c FROM t) GROUP BY 1)
+        |SELECT 'part:'||v AS uri,
+        |  CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(deg AS BIGINT) AS deg,
+        |  round(2.0 * coalesce(triangles, 0) / (deg * (deg - 1)), 9) AS lcc
+        |FROM deg LEFT JOIN tv USING (v)
+        |WHERE deg >= 2""".stripMargin,
     "graph_modularity" -> modularitySql(rounds = 4),
     // closed-form SCC: comp(v) = min over the mutual-reachability set
     // — states WHAT an SCC is, with no replay of the peel rounds

@@ -331,6 +331,19 @@ object SparqlQueries {
           |}""".stripMargin
       runP(s, dir, SparqlParser.parse(text))
     },
+    // inverse path steps (^p): the textual surface of the ^-operator —
+    // two inverse hops walk region → nation → supplier BACKWARDS
+    // through the forward-edged store; each inverse step compiles to
+    // the same equi-join with its endpoints swapped, so direction is
+    // a column choice, not a different plan shape (r9 b19)
+    "sparql_path_inverse" -> { (s, dir) =>
+      val text =
+        """SELECT ?r ?s WHERE {
+          |  ?r ^:inRegion/^:hasNation ?s .
+          |  ?s a :Supplier .
+          |}""".stripMargin
+      runP(s, dir, SparqlParser.parse(text))
+    },
     // MINUS: anti-join on the shared variable (vs NOT EXISTS, which
     // correlates; MINUS with disjoint domains removes nothing)
     "sparql_minus" -> { (s, dir) =>
@@ -801,6 +814,11 @@ object SparqlQueries {
       """SELECT 'cust:'||c_custkey AS c, r_name AS n
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "sparql_path_inverse" ->
+      """SELECT 'reg:'||r_regionkey AS r, 'supp:'||s_suppkey AS s
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "sparql_minus" ->
       """SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m

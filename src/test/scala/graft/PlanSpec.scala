@@ -566,6 +566,69 @@ class PlanSpec extends AnyFunSuite {
       "all three width evaluations must reuse the checkpointed truth top-k")
   }
 
+  test("q7: supplier-nation broadcasts; pair filter post-join; no product") {
+    val p = plan("q7_nation_volume")
+    assert(p.contains("BroadcastHashJoin"),
+      "the nation-tagged supplier dim must broadcast onto the fact scan")
+    assert(!p.contains("CartesianProduct"), "all joins are keyed")
+    assert(p.contains("partial_sum"),
+      "revenue must partial-aggregate before the group shuffle")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "the ship-date slice must reach the parquet scan")
+  }
+
+  test("q14: one pass computes promo and total; single aggregate") {
+    val p = plan("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"),
+      "the part type dim must broadcast")
+    // both conditional sums live in the same aggregate — the fact
+    // table is scanned once
+    assert("FileScan parquet.*lineitem".r.findAllIn(p).size == 1,
+      "the fact table must be scanned exactly once")
+  }
+
+  test("q18: per-order qty is one partial agg; top-k never sorts globally") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("partial_sum"),
+      "the per-order quantity total must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("graph_clustering_coeff: edge set checkpointed once; keyed joins") {
+    val p = plan("graph_clustering_coeff")
+    assert(p.contains("Scan ExistingRDD"),
+      "the degree fold and triangle pass must reuse the checkpointed edges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q15: exact-cents totals; the max frame broadcasts") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the single-row max frame must broadcast, never shuffle the totals")
+    assert(p.contains("partial_sum"),
+      "per-supplier totals must partial-aggregate map-side")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "the date slice must reach the parquet scan")
+  }
+
+  test("q13: left join keyed; second-level histogram fold partial-aggregates") {
+    val p = plan("q13_cust_distribution")
+    assert(p.contains("LeftOuter"),
+      "zero-order customers survive only through a left outer join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"),
+      "both aggregation levels must combine map-side")
+  }
+
+  test("sparql_path_inverse: both inverse hops prune the partitioned store") {
+    val p = plan("sparql_path_inverse")
+    assert(p.contains("PartitionFilters: [isnotnull(p"),
+      "inverse steps must still prune predicate directories")
+    assert(!p.contains("PartitionFilters: []"),
+      "no pattern may scan every predicate directory")
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
