@@ -146,6 +146,34 @@ object GraphQueries {
           round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
             (col("deg") * (col("deg") - lit(1L))), 9).as("lcc"))
     },
+    // degree assortativity (Newman's r): do high-degree vertices
+    // attach to high-degree vertices? One edge⋈degree join feeds a
+    // single map-side fold to FOUR exact integer sums (m, Σ(j+k),
+    // Σ(j²+k²), Σjk); r is a fixed-shape double expression over
+    // those exact witnesses — r = (4m·S3 − S1²)/(2m·S2 − S1²), every
+    // product promoted to double in the SAME left-assoc order on both
+    // engines, rounded for formatting. Shuffle volume is the degree
+    // fold only; the statistic itself is one row (r9 b20).
+    "graph_assortativity" -> { (s, dir) =>
+      val e = graft.Checkpoints.tracked(coOrderPartEdgeKeys(s, dir))
+      val deg = e.select(col("src").as("v"))
+        .unionAll(e.select(col("dst").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val w = e
+        .join(deg.select(col("v").as("src"), col("d").as("dj")), "src")
+        .join(deg.select(col("v").as("dst"), col("d").as("dk")), "dst")
+      val sums = w.agg(count(lit(1)).as("m"),
+        sum(col("dj") + col("dk")).as("s1"),
+        sum(col("dj") * col("dj") + col("dk") * col("dk")).as("s2"),
+        sum(col("dj") * col("dk")).as("s3"))
+      val s1d = col("s1").cast("double")
+      val den = lit(2.0) * col("m") * col("s2") - s1d * s1d
+      sums.select(col("m"), col("s1"), col("s2"), col("s3"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (lit(4.0) * col("m") * col("s3") - s1d * s1d) / den, 9))
+          .as("r"))
+    },
     "graph_kcore" -> { (s, dir) =>
       // kCore's checkpoint loop runs EAGERLY during construction, so
       // the observed round count can be captured here — keyed to THIS
@@ -332,6 +360,27 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM t)
         |GROUP BY 1""".stripMargin,
     "graph_label_propagation" -> lpaSql(rounds = 4),
+    "graph_assortativity" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e),
+        |deg AS (SELECT v, count(*) AS d FROM adj GROUP BY 1),
+        |w AS (SELECT dj.d AS dj, dk.d AS dk FROM e
+        |      JOIN deg dj ON dj.v = e.p1 JOIN deg dk ON dk.v = e.p2),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |        CAST(sum(dj + dk) AS BIGINT) AS s1,
+        |        CAST(sum(dj * dj + dk * dk) AS BIGINT) AS s2,
+        |        CAST(sum(dj * dk) AS BIGINT) AS s3
+        |      FROM w)
+        |SELECT m, s1, s2, s3,
+        |  CASE WHEN 2.0 * m * s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) = 0
+        |    THEN NULL
+        |    ELSE round((4.0 * m * s3 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (2.0 * m * s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 9)
+        |  END AS r
+        |FROM t""".stripMargin,
     "graph_clustering_coeff" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),

@@ -582,6 +582,67 @@ object Events {
       }
   }
 
+  final case class FunnelState(ts: Seq[Long])
+  final case class FunnelHit(user_id: Long, stage: Int, us: Long)
+
+  /** Streaming twin of [[funnel]]: per-user state is the fixed-width
+    * vector of reached-stage timestamps (stages × 8 bytes — constant
+    * per key); an arriving stage-i event fills slot i when slot i−1
+    * is filled, slot i is empty, and the event lands inside the gap
+    * window — under per-key event-time-ordered arrival (the
+    * Kafka-partitioned-by-user contract the other twins assume) the
+    * FIRST qualifying event is the batch MIN, so each emitted
+    * [[FunnelHit]] carries exactly the t_i the batch operator
+    * computes. Folding hits per user reproduces the batch stage
+    * count; idle users evict by event-time timeout (a user whose
+    * funnel never completes stops costing state, matching batch —
+    * missing stages are simply never emitted).
+    */
+  def funnelStreaming(events: DataFrame,
+                      stages: Seq[String] = Seq("view", "click", "purchase"),
+                      gapMinutes: Int = 60,
+                      watermark: String = "1 hour",
+                      idleEvictMinutes: Int = 240): Dataset[FunnelHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val stageIdx = stages.zipWithIndex.toMap
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .selectExpr("event_id", "user_id", "ts", "event_type")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, evs, state) =>
+          val out = Seq.newBuilder[FunnelHit]
+          if (state.hasTimedOut) state.remove()
+          else {
+            val ts = state.getOption.map(_.ts.toArray)
+              .getOrElse(Array.fill(stages.size)(Long.MinValue))
+            var lastUs = 0L
+            evs.toSeq.sortBy(e => (us(e._3), e._1)).foreach { e =>
+              val t = us(e._3)
+              lastUs = math.max(lastUs, t)
+              stageIdx.get(e._4).foreach { i =>
+                val open =
+                  if (i == 0) ts(0) == Long.MinValue
+                  else ts(i) == Long.MinValue && ts(i - 1) != Long.MinValue &&
+                    t > ts(i - 1) && t <= ts(i - 1) + gapUs
+                if (open) { ts(i) = t; out += FunnelHit(uid, i, t) }
+              }
+            }
+            state.update(FunnelState(ts.toSeq))
+            if (lastUs > 0L)
+              state.setTimeoutTimestamp(
+                lastUs / 1000L + idleEvictMinutes * 60000L)
+          }
+          out.result().iterator
+      }
+  }
+
   final case class TransState(us: Long, event_id: Long, event_type: String)
   final case class TransPair(user_id: Long, from_type: String, to_type: String)
 

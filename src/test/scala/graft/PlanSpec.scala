@@ -629,6 +629,15 @@ class PlanSpec extends AnyFunSuite {
       "no pattern may scan every predicate directory")
   }
 
+  test("graph_assortativity: one-row fold; degree joins keyed") {
+    val p = plan("graph_assortativity")
+    assert(p.contains("Scan ExistingRDD"),
+      "the degree fold and edge-weight join must reuse the checkpointed edges")
+    assert(p.contains("partial_sum"),
+      "the four integer sums must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),

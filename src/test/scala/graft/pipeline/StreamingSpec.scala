@@ -209,6 +209,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.size == 2)
   }
 
+  test("streaming funnel hits reproduce the batch stage timestamps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-07-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, ts(1), 7L, "view", 0.0),
+      (2L, ts(10), 7L, "click", 0.0),
+      (3L, ts(2), 8L, "click", 0.0), // click before any view: no hit
+      (4L, ts(5), 8L, "view", 0.0),
+      // second arrival batch: user 7 completes across the boundary
+      // (state carried); user 8's click at +90 misses the 60-min gap
+      (5L, ts(30), 7L, "purchase", 0.0),
+      (6L, ts(95), 8L, "click", 0.0))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    stream.addData(rows.take(4))
+    val q = Events.funnelStreaming(stream.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("funnel_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_stream_test")
+      .as[(Long, Int, Long)].collect().toSet
+    // the batch operator's (user, t0..t2) rows, unpivoted to hits
+    val batch = Events.funnel(rows.toDF(cols: _*)
+      .withColumn("props", lit("{}")))
+    val want = batch.select(col("user_id"),
+        explode(arrays_zip(
+          array((0 until 3).map(i => col(s"t$i")): _*),
+          array((0 until 3).map(i => lit(i)): _*))).as("z"))
+      .select(col("user_id"), col("z.1").as("stage"), col("z.0").as("us"))
+      .filter(col("us").isNotNull)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == want)
+    // user 7 completes all three stages; user 8 only its view
+    assert(got.map(h => (h._1, h._2)) ==
+      Set((7L, 0), (7L, 1), (7L, 2), (8L, 0)))
+  }
+
   test("streaming transition pairs reproduce the batch bigram counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
