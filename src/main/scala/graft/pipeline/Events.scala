@@ -582,6 +582,31 @@ object Events {
       }
   }
 
+  /** Per-user event-rate outliers — the bot/abuse screen: users whose
+    * event count exceeds mean + k·σ of the per-user distribution.
+    * The σ test runs in EXACT integer arithmetic via
+    * cross-multiplication: n > S/N + k·σ  ⇔  (n·N − S)² > k²·(N·Q − S²)
+    * (LHS positive), with S = Σn, Q = Σn², N = user count — no float
+    * mean or stddev to drift between engines. The squares are
+    * computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): operands
+    * reach ~10¹⁵ at 10⁹ users × 10⁶ events, so their squares need
+    * 128-bit exactness BIGINT lacks. Shape: one fact-scale count
+    * shuffle, a single-row global fold broadcast back — the outlier
+    * filter is map-side.
+    */
+  def rateOutliers(events: DataFrame, k: Int = 2): DataFrame = {
+    val per = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val g = per.agg(count(lit(1)).as("nu"), sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("q"))
+    val dev = (col("n") * col("nu") - col("s")).cast("decimal(38,0)")
+    val varN2 = (col("nu").cast("decimal(38,0)") * col("q").cast("decimal(38,0)") -
+      col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+    per.crossJoin(broadcast(g))
+      .filter(col("n") * col("nu") > col("s") &&
+        dev * dev > lit(k * k).cast("decimal(38,0)") * varN2)
+      .select(col("user_id"), col("n"), col("nu"), col("s"), col("q"))
+  }
+
   final case class FunnelState(ts: Seq[Long])
   final case class FunnelHit(user_id: Long, stage: Int, us: Long)
 

@@ -272,6 +272,16 @@ object PipelineQueries {
     // two integer power-iteration steps over the Gram fold (r9 b12)
     "emb_power_iter" -> ((s, dir) =>
       Similarity.powerIter(Tables.embeddings(s, dir))),
+    // 1-D integer PCA coordinate: gram → power-iter → projection (r9 b21)
+    "emb_pca_project" -> ((s, dir) =>
+      Similarity.pcaProject(Tables.embeddings(s, dir))),
+    // contrastive pair mining with LSH-bucket hard negatives (r9 b21)
+    "data_contrastive_pairs" -> ((s, dir) =>
+      Similarity.contrastivePairs(Tables.documents(s, dir),
+        Tables.embeddings(s, dir))),
+    // exact-integer event-rate outlier screen (r9 b21)
+    "events_rate_outliers" -> ((s, dir) =>
+      Events.rateOutliers(Tables.events(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -1372,6 +1382,70 @@ object PipelineQueries {
         |v2 AS (SELECT f.i, CAST(sum(f.gram * s.v1s) AS BIGINT) AS v2
         |  FROM f JOIN sc s ON f.j = s.j GROUP BY f.i)
         |SELECT v2.i, v1.v1, v2.v2 FROM v2 JOIN v1 ON v2.i = v1.i""".stripMargin,
+    // the power-iter oracle extended two steps: v2's integer rescale
+    // and the per-vector projection fold — same CTE chain, so the
+    // two replays cannot drift
+    "emb_pca_project" ->
+      """WITH x AS (SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS m
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+        |      ELSE CAST(trunc(CAST(x AS DOUBLE) * 127 / m) AS INT) END) AS qv
+        |  FROM x),
+        |cells AS (SELECT a.i AS i, b.j AS j,
+        |    CAST(qv[a.i + 1] AS BIGINT) * qv[b.j + 1] AS p
+        |  FROM q, UNNEST(range(0, len(qv))) AS a(i),
+        |       UNNEST(range(0, len(qv))) AS b(j)
+        |  WHERE b.j >= a.i),
+        |g AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS gram
+        |  FROM cells GROUP BY i, j),
+        |f AS (SELECT i, j, gram FROM g
+        |  UNION ALL SELECT j, i, gram FROM g WHERE i != j),
+        |v1 AS (SELECT i, CAST(sum(gram) AS BIGINT) AS v1 FROM f GROUP BY i),
+        |mx AS (SELECT max(abs(v1)) AS mx FROM v1),
+        |sc AS (SELECT i AS j,
+        |    CAST(floor(CAST(v1 AS DOUBLE) / (mx // 1000 + 1)) AS BIGINT)
+        |      AS v1s
+        |  FROM v1, mx),
+        |v2 AS (SELECT f.i, CAST(sum(f.gram * s.v1s) AS BIGINT) AS v2
+        |  FROM f JOIN sc s ON f.j = s.j GROUP BY f.i),
+        |mx2 AS (SELECT max(abs(v2)) AS mx2 FROM v2),
+        |vs AS (SELECT i,
+        |    CAST(floor(CAST(v2 AS DOUBLE) / (mx2 // 1000 + 1)) AS BIGINT)
+        |      AS v2s
+        |  FROM v2, mx2)
+        |SELECT q.vec_id, q.label,
+        |  CAST(sum(CAST(qv[vs.i + 1] AS BIGINT) * vs.v2s) AS BIGINT) AS proj
+        |FROM q, vs GROUP BY 1, 2""".stripMargin,
+    "data_contrastive_pairs" ->
+      s"""WITH $BUCKET_CTES,
+        |m1 AS (SELECT bucket, min(vec_id) AS m1 FROM buck GROUP BY 1),
+        |m2 AS (SELECT b.bucket, min(b.vec_id) AS m2
+        |       FROM buck b JOIN m1 USING (bucket)
+        |       WHERE b.vec_id <> m1.m1 GROUP BY 1),
+        |n AS (SELECT m1.bucket, m1.m1, m2.m2
+        |      FROM m1 LEFT JOIN m2 USING (bucket))
+        |SELECT b.vec_id AS anchor_id, e.label, b.bucket,
+        |  CASE WHEN b.vec_id = n.m1 THEN n.m2 ELSE n.m1 END AS neg_id,
+        |  d.n_chars
+        |FROM buck b
+        |JOIN n USING (bucket)
+        |JOIN embeddings e ON e.vec_id = b.vec_id
+        |JOIN documents d ON d.doc_id = b.vec_id
+        |WHERE d.n_chars >= 200""".stripMargin,
+    "events_rate_outliers" ->
+      """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS nu, CAST(sum(n) AS BIGINT) AS s,
+        |        CAST(sum(n * n) AS BIGINT) AS q
+        |      FROM per)
+        |SELECT user_id, n, nu, s, q
+        |FROM per, g
+        |WHERE n * nu > s
+        |  AND CAST(n * nu - s AS HUGEINT) * CAST(n * nu - s AS HUGEINT) >
+        |      4 * (CAST(nu AS HUGEINT) * CAST(q AS HUGEINT) -
+        |           CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
     "events_transition_matrix" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
         |    FROM events),

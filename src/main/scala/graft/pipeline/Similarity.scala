@@ -387,6 +387,69 @@ object Similarity {
       .select(col("i"), col("v1"), col("v2"))
   }
 
+  /** Project every vector's int8 code onto the power-iteration
+    * eigenvector estimate — the 1-D PCA coordinate completing the
+    * integer PCA story (gram fold → power iteration → projection).
+    * The eigenvector is rescaled with [[powerIter]]'s own integer
+    * rescale idiom (trunc(v₂ / (max|v₂| DIV 1000 + 1)), bounding
+    * components at 1000) so the per-vector dot product stays inside
+    * BIGINT at any corpus size, then folded into ONE dim-ordered
+    * array row broadcast onto the corpus — the projection is a
+    * zero-shuffle zip_with fold per row; the only shuffles are the
+    * (already checkpointed) Gram pipeline's own.
+    */
+  def pcaProject(embeddings: DataFrame): DataFrame = {
+    val v2 = powerIter(embeddings).select(col("i"), col("v2"))
+    val v2s = v2
+      .crossJoin(broadcast(v2.agg(max(abs(col("v2"))).as("mx2"))))
+      .select(col("i"),
+        floor(col("v2").cast("double") /
+          (expr("mx2 DIV 1000") + lit(1L)).cast("double"))
+          .cast("long").as("v2s"))
+    val varr = v2s.agg(collect_list(struct(col("i"), col("v2s"))).as("c"))
+      .select(transform(array_sort(col("c")), s => s("v2s")).as("varr"))
+    quantized(embeddings)
+      .crossJoin(broadcast(varr))
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("q"), col("varr"),
+          (x, v) => x.cast("long") * v), lit(0L), (a, x) => a + x)
+          .as("proj"))
+  }
+
+  /** Contrastive training-pair builder: each quality-gated document
+    * (anchor, with its embedding as the positive) gets a HARD
+    * negative — the nearest-bucket neighbor under the hyperplane LSH
+    * code, i.e. a vector that LOOKS similar (same 8-plane sign
+    * pattern) but is a different document. That is the pair-mining
+    * step contrastive-training pipelines run at corpus scale; random
+    * negatives are trivial, in-bucket negatives are the informative
+    * ones. The negative pick is deterministic: the smallest OTHER
+    * vec_id in the anchor's bucket (the two-smallest-per-bucket
+    * trick — m1/m2 folds, each a keyed aggregation, so no per-bucket
+    * row explosion and no window over a hot bucket; a singleton
+    * bucket yields NULL, the "no hard negative found" signal).
+    * Quality gate: n_chars >= 200 on the anchor document.
+    */
+  def contrastivePairs(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val coded = embeddings.select(col("vec_id"), col("label"),
+      bucketCode(col("embedding").cast("array<double>"), 8, 64)
+        .cast("int").as("bucket"))
+    val m1 = coded.groupBy(col("bucket")).agg(min(col("vec_id")).as("m1"))
+    val m2 = coded.join(m1, "bucket")
+      .filter(col("vec_id") =!= col("m1"))
+      .groupBy(col("bucket")).agg(min(col("vec_id")).as("m2"))
+    val negs = m1.join(m2, Seq("bucket"), "left_outer")
+    coded.join(negs, "bucket")
+      .select(col("vec_id").as("anchor_id"), col("label"), col("bucket"),
+        when(col("vec_id") === col("m1"), col("m2"))
+          .otherwise(col("m1")).as("neg_id"))
+      .join(docs.filter(col("n_chars") >= 200)
+        .select(col("doc_id"), col("n_chars")),
+        col("anchor_id") === col("doc_id"))
+      .select(col("anchor_id"), col("label"), col("bucket"),
+        col("neg_id"), col("n_chars"))
+  }
+
   /** SQ8 retrieval: exact top-k over the QUANTIZED codes — the score
     * is an INTEGER dot product (bit-exact on any engine) rescaled by
     * the two per-vector scales. This is the memory-bandwidth path a

@@ -638,6 +638,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("emb_pca_project: projection is a broadcast zip fold, no dim explode") {
+    val p = plan("emb_pca_project")
+    assert(p.contains("Scan ExistingRDD"),
+      "the eigenvector must come from the checkpointed Gram pipeline")
+    assert(p.contains("zip_with"),
+      "the per-vector projection must fold in-row, not explode dims")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the one-row eigenvector array must broadcast onto the corpus")
+  }
+
+  test("data_contrastive_pairs: fused bucket kernel; keyed negative folds") {
+    val p = plan("data_contrastive_pairs")
+    assert(p.contains("hyperplane_code"),
+      "bucket codes must use the fused native kernel")
+    assert(!p.contains("Window"),
+      "negative picks are min-folds, never a window over a hot bucket")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_rate_outliers: single-row stats broadcast; map-side filter") {
+    val p = plan("events_rate_outliers")
+    assert(p.contains("partial_count"),
+      "per-user counts must combine map-side")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the global stats row must broadcast, never shuffle the counts again")
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
