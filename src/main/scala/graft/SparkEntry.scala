@@ -319,6 +319,47 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
     },
+    // TPC-H Q8-style market share: what fraction of a region's market
+    // does one nation's supply base serve, per year? The market is
+    // the customer-region slice (keyed custkey join — fact-scale at
+    // 100 TB), the numerator flag is the supplier's nation (dim-scale
+    // broadcast), and BOTH the share and its components come out of
+    // ONE aggregate per year — the conditional-sum-ratio pattern q14
+    // uses, grouped. Ratio = one divide of two full-precision sums
+    // rounded 6dp (r9 b22).
+    "q8_market_share" -> { (s, dir) =>
+      val asiaCust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppFlag = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("snk"), col("n_name"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), (col("n_name") === "NATION_1").as("is_n1"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppFlag), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          round(sum(when(col("is_n1"), col("rev")).otherwise(0.0)) /
+            sum(col("rev")), 6).as("mkt_share"),
+          round(sum(when(col("is_n1"), col("rev")).otherwise(0.0)), 2)
+            .as("n1_revenue"),
+          round(sum(col("rev")), 2).as("total_revenue"),
+          count(lit(1)).as("n_lines"))
+    },
     // TPC-H Q15-style top supplier: the agg-vs-global-max anchor. The
     // per-supplier revenue total runs in EXACT integer units (cents ×
     // discount-percent — price and discount are exact 2dp values, so
@@ -537,6 +578,28 @@ object SparkEntry {
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_1'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_1'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |    AS n1_revenue,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |    AS total_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = cn.n_regionkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
     "q15_top_supplier" ->
       """WITH r AS (
         |  SELECT l_suppkey,

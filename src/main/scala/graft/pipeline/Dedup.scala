@@ -183,6 +183,44 @@ object Dedup {
     }
   }
 
+  /** Near-CONTAINMENT pairs — the asymmetric twin of [[ngramJaccard]]
+    * that catches what symmetric Jaccard misses: a short document
+    * quoted wholesale inside a long one (containment
+    * |A∩B|/min(|A|,|B|) is high, Jaccard c/(na+nb−c) is diluted by
+    * the long side). The quote/excerpt screen corpus dedup runs next
+    * to near-dup detection.
+    *
+    * Same blocked shape as the Jaccard path: df-capped inverted
+    * index (hot shingles excluded from CANDIDATE GENERATION only —
+    * a missed pair needs every shared shingle hotter than maxDf),
+    * exact verification from the full shingle sets. The threshold
+    * compare is pure integer cross-multiplication
+    * (c·den ≥ num·min(na,nb)) — no float anywhere, so every engine
+    * agrees bit-for-bit. Emits the exact witnesses (c, na, nb).
+    */
+  def containmentPairs(docs: DataFrame, num: Int = 9, den: Int = 10,
+                       maxDf: Int = 10000): DataFrame = {
+    val sets = persistTracked(shingleSets(docs))
+    val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("sh"))
+    val dfAgg = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val hot = dfAgg.filter(col("df") > maxDf).select(col("sh"))
+    val rare = sh.join(hot, Seq("sh"), "left_anti")
+    val cand = rare.as("x").join(rare.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sets.select(col("doc_id").as("a"), col("sh_set").as("set_a"),
+      col("n_sh").as("na"))
+    val sb = sets.select(col("doc_id").as("b"), col("sh_set").as("set_b"),
+      col("n_sh").as("nb"))
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("c", size(array_intersect(col("set_a"), col("set_b")))
+        .cast("long"))
+      .filter(col("c") * den >= least(col("na"), col("nb")) * num)
+      .select(col("a"), col("b"), col("c"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+  }
+
   /** MinHash signature column h{i} = min md5("i|" + shingle) — the
     * lexicographic min of fixed-width hex strings is the min of the
     * 128-bit hash value, portable across engines.

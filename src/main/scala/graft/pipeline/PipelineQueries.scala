@@ -23,6 +23,9 @@ object PipelineQueries {
     // the gate
     "dedup_ngram_jaccard_gated" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), maxCandidatePairs = 0)),
+    // asymmetric near-containment (quote/excerpt screen) (r9 b22)
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
@@ -516,6 +519,16 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, count(*) AS cnt FROM documents GROUP BY 1",
+    // containment: the same shared/sizes CTEs, the threshold as pure
+    // integer cross-multiplication — no float anywhere
+    "dedup_containment" ->
+      s"""WITH $TOKS, $SH, $SIZES, $SHARED
+         |SELECT a, b, CAST(c AS BIGINT) AS c,
+         |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE c * 10 >= 9 * least(sa.n, sb.n)""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $TOKS, $SH, $SIZES, $SHARED
          |SELECT a, b, c * 1.0 / (sa.n + sb.n - c) AS jac

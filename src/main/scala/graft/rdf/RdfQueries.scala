@@ -230,6 +230,24 @@ object RdfQueries {
       PropertyGraph.toTriples(
         PropertyGraph.nodes(slice), PropertyGraph.edges(slice))
     },
+    // RDF 1.1 skolemization over a blank-bearing graph: supplier rows
+    // minted as blank nodes (subject side) plus the IRI→blank link
+    // (object side), then every `_:label` replaced by its
+    // deterministic urn:skolem:md5(label) IRI — per-row projection,
+    // no shuffle; shards skolemize independently and re-imports
+    // reproduce the same IRIs (r9 b22)
+    "rdf_skolemize" -> { (s, dir) =>
+      val sup = graft.Tables.supplier(s, dir)
+      val blanks = sup.select(
+        concat(lit("_:s"), col("s_suppkey")).as("s"),
+        lit(":hasNation").as("p"),
+        concat(lit("nat:"), col("s_nationkey")).as("o"))
+        .unionAll(sup.select(
+          concat(lit("supp:"), col("s_suppkey")).as("s"),
+          lit(":node").as("p"),
+          concat(lit("_:s"), col("s_suppkey")).as("o")))
+      Skolem.skolemize(blanks)
+    },
     // store mutation as derivation (ref write procedures:
     // RDFImport.importRDF onto an existing store): add a derived VIP
     // delta plus an overlapping slice — idempotent under set
@@ -492,6 +510,13 @@ object RdfQueries {
         |SELECT 'part:'||p_partkey, ':retailprice',
         |       CAST(p_retailprice AS VARCHAR), p_retailprice, false, NULL
         |FROM part""".stripMargin,
+    "rdf_skolemize" ->
+      """SELECT 'urn:skolem:'||md5('s'||s_suppkey) AS s,
+        |       ':hasNation' AS p, 'nat:'||s_nationkey AS o
+        |FROM supplier
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, ':node', 'urn:skolem:'||md5('s'||s_suppkey)
+        |FROM supplier""".stripMargin,
     "rdf_store_add" ->
       """SELECT 'cust:'||c_custkey AS s, ':VIP' AS o FROM customer
         |WHERE c_acctbal > 9000

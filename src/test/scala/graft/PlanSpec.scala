@@ -665,6 +665,29 @@ class PlanSpec extends AnyFunSuite {
       "the global stats row must broadcast, never shuffle the counts again")
   }
 
+  test("dedup_containment: integer threshold, shared sets reused, keyed joins") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"), "candidates come from the index join")
+    assert(p.contains("InMemoryTableScan"),
+      "the index and both verify sides must reuse the persisted shingle sets")
+    assert(!p.toLowerCase.contains("round("),
+      "the containment compare is integer cross-multiplication, no floats")
+  }
+
+  test("q8: nation dims broadcast; one aggregate per year") {
+    val p = plan("q8_market_share")
+    assert(p.contains("BroadcastHashJoin"), "supplier-nation flag must broadcast")
+    assert("FileScan parquet.*lineitem".r.findAllIn(p).size == 1,
+      "the fact table must be scanned exactly once")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("rdf_skolemize: per-row projection, no shuffle, no join") {
+    val p = plan("rdf_skolemize")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "skolemization is a per-row md5 projection — shards are independent")
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
