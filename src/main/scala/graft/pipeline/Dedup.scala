@@ -199,15 +199,73 @@ object Dedup {
     * agrees bit-for-bit. Emits the exact witnesses (c, na, nb).
     */
   def containmentPairs(docs: DataFrame, num: Int = 9, den: Int = 10,
-                       maxDf: Int = 10000): DataFrame = {
+                       maxDf: Int = 10000,
+                       maxCandidatePairs: Long = DefaultMaxCandidatePairs
+                      ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sets = persistTracked(shingleSets(docs))
-    val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("sh"))
+    val sh = sets.select(col("doc_id"), col("n_sh"),
+      explode(col("sh_set")).as("sh"))
     val dfAgg = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val hot = dfAgg.filter(col("df") > maxDf).select(col("sh"))
-    val rare = sh.join(hot, Seq("sh"), "left_anti")
-    val cand = rare.as("x").join(rare.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val withDf = sh.join(dfAgg, "sh")
+    // prefix filter, containment form (PPJoin's overlap bound): the
+    // SMALLER doc of a qualifying pair shares >= ceil(tau·n_s) of its
+    // n_s shingles, so its first n_s − ceil(tau·n_s) + 1 under the
+    // global (df, sh) rarity order must contain a shared one — the
+    // PREFIX index joined against the FULL index is lossless while
+    // carrying ~(1−tau) of the volume the full self-join would. Every
+    // doc plays both roles (we don't know which side of a pair is
+    // smaller), so P⋈F with P.doc ≠ F.doc catches small→big, and the
+    // canonical (a<b) distinct collapses the two orientations.
+    // ceil(n·num/den) computed exactly in integers.
+    val prefixLen = col("n_sh") -
+      floor((col("n_sh") * num + (den - 1)) / den).cast("long") + 1
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("sh"))
+    val prefix = persistTracked(withDf
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= prefixLen)
+      .select(col("doc_id"), col("sh"), col("df")))
+    // adaptive df cap (the candidate-volume gate, containment form):
+    // the P⋈F join emits Σ_sh pc·df raw pairs, priced by one
+    // metadata-scale fold BEFORE the join. Within budget the static
+    // maxDf stands; over budget the cap TIGHTENS to the largest df
+    // whose cumulative volume (rarest-first) fits — recall degrades
+    // gracefully from the hot end only, the same trade the jaccard
+    // gate's band reroute makes, and the chosen cap is exact, not a
+    // guess. (Bands are no reroute here: minhash estimates JACCARD,
+    // and high-containment short-in-long pairs are exactly the
+    // low-jaccard ones bands miss — that asymmetry is why this
+    // operator exists.)
+    val perDf = prefix.groupBy(col("df"))
+      .agg(count(lit(1)).as("pc"))
+      .withColumn("vol", col("pc") * col("df"))
+    val effMaxDf: Long =
+      if (maxCandidatePairs <= 0) maxDf.toLong
+      else {
+        // df-bucket table is metadata scale (≤ distinct df values);
+        // the non-foldable constant partition keeps WindowExec quiet
+        val one = substring(col("df").cast("string"), 0, 0)
+        val cum = perDf.filter(col("df") <= maxDf)
+          .withColumn("cumvol", sum(col("vol")).over(
+            Window.partitionBy(one).orderBy(col("df"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val fit = cum.filter(col("cumvol") <= maxCandidatePairs)
+          .agg(max(col("df"))).head()
+        val d = if (fit.isNullAt(0)) 1L else fit.getLong(0)
+        if (d < maxDf)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"containmentPairs: candidate volume over budget " +
+              s"$maxCandidatePairs — df cap tightened $maxDf -> $d " +
+              "(recall < 1 for pairs whose every shared shingle is hotter)")
+        math.min(d, maxDf.toLong)
+      }
+    val cand = prefix.filter(col("df") <= effMaxDf).as("x")
+      .join(withDf.filter(col("df") <= effMaxDf)
+        .select(col("doc_id"), col("sh")).as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
       .distinct()
     val sa = sets.select(col("doc_id").as("a"), col("sh_set").as("set_a"),
       col("n_sh").as("na"))

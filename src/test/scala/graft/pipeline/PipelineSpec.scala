@@ -1256,6 +1256,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.exists(_._3))
   }
 
+  test("containment finds the quote jaccard dilutes; gate keeps it") {
+    // doc 2 is doc 1's text quoted inside much longer surroundings:
+    // containment of the small side is 1.0, jaccard is diluted under
+    // the 0.8 near-dup bar — exactly the asymmetric case
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = (1 to 40).map(i => s"w$i").mkString(" ") + " " + quote
+    val docs = Seq(
+      (1L, quote, "en", "s", quote.length),
+      (2L, long, "en", "s", long.length),
+      (3L, "completely different words only here", "en", "s", 36))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.containmentPairs(docs)
+      .select("a", "b", "c", "na", "nb").as[(Long, Long, Long, Long, Long)]
+      .collect()
+    assert(r.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    val (_, _, c, na, _) = r.head
+    assert(c == na, "the quote's full shingle set is contained")
+    // symmetric jaccard on the same pair sits far below 0.8
+    assert(Dedup.ngramJaccard(docs).count() == 0)
+    // a tiny candidate budget tightens the df cap, never to zero:
+    // the rarest-shingle pair survives the tightened index
+    val gated = Dedup.containmentPairs(docs, maxCandidatePairs = 1L)
+    assert(gated.select("a", "b").as[(Long, Long)].collect().toSet
+      .subsetOf(Set((1L, 2L))))
+  }
+
   test("lateness profile measures ts lag behind the arrival-order max") {
     val ev = Seq(
       // user 7 arrival order (by event_id): ts 10, 5 (late by 5m),
