@@ -210,7 +210,7 @@ object SparkEntry {
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
         .join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .filter(disj)
-        .agg(round(sum(col("rev")), 2).as("revenue"),
+        .agg(sum(col("rev")).as("revenue"),
           count(lit(1)).as("n_lines"))
     },
     // TPC-H Q22-style idle high-balance customers: the scalar-subquery
@@ -270,7 +270,7 @@ object SparkEntry {
         .join(custN, col("o_custkey") === col("c_custkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-        .agg(round(sum(col("rev")), 2).as("revenue"),
+        .agg(sum(col("rev")).as("revenue"),
           count(lit(1)).as("n_lines"))
     },
     // TPC-H Q14-style promo revenue share: conditional aggregation
@@ -292,9 +292,9 @@ object SparkEntry {
           round(lit(100.0) *
             sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0)) /
             sum(col("rev")), 6).as("promo_share"),
-          round(sum(when(col("p_type") === "PROMO", col("rev"))
-            .otherwise(0.0)), 2).as("promo_revenue"),
-          round(sum(col("rev")), 2).as("total_revenue"))
+          sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(0.0)).as("promo_revenue"),
+          sum(col("rev")).as("total_revenue"))
     },
     // TPC-H Q18-style large-volume orders: the HAVING-subquery anchor.
     // The per-order quantity total is ONE partial-agg shuffle over the
@@ -355,10 +355,37 @@ object SparkEntry {
         .agg(
           round(sum(when(col("is_n1"), col("rev")).otherwise(0.0)) /
             sum(col("rev")), 6).as("mkt_share"),
-          round(sum(when(col("is_n1"), col("rev")).otherwise(0.0)), 2)
-            .as("n1_revenue"),
-          round(sum(col("rev")), 2).as("total_revenue"),
+          sum(when(col("is_n1"), col("rev")).otherwise(0.0)).as("n1_revenue"),
+          sum(col("rev")).as("total_revenue"),
           count(lit(1)).as("n_lines"))
+    },
+    // TPC-H Q10-style returned-item loss ranking: which customers
+    // generated the most RETURNED revenue in a quarter — the
+    // customer-grievance report. Same star shape as q3 (one fact-fact
+    // shuffle, nation dim broadcast) with the returnflag slice pushed
+    // to the fact scan and top-k via TakeOrderedAndProject,
+    // custkey-tiebroken (r9 b23).
+    "q10_returned_topk" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     },
     // TPC-H Q15-style top supplier: the agg-vs-global-max anchor. The
     // per-supplier revenue total runs in EXACT integer units (cents ×
@@ -515,7 +542,7 @@ object SparkEntry {
         |      AND l.l_shipdate > o.o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
     "q19_disjunctive_revenue" ->
-      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      """SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -541,7 +568,7 @@ object SparkEntry {
     "q7_nation_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON o_orderkey = l_orderkey
@@ -560,10 +587,10 @@ object SparkEntry {
         |    sum(CASE WHEN p_type = 'PROMO'
         |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
         |    sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share,
-        |  round(sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
         |    AS promo_revenue,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
@@ -583,11 +610,10 @@ object SparkEntry {
         |  round(sum(CASE WHEN sn.n_name = 'NATION_1'
         |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
         |    sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share,
-        |  round(sum(CASE WHEN sn.n_name = 'NATION_1'
-        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |  sum(CASE WHEN sn.n_name = 'NATION_1'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
         |    AS n1_revenue,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2)
-        |    AS total_revenue,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON o_orderkey = l_orderkey
@@ -600,6 +626,20 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1""".stripMargin,
+    "q10_returned_topk" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q15_top_supplier" ->
       """WITH r AS (
         |  SELECT l_suppkey,

@@ -225,7 +225,7 @@ object Dedup {
     val prefix = persistTracked(withDf
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= prefixLen)
-      .select(col("doc_id"), col("sh"), col("df")))
+      .select(col("doc_id"), col("n_sh"), col("sh"), col("df")))
     // adaptive df cap (the candidate-volume gate, containment form):
     // the P⋈F join emits Σ_sh pc·df raw pairs, priced by one
     // metadata-scale fold BEFORE the join. Within budget the static
@@ -260,10 +260,16 @@ object Dedup {
               "(recall < 1 for pairs whose every shared shingle is hotter)")
         math.min(d, maxDf.toLong)
       }
+    // only the SMALLER side's prefix must witness the pair (the
+    // containment bound is on min(na,nb)), so the probe restricts to
+    // x.n_sh <= y.n_sh — half the join volume, still lossless
+    // (equal-size pairs match in both orientations and collapse in
+    // the canonical distinct; ties by doc_id keep one witness)
     val cand = prefix.filter(col("df") <= effMaxDf).as("x")
       .join(withDf.filter(col("df") <= effMaxDf)
-        .select(col("doc_id"), col("sh")).as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("doc_id"), col("n_sh"), col("sh")).as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id") &&
+          col("x.n_sh") <= col("y.n_sh"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
       .distinct()

@@ -248,6 +248,29 @@ object RdfQueries {
           concat(lit("_:s"), col("s_suppkey")).as("o")))
       Skolem.skolemize(blanks)
     },
+    // versioned-graph diff: the added/removed triple sets between two
+    // store snapshots — the change-review pass a versioned RDF
+    // dataset runs before publishing. Pure set algebra: two LEFT ANTI
+    // joins keyed on the whole triple (never a collect, never a full
+    // sort); at 100 TB both sides shuffle once on the same key, and a
+    // predicate-partitioned layout prunes the comparison to changed
+    // predicates. The second snapshot here is a deterministic
+    // derivation (drop nation comments, add the VIP delta) so the
+    // oracle can state the closed-form answer (r9 b23)
+    "rdf_diff" -> { (s, dir) =>
+      val v1 = TripleStore.dimensionTriples(s, dir)
+        .select(col("s"), col("p"), col("o"))
+      val vip = graft.Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 9000)
+        .select(concat(lit("cust:"), col("c_custkey")).as("s"),
+          lit("rdf:type").as("p"), lit(":VIP").as("o"))
+      val v2 = v1.filter(col("p") =!= ":comment").unionAll(vip)
+      val added = v2.join(v1, Seq("s", "p", "o"), "left_anti")
+        .withColumn("op", lit("+"))
+      val removed = v1.join(v2, Seq("s", "p", "o"), "left_anti")
+        .withColumn("op", lit("-"))
+      added.unionAll(removed)
+    },
     // store mutation as derivation (ref write procedures:
     // RDFImport.importRDF onto an existing store): add a derived VIP
     // delta plus an overlapping slice — idempotent under set
@@ -517,6 +540,13 @@ object RdfQueries {
         |UNION ALL
         |SELECT 'supp:'||s_suppkey, ':node', 'urn:skolem:'||md5('s'||s_suppkey)
         |FROM supplier""".stripMargin,
+    "rdf_diff" ->
+      """SELECT 'cust:'||c_custkey AS s, 'rdf:type' AS p, ':VIP' AS o,
+        |       '+' AS op
+        |FROM customer WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey, ':comment', n_name||' comment', '-'
+        |FROM nation""".stripMargin,
     "rdf_store_add" ->
       """SELECT 'cust:'||c_custkey AS s, ':VIP' AS o FROM customer
         |WHERE c_acctbal > 9000

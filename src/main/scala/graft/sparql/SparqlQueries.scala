@@ -115,6 +115,19 @@ object SparqlQueries {
           |  OPTIONAL { ?o :byCustomer ?c . ?o :orderpriority ?pr }
           |}""".stripMargin))
     },
+    // FILTER scoped INSIDE the OPTIONAL group — the semantic corner
+    // where placement changes the answer: the filter restricts which
+    // rows can MATCH (the SQL ON-clause position), it does not drop
+    // customers whose optional side fails it — those keep their row
+    // with the N/A fill. A post-join FILTER would delete them (r9 b23)
+    "sparql_optional_filter" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT DISTINCT ?c ?pr WHERE {
+          |  ?c a :Customer .
+          |  OPTIONAL { ?o :byCustomer ?c . ?o :orderpriority ?pr .
+          |             FILTER(?pr = "1-URGENT") }
+          |}""".stripMargin))
+    },
     "sparql_union" -> { (s, dir) =>
       run(s, dir, SparqlParser.parse(
         """SELECT ?x ?nm WHERE {
@@ -698,6 +711,11 @@ object SparqlQueries {
       """SELECT DISTINCT 'cust:'||c_custkey AS c,
         |       coalesce(o_orderpriority, 'N/A') AS pr
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey""".stripMargin,
+    "sparql_optional_filter" ->
+      """SELECT DISTINCT 'cust:'||c_custkey AS c,
+        |       coalesce(o_orderpriority, 'N/A') AS pr
+        |FROM customer LEFT JOIN orders
+        |  ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'""".stripMargin,
     "sparql_union" ->
       """SELECT 'nat:'||n_nationkey AS x, n_name AS nm FROM nation
         |UNION ALL
