@@ -410,8 +410,12 @@ object SparkEntry {
         .join(Tables.supplier(s, dir)
           .select(col("s_suppkey"), col("s_name")),
           col("l_suppkey") === col("s_suppkey"))
+        // raw divide, no 2dp round: total_u is an exact multiple of
+        // the 1e-4 quantum, so rounding sits exactly on half-cent
+        // boundaries where engine tie-rules could differ; the single
+        // IEEE divide is bit-identical and %.10g-stable
         .select(col("s_suppkey"), col("s_name"), col("total_u"),
-          round(col("total_u") / 10000.0, 2).as("total_revenue"))
+          (col("total_u") / 10000.0).as("total_revenue"))
     },
     // TPC-H Q13-style customer order-count distribution: the outer-
     // join histogram anchor — two-level aggregation where the first
@@ -650,7 +654,7 @@ object SparkEntry {
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
         |  GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name, CAST(total_u AS BIGINT) AS total_u,
-        |  round(total_u / 10000.0, 2) AS total_revenue
+        |  total_u / 10000.0 AS total_revenue
         |FROM r JOIN supplier ON s_suppkey = l_suppkey
         |WHERE total_u = (SELECT max(total_u) FROM r)""".stripMargin,
     "q13_cust_distribution" ->
