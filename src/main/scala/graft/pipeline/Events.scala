@@ -43,6 +43,26 @@ object Events {
   def slidingWindowStreaming(events: DataFrame): DataFrame =
     slidingWindow(events.withWatermark("ts", "2 hours"))
 
+  /** Trending leaderboard per sliding window: the top-k users of each
+    * overlapping 1h/15min window — the "what's hot right now" query a
+    * live dashboard refreshes. The sliding assignment multiplies rows
+    * by windows-per-event (4 here) BEFORE one keyed partial-agg
+    * shuffle; the rank is a per-window window function over the
+    * already-aggregated (window, user) counts — per-partition linear,
+    * integer keys, ties to the smaller user_id so every engine ranks
+    * identically.
+    */
+  def slidingTopkUsers(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(col("n").desc, col("user_id").asc)
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("user_id"), col("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** AS-OF join, the union-window formulation: each `leftType` event
     * picks the MOST RECENT strictly-prior `rightType` event of the
     * same user — the point-in-time lookup relational engines ship as

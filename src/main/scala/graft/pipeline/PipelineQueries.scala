@@ -145,6 +145,9 @@ object PipelineQueries {
       Events.windowAgg(Tables.events(s, dir))),
     "events_sliding_window" -> ((s, dir) =>
       Events.slidingWindow(Tables.events(s, dir))),
+    // trending leaderboard per sliding window (r9 b24)
+    "events_sliding_topk" -> ((s, dir) =>
+      Events.slidingTopkUsers(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(Tables.events(s, dir))),
     "events_enrich" -> ((s, dir) =>
@@ -1092,6 +1095,18 @@ object PipelineQueries {
     // starts are floor15(ts) - k*15min, k in 0..3 (each start is
     // <= ts by construction and ts < start + 1h since k*900 <= 2700
     // and ts - floor15 < 900)
+    "events_sliding_topk" ->
+      """WITH wc AS (SELECT make_timestamp(
+        |    (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900)
+        |      * 1000000) AS ws,
+        |    user_id, count(*) AS n
+        |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+        |  GROUP BY 1, 2),
+        |r AS (SELECT ws, user_id, n, row_number() OVER (
+        |    PARTITION BY ws ORDER BY n DESC, user_id ASC) AS rnk
+        |  FROM wc)
+        |SELECT ws, user_id, n, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
     "events_sliding_window" ->
       """SELECT make_timestamp(
         |  (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900)

@@ -248,6 +248,24 @@ object RdfQueries {
           concat(lit("_:s"), col("s_suppkey")).as("o")))
       Skolem.skolemize(blanks)
     },
+    // per-predicate cardinality profile — the schema-discovery pass
+    // (what could be declared functional?); two keyed partial-agg
+    // levels, metadata-scale output (r9 b24)
+    "rdf_cardinality_profile" -> { (s, dir) =>
+      Shapes.cardinalityProfile(TripleStore.dimensionTriples(s, dir)
+        .select(col("s"), col("p"), col("o")))
+    },
+    // SHACL-style min/max-cardinality validation report: two
+    // conforming shapes and one deliberately-failing shape (nations
+    // have no acctbal) so the report exercises both outcomes (r9 b24)
+    "rdf_shape_validate" -> { (s, dir) =>
+      Shapes.validate(s, TripleStore.dimensionTriples(s, dir)
+        .select(col("s"), col("p"), col("o")),
+        Seq(
+          (":CustomerNationShape", ":Customer", ":hasNation", 1, 1),
+          (":CustomerNameShape", ":Customer", ":name", 1, 1),
+          (":NationBalanceShape", ":Nation", ":acctbal", 1, 99)))
+    },
     // versioned-graph diff: the added/removed triple sets between two
     // store snapshots — the change-review pass a versioned RDF
     // dataset runs before publishing. Pure set algebra: two LEFT ANTI
@@ -540,6 +558,34 @@ object RdfQueries {
         |UNION ALL
         |SELECT 'supp:'||s_suppkey, ':node', 'urn:skolem:'||md5('s'||s_suppkey)
         |FROM supplier""".stripMargin,
+    "rdf_cardinality_profile" ->
+      (s"WITH $DIM_T,\n" +
+      """|ps AS (SELECT p, s, count(*) AS c FROM t GROUP BY 1, 2)
+         |SELECT p, count(*) AS n_subjects,
+         |  CAST(sum(c) AS BIGINT) AS n_triples,
+         |  CAST(max(c) AS BIGINT) AS max_fanout,
+         |  max(c) = 1 AS is_functional
+         |FROM ps GROUP BY p""".stripMargin),
+    "rdf_shape_validate" ->
+      (s"WITH $DIM_T,\n" +
+      """|shapes(shape, target_class, path, min_count, max_count) AS (
+         |  VALUES (':CustomerNationShape', ':Customer', ':hasNation', 1, 1),
+         |         (':CustomerNameShape', ':Customer', ':name', 1, 1),
+         |         (':NationBalanceShape', ':Nation', ':acctbal', 1, 99)),
+         |targets AS (SELECT t.s AS node, sh.*
+         |            FROM t JOIN shapes sh ON t.o = sh.target_class
+         |            WHERE t.p = 'rdf:type'),
+         |pc AS (SELECT s, p, count(*) AS cnt FROM t GROUP BY 1, 2)
+         |SELECT shape, target_class, path, min_count, max_count,
+         |  count(*) AS n_targets,
+         |  CAST(sum(CASE WHEN coalesce(cnt, 0)
+         |    BETWEEN min_count AND max_count THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_conforming,
+         |  count(*) - CAST(sum(CASE WHEN coalesce(cnt, 0)
+         |    BETWEEN min_count AND max_count THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violations
+         |FROM targets LEFT JOIN pc ON pc.s = targets.node AND pc.p = targets.path
+         |GROUP BY 1, 2, 3, 4, 5""".stripMargin),
     "rdf_diff" ->
       """SELECT 'cust:'||c_custkey AS s, 'rdf:type' AS p, ':VIP' AS o,
         |       '+' AS op

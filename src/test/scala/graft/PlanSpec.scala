@@ -714,6 +714,22 @@ class PlanSpec extends AnyFunSuite {
       "the scoped filter must restrict the optional side before the join")
   }
 
+  test("rdf_shape_validate: shape table broadcasts; path counts keyed") {
+    val p = plan("rdf_shape_validate").split("InMemoryRelation")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      "the ontology-sized shape table must broadcast onto the type scan")
+    assert(p.contains("LeftOuter"),
+      "absent properties must count 0 through a left join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_sliding_topk: rank runs over aggregated counts, not events") {
+    val p = plan("events_sliding_topk")
+    assert(p.contains("partial_count"),
+      "window counts must combine map-side before the rank")
+    assert("Window".r.findAllIn(p).size >= 1 && !p.contains("CartesianProduct"))
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
