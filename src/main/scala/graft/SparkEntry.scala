@@ -359,6 +359,21 @@ object SparkEntry {
           sum(col("rev")).as("total_revenue"),
           count(lit(1)).as("n_lines"))
     },
+    // TPC-H Q6-style forecast revenue: the pure filter-aggregate
+    // anchor — no join at all; its whole value is the PLAN: every
+    // predicate (date range, discount band, quantity cap) must reach
+    // the parquet scan as a pushed filter, and the single sum
+    // partial-aggregates map-side. Completes the feasible TPC-H set
+    // on this schema (r9 b25).
+    "q6_forecast_revenue" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
     // TPC-H Q10-style returned-item loss ranking: which customers
     // generated the most RETURNED revenue in a quarter — the
     // customer-grievance report. Same star shape as q3 (one fact-fact
@@ -630,6 +645,14 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q10_returned_topk" ->
       """SELECT c_custkey, c_name, n_name,
         |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,

@@ -662,6 +662,27 @@ object Dedup {
         sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_tau80"),
         sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).as("n_tau90"))
 
+  /** One-row corpus dedup report — the summary a corpus build logs
+    * after its dedup stage: exact-duplicate groups and droppable
+    * copies, near-duplicate pairs (the shipped minhash operator),
+    * and containment pairs (the shipped quote screen). Each input is
+    * a single-row fold of a shipped operator, cross-joined broadcast
+    * — the report costs its constituent passes, nothing more, and
+    * the numbers are definitionally consistent with the operators
+    * they summarize (same code paths, not re-implementations).
+    */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val ex = exact(docs).agg(
+      sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("exact_dup_groups"),
+      sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L))
+        .as("exact_dup_docs"))
+    val np = minhashLsh(docs).agg(count(lit(1)).as("near_dup_pairs"))
+    val cp = containmentPairs(docs).agg(count(lit(1)).as("contained_pairs"))
+    nd.crossJoin(broadcast(ex)).crossJoin(broadcast(np))
+      .crossJoin(broadcast(cp))
+  }
+
   /** Incremental (cross-snapshot) exact dedup — the pattern every
     * continuously-ingested corpus runs: an INCOMING batch screened
     * against the fingerprint set of the EXISTING corpus, so each new

@@ -352,6 +352,33 @@ object Events {
         "day")
   }
 
+  /** Monthly engagement: MAU, summed DAU, day count, and the
+    * DAU/MAU stickiness ratio per epoch month (30-day buckets, the
+    * same integer-DIV day arithmetic as [[dailyActive]] — calendar
+    * months would need a timezone policy; epoch buckets are
+    * engine-exact). Stickiness = avg_dau / mau = sum_dau /
+    * (n_days·mau): the exact integer witnesses ship alongside one
+    * 6dp-rounded divide. Shape: the (user, day) distinct is the only
+    * fact-scale shuffle; month rollups fold from per-day rows
+    * (metadata scale).
+    */
+  def monthlyStickiness(events: DataFrame): DataFrame = {
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    val perUserDay = events.select(day.as("day"), col("user_id")).distinct()
+    val withMonth = perUserDay.withColumn("month",
+      floor(col("day") / 30L).cast("long"))
+    val dau = withMonth.groupBy(col("month"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("month"))
+      .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+    val mau = withMonth.select(col("month"), col("user_id")).distinct()
+      .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, "month")
+      .withColumn("stickiness",
+        round(col("sum_dau").cast("double") /
+          (col("n_days") * col("mau")).cast("double"), 6))
+  }
+
   /** Weekly cohort retention: users bucket into the week of their
     * first event; each later active week counts toward
     * (cohort_week, offset_weeks). Week numbers are floor(epoch-days/7)

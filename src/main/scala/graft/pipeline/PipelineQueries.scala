@@ -26,6 +26,12 @@ object PipelineQueries {
     // asymmetric near-containment (quote/excerpt screen) (r9 b22)
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir))),
+    // one-row corpus dedup summary over the shipped operators (r9 b25)
+    "pipeline_dedup_report" -> ((s, dir) =>
+      Dedup.corpusReport(Tables.documents(s, dir))),
+    // monthly MAU + DAU/MAU stickiness (r9 b25)
+    "events_stickiness" -> ((s, dir) =>
+      Events.monthlyStickiness(Tables.events(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
@@ -522,6 +528,45 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, count(*) AS cnt FROM documents GROUP BY 1",
+    // the report composes the shipped oracle texts (exact-dup groups,
+    // minhash pairs, containment pairs) so the summary and the
+    // operators it summarizes can never drift
+    "pipeline_dedup_report" ->
+      s"""WITH $TOKS, $SH, $SIZES, $SHARED,
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |eg AS (SELECT count(*) AS cnt FROM documents GROUP BY md5(text)),
+         |ex AS (SELECT
+         |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS exact_dup_groups,
+         |    CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+         |      AS exact_dup_docs
+         |  FROM eg),
+         |mh AS (${minhashVerifiedSql("0.7", selectJac = false)}),
+         |np AS (SELECT count(*) AS near_dup_pairs FROM mh),
+         |ct AS (SELECT a FROM shared
+         |       JOIN sizes sa ON sa.doc_id = a
+         |       JOIN sizes sb ON sb.doc_id = b
+         |       WHERE c * 10 >= 9 * least(sa.n, sb.n)),
+         |cp AS (SELECT count(*) AS contained_pairs FROM ct)
+         |SELECT n_docs, exact_dup_groups, exact_dup_docs,
+         |  near_dup_pairs, contained_pairs
+         |FROM nd, ex, np, cp""".stripMargin,
+    "events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    user_id
+        |  FROM events),
+        |wm AS (SELECT day, CAST(floor(day / 30) AS BIGINT) AS month,
+        |    user_id FROM ud),
+        |d AS (SELECT month, CAST(sum(dau) AS BIGINT) AS sum_dau,
+        |    count(*) AS n_days FROM (
+        |      SELECT month, day, count(*) AS dau FROM wm GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |m AS (SELECT month, count(DISTINCT user_id) AS mau FROM wm
+        |  GROUP BY 1)
+        |SELECT month, sum_dau, n_days, mau,
+        |  round(CAST(sum_dau AS DOUBLE) / (n_days * mau), 6) AS stickiness
+        |FROM d JOIN m USING (month)""".stripMargin,
     // containment: the same shared/sizes CTEs, the threshold as pure
     // integer cross-multiplication — no float anywhere
     "dedup_containment" ->

@@ -730,6 +730,23 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).size >= 1 && !p.contains("CartesianProduct"))
   }
 
+  test("q6: every predicate reaches the scan; no join anywhere") {
+    val p = plan("q6_forecast_revenue")
+    // the PushedFilters list prints truncated, so pin its head — date
+    // and discount filters lead it — plus the pruned 4-column schema
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"),
+      "date + discount filters must reach the parquet scan")
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned")
+    assert(!p.contains("Join"), "Q6 is the pure filter-aggregate")
+  }
+
+  test("events_stickiness: one fact distinct; month rollups metadata-scale") {
+    val p = plan("events_stickiness")
+    assert(p.contains("partial_count"),
+      "per-day and per-month folds must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
