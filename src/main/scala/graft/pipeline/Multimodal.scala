@@ -170,6 +170,30 @@ object Multimodal {
     * frame and fingerprint it. Pure column expressions (sequence with
     * step + explode), no driver loop.
     */
+  /** Cross-video duplicated-frame screen: of each video's sampled
+    * frames, how many carry a hash that ALSO appears in another
+    * video — the static-intro/logo/slate signal a video corpus
+    * dedups on (whole-file hashes miss shared segments; per-frame
+    * hashes catch them). Composition of [[frameSample]] with a
+    * frame-hash df fold: the hash-count shuffle is keyed by the
+    * digest (map-side combined), the per-video rollup by doc —
+    * never frame×frame. Within-video repeats (a freeze-frame) don't
+    * count as cross-dup: the hash must appear under ≥2 distinct
+    * docs.
+    */
+  def dupFrames(docs: DataFrame): DataFrame = {
+    val frames = frameSample(docs)
+    val hashDocs = frames.select(col("frame_md5"), col("doc_id")).distinct()
+      .groupBy(col("frame_md5")).agg(count(lit(1)).as("n_docs"))
+    frames.join(hashDocs, "frame_md5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_frames"))
+      .withColumn("dup_frac",
+        round(col("dup_frames").cast("double") /
+          col("n_frames").cast("double"), 6))
+  }
+
   def frameSample(docs: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
     docs
       .filter(length(col("text")) >= frameBytes)

@@ -260,6 +260,12 @@ object PipelineQueries {
     // document-frequency / IDF rational table (r9 batch 12)
     "text_idf_table" -> ((s, dir) =>
       TextAnalysis.idfTable(Tables.documents(s, dir))),
+    // code-vs-prose routing classifier (r9 b26)
+    "text_code_detect" -> ((s, dir) =>
+      TextAnalysis.codeDetect(Tables.documents(s, dir))),
+    // cross-video duplicated-frame screen (r9 b26)
+    "mm_dup_frames" -> ((s, dir) =>
+      Multimodal.dupFrames(Tables.documents(s, dir))),
     // langid confusion matrix vs the labeled lang column (r9 b13)
     "text_langid_eval" -> ((s, dir) =>
       TextAnalysis.langIdEval(Tables.documents(s, dir))),
@@ -1052,6 +1058,36 @@ object PipelineQueries {
       """SELECT doc_id, i AS frame_idx, md5(substr(text, i * 64 + 1, 64)) AS frame_md5
         |FROM documents, UNNEST(range(0, length(text) // 64, 4)) AS t(i)
         |WHERE length(text) >= 64""".stripMargin,
+    "mm_dup_frames" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+        |  FROM documents, UNNEST(range(0, length(text) // 64, 4)) AS t(i)
+        |  WHERE length(text) >= 64),
+        |hd AS (SELECT frame_md5, count(DISTINCT doc_id) AS n_docs
+        |  FROM f GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_frames,
+        |  round(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac
+        |FROM f JOIN hd USING (frame_md5)
+        |GROUP BY doc_id""".stripMargin,
+    "text_code_detect" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(translate(text, '{}[]()', ''))
+        |      AS BIGINT) AS n_braces,
+        |    CAST(length(text) - length(translate(text, ';', ''))
+        |      AS BIGINT) AS n_semis,
+        |    CAST(length(text) - length(translate(text, '=<>', ''))
+        |      AS BIGINT) AS n_ops
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, n_chars, n_braces, n_semis, n_ops,
+        |  CAST(floor((n_braces + n_semis + n_ops) * 1000.0 / n_chars)
+        |    AS BIGINT) AS code_milli,
+        |  floor((n_braces + n_semis + n_ops) * 1000.0 / n_chars) >= 15
+        |    AS is_codeish
+        |FROM c""".stripMargin,
     "mm_resize" ->
       raw"""SELECT doc_id,
            |  length(regexp_replace(text, '(.).{0,3}', '\1', 'g')) AS out_len,

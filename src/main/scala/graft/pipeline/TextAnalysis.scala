@@ -51,6 +51,31 @@ object TextAnalysis {
   }
 
   /** Length / punctuation / stopword-ratio quality score in [0, 1]. */
+  /** Code-vs-prose detection — the pretraining-mix classifier that
+    * routes documents to the code or natural-language pipeline:
+    * counts of code-indicative characters (braces/brackets,
+    * semicolons, assignment/comparison glyphs) per document via the
+    * length-difference idiom (exact integers, no regex class
+    * divergence between engines), a milli-score as one integer
+    * floor-division, and the routing flag. Pure per-row projection —
+    * no shuffle, runs inside the scan's codegen stage.
+    */
+  def codeDetect(docs: DataFrame, milliThreshold: Int = 15): DataFrame = {
+    def without(chars: String): Column =
+      translate(col("text"), chars, "")
+    val n = length(col("text")).cast("long")
+    val braces = n - length(without("{}[]()")).cast("long")
+    val semis = n - length(without(";")).cast("long")
+    val ops = n - length(without("=<>")).cast("long")
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), n.as("n_chars"),
+        braces.as("n_braces"), semis.as("n_semis"), ops.as("n_ops"))
+      .withColumn("code_milli",
+        floor((col("n_braces") + col("n_semis") + col("n_ops")) * 1000 /
+          col("n_chars")).cast("long"))
+      .withColumn("is_codeish", col("code_milli") >= milliThreshold)
+  }
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = wsTokens(lower(col("text")))
     val nTok = size(toks).cast("double")

@@ -747,6 +747,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("text_code_detect: per-row projection, no shuffle") {
+    val p = plan("text_code_detect")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "the classifier runs inside the scan's codegen stage")
+  }
+
+  test("mm_dup_frames: hash-keyed fold, never frame-by-frame join") {
+    val p = plan("mm_dup_frames")
+    assert(p.contains("partial_count"),
+      "frame-hash doc counts must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
