@@ -507,6 +507,32 @@ object Events {
         unix_micros(max(col("ts"))).as("end_us"))
   }
 
+  /** Session-duration distribution as a log₂ histogram — the
+    * engagement-depth profile a product team reads (how long do
+    * sessions last?), in the Sketch.quantileHist bucket idiom
+    * (bucket = bit-length of the duration in seconds; exact
+    * integers, no float log): [[sessionize]]'s per-session rows fold
+    * to ≤64 bucket rows with event and single-event-session counts.
+    * The histogram rows are the SAME monoid the streaming quantile
+    * twin merges, so this profile composes across shards/days by
+    * addition.
+    */
+  def sessionDurationHist(events: DataFrame,
+                          gapMinutes: Int = 30): DataFrame = {
+    val sess = sessionize(events, gapMinutes)
+      .withColumn("dur_s", ((col("end_us") - col("start_us")) / 1000000L)
+        .cast("long"))
+    sess
+      .withColumn("b",
+        when(col("dur_s") === 0, lit(0))
+          .otherwise(length(bin(col("dur_s"))).cast("int")))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .as("single_event_sessions"))
+  }
+
   /** Changelog compaction (CDC "latest state per key"): one row per
     * user carrying the most recent event's fields, tie-broken by
     * event_id so the answer is deterministic even at equal

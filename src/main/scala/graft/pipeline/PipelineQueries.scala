@@ -154,6 +154,9 @@ object PipelineQueries {
     // trending leaderboard per sliding window (r9 b24)
     "events_sliding_topk" -> ((s, dir) =>
       Events.slidingTopkUsers(Tables.events(s, dir))),
+    // session-duration log2 histogram (r9 b27)
+    "events_session_hist" -> ((s, dir) =>
+      Events.sessionDurationHist(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(Tables.events(s, dir))),
     "events_enrich" -> ((s, dir) =>
@@ -263,6 +266,9 @@ object PipelineQueries {
     // code-vs-prose routing classifier (r9 b26)
     "text_code_detect" -> ((s, dir) =>
       TextAnalysis.codeDetect(Tables.documents(s, dir))),
+    // per-(source, lang) quality-gate pass rates (r9 b27)
+    "text_gopher_by_source" -> ((s, dir) =>
+      TextAnalysis.gopherBySource(Tables.documents(s, dir))),
     // cross-video duplicated-frame screen (r9 b26)
     "mm_dup_frames" -> ((s, dir) =>
       Multimodal.dupFrames(Tables.documents(s, dir))),
@@ -326,6 +332,28 @@ object PipelineQueries {
       |buck AS (SELECT vec_id,
       |           CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
       |         FROM dots GROUP BY 1)""".stripMargin
+
+  /** The gopher gate oracle text — shared by the per-doc key and the
+    * per-source rollup so the two can never drift. */
+  private val GOPHER_SQL: String =
+    raw"""WITH x AS (SELECT doc_id,
+           |    string_split_regex(trim(text), '\s+') AS w,
+           |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS lw,
+           |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
+           |  FROM documents),
+           |y AS (SELECT doc_id, len(w) AS n_words,
+           |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum')
+           |      AS BIGINT) * 1.0 / len(w) AS mean_word_len,
+           |    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+           |    n_symbols,
+           |    len(list_intersect(lw,
+           |      ['the','be','to','of','and','that','have','with'])) AS n_stop
+           |  FROM x)
+           |SELECT doc_id, n_words, mean_word_len, n_alpha, n_symbols, n_stop,
+           |  (n_words BETWEEN 20 AND 80 AND mean_word_len BETWEEN 3 AND 10
+           |   AND n_symbols * 10 <= n_words AND n_alpha * 10 >= n_words * 8
+           |   AND n_stop >= 2) AS keep
+           |FROM y""".stripMargin
 
   private val SIZES = "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"
   private val SHARED =
@@ -838,25 +866,17 @@ object PipelineQueries {
         |  1 + CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
         |    + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END AS stage
         |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin,
-    "text_gopher_quality" ->
-      raw"""WITH x AS (SELECT doc_id,
-           |    string_split_regex(trim(text), '\s+') AS w,
-           |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS lw,
-           |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
-           |  FROM documents),
-           |y AS (SELECT doc_id, len(w) AS n_words,
-           |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum')
-           |      AS BIGINT) * 1.0 / len(w) AS mean_word_len,
-           |    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
-           |    n_symbols,
-           |    len(list_intersect(lw,
-           |      ['the','be','to','of','and','that','have','with'])) AS n_stop
-           |  FROM x)
-           |SELECT doc_id, n_words, mean_word_len, n_alpha, n_symbols, n_stop,
-           |  (n_words BETWEEN 20 AND 80 AND mean_word_len BETWEEN 3 AND 10
-           |   AND n_symbols * 10 <= n_words AND n_alpha * 10 >= n_words * 8
-           |   AND n_stop >= 2) AS keep
-           |FROM y""".stripMargin,
+    "text_gopher_quality" -> GOPHER_SQL,
+    // the same gopher text wrapped one fold deeper — summary and
+    // per-doc gate share ONE string so they cannot drift
+    "text_gopher_by_source" ->
+      s"""WITH g AS ($GOPHER_SQL)
+         |SELECT d.source, d.lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS keep_rate
+         |FROM g JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
     "text_ngram_novelty" ->
       raw"""WITH $TOKS,
            |grams AS (SELECT DISTINCT doc_id,
@@ -1809,6 +1829,30 @@ object PipelineQueries {
         |SELECT doc_id, d.source FROM documents d JOIN r ON d.source = r.source
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 13, 4))::BIGINT % 10000
         |      < floor(rate * 10000)""".stripMargin,
+    // the sessionize CTE chain extended one fold: log2 duration
+    // buckets via bit length, the quantile-sketch idiom
+    "events_session_hist" ->
+      """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |y AS (SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (SELECT user_id, ts,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+        |      AS session_id
+        |  FROM y),
+        |s AS (SELECT user_id, session_id, count(*) AS n_events,
+        |    CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000)
+        |      AS BIGINT) AS dur_s
+        |  FROM z GROUP BY 1, 2)
+        |SELECT CASE WHEN dur_s = 0 THEN 0
+        |    ELSE length(bin(dur_s)) END AS b,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS single_event_sessions
+        |FROM s GROUP BY 1""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -518,6 +518,22 @@ object TextAnalysis {
         nStop >= minStop).as("keep"))
   }
 
+  /** Per-(source, lang) gate pass rates — the slice-level QA view of
+    * [[gopherQuality]]: which corpus slices survive the quality gate,
+    * and at what rate? The number a corpus build uses to catch a bad
+    * crawl source before mixing it in. One keyed join back to the
+    * slice columns, a metadata-scale rollup, exact integer witnesses
+    * beside the 6dp rate.
+    */
+  def gopherBySource(docs: DataFrame): DataFrame =
+    gopherQuality(docs).select(col("doc_id"), col("keep"))
+      .join(docs.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs").cast("double"), 6))
+
   /** Corpus-level n-gram novelty: per doc, how many of its distinct
     * n-grams appear in NO other document (df = 1) vs its distinct
     * total — the inverse of the contamination signal (high novelty =

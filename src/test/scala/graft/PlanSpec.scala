@@ -760,6 +760,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("events_session_hist: one user shuffle; bucket fold map-side") {
+    val p = plan("events_session_hist")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "sessionization rides ONE user-keyed shuffle")
+    assert(p.contains("partial_count"),
+      "the ≤64-bucket histogram must combine map-side")
+  }
+
+  test("text_gopher_by_source: per-doc gate joined once, rollup keyed") {
+    val p = plan("text_gopher_by_source")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"),
+      "slice rollups must combine map-side")
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
