@@ -672,15 +672,31 @@ object Dedup {
     * they summarize (same code paths, not re-implementations).
     */
   def corpusReport(docs: DataFrame): DataFrame = {
-    val nd = docs.agg(count(lit(1)).as("n_docs"))
-    val ex = exact(docs).agg(
-      sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("exact_dup_groups"),
-      sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L))
-        .as("exact_dup_docs"))
-    val np = minhashLsh(docs).agg(count(lit(1)).as("near_dup_pairs"))
-    val cp = containmentPairs(docs).agg(count(lit(1)).as("contained_pairs"))
-    nd.crossJoin(broadcast(ex)).crossJoin(broadcast(np))
-      .crossJoin(broadcast(cp))
+    // STAGED, not fused: each constituent runs as its own job and
+    // releases its persisted shingle/signature intermediates before
+    // the next starts. One fused plan holds every pass's caches
+    // alive simultaneously — measured to OOM at sf10 where each pass
+    // alone completes comfortably. A multi-pass corpus report at
+    // 100 TB is a sequence of jobs with bounded driver state (five
+    // scalars here), which is exactly what this builds. (The
+    // releaseCaches calls evict only this report's own
+    // intermediates under the driver's one-key-at-a-time execution.)
+    val spark = docs.sparkSession
+    val nDocs = docs.count()
+    val exRow = exact(docs).agg(
+      coalesce(sum(when(col("cnt") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("g"),
+      coalesce(sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L)),
+        lit(0L)).as("d")).head()
+    val nearPairs = minhashLsh(docs).count()
+    releaseCaches()
+    val containedPairs = containmentPairs(docs).count()
+    releaseCaches()
+    spark.createDataFrame(Seq(
+        (nDocs, exRow.getLong(0), exRow.getLong(1), nearPairs,
+          containedPairs)))
+      .toDF("n_docs", "exact_dup_groups", "exact_dup_docs",
+        "near_dup_pairs", "contained_pairs")
   }
 
   /** Incremental (cross-snapshot) exact dedup — the pattern every

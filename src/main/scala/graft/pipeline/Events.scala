@@ -317,6 +317,29 @@ object Events {
         when(col(s"t$i").isNotNull, 1).otherwise(0)).reduce(_ + _))
   }
 
+  /** Conversion funnel sliced by customer segment — the number
+    * growth teams actually read ([[funnel]] says HOW MANY converted;
+    * this says WHO): the per-user funnel stages joined once to the
+    * dimension's segment column, rolled up to per-segment stage
+    * counts and a 6dp conversion rate. The dimension join is
+    * broadcast-scale; the rollup is ≤segments rows.
+    */
+  def funnelBySegment(events: DataFrame, customers: DataFrame,
+                      stages: Seq[String] = Seq("view", "click", "purchase"),
+                      gapMinutes: Int = 60): DataFrame =
+    funnel(events, stages, gapMinutes)
+      .select(col("user_id"), col("stage"))
+      .join(broadcast(customers
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_entered"),
+        sum(when(col("stage") === stages.size, 1L).otherwise(0L))
+          .as("n_converted"))
+      .withColumn("conversion_rate",
+        round(col("n_converted").cast("double") /
+          col("n_entered").cast("double"), 6))
+
   /** Per-type hourly load profile: how many distinct hours the type
     * fired in, its median and peak hourly volumes, and how many hours
     * ran over 2× the median (the anomaly count a monitoring rule

@@ -157,6 +157,12 @@ object PipelineQueries {
     // session-duration log2 histogram (r9 b27)
     "events_session_hist" -> ((s, dir) =>
       Events.sessionDurationHist(Tables.events(s, dir))),
+    // per-segment funnel conversion (r9 b28)
+    "events_funnel_by_segment" -> ((s, dir) =>
+      Events.funnelBySegment(Tables.events(s, dir), Tables.customer(s, dir))),
+    // embedding squared-norm health histogram (r9 b28)
+    "emb_norm_hist" -> ((s, dir) =>
+      Similarity.normHist(Tables.embeddings(s, dir))),
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(Tables.events(s, dir))),
     "events_enrich" -> ((s, dir) =>
@@ -332,6 +338,24 @@ object PipelineQueries {
       |buck AS (SELECT vec_id,
       |           CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
       |         FROM dots GROUP BY 1)""".stripMargin
+
+  /** The funnel oracle text — shared by the per-user key and the
+    * per-segment conversion rollup. */
+  private val FUNNEL_SQL: String =
+      """WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+        |       FROM events e JOIN s0 USING (user_id)
+        |       WHERE event_type = 'click' AND epoch_us(ts) > t0
+        |         AND epoch_us(ts) <= t0 + 3600000000 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND epoch_us(ts) > t1
+        |         AND epoch_us(ts) <= t1 + 3600000000 GROUP BY 1)
+        |SELECT s0.user_id, t0, t1, t2,
+        |  1 + CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END AS stage
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin
 
   /** The gopher gate oracle text — shared by the per-doc key and the
     * per-source rollup so the two can never drift. */
@@ -851,21 +875,38 @@ object PipelineQueries {
         |  avg(e.embedding[d + 1]) AS m
         |FROM embeddings e JOIN a USING (vec_id), range(0, 64) td(d)
         |GROUP BY 1, 2""".stripMargin,
-    "events_funnel" ->
-      """WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
-        |            WHERE event_type = 'view' GROUP BY 1),
-        |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
-        |       FROM events e JOIN s0 USING (user_id)
-        |       WHERE event_type = 'click' AND epoch_us(ts) > t0
-        |         AND epoch_us(ts) <= t0 + 3600000000 GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
-        |       FROM events e JOIN s1 USING (user_id)
-        |       WHERE event_type = 'purchase' AND epoch_us(ts) > t1
-        |         AND epoch_us(ts) <= t1 + 3600000000 GROUP BY 1)
-        |SELECT s0.user_id, t0, t1, t2,
-        |  1 + CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
-        |    + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END AS stage
-        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin,
+    "events_funnel" -> FUNNEL_SQL,
+    // the funnel text wrapped one rollup deeper — per-segment
+    // conversion shares the per-user stage derivation verbatim
+    "events_funnel_by_segment" ->
+      s"""WITH f AS ($FUNNEL_SQL)
+         |SELECT c_mktsegment AS segment, count(*) AS n_entered,
+         |  CAST(sum(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_converted,
+         |  round(CAST(sum(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS conversion_rate
+         |FROM f JOIN customer ON user_id = c_custkey
+         |GROUP BY 1""".stripMargin,
+    "emb_norm_hist" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE
+        |      WHEN list_max(list_transform(embedding,
+        |        y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 0
+        |      ELSE CAST(trunc(CAST(x AS DOUBLE) * 127 /
+        |        list_max(list_transform(embedding,
+        |          y -> abs(CAST(y AS DOUBLE))))) AS INT) END) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, CAST(list_aggregate(
+        |    list_transform(qv, x -> CAST(x AS BIGINT) * x), 'sum')
+        |      AS BIGINT) AS sq_norm
+        |  FROM q)
+        |SELECT CASE WHEN sq_norm = 0 THEN 0
+        |    ELSE length(bin(sq_norm)) END AS b,
+        |  count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN sq_norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  min(sq_norm) AS min_sq, max(sq_norm) AS max_sq
+        |FROM n GROUP BY 1""".stripMargin,
     "text_gopher_quality" -> GOPHER_SQL,
     // the same gopher text wrapped one fold deeper — summary and
     // per-doc gate share ONE string so they cannot drift

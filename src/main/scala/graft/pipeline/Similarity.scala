@@ -416,6 +416,29 @@ object Similarity {
           .as("proj"))
   }
 
+  /** Embedding-health histogram: the log₂ distribution of SQUARED
+    * int8-code norms — the QA pass that catches degenerate vectors
+    * (zero or near-zero norms = dead embeddings; a spike at the top
+    * bucket = clipping) before an index builds over them. Integer
+    * end-to-end: Σq² per vector is exact, the bucket is its bit
+    * length (no float log, no sqrt), the fold is map-side to ≤64
+    * rows. Zero-norm vectors land in bucket 0 and are counted
+    * separately — the actionable number.
+    */
+  def normHist(embeddings: DataFrame): DataFrame = {
+    val sq = quantized(embeddings)
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (a, x) =>
+          a + x.cast("long") * x.cast("long")).as("sq_norm"))
+    sq.withColumn("b",
+        when(col("sq_norm") === 0, lit(0))
+          .otherwise(length(bin(col("sq_norm"))).cast("int")))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("sq_norm") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("sq_norm")).as("min_sq"), max(col("sq_norm")).as("max_sq"))
+  }
+
   /** Contrastive training-pair builder: each quality-gated document
     * (anchor, with its embedding as the positive) gets a HARD
     * negative — the nearest-bucket neighbor under the hyperplane LSH

@@ -775,6 +775,22 @@ class PlanSpec extends AnyFunSuite {
       "slice rollups must combine map-side")
   }
 
+  test("events_funnel_by_segment: dimension broadcasts; segment rollup keyed") {
+    val p = plan("events_funnel_by_segment")
+    assert(p.contains("BroadcastHashJoin"),
+      "the customer segment dim must broadcast onto the funnel rows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("emb_norm_hist: in-row norm fold, map-side bucket combine") {
+    val p = plan("emb_norm_hist")
+    assert(p.contains("aggregate("),
+      "the squared norm must fold IN-ROW, not explode dims")
+    assert(p.contains("partial_count"),
+      "bucket counts must combine map-side")
+    assert(!p.contains("Join"))
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
