@@ -75,7 +75,10 @@ object SparkEntry {
     // r9 batch 18: the symmetric nation-pair join and the HAVING-
     // subquery anchor (q14/q15/q13/clustering-coeff/path-inverse
     // reuse already-benched shapes and stay verify-only)
-    "q7_nation_volume", "q18_large_orders")
+    "q7_nation_volume", "q18_large_orders",
+    // r9 batches 22-28: the prefix⋈full containment join and the
+    // sliding-rank shape (the other new keys reuse benched shapes)
+    "dedup_containment", "events_sliding_topk")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

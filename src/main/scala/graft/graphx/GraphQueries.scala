@@ -146,6 +146,19 @@ object GraphQueries {
           round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
             (col("deg") * (col("deg") - lit(1L))), 9).as("lcc"))
     },
+    // degree distribution as a log₂ histogram — the graph-shape card
+    // (power law? truncated?) read before choosing partitioning and
+    // skew strategy; the bit-length bucket idiom shared with the
+    // quantile/session/norm histograms, so per-shard histograms
+    // compose by addition. Two keyed partial-agg folds (r9 b29).
+    "graph_degree_hist" -> { (s, dir) =>
+      val e = coOrderPartEdgeKeys(s, dir)
+      e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .groupBy(length(bin(col("d"))).cast("int").as("b"))
+        .agg(count(lit(1)).as("n_vertices"),
+          min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+    },
     // degree assortativity (Newman's r): do high-degree vertices
     // attach to high-degree vertices? One edge⋈degree join feeds a
     // single map-side fold to FOUR exact integer sums (m, Σ(j+k),
@@ -360,6 +373,16 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM t)
         |GROUP BY 1""".stripMargin,
     "graph_label_propagation" -> lpaSql(rounds = 4),
+    "graph_degree_hist" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e),
+        |deg AS (SELECT v, count(*) AS d FROM adj GROUP BY 1)
+        |SELECT length(bin(d)) AS b, count(*) AS n_vertices,
+        |  CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1""".stripMargin,
     "graph_assortativity" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
