@@ -218,6 +218,9 @@ object PipelineQueries {
     // brute-force ground truth for the probe query
     "ann_recall_eval" -> ((s, dir) =>
       Similarity.recallAtK(Tables.embeddings(s, dir))),
+    // SQ8 quantization-error recall vs the float truth (r9 b30)
+    "ann_sq8_recall_eval" -> ((s, dir) =>
+      Similarity.sq8RecallEval(Tables.embeddings(s, dir))),
     // pairwise source-overlap matrix via HLL register-max merge
     "sketch_hll_overlap" -> ((s, dir) =>
       Sketch.hllSourceOverlap(Tables.documents(s, dir))),
@@ -1935,6 +1938,35 @@ object PipelineQueries {
         |bf AS (SELECT b.vec_id FROM embeddings b, q WHERE b.vec_id != 0
         |       ORDER BY list_cosine_similarity(b.embedding, q.qv) DESC, b.vec_id
         |       LIMIT 10)
+        |SELECT 10 AS k, count(*) AS n_hit,
+        |  CAST(count(*) AS DOUBLE) / 10 AS recall
+        |FROM ap JOIN bf USING (vec_id)""".stripMargin,
+    // SQ8 recall: the int8 ranking replayed (same quantization CTE as
+    // the pca/quantize oracles, same left-assoc score multiply) vs
+    // the float brute-force truth
+    "ann_sq8_recall_eval" ->
+      """WITH x AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS m
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+        |      ELSE CAST(trunc(CAST(x AS DOUBLE) * 127 / m) AS INT) END) AS qv,
+        |    m / 127 AS scale
+        |  FROM x),
+        |qq AS (SELECT qv AS cq, scale AS cs FROM q WHERE vec_id = 0),
+        |ap AS (SELECT q.vec_id
+        |  FROM q, qq WHERE q.vec_id != 0
+        |  ORDER BY CAST(list_aggregate(list_transform(
+        |      range(1, len(qv) + 1), i -> CAST(qv[i] AS BIGINT) * cq[i]),
+        |      'sum') AS DOUBLE) * scale * cs DESC, q.vec_id
+        |  LIMIT 10),
+        |bf AS (SELECT e.vec_id
+        |  FROM embeddings e,
+        |    (SELECT embedding AS qv0 FROM embeddings WHERE vec_id = 0) t
+        |  WHERE e.vec_id != 0
+        |  ORDER BY list_cosine_similarity(e.embedding, t.qv0) DESC, e.vec_id
+        |  LIMIT 10)
         |SELECT 10 AS k, count(*) AS n_hit,
         |  CAST(count(*) AS DOUBLE) / 10 AS recall
         |FROM ap JOIN bf USING (vec_id)""".stripMargin,

@@ -142,6 +142,25 @@ object Similarity {
         (col("n_hit").cast("double") / lit(k)).as("recall"))
   }
 
+  /** Quantization-error evaluation: recall@k of the SQ8 (int8)
+    * ranking against the float brute-force truth — the number that
+    * decides whether the 4× memory-bandwidth saving of a quantized
+    * index costs any answer quality. Both sides are the SHIPPED
+    * operators ([[int8TopK]], [[bruteForceTopK]]); overlap is a
+    * k-row join. The SQ8 axis next to [[recallAtK]]'s LSH axis and
+    * the truncation eval's width axis — the three dials a 100 TB
+    * vector deployment tunes.
+    */
+  def sq8RecallEval(embeddings: DataFrame, queryId: Long = 0,
+                    k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryId, k)
+    val approx = int8TopK(embeddings, queryId, k).select(col("vec_id"))
+    approx.join(truth, "vec_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(k).as("k"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(k)).as("recall"))
+  }
+
   /** Scored per-query top-k of `q` (query_id, qv) against corpus `e`
     * (vec_id, label, v): the shared engine behind [[knnJoin]] and
     * [[knnClassify]]. Returns (query_id, vec_id, label, rnk).

@@ -248,6 +248,25 @@ object RdfQueries {
           concat(lit("_:s"), col("s_suppkey")).as("o")))
       Skolem.skolemize(blanks)
     },
+    // per-IMPORT blank-node scoping (the RDFImport.java:50-155
+    // semantics RDF 1.1 requires: a blank label is file-scoped, so
+    // `_:n3` in two files is two different nodes): two "files" both
+    // using the same blank labels parse with their file tag riding
+    // the parse (extra columns pass through), labels qualify by
+    // file, and skolemization mints DISTINCT global IRIs per file —
+    // shards import independently, re-imports reproduce (r9 b30)
+    "rdf_blank_scoped_import" -> { (s, dir) =>
+      val n = graft.Tables.nation(s, dir)
+      def fileLines(tag: String) = n.select(lit(tag).as("file"),
+        concat(lit("_:n"), col("n_nationkey"),
+          lit(" <:name> \""), col("n_name"), lit("\" .")).as("line"))
+      val parsed = NTriples.parse(fileLines("f1").unionAll(fileLines("f2")))
+      val scopedS = when(col("s").startsWith("_:"),
+        concat(lit("_:"), col("file"), lit("/"),
+          substring(col("s"), 3, 1 << 24))).otherwise(col("s"))
+      Skolem.skolemize(parsed
+        .select(scopedS.as("s"), col("p"), col("o")))
+    },
     // per-predicate cardinality profile — the schema-discovery pass
     // (what could be declared functional?); two keyed partial-agg
     // levels, metadata-scale output (r9 b24)
@@ -558,6 +577,13 @@ object RdfQueries {
         |UNION ALL
         |SELECT 'supp:'||s_suppkey, ':node', 'urn:skolem:'||md5('s'||s_suppkey)
         |FROM supplier""".stripMargin,
+    "rdf_blank_scoped_import" ->
+      """SELECT 'urn:skolem:'||md5('f1/n'||n_nationkey) AS s,
+        |       ':name' AS p, n_name AS o
+        |FROM nation
+        |UNION ALL
+        |SELECT 'urn:skolem:'||md5('f2/n'||n_nationkey), ':name', n_name
+        |FROM nation""".stripMargin,
     "rdf_cardinality_profile" ->
       (s"WITH $DIM_T,\n" +
       """|ps AS (SELECT p, s, count(*) AS c FROM t GROUP BY 1, 2)

@@ -791,6 +791,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("rdf_blank_scoped_import: parse + scope + skolemize, no shuffle") {
+    val p = plan("rdf_blank_scoped_import")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "scoped import is a per-row pass — shards import independently")
+  }
+
+  test("ann_sq8_recall_eval: both rankings are top-k heaps") {
+    val p = plan("ann_sq8_recall_eval")
+    assert(p.contains("TakeOrderedAndProject"),
+      "neither side may globally sort the corpus")
+    assert(p.contains("dot_int"),
+      "the SQ8 side must rank with the fused integer kernel")
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
