@@ -812,6 +812,32 @@ object Events {
       }
   }
 
+  /** Top user-journey trigrams: the most common ordered THREE-step
+    * event-type sequences across users — the path-analysis view
+    * product teams read next to [[transitionMatrix]]'s one-step
+    * probabilities (a funnel hypothesis generator: frequent
+    * view→view→purchase paths are funnels nobody designed). Two
+    * lead()s on the SAME user-keyed window (one exchange, one linear
+    * pass — Spark collapses same-spec window functions into one
+    * WindowExec), bigram... trigram counts partial-aggregate
+    * map-side to ≤|types|³ rows, top-k via TakeOrderedAndProject
+    * with lexical tie-breaks.
+    */
+  def journeyTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
   /** Behavioral transition matrix: for each ordered pair of event
     * types, how often the second directly follows the first within a
     * user's stream — the first-order Markov statistic behind funnel

@@ -42,6 +42,15 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       Dedup.clusters(docs, Dedup.minhashLsh(docs))
     }),
+    // cluster-size log2 histogram — the dedup-outcome card (r9 b31)
+    "dedup_cluster_hist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusters(docs, Dedup.minhashLsh(docs))
+        .groupBy(col("canonical")).agg(count(lit(1)).as("sz"))
+        .groupBy(length(bin(col("sz"))).cast("int").as("b"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"), max(col("sz")).as("max_size"))
+    }),
     "dedup_keep_best" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.keepBest(docs, Dedup.minhashLsh(docs))
@@ -154,6 +163,9 @@ object PipelineQueries {
     // trending leaderboard per sliding window (r9 b24)
     "events_sliding_topk" -> ((s, dir) =>
       Events.slidingTopkUsers(Tables.events(s, dir))),
+    // top ordered three-step journeys (r9 b31)
+    "events_journey_trigrams" -> ((s, dir) =>
+      Events.journeyTrigrams(Tables.events(s, dir))),
     // session-duration log2 histogram (r9 b27)
     "events_session_hist" -> ((s, dir) =>
       Events.sessionDurationHist(Tables.events(s, dir))),
@@ -661,6 +673,23 @@ object PipelineQueries {
          |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS canonical
          |FROM documents d LEFT JOIN r ON r.a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    // the cluster oracle extended one fold: size per canonical, then
+    // the bit-length histogram — the shared histogram monoid
+    "dedup_cluster_hist" ->
+      s"""WITH RECURSIVE mh AS ($minhashPairsSql),
+         |e(a, b) AS (SELECT a, b FROM mh UNION SELECT b, a FROM mh),
+         |r(a, b) AS (SELECT a, b FROM e
+         |            UNION
+         |            SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         |cl AS (SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS canonical
+         |  FROM documents d LEFT JOIN r ON r.a = d.doc_id
+         |  GROUP BY d.doc_id),
+         |sz AS (SELECT canonical, count(*) AS sz FROM cl GROUP BY 1)
+         |SELECT length(bin(sz)) AS b, count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(max(sz) AS BIGINT) AS max_size
+         |FROM sz GROUP BY 1""".stripMargin,
     "dedup_keep_best" ->
       raw"""WITH RECURSIVE mh AS ($minhashPairsSql),
            |e(a, b) AS (SELECT a, b FROM mh UNION SELECT b, a FROM mh),
@@ -1619,6 +1648,18 @@ object PipelineQueries {
         |  AND CAST(n * nu - s AS HUGEINT) * CAST(n * nu - s AS HUGEINT) >
         |      4 * (CAST(nu AS HUGEINT) * CAST(q AS HUGEINT) -
         |           CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+    "events_journey_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |    FROM events),
+        |t AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS e3
+        |  FROM e)
+        |SELECT e1, e2, e3, count(*) AS n FROM t
+        |WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
     "events_transition_matrix" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
         |    FROM events),

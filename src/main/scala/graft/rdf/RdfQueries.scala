@@ -267,6 +267,19 @@ object RdfQueries {
       Skolem.skolemize(parsed
         .select(scopedS.as("s"), col("p"), col("o")))
     },
+    // VoID linksets (W3C VoID §4.1: void:Linkset — how many triples
+    // LINK one namespace's subjects to another namespace's objects):
+    // the cross-dataset connectivity card next to rdf_void_stats'
+    // per-dataset card; one partial-agg fold over (ns(s), p, ns(o))
+    // for IRI objects, metadata-scale output (r9 b31)
+    "rdf_void_linksets" -> { (s, dir) =>
+      TripleStore.dimensionTriples(s, dir)
+        .filter(col("o_is_iri"))
+        .groupBy(UriFunctions.namespace(col("s")).as("subj_ns"),
+          col("p"),
+          UriFunctions.namespace(col("o")).as("obj_ns"))
+        .agg(count(lit(1)).as("n_links"))
+    },
     // per-predicate cardinality profile — the schema-discovery pass
     // (what could be declared functional?); two keyed partial-agg
     // levels, metadata-scale output (r9 b24)
@@ -577,6 +590,17 @@ object RdfQueries {
         |UNION ALL
         |SELECT 'supp:'||s_suppkey, ':node', 'urn:skolem:'||md5('s'||s_suppkey)
         |FROM supplier""".stripMargin,
+    // the dimension store's IRI-object predicates are exactly these
+    // four (everything else is a literal) — the filter the o_is_iri
+    // column answers on the Spark side
+    "rdf_void_linksets" ->
+      (s"WITH $DIM_T\n" +
+      """|SELECT regexp_extract(s, '^(.*[#/:])', 1) AS subj_ns, p,
+         |  regexp_extract(o, '^(.*[#/:])', 1) AS obj_ns,
+         |  count(*) AS n_links
+         |FROM t
+         |WHERE p IN ('rdf:type', ':hasNation', ':inRegion', ':byCustomer')
+         |GROUP BY 1, 2, 3""".stripMargin),
     "rdf_blank_scoped_import" ->
       """SELECT 'urn:skolem:'||md5('f1/n'||n_nationkey) AS s,
         |       ':name' AS p, n_name AS o

@@ -805,6 +805,20 @@ class PlanSpec extends AnyFunSuite {
       "the SQ8 side must rank with the fused integer kernel")
   }
 
+  test("events_journey_trigrams: one user window; top-k never sorts globally") {
+    val p = plan("events_journey_trigrams")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "both leads ride ONE user-keyed window pass")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
+  test("rdf_void_linksets: one partial-agg fold over the store") {
+    val p = plan("rdf_void_linksets").split("InMemoryRelation")(0)
+    assert(p.contains("partial_count"),
+      "linkset counts must combine map-side")
+    assert(!p.contains("Join"))
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
