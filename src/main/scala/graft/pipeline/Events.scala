@@ -375,6 +375,28 @@ object Events {
         "day")
   }
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands pattern (the one classic SQL shape the events
+    * family didn't yet carry): on each user's DISTINCT active days,
+    * day − row_number() is constant exactly within a consecutive
+    * run, so one user-keyed window + one (user, island) fold yields
+    * every streak; the per-user rollup keeps the longest. All exact
+    * integers. Shape: the (user, day) distinct is the only
+    * fact-scale shuffle; the window and folds ride the same user
+    * keys.
+    */
+  def userStreaks(events: DataFrame): DataFrame = {
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    events.select(col("user_id"), day.as("day")).distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"),
+        sum(col("len")).as("active_days"))
+  }
+
   /** Monthly engagement: MAU, summed DAU, day count, and the
     * DAU/MAU stickiness ratio per epoch month (30-day buckets, the
     * same integer-DIV day arithmetic as [[dailyActive]] — calendar

@@ -32,6 +32,9 @@ object PipelineQueries {
     // monthly MAU + DAU/MAU stickiness (r9 b25)
     "events_stickiness" -> ((s, dir) =>
       Events.monthlyStickiness(Tables.events(s, dir))),
+    // longest consecutive-day streaks (gaps-and-islands) (r9 b32)
+    "events_user_streaks" -> ((s, dir) =>
+      Events.userStreaks(Tables.events(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
@@ -1648,6 +1651,20 @@ object PipelineQueries {
         |  AND CAST(n * nu - s AS HUGEINT) * CAST(n * nu - s AS HUGEINT) >
         |      4 * (CAST(nu AS HUGEINT) * CAST(q AS HUGEINT) -
         |           CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+    "events_user_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        |  FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM ud),
+        |st AS (SELECT user_id, island, count(*) AS len
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS max_streak,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM st GROUP BY 1""".stripMargin,
     "events_journey_trigrams" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
         |    FROM events),

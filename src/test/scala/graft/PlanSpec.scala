@@ -819,6 +819,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("events_user_streaks: islands ride one user-keyed shuffle") {
+    val p = plan("events_user_streaks")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 2,
+      "the distinct, window, and folds share user-keyed partitioning")
+    assert(!p.contains("Join"))
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
