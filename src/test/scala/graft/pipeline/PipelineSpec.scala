@@ -1282,6 +1282,32 @@ class PipelineSpec extends AnyFunSuite {
       .subsetOf(Set((1L, 2L))))
   }
 
+  test("containment pairs are a superset of jaccard pairs at the same tau") {
+    // jac = c/(na+nb−c) ≤ c/min(na,nb) = containment, so every
+    // jaccard-qualifying pair must also qualify on containment —
+    // checked on a deterministic pseudo-random corpus (seeded logic,
+    // not runtime randomness) that actually produces pairs of both
+    // kinds
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 30).map(i => s"w$i")
+    def doc() = (1 to (8 + rnd.nextInt(20)))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 12L).map(i => (i, doc()))
+    // near-dup twins: copy with one word changed
+    val twins = base.take(4).map { case (i, t) =>
+      (i + 100L, t.replaceFirst("w\\d+", "w1")) }
+    val docs = (base ++ twins)
+      .map { case (i, t) => (i, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val jac = Dedup.ngramJaccard(docs, tau = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val cont = Dedup.containmentPairs(docs)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(jac.subsetOf(cont),
+      s"jaccard pairs must be contained: missing ${jac.diff(cont)}")
+    assert(cont.nonEmpty, "the twin corpus must produce pairs")
+  }
+
   test("lateness profile measures ts lag behind the arrival-order max") {
     val ev = Seq(
       // user 7 arrival order (by event_id): ts 10, 5 (late by 5m),

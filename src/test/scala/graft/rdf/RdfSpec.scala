@@ -432,6 +432,32 @@ class RdfSpec extends AnyFunSuite {
     assert(d3._2 != d1._2)
   }
 
+  test("skolemization is idempotent, injective on labels, literal-safe") {
+    val t = Seq(
+      ("_:a", ":p", "_:b"),   // blanks on both positions
+      ("_:b", ":p", "s:1"),   // same label reused → same IRI
+      ("s:1", ":q", "lit _:x inside")) // literal containing _: untouched
+      .toDF("s", "p", "o")
+    val once = Skolem.skolemize(t)
+    val rows = once.as[(String, String, String)].collect()
+    // no blank survives on resource positions; the literal is intact
+    assert(rows.forall(r => !r._1.startsWith("_:")))
+    assert(rows.exists(_._3 == "lit _:x inside"),
+      "object literals must pass through even if they contain '_:'")
+    // label identity: _:b as subject and as object mint the SAME IRI
+    val skA = rows.find(r => r._3.startsWith("urn:skolem:")).map(_._3).get
+    val skB = rows.find(r => r._1.startsWith("urn:skolem:") &&
+      r._3 == "s:1").map(_._1).get
+    assert(skA == skB, "the same label must mint the same IRI everywhere")
+    // distinct labels mint distinct IRIs
+    val subjIris = rows.map(_._1).filter(_.startsWith("urn:skolem:")).toSet
+    assert(subjIris.size == 2)
+    // idempotence: a second pass changes nothing
+    val twice = Skolem.skolemize(once).as[(String, String, String)]
+      .collect().toSet
+    assert(twice == rows.toSet)
+  }
+
   test("reification is deterministic, content-addressed, 4 rows/stmt") {
     val t = Seq(("s:1", ":p", "o:1"), ("s:2", ":p", "lit"))
       .toDF("s", "p", "o")
