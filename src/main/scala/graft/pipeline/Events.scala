@@ -632,6 +632,42 @@ object Events {
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
   }
 
+  /** First-touch attribution: each purchase credited to the EARLIEST
+    * same-user view inside the preceding window — the marketing twin
+    * of [[asofJoin]]'s last-touch semantics, and the operator the
+    * attribution-model argument is actually about. Composition of
+    * the shipped interval join with one min_by fold keyed by
+    * purchase (map-side combinable — the shuffle carries one
+    * candidate per purchase per partition, not all views);
+    * (v_us, view_id) struct ordering makes the earliest pick
+    * deterministic at equal timestamps. Purchases with no qualifying
+    * view keep a row with NULL credit (the unattributed slice a
+    * report must show), via one left join back to the purchase set.
+    */
+  def firstTouch(events: DataFrame, interval: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+    val purchases = events.filter(col("event_type") === "purchase")
+    val credited = intervalJoinStreaming(views, purchases)
+      .groupBy(col("user_id"), col("purchase_id"), col("p_us"))
+      // the earliest-(v_us, view_id) pick as a min_by over a
+      // zero-padded string key — lexicographic order equals numeric
+      // order at fixed width, and BOTH engines' min_by accept it
+      // (DuckDB has no struct ordering key)
+      .agg(min_by(col("view_id"),
+        concat(lpad(col("v_us").cast("string"), 20, "0"),
+          lpad(col("view_id").cast("string"), 20, "0")))
+        .as("first_view_id"),
+        min(col("v_us")).as("first_view_us"),
+        count(lit(1)).as("n_views_in_window"))
+    purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_us"))
+      .join(credited, Seq("user_id", "purchase_id", "p_us"), "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("p_us"),
+        col("first_view_id"), col("first_view_us"),
+        coalesce(col("n_views_in_window"), lit(0L)).as("n_views_in_window"))
+  }
+
   /** Slowly-changing-dimension Type 2 build from the changelog: every
     * event becomes a VERSIONED validity interval — `valid_from_us` =
     * its own timestamp, `valid_to_us` = the instant before the next

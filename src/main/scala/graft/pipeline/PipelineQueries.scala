@@ -229,6 +229,9 @@ object PipelineQueries {
         e.filter(col("event_type") === "view"),
         e.filter(col("event_type") === "purchase"))
     }),
+    // first-touch attribution over the interval join (r9 b33)
+    "events_first_touch" -> ((s, dir) =>
+      Events.firstTouch(Tables.events(s, dir))),
     // ANN index evaluation: recall@10 of the shipped LSH path against
     // brute-force ground truth for the probe query
     "ann_recall_eval" -> ((s, dir) =>
@@ -1980,6 +1983,27 @@ object PipelineQueries {
         |FROM e p JOIN e v ON v.user_id = p.user_id
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
         | AND v.us <= p.us AND v.us >= p.us - 3600000000""".stripMargin,
+    // the interval-join oracle extended one fold: earliest view per
+    // purchase by (v_us, view_id) min, unattributed purchases kept
+    "events_first_touch" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |j AS (SELECT p.user_id, p.event_id AS purchase_id, p.us AS p_us,
+        |    v.event_id AS view_id, v.us AS v_us
+        |  FROM e p JOIN e v ON v.user_id = p.user_id
+        |   AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |   AND v.us <= p.us AND v.us >= p.us - 3600000000),
+        |c AS (SELECT user_id, purchase_id, p_us,
+        |    min_by(view_id, lpad(CAST(v_us AS VARCHAR), 20, '0') ||
+        |      lpad(CAST(view_id AS VARCHAR), 20, '0')) AS first_view_id,
+        |    min(v_us) AS first_view_us,
+        |    count(*) AS n_views_in_window
+        |  FROM j GROUP BY 1, 2, 3)
+        |SELECT p.user_id, p.event_id AS purchase_id, p.us AS p_us,
+        |  c.first_view_id, c.first_view_us,
+        |  coalesce(c.n_views_in_window, 0) AS n_views_in_window
+        |FROM e p LEFT JOIN c ON c.purchase_id = p.event_id
+        |WHERE p.event_type = 'purchase'""".stripMargin,
     // both top-k sets replay their shipped oracles (bf = the
     // ann_bruteforce ORDER BY, ap = the ann_lsh probe semantics over
     // the shared BUCKET_CTES), so the recall scalar is checked

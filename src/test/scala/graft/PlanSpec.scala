@@ -826,6 +826,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("events_first_touch: credit fold combines map-side; no product") {
+    val p = plan("events_first_touch")
+    assert(p.contains("partial_min_by") || p.contains("partial_min"),
+      "the earliest-view pick must combine map-side, not window all views")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
