@@ -125,13 +125,19 @@ object BloomContains {
   }
 
   /** Expose as SQL function `bloom_contains` on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("bloom_contains"),
+  /** (identifier, info, builder) — shared by the session-level
+    * [[register]] and the config-level [[graft.GraftExtensions]]. */
+  private[graft] val descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
       (children: Seq[Expression]) => {
         require(children.size == 2,
           s"bloom_contains expects exactly 2 arguments, got ${children.size}")
         BloomContains(children.head, children(1))
       })
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      descriptor._1, descriptor._2, descriptor._3)
 }

@@ -91,13 +91,19 @@ object CosineSimilarity {
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Expose as SQL function `cosine_sim` on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"),
+  /** (identifier, info, builder) — shared by the session-level
+    * [[register]] and the config-level [[graft.GraftExtensions]]. */
+  private[graft] val descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => {
         require(children.size == 2,
           s"cosine_sim expects exactly 2 arguments, got ${children.size}")
         CosineSimilarity(children.head, children(1))
       })
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      descriptor._1, descriptor._2, descriptor._3)
 }

@@ -83,13 +83,19 @@ object DotProductInt {
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Expose as SQL function `dot_int` on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("dot_int"),
+  /** (identifier, info, builder) — shared by the session-level
+    * [[register]] and the config-level [[graft.GraftExtensions]]. */
+  private[graft] val descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_int"),
       new ExpressionInfo(classOf[DotProductInt].getName, "dot_int"),
       (children: Seq[Expression]) => {
         require(children.size == 2,
           s"dot_int expects exactly 2 arguments, got ${children.size}")
         DotProductInt(children.head, children(1))
       })
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      descriptor._1, descriptor._2, descriptor._3)
 }

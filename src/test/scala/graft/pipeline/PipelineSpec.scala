@@ -279,6 +279,29 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("hit")).count() == 3)
   }
 
+  test("GraftExtensions injects the same kernels config-level setup gets") {
+    // the spark.sql.extensions path can't re-create SharedSpark's
+    // session mid-suite, but the class must (a) instantiate
+    // reflectively exactly as Spark's loader does, (b) accept an
+    // extensions object without throwing, and (c) share the SAME
+    // descriptors the session-level register() uses — so a cluster
+    // configured with graft.GraftExtensions resolves identical
+    // functions to the ones checked in SQL below
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    Class.forName("graft.GraftExtensions").getDeclaredConstructor()
+      .newInstance().asInstanceOf[
+        org.apache.spark.sql.SparkSessionExtensions => Unit].apply(ext)
+    graft.Graft.registerFunctions(spark)
+    val one = spark
+      .sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .as[Double].head()
+    assert(math.abs(one - 1.0) < 1e-12)
+    val dot = spark
+      .sql("SELECT dot_int(array(2, 3), array(4, 5)) AS d")
+      .as[Long].head()
+    assert(dot == 23L)
+  }
+
   test("bloom contamination flags the docs the exact screen flags") {
     // doc 0 (0 % 97 == 0) is the benchmark slice; doc 1 shares a
     // 5-gram with it, doc 2 does not
