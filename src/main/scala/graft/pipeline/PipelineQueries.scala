@@ -210,6 +210,9 @@ object PipelineQueries {
       Sketch.hllNgramDistinct(Tables.documents(s, dir))),
     "sketch_hll_by_source" -> ((s, dir) =>
       Sketch.hllNgramDistinctBy(Tables.documents(s, dir))),
+    // HLL accuracy eval vs the exact distinct (r9 b34)
+    "sketch_hll_error_eval" -> ((s, dir) =>
+      Sketch.hllErrorEval(Tables.documents(s, dir))),
     "sketch_cms_counts" -> ((s, dir) =>
       Sketch.cmsTokenCounts(Tables.documents(s, dir))),
     "sketch_quantile_hist" -> ((s, dir) =>
@@ -377,6 +380,29 @@ object PipelineQueries {
         |  1 + CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
         |    + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END AS stage
         |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin
+
+  /** The ungrouped-HLL oracle CTE prefix (grams → registers → the
+    * folded (n_present, fp) row) — shared by the sketch key and its
+    * accuracy eval. */
+  private val HLL_CTES: String =
+    raw"""t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS l
+         |  FROM documents),
+         |g AS (SELECT md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+         |    || l[i+3] || ' ' || l[i+4]) AS hx
+         |  FROM t, UNNEST(range(1, len(l) - 3)) AS ix(i)
+         |  WHERE len(l) >= 5),
+         |reg AS (SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS r,
+         |  CASE WHEN substr(hx, 3, 12) = '000000000000' THEN 49
+         |  ELSE length(regexp_extract(substr(hx, 3, 12), '^0*')) * 4 +
+         |    CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
+         |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+         |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+         |      WHEN '7' THEN 1 ELSE 0 END + 1 END AS rho
+         |  FROM g),
+         |m AS (SELECT r, max(rho) AS mx FROM reg GROUP BY 1),
+         |s AS (SELECT count(*) AS n_present,
+         |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (52 - mx)), 0) AS BIGINT) AS fp
+         |  FROM m)""".stripMargin
 
   /** The gopher gate oracle text — shared by the per-doc key and the
     * per-source rollup so the two can never drift. */
@@ -1729,30 +1755,28 @@ object PipelineQueries {
     // fixed-point BIGINT, and only the final alpha*m^2/sum runs in
     // (IEEE-exact, fixed-shape) doubles — replayed here verbatim
     "sketch_hll_distinct" ->
-      raw"""WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS l
-           |  FROM documents),
-           |g AS (SELECT md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
-           |    || l[i+3] || ' ' || l[i+4]) AS hx
-           |  FROM t, UNNEST(range(1, len(l) - 3)) AS ix(i)
-           |  WHERE len(l) >= 5),
-           |reg AS (SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS r,
-           |  CASE WHEN substr(hx, 3, 12) = '000000000000' THEN 49
-           |  ELSE length(regexp_extract(substr(hx, 3, 12), '^0*')) * 4 +
-           |    CASE substr(ltrim(substr(hx, 3, 12), '0'), 1, 1)
-           |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
-           |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
-           |      WHEN '7' THEN 1 ELSE 0 END + 1 END AS rho
-           |  FROM g),
-           |m AS (SELECT r, max(rho) AS mx FROM reg GROUP BY 1),
-           |s AS (SELECT count(*) AS n_present,
-           |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (52 - mx)), 0) AS BIGINT) AS fp
-           |  FROM m)
-           |SELECT n_present,
-           |  fp + (256 - n_present) * 4503599627370496 AS sum_fp,
-           |  (0.7213e0 / (1.0e0 + 1.079e0 / 256)) * 65536 * 4503599627370496.0e0
-           |    / CAST(fp + (256 - n_present) * 4503599627370496 AS DOUBLE)
-           |    AS estimate
-           |FROM s""".stripMargin,
+      (s"WITH $HLL_CTES\n" +
+      """|SELECT n_present,
+         |  fp + (256 - n_present) * 4503599627370496 AS sum_fp,
+         |  (0.7213e0 / (1.0e0 + 1.079e0 / 256)) * 65536 * 4503599627370496.0e0
+         |    / CAST(fp + (256 - n_present) * 4503599627370496 AS DOUBLE)
+         |    AS estimate
+         |FROM s""".stripMargin),
+    // the shipped estimate against the exact distinct — same CTE
+    // prefix, so the eval and the sketch cannot drift
+    "sketch_hll_error_eval" ->
+      (s"WITH $HLL_CTES,\n" +
+      """|ex AS (SELECT count(DISTINCT hx) AS exact_distinct FROM g),
+         |est AS (SELECT
+         |    (0.7213e0 / (1.0e0 + 1.079e0 / 256)) * 65536
+         |      * 4503599627370496.0e0
+         |      / CAST(fp + (256 - n_present) * 4503599627370496 AS DOUBLE)
+         |      AS estimate
+         |  FROM s)
+         |SELECT exact_distinct, estimate,
+         |  round(100.0 * (estimate - exact_distinct) / exact_distinct, 4)
+         |    AS err_pct
+         |FROM ex, est""".stripMargin),
     // the grouped sketch: identical construction keyed by source
     "sketch_hll_by_source" ->
       raw"""WITH t AS (SELECT source,

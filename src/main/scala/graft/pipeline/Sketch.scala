@@ -93,6 +93,24 @@ object Sketch {
       registers.agg(count(lit(1)).as("n_present"), fpSum.as("fp")), Nil)
   }
 
+  /** HLL accuracy eval — the "measured, not asserted" loop for the
+    * cardinality sketch: the SHIPPED estimate next to the exact
+    * distinct count and the relative error. The exact side is the
+    * corpus-wide distinct shuffle the sketch exists to avoid — at
+    * 100 TB this eval runs on a sampled slice (like every eval key),
+    * and the number it reports is what justifies trusting the ≤256
+    * register rows on the full corpus.
+    */
+  def hllErrorEval(docs: DataFrame, n: Int = 5): DataFrame = {
+    val est = hllNgramDistinct(docs, n).select(col("estimate"))
+    val exact = gramDigests(docs, n, Nil)
+      .agg(countDistinct(col("hx")).as("exact_distinct"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_distinct"), col("estimate"),
+        round(lit(100.0) * (col("estimate") - col("exact_distinct")) /
+          col("exact_distinct"), 4).as("err_pct"))
+  }
+
   /** The sketch as a GROUPED aggregation: per-`groupCol` distinct
     * n-gram estimates in one pass. Register rows are keyed by
     * (group, register) — at most 256 per group survive the map-side
