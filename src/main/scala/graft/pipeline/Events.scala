@@ -668,6 +668,29 @@ object Events {
         coalesce(col("n_views_in_window"), lit(0L)).as("n_views_in_window"))
   }
 
+  /** Conversion-lag distribution: how long after the FIRST qualifying
+    * view does the purchase land? [[firstTouch]]'s credited pairs
+    * folded into the shared log₂-seconds histogram (bit-length
+    * buckets — exact integers, composable across shards by
+    * addition), with the unattributed purchases counted in a
+    * sentinel bucket −1 (a latency report that silently drops the
+    * unattributed slice overstates attribution coverage).
+    */
+  def conversionLagHist(events: DataFrame,
+                        interval: String = "1 hour"): DataFrame =
+    firstTouch(events, interval)
+      .withColumn("lag_s",
+        when(col("first_view_us").isNull, lit(null))
+          .otherwise(floor((col("p_us") - col("first_view_us")) / 1000000L)
+            .cast("long")))
+      .withColumn("b",
+        when(col("lag_s").isNull, lit(-1))
+          .when(col("lag_s") === 0, lit(0))
+          .otherwise(length(bin(col("lag_s"))).cast("int")))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_purchases"),
+        min(col("lag_s")).as("min_lag_s"), max(col("lag_s")).as("max_lag_s"))
+
   /** Slowly-changing-dimension Type 2 build from the changelog: every
     * event becomes a VERSIONED validity interval — `valid_from_us` =
     * its own timestamp, `valid_to_us` = the instant before the next

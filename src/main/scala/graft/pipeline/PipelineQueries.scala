@@ -235,6 +235,9 @@ object PipelineQueries {
     // first-touch attribution over the interval join (r9 b33)
     "events_first_touch" -> ((s, dir) =>
       Events.firstTouch(Tables.events(s, dir))),
+    // conversion-lag log2 histogram over the credited pairs (r9 b35)
+    "events_conversion_lag" -> ((s, dir) =>
+      Events.conversionLagHist(Tables.events(s, dir))),
     // ANN index evaluation: recall@10 of the shipped LSH path against
     // brute-force ground truth for the probe query
     "ann_recall_eval" -> ((s, dir) =>
@@ -2007,6 +2010,29 @@ object PipelineQueries {
         |FROM e p JOIN e v ON v.user_id = p.user_id
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
         | AND v.us <= p.us AND v.us >= p.us - 3600000000""".stripMargin,
+    // the first-touch oracle extended one fold: log2-seconds lag
+    // buckets, unattributed purchases in the -1 sentinel bucket
+    "events_conversion_lag" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |j AS (SELECT p.event_id AS purchase_id, p.us AS p_us, v.us AS v_us
+        |  FROM e p JOIN e v ON v.user_id = p.user_id
+        |   AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |   AND v.us <= p.us AND v.us >= p.us - 3600000000),
+        |c AS (SELECT purchase_id, p_us, min(v_us) AS first_view_us
+        |  FROM j GROUP BY 1, 2),
+        |l AS (SELECT p.event_id,
+        |    CASE WHEN c.first_view_us IS NULL THEN NULL
+        |      ELSE CAST(floor((p.us - c.first_view_us) / 1000000) AS BIGINT)
+        |    END AS lag_s
+        |  FROM e p LEFT JOIN c ON c.purchase_id = p.event_id
+        |  WHERE p.event_type = 'purchase')
+        |SELECT CASE WHEN lag_s IS NULL THEN -1
+        |    WHEN lag_s = 0 THEN 0
+        |    ELSE length(bin(lag_s)) END AS b,
+        |  count(*) AS n_purchases,
+        |  min(lag_s) AS min_lag_s, max(lag_s) AS max_lag_s
+        |FROM l GROUP BY 1""".stripMargin,
     // the interval-join oracle extended one fold: earliest view per
     // purchase by (v_us, view_id) min, unattributed purchases kept
     "events_first_touch" ->
