@@ -465,6 +465,18 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
           count(lit(1)).as("n_rows"))
     },
+    // CUBE — the full grouping-sets lattice (ROLLUP's 3 levels plus
+    // the column-wise marginals ROLLUP omits): same single-shuffle
+    // Expand shape as q_rollup_pricing, 4 grouping sets instead of
+    // 3, gid bitmask self-describing, DECIMAL sums exact (r9 b36).
+    "q_cube_pricing" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    },
     // ratio-to-group window over the fact table: each line's share of
     // its order's revenue — ONE order-keyed shuffle, linear window
     // pass per partition. The share rounds to 6dp because the window
@@ -698,6 +710,14 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q_window_share" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice * (1.0 - l_discount) AS rev,

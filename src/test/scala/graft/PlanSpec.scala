@@ -833,6 +833,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_cube_pricing: the full lattice rides one Expand shuffle") {
+    val p = plan("q_cube_pricing")
+    assert(p.contains("Expand"),
+      "grouping sets must expand map-side, not run one pass per set")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "CUBE is the single two-level aggregate, nothing more")
+  }
+
   test("q17: brand slice broadcasts; per-part avg is one partial agg") {
     val p = plan("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
