@@ -462,16 +462,17 @@ object GraphQueries {
         |FROM ne JOIN deg du ON du.v = ne.u JOIN deg dv ON dv.v = ne.v
         |ORDER BY cn DESC, u, ne.v LIMIT 20""".stripMargin,
     "graph_pagerank" -> pagerankSql(iters = 10, scale = 1000000000L, topK = 30),
-    // two unrolled integer HITS half-round pairs; sum() over BIGINT
-    // widens to HUGEINT in DuckDB but stringifies identically
+    // two unrolled integer HITS half-round pairs; sums CAST back to
+    // BIGINT — DuckDB widens sum(BIGINT) to HUGEINT, which the driver's
+    // Arrow canonicalization stringifies differently from Spark's long
     "graph_hits" ->
       """WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
         |a1 AS (SELECT dst, count(*) AS a1 FROM e GROUP BY dst),
-        |h1 AS (SELECT src, sum(a1) AS h1 FROM e JOIN a1 USING (dst)
-        |  GROUP BY src),
-        |a2 AS (SELECT dst, sum(h1) AS a2 FROM e JOIN h1 USING (src)
-        |  GROUP BY dst),
+        |h1 AS (SELECT src, CAST(sum(a1) AS BIGINT) AS h1
+        |  FROM e JOIN a1 USING (dst) GROUP BY src),
+        |a2 AS (SELECT dst, CAST(sum(h1) AS BIGINT) AS a2
+        |  FROM e JOIN h1 USING (src) GROUP BY dst),
         |ta AS (SELECT 'authority' AS kind, 'part:' || dst AS id, a2 AS score
         |  FROM a2 ORDER BY a2 DESC, dst LIMIT 20),
         |th AS (SELECT 'hub' AS kind, 'cust:' || src AS id, h1 AS score

@@ -647,7 +647,7 @@ object Events {
   def firstTouch(events: DataFrame, interval: String = "1 hour"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
     val purchases = events.filter(col("event_type") === "purchase")
-    val credited = intervalJoinStreaming(views, purchases)
+    val credited = intervalJoinStreaming(views, purchases, interval)
       .groupBy(col("user_id"), col("purchase_id"), col("p_us"))
       // the earliest-(v_us, view_id) pick as a min_by over a
       // zero-padded string key — lexicographic order equals numeric
@@ -773,8 +773,11 @@ object Events {
     */
   def rateOutliers(events: DataFrame, k: Int = 2): DataFrame = {
     val per = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    // Q = Σn² summed in DECIMAL(38,0), not BIGINT: each n² fits a long,
+    // but the SUM reaches ~10²¹ at the 10⁹-users × 10⁶-events scale the
+    // σ test is specced for — a BIGINT sum would silently wrap there.
     val g = per.agg(count(lit(1)).as("nu"), sum(col("n")).as("s"),
-      sum(col("n") * col("n")).as("q"))
+      sum((col("n") * col("n")).cast("decimal(38,0)")).as("q"))
     val dev = (col("n") * col("nu") - col("s")).cast("decimal(38,0)")
     val varN2 = (col("nu").cast("decimal(38,0)") * col("q").cast("decimal(38,0)") -
       col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))

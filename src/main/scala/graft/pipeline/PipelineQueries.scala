@@ -1675,7 +1675,7 @@ object PipelineQueries {
     "events_rate_outliers" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
         |g AS (SELECT count(*) AS nu, CAST(sum(n) AS BIGINT) AS s,
-        |        CAST(sum(n * n) AS BIGINT) AS q
+        |        CAST(sum(CAST(n AS HUGEINT) * n) AS DECIMAL(38,0)) AS q
         |      FROM per)
         |SELECT user_id, n, nu, s, q
         |FROM per, g

@@ -26,9 +26,24 @@ object Skolem {
       .otherwise(c)
 
   /** Skolemize the s and o columns of a triple relation (predicates
-    * cannot be blank in RDF).
+    * cannot be blank in RDF). RDF 1.1 skolemization must touch ONLY
+    * blank nodes: when the relation carries the store's `o_is_iri`
+    * marker, a literal that happens to START with "_:" is provably a
+    * literal and passes through untouched. For a bare (s, p, o)
+    * relation there is no marker, so the "_:" prefix IS the blank-node
+    * contract — callers feeding bare frames must not carry literals
+    * whose full value starts with "_:" (parser output never does:
+    * literal terms come from quoted N-Triples/Turtle tokens).
     */
-  def skolemize(triples: DataFrame): DataFrame =
+  def skolemize(triples: DataFrame): DataFrame = {
+    val oBlank =
+      if (triples.columns.contains("o_is_iri"))
+        col("o_is_iri") && col("o").startsWith("_:")
+      else col("o").startsWith("_:")
     triples.withColumn("s", skolemTerm(col("s")))
-      .withColumn("o", skolemTerm(col("o")))
+      .withColumn("o", when(oBlank,
+        concat(lit("urn:skolem:"),
+          md5(substring(col("o"), 3, 1 << 24).cast("binary"))))
+        .otherwise(col("o")))
+  }
 }

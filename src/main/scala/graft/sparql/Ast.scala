@@ -151,6 +151,14 @@ object Ast {
     * over fresh intermediate variables.
     */
   final case class PathSeq(s: Term, steps: Seq[PathStep], o: Term) extends Pattern
+  /** Repetition over a parenthesized SEQUENCE — `(p1/p2)+`, `(^p/q)*`,
+    * `(p/q)?` (SPARQL 1.1 §9.1 lets any path nest under a modifier;
+    * the alternation-only forms above cover the other operand shape).
+    * Compiles as closure/identity machinery over the COMPOSED two-hop
+    * (or k-hop) edge relation instead of a predicate slice.
+    */
+  final case class PathSeqMod(s: Term, steps: Seq[PathStep], mod: Char,
+                              o: Term) extends Pattern
   /** Inline bindings `VALUES ?v { const… }` /
     * `VALUES (?a ?b) { (c1 c2) … }`: joins the group against the
     * constant table. Every row arity must match the variable list.

@@ -638,6 +638,19 @@ object Compiler {
         (if (mn == 0) Seq(zeroPairs(triples, s, o)) else Nil)
       projectPathEndpoints(
         hops.reduceLeft(_.unionByName(_)).distinct(), s, o)
+    case PathSeqMod(s, steps, mod, o) =>
+      // modifier over a parenthesized sequence: the same closure /
+      // identity machinery as the alternation forms, but over the
+      // COMPOSED k-step edge relation
+      val edges = seqEdges(triples, steps)
+      mod match {
+        case '+' => projectPathEndpoints(plusPairsOver(edges, s, o), s, o)
+        case '*' => projectPathEndpoints(
+          plusPairsOver(edges, s, o)
+            .unionByName(zeroPairs(triples, s, o)).distinct(), s, o)
+        case _ => projectPathEndpoints(
+          edges.unionByName(zeroPairs(triples, s, o)).distinct(), s, o)
+      }
   }
 
   /** One-or-more-hop pairs over the predicate slice. A constant
@@ -647,9 +660,15 @@ object Compiler {
     * inference.Closure).
     */
   private def plusPairs(triples: DataFrame, preds: Seq[String],
-                        s: Term, o: Term): DataFrame = {
-    val edges = triples.filter(col("p").isin(preds: _*))
-      .select(col("s").as("sub"), col("o").as("sup"))
+                        s: Term, o: Term): DataFrame =
+    plusPairsOver(triples.filter(col("p").isin(preds: _*))
+      .select(col("s").as("sub"), col("o").as("sup")), s, o)
+
+  /** The closure machinery over an ARBITRARY (sub, sup) edge relation
+    * — shared by the predicate-slice paths and [[Ast.PathSeqMod]]'s
+    * composed-sequence edges.
+    */
+  private def plusPairsOver(edges: DataFrame, s: Term, o: Term): DataFrame =
     (s, o) match {
       case (Iri(sv), _) =>
         graft.inference.Closure.reachableFrom(edges, sv)
@@ -660,6 +679,23 @@ object Compiler {
           .select(col("sup").as("sub"), lit(ov).as("sup"))
       case _ => graft.inference.Closure.transitive(edges)
     }
+
+  /** The composed (sub, sup) edge relation of a sequence path: each
+    * step a predicate slice of the store (inverse steps swap
+    * endpoints), composed by equi-joins on the hop var — k−1 joins for
+    * a k-step sequence, each AQE-eligible. This is the edge set a
+    * modifier over a parenthesized sequence closes over.
+    */
+  private[graft] def seqEdges(triples: DataFrame, steps: Seq[Ast.PathStep]): DataFrame = {
+    val hops = steps.map { st =>
+      val t = triples.filter(col("p") === st.pred)
+      if (st.inverse) t.select(col("o").as("sub"), col("s").as("sup"))
+      else t.select(col("s").as("sub"), col("o").as("sup"))
+    }
+    hops.reduceLeft { (acc, nxt) =>
+      acc.join(nxt.select(col("sub").as("sup"), col("sup").as("nxt")), "sup")
+        .select(col("sub"), col("nxt").as("sup"))
+    }.distinct()
   }
 
   /** The zero-length path pairs: a bound endpoint relates to itself;

@@ -232,6 +232,20 @@ object SparqlParser extends RegexParsers {
         else success(GroupOrUnionElem(PathSeq(s, steps, o)))
     }
 
+  /** Modifier over a parenthesized SEQUENCE: `term (p1/p2)+ term .`
+    * (also `*` / `?`, steps optionally `^`-inverse) — SPARQL 1.1 §9.1
+    * path nesting. Two or more steps required: a single step under a
+    * modifier is [[parenPathPreds]]/[[barePathPred]]'s domain.
+    */
+  private def seqModPathTriple: Parser[GroupElem] =
+    term ~ ("(" ~> rep1sep(pathStep, "/")) ~ """\)[+*?]""".r ~ term <~
+      opt(".") >> {
+      case s ~ steps ~ close ~ o =>
+        if (steps.size < 2) failure("single-step parens: use p+ form")
+        else success(GroupOrUnionElem(
+          PathSeqMod(s, steps, close.charAt(1), o)))
+    }
+
   /** `GRAPH (<g>|?g) { triples }` — named-graph scoping (body
     * restricted to a BGP; see Ast.GraphBgp).
     */
@@ -328,7 +342,8 @@ object SparqlParser extends RegexParsers {
 
   private def groupElem: Parser[GroupElem] =
     filterElem | optionalElem | minusElem | bindElem | valuesElem |
-      graphElem | negPathTriple | pathTriple | rangePathTriple |
+      graphElem | negPathTriple | pathTriple | seqModPathTriple |
+      rangePathTriple |
       altPathTriple | seqPathTriple |
       subSelectElem | groupOrUnion | (triplesSameSubject ^^ TriplesElem.apply)
 

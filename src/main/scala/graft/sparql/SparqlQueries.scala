@@ -209,6 +209,16 @@ object SparqlQueries {
       runP(s, dir, SparqlParser.parse(
         "SELECT ?x ?y WHERE { ?x (:hasNation|:inRegion)+ ?y }"))
     },
+    // SPARQL 1.1 §9.1 path NESTING: a closure over a parenthesized
+    // SEQUENCE — here (:inRegion/^:inRegion)+, the same-region
+    // nation↔nation relation composed from a forward and an inverse
+    // leg, then transitively closed (it converges after one round:
+    // same-region is already an equivalence). Beyond-reference: the
+    // reference's Jena-fed compiler rejects this form too (r10)
+    "sparql_path_seq_plus" -> { (s, dir) =>
+      runP(s, dir, SparqlParser.parse(
+        "SELECT ?x ?y WHERE { ?x (:inRegion/^:inRegion)+ ?y }"))
+    },
     "sparql_parser_e2e" -> { (s, dir) =>
       val text =
         """SELECT ?c ?b ?m WHERE {
@@ -833,6 +843,12 @@ object SparqlQueries {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    // (:inRegion/^:inRegion)+ = the same-region equivalence over
+    // nations — transitively closed after a single composition, so
+    // plain SQL (no recursion) IS the fixpoint
+    "sparql_path_seq_plus" ->
+      """SELECT 'nat:'||a.n_nationkey AS x, 'nat:'||b.n_nationkey AS y
+        |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey""".stripMargin,
     "sparql_path_inverse" ->
       """SELECT 'reg:'||r_regionkey AS r, 'supp:'||s_suppkey AS s
         |FROM supplier

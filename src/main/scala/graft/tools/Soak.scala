@@ -38,7 +38,12 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)
     val times10 = if (args.length > 1) args(1).toInt else 10
-    val keys = if (args.length > 2 && args(2).nonEmpty) args(2).split(',').toSeq
+    // "bench" soaks the FULL benched key set (r9 task #7: the three
+    // real r9 scale cliffs all came from soaks — widen the net past
+    // the hand-picked representatives)
+    val keys =
+      if (args.length > 2 && args(2) == "bench") graft.SparkEntry.benchQueries
+      else if (args.length > 2 && args(2).nonEmpty) args(2).split(',').toSeq
       else defaultKeys
     val reps = if (args.length > 3) args(3).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -629,6 +629,23 @@ class PlanSpec extends AnyFunSuite {
       "no pattern may scan every predicate directory")
   }
 
+  test("sparql_path_seq_plus: both sequence legs prune the partitioned store") {
+    // the key's final frame sits on the closure's localCheckpoint, so
+    // pin the COMPOSED edge relation the closure iterates over — that
+    // is where leg pruning lives
+    val t = graft.rdf.TripleStore.partitionedTriples(spark, dir)
+    val p = graft.sparql.Compiler.seqEdges(t, Seq(
+      graft.sparql.Ast.PathStep(":inRegion", inverse = false),
+      graft.sparql.Ast.PathStep(":inRegion", inverse = true)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(p"),
+      "each sequence step must prune to its predicate directory")
+    assert(!p.contains("PartitionFilters: []"),
+      "no step may scan every predicate directory")
+    assert(!p.contains("CartesianProduct"),
+      "the step composition must be an equi-join on the hop var")
+  }
+
   test("graph_assortativity: one-row fold; degree joins keyed") {
     val p = plan("graph_assortativity")
     assert(p.contains("Scan ExistingRDD"),

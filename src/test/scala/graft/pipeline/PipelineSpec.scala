@@ -1041,6 +1041,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set((4L, 2L), (4L, 3L)))
   }
 
+  test("first touch honors a non-default interval") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 0.0, "{}"),  // outside 10m
+      (2L, "2024-01-01 10:52:00", 7L, "view", 0.0, "{}"),  // inside, earliest
+      (3L, "2024-01-01 10:55:00", 7L, "view", 0.0, "{}"),  // inside, later
+      (4L, "2024-01-01 11:00:00", 7L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // narrow window: the 10:00 view must NOT be credited (the r9 bug
+    // silently ran every window at the 1-hour default)
+    val narrow = Events.firstTouch(ev, "10 minutes")
+      .select("purchase_id", "first_view_id", "n_views_in_window")
+      .as[(Long, Option[Long], Long)].collect().toSet
+    assert(narrow == Set((4L, Some(2L), 2L)))
+    val wide = Events.firstTouch(ev)
+      .select("purchase_id", "first_view_id", "n_views_in_window")
+      .as[(Long, Option[Long], Long)].collect().toSet
+    assert(wide == Set((4L, Some(1L), 3L)))
+    // conversionLagHist passes its interval through: under 10 minutes
+    // the lag is 8 min (480 s → bit-length bucket 9), not 60 min
+    val lag = Events.conversionLagHist(ev, "10 minutes")
+      .select("b", "n_purchases").as[(Int, Long)].collect().toSet
+    assert(lag == Set((9, 1L)))
+  }
+
   test("blocking recall compares the band pairs against the exact pairs") {
     // 20 tokens, one differing tail word → Jaccard 17/19 ≈ 0.89 ≥ 0.8
     val base = (1 to 19).map(i => s"w$i").mkString(" ")

@@ -458,6 +458,20 @@ class RdfSpec extends AnyFunSuite {
     assert(twice == rows.toSet)
   }
 
+  test("skolemization gates objects on o_is_iri when the store marker is present") {
+    // RDF 1.1: only BLANK NODES may be skolemized. With the store's
+    // o_is_iri marker available, a literal whose value starts with
+    // "_:" is provably a literal and must pass through.
+    val t = Seq(
+      ("s:1", ":p", "_:b", true),          // blank object → minted
+      ("s:2", ":q", "_:looks blank", false)) // literal → untouched
+      .toDF("s", "p", "o", "o_is_iri")
+    val objs = Skolem.skolemize(t).select("o").as[String].collect().toSet
+    assert(objs.exists(_.startsWith("urn:skolem:")))
+    assert(objs.contains("_:looks blank"),
+      "a literal starting with '_:' must survive when o_is_iri=false")
+  }
+
   test("reification is deterministic, content-addressed, 4 rows/stmt") {
     val t = Seq(("s:1", ":p", "o:1"), ("s:2", ":p", "lit"))
       .toDF("s", "p", "o")

@@ -292,6 +292,31 @@ class CompilerSpec extends AnyFunSuite {
     assert(names(StrFilter(StrContains, v("n"), "o")) == Set("bob"))
   }
 
+  test("sequence closure (f/g)+ composes then iterates; * and ? add identity") {
+    // chain a -f→ b -g→ c -f→ d -g→ e: composed edge (f/g) is
+    // {a→c, c→e}; its closure adds a→e
+    val chain = Seq(
+      ("a", ":f", "b"), ("b", ":g", "c"), ("c", ":f", "d"), ("d", ":g", "e"))
+      .map { case (s, p, o) => (s, p, o, Option.empty[Double], true,
+        Option.empty[String]) }
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    def pairs(mod: Char) = Compiler.run(chain, SelectQuery(
+      where = PathSeqMod(v("x"),
+        Seq(PathStep(":f", false), PathStep(":g", false)), mod, v("y")),
+      projection = Seq("x", "y")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs('+') == Set(("a", "c"), ("c", "e"), ("a", "e")))
+    val ids = Set("a", "b", "c", "d", "e").map(n => (n, n))
+    assert(pairs('*') == Set(("a", "c"), ("c", "e"), ("a", "e")) ++ ids)
+    assert(pairs('?') == Set(("a", "c"), ("c", "e")) ++ ids)
+    // bound-endpoint '+' seeds a frontier BFS instead of the closure
+    val bound = Compiler.run(chain, SelectQuery(
+      where = PathSeqMod(Iri("a"),
+        Seq(PathStep(":f", false), PathStep(":g", false)), '+', v("y")),
+      projection = Seq("y"))).collect().map(_.getString(0)).toSet
+    assert(bound == Set("c", "e"))
+  }
+
   test("path star includes the zero-length identity; zero-or-one is one hop max") {
     // bound subject: itself plus everything reachable
     val star = SelectQuery(

@@ -49,6 +49,20 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(preds == Seq(":hasNation", ":inRegion"))
   }
 
+  test("parses a modifier over a parenthesized sequence into PathSeqMod") {
+    val q = SparqlParser.parse(
+      "SELECT ?x ?y WHERE { ?x (:f/^:g)+ ?y }")
+    val PathSeqMod(Var("x"), steps, '+', Var("y")) = q.where: @unchecked
+    assert(steps == Seq(PathStep(":f", false), PathStep(":g", true)))
+    val st = SparqlParser.parse("SELECT ?x ?y WHERE { ?x (:f/:g)* ?y }")
+    val PathSeqMod(_, _, '*', _) = st.where: @unchecked
+    val zo = SparqlParser.parse("SELECT ?x ?y WHERE { ?x (:f/:g)? ?y }")
+    val PathSeqMod(_, _, '?', _) = zo.where: @unchecked
+    // alternation under a modifier still takes the PathPlus route
+    val alt = SparqlParser.parse("SELECT ?x ?y WHERE { ?x (:f|:g)+ ?y }")
+    val PathPlus(_, _, _) = alt.where: @unchecked
+  }
+
   test("parses sequence and inverse paths into PathSeq") {
     val q = SparqlParser.parse(
       "SELECT ?x ?n WHERE { ?x :knows/^:likes/:name ?n . ?x a :Person . }")

@@ -47,6 +47,18 @@ def main(sf_dir, out_dir):
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:
+            # Driver-parity guard: the driver canonicalizes through Arrow,
+            # where DuckDB's int128 (HUGEINT) stringifies as a float and
+            # flips the hash even though fetchall() would hand us a plain
+            # Python int. Fail the row here so the local gate can never
+            # false-green that class (the r9 graph_hits escape).
+            desc = con.execute(f"DESCRIBE (\n{sql}\n)").fetchall()
+            wide = [(c, t) for c, t, *_ in desc
+                    if "HUGEINT" in str(t).upper()]
+            if wide:
+                print(f"FAIL {name}: oracle emits int128 column(s) the "
+                      f"driver hashes differently: {wide} — CAST to BIGINT")
+                continue
             cur = con.execute(sql)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
