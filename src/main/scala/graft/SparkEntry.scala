@@ -78,7 +78,14 @@ object SparkEntry {
     "q7_nation_volume", "q18_large_orders",
     // r9 batches 22-28: the prefix⋈full containment join and the
     // sliding-rank shape (the other new keys reuse benched shapes)
-    "dedup_containment", "events_sliding_topk")
+    "dedup_containment", "events_sliding_topk",
+    // r10: the four NEW TPC-H plan shapes — correlated-min
+    // decorrelation (q2), the 4-way profit rollup (q9), distinct-pair
+    // count-distinct (q16), and the double semi/anti correlation
+    // (q21); q11/q20 reuse the q22 scalar-subquery and q17-style
+    // nested-agg shapes and stay verify-only
+    "q2_min_cost_supplier", "q9_profit_by_nation_year",
+    "q16_supplier_variety", "q21_late_sole_supplier")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -511,6 +518,190 @@ object SparkEntry {
           col("O_price").as("o_price"),
           coalesce(col("O_n"), lit(0L)).as("o_n"))
     },
+    // ---- r10: the six remaining TPC-H plan shapes, ADAPTED ---------
+    // The driver schema has no partsupp / l_shipmode / commit-receipt
+    // dates, so Q2/Q9/Q11/Q16/Q20/Q21 run on lineitem-derived
+    // surrogates (observed part×supplier offers instead of partsupp,
+    // ship-lag instead of receipt-lag). What each key preserves is the
+    // PLAN SHAPE the original exercises — that is what the optimizer
+    // and the 100 TB posture care about.
+
+    // TPC-H Q2 shape: correlated MIN subquery, decorrelated. The
+    // per-(part, supplier) min unit price is one fact-scale partial-agg
+    // shuffle over the doubly-broadcast-pruned lineitem slice (region
+    // suppliers AND sized parts prune BEFORE the shuffle); the
+    // per-part global min is a second agg over that metadata-scale
+    // frame; the "= min" correlation is an equi-join back on
+    // (part, min). Double equality is safe: min picks one of the
+    // group's own values bitwise, and each unit price is a single
+    // per-row division both engines perform identically.
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      val euSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val pa = Tables.part(s, dir)
+        .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+        .select(col("p_partkey"))
+      val offers = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit"))
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"))
+        .agg(min(col("unit")).as("unit"))
+      val minPer = offers.groupBy(col("l_partkey")).agg(min(col("unit")).as("mu"))
+      offers.join(minPer, Seq("l_partkey"))
+        .filter(col("unit") === col("mu"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("l_suppkey").as("s_suppkey"), col("s_name"),
+          col("unit").as("min_unit"))
+    },
+    // TPC-H Q9 shape: the profit rollup — a 4-way fact⋈dim join
+    // grouped by (supplier nation, order year). Cost surrogate:
+    // 0.6·p_retailprice per unit (no ps_supplycost in the schema).
+    // part and supplier→nation broadcast; lineitem⋈orders is the one
+    // fact-fact shuffle; the group-by is a partial-agg fold. Profit
+    // in EXACT 1e-4 units: ext·(1−disc) = cents·(100−disc_pct)/1e4
+    // and 0.6·retail·qty = 60·retail_cents·qty/1e4 are both integers
+    // there, so the sum can never ulp-drift between engines (a raw
+    // double sum flipped the %.10g boundary at sf0.01 — observed).
+    // Sum carried in DECIMAL(38,0): per-row ~1e9, 2⁶³ would wrap at
+    // ~10¹⁰ rows.
+    "q9_profit_by_nation_year" -> { (s, dir) =>
+      val pa = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+      val suppN = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum((round(col("l_extendedprice") * 100).cast("long") *
+            round((lit(1.0) - col("l_discount")) * 100).cast("long") -
+            lit(60L) * col("retail_cents") * col("l_quantity").cast("long"))
+          .cast("decimal(38,0)")).as("sum_profit_e4"))
+    },
+    // TPC-H Q11 shape: group-agg + global-fraction HAVING via a scalar
+    // subquery. Value surrogate: lineitem revenue cents from NATION_3
+    // suppliers (no ps_availqty·supplycost). EXACT integer cents on
+    // both sides so the threshold compare can never ulp-flip a row:
+    // value·1000 > total is pure BIGINT (total < 2⁶³ to ~10¹⁴ cents).
+    // The total arrives as a broadcast single-row frame — the
+    // decorrelated scalar subquery, same shape as q22's average.
+    "q11_important_parts" -> { (s, dir) =>
+      val su = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val perPart = Tables.lineitem(s, dir)
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("value_cents"))
+      val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_cents") * 1000 > col("total_cents"))
+        .select(col("p_partkey"), col("value_cents"))
+    },
+    // TPC-H Q16 shape: COUNT(DISTINCT supplier) per part descriptor
+    // over the distinct part×supplier pair relation, with a NOT-IN
+    // supplier exclusion (surrogate: negative account balance — the
+    // schema carries no comment column). The pair distinct is the one
+    // fact-scale shuffle; part attributes broadcast onto the pairs;
+    // the exclusion is a broadcast anti-join; the final distinct-agg
+    // partial-aggregates.
+    "q16_supplier_variety" -> { (s, dir) =>
+      val pa = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 36))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    // TPC-H Q20 shape: nested semi-join chain — suppliers qualified by
+    // an aggregate over their own shipments. Availability surrogate:
+    // a supplier "dominates" a PROMO part when it shipped more than
+    // half that part's 1996 volume (no ps_availqty). Quantities are
+    // integer-valued, so the 2·qs > qt compare is exact in BIGINT.
+    // ASIA suppliers semi-join the dominant set — no fact columns
+    // survive past the per-(part, supplier) fold.
+    "q20_top_shippers" -> { (s, dir) =>
+      val pa = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val perPS = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qs"))
+      val perP = perPS.groupBy(col("l_partkey")).agg(sum(col("qs")).as("qt"))
+      val dom = perPS.join(perP, Seq("l_partkey"))
+        .filter(col("qs") * 2 > col("qt"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    },
+    // TPC-H Q21 shape: the double-correlated EXISTS / NOT-EXISTS
+    // anti-join — the hardest subquery shape in the suite. "Late" is
+    // ship-lag > 60 days after order date (no receipt/commit dates).
+    // Both correlations decorrelate to distinct (order, supplier)
+    // pair frames: EXISTS(another supplier) is a left-semi with a
+    // suppkey inequality, NOT EXISTS(another LATE supplier) a
+    // left-anti on the late pairs — each one keyed shuffle on
+    // orderkey, no correlated re-execution.
+    "q21_late_sole_supplier" -> { (s, dir) =>
+      val fOrders = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      val allPairs = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val latePairs = li
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val n1Supp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_1").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val cand = latePairs
+        .join(broadcast(n1Supp), col("l_suppkey") === col("s_suppkey"))
+      cand.join(allPairs.toDF("ok2", "sk2"),
+          col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+          "left_semi")
+        .join(latePairs.toDF("ok3", "sk3"),
+          col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+          "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -736,5 +927,93 @@ object SparkEntry {
         |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS o_price,
         |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH su AS (SELECT s_suppkey, s_name FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |pa AS (SELECT p_partkey FROM part
+        |       WHERE p_type = 'STANDARD' AND p_size <= 10),
+        |off AS (SELECT l_partkey, l_suppkey, s_name,
+        |          min(l_extendedprice / l_quantity) AS unit
+        |        FROM lineitem
+        |        JOIN pa ON l_partkey = p_partkey
+        |        JOIN su ON l_suppkey = s_suppkey
+        |        GROUP BY 1, 2, 3),
+        |m AS (SELECT l_partkey, min(unit) AS mu FROM off GROUP BY 1)
+        |SELECT o.l_partkey AS p_partkey, o.l_suppkey AS s_suppkey,
+        |       o.s_name, o.unit AS min_unit
+        |FROM off o JOIN m ON o.l_partkey = m.l_partkey AND o.unit = m.mu""".stripMargin,
+    "q9_profit_by_nation_year" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        |           * CAST(round((1.0 - l_discount) * 100) AS BIGINT)
+        |         - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+        |              * CAST(l_quantity AS BIGINT))
+        |    AS DECIMAL(38,0)) AS sum_profit_e4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_important_parts" ->
+      """WITH su AS (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_3'),
+        |pp AS (SELECT l_partkey AS p_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |           AS BIGINT) AS value_cents
+        |       FROM lineitem JOIN su ON l_suppkey = s_suppkey
+        |       GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tc FROM pp)
+        |SELECT p_partkey, value_cents FROM pp, t
+        |WHERE value_cents * 1000 > tc""".stripMargin,
+    "q16_supplier_variety" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand != 'Brand#5' AND p_type != 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 36)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_top_shippers" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |         CAST(sum(l_quantity) AS BIGINT) AS qs
+        |       FROM lineitem
+        |       JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |         AND l_shipdate < TIMESTAMP '1997-01-01'
+        |       GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, CAST(sum(qs) AS BIGINT) AS qt
+        |       FROM ps GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey FROM ps
+        |        JOIN pt USING (l_partkey) WHERE qs * 2 > qt)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
+    "q21_late_sole_supplier" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       WHERE o_orderstatus = 'F'),
+        |ap AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li),
+        |lp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li
+        |       WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |n1 AS (SELECT s_suppkey, s_name FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       WHERE n_name = 'NATION_1'),
+        |cand AS (SELECT lp.l_orderkey, lp.l_suppkey, n1.s_name
+        |         FROM lp JOIN n1 ON lp.l_suppkey = n1.s_suppkey
+        |         WHERE EXISTS (SELECT 1 FROM ap
+        |                       WHERE ap.l_orderkey = lp.l_orderkey
+        |                         AND ap.l_suppkey != lp.l_suppkey)
+        |           AND NOT EXISTS (SELECT 1 FROM lp lp2
+        |                           WHERE lp2.l_orderkey = lp.l_orderkey
+        |                             AND lp2.l_suppkey != lp.l_suppkey))
+        |SELECT s_name, count(*) AS numwait FROM cand
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
   )
 }

@@ -629,6 +629,51 @@ class PlanSpec extends AnyFunSuite {
       "no pattern may scan every predicate directory")
   }
 
+  test("q2: correlated min decorrelates to two aggs; dims broadcast") {
+    val p = plan("q2_min_cost_supplier")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "region suppliers and sized parts must broadcast onto the fact scan")
+    assert(p.contains("partial_min"),
+      "the per-(part,supplier) min must combine map-side")
+  }
+
+  test("q9: profit rollup keeps dims broadcast and the sum partial") {
+    val p = plan("q9_profit_by_nation_year")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "part and supplier-nation must broadcast")
+    assert(p.contains("partial_sum"),
+      "the profit sum must combine map-side")
+  }
+
+  test("q16: distinct pairs then broadcast part attrs and anti-joined exclusions") {
+    val p = plan("q16_supplier_variety")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"),
+      "the supplier exclusion must be an anti-join, not a filter subquery")
+    assert(p.contains("BroadcastHashJoin"),
+      "part attributes must broadcast onto the pair relation")
+  }
+
+  test("q21: EXISTS/NOT EXISTS decorrelate to one semi and one anti join") {
+    val p = plan("q21_late_sole_supplier")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"),
+      "EXISTS(another supplier) must be a left-semi join")
+    assert(p.contains("LeftAnti"),
+      "NOT EXISTS(another late supplier) must be a left-anti join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must not globally sort")
+  }
+
+  test("q20: dominant-supplier set semi-joins the region suppliers") {
+    val p = plan("q20_top_shippers")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"),
+      "the qualified set must semi-join, never duplicate suppliers")
+  }
+
   test("sparql_path_seq_plus: both sequence legs prune the partitioned store") {
     // the key's final frame sits on the closure's localCheckpoint, so
     // pin the COMPOSED edge relation the closure iterates over — that
