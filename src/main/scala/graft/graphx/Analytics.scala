@@ -539,6 +539,76 @@ object Analytics {
       .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"))
   }
 
+  /** Resource-allocation link prediction (Zhou/Lü/Zhang 2009 —
+    * outperforms Adamic-Adar on most benchmarks and, unlike it, is
+    * exactly computable): RA(u,v) = Σ_{w ∈ CN(u,v)} 1/deg(w). Each
+    * shared middle contributes INVERSELY to its degree — hubs shared
+    * by everything predict nothing (the idf intuition), which is the
+    * score [[commonNeighbors]]' integer columns canNOT derive (it
+    * needs per-MIDDLE weights, not endpoint degrees).
+    *
+    * Exactness: contributions are floor(1e9/deg(w)) — integer
+    * division both engines compute identically, summed in BIGINT
+    * (≤1e9 per wedge; 2⁶³ at ~10¹⁰ wedges per pair is unreachable).
+    * No 1/ln(deg) Adamic-Adar float whose libm rounding could differ
+    * across engines.
+    *
+    * Scale shape: identical to [[commonNeighbors]] — the wedge join
+    * with its Σdeg(w)² cost and the same df-cap escape hatch at
+    * 100 TB, one extra broadcast-sized deg join keyed on the middle,
+    * anti-join before the per-task top-k heap.
+    */
+  def resourceAllocation(edges: DataFrame, k: Int = 20): DataFrame = {
+    val adj = edges.select(col("src").as("v"), col("dst").as("w"))
+      .union(edges.select(col("dst").as("v"), col("src").as("w")))
+    val degW = adj.groupBy(col("w")).agg(count(lit(1)).as("degw"))
+      .withColumnRenamed("w", "mw")
+    val wedges = adj.as("a")
+      .join(adj.as("b"),
+        col("a.w") === col("b.w") && col("a.v") < col("b.v"))
+      .join(degW, col("a.w") === col("mw"))
+      .groupBy(col("a.v").as("u"), col("b.v").as("v"))
+      .agg(sum(expr("1000000000 div degw")).as("ra_e9"),
+        count(lit(1)).as("cn"))
+    wedges
+      .join(edges, wedges("u") === edges("src") && wedges("v") === edges("dst"),
+        "left_anti")
+      .orderBy(col("ra_e9").desc, col("u"), col("v"))
+      .limit(k)
+      .select(col("u"), col("v"), col("ra_e9"), col("cn"))
+  }
+
+  /** Truncated Katz centrality with β = 1/8, three terms, scaled by
+    * 8³ so every score is an exact BIGINT:
+    * katz_e(u) = 64·walks₁(u) + 8·walks₂(u) + walks₃(u), where
+    * walksₖ(u) counts length-k walks leaving u. The textbook
+    * resolvent (I − βA)⁻¹ is a linear solve no 100 TB graph runs;
+    * the standard production form IS the truncated power series, and
+    * walksₖ folds by the recurrence walksₖ = A·walksₖ₋₁ — each term
+    * ONE keyed join of the previous per-vertex counts against the
+    * adjacency plus a partial-agg sum, so the plan is (terms−1)
+    * joins regardless of graph size. β = 1/8 keeps the series
+    * contraction-dominated for max-degree < 8 neighborhoods and the
+    * scale factor integral; walk counts reach deg·maxdeg² — BIGINT
+    * overflows only past ~10⁶-degree hubs cubed, where a truncated
+    * Katz is the wrong tool anyway.
+    */
+  def katzCentrality(edges: DataFrame, k: Int = 30): DataFrame = {
+    val adj = edges.select(col("src").as("v"), col("dst").as("w"))
+      .union(edges.select(col("dst").as("v"), col("src").as("w")))
+    val w1 = adj.groupBy(col("v")).agg(count(lit(1)).as("w1"))
+    def nextWalks(prev: DataFrame, cIn: String, cOut: String): DataFrame =
+      adj.join(prev.select(col("v").as("w"), col(cIn)), "w")
+        .groupBy(col("v")).agg(sum(col(cIn)).as(cOut))
+    val w2 = nextWalks(w1, "w1", "w2")
+    val w3 = nextWalks(w2, "w2", "w3")
+    w1.join(w2, "v").join(w3, "v")
+      .select(col("v"),
+        (col("w1") * 64 + col("w2") * 8 + col("w3")).as("katz_e"))
+      .orderBy(col("katz_e").desc, col("v"))
+      .limit(k)
+  }
+
   /** Deterministic hash-guided walk sampling — the corpus-generation
     * step of node2vec/DeepWalk-style graph embeddings, with the
     * random choice replaced by a reproducible one: at step k the walk

@@ -120,6 +120,17 @@ object GraphQueries {
     "graph_common_neighbors" -> { (s, dir) =>
       Analytics.commonNeighbors(coOrderPartEdgeKeys(s, dir))
     },
+    // weighted link prediction: resource-allocation index (per-MIDDLE
+    // 1/deg weights — not derivable from common_neighbors' endpoint
+    // degrees), exact via floor(1e9/deg) integer contributions (r10)
+    "graph_resource_alloc" -> { (s, dir) =>
+      Analytics.resourceAllocation(coOrderPartEdgeKeys(s, dir))
+    },
+    // truncated Katz centrality, β=1/8 × 8³ scale → exact BIGINT
+    // scores from the walks recurrence (r10)
+    "graph_katz_centrality" -> { (s, dir) =>
+      Analytics.katzCentrality(coOrderPartEdgeKeys(s, dir))
+    },
     // community-quality evaluation: modularity of the LPA partition
     // (same rounds as the graph_label_propagation key)
     "graph_modularity" -> { (s, dir) =>
@@ -461,6 +472,40 @@ object GraphQueries {
         |SELECT u, ne.v AS v, cn, du.deg AS deg_u, dv.deg AS deg_v
         |FROM ne JOIN deg du ON du.v = ne.u JOIN deg dv ON dv.v = ne.v
         |ORDER BY cn DESC, u, ne.v LIMIT 20""".stripMargin,
+    // resource-allocation index: the common-neighbors wedge join with
+    // per-middle floor(1e9/deg) weights — integer division both
+    // engines compute identically
+    "graph_resource_alloc" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT v, count(*) AS degw FROM adj GROUP BY 1),
+        |wed AS (SELECT a.v AS u, b.v AS v,
+        |          CAST(sum(1000000000 // d.degw) AS BIGINT) AS ra_e9,
+        |          count(*) AS cn
+        |        FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v
+        |        JOIN deg d ON d.v = a.w GROUP BY 1, 2),
+        |ne AS (SELECT u, v, ra_e9, cn FROM wed WHERE NOT EXISTS (
+        |         SELECT 1 FROM e WHERE e.p1 = wed.u AND e.p2 = wed.v))
+        |SELECT u, v, ra_e9, cn FROM ne
+        |ORDER BY ra_e9 DESC, u, v LIMIT 20""".stripMargin,
+    // truncated Katz: walks_k = A·walks_{k-1}, three terms scaled 8^3
+    "graph_katz_centrality" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
+        |w1 AS (SELECT v, count(*) AS w1 FROM adj GROUP BY 1),
+        |w2 AS (SELECT adj.v, CAST(sum(w1.w1) AS BIGINT) AS w2
+        |       FROM adj JOIN w1 ON w1.v = adj.w GROUP BY 1),
+        |w3 AS (SELECT adj.v, CAST(sum(w2.w2) AS BIGINT) AS w3
+        |       FROM adj JOIN w2 ON w2.v = adj.w GROUP BY 1)
+        |SELECT w1.v, CAST(w1.w1 * 64 + w2.w2 * 8 + w3.w3 AS BIGINT) AS katz_e
+        |FROM w1 JOIN w2 ON w2.v = w1.v JOIN w3 ON w3.v = w1.v
+        |ORDER BY katz_e DESC, w1.v LIMIT 30""".stripMargin,
     "graph_pagerank" -> pagerankSql(iters = 10, scale = 1000000000L, topK = 30),
     // two unrolled integer HITS half-round pairs; sums CAST back to
     // BIGINT — DuckDB widens sum(BIGINT) to HUGEINT, which the driver's

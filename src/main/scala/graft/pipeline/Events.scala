@@ -445,6 +445,40 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** RFM (recency / frequency / monetary) segmentation — the
+    * marketing-warehouse sibling of [[retention]]: each user scored by
+    * days since last event, lifetime event count, and purchase cents,
+    * then bucketed into the shared log₂ (bit-length) grid and counted
+    * per (r, f, m) cell. Log buckets instead of quantile ntiles by
+    * design: quintiles need a global sort per metric (three total
+    * sorts at 100 TB), while bit-length is a map-side projection, is
+    * deterministic on every engine, and composes across shards by
+    * addition — the same argument the conversion-lag histogram makes.
+    *
+    * One user-keyed fold over the log, a broadcast single-row corpus
+    * max (the recency epoch), then a metadata-scale cell count.
+    * All-integer outputs; non-positive metrics pin to bucket 0.
+    */
+  def rfm(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(
+      max(unix_micros(col("ts"))).as("last_us"),
+      count(lit(1)).as("f"),
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("m_cents"))
+    val corpusMax = perUser.agg(max(col("last_us")).as("max_us"))
+    def bucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c <= 0, 0).otherwise(length(bin(c)).cast("int"))
+    perUser.crossJoin(broadcast(corpusMax))
+      .select(
+        bucket(floor((col("max_us") - col("last_us")) / lit(86400000000L))
+          .cast("long")).as("r_b"),
+        bucket(col("f")).as("f_b"),
+        bucket(col("m_cents")).as("m_b"),
+        col("m_cents"))
+      .groupBy(col("r_b"), col("f_b"), col("m_b"))
+      .agg(count(lit(1)).as("n_users"), sum(col("m_cents")).as("segment_cents"))
+  }
+
   /** Typed extraction from the semi-structured props column (JSON):
     * get_json_object is a codegen'd expression — no UDF — so schema-
     * on-read over a 100 TB event log stays one narrow pass before the

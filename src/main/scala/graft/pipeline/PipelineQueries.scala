@@ -238,6 +238,9 @@ object PipelineQueries {
     // conversion-lag log2 histogram over the credited pairs (r9 b35)
     "events_conversion_lag" -> ((s, dir) =>
       Events.conversionLagHist(Tables.events(s, dir))),
+    // RFM segmentation on the log₂ bucket grid — quantile-free, so no
+    // global sort at 100 TB (r10)
+    "events_rfm" -> ((s, dir) => Events.rfm(Tables.events(s, dir))),
     // ANN index evaluation: recall@10 of the shipped LSH path against
     // brute-force ground truth for the probe query
     "ann_recall_eval" -> ((s, dir) =>
@@ -2012,6 +2015,24 @@ object PipelineQueries {
         | AND v.us <= p.us AND v.us >= p.us - 3600000000""".stripMargin,
     // the first-touch oracle extended one fold: log2-seconds lag
     // buckets, unattributed purchases in the -1 sentinel bucket
+    "events_rfm" ->
+      """WITH pu AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |    count(*) AS f,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS m_cents
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_us) AS max_us FROM pu),
+        |b AS (SELECT
+        |    CAST(floor((max_us - last_us) / 86400000000) AS BIGINT) AS r_days,
+        |    f, m_cents FROM pu, mx)
+        |SELECT
+        |  CASE WHEN r_days <= 0 THEN 0 ELSE length(bin(r_days)) END AS r_b,
+        |  CASE WHEN f <= 0 THEN 0 ELSE length(bin(f)) END AS f_b,
+        |  CASE WHEN m_cents <= 0 THEN 0 ELSE length(bin(m_cents)) END AS m_b,
+        |  count(*) AS n_users,
+        |  CAST(sum(m_cents) AS BIGINT) AS segment_cents
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
     "events_conversion_lag" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
         |  FROM events WHERE event_type IN ('view', 'purchase')),

@@ -629,6 +629,31 @@ class PlanSpec extends AnyFunSuite {
       "no pattern may scan every predicate directory")
   }
 
+  test("graph_resource_alloc: weighted wedges partial-agg; top-k heaps") {
+    val p = plan("graph_resource_alloc")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"),
+      "the 1/deg contributions must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
+  test("graph_katz_centrality: walk folds partial-agg; top-k heaps") {
+    val p = plan("graph_katz_centrality")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"),
+      "each walks_k fold must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
+  test("events_rfm: one user fold, broadcast recency epoch, no sort") {
+    val p = plan("events_rfm")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the single-row corpus max must broadcast")
+    assert(!p.contains("Window"),
+      "log buckets must not introduce a quantile window/sort")
+  }
+
   test("q2: correlated min decorrelates to two aggs; dims broadcast") {
     val p = plan("q2_min_cost_supplier")
     assert(!p.contains("CartesianProduct"))

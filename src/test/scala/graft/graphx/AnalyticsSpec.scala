@@ -119,6 +119,30 @@ class AnalyticsSpec extends AnyFunSuite {
       (3L, 5L, 1L, 3L, 1L)))
   }
 
+  test("resource allocation weights middles inversely to their degree") {
+    // same square+diagonal+pendant as the cn test: (2,4) shares
+    // middles 1 and 3 (deg 3 each) → ra = 2·floor(1e9/3); (1,5) and
+    // (3,5) share only middle 4 (deg 3) → floor(1e9/3)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Analytics.resourceAllocation(e)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 4L, 2 * (1000000000L / 3), 2L),
+      (1L, 5L, 1000000000L / 3, 1L),
+      (3L, 5L, 1000000000L / 3, 1L)))
+  }
+
+  test("katz centrality folds the walk recurrence exactly") {
+    // path 1-2-3: deg (1,2,1); walks2 = sum of neighbor degs:
+    // 1→2, 2→2, 3→2; walks3: 1→w2(2)=2, 2→w2(1)+w2(3)=4, 3→2.
+    // katz_e = 64·w1 + 8·w2 + w3 → 1:64+16+2=82, 2:128+16+4=148, 3:82
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Analytics.katzCentrality(e)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 148L), (1L, 82L), (3L, 82L)))
+  }
+
   test("hits integer rounds rank breadth-weighted authorities") {
     // hubs 1,2,3 → authorities 10,11,12: part 10 bought by all three,
     // 11 by {1,2}, 12 only by 3. a1 = indegree (3,2,1); h1 = 1:5, 2:5,

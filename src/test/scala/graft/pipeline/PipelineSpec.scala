@@ -1066,6 +1066,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(lag == Set((9, 1L)))
   }
 
+  test("rfm buckets recency/frequency/monetary on the log2 grid") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0, "{}"),
+      (2L, "2024-01-11 00:00:00", 1L, "purchase", 5.0, "{}"),
+      (3L, "2024-01-04 00:00:00", 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // user 1: recency 0 days (r_b 0), 2 events (f_b 2), 500 cents
+    // (bin(500) = 9 bits → m_b 9); user 2: 7 days (r_b 3), 1 event
+    // (f_b 1), no purchases (m_b 0)
+    val got = Events.rfm(ev)
+      .as[(Int, Int, Int, Long, Long)].collect().toSet
+    assert(got == Set((0, 2, 9, 1L, 500L), (3, 1, 0, 1L, 0L)))
+  }
+
   test("blocking recall compares the band pairs against the exact pairs") {
     // 20 tokens, one differing tail word → Jaccard 17/19 ≈ 0.89 ≥ 0.8
     val base = (1 to 19).map(i => s"w$i").mkString(" ")
