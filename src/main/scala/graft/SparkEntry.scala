@@ -665,6 +665,24 @@ object SparkEntry {
         .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"))
     },
+    // TPC-H Q12 shape (ADAPTED — no shipmode/receipt dates: classes
+    // are ship-lag buckets, late := > 90 days after order date): the
+    // conditional-aggregation anchor — sum-of-CASE pivots the
+    // priority split inside ONE partial-agg pass after the one
+    // fact-fact join, no per-class scans.
+    "q12_priority_lateness" -> { (s, dir) =>
+      val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"), "late")
+          .otherwise("ontime").as("lateness"))
+        .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+    },
     // TPC-H Q21 shape: the double-correlated EXISTS / NOT-EXISTS
     // anti-join — the hardest subquery shape in the suite. "Late" is
     // ship-lag > 60 days after order date (no receipt/commit dates).
@@ -995,6 +1013,15 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
+    "q12_priority_lateness" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |    THEN 'late' ELSE 'ontime' END AS lateness,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q21_late_sole_supplier" ->
       """WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
         |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -65,6 +65,13 @@ object InferenceQueries {
       val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
       Reasoner.transitiveEdges(s, edges)
     },
+    // OWL 2 RL prp-spo2: :hasNation ∘ :inRegion ⊑ :locatedInRegion —
+    // every entity chained to a region through its nation gets the
+    // direct entailed edge (r10)
+    "infer_property_chain" -> { (s, dir) =>
+      Reasoner.propertyChain(TripleStore.dimensionTriples(s, dir),
+        Seq(":hasNation", ":inRegion"), ":locatedInRegion")
+    },
     // node-anchored directional getRels (ref MicroReasoners.getRels
     // reldir param): everything :locatedIn-ish touching nat:1
     "infer_rels_directed" -> { (s, dir) =>
@@ -168,6 +175,14 @@ object InferenceQueries {
     // the closed geo chain: every base containment edge plus the
     // composed customer/supplier→region pairs, all entailed at the
     // transitive superproperty
+    "infer_property_chain" ->
+      """SELECT DISTINCT 'cust:'||c_custkey AS s,
+        |  ':locatedInRegion' AS p, 'reg:'||n_regionkey AS o
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |UNION
+        |SELECT DISTINCT 'supp:'||s_suppkey, ':locatedInRegion',
+        |  'reg:'||n_regionkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "infer_transitive_rels" ->
       """WITH RECURSIVE base(src, dst) AS (
         |  SELECT 'cust:'||c_custkey, 'nat:'||c_nationkey FROM customer

@@ -59,6 +59,27 @@ object Reasoner {
       .distinct()
   }
 
+  /** OWL 2 RL prp-spo2: a property-chain axiom p₁ ∘ p₂ ∘ … ⊑ r
+    * entails an r-edge along every chain instance (the rule
+    * subPropertyOf cannot express — it rewrites ONE predicate, a
+    * chain composes several). Each step is a predicate slice of the
+    * store composed by an equi-join on the hop node — k−1 keyed
+    * joins for a k-step chain, a query-constant plan regardless of
+    * graph size, never a closure; final distinct because two chain
+    * instances can entail the same pair.
+    */
+  def propertyChain(triples: DataFrame, chain: Seq[String],
+                    entailed: String): DataFrame = {
+    val hops = chain.map(p => triples.filter(col("p") === p)
+      .select(col("s").as("sub"), col("o").as("sup")))
+    hops.reduceLeft { (acc, nxt) =>
+      acc.join(nxt.select(col("sub").as("sup"), col("sup").as("nxt")), "sup")
+        .select(col("sub"), col("nxt").as("sup"))
+    }
+      .select(col("sub").as("s"), lit(entailed).as("p"), col("sup").as("o"))
+      .distinct()
+  }
+
   /** OWL 2 RL prp-trp over each declared owl:TransitiveProperty p:
     * the data edges of p — including the rdfs7 subproperty lift, so a
     * :hasNation edge participates in a :locatedIn chain — close

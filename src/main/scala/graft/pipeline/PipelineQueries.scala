@@ -122,6 +122,11 @@ object PipelineQueries {
       TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
     "data_split" -> ((s, dir) =>
       TextAnalysis.assignSplit(Tables.documents(s, dir))),
+    // train→test leakage: test docs sharing any 5-gram with the train
+    // split — a gram-keyed shuffle semi-join, the train set can never
+    // broadcast (r10)
+    "data_split_contamination" -> ((s, dir) =>
+      TextAnalysis.splitContamination(Tables.documents(s, dir))),
     "data_curriculum" -> ((s, dir) =>
       TextAnalysis.curriculumPhases(Tables.documents(s, dir))),
     "text_vocab_topk" -> ((s, dir) =>
@@ -844,6 +849,25 @@ object PipelineQueries {
            |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
            |SELECT doc_id, count(*) AS n_hits FROM grams
            |WHERE doc_id % 97 != 0 AND g IN (SELECT g FROM bench)
+           |GROUP BY 1""".stripMargin,
+    "data_split_contamination" ->
+      raw"""WITH $TOKS,
+           |grams AS (SELECT DISTINCT doc_id,
+           |    md5(array_to_string(w[s + 1 : s + 5], ' ')) AS g
+           |  FROM toks, UNNEST(range(0, len(w) - 4)) t(s)
+           |  WHERE len(w) >= 5),
+           |sp AS (SELECT doc_id,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id,
+           |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+           |            % 100 AS b
+           |        FROM documents)),
+           |tg AS (SELECT DISTINCT g FROM grams JOIN sp USING (doc_id)
+           |       WHERE split = 'train')
+           |SELECT doc_id, count(*) AS n_leaked_grams
+           |FROM grams JOIN sp USING (doc_id)
+           |WHERE split = 'test' AND g IN (SELECT g FROM tg)
            |GROUP BY 1""".stripMargin,
     // replays the Bloom DECISION: 4 20-bit probes from md5 hex chars
     // 1-20; a corpus gram is flagged iff all 4 probe positions are in

@@ -232,6 +232,30 @@ object TextAnalysis {
     grams.join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
 
+  /** Train→test LEAKAGE report: after [[assignSplit]], which test
+    * documents share a token n-gram with ANY train document? The
+    * self-contamination check every train/eval split must pass —
+    * [[contamination]] screens against an external benchmark, this
+    * screens the split against itself (near-dup pairs straddling the
+    * split boundary silently inflate eval scores).
+    *
+    * Scale shape differs from the benchmark screens ON PURPOSE: the
+    * train gram set is corpus-scale and can never broadcast, so this
+    * is a gram-keyed SHUFFLE semi-join — test grams (the small split)
+    * probe the deduped train grams, both sides hash-partitioned on
+    * the gram. One fact shuffle each side, partial-agg count per
+    * test doc after.
+    */
+  def splitContamination(docs: DataFrame, n: Int = 5): DataFrame = {
+    val split = assignSplit(docs).select(col("doc_id"), col("split"))
+    val grams = docGrams(docs, n).join(split, "doc_id")
+    val trainG = grams.filter(col("split") === "train")
+      .select(col("g")).distinct()
+    grams.filter(col("split") === "test")
+      .join(trainG, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked_grams"))
+  }
+
   /** Repeated-n-gram ratio — the standard "repetitive document"
     * quality signal: dup_ratio = 1 − distinct/total over token
     * n-grams. Pure per-row array expressions, narrow at any scale.

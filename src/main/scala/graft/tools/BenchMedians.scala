@@ -63,6 +63,15 @@ object BenchMedians {
 
     val rows = keys.map { case (name, sweepSec) =>
       val runs = (1 to reps).map { _ =>
+        // rdf_build_triples MEASURES the cold store derivation (the
+        // sweep evicts after layout warmup so its first caller pays
+        // it); a warm rep here would read the cache and report 0.08 s
+        // against the sweep's 9.8 s — evict before each rep of that
+        // key so the median measures the same regime. Every other rdf
+        // key runs store-warm in the sweep and stays warm here.
+        if (name == "rdf_build_triples")
+          try graft.rdf.TripleStore.evictTriples(spark, sfDir)
+          catch { case _: Throwable => () }
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()

@@ -654,6 +654,22 @@ class PlanSpec extends AnyFunSuite {
       "log buckets must not introduce a quantile window/sort")
   }
 
+  test("q12: priority split pivots in one conditional-agg pass") {
+    val p = plan("q12_priority_lateness")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"),
+      "both CASE sums must combine map-side in the same pass")
+  }
+
+  test("data_split_contamination: gram-keyed semi-join, no cartesian") {
+    val p = plan("data_split_contamination")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"),
+      "the train-gram membership test must be a semi-join")
+    assert(p.contains("partial_count"),
+      "the per-doc leak count must combine map-side")
+  }
+
   test("q2: correlated min decorrelates to two aggs; dims broadcast") {
     val p = plan("q2_min_cost_supplier")
     assert(!p.contains("CartesianProduct"))

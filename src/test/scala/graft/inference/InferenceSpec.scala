@@ -65,6 +65,19 @@ class InferenceSpec extends AnyFunSuite {
     assert(has == Map("c:1" -> false, "s:1" -> false, "p:1" -> true))
   }
 
+  test("propertyChain entails r along every p1∘p2 instance, deduped") {
+    val t = Seq(
+      ("a", ":p1", "m"), ("m", ":p2", "x"),   // chain a→m→x
+      ("a", ":p1", "m2"), ("m2", ":p2", "x"), // second route, same pair
+      ("b", ":p1", "m"),                       // chain b→m→x
+      ("m", ":p1", "y"),                       // p1 out of a p2 middle: no chain
+      ("z", ":p2", "w"))                       // bare p2: no chain
+      .toDF("s", "p", "o")
+    val got = Reasoner.propertyChain(t, Seq(":p1", ":p2"), ":r")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("a", ":r", "x"), ("b", ":r", "x")))
+  }
+
   test("inverseEdges entails both directions of a declared inverse") {
     val e = Seq(
       ("c:1", ":hasNation", "n:1"),

@@ -1066,6 +1066,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(lag == Set((9, 1L)))
   }
 
+  test("split contamination flags test docs sharing grams with train") {
+    // every doc carries the same 6 tokens → exactly two distinct
+    // 5-grams each; leakage is decided purely by the md5 split
+    def bucket(id: Long): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(2).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val ids = (0L until 200L)
+    val d = docs(ids.map(i => i -> "alpha beta gamma delta epsilon zeta"): _*)
+    val expect = ids.filter(i => bucket(i) >= 90).map(i => i -> 2L).toMap
+    assert(ids.exists(i => bucket(i) < 80) && expect.nonEmpty,
+      "fixture must populate both train and test")
+    val got = TextAnalysis.splitContamination(d)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   test("rfm buckets recency/frequency/monetary on the log2 grid") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 1L, "view", 0.0, "{}"),
