@@ -81,6 +81,39 @@ object Multimodal {
       .select(col("doc_id"))
   }
 
+  /** Magic-byte modality dispatch — the first stage of every
+    * multimodal ingest: classify each opaque payload by its leading
+    * bytes (the real-world JPEG/PNG/RIFF sniff) and report per-
+    * modality volume. Payload headers are synthesized (doc_id mod 3
+    * picks a 4-byte ASCII magic prepended to the text bytes), but the
+    * CLASSIFIER is the real operator: it reads ONLY the prefix — a
+    * codegen'd substring over the binary column, one narrow pass, no
+    * decode — and dispatches on it, exactly how a 100 TB ingest
+    * routes payloads to per-modality decoder pools without touching
+    * payload bodies. All-integer report columns.
+    */
+  def modalityReport(docs: DataFrame): DataFrame = {
+    val tagged = payloads(docs).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0, lit("JPG0"))
+          .when(col("doc_id") % 3 === 1, lit("PNG0"))
+          .otherwise(lit("RIFF")).cast("binary"),
+        col("payload")).as("payload"))
+    tagged
+      .select(
+        when(substring(col("payload"), 1, 4) === lit("JPG0").cast("binary"),
+          "image/jpeg")
+          .when(substring(col("payload"), 1, 4) === lit("PNG0").cast("binary"),
+            "image/png")
+          .when(substring(col("payload"), 1, 4) === lit("RIFF").cast("binary"),
+            "audio/wav")
+          .otherwise("unknown").as("modality"),
+        length(col("payload")).cast("long").as("bytes"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("total_bytes"),
+        min(col("bytes")).as("min_bytes"), max(col("bytes")).as("max_bytes"))
+  }
+
   /** Binary payload column → per-doc feature rows. */
   def binaryFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

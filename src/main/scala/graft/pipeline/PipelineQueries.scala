@@ -146,6 +146,14 @@ object PipelineQueries {
     // ---- §H multimodal ---------------------------------------------
     "mm_binary_features" -> ((s, dir) =>
       Multimodal.binaryFeatures(Tables.documents(s, dir))),
+    // magic-byte modality dispatch: per-modality volume report read
+    // from payload PREFIXES only — no body decode (r10)
+    "mm_modality_report" -> ((s, dir) =>
+      Multimodal.modalityReport(Tables.documents(s, dir))),
+    // embedding-space outliers: bottom-k cosine to assigned centroid
+    // (r10)
+    "emb_far_from_centroid" -> ((s, dir) =>
+      Similarity.farFromCentroid(Tables.embeddings(s, dir))),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_resize" -> ((s, dir) =>
@@ -1198,6 +1206,34 @@ object PipelineQueries {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g') AS clean
         |FROM documents""".stripMargin,
+    // the oracle replays the CLASSIFIER (prefix dispatch over the
+    // tagged payload), not the tag assignment — ASCII corpus, so
+    // char length = byte length
+    "mm_modality_report" ->
+      """WITH tagged AS (SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'JPG0' WHEN 1 THEN 'PNG0'
+        |       ELSE 'RIFF' END) || text AS payload
+        |  FROM documents)
+        |SELECT CASE substr(payload, 1, 4)
+        |    WHEN 'JPG0' THEN 'image/jpeg' WHEN 'PNG0' THEN 'image/png'
+        |    WHEN 'RIFF' THEN 'audio/wav' ELSE 'unknown' END AS modality,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length(payload)) AS BIGINT) AS total_bytes,
+        |  CAST(min(length(payload)) AS BIGINT) AS min_bytes,
+        |  CAST(max(length(payload)) AS BIGINT) AS max_bytes
+        |FROM tagged GROUP BY 1""".stripMargin,
+    "emb_far_from_centroid" ->
+      """WITH cent AS (SELECT label AS c_label, d, avg(embedding[d + 1]) AS m
+        |              FROM embeddings, range(0, 64) td(d) GROUP BY 1, 2),
+        |cv AS (SELECT c_label, list(m ORDER BY d) AS cv FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, c.c_label,
+        |    list_cosine_similarity(e.embedding, c.cv) AS cos,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+        |               c.c_label ASC) AS r
+        |  FROM embeddings e, cv c)
+        |SELECT vec_id, c_label AS assigned FROM sc WHERE r = 1
+        |ORDER BY cos ASC, vec_id LIMIT 20""".stripMargin,
     "mm_binary_features" ->
       """SELECT doc_id, length(text) AS byte_len,
         |  ascii(substr(text, 1, 1)) AS first_byte,

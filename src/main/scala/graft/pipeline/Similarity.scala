@@ -643,6 +643,28 @@ object Similarity {
       .withColumn("stable", col("label") === col("assigned"))
   }
 
+  /** Embedding-space outliers: the k vectors FARTHEST (lowest cosine)
+    * from their assigned centroid — the quality screen that catches
+    * mis-embedded or out-of-distribution items before they poison a
+    * training mix or an ANN index. Composition of [[kmeansAssign]]
+    * with one broadcast centroid lookup and a bottom-k heap
+    * (TakeOrderedAndProject — never a global sort); ids-only output,
+    * the cosine is an ordering key, same determinism posture as the
+    * top-k family.
+    */
+  def farFromCentroid(embeddings: DataFrame, k: Int = 20): DataFrame = {
+    val e = vecs(embeddings)
+    val cent = broadcast(centroids(e)
+      .select(col("label").as("c_label"), col("cv")))
+    val assign = kmeansAssign(embeddings).select(col("vec_id"), col("assigned"))
+    e.join(assign, "vec_id")
+      .join(cent, col("assigned") === col("c_label"))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .orderBy(col("cos").asc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("assigned"))
+  }
+
   /** The Lloyd UPDATE step completing the k-means iteration
     * [[kmeansAssign]] starts: recompute each cluster's centroid from
     * the vectors just assigned to it. Output is one row per

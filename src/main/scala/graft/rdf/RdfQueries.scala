@@ -248,6 +248,23 @@ object RdfQueries {
           concat(lit("_:s"), col("s_suppkey")).as("o")))
       Skolem.skolemize(blanks)
     },
+    // WL blank-node canonical labeling (RDFC-1.0's color-refinement
+    // core): a two-blank chain per supplier — _:x → _:y → nat:N —
+    // where _:x is only distinguishable through its NEIGHBOR's
+    // grounded label, so the refinement round is load-bearing (round
+    // 0 gives every _:x the same placeholder signature) (r10)
+    "rdf_canon_labels" -> { (s, dir) =>
+      val sup = graft.Tables.supplier(s, dir)
+      val chain = sup.select(
+        concat(lit("_:x"), col("s_suppkey")).as("s"),
+        lit(":next").as("p"),
+        concat(lit("_:y"), col("s_suppkey")).as("o"))
+        .unionAll(sup.select(
+          concat(lit("_:y"), col("s_suppkey")).as("s"),
+          lit(":hasNation").as("p"),
+          concat(lit("nat:"), col("s_nationkey")).as("o")))
+      Canon.canonLabels(chain)
+    },
     // per-IMPORT blank-node scoping (the RDFImport.java:50-155
     // semantics RDF 1.1 requires: a blank label is file-scoped, so
     // `_:n3` in two files is two different nodes): two "files" both
@@ -583,6 +600,19 @@ object RdfQueries {
         |SELECT 'part:'||p_partkey, ':retailprice',
         |       CAST(p_retailprice AS VARCHAR), p_retailprice, false, NULL
         |FROM part""".stripMargin,
+    // replay both WL rounds in closed form: lab1(_:x) hashes _:y's
+    // round-0 label (sorted sigs joined by \n; 'i|' < 'o|' in ASCII)
+    "rdf_canon_labels" ->
+      """SELECT '_:x'||s_suppkey AS b,
+        |  md5('o|:next|' ||
+        |      md5('i|:next|_' || chr(10) ||
+        |          'o|:hasNation|nat:'||s_nationkey)) AS canon
+        |FROM supplier
+        |UNION ALL
+        |SELECT '_:y'||s_suppkey,
+        |  md5('i|:next|' || md5('o|:next|_') || chr(10) ||
+        |      'o|:hasNation|nat:'||s_nationkey)
+        |FROM supplier""".stripMargin,
     "rdf_skolemize" ->
       """SELECT 'urn:skolem:'||md5('s'||s_suppkey) AS s,
         |       ':hasNation' AS p, 'nat:'||s_nationkey AS o

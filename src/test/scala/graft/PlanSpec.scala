@@ -654,6 +654,29 @@ class PlanSpec extends AnyFunSuite {
       "log buckets must not introduce a quantile window/sort")
   }
 
+  test("mm_modality_report: prefix dispatch never enters the codec path") {
+    val p = plan("mm_modality_report")
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapPartitions"),
+      "the classifier must read prefixes in codegen, not decode payloads")
+    assert(p.contains("partial_count"),
+      "the per-modality report must combine map-side")
+  }
+
+  test("emb_far_from_centroid: broadcast centroids, bottom-k heaps") {
+    val p = plan("emb_far_from_centroid")
+    assert(p.contains("TakeOrderedAndProject"), "bottom-k must not globally sort")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the centroid table must broadcast")
+  }
+
+  test("rdf_canon_labels: WL rounds are keyed joins + one collect per round") {
+    val p = plan("rdf_canon_labels")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_collect_list"),
+      "signature multisets must buffer map-side per blank — the in-row " +
+        "sort_array keeps ordering off the exchange")
+  }
+
   test("q12: priority split pivots in one conditional-agg pass") {
     val p = plan("q12_priority_lateness")
     assert(!p.contains("CartesianProduct"))

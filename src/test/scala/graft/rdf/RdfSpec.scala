@@ -472,6 +472,25 @@ class RdfSpec extends AnyFunSuite {
       "a literal starting with '_:' must survive when o_is_iri=false")
   }
 
+  test("canonical labels are isomorphism-invariant and refine through neighbors") {
+    val g1 = Seq(("_:a", ":next", "_:b"), ("_:b", ":hasNation", "nat:1"))
+      .toDF("s", "p", "o")
+    val g2 = Seq(("_:q", ":next", "_:r"), ("_:r", ":hasNation", "nat:1"))
+      .toDF("s", "p", "o")
+    val l1 = Canon.canonLabels(g1).as[(String, String)].collect().toMap
+    val l2 = Canon.canonLabels(g2).as[(String, String)].collect().toMap
+    // isomorphic graphs with different local labels → identical label sets
+    assert(l1.values.toSet == l2.values.toSet)
+    // the chain positions are distinguishable
+    assert(l1("_:a") != l1("_:b"))
+    // _:a differs from g1's _:a ONLY through its neighbor's grounded
+    // term — round 0 cannot see it, the refinement round must
+    val g3 = Seq(("_:a", ":next", "_:b"), ("_:b", ":hasNation", "nat:2"))
+      .toDF("s", "p", "o")
+    val l3 = Canon.canonLabels(g3).as[(String, String)].collect().toMap
+    assert(l3("_:a") != l1("_:a"))
+  }
+
   test("reification is deterministic, content-addressed, 4 rows/stmt") {
     val t = Seq(("s:1", ":p", "o:1"), ("s:2", ":p", "lit"))
       .toDF("s", "p", "o")
