@@ -61,6 +61,26 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     shingleSets(docs, n).select(col("doc_id"), explode(col("sh_set")).as("sh"))
 
+  /** Shingle document-frequency histogram — the observability twin of
+    * the candidate-volume gates: Σ c·(c−1)/2 over exactly this df
+    * distribution is what [[ngramJaccard]] prices before launching
+    * and what [[containmentPairs]] tightens its cap against, so this
+    * is the chart an operator reads to CHOOSE the cap at a new
+    * corpus. Log₂ (bit-length) df buckets with, per bucket, the
+    * distinct-shingle count, total postings, and the exact pair
+    * volume those postings imply — all integers, composable across
+    * shards. Two partial-agg folds (df per shingle, then the
+    * metadata-scale bucket count).
+    */
+  def shingleDfProfile(docs: DataFrame, n: Int = 3): DataFrame =
+    shingles(docs, n)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .groupBy(length(bin(col("df"))).cast("int").as("df_b"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_postings"),
+        // df·(df−1) is always even → the integer div is exact
+        sum(expr("(df * (df - 1)) div 2")).as("n_pairs"))
+
   /** Exact duplicate groups: md5(text) → group size. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))

@@ -445,6 +445,33 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-user burst peak — the velocity screen beside
+    * [[rateOutliers]]' lifetime-σ test: rateOutliers catches users
+    * whose TOTAL volume is anomalous; this catches users whose worst
+    * five minutes is (a scraper that runs one hot hour a day has an
+    * ordinary lifetime count). For each user: the max event count
+    * over tumbling windows and the EARLIEST window achieving it
+    * (min_by over the zero-padded (max-count, window) string key —
+    * the cross-engine-deterministic argmax idiom). Two partial-agg
+    * shuffles: (user, window) then user.
+    */
+  def burstPeak(events: DataFrame, windowMinutes: Int = 5): DataFrame = {
+    val winUs = windowMinutes * 60L * 1000000L
+    val perWin = events
+      .select(col("user_id"),
+        (floor(unix_micros(col("ts")) / winUs).cast("long") * winUs)
+          .as("win_us"))
+      .groupBy(col("user_id"), col("win_us"))
+      .agg(count(lit(1)).as("n"))
+    perWin.groupBy(col("user_id"))
+      .agg(max(col("n")).as("peak"),
+        min_by(col("win_us"),
+          concat(lpad((lit(1000000000000000000L) - col("n")).cast("string"),
+            19, "0"), lpad(col("win_us").cast("string"), 20, "0")))
+          .as("peak_win_us"),
+        count(lit(1)).as("n_active_windows"))
+  }
+
   /** RFM (recency / frequency / monetary) segmentation — the
     * marketing-warehouse sibling of [[retention]]: each user scored by
     * days since last event, lifetime event count, and purchase cents,

@@ -31,6 +31,38 @@ object Pipeline {
         md5(col("chunk").cast("binary")).as("chunk_md5"))
   }
 
+  /** Per-stage reject funnel — the report a corpus build publishes
+    * beside its output: how many documents entered each stage, how
+    * many each rule rejected, how many survived. [[corpusBuild]]
+    * emits the kept corpus; this emits the ACCOUNTING (a pipeline
+    * whose reject counts aren't on record can't be debugged when the
+    * mix shifts). Stages: Gopher quality rules, then exact dedup
+    * (min-doc_id keeper per text hash). Three count aggregates on
+    * broadcast single-row frames exploded into the stage rows — the
+    * corpus is scanned once per stage, no text column ever shuffles
+    * except the dedup keep-list hash.
+    */
+  def rejectFunnel(docs: DataFrame): DataFrame = {
+    val gKeep = TextAnalysis.gopherQuality(docs)
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = docs.join(gKeep, Seq("doc_id"), "left_semi")
+    val dedupKeep = kept
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val c0 = docs.agg(count(lit(1)).as("c0"))
+    val c1 = kept.agg(count(lit(1)).as("c1"))
+    val c2 = dedupKeep.agg(count(lit(1)).as("c2"))
+    c0.crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
+      .select(explode(array(
+        struct(lit("gopher_quality").as("stage"),
+          col("c0").as("n_in"), col("c1").as("n_out")),
+        struct(lit("exact_dedup").as("stage"),
+          col("c1").as("n_in"), col("c2").as("n_out")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_in").as("n_in"),
+        col("r.n_out").as("n_out"),
+        (col("r.n_in") - col("r.n_out")).as("n_rejected"))
+  }
+
   /** The full corpus build: Gopher quality rules → exact dedup (keep
     * the minimum doc_id per text hash) → target-mixture domain
     * sampling → train/val/test split. Each stage is the §G operator

@@ -127,6 +127,16 @@ object PipelineQueries {
     // broadcast (r10)
     "data_split_contamination" -> ((s, dir) =>
       TextAnalysis.splitContamination(Tables.documents(s, dir))),
+    // tokenizer-vocab coverage / OOV report — exact integers (r10)
+    "text_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
+    // per-user worst-five-minutes velocity screen (r10)
+    "events_burst_peak" -> ((s, dir) =>
+      Events.burstPeak(Tables.events(s, dir))),
+    // the df histogram the dedup candidate-volume gates price from
+    // (r10)
+    "dedup_shingle_df_profile" -> ((s, dir) =>
+      Dedup.shingleDfProfile(Tables.documents(s, dir))),
     "data_curriculum" -> ((s, dir) =>
       TextAnalysis.curriculumPhases(Tables.documents(s, dir))),
     "text_vocab_topk" -> ((s, dir) =>
@@ -258,6 +268,12 @@ object PipelineQueries {
     // brute-force ground truth for the probe query
     "ann_recall_eval" -> ((s, dir) =>
       Similarity.recallAtK(Tables.embeddings(s, dir))),
+    // the IVF tuning curve: recall@10 per probe count (r10)
+    "ann_ivf_probe_sweep" -> ((s, dir) =>
+      Similarity.ivfProbeSweep(Tables.embeddings(s, dir))),
+    // the corpus build's per-stage reject accounting (r10)
+    "pipeline_reject_funnel" -> ((s, dir) =>
+      Pipeline.rejectFunnel(Tables.documents(s, dir))),
     // SQ8 quantization-error recall vs the float truth (r9 b30)
     "ann_sq8_recall_eval" -> ((s, dir) =>
       Similarity.sq8RecallEval(Tables.embeddings(s, dir))),
@@ -858,6 +874,37 @@ object PipelineQueries {
            |SELECT doc_id, count(*) AS n_hits FROM grams
            |WHERE doc_id % 97 != 0 AND g IN (SELECT g FROM bench)
            |GROUP BY 1""".stripMargin,
+    "text_vocab_coverage" ->
+      raw"""WITH $TOKS,
+           |tk AS (SELECT unnest(w) AS tok FROM toks),
+           |c AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+           |v AS (SELECT tok FROM c ORDER BY n DESC, tok LIMIT 1000),
+           |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+           |cv AS (SELECT CAST(sum(n) AS BIGINT) AS n_covered FROM c
+           |       WHERE tok IN (SELECT tok FROM v))
+           |SELECT n_total, n_covered, n_total - n_covered AS n_oov
+           |FROM t, cv""".stripMargin,
+    "events_burst_peak" ->
+      """WITH pw AS (SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000
+        |      AS win_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS peak,
+        |  min_by(win_us,
+        |    lpad(CAST(1000000000000000000 - n AS VARCHAR), 19, '0') ||
+        |    lpad(CAST(win_us AS VARCHAR), 20, '0')) AS peak_win_us,
+        |  count(*) AS n_active_windows
+        |FROM pw GROUP BY 1""".stripMargin,
+    "dedup_shingle_df_profile" ->
+      raw"""WITH $TOKS,
+           |$SH,
+           |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+           |SELECT length(bin(df)) AS df_b,
+           |  count(*) AS n_shingles,
+           |  CAST(sum(df) AS BIGINT) AS n_postings,
+           |  CAST(sum((df * (df - 1)) // 2) AS BIGINT) AS n_pairs
+           |FROM df GROUP BY 1""".stripMargin,
     "data_split_contamination" ->
       raw"""WITH $TOKS,
            |grams AS (SELECT DISTINCT doc_id,
@@ -2139,6 +2186,58 @@ object PipelineQueries {
     // ann_bruteforce ORDER BY, ap = the ann_lsh probe semantics over
     // the shared BUCKET_CTES), so the recall scalar is checked
     // end-to-end against the same ground truth the operators serve
+    // one UNION branch per probe point, each the ivf oracle joined
+    // against the brute-force truth
+    "ann_ivf_probe_sweep" -> {
+      val base =
+        """WITH cent AS (SELECT label, d, avg(embedding[d + 1]) AS m
+          |              FROM embeddings, range(0, 64) td(d) GROUP BY 1, 2),
+          |cv AS (SELECT label, list(m ORDER BY d) AS cv FROM cent GROUP BY 1),
+          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          |truth AS (SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id != 0
+          |  ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+          |  LIMIT 10)""".stripMargin
+      val branches = Seq(1, 2, 4).map { np =>
+        s"""SELECT $np AS nprobe, 10 AS k, count(*) AS n_hit,
+           |  CAST(count(*) AS DOUBLE) / 10 AS recall
+           |FROM (SELECT e.vec_id FROM embeddings e
+           |      JOIN (SELECT label FROM cv, q
+           |            ORDER BY list_cosine_similarity(cv, qv) DESC, label
+           |            LIMIT $np) p USING (label), q
+           |      WHERE e.vec_id != 0
+           |      ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+           |               e.vec_id
+           |      LIMIT 10) a
+           |WHERE a.vec_id IN (SELECT vec_id FROM truth)""".stripMargin
+      }
+      base + "\n" + branches.mkString("\nUNION ALL\n")
+    },
+    "pipeline_reject_funnel" ->
+      raw"""WITH x AS (SELECT doc_id, text,
+           |    string_split_regex(trim(text), '\s+') AS w,
+           |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS lw,
+           |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
+           |  FROM documents),
+           |y AS (SELECT doc_id, text, len(w) AS n_words,
+           |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum')
+           |      AS BIGINT) * 1.0 / len(w) AS mean_word_len,
+           |    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+           |    n_symbols,
+           |    len(list_intersect(lw,
+           |      ['the','be','to','of','and','that','have','with'])) AS n_stop
+           |  FROM x),
+           |k AS (SELECT doc_id, text FROM y
+           |  WHERE n_words BETWEEN 20 AND 80 AND mean_word_len BETWEEN 3 AND 10
+           |    AND n_symbols * 10 <= n_words AND n_alpha * 10 >= n_words * 8
+           |    AND n_stop >= 2),
+           |d AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(text)),
+           |c0 AS (SELECT count(*) AS c FROM documents),
+           |c1 AS (SELECT count(*) AS c FROM k),
+           |c2 AS (SELECT count(*) AS c FROM d)
+           |SELECT 'gopher_quality' AS stage, c0.c AS n_in, c1.c AS n_out,
+           |  c0.c - c1.c AS n_rejected FROM c0, c1
+           |UNION ALL
+           |SELECT 'exact_dedup', c1.c, c2.c, c1.c - c2.c FROM c1, c2""".stripMargin,
     "ann_recall_eval" ->
       s"""WITH $BUCKET_CTES,
         |q AS (SELECT b.bucket AS qb, e.embedding AS qv

@@ -142,6 +142,23 @@ object Similarity {
         (col("n_hit").cast("double") / lit(k)).as("recall"))
   }
 
+  /** IVF tuning curve: recall@k of [[ivfTopK]] at each probe count —
+    * the sweep that decides nprobe for a deployment (the dedup
+    * threshold_sweep's sibling on the index side). Probe counts are
+    * query constants, so the plan is one union branch per point, each
+    * the shipped operator joined against the shipped ground truth.
+    */
+  def ivfProbeSweep(embeddings: DataFrame, queryId: Long = 0, k: Int = 10,
+                    probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryId, k)
+    probes.map { np =>
+      ivfTopK(embeddings, queryId, k, np).join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(np).as("nprobe"), lit(k).as("k"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(k)).as("recall"))
+    }.reduceLeft(_.unionByName(_))
+  }
+
   /** Quantization-error evaluation: recall@k of the SQ8 (int8)
     * ranking against the float brute-force truth — the number that
     * decides whether the 4× memory-bandwidth saving of a quantized

@@ -232,6 +232,28 @@ object TextAnalysis {
     grams.join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
 
+  /** Tokenizer-vocabulary coverage: how much of the corpus does a
+    * top-k frequency vocabulary cover, and how much is OOV? The
+    * go/no-go number every tokenizer/vocab decision reads. Exact
+    * integer outputs (the ratio is derivable; emitting it would
+    * reintroduce a float division for no information). The vocab is
+    * the top-k tokens by (count desc, token) — a TakeOrdered heap,
+    * broadcast back as a semi-join probe; two partial-agg folds over
+    * the token counts, never over raw tokens twice.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val counts = docs.select(explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val vocab = counts.orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    counts.join(vocab, Seq("tok"), "left_semi")
+      .agg(sum(col("n")).as("n_covered"))
+      .crossJoin(broadcast(total))
+      .select(col("n_total"), col("n_covered"),
+        (col("n_total") - col("n_covered")).as("n_oov"))
+  }
+
   /** Train→test LEAKAGE report: after [[assignSplit]], which test
     * documents share a token n-gram with ANY train document? The
     * self-contamination check every train/eval split must pass —

@@ -66,4 +66,24 @@ object Canon {
 
     (2 to rounds).foldLeft(round(None))((l, _) => round(Some(l)))
   }
+
+  /** Isomorphism-INVARIANT graph digest: [[canonLabels]] substituted
+    * for every blank, then [[Reification.graphDigest]]'s commutative
+    * XOR fold. The plain digest is layout-independent but LABEL-
+    * dependent (re-importing a blank-bearing file with fresh labels
+    * changes it); this one answers "is it the same graph?" across
+    * imports — the check RDFC-1.0 canonicalization exists to enable.
+    * Two keyed label joins + the same narrow one-row fold.
+    */
+  def canonDigest(triples: DataFrame): DataFrame = {
+    val labels = canonLabels(triples)
+    def sub(c: Column, l: Column): Column =
+      when(isBlank(c), coalesce(l, c)).otherwise(c)
+    val t2 = triples
+      .join(labels.toDF("__bs", "__ls"), col("s") === col("__bs"), "left_outer")
+      .join(labels.toDF("__bo", "__lo"), col("o") === col("__bo"), "left_outer")
+      .select(sub(col("s"), col("__ls")).as("s"), col("p"),
+        sub(col("o"), col("__lo")).as("o"))
+    Reification.graphDigest(t2)
+  }
 }

@@ -418,6 +418,21 @@ object RdfQueries {
         TripleStore.dimensionTriples(s, dir)
           .select(col("s"), col("p"), col("o")))
     },
+    // isomorphism-invariant digest: canonical labels substituted for
+    // blanks before the XOR fold — equal across re-imports that mint
+    // fresh blank labels, which the plain digest is not (r10)
+    "rdf_canon_digest" -> { (s, dir) =>
+      val sup = graft.Tables.supplier(s, dir)
+      val chain = sup.select(
+        concat(lit("_:x"), col("s_suppkey")).as("s"),
+        lit(":next").as("p"),
+        concat(lit("_:y"), col("s_suppkey")).as("o"))
+        .unionAll(sup.select(
+          concat(lit("_:y"), col("s_suppkey")).as("s"),
+          lit(":hasNation").as("p"),
+          concat(lit("nat:"), col("s_nationkey")).as("o")))
+      Canon.canonDigest(chain)
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -726,5 +741,22 @@ object RdfQueries {
       """|h AS (SELECT ('0x' || substr(md5(s||'|'||p||'|'||o), 1, 15))::BIGINT
         |    AS h FROM t)
         |SELECT count(*) AS n_triples, bit_xor(h) AS digest FROM h""".stripMargin),
+    // both WL labels in closed form (the rdf_canon_labels oracle),
+    // substituted into the chain triples, then the digest fold —
+    // same-nation suppliers yield IDENTICAL canonical triples whose
+    // XOR contributions pair-cancel, exactly as the Spark side's
+    // multiset fold does (the documented automorphic-twin limit)
+    "rdf_canon_digest" ->
+      """WITH lab AS (SELECT s_nationkey AS n,
+        |    md5('o|:next|' ||
+        |        md5('i|:next|_' || chr(10) ||
+        |            'o|:hasNation|nat:'||s_nationkey)) AS lx,
+        |    md5('i|:next|' || md5('o|:next|_') || chr(10) ||
+        |        'o|:hasNation|nat:'||s_nationkey) AS ly
+        |  FROM supplier),
+        |t AS (SELECT lx||'|:next|'||ly AS c FROM lab
+        |  UNION ALL SELECT ly||'|:hasNation|nat:'||n FROM lab),
+        |h AS (SELECT ('0x' || substr(md5(c), 1, 15))::BIGINT AS h FROM t)
+        |SELECT count(*) AS n_triples, bit_xor(h) AS digest FROM h""".stripMargin,
   )
 }

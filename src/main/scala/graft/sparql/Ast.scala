@@ -159,6 +159,13 @@ object Ast {
     */
   final case class PathSeqMod(s: Term, steps: Seq[PathStep], mod: Char,
                               o: Term) extends Pattern
+  /** Fixed-range repetition over a parenthesized SEQUENCE —
+    * `(p1/p2){n,m}` — completing the nesting algebra: every modifier
+    * (`+ * ? {n,m}`) now accepts both operand shapes (alternation and
+    * sequence).
+    */
+  final case class PathSeqRange(s: Term, steps: Seq[PathStep], min: Int,
+                                max: Int, o: Term) extends Pattern
   /** Inline bindings `VALUES ?v { const… }` /
     * `VALUES (?a ?b) { (c1 c2) … }`: joins the group against the
     * constant table. Every row arity must match the variable list.

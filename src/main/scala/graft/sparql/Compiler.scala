@@ -626,18 +626,12 @@ object Compiler {
       // zero-length identity. The bounded repetition never computes a
       // closure — m is a query constant, so the plan is m-1 joins of
       // the predicate slice regardless of graph size.
-      val edges = triples.filter(col("p").isin(preds: _*))
-        .select(col("s").as("sub"), col("o").as("sup"))
-      def kHop(k: Int): DataFrame =
-        (2 to k).foldLeft(edges) { (acc, _) =>
-          acc.join(edges.select(col("sub").as("sup"), col("sup").as("nxt")), "sup")
-            .select(col("sub"), col("nxt").as("sup"))
-        }
-      val ks = (mn max 1) to mx
-      val hops = ks.map(kHop) ++
-        (if (mn == 0) Seq(zeroPairs(triples, s, o)) else Nil)
-      projectPathEndpoints(
-        hops.reduceLeft(_.unionByName(_)).distinct(), s, o)
+      rangePairs(triples, triples.filter(col("p").isin(preds: _*))
+        .select(col("s").as("sub"), col("o").as("sup")), mn, mx, s, o)
+    case PathSeqRange(s, steps, mn, mx, o) =>
+      // the sequence-operand twin of PathRange: same k-hop union, over
+      // the COMPOSED edge relation
+      rangePairs(triples, seqEdges(triples, steps), mn, mx, s, o)
     case PathSeqMod(s, steps, mod, o) =>
       // modifier over a parenthesized sequence: the same closure /
       // identity machinery as the alternation forms, but over the
@@ -679,6 +673,23 @@ object Compiler {
           .select(col("sup").as("sub"), lit(ov).as("sup"))
       case _ => graft.inference.Closure.transitive(edges)
     }
+
+  /** Bounded k-hop union shared by both PathRange operand shapes:
+    * the [mn max 1, mx] compositions of `edges` (k−1 equi-joins
+    * each) plus the zero-length identity when mn = 0, projected to
+    * the pattern's endpoints.
+    */
+  private def rangePairs(triples: DataFrame, edges: DataFrame,
+                         mn: Int, mx: Int, s: Term, o: Term): DataFrame = {
+    def kHop(k: Int): DataFrame =
+      (2 to k).foldLeft(edges) { (acc, _) =>
+        acc.join(edges.select(col("sub").as("sup"), col("sup").as("nxt")), "sup")
+          .select(col("sub"), col("nxt").as("sup"))
+      }
+    val hops = ((mn max 1) to mx).map(kHop) ++
+      (if (mn == 0) Seq(zeroPairs(triples, s, o)) else Nil)
+    projectPathEndpoints(hops.reduceLeft(_.unionByName(_)).distinct(), s, o)
+  }
 
   /** The composed (sub, sup) edge relation of a sequence path: each
     * step a predicate slice of the store (inverse steps swap

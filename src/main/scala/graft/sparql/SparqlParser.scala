@@ -246,6 +246,19 @@ object SparqlParser extends RegexParsers {
           PathSeqMod(s, steps, close.charAt(1), o)))
     }
 
+  /** Fixed-range repetition over a parenthesized SEQUENCE:
+    * `term (p1/p2){n,m} term .` — the last nesting combination
+    * ([[seqModPathTriple]] covers `+ * ?`).
+    */
+  private def seqRangePathTriple: Parser[GroupElem] =
+    term ~ ("(" ~> rep1sep(pathStep, "/") <~ ")") ~ rangeSuffix ~ term <~
+      opt(".") >> {
+      case s ~ steps ~ ((mn, mx)) ~ o =>
+        if (steps.size < 2) failure("single-step parens: use p{n,m}")
+        else if (mn > mx) failure(s"path range {$mn,$mx}: min exceeds max")
+        else success(GroupOrUnionElem(PathSeqRange(s, steps, mn, mx, o)))
+    }
+
   /** `GRAPH (<g>|?g) { triples }` — named-graph scoping (body
     * restricted to a BGP; see Ast.GraphBgp).
     */
@@ -343,7 +356,7 @@ object SparqlParser extends RegexParsers {
   private def groupElem: Parser[GroupElem] =
     filterElem | optionalElem | minusElem | bindElem | valuesElem |
       graphElem | negPathTriple | pathTriple | seqModPathTriple |
-      rangePathTriple |
+      rangePathTriple | seqRangePathTriple |
       altPathTriple | seqPathTriple |
       subSelectElem | groupOrUnion | (triplesSameSubject ^^ TriplesElem.apply)
 

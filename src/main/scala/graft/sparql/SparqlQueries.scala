@@ -219,6 +219,15 @@ object SparqlQueries {
       runP(s, dir, SparqlParser.parse(
         "SELECT ?x ?y WHERE { ?x (:inRegion/^:inRegion)+ ?y }"))
     },
+    // range over a parenthesized sequence — the last nesting
+    // combination: (:hasNation/:inRegion){1,2}; k=1 is entity→region,
+    // k=2 composes onto regions with no outgoing :hasNation and is
+    // empty, so the result IS the k=1 relation — exercising the
+    // empty-higher-hop union leg (r10)
+    "sparql_path_seq_range" -> { (s, dir) =>
+      runP(s, dir, SparqlParser.parse(
+        "SELECT ?x ?y WHERE { ?x (:hasNation/:inRegion){1,2} ?y }"))
+    },
     "sparql_parser_e2e" -> { (s, dir) =>
       val text =
         """SELECT ?c ?b ?m WHERE {
@@ -849,6 +858,12 @@ object SparqlQueries {
     "sparql_path_seq_plus" ->
       """SELECT 'nat:'||a.n_nationkey AS x, 'nat:'||b.n_nationkey AS y
         |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey""".stripMargin,
+    "sparql_path_seq_range" ->
+      """SELECT 'cust:'||c_custkey AS x, 'reg:'||n_regionkey AS y
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |UNION
+        |SELECT 'supp:'||s_suppkey, 'reg:'||n_regionkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "sparql_path_inverse" ->
       """SELECT 'reg:'||r_regionkey AS r, 'supp:'||s_suppkey AS s
         |FROM supplier

@@ -677,6 +677,45 @@ class PlanSpec extends AnyFunSuite {
         "sort_array keeps ordering off the exchange")
   }
 
+  test("pipeline_reject_funnel: stage counts on broadcast one-row frames") {
+    val p = plan("pipeline_reject_funnel")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the stage-count frames must broadcast, never shuffle the corpus")
+  }
+
+  test("ann_ivf_probe_sweep: one branch per probe point, all heaped") {
+    val p = plan("ann_ivf_probe_sweep")
+    assert(!p.contains("SortMergeJoin"),
+      "every join in the sweep is centroid/truth-sized — broadcastable")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
+  test("text_vocab_coverage: vocab heaps, counts fold once") {
+    val p = plan("text_vocab_coverage")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k vocab must heap, not globally sort")
+    assert(p.contains("partial_sum"),
+      "the coverage sums must combine map-side")
+  }
+
+  test("events_burst_peak: two keyed partial-agg shuffles, no window") {
+    val p = plan("events_burst_peak")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"),
+      "the per-window counts must combine map-side")
+    assert(!p.contains("Window"),
+      "the per-user argmax must be an aggregate, not a window sort")
+  }
+
+  test("dedup_shingle_df_profile: two folds, both partial") {
+    val p = plan("dedup_shingle_df_profile")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"),
+      "both df and bucket folds must combine map-side")
+  }
+
   test("q12: priority split pivots in one conditional-agg pass") {
     val p = plan("q12_priority_lateness")
     assert(!p.contains("CartesianProduct"))
@@ -736,6 +775,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("LeftSemi"),
       "the qualified set must semi-join, never duplicate suppliers")
+  }
+
+  test("sparql_path_seq_range: no closure — bounded joins keep scans visible") {
+    // unlike the '+' form there is no checkpoint barrier, so the FULL
+    // plan must show pruned predicate scans and equi-join composition
+    val p = plan("sparql_path_seq_range")
+    assert(p.contains("PartitionFilters: [isnotnull(p"),
+      "each sequence step must prune to its predicate directory")
+    assert(!p.contains("PartitionFilters: []"),
+      "no step may scan every predicate directory")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("rdf_canon_digest: label joins keyed; one-row commutative fold") {
+    val p = plan("rdf_canon_digest")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_bit_xor") || p.contains("bit_xor"),
+      "the digest must fold as a commutative aggregate")
   }
 
   test("sparql_path_seq_plus: both sequence legs prune the partitioned store") {

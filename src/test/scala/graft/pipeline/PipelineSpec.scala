@@ -1084,6 +1084,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("reject funnel accounts every stage's in/out/rejected exactly") {
+    val good = ("the results and analysis of this be study show that " +
+      "metrics have improved with careful testing across many runs today")
+    val d = docs(1L -> good, 2L -> "too short", 3L -> good)
+    // gopher keeps the two 20-word docs; exact dedup keeps one of them
+    val got = Pipeline.rejectFunnel(d)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("gopher_quality", 3L, 2L, 1L),
+      ("exact_dedup", 2L, 1L, 1L)))
+  }
+
+  test("ivf probe sweep: recall grows with probes; all-clusters = exact") {
+    val e = Tables.embeddings(spark, SharedSpark.sfDir)
+    val got = Similarity.ivfProbeSweep(e, probes = Seq(1, 1000))
+      .as[(Int, Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.head._3 <= got.last._3,
+      "more probes can only add candidates")
+    assert(got.last._4 == 1.0,
+      "probing every cluster must reproduce the brute-force truth")
+  }
+
+  test("vocab coverage counts occurrences under the top-k vocab") {
+    val d = docs(1L -> "a a a b", 2L -> "b c")
+    // vocabSize=2 → vocab {a(3), b(2)}; total 6, covered 5, oov 1 (c)
+    val got = TextAnalysis.vocabCoverage(d, vocabSize = 2)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((6L, 5L, 1L)))
+  }
+
+  test("burst peak finds the worst window and breaks ties earliest") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:01", 7L, "view", 0.0, "{}"),
+      (2L, "2024-01-01 00:00:02", 7L, "view", 0.0, "{}"),  // window 0: n=2
+      (3L, "2024-01-01 00:10:01", 7L, "view", 0.0, "{}"),  // window 2: n=1
+      (4L, "2024-01-01 00:05:01", 8L, "view", 0.0, "{}"),  // window 1: n=1
+      (5L, "2024-01-01 00:10:02", 8L, "view", 0.0, "{}"))  // window 2: n=1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val base = 1704067200000000L // 2024-01-01 UTC in micros
+    val got = Events.burstPeak(ev)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // user 7 peaks at 2 in window 0; user 8 ties 1-1 → EARLIEST window
+    assert(got == Set(
+      (7L, 2L, base, 2L),
+      (8L, 1L, base + 300000000L, 2L)))
+  }
+
+  test("shingle df profile buckets document frequencies with pair volumes") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    // "a b c" df=2 → bucket 2, pairs 1; "x y z" df=1 → bucket 1, pairs 0
+    val got = Dedup.shingleDfProfile(d)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(got == Set((1, 1L, 1L, 0L), (2, 1L, 2L, 1L)))
+  }
+
   test("rfm buckets recency/frequency/monetary on the log2 grid") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 1L, "view", 0.0, "{}"),

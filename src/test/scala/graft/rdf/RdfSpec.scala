@@ -491,6 +491,24 @@ class RdfSpec extends AnyFunSuite {
     assert(l3("_:a") != l1("_:a"))
   }
 
+  test("canon digest is invariant under blank renaming; plain digest is not") {
+    val g1 = Seq(("_:a", ":next", "_:b"), ("_:b", ":hasNation", "nat:1"))
+      .toDF("s", "p", "o")
+    val g2 = Seq(("_:q", ":next", "_:r"), ("_:r", ":hasNation", "nat:1"))
+      .toDF("s", "p", "o")
+    val d1 = Canon.canonDigest(g1).as[(Long, Long)].collect().head
+    val d2 = Canon.canonDigest(g2).as[(Long, Long)].collect().head
+    assert(d1 == d2, "isomorphic graphs must canon-digest equal")
+    val p1 = Reification.graphDigest(g1).as[(Long, Long)].collect().head
+    val p2 = Reification.graphDigest(g2).as[(Long, Long)].collect().head
+    assert(p1._2 != p2._2, "the plain digest is label-dependent by design")
+    // different structure → different canon digest
+    val g3 = Seq(("_:a", ":next", "_:b"), ("_:b", ":hasNation", "nat:2"))
+      .toDF("s", "p", "o")
+    val d3 = Canon.canonDigest(g3).as[(Long, Long)].collect().head
+    assert(d3._2 != d1._2)
+  }
+
   test("reification is deterministic, content-addressed, 4 rows/stmt") {
     val t = Seq(("s:1", ":p", "o:1"), ("s:2", ":p", "lit"))
       .toDF("s", "p", "o")

@@ -315,6 +315,15 @@ class CompilerSpec extends AnyFunSuite {
         Seq(PathStep(":f", false), PathStep(":g", false)), '+', v("y")),
       projection = Seq("y"))).collect().map(_.getString(0)).toSet
     assert(bound == Set("c", "e"))
+    // bounded range over the same composed edges: {1,2} adds the
+    // two-application hop, {2,2} is only it
+    def range(mn: Int, mx: Int) = Compiler.run(chain, SelectQuery(
+      where = PathSeqRange(v("x"),
+        Seq(PathStep(":f", false), PathStep(":g", false)), mn, mx, v("y")),
+      projection = Seq("x", "y")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(range(1, 2) == Set(("a", "c"), ("c", "e"), ("a", "e")))
+    assert(range(2, 2) == Set(("a", "e")))
   }
 
   test("path star includes the zero-length identity; zero-or-one is one hop max") {

@@ -61,6 +61,13 @@ class SparqlParserSpec extends AnyFunSuite {
     // alternation under a modifier still takes the PathPlus route
     val alt = SparqlParser.parse("SELECT ?x ?y WHERE { ?x (:f|:g)+ ?y }")
     val PathPlus(_, _, _) = alt.where: @unchecked
+    // range over a sequence
+    val rg = SparqlParser.parse("SELECT ?x ?y WHERE { ?x (:f/:g){1,2} ?y }")
+    val PathSeqRange(_, rsteps, 1, 2, _) = rg.where: @unchecked
+    assert(rsteps == Seq(PathStep(":f", false), PathStep(":g", false)))
+    // range over an alternation still takes the PathRange route
+    val ar = SparqlParser.parse("SELECT ?x ?y WHERE { ?x (:f|:g){1,2} ?y }")
+    val PathRange(_, _, 1, 2, _) = ar.where: @unchecked
   }
 
   test("parses sequence and inverse paths into PathSeq") {
