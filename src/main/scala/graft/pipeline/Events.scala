@@ -455,14 +455,23 @@ object Events {
     * the cross-engine-deterministic argmax idiom). Two partial-agg
     * shuffles: (user, window) then user.
     */
-  def burstPeak(events: DataFrame, windowMinutes: Int = 5): DataFrame = {
+  /** The per-(user, window) counts [[burstPeak]] folds — public and
+    * stateless-transform + one aggregation, so the SAME code runs
+    * under Structured Streaming (complete/update mode; the
+    * StreamingSpec twin pins the equality).
+    */
+  def burstWindows(events: DataFrame, windowMinutes: Int = 5): DataFrame = {
     val winUs = windowMinutes * 60L * 1000000L
-    val perWin = events
+    events
       .select(col("user_id"),
         (floor(unix_micros(col("ts")) / winUs).cast("long") * winUs)
           .as("win_us"))
       .groupBy(col("user_id"), col("win_us"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  def burstPeak(events: DataFrame, windowMinutes: Int = 5): DataFrame = {
+    val perWin = burstWindows(events, windowMinutes)
     perWin.groupBy(col("user_id"))
       .agg(max(col("n")).as("peak"),
         min_by(col("win_us"),
@@ -470,6 +479,30 @@ object Events {
             19, "0"), lpad(col("win_us").cast("string"), 20, "0")))
           .as("peak_win_us"),
         count(lit(1)).as("n_active_windows"))
+  }
+
+  /** A/B experiment report: users assigned to variants by an md5
+    * slice of user_id (deterministic, decorrelated from every
+    * doc-keyed slice in the ledger, stable under re-runs — the
+    * property an experiment assignment MUST have), then per-variant
+    * exposure / conversion / revenue in exact integers. One
+    * partial-agg shuffle; the two distinct-user counts share the
+    * same exchange.
+    */
+  def abTestReport(events: DataFrame, variants: Int = 2): DataFrame = {
+    val variant = (conv(substring(
+      md5(col("user_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % variants).as("variant")
+    events
+      .select(variant, col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("variant"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id")))
+          .as("n_converted"),
+        sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L))
+          .as("revenue_cents"))
   }
 
   /** RFM (recency / frequency / monetary) segmentation — the

@@ -133,6 +133,12 @@ object PipelineQueries {
     // per-user worst-five-minutes velocity screen (r10)
     "events_burst_peak" -> ((s, dir) =>
       Events.burstPeak(Tables.events(s, dir))),
+    // md5-sliced A/B experiment report, exact integers (r10)
+    "events_ab_test_report" -> ((s, dir) =>
+      Events.abTestReport(Tables.events(s, dir))),
+    // min-length cutoff sweep in one conditional-agg pass (r10)
+    "data_length_sweep" -> ((s, dir) =>
+      TextAnalysis.lengthSweep(Tables.documents(s, dir))),
     // the df histogram the dedup candidate-volume gates price from
     // (r10)
     "dedup_shingle_df_profile" -> ((s, dir) =>
@@ -884,6 +890,28 @@ object PipelineQueries {
            |       WHERE tok IN (SELECT tok FROM v))
            |SELECT n_total, n_covered, n_total - n_covered AS n_oov
            |FROM t, cv""".stripMargin,
+    "events_ab_test_report" ->
+      """WITH e AS (SELECT
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 2 AS variant,
+        |    user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT variant, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events,
+        |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+        |    AS n_converted,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+        |    AS BIGINT) AS revenue_cents
+        |FROM e GROUP BY 1""".stripMargin,
+    "data_length_sweep" -> Seq(32, 64, 128, 256, 512).map { c =>
+      s"""SELECT $c AS min_chars,
+         |  CAST(sum(CASE WHEN n_chars >= $c THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs,
+         |  CAST(sum(CASE WHEN n_chars >= $c THEN n_chars ELSE 0 END)
+         |    AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "events_burst_peak" ->
       """WITH pw AS (SELECT user_id,
         |    CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000

@@ -254,6 +254,26 @@ object TextAnalysis {
         (col("n_total") - col("n_covered")).as("n_oov"))
   }
 
+  /** Length-filter sweep: documents and characters surviving each
+    * candidate min-length cutoff — the tuning table a corpus-cleaning
+    * decision reads (threshold_sweep's sibling on the length axis).
+    * Cutoffs are query constants, so ALL points fold in ONE
+    * conditional-aggregation pass over the metadata column (never k
+    * scans), exploded to a row per point; exact integers.
+    */
+  def lengthSweep(docs: DataFrame,
+                  cutoffs: Seq[Int] = Seq(32, 64, 128, 256, 512)): DataFrame = {
+    val aggs = cutoffs.flatMap { c => Seq(
+      sum(when(col("n_chars") >= c, 1L).otherwise(0L)).as(s"d_$c"),
+      sum(when(col("n_chars") >= c, col("n_chars")).otherwise(0L))
+        .as(s"c_$c")) }
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cutoffs.map(c => struct(
+        lit(c).as("min_chars"), col(s"d_$c").as("n_docs"),
+        col(s"c_$c").as("n_chars"))): _*)).as("r"))
+      .select(col("r.min_chars"), col("r.n_docs"), col("r.n_chars"))
+  }
+
   /** Train→test LEAKAGE report: after [[assignSplit]], which test
     * documents share a token n-gram with ANY train document? The
     * self-contamination check every train/eval split must pass —

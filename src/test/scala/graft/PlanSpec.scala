@@ -691,6 +691,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
   }
 
+  test("events_ab_test_report: one pass, multi-distinct via Expand") {
+    val p = plan("events_ab_test_report")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Expand"),
+      "the two distinct-user counts must share one Expand pass, not rescan")
+  }
+
+  test("data_length_sweep: every cutoff folds in ONE scan") {
+    val p = plan("data_length_sweep")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "all sweep points must fold in one conditional-agg pass, not k scans")
+    assert(p.contains("partial_sum"),
+      "the conditional sums must combine map-side")
+  }
+
   test("text_vocab_coverage: vocab heaps, counts fold once") {
     val p = plan("text_vocab_coverage")
     assert(!p.contains("CartesianProduct"))

@@ -94,6 +94,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count(_._3 == 2L) == 2)
   }
 
+  test("burst windows stream in complete mode and match the batch counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val rows = Seq(
+      (1L, ts(1), 7L, "view", 0.0, "{}"),
+      (2L, ts(2), 7L, "view", 0.0, "{}"),     // window 0: n=2
+      (3L, ts(601), 7L, "view", 0.0, "{}"),   // window 2: n=1
+      (4L, ts(301), 8L, "view", 0.0, "{}"))   // window 1: n=1
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val stream =
+      MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    stream.addData(rows.take(2))
+    val q = Events.burstWindows(stream.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("burst_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(2))   // counts must keep updating
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("burst_test")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Events.burstWindows(rows.toDF(cols: _*))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.size == 3)
+  }
+
   test("N-Triples parse runs unchanged under Structured Streaming") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
