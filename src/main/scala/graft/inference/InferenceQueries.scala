@@ -65,6 +65,29 @@ object InferenceQueries {
       val edges = graft.rdf.PropertyGraph.edges(TripleStore.dimensionTriples(s, dir))
       Reasoner.transitiveEdges(s, edges)
     },
+    // OWL 2 RL prp-fp surfaced as a VALIDATION report (the rule says
+    // "infer sameAs"; on reference data two conflicting nations are a
+    // data error, so the production posture is to REPORT, not merge):
+    // a second "import" maps odd suppliers to a shifted nation — the
+    // conflicting-sources scenario functional properties exist to
+    // catch — and the report lists each subject with >1 distinct
+    // value, values sorted-concatenated for determinism (r10)
+    "infer_functional_violations" -> { (s, dir) =>
+      val sup = graft.Tables.supplier(s, dir)
+      def edge(o: Column) = sup.select(
+        concat(lit("supp:"), col("s_suppkey")).as("s"),
+        lit(":hasNation").as("p"), o.as("o"))
+      val base = edge(concat(lit("nat:"), col("s_nationkey")))
+      val conflict = sup.filter(col("s_suppkey") % 2 === 1).select(
+        concat(lit("supp:"), col("s_suppkey")).as("s"),
+        lit(":hasNation").as("p"),
+        concat(lit("nat:"), (col("s_nationkey") + 1) % 25).as("o"))
+      base.unionAll(conflict)
+        .groupBy(col("s"))
+        .agg(countDistinct(col("o")).as("n_values"),
+          concat_ws(",", sort_array(collect_set(col("o")))).as("vals"))
+        .filter(col("n_values") > 1)
+    },
     // OWL 2 RL prp-spo2: :hasNation ∘ :inRegion ⊑ :locatedInRegion —
     // every entity chained to a region through its nation gets the
     // direct entailed edge (r10)
@@ -175,6 +198,16 @@ object InferenceQueries {
     // the closed geo chain: every base containment edge plus the
     // composed customer/supplier→region pairs, all entailed at the
     // transitive superproperty
+    "infer_functional_violations" ->
+      """WITH e AS (
+        |  SELECT 'supp:'||s_suppkey AS s, 'nat:'||s_nationkey AS o
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'supp:'||s_suppkey, 'nat:'||((s_nationkey + 1) % 25)
+        |  FROM supplier WHERE s_suppkey % 2 = 1)
+        |SELECT s, count(DISTINCT o) AS n_values,
+        |  string_agg(DISTINCT o, ',' ORDER BY o) AS vals
+        |FROM e GROUP BY s HAVING count(DISTINCT o) > 1""".stripMargin,
     "infer_property_chain" ->
       """SELECT DISTINCT 'cust:'||c_custkey AS s,
         |  ':locatedInRegion' AS p, 'reg:'||n_regionkey AS o

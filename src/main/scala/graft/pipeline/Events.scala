@@ -481,6 +481,26 @@ object Events {
         count(lit(1)).as("n_active_windows"))
   }
 
+  /** Lifetime value by signup cohort: users bucket into the week of
+    * their first event ([[retention]]'s cohort definition), and each
+    * cohort reports its size and total purchase revenue — the
+    * LTV-by-cohort card a growth dashboard pairs with the retention
+    * matrix. One user-keyed fold (first week + revenue in the same
+    * pass), then a metadata-scale cohort fold; exact integer cents.
+    */
+  def ltvCohort(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(
+      floor(min(unix_micros(col("ts"))) / lit(604800000000L)).cast("long")
+        .as("cohort_week"),
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"),
+      count(lit(1)).as("n"))
+    perUser.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("revenue_cents"),
+        sum(col("n")).as("n_events"))
+  }
+
   /** A/B experiment report: users assigned to variants by an md5
     * slice of user_id (deterministic, decorrelated from every
     * doc-keyed slice in the ledger, stable under re-runs — the

@@ -136,6 +136,9 @@ object PipelineQueries {
     // md5-sliced A/B experiment report, exact integers (r10)
     "events_ab_test_report" -> ((s, dir) =>
       Events.abTestReport(Tables.events(s, dir))),
+    // LTV by signup cohort — the retention matrix's revenue card (r10)
+    "events_ltv_cohort" -> ((s, dir) =>
+      Events.ltvCohort(Tables.events(s, dir))),
     // min-length cutoff sweep in one conditional-agg pass (r10)
     "data_length_sweep" -> ((s, dir) =>
       TextAnalysis.lengthSweep(Tables.documents(s, dir))),
@@ -890,6 +893,19 @@ object PipelineQueries {
            |       WHERE tok IN (SELECT tok FROM v))
            |SELECT n_total, n_covered, n_total - n_covered AS n_oov
            |FROM t, cv""".stripMargin,
+    "events_ltv_cohort" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(floor(min(epoch_us(ts)) / 604800000000) AS BIGINT)
+        |      AS cohort_week,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS cents,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT cohort_week, count(*) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM pu GROUP BY 1""".stripMargin,
     "events_ab_test_report" ->
       """WITH e AS (SELECT
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT

@@ -418,6 +418,25 @@ object RdfQueries {
         TripleStore.dimensionTriples(s, dir)
           .select(col("s"), col("p"), col("o")))
     },
+    // RDF collections: per-region nation lists as rdf:first/rdf:rest
+    // cons chains (the Turtle `( … )` / OWL list-axiom storage shape),
+    // unrolled back to ordered (head, pos, item) rows (r10)
+    "rdf_list_unroll" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val n = graft.Tables.nation(s, dir)
+      val w = Window.partitionBy(col("r")).orderBy(col("k"))
+      val seqd = n.select(col("n_regionkey").as("r"), col("n_nationkey").as("k"))
+        .withColumn("i", row_number().over(w) - 1)
+        .withColumn("n_in_r", count(lit(1)).over(Window.partitionBy(col("r"))))
+      val cell = concat(lit("cell:"), col("r"), lit(":"), col("i"))
+      val nxt = when(col("i") === col("n_in_r") - 1, lit("rdf:nil"))
+        .otherwise(concat(lit("cell:"), col("r"), lit(":"), col("i") + 1))
+      val t = seqd.select(cell.as("s"), lit("rdf:first").as("p"),
+          concat(lit("nat:"), col("k")).as("o"))
+        .unionAll(seqd.select(cell.as("s"), lit("rdf:rest").as("p"),
+          nxt.as("o")))
+      RdfList.unroll(t)
+    },
     // isomorphism-invariant digest: canonical labels substituted for
     // blanks before the XOR fold — equal across re-imports that mint
     // fresh blank labels, which the plain digest is not (r10)
@@ -615,6 +634,12 @@ object RdfQueries {
         |SELECT 'part:'||p_partkey, ':retailprice',
         |       CAST(p_retailprice AS VARCHAR), p_retailprice, false, NULL
         |FROM part""".stripMargin,
+    "rdf_list_unroll" ->
+      """SELECT 'cell:'||n_regionkey||':0' AS head,
+        |  row_number() OVER (PARTITION BY n_regionkey
+        |    ORDER BY n_nationkey) - 1 AS pos,
+        |  'nat:'||n_nationkey AS item
+        |FROM nation""".stripMargin,
     // replay both WL rounds in closed form: lab1(_:x) hashes _:y's
     // round-0 label (sorted sigs joined by \n; 'i|' < 'o|' in ASCII)
     "rdf_canon_labels" ->

@@ -491,6 +491,21 @@ class RdfSpec extends AnyFunSuite {
     assert(l3("_:a") != l1("_:a"))
   }
 
+  test("rdf list unroll orders cons chains; singletons and multi-lists work") {
+    val t = Seq(
+      ("l1:0", "rdf:first", "a"), ("l1:0", "rdf:rest", "l1:1"),
+      ("l1:1", "rdf:first", "b"), ("l1:1", "rdf:rest", "l1:2"),
+      ("l1:2", "rdf:first", "c"), ("l1:2", "rdf:rest", "rdf:nil"),
+      ("l2:0", "rdf:first", "x"), ("l2:0", "rdf:rest", "rdf:nil"),
+      ("s:1", ":p", "o:1"))  // non-list triples pass through untouched
+      .toDF("s", "p", "o")
+    val got = RdfList.unroll(t)
+      .as[(String, Int, String)].collect().toSet
+    assert(got == Set(
+      ("l1:0", 0, "a"), ("l1:0", 1, "b"), ("l1:0", 2, "c"),
+      ("l2:0", 0, "x")))
+  }
+
   test("canon digest is invariant under blank renaming; plain digest is not") {
     val g1 = Seq(("_:a", ":next", "_:b"), ("_:b", ":hasNation", "nat:1"))
       .toDF("s", "p", "o")
