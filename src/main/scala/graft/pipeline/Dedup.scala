@@ -682,6 +682,26 @@ object Dedup {
         sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_tau80"),
         sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).as("n_tau90"))
 
+  /** Embedding-cosine threshold sweep — [[thresholdSweep]]'s sibling
+    * on the semantic axis: near-dup pair counts at cosine 0.4/0.5/0.6
+    * from ONE pass over the label-blocked candidates (the exact
+    * regime [[embeddingCosine]] uses below 0.7 — the label IS the
+    * quantizer cell, every cell pair verified, so all three counts
+    * are exact). Per-pair cosine is a single in-row fold both engines
+    * compute identically; the counts are conditional aggregations of
+    * that one compare column.
+    */
+  def embeddingSweep(embeddings: DataFrame): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    v.as("x").join(v.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", Similarity.cosine(col("x.v"), col("y.v")))
+      .agg(sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("n_c40"),
+        sum(when(col("cos") >= 0.5, 1L).otherwise(0L)).as("n_c50"),
+        sum(when(col("cos") >= 0.6, 1L).otherwise(0L)).as("n_c60"))
+  }
+
   /** One-row corpus dedup report — the summary a corpus build logs
     * after its dedup stage: exact-duplicate groups and droppable
     * copies, near-duplicate pairs (the shipped minhash operator),

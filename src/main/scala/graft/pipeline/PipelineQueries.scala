@@ -146,6 +146,10 @@ object PipelineQueries {
     // (r10)
     "dedup_shingle_df_profile" -> ((s, dir) =>
       Dedup.shingleDfProfile(Tables.documents(s, dir))),
+    // semantic-axis threshold sweep over the label-blocked exact
+    // regime (r10)
+    "dedup_embedding_sweep" -> ((s, dir) =>
+      Dedup.embeddingSweep(Tables.embeddings(s, dir))),
     "data_curriculum" -> ((s, dir) =>
       TextAnalysis.curriculumPhases(Tables.documents(s, dir))),
     "text_vocab_topk" -> ((s, dir) =>
@@ -800,6 +804,19 @@ object PipelineQueries {
            |FROM ranked GROUP BY 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "mm_phash_dedup" -> phashSql,
+    "dedup_embedding_sweep" ->
+      """WITH c AS (SELECT
+        |    list_cosine_similarity(a.embedding, b.embedding) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_c40,
+        |  CAST(sum(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_c50,
+        |  CAST(sum(CASE WHEN cos >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_c60
+        |FROM c""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b
         |FROM embeddings a JOIN embeddings b

@@ -418,6 +418,19 @@ object RdfQueries {
         TripleStore.dimensionTriples(s, dir)
           .select(col("s"), col("p"), col("o")))
     },
+    // VoID per NAMED GRAPH (W3C VoID over a quad store: one dataset
+    // card per graph) — graphs from the subject namespace, per-graph
+    // triple/subject/property cards in one partial-agg pass (r10)
+    "rdf_void_by_graph" -> { (s, dir) =>
+      val t = TripleStore.dimensionTriples(s, dir)
+      t.select(concat(lit("g:"),
+          regexp_extract(col("s"), "^([a-z]+):", 1)).as("g"),
+          col("s"), col("p"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct(col("s")).as("n_subjects"),
+          countDistinct(col("p")).as("n_properties"))
+    },
     // RDF collections: per-region nation lists as rdf:first/rdf:rest
     // cons chains (the Turtle `( … )` / OWL list-axiom storage shape),
     // unrolled back to ordered (head, pos, item) rows (r10)
@@ -634,6 +647,13 @@ object RdfQueries {
         |SELECT 'part:'||p_partkey, ':retailprice',
         |       CAST(p_retailprice AS VARCHAR), p_retailprice, false, NULL
         |FROM part""".stripMargin,
+    "rdf_void_by_graph" ->
+      (s"WITH $DIM_T\n" +
+      """|SELECT 'g:'||regexp_extract(s, '^([a-z]+):', 1) AS g,
+        |  count(*) AS n_triples,
+        |  count(DISTINCT s) AS n_subjects,
+        |  count(DISTINCT p) AS n_properties
+        |FROM t GROUP BY 1""".stripMargin),
     "rdf_list_unroll" ->
       """SELECT 'cell:'||n_regionkey||':0' AS head,
         |  row_number() OVER (PARTITION BY n_regionkey

@@ -61,6 +61,28 @@ object Results {
     * Unbound (NULL) serializes as JSON null. Same scale shape as
     * [[toCsv]]: one narrow codegen projection, no shuffle.
     */
+  /** One `<result>` element per row — the W3C SPARQL Query Results
+    * XML Format (the ONE serialization the spec makes mandatory for
+    * endpoints; reference: RDFEndpoint's content negotiation).
+    * Bindings in projection order, unbound bindings OMITTED (per
+    * spec, unlike CSV's empty field); `& < >` escape as entities,
+    * `&` first. The `<sparql><head>…` document wrapper is constant
+    * for a projection — endpoints prepend it once, as with the CSV
+    * header. Same scale shape: one narrow codegen projection.
+    */
+  def toXmlResults(df: DataFrame): DataFrame = {
+    def esc(c: Column): Column = regexp_replace(regexp_replace(
+      regexp_replace(c.cast("string"), "&", "&amp;"), "<", "&lt;"),
+      ">", "&gt;")
+    val bindings = df.columns.map { c =>
+      when(col(c).isNull, lit(""))
+        .otherwise(concat(lit(s"""<binding name="$c"><literal>"""),
+          esc(col(c)), lit("</literal></binding>")))
+    }
+    df.select(concat(lit("<result>"), concat_ws("", bindings: _*),
+      lit("</result>")).as("line"))
+  }
+
   def toJsonLines(df: DataFrame): DataFrame = {
     val fields = df.columns.map { c =>
       val s = col(c).cast("string")

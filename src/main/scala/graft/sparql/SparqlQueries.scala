@@ -344,6 +344,16 @@ object SparqlQueries {
           |}""".stripMargin
       Results.toJsonLines(run(s, dir, SparqlParser.parse(text)))
     },
+    // the W3C-mandatory XML results leg, entity escaping exercised by
+    // an injected `<&>` value (r10)
+    "sparql_results_xml" -> { (s, dir) =>
+      val text =
+        """SELECT ?c ?m ?q WHERE {
+          |  ?c a :Customer ; :mktsegment ?m .
+          |  BIND(CONCAT(?m, "<&>") AS ?q)
+          |}""".stripMargin
+      Results.toXmlResults(run(s, dir, SparqlParser.parse(text)))
+    },
     // VALUES inline binding joined against the group
     "sparql_values" -> { (s, dir) =>
       val text =
@@ -846,6 +856,16 @@ object SparqlQueries {
         |  ||'","m":"'||replace(replace(m, '\', '\\'), '"', '\"')
         |  ||'","q":"'||replace(replace(q, '\', '\\'), '"', '\"')||'"}'
         |  AS line
+        |FROM r""".stripMargin,
+    "sparql_results_xml" ->
+      """WITH r AS (SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m,
+        |                  c_mktsegment||'<&>' AS q FROM customer)
+        |SELECT '<result><binding name="c"><literal>'||c
+        |  ||'</literal></binding><binding name="m"><literal>'||m
+        |  ||'</literal></binding><binding name="q"><literal>'
+        |  ||replace(replace(replace(q, '&', '&amp;'), '<', '&lt;'),
+        |            '>', '&gt;')
+        |  ||'</literal></binding></result>' AS line
         |FROM r""".stripMargin,
     "sparql_path_seq" ->
       """SELECT 'cust:'||c_custkey AS c, r_name AS n
