@@ -85,7 +85,13 @@ object SparkEntry {
     // (q21); q11/q20 reuse the q22 scalar-subquery and q17-style
     // nested-agg shapes and stay verify-only
     "q2_min_cost_supplier", "q9_profit_by_nation_year",
-    "q16_supplier_variety", "q21_late_sole_supplier")
+    "q16_supplier_variety", "q21_late_sole_supplier",
+    // r10 batches B-K: the three NEW shuffle shapes — the weighted
+    // wedge join (resource allocation), the WL signature-collect fold
+    // (canon labels), and the corpus-scale gram-keyed semi-join
+    // (split leakage); the other new keys reuse benched shapes and
+    // stay verify-only
+    "graph_resource_alloc", "rdf_canon_labels", "data_split_contamination")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

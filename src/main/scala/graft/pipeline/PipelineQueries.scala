@@ -152,6 +152,9 @@ object PipelineQueries {
       Dedup.embeddingSweep(Tables.embeddings(s, dir))),
     "data_curriculum" -> ((s, dir) =>
       TextAnalysis.curriculumPhases(Tables.documents(s, dir))),
+    // the shard-balance card for the assignment hash (r10)
+    "data_shard_skew" -> ((s, dir) =>
+      TextAnalysis.shardSkew(Tables.documents(s, dir))),
     "text_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "data_sample_stratified" -> ((s, dir) =>
@@ -804,6 +807,20 @@ object PipelineQueries {
            |FROM ranked GROUP BY 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "mm_phash_dedup" -> phashSql,
+    "data_shard_skew" ->
+      """WITH a AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 4))::BIGINT
+        |      % 16 AS shard, n_chars
+        |  FROM documents),
+        |p AS (SELECT shard, count(*) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |      FROM a GROUP BY 1)
+        |SELECT count(*) AS n_shards, CAST(sum(n_docs) AS BIGINT) AS total_docs,
+        |  CAST(min(n_docs) AS BIGINT) AS min_docs,
+        |  CAST(max(n_docs) AS BIGINT) AS max_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM p""".stripMargin,
     "dedup_embedding_sweep" ->
       """WITH c AS (SELECT
         |    list_cosine_similarity(a.embedding, b.embedding) AS cos

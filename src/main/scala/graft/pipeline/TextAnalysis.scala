@@ -902,4 +902,24 @@ object TextAnalysis {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** Shard-balance card for [[shardAssign]]'s hash (same md5 slice):
+    * the one-row summary an operator checks before launching a
+    * sharded job — a hash that balanced at last month's corpus can
+    * skew after a crawl adds correlated ids. Exact integers: shard
+    * count, total docs, min/max docs per shard, min/max chars per
+    * shard (the max/min ratio is derivable; emitting a float ratio
+    * would add nothing). One partial-agg fold + a one-row refold.
+    */
+  def shardSkew(docs: DataFrame, shards: Int = 16): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val shard = (conv(substring(h, 17, 4), 16, 10).cast("long") % shards)
+      .cast("int")
+    docs.select(shard.as("shard"), col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .agg(count(lit(1)).as("n_shards"), sum(col("n_docs")).as("total_docs"),
+        min(col("n_docs")).as("min_docs"), max(col("n_docs")).as("max_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+  }
 }

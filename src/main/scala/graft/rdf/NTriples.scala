@@ -80,6 +80,29 @@ object NTriples {
     ).as("line"): _*)
   }
 
+  /** Import-QA report: how many input lines parsed, and what happened
+    * to the rest? [[parse]] DROPS non-conforming lines by design (an
+    * ingest must not abort on one bad row at 100 TB) — but a dropped
+    * line must be VISIBLE, or a 2%-malformed feed silently becomes a
+    * 2%-smaller graph. One classification pass for the total /
+    * blank / comment counts plus the parse itself for the parsed
+    * count (the report counts what the REAL parser accepts — no
+    * duplicated shape logic to drift); malformed is the exact
+    * remainder. Two narrow passes, one-row output.
+    */
+  def parseReport(lines: DataFrame): DataFrame = {
+    val l = trim(col("line"))
+    val base = lines.agg(count(lit(1)).as("n_lines"),
+      sum(when(l === "", 1L).otherwise(0L)).as("n_blank"),
+      sum(when(l.startsWith("#"), 1L).otherwise(0L)).as("n_comment"))
+    val parsed = parse(lines).agg(count(lit(1)).as("n_parsed"))
+    base.crossJoin(broadcast(parsed))
+      .select(col("n_lines"), col("n_blank"), col("n_comment"),
+        col("n_parsed"),
+        (col("n_lines") - col("n_blank") - col("n_comment") -
+          col("n_parsed")).as("n_malformed"))
+  }
+
   /** DataFrame with a "line" column → triple relation. Blank lines,
     * '#' comments and lines without the `subj <pred> obj .` shape are
     * dropped; an object that is neither `<iri>`, `"literal"` nor

@@ -418,6 +418,19 @@ object RdfQueries {
         TripleStore.dimensionTriples(s, dir)
           .select(col("s"), col("p"), col("o")))
     },
+    // import-QA: per-supplier good/comment/malformed/blank lines —
+    // the report that makes parse's silent drops visible (r10)
+    "rdf_parse_report" -> { (s, dir) =>
+      val sup = graft.Tables.supplier(s, dir)
+      def lines(c: org.apache.spark.sql.Column) = sup.select(c.as("line"))
+      val mixed = lines(concat(lit("<supp:"), col("s_suppkey"),
+          lit("> <:hasNation> <nat:"), col("s_nationkey"), lit("> .")))
+        .unionAll(lines(concat(lit("# supplier "), col("s_suppkey"))))
+        .unionAll(lines(concat(lit("supp:"), col("s_suppkey"),
+          lit(" has no brackets"))))
+        .unionAll(lines(lit("")))
+      NTriples.parseReport(mixed)
+    },
     // VoID per NAMED GRAPH (W3C VoID over a quad store: one dataset
     // card per graph) — graphs from the subject namespace, per-graph
     // triple/subject/property cards in one partial-agg pass (r10)
@@ -647,6 +660,13 @@ object RdfQueries {
         |SELECT 'part:'||p_partkey, ':retailprice',
         |       CAST(p_retailprice AS VARCHAR), p_retailprice, false, NULL
         |FROM part""".stripMargin,
+    "rdf_parse_report" ->
+      """SELECT CAST(4 * count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) AS BIGINT) AS n_blank,
+        |  CAST(count(*) AS BIGINT) AS n_comment,
+        |  CAST(count(*) AS BIGINT) AS n_parsed,
+        |  CAST(count(*) AS BIGINT) AS n_malformed
+        |FROM supplier""".stripMargin,
     "rdf_void_by_graph" ->
       (s"WITH $DIM_T\n" +
       """|SELECT 'g:'||regexp_extract(s, '^([a-z]+):', 1) AS g,
