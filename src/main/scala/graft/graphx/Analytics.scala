@@ -558,16 +558,55 @@ object Analytics {
     * 100 TB, one extra broadcast-sized deg join keyed on the middle,
     * anti-join before the per-task top-k heap.
     */
-  def resourceAllocation(edges: DataFrame, k: Int = 20): DataFrame = {
+  def resourceAllocation(edges: DataFrame, k: Int = 20,
+                         wedgeBudget: Long = 1000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val adj = edges.select(col("src").as("v"), col("dst").as("w"))
       .union(edges.select(col("dst").as("v"), col("src").as("w")))
     val degW = adj.groupBy(col("w")).agg(count(lit(1)).as("degw"))
       .withColumnRenamed("w", "mw")
-    val wedges = adj.as("a")
-      .join(adj.as("b"),
-        col("a.w") === col("b.w") && col("a.v") < col("b.v"))
-      .join(degW, col("a.w") === col("mw"))
-      .groupBy(col("a.v").as("u"), col("b.v").as("v"))
+    // candidate-volume gate (the dedup-containment idiom on the graph
+    // side): the wedge join emits Σ deg(w)·(deg(w)−1)/2 pairs, priced
+    // by one metadata-scale fold BEFORE the join. Within budget the
+    // enumeration is exact; over budget the middle-degree cap
+    // TIGHTENS to the largest degree whose cumulative volume
+    // (low-degree-first) fits — for RA specifically this drops the
+    // LOWEST-weight contributions (a deg-d middle adds only 1e9/d per
+    // pair), so scores degrade from the least-informative end, and
+    // the chosen cap is computed, not guessed.
+    val perDeg = degW.groupBy(col("degw")).agg(count(lit(1)).as("nv"))
+      .withColumn("vol", col("nv") * expr("(degw * (degw - 1)) div 2"))
+    val effCap: Long =
+      if (wedgeBudget <= 0) Long.MaxValue
+      else {
+        val total = perDeg.agg(sum(col("vol"))).head()
+        val t = if (total.isNullAt(0)) 0L else total.getLong(0)
+        if (t <= wedgeBudget) Long.MaxValue
+        else {
+          val one = substring(col("degw").cast("string"), 0, 0)
+          val cum = perDeg.withColumn("cumvol", sum(col("vol")).over(
+            Window.partitionBy(one).orderBy(col("degw"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          val fit = cum.filter(col("cumvol") <= wedgeBudget)
+            .agg(max(col("degw"))).head()
+          val c = if (fit.isNullAt(0)) 1L else fit.getLong(0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"resourceAllocation: wedge volume $t over budget " +
+              s"$wedgeBudget — middle-degree cap set to $c " +
+              "(hub middles dropped; they carry the smallest 1/deg weights)")
+          c
+        }
+      }
+    // degrees ride the ADJACENCY into the self-join (2·|E| rows), not
+    // the wedge output (Σdeg² rows) — joining the weight after the
+    // enumeration re-shuffles the whole wedge volume for nothing
+    val adjF = adj.join(degW.filter(col("degw") <= effCap),
+        col("w") === col("mw"))
+      .select(col("v"), col("mw"), col("degw"))
+    val wedges = adjF.as("a")
+      .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
+        col("mw") === col("mw2") && col("v") < col("v2"))
+      .groupBy(col("v").as("u"), col("v2").as("v"))
       .agg(sum(expr("1000000000 div degw")).as("ra_e9"),
         count(lit(1)).as("cn"))
     wedges

@@ -131,6 +131,13 @@ object GraphQueries {
     "graph_katz_centrality" -> { (s, dir) =>
       Analytics.katzCentrality(coOrderPartEdgeKeys(s, dir))
     },
+    // the wedge-volume gate FORCED (budget 1e5): the middle-degree
+    // cap must fire and the capped answers are themselves oracled —
+    // the dedup_ngram_jaccard_gated pattern on the graph side (r10)
+    "graph_resource_alloc_capped" -> { (s, dir) =>
+      Analytics.resourceAllocation(coOrderPartEdgeKeys(s, dir),
+        wedgeBudget = 100000L)
+    },
     // community-quality evaluation: modularity of the LPA partition
     // (same rounds as the graph_label_propagation key)
     "graph_modularity" -> { (s, dir) =>
@@ -491,6 +498,36 @@ object GraphQueries {
         |         SELECT 1 FROM e WHERE e.p1 = wed.u AND e.p2 = wed.v))
         |SELECT u, v, ra_e9, cn FROM ne
         |ORDER BY ra_e9 DESC, u, v LIMIT 20""".stripMargin,
+    // the gate replayed in SQL: total volume priced, conditional cap
+    // as the largest degree whose low-degree-first cumulative volume
+    // fits the forced 1e5 budget, RA over capped middles only
+    "graph_resource_alloc_capped" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT v, count(*) AS degw FROM adj GROUP BY 1),
+        |pd AS (SELECT degw, count(*) AS nv,
+        |         count(*) * ((degw * (degw - 1)) // 2) AS vol
+        |       FROM deg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(vol) AS BIGINT) AS t FROM pd),
+        |cum AS (SELECT degw, sum(vol) OVER (ORDER BY degw
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cumvol FROM pd),
+        |cap AS (SELECT CASE WHEN t <= 100000 THEN 9223372036854775807
+        |          ELSE (SELECT max(degw) FROM cum WHERE cumvol <= 100000)
+        |          END AS c FROM tot),
+        |degf AS (SELECT v, degw FROM deg, cap WHERE degw <= c),
+        |wed AS (SELECT a.v AS u, b.v AS v2,
+        |          CAST(sum(1000000000 // d.degw) AS BIGINT) AS ra_e9,
+        |          count(*) AS cn
+        |        FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v
+        |        JOIN degf d ON d.v = a.w GROUP BY 1, 2),
+        |ne AS (SELECT u, v2, ra_e9, cn FROM wed WHERE NOT EXISTS (
+        |         SELECT 1 FROM e WHERE e.p1 = wed.u AND e.p2 = wed.v2))
+        |SELECT u, v2 AS v, ra_e9, cn FROM ne
+        |ORDER BY ra_e9 DESC, u, v2 LIMIT 20""".stripMargin,
     // truncated Katz: walks_k = A·walks_{k-1}, three terms scaled 8^3
     "graph_katz_centrality" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
