@@ -287,6 +287,9 @@ object PipelineQueries {
     // the IVF tuning curve: recall@10 per probe count (r10)
     "ann_ivf_probe_sweep" -> ((s, dir) =>
       Similarity.ivfProbeSweep(Tables.embeddings(s, dir))),
+    // LSH bucket-occupancy histogram — the index-balance card (r10)
+    "ann_bucket_occupancy" -> ((s, dir) =>
+      Similarity.bucketOccupancy(Tables.embeddings(s, dir))),
     // the corpus build's per-stage reject accounting (r10)
     "pipeline_reject_funnel" -> ((s, dir) =>
       Pipeline.rejectFunnel(Tables.documents(s, dir))),
@@ -2264,6 +2267,12 @@ object PipelineQueries {
     // ann_bruteforce ORDER BY, ap = the ann_lsh probe semantics over
     // the shared BUCKET_CTES), so the recall scalar is checked
     // end-to-end against the same ground truth the operators serve
+    "ann_bucket_occupancy" ->
+      s"""WITH $BUCKET_CTES,
+        |occ AS (SELECT bucket, count(*) AS n FROM buck GROUP BY 1)
+        |SELECT length(bin(n)) AS occ_b, count(*) AS n_buckets,
+        |  CAST(sum(n) AS BIGINT) AS n_vectors
+        |FROM occ GROUP BY 1""".stripMargin,
     // one UNION branch per probe point, each the ivf oracle joined
     // against the brute-force truth
     "ann_ivf_probe_sweep" -> {

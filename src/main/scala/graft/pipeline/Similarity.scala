@@ -142,6 +142,22 @@ object Similarity {
         (col("n_hit").cast("double") / lit(k)).as("recall"))
   }
 
+  /** LSH index-balance card: the bucket-occupancy histogram — the
+    * ops chart that decides whether the hyperplane code still spreads
+    * the corpus (a skewed embedding distribution collapses buckets,
+    * and every probe then scans the hot bucket; data_shard_skew's
+    * sibling on the index side). Log₂ occupancy buckets × (bucket
+    * count, vectors held) in two partial-agg folds; the first is the
+    * index build itself (one codegen'd bucketCode pass).
+    */
+  def bucketOccupancy(embeddings: DataFrame, planes: Int = 8,
+                      dims: Int = 64): DataFrame =
+    vecs(embeddings)
+      .select(bucketCode(col("v"), planes, dims).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .groupBy(length(bin(col("n"))).cast("int").as("occ_b"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_vectors"))
+
   /** IVF tuning curve: recall@k of [[ivfTopK]] at each probe count —
     * the sweep that decides nprobe for a deployment (the dedup
     * threshold_sweep's sibling on the index side). Probe counts are
