@@ -481,6 +481,21 @@ object SparqlQueries {
           |  FILTER(?n NOT IN (<nat:1>, <nat:2>))
           |}""".stripMargin))
     },
+    // NESTED OPTIONAL with a filter scoped to the outer optional
+    // group — SPARQL 1.1 §6.1's recursive group grammar end-to-end:
+    // two left joins, the inner conditional on the outer's binding
+    // (r10)
+    "sparql_optional_nested" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?s ?n ?r WHERE {
+          |  ?s a :Supplier .
+          |  OPTIONAL {
+          |    ?s :hasNation ?n .
+          |    FILTER(?n IN (<nat:1>, <nat:2>, <nat:3>))
+          |    OPTIONAL { ?n :name ?r }
+          |  }
+          |}""".stripMargin))
+    },
     // !BOUND over an OPTIONAL: customers with no pending order (the
     // classic left-join-null idiom; unmatched vars hold the N/A
     // sentinel the reference uses for unmatched OPTIONALs)
@@ -857,6 +872,16 @@ object SparqlQueries {
         |  ||'","q":"'||replace(replace(q, '\', '\\'), '"', '\"')||'"}'
         |  AS line
         |FROM r""".stripMargin,
+    // unmatched OPTIONAL vars carry the engine's "N/A" sentinel (the
+    // reference's fill — see sparql_optional)
+    "sparql_optional_nested" ->
+      """SELECT 'supp:'||s_suppkey AS s,
+        |  CASE WHEN s_nationkey IN (1, 2, 3)
+        |    THEN 'nat:'||s_nationkey ELSE 'N/A' END AS n,
+        |  CASE WHEN s_nationkey IN (1, 2, 3) THEN n_name
+        |    ELSE 'N/A' END AS r
+        |FROM supplier LEFT JOIN nation
+        |  ON s_nationkey = n_nationkey AND s_nationkey IN (1, 2, 3)""".stripMargin,
     "sparql_results_xml" ->
       """WITH r AS (SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m,
         |                  c_mktsegment||'<&>' AS q FROM customer)

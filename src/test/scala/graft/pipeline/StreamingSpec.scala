@@ -123,6 +123,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.size == 3)
   }
 
+  test("ab test report refreshes per micro-batch via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Structured Streaming rejects DISTINCT aggregations (n_users /
+    // n_converted), so the live-dashboard deployment shape is the
+    // foreachBatch materialized view: each micro-batch merges into
+    // the event store and the BATCH report recomputes over it — the
+    // same code path, refreshed per batch, exactly-consistent with
+    // the batch answer at every refresh
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = (1L to 20L).map(i =>
+      (i, ts(i.toInt), i % 7, if (i % 3 == 0) "purchase" else "view",
+        i * 1.5, "{}"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    var store = Seq.empty[(Long, java.sql.Timestamp, Long, String,
+      Double, String)].toDF(cols: _*)
+    var lastReport: Set[(Long, Long, Long, Long, Long)] = Set.empty
+    val stream =
+      MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val q = stream.toDF().toDF(cols: _*)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store = store.unionByName(batch.toDF(cols: _*)).localCheckpoint()
+        lastReport = Events.abTestReport(store)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+      }
+      .start()
+    try {
+      stream.addData(rows.take(10))
+      q.processAllAvailable()
+      val mid = lastReport
+      assert(mid == Events.abTestReport(rows.take(10).toDF(cols: _*))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet)
+      stream.addData(rows.drop(10))
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = Events.abTestReport(rows.toDF(cols: _*))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(lastReport == want && want.nonEmpty)
+  }
+
   test("N-Triples parse runs unchanged under Structured Streaming") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
