@@ -917,6 +917,13 @@ object Compiler {
     val projCols: Seq[String] =
       if (q.projection.nonEmpty) q.projection
       else df.columns.filterNot(isCompanion).toSeq
+    // SPARQL §18.2.4: projecting a variable NO pattern binds is legal
+    // and yields the unbound value on every row — materialize it as
+    // the engine's "N/A" sentinel (the unmatched-OPTIONAL fill)
+    // instead of failing resolution (found by SparqlFuzzSpec)
+    projCols.filterNot(df.columns.contains).foreach { c =>
+      df = df.withColumn(c, lit("N/A"))
+    }
     val sortExtras =
       if (q.distinct) Seq.empty
       else q.orderBy.map(_._1).filterNot(projCols.contains)

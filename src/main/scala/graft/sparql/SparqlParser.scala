@@ -94,8 +94,12 @@ object SparqlParser extends RegexParsers {
   private def strOp: Parser[StrOp] =
     "(?i)REGEX".r ^^^ RegexMatch | "(?i)STRSTARTS".r ^^^ StrStarts |
     "(?i)STRENDS".r ^^^ StrEnds | "(?i)CONTAINS".r ^^^ StrContains
+  // STR(?v) unwraps to the var: bindings are stored as lexical
+  // strings, so SPARQL's STR() is the identity on them
+  private def varOrStrVar: Parser[Var] =
+    ("(?i)STR".r ~> "(" ~> varTerm <~ ")") | varTerm
   private def strFilter: Parser[Expr] =
-    strOp ~ ("(" ~> varTerm) ~ ("," ~> strLit <~ ")") ^^ {
+    strOp ~ ("(" ~> varOrStrVar) ~ ("," ~> strLit <~ ")") ^^ {
       case op ~ v ~ l => StrFilter(op, v, l.lexical)
     }
   private def inFilter: Parser[Expr] =
