@@ -617,6 +617,24 @@ object Analytics {
       .select(col("u"), col("v"), col("ra_e9"), col("cn"))
   }
 
+  /** Directed-graph reciprocity: the fraction of edges whose reverse
+    * edge also exists — the one-number card that says whether a
+    * directed relation is really a poorly-encoded undirected one
+    * (reciprocity ≈ 1) or genuinely directional (≈ 0), which decides
+    * whether the undirected analytics family even applies. Exact
+    * integers (n_edges, n_reciprocal) — the ratio is one derivable
+    * divide; computed as a self semi-join on the distinct edge set,
+    * one keyed shuffle.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+  }
+
   /** Truncated Katz centrality with β = 1/8, three terms, scaled by
     * 8³ so every score is an exact BIGINT:
     * katz_e(u) = 64·walks₁(u) + 8·walks₂(u) + walks₃(u), where

@@ -117,6 +117,11 @@ object GraphQueries {
       Analytics.stronglyConnectedComponents(successionEdgeKeys(s, dir))
         .select(col("v").cast("long").as("v"), col("comp").cast("long").as("comp"))
     },
+    // directionality card over the same sampled succession graph the
+    // SCC reads — exact (n_edges, n_reciprocal) (r10)
+    "graph_reciprocity" -> { (s, dir) =>
+      Analytics.reciprocity(successionEdgeKeys(s, dir))
+    },
     "graph_common_neighbors" -> { (s, dir) =>
       Analytics.commonNeighbors(coOrderPartEdgeKeys(s, dir))
     },
@@ -443,6 +448,20 @@ object GraphQueries {
         |FROM deg LEFT JOIN tv USING (v)
         |WHERE deg >= 2""".stripMargin,
     "graph_modularity" -> modularitySql(rounds = 4),
+    "graph_reciprocity" ->
+      """WITH e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |    FROM lineitem a JOIN lineitem b
+        |      ON a.l_orderkey = b.l_orderkey
+        |     AND b.l_linenumber = a.l_linenumber + 1
+        |    WHERE a.l_partkey <> b.l_partkey)
+        |  WHERE ('0x' || substr(md5(src::VARCHAR || '_' || dst::VARCHAR),
+        |                        1, 4))::INT % 7 = 0),
+        |r AS (SELECT count(*) AS n_reciprocal FROM e
+        |      WHERE EXISTS (SELECT 1 FROM e e2
+        |                    WHERE e2.src = e.dst AND e2.dst = e.src))
+        |SELECT (SELECT count(*) FROM e) AS n_edges, n_reciprocal FROM r""".stripMargin,
     // closed-form SCC: comp(v) = min over the mutual-reachability set
     // — states WHAT an SCC is, with no replay of the peel rounds
     "graph_scc" ->
