@@ -290,6 +290,10 @@ object PipelineQueries {
     // LSH bucket-occupancy histogram — the index-balance card (r10)
     "ann_bucket_occupancy" -> ((s, dir) =>
       Similarity.bucketOccupancy(Tables.embeddings(s, dir))),
+    // IVF list-size histogram — the coarse-quantizer balance card
+    // (r10)
+    "ann_ivf_list_sizes" -> ((s, dir) =>
+      Similarity.ivfListSizes(Tables.embeddings(s, dir))),
     // the corpus build's per-stage reject accounting (r10)
     "pipeline_reject_funnel" -> ((s, dir) =>
       Pipeline.rejectFunnel(Tables.documents(s, dir))),
@@ -2267,6 +2271,22 @@ object PipelineQueries {
     // ann_bruteforce ORDER BY, ap = the ann_lsh probe semantics over
     // the shared BUCKET_CTES), so the recall scalar is checked
     // end-to-end against the same ground truth the operators serve
+    // the kmeans-assign CTEs folded twice: per-list counts, then the
+    // log2 size histogram
+    "ann_ivf_list_sizes" ->
+      """WITH cent AS (SELECT label AS c_label, d, avg(embedding[d + 1]) AS m
+        |              FROM embeddings, range(0, 64) td(d) GROUP BY 1, 2),
+        |cv AS (SELECT c_label, list(m ORDER BY d) AS cv FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, c.c_label,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+        |               c.c_label ASC) AS r
+        |  FROM embeddings e, cv c),
+        |lists AS (SELECT c_label, count(*) AS n FROM sc WHERE r = 1
+        |          GROUP BY 1)
+        |SELECT length(bin(n)) AS occ_b, count(*) AS n_lists,
+        |  CAST(sum(n) AS BIGINT) AS n_vectors
+        |FROM lists GROUP BY 1""".stripMargin,
     "ann_bucket_occupancy" ->
       s"""WITH $BUCKET_CTES,
         |occ AS (SELECT bucket, count(*) AS n FROM buck GROUP BY 1)

@@ -158,6 +158,17 @@ object Similarity {
       .groupBy(length(bin(col("n"))).cast("int").as("occ_b"))
       .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_vectors"))
 
+  /** IVF list-size histogram — [[bucketOccupancy]]'s twin for the
+    * coarse quantizer: log₂ buckets of vectors per centroid list. A
+    * collapsed list distribution means nprobe=k scans most of the
+    * corpus; this is the card that says so before deployment.
+    */
+  def ivfListSizes(embeddings: DataFrame): DataFrame =
+    kmeansAssign(embeddings)
+      .groupBy(col("assigned")).agg(count(lit(1)).as("n"))
+      .groupBy(length(bin(col("n"))).cast("int").as("occ_b"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("n")).as("n_vectors"))
+
   /** IVF tuning curve: recall@k of [[ivfTopK]] at each probe count —
     * the sweep that decides nprobe for a deployment (the dedup
     * threshold_sweep's sibling on the index side). Probe counts are

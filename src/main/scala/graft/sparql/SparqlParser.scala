@@ -728,13 +728,21 @@ object SparqlParser extends RegexParsers {
     }
   }
 
-  /** CONSTRUCT query form: (template triples, where pattern). */
+  /** CONSTRUCT query form: (template triples, where pattern). Also
+    * accepts the SPARQL 1.1 §10.2.3 `CONSTRUCT WHERE { tp* }`
+    * shorthand, where the pattern doubles as the template.
+    */
   def parseConstruct(text: String): (Seq[TriplePattern], Pattern) = {
-    val (pfx, tmpl, where) = finish(parseAll(
+    val full =
       prologue ~ ("(?i)CONSTRUCT".r ~> bgpOnly) ~
         ("(?i)WHERE".r ~> groupGraphPattern) ^^ {
         case p ~ t ~ w => (p, t, w)
-      }, text))
+      }
+    val shorthand =
+      prologue ~ ("(?i)CONSTRUCT\\s+WHERE".r ~> bgpOnly) ^^ {
+        case p ~ t => (p, t, Bgp(t))
+      }
+    val (pfx, tmpl, where) = finish(parseAll(shorthand | full, text))
     (tmpl.map(rewriteTp(_, expandIri(_, pfx))),
       rewritePattern(where, expandIri(_, pfx)))
   }

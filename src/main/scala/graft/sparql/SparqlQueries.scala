@@ -302,6 +302,13 @@ object SparqlQueries {
           |WHERE { ?c a :Customer ; :mktsegment ?m . }""".stripMargin)
       Compiler.construct(TripleStore.triples(s, dir), tmpl, where)
     },
+    // SPARQL 1.1 §10.2.3 CONSTRUCT WHERE shorthand: the pattern IS
+    // the template — extract the supplier subgraph verbatim (r10)
+    "sparql_construct_where" -> { (s, dir) =>
+      val (tmpl, where) = SparqlParser.parseConstruct(
+        "CONSTRUCT WHERE { ?s a :Supplier . ?s :hasNation ?n . }")
+      Compiler.construct(TripleStore.triples(s, dir), tmpl, where)
+    },
     // the reference's /cypheronrdf composition (RDFEndpoint.java:100):
     // query the graph, respond in RDF — textual CONSTRUCT compiled to
     // a typed triple set, serialized straight to N-Triples lines
@@ -846,6 +853,12 @@ object SparqlQueries {
         |FROM customer
         |UNION ALL
         |SELECT 'cust:'||c_custkey, 'rdf:type', ':Client' FROM customer""".stripMargin,
+    "sparql_construct_where" ->
+      """SELECT 'supp:'||s_suppkey AS s, 'rdf:type' AS p, ':Supplier' AS o
+        |FROM supplier
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey
+        |FROM supplier""".stripMargin,
     "sparql_construct_ntriples" ->
       """SELECT '<cust:'||c_custkey||'> <:inSegment> "'||c_mktsegment||'" .'
         |  AS line FROM customer

@@ -33,7 +33,12 @@ object Soak {
     "dedup_dup_spans", "dedup_paragraphs", "graph_scc",
     // r9 batches 4-8: register-merge sketch, fact-table window,
     // skip-gram expansion — one representative per new shape
-    "sketch_hll_overlap", "q_window_share", "text_window_cooc")
+    "sketch_hll_overlap", "q_window_share", "text_window_cooc",
+    // r10: the weighted wedge join (gated), the corpus-gram shuffle
+    // semi-join, the inverted-index df fold, and the label-blocked
+    // exact embedding sweep — the round's heavy new shapes
+    "graph_resource_alloc", "data_split_contamination",
+    "dedup_shingle_df_profile", "dedup_embedding_sweep")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)
