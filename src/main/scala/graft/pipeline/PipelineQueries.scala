@@ -130,6 +130,12 @@ object PipelineQueries {
     // tokenizer-vocab coverage / OOV report — exact integers (r10)
     "text_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
+    // hashing-trick featurizer, sparse COO output (r10)
+    "text_hash_features" -> ((s, dir) =>
+      TextAnalysis.hashFeatures(Tables.documents(s, dir))),
+    // MOSS winnowing fingerprints (r10)
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(Tables.documents(s, dir))),
     // per-user worst-five-minutes velocity screen (r10)
     "events_burst_peak" -> ((s, dir) =>
       Events.burstPeak(Tables.events(s, dir))),
@@ -924,6 +930,31 @@ object PipelineQueries {
            |SELECT doc_id, count(*) AS n_hits FROM grams
            |WHERE doc_id % 97 != 0 AND g IN (SELECT g FROM bench)
            |GROUP BY 1""".stripMargin,
+    "text_hash_features" ->
+      raw"""WITH $TOKS,
+           |tk AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+           |sl AS (SELECT doc_id,
+           |    CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INT)
+           |      AS slot
+           |  FROM tk)
+           |SELECT doc_id, slot, count(*) AS cnt
+           |FROM sl GROUP BY 1, 2""".stripMargin,
+    // windows-of-minima: range() is exclusive where Spark's sequence
+    // is inclusive, hence the -3 bounds for k=4 / win=4
+    "text_winnow" ->
+      raw"""WITH $TOKS,
+           |g AS (SELECT doc_id,
+           |    list_transform(range(0, len(w) - 3), i ->
+           |      ('0x' || substr(md5(array_to_string(w[i+1:i+4], ' ')),
+           |        1, 12))::BIGINT) AS h
+           |  FROM toks WHERE len(w) >= 7),
+           |f AS (SELECT doc_id,
+           |    list_distinct(list_transform(range(0, len(h) - 3), i ->
+           |      list_min(h[i+1:i+4]))) AS fps
+           |  FROM g)
+           |SELECT doc_id, len(fps) AS n_fingerprints,
+           |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+           |FROM f""".stripMargin,
     "text_vocab_coverage" ->
       raw"""WITH $TOKS,
            |tk AS (SELECT unnest(w) AS tok FROM toks),

@@ -232,6 +232,56 @@ object TextAnalysis {
     grams.join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
 
+  /** Feature hashing (the "hashing trick"): each token folds into one
+    * of `dims` slots via md5, per-doc slot counts emitted SPARSE as
+    * (doc_id, slot, cnt) rows — the featurizer a cheap linear
+    * classifier or n-gram LM trains from without a vocabulary pass
+    * (no vocab build, no OOV, bounded width by construction). Sparse
+    * on purpose: a dense 64-wide array per doc at 100 TB materializes
+    * mostly zeros; downstream trainers consume COO. One narrow
+    * explode + partial-agg fold; md5 slots replay in any engine.
+    */
+  def hashFeatures(docs: DataFrame, dims: Int = 64): DataFrame =
+    docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % dims).cast("int").as("slot"))
+      .groupBy(col("doc_id"), col("slot"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+    * MOSS algorithm): per document, the DISTINCT minima of k-gram
+    * hashes over a sliding window of `win` grams. Guarantees any
+    * shared run of ≥ win+k−1 tokens shares a fingerprint (the
+    * detection floor [[fingerprint]]'s plain rolling hash lacks)
+    * while storing ~2/(win+1) of the grams. Pure per-row array
+    * expressions — hash array, windowed min via transform over
+    * indices, distinct — no shuffle until the caller aggregates.
+    */
+  def winnow(docs: DataFrame, k: Int = 4, win: Int = 4): DataFrame =
+    winnowSets(docs, k, win)
+      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+
+  /** The (doc_id, fps) relation behind [[winnow]] — the form a
+    * fingerprint-match join consumes (explode + equi-join on fp, the
+    * shingle-index shape).
+    */
+  def winnowSets(docs: DataFrame, k: Int = 4, win: Int = 4): DataFrame = {
+    val toks = wsTokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= k + win - 1)
+      .select(col("doc_id"), transform(
+        sequence(lit(0), size(col("w")) - k),
+        i => conv(substring(md5(concat_ws(" ",
+          slice(col("w"), i + 1, lit(k))).cast("binary")), 1, 12), 16, 10)
+          .cast("long")).as("h"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), size(col("h")) - win),
+        i => array_min(slice(col("h"), i + 1, lit(win))))).as("fps"))
+  }
+
   /** Tokenizer-vocabulary coverage: how much of the corpus does a
     * top-k frequency vocabulary cover, and how much is OOV? The
     * go/no-go number every tokenizer/vocab decision reads. Exact

@@ -1106,6 +1106,37 @@ class PipelineSpec extends AnyFunSuite {
       "probing every cluster must reproduce the brute-force truth")
   }
 
+  test("winnowing guarantees a shared fingerprint for shared 7-token runs") {
+    // MOSS's detection floor: any common run of ≥ win+k−1 = 7 tokens
+    // must share at least one selected fingerprint, however the run
+    // is positioned inside each document
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val d = docs(
+      1L -> s"one two three $shared",
+      2L -> s"$shared eight nine ten",
+      3L -> "completely different words with no run at all here okay")
+    val fps = TextAnalysis.winnowSets(d)
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "documents sharing a 7-token run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // the summary projection agrees with the sets
+    val sum = TextAnalysis.winnow(d)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(sum(1L)._2 == fps(1L).size && sum(1L)._3 == fps(1L).min)
+  }
+
+  test("hash features fold tokens into stable sparse slots") {
+    val d = docs(1L -> "a b a", 2L -> "a")
+    val got = TextAnalysis.hashFeatures(d)
+      .as[(Long, Int, Long)].collect()
+    // same token → same slot in every doc; counts are exact
+    val slotA1 = got.filter(r => r._1 == 1L && r._3 == 2L).map(_._2)
+    val slotA2 = got.filter(r => r._1 == 2L).map(_._2)
+    assert(slotA1.length == 1 && slotA2.length == 1 && slotA1(0) == slotA2(0))
+    assert(got.filter(_._1 == 1L).map(_._3).sum == 3L)
+  }
+
   test("vocab coverage counts occurrences under the top-k vocab") {
     val d = docs(1L -> "a a a b", 2L -> "b c")
     // vocabSize=2 → vocab {a(3), b(2)}; total 6, covered 5, oov 1 (c)
