@@ -481,6 +481,20 @@ object Events {
         count(lit(1)).as("n_active_windows"))
   }
 
+  /** Day-of-week activity profile — the weekly-seasonality card
+    * beside the hourly profile (staffing, anomaly baselines, and
+    * crawl scheduling all read it). Day index from epoch days
+    * (+4: 1970-01-01 was a Thursday), a pure integer formula both
+    * engines compute identically — no locale-dependent date builtin.
+    * One partial-agg pass.
+    */
+  def weekdayProfile(events: DataFrame): DataFrame =
+    events
+      .select(((floor(unix_micros(col("ts")) / lit(86400000000L)) + 4) % 7)
+        .cast("int").as("dow"), col("event_type"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Lifetime value by signup cohort: users bucket into the week of
     * their first event ([[retention]]'s cohort definition), and each
     * cohort reports its size and total purchase revenue — the

@@ -243,6 +243,9 @@ object PipelineQueries {
       Events.retention(Tables.events(s, dir))),
     "events_daily_active" -> ((s, dir) =>
       Events.dailyActive(Tables.events(s, dir))),
+    // weekly-seasonality card, locale-free integer dow (r10)
+    "events_weekday_profile" -> ((s, dir) =>
+      Events.weekdayProfile(Tables.events(s, dir))),
     "events_hourly_profile" -> ((s, dir) =>
       Events.hourlyProfile(Tables.events(s, dir))),
     "events_latest_state" -> ((s, dir) =>
@@ -2238,6 +2241,11 @@ object PipelineQueries {
         | AND v.us <= p.us AND v.us >= p.us - 3600000000""".stripMargin,
     // the first-touch oracle extended one fold: log2-seconds lag
     // buckets, unattributed purchases in the -1 sentinel bucket
+    "events_weekday_profile" ->
+      """SELECT CAST((floor(epoch_us(ts) / 86400000000) + 4) % 7 AS INT)
+        |    AS dow,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "events_rfm" ->
       """WITH pu AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
         |    count(*) AS f,

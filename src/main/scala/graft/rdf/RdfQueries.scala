@@ -418,6 +418,19 @@ object RdfQueries {
         TripleStore.dimensionTriples(s, dir)
           .select(col("s"), col("p"), col("o")))
     },
+    // object-term composition card (VoID-adjacent QA): how many
+    // objects are IRIs vs numeric vs lang-tagged vs plain literals —
+    // the profile that says which query families even apply to a
+    // freshly imported graph; one partial-agg pass (r10)
+    "rdf_literal_profile" -> { (s, dir) =>
+      TripleStore.dimensionTriples(s, dir)
+        .groupBy(when(col("o_is_iri"), "iri")
+          .when(col("o_num").isNotNull, "numeric")
+          .when(col("lang").isNotNull, "lang_tagged")
+          .otherwise("plain").as("term_class"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("p")).as("n_properties"))
+    },
     // import-QA: per-supplier good/comment/malformed/blank lines —
     // the report that makes parse's silent drops visible (r10)
     "rdf_parse_report" -> { (s, dir) =>
@@ -660,6 +673,20 @@ object RdfQueries {
         |SELECT 'part:'||p_partkey, ':retailprice',
         |       CAST(p_retailprice AS VARCHAR), p_retailprice, false, NULL
         |FROM part""".stripMargin,
+    // classes reconstructed by predicate: the dimension model types
+    // exactly these four IRI-object and four numeric predicates, and
+    // every :comment literal carries a language tag
+    "rdf_literal_profile" ->
+      (s"WITH $DIM_T\n" +
+      """|SELECT CASE
+        |    WHEN p IN ('rdf:type', ':hasNation', ':inRegion', ':byCustomer')
+        |      THEN 'iri'
+        |    WHEN p IN (':acctbal', ':size', ':retailprice', ':totalprice')
+        |      THEN 'numeric'
+        |    WHEN p = ':comment' THEN 'lang_tagged'
+        |    ELSE 'plain' END AS term_class,
+        |  count(*) AS n, count(DISTINCT p) AS n_properties
+        |FROM t GROUP BY 1""".stripMargin),
     "rdf_parse_report" ->
       """SELECT CAST(4 * count(*) AS BIGINT) AS n_lines,
         |  CAST(count(*) AS BIGINT) AS n_blank,
