@@ -80,7 +80,6 @@ object Bench {
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
-    println(line)
     // stable per-run artifact: round-over-round comparison reads this
     // file instead of scraping sbt output tails; path overridable so
     // concurrent runs don't clobber each other (file is gitignored)
@@ -90,6 +89,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
+    // the JSON must be the LAST stdout line and nothing may interleave
+    // with it (BENCH_r10's driver capture truncated it mid-object):
+    // silence logging and stop Spark — with its shutdown chatter —
+    // BEFORE the single print, then flush explicitly for the forked-JVM
+    // exit path
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

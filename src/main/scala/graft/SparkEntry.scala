@@ -469,13 +469,18 @@ object SparkEntry {
     // three levels; gid is the standard grouping bitmask so subtotal
     // rows are self-describing. The price sum runs in DECIMAL(18,2):
     // exact integer-cent arithmetic, so the grand-total row cannot
-    // drift with float summation order on either engine.
+    // drift with float summation order on either engine. The FINAL
+    // column is cast back to DECIMAL(18,2) — 64-bit on both engines
+    // (Spark widens the sum to decimal(28,2), which is decimal128 in
+    // Arrow, the type class the driver hashes differently; r11 lint).
+    // Wrap bound: 2⁶³ cents ≈ 9·10¹⁶ units of grand total.
     "q_rollup_pricing" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().as("gid"),
           sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_price"),
           count(lit(1)).as("n_rows"))
     },
     // CUBE — the full grouping-sets lattice (ROLLUP's 3 levels plus
@@ -487,7 +492,8 @@ object SparkEntry {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().as("gid"),
           sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_price"),
           count(lit(1)).as("n_rows"))
     },
     // ratio-to-group window over the fact table: each line's share of
@@ -514,7 +520,8 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("price"),
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("price"),
           count(lit(1)).as("n"))
         .select(col("l_returnflag"),
           col("F_price").as("f_price"),
@@ -575,8 +582,10 @@ object SparkEntry {
     // and 0.6·retail·qty = 60·retail_cents·qty/1e4 are both integers
     // there, so the sum can never ulp-drift between engines (a raw
     // double sum flipped the %.10g boundary at sf0.01 — observed).
-    // Sum carried in DECIMAL(38,0): per-row ~1e9, 2⁶³ would wrap at
-    // ~10¹⁰ rows.
+    // Sum carried INTERNALLY in DECIMAL(38,0); the FINAL column is
+    // cast to BIGINT because a decimal128 output hash-flips the
+    // driver's Arrow canonicalization (r10 red row). Per-row ~1e9,
+    // so 2⁶³ wraps only past ~10¹⁰ lineitem rows per (nation, year).
     "q9_profit_by_nation_year" -> { (s, dir) =>
       val pa = Tables.part(s, dir).filter(col("p_type") === "PROMO")
         .select(col("p_partkey"),
@@ -596,7 +605,7 @@ object SparkEntry {
         .agg(sum((round(col("l_extendedprice") * 100).cast("long") *
             round((lit(1.0) - col("l_discount")) * 100).cast("long") -
             lit(60L) * col("retail_cents") * col("l_quantity").cast("long"))
-          .cast("decimal(38,0)")).as("sum_profit_e4"))
+          .cast("decimal(38,0)")).cast("long").as("sum_profit_e4"))
     },
     // TPC-H Q11 shape: group-agg + global-fraction HAVING via a scalar
     // subquery. Value surrogate: lineitem revenue cents from NATION_3
@@ -921,7 +930,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  GROUPING(l_returnflag, l_linestatus) AS gid,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS sum_price,
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
@@ -929,7 +939,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  GROUPING(l_returnflag, l_linestatus) AS gid,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS sum_price,
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
@@ -944,11 +955,13 @@ object SparkEntry {
     // 0 counts on both engines
     "q_pivot_status" ->
       """SELECT l_returnflag,
-        |  sum(CASE WHEN l_linestatus = 'F'
-        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS f_price,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+        |    AS DECIMAL(18,2)) AS f_price,
         |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_n,
-        |  sum(CASE WHEN l_linestatus = 'O'
-        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS o_price,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+        |    AS DECIMAL(18,2)) AS o_price,
         |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q2_min_cost_supplier" ->
@@ -973,7 +986,7 @@ object SparkEntry {
         |           * CAST(round((1.0 - l_discount) * 100) AS BIGINT)
         |         - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
         |              * CAST(l_quantity AS BIGINT))
-        |    AS DECIMAL(38,0)) AS sum_profit_e4
+        |    AS BIGINT) AS sum_profit_e4
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
         |JOIN supplier ON l_suppkey = s_suppkey

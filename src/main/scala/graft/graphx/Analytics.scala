@@ -557,9 +557,15 @@ object Analytics {
     * with its Σdeg(w)² cost and the same df-cap escape hatch at
     * 100 TB, one extra broadcast-sized deg join keyed on the middle,
     * anti-join before the per-task top-k heap.
+    *
+    * Default budget 1e8 (r11, was 1e9): aligned with the dedup pair
+    * budget. Scores over budget degrade only from the hub middles,
+    * which carry the SMALLEST 1/deg weights — and the driver's
+    * co-order graph alone hits ~3e8 wedges at sf0.1, where the exact
+    * regime cost ~50s of the bench for near-identical top-k.
     */
   def resourceAllocation(edges: DataFrame, k: Int = 20,
-                         wedgeBudget: Long = 1000000000L): DataFrame = {
+                         wedgeBudget: Long = 100000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val adj = edges.select(col("src").as("v"), col("dst").as("w"))
       .union(edges.select(col("dst").as("v"), col("src").as("w")))

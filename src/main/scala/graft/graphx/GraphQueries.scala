@@ -500,7 +500,10 @@ object GraphQueries {
         |ORDER BY cn DESC, u, ne.v LIMIT 20""".stripMargin,
     // resource-allocation index: the common-neighbors wedge join with
     // per-middle floor(1e9/deg) weights — integer division both
-    // engines compute identically
+    // engines compute identically. The oracle REPLAYS the default 1e8
+    // wedge-volume gate (ADVICE r10): if verify ever runs at an SF
+    // whose wedge volume crosses the budget, both engines cap the
+    // same middles instead of the Spark side silently diverging.
     "graph_resource_alloc" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
@@ -508,15 +511,26 @@ object GraphQueries {
         |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
         |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
         |deg AS (SELECT v, count(*) AS degw FROM adj GROUP BY 1),
-        |wed AS (SELECT a.v AS u, b.v AS v,
+        |pd AS (SELECT degw, count(*) AS nv,
+        |         count(*) * ((degw * (degw - 1)) // 2) AS vol
+        |       FROM deg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(vol) AS BIGINT) AS t FROM pd),
+        |cum AS (SELECT degw, sum(vol) OVER (ORDER BY degw
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cumvol FROM pd),
+        |cap AS (SELECT CASE WHEN t <= 100000000 THEN 9223372036854775807
+        |          ELSE (SELECT max(degw) FROM cum WHERE cumvol <= 100000000)
+        |          END AS c FROM tot),
+        |degf AS (SELECT v, degw FROM deg, cap WHERE degw <= c),
+        |wed AS (SELECT a.v AS u, b.v AS v2,
         |          CAST(sum(1000000000 // d.degw) AS BIGINT) AS ra_e9,
         |          count(*) AS cn
         |        FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v
-        |        JOIN deg d ON d.v = a.w GROUP BY 1, 2),
-        |ne AS (SELECT u, v, ra_e9, cn FROM wed WHERE NOT EXISTS (
-        |         SELECT 1 FROM e WHERE e.p1 = wed.u AND e.p2 = wed.v))
-        |SELECT u, v, ra_e9, cn FROM ne
-        |ORDER BY ra_e9 DESC, u, v LIMIT 20""".stripMargin,
+        |        JOIN degf d ON d.v = a.w GROUP BY 1, 2),
+        |ne AS (SELECT u, v2, ra_e9, cn FROM wed WHERE NOT EXISTS (
+        |         SELECT 1 FROM e WHERE e.p1 = wed.u AND e.p2 = wed.v2))
+        |SELECT u, v2 AS v, ra_e9, cn FROM ne
+        |ORDER BY ra_e9 DESC, u, v2 LIMIT 20""".stripMargin,
     // the gate replayed in SQL: total volume priced, conditional cap
     // as the largest degree whose low-degree-first cumulative volume
     // fits the forced 1e5 budget, RA over capped middles only

@@ -690,16 +690,55 @@ object Dedup {
     * are exact). Per-pair cosine is a single in-row fold both engines
     * compute identically; the counts are conditional aggregations of
     * that one compare column.
+    *
+    * Candidate-volume gate (r10 verdict #5 — this was the one
+    * quadratic regime in the repo that was documented instead of
+    * priced): the exact pass emits exactly Σ n·(n−1)/2 pairs over
+    * the label cells, priced by one metadata-scale fold BEFORE the
+    * self-join. Within budget the counts are exact; over budget the
+    * operator reroutes to the hyperplane-band candidates
+    * [[embeddingCosine]]'s near-dup regime already uses — band
+    * recall < 1 below cosine 0.7 (the standard trade, MEASURED by
+    * dedup_blocking_recall's sibling logic), so over-budget counts
+    * are lower bounds from the same verified compare. The forced
+    * regime is separately oracled (`dedup_embedding_sweep_gated`).
     */
-  def embeddingSweep(embeddings: DataFrame): DataFrame = {
-    val v = embeddings.select(col("vec_id"), col("label"),
-      col("embedding").cast("array<double>").as("v"))
-    v.as("x").join(v.as("y"),
-        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", Similarity.cosine(col("x.v"), col("y.v")))
-      .agg(sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("n_c40"),
-        sum(when(col("cos") >= 0.5, 1L).otherwise(0L)).as("n_c50"),
-        sum(when(col("cos") >= 0.6, 1L).otherwise(0L)).as("n_c60"))
+  def embeddingSweep(embeddings: DataFrame,
+                     maxCandidatePairs: Long = DefaultMaxCandidatePairs,
+                     blockPlanes: Int = 48, blockBits: Int = 4,
+                     dims: Int = 64): DataFrame = {
+    val exactPairVolume: Long =
+      if (maxCandidatePairs <= 0) Long.MaxValue
+      else {
+        val r = embeddings.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(expr("n * (n - 1) div 2"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    val counts = { (pairs: DataFrame) =>
+      pairs
+        .agg(sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("n_c40"),
+          sum(when(col("cos") >= 0.5, 1L).otherwise(0L)).as("n_c50"),
+          sum(when(col("cos") >= 0.6, 1L).otherwise(0L)).as("n_c60"))
+    }
+    if (exactPairVolume <= maxCandidatePairs) {
+      val v = embeddings.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      counts(v.as("x").join(v.as("y"),
+          col("x.label") === col("y.label") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cos", Similarity.cosine(col("x.v"), col("y.v"))))
+    } else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"embeddingSweep: exact cell-pair volume $exactPairVolume over " +
+          s"budget $maxCandidatePairs — rerouting to hyperplane-band " +
+          "candidates (counts become lower bounds below cosine 0.7)")
+      val e = codedVectors(embeddings, blockPlanes, dims)
+      counts(embeddingCandidates(e, blockPlanes, blockBits)
+        .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
+        .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb"))))
+    }
   }
 
   /** One-row corpus dedup report — the summary a corpus build logs

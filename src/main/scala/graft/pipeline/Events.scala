@@ -895,9 +895,12 @@ object Events {
     * mean or stddev to drift between engines. The squares are
     * computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): operands
     * reach ~10¹⁵ at 10⁹ users × 10⁶ events, so their squares need
-    * 128-bit exactness BIGINT lacks. Shape: one fact-scale count
-    * shuffle, a single-row global fold broadcast back — the outlier
-    * filter is map-side.
+    * 128-bit exactness BIGINT lacks. The 128-bit values stay INTERNAL:
+    * the output projection is all int64 (user_id, n, nu, s) — a
+    * decimal128 output column hash-flips the driver's Arrow
+    * canonicalization even when values agree (r10 red row).
+    * Shape: one fact-scale count shuffle, a single-row global fold
+    * broadcast back — the outlier filter is map-side.
     */
   def rateOutliers(events: DataFrame, k: Int = 2): DataFrame = {
     val per = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
@@ -912,7 +915,7 @@ object Events {
     per.crossJoin(broadcast(g))
       .filter(col("n") * col("nu") > col("s") &&
         dev * dev > lit(k * k).cast("decimal(38,0)") * varN2)
-      .select(col("user_id"), col("n"), col("nu"), col("s"), col("q"))
+      .select(col("user_id"), col("n"), col("nu"), col("s"))
   }
 
   final case class FunnelState(ts: Seq[Long])

@@ -153,9 +153,16 @@ object PipelineQueries {
     "dedup_shingle_df_profile" -> ((s, dir) =>
       Dedup.shingleDfProfile(Tables.documents(s, dir))),
     // semantic-axis threshold sweep over the label-blocked exact
-    // regime (r10)
+    // regime (r10); cell-pair volume priced before the self-join, band
+    // reroute over budget (r11)
     "dedup_embedding_sweep" -> ((s, dir) =>
       Dedup.embeddingSweep(Tables.embeddings(s, dir))),
+    // the sweep's volume gate FORCED (budget 1000 < every SF's cell
+    // volume): counts come from the hyperplane-band candidates, and
+    // the forced answers are themselves oracled (r11)
+    "dedup_embedding_sweep_gated" -> ((s, dir) =>
+      Dedup.embeddingSweep(Tables.embeddings(s, dir),
+        maxCandidatePairs = 1000L)),
     "data_curriculum" -> ((s, dir) =>
       TextAnalysis.curriculumPhases(Tables.documents(s, dir))),
     // the shard-balance card for the assignment hash (r10)
@@ -429,6 +436,59 @@ object PipelineQueries {
       |buck AS (SELECT vec_id,
       |           CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
       |         FROM dots GROUP BY 1)""".stripMargin
+
+  /** The embedding-sweep oracle with its cell-pair volume gate
+    * replayed at `budget` (r11 — the conditional-cap idiom from
+    * graph_resource_alloc's oracle): within budget the counts come
+    * from the exact label-blocked pass; over budget from the
+    * 48-plane × 4-bit hyperplane-band candidates
+    * (`Dedup.codedVectors`/`embeddingCandidates` replayed — the
+    * 48-plane generalization of [[BUCKET_CTES]]'s 8-plane block).
+    * Shared by the default key and the forced-regime key so the two
+    * replays can never drift apart.
+    */
+  private def embSweepSql(budget: Long): String =
+    s"""WITH tot AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS t
+       |             FROM (SELECT count(*) AS n FROM embeddings GROUP BY label)),
+       |exd AS (SELECT list_cosine_similarity(a.embedding, b.embedding) AS cos
+       |        FROM embeddings a JOIN embeddings b
+       |        ON a.label = b.label AND a.vec_id < b.vec_id),
+       |exc AS (SELECT
+       |    CAST(sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS en_c40,
+       |    CAST(sum(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS en_c50,
+       |    CAST(sum(CASE WHEN cos >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS en_c60
+       |  FROM exd),
+       |coef48 AS (
+       |  SELECT p, d,
+       |    CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT
+       |              % 2 = 0 THEN 1.0 ELSE -1.0 END AS c
+       |  FROM range(0, 48) tp(p), range(0, 64) td(d)),
+       |dots48 AS (SELECT e.vec_id, c.p, sum(e.embedding[c.d + 1] * c.c) AS s
+       |           FROM embeddings e, coef48 c GROUP BY 1, 2),
+       |buck48 AS (SELECT vec_id,
+       |             CAST(sum(CASE WHEN s >= 0 THEN 1::BIGINT << p ELSE 0 END)
+       |               AS BIGINT) AS code
+       |           FROM dots48 GROUP BY 1),
+       |bands AS (SELECT b.vec_id, e.label, ch.ch AS band,
+       |            (b.code >> (ch.ch * 4)) & 15 AS key
+       |          FROM buck48 b JOIN embeddings e USING (vec_id),
+       |               range(0, 12) ch(ch)),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |         FROM bands x JOIN bands y
+       |         ON x.label = y.label AND x.band = y.band
+       |            AND x.key = y.key AND x.vec_id < y.vec_id),
+       |bc AS (SELECT list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+       |       FROM cand JOIN embeddings ea ON ea.vec_id = cand.a
+       |            JOIN embeddings eb ON eb.vec_id = cand.b),
+       |bcc AS (SELECT
+       |    CAST(sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS bn_c40,
+       |    CAST(sum(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS bn_c50,
+       |    CAST(sum(CASE WHEN cos >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS bn_c60
+       |  FROM bc)
+       |SELECT CASE WHEN t <= $budget THEN en_c40 ELSE bn_c40 END AS n_c40,
+       |  CASE WHEN t <= $budget THEN en_c50 ELSE bn_c50 END AS n_c50,
+       |  CASE WHEN t <= $budget THEN en_c60 ELSE bn_c60 END AS n_c60
+       |FROM tot, exc, bcc""".stripMargin
 
   /** The funnel oracle text — shared by the per-user key and the
     * per-segment conversion rollup. */
@@ -837,19 +897,8 @@ object PipelineQueries {
         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM p""".stripMargin,
-    "dedup_embedding_sweep" ->
-      """WITH c AS (SELECT
-        |    list_cosine_similarity(a.embedding, b.embedding) AS cos
-        |  FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT
-        |  CAST(sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_c40,
-        |  CAST(sum(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_c50,
-        |  CAST(sum(CASE WHEN cos >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_c60
-        |FROM c""".stripMargin,
+    "dedup_embedding_sweep" -> embSweepSql(100000000L),
+    "dedup_embedding_sweep_gated" -> embSweepSql(1000L),
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b
         |FROM embeddings a JOIN embeddings b
@@ -1384,9 +1433,9 @@ object PipelineQueries {
         |    WHEN 'JPG0' THEN 'image/jpeg' WHEN 'PNG0' THEN 'image/png'
         |    WHEN 'RIFF' THEN 'audio/wav' ELSE 'unknown' END AS modality,
         |  count(*) AS n_docs,
-        |  CAST(sum(length(payload)) AS BIGINT) AS total_bytes,
-        |  CAST(min(length(payload)) AS BIGINT) AS min_bytes,
-        |  CAST(max(length(payload)) AS BIGINT) AS max_bytes
+        |  CAST(sum(strlen(payload)) AS BIGINT) AS total_bytes,
+        |  CAST(min(strlen(payload)) AS BIGINT) AS min_bytes,
+        |  CAST(max(strlen(payload)) AS BIGINT) AS max_bytes
         |FROM tagged GROUP BY 1""".stripMargin,
     "emb_far_from_centroid" ->
       """WITH cent AS (SELECT label AS c_label, d, avg(embedding[d + 1]) AS m
@@ -1906,7 +1955,7 @@ object PipelineQueries {
         |g AS (SELECT count(*) AS nu, CAST(sum(n) AS BIGINT) AS s,
         |        CAST(sum(CAST(n AS HUGEINT) * n) AS DECIMAL(38,0)) AS q
         |      FROM per)
-        |SELECT user_id, n, nu, s, q
+        |SELECT user_id, n, nu, s
         |FROM per, g
         |WHERE n * nu > s
         |  AND CAST(n * nu - s AS HUGEINT) * CAST(n * nu - s AS HUGEINT) >

@@ -17,9 +17,16 @@ import org.apache.spark.sql.functions._
 object PropertyGraph {
 
   /** Nodes: uri, sorted label array, lexical property map, numeric
-    * property map. Multi-valued properties are collapsed to their
-    * minimum for determinism (the reference's last-write-wins is
-    * order-dependent and meaningless under parallel ingest).
+    * property map. Multi-valued properties — several literal triples
+    * sharing (s, p) — are collapsed to the (lex, num) pair of the
+    * MINIMUM lexical value, one value per key, and never an array:
+    * the reference keeps all values per property
+    * (pidb-rdf-import/src/main/java/semantics/MultiMetaNeo4jTrait.java)
+    * and its non-multi loader is last-write-wins, but last-write is
+    * order-dependent and meaningless under parallel ingest, so this
+    * view chooses the order-free representative; ALL values remain
+    * queryable as companion rows in the triple relation itself.
+    * Pinned by PropertyGraphSpec's multi-valued test.
     */
   def nodes(triples: DataFrame): DataFrame = {
     val labels = triples

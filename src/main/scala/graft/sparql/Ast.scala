@@ -31,8 +31,12 @@ object Ast {
   case object StrStarts extends StrOp
   case object StrEnds extends StrOp
   case object StrContains extends StrOp
-  /** String-builtin filters over a variable's lexical form. */
-  final case class StrFilter(op: StrOp, v: Var, arg: String) extends Expr
+  /** String-builtin filters over a variable's lexical form. `flags`
+    * is REGEX's optional third argument (XPath flags; "i" and "s"
+    * supported — the two with direct Java-regex embeddings).
+    */
+  final case class StrFilter(op: StrOp, v: Var, arg: String,
+                             flags: String = "") extends Expr
   /** Comparison whose left side is a computed expression (the BIND
     * expression language): `FILTER(STRLEN(?n) >= 10)`,
     * `FILTER(?price * 2 > 1500)`.
@@ -64,6 +68,13 @@ object Ast {
     */
   final case class Bound(v: Var) extends Expr
   final case class Not(e: Expr) extends Expr
+  /** HAVING-only: a direct aggregate comparison (`HAVING (SUM(?s) >
+    * 250)` — W3C agg08 shape). Resolves to the projection aggregate
+    * with the same (op, argument); the alias form (`HAVING (?tot >
+    * 250)`) remains the general path.
+    */
+  final case class HavingAggCmp(agg: AggOp, v: Option[Var], op: CmpOp,
+                                value: Lit) extends Expr
   /** Term-type tests isIRI / isLiteral / isBlank over a binding. An
     * object-position binding reads its hidden is-IRI companion;
     * subject/predicate bindings are resource terms by construction

@@ -236,12 +236,16 @@ object Compiler {
           l === r || l.startsWith(r + "-")
         }
       }
-    case StrFilter(op, v, arg) =>
+    case StrFilter(op, v, arg, flags) =>
       // string builtins over the lexical form; an unbound variable is
       // a type error, which FILTER treats as false
       if (!df.columns.contains(v.name)) lit(false)
       else op match {
-        case RegexMatch => col(v.name).rlike(arg)
+        case RegexMatch =>
+          // XPath flags → Java-regex inline flags ((?i), (?s)); both
+          // engines' regex dialects honor the embedded form
+          val fl = flags.filter("is".contains(_))
+          col(v.name).rlike(if (fl.isEmpty) arg else s"(?$fl)$arg")
         case StrStarts => col(v.name).startsWith(arg)
         case StrEnds => col(v.name).endsWith(arg)
         case StrContains => col(v.name).contains(arg)
@@ -813,12 +817,25 @@ object Compiler {
     * referenced "variables" are aggregate aliases or group keys, whose
     * columns are typed — compare them directly.
     */
-  private def havingColumn(e: Expr): Column = e match {
+  private def havingColumn(e: Expr, aggs: Seq[Agg]): Column = e match {
     case Cmp(op, v, value) =>
       applyCmp(op, col(v.name),
         value.num.map(n => lit(n): Column).getOrElse(lit(value.lexical)))
-    case And(a, b) => havingColumn(a) && havingColumn(b)
-    case Or(a, b) => havingColumn(a) || havingColumn(b)
+    // direct-aggregate form (W3C agg08): resolve to the projection
+    // aggregate with the same (op, argument) and compare its typed
+    // output column — re-aggregating here would double the shuffle
+    // for a value the frame already carries
+    case HavingAggCmp(op, v, c, value) =>
+      val alias = aggs.find(a =>
+          a.op == op && a.v.map(_.name) == v.map(_.name) && a.expr.isEmpty)
+        .map(_.alias)
+        .getOrElse(throw new IllegalArgumentException(
+          s"HAVING aggregate $op(${v.map("?" + _.name).getOrElse("*")}) " +
+            "must also appear in the SELECT projection"))
+      applyCmp(c, col(alias),
+        value.num.map(n => lit(n): Column).getOrElse(lit(value.lexical)))
+    case And(a, b) => havingColumn(a, aggs) && havingColumn(b, aggs)
+    case Or(a, b) => havingColumn(a, aggs) || havingColumn(b, aggs)
     case other =>
       throw new IllegalArgumentException(
         s"HAVING supports comparisons over aliases, got $other")
@@ -906,7 +923,7 @@ object Compiler {
       // HAVING compares the typed aggregate outputs directly (they
       // carry real numeric types, unlike pattern bindings, which
       // compare through their lexical/companion split)
-      q.having.foreach(e => df = df.filter(havingColumn(e)))
+      q.having.foreach(e => df = df.filter(havingColumn(e, q.aggregates)))
     }
 
     // SPARQL evaluates DISTINCT before ORDER BY: project (keeping the

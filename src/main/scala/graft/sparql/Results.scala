@@ -52,15 +52,6 @@ object Results {
       .as("line"))
   }
 
-  /** One JSON object per result row (JSON-lines — the streamable
-    * form of the endpoint's JSON response), keys in projection
-    * order. Every bound value serializes as a JSON STRING (the W3C
-    * SPARQL JSON results format also carries values stringified with
-    * type annotations) — engine-neutral by construction, where raw
-    * numeric JSON would inherit each engine's float formatting.
-    * Unbound (NULL) serializes as JSON null. Same scale shape as
-    * [[toCsv]]: one narrow codegen projection, no shuffle.
-    */
   /** One `<result>` element per row — the W3C SPARQL Query Results
     * XML Format (the ONE serialization the spec makes mandatory for
     * endpoints; reference: RDFEndpoint's content negotiation).
@@ -83,6 +74,15 @@ object Results {
       lit("</result>")).as("line"))
   }
 
+  /** One JSON object per result row (JSON-lines — the streamable
+    * form of the endpoint's JSON response), keys in projection
+    * order. Every bound value serializes as a JSON STRING (the W3C
+    * SPARQL JSON results format also carries values stringified with
+    * type annotations) — engine-neutral by construction, where raw
+    * numeric JSON would inherit each engine's float formatting.
+    * Unbound (NULL) serializes as JSON null. Same scale shape as
+    * [[toCsv]]: one narrow codegen projection, no shuffle.
+    */
   def toJsonLines(df: DataFrame): DataFrame = {
     val fields = df.columns.map { c =>
       val s = col(c).cast("string")

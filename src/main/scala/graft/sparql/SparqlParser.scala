@@ -99,8 +99,14 @@ object SparqlParser extends RegexParsers {
   private def varOrStrVar: Parser[Var] =
     ("(?i)STR".r ~> "(" ~> varTerm <~ ")") | varTerm
   private def strFilter: Parser[Expr] =
-    strOp ~ ("(" ~> varOrStrVar) ~ ("," ~> strLit <~ ")") ^^ {
-      case op ~ v ~ l => StrFilter(op, v, l.lexical)
+    strOp ~ ("(" ~> varOrStrVar) ~ ("," ~> strLit) ~
+      (opt("," ~> strLit) <~ ")") >> {
+      case op ~ v ~ l ~ fl =>
+        // the optional third argument is REGEX's XPath flags string
+        if (fl.isDefined && op != RegexMatch)
+          failure("only REGEX takes a flags argument")
+        else success(StrFilter(op, v, l.lexical,
+          fl.map(_.lexical).getOrElse("")))
     }
   private def inFilter: Parser[Expr] =
     varTerm ~ (opt("(?i)NOT".r) <~ "(?i)IN".r) ~
@@ -136,7 +142,14 @@ object SparqlParser extends RegexParsers {
     "(?i)FILTER".r ~> (
       "(?i)NOT\\s+EXISTS".r ~> bgpOnly ^^ (ps => FilterElem(NotExists(ps))) |
       "(?i)EXISTS".r ~> bgpOnly ^^ (ps => FilterElem(Exists(ps))) |
-      "(" ~> orExpr <~ ")" ^^ FilterElem.apply)
+      "(" ~> orExpr <~ ")" ^^ FilterElem.apply |
+      // W3C Constraint ::= BrackettedExpression | BuiltInCall — a
+      // builtin call may follow FILTER with no extra parens
+      // (`FILTER REGEX(?n, "^a")`); bare comparisons/IN still
+      // require the brackets, exactly as in the spec grammar (r11,
+      // found by the conformance suite)
+      (langMatches | langCmp | strFilter | boundExpr | termTest |
+        notExpr) ^^ FilterElem.apply)
 
   // ---- group graph pattern -----------------------------------------
   private sealed trait GroupElem
@@ -241,13 +254,18 @@ object SparqlParser extends RegexParsers {
     * path nesting. Two or more steps required: a single step under a
     * modifier is [[parenPathPreds]]/[[barePathPred]]'s domain.
     */
+  // ')' and the modifier are separate tokens (whitespace allowed
+  // between them, matching seqRangePathTriple's treatment — ADVICE
+  // r10); the `?` modifier takes a negative lookahead so it can never
+  // swallow the sigil of a following `?var` object term.
   private def seqModPathTriple: Parser[GroupElem] =
-    term ~ ("(" ~> rep1sep(pathStep, "/")) ~ """\)[+*?]""".r ~ term <~
+    term ~ ("(" ~> rep1sep(pathStep, "/") <~ ")") ~
+      """[+*]|\?(?![A-Za-z0-9_])""".r ~ term <~
       opt(".") >> {
-      case s ~ steps ~ close ~ o =>
+      case s ~ steps ~ mod ~ o =>
         if (steps.size < 2) failure("single-step parens: use p+ form")
         else success(GroupOrUnionElem(
-          PathSeqMod(s, steps, close.charAt(1), o)))
+          PathSeqMod(s, steps, mod.charAt(0), o)))
     }
 
   /** Fixed-range repetition over a parenthesized SEQUENCE:
@@ -484,6 +502,9 @@ object SparqlParser extends RegexParsers {
   private def orderCond: Parser[(OrderKey, Boolean)] =
     "(?i)DESC".r ~> "(" ~> orderKey <~ ")" ^^ ((_, false)) |
     "(?i)ASC".r ~> "(" ~> orderKey <~ ")" ^^ ((_, true)) |
+    // W3C OrderCondition also admits a bare BrackettedExpression
+    // (`ORDER BY (35 - ?a)`), ascending (r11, conformance suite)
+    "(" ~> orderKey <~ ")" ^^ ((_, true)) |
     varTerm ^^ (v => (OrderVar(v.name): OrderKey, true))
 
   /** Dataset clause: `FROM <g>` / `FROM NAMED <g>` lines between the
@@ -494,12 +515,30 @@ object SparqlParser extends RegexParsers {
       case named ~ g => (named.isDefined, g.value)
     }
 
+  /** HAVING constraint: the alias form rides the ordinary boolean
+    * grammar; the direct-aggregate form (`HAVING (SUM(?s) > 250)` —
+    * W3C agg08) parses here and resolves against the projection's
+    * aggregates at compile time (r11, conformance suite).
+    */
+  private def havingAggCmp: Parser[Expr] =
+    aggOp ~ ("(" ~> opt("(?i)DISTINCT".r) ~
+      (varTerm ^^ Some.apply | "*" ^^^ None) <~ ")") ~ cmpOp ~
+      (numLit | strLit) ^^ {
+      case op ~ (dist ~ v) ~ c ~ l =>
+        val realOp = if (op == Count && dist.isDefined) CountDistinct else op
+        HavingAggCmp(realOp, v.map(t => Var(t.name)), c, l)
+    }
+  private def havingPrimary: Parser[Expr] = havingAggCmp | primaryExpr
+  private def havingExpr: Parser[Expr] =
+    rep1sep(rep1sep(havingPrimary, "&&") ^^ (_.reduceLeft(And.apply)),
+      "||") ^^ (_.reduceLeft(Or.apply))
+
   private def selectQuery: Parser[SelectQuery] =
     "(?i)SELECT".r ~> opt("(?i)DISTINCT".r) ~ (rep1(selector) ^^ Some.apply | "*" ^^^ None) ~
       rep(datasetClause) ~
       ("(?i)WHERE".r ~> groupGraphPattern) ~
       opt("(?i)GROUP\\s+BY".r ~> rep1(varTerm)) ~
-      opt("(?i)HAVING".r ~> "(" ~> orExpr <~ ")") ~
+      opt("(?i)HAVING".r ~> "(" ~> havingExpr <~ ")") ~
       opt("(?i)ORDER\\s+BY".r ~> rep1(orderCond)) ~
       // LIMIT/OFFSET in either order, per the SPARQL grammar
       rep(("(?i)LIMIT".r ~> """\d+""".r ^^ (n => ("limit", n.toLong))) |

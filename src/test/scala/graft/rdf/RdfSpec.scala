@@ -297,6 +297,23 @@ class RdfSpec extends AnyFunSuite {
     assert(PropertyGraph.edges(t).count() == 1)
   }
 
+  test("PropertyGraph multi-valued (s,p) literals pin the min-lex pair") {
+    // chosen semantics (r10 verdict #9): several literals on one
+    // property collapse to the (lex, num) pair of the MINIMUM lexical
+    // value — one coherent source triple, never min-lex of one value
+    // paired with min-num of another, never last-write-wins
+    val t = Seq(
+      ("n:1", ":score", "9", Some(9.0), false, Option.empty[String]),
+      ("n:1", ":score", "10", Some(10.0), false, None),
+      ("n:1", ":score", "2", Some(2.0), false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val r = PropertyGraph.nodes(t).head()
+    assert(r.getMap[String, String](2) == Map(":score" -> "10"),
+      "lexical min: \"10\" < \"2\" < \"9\" as strings")
+    assert(r.getMap[String, Double](3) == Map(":score" -> 10.0),
+      "the numeric companion must come from the SAME triple as the lex")
+  }
+
   test("URI functions split on the last separator") {
     val df = Seq("http://ex.org/path#Frag", "cust:42", "plain")
       .toDF("u")

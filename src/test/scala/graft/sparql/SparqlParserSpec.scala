@@ -68,6 +68,15 @@ class SparqlParserSpec extends AnyFunSuite {
     // range over an alternation still takes the PathRange route
     val ar = SparqlParser.parse("SELECT ?x ?y WHERE { ?x (:f|:g){1,2} ?y }")
     val PathRange(_, _, 1, 2, _) = ar.where: @unchecked
+    // whitespace between ')' and the modifier is legal (SPARQL
+    // tokenizes them separately; r10 ADVICE — both nesting forms now
+    // share the two-token treatment)
+    val ws = SparqlParser.parse("SELECT ?x ?y WHERE { ?x (:f/:g) + ?y }")
+    val PathSeqMod(_, _, '+', _) = ws.where: @unchecked
+    // ...but a bare `?` that is really the sigil of the object
+    // variable must NOT be taken as a zero-or-one modifier
+    val qv = SparqlParser.parse("SELECT ?x ?y WHERE { ?x (:f/:g)? ?y }")
+    val PathSeqMod(_, _, '?', Var("y")) = qv.where: @unchecked
   }
 
   test("parses sequence and inverse paths into PathSeq") {

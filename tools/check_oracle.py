@@ -7,10 +7,22 @@ Loads each test parquet as a DuckDB view, runs every oracle_sql.json
 query, and compares (schema-insensitively: columns sorted by name,
 rows sorted, values stringified with float rounding) against the
 Spark-written parquet under <verifyOutDir>/<name>/.
+
+Driver parity (VERDICT r10 task #3): both sides are fetched THROUGH
+ARROW (duckdb .arrow() → to_pylist) rather than the Python-native
+fetchall() path, and any output column wider than 64 bits — HUGEINT,
+UHUGEINT, DECIMAL precision > 18 — on EITHER the oracle DESCRIBE or
+the Spark parquet schema fails the row outright. The Python fetch
+stringifies int128/decimal128 identically on both engines, which
+false-greened a driver-red type class two rounds running (r9
+graph_hits int128, r10 q9/rate_outliers decimal128); the driver's
+Arrow canonicalization does not.
 """
 import sys, json, glob, math, decimal
 
 import duckdb
+
+from lint_oracle_types import wider_than_64
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -48,20 +60,21 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             # Driver-parity guard: the driver canonicalizes through Arrow,
-            # where DuckDB's int128 (HUGEINT) stringifies as a float and
-            # flips the hash even though fetchall() would hand us a plain
-            # Python int. Fail the row here so the local gate can never
-            # false-green that class (the r9 graph_hits escape).
+            # which hashes 128-bit values (HUGEINT/UHUGEINT and
+            # decimal128) differently than a 64-bit column with the same
+            # values. Fail the row on EITHER schema so the local gate can
+            # never false-green that class (r9 int128, r10 decimal128).
             desc = con.execute(f"DESCRIBE (\n{sql}\n)").fetchall()
-            wide = [(c, t) for c, t, *_ in desc
-                    if "HUGEINT" in str(t).upper()]
+            wide = [(c, t) for c, t, *_ in desc if wider_than_64(t)]
             if wide:
-                print(f"FAIL {name}: oracle emits int128 column(s) the "
-                      f"driver hashes differently: {wide} — CAST to BIGINT")
+                print(f"FAIL {name}: oracle emits >64-bit column(s) the "
+                      f"driver hashes differently: {wide} — cast the "
+                      f"final projection to BIGINT/DOUBLE/VARCHAR")
                 continue
-            cur = con.execute(sql)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            tbl = con.execute(sql).arrow()
+            ocols = tbl.column_names
+            orows = list(zip(*[c.to_pylist() for c in tbl.columns])) \
+                if tbl.num_columns else []
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             continue
@@ -69,11 +82,20 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output")
             continue
-        cur = con.execute(
-            "SELECT * FROM read_parquet([" +
-            ",".join(f"'{f}'" for f in files) + "])")
-        scols = [d[0] for d in cur.description]
-        srows = cur.fetchall()
+        spark_src = ("read_parquet([" +
+                     ",".join(f"'{f}'" for f in files) + "])")
+        sdesc = con.execute(
+            f"DESCRIBE (SELECT * FROM {spark_src})").fetchall()
+        swide = [(c, t) for c, t, *_ in sdesc if wider_than_64(t)]
+        if swide:
+            print(f"FAIL {name}: spark result emits >64-bit column(s) the "
+                  f"driver hashes differently: {swide} — cast the final "
+                  f"projection to long/double/string")
+            continue
+        tbl = con.execute(f"SELECT * FROM {spark_src}").arrow()
+        scols = tbl.column_names
+        srows = list(zip(*[c.to_pylist() for c in tbl.columns])) \
+            if tbl.num_columns else []
         oc, orows_c = frame(orows, ocols)
         sc, srows_c = frame(srows, scols)
         if oc != sc:
