@@ -483,6 +483,21 @@ object SparkEntry {
             .cast("decimal(18,2)").as("sum_price"),
           count(lit(1)).as("n_rows"))
     },
+    // EXPLICIT grouping sets — the non-lattice form ROLLUP/CUBE can't
+    // express: the two single-column marginals plus the grand total,
+    // WITHOUT the (flag, status) pair level. Same single-shuffle
+    // Expand shape (3 replicas instead of CUBE's 4 — the planner
+    // expands exactly the requested sets); quantities are integral
+    // doubles, so the sums are exact on both engines (r11).
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    },
     // CUBE — the full grouping-sets lattice (ROLLUP's 3 levels plus
     // the column-wise marginals ROLLUP omits): same single-shuffle
     // Expand shape as q_rollup_pricing, 4 grouping sets instead of
@@ -935,6 +950,13 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q_cube_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  GROUPING(l_returnflag, l_linestatus) AS gid,

@@ -558,14 +558,16 @@ object Analytics {
     * 100 TB, one extra broadcast-sized deg join keyed on the middle,
     * anti-join before the per-task top-k heap.
     *
-    * Default budget 1e8 (r11, was 1e9): aligned with the dedup pair
-    * budget. Scores over budget degrade only from the hub middles,
-    * which carry the SMALLEST 1/deg weights — and the driver's
-    * co-order graph alone hits ~3e8 wedges at sf0.1, where the exact
-    * regime cost ~50s of the bench for near-identical top-k.
+    * Default budget 1e7 (r11, was 1e9): scores over budget degrade
+    * only from the hub middles, which carry the SMALLEST 1/deg
+    * weights. 1e8 (the dedup pair budget) was measured insufficient
+    * on the driver's co-order graph: its 148M-wedge volume is spread
+    * over low degrees (cap deg<=138 still kept 98M wedges, ~18s
+    * warm), while 1e7 keeps 9.6M (deg<=93) and the whole key drops
+    * under the bench's 5s bar with a near-identical top-k.
     */
   def resourceAllocation(edges: DataFrame, k: Int = 20,
-                         wedgeBudget: Long = 100000000L): DataFrame = {
+                         wedgeBudget: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val adj = edges.select(col("src").as("v"), col("dst").as("w"))
       .union(edges.select(col("dst").as("v"), col("src").as("w")))
@@ -621,6 +623,29 @@ object Analytics {
       .orderBy(col("ra_e9").desc, col("u"), col("v"))
       .limit(k)
       .select(col("u"), col("v"), col("ra_e9"), col("cn"))
+  }
+
+  /** Average-neighbor-degree profile (the knn(v) curve of network
+    * science): per vertex, its degree and the SUM of its neighbors'
+    * degrees — the assortativity statistic at vertex granularity
+    * (graph_assortativity folds this same quantity to one global
+    * correlation; here each vertex keeps its own row, the feature a
+    * sampler or hub-screen consumes). Exact integer columns (deg,
+    * sum_nbr_deg) — the ratio is one derivable divide downstream.
+    *
+    * Scale shape: degrees ride the adjacency through ONE keyed join
+    * on the middle (2·|E| rows against the vocabulary-scale degree
+    * table) + one partial-agg fold — linear, no wedge enumeration
+    * anywhere (r11).
+    */
+  def avgNeighborDegree(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("src").as("v"), col("dst").as("w"))
+      .union(edges.select(col("dst").as("v"), col("src").as("w")))
+    val degW = adj.groupBy(col("w")).agg(count(lit(1)).as("degw"))
+      .withColumnRenamed("w", "mw")
+    adj.join(degW, col("w") === col("mw"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("deg"), sum(col("degw")).as("sum_nbr_deg"))
   }
 
   /** Directed-graph reciprocity: the fraction of edges whose reverse

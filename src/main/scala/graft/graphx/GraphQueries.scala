@@ -136,6 +136,11 @@ object GraphQueries {
     "graph_katz_centrality" -> { (s, dir) =>
       Analytics.katzCentrality(coOrderPartEdgeKeys(s, dir))
     },
+    // per-vertex average-neighbor-degree profile (exact integer
+    // numerator/denominator; assortativity at vertex grain) (r11)
+    "graph_avg_neighbor_degree" -> { (s, dir) =>
+      Analytics.avgNeighborDegree(coOrderPartEdgeKeys(s, dir))
+    },
     // the wedge-volume gate FORCED (budget 1e5): the middle-degree
     // cap must fire and the capped answers are themselves oracled —
     // the dedup_ngram_jaccard_gated pattern on the graph side (r10)
@@ -500,7 +505,7 @@ object GraphQueries {
         |ORDER BY cn DESC, u, ne.v LIMIT 20""".stripMargin,
     // resource-allocation index: the common-neighbors wedge join with
     // per-middle floor(1e9/deg) weights — integer division both
-    // engines compute identically. The oracle REPLAYS the default 1e8
+    // engines compute identically. The oracle REPLAYS the default 1e7
     // wedge-volume gate (ADVICE r10): if verify ever runs at an SF
     // whose wedge volume crosses the budget, both engines cap the
     // same middles instead of the Spark side silently diverging.
@@ -518,8 +523,8 @@ object GraphQueries {
         |cum AS (SELECT degw, sum(vol) OVER (ORDER BY degw
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |          AS cumvol FROM pd),
-        |cap AS (SELECT CASE WHEN t <= 100000000 THEN 9223372036854775807
-        |          ELSE (SELECT max(degw) FROM cum WHERE cumvol <= 100000000)
+        |cap AS (SELECT CASE WHEN t <= 10000000 THEN 9223372036854775807
+        |          ELSE (SELECT max(degw) FROM cum WHERE cumvol <= 10000000)
         |          END AS c FROM tot),
         |degf AS (SELECT v, degw FROM deg, cap WHERE degw <= c),
         |wed AS (SELECT a.v AS u, b.v AS v2,
@@ -531,6 +536,16 @@ object GraphQueries {
         |         SELECT 1 FROM e WHERE e.p1 = wed.u AND e.p2 = wed.v2))
         |SELECT u, v2 AS v, ra_e9, cn FROM ne
         |ORDER BY ra_e9 DESC, u, v2 LIMIT 20""".stripMargin,
+    "graph_avg_neighbor_degree" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT v, count(*) AS degw FROM adj GROUP BY 1)
+        |SELECT a.v AS v, count(*) AS deg,
+        |  CAST(sum(d.degw) AS BIGINT) AS sum_nbr_deg
+        |FROM adj a JOIN deg d ON d.v = a.w GROUP BY 1""".stripMargin,
     // the gate replayed in SQL: total volume priced, conditional cap
     // as the largest degree whose low-degree-first cumulative volume
     // fits the forced 1e5 budget, RA over capped middles only

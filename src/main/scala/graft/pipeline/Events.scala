@@ -918,6 +918,92 @@ object Events {
       .select(col("user_id"), col("n"), col("nu"), col("s"))
   }
 
+  /** Day-granularity traffic anomalies — [[rateOutliers]]'s calendar
+    * twin: days whose event count exceeds mean + k·σ of the per-day
+    * distribution (the incident/traffic-spike screen a pipeline runs
+    * before trusting a day's data). Identical exact-integer σ test by
+    * cross-multiplication — 128-bit squares stay INTERNAL, the output
+    * projection is all int64. Shape: one date-keyed count shuffle
+    * (cardinality = calendar days — metadata-scale), a single-row
+    * fold broadcast back, map-side filter.
+    */
+  def anomalyDays(events: DataFrame, k: Int = 2): DataFrame = {
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    val per = events.groupBy(day.as("day")).agg(count(lit(1)).as("n"))
+    val g = per.agg(count(lit(1)).as("nu"), sum(col("n")).as("s"),
+      sum((col("n") * col("n")).cast("decimal(38,0)")).as("q"))
+    val dev = (col("n") * col("nu") - col("s")).cast("decimal(38,0)")
+    val varN2 = (col("nu").cast("decimal(38,0)") * col("q") -
+      col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+    per.crossJoin(broadcast(g))
+      .filter(col("n") * col("nu") > col("s") &&
+        dev * dev > lit(k * k).cast("decimal(38,0)") * varN2)
+      .select(col("day"), col("n"), col("nu"), col("s"))
+  }
+
+  /** Per-user 7-day rolling event volume over the SPARSE daily-count
+    * frame: a RANGE frame (`rangeBetween(-6, 0)` on the day integer)
+    * — unlike a ROWS frame, calendar gaps between active days are
+    * honored, which is what "last 7 days" means for a user who skips
+    * days. Exact integers throughout.
+    *
+    * Scale shape: one (user, day) count shuffle at fact scale, then a
+    * user-keyed linear window pass — per-partition state is the frame
+    * (≤7 live rows); no global sort anywhere.
+    */
+  def rollingDaily(events: DataFrame, days: Int = 7): DataFrame = {
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    val daily = events.groupBy(col("user_id"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rangeBetween(-(days - 1), 0)
+    daily.withColumn("n7", sum(col("n")).over(w))
+  }
+
+  /** Engagement concentration: the Gini coefficient of per-user event
+    * counts, in exact integer arithmetic — the one-number card that
+    * says whether activity is spread (≈0) or a whale economy (≈1).
+    *
+    * The textbook formula needs a GLOBAL rank over users — a scale
+    * killer. But ties share a count, and within a tie group the
+    * rank-weighted sum telescopes: Σᵢ i·xᵢ over a group of m users
+    * with count n starting after c users is n·(m·c + m(m+1)/2),
+    * independent of order inside the group. So the whole statistic
+    * computes from the COUNT HISTOGRAM: one fact-scale user count,
+    * one metadata-scale histogram (distinct count values), a window
+    * over that tiny frame, one fold. gini_e6 = ⌊1e6·(2·Σi·x −
+    * (N+1)·S) / (N·S)⌋ — the division is integer, numerator carried
+    * in DECIMAL(38,0) internally (Σi·x reaches ~10²⁴ at 10⁹ users),
+    * output all int64.
+    */
+  def engagementGini(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val h = per.groupBy(col("n")).agg(count(lit(1)).as("m"))
+    // constant-key partition: the histogram is metadata-sized, so the
+    // single-task window is over vocabulary, not users
+    val one = substring(col("n").cast("string"), 0, 0)
+    val w = Window.partitionBy(one).orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ch = h.withColumn("c", coalesce(sum(col("m")).over(w), lit(0L)))
+    // n·(m·c + m(m+1)/2): the tie-group triangle number stays in
+    // exact int64 (m(m+1) ≤ 2⁶³ to ~3·10⁹ users per bucket), the
+    // cross products go DECIMAL(38,0) before they can wrap
+    val ixTerm = col("n").cast("decimal(38,0)") *
+      (col("m").cast("decimal(38,0)") * col("c").cast("decimal(38,0)") +
+        expr("(m * (m + 1)) div 2").cast("decimal(38,0)"))
+    ch.agg(sum(col("m")).as("nu"), sum(col("n") * col("m")).as("s"),
+        sum(ixTerm).as("ix"))
+      // INTEGRAL division (div → floor on the positive numerator) —
+      // decimal `/` would round the scale-6 quotient half-up on the
+      // Spark side while DuckDB's // floors, an ulp-edge flip class
+      .select(col("nu"), col("s"),
+        expr("CAST(((CAST(2 AS DECIMAL(38,0)) * ix" +
+          " - CAST(nu + 1 AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))" +
+          " * 1000000)" +
+          " div (CAST(nu AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))" +
+          " AS BIGINT)").as("gini_e6"))
+  }
+
   final case class FunnelState(ts: Seq[Long])
   final case class FunnelHit(user_id: Long, stage: Int, us: Long)
 

@@ -410,6 +410,18 @@ object PipelineQueries {
     // exact-integer event-rate outlier screen (r9 b21)
     "events_rate_outliers" -> ((s, dir) =>
       Events.rateOutliers(Tables.events(s, dir))),
+    // the calendar twin of the rate screen: exact-integer σ test over
+    // per-DAY counts (r11)
+    "events_anomaly_days" -> ((s, dir) =>
+      Events.anomalyDays(Tables.events(s, dir))),
+    // 7-day rolling volume over sparse daily counts — RANGE frame on
+    // the day integer, honoring calendar gaps (r11)
+    "events_rolling_daily" -> ((s, dir) =>
+      Events.rollingDaily(Tables.events(s, dir))),
+    // engagement-concentration Gini from the count HISTOGRAM (exact
+    // integers; no global user rank anywhere) (r11)
+    "events_engagement_gini" -> ((s, dir) =>
+      Events.engagementGini(Tables.events(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -1961,6 +1973,46 @@ object PipelineQueries {
         |  AND CAST(n * nu - s AS HUGEINT) * CAST(n * nu - s AS HUGEINT) >
         |      4 * (CAST(nu AS HUGEINT) * CAST(q AS HUGEINT) -
         |           CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+    "events_anomaly_days" ->
+      """WITH per AS (SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+        |               AS day, count(*) AS n FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS nu, CAST(sum(n) AS BIGINT) AS s,
+        |        CAST(sum(CAST(n AS HUGEINT) * n) AS DECIMAL(38,0)) AS q
+        |      FROM per)
+        |SELECT day, n, nu, s
+        |FROM per, g
+        |WHERE n * nu > s
+        |  AND CAST(n * nu - s AS HUGEINT) * CAST(n * nu - s AS HUGEINT) >
+        |      4 * (CAST(nu AS HUGEINT) * CAST(q AS HUGEINT) -
+        |           CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+    "events_rolling_daily" ->
+      """WITH d AS (SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, n,
+        |  CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+        |FROM d""".stripMargin,
+    "events_engagement_gini" ->
+      """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |h AS (SELECT n, count(*) AS m FROM per GROUP BY 1),
+        |ch AS (SELECT n, m,
+        |    coalesce(sum(m) OVER (ORDER BY n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |  FROM h),
+        |acc AS (SELECT CAST(sum(m) AS BIGINT) AS nu,
+        |    CAST(sum(n * m) AS BIGINT) AS s,
+        |    CAST(sum(CAST(n AS HUGEINT) *
+        |      (CAST(m AS HUGEINT) * c + (m * (m + 1)) // 2))
+        |      AS DECIMAL(38,0)) AS ix
+        |  FROM ch)
+        |SELECT nu, s,
+        |  CAST(((2 * CAST(ix AS HUGEINT)
+        |       - CAST(nu + 1 AS HUGEINT) * CAST(s AS HUGEINT)) * 1000000)
+        |    // (CAST(nu AS HUGEINT) * CAST(s AS HUGEINT)) AS BIGINT)
+        |    AS gini_e6
+        |FROM acc""".stripMargin,
     "events_user_streaks" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day

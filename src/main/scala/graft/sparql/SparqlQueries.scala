@@ -460,6 +460,33 @@ object SparqlQueries {
           |  ?o :byCustomer ?c .
           |} GROUP BY ?c HAVING(?cnt >= 3)""".stripMargin))
     },
+    // W3C agg08 shape (r11): HAVING with the DIRECT aggregate form —
+    // `HAVING (SUM(?q) > n)` resolves to the projection's aggregate
+    // column instead of requiring the alias spelling. Quantities are
+    // integral doubles, so the sum is exact on both engines.
+    "sparql_having_sum_agg" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c (SUM(?q) AS ?tot) (COUNT(?l) AS ?nl)
+          |WHERE { ?l :ofOrder ?o . ?o :byCustomer ?c . ?l :quantity ?q }
+          |GROUP BY ?c HAVING (SUM(?q) > 900)""".stripMargin))
+    },
+    // W3C Constraint ::= BuiltInCall (r11): FILTER followed by a bare
+    // builtin call (no extra parens) + REGEX's XPath "i" flag, which
+    // embeds as an inline (?i) group in both engines' regex dialects
+    "sparql_regex_flags" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?s ?n WHERE { ?s rdf:type :Customer . ?s :name ?n
+          |  FILTER REGEX(?n, "^CUSTOMER#.*19$", "i") }""".stripMargin))
+    },
+    // W3C OrderCondition ::= BrackettedExpression (r11): a bare
+    // parenthesized expression as the sort key (ascending), with a
+    // unique subject tie-break so the LIMITed set is deterministic
+    "sparql_orderby_bracket" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?p ?sz WHERE { ?p rdf:type :Part . ?p :size ?sz }
+          |ORDER BY (0 - ?sz) ?p LIMIT 20""".stripMargin),
+        numericVars = Seq("sz"))
+    },
     // ORDER BY an aggregate alias (the typed output column drives the
     // sort) with a group-key tie-break and LIMIT
     "sparql_orderby_agg" -> { (s, dir) =>
@@ -1080,6 +1107,24 @@ object SparqlQueries {
     "sparql_having" ->
       """SELECT 'cust:'||o_custkey AS c, count(*) AS cnt
         |FROM orders GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    // the RDF store is a triple SET: the duplicated lineitem quad in
+    // the synthetic data collapses, so the oracle distincts the full
+    // (quad, quantity) row before aggregating
+    "sparql_having_sum_agg" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey,
+        |              l_suppkey, l_quantity FROM lineitem)
+        |SELECT 'cust:'||o_custkey AS c, sum(l_quantity) AS tot,
+        |       count(*) AS nl
+        |FROM li JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 HAVING sum(l_quantity) > 900""".stripMargin,
+    "sparql_regex_flags" ->
+      """SELECT 'cust:'||c_custkey AS s, c_name AS n
+        |FROM customer
+        |WHERE regexp_matches(c_name, '(?i)^CUSTOMER#.*19$')""".stripMargin,
+    "sparql_orderby_bracket" ->
+      """SELECT 'part:'||p_partkey AS p, CAST(p_size AS DOUBLE) AS sz
+        |FROM part ORDER BY (0 - p_size), 'part:'||p_partkey
+        |LIMIT 20""".stripMargin,
     "sparql_expr_filter" ->
       """SELECT 'part:'||p_partkey AS p, p_name AS n, p_retailprice AS rp
         |FROM part

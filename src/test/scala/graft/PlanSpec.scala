@@ -863,6 +863,37 @@ class PlanSpec extends AnyFunSuite {
       "the global stats row must broadcast, never shuffle the counts again")
   }
 
+  test("events_rolling_daily: user-keyed window, no single-partition exchange") {
+    val p = plan("events_rolling_daily")
+    assert(p.contains("partial_count"), "daily counts must combine map-side")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "the rolling frame must be keyed by user, never a global window")
+    assert(!p.contains("Exchange SinglePartition"),
+      "no stage may funnel the fact table through one partition")
+  }
+
+  test("events_engagement_gini: fact agg combines map-side; window is histogram-sized") {
+    val p = plan("events_engagement_gini")
+    assert(p.contains("partial_count"),
+      "the per-user count must partial-aggregate")
+    // the single-partition window is ALLOWED here: it runs over the
+    // count histogram (vocabulary-scale), not over users
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_grouping_sets: one Expand, one fact scan") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets must expand, not re-scan")
+    assert("FileScan parquet.*lineitem".r.findAllIn(p).size == 1,
+      "the fact table must be scanned exactly once")
+  }
+
+  test("graph_avg_neighbor_degree: linear keyed join, no wedge enumeration") {
+    val p = plan("graph_avg_neighbor_degree")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "degree counts must combine map-side")
+  }
+
   test("dedup_containment: integer threshold, shared sets reused, keyed joins") {
     val p = plan("dedup_containment")
     assert(!p.contains("CartesianProduct"), "candidates come from the index join")

@@ -455,6 +455,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(sess == Set((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("anomalyDays flags only the spiked day") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(day: Int, i: Int) =
+      new java.sql.Timestamp(base.getTime + day * 86400000L + i * 1000L)
+    // 9 quiet days of 2 events + one day of 40: mean ≈ 5.8, the spike
+    // is far beyond 2σ while the quiet days sit below the mean
+    val ev = ((0 until 9).flatMap(d => Seq((1L, ts(d, 0)), (1L, ts(d, 1)))) ++
+      (0 until 40).map(i => (1L, ts(9, i)))).toDF("user_id", "ts")
+    val got = Events.anomalyDays(ev).select("day", "n")
+      .as[(Long, Long)].collect().toSet
+    val day9 = base.getTime / 86400000L + 9
+    assert(got == Set((day9, 40L)))
+  }
+
+  test("rollingDaily's RANGE frame honors calendar gaps") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(day: Int) = new java.sql.Timestamp(base.getTime + day * 86400000L)
+    // active on days 0, 3, and 10: day 3's 7-day window includes day
+    // 0; day 10's does NOT include day 3 (gap of 7) — a ROWS frame
+    // would wrongly carry it
+    val ev = Seq((1L, ts(0)), (1L, ts(0)), (1L, ts(3)), (1L, ts(10)))
+      .toDF("user_id", "ts")
+    val d0 = base.getTime / 86400000L
+    val got = Events.rollingDaily(ev).select("day", "n", "n7")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((d0, 2L, 2L), (d0 + 3, 1L, 3L), (d0 + 10, 1L, 1L)))
+  }
+
+  test("engagementGini: uniform counts → 0; computed from the histogram") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(pairs: (Long, Int)*) = pairs.flatMap { case (u, k) =>
+      (0 until k).map(i =>
+        (u, new java.sql.Timestamp(base.getTime + i * 1000L)))
+    }.toDF("user_id", "ts")
+    // perfectly equal: gini = 0 exactly
+    val eq = Events.engagementGini(ev(1L -> 3, 2L -> 3, 3L -> 3))
+      .as[(Long, Long, Long)].head()
+    assert(eq == ((3L, 9L, 0L)))
+    // counts 1,1,4: G = Σ(2i−n−1)x / (n·S) = (−2·1 + 0·1 + 2·4)/18
+    //             = 6/18 → gini_e6 = 333333 (floor)
+    val sk = Events.engagementGini(ev(1L -> 1, 2L -> 1, 3L -> 4))
+      .as[(Long, Long, Long)].head()
+    assert(sk == ((3L, 6L, 333333L)))
+  }
+
   test("enrich joins the broadcast dimension and rolls up by segment") {
     val ev = Seq((1L, "click", 2.0), (1L, "click", 3.0), (2L, "view", 4.0))
       .toDF("user_id", "event_type", "value")
