@@ -91,7 +91,14 @@ object SparkEntry {
     // (canon labels), and the corpus-scale gram-keyed semi-join
     // (split leakage); the other new keys reuse benched shapes and
     // stay verify-only
-    "graph_resource_alloc", "rdf_canon_labels", "data_split_contamination")
+    "graph_resource_alloc", "rdf_canon_labels", "data_split_contamination",
+    // r11: the two NEW shuffle shapes — the sparse RANGE-frame window
+    // (rolling daily) and the histogram-telescoped global statistic
+    // (gini); the other r11 keys (grouping sets, σ-screen calendar
+    // twin, neighbor-degree profile, the three SPARQL grammar keys,
+    // the forced embedding-sweep regime) reuse benched Expand /
+    // broadcast-fold / keyed-join shapes and stay verify-only
+    "events_rolling_daily", "events_engagement_gini")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

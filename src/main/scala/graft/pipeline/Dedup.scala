@@ -611,6 +611,45 @@ object Dedup {
       col("embedding").cast("array<double>").as("v"))
       .withColumn("code", Similarity.bucketCode(col("v"), planes, dims)))
 
+  /** Candidate band widths: the divisors of the 48-plane code that
+    * yield whole contiguous chunks, narrowest (highest recall, fattest
+    * buckets) first.
+    */
+  private[pipeline] val BandBitsLadder = Seq(4, 6, 8, 12, 16, 24, 48)
+
+  /** Choose the band width by PRICING, not guessing (r11 — the sf10
+    * soak OOM'd the fixed 4-bit bands: 2·10⁵ vectors over 16 buckets
+    * per band emit ~1.5e9 candidate pairs). For every ladder width
+    * one exploded aggregation counts each (label, band, key) bucket
+    * and sums s·(s−1)/2; the narrowest width whose exact volume fits
+    * `budget` wins (wider bands = fewer, smaller buckets = lower
+    * recall — the documented trade, escalated only as the data
+    * demands). One pass over vectors × 36 (band, width) combos, a
+    * vocabulary-scale groupBy, and a ladder-sized collect — all exact
+    * integers, so the DuckDB replay picks the identical width.
+    */
+  private[pipeline] def adaptiveBandBits(coded: DataFrame, planes: Int,
+                                         budget: Long): Int = {
+    val combos = BandBitsLadder.filter(planes % _ == 0).flatMap(b =>
+      (0 until planes / b).map(ch => (b, ch)))
+    val keyed = coded.select(col("label"), col("code"),
+      explode(array(combos.map { case (b, ch) =>
+        struct(lit(b).as("b"), lit(ch).as("band"),
+          shiftright(col("code"), ch * b)
+            .bitwiseAND(lit((1L << b) - 1)).as("key"))
+      }: _*)).as("z"))
+      .select(col("z.b").as("b"), col("label"),
+        col("z.band").as("band"), col("z.key").as("key"))
+    val vols = keyed.groupBy(col("b"), col("label"), col("band"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("b"))
+      .agg(sum(expr("cnt * (cnt - 1) div 2")).as("vol"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    BandBitsLadder.filter(planes % _ == 0)
+      .find(b => vols.getOrElse(b, 0L) <= budget)
+      .getOrElse(planes)
+  }
+
   /** LSH band candidates within a label: pairs agreeing on >=1
     * contiguous `bits`-bit slice of the hyperplane code.
     */
@@ -696,8 +735,9 @@ object Dedup {
     * priced): the exact pass emits exactly Σ n·(n−1)/2 pairs over
     * the label cells, priced by one metadata-scale fold BEFORE the
     * self-join. Within budget the counts are exact; over budget the
-    * operator reroutes to the hyperplane-band candidates
-    * [[embeddingCosine]]'s near-dup regime already uses — band
+    * operator reroutes to hyperplane-band candidates whose BAND
+    * WIDTH is itself priced ([[adaptiveBandBits]] — a fixed width
+    * has no safe value across scales) — band
     * recall < 1 below cosine 0.7 (the standard trade, MEASURED by
     * dedup_blocking_recall's sibling logic), so over-budget counts
     * are lower bounds from the same verified compare. The forced
@@ -705,8 +745,7 @@ object Dedup {
     */
   def embeddingSweep(embeddings: DataFrame,
                      maxCandidatePairs: Long = DefaultMaxCandidatePairs,
-                     blockPlanes: Int = 48, blockBits: Int = 4,
-                     dims: Int = 64): DataFrame = {
+                     blockPlanes: Int = 48, dims: Int = 64): DataFrame = {
     val exactPairVolume: Long =
       if (maxCandidatePairs <= 0) Long.MaxValue
       else {
@@ -729,12 +768,17 @@ object Dedup {
             col("x.vec_id") < col("y.vec_id"))
         .withColumn("cos", Similarity.cosine(col("x.v"), col("y.v"))))
     } else {
+      val e = codedVectors(embeddings, blockPlanes, dims)
+      // the band width is PRICED too (adaptiveBandBits) — a fixed
+      // width has no safe value: 4 bits OOM'd the sf10 soak while 48
+      // bits would gut recall at gate SF
+      val bits = adaptiveBandBits(e, blockPlanes, maxCandidatePairs)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"embeddingSweep: exact cell-pair volume $exactPairVolume over " +
-          s"budget $maxCandidatePairs — rerouting to hyperplane-band " +
-          "candidates (counts become lower bounds below cosine 0.7)")
-      val e = codedVectors(embeddings, blockPlanes, dims)
-      counts(embeddingCandidates(e, blockPlanes, blockBits)
+          s"budget $maxCandidatePairs — rerouting to $bits-bit " +
+          "hyperplane-band candidates (counts become lower bounds " +
+          "below cosine 0.7)")
+      counts(embeddingCandidates(e, blockPlanes, bits)
         .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
         .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
         .withColumn("cos", Similarity.cosine(col("va"), col("vb"))))

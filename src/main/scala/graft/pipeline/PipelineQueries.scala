@@ -453,11 +453,14 @@ object PipelineQueries {
     * replayed at `budget` (r11 — the conditional-cap idiom from
     * graph_resource_alloc's oracle): within budget the counts come
     * from the exact label-blocked pass; over budget from the
-    * 48-plane × 4-bit hyperplane-band candidates
-    * (`Dedup.codedVectors`/`embeddingCandidates` replayed — the
-    * 48-plane generalization of [[BUCKET_CTES]]'s 8-plane block).
-    * Shared by the default key and the forced-regime key so the two
-    * replays can never drift apart.
+    * hyperplane-band candidates (`Dedup.codedVectors`/
+    * `embeddingCandidates` replayed — the 48-plane generalization of
+    * [[BUCKET_CTES]]'s 8-plane block), with the BAND WIDTH itself
+    * priced: the replay computes each ladder width's exact candidate
+    * volume and picks the narrowest that fits the budget, exactly as
+    * `Dedup.adaptiveBandBits` does (exact integers ⇒ identical
+    * choice). Shared by the default key and the forced-regime key so
+    * the replays can never drift apart.
     */
   private def embSweepSql(budget: Long): String =
     s"""WITH tot AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS t
@@ -481,10 +484,23 @@ object PipelineQueries {
        |             CAST(sum(CASE WHEN s >= 0 THEN 1::BIGINT << p ELSE 0 END)
        |               AS BIGINT) AS code
        |           FROM dots48 GROUP BY 1),
-       |bands AS (SELECT b.vec_id, e.label, ch.ch AS band,
-       |            (b.code >> (ch.ch * 4)) & 15 AS key
-       |          FROM buck48 b JOIN embeddings e USING (vec_id),
-       |               range(0, 12) ch(ch)),
+       |allb AS (SELECT b FROM (VALUES (4),(6),(8),(12),(16),(24),(48)) t(b)),
+       |bvol AS (SELECT b,
+       |    CAST(coalesce(sum(cnt * (cnt - 1) // 2), 0) AS BIGINT) AS vol
+       |  FROM (SELECT bb.b AS b, e.label, ch.ch AS band,
+       |          (k.code >> (ch.ch * bb.b)) & ((1::BIGINT << bb.b) - 1) AS key,
+       |          count(*) AS cnt
+       |        FROM buck48 k JOIN embeddings e USING (vec_id),
+       |             allb bb, range(0, 12) ch(ch)
+       |        WHERE ch.ch < 48 // bb.b
+       |        GROUP BY 1, 2, 3, 4) GROUP BY 1),
+       |pick AS (SELECT CAST(coalesce(
+       |    (SELECT min(b) FROM bvol WHERE vol <= $budget), 48) AS BIGINT) AS pb),
+       |bands AS (SELECT k.vec_id, e.label, ch.ch AS band,
+       |            (k.code >> (ch.ch * p.pb)) & ((1::BIGINT << p.pb) - 1) AS key
+       |          FROM buck48 k JOIN embeddings e USING (vec_id),
+       |               pick p, range(0, 12) ch(ch)
+       |          WHERE ch.ch < 48 // p.pb),
        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |         FROM bands x JOIN bands y
        |         ON x.label = y.label AND x.band = y.band

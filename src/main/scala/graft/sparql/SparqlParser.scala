@@ -533,11 +533,22 @@ object SparqlParser extends RegexParsers {
     rep1sep(rep1sep(havingPrimary, "&&") ^^ (_.reduceLeft(And.apply)),
       "||") ^^ (_.reduceLeft(Or.apply))
 
+  /** GROUP BY condition: a variable, or the W3C `(expr AS ?v)` form
+    * (SPARQL 1.1 §19.8 GroupCondition) — the expression desugars into
+    * a hidden BIND around the WHERE pattern, so grouping always runs
+    * over named columns (r11, conformance family).
+    */
+  private def groupCond: Parser[Either[String, (VExpr, String)]] =
+    varTerm ^^ (v => Left(v.name)) |
+    ("(" ~> vAdditive ~ ("(?i)AS".r ~> varTerm) <~ ")") ^^ {
+      case e ~ v => Right((e, v.name))
+    }
+
   private def selectQuery: Parser[SelectQuery] =
     "(?i)SELECT".r ~> opt("(?i)DISTINCT".r) ~ (rep1(selector) ^^ Some.apply | "*" ^^^ None) ~
       rep(datasetClause) ~
       ("(?i)WHERE".r ~> groupGraphPattern) ~
-      opt("(?i)GROUP\\s+BY".r ~> rep1(varTerm)) ~
+      opt("(?i)GROUP\\s+BY".r ~> rep1(groupCond)) ~
       opt("(?i)HAVING".r ~> "(" ~> havingExpr <~ ")") ~
       opt("(?i)ORDER\\s+BY".r ~> rep1(orderCond)) ~
       // LIMIT/OFFSET in either order, per the SPARQL grammar
@@ -567,9 +578,14 @@ object SparqlParser extends RegexParsers {
           case ((OrderVar(n), asc), _) => (n, asc)
           case ((OrderExpr(_), asc), idx) => (s"__ord$idx", asc)
         }
+        val groupConds = group.getOrElse(Seq.empty)
+        val groupExprBinds = groupConds.collect { case Right(en) => en }
         val whereWithSels = exprSels.foldLeft(where)((w, s) => Bind(w, s.e, s.alias))
+        val whereWithGroups = groupExprBinds.foldLeft(whereWithSels) {
+          case (w, (e, nm)) => Bind(w, e, nm)
+        }
         SelectQuery(
-          where = orderExprs.foldLeft(whereWithSels) {
+          where = orderExprs.foldLeft(whereWithGroups) {
             case (w, (nm, e)) => Bind(w, e, nm)
           },
           projection = selectors.map {
@@ -578,7 +594,10 @@ object SparqlParser extends RegexParsers {
             case ExprSel(_, alias) => alias
           },
           aggregates = selectors.collect { case AggSel(a) => a },
-          groupBy = group.map(_.map(_.name)).getOrElse(Seq.empty),
+          groupBy = groupConds.map {
+            case Left(n) => n
+            case Right((_, n)) => n
+          },
           having = hav.toSeq,
           distinct = dist.isDefined,
           orderBy = orderBy,

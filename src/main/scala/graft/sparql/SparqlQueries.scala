@@ -470,6 +470,15 @@ object SparqlQueries {
           |WHERE { ?l :ofOrder ?o . ?o :byCustomer ?c . ?l :quantity ?q }
           |GROUP BY ?c HAVING (SUM(?q) > 900)""".stripMargin))
     },
+    // W3C GroupCondition `(expr AS ?v)` (r11): the grouping key is a
+    // computed expression, desugared into a hidden BIND so the
+    // aggregation still runs over a named typed column
+    "sparql_groupby_expr" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?bkt (COUNT(?p) AS ?cnt) WHERE {
+          |  ?p rdf:type :Part . ?p :size ?sz
+          |} GROUP BY (FLOOR(?sz / 10) AS ?bkt)""".stripMargin))
+    },
     // W3C Constraint ::= BuiltInCall (r11): FILTER followed by a bare
     // builtin call (no extra parens) + REGEX's XPath "i" flag, which
     // embeds as an inline (?i) group in both engines' regex dialects
@@ -1117,6 +1126,10 @@ object SparqlQueries {
         |       count(*) AS nl
         |FROM li JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 HAVING sum(l_quantity) > 900""".stripMargin,
+    "sparql_groupby_expr" ->
+      """SELECT CAST(floor(p_size / 10) AS DOUBLE) AS bkt,
+        |       count(*) AS cnt
+        |FROM part GROUP BY 1""".stripMargin,
     "sparql_regex_flags" ->
       """SELECT 'cust:'||c_custkey AS s, c_name AS n
         |FROM customer

@@ -455,6 +455,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(sess == Set((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("adaptiveBandBits escalates width exactly when the volume demands") {
+    // 64 vectors, one label: every vector gets a hyperplane code; at
+    // 4-bit bands the 16 buckets are fat (ballpark 4 per bucket →
+    // ~12·16·6 ≈ 10³ pairs), so a tiny budget must force a wider
+    // band while a huge budget keeps the narrowest
+    val e = (0L until 64L).map(i =>
+        (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat), 1))
+      .toDF("vec_id", "embedding", "label")
+    val coded = Dedup.codedVectors(e, 48, 64)
+    try {
+      assert(Dedup.adaptiveBandBits(coded, 48, Long.MaxValue) == 4,
+        "an unconstrained budget keeps the narrowest (highest-recall) band")
+      val tight = Dedup.adaptiveBandBits(coded, 48, 4L)
+      assert(tight > 4, "a tight budget must escalate past 4-bit bands")
+      assert(Dedup.BandBitsLadder.contains(tight))
+      // monotone: a looser budget never picks a WIDER band
+      val loose = Dedup.adaptiveBandBits(coded, 48, 1000L)
+      assert(loose <= tight)
+    } finally Dedup.releaseCaches()
+  }
+
   test("anomalyDays flags only the spiked day") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(day: Int, i: Int) =

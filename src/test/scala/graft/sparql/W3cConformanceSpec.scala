@@ -235,6 +235,13 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(got.forall(m => m("one").startsWith("o:emp")))
   }
 
+  test("aggregates:group04 — GROUP BY an expression with AS") {
+    assert(run(orgs,
+      "SELECT ?b (COUNT(?e) AS ?n) WHERE { ?e :salary ?s } GROUP BY (FLOOR(?s / 200) AS ?b)") ==
+      Set(b("b" -> "0", "n" -> "1"), b("b" -> "1", "n" -> "2"),
+        b("b" -> "2", "n" -> "1")))
+  }
+
   test("aggregates:count-distinct — COUNT(DISTINCT ?v)") {
     assert(run(people,
       "SELECT (COUNT(DISTINCT ?t) AS ?n) WHERE { ?x rdf:type ?t }") ==
