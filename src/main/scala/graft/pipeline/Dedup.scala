@@ -686,11 +686,20 @@ object Dedup {
     *   quantizer, not by luck.
     */
   def embeddingCosine(embeddings: DataFrame, tau: Double = 0.4,
-                      blockPlanes: Int = 48, blockBits: Int = 4,
-                      dims: Int = 64): DataFrame = {
+                      blockPlanes: Int = 48, blockBits: Int = 0,
+                      dims: Int = 64,
+                      maxCandidatePairs: Long = DefaultMaxCandidatePairs
+                     ): DataFrame = {
     if (tau >= 0.7) {
       val e = codedVectors(embeddings, blockPlanes, dims)
-      embeddingCandidates(e, blockPlanes, blockBits)
+      // blockBits = 0 (default) prices the band width
+      // ([[adaptiveBandBits]]) — the fixed 4-bit width this replaced
+      // OOM'd the sf10 sweep soak; an explicit width stays available
+      // for callers that know their distribution
+      val bits =
+        if (blockBits > 0) blockBits
+        else adaptiveBandBits(e, blockPlanes, maxCandidatePairs)
+      embeddingCandidates(e, blockPlanes, bits)
         .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
         .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
         .withColumn("cos", Similarity.cosine(col("va"), col("vb")))

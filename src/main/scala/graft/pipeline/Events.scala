@@ -1004,6 +1004,54 @@ object Events {
           " AS BIGINT)").as("gini_e6"))
   }
 
+  final case class RollState(days: Seq[(Long, Long)])
+  final case class RollRow(user_id: Long, day: Long, n: Long, n7: Long)
+
+  /** Streaming twin of [[rollingDaily]]: per-user state is the live
+    * ≤`days`-entry (day, count) ring — CONSTANT per key, the property
+    * that makes the operator streamable at all. A user's day row is
+    * final once a LATER day arrives for that user (its count can no
+    * longer grow), so the twin emits each (user, day, n, n7) on
+    * day-advance in append mode — every day except each user's still
+    * open last one, which the batch pass closes. Same per-key
+    * event-time-ordered arrival assumption as [[funnelStreaming]];
+    * the watermark bounds state for idle users.
+    */
+  def rollingDailyStreaming(events: DataFrame, days: Int = 7,
+                            watermark: String = "1 hour"): Dataset[RollRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RollState, RollRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, evs, state) =>
+          val out = Seq.newBuilder[RollRow]
+          var ring = state.getOption.map(_.days.toVector).getOrElse(Vector.empty)
+          def n7(at: Long, v: Vector[(Long, Long)]): Long =
+            v.collect { case (d, c) if d > at - days && d <= at => c }.sum
+          evs.toSeq
+            .map(e => Math.floorDiv(e._2.getTime, 86400000L))
+            .sorted
+            .foreach { d =>
+              ring.lastOption match {
+                case Some((open, c)) if d == open =>
+                  ring = ring.init :+ (open, c + 1)
+                case Some((open, _)) if d > open =>
+                  out += RollRow(uid, open, ring.last._2, n7(open, ring))
+                  ring = (ring :+ (d, 1L)).filter(_._1 > d - days)
+                case None => ring = Vector((d, 1L))
+                case _ => () // late day under the ordered-arrival contract
+              }
+            }
+          state.update(RollState(ring))
+          out.result().iterator
+      }
+  }
+
   final case class FunnelState(ts: Seq[Long])
   final case class FunnelHit(user_id: Long, stage: Int, us: Long)
 

@@ -227,6 +227,39 @@ object Multimodal {
           col("n_frames").cast("double"), 6))
   }
 
+  /** Scene-cut detection over the sampled frame stream: a cut is a
+    * consecutive-frame pair whose 64-bit frame fingerprints differ in
+    * more than `cutBits` bits — frame-difference hashing, the
+    * classic shot-boundary heuristic (on real video the fingerprint
+    * would be a perceptual hash from the decoder; here it derives
+    * from the frame digest, same plumbing). Hamming runs over the
+    * simhash 4×16-bit chunk layout with bit_count — exact integers.
+    *
+    * Scale shape: frames explode linearly, the lag runs inside a
+    * doc-keyed window (per-partition state = one previous frame), the
+    * rollup is a partial-agg fold — never frame×frame (r11).
+    */
+  def sceneCuts(docs: DataFrame, cutBits: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunkCols = (0 until 4).map(c =>
+      conv(substring(col("frame_md5"), 1 + 4 * c, 4), 16, 10)
+        .cast("int").as(s"c$c"))
+    val chunks = frameSample(docs)
+      .select(col("doc_id") +: col("frame_idx") +: chunkCols: _*)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val withPrev = (0 until 4).foldLeft(chunks)((df, c) =>
+      df.withColumn(s"p$c", lag(col(s"c$c"), 1).over(w)))
+    val ham = (0 until 4).map(c =>
+      bit_count(col(s"c$c").bitwiseXOR(col(s"p$c")).cast("long")))
+      .reduce(_ + _)
+    withPrev
+      .withColumn("ham", ham) // null on each doc's first frame
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        coalesce(sum(when(col("ham") > cutBits, 1L).otherwise(0L)), lit(0L))
+          .as("n_cuts"))
+  }
+
   def frameSample(docs: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
     docs
       .filter(length(col("text")) >= frameBytes)

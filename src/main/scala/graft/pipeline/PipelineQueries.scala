@@ -422,6 +422,17 @@ object PipelineQueries {
     // integers; no global user rank anywhere) (r11)
     "events_engagement_gini" -> ((s, dir) =>
       Events.engagementGini(Tables.events(s, dir))),
+    // shot-boundary detection over sampled frames: consecutive-frame
+    // fingerprint hamming > threshold, doc-keyed lag window (r11)
+    "mm_scene_cuts" -> ((s, dir) =>
+      Multimodal.sceneCuts(Tables.documents(s, dir))),
+    // collocation ranking by the exact-integer lift witness (PMI's
+    // monotone twin — no libm in the ordering) (r11)
+    "text_cooc_lift_topk" -> ((s, dir) =>
+      TextAnalysis.coocLiftTopK(Tables.documents(s, dir))),
+    // within-doc clumping profile of the head vocabulary (r11)
+    "text_burstiness" -> ((s, dir) =>
+      TextAnalysis.termBurstiness(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -1506,6 +1517,67 @@ object PipelineQueries {
         |    / count(*), 6) AS dup_frac
         |FROM f JOIN hd USING (frame_md5)
         |GROUP BY doc_id""".stripMargin,
+    "mm_scene_cuts" ->
+      """WITH f AS (SELECT doc_id, i,
+        |    md5(substr(text, i * 64 + 1, 64)) AS h
+        |  FROM documents, UNNEST(range(0, length(text) // 64, 4)) AS t(i)
+        |  WHERE length(text) >= 64),
+        |ch AS (SELECT doc_id, i,
+        |    ('0x' || substr(h, 1, 4))::INT AS c0,
+        |    ('0x' || substr(h, 5, 4))::INT AS c1,
+        |    ('0x' || substr(h, 9, 4))::INT AS c2,
+        |    ('0x' || substr(h, 13, 4))::INT AS c3
+        |  FROM f),
+        |lg AS (SELECT doc_id, c0, c1, c2, c3,
+        |    lag(c0) OVER w AS p0, lag(c1) OVER w AS p1,
+        |    lag(c2) OVER w AS p2, lag(c3) OVER w AS p3
+        |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |hm AS (SELECT doc_id,
+        |    CASE WHEN p0 IS NULL THEN NULL ELSE
+        |      bit_count(xor(c0, p0)) + bit_count(xor(c1, p1)) +
+        |      bit_count(xor(c2, p2)) + bit_count(xor(c3, p3)) END AS ham
+        |  FROM lg)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  CAST(coalesce(sum(CASE WHEN ham > 24 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_cuts
+        |FROM hm GROUP BY 1""".stripMargin,
+    "text_cooc_lift_topk" ->
+      raw"""WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS l
+           |  FROM documents),
+           |u AS (SELECT unnest(l) AS tok FROM t),
+           |uni AS (SELECT tok, count(*) AS nx FROM u GROUP BY 1),
+           |nt AS (SELECT CAST(sum(nx) AS BIGINT) AS nn FROM uni),
+           |z AS (
+           |  SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr
+           |  FROM t WHERE len(l) >= 2
+           |  UNION ALL
+           |  SELECT unnest(list_zip(l[1:len(l)-2], l[3:len(l)]))
+           |  FROM t WHERE len(l) >= 3
+           |  UNION ALL
+           |  SELECT unnest(list_zip(l[1:len(l)-3], l[4:len(l)]))
+           |  FROM t WHERE len(l) >= 4
+           |  UNION ALL
+           |  SELECT unnest(list_zip(l[1:len(l)-4], l[5:len(l)]))
+           |  FROM t WHERE len(l) >= 5),
+           |p AS (SELECT pr[1] AS tok_l, pr[2] AS tok_r, count(*) AS nxy
+           |      FROM z GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT tok_l, tok_r, nxy,
+           |  CAST((CAST(nxy AS HUGEINT) * nn * 1000000)
+           |    // (CAST(a.nx AS HUGEINT) * b.nx) AS BIGINT) AS lift_e6
+           |FROM p JOIN uni a ON a.tok = p.tok_l
+           |       JOIN uni b ON b.tok = p.tok_r, nt
+           |ORDER BY lift_e6 DESC, tok_l, tok_r LIMIT 100""".stripMargin,
+    "text_burstiness" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\s+') AS l
+           |  FROM documents),
+           |c AS (SELECT doc_id, unnest(l) AS tok FROM t),
+           |dc AS (SELECT doc_id, tok, count(*) AS c FROM c GROUP BY 1, 2)
+           |SELECT tok, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df,
+           |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_multi,
+           |  CAST(max(c) AS BIGINT) AS max_in_doc
+           |FROM dc GROUP BY 1 ORDER BY tf DESC, tok LIMIT 100""".stripMargin,
     "text_code_detect" ->
       """WITH c AS (SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS n_chars,

@@ -787,7 +787,11 @@ object TextAnalysis {
     * production runs put a vocabulary filter before the expansion
     * (the bm25 query-vocab idiom) — the operator shape is unchanged.
     */
-  def windowCooc(docs: DataFrame, window: Int = 4, k: Int = 200): DataFrame = {
+  /** Ordered (left, right) token pairs within `window` positions —
+    * the shared pair derivation of [[windowCooc]] and
+    * [[coocLiftTopK]], factored so the two can never drift.
+    */
+  private def windowPairs(docs: DataFrame, window: Int): DataFrame = {
     val l = col("l")
     docs.select(wsTokens(lower(col("text"))).as("l"))
       .filter(size(l) >= 2)
@@ -798,10 +802,66 @@ object TextAnalysis {
           slice(l, d + 1, size(l) - d),
           (a, b) => struct(a.as("tok_l"), b.as("tok_r")))))).as("pr"))
       .select(col("pr.tok_l").as("tok_l"), col("pr.tok_r").as("tok_r"))
+  }
+
+  def windowCooc(docs: DataFrame, window: Int = 4, k: Int = 200): DataFrame =
+    windowPairs(docs, window)
       .groupBy(col("tok_l"), col("tok_r")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok_l"), col("tok_r"))
       .limit(k)
+
+  /** Collocation strength ranking — PMI's monotone integer witness:
+    * lift(x,y) = P(x,y)/(P(x)·P(y)) = n_xy·N / (n_x·n_y), emitted as
+    * the EXACT integral ⌊lift·1e6⌋ (the numerator rides DECIMAL(38,0)
+    * internally — n_xy·N·1e6 reaches ~10²⁴ at a 10¹² token corpus —
+    * and the division is integral, so both engines rank identically;
+    * a log-space PMI would hand the ordering to libm rounding).
+    * `minCount` suppresses the rare-pair noise PMI is notorious for.
+    *
+    * Scale shape: one token-explode fold for unigrams (partial-agg),
+    * the [[windowPairs]] explode for pairs, two vocabulary-scale
+    * joins and a broadcast total — corpus-linear, top-k heaped.
+    */
+  def coocLiftTopK(docs: DataFrame, window: Int = 4, minCount: Int = 5,
+                   k: Int = 100): DataFrame = {
+    val uni = docs.select(explode(wsTokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("nx"))
+    val total = uni.agg(sum(col("nx")).as("nn"))
+    val pairs = windowPairs(docs, window)
+      .groupBy(col("tok_l"), col("tok_r")).agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= minCount)
+    pairs
+      .join(uni.select(col("tok").as("tok_l"), col("nx")), "tok_l")
+      .join(uni.select(col("tok").as("tok_r"), col("nx").as("ny")), "tok_r")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_e6",
+        expr("CAST((CAST(nxy AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0))" +
+          " * 1000000) div (CAST(nx AS DECIMAL(38,0))" +
+          " * CAST(ny AS DECIMAL(38,0))) AS BIGINT)"))
+      .orderBy(col("lift_e6").desc, col("tok_l"), col("tok_r"))
+      .limit(k)
+      .select(col("tok_l"), col("tok_r"), col("nxy"), col("lift_e6"))
   }
+
+  /** Term burstiness profile — the clumping statistic df alone hides:
+    * for the k highest-frequency terms, total occurrences (tf),
+    * document frequency (df), how many docs carry the term MORE THAN
+    * ONCE (n_multi), and the single-doc maximum — boilerplate and
+    * topical terms both have high tf, but boilerplate spreads
+    * (n_multi≈df) while topical content clumps. All exact integers
+    * from one (doc, term) fold + one term fold, both partial-agg;
+    * top-k heaped.
+    */
+  def termBurstiness(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"),
+        explode(wsTokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("tok"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_multi"),
+        max(col("c")).as("max_in_doc"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(k)
 
   /** [[mixToTarget]] weighted by TOKENS instead of document counts —
     * the budget pretraining mixtures are actually specified in. The

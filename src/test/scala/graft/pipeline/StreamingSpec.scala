@@ -361,6 +361,42 @@ class StreamingSpec extends AnyFunSuite {
       Set((7L, 0), (7L, 1), (7L, 2), (8L, 0)))
   }
 
+  test("streaming rolling-daily closes days exactly as the batch RANGE frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def ts(day: Int, i: Int = 0) =
+      new java.sql.Timestamp(base.getTime + day * 86400000L + i * 1000L)
+    // user 1 active on days 0,0,3,10 (gap > 7 between 3 and 10);
+    // user 2 on days 1,2 — split across two arrival batches so day
+    // state carries over the micro-batch boundary
+    val rows = Seq((1L, ts(0)), (1L, ts(0, 1)), (2L, ts(1)),
+      (1L, ts(3)), (2L, ts(2)), (1L, ts(10)))
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    stream.addData(rows.take(3))
+    val q = Events.rollingDailyStreaming(
+        stream.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("rolling_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rolling_stream_test")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch rows for every day EXCEPT each user's still-open last one
+    val batch = Events.rollingDaily(rows.toDF("user_id", "ts"))
+    val lastDay = batch.groupBy(col("user_id"))
+      .agg(max(col("day")).as("day"))
+    val want = batch.join(lastDay, Seq("user_id", "day"), "left_anti")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    val d0 = base.getTime / 86400000L
+    assert(got == Set((1L, d0, 2L, 2L), (1L, d0 + 3, 1L, 3L),
+      (2L, d0 + 1, 1L, 1L)))
+  }
+
   test("streaming transition pairs reproduce the batch bigram counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
