@@ -531,6 +531,22 @@ object SparkEntry {
         .withColumn("share", round(col("rev") /
           sum(col("rev")).over(Window.partitionBy(col("l_orderkey"))), 6))
     },
+    // top-k PER GROUP — the rank-window anchor (global top-k heaps
+    // via TakeOrdered; per-group top-k is its windowed sibling): the
+    // fact table folds to per-(flag, part) sums FIRST (partial-agg
+    // fact shuffle), so the rank window runs over the metadata-scale
+    // rollup — never over raw fact rows; deterministic via the part
+    // tiebreak; sums exact (integral-double quantities cast long).
+    "q_topk_per_group" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pq = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("qty").desc, col("l_partkey"))
+      pq.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+    },
     // pivot (crosstab) — the wide-report anchor: per-returnflag rows,
     // one column pair per linestatus. The value list is EXPLICIT, so
     // Spark skips the extra distinct-collect pass a bare pivot() runs
@@ -980,6 +996,15 @@ object SparkEntry {
         |    sum(l_extendedprice * (1.0 - l_discount))
         |      OVER (PARTITION BY l_orderkey), 6) AS share
         |FROM lineitem""".stripMargin,
+    "q_topk_per_group" ->
+      """WITH pq AS (SELECT l_returnflag, l_partkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_partkey, qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY qty DESC, l_partkey) AS rk
+        |  FROM pq)
+        |SELECT l_returnflag, l_partkey, qty, rk FROM r WHERE rk <= 3""".stripMargin,
     // pivot = conditional aggregation; empty cells are NULL sums but
     // 0 counts on both engines
     "q_pivot_status" ->

@@ -1004,6 +1004,34 @@ object Events {
           " AS BIGINT)").as("gini_e6"))
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every traffic
+    * forecast must beat, and a data-quality card in its own right
+    * (a type whose same-weekday-last-week error explodes changed
+    * behavior): per event type and day d, predict count(d−7), score
+    * |actual − predicted|, roll up total/max absolute error over the
+    * scored days. Exact integers end to end. Shape: one
+    * (type, day)-keyed count shuffle (calendar-scale), a type-keyed
+    * lag-7 window over the sparse day sequence (RANGE frame so
+    * calendar gaps don't slip the season), metadata rollup.
+    */
+  def backtestSnaive(events: DataFrame): DataFrame = {
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    // the prediction is the count EXACTLY 7 days back (0 if that day
+    // has no row): max over a RANGE frame pinned to [-7, -7]
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-7, -7)
+    daily
+      .withColumn("pred", max(col("n")).over(w))
+      .filter(col("pred").isNotNull)
+      .withColumn("abs_err", abs(col("n") - col("pred")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("abs_err")).as("total_abs_err"),
+        max(col("abs_err")).as("max_abs_err"))
+  }
+
   final case class RollState(days: Seq[(Long, Long)])
   final case class RollRow(user_id: Long, day: Long, n: Long, n7: Long)
 

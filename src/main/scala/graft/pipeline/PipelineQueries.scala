@@ -433,6 +433,14 @@ object PipelineQueries {
     // within-doc clumping profile of the head vocabulary (r11)
     "text_burstiness" -> ((s, dir) =>
       TextAnalysis.termBurstiness(Tables.documents(s, dir))),
+    // quality-weighted acceptance (thins instead of cliff-filtering);
+    // integer-exact decision on the hex-25 slice (r11)
+    "data_importance_sample" -> ((s, dir) =>
+      TextAnalysis.importanceSample(Tables.documents(s, dir))),
+    // seasonal-naive backtest: |n(d) − n(d−7)| per event type, exact
+    // ints, RANGE-pinned lag-7 so calendar gaps don't slip (r11)
+    "events_backtest_snaive" -> ((s, dir) =>
+      Events.backtestSnaive(Tables.events(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -1424,6 +1432,25 @@ object PipelineQueries {
            |  least(1.0, n / 100.0) * (1.0 - punct_ratio) * (1.0 - 0.5 * stop_ratio)
            |    AS score
            |FROM y""".stripMargin,
+    "data_importance_sample" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)), '\s+') AS toks,
+           |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text)
+           |    AS punct_ratio
+           |FROM documents),
+           |y AS (SELECT doc_id, len(toks) * 1.0 AS n, punct_ratio,
+           |  len(list_filter(toks,
+           |      t -> list_contains(['the','a','and','of','in'], t))) * 1.0
+           |    / len(toks) AS stop_ratio
+           |FROM x),
+           |w AS (SELECT doc_id,
+           |  CAST(floor(least(1.0, n / 100.0) * (1.0 - punct_ratio)
+           |    * (1.0 - 0.5 * stop_ratio) * 100) AS BIGINT) AS w_pct
+           |FROM y)
+           |SELECT d.doc_id, d.source, w.w_pct
+           |FROM documents d JOIN w USING (doc_id)
+           |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 25, 4))::BIGINT
+           |      % 100 < w.w_pct""".stripMargin,
     "text_langid" ->
       raw"""WITH x AS (SELECT doc_id,
            |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -2073,6 +2100,19 @@ object PipelineQueries {
         |  AND CAST(n * nu - s AS HUGEINT) * CAST(n * nu - s AS HUGEINT) >
         |      4 * (CAST(nu AS HUGEINT) * CAST(q AS HUGEINT) -
         |           CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+    "events_backtest_snaive" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, n,
+        |    max(n) OVER (PARTITION BY event_type ORDER BY day
+        |      RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS pred
+        |  FROM d)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(abs(n - pred)) AS BIGINT) AS total_abs_err,
+        |  CAST(max(abs(n - pred)) AS BIGINT) AS max_abs_err
+        |FROM p WHERE pred IS NOT NULL GROUP BY 1""".stripMargin,
     "events_rolling_daily" ->
       """WITH d AS (SELECT user_id,
         |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,

@@ -563,6 +563,29 @@ object TextAnalysis {
     * [[assignSplit]]'s chars 1-4, so sampling is independent of the
     * train/val/test assignment.
     */
+  /** Quality-weighted (importance) sampling — the curation pattern
+    * between hard filters (the Gopher gate) and uniform rates (the
+    * mix): low-quality content THINS in proportion to its score
+    * instead of vanishing at a cliff. Acceptance compares the md5
+    * bucket (hex 25-28 — decorrelated from the split/sample/pack/
+    * mix/shard/incremental slices) against the score quantized to
+    * integer percent, so the accept/reject decision is
+    * integer-exact; the score itself is a per-row IEEE expression
+    * with no reduction anywhere, identical on both engines.
+    *
+    * Scale shape: one keyed join to attach the score, decision
+    * map-side — no shuffle beyond the join, reproducible on any
+    * cluster.
+    */
+  def importanceSample(docs: DataFrame): DataFrame = {
+    val bucket = hashSlice(25) % 100
+    docs.select(col("doc_id"), col("source"))
+      .join(qualityScore(docs).select(col("doc_id"),
+        floor(col("score") * 100).cast("long").as("w_pct")), "doc_id")
+      .filter(bucket < col("w_pct"))
+      .select(col("doc_id"), col("source"), col("w_pct"))
+  }
+
   def sampleStratified(docs: DataFrame,
                        rates: Map[String, Int] = Map("src0" -> 50, "src1" -> 25),
                        defaultPct: Int = 10): DataFrame = {

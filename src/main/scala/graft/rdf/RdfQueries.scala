@@ -304,6 +304,12 @@ object RdfQueries {
       Shapes.cardinalityProfile(TripleStore.dimensionTriples(s, dir)
         .select(col("s"), col("p"), col("o")))
     },
+    // which predicates appear TOGETHER on a subject — the entity-shape
+    // signal cardinality alone hides (r11)
+    "rdf_pred_cooccurrence" -> { (s, dir) =>
+      Shapes.predCooccurrence(TripleStore.dimensionTriples(s, dir)
+        .select(col("s"), col("p"), col("o")))
+    },
     // SHACL-style min/max-cardinality validation report: two
     // conforming shapes and one deliberately-failing shape (nations
     // have no acctbal) so the report exercises both outcomes (r9 b24)
@@ -753,6 +759,12 @@ object RdfQueries {
          |  CAST(max(c) AS BIGINT) AS max_fanout,
          |  max(c) = 1 AS is_functional
          |FROM ps GROUP BY p""".stripMargin),
+    "rdf_pred_cooccurrence" ->
+      (s"WITH $DIM_T,\n" +
+      """|sp AS (SELECT DISTINCT s, p FROM t)
+         |SELECT a.p AS p1, b.p AS p2, count(*) AS n_subjects
+         |FROM sp a JOIN sp b ON a.s = b.s AND a.p < b.p
+         |GROUP BY 1, 2""".stripMargin),
     "rdf_shape_validate" ->
       (s"WITH $DIM_T,\n" +
       """|shapes(shape, target_class, path, min_count, max_count) AS (

@@ -33,6 +33,23 @@ object Shapes {
         max(col("c")).as("max_fanout"))
       .withColumn("is_functional", col("max_fanout") === 1)
 
+  /** Predicate co-occurrence matrix over subjects: for each unordered
+    * predicate pair, how many subjects carry BOTH — the
+    * schema-discovery companion of [[cardinalityProfile]] (which
+    * predicates form an entity shape TOGETHER, the signal a class
+    * inference or SHACL-shape proposal starts from). Subject-keyed
+    * self-join over the distinct (s, p) relation: per-subject
+    * predicate sets are vocabulary-bounded, so the pair volume is
+    * |S|·k² with tiny k — linear in subjects (r11).
+    */
+  def predCooccurrence(triples: DataFrame): DataFrame = {
+    val sp = triples.select(col("s"), col("p")).distinct()
+    sp.as("a").join(sp.as("b"),
+        col("a.s") === col("b.s") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("n_subjects"))
+  }
+
   /** Validate min/max-cardinality shapes: each shape row targets a
     * class and requires between minCount and maxCount values of
     * `path` per target node. Returns the per-shape conformance

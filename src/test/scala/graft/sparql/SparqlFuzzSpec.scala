@@ -49,7 +49,12 @@ class SparqlFuzzSpec extends AnyFunSuite {
 
   private val filter: Gen[String] = Gen.oneOf(
     "FILTER(?x != ?y)", "FILTER(BOUND(?y))", "FILTER(!BOUND(?z))",
-    "FILTER(STRSTARTS(STR(?x), \"p:\"))", "FILTER(?x IN (<p:1>, <p:2>))")
+    "FILTER(STRSTARTS(STR(?x), \"p:\"))", "FILTER(?x IN (<p:1>, <p:2>))",
+    // r11 grammar: bare builtin constraints (no outer parens) and
+    // REGEX's flags argument
+    "FILTER BOUND(?x)", "FILTER REGEX(?x, \"^p\", \"i\")",
+    "FILTER CONTAINS(STR(?x), \":\")", "FILTER !BOUND(?z)",
+    "FILTER isIRI(?x)")
 
   private val elem: Gen[String] = Gen.frequency(
     5 -> triple,
@@ -66,6 +71,45 @@ class SparqlFuzzSpec extends AnyFunSuite {
     dist <- Gen.oneOf("", "DISTINCT ")
     lim <- Gen.oneOf("", " LIMIT 7")
   } yield s"SELECT ${dist}?x WHERE { $first ${body.mkString(" ")} }$lim"
+
+  /** Subject pinned to ?x so grouping keys are always bound. */
+  private val tripleX: Gen[String] = for {
+    p <- pred
+    o <- Gen.oneOf("?y", "?z", "<p:2>", "\"ann\"", "\"30\"")
+  } yield s"?x $p $o ."
+
+  /** r11 grammar sweep: GROUP BY var/(expr AS ?v) × direct-aggregate
+    * vs alias HAVING × ORDER BY var/DESC/bracketed-expression forms.
+    */
+  private val aggQuery: Gen[String] = for {
+    first <- tripleX
+    extra <- Gen.oneOf("", "?x :age ?v .", "OPTIONAL { ?x :name ?nm }")
+    g <- Gen.oneOf("?x" -> "?x", "(STRLEN(STR(?x)) AS ?g)" -> "?g")
+    hav <- Gen.oneOf("", " HAVING (?n >= 1)", " HAVING (COUNT(?x) >= 1)")
+    lim <- Gen.oneOf("", " LIMIT 5")
+  } yield s"SELECT ${g._2} (COUNT(?x) AS ?n) " +
+    s"WHERE { $first $extra } GROUP BY ${g._1}$hav$lim"
+
+  test("generated aggregate queries parse, compile, and run deterministically") {
+    val seed = rng.Seed(1142L)
+    val queries = Gen.listOfN(60, aggQuery)
+      .pureApply(Gen.Parameters.default, seed)
+    queries.foreach { q =>
+      val parsed =
+        try SparqlParser.parse(q)
+        catch { case e: Throwable =>
+          fail(s"parse threw on well-formed aggregate query:\n$q\n${e.getMessage}")
+        }
+      val run1 =
+        try Compiler.run(triples, parsed).collect().map(_.toString).sorted.toSeq
+        catch { case e: Throwable =>
+          fail(s"compile/execute threw:\n$q\n${e.getMessage}")
+        }
+      val run2 = Compiler.run(triples, parsed)
+        .collect().map(_.toString).sorted.toSeq
+      assert(run1 == run2, s"nondeterministic results for:\n$q")
+    }
+  }
 
   test("generated queries parse, compile, run, and run deterministically") {
     val seed = rng.Seed(42L)
