@@ -950,9 +950,17 @@ object Compiler {
     df = df.select(keep.distinct.map(col): _*)
     if (q.distinct) df = df.distinct()
     if (q.orderBy.nonEmpty) {
-      val sorts = q.orderBy.map { case (v, asc) =>
-        val c = if (df.columns.contains(numCol(v))) col(numCol(v)) else col(v)
-        if (asc) c.asc else c.desc
+      // order by the numeric companion THEN the lexical form: a
+      // numeric binding sorts by value, while a string/IRI binding
+      // (whose companion is all-NULL — sorting on it alone was a
+      // silent no-op, found by the W3C order-mixed case) falls
+      // through to lexical order; Spark's null placement (asc: first,
+      // desc: last) keeps each run deterministic
+      val sorts = q.orderBy.flatMap { case (v, asc) =>
+        val keys =
+          if (df.columns.contains(numCol(v))) Seq(col(numCol(v)), col(v))
+          else Seq(col(v))
+        keys.map(c => if (asc) c.asc else c.desc)
       }
       df = df.orderBy(sorts: _*)
     }

@@ -402,6 +402,52 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("n" -> "Alice")))
   }
 
+  test("functions:encode01 — ENCODE_FOR_URI percent-encodes reserved chars") {
+    assert(run(people,
+      """SELECT (ENCODE_FOR_URI("a b/c") AS ?e) WHERE { <p:alice> :name ?n }""") ==
+      Set(b("e" -> "a%20b%2Fc")))
+  }
+
+  test("functions:md5-01 — MD5 of a plain literal") {
+    assert(run(people,
+      """SELECT (MD5("abc") AS ?h) WHERE { <p:alice> :name ?n }""") ==
+      Set(b("h" -> "900150983cd24fb0d6963f7d28e17f72")))
+  }
+
+  test("functions:iri01 — a minted IRI passes isIRI") {
+    assert(run(people,
+      """SELECT ?x WHERE { ?x :name ?n BIND(IRI(CONCAT("mint:", ?n)) AS ?i)
+        |  FILTER(isIRI(?i) && STRSTARTS(STR(?i), "mint:A")) }""".stripMargin) ==
+      Set(b("x" -> "p:alice")))
+  }
+
+  test("expr:precedence — multiplication binds tighter than addition") {
+    assert(run(people,
+      "SELECT (2 + 3 * 4 AS ?v) WHERE { <p:alice> :name ?n }") ==
+      Set(b("v" -> "14")))
+  }
+
+  test("aggregates:sum-distinct — duplicate values collapse") {
+    import spark.implicits._
+    val dup = Seq(
+      ("e:1", ":pay", "400", Some(400.0), false, Option.empty[String]),
+      ("e:2", ":pay", "400", Some(400.0), false, None),
+      ("e:3", ":pay", "100", Some(100.0), false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(run(dup,
+      "SELECT (SUM(DISTINCT ?v) AS ?t) (SUM(?v) AS ?all) WHERE { ?e :pay ?v }") ==
+      Set(b("t" -> "500", "all" -> "900")))
+  }
+
+  test("negation:minus-with-pattern — MINUS over a two-triple pattern") {
+    // remove persons who know someone that has a mbox (only alice
+    // knows bob, who has one)
+    assert(run(people,
+      """SELECT ?x WHERE { ?x rdf:type :Person
+        |  MINUS { ?x :knows ?y . ?y :mbox ?m } }""".stripMargin) ==
+      Set(b("x" -> "p:bob"), b("x" -> "p:carol")))
+  }
+
   // ---- solution modifiers ------------------------------------------
 
   test("modifiers:order-by-desc-limit — deterministic top slice") {
@@ -426,6 +472,13 @@ class W3cConformanceSpec extends AnyFunSuite {
     val df = Graft.sparql(people,
       "SELECT ?n WHERE { ?x :name ?n . ?x :age ?a } ORDER BY (35 - ?a)")
     assert(df.collect().map(_.getString(0)).toSeq == Seq("Bob", "Alice", "Carol"))
+  }
+
+  test("modifiers:order-mixed — DESC primary with ASC tiebreak") {
+    val df = Graft.sparql(people,
+      "SELECT ?n WHERE { ?x :name ?n . ?x rdf:type ?t } ORDER BY DESC(?t) ?n")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("Dave", "Alice", "Bob", "Carol"))
   }
 
   // ---- union -------------------------------------------------------
