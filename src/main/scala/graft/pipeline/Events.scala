@@ -1032,6 +1032,49 @@ object Events {
         max(col("abs_err")).as("max_abs_err"))
   }
 
+  /** Day-over-day event-type mix drift: the L1 distance between
+    * consecutive days' type distributions — the distribution-shift
+    * alarm a pipeline checks before trusting a day (a new client
+    * version or bot wave shows up here before any volume alarm).
+    * EXACT integers by cross-multiplication over the common
+    * denominator: Σ_t |n_t,d·N_{d−1} − n_t,d−1·N_d| carried in
+    * DECIMAL(38,0) internally, emitted as ⌊L1·1e6⌋ by integral
+    * division — no per-type float shares to drift.
+    *
+    * Shape: one (day, type) fact-scale count; the day×type GRID is
+    * calendar × vocabulary (metadata), densified so a type absent on
+    * one side contributes its full share; type-keyed RANGE [-1,-1]
+    * windows pair strictly consecutive days.
+    */
+  def typeMixDrift(events: DataFrame): DataFrame = {
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    // checkpointed: totals, the type vocabulary, and the grid join all
+    // read the counted frame — without it each leg re-runs the
+    // fact-table count (3× the corpus scan at 100 TB for a
+    // calendar×vocabulary-sized intermediate)
+    val c = graft.Checkpoints.tracked(
+      events.groupBy(day.as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n")))
+    val totals = c.groupBy(col("day")).agg(sum(col("n")).as("nd"))
+    val grid = totals.crossJoin(c.select(col("event_type")).distinct())
+      .join(c, Seq("day", "event_type"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-1, -1)
+    grid
+      .withColumn("pn", max(col("n")).over(w))
+      .withColumn("pnd", max(col("nd")).over(w))
+      .filter(col("pn").isNotNull)
+      .withColumn("term", abs(
+        col("n").cast("decimal(38,0)") * col("pnd").cast("decimal(38,0)") -
+          col("pn").cast("decimal(38,0)") * col("nd").cast("decimal(38,0)")))
+      .groupBy(col("day"))
+      .agg(max(col("nd")).as("n_events"),
+        expr("CAST((sum(term) * 1000000)" +
+          " div (CAST(max(nd) AS DECIMAL(38,0))" +
+          " * CAST(max(pnd) AS DECIMAL(38,0))) AS BIGINT)").as("l1_e6"))
+  }
+
   final case class RollState(days: Seq[(Long, Long)])
   final case class RollRow(user_id: Long, day: Long, n: Long, n7: Long)
 

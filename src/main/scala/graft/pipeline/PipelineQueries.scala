@@ -441,6 +441,14 @@ object PipelineQueries {
     // ints, RANGE-pinned lag-7 so calendar gaps don't slip (r11)
     "events_backtest_snaive" -> ((s, dir) =>
       Events.backtestSnaive(Tables.events(s, dir))),
+    // day-over-day type-mix L1 drift via exact cross-multiplication
+    // over the densified day×type grid (r11)
+    "events_type_drift" -> ((s, dir) =>
+      Events.typeMixDrift(Tables.events(s, dir))),
+    // the quality-score decile histogram the curation threshold is
+    // read off from (r11)
+    "data_quality_hist" -> ((s, dir) =>
+      TextAnalysis.qualityHist(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -2100,6 +2108,41 @@ object PipelineQueries {
         |  AND CAST(n * nu - s AS HUGEINT) * CAST(n * nu - s AS HUGEINT) >
         |      4 * (CAST(nu AS HUGEINT) * CAST(q AS HUGEINT) -
         |           CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+    "events_type_drift" ->
+      """WITH c AS (SELECT
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS nd FROM c GROUP BY 1),
+        |ty AS (SELECT DISTINCT event_type FROM c),
+        |grid AS (SELECT t.day, t.nd, ty.event_type,
+        |    coalesce(c.n, 0) AS n
+        |  FROM tot t CROSS JOIN ty
+        |  LEFT JOIN c ON c.day = t.day AND c.event_type = ty.event_type),
+        |p AS (SELECT day, nd, event_type, n,
+        |    max(n) OVER w AS pn, max(nd) OVER w AS pnd
+        |  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING))
+        |SELECT day, max(nd) AS n_events,
+        |  CAST((sum(abs(CAST(n AS HUGEINT) * pnd - CAST(pn AS HUGEINT) * nd))
+        |      * 1000000)
+        |    // (CAST(max(nd) AS HUGEINT) * max(pnd)) AS BIGINT) AS l1_e6
+        |FROM p WHERE pn IS NOT NULL GROUP BY 1""".stripMargin,
+    "data_quality_hist" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)), '\s+') AS toks,
+           |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text)
+           |    AS punct_ratio
+           |FROM documents),
+           |y AS (SELECT doc_id, len(toks) * 1.0 AS n, punct_ratio,
+           |  len(list_filter(toks,
+           |      t -> list_contains(['the','a','and','of','in'], t))) * 1.0
+           |    / len(toks) AS stop_ratio
+           |FROM x)
+           |SELECT CAST(floor(least(1.0, n / 100.0) * (1.0 - punct_ratio)
+           |    * (1.0 - 0.5 * stop_ratio) * 10) AS BIGINT) AS decile,
+           |  count(*) AS n_docs
+           |FROM y GROUP BY 1""".stripMargin,
     "events_backtest_snaive" ->
       """WITH d AS (SELECT event_type,
         |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,

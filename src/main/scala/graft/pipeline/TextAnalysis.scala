@@ -586,6 +586,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("w_pct"))
   }
 
+  /** Decile histogram of the quality score — the corpus-level card a
+    * curation threshold is read off from (importanceSample consumes
+    * the same score doc-by-doc; this shows the distribution the
+    * threshold cuts). The bucket is floor(score·10) of a per-row IEEE
+    * expression with no reduction — identical on both engines — so
+    * the bucketing is deterministic; counts are exact. One map-side
+    * projection + a vocabulary-scale fold.
+    */
+  def qualityHist(docs: DataFrame): DataFrame =
+    qualityScore(docs)
+      .select(floor(col("score") * 10).cast("long").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+
   def sampleStratified(docs: DataFrame,
                        rates: Map[String, Int] = Map("src0" -> 50, "src1" -> 25),
                        defaultPct: Int = 10): DataFrame = {

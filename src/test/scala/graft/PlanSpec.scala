@@ -894,6 +894,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "degree counts must combine map-side")
   }
 
+  test("q_topk_per_group: rank window runs over the rollup, not raw facts") {
+    val p = plan("q_topk_per_group")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "the fact table must fold to per-group sums before the window")
+    assert(p.contains("row_number"), "per-group top-k is a rank window")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the window partitions by group, never a global funnel")
+  }
+
+  test("events_type_drift: grid/totals/types read the checkpointed counts") {
+    val p = plan("events_type_drift")
+    // the fact-table count runs ONCE, before the checkpoint — the
+    // visible plan must therefore contain no events scan at all (a
+    // parquet scan here would mean each leg re-counts the corpus)
+    assert("FileScan parquet.*events".r.findAllIn(p).isEmpty,
+      "grid/totals/types must read the CHECKPOINTED counted frame")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the drift rollup partitions by day, never a global funnel")
+  }
+
   test("dedup_containment: integer threshold, shared sets reused, keyed joins") {
     val p = plan("dedup_containment")
     assert(!p.contains("CartesianProduct"), "candidates come from the index join")
