@@ -141,6 +141,17 @@ object GraphQueries {
     "graph_avg_neighbor_degree" -> { (s, dir) =>
       Analytics.avgNeighborDegree(coOrderPartEdgeKeys(s, dir))
     },
+    // NORMALIZED neighbor-overlap link prediction: cn div union ranks
+    // low-degree near-twins above hub pairs — a different top-k than
+    // common_neighbors' raw count; integer-division witness (r11)
+    "graph_jaccard_linkpred" -> { (s, dir) =>
+      Analytics.jaccardLinkPred(coOrderPartEdgeKeys(s, dir))
+    },
+    // rich-club profile φ(κ): reverse cumulatives over the degree and
+    // min-endpoint-degree histograms — no wedge join anywhere (r11)
+    "graph_rich_club" -> { (s, dir) =>
+      Analytics.richClub(coOrderPartEdgeKeys(s, dir))
+    },
     // the wedge-volume gate FORCED (budget 1e5): the middle-degree
     // cap must fire and the capped answers are themselves oracled —
     // the dedup_ngram_jaccard_gated pattern on the graph side (r10)
@@ -546,6 +557,52 @@ object GraphQueries {
         |SELECT a.v AS v, count(*) AS deg,
         |  CAST(sum(d.degw) AS BIGINT) AS sum_nbr_deg
         |FROM adj a JOIN deg d ON d.v = a.w GROUP BY 1""".stripMargin,
+    // jaccard = cn / (deg_u + deg_v − cn); the ranking witness is the
+    // exact integer division cn·1e6 div union on both engines
+    "graph_jaccard_linkpred" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+        |wed AS (SELECT a.v AS u, b.v AS v, count(*) AS cn
+        |        FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v GROUP BY 1, 2),
+        |ne AS (SELECT u, v, cn FROM wed WHERE NOT EXISTS (
+        |         SELECT 1 FROM e WHERE e.p1 = wed.u AND e.p2 = wed.v))
+        |SELECT u, ne.v AS v, cn,
+        |  du.deg + dv.deg - cn AS union_n,
+        |  (cn * 1000000) // (du.deg + dv.deg - cn) AS jac_e6
+        |FROM ne JOIN deg du ON du.v = ne.u JOIN deg dv ON dv.v = ne.v
+        |ORDER BY jac_e6 DESC, u, ne.v LIMIT 20""".stripMargin,
+    // rich club: n_k / e_k are reverse cumulatives of the degree and
+    // min-endpoint-degree histograms over the distinct-degree ladder
+    "graph_rich_club" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+        |dh AS (SELECT deg AS k, count(*) AS nv FROM deg GROUP BY 1),
+        |md AS (SELECT least(du.deg, dv.deg) AS k, count(*) AS ne
+        |       FROM e JOIN deg du ON du.v = e.p1 JOIN deg dv ON dv.v = e.p2
+        |       GROUP BY 1),
+        |ladder AS (SELECT coalesce(dh.k, md.k) AS k,
+        |             coalesce(nv, 0) AS nv, coalesce(ne, 0) AS ne
+        |           FROM dh FULL OUTER JOIN md ON dh.k = md.k),
+        |cum AS (SELECT k,
+        |          sum(nv) OVER (ORDER BY k
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_k,
+        |          sum(ne) OVER (ORDER BY k
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS e_k
+        |        FROM ladder)
+        |SELECT k, CAST(n_k AS BIGINT) AS n_k,
+        |  CAST(coalesce(e_k, 0) AS BIGINT) AS e_k,
+        |  CAST((2 * CAST(coalesce(e_k, 0) AS BIGINT) * 1000000)
+        |    // (CAST(n_k AS BIGINT) * (CAST(n_k AS BIGINT) - 1))
+        |    AS BIGINT) AS phi_e6
+        |FROM cum WHERE n_k >= 2""".stripMargin,
     // the gate replayed in SQL: total volume priced, conditional cap
     // as the largest degree whose low-degree-first cumulative volume
     // fits the forced 1e5 budget, RA over capped middles only

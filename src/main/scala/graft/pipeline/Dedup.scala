@@ -857,4 +857,30 @@ object Dedup {
       .select(col("doc_id"), col("fp"),
         col("__hit").isNotNull.as("dup_of_existing"))
   }
+
+  /** Cross-SOURCE duplication matrix: the [[minhashLsh]] near-dup
+    * pairs rolled up by unordered source pair — which crawls copy
+    * from which (the mirror/syndication signal), and how much of
+    * each source's duplication is INTERNAL (the diagonal) vs leaked
+    * in from elsewhere. The per-pair answer dedup_clusters already
+    * gives; this is the source-level card a corpus curator reads
+    * before deciding which source to drop — dropping a source whose
+    * duplicates are all internal changes nothing about the rest.
+    *
+    * Scale shape: the dominant cost IS minhashLsh (already banded +
+    * verified); after it, two vocabulary-scale broadcast joins attach
+    * sources to pair endpoints and one partial-agg fold collapses to
+    * a |sources|² upper bound (dozens of rows). Exact integers.
+    */
+  def crossSourceDup(docs: DataFrame, tau: Double = 0.7): DataFrame = {
+    val pairs = minhashLsh(docs, tau = tau)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
 }

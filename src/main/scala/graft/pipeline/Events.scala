@@ -1360,4 +1360,65 @@ object Events {
         last(col("v"), ignoreNulls = true).over(fill).as("filled_value"),
         last(col("obs_us"), ignoreNulls = true).over(fill).as("filled_from_us"))
   }
+
+  /** Survival curve over observed user lifetimes: S(w) = how many
+    * users stayed active at least w whole weeks past their first
+    * event (lifetime = last_day − first_day), plus the week's churn
+    * count — the retention statistic a cohort product reads its decay
+    * half-life from. [[retention]] crosses cohort×offset on RETURN
+    * days; this collapses each user to one lifespan and asks a
+    * different question: not "did they come back day k" but "how long
+    * until they left for good".
+    *
+    * Scale shape: one user-keyed partial-agg fold (min/max day) at
+    * fact scale, a lifespan-week histogram (vocabulary-scale), and
+    * the survival reverse-cumulative as a window over that ladder —
+    * the [[engagementGini]] telescoping idiom: never a global rank or
+    * per-user sort. Exact integers throughout.
+    */
+  def survivalCurve(events: DataFrame): DataFrame = {
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    val life = events.groupBy(col("user_id"))
+      .agg(min(day).as("d0"), max(day).as("d1"))
+      .select(expr("(d1 - d0) div 7").as("week"))
+    val hist = life.groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    // survivors at week w = users whose lifespan reached ≥ w weeks =
+    // reverse cumulative including the current rung
+    val one = substring(col("week").cast("string"), 0, 0)
+    val wAtLeast = Window.partitionBy(one).orderBy(col("week"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hist
+      .withColumn("n_surviving", sum(col("n_churned")).over(wAtLeast))
+      .select(col("week"), col("n_surviving"), col("n_churned"))
+  }
+
+  /** Linear multi-touch attribution: every purchase splits one unit
+    * of credit EQUALLY across all views inside the preceding
+    * attribution window — the model that pays the whole journey,
+    * where [[firstTouch]] pays only the opener. Integer-exact: each
+    * touched view earns 1_000_000 div n_touches micro-credits
+    * (truncating division both engines share), so per-channel sums
+    * are reproducible bit-for-bit; the truncation remainder is
+    * deliberately unassigned (documented — a "last-touch gets the
+    * remainder" rule would re-introduce an ordering dependency).
+    *
+    * Output: one row per views-per-purchase band — how many
+    * conversions had that journey length and the credit each view
+    * earned — plus the total credited view count. The per-user
+    * interval join is [[intervalJoinStreaming]]'s bounded-state
+    * shape; everything after is vocabulary-scale.
+    */
+  def linearAttribution(events: DataFrame,
+                        interval: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+    val purchases = events.filter(col("event_type") === "purchase")
+    val perPurchase = intervalJoinStreaming(views, purchases, interval)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_touches"))
+    perPurchase
+      .withColumn("credit_e6", expr("1000000 div n_touches"))
+      .groupBy(col("n_touches"), col("credit_e6"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("n_touches")).as("n_views_credited"))
+  }
 }

@@ -449,6 +449,18 @@ object PipelineQueries {
     // read off from (r11)
     "data_quality_hist" -> ((s, dir) =>
       TextAnalysis.qualityHist(Tables.documents(s, dir))),
+    // user-lifetime survival curve S(w) via the histogram-telescoped
+    // reverse cumulative — no per-user rank (r11 f)
+    "events_survival_curve" -> ((s, dir) =>
+      Events.survivalCurve(Tables.events(s, dir))),
+    // linear multi-touch attribution: integer micro-credits
+    // 1e6 div n_touches per touched view (r11 f)
+    "events_attribution_linear" -> ((s, dir) =>
+      Events.linearAttribution(Tables.events(s, dir))),
+    // which sources duplicate each other: the minhash near-dup pairs
+    // rolled up by unordered source pair (r11 f)
+    "dedup_cross_source" -> ((s, dir) =>
+      Dedup.crossSourceDup(Tables.documents(s, dir))),
   )
 
   // shared oracle CTE fragments ---------------------------------------
@@ -2876,5 +2888,47 @@ object PipelineQueries {
            |FROM tk JOIN r ON tk.source = r.source
            |WHERE ('0x' || substr(md5(tk.doc_id::VARCHAR), 21, 4))::BIGINT % 10000
            |      < floor(rate * 10000)""".stripMargin,
+    // lifetime weeks = (last_day − first_day) div 7 per user; the
+    // survival count at week w is the ≥-w reverse cumulative of the
+    // churn histogram (current row included)
+    "events_survival_curve" ->
+      """WITH life AS (SELECT user_id,
+        |    (max(CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT))
+        |     - min(CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT))) // 7
+        |      AS week
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT week, count(*) AS n_churned FROM life GROUP BY 1)
+        |SELECT week,
+        |  CAST(sum(n_churned) OVER (ORDER BY week
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |    AS n_surviving,
+        |  n_churned
+        |FROM h""".stripMargin,
+    // per-purchase touch counts over the same interval join as
+    // first_touch; credit_e6 = 1e6 // n_touches (truncating integer
+    // division on both engines, remainder deliberately unassigned)
+    "events_attribution_linear" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |j AS (SELECT p.event_id AS purchase_id
+        |  FROM e p JOIN e v ON v.user_id = p.user_id
+        |   AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |   AND v.us <= p.us AND v.us >= p.us - 3600000000),
+        |pp AS (SELECT purchase_id, count(*) AS n_touches FROM j GROUP BY 1)
+        |SELECT n_touches, 1000000 // n_touches AS credit_e6,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(n_touches) AS BIGINT) AS n_views_credited
+        |FROM pp GROUP BY 1, 2""".stripMargin,
+    // the shipped minhash pair oracle rolled up by unordered source
+    // pair — the diagonal is within-source duplication
+    "dedup_cross_source" ->
+      s"""WITH pairs AS ($minhashPairsSql),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |  greatest(sa.source, sb.source) AS source_b,
+         |  count(*) AS n_dup_pairs
+         |FROM pairs JOIN src sa ON sa.doc_id = pairs.a
+         |JOIN src sb ON sb.doc_id = pairs.b
+         |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -23,6 +23,25 @@ object Endpoint {
         triples.filter(col("o_is_iri") && col("o") === uri && col("s") =!= uri)
           .withColumn("dir", lit("in")))
 
+  /** Set-valued DESCRIBE (the `DESCRIBE ?x WHERE { … }` form): every
+    * resource in the one-column `targets` frame described at once —
+    * two SEMI-JOIN-shaped keyed joins against the triple relation
+    * (subject arm, IRI-object arm) instead of [[describe]]'s constant
+    * filters, so ten million targets cost two shuffles, not ten
+    * million filter scans. The in-arm drops triples whose subject is
+    * itself the target (they already ride the out arm, and a
+    * duplicate row would double-count self-loops).
+    */
+  def describeAll(triples: DataFrame, targets: DataFrame): DataFrame = {
+    val t = targets.toDF("t").distinct()
+    val out = triples.join(t, triples("s") === col("t"))
+      .withColumn("dir", lit("out"))
+    val in = triples.filter(col("o_is_iri"))
+      .join(t, triples("o") === col("t") && triples("s") =!= col("t"))
+      .withColumn("dir", lit("in"))
+    out.unionAll(in).drop("t")
+  }
+
   /** Serialize a DESCRIBE result in one of the endpoint formats. The
     * response is node-sized (one node's star), so driver-side
     * assembly is the honest shape — bulk export goes through the

@@ -22,8 +22,10 @@ object SparqlParser extends RegexParsers {
     """\?[A-Za-z_][A-Za-z0-9_]*""".r ^^ (s => Var(s.tail))
   private def iriRef: Parser[Iri] =
     """<[^<>\s]*>""".r ^^ (s => Iri(s.substring(1, s.length - 1)))
+  // W3C PN_LOCAL permits a leading digit (`reg:2` is a valid prefixed
+  // name); the prefix part still requires a letter start
   private def pname: Parser[Iri] =
-    """[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z_][A-Za-z0-9_.-]*|:[A-Za-z_][A-Za-z0-9_.-]*""".r ^^ Iri.apply
+    """[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*|:[A-Za-z0-9_][A-Za-z0-9_.-]*""".r ^^ Iri.apply
   // negative lookahead: `a:knows` is a prefixed name, not the keyword
   private def rdfTypeKw: Parser[Iri] = """a(?![\w:])""".r ^^^ Iri("rdf:type")
   // DECIMAL needs digits after the dot, so `5.` lexes as 5 + terminator
@@ -713,6 +715,30 @@ object SparqlParser extends RegexParsers {
         case p ~ i => (p, i)
       }, text))
     expandIri(iri.value, pfx)
+  }
+
+  /** Full DESCRIBE grammar (SPARQL 1.1 §16.4): either a constant
+    * resource (`DESCRIBE <iri>`, the [[parseDescribe]] form) or a
+    * variable with a WHERE pattern (`DESCRIBE ?x WHERE { … }`) —
+    * every resource the pattern binds ?x to gets described. Returns
+    * Left(iri) for the constant form, Right((varName, pattern)) for
+    * the variable form.
+    */
+  def parseDescribeQuery(text: String): Either[String, (String, Pattern)] = {
+    val varForm =
+      prologue ~ ("(?i)DESCRIBE".r ~> varTerm) ~
+        (opt("(?i)WHERE".r) ~> groupGraphPattern) ^^ {
+        case p ~ v ~ w => (p, Right((v.name, w)): Either[Iri, (String, Pattern)])
+      }
+    val constForm =
+      prologue ~ ("(?i)DESCRIBE".r ~> (iriRef | pname)) ^^ {
+        case p ~ i => (p, Left(i): Either[Iri, (String, Pattern)])
+      }
+    val (pfx, target) = finish(parseAll(varForm | constForm, text))
+    target match {
+      case Left(i) => Left(expandIri(i.value, pfx))
+      case Right((v, w)) => Right((v, rewritePattern(w, expandIri(_, pfx))))
+    }
   }
 
   /** SPARQL Update forms: INSERT DATA / DELETE DATA / DELETE WHERE /

@@ -496,6 +496,21 @@ object SparqlQueries {
           |ORDER BY (0 - ?sz) ?p LIMIT 20""".stripMargin),
         numericVars = Seq("sz"))
     },
+    // the variable-target DESCRIBE form (SPARQL 1.1 §16.4, r11):
+    // every resource the WHERE pattern binds ?n to is described at
+    // once — pattern bindings feed Endpoint.describeAll's two
+    // semi-join arms instead of rdf_describe's constant filters
+    "sparql_describe_where" -> { (s, dir) =>
+      val t = TripleStore.triples(s, dir)
+      SparqlParser.parseDescribeQuery(
+        "DESCRIBE ?n WHERE { ?n a :Nation ; :inRegion reg:2 }") match {
+        case Right((v, w)) =>
+          graft.rdf.Endpoint.describeAll(t,
+            Compiler.compilePattern(t, w).select(col(v)))
+            .select(col("dir"), col("s"), col("p"), col("o"))
+        case Left(_) => throw new IllegalStateException("variable form expected")
+      }
+    },
     // ORDER BY an aggregate alias (the typed output column drives the
     // sort) with a group-key tie-break and LIMIT
     "sparql_orderby_agg" -> { (s, dir) =>
@@ -1142,5 +1157,25 @@ object SparqlQueries {
       """SELECT 'part:'||p_partkey AS p, p_name AS n, p_retailprice AS rp
         |FROM part
         |WHERE length(p_name) >= 10 AND p_retailprice * 2 > 1500""".stripMargin,
+    // variable-target DESCRIBE replay: out-arm = the four nation
+    // triples per region-2 nation, in-arm = customer/supplier
+    // :hasNation edges into those nations
+    "sparql_describe_where" ->
+      """WITH t AS (SELECT n_nationkey AS k, n_name FROM nation
+        |           WHERE n_regionkey = 2)
+        |SELECT 'out' AS dir, 'nat:'||k AS s, 'rdf:type' AS p, ':Nation' AS o
+        |FROM t
+        |UNION ALL
+        |SELECT 'out', 'nat:'||k, ':name', n_name FROM t
+        |UNION ALL
+        |SELECT 'out', 'nat:'||k, ':comment', n_name||' comment' FROM t
+        |UNION ALL
+        |SELECT 'out', 'nat:'||k, ':inRegion', 'reg:2' FROM t
+        |UNION ALL
+        |SELECT 'in', 'cust:'||c_custkey, ':hasNation', 'nat:'||c_nationkey
+        |FROM customer JOIN t ON c_nationkey = k
+        |UNION ALL
+        |SELECT 'in', 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey
+        |FROM supplier JOIN t ON s_nationkey = k""".stripMargin,
   )
 }
