@@ -500,37 +500,96 @@ object Analytics {
     verts.join(dists, Seq("id")).select(col("uri"), col("dist"))
   }
 
-  /** Common-neighbor link prediction over a canonical undirected edge
-    * set (src < dst, distinct, long keys): the top `k` NON-adjacent
-    * pairs ranked by shared-neighbor count, with both endpoint degrees
+  /** Canonicalize an arbitrary undirected edge list to the
+    * (src < dst, distinct) form every link-prediction operator here
+    * assumes: least/greatest orient each edge, distinct collapses
+    * duplicates and reversals. A reversed or duplicated input edge
+    * would otherwise double-count degrees AND leak adjacent pairs
+    * past the single-orientation anti-join (ADVICE r11) — one |E|
+    * shuffle buys that robustness on the public surface, and on an
+    * already-canonical input (every caller in this repo) the distinct
+    * is a cheap no-op pass.
+    */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+
+  /** The priced wedge-volume gate shared by every wedge self-join in
+    * this file (the dedup-containment idiom on the graph side): the
+    * enumeration emits Σ deg(w)·(deg(w)−1)/2 pairs, priced by one
+    * metadata-scale fold over the degree HISTOGRAM before the join
+    * launches. Within budget → no cap (exact enumeration). Over
+    * budget → the middle-degree cap tightens to the largest degree
+    * whose cumulative volume (low-degree-first) fits, so hub middles
+    * — the ones a power-law graph concentrates its d² wedges in —
+    * are dropped first, and the chosen cap is computed, not guessed.
+    * `degW` must carry a `degw` column (one row per middle vertex).
+    */
+  private def pricedWedgeCap(degW: DataFrame, wedgeBudget: Long,
+                             who: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    if (wedgeBudget <= 0) return Long.MaxValue
+    val perDeg = degW.groupBy(col("degw")).agg(count(lit(1)).as("nv"))
+      .withColumn("vol", col("nv") * expr("(degw * (degw - 1)) div 2"))
+    val total = perDeg.agg(sum(col("vol"))).head()
+    val t = if (total.isNullAt(0)) 0L else total.getLong(0)
+    if (t <= wedgeBudget) Long.MaxValue
+    else {
+      val one = substring(col("degw").cast("string"), 0, 0)
+      val cum = perDeg.withColumn("cumvol", sum(col("vol")).over(
+        Window.partitionBy(one).orderBy(col("degw"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val fit = cum.filter(col("cumvol") <= wedgeBudget)
+        .agg(max(col("degw"))).head()
+      val c = if (fit.isNullAt(0)) 1L else fit.getLong(0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$who: wedge volume $t over budget $wedgeBudget — " +
+          s"middle-degree cap set to $c (hub middles dropped)")
+      c
+    }
+  }
+
+  /** Common-neighbor link prediction: the top `k` NON-adjacent pairs
+    * ranked by shared-neighbor count, with both endpoint degrees
     * alongside so any normalized score (Jaccard, Adamic-Adar-style)
-    * derives from the integer columns. All-integer output, total
-    * (cn desc, u, v) order — deterministic on any engine.
+    * derives from the integer columns. Input edges are canonicalized
+    * (least/greatest + distinct) so reversed or duplicated edges
+    * neither inflate degrees nor slip past the anti-join. All-integer
+    * output, total (cn desc, u, v) order — deterministic on any
+    * engine.
     *
     * Scale shape: the wedge enumeration (adjacency self-joined on the
     * shared middle vertex) is the triangle-count join — Σ deg(w)²
-    * pairs, partial-aggregated map-side before the (u, v) shuffle.
-    * That cost concentrates in hub vertices, and at 100 TB the standard
-    * move is the same df-cap dedup blocking uses: drop middles with
-    * deg above a cap (a hub shared by everything predicts nothing —
-    * exactly the idf intuition), which bounds the join at cap × deg
-    * sums. Here the co-order graph's max degree is order-bounded, so
-    * the exact enumeration is the right default; the anti-join against
-    * the edge list prunes known links BEFORE the global top-k, and the
-    * top-k itself is a per-task k-row heap (TakeOrderedAndProject),
-    * never a full sort.
+    * pairs, concentrated in hub middles on any power-law graph. The
+    * volume is PRICED before the join by [[pricedWedgeCap]] (default
+    * budget 1e7, same ladder as [[resourceAllocation]]): over budget,
+    * middles above the computed degree cap are dropped — a hub shared
+    * by everything predicts nothing (the idf intuition), so cn counts
+    * degrade from the least-informative middles first. Endpoint
+    * degrees stay EXACT (they come from the uncapped adjacency).
+    * The anti-join against the edge list prunes known links BEFORE
+    * the global top-k, and the top-k itself is a per-task k-row heap
+    * (TakeOrderedAndProject), never a full sort.
     */
-  def commonNeighbors(edges: DataFrame, k: Int = 20): DataFrame = {
-    val adj = edges.select(col("src").as("v"), col("dst").as("w"))
-      .union(edges.select(col("dst").as("v"), col("src").as("w")))
+  def commonNeighbors(edges: DataFrame, k: Int = 20,
+                      wedgeBudget: Long = 10000000L): DataFrame = {
+    val e = canonicalUndirected(edges)
+    val adj = e.select(col("src").as("v"), col("dst").as("w"))
+      .union(e.select(col("dst").as("v"), col("src").as("w")))
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val wedges = adj.as("a")
-      .join(adj.as("b"),
-        col("a.w") === col("b.w") && col("a.v") < col("b.v"))
-      .groupBy(col("a.v").as("u"), col("b.v").as("v"))
+    val degW = deg.select(col("v").as("mw"), col("deg").as("degw"))
+    val effCap = pricedWedgeCap(degW, wedgeBudget, "commonNeighbors")
+    val adjF = adj.join(degW.filter(col("degw") <= effCap),
+        col("w") === col("mw"))
+      .select(col("v"), col("mw"))
+    val wedges = adjF.as("a")
+      .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
+        col("mw") === col("mw2") && col("v") < col("v2"))
+      .groupBy(col("v").as("u"), col("v2").as("v"))
       .agg(count(lit(1)).as("cn"))
     wedges
-      .join(edges, wedges("u") === edges("src") && wedges("v") === edges("dst"),
+      .join(e, wedges("u") === e("src") && wedges("v") === e("dst"),
         "left_anti")
       .join(deg.select(col("v").as("u"), col("deg").as("deg_u")), "u")
       .join(deg.select(col("v"), col("deg").as("deg_v")), "v")
@@ -568,43 +627,16 @@ object Analytics {
     */
   def resourceAllocation(edges: DataFrame, k: Int = 20,
                          wedgeBudget: Long = 10000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val adj = edges.select(col("src").as("v"), col("dst").as("w"))
-      .union(edges.select(col("dst").as("v"), col("src").as("w")))
+    val e = canonicalUndirected(edges)
+    val adj = e.select(col("src").as("v"), col("dst").as("w"))
+      .union(e.select(col("dst").as("v"), col("src").as("w")))
     val degW = adj.groupBy(col("w")).agg(count(lit(1)).as("degw"))
       .withColumnRenamed("w", "mw")
-    // candidate-volume gate (the dedup-containment idiom on the graph
-    // side): the wedge join emits Σ deg(w)·(deg(w)−1)/2 pairs, priced
-    // by one metadata-scale fold BEFORE the join. Within budget the
-    // enumeration is exact; over budget the middle-degree cap
-    // TIGHTENS to the largest degree whose cumulative volume
-    // (low-degree-first) fits — for RA specifically this drops the
-    // LOWEST-weight contributions (a deg-d middle adds only 1e9/d per
-    // pair), so scores degrade from the least-informative end, and
-    // the chosen cap is computed, not guessed.
-    val perDeg = degW.groupBy(col("degw")).agg(count(lit(1)).as("nv"))
-      .withColumn("vol", col("nv") * expr("(degw * (degw - 1)) div 2"))
-    val effCap: Long =
-      if (wedgeBudget <= 0) Long.MaxValue
-      else {
-        val total = perDeg.agg(sum(col("vol"))).head()
-        val t = if (total.isNullAt(0)) 0L else total.getLong(0)
-        if (t <= wedgeBudget) Long.MaxValue
-        else {
-          val one = substring(col("degw").cast("string"), 0, 0)
-          val cum = perDeg.withColumn("cumvol", sum(col("vol")).over(
-            Window.partitionBy(one).orderBy(col("degw"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          val fit = cum.filter(col("cumvol") <= wedgeBudget)
-            .agg(max(col("degw"))).head()
-          val c = if (fit.isNullAt(0)) 1L else fit.getLong(0)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"resourceAllocation: wedge volume $t over budget " +
-              s"$wedgeBudget — middle-degree cap set to $c " +
-              "(hub middles dropped; they carry the smallest 1/deg weights)")
-          c
-        }
-      }
+    // candidate-volume gate ([[pricedWedgeCap]]): for RA specifically
+    // an over-budget cap drops the LOWEST-weight contributions (a
+    // deg-d middle adds only 1e9/d per pair), so scores degrade from
+    // the least-informative end.
+    val effCap = pricedWedgeCap(degW, wedgeBudget, "resourceAllocation")
     // degrees ride the ADJACENCY into the self-join (2·|E| rows), not
     // the wedge output (Σdeg² rows) — joining the weight after the
     // enumeration re-shuffles the whole wedge volume for nothing
@@ -618,7 +650,7 @@ object Analytics {
       .agg(sum(expr("1000000000 div degw")).as("ra_e9"),
         count(lit(1)).as("cn"))
     wedges
-      .join(edges, wedges("u") === edges("src") && wedges("v") === edges("dst"),
+      .join(e, wedges("u") === e("src") && wedges("v") === e("dst"),
         "left_anti")
       .orderBy(col("ra_e9").desc, col("u"), col("v"))
       .limit(k)
@@ -784,23 +816,33 @@ object Analytics {
     * divide anywhere in the ordering.
     *
     * Scale shape: identical to [[commonNeighbors]] — one wedge
-    * self-join on the middle (Σdeg(w)² pairs, the df-cap escape hatch
-    * applies at 100 TB), two vocabulary-scale degree joins on the
-    * ENDPOINTS (post-aggregation, so they touch pair rows not wedge
-    * rows), anti-join against known edges BEFORE the per-task k-row
-    * heap (r11).
+    * self-join on the middle (Σdeg(w)² pairs), PRICED before launch
+    * by the shared [[pricedWedgeCap]] gate (default budget 1e7; over
+    * budget, hub middles above the computed degree cap drop out of cn
+    * while endpoint degrees — the union denominator — stay exact),
+    * two vocabulary-scale degree joins on the ENDPOINTS
+    * (post-aggregation, so they touch pair rows not wedge rows),
+    * anti-join against the canonicalized edge set BEFORE the per-task
+    * k-row heap (r11, gated r12).
     */
-  def jaccardLinkPred(edges: DataFrame, k: Int = 20): DataFrame = {
-    val adj = edges.select(col("src").as("v"), col("dst").as("w"))
-      .union(edges.select(col("dst").as("v"), col("src").as("w")))
+  def jaccardLinkPred(edges: DataFrame, k: Int = 20,
+                      wedgeBudget: Long = 10000000L): DataFrame = {
+    val e = canonicalUndirected(edges)
+    val adj = e.select(col("src").as("v"), col("dst").as("w"))
+      .union(e.select(col("dst").as("v"), col("src").as("w")))
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val wedges = adj.as("a")
-      .join(adj.as("b"),
-        col("a.w") === col("b.w") && col("a.v") < col("b.v"))
-      .groupBy(col("a.v").as("u"), col("b.v").as("v"))
+    val degW = deg.select(col("v").as("mw"), col("deg").as("degw"))
+    val effCap = pricedWedgeCap(degW, wedgeBudget, "jaccardLinkPred")
+    val adjF = adj.join(degW.filter(col("degw") <= effCap),
+        col("w") === col("mw"))
+      .select(col("v"), col("mw"))
+    val wedges = adjF.as("a")
+      .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
+        col("mw") === col("mw2") && col("v") < col("v2"))
+      .groupBy(col("v").as("u"), col("v2").as("v"))
       .agg(count(lit(1)).as("cn"))
     wedges
-      .join(edges, wedges("u") === edges("src") && wedges("v") === edges("dst"),
+      .join(e, wedges("u") === e("src") && wedges("v") === e("dst"),
         "left_anti")
       .join(deg.select(col("v").as("u"), col("deg").as("deg_u")), "u")
       .join(deg.select(col("v"), col("deg").as("deg_v")), "v")
@@ -855,7 +897,9 @@ object Analytics {
       .withColumn("n_k", sum(col("nv")).over(wAbove))
       .withColumn("e_k", sum(col("ne")).over(wAbove))
       .filter(col("n_k") >= 2)
-      .withColumn("e_k", coalesce(col("e_k"), lit(0L)))
+      // no coalesce on e_k: any row passing n_k >= 2 has a non-empty
+      // following frame, and ne is na.fill'd — sum(ne) can't be NULL
+      // (the oracle's coalesce exists only for DuckDB's eval order)
       .select(col("k"), col("n_k"), col("e_k"),
         expr("(2 * e_k * 1000000) div (n_k * (n_k - 1))").as("phi_e6"))
   }

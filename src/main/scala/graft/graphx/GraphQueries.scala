@@ -122,8 +122,17 @@ object GraphQueries {
     "graph_reciprocity" -> { (s, dir) =>
       Analytics.reciprocity(successionEdgeKeys(s, dir))
     },
+    // priced wedge gate at the 1e7 default (r12 — was ungated; the
+    // one `weak` family in VERDICT r11)
     "graph_common_neighbors" -> { (s, dir) =>
       Analytics.commonNeighbors(coOrderPartEdgeKeys(s, dir))
+    },
+    // the gate FORCED (budget 1e5): the middle-degree cap must fire
+    // and the capped cn counts are themselves oracled — the
+    // graph_resource_alloc_capped pattern for the CN family (r12)
+    "graph_common_neighbors_capped" -> { (s, dir) =>
+      Analytics.commonNeighbors(coOrderPartEdgeKeys(s, dir),
+        wedgeBudget = 100000L)
     },
     // weighted link prediction: resource-allocation index (per-MIDDLE
     // 1/deg weights — not derivable from common_neighbors' endpoint
@@ -263,6 +272,39 @@ object GraphQueries {
     * and the modularity oracle): base graph + `rounds` synchronous
     * steps; the final label table is `l<rounds>`.
     */
+  /** Common-neighbors oracle with the wedge-volume gate replayed at
+    * `budget` — the graph_resource_alloc pattern: total volume priced
+    * over the degree histogram, conditional cap as the largest degree
+    * whose low-degree-first cumulative volume fits, cn over capped
+    * middles only, endpoint degrees exact (r12).
+    */
+  private def commonNeighborsSql(budget: Long): String =
+    s"""WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+       |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+       |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
+       |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+       |pd AS (SELECT deg AS degw, count(*) AS nv,
+       |         count(*) * ((deg * (deg - 1)) // 2) AS vol
+       |       FROM deg GROUP BY 1),
+       |tot AS (SELECT CAST(sum(vol) AS BIGINT) AS t FROM pd),
+       |cum AS (SELECT degw, sum(vol) OVER (ORDER BY degw
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS cumvol FROM pd),
+       |cap AS (SELECT CASE WHEN t <= $budget THEN 9223372036854775807
+       |          ELSE (SELECT max(degw) FROM cum WHERE cumvol <= $budget)
+       |          END AS c FROM tot),
+       |adjf AS (SELECT a.v, a.w FROM adj a JOIN deg d ON d.v = a.w
+       |         CROSS JOIN cap WHERE d.deg <= cap.c),
+       |wed AS (SELECT a.v AS u, b.v AS v, count(*) AS cn
+       |        FROM adjf a JOIN adjf b ON a.w = b.w AND a.v < b.v GROUP BY 1, 2),
+       |ne AS (SELECT u, v, cn FROM wed WHERE NOT EXISTS (
+       |         SELECT 1 FROM e WHERE e.p1 = wed.u AND e.p2 = wed.v))
+       |SELECT u, ne.v AS v, cn, du.deg AS deg_u, dv.deg AS deg_v
+       |FROM ne JOIN deg du ON du.v = ne.u JOIN deg dv ON dv.v = ne.v
+       |ORDER BY cn DESC, u, ne.v LIMIT 20""".stripMargin
+
   private def lpaCtes(rounds: Int): String = {
     val base =
       """pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -500,20 +542,11 @@ object GraphQueries {
         |SELECT CAST(v AS BIGINT) AS v,
         |       CAST(least(v, coalesce(min(u), v)) AS BIGINT) AS comp
         |FROM verts LEFT JOIN mutual USING (v) GROUP BY v""".stripMargin,
-    "graph_common_neighbors" ->
-      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem),
-        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
-        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
-        |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
-        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
-        |wed AS (SELECT a.v AS u, b.v AS v, count(*) AS cn
-        |        FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v GROUP BY 1, 2),
-        |ne AS (SELECT u, v, cn FROM wed WHERE NOT EXISTS (
-        |         SELECT 1 FROM e WHERE e.p1 = wed.u AND e.p2 = wed.v))
-        |SELECT u, ne.v AS v, cn, du.deg AS deg_u, dv.deg AS deg_v
-        |FROM ne JOIN deg du ON du.v = ne.u JOIN deg dv ON dv.v = ne.v
-        |ORDER BY cn DESC, u, ne.v LIMIT 20""".stripMargin,
+    // the 1e7 wedge-volume gate REPLAYED (r12): both engines price
+    // Σ deg(w)·(deg(w)−1)/2 and cap the same middles if over budget;
+    // endpoint degrees stay exact from the uncapped degree table
+    "graph_common_neighbors" -> commonNeighborsSql(10000000L),
+    "graph_common_neighbors_capped" -> commonNeighborsSql(100000L),
     // resource-allocation index: the common-neighbors wedge join with
     // per-middle floor(1e9/deg) weights — integer division both
     // engines compute identically. The oracle REPLAYS the default 1e7
@@ -558,7 +591,9 @@ object GraphQueries {
         |  CAST(sum(d.degw) AS BIGINT) AS sum_nbr_deg
         |FROM adj a JOIN deg d ON d.v = a.w GROUP BY 1""".stripMargin,
     // jaccard = cn / (deg_u + deg_v − cn); the ranking witness is the
-    // exact integer division cn·1e6 div union on both engines
+    // exact integer division cn·1e6 div union on both engines. The
+    // 1e7 wedge gate is replayed: cn comes from capped middles,
+    // the union denominator from exact degrees (r12)
     "graph_jaccard_linkpred" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
@@ -566,8 +601,20 @@ object GraphQueries {
         |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
         |adj AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
         |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+        |pd AS (SELECT deg AS degw, count(*) AS nv,
+        |         count(*) * ((deg * (deg - 1)) // 2) AS vol
+        |       FROM deg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(vol) AS BIGINT) AS t FROM pd),
+        |cum AS (SELECT degw, sum(vol) OVER (ORDER BY degw
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cumvol FROM pd),
+        |cap AS (SELECT CASE WHEN t <= 10000000 THEN 9223372036854775807
+        |          ELSE (SELECT max(degw) FROM cum WHERE cumvol <= 10000000)
+        |          END AS c FROM tot),
+        |adjf AS (SELECT a.v, a.w FROM adj a JOIN deg d ON d.v = a.w
+        |         CROSS JOIN cap WHERE d.deg <= cap.c),
         |wed AS (SELECT a.v AS u, b.v AS v, count(*) AS cn
-        |        FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v GROUP BY 1, 2),
+        |        FROM adjf a JOIN adjf b ON a.w = b.w AND a.v < b.v GROUP BY 1, 2),
         |ne AS (SELECT u, v, cn FROM wed WHERE NOT EXISTS (
         |         SELECT 1 FROM e WHERE e.p1 = wed.u AND e.p2 = wed.v))
         |SELECT u, ne.v AS v, cn,

@@ -119,6 +119,62 @@ class AnalyticsSpec extends AnyFunSuite {
       (3L, 5L, 1L, 3L, 1L)))
   }
 
+  test("common neighbors canonicalizes reversed and duplicated edges") {
+    // the same square graph with edges reversed and duplicated: the
+    // least/greatest + distinct canonicalization must make degrees
+    // and anti-join identical to the canonical input (ADVICE r11)
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val messy = Seq((2L, 1L), (2L, 3L), (4L, 3L), (1L, 4L), (1L, 3L),
+      (3L, 1L), (4L, 5L), (5L, 4L), (2L, 1L))
+      .toDF("src", "dst")
+    val a = Analytics.commonNeighbors(canon)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val b = Analytics.commonNeighbors(messy)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("common neighbors wedge gate caps hub middles when over budget") {
+    // star center 0 with leaves 1..6 (deg(0)=6 → 15 wedge pairs) plus
+    // a triangle-free 4-path 10-11-12-13; total volume 15+1+1+... —
+    // budget 5 forces the cap below deg 6, so the star's pairs vanish
+    // and only low-degree middles survive; endpoint degrees stay exact
+    val e = (1L to 6L).map(v => (0L, v)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val got = Analytics.commonNeighbors(e.toDF("src", "dst"),
+        wedgeBudget = 5L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // middles deg<=cap: path middles 11,12 (deg 2) fit (vol 1 each,
+    // cum 2 <= 5); center 0 (deg 6, vol 15) does not
+    assert(got == Seq((10L, 12L, 1L, 1L, 2L), (11L, 13L, 1L, 2L, 1L)))
+    // exact run (no budget) additionally ranks the 15 star pairs first
+    val exact = Analytics.commonNeighbors(e.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(exact.head == (1L, 2L, 1L, 1L, 1L) && exact.size == 17)
+  }
+
+  test("jaccard link prediction gates and canonicalizes like cn") {
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val messy = Seq((2L, 1L), (3L, 2L), (3L, 4L), (1L, 4L), (3L, 1L),
+      (4L, 5L), (4L, 5L)).toDF("src", "dst")
+    val a = Analytics.jaccardLinkPred(canon)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val b = Analytics.jaccardLinkPred(messy)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    // (2,4): cn=2 over union 2+3-2=3 → 666666; ranked first
+    assert(a.head == (2L, 4L, 2L, 3L, 666666L))
+    // forced gate on the star+path graph mirrors the cn capped run
+    val e = ((1L to 6L).map(v => (0L, v)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 13L))).toDF("src", "dst")
+    val gated = Analytics.jaccardLinkPred(e, wedgeBudget = 5L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gated == Seq((10L, 12L, 1L, 2L, 500000L),
+      (11L, 13L, 1L, 2L, 500000L)))
+  }
+
   test("resource allocation weights middles inversely to their degree") {
     // same square+diagonal+pendant as the cn test: (2,4) shares
     // middles 1 and 3 (deg 3 each) → ra = 2·floor(1e9/3); (1,5) and
