@@ -365,11 +365,40 @@ object Compiler {
     case FnCall("FLOOR", Seq(a)) => floor(numVExpr(df, a)).cast("double")
     case FnCall("ROUND", Seq(a)) =>
       floor(numVExpr(df, a) + lit(0.5)).cast("double")
+    // W3C §17.4.5 date/time component accessors over the LEXICAL form
+    // (xsd:date "1998-10-03" or xsd:dateTime with 'T' or ' '
+    // separator): pure regex extraction — engine-portable, session-
+    // timezone-free, and a non-date lexical (or a time accessor on a
+    // date-only literal) is a type error → null → unbound, exactly
+    // the empty-group regexp_extract + cast behaviour
+    case FnCall("YEAR", Seq(a)) => dtComponent(df, a, 1)
+    case FnCall("MONTH", Seq(a)) => dtComponent(df, a, 2)
+    case FnCall("DAY", Seq(a)) => dtComponent(df, a, 3)
+    case FnCall("HOURS", Seq(a)) => dtComponent(df, a, 4)
+    case FnCall("MINUTES", Seq(a)) => dtComponent(df, a, 5)
+    case FnCall("SECONDS", Seq(a)) => dtComponent(df, a, 6)
     case VIf(c, t, f) =>
       when(exprColumn(df, c), numVExpr(df, t)).otherwise(numVExpr(df, f))
     case FnCall(fn, _) =>
       throw new IllegalArgumentException(s"$fn is not numeric in BIND")
   }
+
+  /** xsd:date / xsd:dateTime lexical shape: groups 1-3 are the date
+    * components, 4-6 the optional time components (SECONDS keeps the
+    * fractional part, per the spec's xsd:decimal return type).
+    */
+  private val dtLexical =
+    "^(-?\\d{4,})-(\\d{2})-(\\d{2})(?:[T ](\\d{2}):(\\d{2}):(\\d{2}(?:\\.\\d+)?))?"
+
+  /** Timezone suffix of a dateTime lexical: Z or ±HH:MM. */
+  private val tzLexical = "(Z|[+-]\\d{2}:\\d{2})$"
+
+  private def dtComponent(df: DataFrame, a: VExpr, group: Int): Column =
+    // regexp_extract yields "" for an unmatched optional group; nullif
+    // maps that to the null the type-error contract wants (ANSI mode
+    // would reject casting "" to double)
+    nullif(regexp_extract(strVExpr(df, a), dtLexical, group), lit(""))
+      .cast("double")
 
   /** String evaluation of a BIND expression (STR semantics: a
     * variable's lexical form).
@@ -419,6 +448,27 @@ object Compiler {
     // no oracled key uses them; tests assert format + uniqueness)
     case FnCall("STRUUID", Nil) => expr("uuid()")
     case FnCall("UUID", Nil) => concat(lit("urn:uuid:"), expr("uuid()"))
+    // NOW(): the query-constant xsd:dateTime, serialized in the same
+    // lexical convention the triple view uses for timestamp literals
+    // (necessarily nondeterministic → tests-only, like UUID)
+    case FnCall("NOW", Nil) => expr("CAST(now() AS STRING)")
+    // TZ: the timezone part of the lexical form, "" when absent
+    // (§17.4.5.8 — TZ of a zoneless dateTime is the empty string)
+    case FnCall("TZ", Seq(a)) =>
+      regexp_extract(strVExpr(df, a), tzLexical, 1)
+    // TIMEZONE: the zone as a canonical xsd:dayTimeDuration
+    // ("Z"/"+00:00" → PT0S, "-08:00" → -PT8H, "+05:30" → PT5H30M);
+    // a zoneless dateTime is a type error → null (§17.4.5.7)
+    case FnCall("TIMEZONE", Seq(a)) =>
+      val t = regexp_extract(strVExpr(df, a), tzLexical, 1)
+      val hh = substring(t, 2, 2).cast("int")
+      val mm = substring(t, 5, 2).cast("int")
+      val sign = when(substring(t, 1, 1) === "-", lit("-")).otherwise(lit(""))
+      when(t === "", lit(null).cast("string"))
+        .when(t === "Z" || (hh === 0 && mm === 0), lit("PT0S"))
+        .otherwise(concat(sign, lit("PT"),
+          when(hh > 0, concat(hh.cast("string"), lit("H"))).otherwise(lit("")),
+          when(mm > 0, concat(mm.cast("string"), lit("M"))).otherwise(lit(""))))
     // SPARQL hash builtins: lowercase hex digests of the UTF-8 lexical
     // form (native codegen'd expressions in both engines)
     case FnCall("MD5", Seq(a)) => md5(strVExpr(df, a))
@@ -455,7 +505,9 @@ object Compiler {
     */
   private def isNumericVExpr(e: VExpr): Boolean = e match {
     case _: Arith | _: VNum => true
-    case FnCall("STRLEN" | "ABS" | "CEIL" | "FLOOR" | "ROUND", _) => true
+    case FnCall("STRLEN" | "ABS" | "CEIL" | "FLOOR" | "ROUND" |
+                "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" |
+                "SECONDS", _) => true
     case VIf(_, t, f) => isNumericVExpr(t) && isNumericVExpr(f)
     case _ => false
   }

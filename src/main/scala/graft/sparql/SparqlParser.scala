@@ -300,7 +300,7 @@ object SparqlParser extends RegexParsers {
   // longer names before their prefixes: regex alternation is ordered
   // (STRBEFORE/STRAFTER/STRLEN before STR, SUBSTR before STR)
   private def fnName: Parser[String] =
-    "(?i)(ENCODE_FOR_URI|CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG|ABS|CEIL|FLOOR|ROUND|MD5|SHA256|IRI|URI)".r ^^
+    "(?i)(ENCODE_FOR_URI|CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG|ABS|CEIL|FLOOR|ROUND|MD5|SHA256|IRI|URI|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ)".r ^^
       (_.toUpperCase)
   private def ifExpr: Parser[VExpr] =
     "(?i)IF".r ~> "(" ~> orExpr ~ ("," ~> vAdditive) ~ ("," ~> vAdditive) <~ ")" ^^ {
@@ -319,10 +319,12 @@ object SparqlParser extends RegexParsers {
       case f ~ lex ~ arg => FnCall(f, Seq(lex, arg))
     }
   /** Zero-argument builtins: UUID() mints a fresh urn:uuid IRI,
-    * STRUUID() the bare simple-literal form.
+    * STRUUID() the bare simple-literal form, NOW() the query-constant
+    * xsd:dateTime (W3C §17.4.5.1 — "the same value for every call in
+    * a single query execution").
     */
   private def zeroArgFn: Parser[VExpr] =
-    "(?i)(STRUUID|UUID)".r ~ "(" ~ ")" ^^ {
+    "(?i)(STRUUID|UUID|NOW)".r ~ "(" ~ ")" ^^ {
       case f ~ _ ~ _ => FnCall(f.toUpperCase, Nil)
     }
   private def vPrimary: Parser[VExpr] =

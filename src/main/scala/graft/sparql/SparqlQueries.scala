@@ -663,6 +663,46 @@ object SparqlQueries {
           |  BIND(ROUND(?b) AS ?rd)
           |}""".stripMargin))
     },
+    // W3C §17.4.5 date/time component accessors (YEAR/MONTH/DAY/
+    // HOURS) over the orderdate literal's lexical form — the largest
+    // W3C function family still missing after r11 (VERDICT #1)
+    "sparql_datetime_builtins" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?o ?y ?mo ?dy ?hh WHERE {
+          |  ?o a :Order ; :orderdate ?d .
+          |  BIND(YEAR(?d) AS ?y)
+          |  BIND(MONTH(?d) AS ?mo)
+          |  BIND(DAY(?d) AS ?dy)
+          |  BIND(HOURS(?d) AS ?hh)
+          |}""".stripMargin))
+    },
+    // the accessors composing with FILTER and GROUP BY: monthly order
+    // counts of one year — YEAR prunes in the filter, MONTH is the
+    // grouping key
+    "sparql_datetime_groupby" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?mo (COUNT(?o) AS ?n) WHERE {
+          |  ?o a :Order ; :orderdate ?d .
+          |  FILTER(YEAR(?d) = 1996)
+          |  BIND(MONTH(?d) AS ?mo)
+          |} GROUP BY ?mo""".stripMargin))
+    },
+    // TZ/TIMEZONE (§17.4.5.7-8) over dateTime lexicals with explicit
+    // zones (IF-fanned constants keyed on acctbal so Z, negative, and
+    // fractional-hour zones all appear) plus the zoneless case:
+    // TZ → "", TIMEZONE → type error (null binding)
+    "sparql_tz_builtins" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?tz ?dur ?tz0 WHERE {
+          |  ?c a :Customer ; :acctbal ?b .
+          |  BIND(IF(?b < 0, "2010-06-21T11:28:01Z",
+          |       IF(?b < 5000, "2010-06-21T11:28:01-08:00",
+          |                     "2010-06-21T11:28:01+05:30")) AS ?d)
+          |  BIND(TZ(?d) AS ?tz)
+          |  BIND(TIMEZONE(?d) AS ?dur)
+          |  BIND(TZ("2011-01-10T14:45:13.815") AS ?tz0)
+          |}""".stripMargin))
+    },
     // hash value builtins: lowercase hex digests, codegen'd natively
     // in both engines
     "sparql_hash_builtins" -> { (s, dir) =>
@@ -1055,6 +1095,27 @@ object SparqlQueries {
     "sparql_hash_builtins" ->
       """SELECT n_name AS n, md5(n_name) AS h, sha256(n_name) AS h2
         |FROM nation""".stripMargin,
+    "sparql_datetime_builtins" ->
+      """SELECT 'ord:'||o_orderkey AS o,
+        |  CAST(year(o_orderdate) AS DOUBLE) AS y,
+        |  CAST(month(o_orderdate) AS DOUBLE) AS mo,
+        |  CAST(day(o_orderdate) AS DOUBLE) AS dy,
+        |  CAST(hour(o_orderdate) AS DOUBLE) AS hh
+        |FROM orders""".stripMargin,
+    "sparql_datetime_groupby" ->
+      """SELECT CAST(month(o_orderdate) AS DOUBLE) AS mo, count(*) AS n
+        |FROM orders WHERE year(o_orderdate) = 1996
+        |GROUP BY 1""".stripMargin,
+    "sparql_tz_builtins" ->
+      """SELECT 'cust:'||c_custkey AS c,
+        |  CASE WHEN c_acctbal < 0 THEN 'Z'
+        |       WHEN c_acctbal < 5000 THEN '-08:00'
+        |       ELSE '+05:30' END AS tz,
+        |  CASE WHEN c_acctbal < 0 THEN 'PT0S'
+        |       WHEN c_acctbal < 5000 THEN '-PT8H'
+        |       ELSE 'PT5H30M' END AS dur,
+        |  '' AS tz0
+        |FROM customer""".stripMargin,
     "sparql_orderby_expr" ->
       """SELECT 'part:'||p_partkey AS p, CAST(p_size AS DOUBLE) AS sz,
         |       p_retailprice AS rp

@@ -408,6 +408,67 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("e" -> "a%20b%2Fc")))
   }
 
+  /** functions family: date/time fixtures (hours/tz/timezone shapes),
+    * covering both lexical separators ('T' and the triple view's ' ')
+    * and a date-only literal for the type-error cases.
+    */
+  private lazy val times: DataFrame = Seq(
+    ("e:a", ":when", "2010-06-21T11:28:01Z", Option.empty[Double], false, Option.empty[String]),
+    ("e:b", ":when", "2010-12-21 23:59:59.5-08:00", None, false, None),
+    ("e:c", ":when", "2011-01-10T14:45:13.815+05:30", None, false, None),
+    ("e:d", ":when", "2002-10-10", None, false, None))
+    .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+
+  test("functions:year-month-day-hours-minutes-seconds") {
+    assert(run(times,
+      """SELECT (YEAR(?d) AS ?y) (MONTH(?d) AS ?mo) (DAY(?d) AS ?dy)
+        |       (HOURS(?d) AS ?h) (MINUTES(?d) AS ?mi) (SECONDS(?d) AS ?s)
+        |WHERE { <e:a> :when ?d }""".stripMargin) ==
+      Set(b("y" -> "2010", "mo" -> "6", "dy" -> "21",
+        "h" -> "11", "mi" -> "28", "s" -> "1")))
+    // space-separated lexical (the triple view's timestamp cast) and
+    // fractional SECONDS (xsd:decimal per the spec)
+    assert(run(times,
+      "SELECT (HOURS(?d) AS ?h) (SECONDS(?d) AS ?s) WHERE { <e:b> :when ?d }") ==
+      Set(b("h" -> "23", "s" -> "59.5")))
+    // time accessors on a date-only literal are type errors → unbound
+    assert(run(times,
+      "SELECT (YEAR(?d) AS ?y) (HOURS(?d) AS ?h) WHERE { <e:d> :when ?d }") ==
+      Set(b("y" -> "2002")))
+  }
+
+  test("functions:tz-timezone01") {
+    assert(run(times,
+      "SELECT ?x (TZ(?d) AS ?tz) WHERE { ?x :when ?d }") ==
+      Set(b("x" -> "e:a", "tz" -> "Z"), b("x" -> "e:b", "tz" -> "-08:00"),
+        b("x" -> "e:c", "tz" -> "+05:30"), b("x" -> "e:d", "tz" -> "")))
+    // TIMEZONE canonicalizes to xsd:dayTimeDuration; zoneless → error
+    assert(run(times,
+      "SELECT ?x (TIMEZONE(?d) AS ?du) WHERE { ?x :when ?d }") ==
+      Set(b("x" -> "e:a", "du" -> "PT0S"), b("x" -> "e:b", "du" -> "-PT8H"),
+        b("x" -> "e:c", "du" -> "PT5H30M"), b("x" -> "e:d")))
+    // +00:00 canonicalizes like Z
+    assert(run(times,
+      """SELECT (TIMEZONE("2010-06-21T11:28:01+00:00") AS ?du)
+        |WHERE { <e:a> :when ?d }""".stripMargin) ==
+      Set(b("du" -> "PT0S")))
+  }
+
+  test("functions:now01 — query-constant well-formed dateTime") {
+    val rows = Graft.sparql(times,
+      "SELECT ?x (NOW() AS ?now) WHERE { ?x :when ?d }").collect()
+    assert(rows.length == 4)
+    val vals = rows.map(_.getAs[String]("now")).toSet
+    assert(vals.size == 1) // same value for every call in the query
+    assert(vals.head.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?"""))
+  }
+
+  test("functions:datetime-in-filter — YEAR composes with FILTER") {
+    assert(run(times,
+      "SELECT ?x WHERE { ?x :when ?d FILTER(YEAR(?d) >= 2010 && MONTH(?d) < 7) }") ==
+      Set(b("x" -> "e:a"), b("x" -> "e:c")))
+  }
+
   test("functions:md5-01 — MD5 of a plain literal") {
     assert(run(people,
       """SELECT (MD5("abc") AS ?h) WHERE { <p:alice> :name ?n }""") ==
