@@ -62,7 +62,9 @@ object Graft {
         val (tmpl, where) = SparqlParser.parseConstruct(text)
         Compiler.construct(triples, tmpl, where)
       case Some("DESCRIBE") =>
-        Endpoint.describe(triples, SparqlParser.parseDescribe(text))
+        // full §16.4 grammar: VarOrIri+ with optional WHERE (r12)
+        val (targets, where) = SparqlParser.parseDescribeQuery(text)
+        graft.sparql.Compiler.describe(triples, targets, where)
       case _ => throw new IllegalArgumentException(
         "query must be SELECT, ASK, CONSTRUCT or DESCRIBE")
     }

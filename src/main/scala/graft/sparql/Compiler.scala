@@ -1020,4 +1020,41 @@ object Compiler {
     if (q.limit >= 0) df = df.limit(q.limit.toInt)
     df.select(projCols.map(col): _*)
   }
+
+  /** DESCRIBE execution (SPARQL 1.1 §16.4): the described set is
+    * every constant target plus every binding of each listed variable
+    * in the WHERE pattern's solutions, deduplicated, union-described.
+    * The single-constant no-WHERE form keeps [[graft.rdf.Endpoint
+    * .describe]]'s pushdown equality filters (the node-lookup
+    * endpoint path); everything else builds ONE target frame and
+    * feeds [[graft.rdf.Endpoint.describeAll]]'s two semi-join arms —
+    * a million targets cost two keyed joins, not a million scans.
+    * Literal-valued bindings drop out naturally: the arms join on
+    * subject / IRI-object positions, which literals never occupy.
+    */
+  def describe(triples: DataFrame,
+               targets: Seq[Either[String, String]],
+               where: Option[Pattern]): DataFrame = {
+    val consts = targets.collect { case Left(i) => i }.distinct
+    val vars = targets.collect { case Right(v) => v }.distinct
+    if (vars.isEmpty && consts.size == 1)
+      graft.rdf.Endpoint.describe(triples, consts.head)
+    else {
+      val spark = triples.sparkSession
+      import spark.implicits._
+      val sol = where.filter(_ => vars.nonEmpty)
+        .map(w => compilePattern(triples, w))
+      val varTargets = sol.toSeq.flatMap(s =>
+        vars.filter(s.columns.contains)
+          .map(v => s.select(col(v).cast("string").as("t"))))
+      val constTargets =
+        if (consts.isEmpty) Nil else Seq(consts.toDF("t"))
+      (constTargets ++ varTargets).reduceOption(_ unionAll _) match {
+        case Some(t) => graft.rdf.Endpoint.describeAll(triples, t)
+        case None => // no targets can bind: empty result, full schema
+          graft.rdf.Endpoint.describeAll(triples,
+            spark.emptyDataset[String].toDF("t"))
+      }
+    }
+  }
 }

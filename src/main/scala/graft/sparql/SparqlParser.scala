@@ -719,28 +719,33 @@ object SparqlParser extends RegexParsers {
     expandIri(iri.value, pfx)
   }
 
-  /** Full DESCRIBE grammar (SPARQL 1.1 §16.4): either a constant
-    * resource (`DESCRIBE <iri>`, the [[parseDescribe]] form) or a
-    * variable with a WHERE pattern (`DESCRIBE ?x WHERE { … }`) —
-    * every resource the pattern binds ?x to gets described. Returns
-    * Left(iri) for the constant form, Right((varName, pattern)) for
-    * the variable form.
+  /** Full DESCRIBE grammar (SPARQL 1.1 §16.4):
+    * `DESCRIBE VarOrIri+ WhereClause?` — any mix of constant IRIs and
+    * variables, with an optional WHERE group pattern (the WHERE
+    * keyword itself optional, per the spec grammar). The described
+    * resource set is the constants plus every binding of each listed
+    * variable in the pattern's solutions; a variable with no pattern
+    * (or absent from it) describes nothing, a pattern with only
+    * constant targets still CONSTRAINS nothing (constants are
+    * unconditionally described — §16.4's union semantics). Returns
+    * the target list (Left = expanded constant IRI, Right = variable
+    * name) and the optional rewritten pattern.
     */
-  def parseDescribeQuery(text: String): Either[String, (String, Pattern)] = {
-    val varForm =
-      prologue ~ ("(?i)DESCRIBE".r ~> varTerm) ~
-        (opt("(?i)WHERE".r) ~> groupGraphPattern) ^^ {
-        case p ~ v ~ w => (p, Right((v.name, w)): Either[Iri, (String, Pattern)])
-      }
-    val constForm =
-      prologue ~ ("(?i)DESCRIBE".r ~> (iriRef | pname)) ^^ {
-        case p ~ i => (p, Left(i): Either[Iri, (String, Pattern)])
-      }
-    val (pfx, target) = finish(parseAll(varForm | constForm, text))
-    target match {
-      case Left(i) => Left(expandIri(i.value, pfx))
-      case Right((v, w)) => Right((v, rewritePattern(w, expandIri(_, pfx))))
-    }
+  def parseDescribeQuery(text: String)
+      : (Seq[Either[String, String]], Option[Pattern]) = {
+    val target: Parser[Either[Iri, String]] =
+      varTerm ^^ (v => Right(v.name): Either[Iri, String]) |
+        (iriRef | pname) ^^ (i => Left(i): Either[Iri, String])
+    val q =
+      prologue ~ ("(?i)DESCRIBE".r ~> rep1(target)) ~
+        opt(opt("(?i)WHERE".r) ~> groupGraphPattern) ^^ {
+          case p ~ ts ~ w => (p, ts, w)
+        }
+    val (pfx, ts, w) = finish(parseAll(q, text))
+    (ts.map {
+      case Left(i) => Left(expandIri(i.value, pfx)): Either[String, String]
+      case Right(v) => Right(v): Either[String, String]
+    }, w.map(rewritePattern(_, expandIri(_, pfx))))
   }
 
   /** SPARQL Update forms: INSERT DATA / DELETE DATA / DELETE WHERE /

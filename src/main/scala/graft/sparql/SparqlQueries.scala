@@ -501,15 +501,24 @@ object SparqlQueries {
     // once — pattern bindings feed Endpoint.describeAll's two
     // semi-join arms instead of rdf_describe's constant filters
     "sparql_describe_where" -> { (s, dir) =>
-      val t = TripleStore.triples(s, dir)
-      SparqlParser.parseDescribeQuery(
-        "DESCRIBE ?n WHERE { ?n a :Nation ; :inRegion reg:2 }") match {
-        case Right((v, w)) =>
-          graft.rdf.Endpoint.describeAll(t,
-            Compiler.compilePattern(t, w).select(col(v)))
-            .select(col("dir"), col("s"), col("p"), col("o"))
-        case Left(_) => throw new IllegalStateException("variable form expected")
-      }
+      graft.Graft.query(TripleStore.triples(s, dir),
+        "DESCRIBE ?n WHERE { ?n a :Nation ; :inRegion reg:2 }")
+        .select(col("dir"), col("s"), col("p"), col("o"))
+    },
+    // multi-target DESCRIBE through the parser (§16.4 VarOrIri+ with
+    // no WHERE clause, r12): two constant resources union-described
+    // via the semi-join arms
+    "sparql_describe_multi" -> { (s, dir) =>
+      graft.Graft.query(TripleStore.triples(s, dir), "DESCRIBE nat:1 reg:1")
+        .select(col("dir"), col("s"), col("p"), col("o"))
+    },
+    // mixed constant + variable targets sharing one WHERE pattern
+    // (r12): the constant is described unconditionally, the variable
+    // contributes its pattern bindings — one deduplicated target set
+    "sparql_describe_mixed" -> { (s, dir) =>
+      graft.Graft.query(TripleStore.triples(s, dir),
+        "DESCRIBE reg:3 ?n WHERE { ?n a :Nation ; :inRegion reg:0 }")
+        .select(col("dir"), col("s"), col("p"), col("o"))
     },
     // ORDER BY an aggregate alias (the typed output column drives the
     // sort) with a group-key tie-break and LIMIT
@@ -1238,5 +1247,55 @@ object SparqlQueries {
         |UNION ALL
         |SELECT 'in', 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey
         |FROM supplier JOIN t ON s_nationkey = k""".stripMargin,
+    "sparql_describe_multi" ->
+      """SELECT 'out' AS dir, 'nat:1' AS s, 'rdf:type' AS p, ':Nation' AS o
+        |FROM nation WHERE n_nationkey = 1
+        |UNION ALL
+        |SELECT 'out', 'nat:1', ':name', n_name FROM nation WHERE n_nationkey = 1
+        |UNION ALL
+        |SELECT 'out', 'nat:1', ':comment', n_name||' comment'
+        |FROM nation WHERE n_nationkey = 1
+        |UNION ALL
+        |SELECT 'out', 'nat:1', ':inRegion', 'reg:'||n_regionkey
+        |FROM nation WHERE n_nationkey = 1
+        |UNION ALL
+        |SELECT 'in', 'cust:'||c_custkey, ':hasNation', 'nat:1'
+        |FROM customer WHERE c_nationkey = 1
+        |UNION ALL
+        |SELECT 'in', 'supp:'||s_suppkey, ':hasNation', 'nat:1'
+        |FROM supplier WHERE s_nationkey = 1
+        |UNION ALL
+        |SELECT 'out', 'reg:1', 'rdf:type', ':Region'
+        |FROM region WHERE r_regionkey = 1
+        |UNION ALL
+        |SELECT 'out', 'reg:1', ':name', r_name FROM region WHERE r_regionkey = 1
+        |UNION ALL
+        |SELECT 'in', 'nat:'||n_nationkey, ':inRegion', 'reg:1'
+        |FROM nation WHERE n_regionkey = 1""".stripMargin,
+    "sparql_describe_mixed" ->
+      """WITH t AS (SELECT n_nationkey AS k, n_name FROM nation
+        |           WHERE n_regionkey = 0)
+        |SELECT 'out' AS dir, 'nat:'||k AS s, 'rdf:type' AS p, ':Nation' AS o
+        |FROM t
+        |UNION ALL
+        |SELECT 'out', 'nat:'||k, ':name', n_name FROM t
+        |UNION ALL
+        |SELECT 'out', 'nat:'||k, ':comment', n_name||' comment' FROM t
+        |UNION ALL
+        |SELECT 'out', 'nat:'||k, ':inRegion', 'reg:0' FROM t
+        |UNION ALL
+        |SELECT 'in', 'cust:'||c_custkey, ':hasNation', 'nat:'||c_nationkey
+        |FROM customer JOIN t ON c_nationkey = k
+        |UNION ALL
+        |SELECT 'in', 'supp:'||s_suppkey, ':hasNation', 'nat:'||s_nationkey
+        |FROM supplier JOIN t ON s_nationkey = k
+        |UNION ALL
+        |SELECT 'out', 'reg:3', 'rdf:type', ':Region'
+        |FROM region WHERE r_regionkey = 3
+        |UNION ALL
+        |SELECT 'out', 'reg:3', ':name', r_name FROM region WHERE r_regionkey = 3
+        |UNION ALL
+        |SELECT 'in', 'nat:'||n_nationkey, ':inRegion', 'reg:3'
+        |FROM nation WHERE n_regionkey = 3""".stripMargin,
   )
 }

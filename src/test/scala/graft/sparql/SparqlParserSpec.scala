@@ -302,6 +302,27 @@ class SparqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE grammar covers VarOrIri+ with optional WHERE (§16.4)") {
+    // single constant, no WHERE — the endpoint-lookup form
+    assert(SparqlParser.parseDescribeQuery("DESCRIBE nat:1") ==
+      (Seq(Left("nat:1")), None))
+    // multiple mixed targets
+    val (ts, w) = SparqlParser.parseDescribeQuery(
+      "DESCRIBE <urn:a> ?x reg:2 WHERE { ?x a :Nation }")
+    assert(ts == Seq(Left("urn:a"), Right("x"), Left("reg:2")))
+    assert(w.isDefined)
+    // the WHERE keyword itself is optional (spec grammar)
+    val (ts2, w2) = SparqlParser.parseDescribeQuery(
+      "DESCRIBE ?x { ?x a :Region }")
+    assert(ts2 == Seq(Right("x")) && w2.isDefined)
+    // a bare variable with no pattern is grammatical (binds nothing)
+    assert(SparqlParser.parseDescribeQuery("DESCRIBE ?x") ==
+      (Seq(Right("x")), None))
+    // prologue prefixes expand constant targets
+    assert(SparqlParser.parseDescribeQuery(
+      "PREFIX ex: <http://x/> DESCRIBE ex:n")._1 == Seq(Left("http://x/n")))
+  }
+
   test("parses aggregates over expressions; plain vars keep the var form") {
     val q = SparqlParser.parse(
       """SELECT ?b (SUM(?x * ?y) AS ?s) (COUNT(?x) AS ?n)

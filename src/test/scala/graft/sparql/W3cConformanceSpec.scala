@@ -469,6 +469,20 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("x" -> "e:a"), b("x" -> "e:c")))
   }
 
+  test("describe:multi-target — constants and variables union-describe") {
+    // p:alice (7 out, 0 in) + ?y → p:bob (5 out, 1 in: alice knows him)
+    val df = Graft.query(people,
+      "DESCRIBE <p:alice> ?y WHERE { <p:alice> :knows ?y }")
+    assert(df.count() == 13)
+    assert(df.filter("dir = 'in'").count() == 1)
+    // a variable with no WHERE pattern binds nothing
+    assert(Graft.query(people, "DESCRIBE ?x").count() == 0)
+    // duplicate targets (constant also bound by the pattern) dedup
+    val dup = Graft.query(people,
+      "DESCRIBE <p:bob> ?y WHERE { <p:alice> :knows ?y }")
+    assert(dup.count() == 6)
+  }
+
   test("functions:md5-01 — MD5 of a plain literal") {
     assert(run(people,
       """SELECT (MD5("abc") AS ?h) WHERE { <p:alice> :name ?n }""") ==
