@@ -1,6 +1,6 @@
 package graft.rdf
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §A: RDF data model & ingestion operators as driver-checkable
@@ -72,6 +72,31 @@ object RdfQueries {
           array_join(col("labels"), "|").as("labels"),
           element_at(col("props"), ":name").as("nm"),
           element_at(col("props_num"), ":acctbal").as("bal"))
+    },
+    // multi-valued (s, p) property semantics — the reference's
+    // MultiMetaNeo4jTrait keeps ALL values of a repeated property;
+    // the default nodes() view keeps the min-lex representative
+    // (documented divergence, VERDICT r11 gap #2). Customer nodes
+    // carry one :orderpriority value per DISTINCT priority among
+    // their orders (naturally multi-valued) beside the single-valued
+    // :name; the array view keeps every value, sorted so the arrays
+    // are order-free and re-import-stable (r12)
+    "rdf_property_graph_multival" -> { (s, dir) =>
+      val ord = graft.Tables.orders(s, dir)
+      val cust = graft.Tables.customer(s, dir)
+      def lt(s0: Column, p0: String, o0: Column) =
+        Seq(s0.as("s"), lit(p0).as("p"), o0.as("o"),
+          lit(null).cast("double").as("o_num"), lit(false).as("o_is_iri"),
+          lit(null).cast("string").as("lang"))
+      val t = ord.select(lt(concat(lit("cust:"), col("o_custkey")),
+          ":orderpriority", col("o_orderpriority")): _*)
+        .unionAll(cust.select(lt(concat(lit("cust:"), col("c_custkey")),
+          ":name", col("c_name")): _*))
+      PropertyGraph.nodesMulti(t)
+        .select(col("uri"), explode(col("props")).as(Seq("p", "va")))
+        .select(col("uri"), col("p"),
+          size(col("va")).cast("long").as("n_vals"),
+          array_join(col("va"), "|").as("vals"))
     },
     // IRI-object triples → deduplicated edges; per-relation counts
     "rdf_property_graph_edges" -> { (s, dir) =>
@@ -527,6 +552,18 @@ object RdfQueries {
     "rdf_property_graph_nodes" ->
       """SELECT 'ns0:'||c_custkey AS uri, ':Customer' AS labels,
         |       c_name AS nm, c_acctbal AS bal FROM customer""".stripMargin,
+    // multi-valued properties: per (node, property) the DISTINCT
+    // value count and the sorted '|'-joined value list
+    "rdf_property_graph_multival" ->
+      """WITH t AS (
+        |  SELECT 'cust:'||o_custkey AS s, ':orderpriority' AS p,
+        |         o_orderpriority AS o FROM orders
+        |  UNION ALL
+        |  SELECT 'cust:'||c_custkey, ':name', c_name FROM customer),
+        |d AS (SELECT DISTINCT s, p, o FROM t)
+        |SELECT s AS uri, p, count(*) AS n_vals,
+        |       string_agg(o, '|' ORDER BY o) AS vals
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "rdf_property_graph_edges" ->
       """SELECT ':hasNation' AS rel,
         |       (SELECT count(*) FROM customer)+(SELECT count(*) FROM supplier) AS cnt

@@ -314,6 +314,36 @@ class RdfSpec extends AnyFunSuite {
       "the numeric companion must come from the SAME triple as the lex")
   }
 
+  test("PropertyGraph multi-valued view keeps ALL values and round-trips") {
+    // the MultiMetaNeo4jTrait semantics (VERDICT r11 gap #2): a
+    // repeated (s,p) becomes a sorted value ARRAY, numeric companions
+    // aligned by position; toTriplesMulti explodes back losslessly
+    val t = Seq(
+      ("n:1", "rdf:type", ":Thing", Option.empty[Double], true, Option.empty[String]),
+      ("n:1", ":score", "9", Some(9.0), false, None),
+      ("n:1", ":score", "10", Some(10.0), false, None),
+      ("n:1", ":score", "2", Some(2.0), false, None),
+      ("n:1", ":tag", "x", None, false, None),
+      ("n:1", ":likes", "n:2", None, true, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val nodes = PropertyGraph.nodesMulti(t)
+    val r = nodes.head()
+    // lexical sort: "10" < "2" < "9"
+    val pm = r.getMap[String, scala.collection.Seq[String]](2)
+      .map { case (k, v) => (k, v.toList) }
+    assert(pm == Map(":score" -> List("10", "2", "9"), ":tag" -> List("x")))
+    assert(r.getMap[String, scala.collection.Seq[Double]](3)(":score").toList ==
+      List(10.0, 2.0, 9.0),
+      "numeric companions must ride in the same sorted positions")
+    // round trip: same triple SET (lang is null throughout here)
+    val back = PropertyGraph.toTriplesMulti(nodes, PropertyGraph.edges(t))
+    val orig = t.select("s", "p", "o", "o_num", "o_is_iri")
+      .collect().map(_.toSeq).toSet
+    val got = back.select("s", "p", "o", "o_num", "o_is_iri")
+      .collect().map(_.toSeq).toSet
+    assert(got == orig)
+  }
+
   test("URI functions split on the last separator") {
     val df = Seq("http://ex.org/path#Frag", "cust:42", "plain")
       .toDF("u")
