@@ -1404,9 +1404,13 @@ object Events {
     *
     * Output: one row per views-per-purchase band — how many
     * conversions had that journey length and the credit each view
-    * earned — plus the total credited view count. The per-user
-    * interval join is [[intervalJoinStreaming]]'s bounded-state
-    * shape; everything after is vocabulary-scale.
+    * earned — plus the total credited view count. Purchases with NO
+    * in-window view appear as the n_touches=0 band (credit 0), via
+    * one left join back to the purchase set — the unattributed slice
+    * a report must show, mirroring [[firstTouch]]'s NULL-credit row
+    * (ADVICE r11). The per-user interval join is
+    * [[intervalJoinStreaming]]'s bounded-state shape; everything
+    * after is vocabulary-scale.
     */
   def linearAttribution(events: DataFrame,
                         interval: String = "1 hour"): DataFrame = {
@@ -1415,8 +1419,12 @@ object Events {
     val perPurchase = intervalJoinStreaming(views, purchases, interval)
       .groupBy(col("purchase_id"))
       .agg(count(lit(1)).as("n_touches"))
-    perPurchase
-      .withColumn("credit_e6", expr("1000000 div n_touches"))
+    purchases.select(col("event_id").as("purchase_id"))
+      .join(perPurchase, Seq("purchase_id"), "left")
+      .na.fill(0L, Seq("n_touches"))
+      .withColumn("credit_e6",
+        when(col("n_touches") > 0, expr("1000000 div n_touches"))
+          .otherwise(lit(0L)))
       .groupBy(col("n_touches"), col("credit_e6"))
       .agg(count(lit(1)).as("n_purchases"),
         sum(col("n_touches")).as("n_views_credited"))

@@ -457,6 +457,11 @@ object PipelineQueries {
     // 1e6 div n_touches per touched view (r11 f)
     "events_attribution_linear" -> ((s, dir) =>
       Events.linearAttribution(Tables.events(s, dir))),
+    // the same model over a 24h window: several n_touches bands (and
+    // the truncating 1e6 div 3 split) actually appear, where the 1h
+    // fixture window yields a single band (ADVICE r11)
+    "events_attribution_windowed" -> ((s, dir) =>
+      Events.linearAttribution(Tables.events(s, dir), "24 hours")),
     // which sources duplicate each other: the minhash near-dup pairs
     // rolled up by unordered source pair (r11 f)
     "dedup_cross_source" -> ((s, dir) =>
@@ -464,6 +469,30 @@ object PipelineQueries {
   )
 
   // shared oracle CTE fragments ---------------------------------------
+  /** Linear-attribution oracle at a given window (µs): the interval
+    * join, per-purchase touch counts, and a LEFT JOIN back to the
+    * purchase set so zero-view purchases band at n_touches=0 (r12).
+    */
+  private def attributionSql(windowUs: Long): String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+       |  FROM events WHERE event_type IN ('view', 'purchase')),
+       |p0 AS (SELECT event_id AS purchase_id FROM e
+       |  WHERE event_type = 'purchase'),
+       |j AS (SELECT p.event_id AS purchase_id
+       |  FROM e p JOIN e v ON v.user_id = p.user_id
+       |   AND p.event_type = 'purchase' AND v.event_type = 'view'
+       |   AND v.us <= p.us AND v.us >= p.us - $windowUs),
+       |pp AS (SELECT purchase_id, count(*) AS n_touches FROM j GROUP BY 1),
+       |a AS (SELECT p0.purchase_id,
+       |        CAST(coalesce(pp.n_touches, 0) AS BIGINT) AS n_touches
+       |      FROM p0 LEFT JOIN pp USING (purchase_id))
+       |SELECT n_touches,
+       |  CASE WHEN n_touches > 0 THEN 1000000 // n_touches ELSE 0 END
+       |    AS credit_e6,
+       |  count(*) AS n_purchases,
+       |  CAST(sum(n_touches) AS BIGINT) AS n_views_credited
+       |FROM a GROUP BY 1, 2""".stripMargin
+
   private val TOKS =
     raw"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
          |         FROM documents)""".stripMargin
@@ -2906,19 +2935,10 @@ object PipelineQueries {
         |FROM h""".stripMargin,
     // per-purchase touch counts over the same interval join as
     // first_touch; credit_e6 = 1e6 // n_touches (truncating integer
-    // division on both engines, remainder deliberately unassigned)
-    "events_attribution_linear" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
-        |  FROM events WHERE event_type IN ('view', 'purchase')),
-        |j AS (SELECT p.event_id AS purchase_id
-        |  FROM e p JOIN e v ON v.user_id = p.user_id
-        |   AND p.event_type = 'purchase' AND v.event_type = 'view'
-        |   AND v.us <= p.us AND v.us >= p.us - 3600000000),
-        |pp AS (SELECT purchase_id, count(*) AS n_touches FROM j GROUP BY 1)
-        |SELECT n_touches, 1000000 // n_touches AS credit_e6,
-        |  count(*) AS n_purchases,
-        |  CAST(sum(n_touches) AS BIGINT) AS n_views_credited
-        |FROM pp GROUP BY 1, 2""".stripMargin,
+    // division on both engines, remainder deliberately unassigned);
+    // zero-view purchases left-join back in as the n_touches=0 band
+    "events_attribution_linear" -> attributionSql(3600000000L),
+    "events_attribution_windowed" -> attributionSql(86400000000L),
     // the shipped minhash pair oracle rolled up by unordered source
     // pair — the diagonal is within-source duplication
     "dedup_cross_source" ->
