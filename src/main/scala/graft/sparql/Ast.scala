@@ -11,6 +11,11 @@ object Ast {
   sealed trait Term
   final case class Var(name: String) extends Term
   final case class Iri(value: String) extends Term
+  /** The UNDEF placeholder in a VALUES row (SPARQL 1.1 §10.2.2): the
+    * variable is left unbound for that row, and an unbound value is
+    * join-COMPATIBLE with anything.
+    */
+  case object Undef extends Term
   /** Literal with lexical form; `num` set when it parses as a number. */
   final case class Lit(lexical: String, num: Option[Double]) extends Term
 

@@ -167,6 +167,65 @@ object Compiler {
   private def unitTable(triples: DataFrame): DataFrame =
     triples.sparkSession.range(1).toDF().select()
 
+  /** Constant inline-binding table (VALUES): per variable a lexical
+    * column + numeric companion (so VALUES over numbers composes with
+    * numeric FILTER/aggregation); UNDEF entries are null (unbound);
+    * always broadcast-sized.
+    */
+  private def valuesTable(spark: org.apache.spark.sql.SparkSession,
+                          vs: Seq[Var], valueRows: Seq[Seq[Term]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val schema = StructType(vs.flatMap(v => Seq(
+      StructField(v.name, StringType, nullable = true),
+      StructField(numCol(v.name), DoubleType, nullable = true))))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]
+    valueRows.foreach { r =>
+      rows.add(Row.fromSeq(r.flatMap {
+        case Iri(x) => Seq(x, null)
+        case Lit(lex, num) => Seq(lex, num.map(Double.box).orNull)
+        case Undef => Seq(null, null)
+        case Var(_) =>
+          throw new IllegalArgumentException("VALUES entries must be constants")
+      }))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** W3C-compatible join of a solution frame with a VALUES table
+    * containing UNDEF rows (§10.2.2): rows are grouped by their
+    * BINDING MASK (which variables they bind), each mask group
+    * equi-joins only on its bound variables, and the groups union
+    * back (missing columns null-filled). The number of groups is
+    * bounded by the inline row count — a query constant — so the
+    * plan stays a union of broadcast equi-joins; no null-tolerant
+    * theta-join ever touches the big side.
+    */
+  private def compatValuesJoin(ldf: DataFrame, vs: Seq[Var],
+                               valueRows: Seq[Seq[Term]]): DataFrame = {
+    val spark = ldf.sparkSession
+    val groups = valueRows.groupBy(
+      _.zipWithIndex.collect { case (t, i) if t != Undef => i })
+    val parts = groups.toSeq.map { case (mask, rs) =>
+      val subVars = mask.map(vs(_))
+      val sub = valuesTable(spark, subVars, rs.map(r => mask.map(r(_))))
+      val joined =
+        if (subVars.isEmpty)
+          // all-UNDEF rows: compatible with everything; each such row
+          // contributes one copy (multiset semantics)
+          if (rs.size == 1) ldf
+          else ldf.crossJoin(spark.range(rs.size).toDF().select())
+        else joinOnVars(ldf, sub)
+      // variables this mask leaves unbound still occupy a column so
+      // the group frames align; ones the pattern side already binds
+      // keep the pattern's values (UNDEF constrains nothing)
+      vs.map(_.name).filterNot(joined.columns.contains)
+        .foldLeft(joined)((d, v) =>
+          d.withColumn(v, lit(null).cast("string")))
+    }
+    parts.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   private def compileBgp(triples: DataFrame, ps: Seq[TriplePattern]): DataFrame =
     if (ps.isEmpty) unitTable(triples)
     else orderPatterns(ps).map(patternDf(triples, _)).reduceLeft(joinOnVars(_, _))
@@ -552,6 +611,15 @@ object Compiler {
             else if (isIriCol(c)) "boolean"
             else "string").as(c)): _*)
       pad(ldf).unionByName(pad(rdf))
+    // VALUES with UNDEF rows joins by W3C COMPATIBILITY (§10.2.2:
+    // an unbound value matches anything), not plain equality — the
+    // generic equi-join would wrongly drop every UNDEF row on a null
+    // key. Handled per-side so the table can precede or follow the
+    // patterns it constrains.
+    case Join(l, ValuesPattern(vs, rows)) if rows.exists(_.contains(Undef)) =>
+      compatValuesJoin(compilePattern(triples, quads, l), vs, rows)
+    case Join(ValuesPattern(vs, rows), r) if rows.exists(_.contains(Undef)) =>
+      compatValuesJoin(compilePattern(triples, quads, r), vs, rows)
     case Join(l, r) =>
       joinOnVars(compilePattern(triples, quads, l),
         compilePattern(triples, quads, r))
@@ -610,24 +678,7 @@ object Compiler {
           df.withColumn(as, strVExpr(df, e))
       }
     case ValuesPattern(vs, valueRows) =>
-      // constant inline-binding table: per variable a lexical column +
-      // numeric companion (so VALUES over numbers composes with
-      // numeric FILTER/aggregation); always broadcast-sized
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
-      val schema = StructType(vs.flatMap(v => Seq(
-        StructField(v.name, StringType, nullable = false),
-        StructField(numCol(v.name), DoubleType, nullable = true))))
-      val rows: java.util.List[Row] = new java.util.ArrayList[Row]
-      valueRows.foreach { r =>
-        rows.add(Row.fromSeq(r.flatMap {
-          case Iri(x) => Seq(x, null)
-          case Lit(lex, num) => Seq(lex, num.map(Double.box).orNull)
-          case Var(_) =>
-            throw new IllegalArgumentException("VALUES entries must be constants")
-        }))
-      }
-      triples.sparkSession.createDataFrame(rows, schema)
+      valuesTable(triples.sparkSession, vs, valueRows)
     case NegPath(s, preds, o) =>
       // one hop over any predicate outside the set: the ordinary
       // pattern machinery over a predicate-filtered slice, with a

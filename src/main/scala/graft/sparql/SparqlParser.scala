@@ -356,7 +356,8 @@ object SparqlParser extends RegexParsers {
     "(?i)BIND".r ~> "(" ~> vAdditive ~ ("(?i)AS".r ~> varTerm) <~ ")" ^^ {
       case e ~ v => BindElem(e, v.name)
     }
-  private def valuesConst: Parser[Term] = iriRef | pname | numLit | strLit
+  private def valuesConst: Parser[Term] =
+    "(?i)UNDEF".r ^^^ (Undef: Term) | iriRef | pname | numLit | strLit
   private def valuesElem: Parser[GroupElem] =
     "(?i)VALUES".r ~> (
       // multi-var form: VALUES (?a ?b) { (c1 c2) … }

@@ -672,6 +672,19 @@ object SparqlQueries {
           |  BIND(ROUND(?b) AS ?rd)
           |}""".stripMargin))
     },
+    // VALUES with UNDEF (§10.2.2): rows join by COMPATIBILITY — an
+    // unbound cell constrains nothing — via mask-grouped equi-joins
+    // unioned back (never a null-tolerant theta-join on the big
+    // side); three masks exercise one-sided, other-sided, and
+    // fully-bound rows (r12)
+    "sparql_values_undef" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?x ?n WHERE {
+          |  ?x a :Nation ; :name ?n .
+          |  VALUES (?x ?n) { (nat:1 UNDEF) (UNDEF "NATION_7")
+          |                   (nat:3 "NATION_3") }
+          |}""".stripMargin))
+    },
     // W3C §17.4.5 date/time component accessors (YEAR/MONTH/DAY/
     // HOURS) over the orderdate literal's lexical form — the largest
     // W3C function family still missing after r11 (VERDICT #1)
@@ -1104,6 +1117,15 @@ object SparqlQueries {
     "sparql_hash_builtins" ->
       """SELECT n_name AS n, md5(n_name) AS h, sha256(n_name) AS h2
         |FROM nation""".stripMargin,
+    "sparql_values_undef" ->
+      """SELECT 'nat:'||n_nationkey AS x, n_name AS n FROM nation
+        |WHERE n_nationkey = 1
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey, n_name FROM nation
+        |WHERE n_name = 'NATION_7'
+        |UNION ALL
+        |SELECT 'nat:'||n_nationkey, n_name FROM nation
+        |WHERE n_nationkey = 3 AND n_name = 'NATION_3'""".stripMargin,
     "sparql_datetime_builtins" ->
       """SELECT 'ord:'||o_orderkey AS o,
         |  CAST(year(o_orderdate) AS DOUBLE) AS y,

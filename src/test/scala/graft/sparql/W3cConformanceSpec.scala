@@ -469,6 +469,29 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("x" -> "e:a"), b("x" -> "e:c")))
   }
 
+  test("bindings:inline2 — VALUES with UNDEF joins by compatibility") {
+    // each row constrains only its bound cells (§10.2.2)
+    assert(run(people,
+      """SELECT ?x ?n WHERE {
+        |  ?x :name ?n .
+        |  VALUES (?x ?n) { (<p:alice> UNDEF) (UNDEF "Bob") }
+        |}""".stripMargin) ==
+      Set(b("x" -> "p:alice", "n" -> "Alice"),
+        b("x" -> "p:bob", "n" -> "Bob")))
+    // multiset semantics: the UNDEF row re-admits alice, so she
+    // appears twice among the four solutions
+    val df = Graft.sparql(people,
+      "SELECT ?x ?a WHERE { ?x :age ?a VALUES ?x { <p:alice> UNDEF } }")
+    assert(df.count() == 4)
+    assert(df.filter("x = 'p:alice'").count() == 2)
+    // VALUES preceding the pattern behaves identically
+    assert(run(people,
+      """SELECT ?x ?n WHERE {
+        |  VALUES (?x ?n) { (UNDEF "Carol") }
+        |  ?x :name ?n .
+        |}""".stripMargin) == Set(b("x" -> "p:carol", "n" -> "Carol")))
+  }
+
   test("describe:multi-target — constants and variables union-describe") {
     // p:alice (7 out, 0 in) + ?y → p:bob (5 out, 1 in: alice knows him)
     val df = Graft.query(people,
