@@ -99,6 +99,12 @@ object SparkEntry {
     // the forced embedding-sweep regime) reuse benched Expand /
     // broadcast-fold / keyed-join shapes and stay verify-only
     "events_rolling_daily", "events_engagement_gini")
+    // r12 keys stay verify-only: the gated CN/Jaccard wedge joins now
+    // share graph_resource_alloc's benched priced-gate shape, and the
+    // datetime/TZ builtins, DESCRIBE semi-join arms, multi-valued LPG
+    // collect folds, VALUES-UNDEF broadcast joins, and the 0-band
+    // attribution left join all reuse benched per-row / keyed-join /
+    // fold shapes
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -94,8 +94,18 @@ object Ast {
     * AND language tag all equal (unlike `=`, which value-compares).
     */
   final case class SameTerm(a: Var, b: Var) extends Expr
-  final case class Exists(patterns: Seq[TriplePattern]) extends Expr
-  final case class NotExists(patterns: Seq[TriplePattern]) extends Expr
+  /** EXISTS / NOT EXISTS over a FULL group graph pattern (r12 — was
+    * BGP-only): top-level filters compile to semi/anti joins; inside
+    * a compound expression (&&, ||, !) the compiler rewrites each to
+    * an [[ExistsFlag]] marker bound by one flag left-join.
+    */
+  final case class Exists(pattern: Pattern) extends Expr
+  final case class NotExists(pattern: Pattern) extends Expr
+  /** Internal: a bound EXISTS marker column (never produced by the
+    * parser) — `coalesce(col(name), false)`, negated for NOT EXISTS.
+    */
+  private[sparql] final case class ExistsFlag(name: String,
+                                              neg: Boolean) extends Expr
 
   sealed trait Pattern
   final case class Bgp(patterns: Seq[TriplePattern]) extends Pattern

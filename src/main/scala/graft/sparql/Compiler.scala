@@ -383,8 +383,58 @@ object Compiler {
     case Not(e) => !exprColumn(df, e)
     case And(a, b) => exprColumn(df, a) && exprColumn(df, b)
     case Or(a, b) => exprColumn(df, a) || exprColumn(df, b)
+    // a bound EXISTS marker: matched rows carry true, unmatched null
+    case ExistsFlag(name, neg) =>
+      val v = coalesce(col(name), lit(false))
+      if (neg) !v else v
     case _: Exists | _: NotExists =>
-      throw new IllegalArgumentException("EXISTS must be a top-level filter")
+      throw new IllegalArgumentException(
+        "internal: nested EXISTS must be rewritten to markers first")
+  }
+
+  private def containsExists(e: Expr): Boolean = e match {
+    case _: Exists | _: NotExists => true
+    case Not(x) => containsExists(x)
+    case And(a, b) => containsExists(a) || containsExists(b)
+    case Or(a, b) => containsExists(a) || containsExists(b)
+    case _ => false
+  }
+
+  /** Rewrite every EXISTS / NOT EXISTS inside a compound filter
+    * expression to an [[ExistsFlag]] marker, binding each marker with
+    * one flag left-join: the body compiles once, projects to its
+    * shared variables, distincts (so the join can't duplicate
+    * solution rows), and left-joins a constant-true flag. A body
+    * sharing NO variables is the spec's query-constant case — a
+    * single-row flag joined on true, left rows always survive.
+    */
+  private def bindExistsMarkers(triples: DataFrame, quads: Option[DataFrame],
+                                df0: DataFrame, e0: Expr)
+      : (DataFrame, Expr, Seq[String]) = {
+    var df = df0
+    var markers = Vector.empty[String]
+    def bind(p: Pattern, neg: Boolean): Expr = {
+      val name = s"__exists_${markers.size}"
+      val sub = compilePattern(triples, quads, p)
+      val shared = df0.columns.intersect(sub.columns).filterNot(isCompanion)
+      val flagged =
+        if (shared.isEmpty) sub.limit(1).select(lit(true).as(name))
+        else sub.select(shared.map(col).toSeq: _*).distinct()
+          .withColumn(name, lit(true))
+      df = joinOnVars(df, flagged, "left_outer")
+      markers :+= name
+      ExistsFlag(name, neg)
+    }
+    def rewrite(e: Expr): Expr = e match {
+      case Exists(p) => bind(p, neg = false)
+      case NotExists(p) => bind(p, neg = true)
+      case Not(x) => Not(rewrite(x))
+      case And(a, b) => And(rewrite(a), rewrite(b))
+      case Or(a, b) => Or(rewrite(a), rewrite(b))
+      case other => other
+    }
+    val e2 = rewrite(e0)
+    (df, e2, markers)
   }
 
   private def applyCmp(op: CmpOp, c: Column, l: Column): Column = op match {
@@ -587,8 +637,19 @@ object Compiler {
     case Bgp(ps) => compileBgp(triples, ps)
     case Filter(exprs, input) =>
       exprs.foldLeft(compilePattern(triples, quads, input)) {
-        case (df, Exists(ps)) => joinOnVars(df, compileBgp(triples, ps), "left_semi")
-        case (df, NotExists(ps)) => joinOnVars(df, compileBgp(triples, ps), "left_anti")
+        // top-level EXISTS / NOT EXISTS: the body is a full group
+        // pattern (r12); the filter IS a semi/anti join on shared vars
+        case (df, Exists(p)) =>
+          joinOnVars(df, compilePattern(triples, quads, p), "left_semi")
+        case (df, NotExists(p)) =>
+          joinOnVars(df, compilePattern(triples, quads, p), "left_anti")
+        // EXISTS nested inside &&/||/!: each occurrence binds a
+        // boolean marker via ONE distinct-projected flag left-join,
+        // then the whole expression filters over the markers — never
+        // a row-at-a-time subquery
+        case (df, e) if containsExists(e) =>
+          val (df2, e2, ms) = bindExistsMarkers(triples, quads, df, e)
+          df2.filter(exprColumn(df2, e2)).drop(ms: _*)
         case (df, e) => df.filter(exprColumn(df, e))
       }
     case LeftJoin(l, r) =>

@@ -129,9 +129,17 @@ object SparqlParser extends RegexParsers {
     }
   private def notExpr: Parser[Expr] =
     "!" ~> primaryExpr ^^ Not.apply
+  /** EXISTS / NOT EXISTS as an operand inside a compound filter
+    * expression (W3C ExistsFunc/NotExistsFunc — they are ordinary
+    * BuiltInCalls, so `FILTER(EXISTS { … } && ?x > 5)` is legal);
+    * bodies are FULL group patterns (r12).
+    */
+  private def existsExpr: Parser[Expr] =
+    "(?i)NOT\\s+EXISTS".r ~> groupGraphPattern ^^ (p => NotExists(p)) |
+    "(?i)EXISTS".r ~> groupGraphPattern ^^ (p => Exists(p))
   private def primaryExpr: Parser[Expr] =
     ("(" ~> orExpr <~ ")") | notExpr | langMatches | langCmp | strFilter | boundExpr |
-      termTest | inFilter | cmp
+      termTest | inFilter | existsExpr | cmp
   private def andExpr: Parser[Expr] =
     rep1sep(primaryExpr, "&&") ^^ (_.reduceLeft(And.apply))
   private def orExpr: Parser[Expr] =
@@ -142,8 +150,8 @@ object SparqlParser extends RegexParsers {
 
   private def filterElem: Parser[GroupElem] =
     "(?i)FILTER".r ~> (
-      "(?i)NOT\\s+EXISTS".r ~> bgpOnly ^^ (ps => FilterElem(NotExists(ps))) |
-      "(?i)EXISTS".r ~> bgpOnly ^^ (ps => FilterElem(Exists(ps))) |
+      "(?i)NOT\\s+EXISTS".r ~> groupGraphPattern ^^ (p => FilterElem(NotExists(p))) |
+      "(?i)EXISTS".r ~> groupGraphPattern ^^ (p => FilterElem(Exists(p))) |
       "(" ~> orExpr <~ ")" ^^ FilterElem.apply |
       // W3C Constraint ::= BrackettedExpression | BuiltInCall — a
       // builtin call may follow FILTER with no extra parens
@@ -641,8 +649,8 @@ object SparqlParser extends RegexParsers {
   private def rewriteTp(tp: TriplePattern, f: String => String): TriplePattern =
     TriplePattern(rewriteTerm(tp.s, f), rewriteTerm(tp.p, f), rewriteTerm(tp.o, f))
   private def rewriteExpr(e: Expr, f: String => String): Expr = e match {
-    case Exists(ps) => Exists(ps.map(rewriteTp(_, f)))
-    case NotExists(ps) => NotExists(ps.map(rewriteTp(_, f)))
+    case Exists(p) => Exists(rewritePattern(p, f))
+    case NotExists(p) => NotExists(rewritePattern(p, f))
     case And(l, r) => And(rewriteExpr(l, f), rewriteExpr(r, f))
     case Or(l, r) => Or(rewriteExpr(l, f), rewriteExpr(r, f))
     case Not(x) => Not(rewriteExpr(x, f))

@@ -672,6 +672,28 @@ object SparqlQueries {
           |  BIND(ROUND(?b) AS ?rd)
           |}""".stripMargin))
     },
+    // EXISTS as an OPERAND in a compound filter (W3C ExistsFunc is an
+    // ordinary BuiltInCall, r12): the occurrence binds a boolean
+    // marker via one distinct-projected flag left-join, composing
+    // with the numeric predicate — never a row-at-a-time subquery
+    "sparql_exists_expr" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?b WHERE {
+          |  ?c a :Customer ; :acctbal ?b .
+          |  FILTER(EXISTS { ?o :byCustomer ?c } && ?b < 0)
+          |}""".stripMargin), numericVars = Seq("b"))
+    },
+    // NOT EXISTS over a FULL group body with an inner FILTER (r12 —
+    // was BGP-only): customers with no order above 400k; the body's
+    // filter applies inside the anti-join side
+    "sparql_not_exists_group" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c WHERE {
+          |  ?c a :Customer .
+          |  FILTER NOT EXISTS { ?o :byCustomer ?c . ?o :totalprice ?tp .
+          |                      FILTER(?tp > 400000) }
+          |}""".stripMargin))
+    },
     // VALUES with UNDEF (§10.2.2): rows join by COMPATIBILITY — an
     // unbound cell constrains nothing — via mask-grouped equi-joins
     // unioned back (never a null-tolerant theta-join on the big
@@ -1117,6 +1139,14 @@ object SparqlQueries {
     "sparql_hash_builtins" ->
       """SELECT n_name AS n, md5(n_name) AS h, sha256(n_name) AS h2
         |FROM nation""".stripMargin,
+    "sparql_exists_expr" ->
+      """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b FROM customer
+        |WHERE c_acctbal < 0 AND EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "sparql_not_exists_group" ->
+      """SELECT 'cust:'||c_custkey AS c FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
     "sparql_values_undef" ->
       """SELECT 'nat:'||n_nationkey AS x, n_name AS n FROM nation
         |WHERE n_nationkey = 1

@@ -130,13 +130,13 @@ class CompilerSpec extends AnyFunSuite {
   test("NOT EXISTS with variable-disjoint pattern keeps/drops whole side") {
     // disconnected non-empty pattern => all rows dropped
     val q = SelectQuery(
-      where = Filter(Seq(NotExists(Seq(tp(v("y"), "rdf:type", Iri(":Person"))))),
+      where = Filter(Seq(NotExists(Bgp(Seq(tp(v("y"), "rdf:type", Iri(":Person")))))),
         Bgp(Seq(tp(v("x"), ":name", v("n"))))),
       projection = Seq("x"))
     assert(Compiler.run(triples, q).count() == 0)
     // disconnected empty pattern => all rows kept
     val q2 = q.copy(where = Filter(
-      Seq(NotExists(Seq(tp(v("y"), "rdf:type", Iri(":Nothing"))))),
+      Seq(NotExists(Bgp(Seq(tp(v("y"), "rdf:type", Iri(":Nothing")))))),
       Bgp(Seq(tp(v("x"), ":name", v("n"))))))
     assert(Compiler.run(triples, q2).count() == 2)
   }

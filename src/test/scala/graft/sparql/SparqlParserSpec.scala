@@ -173,7 +173,7 @@ class SparqlParserSpec extends AnyFunSuite {
         |  { ?x a ex:Person } UNION { ?x ex:tag :thing }
         |  FILTER NOT EXISTS { ?x ex:banned ?b }
         |}""".stripMargin)
-    val Filter(Seq(NotExists(Seq(ne))), Join(path, Union(l, _))) =
+    val Filter(Seq(NotExists(Bgp(Seq(ne)))), Join(path, Union(l, _))) =
       q.where: @unchecked
     assert(ne.p == Iri("http://ex.org/banned"))
     val PathSeq(_, steps, _) = path: @unchecked

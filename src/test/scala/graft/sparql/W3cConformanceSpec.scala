@@ -469,6 +469,43 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("x" -> "e:a"), b("x" -> "e:c")))
   }
 
+  test("negation:exists-in-expression — EXISTS composes with && / || / !") {
+    // alice has an mbox AND age>25; carol has age<=40 but no mbox
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n . ?x :age ?a
+        |  FILTER(EXISTS { ?x :mbox ?m } && ?a > 25) }""".stripMargin) ==
+      Set(b("n" -> "Alice"), b("n" -> "Bob")))
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n . ?x :age ?a
+        |  FILTER(!EXISTS { ?x :mbox ?m } || ?a < 35) }""".stripMargin) ==
+      Set(b("n" -> "Alice"), b("n" -> "Carol")))
+    // disjoint-vars EXISTS is query-constant (a Robot exists → true)
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n . ?x :age ?a
+        |  FILTER(EXISTS { ?z rdf:type :Robot } && ?a >= 40) }""".stripMargin) ==
+      Set(b("n" -> "Bob")))
+    // NOT EXISTS operand beside a second EXISTS operand
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  FILTER(NOT EXISTS { ?x :mbox ?m } && EXISTS { ?x :age ?a }) }""".stripMargin) ==
+      Set(b("n" -> "Carol")))
+  }
+
+  test("negation:exists-group-body — EXISTS bodies are full group patterns") {
+    // inner FILTER applies inside the EXISTS side
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  FILTER EXISTS { ?x :age ?a FILTER(?a > 35) } }""".stripMargin) ==
+      Set(b("n" -> "Bob")))
+    // UNION inside a NOT EXISTS body
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n . ?x rdf:type :Person
+        |  FILTER NOT EXISTS {
+        |    { ?x :mbox ?m } UNION { ?x :knows <p:dave> } } }""".stripMargin) ==
+      Set())
+    // (alice/bob have mboxes; carol knows dave — nobody survives)
+  }
+
   test("bindings:inline2 — VALUES with UNDEF joins by compatibility") {
     // each row constrains only its bound cells (§10.2.2)
     assert(run(people,
