@@ -886,12 +886,20 @@ object Compiler {
     val spark = triples.sparkSession
     def single(v: String) =
       spark.range(1).select(lit(v).as("sub"), lit(v).as("sup"))
-    (s, o) match {
-      case (Iri(sv), Iri(ov)) =>
+    // a bound endpoint — IRI or literal (W3C §9.3: the zero-length
+    // path relates ANY term, including literals, to itself) — relates
+    // to itself and nothing else
+    def lex(t: Term): Option[String] = t match {
+      case Iri(v) => Some(v)
+      case l: Lit => Some(l.lexical)
+      case _ => None
+    }
+    (lex(s), lex(o)) match {
+      case (Some(sv), Some(ov)) =>
         if (sv == ov) single(sv)
         else spark.range(0).select(lit("").as("sub"), lit("").as("sup"))
-      case (Iri(sv), _) => single(sv)
-      case (_, Iri(ov)) => single(ov)
+      case (Some(sv), None) => single(sv)
+      case (None, Some(ov)) => single(ov)
       case _ =>
         triples.select(col("s"))
           .unionByName(triples.filter(col("o_is_iri")).select(col("o").as("s")))
@@ -905,8 +913,20 @@ object Compiler {
     */
   private def projectPathEndpoints(pairs: DataFrame, s: Term, o: Term): DataFrame = {
     var df = pairs
-    s match { case Iri(v) => df = df.filter(col("sub") === v); case _ => () }
-    o match { case Iri(v) => df = df.filter(col("sup") === v); case _ => () }
+    // bound endpoints filter the pair relation; a LITERAL endpoint
+    // (legal at the object of a path, and at the subject via inverse)
+    // compares on its lexical form — the pair relation carries
+    // lexicals only (documented subset, same as CONSTRUCT)
+    s match {
+      case Iri(v) => df = df.filter(col("sub") === v)
+      case l: Lit => df = df.filter(col("sub") === l.lexical)
+      case _ => ()
+    }
+    o match {
+      case Iri(v) => df = df.filter(col("sup") === v)
+      case l: Lit => df = df.filter(col("sup") === l.lexical)
+      case _ => ()
+    }
     (s, o) match {
       case (Var(a), Var(b)) if a == b => df = df.filter(col("sub") === col("sup"))
       case _ => ()
@@ -1038,8 +1058,18 @@ object Compiler {
 
     if (q.aggregates.nonEmpty) {
       val aggCols = q.aggregates.map { case Agg(op, v, alias, sep, aggExpr, dist) =>
+        // W3C §18.5: unbound is an error, and error rows are removed
+        // from the aggregate's multiset — fold the engine's unmatched-
+        // OPTIONAL "N/A" sentinel to null so Spark's null-skipping
+        // aggregation implements exactly that removal (numeric
+        // companions are already null when unmatched)
+        def lexGuard(name: String): Column = {
+          val c = col(name)
+          when(c =!= "N/A", c)
+        }
         def numOrLex(name: String): Column =
-          if (df.columns.contains(numCol(name))) col(numCol(name)) else col(name)
+          if (df.columns.contains(numCol(name))) col(numCol(name))
+          else lexGuard(name)
         def numOnly(name: String, what: String): Column = {
           require(df.columns.contains(numCol(name)),
             s"$what over ?$name: variable has no numeric binding")
@@ -1054,29 +1084,39 @@ object Compiler {
           case None => numOrLex(varOf(what).name)
         }
         val c = op match {
-          case Count => v.map(vr => count(col(vr.name)))
+          case Count => v.map(vr => count(lexGuard(vr.name)))
             .orElse(aggExpr.map(e => count(numVExpr(df, e))))
             .getOrElse(count(lit(1)))
-          case CountDistinct => countDistinct(col(varOf("COUNT(DISTINCT").name))
+          case CountDistinct =>
+            countDistinct(lexGuard(varOf("COUNT(DISTINCT").name))
           case Max => max(arg("MAX"))
           case Min => min(arg("MIN"))
-          case Sum if dist => aggExpr.map(e => sum_distinct(numVExpr(df, e)))
-            .getOrElse(sum_distinct(numOnly(varOf("SUM").name, "SUM")))
-          case Sum => aggExpr.map(e => sum(numVExpr(df, e)))
-            .getOrElse(sum(numOnly(varOf("SUM").name, "SUM")))
-          case Avg => aggExpr.map(e => avg(numVExpr(df, e)))
-            .getOrElse(avg(numOnly(varOf("AVG").name, "AVG")))
+          // Sum/Avg over the EMPTY multiset are 0, not unbound (W3C
+          // §18.5.1.3-4 define Sum({}) = Avg({}) = 0) — the coalesce
+          // only fires when no (bound) value reached the fold
+          case Sum if dist => coalesce(
+            aggExpr.map(e => sum_distinct(numVExpr(df, e)))
+              .getOrElse(sum_distinct(numOnly(varOf("SUM").name, "SUM"))),
+            lit(0.0))
+          case Sum => coalesce(
+            aggExpr.map(e => sum(numVExpr(df, e)))
+              .getOrElse(sum(numOnly(varOf("SUM").name, "SUM"))),
+            lit(0.0))
+          case Avg => coalesce(
+            aggExpr.map(e => avg(numVExpr(df, e)))
+              .getOrElse(avg(numOnly(varOf("AVG").name, "AVG"))),
+            lit(0.0))
           case GroupConcat =>
             // sort before joining: collect order is partition-
             // dependent, the sorted join is deterministic anywhere;
             // DISTINCT collects the value SET
-            val src = col(varOf("GROUP_CONCAT").name)
+            val src = lexGuard(varOf("GROUP_CONCAT").name)
             array_join(array_sort(
               if (dist) collect_set(src) else collect_list(src)), sep)
           case Sample =>
             // SPARQL permits any group member; the lexical minimum is
             // the deterministic choice (same answer on any cluster)
-            min(col(varOf("SAMPLE").name))
+            min(lexGuard(varOf("SAMPLE").name))
         }
         c.as(alias)
       }

@@ -366,7 +366,10 @@ object SparqlParser extends RegexParsers {
     }
   private def valuesConst: Parser[Term] =
     "(?i)UNDEF".r ^^^ (Undef: Term) | iriRef | pname | numLit | strLit
-  private def valuesElem: Parser[GroupElem] =
+  /** The DataBlock shared by in-group `VALUES` and the query-final
+    * ValuesClause (W3C §18.2.4.2).
+    */
+  private def valuesPattern: Parser[ValuesPattern] =
     "(?i)VALUES".r ~> (
       // multi-var form: VALUES (?a ?b) { (c1 c2) … }
       ("(" ~> rep1(varTerm) <~ ")") ~
@@ -374,12 +377,14 @@ object SparqlParser extends RegexParsers {
         case vs ~ rows =>
           if (rows.exists(_.size != vs.size))
             failure(s"VALUES row arity must be ${vs.size}")
-          else success(GroupOrUnionElem(ValuesPattern(vs, rows)))
+          else success(ValuesPattern(vs, rows))
       } |
       // single-var form: VALUES ?v { c… }
       varTerm ~ ("{" ~> rep1(valuesConst) <~ "}") ^^ {
-        case v ~ vals => GroupOrUnionElem(ValuesPattern(Seq(v), vals.map(Seq(_))))
+        case v ~ vals => ValuesPattern(Seq(v), vals.map(Seq(_)))
       })
+  private def valuesElem: Parser[GroupElem] =
+    valuesPattern ^^ GroupOrUnionElem.apply
   private def groupOrUnion: Parser[GroupElem] =
     rep1sep(groupGraphPattern, "(?i)UNION".r) ^^ (gs =>
       GroupOrUnionElem(gs.reduceLeft(Union.apply)))
@@ -566,11 +571,21 @@ object SparqlParser extends RegexParsers {
       opt("(?i)ORDER\\s+BY".r ~> rep1(orderCond)) ~
       // LIMIT/OFFSET in either order, per the SPARQL grammar
       rep(("(?i)LIMIT".r ~> """\d+""".r ^^ (n => ("limit", n.toLong))) |
-          ("(?i)OFFSET".r ~> """\d+""".r ^^ (n => ("offset", n.toLong)))) ^^ {
-      case dist ~ sels ~ dataset ~ where ~ group ~ hav ~ order ~ slices =>
+          ("(?i)OFFSET".r ~> """\d+""".r ^^ (n => ("offset", n.toLong)))) ~
+      // query-final ValuesClause (W3C §18.2.4.2): the data block joins
+      // the WHERE pattern's solutions — exactly the in-group VALUES
+      // algebra for pattern-level queries, so it desugars to
+      // Join(where, data). With aggregates the spec joins AFTER
+      // grouping, which this desugaring would misplace — rejected.
+      opt(valuesPattern) ^^ {
+      case dist ~ sels ~ dataset ~ where0 ~ group ~ hav ~ order ~ slices ~ tval =>
         val limit = slices.collectFirst { case ("limit", n) => n }
         val offset = slices.collectFirst { case ("offset", n) => n }
         val selectors = sels.getOrElse(Seq.empty)
+        if (tval.isDefined && selectors.exists(_.isInstanceOf[AggSel]))
+          throw new IllegalArgumentException(
+            "a final VALUES clause alongside aggregates is not supported")
+        val where = tval.fold(where0)(vp => Join(where0, vp))
         val exprSels = selectors.collect { case e: ExprSel => e }
         if (exprSels.nonEmpty && selectors.exists(_.isInstanceOf[AggSel]))
           throw new IllegalArgumentException(
@@ -680,6 +695,14 @@ object SparqlParser extends RegexParsers {
     case PathSeq(s, steps, o) =>
       PathSeq(rewriteTerm(s, f),
         steps.map(st => PathStep(f(st.pred), st.inverse)), rewriteTerm(o, f))
+    case PathSeqMod(s, steps, mod, o) =>
+      PathSeqMod(rewriteTerm(s, f),
+        steps.map(st => PathStep(f(st.pred), st.inverse)), mod,
+        rewriteTerm(o, f))
+    case PathSeqRange(s, steps, mn, mx, o) =>
+      PathSeqRange(rewriteTerm(s, f),
+        steps.map(st => PathStep(f(st.pred), st.inverse)), mn, mx,
+        rewriteTerm(o, f))
     case NegPath(s, preds, o) =>
       NegPath(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
     case PathAlt(s, preds, o) =>

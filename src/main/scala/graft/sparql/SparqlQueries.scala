@@ -694,6 +694,24 @@ object SparqlQueries {
           |                      FILTER(?tp > 400000) }
           |}""".stripMargin))
     },
+    // query-final VALUES clause (§18.2.4.2, r12): the data block
+    // joins the WHERE solutions after the group closes — desugared to
+    // Join(where, data), the same broadcast-side equi-join as in-group
+    // VALUES
+    "sparql_values_clause" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?m WHERE { ?c :mktsegment ?m }
+          |VALUES ?m { "BUILDING" "AUTOMOBILE" }""".stripMargin))
+    },
+    // COUNT over an OPTIONAL var (§18.5, r12): unbound is removed
+    // from the aggregate multiset, so customers with no orders count
+    // 0 — the SQL LEFT-JOIN-count shape, never a driver-side loop
+    "sparql_count_optional" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c (COUNT(?o) AS ?cnt) WHERE {
+          |  ?c a :Customer OPTIONAL { ?o :byCustomer ?c }
+          |} GROUP BY ?c""".stripMargin))
+    },
     // VALUES with UNDEF (§10.2.2): rows join by COMPATIBILITY — an
     // unbound cell constrains nothing — via mask-grouped equi-joins
     // unioned back (never a null-tolerant theta-join on the big
@@ -1147,6 +1165,13 @@ object SparqlQueries {
       """SELECT 'cust:'||c_custkey AS c FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "sparql_values_clause" ->
+      """SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')""".stripMargin,
+    "sparql_count_optional" ->
+      """SELECT 'cust:'||c_custkey AS c, count(o.o_orderkey) AS cnt
+        |FROM customer LEFT JOIN orders o ON o.o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "sparql_values_undef" ->
       """SELECT 'nat:'||n_nationkey AS x, n_name AS n FROM nation
         |WHERE n_nationkey = 1

@@ -670,4 +670,232 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("x" -> "p:carol", "y" -> "p:alice"),
         b("x" -> "p:carol", "y" -> "p:bob")))
   }
+
+  // ---- r12 batch 2: EXISTS scoping (§18.6), aggregate corners
+  // (§18.5), path edges (§9.3), final VALUES (§18.2.4.2) -------------
+
+  test("negation:exists-02 — body-only vars are existential, joins apply inside") {
+    // knows someone WITH an mbox: only alice (bob has one)
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  FILTER EXISTS { ?x :knows ?y . ?y :mbox ?m } }""".stripMargin) ==
+      Set(b("n" -> "Alice")))
+  }
+
+  test("negation:nested-exists — EXISTS inside an EXISTS body") {
+    // knows someone with an age: alice→bob(40), bob→carol(25);
+    // carol→dave has no age, dave knows nobody
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  FILTER EXISTS { ?x :knows ?y FILTER EXISTS { ?y :age ?a } } }""".stripMargin) ==
+      Set(b("n" -> "Alice"), b("n" -> "Bob")))
+  }
+
+  test("negation:not-exists-optional-body — OPTIONAL in the body never fails it") {
+    // the body matches iff ?x knows anyone (the OPTIONAL can't fail);
+    // only dave knows nobody
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  FILTER NOT EXISTS { ?x :knows ?y OPTIONAL { ?y :age ?a } } }""".stripMargin) ==
+      Set(b("n" -> "Dave")))
+  }
+
+  test("negation:exists-inside-optional — filter scopes to the optional group") {
+    // mbox binds only for people who ALSO have an age (alice, bob)
+    assert(run(people,
+      """SELECT ?n ?m WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :mbox ?m FILTER EXISTS { ?x :age ?a } } }""".stripMargin) ==
+      Set(b("n" -> "Alice", "m" -> "mailto:alice@work.example"),
+        b("n" -> "Bob", "m" -> "mailto:bob@work.example"),
+        b("n" -> "Carol"), b("n" -> "Dave")))
+  }
+
+  test("negation:subtract-01-02 — disjoint MINUS keeps what NOT EXISTS drops") {
+    // §8.3.3: MINUS with no shared vars removes nothing; NOT EXISTS
+    // over the same non-empty pattern removes everything
+    assert(run(people,
+      "SELECT ?n WHERE { ?x :name ?n . ?x rdf:type :Robot MINUS { ?y :age ?b } }") ==
+      Set(b("n" -> "Dave")))
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n . ?x rdf:type :Robot
+        |  FILTER NOT EXISTS { ?y :age ?b } }""".stripMargin) == Set())
+  }
+
+  test("aggregates:agg-empty-group2 — ungrouped COUNT over no solutions is 0") {
+    assert(run(people,
+      "SELECT (COUNT(?x) AS ?c) WHERE { ?x rdf:type :Unicorn }") ==
+      Set(b("c" -> "0")))
+  }
+
+  test("aggregates:sum-avg-empty — Sum({}) = Avg({}) = 0, per §18.5.1") {
+    assert(run(people,
+      "SELECT (SUM(?a) AS ?s) WHERE { ?x rdf:type :Unicorn . ?x :age ?a }") ==
+      Set(b("s" -> "0")))
+    assert(run(people,
+      "SELECT (AVG(?a) AS ?av) WHERE { ?x rdf:type :Unicorn . ?x :age ?a }") ==
+      Set(b("av" -> "0")))
+  }
+
+  test("aggregates:min-max-empty — MIN/MAX over no solutions are unbound") {
+    assert(run(people,
+      "SELECT (MAX(?a) AS ?m) WHERE { ?x rdf:type :Unicorn . ?x :age ?a }") ==
+      Set(b()))
+  }
+
+  test("aggregates:group-concat-empty — GroupConcat({}) is the empty string") {
+    assert(run(people,
+      "SELECT (GROUP_CONCAT(?n) AS ?g) WHERE { ?x rdf:type :Unicorn . ?x :name ?n }") ==
+      Set(b("g" -> "")))
+  }
+
+  test("aggregates:grouped-empty — GROUP BY over no solutions yields no groups") {
+    assert(run(people,
+      """SELECT ?x (COUNT(?n) AS ?c) WHERE { ?x rdf:type :Unicorn . ?x :name ?n }
+        |GROUP BY ?x""".stripMargin) == Set())
+  }
+
+  test("aggregates:count-optional — COUNT(?v) skips unbound, COUNT(*) keeps the row") {
+    // carol's knows-target (dave) has no age → the OPTIONAL leaves ?y
+    // unbound; unbound is removed from COUNT(?y)'s multiset (§18.5)
+    // but the solution row itself still counts under COUNT(*)
+    val q =
+      """SELECT ?n (COUNT(?y) AS ?c) WHERE { ?x :name ?n . ?x rdf:type :Person
+        |  OPTIONAL { ?x :knows ?y . ?y :age ?a } } GROUP BY ?n""".stripMargin
+    assert(run(people, q) ==
+      Set(b("n" -> "Alice", "c" -> "1"), b("n" -> "Bob", "c" -> "1"),
+        b("n" -> "Carol", "c" -> "0")))
+    assert(run(people, q.replace("COUNT(?y)", "COUNT(*)")) ==
+      Set(b("n" -> "Alice", "c" -> "1"), b("n" -> "Bob", "c" -> "1"),
+        b("n" -> "Carol", "c" -> "1")))
+  }
+
+  test("aggregates:agg-avg-expr — AVG over an arithmetic expression") {
+    assert(run(orgs,
+      "SELECT (AVG(?s * 2) AS ?av) WHERE { ?e :salary ?s }") ==
+      Set(b("av" -> "500")))
+  }
+
+  test("aggregates:group-by-two-keys") {
+    assert(run(orgs,
+      """SELECT ?o ?d (COUNT(?e) AS ?c)
+        |WHERE { ?o :affiliates ?d . ?d :employee ?e } GROUP BY ?o ?d""".stripMargin) ==
+      Set(b("o" -> "o:org1", "d" -> "o:dep1", "c" -> "2"),
+        b("o" -> "o:org1", "d" -> "o:dep2", "c" -> "1"),
+        b("o" -> "o:org2", "d" -> "o:dep3", "c" -> "1")))
+  }
+
+  test("property-path:pp-range-zero — {0,n} includes the zero-hop identity") {
+    assert(run(paths, "SELECT ?y WHERE { n:a :p{0,2} ?y }") ==
+      Set(b("y" -> "n:a"), b("y" -> "n:b"), b("y" -> "n:c")))
+  }
+
+  test("property-path:pp-range-exact — {n} is exactly n hops") {
+    assert(run(paths, "SELECT ?y WHERE { n:a :p{2} ?y }") ==
+      Set(b("y" -> "n:c")))
+  }
+
+  test("property-path:pp-inverse-seq — ^p/^p climbs two levels upstream") {
+    // c's parent is d (c:p:d read inverse), d's parent is a
+    assert(run(paths, "SELECT ?x WHERE { ?x ^:p/^:p n:c }") ==
+      Set(b("x" -> "n:a")))
+  }
+
+  test("property-path:pp-seq-star-mixed — (p/^p)* stays at the subject here") {
+    // every node has exactly one :p-parent, so p/^p is the identity
+    assert(run(paths, "SELECT ?y WHERE { n:a (:p/^:p)* ?y }") ==
+      Set(b("y" -> "n:a")))
+  }
+
+  test("property-path:pp-negated-set — !(p|q) takes the remaining edge") {
+    assert(run(paths, "SELECT ?y WHERE { n:a !(:p|:q) ?y }") ==
+      Set(b("y" -> "lit1")))
+  }
+
+  test("property-path:pp-alt-plus — closure over an alternation") {
+    // :p closure cycles through b,c,d back to a; :q adds e
+    assert(run(paths, "SELECT ?y WHERE { n:a (:p|:q)+ ?y }") ==
+      Set(b("y" -> "n:a"), b("y" -> "n:b"), b("y" -> "n:c"),
+        b("y" -> "n:d"), b("y" -> "n:e")))
+  }
+
+  test("property-path:pp-zeroone-literal — zero-length path relates a literal to itself") {
+    // §9.3: zero-length paths relate ANY term, literals included
+    assert(run(paths, """SELECT ?x WHERE { ?x :p? "lit1" }""") ==
+      Set(b("x" -> "lit1")))
+  }
+
+  test("property-path:pp-prefixed-seq-mod — PREFIX expansion reaches (p/q)+ paths") {
+    // regression: the prefix rewrite used to MatchError on the
+    // parenthesized-sequence-modifier path forms
+    assert(run(paths,
+      "PREFIX ex: <http://e/> SELECT ?y WHERE { n:a (ex:p/ex:q)+ ?y }") == Set())
+    assert(run(paths,
+      "PREFIX ex: <http://e/> SELECT ?y WHERE { n:a (ex:p/ex:q){1,2} ?y }") == Set())
+  }
+
+  test("functions:if-nested — IF composes as an expression argument") {
+    assert(run(people,
+      """SELECT ?n ?band WHERE { ?x :name ?n . ?x :age ?a
+        |  BIND(IF(?a > 35, "senior", IF(?a > 27, "mid", "junior")) AS ?band) }""".stripMargin) ==
+      Set(b("n" -> "Alice", "band" -> "mid"), b("n" -> "Bob", "band" -> "senior"),
+        b("n" -> "Carol", "band" -> "junior")))
+  }
+
+  test("functions:substr-2arg — SUBSTR without length runs to the end") {
+    assert(run(people,
+      """SELECT ?t WHERE { ?x :name ?n FILTER(STRSTARTS(?n, "A"))
+        |  BIND(SUBSTR(?n, 2) AS ?t) }""".stripMargin) ==
+      Set(b("t" -> "lice")))
+  }
+
+  test("functions:replace-anchored — REPLACE honors regex anchors") {
+    assert(run(people,
+      """SELECT ?r WHERE { ?x :name ?n FILTER(?n = "Alice")
+        |  BIND(REPLACE(?n, "^A", "@") AS ?r) }""".stripMargin) ==
+      Set(b("r" -> "@lice")))
+  }
+
+  test("functions:bound-in-if — BOUND drives an IF over an OPTIONAL var") {
+    assert(run(people,
+      """SELECT ?n ?has WHERE { ?x :name ?n OPTIONAL { ?x :mbox ?m }
+        |  BIND(IF(BOUND(?m), "has", "none") AS ?has) }""".stripMargin) ==
+      Set(b("n" -> "Alice", "has" -> "has"), b("n" -> "Bob", "has" -> "has"),
+        b("n" -> "Carol", "has" -> "none"), b("n" -> "Dave", "has" -> "none")))
+  }
+
+  test("bindings:values-clause — query-final VALUES joins the WHERE solutions") {
+    assert(run(people,
+      """SELECT ?n ?a WHERE { ?x :name ?n . ?x :age ?a }
+        |VALUES ?n { "Alice" "Carol" }""".stripMargin) ==
+      Set(b("n" -> "Alice", "a" -> "30"), b("n" -> "Carol", "a" -> "25")))
+  }
+
+  test("bindings:values-clause-undef — final multi-var VALUES with UNDEF") {
+    assert(run(people,
+      """SELECT ?n ?a WHERE { ?x :name ?n . ?x :age ?a }
+        |VALUES (?n ?a) { ("Alice" 30) ("Bob" UNDEF) }""".stripMargin) ==
+      Set(b("n" -> "Alice", "a" -> "30"), b("n" -> "Bob", "a" -> "40")))
+  }
+
+  test("subquery:sq-limit — inner ORDER BY/LIMIT feeds the outer pattern") {
+    assert(run(people,
+      """SELECT ?n WHERE {
+        |  { SELECT ?x WHERE { ?x :age ?a } ORDER BY DESC(?a) LIMIT 1 }
+        |  ?x :name ?n }""".stripMargin) ==
+      Set(b("n" -> "Bob")))
+  }
+
+  test("modifiers:limit-zero-offset-past-end — empty slices are empty, not errors") {
+    assert(run(people, "SELECT ?n WHERE { ?x :name ?n } LIMIT 0") == Set())
+    assert(run(people,
+      "SELECT ?n WHERE { ?x :name ?n } ORDER BY ?n OFFSET 10") == Set())
+  }
+
+  test("algebra:union-three-way — three branches merge") {
+    assert(run(people,
+      """SELECT DISTINCT ?x WHERE {
+        |  { ?x rdf:type :Robot } UNION { ?x :mbox ?m } UNION { ?x :greeting ?g }
+        |}""".stripMargin) ==
+      Set(b("x" -> "p:dave"), b("x" -> "p:alice"), b("x" -> "p:bob")))
+  }
 }
