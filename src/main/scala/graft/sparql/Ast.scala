@@ -16,8 +16,14 @@ object Ast {
     * join-COMPATIBLE with anything.
     */
   case object Undef extends Term
-  /** Literal with lexical form; `num` set when it parses as a number. */
-  final case class Lit(lexical: String, num: Option[Double]) extends Term
+  /** Literal with lexical form; `num` set when it parses as a number;
+    * `lang` set for language-tagged literals (`"chat"@fr` — W3C
+    * grammar rule [129] RDFLiteral LANGTAG). A lang-tagged literal is
+    * a DIFFERENT term from the plain literal with the same lexical
+    * form, and pattern matching distinguishes them.
+    */
+  final case class Lit(lexical: String, num: Option[Double],
+                       lang: Option[String] = None) extends Term
 
   final case class TriplePattern(s: Term, p: Term, o: Term)
 

@@ -52,20 +52,29 @@ object Compiler {
     tp.p match {
       case Iri(v) => df = df.filter(col("p") === v)
       case Var(_) => ()
-      case Lit(_, _) =>
+      case _ =>
         throw new IllegalArgumentException("literal predicate")
     }
     tp.s match {
       case Iri(v) => df = df.filter(col("s") === v)
       case Var(_) => ()
-      case Lit(_, _) =>
+      case _ =>
         throw new IllegalArgumentException("literal subject")
     }
     tp.o match {
       case Iri(v) => df = df.filter(col("o") === v && col("o_is_iri"))
-      case Lit(_, Some(n)) => df = df.filter(col("o_num") === n)
-      case Lit(lex, None) => df = df.filter(col("o") === lex && !col("o_is_iri"))
+      case Lit(_, Some(n), _) => df = df.filter(col("o_num") === n)
+      // a lang-tagged literal matches only the same (lexical, tag)
+      // pair — "chat"@fr and "chat" are different RDF terms; the tag
+      // compares case-insensitively (RDF 1.1 §3.3 normalizes to
+      // lowercase, but data may carry the mixed-case original)
+      case Lit(lex, None, Some(tag)) =>
+        df = df.filter(col("o") === lex && lower(col("lang")) === tag.toLowerCase)
+      case Lit(lex, None, None) =>
+        df = df.filter(col("o") === lex && !col("o_is_iri") && col("lang").isNull)
       case Var(_) => ()
+      case Undef =>
+        throw new IllegalArgumentException("UNDEF outside VALUES")
     }
     // same-var-twice patterns (?x :p ?x, ?x ?x ?o, …) constrain within
     // the row; all three pairwise combinations, each var emitted once.
@@ -143,6 +152,114 @@ object Compiler {
     out.result()
   }
 
+  /** All variables a pattern can bind in its solution frame. */
+  private def allVars(p: Pattern): Set[String] = p match {
+    case Bgp(ps) => ps.flatMap(vars).toSet
+    case GraphBgp(g, ps) => ps.flatMap(vars).toSet ++
+      (g match { case Var(n) => Set(n); case _ => Set.empty[String] })
+    case Filter(_, in) => allVars(in)
+    case LeftJoin(l, r) => allVars(l) ++ allVars(r)
+    case Union(l, r) => allVars(l) ++ allVars(r)
+    case Join(l, r) => allVars(l) ++ allVars(r)
+    case Minus(l, _) => allVars(l)
+    case Bind(in, _, as) => allVars(in) + as
+    case ValuesPattern(vs, _) => vs.map(_.name).toSet
+    case SubSelect(q) => q.projection.toSet
+    case other =>
+      // path forms: variable endpoints
+      val ts: Seq[Term] = other match {
+        case PathPlus(s, _, o) => Seq(s, o)
+        case PathStar(s, _, o) => Seq(s, o)
+        case PathZeroOne(s, _, o) => Seq(s, o)
+        case PathAlt(s, _, o) => Seq(s, o)
+        case PathRange(s, _, _, _, o) => Seq(s, o)
+        case PathSeq(s, _, o) => Seq(s, o)
+        case PathSeqMod(s, _, _, o) => Seq(s, o)
+        case PathSeqRange(s, _, _, _, o) => Seq(s, o)
+        case NegPath(s, _, o) => Seq(s, o)
+        case _ => Seq.empty
+      }
+      ts.collect { case Var(n) => n }.toSet
+  }
+
+  /** Conservative over-approximation of the variables that can be
+    * UNBOUND (the "N/A" sentinel) in a pattern's solution frame:
+    * OPTIONAL-introduced vars, UNION one-sided vars, VALUES UNDEF
+    * cells. Drives [[compatLeftJoin]]'s mask split — everything else
+    * joins by plain equality.
+    */
+  private def maybeUnboundVars(p: Pattern): Set[String] = p match {
+    case Filter(_, in) => maybeUnboundVars(in)
+    case LeftJoin(l, r) =>
+      maybeUnboundVars(l) ++ allVars(r) -- allVars(l).diff(maybeUnboundVars(l))
+    case Union(l, r) =>
+      maybeUnboundVars(l) ++ maybeUnboundVars(r) ++
+        (allVars(l) diff allVars(r)) ++ (allVars(r) diff allVars(l))
+    case Join(l, r) => maybeUnboundVars(l) ++ maybeUnboundVars(r)
+    case Minus(l, _) => maybeUnboundVars(l)
+    case Bind(in, _, _) => maybeUnboundVars(in)
+    case ValuesPattern(vs, rows) =>
+      vs.zipWithIndex.collect {
+        case (v, i) if rows.exists(r => r(i) == Undef) => v.name
+      }.toSet
+    case SubSelect(q) => maybeUnboundVars(q.where).intersect(q.projection.toSet)
+    case _ => Set.empty
+  }
+
+  /** W3C-compatible OPTIONAL join (§6.2 LeftJoin): a left solution
+    * whose shared variable is UNBOUND is compatible with ANY right
+    * binding of it and ADOPTS the right value in the merge — plain
+    * column equality would wrongly fail those rows against the "N/A"
+    * sentinel. Left rows split by their unbound-mask over the
+    * possibly-unbound shared variables (a STATIC set, almost always
+    * empty → the single plain left join); each mask slice equi-joins
+    * on its bound subset and the slices union back. 2^k branches for
+    * k possibly-unbound shared vars keeps every branch a broadcast-
+    * friendly equi-join — no null-tolerant theta-join ever touches
+    * the big side (same posture as the VALUES UNDEF compatibility
+    * join).
+    */
+  private def compatLeftJoin(ldf: DataFrame, rdf: DataFrame,
+                             maybeUnbound: Set[String]): DataFrame = {
+    def naFill(df: DataFrame, leftCols: Seq[String]): DataFrame = {
+      // reference fills unmatched OPTIONAL vars with constant "N/A"
+      // (SparqlToGremlinCompiler.java:122)
+      val optOnly = rdf.columns.filterNot(isCompanion).diff(leftCols)
+      optOnly.foldLeft(df)((d, c) => d.withColumn(c, coalesce(col(c), lit("N/A"))))
+    }
+    val shared = ldf.columns.intersect(rdf.columns).filterNot(isCompanion).toSeq
+    val risky = shared.filter(maybeUnbound)
+    if (risky.isEmpty)
+      return naFill(joinOnVars(ldf, rdf, "left_outer"), ldf.columns.toSeq)
+    require(risky.size <= 6,
+      s"OPTIONAL over ${risky.size} possibly-unbound shared vars — unsupported")
+    val branches = (0 until (1 << risky.size)).map { m =>
+      val unbound = risky.zipWithIndex.collect {
+        case (v, i) if (m & (1 << i)) != 0 => v
+      }
+      // unbound is the "N/A" sentinel OR a real null (UNION padding,
+      // VALUES UNDEF) — both predicates must be null-safe so every
+      // left row lands in exactly one slice
+      val cond = risky.zipWithIndex.map { case (v, i) =>
+        val unb = col(v).isNull || col(v) === "N/A"
+        if ((m & (1 << i)) != 0) unb else !unb
+      }.reduce(_ && _)
+      val dropCols = unbound.flatMap(v =>
+        Seq(v, numCol(v), langCol(v), iriCol(v))).filter(ldf.columns.contains)
+      val slice = ldf.filter(cond).drop(dropCols: _*)
+      naFill(joinOnVars(slice, rdf, "left_outer"), slice.columns.toSeq)
+    }
+    val allCols = branches.map(_.columns.toSeq).reduce((a, b) => a ++ b.diff(a))
+    branches.map { df =>
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(
+          if (isNumCol(c)) "double"
+          else if (isIriCol(c)) "boolean"
+          else "string").as(c)): _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Natural join on shared variable columns; right-side duplicate
     * numeric companions are dropped (equal by construction).
     */
@@ -183,7 +300,7 @@ object Compiler {
     valueRows.foreach { r =>
       rows.add(Row.fromSeq(r.flatMap {
         case Iri(x) => Seq(x, null)
-        case Lit(lex, num) => Seq(lex, num.map(Double.box).orNull)
+        case Lit(lex, num, _) => Seq(lex, num.map(Double.box).orNull)
         case Undef => Seq(null, null)
         case Var(_) =>
           throw new IllegalArgumentException("VALUES entries must be constants")
@@ -243,7 +360,7 @@ object Compiler {
       if (ps.isEmpty) quads.select(col("g").as(gn)).distinct()
       else orderPatterns(ps).map(patternDf(quads, _, Some(gn)))
         .reduceLeft(joinOnVars(_, _))
-    case Lit(_, _) =>
+    case _ =>
       throw new IllegalArgumentException("literal graph name")
   }
 
@@ -318,9 +435,13 @@ object Compiler {
         val hasNum = df.columns.contains(numCol(v.name))
         val tests = values.map {
           case Iri(x) => col(v.name) === x
-          case Lit(_, Some(n)) if hasNum => col(numCol(v.name)) === n
-          case Lit(lex, _) => col(v.name) === lex
-          case Var(_) =>
+          case Lit(_, Some(n), _) if hasNum => col(numCol(v.name)) === n
+          case l @ Lit(lex, _, _) if l.lang.isDefined &&
+              df.columns.contains(langCol(v.name)) =>
+            col(v.name) === lex &&
+              lower(col(langCol(v.name))) === l.lang.get.toLowerCase
+          case Lit(lex, _, _) => col(v.name) === lex
+          case _ =>
             throw new IllegalArgumentException("IN values must be constants")
         }
         val c = tests.reduce(_ || _)
@@ -655,11 +776,7 @@ object Compiler {
     case LeftJoin(l, r) =>
       val ldf = compilePattern(triples, quads, l)
       val rdf = compilePattern(triples, quads, r)
-      val joined = joinOnVars(ldf, rdf, "left_outer")
-      // reference fills unmatched OPTIONAL vars with constant "N/A"
-      // (SparqlToGremlinCompiler.java:122)
-      val optOnly = rdf.columns.filterNot(isCompanion).diff(ldf.columns)
-      optOnly.foldLeft(joined)((df, c) => df.withColumn(c, coalesce(col(c), lit("N/A"))))
+      compatLeftJoin(ldf, rdf, maybeUnboundVars(l))
     case Union(l, r) =>
       val ldf = compilePattern(triples, quads, l)
       val rdf = compilePattern(triples, quads, r)
@@ -753,14 +870,17 @@ object Compiler {
       patternDf(triples.filter(col("p").isin(preds: _*)),
         TriplePattern(s, Var("__altp"), o)).drop("__altp")
     case SubSelect(q) =>
-      // evaluate the inner SELECT bottom-up; aggregate aliases come
-      // out typed, so re-derive the numeric companions the enclosing
-      // group's FILTER/ORDER machinery expects
+      // evaluate the inner SELECT bottom-up, then re-derive the
+      // numeric companions the enclosing group's FILTER/ORDER
+      // machinery expects: numeric outputs (COUNT/SUM/AVG) cast
+      // directly; string outputs (variables, MIN/MAX lexical forms)
+      // take their parsed-number-or-null — the same lexical+companion
+      // convention pattern bindings use ("N/A" and IRIs cast to null)
       val df = run(triples, quads, q)
-      df.schema.fields
-        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      df.schema.fields.filterNot(f => isCompanion(f.name))
         .foldLeft(df)((d, f) =>
-          d.withColumn(numCol(f.name), col(f.name).cast("double")))
+          if (d.columns.contains(numCol(f.name))) d
+          else d.withColumn(numCol(f.name), col(f.name).cast("double")))
     case PathSeq(s, steps, o) =>
       // desugar to the BGP chain s step1 ?__path1 . ?__path1 step2 … o
       // (an inverse step swaps its pattern's endpoints); the fresh
@@ -980,20 +1100,27 @@ object Compiler {
     def termCol(t: Term): Column = t match {
       case Var(n) => col(n)
       case Iri(x) => lit(x)
-      case Lit(lex, _) => lit(lex)
+      case Lit(lex, _, _) => lit(lex)
+      case Undef => lit(null).cast("string")
     }
     def typing(t: Term): (Column, Column) = t match {
       case Iri(_) => (lit(true), lit(null).cast("double"))
-      case Lit(_, num) =>
+      case Lit(_, num, _) =>
         (lit(false), num.map(n => lit(n): Column)
           .getOrElse(lit(null).cast("double")))
-      case Var(_) => (lit(false), lit(null).cast("double"))
+      case _ => (lit(false), lit(null).cast("double"))
+    }
+    // a lang-tagged template literal carries its tag into the built
+    // graph; variables contribute no tag (the pair relation is lexical)
+    def langOf(t: Term): Column = t match {
+      case l: Lit if l.lang.isDefined => lit(l.lang.get)
+      case _ => lit(null).cast("string")
     }
     template.map { tp =>
       val (isIri, num) = typing(tp.o)
       df.select(termCol(tp.s).as("s"), termCol(tp.p).as("p"),
         termCol(tp.o).as("o"), num.as("o_num"),
-        isIri.as("o_is_iri"), lit(null).cast("string").as("lang"))
+        isIri.as("o_is_iri"), langOf(tp.o).as("lang"))
     }.reduce(_.unionAll(_))
   }
 
@@ -1057,6 +1184,9 @@ object Compiler {
     var df = compilePattern(triples, quads, q.where)
 
     if (q.aggregates.nonEmpty) {
+      // MIN/MAX aliases aggregated as (num, lex) pairs, unpacked after
+      // the fold (see minMaxAgg below)
+      val pairAliases = scala.collection.mutable.ListBuffer.empty[String]
       val aggCols = q.aggregates.map { case Agg(op, v, alias, sep, aggExpr, dist) =>
         // W3C §18.5: unbound is an error, and error rows are removed
         // from the aggregate's multiset — fold the engine's unmatched-
@@ -1083,14 +1213,32 @@ object Compiler {
           case Some(e) => numVExpr(df, e)
           case None => numOrLex(varOf(what).name)
         }
+        // W3C MIN/MAX order by the engine's ORDER BY total order
+        // (numeric value first, lexical fallback): aggregate the
+        // (num, lex) PAIR and unpack after the fold, so a string-
+        // valued variable aggregates lexically instead of over its
+        // all-null numeric companion (found by conformance batch 4);
+        // output is the element's LEXICAL form plus its numeric
+        // companion — the same dual convention pattern vars use
+        def minMaxAgg(what: String, isMin: Boolean): Column = {
+          val n = varOf(what).name
+          if (df.columns.contains(numCol(n))) {
+            pairAliases += alias
+            val pair = when(col(n) =!= "N/A",
+              struct(col(numCol(n)).as("num"), col(n).as("lex")))
+            if (isMin) min(pair) else max(pair)
+          } else if (isMin) min(lexGuard(n)) else max(lexGuard(n))
+        }
         val c = op match {
           case Count => v.map(vr => count(lexGuard(vr.name)))
             .orElse(aggExpr.map(e => count(numVExpr(df, e))))
             .getOrElse(count(lit(1)))
           case CountDistinct =>
             countDistinct(lexGuard(varOf("COUNT(DISTINCT").name))
-          case Max => max(arg("MAX"))
-          case Min => min(arg("MIN"))
+          case Max => aggExpr.map(e => max(numVExpr(df, e)))
+            .getOrElse(minMaxAgg("MAX", isMin = false))
+          case Min => aggExpr.map(e => min(numVExpr(df, e)))
+            .getOrElse(minMaxAgg("MIN", isMin = true))
           // Sum/Avg over the EMPTY multiset are 0, not unbound (W3C
           // §18.5.1.3-4 define Sum({}) = Avg({}) = 0) — the coalesce
           // only fires when no (bound) value reached the fold
@@ -1124,6 +1272,12 @@ object Compiler {
         if (q.groupBy.nonEmpty)
           df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
         else df.agg(aggCols.head, aggCols.tail: _*)
+      // unpack MIN/MAX pair folds: lexical form under the alias, the
+      // element's numeric value as its companion (null ⇒ unbound)
+      pairAliases.foreach { a =>
+        df = df.withColumn(numCol(a), col(a).getField("num"))
+          .withColumn(a, col(a).getField("lex"))
+      }
       // HAVING compares the typed aggregate outputs directly (they
       // carry real numeric types, unlike pattern bindings, which
       // compare through their lexical/companion split)
@@ -1137,7 +1291,10 @@ object Compiler {
     // then slice, then drop the helper columns.
     val projCols: Seq[String] =
       if (q.projection.nonEmpty) q.projection
-      else df.columns.filterNot(isCompanion).toSeq
+      // blank nodes parse to `__bn*` non-distinguished variables
+      // (§4.1.4): they join like variables but never reach SELECT *
+      else df.columns.filterNot(isCompanion)
+        .filterNot(_.startsWith("__bn")).toSeq
     // SPARQL §18.2.4: projecting a variable NO pattern binds is legal
     // and yields the unbound value on every row — materialize it as
     // the engine's "N/A" sentinel (the unmatched-OPTIONAL fill)

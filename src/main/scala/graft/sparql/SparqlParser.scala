@@ -34,9 +34,34 @@ object SparqlParser extends RegexParsers {
   // one token including the quotes — tokenizing the body separately
   // would let whitespace/comment skipping mangle literal content.
   // ECHAR escapes per the SPARQL grammar: \t \b \n \r \f \" \' \\
+  // Both quote styles (grammar rules [156]/[157]); an optional
+  // LANGTAG ([145]) or `^^` datatype ([128]) suffix completes the
+  // RDFLiteral production — a numeric XSD datatype sets the numeric
+  // companion so `"30"^^xsd:integer` matches a stored number.
+  private def strTok: Parser[String] =
+    """"(?:[^"\\]|\\[tbnrf"'\\])*"""".r ^^ (s => s.substring(1, s.length - 1)) |
+    """'(?:[^'\\]|\\[tbnrf"'\\])*'""".r ^^ (s => s.substring(1, s.length - 1))
+  private val numericXsd = Set("integer", "decimal", "double", "float",
+    "int", "long", "short", "byte", "nonNegativeInteger",
+    "nonPositiveInteger", "negativeInteger", "positiveInteger",
+    "unsignedInt", "unsignedLong", "unsignedShort", "unsignedByte")
   private def strLit: Parser[Lit] =
-    """"(?:[^"\\]|\\[tbnrf"'\\])*"""".r ^^ (s =>
-      Lit(unescapeEchar(s.substring(1, s.length - 1)), None))
+    strTok ~ opt(
+      "@" ~> """[A-Za-z]+(-[A-Za-z0-9]+)*""".r ^^ (t => Left(t)) |
+      "^^" ~> (iriRef | pname) ^^ (dt => Right(dt.value))) ^^ {
+      case body ~ suffix =>
+        val lex = unescapeEchar(body)
+        suffix match {
+          case Some(Left(tag)) => Lit(lex, None, Some(tag))
+          case Some(Right(dt)) =>
+            val local = dt.substring(dt.lastIndexOf(':') + 1)
+              .replaceFirst("^.*[#/]", "")
+            val num = if (numericXsd.contains(local))
+              scala.util.Try(lex.toDouble).toOption else None
+            Lit(lex, num)
+          case None => Lit(lex, None)
+        }
+    }
 
   private def unescapeEchar(s: String): String = {
     val b = new StringBuilder(s.length)
@@ -58,14 +83,58 @@ object SparqlParser extends RegexParsers {
     b.result()
   }
 
+  // a blank node label (`_:b0`) is a non-distinguished variable
+  // (SPARQL 1.1 §4.1.4): same label = same value within the query,
+  // never projected (the compiler's star projection skips the `__bn`
+  // namespace, and explicit projections can't name it)
+  private def bnodeLabel: Parser[Var] =
+    """_:[A-Za-z0-9][A-Za-z0-9_.-]*""".r ^^ (s => Var("__bn_" + s.substring(2)))
+
   private def term: Parser[Term] =
-    varTerm | iriRef | rdfTypeKw | pname | numLit | strLit
+    varTerm | iriRef | rdfTypeKw | pname | numLit | strLit | bnodeLabel
 
   // ---- triples -----------------------------------------------------
-  /** `s p1 o1 ; p2 o2 .` — predicate-object chains share the subject. */
+  private val bnCounter = new java.util.concurrent.atomic.AtomicLong
+
+  /** `[ p o ; … ]` / `[]` — a blank node property list (grammar rules
+    * [99]/[102]) desugars to a fresh non-distinguished variable plus
+    * the triples rooted at it; `[]` alone is just the fresh variable.
+    */
+  private def bnodePropList: Parser[(Term, Seq[TriplePattern])] =
+    "[" ~ "]" ^^ { _ => (Var("__bn" + bnCounter.getAndIncrement()), Nil) } |
+    "[" ~> rep1sep(term ~ rep1sep(objTerm, ","), ";") <~ opt(";") <~ "]" ^^ {
+      pos =>
+        val bn = Var("__bn" + bnCounter.getAndIncrement())
+        (bn, pos.flatMap { case p ~ objs =>
+          objs.flatMap { case (o, extra) => TriplePattern(bn, p, o) +: extra }
+        })
+    }
+
+  /** An object position: a plain term, or a nested blank node property
+    * list contributing its own triples.
+    */
+  private def objTerm: Parser[(Term, Seq[TriplePattern])] =
+    bnodePropList | term ^^ (t => (t, Seq.empty[TriplePattern]))
+
+  /** `s p1 o1 , o2 ; p2 o3 .` — object lists share the (s, p) pair and
+    * predicate-object chains share the subject (grammar rules
+    * [77]/[79]); a blank node property list may stand as subject or
+    * object.
+    */
   private def triplesSameSubject: Parser[Seq[TriplePattern]] =
-    term ~ rep1sep(term ~ term, ";") <~ opt(".") ^^ { case s ~ pos =>
-      pos.map { case p ~ o => TriplePattern(s, p, o) }
+    // a blank node property list subject may stand alone (rule [78]
+    // allows its PropertyListPath to be empty: `{ [ :p ?o ] }`)
+    bnodePropList ~ repsep(term ~ rep1sep(objTerm, ","), ";") <~ opt(".") ^^ {
+      case ((s, sExtra)) ~ pos => sExtra ++ flattenPo(s, pos)
+    } |
+    term ~ rep1sep(term ~ rep1sep(objTerm, ","), ";") <~ opt(".") ^^ {
+      case s ~ pos => flattenPo(s, pos)
+    }
+
+  private def flattenPo(s: Term,
+      pos: Seq[SparqlParser.~[Term, Seq[(Term, Seq[TriplePattern])]]]): Seq[TriplePattern] =
+    pos.flatMap { case p ~ objs =>
+      objs.flatMap { case (o, extra) => TriplePattern(s, p, o) +: extra }
     }
 
   // ---- filter expressions ------------------------------------------

@@ -157,10 +157,12 @@ object SparqlQueries {
           |GROUP BY ?b""".stripMargin))
     },
     "sparql_groupby_max" -> { (s, dir) =>
+      // MIN/MAX output the element's LEXICAL form (r12 pair-fold);
+      // the numeric oracle wants the double
       run(s, dir, SparqlParser.parse(
         """SELECT ?n (MAX(?b) AS ?mx) WHERE {
           |  ?c a :Customer . ?c :hasNation ?n . ?c :acctbal ?b
-          |} GROUP BY ?n""".stripMargin))
+          |} GROUP BY ?n""".stripMargin), numericVars = Seq("mx"))
     },
     "sparql_exists" -> { (s, dir) =>
       run(s, dir, SparqlParser.parse(
@@ -182,7 +184,7 @@ object SparqlQueries {
         """SELECT ?c (SUM(?t) AS ?total) (MIN(?t) AS ?mn)
           |       (COUNT(?o) AS ?cnt)
           |WHERE { ?o :byCustomer ?c . ?o :totalprice ?t }
-          |GROUP BY ?c""".stripMargin))
+          |GROUP BY ?c""".stripMargin), numericVars = Seq("mn"))
         // totalprice is 2-decimal-quantized, so the rounded sum is
         // drift-proof under the oracle hash; AVG (whose division
         // lands on rounding boundaries) is exercised in CompilerSpec
@@ -712,6 +714,62 @@ object SparqlQueries {
           |  ?c a :Customer OPTIONAL { ?o :byCustomer ?c }
           |} GROUP BY ?c""".stripMargin))
     },
+    // W3C §6.2 LeftJoin COMPATIBILITY (r12): a solution whose shared
+    // var an earlier OPTIONAL left unbound is compatible with any
+    // later binding and ADOPTS it; bound-but-different keeps the row
+    // without the optional part. Compiles to a mask-split union of
+    // plain equi left-joins (2^k for k possibly-unbound shared vars,
+    // statically derived) — no null-tolerant theta-join
+    "sparql_optional_compat" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?v WHERE {
+          |  ?c a :Customer .
+          |  OPTIONAL { ?c :mktsegment ?v FILTER(STRSTARTS(?v, "B")) }
+          |  OPTIONAL { ?c :name ?v }
+          |}""".stripMargin))
+    },
+    // MIN over a STRING-valued variable (r12): the aggregate folds
+    // the (numeric, lexical) pair under the engine's ORDER BY total
+    // order and outputs the element's lexical form — a string column
+    // aggregates lexically instead of over its all-null numeric
+    // companion
+    "sparql_min_string" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?nat (MIN(?n) AS ?mn) WHERE {
+          |  ?c :hasNation ?nat ; :name ?n
+          |} GROUP BY ?nat""".stripMargin))
+    },
+    // blank node property lists (§4.1.4 / grammar [99], r12): each
+    // `[ … ]` desugars to a fresh non-distinguished variable plus its
+    // rooted triples — the nested form compiles to the same 3-way
+    // equi-join chain as the spelled-out BGP, nothing extra shuffles
+    "sparql_bnode_proplist" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?n ?b WHERE {
+          |  [ a :Customer ; :name ?n ; :acctbal ?b ;
+          |    :hasNation [ :inRegion [ :name "ASIA" ] ] ]
+          |  FILTER(?b > 4500)
+          |}""".stripMargin), numericVars = Seq("b"))
+    },
+    // Turtle sugar in one pattern (r12): object list (`,` shares the
+    // (s, p) pair), single-quoted literal, and a typed-literal FILTER
+    // boundary ("4000"^^xsd:decimal compares numerically)
+    "sparql_object_list" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?m ?b WHERE {
+          |  ?c a :Customer ; :mktsegment 'BUILDING' , ?m ; :acctbal ?b .
+          |  FILTER(?b >= "4000"^^xsd:decimal)
+          |}""".stripMargin), numericVars = Seq("b"))
+    },
+    // lang-tagged literal as a pattern OBJECT (r12): "lex"@tag is a
+    // distinct term — it matches only the same (lexical, tag) pair,
+    // and the plain "lex" matches nothing here (strict RDF 1.1
+    // term equality, pinned by the conformance suite)
+    "sparql_lang_literal_match" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?n ?r WHERE {
+          |  ?n :comment "NATION_2 comment"@en ; :inRegion ?r }""".stripMargin))
+    },
     // VALUES with UNDEF (§10.2.2): rows join by COMPATIBILITY — an
     // unbound cell constrains nothing — via mask-grouped equi-joins
     // unioned back (never a null-tolerant theta-join on the big
@@ -1172,6 +1230,28 @@ object SparqlQueries {
       """SELECT 'cust:'||c_custkey AS c, count(o.o_orderkey) AS cnt
         |FROM customer LEFT JOIN orders o ON o.o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    "sparql_optional_compat" ->
+      """SELECT 'cust:'||c_custkey AS c,
+        |       CASE WHEN c_mktsegment LIKE 'B%' THEN c_mktsegment
+        |            ELSE c_name END AS v
+        |FROM customer""".stripMargin,
+    "sparql_min_string" ->
+      """SELECT 'nat:'||c_nationkey AS nat, min(c_name) AS mn
+        |FROM customer GROUP BY 1""".stripMargin,
+    "sparql_bnode_proplist" ->
+      """SELECT c_name AS n, CAST(c_acctbal AS DOUBLE) AS b
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_acctbal > 4500""".stripMargin,
+    "sparql_object_list" ->
+      """SELECT 'cust:'||c_custkey AS c, c_mktsegment AS m,
+        |       CAST(c_acctbal AS DOUBLE) AS b
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 4000""".stripMargin,
+    "sparql_lang_literal_match" ->
+      """SELECT 'nat:'||n_nationkey AS n, 'reg:'||n_regionkey AS r
+        |FROM nation WHERE n_nationkey = 2""".stripMargin,
     "sparql_values_undef" ->
       """SELECT 'nat:'||n_nationkey AS x, n_name AS n FROM nation
         |WHERE n_nationkey = 1

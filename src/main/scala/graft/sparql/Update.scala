@@ -92,9 +92,9 @@ object Update {
       val p = constResource(tp.p, "predicate")
       tp.o match {
         case Iri(v) => (s, p, v, Option.empty[Double], true, Option.empty[String])
-        case Lit(lex, num) => (s, p, lex, num, false, Option.empty[String])
-        case Var(n) =>
-          throw new IllegalArgumentException(s"DATA block must be ground, got ?$n")
+        case Lit(lex, num, lang) => (s, p, lex, num, false, lang)
+        case other =>
+          throw new IllegalArgumentException(s"DATA block must be ground, got $other")
       }
     }
     rows.toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
@@ -124,9 +124,12 @@ object Update {
         else lit(null).cast("string"))
       case Iri(v) => (lit(v): Column, lit(null).cast("double"),
         lit(true): Column, lit(null).cast("string"))
-      case Lit(lex, num) => (lit(lex): Column,
+      case Lit(lex, num, lg) => (lit(lex): Column,
         num.map(d => lit(d): Column).getOrElse(lit(null).cast("double")),
-        lit(false): Column, lit(null).cast("string"))
+        lit(false): Column,
+        lg.map(t => lit(t): Column).getOrElse(lit(null).cast("string")))
+      case Undef =>
+        throw new IllegalArgumentException("UNDEF in an update template")
     }
     sol.select(res(tp.s, "subject").as("s"), res(tp.p, "predicate").as("p"),
       o.as("o"), oNum.as("o_num"), oIri.as("o_is_iri"), lang.as("lang"))

@@ -898,4 +898,178 @@ class W3cConformanceSpec extends AnyFunSuite {
         |}""".stripMargin) ==
       Set(b("x" -> "p:dave"), b("x" -> "p:alice"), b("x" -> "p:bob")))
   }
+
+  // ---- batch 3: Turtle-style abbreviations & RDF literal forms -----
+
+  test("syntax:object-list — `,` shares the (subject, predicate) pair") {
+    assert(run(people,
+      """SELECT ?g ?h WHERE { p:alice :greeting ?g , ?h }""") ==
+      Set(b("g" -> "Hello", "h" -> "Hello"),
+        b("g" -> "Hello", "h" -> "Bonjour"),
+        b("g" -> "Bonjour", "h" -> "Hello"),
+        b("g" -> "Bonjour", "h" -> "Bonjour")))
+  }
+
+  test("syntax:lang-tagged-object — \"x\"@tag matches only that (lexical, tag) term") {
+    assert(run(people, """SELECT ?x WHERE { ?x :greeting "Bonjour"@fr }""") ==
+      Set(b("x" -> "p:alice")))
+    assert(run(people, """SELECT ?x WHERE { ?x :greeting "Bonjour"@en }""") ==
+      Set())
+  }
+
+  test("syntax:plain-vs-tagged — a plain literal is not its tagged twin") {
+    // :name triples carry no tag; :greeting triples all do
+    assert(run(people, """SELECT ?x WHERE { ?x :name "Alice" }""") ==
+      Set(b("x" -> "p:alice")))
+    assert(run(people, """SELECT ?x WHERE { ?x :greeting "Hello" }""") == Set())
+  }
+
+  test("syntax:single-quoted-literal — '…' is the same term as \"…\"") {
+    assert(run(people, "SELECT ?x WHERE { ?x :name 'Alice' }") ==
+      Set(b("x" -> "p:alice")))
+  }
+
+  test("syntax:typed-literal — ^^xsd numeric types match by value") {
+    assert(run(people, """SELECT ?x WHERE { ?x :age "30"^^xsd:integer }""") ==
+      Set(b("x" -> "p:alice")))
+    assert(run(people,
+      """SELECT ?x WHERE { ?x :age "30"^^<http://www.w3.org/2001/XMLSchema#integer> }""") ==
+      Set(b("x" -> "p:alice")))
+    // xsd:string is the plain-literal type in RDF 1.1
+    assert(run(people, """SELECT ?x WHERE { ?x :name "Alice"^^xsd:string }""") ==
+      Set(b("x" -> "p:alice")))
+  }
+
+  test("syntax:bnode-proplist-object — [ p o ] nests a fresh existential") {
+    assert(run(people, "SELECT ?n WHERE { ?x :knows [ :name ?n ] }") ==
+      Set(b("n" -> "Bob"), b("n" -> "Carol"), b("n" -> "Dave")))
+  }
+
+  test("syntax:bnode-proplist-subject — a property list stands as subject") {
+    assert(run(people, "SELECT ?n ?a WHERE { [ :name ?n ; :age ?a ] }") ==
+      Set(b("n" -> "Alice", "a" -> "30"), b("n" -> "Bob", "a" -> "40"),
+        b("n" -> "Carol", "a" -> "25")))
+  }
+
+  test("syntax:bnode-nested — property lists nest") {
+    assert(run(people,
+      "SELECT ?n WHERE { ?x :knows [ :knows [ :name ?n ] ] }") ==
+      Set(b("n" -> "Carol"), b("n" -> "Dave")))
+  }
+
+  test("syntax:bnode-label — _:b is a non-distinguished variable") {
+    assert(run(people,
+      "SELECT ?n WHERE { _:p :name ?n . _:p :age ?a }") ==
+      Set(b("n" -> "Alice"), b("n" -> "Bob"), b("n" -> "Carol")))
+  }
+
+  test("syntax:anon-bnode — [] binds anything and stays unprojected") {
+    assert(run(people, "SELECT DISTINCT ?x WHERE { ?x :knows [] }") ==
+      Set(b("x" -> "p:alice"), b("x" -> "p:bob"), b("x" -> "p:carol")))
+  }
+
+  test("negation:minus-inside-optional — MINUS scopes to the optional group") {
+    assert(run(people,
+      """SELECT ?n ?m WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :mbox ?m MINUS { p:bob :mbox ?m } } }""".stripMargin) ==
+      Set(b("n" -> "Alice", "m" -> "mailto:alice@work.example"),
+        b("n" -> "Bob"), b("n" -> "Carol"), b("n" -> "Dave")))
+  }
+
+  test("union:filter-per-branch — each branch filters independently") {
+    assert(run(people,
+      """SELECT ?x WHERE {
+        |  { ?x :age ?a FILTER(?a > 35) } UNION { ?x :age ?a FILTER(?a < 28) }
+        |}""".stripMargin) ==
+      Set(b("x" -> "p:bob"), b("x" -> "p:carol")))
+  }
+
+  test("subquery:nested-two-deep — a subquery inside a subquery") {
+    assert(run(people,
+      """SELECT ?n WHERE {
+        |  { SELECT ?x WHERE {
+        |      { SELECT ?x WHERE { ?x :age ?a } ORDER BY DESC(?a) LIMIT 2 }
+        |      ?x :mbox ?m } }
+        |  ?x :name ?n }""".stripMargin) ==
+      Set(b("n" -> "Alice"), b("n" -> "Bob")))
+  }
+
+  // ---- batch 4: projection expressions, OPTIONAL compatibility, ----
+  // ---- unbound ordering, remaining function/path shapes        ----
+
+  test("select-expr:project-expression — (expr AS ?alias) in the projection") {
+    assert(run(people,
+      "SELECT ?n (?a * 2 AS ?dbl) WHERE { ?x :name ?n ; :age ?a }") ==
+      Set(b("n" -> "Alice", "dbl" -> "60"), b("n" -> "Bob", "dbl" -> "80"),
+        b("n" -> "Carol", "dbl" -> "50")))
+  }
+
+  test("select-expr:string-function — (UCASE(?v) AS ?u) projects computed text") {
+    assert(run(people,
+      "SELECT (UCASE(?n) AS ?u) WHERE { p:alice :name ?n }") ==
+      Set(b("u" -> "ALICE")))
+  }
+
+  test("optional:second-optional-joins-bound-var — compatibility across OPTIONALs") {
+    // dawg-optional:complex shape: the second OPTIONAL shares ?m with
+    // the first. Where the first bound ?m the second must be
+    // COMPATIBLE (join on it, keep the row when incompatible); where
+    // the first left ?m UNBOUND the second binds it freely.
+    val data = Seq(
+      ("c:1", ":name", "One", Option.empty[Double], false, Option.empty[String]),
+      ("c:1", ":mbox", "m1", None, false, None),
+      ("c:1", ":web", "w1", None, false, None),
+      ("c:2", ":name", "Two", None, false, None),
+      ("c:2", ":web", "w2", None, false, None),
+      ("c:3", ":name", "Three", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(run(data,
+      """SELECT ?n ?m WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :mbox ?m }
+        |  OPTIONAL { ?x :web ?m } }""".stripMargin) ==
+      Set(b("n" -> "One", "m" -> "m1"),   // bound, incompatible web kept out
+        b("n" -> "Two", "m" -> "w2"),     // unbound adopts the web value
+        b("n" -> "Three")))               // unbound, no web either
+  }
+
+  test("filter:unbound-is-error-is-false — a comparison over unbound drops the row") {
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :age ?a } FILTER(?a > 26) }""".stripMargin) ==
+      Set(b("n" -> "Alice"), b("n" -> "Bob")))
+  }
+
+  test("order:unbound-sorts-first — unbound precedes every RDF term (§15.1)") {
+    val df = Graft.sparql(people,
+      """SELECT ?n ?m WHERE { ?x :name ?n OPTIONAL { ?x :mbox ?m } }
+        |ORDER BY ?m ?n""".stripMargin)
+    val names = df.collect().map(_.getString(0)).toSeq
+    // Carol and Dave (no mbox) must come before the two bound rows
+    assert(names.take(2).toSet == Set("Carol", "Dave"), names)
+    assert(names.drop(2) == Seq("Alice", "Bob"), names)
+  }
+
+  test("aggregates:min-max-strings — MIN/MAX fall back to lexical ordering") {
+    assert(run(people,
+      "SELECT (MIN(?n) AS ?lo) (MAX(?n) AS ?hi) WHERE { ?x :name ?n }") ==
+      Set(b("lo" -> "Alice", "hi" -> "Dave")))
+  }
+
+  test("property-path:pp-star-constant-object — closure into a bound endpoint") {
+    assert(run(paths, "SELECT ?x WHERE { ?x :p* n:c }") ==
+      Set(b("x" -> "n:a"), b("x" -> "n:b"), b("x" -> "n:c"), b("x" -> "n:d")))
+  }
+
+  test("negation:not-exists-filtered-body — a FILTER inside the NOT EXISTS body") {
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  FILTER NOT EXISTS { ?x :age ?a FILTER(?a > 28) } }""".stripMargin) ==
+      Set(b("n" -> "Carol"), b("n" -> "Dave")))
+  }
+
+  test("functions:strlen-on-tagged — string ops use the lexical form") {
+    assert(run(people,
+      """SELECT ?g WHERE { p:alice :greeting ?g FILTER(STRLEN(?g) = 7) }""") ==
+      Set(b("g" -> "Bonjour")))
+  }
 }
