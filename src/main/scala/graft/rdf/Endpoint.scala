@@ -23,6 +23,13 @@ object Endpoint {
         triples.filter(col("o_is_iri") && col("o") === uri && col("s") =!= uri)
           .withColumn("dir", lit("in")))
 
+  /** Targets at or below this count broadcast into both describe
+    * arms; above it the arms fall back to shuffled equi-joins. One
+    * million single-IRI rows is tens of MB — comfortably inside an
+    * executor broadcast budget.
+    */
+  val describeBroadcastMax = 1000000L
+
   /** Set-valued DESCRIBE (the `DESCRIBE ?x WHERE { … }` form): every
     * resource in the one-column `targets` frame described at once —
     * two SEMI-JOIN-shaped keyed joins against the triple relation
@@ -31,13 +38,26 @@ object Endpoint {
     * million filter scans. The in-arm drops triples whose subject is
     * itself the target (they already ride the out arm, and a
     * duplicate row would double-count self-loops).
+    *
+    * The target set is PRICED before planning (the priced-gate idiom
+    * the graph wedge joins use): it is checkpointed once — both arms
+    * reuse the materialized set instead of re-deriving its WHERE
+    * pattern — counted, and BROADCAST when at most
+    * [[describeBroadcastMax]] rows. Without the explicit hint,
+    * Catalyst's size estimate for a pattern-derived target frame
+    * tracks the STORE's size, so at scale it either broadcast the
+    * whole triple relation (BuildLeft — the sf1 soak measured 231 s
+    * and JVM-wide GC pressure) or shuffled both arms; the result is
+    * identical on both sides of the gate, so correctness keys replay
+    * it for free.
     */
   def describeAll(triples: DataFrame, targets: DataFrame): DataFrame = {
-    val t = targets.toDF("t").distinct()
-    val out = triples.join(t, triples("s") === col("t"))
+    val t = graft.Checkpoints.tracked(targets.toDF("t").distinct())
+    val tj = if (t.count() <= describeBroadcastMax) broadcast(t) else t
+    val out = triples.join(tj, triples("s") === col("t"))
       .withColumn("dir", lit("out"))
     val in = triples.filter(col("o_is_iri"))
-      .join(t, triples("o") === col("t") && triples("s") =!= col("t"))
+      .join(tj, triples("o") === col("t") && triples("s") =!= col("t"))
       .withColumn("dir", lit("in"))
     out.unionAll(in).drop("t")
   }

@@ -1072,4 +1072,99 @@ class W3cConformanceSpec extends AnyFunSuite {
       """SELECT ?g WHERE { p:alice :greeting ?g FILTER(STRLEN(?g) = 7) }""") ==
       Set(b("g" -> "Bonjour")))
   }
+
+  // ---- batch 5: compatibility chains, grouping modifiers, edges ----
+
+  test("optional:three-chained-adoption — the var flows through later OPTIONALs") {
+    val data = Seq(
+      ("c:1", ":name", "One", Option.empty[Double], false, Option.empty[String]),
+      ("c:2", ":name", "Two", None, false, None),
+      ("c:2", ":third", "t2", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // ?m unbound through two empty OPTIONALs, adopted by the third
+    assert(run(data,
+      """SELECT ?n ?m WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :first ?m }
+        |  OPTIONAL { ?x :second ?m }
+        |  OPTIONAL { ?x :third ?m } }""".stripMargin) ==
+      Set(b("n" -> "One"), b("n" -> "Two", "m" -> "t2")))
+  }
+
+  test("optional:two-risky-vars — the mask split covers both variables") {
+    val data = Seq(
+      ("c:1", ":name", "One", Option.empty[Double], false, Option.empty[String]),
+      ("c:1", ":a", "a1", None, false, None),
+      ("c:2", ":name", "Two", None, false, None),
+      ("c:2", ":b", "b2", None, false, None),
+      ("c:1", ":pair_a", "a1", None, false, None),
+      ("c:1", ":pair_b", "bX", None, false, None),
+      ("c:2", ":pair_a", "aY", None, false, None),
+      ("c:2", ":pair_b", "b2", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // c:1 enters with ?a bound / ?b unbound, c:2 the reverse; the
+    // final OPTIONAL binds both — each row joins on its bound one and
+    // adopts the other
+    assert(run(data,
+      """SELECT ?n ?a ?b WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :a ?a } OPTIONAL { ?x :b ?b }
+        |  OPTIONAL { ?x :pair_a ?a ; :pair_b ?b } }""".stripMargin) ==
+      Set(b("n" -> "One", "a" -> "a1", "b" -> "bX"),
+        b("n" -> "Two", "a" -> "aY", "b" -> "b2")))
+  }
+
+  test("optional:union-body — a UNION inside the OPTIONAL body") {
+    assert(run(people,
+      """SELECT ?n ?v WHERE { ?x :name ?n
+        |  OPTIONAL { { ?x :mbox ?v } UNION { ?x :greeting ?v } } }""".stripMargin) ==
+      Set(b("n" -> "Alice", "v" -> "mailto:alice@work.example"),
+        b("n" -> "Alice", "v" -> "Hello"),
+        b("n" -> "Alice", "v" -> "Bonjour"),
+        b("n" -> "Bob", "v" -> "mailto:bob@work.example"),
+        b("n" -> "Carol"), b("n" -> "Dave")))
+  }
+
+  test("distinct:folds-unbound-rows — DISTINCT over an optional var") {
+    val data = Seq(
+      ("c:1", ":tag", "x", Option.empty[Double], false, Option.empty[String]),
+      ("c:2", ":tag", "x", None, false, None),
+      ("c:1", ":extra", "e", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(run(data,
+      """SELECT DISTINCT ?t ?e WHERE { ?x :tag ?t
+        |  OPTIONAL { ?x :extra ?e } }""".stripMargin) ==
+      Set(b("t" -> "x", "e" -> "e"), b("t" -> "x")))
+  }
+
+  test("aggregates:max-over-iris — MIN/MAX of IRI bindings order lexically") {
+    assert(run(people,
+      "SELECT (MAX(?x) AS ?hi) WHERE { ?x rdf:type :Person }") ==
+      Set(b("hi" -> "p:carol")))
+  }
+
+  test("aggregates:having-count-order — HAVING and ORDER BY over the alias") {
+    assert(run(orgs,
+      """SELECT ?d (COUNT(?e) AS ?c) WHERE { ?d :employee ?e }
+        |GROUP BY ?d HAVING(COUNT(?e) >= 1) ORDER BY DESC(?c) ?d
+        |LIMIT 2""".stripMargin) ==
+      Set(b("d" -> "o:dep1", "c" -> "2"), b("d" -> "o:dep2", "c" -> "1")))
+  }
+
+  test("modifiers:limit-offset-page — paging through a sorted list") {
+    assert(run(people,
+      "SELECT ?n WHERE { ?x :name ?n } ORDER BY ?n LIMIT 2 OFFSET 1") ==
+      Set(b("n" -> "Bob"), b("n" -> "Carol")))
+  }
+
+  test("functions:substr-edges — SUBSTR clamps at the string end") {
+    assert(run(people,
+      """SELECT ?s WHERE { p:alice :name ?n . BIND(SUBSTR(?n, 4) AS ?s) }""") ==
+      Set(b("s" -> "ce")))
+  }
+
+  test("bind:then-filter — a FILTER over the BIND output") {
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n . ?x :age ?a
+        |  BIND(?a * 2 AS ?d) FILTER(?d >= 60) }""".stripMargin) ==
+      Set(b("n" -> "Alice"), b("n" -> "Bob")))
+  }
 }
