@@ -118,6 +118,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), "describe must read the persisted store")
   }
 
+  test("sparql_describe_where: the priced TARGET set broadcasts, not the store") {
+    val p = plan("sparql_describe_where")
+    // the checkpointed target set rides a broadcast exchange into both
+    // arms; BuildLeft on the store side was the sf1 349 s scale bug
+    assert(p.contains("BroadcastHashJoin"), "target set must broadcast")
+    assert(!p.contains("BuildLeft"),
+      "the store side must never be the broadcast build side")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("checkpoint"), "targets must come from the one checkpoint")
+  }
+
   test("pipeline_prepare: filters evaluate on the scan, keeps semi-join") {
     val p = plan("pipeline_prepare")
     assert(p.contains("LeftSemi"), "keep-list must apply as a semi-join")
