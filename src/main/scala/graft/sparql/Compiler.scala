@@ -231,24 +231,15 @@ object Compiler {
     val risky = shared.filter(maybeUnbound)
     if (risky.isEmpty)
       return naFill(joinOnVars(ldf, rdf, "left_outer"), ldf.columns.toSeq)
-    require(risky.size <= 6,
-      s"OPTIONAL over ${risky.size} possibly-unbound shared vars — unsupported")
-    val branches = (0 until (1 << risky.size)).map { m =>
-      val unbound = risky.zipWithIndex.collect {
-        case (v, i) if (m & (1 << i)) != 0 => v
-      }
-      // unbound is the "N/A" sentinel OR a real null (UNION padding,
-      // VALUES UNDEF) — both predicates must be null-safe so every
-      // left row lands in exactly one slice
-      val cond = risky.zipWithIndex.map { case (v, i) =>
-        val unb = col(v).isNull || col(v) === "N/A"
-        if ((m & (1 << i)) != 0) unb else !unb
-      }.reduce(_ && _)
-      val dropCols = unbound.flatMap(v =>
-        Seq(v, numCol(v), langCol(v), iriCol(v))).filter(ldf.columns.contains)
-      val slice = ldf.filter(cond).drop(dropCols: _*)
+    padUnion(unboundMaskSlices(ldf, risky).map { case (_, slice) =>
       naFill(joinOnVars(slice, rdf, "left_outer"), slice.columns.toSeq)
-    }
+    })
+  }
+
+  /** Union frames with differing column sets, null-padding the gaps
+    * with companion-appropriate types.
+    */
+  private def padUnion(branches: Seq[DataFrame]): DataFrame = {
     val allCols = branches.map(_.columns.toSeq).reduce((a, b) => a ++ b.diff(a))
     branches.map { df =>
       df.select(allCols.map(c =>
@@ -258,6 +249,94 @@ object Compiler {
           else if (isIriCol(c)) "boolean"
           else "string").as(c)): _*)
     }.reduce(_.unionByName(_))
+  }
+
+  /** The unbound-mask slices of a frame over its risky columns: for
+    * each subset of `risky` treated as unbound, the rows whose risky
+    * columns are unbound ("N/A" sentinel or real null) exactly there,
+    * with those columns (and companions) dropped. Every row lands in
+    * exactly one slice; an all-bound risky set yields the single
+    * untouched frame.
+    */
+  private def unboundMaskSlices(df: DataFrame, risky: Seq[String])
+      : Seq[(Set[String], DataFrame)] = {
+    if (risky.isEmpty) return Seq((Set.empty[String], df))
+    require(risky.size <= 6,
+      s"compatibility join over ${risky.size} possibly-unbound shared vars")
+    (0 until (1 << risky.size)).map { m =>
+      val unbound = risky.zipWithIndex.collect {
+        case (v, i) if (m & (1 << i)) != 0 => v
+      }.toSet
+      val cond = risky.zipWithIndex.map { case (v, i) =>
+        val unb = col(v).isNull || col(v) === "N/A"
+        if ((m & (1 << i)) != 0) unb else !unb
+      }.reduce(_ && _)
+      val dropCols = unbound.toSeq.flatMap(v =>
+        Seq(v, numCol(v), langCol(v), iriCol(v))).filter(df.columns.contains)
+      (unbound, df.filter(cond).drop(dropCols: _*))
+    }
+  }
+
+  /** W3C-compatible INNER join (§6.2 Join): solutions merge when they
+    * agree on the variables BOTH bind; a variable either side leaves
+    * unbound constrains nothing and the merge adopts the bound
+    * side's value (unbound on both stays unbound). Arises whenever a
+    * group whose solutions may carry unbound vars — a UNION with
+    * one-sided variables, an OPTIONAL-bearing sub-group, a subquery —
+    * joins another group on those vars; plain column equality would
+    * silently drop every such row. Both sides mask-split over their
+    * possibly-unbound shared vars (statically derived, almost always
+    * none → the single plain join); each slice pair equi-joins on the
+    * vars bound on both sides, both-unbound vars re-enter as unbound,
+    * and the pairs union back.
+    */
+  private def compatInnerJoin(ldf: DataFrame, rdf: DataFrame,
+                              lRisky: Set[String], rRisky: Set[String]): DataFrame = {
+    val shared = ldf.columns.intersect(rdf.columns).filterNot(isCompanion).toSeq
+    val riskyL = shared.filter(lRisky)
+    val riskyR = shared.filter(rRisky)
+    if (riskyL.isEmpty && riskyR.isEmpty) return joinOnVars(ldf, rdf)
+    val branches = for {
+      (unbL, sliceL) <- unboundMaskSlices(ldf, riskyL)
+      (unbR, sliceR) <- unboundMaskSlices(rdf, riskyR)
+    } yield {
+      // a var unbound on one side only comes from the other side via
+      // the join; unbound on both re-enters as the sentinel
+      val joined = joinOnVars(sliceL, sliceR)
+      (unbL intersect unbR).foldLeft(joined)((d, v) =>
+        d.withColumn(v, lit("N/A")))
+    }
+    padUnion(branches)
+  }
+
+  /** W3C-compatible MINUS (§8.3): remove a left solution when some
+    * right solution is compatible with it AND their bound domains
+    * overlap. A left-unbound shared var drops out of the comparison
+    * domain — plain anti-join equality on the sentinel would keep
+    * rows the spec removes. Each left unbound-mask slice anti-joins
+    * per right mask group on the vars bound on BOTH sides; a slice
+    * pair with no such vars has disjoint domains and removes nothing.
+    */
+  private def compatMinus(ldf: DataFrame, rdf: DataFrame,
+                          lRisky: Set[String], rRisky: Set[String]): DataFrame = {
+    val shared = ldf.columns.intersect(rdf.columns).filterNot(isCompanion).toSeq
+    val riskyL = shared.filter(lRisky)
+    val riskyR = shared.filter(rRisky)
+    if (riskyL.isEmpty && riskyR.isEmpty)
+      return joinOnVars(ldf, rdf, "left_anti")
+    val slices = unboundMaskSlices(ldf, riskyL).map { case (unbL, slice0) =>
+      // survival = not compatible with ANY right group: chain the
+      // anti-joins; re-enter the sliced-off unbound vars afterwards
+      val survived = unboundMaskSlices(rdf, riskyR)
+        .foldLeft(slice0) { case (acc, (unbR, rSlice)) =>
+          val keys = shared.filterNot(unbL).filterNot(unbR)
+          if (keys.isEmpty) acc // disjoint domains: MINUS is a no-op
+          else joinOnVars(acc, rSlice.select(
+            keys.map(col): _*).distinct(), "left_anti")
+        }
+      unbL.foldLeft(survived)((d, v) => d.withColumn(v, lit("N/A")))
+    }
+    padUnion(slices)
   }
 
   /** Natural join on shared variable columns; right-side duplicate
@@ -799,8 +878,9 @@ object Compiler {
     case Join(ValuesPattern(vs, rows), r) if rows.exists(_.contains(Undef)) =>
       compatValuesJoin(compilePattern(triples, quads, r), vs, rows)
     case Join(l, r) =>
-      joinOnVars(compilePattern(triples, quads, l),
-        compilePattern(triples, quads, r))
+      compatInnerJoin(compilePattern(triples, quads, l),
+        compilePattern(triples, quads, r),
+        maybeUnboundVars(l), maybeUnboundVars(r))
     case Minus(l, r) =>
       // SPARQL 1.1 §8.3: remove left solutions compatible with a right
       // solution sharing ≥1 variable; with disjoint domains MINUS is a
@@ -809,7 +889,8 @@ object Compiler {
       val ldf = compilePattern(triples, quads, l)
       val rdf = compilePattern(triples, quads, r)
       val shared = ldf.columns.intersect(rdf.columns).filterNot(isCompanion)
-      if (shared.isEmpty) ldf else joinOnVars(ldf, rdf, "left_anti")
+      if (shared.isEmpty) ldf
+      else compatMinus(ldf, rdf, maybeUnboundVars(l), maybeUnboundVars(r))
     case Bind(input, expr, as) =>
       val df = compilePattern(triples, quads, input)
       require(!df.columns.contains(as), s"BIND ?$as: variable already in scope")

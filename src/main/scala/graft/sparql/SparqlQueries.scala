@@ -728,6 +728,31 @@ object SparqlQueries {
           |  OPTIONAL { ?c :name ?v }
           |}""".stripMargin))
     },
+    // W3C §6.2 Join COMPATIBILITY (r12): a UNION branch that leaves
+    // ?v unbound is compatible with ANY later ?v binding and adopts
+    // it; the branch that binds ?v to the mktsegment joins by
+    // equality against :name and drops every row. Compiles to the
+    // mask-split union of plain equi-joins shared with OPTIONAL —
+    // never a null-tolerant theta-join
+    "sparql_join_compat" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c ?v WHERE {
+          |  { { ?c :mktsegment ?v } UNION { ?c a :Customer } }
+          |  ?c :name ?v
+          |}""".stripMargin))
+    },
+    // W3C §8.3 MINUS COMPATIBILITY (r12): removal compares only the
+    // vars bound on BOTH sides. A customer whose OPTIONAL left ?m
+    // unbound still has domain overlap on ?c, so an A-segment right
+    // solution removes it — sentinel equality would have kept it
+    "sparql_minus_compat" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c WHERE {
+          |  ?c a :Customer
+          |  OPTIONAL { ?c :mktsegment ?m FILTER(STRSTARTS(?m, "B")) }
+          |  MINUS { ?c :mktsegment ?m FILTER(STRSTARTS(?m, "A")) }
+          |}""".stripMargin))
+    },
     // MIN over a STRING-valued variable (r12): the aggregate folds
     // the (numeric, lexical) pair under the engine's ORDER BY total
     // order and outputs the element's lexical form — a string column
@@ -1235,6 +1260,14 @@ object SparqlQueries {
         |       CASE WHEN c_mktsegment LIKE 'B%' THEN c_mktsegment
         |            ELSE c_name END AS v
         |FROM customer""".stripMargin,
+    "sparql_join_compat" ->
+      """SELECT 'cust:'||c_custkey AS c, c_name AS v FROM customer
+        |WHERE c_mktsegment = c_name
+        |UNION ALL
+        |SELECT 'cust:'||c_custkey AS c, c_name AS v FROM customer""".stripMargin,
+    "sparql_minus_compat" ->
+      """SELECT 'cust:'||c_custkey AS c FROM customer
+        |WHERE c_mktsegment NOT LIKE 'A%'""".stripMargin,
     "sparql_min_string" ->
       """SELECT 'nat:'||c_nationkey AS nat, min(c_name) AS mn
         |FROM customer GROUP BY 1""".stripMargin,

@@ -1167,4 +1167,48 @@ class W3cConformanceSpec extends AnyFunSuite {
         |  BIND(?a * 2 AS ?d) FILTER(?d >= 60) }""".stripMargin) ==
       Set(b("n" -> "Alice"), b("n" -> "Bob")))
   }
+
+  // ---- batch 6: Join/MINUS compatibility over unbound vars ---------
+
+  test("join:union-one-sided-var — a branch-unbound var adopts the join value") {
+    // branch 2 leaves ?v unbound, so its solutions are COMPATIBLE
+    // with any :name binding and adopt it; branch 1 binds ?v to the
+    // mbox, which never equals a name — those rows drop
+    assert(run(people,
+      """SELECT ?x ?v WHERE {
+        |  { { ?x :mbox ?v } UNION { ?x rdf:type :Robot } }
+        |  ?x :name ?v }""".stripMargin) ==
+      Set(b("x" -> "p:dave", "v" -> "Dave")))
+  }
+
+  test("minus:unbound-var-leaves-domain — removal compares bound vars only") {
+    val data = Seq(
+      ("s:1", ":name", "A", Option.empty[Double], false, Option.empty[String]),
+      ("s:1", ":mbox", "m1", None, false, None),
+      ("s:2", ":name", "B", None, false, None),
+      ("s:2", ":altmail", "am2", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // s:2's ?m is unbound, so it drops out of the comparison domain:
+    // the MINUS solution (x=s:2, m=am2) is compatible on {x} alone
+    // and removes the row; s:1 has no :altmail solution to match
+    assert(run(data,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :mbox ?m }
+        |  MINUS { ?x :altmail ?m } }""".stripMargin) ==
+      Set(b("n" -> "A")))
+  }
+
+  test("minus:disjoint-slice-kept — an all-unbound overlap removes nothing") {
+    val data = Seq(
+      ("s:1", ":name", "A", Option.empty[Double], false, Option.empty[String]),
+      ("s:9", ":other", "x9", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // the MINUS pattern shares only ?m, which the left leaves
+    // unbound — domains are disjoint, so nothing is removed
+    assert(run(data,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :mbox ?m }
+        |  MINUS { ?y :other ?m } }""".stripMargin) ==
+      Set(b("n" -> "A")))
+  }
 }
