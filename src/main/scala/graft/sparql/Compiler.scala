@@ -709,6 +709,35 @@ object Compiler {
     nullif(regexp_extract(strVExpr(df, a), dtLexical, group), lit(""))
       .cast("double")
 
+  /** §17.4.3 language-tag propagation: the result tag of a string
+    * builtin, when derivable from the lang companions — UCASE/LCASE/
+    * SUBSTR/REPLACE carry their first argument's tag; STRBEFORE/
+    * STRAFTER keep it only when the separator occurs (the no-match
+    * result is the plain ""); CONCAT carries the tag ALL arguments
+    * share (any plain or differently-tagged argument makes the
+    * result plain); STRLANG mints one. None = the result never
+    * carries a tag and BIND attaches no companion.
+    */
+  private def langPropagated(df: DataFrame, e: VExpr): Option[Column] = e match {
+    case VVar(n) if df.columns.contains(langCol(n)) => Some(col(langCol(n)))
+    case FnCall("UCASE" | "LCASE", Seq(a)) => langPropagated(df, a)
+    case FnCall("SUBSTR" | "REPLACE", a +: _) => langPropagated(df, a)
+    case FnCall("STRBEFORE" | "STRAFTER", Seq(a, VStr(sep))) =>
+      langPropagated(df, a).map(l =>
+        if (sep.isEmpty) l else when(instr(strVExpr(df, a), sep) > 0, l))
+    case FnCall("STRLANG", Seq(_, VStr(tag))) => Some(lit(tag))
+    case FnCall("CONCAT", as) if as.nonEmpty =>
+      val tags = as.map(langPropagated(df, _))
+      if (tags.exists(_.isEmpty)) None
+      else {
+        val cols = tags.flatten
+        Some(when(cols.map(_.isNotNull).reduce(_ && _) &&
+          cols.tail.foldLeft(lit(true))((acc, c) => acc && c === cols.head),
+          cols.head))
+      }
+    case _ => None
+  }
+
   /** String evaluation of a BIND expression (STR semantics: a
     * variable's lexical form).
     */
@@ -933,6 +962,12 @@ object Compiler {
           // a minted urn:uuid is a resource term like IRI()
           df.withColumn(as, strVExpr(df, e))
             .withColumn(iriCol(as), lit(true))
+        case e if langPropagated(df, e).isDefined =>
+          // §17.4.3: tag-preserving string builtins (UCASE/SUBSTR/…)
+          // keep their argument's language; the companion makes
+          // LANG()/LANGMATCHES and the serializers see it
+          df.withColumn(as, strVExpr(df, e))
+            .withColumn(langCol(as), langPropagated(df, e).get)
         case e =>
           df.withColumn(as, strVExpr(df, e))
       }

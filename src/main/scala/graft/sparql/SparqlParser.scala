@@ -302,14 +302,29 @@ object SparqlParser extends RegexParsers {
         else success(GroupOrUnionElem(PathAlt(s, preds.map(_.value), o)))
     }
 
-  /** Negated property set: `term !(p1|p2) term .` or `term !p term .`
-    * — one hop over any predicate outside the list.
+  /** Negated property set: `term !(p1|^p2|…) term .` or `term !p
+    * term .` — one hop over any predicate outside the list, where a
+    * `^`-prefixed member negates the INVERSE direction (§9.1). The
+    * set splits into its forward and inverse parts: !(F…|^I…) is
+    * NPS(F) path-alternated with the inverse of NPS(I), i.e. a
+    * multiset UNION of the forward hop (p ∉ F) and the reversed hop
+    * (p ∉ I with swapped endpoints); a one-sided set keeps the
+    * single arm.
     */
+  private def negPathMember: Parser[(Boolean, String)] =
+    opt("^") ~ (iriRef | pname | rdfTypeKw) ^^ {
+      case inv ~ p => (inv.isDefined, p.value)
+    }
   private def negPathTriple: Parser[GroupElem] =
-    term ~ ("!" ~> (("(" ~> rep1sep(iriRef | pname | rdfTypeKw, "|") <~ ")") |
-      ((iriRef | pname | rdfTypeKw) ^^ (Seq(_))))) ~ term <~ opt(".") ^^ {
-      case s ~ preds ~ o =>
-        GroupOrUnionElem(NegPath(s, preds.map(_.value), o))
+    term ~ ("!" ~> (("(" ~> rep1sep(negPathMember, "|") <~ ")") |
+      (negPathMember ^^ (Seq(_))))) ~ term <~ opt(".") ^^ {
+      case s ~ members ~ o =>
+        val fwd = members.collect { case (false, p) => p }
+        val inv = members.collect { case (true, p) => p }
+        GroupOrUnionElem(
+          if (inv.isEmpty) NegPath(s, fwd, o)
+          else if (fwd.isEmpty) NegPath(o, inv, s)
+          else Union(NegPath(s, fwd, o), NegPath(o, inv, s)))
     }
 
   /** Sequence path triple: `term step/step/… term .` where a step is
