@@ -810,7 +810,10 @@ object Compiler {
     // SPARQL hash builtins: lowercase hex digests of the UTF-8 lexical
     // form (native codegen'd expressions in both engines)
     case FnCall("MD5", Seq(a)) => md5(strVExpr(df, a))
+    case FnCall("SHA1", Seq(a)) => sha1(strVExpr(df, a))
     case FnCall("SHA256", Seq(a)) => sha2(strVExpr(df, a), 256)
+    case FnCall("SHA384", Seq(a)) => sha2(strVExpr(df, a), 384)
+    case FnCall("SHA512", Seq(a)) => sha2(strVExpr(df, a), 512)
     // IRI()/URI() mint a resource term from the lexical value; the
     // Bind case marks the bound column's is-IRI companion
     case FnCall("IRI" | "URI", Seq(a)) => strVExpr(df, a)
@@ -991,12 +994,16 @@ object Compiler {
       // machinery expects: numeric outputs (COUNT/SUM/AVG) cast
       // directly; string outputs (variables, MIN/MAX lexical forms)
       // take their parsed-number-or-null — the same lexical+companion
-      // convention pattern bindings use ("N/A" and IRIs cast to null)
+      // convention pattern bindings use ("N/A" and IRIs become null).
+      // try_cast, not cast: Spark 4 runs ANSI-on, and an enclosing
+      // ORDER BY / numeric FILTER (or a Catalyst-pushed evaluation)
+      // over a string/IRI-valued output would otherwise CRASH instead
+      // of yielding unbound (same reason as the STRDT case above)
       val df = run(triples, quads, q)
       df.schema.fields.filterNot(f => isCompanion(f.name))
         .foldLeft(df)((d, f) =>
           if (d.columns.contains(numCol(f.name))) d
-          else d.withColumn(numCol(f.name), col(f.name).cast("double")))
+          else d.withColumn(numCol(f.name), col(f.name).try_cast("double")))
     case PathSeq(s, steps, o) =>
       // desugar to the BGP chain s step1 ?__path1 . ?__path1 step2 … o
       // (an inverse step swaps its pattern's endpoints); the fresh

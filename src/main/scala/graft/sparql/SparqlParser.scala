@@ -23,9 +23,11 @@ object SparqlParser extends RegexParsers {
   private def iriRef: Parser[Iri] =
     """<[^<>\s]*>""".r ^^ (s => Iri(s.substring(1, s.length - 1)))
   // W3C PN_LOCAL permits a leading digit (`reg:2` is a valid prefixed
-  // name); the prefix part still requires a letter start
+  // name); the prefix part still requires a letter start. Dots may
+  // appear INSIDE a local name but not at its end (grammar [169]):
+  // `:Person. ?x` is name + triple terminator, not a dotted name
   private def pname: Parser[Iri] =
-    """[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*|:[A-Za-z0-9_][A-Za-z0-9_.-]*""".r ^^ Iri.apply
+    """[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?|:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?""".r ^^ Iri.apply
   // negative lookahead: `a:knows` is a prefixed name, not the keyword
   private def rdfTypeKw: Parser[Iri] = """a(?![\w:])""".r ^^^ Iri("rdf:type")
   // DECIMAL needs digits after the dot, so `5.` lexes as 5 + terminator
@@ -87,8 +89,12 @@ object SparqlParser extends RegexParsers {
   // (SPARQL 1.1 §4.1.4): same label = same value within the query,
   // never projected (the compiler's star projection skips the `__bn`
   // namespace, and explicit projections can't name it)
+  // a trailing '.' is the triple terminator, not part of the label
+  // (grammar BLANK_NODE_LABEL forbids it): `_:b0. ?s :p ?o` must read
+  // the same label as a later `_:b0`, and a dotted column name would
+  // trip Spark column resolution
   private def bnodeLabel: Parser[Var] =
-    """_:[A-Za-z0-9][A-Za-z0-9_.-]*""".r ^^ (s => Var("__bn_" + s.substring(2)))
+    """_:[A-Za-z0-9](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?""".r ^^ (s => Var("__bn_" + s.substring(2)))
 
   private def term: Parser[Term] =
     varTerm | iriRef | rdfTypeKw | pname | numLit | strLit | bnodeLabel
@@ -392,7 +398,7 @@ object SparqlParser extends RegexParsers {
   // longer names before their prefixes: regex alternation is ordered
   // (STRBEFORE/STRAFTER/STRLEN before STR, SUBSTR before STR)
   private def fnName: Parser[String] =
-    "(?i)(ENCODE_FOR_URI|CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG|ABS|CEIL|FLOOR|ROUND|MD5|SHA256|IRI|URI|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ)".r ^^
+    "(?i)(ENCODE_FOR_URI|CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG|ABS|CEIL|FLOOR|ROUND|MD5|SHA1|SHA256|SHA384|SHA512|IRI|URI|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ)".r ^^
       (_.toUpperCase)
   private def ifExpr: Parser[VExpr] =
     "(?i)IF".r ~> "(" ~> orExpr ~ ("," ~> vAdditive) ~ ("," ~> vAdditive) <~ ")" ^^ {

@@ -858,6 +858,20 @@ object SparqlQueries {
           |  BIND(SHA256(?n) AS ?h2)
           |}""".stripMargin))
     },
+    // the full W3C §17.4.4.4-8 hash family over fixed VALUES inputs;
+    // DuckDB lacks SHA1/SHA384/SHA512, so the oracle carries
+    // hashlib-computed constants — data-independent by construction
+    "sparql_hash_family" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?n ?hm ?h1 ?h2 ?h3 ?h5 WHERE {
+          |  VALUES ?n { "abc" "SPARQL" }
+          |  BIND(MD5(?n) AS ?hm)
+          |  BIND(SHA1(?n) AS ?h1)
+          |  BIND(SHA256(?n) AS ?h2)
+          |  BIND(SHA384(?n) AS ?h3)
+          |  BIND(SHA512(?n) AS ?h5)
+          |}""".stripMargin))
+    },
     // ORDER BY over a computed expression (hidden BIND + dropped sort
     // column); the ASC(?p) tie-break keeps the LIMIT cut deterministic
     "sparql_orderby_expr" -> { (s, dir) =>
@@ -1240,6 +1254,18 @@ object SparqlQueries {
     "sparql_hash_builtins" ->
       """SELECT n_name AS n, md5(n_name) AS h, sha256(n_name) AS h2
         |FROM nation""".stripMargin,
+    "sparql_hash_family" ->
+      """SELECT n, md5(n) AS hm, h1, sha256(n) AS h2, h3, h5
+        |FROM (VALUES
+        |  ('abc',
+        |   'a9993e364706816aba3e25717850c26c9cd0d89d',
+        |   'cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed8086072ba1e7cc2358baeca134c825a7',
+        |   'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f'),
+        |  ('SPARQL',
+        |   '22fa7067e0adc2f0f2ad8b1c09eefd391ac3b007',
+        |   'ead9173b4a549a5a8ad470bb21da841ea92c29a337d399fae615dd5d6937fddd721070849ac9318c32ffb7eece004d3a',
+        |   'fbbc83bdae3418ce9206d967cb2f969a4ae429d52a327b52849a3a0cbea8f9c8b8a2ea45bb047ba9605db515c48432c2cf66494f6f1fc52bc8dc675d63f64a12')
+        |) AS t(n, h1, h3, h5)""".stripMargin,
     "sparql_exists_expr" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b FROM customer
         |WHERE c_acctbal < 0 AND EXISTS (

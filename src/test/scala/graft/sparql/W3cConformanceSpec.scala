@@ -1211,4 +1211,45 @@ class W3cConformanceSpec extends AnyFunSuite {
         |  MINUS { ?y :other ?m } }""".stripMargin) ==
       Set(b("n" -> "A")))
   }
+
+  test("functions:hash-family — SHA1/SHA384/SHA512 (§17.4.4.5-8)") {
+    // RFC test vector for "abc" across the whole family
+    assert(run(people,
+      """SELECT ?h1 ?h3 ?h5 WHERE { <p:alice> :name ?n
+        |  BIND(SHA1("abc") AS ?h1)
+        |  BIND(SHA384("abc") AS ?h3)
+        |  BIND(SHA512("abc") AS ?h5) }""".stripMargin) ==
+      Set(b(
+        "h1" -> "a9993e364706816aba3e25717850c26c9cd0d89d",
+        "h3" -> ("cb00753f45a35e8bb5a03d699ac65007272c32ab0eded163" +
+          "1a8b605a43ff5bed8086072ba1e7cc2358baeca134c825a7"),
+        "h5" -> ("ddaf35a193617abacc417349ae20413112e6fa4e89a97ea2" +
+          "0a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd" +
+          "454d4423643ce80e2a9ac94fa54ca49f"))))
+  }
+
+  test("syntax:bnode-label-dot — trailing '.' is the terminator, not label") {
+    // BLANK_NODE_LABEL forbids a trailing dot: `_:b0.` must parse as
+    // label `b0` + triple terminator, so both patterns share one
+    // scoped variable and join on it (alice types Person AND has a
+    // name → the bnode-as-subject wouldn't join; same-label identity
+    // is what makes this return rows)
+    assert(run(people,
+      """SELECT ?n WHERE { _:w :name ?n . _:w rdf:type :Robot }""") ==
+      Set(b("n" -> "Dave")))
+    assert(run(people,
+      "SELECT ?n WHERE { _:w rdf:type :Person. _:w :name ?n . " +
+        "FILTER(STRSTARTS(?n, \"A\")) }") ==
+      Set(b("n" -> "Alice")))
+  }
+
+  test("subselect:ansi-safe-order — ORDER BY over string-valued subquery output") {
+    // the numeric companion re-derivation over a SubSelect output must
+    // try_cast (ANSI mode): 'Alice'/'Bob' would crash a strict cast
+    assert(run(people,
+      """SELECT ?n WHERE {
+        |  { SELECT ?n WHERE { ?x :name ?n } }
+        |} ORDER BY ?n LIMIT 2""".stripMargin) ==
+      Set(b("n" -> "Alice"), b("n" -> "Bob")))
+  }
 }
