@@ -1,5 +1,6 @@
 package graft.sparql
 
+import graft.Checkpoints
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import Ast._
@@ -164,7 +165,7 @@ object Compiler {
     case Minus(l, _) => allVars(l)
     case Bind(in, _, as) => allVars(in) + as
     case ValuesPattern(vs, _) => vs.map(_.name).toSet
-    case SubSelect(q) => q.projection.toSet
+    case SubSelect(q) => subSelectVars(q)
     case other =>
       // path forms: variable endpoints
       val ts: Seq[Term] = other match {
@@ -202,9 +203,24 @@ object Compiler {
       vs.zipWithIndex.collect {
         case (v, i) if rows.exists(r => r(i) == Undef) => v.name
       }.toSet
-    case SubSelect(q) => maybeUnboundVars(q.where).intersect(q.projection.toSet)
+    case SubSelect(q) =>
+      // §18.2.4: a projected variable bound NOWHERE in the subquery
+      // is still materialized (as the unbound sentinel) — it must be
+      // flagged, or an enclosing Join/MINUS takes the plain equi-join
+      // path and compares the sentinel by equality. SELECT * (empty
+      // projection, no aggregates) projects every where-var.
+      maybeUnboundVars(q.where).intersect(subSelectVars(q)) ++
+        (q.projection.toSet diff allVars(q.where))
     case _ => Set.empty
   }
+
+  /** The variable columns a SubSelect's frame exposes: the explicit
+    * projection plus aggregate aliases; SELECT * (empty projection,
+    * no aggregates) exposes every where-var.
+    */
+  private def subSelectVars(q: SelectQuery): Set[String] =
+    (if (q.projection.isEmpty && q.aggregates.isEmpty) allVars(q.where)
+     else q.projection.toSet) ++ q.aggregates.map(_.alias)
 
   /** W3C-compatible OPTIONAL join (§6.2 LeftJoin): a left solution
     * whose shared variable is UNBOUND is compatible with ANY right
@@ -219,18 +235,25 @@ object Compiler {
     * the big side (same posture as the VALUES UNDEF compatibility
     * join).
     */
-  private def compatLeftJoin(ldf: DataFrame, rdf: DataFrame,
+  private def compatLeftJoin(ldf0: DataFrame, rdf0: DataFrame,
                              maybeUnbound: Set[String]): DataFrame = {
+    val shared = ldf0.columns.intersect(rdf0.columns).filterNot(isCompanion).toSeq
+    val risky = shared.filter(maybeUnbound)
     def naFill(df: DataFrame, leftCols: Seq[String]): DataFrame = {
       // reference fills unmatched OPTIONAL vars with constant "N/A"
       // (SparqlToGremlinCompiler.java:122)
-      val optOnly = rdf.columns.filterNot(isCompanion).diff(leftCols)
+      val optOnly = rdf0.columns.filterNot(isCompanion).diff(leftCols)
       optOnly.foldLeft(df)((d, c) => d.withColumn(c, coalesce(col(c), lit("N/A"))))
     }
-    val shared = ldf.columns.intersect(rdf.columns).filterNot(isCompanion).toSeq
-    val risky = shared.filter(maybeUnbound)
     if (risky.isEmpty)
-      return naFill(joinOnVars(ldf, rdf, "left_outer"), ldf.columns.toSeq)
+      return naFill(joinOnVars(ldf0, rdf0, "left_outer"), ldf0.columns.toSeq)
+    if (risky.size > maskBudget)
+      return thetaCompatLeftJoin(ldf0, rdf0, shared, risky.toSet)
+    // both inputs feed every one of the 2^k slice joins — checkpoint
+    // so the slices re-read a materialization instead of re-running
+    // the whole upstream subplan per slice
+    val ldf = Checkpoints.tracked(ldf0)
+    val rdf = Checkpoints.tracked(rdf0)
     padUnion(unboundMaskSlices(ldf, risky).map { case (_, slice) =>
       naFill(joinOnVars(slice, rdf, "left_outer"), slice.columns.toSeq)
     })
@@ -258,11 +281,20 @@ object Compiler {
     * exactly one slice; an all-bound risky set yields the single
     * untouched frame.
     */
+  /** Mask-split slice budget: past 2^6 = 64 slices the union of
+    * equi-joins costs more than one null-tolerant theta join, so the
+    * compat operators switch to their [[thetaCompat]] fallback
+    * instead of refusing the query (maybeUnboundVars deliberately
+    * over-approximates, so 7+ risky shared vars is legal input).
+    */
+  private val maskBudget = 6
+
   private def unboundMaskSlices(df: DataFrame, risky: Seq[String])
       : Seq[(Set[String], DataFrame)] = {
     if (risky.isEmpty) return Seq((Set.empty[String], df))
-    require(risky.size <= 6,
-      s"compatibility join over ${risky.size} possibly-unbound shared vars")
+    require(risky.size <= maskBudget,
+      s"mask split over ${risky.size} vars exceeds the 2^$maskBudget " +
+        "slice budget — callers must take the theta fallback")
     (0 until (1 << risky.size)).map { m =>
       val unbound = risky.zipWithIndex.collect {
         case (v, i) if (m & (1 << i)) != 0 => v
@@ -290,12 +322,18 @@ object Compiler {
     * vars bound on both sides, both-unbound vars re-enter as unbound,
     * and the pairs union back.
     */
-  private def compatInnerJoin(ldf: DataFrame, rdf: DataFrame,
+  private def compatInnerJoin(ldf0: DataFrame, rdf0: DataFrame,
                               lRisky: Set[String], rRisky: Set[String]): DataFrame = {
-    val shared = ldf.columns.intersect(rdf.columns).filterNot(isCompanion).toSeq
+    val shared = ldf0.columns.intersect(rdf0.columns).filterNot(isCompanion).toSeq
     val riskyL = shared.filter(lRisky)
     val riskyR = shared.filter(rRisky)
-    if (riskyL.isEmpty && riskyR.isEmpty) return joinOnVars(ldf, rdf)
+    if (riskyL.isEmpty && riskyR.isEmpty) return joinOnVars(ldf0, rdf0)
+    if (riskyL.size + riskyR.size > maskBudget)
+      return thetaCompatInnerJoin(ldf0, rdf0, shared, riskyL.toSet, riskyR.toSet)
+    // every (left slice × right slice) pair re-reads both inputs —
+    // checkpoint once so 2^(kl+kr) branches scan a materialization
+    val ldf = Checkpoints.tracked(ldf0)
+    val rdf = Checkpoints.tracked(rdf0)
     val branches = for {
       (unbL, sliceL) <- unboundMaskSlices(ldf, riskyL)
       (unbR, sliceR) <- unboundMaskSlices(rdf, riskyR)
@@ -317,13 +355,20 @@ object Compiler {
     * per right mask group on the vars bound on BOTH sides; a slice
     * pair with no such vars has disjoint domains and removes nothing.
     */
-  private def compatMinus(ldf: DataFrame, rdf: DataFrame,
+  private def compatMinus(ldf0: DataFrame, rdf0: DataFrame,
                           lRisky: Set[String], rRisky: Set[String]): DataFrame = {
-    val shared = ldf.columns.intersect(rdf.columns).filterNot(isCompanion).toSeq
+    val shared = ldf0.columns.intersect(rdf0.columns).filterNot(isCompanion).toSeq
     val riskyL = shared.filter(lRisky)
     val riskyR = shared.filter(rRisky)
     if (riskyL.isEmpty && riskyR.isEmpty)
-      return joinOnVars(ldf, rdf, "left_anti")
+      return joinOnVars(ldf0, rdf0, "left_anti")
+    if (riskyL.size + riskyR.size > maskBudget)
+      return thetaCompatMinus(ldf0, rdf0, shared, riskyL.toSet, riskyR.toSet)
+    // each left slice chains an anti-join against every right mask
+    // group — checkpoint both inputs so the 2^kl × 2^kr reads scan a
+    // materialization, not the upstream subplan
+    val ldf = Checkpoints.tracked(ldf0)
+    val rdf = Checkpoints.tracked(rdf0)
     val slices = unboundMaskSlices(ldf, riskyL).map { case (unbL, slice0) =>
       // survival = not compatible with ANY right group: chain the
       // anti-joins; re-enter the sliced-off unbound vars afterwards
@@ -337,6 +382,132 @@ object Compiler {
       unbL.foldLeft(survived)((d, v) => d.withColumn(v, lit("N/A")))
     }
     padUnion(slices)
+  }
+
+  // ---- theta compatibility fallback --------------------------------
+  // Past the mask-split budget (7+ possibly-unbound shared vars →
+  // 2^k slices would exceed 64) the compat operators run as ONE
+  // null-tolerant theta join: an OR'd unbound arm per risky var keeps
+  // §6.2 compatibility exact on any arity. Catalyst can't equi-plan
+  // the OR, so this is a broadcast-nested-loop — acceptable because
+  // the shape is a deliberate rarity (maybeUnboundVars already
+  // over-approximates and real queries stay in low single digits).
+
+  /** unbound = real null or the reference's "N/A" display sentinel */
+  private def unb(c: Column): Column = c.isNull || c === "N/A"
+
+  /** Rename every column of `df` behind a reserved prefix so a theta
+    * join can reference both sides unambiguously.
+    */
+  private def rPrefixed(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, "__cr_" + c))
+
+  private def rCol(c: String): Column = col("__cr_" + c)
+
+  /** The column `name` on a side, or a typed null when that side
+    * never produced it (padUnion's convention).
+    */
+  private def sideCol(df: DataFrame, name: String, right: Boolean): Column =
+    if (df.columns.contains(name)) { if (right) rCol(name) else col(name) }
+    else lit(null).cast(
+      if (isNumCol(name)) "double"
+      else if (isIriCol(name)) "boolean"
+      else "string")
+
+  /** θ-fallback of [[compatLeftJoin]]: left-outer on (unbound(l.v) ∨
+    * l.v = r.v) per risky var (plain equality otherwise); risky vars
+    * and their companions adopt the right side where the left was
+    * unbound; unmatched right-only and still-unbound value columns
+    * fill "N/A" exactly like the slice path's naFill.
+    */
+  private def thetaCompatLeftJoin(ldf: DataFrame, rdf: DataFrame,
+                                  shared: Seq[String],
+                                  risky: Set[String]): DataFrame = {
+    val r2 = rPrefixed(rdf)
+    val cond = shared.map { v =>
+      val eq = col(v) === rCol(v)
+      if (risky(v)) unb(col(v)) || eq else eq
+    }.reduce(_ && _)
+    val joined = ldf.join(r2, cond, "left_outer")
+    val rOnly = rdf.columns.filterNot(ldf.columns.contains).toSeq
+    val out = (ldf.columns.toSeq ++ rOnly).map { c =>
+      val base = Seq(NUM, LANG, IRI).foldLeft(c)((s, suf) =>
+        s.stripSuffix(suf))
+      val sharedRisky = shared.contains(base) && risky(base)
+      val expr =
+        if (isCompanion(c)) {
+          if (sharedRisky)
+            when(unb(col(base)), sideCol(rdf, c, right = true))
+              .otherwise(coalesce(sideCol(ldf, c, right = false),
+                sideCol(rdf, c, right = true)))
+          else if (ldf.columns.contains(c)) col(c)
+          else rCol(c)
+        } else if (sharedRisky)
+          coalesce(when(unb(col(c)), rCol(c)).otherwise(col(c)), lit("N/A"))
+        else if (ldf.columns.contains(c)) col(c)
+        else coalesce(rCol(c), lit("N/A"))
+      expr.as(c)
+    }
+    joined.select(out: _*)
+  }
+
+  /** θ-fallback of [[compatInnerJoin]]: inner join on (unbound on a
+    * risky side ∨ equal) per shared var; the merge keeps the bound
+    * side's value+companions, both-unbound re-enters as the sentinel
+    * with null companions — the slice path's exact output.
+    */
+  private def thetaCompatInnerJoin(ldf: DataFrame, rdf: DataFrame,
+                                   shared: Seq[String], riskyL: Set[String],
+                                   riskyR: Set[String]): DataFrame = {
+    val r2 = rPrefixed(rdf)
+    val cond = shared.map { v =>
+      val arms = Seq(
+        if (riskyL(v)) Some(unb(col(v))) else None,
+        if (riskyR(v)) Some(unb(rCol(v))) else None,
+        Some(col(v) === rCol(v))).flatten
+      arms.reduce(_ || _)
+    }.reduce(_ && _)
+    val joined = ldf.join(r2, cond, "inner")
+    val rOnly = rdf.columns.filterNot(ldf.columns.contains).toSeq
+    val out = (ldf.columns.toSeq ++ rOnly).map { c =>
+      val base = Seq(NUM, LANG, IRI).foldLeft(c)((s, suf) =>
+        s.stripSuffix(suf))
+      val expr =
+        if (!shared.contains(base)) {
+          if (ldf.columns.contains(c)) col(c) else rCol(c)
+        } else if (isCompanion(c))
+          when(!unb(col(base)),
+            coalesce(sideCol(ldf, c, right = false),
+              sideCol(rdf, c, right = true)))
+            .when(!unb(sideCol(rdf, base, right = true)),
+              sideCol(rdf, c, right = true))
+        else
+          when(!unb(col(c)), col(c))
+            .when(!unb(rCol(c)), rCol(c))
+            .otherwise(lit("N/A"))
+      expr.as(c)
+    }
+    joined.select(out: _*)
+  }
+
+  /** θ-fallback of [[compatMinus]]: anti-join on per-var
+    * compatibility (unbound on a risky side ∨ equal) AND a non-empty
+    * bound-domain overlap (§8.3's dom(μ) ∩ dom(μ') ≠ ∅).
+    */
+  private def thetaCompatMinus(ldf: DataFrame, rdf: DataFrame,
+                               shared: Seq[String], riskyL: Set[String],
+                               riskyR: Set[String]): DataFrame = {
+    val r2 = rPrefixed(rdf.select(shared.map(col): _*).distinct())
+    val compat = shared.map { v =>
+      val arms = Seq(
+        if (riskyL(v)) Some(unb(col(v))) else None,
+        if (riskyR(v)) Some(unb(rCol(v))) else None,
+        Some(col(v) === rCol(v))).flatten
+      arms.reduce(_ || _)
+    }.reduce(_ && _)
+    val overlap = shared.map(v => !unb(col(v)) && !unb(rCol(v)))
+      .reduce(_ || _)
+    ldf.join(r2, compat && overlap, "left_anti")
   }
 
   /** Natural join on shared variable columns; right-side duplicate

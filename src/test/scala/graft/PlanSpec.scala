@@ -1232,4 +1232,20 @@ class PlanSpec extends AnyFunSuite {
       "matrix cells must partial-aggregate before the shuffle")
     assert(!p.contains("Sort "), "no sort in a confusion matrix fold")
   }
+
+  test("compat mask-split slices scan a checkpoint, not the upstream subplan") {
+    // the 2^k unbound-mask slices each filter the SAME input — both
+    // sides are localCheckpoint'ed so every slice reads the
+    // materialization (Scan ExistingRDD) and the upstream store scan
+    // + joins run once, at checkpoint time, instead of per slice
+    for (key <- Seq("sparql_optional_compat", "sparql_join_compat",
+        "sparql_minus_compat")) {
+      val p = plan(key)
+      assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+        s"$key: slices must scan the checkpointed compat inputs")
+      assert(!p.contains("Scan parquet"),
+        s"$key: no slice may re-run the store scan past the checkpoint")
+    }
+    graft.Checkpoints.releaseCaches()
+  }
 }

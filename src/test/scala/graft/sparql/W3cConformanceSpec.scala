@@ -1243,6 +1243,70 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("n" -> "Alice")))
   }
 
+  /** theta-fallback fixture: 7 possibly-unbound shared vars exceeds
+    * the 2^6 mask-split slice budget, forcing the single
+    * null-tolerant compatibility join on every compat operator.
+    */
+  private lazy val wide: DataFrame = {
+    val ks = (1 to 7).map(i => (s":k$i", i.toString))
+    (Seq(("s:1", ":name", "A", Option.empty[Double], false, Option.empty[String]),
+         ("s:3", ":name", "C", None, false, None)) ++
+      ks.map { case (k, v) => ("s:2", k, v, Some(v.toDouble), false, None) } ++
+      ks.map { case (k, v) => ("s:3", k, v, Some(v.toDouble), false, None) })
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+  }
+  private val k7 = (1 to 7).map(i => s"?SUBJ :k$i ?v$i .").mkString(" ")
+
+  test("optional:theta-fallback — 7 risky shared vars, LeftJoin adopts") {
+    // s:1 leaves all seven vars unbound after OPT1 → compatible with
+    // BOTH right bindings and adopts; s:3 binds them → equality join
+    assert(run(wide,
+      s"""SELECT ?n ?y WHERE { ?x :name ?n
+         |  OPTIONAL { ${k7.replace("?SUBJ", "?x")} }
+         |  OPTIONAL { ${k7.replace("?SUBJ", "?y")} } }""".stripMargin) ==
+      Set(b("n" -> "A", "y" -> "s:2"), b("n" -> "A", "y" -> "s:3"),
+        b("n" -> "C", "y" -> "s:2"), b("n" -> "C", "y" -> "s:3")))
+  }
+
+  test("join:theta-fallback — 7 risky shared vars, Join §6.2 compat") {
+    assert(run(wide,
+      s"""SELECT ?n ?y ?v7 WHERE {
+         |  { ?x :name ?n OPTIONAL { ${k7.replace("?SUBJ", "?x")} } }
+         |  ${k7.replace("?SUBJ", "?y")} }""".stripMargin) ==
+      Set(b("n" -> "A", "y" -> "s:2", "v7" -> "7"),
+        b("n" -> "A", "y" -> "s:3", "v7" -> "7"),
+        b("n" -> "C", "y" -> "s:2", "v7" -> "7"),
+        b("n" -> "C", "y" -> "s:3", "v7" -> "7")))
+  }
+
+  test("minus:theta-fallback — 7 risky shared vars, §8.3 domain overlap") {
+    // s:1's row leaves every shared var unbound → disjoint domains,
+    // kept; s:3's bound row is compatible with the right → removed
+    assert(run(wide,
+      s"""SELECT ?n WHERE { ?x :name ?n
+         |  OPTIONAL { ${k7.replace("?SUBJ", "?x")} }
+         |  MINUS { ${k7.replace("?SUBJ", "?y")} } }""".stripMargin) ==
+      Set(b("n" -> "A")))
+  }
+
+  test("subselect:projected-nowhere — sentinel var is compat-joined (§18.2.4)") {
+    // ?m is projected but bound nowhere in the subquery → it is the
+    // unbound sentinel and must be flagged possibly-unbound, so the
+    // enclosing join on ?m adopts instead of comparing the sentinel
+    assert(run(people,
+      """SELECT ?n ?m WHERE {
+        |  { SELECT ?x ?m WHERE { ?x rdf:type :Person } }
+        |  ?x :name ?n .
+        |  ?z :mbox ?m . }""".stripMargin) ==
+      Set(
+        b("n" -> "Alice", "m" -> "mailto:alice@work.example"),
+        b("n" -> "Alice", "m" -> "mailto:bob@work.example"),
+        b("n" -> "Bob", "m" -> "mailto:alice@work.example"),
+        b("n" -> "Bob", "m" -> "mailto:bob@work.example"),
+        b("n" -> "Carol", "m" -> "mailto:alice@work.example"),
+        b("n" -> "Carol", "m" -> "mailto:bob@work.example")))
+  }
+
   test("subselect:ansi-safe-order — ORDER BY over string-valued subquery output") {
     // the numeric companion re-derivation over a SubSelect output must
     // try_cast (ANSI mode): 'Alice'/'Bob' would crash a strict cast
