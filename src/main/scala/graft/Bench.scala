@@ -97,6 +97,26 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)
+    // the driver's capture keeps only the LAST ~2000 chars of stdout,
+    // which has truncated the full line's head every round (BENCH_r*
+    // "parsed": null since r1) — so the FINAL line is a compact
+    // summary sized to survive that window: totals + per-key seconds
+    // rounded to ms, heaviest keys first, adding keys only while the
+    // line stays under budget ("q_more" counts what was dropped; the
+    // full detail is always in the bench_latest.json artifact)
+    val budget = 1800
+    val rounded = timings.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s""""${esc(k)}":${math.round(v * 1000) / 1000.0}""" }
+    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
+      s""""unit":"sec","n_keys":${timings.size},"n_err":${errors.size},""" +
+      s""""sf":"${esc(sfDir)}","artifact":"bench_latest.json","queries":{"""
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var len = head.length + 30 // closing braces + q_more field
+    rounded.foreach { r =>
+      if (len + r.length + 1 <= budget) { kept += r; len += r.length + 1 }
+    }
+    println(head + kept.mkString(",") +
+      s"""},"q_more":${rounded.size - kept.size}}""")
     System.out.flush()
   }
 }

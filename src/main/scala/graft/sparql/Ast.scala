@@ -216,6 +216,14 @@ object Ast {
     * Compiles only through the quad entry point (Compiler.runQuads).
     */
   final case class GraphBgp(g: Term, patterns: Seq[TriplePattern]) extends Pattern
+  /** `GRAPH <g> { group }` with a GENERAL body (r13): property paths,
+    * OPTIONAL, FILTER, UNION … compose inside a CONSTANT named graph —
+    * the graph's slice becomes the triple relation for the whole
+    * sub-pattern. A variable graph name keeps the BGP-only
+    * [[GraphBgp]] form (per-graph evaluation of arbitrary operators
+    * would need a graph-partitioned replay — documented subset).
+    */
+  final case class GraphGroup(g: Term, pattern: Pattern) extends Pattern
   /** Nested `{ SELECT … }` subquery: evaluated bottom-up, its
     * projected variables join with the enclosing group (SPARQL 1.1
     * §12). Numeric outputs (aggregate aliases) re-derive their typed

@@ -158,6 +158,7 @@ object Compiler {
     case Bgp(ps) => ps.flatMap(vars).toSet
     case GraphBgp(g, ps) => ps.flatMap(vars).toSet ++
       (g match { case Var(n) => Set(n); case _ => Set.empty[String] })
+    case GraphGroup(_, inner) => allVars(inner)
     case Filter(_, in) => allVars(in)
     case LeftJoin(l, r) => allVars(l) ++ allVars(r)
     case Union(l, r) => allVars(l) ++ allVars(r)
@@ -190,6 +191,7 @@ object Compiler {
     * joins by plain equality.
     */
   private def maybeUnboundVars(p: Pattern): Set[String] = p match {
+    case GraphGroup(_, inner) => maybeUnboundVars(inner)
     case Filter(_, in) => maybeUnboundVars(in)
     case LeftJoin(l, r) =>
       maybeUnboundVars(l) ++ allVars(r) -- allVars(l).diff(maybeUnboundVars(l))
@@ -300,7 +302,7 @@ object Compiler {
         case (v, i) if (m & (1 << i)) != 0 => v
       }.toSet
       val cond = risky.zipWithIndex.map { case (v, i) =>
-        val unb = col(v).isNull || col(v) === "N/A"
+        val unb = unboundCol(df, v)
         if ((m & (1 << i)) != 0) unb else !unb
       }.reduce(_ && _)
       val dropCols = unbound.toSeq.flatMap(v =>
@@ -393,8 +395,28 @@ object Compiler {
   // the shape is a deliberate rarity (maybeUnboundVars already
   // over-approximates and real queries stay in low single digits).
 
-  /** unbound = real null or the reference's "N/A" display sentinel */
-  private def unb(c: Column): Column = c.isNull || c === "N/A"
+  /** Row-level unboundness of variable column `v`: a real null, or
+    * the reference's "N/A" display sentinel — UNLESS the term-kind
+    * companion proves the row is a genuine pattern-bound literal that
+    * merely spells "N/A". Fill sites (naFill, the §18.2.4 sentinel
+    * projection, both-unbound re-entry) never attach a companion,
+    * while object-position pattern bindings always do, so real "N/A"
+    * data survives compat joins, BOUND() and aggregates (r12 advice).
+    * Known residue: a subject-position or BIND-minted "N/A" carries
+    * no companion and still reads as unbound.
+    */
+  private def unboundCol(df: DataFrame, v: String): Column =
+    if (df.columns.contains(iriCol(v)))
+      col(v).isNull || (col(v) === "N/A" && col(iriCol(v)).isNull)
+    else col(v).isNull || col(v) === "N/A"
+
+  /** [[unboundCol]] against the `__cr_`-renamed right side of a theta
+    * compatibility join.
+    */
+  private def unboundColR(rdf: DataFrame, v: String): Column =
+    if (rdf.columns.contains(iriCol(v)))
+      rCol(v).isNull || (rCol(v) === "N/A" && rCol(iriCol(v)).isNull)
+    else rCol(v).isNull || rCol(v) === "N/A"
 
   /** Rename every column of `df` behind a reserved prefix so a theta
     * join can reference both sides unambiguously.
@@ -426,7 +448,7 @@ object Compiler {
     val r2 = rPrefixed(rdf)
     val cond = shared.map { v =>
       val eq = col(v) === rCol(v)
-      if (risky(v)) unb(col(v)) || eq else eq
+      if (risky(v)) unboundCol(ldf, v) || eq else eq
     }.reduce(_ && _)
     val joined = ldf.join(r2, cond, "left_outer")
     val rOnly = rdf.columns.filterNot(ldf.columns.contains).toSeq
@@ -437,13 +459,14 @@ object Compiler {
       val expr =
         if (isCompanion(c)) {
           if (sharedRisky)
-            when(unb(col(base)), sideCol(rdf, c, right = true))
+            when(unboundCol(ldf, base), sideCol(rdf, c, right = true))
               .otherwise(coalesce(sideCol(ldf, c, right = false),
                 sideCol(rdf, c, right = true)))
           else if (ldf.columns.contains(c)) col(c)
           else rCol(c)
         } else if (sharedRisky)
-          coalesce(when(unb(col(c)), rCol(c)).otherwise(col(c)), lit("N/A"))
+          coalesce(when(unboundCol(ldf, c), rCol(c)).otherwise(col(c)),
+            lit("N/A"))
         else if (ldf.columns.contains(c)) col(c)
         else coalesce(rCol(c), lit("N/A"))
       expr.as(c)
@@ -462,8 +485,8 @@ object Compiler {
     val r2 = rPrefixed(rdf)
     val cond = shared.map { v =>
       val arms = Seq(
-        if (riskyL(v)) Some(unb(col(v))) else None,
-        if (riskyR(v)) Some(unb(rCol(v))) else None,
+        if (riskyL(v)) Some(unboundCol(ldf, v)) else None,
+        if (riskyR(v)) Some(unboundColR(rdf, v)) else None,
         Some(col(v) === rCol(v))).flatten
       arms.reduce(_ || _)
     }.reduce(_ && _)
@@ -476,14 +499,14 @@ object Compiler {
         if (!shared.contains(base)) {
           if (ldf.columns.contains(c)) col(c) else rCol(c)
         } else if (isCompanion(c))
-          when(!unb(col(base)),
+          when(!unboundCol(ldf, base),
             coalesce(sideCol(ldf, c, right = false),
               sideCol(rdf, c, right = true)))
-            .when(!unb(sideCol(rdf, base, right = true)),
+            .when(!unboundColR(rdf, base),
               sideCol(rdf, c, right = true))
         else
-          when(!unb(col(c)), col(c))
-            .when(!unb(rCol(c)), rCol(c))
+          when(!unboundCol(ldf, c), col(c))
+            .when(!unboundColR(rdf, c), rCol(c))
             .otherwise(lit("N/A"))
       expr.as(c)
     }
@@ -497,15 +520,21 @@ object Compiler {
   private def thetaCompatMinus(ldf: DataFrame, rdf: DataFrame,
                                shared: Seq[String], riskyL: Set[String],
                                riskyR: Set[String]): DataFrame = {
-    val r2 = rPrefixed(rdf.select(shared.map(col): _*).distinct())
+    // keep the right term-kind companions of risky vars: unboundColR
+    // consults them to tell a genuine "N/A" literal from the fill
+    val rKeep = shared.flatMap(v => Seq(v) ++
+      Seq(iriCol(v)).filter(rdf.columns.contains)).distinct
+    val rSlim = rdf.select(rKeep.map(col): _*).distinct()
+    val r2 = rPrefixed(rSlim)
     val compat = shared.map { v =>
       val arms = Seq(
-        if (riskyL(v)) Some(unb(col(v))) else None,
-        if (riskyR(v)) Some(unb(rCol(v))) else None,
+        if (riskyL(v)) Some(unboundCol(ldf, v)) else None,
+        if (riskyR(v)) Some(unboundColR(rSlim, v)) else None,
         Some(col(v) === rCol(v))).flatten
       arms.reduce(_ || _)
     }.reduce(_ && _)
-    val overlap = shared.map(v => !unb(col(v)) && !unb(rCol(v)))
+    val overlap = shared
+      .map(v => !unboundCol(ldf, v) && !unboundColR(rSlim, v))
       .reduce(_ || _)
     ldf.join(r2, compat && overlap, "left_anti")
   }
@@ -632,6 +661,15 @@ object Compiler {
       else {
         val useNum = value.num.isDefined && hasNum
         if (useNum) applyCmp(op, col(numCol(v.name)), lit(value.num.get))
+        else if (dtShaped(value.lexical))
+          // typed xsd:dateTime comparison (§17.3 op:dateTime-*): a
+          // date-shaped binding compares on the TIMELINE (zone
+          // offsets normalize), so "12:00+02:00" = "10:00Z"; a
+          // non-date binding keeps the engine's lexical compare
+          when(dtInstant(col(v.name)).isNotNull,
+            applyCmp(op, dtInstant(col(v.name)),
+              dtInstant(lit(value.lexical))))
+            .otherwise(applyCmp(op, col(v.name), lit(value.lexical)))
         else applyCmp(op, col(v.name), lit(value.lexical))
       }
     case ExprCmp(op, e, value) =>
@@ -702,7 +740,7 @@ object Compiler {
       // (SparqlToGremlinCompiler.java:122), so bound = in scope, not
       // null, and not the sentinel
       if (!df.columns.contains(v.name)) lit(false)
-      else col(v.name).isNotNull && col(v.name) =!= "N/A"
+      else !unboundCol(df, v.name)
     case IsIri(v) =>
       // object position: the is-IRI companion (null ⇒ unbound ⇒ type
       // error ⇒ false); subject/predicate position: a resource term
@@ -730,7 +768,12 @@ object Compiler {
       // null, the solution drops — a lexical fallback would wrongly
       // keep rows like "5" < "nat:1".
       val (ln, rn) = (numVExpr(df, l), numVExpr(df, r))
+      val (ld, rd) = (dtInstant(strVExpr(df, l)), dtInstant(strVExpr(df, r)))
       when(ln.isNotNull && rn.isNotNull, applyCmp(op, ln, rn))
+        // both date-shaped → timeline comparison (zone-normalized);
+        // a date against a plain string stays on the lexical branch,
+        // the engine's existing permissive posture
+        .when(ld.isNotNull && rd.isNotNull, applyCmp(op, ld, rd))
         .when(ln.isNull && rn.isNull,
           applyCmp(op, strVExpr(df, l), strVExpr(df, r)))
     case IsNumeric(v) =>
@@ -872,6 +915,36 @@ object Compiler {
 
   /** Timezone suffix of a dateTime lexical: Z or ±HH:MM. */
   private val tzLexical = "(Z|[+-]\\d{2}:\\d{2})$"
+
+  /** Full-anchored xsd:date / xsd:dateTime lexical (optional time,
+    * optional zone) — the guard for typed timeline comparison. A
+    * prefix match is not enough here: "1998-10-03garbage" must stay
+    * a plain string, not half-parse as a date.
+    */
+  private val dtShapeFull =
+    "^\\d{4,}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?(Z|[+-]\\d{2}:\\d{2})?$"
+
+  private def dtShaped(lex: String): Boolean = lex.matches(dtShapeFull)
+
+  /** Timeline value of a dateTime lexical: UTC epoch seconds
+    * (fractional), null when the string isn't a full date/dateTime
+    * shape. Zone offsets normalize per XSD §3.2.7.3; a zoneless form
+    * reads in the session timezone (UTC everywhere in this engine).
+    */
+  private def dtInstant(c: Column): Column =
+    when(c.rlike(dtShapeFull), c.try_cast("timestamp").cast("double"))
+
+  /** ORDER BY key that sorts dateTime lexicals as instants while
+    * leaving every other string untouched: date-shaped values
+    * canonicalize to their UTC serialization (which sorts correctly
+    * both among dates and against other digit-led strings), the rest
+    * fall back to the lexical form.
+    */
+  private def dtSortKey(c: Column): Column =
+    coalesce(
+      when(c.rlike(dtShapeFull),
+        date_format(c.try_cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+      c)
 
   private def dtComponent(df: DataFrame, a: VExpr, group: Int): Column =
     // regexp_extract yields "" for an unmatched optional group; nullif
@@ -1037,6 +1110,19 @@ object Compiler {
       val qd = quads.getOrElse(throw new IllegalArgumentException(
         "GRAPH requires a quad dataset — run the query via runQuads"))
       compileGraphBgp(qd, g, ps)
+    case GraphGroup(g, inner) =>
+      val qd = quads.getOrElse(throw new IllegalArgumentException(
+        "GRAPH requires a quad dataset — run the query via runQuads"))
+      g match {
+        case Iri(gv) =>
+          // the constant graph's slice IS the triple relation for the
+          // sub-pattern, so paths/OPTIONAL/FILTER compose unchanged;
+          // nested GRAPH groups still see the full named dataset
+          compilePattern(qd.filter(col("g") === gv).drop("g"), quads, inner)
+        case other => throw new IllegalArgumentException(
+          s"GRAPH $other over a non-BGP body is not supported — " +
+            "name the graph or restrict the body to triple patterns")
+      }
     case Bgp(ps) => compileBgp(triples, ps)
     case Filter(exprs, input) =>
       exprs.foldLeft(compilePattern(triples, quads, input)) {
@@ -1487,10 +1573,10 @@ object Compiler {
         // OPTIONAL "N/A" sentinel to null so Spark's null-skipping
         // aggregation implements exactly that removal (numeric
         // companions are already null when unmatched)
-        def lexGuard(name: String): Column = {
-          val c = col(name)
-          when(c =!= "N/A", c)
-        }
+        // companion-aware: a genuine pattern-bound "N/A" literal
+        // stays in the multiset; only the fill sentinel is removed
+        def lexGuard(name: String): Column =
+          when(!unboundCol(df, name), col(name))
         def numOrLex(name: String): Column =
           if (df.columns.contains(numCol(name))) col(numCol(name))
           else lexGuard(name)
@@ -1518,7 +1604,7 @@ object Compiler {
           val n = varOf(what).name
           if (df.columns.contains(numCol(n))) {
             pairAliases += alias
-            val pair = when(col(n) =!= "N/A",
+            val pair = when(!unboundCol(df, n),
               struct(col(numCol(n)).as("num"), col(n).as("lex")))
             if (isMin) min(pair) else max(pair)
           } else if (isMin) min(lexGuard(n)) else max(lexGuard(n))
@@ -1611,10 +1697,14 @@ object Compiler {
       // silent no-op, found by the W3C order-mixed case) falls
       // through to lexical order; Spark's null placement (asc: first,
       // desc: last) keeps each run deterministic
+      // the lexical key is dateTime-aware: date-shaped values sort by
+      // their UTC instant (mixed-zone bindings order correctly),
+      // everything else by the raw lexical form
       val sorts = q.orderBy.flatMap { case (v, asc) =>
         val keys =
-          if (df.columns.contains(numCol(v))) Seq(col(numCol(v)), col(v))
-          else Seq(col(v))
+          if (df.columns.contains(numCol(v)))
+            Seq(col(numCol(v)), dtSortKey(col(v)))
+          else Seq(dtSortKey(col(v)))
         keys.map(c => if (asc) c.asc else c.desc)
       }
       df = df.orderBy(sorts: _*)

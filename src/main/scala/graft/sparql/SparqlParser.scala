@@ -381,12 +381,18 @@ object SparqlParser extends RegexParsers {
         else success(GroupOrUnionElem(PathSeqRange(s, steps, mn, mx, o)))
     }
 
-  /** `GRAPH (<g>|?g) { triples }` — named-graph scoping (body
-    * restricted to a BGP; see Ast.GraphBgp).
+  /** `GRAPH (<g>|?g) { triples }` — named-graph scoping. A plain
+    * BGP body keeps the [[Ast.GraphBgp]] form for either graph term
+    * (its per-pattern graph column aligns a VARIABLE graph across the
+    * joins); a general body (paths, OPTIONAL, FILTER, UNION, …)
+    * parses to [[Ast.GraphGroup]], which the compiler supports for a
+    * CONSTANT graph by slicing the quad relation.
     */
   private def graphElem: Parser[GroupElem] =
-    "(?i)GRAPH".r ~> (varTerm | iriRef | pname) ~ bgpOnly ^^ {
-      case g ~ ps => GroupOrUnionElem(GraphBgp(g, ps))
+    "(?i)GRAPH".r ~> (varTerm | iriRef | pname) ~
+      (bgpOnly ^^ (Left(_)) | groupGraphPattern ^^ (Right(_))) ^^ {
+      case g ~ Left(ps) => GroupOrUnionElem(GraphBgp(g, ps))
+      case g ~ Right(p) => GroupOrUnionElem(GraphGroup(g, p))
     }
 
   private def optionalElem: Parser[GroupElem] =
@@ -782,6 +788,8 @@ object SparqlParser extends RegexParsers {
       PathRange(rewriteTerm(s, f), preds.map(f), mn, mx, rewriteTerm(o, f))
     case GraphBgp(g, ps) =>
       GraphBgp(rewriteTerm(g, f), ps.map(rewriteTp(_, f)))
+    case GraphGroup(g, inner) =>
+      GraphGroup(rewriteTerm(g, f), rewritePattern(inner, f))
     case PathSeq(s, steps, o) =>
       PathSeq(rewriteTerm(s, f),
         steps.map(st => PathStep(f(st.pred), st.inverse)), rewriteTerm(o, f))
@@ -917,10 +925,19 @@ object SparqlParser extends RegexParsers {
         ("(?i)TO".r ~> graphOrDefault) ^^ {
         case f ~ t => Update.AddToGraph(f, t)
       }
+    // LOAD [SILENT] <source> [INTO GRAPH g] (§3.1.31) — the source
+    // stays a verbatim IRI (file:///… or http(s)://…), never
+    // prefix-expanded; the destination graph is a normal graph name
+    val load: Parser[Update.Op] =
+      ("(?i)LOAD".r ~> silent) ~ iriRef ~
+        opt("(?i)INTO".r ~> "(?i)GRAPH".r ~> graphName) ^^ {
+        case sil ~ src ~ g => Update.Load(src.value, g, sil.isDefined)
+      }
     val (pfx, op) = finish(parseAll(prologue ~ (
       "(?i)INSERT\\s+DATA".r ~> bgpOnly ^^ Update.InsertData.apply |
       "(?i)DELETE\\s+DATA".r ~> bgpOnly ^^ Update.DeleteData.apply |
       "(?i)DELETE\\s+WHERE".r ~> bgpOnly ^^ Update.DeleteWhere.apply |
+      load |
       graphMgmt |
       modify) ^^ {
       case p ~ o => (p, o)
@@ -933,6 +950,7 @@ object SparqlParser extends RegexParsers {
       case Update.DeleteWhere(ts) => Update.DeleteWhere(rw(ts))
       case Update.Modify(d, i, w) =>
         Update.Modify(rw(d), rw(i), rewritePattern(w, expandIri(_, pfx)))
+      case Update.Load(s, g, sil) => Update.Load(s, g.map(rg), sil)
       case Update.ClearGraph(g) => Update.ClearGraph(rg(g))
       case Update.CreateGraph(g) => Update.CreateGraph(rg(g))
       case Update.CopyGraph(f, t) => Update.CopyGraph(rg(f), rg(t))

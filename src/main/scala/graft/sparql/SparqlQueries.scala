@@ -872,6 +872,21 @@ object SparqlQueries {
           |  BIND(SHA512(?n) AS ?h5)
           |}""".stripMargin))
     },
+    // typed xsd:dateTime comparison (r13): FILTER and ORDER BY over
+    // date-shaped bindings compare on the TIMELINE — zone offsets
+    // normalize to UTC — not on the lexical string. The mixed-zone
+    // VALUES make string semantics give a DIFFERENT filter set and
+    // LIMIT cut ("2019-12-31T23:59:59-11:00" is lexically smallest
+    // but its instant 10:59:59Z ranks third), so the oracle's
+    // TIMESTAMPTZ casts only agree with instant semantics
+    "sparql_datetime_compare" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?t WHERE {
+          |  VALUES ?t { "2020-01-01T12:00:00+02:00" "2020-01-01T10:30:00Z"
+          |              "2020-01-01T09:00:00-05:00" "2019-12-31T23:59:59-11:00" }
+          |  FILTER(?t < "2020-01-01T13:00:00Z")
+          |} ORDER BY ?t LIMIT 2""".stripMargin))
+    },
     // ORDER BY over a computed expression (hidden BIND + dropped sort
     // column); the ASC(?p) tie-break keeps the LIMIT cut deterministic
     "sparql_orderby_expr" -> { (s, dir) =>
@@ -921,6 +936,25 @@ object SparqlQueries {
           |WHERE { ?c :mktsegment ?m . FILTER(STRSTARTS(?m, "B")) }""".stripMargin)
       updated.filter(col("p").isin(":mktsegment", ":segment"))
         .groupBy(col("p"), col("o")).agg(count(lit(1)).as("cnt"))
+    },
+    // SPARQL Update §3.1.31 LOAD: ingest-by-query through the
+    // format-dispatching parser facade (format from the extension).
+    // The key writes a 3-line N-Triples document, LOADs its file:
+    // URL over the dimension store, then proves SILENT swallows a
+    // missing source; the loaded slice's per-predicate counts are
+    // data-independent constants
+    "sparql_update_load" -> { (s, dir) =>
+      val store = graft.rdf.TripleStore.dimensionTriples(s, dir)
+      val f = java.nio.file.Files.createTempFile("graft_load_", ".nt")
+      java.nio.file.Files.write(f,
+        ("<nat:901> <rdf:type> <:Nation> .\n" +
+          "<nat:901> <:name> \"LEMURIA\" .\n" +
+          "<nat:902> <:name> \"MU\" .\n").getBytes("UTF-8"))
+      val loaded = graft.Graft.update(store, "LOAD <file://" + f + ">")
+      val after = graft.Graft.update(loaded,
+        "LOAD SILENT <file:///nonexistent/graft_missing.nt>")
+      after.filter(col("s").isin("nat:901", "nat:902"))
+        .groupBy(col("p")).agg(count(lit(1)).as("cnt"))
     },
     // VALUES inside an UPDATE's WHERE: the inline constant table
     // drives which bindings the templates instantiate
@@ -1229,6 +1263,11 @@ object SparqlQueries {
         |            THEN ':segment' ELSE ':mktsegment' END AS p,
         |       c_mktsegment AS o, count(*) AS cnt
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    // the LOAD key's result is data-independent by construction: the
+    // loaded document is written by the key itself
+    "sparql_update_load" ->
+      """SELECT p, CAST(cnt AS BIGINT) AS cnt FROM (VALUES
+        |  ('rdf:type', 1), (':name', 2)) AS t(p, cnt)""".stripMargin,
     "sparql_update" ->
       """SELECT 'rdf:type' AS p, count(*) + 1 AS cnt FROM nation
         |UNION ALL SELECT ':name', count(*) + 1 FROM nation
@@ -1266,6 +1305,17 @@ object SparqlQueries {
         |   'ead9173b4a549a5a8ad470bb21da841ea92c29a337d399fae615dd5d6937fddd721070849ac9318c32ffb7eece004d3a',
         |   'fbbc83bdae3418ce9206d967cb2f969a4ae429d52a327b52849a3a0cbea8f9c8b8a2ea45bb047ba9605db515c48432c2cf66494f6f1fc52bc8dc675d63f64a12')
         |) AS t(n, h1, h3, h5)""".stripMargin,
+    // epoch(): DuckDB 1.0.0 mis-plans a column-side TIMESTAMPTZ '<'
+    // against a TIMESTAMPTZ constant (constant-folds fine, column
+    // path compares wrong) — comparing the epochs sidesteps it
+    "sparql_datetime_compare" ->
+      """SELECT t FROM (VALUES
+        |  ('2020-01-01T12:00:00+02:00'), ('2020-01-01T10:30:00Z'),
+        |  ('2020-01-01T09:00:00-05:00'), ('2019-12-31T23:59:59-11:00')
+        |) AS v(t)
+        |WHERE epoch(CAST(t AS TIMESTAMPTZ))
+        |    < epoch(CAST('2020-01-01T13:00:00Z' AS TIMESTAMPTZ))
+        |ORDER BY epoch(CAST(t AS TIMESTAMPTZ)) LIMIT 2""".stripMargin,
     "sparql_exists_expr" ->
       """SELECT 'cust:'||c_custkey AS c, c_acctbal AS b FROM customer
         |WHERE c_acctbal < 0 AND EXISTS (

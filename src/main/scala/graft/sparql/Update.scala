@@ -30,6 +30,18 @@ object Update {
     * it has quads, so DROP normalizes to [[ClearGraph]] at parse and
     * CREATE is a no-op derivation.
     */
+  /** `LOAD [SILENT] <source> [INTO GRAPH <g>]` (SPARQL Update
+    * §3.1.31): parse the document behind `source` through the
+    * format-dispatching import facade ([[graft.rdf.RdfImport]], the
+    * reference's importRDF surface — RDFImport.java:50) and derive
+    * store + document. The format comes from the source extension;
+    * `file://` and plain paths read distributed, `http(s)://`
+    * follows the facade's driver-fetch path. SILENT turns a fetch or
+    * parse failure into the unchanged store.
+    */
+  final case class Load(source: String, intoGraph: Option[String] = None,
+                        silent: Boolean = false) extends Op
+
   sealed trait GraphOp extends Op
   final case class ClearGraph(g: String) extends GraphOp
   final case class CreateGraph(g: String) extends GraphOp
@@ -62,9 +74,50 @@ object Update {
       if (ins.isEmpty) afterDel
       else TripleOps.add(afterDel,
         ins.map(instantiate(sol, _)).reduce(_.unionByName(_)))
+    case Load(src, None, silent) =>
+      loaded(store.sparkSession, src, silent) match {
+        case Some(doc) => TripleOps.add(store, doc.drop("g"))
+        case None => store
+      }
+    case Load(_, Some(g), _) =>
+      throw new IllegalArgumentException(
+        s"LOAD INTO GRAPH <$g> needs a quad relation — use applyQuads")
     case g: GraphOp =>
       throw new IllegalArgumentException(
         s"graph-management update $g needs a quad relation — use applyQuads")
+  }
+
+  /** The parsed LOAD document, None when SILENT swallowed a failure.
+    * TriG sources carry their own graph column; triple formats don't
+    * (LOAD INTO GRAPH overrides either way, per §3.1.31).
+    */
+  private def loaded(spark: org.apache.spark.sql.SparkSession, src: String,
+                     silent: Boolean): Option[DataFrame] =
+    try {
+      val path = if (src.startsWith("file://")) src.stripPrefix("file://") else src
+      // eager + tracked: a missing file / parse failure must surface
+      // (or be swallowed by SILENT) at update time, not on first
+      // read; the checkpoint also keeps the derived store from
+      // re-parsing the document per downstream action
+      Some(graft.Checkpoints.tracked(
+        graft.rdf.RdfImport.read(spark, path, formatOf(src))))
+    } catch {
+      case e: Exception if silent => None
+    }
+
+  /** Import format from the source extension — the natural mapping of
+    * §3.1.31's content-type dispatch onto the facade's five parsers.
+    */
+  private def formatOf(source: String): String = {
+    val p = source.replaceAll("[?#].*$", "").toLowerCase
+    if (p.endsWith(".nt") || p.endsWith(".ntriples")) "ntriples"
+    else if (p.endsWith(".ttl") || p.endsWith(".turtle")) "turtle"
+    else if (p.endsWith(".trig")) "trig"
+    else if (p.endsWith(".jsonld") || p.endsWith(".json")) "jsonld"
+    else if (p.endsWith(".rdf") || p.endsWith(".xml") || p.endsWith(".owl")) "rdfxml"
+    else throw new IllegalArgumentException(
+      s"cannot infer RDF format from LOAD source <$source> " +
+        "(known: .nt .ttl .trig .jsonld .rdf/.xml/.owl)")
   }
 
   /** Apply a graph-management update to a quad (g, s, p, o, …)
@@ -73,6 +126,16 @@ object Update {
     * non-empty); only COPY/ADD touch more than a per-graph slice.
     */
   def applyQuads(quads: DataFrame, op: Op): DataFrame = op match {
+    case Load(src, Some(g), silent) =>
+      loaded(quads.sparkSession, src, silent) match {
+        case Some(doc) =>
+          // §3.1.31: INTO GRAPH names the destination regardless of
+          // any graph labels the document itself carries (TriG)
+          quads.unionByName(
+            doc.drop("g").withColumn("g", lit(g)),
+            allowMissingColumns = true)
+        case None => quads
+      }
     case ClearGraph(g) => TripleOps.clearGraph(quads, g)
     case CreateGraph(_) => quads
     case CopyGraph(from, to) => TripleOps.copyGraph(quads, from, to)

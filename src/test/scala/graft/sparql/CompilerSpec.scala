@@ -838,6 +838,37 @@ class CompilerSpec extends AnyFunSuite {
     assert(line == """{"a":"plain","b":"q\"t","c":"b\\s","d":null}""")
   }
 
+  test("LOAD executes: file URL, INTO GRAPH, SILENT, format inference") {
+    import java.nio.file.Files
+    val ttl = Files.createTempFile("graft_load_spec_", ".ttl")
+    Files.write(ttl,
+      ("@prefix ex: <http://x/> .\n" +
+        "ex:a ex:p ex:b .\n" +
+        "ex:a ex:q \"lit\" .\n").getBytes("UTF-8"))
+    // triple-store LOAD: .ttl dispatches the Turtle parser
+    val store0 = triples
+    val loaded = graft.Graft.update(store0, "LOAD <file://" + ttl + ">")
+    assert(loaded.count() == store0.count() + 2)
+    assert(loaded.filter($"s" === "http://x/a").count() == 2)
+    // SILENT swallows a missing source; non-SILENT must throw
+    assert(graft.Graft.update(loaded,
+      "LOAD SILENT <file:///no/such/file.nt>").count() == loaded.count())
+    intercept[Exception] {
+      graft.Graft.update(loaded, "LOAD <file:///no/such/file.nt>").count()
+    }
+    // unknown extension is a pointed error
+    intercept[IllegalArgumentException] {
+      graft.Graft.update(loaded, "LOAD <file:///d/x.dat>")
+    }
+    // quad-store LOAD INTO GRAPH: the destination overrides
+    val quads = triples.withColumn("g", org.apache.spark.sql.functions.lit("g:base"))
+    val q2 = graft.Graft.updateQuads(quads,
+      "LOAD <file://" + ttl + "> INTO GRAPH <urn:gl>")
+    assert(q2.filter($"g" === "urn:gl").count() == 2)
+    assert(q2.count() == quads.count() + 2)
+    graft.Checkpoints.releaseCaches()
+  }
+
   test("Results.toTsv escapes tab/newline/backslash, nulls go empty") {
     // backslash doubles FIRST, so a literal "\t" in the data becomes
     // \\t, distinct from a real tab's \t — the round-trippable order

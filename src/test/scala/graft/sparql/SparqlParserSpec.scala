@@ -277,6 +277,19 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(s.aggregates == Seq(Agg(Sample, Some(Var("c")), "r")))
   }
 
+  test("parses LOAD forms to their ops (§3.1.31)") {
+    assert(SparqlParser.parseUpdate("LOAD <file:///data/x.nt>") ==
+      Update.Load("file:///data/x.nt"))
+    assert(SparqlParser.parseUpdate(
+      "load silent <http://ex.org/v.ttl> INTO GRAPH <urn:g1>") ==
+      Update.Load("http://ex.org/v.ttl", Some("urn:g1"), silent = true))
+    // prologue prefixes expand in the destination graph, never in
+    // the source IRI
+    assert(SparqlParser.parseUpdate(
+      "PREFIX ex: <http://x/> LOAD <file:///d/y.trig> INTO GRAPH ex:g") ==
+      Update.Load("file:///d/y.trig", Some("http://x/g")))
+  }
+
   test("parses graph-management update forms to their ops") {
     assert(SparqlParser.parseUpdate("CLEAR GRAPH <urn:g1>") ==
       Update.ClearGraph("urn:g1"))

@@ -1307,6 +1307,88 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("n" -> "Carol", "m" -> "mailto:bob@work.example")))
   }
 
+  /** dateTime family fixture: one event per zone flavor; instants
+    * deliberately disagree with lexical string order.
+    */
+  private lazy val zonedTimes: DataFrame = Seq(
+    ("e:1", ":at", "2020-01-01T12:00:00+02:00", Option.empty[Double], false, Option.empty[String]), // 10:00Z
+    ("e:2", ":at", "2020-01-01T10:30:00Z", None, false, None),                 // 10:30Z
+    ("e:3", ":at", "2020-01-01T09:00:00-05:00", None, false, None),            // 14:00Z
+    ("e:4", ":at", "2019-12-31T23:59:59-11:00", None, false, None),            // 10:59:59Z
+    ("e:5", ":at", "2020-01-01T11:15:00", None, false, None))                  // zoneless → 11:15Z
+    .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+
+  test("datetime:filter-instant — mixed-zone FILTER compares the timeline") {
+    // lexical semantics would keep e:4 ("2019-…" < anything "2020-…")
+    // and drop e:3; instants 14:00Z and 10:59:59Z say the opposite
+    assert(run(zonedTimes,
+      """SELECT ?x WHERE { ?x :at ?t FILTER(?t > "2020-01-01T10:45:00Z") }""") ==
+      Set(b("x" -> "e:3"), b("x" -> "e:4"), b("x" -> "e:5")))
+  }
+
+  test("datetime:eq-across-zones — offset forms of one instant are equal") {
+    assert(run(zonedTimes,
+      """SELECT ?x WHERE { ?x :at ?t FILTER(?t = "2020-01-01T05:00:00-05:00") }""") ==
+      Set(b("x" -> "e:1")))
+  }
+
+  test("datetime:var-var — two bindings compare as instants") {
+    // e:4 (10:59:59Z) < e:2 (10:30Z) lexically ("2019…" < "2020…")
+    // is WRONG on the timeline — only (e:1 10:00Z, every later) pairs
+    // plus the true instant order survive
+    assert(run(zonedTimes,
+      """SELECT ?x ?y WHERE { ?x :at ?t1 . ?y :at ?t2 .
+        |  FILTER(?t1 < ?t2 && ?t2 <= "2020-01-01T10:59:59Z") }""".stripMargin) ==
+      Set(b("x" -> "e:1", "y" -> "e:2"), b("x" -> "e:1", "y" -> "e:4"),
+        b("x" -> "e:2", "y" -> "e:4")))
+  }
+
+  test("datetime:order-by — mixed zones sort by instant, LIMIT cuts right") {
+    import spark.implicits._
+    val df = Graft.sparql(zonedTimes,
+      "SELECT ?x WHERE { ?x :at ?t } ORDER BY ?t LIMIT 3")
+    assert(df.select("x").as[String].collect().toSeq ==
+      Seq("e:1", "e:2", "e:4"))
+  }
+
+  test("datetime:plain-strings-unaffected — non-date lexicals keep string compare") {
+    assert(run(people,
+      """SELECT ?x WHERE { ?x :name ?n FILTER(?n < "Bob") }""") ==
+      Set(b("x" -> "p:alice")))
+  }
+
+  test("sentinel:genuine-na-literal — data spelling \"N/A\" is NOT unbound") {
+    import spark.implicits._
+    // d:1 really answers "N/A" (a common survey value); d:2 has no
+    // answer, so its OPTIONAL fill is the display sentinel. The
+    // term-kind companion tells them apart: BOUND(), COUNT and the
+    // compat machinery must treat d:1's value as a bound literal
+    val data = Seq(
+      ("d:1", ":answer", "N/A", Option.empty[Double], false, Option.empty[String]),
+      ("d:1", ":name", "One", None, false, None),
+      ("d:2", ":name", "Two", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // BOUND: only d:2's fill is unbound
+    assert(run(data,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :answer ?a } FILTER(BOUND(?a)) }""".stripMargin) ==
+      Set(b("n" -> "One")))
+    // COUNT: the genuine literal is IN the multiset, the fill is not
+    import org.apache.spark.sql.functions.col
+    val cnt = Graft.sparql(data,
+      """SELECT (COUNT(?a) AS ?c) WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :answer ?a } }""".stripMargin)
+      .select(col("c").cast("long")).collect().head.getLong(0)
+    assert(cnt == 1)
+    // MINUS: d:1's bound "N/A" overlaps the right's domain → removed;
+    // d:2's fill leaves the domain disjoint → kept
+    assert(run(data,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :answer ?a }
+        |  MINUS { ?y :answer ?a } }""".stripMargin) ==
+      Set(b("n" -> "Two")))
+  }
+
   test("subselect:ansi-safe-order — ORDER BY over string-valued subquery output") {
     // the numeric companion re-derivation over a SubSelect output must
     // try_cast (ANSI mode): 'Alice'/'Bob' would crash a strict cast
