@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked runMain output goes straight to stdout (no "[info] " log
+// prefix): Bench/Verify print one machine-parsed JSON line, and the
+// prefixed form broke the driver's parser every round (BENCH_r* had
+// "parsed": null since r1)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,6 +28,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// extra -D flags for forked runs (e.g. soaks forcing a gate branch:
+// SPARK_GRAFT_JAVA_OPTS="-Dgraft.describe.broadcast.max=1")
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -124,6 +124,39 @@ object BloomContains {
     bits
   }
 
+  /** Distributed builder: partial-OR fold of per-partition bit
+    * arrays over a one-string-column relation of md5-hex digests —
+    * the `treeAggregate` twin of [[build]]. Each task folds its
+    * partition's digests into a local 128 KB bitset; the combine is a
+    * byte-wise OR, tree-shaped so the driver merges O(log P) arrays,
+    * not P. Input size never reaches the driver — only bitsets do —
+    * so the builder holds at ANY element count (the driver-side
+    * [[build]] stays for genuinely driver-resident sets).
+    */
+  def buildDistributed(hexDigests: org.apache.spark.sql.DataFrame,
+                       mBits: Int = 1 << 20): Array[Byte] = {
+    require(mBits % 8 == 0 && mBits > 0, s"mBits must be a positive x8: $mBits")
+    import hexDigests.sparkSession.implicits._
+    def orInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    hexDigests.as[String].rdd.treeAggregate(new Array[Byte](mBits / 8))(
+      (bits, hx) => {
+        var j = 0
+        while (j < Probes) {
+          val pos = Integer.parseInt(
+            hx.substring(ProbeHexChars * j, ProbeHexChars * j + ProbeHexChars),
+            16) % mBits
+          bits(pos >> 3) = (bits(pos >> 3) | (1 << (pos & 7))).toByte
+          j += 1
+        }
+        bits
+      },
+      orInto)
+  }
+
   /** Expose as SQL function `bloom_contains` on a session. */
   /** (identifier, info, builder) — shared by the session-level
     * [[register]] and the config-level [[graft.GraftExtensions]]. */

@@ -174,16 +174,20 @@ object TextAnalysis {
     * Bloom false positives by design (rate (set bits / 2^20)^4, ~1e-11
     * at the gate scale); the decision is a deterministic function of
     * the md5 probes, so an external engine replays it exactly.
-    * Driver-side filter build reads only the benchmark slice —
-    * metadata-sized, same posture as [[contamination]]'s broadcast.
+    * The filter build is a DISTRIBUTED partial-OR fold
+    * ([[graft.functions.BloomContains.buildDistributed]]): each task
+    * folds its partition of benchmark grams into a local bitset and
+    * the tree-combine ORs bitsets — only 128 KB arrays ever reach
+    * the driver, so the build holds even when the "benchmark" side
+    * is itself corpus-sized (r14; was a driver-side collect of the
+    * gram set).
     */
   def contaminationBloom(docs: DataFrame, n: Int = 5, benchSlice: Int = 97,
                          mBits: Int = 1 << 20): DataFrame = {
     val grams = docGrams(docs, n)
     val bench = grams.filter(col("doc_id") % benchSlice === 0)
       .select(col("g")).distinct()
-    val bits = graft.functions.BloomContains.build(
-      bench.collect().iterator.map(_.getString(0)), mBits)
+    val bits = graft.functions.BloomContains.buildDistributed(bench, mBits)
     grams.filter(col("doc_id") % benchSlice =!= 0)
       .filter(graft.functions.BloomContains(lit(bits), col("g")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))

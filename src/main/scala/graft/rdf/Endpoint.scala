@@ -26,9 +26,14 @@ object Endpoint {
   /** Targets at or below this count broadcast into both describe
     * arms; above it the arms fall back to shuffled equi-joins. One
     * million single-IRI rows is tens of MB — comfortably inside an
-    * executor broadcast budget.
+    * executor broadcast budget. Overridable via the
+    * `graft.describe.broadcast.max` system property so soaks can
+    * force the over-threshold (shuffled) branch on real data without
+    * a million-target fixture.
     */
-  val describeBroadcastMax = 1000000L
+  def describeBroadcastMax: Long =
+    sys.props.get("graft.describe.broadcast.max").map(_.toLong)
+      .getOrElse(1000000L)
 
   /** Set-valued DESCRIBE (the `DESCRIBE ?x WHERE { … }` form): every
     * resource in the one-column `targets` frame described at once —

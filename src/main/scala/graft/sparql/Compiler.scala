@@ -158,7 +158,11 @@ object Compiler {
     case Bgp(ps) => ps.flatMap(vars).toSet
     case GraphBgp(g, ps) => ps.flatMap(vars).toSet ++
       (g match { case Var(n) => Set(n); case _ => Set.empty[String] })
-    case GraphGroup(_, inner) => allVars(inner)
+    // the graph var included for symmetry with GraphBgp (the compiler
+    // currently rejects a variable-graph GraphGroup, but scoping
+    // decisions upstream of that rejection must still see it)
+    case GraphGroup(g, inner) => allVars(inner) ++
+      (g match { case Var(n) => Set(n); case _ => Set.empty[String] })
     case Filter(_, in) => allVars(in)
     case LeftJoin(l, r) => allVars(l) ++ allVars(r)
     case Union(l, r) => allVars(l) ++ allVars(r)
@@ -288,6 +292,10 @@ object Compiler {
     * compat operators switch to their [[thetaCompat]] fallback
     * instead of refusing the query (maybeUnboundVars deliberately
     * over-approximates, so 7+ risky shared vars is legal input).
+    * The theta fallback is nested-loop-shaped and must stay the
+    * escape hatch, never the default: PlanSpec's "theta-fallback
+    * boundary" test pins the common risky=∅ and in-budget paths to
+    * plain equi-joins (no BNLJ/CartesianProduct).
     */
   private val maskBudget = 6
 
@@ -682,10 +690,14 @@ object Compiler {
       else lit(false)
     case LangCmp(eq, v, tag) =>
       // lang() of a non-literal binding is a SPARQL type error, which
-      // FILTER treats as false; a plain literal's language is ""
+      // FILTER treats as false; a plain literal's language is "".
+      // The data-side tag lowercases (the RDF 1.1 term component is
+      // lowercase — @EN and @en are one term); the QUERY constant
+      // stays verbatim, so lang(?v) = "EN" is false per §17.4.2.4's
+      // codepoint equality while = "en" matches either spelling
       if (!df.columns.contains(langCol(v.name))) lit(false)
       else {
-        val l = coalesce(col(langCol(v.name)), lit(""))
+        val l = lower(coalesce(col(langCol(v.name)), lit("")))
         if (eq) l === tag else l =!= tag
       }
     case LangMatches(v, range) =>
@@ -1074,10 +1086,13 @@ object Compiler {
               lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
             .otherwise(lit("http://www.w3.org/2001/XMLSchema#string")))
     case FnCall("LANG", Seq(VVar(n))) =>
-      // a plain literal's language is ""; IRIs/unbound are errors
+      // a plain literal's language is ""; IRIs/unbound are errors.
+      // The tag comes back LOWERCASED: RDF 1.1 §3.3 defines the
+      // language-tag component of the term in lowercase, so data
+      // spelled @EN denotes the same term as @en and lang() = "en"
       if (!df.columns.contains(iriCol(n))) lit(null).cast("string")
       else when(coalesce(col(iriCol(n)), lit(true)), lit(null).cast("string"))
-        .otherwise(coalesce(col(langCol(n)), lit("")))
+        .otherwise(lower(coalesce(col(langCol(n)), lit(""))))
     case VIf(c, t, f) =>
       when(exprColumn(df, c), strVExpr(df, t)).otherwise(strVExpr(df, f))
     case other =>
@@ -1104,8 +1119,9 @@ object Compiler {
     * through [[runQuads]]; GRAPH groups compile against it, everything
     * else against the (default-graph) triple relation.
     */
-  private def compilePattern(triples: DataFrame, quads: Option[DataFrame],
-                             p: Pattern): DataFrame = p match {
+  private[sparql] def compilePattern(triples: DataFrame,
+                                     quads: Option[DataFrame],
+                                     p: Pattern): DataFrame = p match {
     case GraphBgp(g, ps) =>
       val qd = quads.getOrElse(throw new IllegalArgumentException(
         "GRAPH requires a quad dataset — run the query via runQuads"))
@@ -1564,9 +1580,11 @@ object Compiler {
     var df = compilePattern(triples, quads, q.where)
 
     if (q.aggregates.nonEmpty) {
-      // MIN/MAX aliases aggregated as (num, lex) pairs, unpacked after
-      // the fold (see minMaxAgg below)
+      // MIN/MAX aliases aggregated as (num, key, lex) pairs, unpacked
+      // after the fold (see minMaxAgg below); keyAliases is the
+      // no-numeric-companion twin folding (key, lex) only
       val pairAliases = scala.collection.mutable.ListBuffer.empty[String]
+      val keyAliases = scala.collection.mutable.ListBuffer.empty[String]
       val aggCols = q.aggregates.map { case Agg(op, v, alias, sep, aggExpr, dist) =>
         // W3C §18.5: unbound is an error, and error rows are removed
         // from the aggregate's multiset — fold the engine's unmatched-
@@ -1600,14 +1618,25 @@ object Compiler {
         // all-null numeric companion (found by conformance batch 4);
         // output is the element's LEXICAL form plus its numeric
         // companion — the same dual convention pattern vars use
+        // the lexical leg folds on dtSortKey (ORDER BY's instant-
+        // aware key): MIN/MAX over mixed-zone xsd:dateTime bindings
+        // return the earliest/latest INSTANT, not the lexically-
+        // smallest string — for every non-date-shaped string the key
+        // IS the lexical form, so plain strings order unchanged
         def minMaxAgg(what: String, isMin: Boolean): Column = {
           val n = varOf(what).name
           if (df.columns.contains(numCol(n))) {
             pairAliases += alias
             val pair = when(!unboundCol(df, n),
-              struct(col(numCol(n)).as("num"), col(n).as("lex")))
+              struct(col(numCol(n)).as("num"), dtSortKey(col(n)).as("key"),
+                col(n).as("lex")))
             if (isMin) min(pair) else max(pair)
-          } else if (isMin) min(lexGuard(n)) else max(lexGuard(n))
+          } else {
+            keyAliases += alias
+            val pair = when(!unboundCol(df, n),
+              struct(dtSortKey(col(n)).as("key"), col(n).as("lex")))
+            if (isMin) min(pair) else max(pair)
+          }
         }
         val c = op match {
           case Count => v.map(vr => count(lexGuard(vr.name)))
@@ -1658,6 +1687,9 @@ object Compiler {
         df = df.withColumn(numCol(a), col(a).getField("num"))
           .withColumn(a, col(a).getField("lex"))
       }
+      keyAliases.foreach { a =>
+        df = df.withColumn(a, col(a).getField("lex"))
+      }
       // HAVING compares the typed aggregate outputs directly (they
       // carry real numeric types, unlike pattern bindings, which
       // compare through their lexical/companion split)
@@ -1686,7 +1718,13 @@ object Compiler {
       if (q.distinct) Seq.empty
       else q.orderBy.map(_._1).filterNot(projCols.contains)
     val keep = (projCols ++ sortExtras).flatMap { c =>
-      Seq(c) ++ (if (df.columns.contains(numCol(c))) Seq(numCol(c)) else Nil)
+      Seq(c) ++ (if (df.columns.contains(numCol(c))) Seq(numCol(c)) else Nil) ++
+        // the §15.1 term-kind tier sorts on the is-IRI companion —
+        // keep it for sort vars (non-DISTINCT only: distinctness is
+        // defined over the projection, and the tier check below falls
+        // back to the untiered key when the companion is gone)
+        (if (!q.distinct && q.orderBy.exists(_._1 == c) &&
+          df.columns.contains(iriCol(c))) Seq(iriCol(c)) else Nil)
     }
     df = df.select(keep.distinct.map(col): _*)
     if (q.distinct) df = df.distinct()
@@ -1700,11 +1738,24 @@ object Compiler {
       // the lexical key is dateTime-aware: date-shaped values sort by
       // their UTC instant (mixed-zone bindings order correctly),
       // everything else by the raw lexical form
+      // §15.1 total order across TERM KINDS first: unbound < blank
+      // node < IRI < literal — derivable only where the frame carries
+      // the term-kind companion (object-position bindings, the one
+      // place kinds mix); single-kind columns get a constant tier, so
+      // all-literal / all-IRI keys sort exactly as before
       val sorts = q.orderBy.flatMap { case (v, asc) =>
-        val keys =
-          if (df.columns.contains(numCol(v)))
+        val tier =
+          if (df.columns.contains(iriCol(v)))
+            Seq(when(unboundCol(df, v), lit(0))
+              .when(coalesce(col(iriCol(v)), lit(false)) &&
+                col(v).startsWith("_:"), lit(1))
+              .when(coalesce(col(iriCol(v)), lit(false)), lit(2))
+              .otherwise(lit(3)))
+          else Seq.empty[Column]
+        val keys = tier ++
+          (if (df.columns.contains(numCol(v)))
             Seq(col(numCol(v)), dtSortKey(col(v)))
-          else Seq(dtSortKey(col(v)))
+          else Seq(dtSortKey(col(v))))
         keys.map(c => if (asc) c.asc else c.desc)
       }
       df = df.orderBy(sorts: _*)

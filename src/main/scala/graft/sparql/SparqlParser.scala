@@ -890,13 +890,28 @@ object SparqlParser extends RegexParsers {
     * not a mutable graph slot.
     */
   def parseUpdate(text: String): Update.Op = {
-    val modify: Parser[Update.Op] =
-      ("(?i)DELETE".r ~> bgpOnly) ~ opt("(?i)INSERT".r ~> bgpOnly) ~
-        ("(?i)WHERE".r ~> groupGraphPattern) ^^ {
-        case del ~ ins ~ where => Update.Modify(del, ins.getOrElse(Nil), where)
+    // [WITH <g>] (DELETE {t} [INSERT {t}] | INSERT {t})
+    //   (USING [NAMED] <g>)* WHERE {p}   — grammar rule [41] Modify.
+    // Bare modify (no WITH, no USING) keeps the triple-store Modify
+    // form; any graph scoping parses to ModifyGraph (quads only).
+    val templates: Parser[(Seq[TriplePattern], Seq[TriplePattern])] =
+      ("(?i)DELETE".r ~> bgpOnly) ~ opt("(?i)INSERT".r ~> bgpOnly) ^^ {
+        case del ~ ins => (del, ins.getOrElse(Nil))
       } |
-      ("(?i)INSERT".r ~> bgpOnly) ~ ("(?i)WHERE".r ~> groupGraphPattern) ^^ {
-        case ins ~ where => Update.Modify(Nil, ins, where)
+      ("(?i)INSERT".r ~> bgpOnly) ^^ (ins => (Seq.empty[TriplePattern], ins))
+    val usingClause: Parser[Either[String, String]] =
+      ("(?i)USING".r ~> "(?i)NAMED".r ~> ((iriRef | pname) ^^ (_.value))) ^^
+        (g => Right(g): Either[String, String]) |
+      ("(?i)USING".r ~> ((iriRef | pname) ^^ (_.value))) ^^
+        (g => Left(g): Either[String, String])
+    val modify: Parser[Update.Op] =
+      opt("(?i)WITH".r ~> ((iriRef | pname) ^^ (_.value))) ~ templates ~
+        rep(usingClause) ~ ("(?i)WHERE".r ~> groupGraphPattern) ^^ {
+        case w ~ ((del, ins)) ~ us ~ where =>
+          if (w.isEmpty && us.isEmpty) Update.Modify(del, ins, where)
+          else Update.ModifyGraph(w, del, ins,
+            us.collect { case Left(g) => g },
+            us.collect { case Right(g) => g }, where)
       }
     // `[GRAPH] <g>` — the GRAPH keyword is optional in COPY/MOVE/ADD
     // (GraphOrDefault) and required in CLEAR/DROP/CREATE (GraphRef);
@@ -950,6 +965,9 @@ object SparqlParser extends RegexParsers {
       case Update.DeleteWhere(ts) => Update.DeleteWhere(rw(ts))
       case Update.Modify(d, i, w) =>
         Update.Modify(rw(d), rw(i), rewritePattern(w, expandIri(_, pfx)))
+      case Update.ModifyGraph(g, d, i, us, un, w) =>
+        Update.ModifyGraph(g.map(rg), rw(d), rw(i), us.map(rg), un.map(rg),
+          rewritePattern(w, expandIri(_, pfx)))
       case Update.Load(s, g, sil) => Update.Load(s, g.map(rg), sil)
       case Update.ClearGraph(g) => Update.ClearGraph(rg(g))
       case Update.CreateGraph(g) => Update.CreateGraph(rg(g))

@@ -887,6 +887,19 @@ object SparqlQueries {
           |  FILTER(?t < "2020-01-01T13:00:00Z")
           |} ORDER BY ?t LIMIT 2""".stripMargin))
     },
+    // MIN/MAX over xsd:dateTime bindings fold on the INSTANT (r14):
+    // the aggregate's lexical leg keys on dtSortKey, so the earliest/
+    // latest element by timeline wins and its ORIGINAL lexical comes
+    // back. The fixtures are chosen so lexical and instant answers
+    // FLIP: "+09:00" is lexically largest but the earliest instant
+    // (03:00Z), "-01:00" lexically smallest but the latest (08:30Z)
+    "sparql_datetime_minmax" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT (MIN(?t) AS ?earliest) (MAX(?t) AS ?latest) WHERE {
+          |  VALUES ?t { "2020-01-01T12:00:00+09:00" "2020-01-01T08:00:00Z"
+          |              "2020-01-01T07:30:00-01:00" }
+          |}""".stripMargin))
+    },
     // ORDER BY over a computed expression (hidden BIND + dropped sort
     // column); the ASC(?p) tie-break keeps the LIMIT cut deterministic
     "sparql_orderby_expr" -> { (s, dir) =>
@@ -955,6 +968,22 @@ object SparqlQueries {
         "LOAD SILENT <file:///nonexistent/graft_missing.nt>")
       after.filter(col("s").isin("nat:901", "nat:902"))
         .groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+    },
+    // WITH / USING on the template modify (SPARQL Update §3.1.3):
+    // first a WITH-scoped rename inside one named graph (other graphs
+    // untouched), then a USING modify whose WHERE reads a DIFFERENT
+    // graph than the WITH target writes — per-graph per-predicate
+    // counts prove both scopes
+    "sparql_update_with" -> { (s, dir) =>
+      val q0 = namedGraphQuads(s, dir)
+      val q1 = graft.Graft.updateQuads(q0,
+        """WITH <g:nation>
+          |DELETE { ?s :name ?n } INSERT { ?s :label ?n }
+          |WHERE { ?s :name ?n . FILTER(STRSTARTS(?n, "NATION_1")) }""".stripMargin)
+      val q2 = graft.Graft.updateQuads(q1,
+        """WITH <g:nation> INSERT { ?s :regName ?n }
+          |USING <g:region> WHERE { ?s :name ?n }""".stripMargin)
+      q2.groupBy(col("g"), col("p")).agg(count(lit(1)).as("cnt"))
     },
     // VALUES inside an UPDATE's WHERE: the inline constant table
     // drives which bindings the templates instantiate
@@ -1258,6 +1287,14 @@ object SparqlQueries {
         |            ELSE ':mktsegment' END AS p,
         |       c_mktsegment AS o, count(*) AS cnt
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "sparql_update_with" ->
+      """SELECT 'g:nation' AS g, ':name' AS p, count(*) AS cnt
+        |FROM nation WHERE substr(n_name, 1, 8) <> 'NATION_1'
+        |UNION ALL SELECT 'g:nation', ':label', count(*)
+        |FROM nation WHERE substr(n_name, 1, 8) = 'NATION_1'
+        |UNION ALL SELECT 'g:nation', ':regName', count(*) FROM region
+        |UNION ALL SELECT 'g:region', ':name', count(*) FROM region
+        |UNION ALL SELECT 'g:supp', ':name', count(*) FROM supplier""".stripMargin,
     "sparql_update_values" ->
       """SELECT CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY')
         |            THEN ':segment' ELSE ':mktsegment' END AS p,
@@ -1305,6 +1342,13 @@ object SparqlQueries {
         |   'ead9173b4a549a5a8ad470bb21da841ea92c29a337d399fae615dd5d6937fddd721070849ac9318c32ffb7eece004d3a',
         |   'fbbc83bdae3418ce9206d967cb2f969a4ae429d52a327b52849a3a0cbea8f9c8b8a2ea45bb047ba9605db515c48432c2cf66494f6f1fc52bc8dc675d63f64a12')
         |) AS t(n, h1, h3, h5)""".stripMargin,
+    // arg_min/arg_max on the epoch pick the instant-extreme element
+    // but return its ORIGINAL lexical — the engine's fold contract
+    "sparql_datetime_minmax" ->
+      """SELECT arg_min(t, epoch(CAST(t AS TIMESTAMPTZ))) AS earliest,
+        |       arg_max(t, epoch(CAST(t AS TIMESTAMPTZ))) AS latest
+        |FROM (VALUES ('2020-01-01T12:00:00+09:00'), ('2020-01-01T08:00:00Z'),
+        |             ('2020-01-01T07:30:00-01:00')) AS v(t)""".stripMargin,
     // epoch(): DuckDB 1.0.0 mis-plans a column-side TIMESTAMPTZ '<'
     // against a TIMESTAMPTZ constant (constant-folds fine, column
     // path compares wrong) — comparing the epochs sidesteps it

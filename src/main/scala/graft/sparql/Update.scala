@@ -25,6 +25,20 @@ object Update {
   final case class Modify(del: Seq[TriplePattern], ins: Seq[TriplePattern],
                           where: Pattern) extends Op
 
+  /** Graph-scoped template modify (SPARQL Update §3.1.3):
+    * `[WITH <g>] DELETE {t} INSERT {t} (USING [NAMED] <g>)* WHERE {p}`.
+    * WITH names the graph the templates write (and, absent USING, the
+    * WHERE's default graph); USING graphs compose the WHERE's default
+    * graph exactly like FROM, USING NAMED bounds what GRAPH may match
+    * inside the WHERE exactly like FROM NAMED. Quad relation only —
+    * the triple store has no graphs to scope.
+    */
+  final case class ModifyGraph(withGraph: Option[String],
+                               del: Seq[TriplePattern],
+                               ins: Seq[TriplePattern],
+                               using: Seq[String], usingNamed: Seq[String],
+                               where: Pattern) extends Op
+
   /** SPARQL 1.1 Update §3.2 graph-management forms, applied to a quad
     * relation via [[applyQuads]]. In the quad model a graph exists iff
     * it has quads, so DROP normalizes to [[ClearGraph]] at parse and
@@ -82,6 +96,10 @@ object Update {
     case Load(_, Some(g), _) =>
       throw new IllegalArgumentException(
         s"LOAD INTO GRAPH <$g> needs a quad relation — use applyQuads")
+    case m: ModifyGraph =>
+      throw new IllegalArgumentException(
+        s"WITH/USING modify ${m.withGraph.orElse(m.using.headOption).getOrElse("")} " +
+          "needs a quad relation — use applyQuads")
     case g: GraphOp =>
       throw new IllegalArgumentException(
         s"graph-management update $g needs a quad relation — use applyQuads")
@@ -130,12 +148,60 @@ object Update {
       loaded(quads.sparkSession, src, silent) match {
         case Some(doc) =>
           // §3.1.31: INTO GRAPH names the destination regardless of
-          // any graph labels the document itself carries (TriG)
-          quads.unionByName(
-            doc.drop("g").withColumn("g", lit(g)),
-            allowMissingColumns = true)
+          // any graph labels the document itself carries (TriG).
+          // Merge with SET semantics like TripleOps.addGraph — the
+          // store's invariant is no duplicate quads, so re-loading a
+          // document (or loading triples already present) must be
+          // idempotent; the dedup touches only the destination
+          // graph's slice, the rest of the dataset passes through.
+          val merged = quads.filter(col("g") === g)
+            .unionByName(doc.drop("g").withColumn("g", lit(g)),
+              allowMissingColumns = true)
+            .distinct()
+          quads.filter(col("g") =!= g)
+            .unionByName(merged, allowMissingColumns = true)
         case None => quads
       }
+    case Load(_, None, _) =>
+      // valid SPARQL Update (targets the default graph), but this quad
+      // model's default graph is the READ-TIME UNION of the named
+      // graphs, not a mutable slot — same posture as graph management
+      // rejecting DEFAULT; the triple-store form (apply) is the way to
+      // grow the union itself
+      throw new IllegalArgumentException(
+        "LOAD without INTO GRAPH targets the default graph, which in " +
+          "the quad model is the read-time union — name a destination " +
+          "with INTO GRAPH <g>, or apply the LOAD to the triple store")
+    case ModifyGraph(withG, del, ins, using, usingNamed, where) =>
+      // §3.1.3: the WHERE evaluates against the PRE-update dataset.
+      // USING/USING NAMED form it exactly like FROM/FROM NAMED (when
+      // either is present, the dataset is exactly those graphs);
+      // otherwise WITH scopes the default graph to its slice, and a
+      // bare modify reads the read-time union. Templates write the
+      // WITH graph — without WITH they would target the default
+      // graph, which this quad model keeps as a read-time union, so
+      // WITH is required (the pointed-posture LOAD shares).
+      val target = withG.getOrElse(throw new IllegalArgumentException(
+        "template modify on a quad relation needs WITH <g> — the " +
+          "default graph is the read-time union; scope the write " +
+          "with WITH, or apply the modify to the triple store"))
+      val hasDataset = using.nonEmpty || usingNamed.nonEmpty
+      val defaultTriples =
+        if (hasDataset)
+          quads.filter(col("g").isin(using: _*)).drop("g").distinct()
+        else quads.filter(col("g") === target).drop("g")
+      val named =
+        if (hasDataset) quads.filter(col("g").isin(usingNamed: _*)) else quads
+      val sol = Compiler.compilePattern(defaultTriples, Some(named), where)
+      val afterDel =
+        if (del.isEmpty) quads
+        else TripleOps.subtract(quads,
+          del.map(instantiate(sol, _).withColumn("g", lit(target)))
+            .reduce(_.unionByName(_)))
+      if (ins.isEmpty) afterDel
+      else TripleOps.add(afterDel,
+        ins.map(instantiate(sol, _).withColumn("g", lit(target)))
+          .reduce(_.unionByName(_)))
     case ClearGraph(g) => TripleOps.clearGraph(quads, g)
     case CreateGraph(_) => quads
     case CopyGraph(from, to) => TripleOps.copyGraph(quads, from, to)

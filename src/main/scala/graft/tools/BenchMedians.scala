@@ -46,7 +46,17 @@ object BenchMedians {
     val ranked = sweep.filter(_._2 >= 0).sortBy(-_._2)
     val keys = topN match {
       case Some(n) => ranked.take(n)
-      case None => ranked.takeWhile(_._2 > 2.0)
+      case None =>
+        val over = ranked.takeWhile(_._2 > 2.0)
+        if (over.nonEmpty) over
+        else {
+          // a fast sweep (small SF) leaves the >2 s set empty — still
+          // produce medians for the heaviest few instead of silently
+          // running and reporting nothing
+          System.err.println(
+            "[medians] no sweep reading exceeds 2 s — falling back to top-8")
+          ranked.take(8)
+        }
     }
 
     val spark = SparkSession.builder()

@@ -1248,4 +1248,34 @@ class PlanSpec extends AnyFunSuite {
     }
     graft.Checkpoints.releaseCaches()
   }
+
+  test("theta-fallback boundary: common compat paths stay equi-joins") {
+    // the null-tolerant theta fallback (Compiler.thetaCompat*) is the
+    // documented escape hatch past the 2^6 mask budget — a nested-
+    // loop-family join that must NEVER serve the common shapes: plain
+    // OPTIONAL/UNION (risky = ∅ ⇒ single equi-join) and the in-budget
+    // compat keys (mask-split equi-join slices). A refactor that
+    // widens the theta path shows up here as BNLJ/CartesianProduct.
+    for (key <- Seq("sparql_optional", "sparql_union",
+        "sparql_optional_compat", "sparql_join_compat",
+        "sparql_minus_compat", "sparql_values_undef")) {
+      val p = plan(key)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$key: compat path must compile to equi-joins, not BNLJ")
+      assert(!p.contains("CartesianProduct"),
+        s"$key: compat path must compile to equi-joins, not a product")
+    }
+    graft.Checkpoints.releaseCaches()
+  }
+
+  test("text_contamination_bloom: join-free screen, distributed build") {
+    // the Bloom screen's whole point: the corpus side is ONE narrow
+    // codegen pass (filter on bloom_contains) plus the per-doc count
+    // — no join anywhere in the plan (the filter build is an RDD
+    // partial-OR fold outside this plan)
+    val p = plan("text_contamination_bloom")
+    assert(!p.contains("Join"), "bloom screen must not join")
+    assert(p.contains("bloom_contains"),
+      "screen must test the native bloom expression")
+  }
 }

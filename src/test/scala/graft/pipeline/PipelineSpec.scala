@@ -277,6 +277,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.withColumn("bs", lit(bits))
       .selectExpr("bloom_contains(bs, g) AS hit")
       .filter(col("hit")).count() == 3)
+    // the distributed partial-OR build produces the IDENTICAL bitset
+    // (same probe derivation per partition, OR-combined) — byte-equal,
+    // not just behavior-equal, so either builder feeds the expression
+    val dbits = BloomContains.buildDistributed(
+      members.map(hex).toDF("g").repartition(3))
+    assert(java.util.Arrays.equals(bits, dbits))
   }
 
   test("GraftExtensions injects the same kernels config-level setup gets") {

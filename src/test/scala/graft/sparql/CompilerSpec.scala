@@ -698,6 +698,46 @@ class CompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAPH with a general body: OPTIONAL/FILTER compose inside a constant graph") {
+    val quads = Seq(
+      ("g:a", "p:1", ":name", "ann", Option.empty[Double], false, Option.empty[String]),
+      ("g:a", "p:1", ":age", "30", Some(30.0), false, None),
+      ("g:a", "p:2", ":name", "bob", None, false, None),
+      ("g:a", "p:3", ":name", "cyn", None, false, None),
+      ("g:a", "p:3", ":age", "9", Some(9.0), false, None),
+      // g:b carries a p:2 age that must NOT leak into the g:a group
+      ("g:b", "p:2", ":age", "99", Some(99.0), false, None),
+      ("g:b", "p:9", ":name", "zed", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    def q(text: String) = Compiler.runQuads(quads, SparqlParser.parse(text))
+    // OPTIONAL inside the constant graph: bob's age comes back as the
+    // unmatched fill (g:b's p:2 age is outside the scope), cyn's row
+    // is dropped by the FILTER on the optional side
+    val rows = q(
+      """SELECT ?n ?a WHERE {
+        |  GRAPH <g:a> {
+        |    ?x :name ?n
+        |    OPTIONAL { ?x :age ?a }
+        |    FILTER(!BOUND(?a) || ?a > 10)
+        |  }
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows == Set(("ann", Some("30")), ("bob", Some("N/A"))))
+    // UNION inside the constant graph stays scoped to its slice
+    assert(q(
+      """SELECT ?n WHERE {
+        |  GRAPH <g:a> { { ?x :name ?n . ?x :age ?a } UNION { ?x :name ?n . FILTER(STRSTARTS(?n, "b")) } }
+        |}""".stripMargin)
+      .collect().map(_.getString(0)).toSet == Set("ann", "cyn", "bob"))
+    // a variable graph over a general body is a pointed rejection
+    // (per-graph replay of arbitrary operators is a documented subset)
+    val e = intercept[IllegalArgumentException] {
+      q("SELECT ?n WHERE { GRAPH ?g { ?x :name ?n OPTIONAL { ?x :age ?a } } }")
+        .collect()
+    }
+    assert(e.getMessage.contains("non-BGP"))
+  }
+
   test("GROUP_CONCAT DISTINCT collects the value set; ENCODE_FOR_URI escapes") {
     val t = Seq(
       ("x", ":a", "v", Option.empty[Double], false, Option.empty[String]),
@@ -866,7 +906,79 @@ class CompilerSpec extends AnyFunSuite {
       "LOAD <file://" + ttl + "> INTO GRAPH <urn:gl>")
     assert(q2.filter($"g" === "urn:gl").count() == 2)
     assert(q2.count() == quads.count() + 2)
+    // set semantics: re-loading the same document into the same graph
+    // is idempotent (the store's no-duplicate-quads invariant, like
+    // TripleOps.addGraph) — and only the destination slice deduped
+    val q3 = graft.Graft.updateQuads(q2,
+      "LOAD <file://" + ttl + "> INTO GRAPH <urn:gl>")
+    assert(q3.count() == q2.count())
+    assert(q3.filter($"g" === "urn:gl").count() == 2)
+    // plain LOAD on a quad relation: valid SPARQL (default-graph
+    // target) but the quad model's default graph is the read-time
+    // union — pointed error naming INTO GRAPH, not a generic mismatch
+    val e = intercept[IllegalArgumentException] {
+      graft.Graft.updateQuads(quads, "LOAD <file://" + ttl + ">")
+    }
+    assert(e.getMessage.contains("INTO GRAPH"))
     graft.Checkpoints.releaseCaches()
+  }
+
+  test("WITH / USING scope the template modify (SPARQL Update §3.1.3)") {
+    val quads = Seq(
+      ("g:a", "x:1", ":name", "ann", Option.empty[Double], false, Option.empty[String]),
+      ("g:a", "x:2", ":name", "bob", None, false, None),
+      // g:b carries an IDENTICAL triple to g:a's — WITH must leave it
+      ("g:b", "x:1", ":name", "ann", None, false, None),
+      ("g:c", "y:1", ":tag", "keep", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    def upd(q: org.apache.spark.sql.DataFrame, text: String) =
+      graft.Graft.updateQuads(q, text)
+    def rows(q: org.apache.spark.sql.DataFrame) =
+      q.collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSet
+
+    // WITH scopes WHERE + both templates to g:a: the rename touches
+    // only g:a's slice; g:b's identical triple survives
+    val r1 = upd(quads,
+      "WITH <g:a> DELETE { ?s :name ?n } INSERT { ?s :label ?n } WHERE { ?s :name ?n }")
+    assert(rows(r1.select("g", "s", "p", "o")) == Set(
+      ("g:a", "x:1", ":label", "ann"), ("g:a", "x:2", ":label", "bob"),
+      ("g:b", "x:1", ":name", "ann"), ("g:c", "y:1", ":tag", "keep")))
+
+    // USING overrides the WHERE's default graph (reads g:c), WITH
+    // still names the write target (g:a)
+    val r2 = upd(quads,
+      "WITH <g:a> INSERT { ?s :copied ?v } USING <g:c> WHERE { ?s :tag ?v }")
+    assert(r2.count() == quads.count() + 1)
+    assert(rows(r2.filter($"p" === ":copied").select("g", "s", "p", "o")) ==
+      Set(("g:a", "y:1", ":copied", "keep")))
+    // re-running the same INSERT is idempotent (set semantics)
+    assert(upd(r2, "WITH <g:a> INSERT { ?s :copied ?v } USING <g:c> WHERE { ?s :tag ?v }")
+      .count() == r2.count())
+
+    // USING NAMED bounds GRAPH inside the WHERE like FROM NAMED
+    val r3 = upd(quads,
+      """WITH <g:c> INSERT { ?s :seen ?n }
+        |USING NAMED <g:b> WHERE { GRAPH ?g { ?s :name ?n } }""".stripMargin)
+    assert(rows(r3.filter($"p" === ":seen").select("g", "s", "p", "o")) ==
+      Set(("g:c", "x:1", ":seen", "ann")))
+
+    // a modify with no WITH needs the triple-store form: pointed error
+    val e = intercept[IllegalArgumentException] {
+      upd(quads, "DELETE { ?s :name ?n } INSERT { ?s :label ?n } WHERE { ?s :name ?n }")
+    }
+    assert(e.getMessage.contains("use apply"))
+    // and a USING-only modify (no WITH) points at the missing WITH
+    val e2 = intercept[IllegalArgumentException] {
+      upd(quads, "INSERT { ?s :label ?n } USING <g:a> WHERE { ?s :name ?n }")
+    }
+    assert(e2.getMessage.contains("WITH"))
+    // prefix expansion reaches WITH and USING graph names
+    val r4 = upd(quads,
+      """PREFIX gg: <g:>
+        |WITH gg:a INSERT { ?s :label2 ?n } USING gg:b WHERE { ?s :name ?n }""".stripMargin)
+    assert(rows(r4.filter($"p" === ":label2").select("g", "s", "p", "o")) ==
+      Set(("g:a", "x:1", ":label2", "ann")))
   }
 
   test("Results.toTsv escapes tab/newline/backslash, nulls go empty") {

@@ -1351,6 +1351,26 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq("e:1", "e:2", "e:4"))
   }
 
+  test("datetime:minmax-instant — MIN/MAX fold on the timeline, return the lexical") {
+    // lexical MIN would be e:4's "2019-…" (instant 10:59:59Z, rank 3
+    // of 5) and lexical MAX e:1's "…+02:00" (10:00Z, the EARLIEST
+    // instant) — the instant fold returns e:1's lexical as MIN and
+    // e:3's as MAX, each verbatim (no canonicalization of the output)
+    assert(run(zonedTimes,
+      """SELECT (MIN(?t) AS ?lo) (MAX(?t) AS ?hi) WHERE { ?x :at ?t }""") ==
+      Set(b("lo" -> "2020-01-01T12:00:00+02:00",
+        "hi" -> "2020-01-01T09:00:00-05:00")))
+    // grouped: per-subject MIN stays the row's own value
+    assert(run(zonedTimes,
+      """SELECT ?x (MIN(?t) AS ?lo) WHERE { ?x :at ?t . FILTER(?x = "e:4") }
+        |GROUP BY ?x""".stripMargin) ==
+      Set(b("x" -> "e:4", "lo" -> "2019-12-31T23:59:59-11:00")))
+    // plain strings still fold lexically (MIN of names unchanged)
+    assert(run(people,
+      """SELECT (MIN(?n) AS ?lo) WHERE { ?x :name ?n }""") ==
+      Set(b("lo" -> "Alice")))
+  }
+
   test("datetime:plain-strings-unaffected — non-date lexicals keep string compare") {
     assert(run(people,
       """SELECT ?x WHERE { ?x :name ?n FILTER(?n < "Bob") }""") ==
@@ -1397,5 +1417,131 @@ class W3cConformanceSpec extends AnyFunSuite {
         |  { SELECT ?n WHERE { ?x :name ?n } }
         |} ORDER BY ?n LIMIT 2""".stripMargin) ==
       Set(b("n" -> "Alice"), b("n" -> "Bob")))
+  }
+
+  // ---- r14 batch: §15.1 term-kind order, lang-tag case, GRAPH+paths,
+  // ---- update corners ----------------------------------------------
+
+  /** One subject per term kind in the ?v object: blank node, two
+    * IRIs, a literal, and one subject with NO ?v (OPTIONAL unbound).
+    * Lexical order would interleave them (N/A < _:b1 < ab:iri1 <
+    * apple < zz:iri2); §15.1 tiers do not.
+    */
+  private lazy val mixedKinds: DataFrame = Seq(
+    ("s:1", ":id", "1", Some(1.0), false, Option.empty[String]),
+    ("s:1", ":v", "zz:iri2", None, true, None),
+    ("s:2", ":id", "2", Some(2.0), false, None),
+    ("s:2", ":v", "_:b1", None, true, None),
+    ("s:3", ":id", "3", Some(3.0), false, None),
+    ("s:3", ":v", "apple", None, false, None),
+    ("s:4", ":id", "4", Some(4.0), false, None),
+    ("s:4", ":v", "ab:iri1", None, true, None),
+    ("s:5", ":id", "5", Some(5.0), false, None))
+    .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+
+  test("order:term-kinds — §15.1: unbound < blank < IRI < literal") {
+    import spark.implicits._
+    val asc = Graft.sparql(mixedKinds,
+      """SELECT ?x WHERE { ?x :id ?i OPTIONAL { ?x :v ?v } }
+        |ORDER BY ?v ?x""".stripMargin)
+      .select("x").as[String].collect().toSeq
+    assert(asc == Seq("s:5", "s:2", "s:4", "s:1", "s:3"),
+      s"ascending §15.1 order, got $asc")
+    // DESC is the exact reverse of the total order
+    val desc = Graft.sparql(mixedKinds,
+      """SELECT ?x WHERE { ?x :id ?i OPTIONAL { ?x :v ?v } }
+        |ORDER BY DESC(?v) DESC(?x)""".stripMargin)
+      .select("x").as[String].collect().toSeq
+    assert(desc == asc.reverse, s"descending order, got $desc")
+    // LIMIT cuts on the tiered order (the first two = unbound + blank)
+    val cut = Graft.sparql(mixedKinds,
+      """SELECT ?x WHERE { ?x :id ?i OPTIONAL { ?x :v ?v } }
+        |ORDER BY ?v ?x LIMIT 2""".stripMargin)
+      .select("x").as[String].collect().toSeq
+    assert(cut == Seq("s:5", "s:2"))
+  }
+
+  private lazy val casedTags: DataFrame = Seq(
+    ("x:1", ":label", "chat", Option.empty[Double], false, Some("EN")),
+    ("x:2", ":label", "chat", None, false, Some("en")),
+    ("x:3", ":label", "chat", None, false, Option.empty[String]),
+    ("x:4", ":label", "chat", None, false, Some("en-US")))
+    .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+
+  test("lang:case-insensitive — @EN and @en are one RDF term") {
+    // lang-tagged literal in the pattern: either spelling matches both
+    assert(run(casedTags,
+      """SELECT ?x WHERE { ?x :label "chat"@en }""") ==
+      Set(b("x" -> "x:1"), b("x" -> "x:2")))
+    assert(run(casedTags,
+      """SELECT ?x WHERE { ?x :label "chat"@EN }""") ==
+      Set(b("x" -> "x:1"), b("x" -> "x:2")))
+    // lang() returns the LOWERCASE term component (RDF 1.1 §3.3) …
+    assert(run(casedTags,
+      """SELECT ?x WHERE { ?x :label ?v FILTER(lang(?v) = "en") }""") ==
+      Set(b("x" -> "x:1"), b("x" -> "x:2")))
+    // … so comparing against an uppercase constant is codepoint-false
+    assert(run(casedTags,
+      """SELECT ?x WHERE { ?x :label ?v FILTER(lang(?v) = "EN") }""") ==
+      Set.empty[Map[String, String]])
+    // LANGMATCHES stays RFC 4647 case-insensitive incl. subtags
+    assert(run(casedTags,
+      """SELECT ?x WHERE { ?x :label ?v FILTER(LANGMATCHES(LANG(?v), "EN")) }""") ==
+      Set(b("x" -> "x:1"), b("x" -> "x:2"), b("x" -> "x:4")))
+  }
+
+  test("graph:path-composition — a property path inside GRAPH <g>") {
+    val quads = Seq(
+      ("g:a", "e:1", ":next", "e:2", Option.empty[Double], true, Option.empty[String]),
+      ("g:a", "e:2", ":next", "e:3", None, true, None),
+      ("g:b", "e:3", ":next", "e:4", None, true, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    // the closure walks ONLY g:a's slice: e:4 is reachable in the
+    // union graph but its edge lives in g:b
+    assert(bindings(Compiler.runQuads(quads, SparqlParser.parse(
+      "SELECT ?y WHERE { GRAPH <g:a> { <e:1> :next+ ?y } }"))) ==
+      Set(b("y" -> "e:2"), b("y" -> "e:3")))
+    // the same path over the default (union) graph DOES reach e:4
+    assert(bindings(Compiler.runQuads(quads, SparqlParser.parse(
+      "SELECT ?y WHERE { <e:1> :next+ ?y }"))) ==
+      Set(b("y" -> "e:2"), b("y" -> "e:3"), b("y" -> "e:4")))
+    // path + OPTIONAL composing inside the same GRAPH group
+    assert(bindings(Compiler.runQuads(quads, SparqlParser.parse(
+      """SELECT ?y ?z WHERE { GRAPH <g:a> {
+        |  <e:1> :next+ ?y OPTIONAL { ?y :next ?z } } }""".stripMargin))) ==
+      Set(b("y" -> "e:2", "z" -> "e:3"), b("y" -> "e:3")))
+  }
+
+  test("update:with-delete-only — WITH scopes a bare DELETE template") {
+    import spark.implicits._
+    val quads = Seq(
+      ("g:a", "x:1", ":flag", "on", Option.empty[Double], false, Option.empty[String]),
+      ("g:b", "x:1", ":flag", "on", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    val out = Graft.updateQuads(quads,
+      "WITH <g:a> DELETE { ?s :flag ?v } WHERE { ?s :flag ?v }")
+    // only g:a's copy of the identical triple is gone
+    assert(out.select("g").as[String].collect().toSeq == Seq("g:b"))
+    // DELETE WHERE over a quad relation stays the pointed
+    // triple-store redirect (graph-scoped deletion is the WITH form)
+    val e = intercept[IllegalArgumentException] {
+      Graft.updateQuads(quads, "DELETE WHERE { ?s :flag ?v }")
+    }
+    assert(e.getMessage.contains("use apply"))
+  }
+
+  test("update:using-multiple — USING graphs union into the WHERE dataset") {
+    val quads = Seq(
+      ("g:a", "x:1", ":n", "a", Option.empty[Double], false, Option.empty[String]),
+      ("g:b", "x:2", ":n", "b", None, false, None),
+      ("g:c", "x:3", ":n", "c", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    val out = Graft.updateQuads(quads,
+      "WITH <g:c> INSERT { ?s :seen ?v } USING <g:a> USING <g:b> WHERE { ?s :n ?v }")
+    // the WHERE saw g:a ∪ g:b (not g:c), writes landed in g:c
+    assert(bindings(out.filter(org.apache.spark.sql.functions.col("p") === ":seen")
+      .select("g", "s", "o")) ==
+      Set(b("g" -> "g:c", "s" -> "x:1", "o" -> "a"),
+        b("g" -> "g:c", "s" -> "x:2", "o" -> "b")))
   }
 }
