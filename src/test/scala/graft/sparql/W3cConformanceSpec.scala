@@ -1530,6 +1530,81 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("use apply"))
   }
 
+  test("exists:graph-body — FILTER EXISTS { GRAPH <g> { … } } over quads") {
+    val quads = Seq(
+      ("g:a", "x:1", ":n", "a", Option.empty[Double], false, Option.empty[String]),
+      ("g:a", "x:1", ":certified", "yes", None, false, None),
+      ("g:b", "x:2", ":n", "b", None, false, None),
+      ("g:b", "x:2", ":certified", "yes", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    // the EXISTS body's GRAPH scope must hold: x:2's certification
+    // lives in g:b, so the g:a-scoped EXISTS keeps only x:1
+    assert(bindings(Compiler.runQuads(quads, SparqlParser.parse(
+      """SELECT ?s WHERE { ?s :n ?v
+        |  FILTER EXISTS { GRAPH <g:a> { ?s :certified ?c } } }""".stripMargin))) ==
+      Set(b("s" -> "x:1")))
+    // NOT EXISTS flips it
+    assert(bindings(Compiler.runQuads(quads, SparqlParser.parse(
+      """SELECT ?s WHERE { ?s :n ?v
+        |  FILTER NOT EXISTS { GRAPH <g:a> { ?s :certified ?c } } }""".stripMargin))) ==
+      Set(b("s" -> "x:2")))
+  }
+
+  test("optional:path-body — a property path as the OPTIONAL's pattern") {
+    val data = Seq(
+      ("e:1", ":next", "e:2", Option.empty[Double], true, Option.empty[String]),
+      ("e:2", ":next", "e:3", None, true, None),
+      ("e:9", ":tag", "lone", None, false, None),
+      ("e:1", ":tag", "root", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // e:1 reaches e:2, e:3 through the closure; e:9 has no :next
+    // edge and keeps its row with ?y unbound
+    assert(run(data,
+      """SELECT ?x ?y WHERE { ?x :tag ?t
+        |  OPTIONAL { ?x :next+ ?y } }""".stripMargin) ==
+      Set(b("x" -> "e:1", "y" -> "e:2"), b("x" -> "e:1", "y" -> "e:3"),
+        b("x" -> "e:9")))
+  }
+
+  test("aggregates:group-by-optional-var — unbound forms its own group") {
+    val data = Seq(
+      ("x:1", ":name", "a", Option.empty[Double], false, Option.empty[String]),
+      ("x:1", ":cat", "tools", None, false, None),
+      ("x:2", ":name", "b", None, false, None),
+      ("x:2", ":cat", "tools", None, false, None),
+      ("x:3", ":name", "c", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // x:3 has no :cat — §18's grouping puts its solution in the
+    // unbound-key group (the map comes back without ?cat)
+    assert(run(data,
+      """SELECT ?cat (COUNT(?n) AS ?cnt) WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :cat ?cat } } GROUP BY ?cat""".stripMargin) ==
+      Set(b("cat" -> "tools", "cnt" -> "2"), b("cnt" -> "1")))
+  }
+
+  test("update:with-on-data-form — WITH parses only on the modify") {
+    // grammar [41]: WITH belongs to Modify; the DATA forms take GRAPH
+    // inside the block (not implemented here) but never WITH
+    intercept[IllegalArgumentException] {
+      SparqlParser.parseUpdate(
+        "WITH <g:a> INSERT DATA { <x:1> :n \"a\" }")
+    }
+  }
+
+  test("graph:minus-composition — MINUS inside a constant GRAPH group") {
+    val quads = Seq(
+      ("g:a", "x:1", ":n", "a", Option.empty[Double], false, Option.empty[String]),
+      ("g:a", "x:2", ":n", "b", None, false, None),
+      ("g:a", "x:2", ":blocked", "y", None, false, None),
+      // x:1 is blocked only in g:b — the g:a-scoped MINUS must not see it
+      ("g:b", "x:1", ":blocked", "y", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(bindings(Compiler.runQuads(quads, SparqlParser.parse(
+      """SELECT ?s WHERE { GRAPH <g:a> {
+        |  ?s :n ?v MINUS { ?s :blocked ?z } } }""".stripMargin))) ==
+      Set(b("s" -> "x:1")))
+  }
+
   test("update:using-multiple — USING graphs union into the WHERE dataset") {
     val quads = Seq(
       ("g:a", "x:1", ":n", "a", Option.empty[Double], false, Option.empty[String]),
