@@ -174,10 +174,25 @@ object Ast {
     */
   final case class PathRange(s: Term, preds: Seq[String], min: Int,
                              max: Int, o: Term) extends Pattern
-  /** One step of a sequence path: a predicate, inverted when written
-    * `^p` (SPARQL InversePath).
+  /** One step of a sequence path: a non-empty ALTERNATION of
+    * (predicate, inverse?) atoms — `p` and `^p` are the single-atom
+    * case, `(p1|^p2)` the general one (SPARQL 1.1 §9.1 lets an
+    * alternation nest inside a sequence). Single-atom accessors keep
+    * the common case readable.
     */
-  final case class PathStep(pred: String, inverse: Boolean)
+  final case class PathStep(alts: Seq[(String, Boolean)]) {
+    require(alts.nonEmpty, "empty path-step alternation")
+    /** Single-atom predicate (the pre-r14 shape; callers that accept
+      * alternations read `alts` directly). */
+    def pred: String = alts.head._1
+    def inverse: Boolean = alts.head._2
+    def rewrite(f: String => String): PathStep =
+      PathStep(alts.map { case (p, i) => (f(p), i) })
+  }
+  object PathStep {
+    def apply(pred: String, inverse: Boolean): PathStep =
+      PathStep(Seq((pred, inverse)))
+  }
   /** Sequence path `s p1/p2/… o` (SPARQL SequencePath, steps
     * optionally inverse); compiles by desugaring into a BGP chain
     * over fresh intermediate variables.

@@ -1277,6 +1277,28 @@ object Compiler {
         .foldLeft(df)((d, f) =>
           if (d.columns.contains(numCol(f.name))) d
           else d.withColumn(numCol(f.name), col(f.name).try_cast("double")))
+    case PathSeq(s, steps, o) if steps.exists(_.alts.size > 1) =>
+      // alternation nested inside a sequence (`:a/(:b|^:c)`): the W3C
+      // algebra translation turns alternation into UNION, so expand
+      // the cross product of per-step choices into a union of plain
+      // sequences — bag-correct (two routes to one endpoint are two
+      // solutions) and each branch keeps the BGP desugar's partition
+      // pruning. Branch count is the product of alternation widths, a
+      // query constant.
+      val combos = steps.foldLeft(Seq(Seq.empty[(String, Boolean)])) {
+        (acc, st) => acc.flatMap(pre => st.alts.map(pre :+ _))
+      }
+      val branches = combos
+        .map(c => PathSeq(s, c.map(a => PathStep(a._1, a._2)), o): Pattern)
+        .map(compilePattern(triples, quads, _))
+      // a var lands in subject position in one branch (no companions)
+      // and object position in another (full companions) when the
+      // choices differ in direction — union on the COMMON columns, so
+      // every branch exposes the subject convention for such vars
+      val common = branches.map(_.columns.toSet).reduce(_ intersect _)
+      branches
+        .map(df => df.select(df.columns.filter(common).map(col): _*))
+        .reduce(_.unionByName(_))
     case PathSeq(s, steps, o) =>
       // desugar to the BGP chain s step1 ?__path1 . ?__path1 step2 … o
       // (an inverse step swaps its pattern's endpoints); the fresh
@@ -1383,9 +1405,21 @@ object Compiler {
     */
   private[graft] def seqEdges(triples: DataFrame, steps: Seq[Ast.PathStep]): DataFrame = {
     val hops = steps.map { st =>
-      val t = triples.filter(col("p") === st.pred)
-      if (st.inverse) t.select(col("o").as("sub"), col("s").as("sup"))
-      else t.select(col("s").as("sub"), col("o").as("sup"))
+      // a step may be an alternation of atoms (§9.1): the hop edge
+      // set is the union of its forward slice (isin prunes all listed
+      // predicate partitions at once) and its endpoint-swapped
+      // inverse slice — set semantics are fine here, the closures
+      // this feeds are distinct by definition
+      val fwd = st.alts.filterNot(_._2).map(_._1)
+      val inv = st.alts.filter(_._2).map(_._1)
+      val arms = Seq(
+        if (fwd.isEmpty) None else Some(
+          triples.filter(col("p").isin(fwd: _*))
+            .select(col("s").as("sub"), col("o").as("sup"))),
+        if (inv.isEmpty) None else Some(
+          triples.filter(col("p").isin(inv: _*))
+            .select(col("o").as("sub"), col("s").as("sup")))).flatten
+      arms.reduce(_.unionByName(_))
     }
     hops.reduceLeft { (acc, nxt) =>
       acc.join(nxt.select(col("sub").as("sup"), col("sup").as("nxt")), "sup")

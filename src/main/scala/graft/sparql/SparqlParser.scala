@@ -337,15 +337,23 @@ object SparqlParser extends RegexParsers {
     * `p` or `^p`. A single non-inverse step backtracks to the plain
     * triple rule.
     */
-  private def pathStep: Parser[PathStep] =
+  private def pathAtom: Parser[(String, Boolean)] =
     opt("^") ~ (iriRef | pname | rdfTypeKw) ^^ {
-      case inv ~ p => PathStep(p.value, inv.isDefined)
+      case inv ~ p => (p.value, inv.isDefined)
     }
+  // a step is one atom or a parenthesized ALTERNATION of atoms
+  // (`(p1|^p2)` — §9.1 alternation nesting inside a sequence)
+  private def pathStep: Parser[PathStep] =
+    pathAtom ^^ (a => PathStep(Seq(a))) |
+    "(" ~> rep1sep(pathAtom, "|") <~ ")" ^^ (as => PathStep(as))
   private def seqPathTriple: Parser[GroupElem] =
     term ~ rep1sep(pathStep, "/") ~ term <~ opt(".") >> {
       case s ~ steps ~ o =>
-        if (steps.size == 1 && !steps.head.inverse)
-          failure("single plain step is an ordinary triple")
+        // a single plain step is an ordinary triple; a single
+        // alternation step is PathAlt's domain (both backtrack)
+        if (steps.size == 1 &&
+          (steps.head.alts.size > 1 || !steps.head.inverse))
+          failure("single step: ordinary triple / bare alternation")
         else success(GroupOrUnionElem(PathSeq(s, steps, o)))
     }
 
@@ -792,14 +800,14 @@ object SparqlParser extends RegexParsers {
       GraphGroup(rewriteTerm(g, f), rewritePattern(inner, f))
     case PathSeq(s, steps, o) =>
       PathSeq(rewriteTerm(s, f),
-        steps.map(st => PathStep(f(st.pred), st.inverse)), rewriteTerm(o, f))
+        steps.map(_.rewrite(f)), rewriteTerm(o, f))
     case PathSeqMod(s, steps, mod, o) =>
       PathSeqMod(rewriteTerm(s, f),
-        steps.map(st => PathStep(f(st.pred), st.inverse)), mod,
+        steps.map(_.rewrite(f)), mod,
         rewriteTerm(o, f))
     case PathSeqRange(s, steps, mn, mx, o) =>
       PathSeqRange(rewriteTerm(s, f),
-        steps.map(st => PathStep(f(st.pred), st.inverse)), mn, mx,
+        steps.map(_.rewrite(f)), mn, mx,
         rewriteTerm(o, f))
     case NegPath(s, preds, o) =>
       NegPath(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))

@@ -382,6 +382,18 @@ object SparqlQueries {
           |}""".stripMargin
       runP(s, dir, SparqlParser.parse(text))
     },
+    // alternation NESTED inside a sequence (r14, §9.1's last nesting
+    // shape): the second step is a (forward|inverse) choice — region
+    // of the supplier's nation OR any same-nation entity walked back
+    // over ^:hasNation (including the supplier itself). Bag semantics:
+    // the combo expansion unions one plain sequence per choice
+    "sparql_path_alt_in_seq" -> { (s, dir) =>
+      runP(s, dir, SparqlParser.parse(
+        """SELECT ?x ?y WHERE {
+          |  ?x a :Supplier .
+          |  ?x :hasNation/(:inRegion|^:hasNation) ?y .
+          |}""".stripMargin))
+    },
     // inverse path steps (^p): the textual surface of the ^-operator —
     // two inverse hops walk region → nation → supplier BACKWARDS
     // through the forward-edged store; each inverse step compiles to
@@ -1223,6 +1235,18 @@ object SparqlQueries {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    // one UNION ALL branch per alternation choice (bag semantics):
+    // forward :inRegion, then ^:hasNation back to customers and to
+    // suppliers (supplier self-pairs included — the path revisits)
+    "sparql_path_alt_in_seq" ->
+      """SELECT 'supp:'||s_suppkey AS x, 'reg:'||n_regionkey AS y
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |UNION ALL
+        |SELECT 'supp:'||s_suppkey, 'cust:'||c_custkey
+        |FROM supplier JOIN customer ON s_nationkey = c_nationkey
+        |UNION ALL
+        |SELECT 'supp:'||s1.s_suppkey, 'supp:'||s2.s_suppkey
+        |FROM supplier s1 JOIN supplier s2 ON s1.s_nationkey = s2.s_nationkey""".stripMargin,
     // (:inRegion/^:inRegion)+ = the same-region equivalence over
     // nations — transitively closed after a single composition, so
     // plain SQL (no recursion) IS the fixpoint

@@ -1268,6 +1268,19 @@ class PlanSpec extends AnyFunSuite {
     graft.Checkpoints.releaseCaches()
   }
 
+  test("sparql_path_alt_in_seq: every branch prunes; no product") {
+    // the combo expansion unions plain sequences — each branch's
+    // constant-predicate steps must still prune the predicate-
+    // partitioned store, and the union must stay equi-join-only
+    val p = plan("sparql_path_alt_in_seq")
+    assert(p.contains("Union"), "alternation must expand to a union")
+    assert(p.contains("PartitionFilters: [isnotnull(p"),
+      "branch patterns must prune predicate partitions")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "branches must compile to equi-joins")
+  }
+
   test("text_contamination_bloom: join-free screen, distributed build") {
     // the Bloom screen's whole point: the corpus side is ONE narrow
     // codegen pass (filter on bloom_contains) plus the per-doc count

@@ -1530,6 +1530,101 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("use apply"))
   }
 
+  test("property-path:zeroone-bound-endpoints — p? between constants") {
+    val data = Seq(
+      ("n:1", ":p", "n:2", Option.empty[Double], true, Option.empty[String]),
+      ("n:2", ":p", "n:3", None, true, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // zero-length: any node relates to itself, even without edges
+    assert(Graft.sparql(data, "SELECT ?x WHERE { <n:1> :p? <n:1> . BIND(1 AS ?x) }")
+      .count() == 1)
+    // one hop holds where the edge exists …
+    assert(Graft.sparql(data, "SELECT ?x WHERE { <n:1> :p? <n:2> . BIND(1 AS ?x) }")
+      .count() == 1)
+    // … and p? never composes two hops
+    assert(Graft.sparql(data, "SELECT ?x WHERE { <n:1> :p? <n:3> . BIND(1 AS ?x) }")
+      .count() == 0)
+    // p{0,1} is the same relation as p?
+    assert(run(data, "SELECT ?y WHERE { <n:1> :p{0,1} ?y }") ==
+      run(data, "SELECT ?y WHERE { <n:1> :p? ?y }"))
+  }
+
+  test("aggregates:concat-sample-skip-unbound — optional fills leave the multiset") {
+    val data = Seq(
+      ("x:1", ":name", "a", Option.empty[Double], false, Option.empty[String]),
+      ("x:1", ":tag", "t1", None, false, None),
+      ("x:2", ":name", "b", None, false, None),
+      ("x:3", ":name", "c", None, false, None),
+      ("x:3", ":tag", "t3", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // x:2 contributes NO element — GROUP_CONCAT and SAMPLE fold only
+    // the bound values (§18.5 error-removal), and the all-unbound
+    // group folds to the empty string / unbound
+    assert(run(data,
+      """SELECT (GROUP_CONCAT(?t; SEPARATOR=",") AS ?ts) (SAMPLE(?t) AS ?one)
+        |WHERE { ?x :name ?n OPTIONAL { ?x :tag ?t } }""".stripMargin) ==
+      Set(b("ts" -> "t1,t3", "one" -> "t1")))
+  }
+
+  test("filter:numeric-lexical-forms — typed numerics compare by value") {
+    val data = Seq(
+      ("x:1", ":v", "30", Some(30.0), false, Option.empty[String]),
+      ("x:2", ":v", "30.0", Some(30.0), false, None),
+      ("x:3", ":v", "29.5", Some(29.5), false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // "30" and "30.0" are one VALUE: both pass = 30.0 and = 30
+    assert(run(data, "SELECT ?x WHERE { ?x :v ?n FILTER(?n = 30.0) }") ==
+      Set(b("x" -> "x:1"), b("x" -> "x:2")))
+    assert(run(data, "SELECT ?x WHERE { ?x :v ?n FILTER(?n = 30) }") ==
+      Set(b("x" -> "x:1"), b("x" -> "x:2")))
+    // a typed-literal pattern OBJECT matches by value too
+    assert(run(data, "SELECT ?x WHERE { ?x :v \"30.00\"^^xsd:decimal }") ==
+      Set(b("x" -> "x:1"), b("x" -> "x:2")))
+    assert(run(data, "SELECT ?x WHERE { ?x :v ?n FILTER(?n < 30) }") ==
+      Set(b("x" -> "x:3")))
+  }
+
+  test("subselect:inner-limit — the inner LIMIT cuts before the outer join") {
+    assert(run(people,
+      """SELECT ?n WHERE {
+        |  ?x :name ?n .
+        |  { SELECT ?x WHERE { ?x rdf:type :Person } ORDER BY ?x LIMIT 2 }
+        |}""".stripMargin).size == 2)
+  }
+
+  test("union:branch-local-filter — a FILTER scopes to its branch") {
+    assert(run(people,
+      """SELECT ?n WHERE {
+        |  { ?x :name ?n FILTER(STRSTARTS(?n, "A")) }
+        |  UNION
+        |  { ?x :name ?n FILTER(STRSTARTS(?n, "B")) }
+        |}""".stripMargin) ==
+      Set(b("n" -> "Alice"), b("n" -> "Bob")))
+  }
+
+  test("property-path:alt-in-seq — alternation nested inside a sequence") {
+    val data = Seq(
+      ("r:1", ":a", "r:2", Option.empty[Double], true, Option.empty[String]),
+      ("r:2", ":b", "r:3", None, true, None),
+      ("r:2", ":c", "r:3", None, true, None),
+      ("r:4", ":b", "r:2", None, true, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // two choices, both landing on r:3 — BAG semantics: two rows
+    val bag = Graft.sparql(data,
+      "SELECT ?y WHERE { <r:1> :a/(:b|:c) ?y }")
+    assert(bag.count() == 2)
+    assert(run(data, "SELECT ?y WHERE { <r:1> :a/(:b|:c) ?y }") ==
+      Set(b("y" -> "r:3")))
+    // an INVERSE atom inside the alternation: (:a|^:b) then :b
+    assert(run(data, "SELECT ?x ?y WHERE { ?x (:a|^:b)/:b ?y }") ==
+      Set(b("x" -> "r:1", "y" -> "r:3"), b("x" -> "r:3", "y" -> "r:3"),
+        b("x" -> "r:2", "y" -> "r:2")))
+    // a closure over a sequence whose FIRST step is an alternation:
+    // the composed edge set is (:a∪:c)-then-:b — only r:1 reaches r:3
+    assert(run(data, "SELECT ?x ?y WHERE { ?x ((:a|:c)/:b)+ ?y }") ==
+      Set(b("x" -> "r:1", "y" -> "r:3")))
+  }
+
   test("exists:graph-body — FILTER EXISTS { GRAPH <g> { … } } over quads") {
     val quads = Seq(
       ("g:a", "x:1", ":n", "a", Option.empty[Double], false, Option.empty[String]),
