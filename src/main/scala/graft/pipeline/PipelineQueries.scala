@@ -431,6 +431,10 @@ object PipelineQueries {
     "text_cooc_lift_topk" -> ((s, dir) =>
       TextAnalysis.coocLiftTopK(Tables.documents(s, dir))),
     // within-doc clumping profile of the head vocabulary (r11)
+    // integer-exact unigram LM scoring (whole-bit surprisal — the
+    // perplexity-filter shape, r14)
+    "text_unigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(Tables.documents(s, dir))),
     "text_burstiness" -> ((s, dir) =>
       TextAnalysis.termBurstiness(Tables.documents(s, dir))),
     // quality-weighted acceptance (thins instead of cliff-filtering);
@@ -1643,6 +1647,19 @@ object PipelineQueries {
            |FROM p JOIN uni a ON a.tok = p.tok_l
            |       JOIN uni b ON b.tok = p.tok_r, nt
            |ORDER BY lift_e6 DESC, tok_l, tok_r LIMIT 100""".stripMargin,
+    // ⌊log2(N // count)⌋ = length(bin(ratio)) − 1 on both engines —
+    // exact integer arithmetic end to end, no libm in the oracle path
+    "text_unigram_surprisal" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           |  FROM documents),
+           |t AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+           |uni AS (SELECT tok, count(*) AS ntok FROM t GROUP BY 1),
+           |tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS nn FROM uni)
+           |SELECT t.doc_id, count(*) AS n_toks,
+           |  CAST(sum(length(bin(nn // ntok)) - 1) AS BIGINT) AS bits_total
+           |FROM t JOIN uni USING (tok) CROSS JOIN tot
+           |GROUP BY 1""".stripMargin,
     "text_burstiness" ->
       raw"""WITH t AS (SELECT doc_id,
            |    string_split_regex(trim(lower(text)), '\s+') AS l

@@ -883,6 +883,37 @@ object TextAnalysis {
       .select(col("tok_l"), col("tok_r"), col("nxy"), col("lift_e6"))
   }
 
+  /** Per-document unigram surprisal — the perplexity-filter shape
+    * (CCNet-style LM quality scoring) with an integer-exact witness:
+    * each token contributes ⌊log2(N / count(tok))⌋ whole BITS of
+    * surprisal under the corpus's own unigram model (a held-out LM
+    * table is the same join), and the doc score is (n_toks,
+    * bits_total) — consumers divide for bits/token. Whole bits
+    * because a float Σ−log2 p hands the answer to libm rounding;
+    * ⌊log2⌋ of the EXACT integer ratio is just the bit length minus
+    * one, identical on any engine. Common tokens ≈ 0-4 bits, hapax ≈
+    * log2(N): the high-bits/token tail is gibberish/rare-script text
+    * (what a perplexity filter drops), the low tail is boilerplate.
+    *
+    * Scale shape: one token explode, a vocabulary-keyed count fold
+    * (partial-agg), one corpus-linear join of tokens against the
+    * vocabulary table, a broadcast total, and a per-doc partial agg —
+    * no quadratic anything, no driver math.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(wsTokens(lower(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("ntok"))
+    val total = uni.agg(sum(col("ntok")).as("nn"))
+    toks.join(uni, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("bits", length(bin(expr("nn div ntok"))) - 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("bits")).cast("long").as("bits_total"))
+  }
+
   /** Term burstiness profile — the clumping statistic df alone hides:
     * for the k highest-frequency terms, total occurrences (tf),
     * document frequency (df), how many docs carry the term MORE THAN

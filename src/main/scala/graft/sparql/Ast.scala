@@ -112,6 +112,17 @@ object Ast {
     */
   private[sparql] final case class ExistsFlag(name: String,
                                               neg: Boolean) extends Expr
+  /** Internal (never parsed): a FILTER subexpression referencing a
+    * variable that is not in the frame's scope — SPARQL evaluates it
+    * as a TYPE ERROR; compiled as SQL null so three-valued logic
+    * propagates exactly the SPARQL error algebra (err && false =
+    * false, err || true = true, !err = err, FILTER drops err).
+    */
+  private[sparql] case object TypeErr extends Expr
+  /** Internal: a constant boolean leaf (e.g. BOUND of a var that is
+    * not in scope, which is plain false — never an error).
+    */
+  private[sparql] final case class ConstBool(b: Boolean) extends Expr
 
   sealed trait Pattern
   final case class Bgp(patterns: Seq[TriplePattern]) extends Pattern

@@ -654,7 +654,57 @@ object Compiler {
   /** Scalar filter → Column predicate (numeric when the literal and
     * the binding are numeric, lexical otherwise).
     */
+  /** Variables a VALUE expression needs in scope to evaluate without
+    * a type error. COALESCE contributes nothing — a missing argument
+    * is simply unbound and falls through to the next (§17.4.1.3).
+    */
+  private def vexprVars(e: VExpr): Set[String] = e match {
+    case VVar(n) => Set(n)
+    case Arith(_, l, r) => vexprVars(l) ++ vexprVars(r)
+    case FnCall("COALESCE", _) => Set.empty
+    case FnCall(_, as) => as.flatMap(vexprVars).toSet
+    case VIf(c, t, f) => exprVars(c) ++ vexprVars(t) ++ vexprVars(f)
+    case _ => Set.empty
+  }
+
+  /** The variables a FILTER leaf reads. BOUND and the composite /
+    * scope-owning forms (And/Or/Not, EXISTS bodies, HAVING aggregate
+    * forms, markers) are handled by [[guardScope]] directly.
+    */
+  private def exprVars(e: Expr): Set[String] = e match {
+    case Cmp(_, v, _) => Set(v.name)
+    case StrFilter(_, v, _, _) => Set(v.name)
+    case ExprCmp(_, ex, _) => vexprVars(ex)
+    case CmpVV(_, l, r) => vexprVars(l) ++ vexprVars(r)
+    case LangCmp(_, v, _) => Set(v.name)
+    case LangMatches(v, _) => Set(v.name)
+    case In(v, _, _) => Set(v.name)
+    case IsIri(v) => Set(v.name)
+    case IsLiteral(v) => Set(v.name)
+    case IsBlank(v) => Set(v.name)
+    case IsNumeric(v) => Set(v.name)
+    case SameTerm(a, b) => Set(a.name, b.name)
+    case _ => Set.empty
+  }
+
+  /** §17.2 filter-scope guard: a FILTER may legally reference a
+    * variable the pattern never binds. Rewrite such leaves before
+    * compilation — BOUND of an out-of-scope var is plain FALSE, any
+    * other leaf is a type error ([[Ast.TypeErr]], compiled as SQL
+    * null) — instead of letting `col(missing)` crash analysis.
+    */
+  private def guardScope(df: DataFrame, e: Expr): Expr = e match {
+    case And(l, r) => And(guardScope(df, l), guardScope(df, r))
+    case Or(l, r) => Or(guardScope(df, l), guardScope(df, r))
+    case Not(x) => Not(guardScope(df, x))
+    case Bound(v) if !df.columns.contains(v.name) => ConstBool(false)
+    case leaf if exprVars(leaf).exists(!df.columns.contains(_)) => TypeErr
+    case other => other
+  }
+
   private def exprColumn(df: DataFrame, e: Expr): Column = e match {
+    case TypeErr => lit(null).cast("boolean")
+    case ConstBool(b) => lit(b)
     case Cmp(op, v, value) =>
       val hasNum = df.columns.contains(numCol(v.name))
       // ordering comparison of a numeric literal against a binding
@@ -1007,7 +1057,12 @@ object Compiler {
     case FnCall("LCASE", Seq(a)) => lower(strVExpr(df, a))
     case FnCall("CONCAT", as) if as.nonEmpty => concat(as.map(strVExpr(df, _)): _*)
     case FnCall("COALESCE", as) if as.nonEmpty =>
-      coalesce(as.map(strVExpr(df, _)): _*)
+      // §17.4.1.3: an argument whose vars are out of scope is simply
+      // unbound — skip it rather than crash resolution; all-skipped
+      // means the whole COALESCE is unbound
+      val inScope = as.filter(a => vexprVars(a).forall(df.columns.contains))
+      if (inScope.isEmpty) lit(null).cast("string")
+      else coalesce(inScope.map(strVExpr(df, _)): _*)
     // SPARQL SUBSTR is 1-based; the 2-arg form runs to the end
     case FnCall("SUBSTR", Seq(a, st)) =>
       val sa = strVExpr(df, a)
@@ -1154,8 +1209,8 @@ object Compiler {
         // a row-at-a-time subquery
         case (df, e) if containsExists(e) =>
           val (df2, e2, ms) = bindExistsMarkers(triples, quads, df, e)
-          df2.filter(exprColumn(df2, e2)).drop(ms: _*)
-        case (df, e) => df.filter(exprColumn(df, e))
+          df2.filter(exprColumn(df2, guardScope(df2, e2))).drop(ms: _*)
+        case (df, e) => df.filter(exprColumn(df, guardScope(df, e)))
       }
     case LeftJoin(l, r) =>
       val ldf = compilePattern(triples, quads, l)

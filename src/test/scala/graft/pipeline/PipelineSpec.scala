@@ -308,6 +308,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(dot == 23L)
   }
 
+  test("unigram surprisal: whole-bit witness matches hand arithmetic") {
+    // corpus: a×3, b×1, c×1, N=5. bits(tok) = ⌊log2(N div count)⌋:
+    // a → 5 div 3 = 1 → 0 bits; b, c → 5 → ⌊log2 5⌋ = 2 bits
+    val d = docs(1L -> "a a b", 2L -> "a c")
+    val got = TextAnalysis.unigramSurprisal(d)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, bits) => id -> ((n, bits)) }.toMap
+    assert(got == Map(1L -> ((3L, 2L)), 2L -> ((2L, 2L))))
+  }
+
   test("bloom contamination flags the docs the exact screen flags") {
     // doc 0 (0 % 97 == 0) is the benchmark slice; doc 1 shares a
     // 5-gram with it, doc 2 does not

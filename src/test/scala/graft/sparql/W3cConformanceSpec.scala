@@ -1530,6 +1530,45 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("use apply"))
   }
 
+  test("filter:out-of-scope-var — §17.2 type error, not a crash") {
+    // a FILTER over a var the pattern never binds is LEGAL; every
+    // leaf touching it evaluates to a type error → the row drops
+    assert(run(people,
+      "SELECT ?n WHERE { ?x :name ?n FILTER(?zzz > 5) }") == Set.empty)
+    assert(run(people,
+      "SELECT ?n WHERE { ?x :name ?n FILTER(STRSTARTS(?zzz, \"A\")) }") ==
+      Set.empty)
+    // BOUND of an out-of-scope var is plain FALSE (never an error):
+    // !BOUND keeps everything
+    assert(run(people,
+      "SELECT ?n WHERE { ?x :name ?n FILTER(!BOUND(?zzz)) }").size == 4)
+    assert(run(people,
+      "SELECT ?n WHERE { ?x :name ?n FILTER(BOUND(?zzz)) }") == Set.empty)
+    // error algebra: err || true = true (Alice survives), err || false
+    // = err (everyone else drops); err && anything never keeps a row
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  FILTER(STRSTARTS(?n, "A") || ?zzz > 5) }""".stripMargin) ==
+      Set(b("n" -> "Alice")))
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n
+        |  FILTER(STRSTARTS(?n, "A") && ?zzz > 5) }""".stripMargin) ==
+      Set.empty)
+    // COALESCE skips the out-of-scope argument (§17.4.1.3)
+    assert(run(people,
+      """SELECT ?n ?m WHERE { ?x :name ?n
+        |  BIND(COALESCE(?zzz, "fallback") AS ?m) }""".stripMargin)
+      .forall(_("m") == "fallback"))
+  }
+
+  test("bind:rebind-in-scope-rejected — §10.1 BIND must mint a fresh var") {
+    val e = intercept[IllegalArgumentException] {
+      Graft.sparql(people,
+        "SELECT ?n WHERE { ?x :name ?n BIND(UCASE(?n) AS ?n) }").collect()
+    }
+    assert(e.getMessage.contains("already in scope"))
+  }
+
   test("property-path:zeroone-bound-endpoints — p? between constants") {
     val data = Seq(
       ("n:1", ":p", "n:2", Option.empty[Double], true, Option.empty[String]),
