@@ -341,20 +341,37 @@ object SparqlParser extends RegexParsers {
     opt("^") ~ (iriRef | pname | rdfTypeKw) ^^ {
       case inv ~ p => (p.value, inv.isDefined)
     }
-  // a step is one atom or a parenthesized ALTERNATION of atoms
-  // (`(p1|^p2)` — §9.1 alternation nesting inside a sequence)
+  // a step is one atom, a parenthesized ALTERNATION of atoms
+  // (`(p1|^p2)`), or the INVERSE of such a group (`^(p1|p2)` ≡
+  // `(^p1|^p2)` — §9.1 inverse distributes over alternation)
   private def pathStep: Parser[PathStep] =
     pathAtom ^^ (a => PathStep(Seq(a))) |
+    "^" ~> "(" ~> rep1sep(pathAtom, "|") <~ ")" ^^
+      (as => PathStep(as.map { case (p, i) => (p, !i) })) |
     "(" ~> rep1sep(pathAtom, "|") <~ ")" ^^ (as => PathStep(as))
   private def seqPathTriple: Parser[GroupElem] =
     term ~ rep1sep(pathStep, "/") ~ term <~ opt(".") >> {
       case s ~ steps ~ o =>
-        // a single plain step is an ordinary triple; a single
-        // alternation step is PathAlt's domain (both backtrack)
-        if (steps.size == 1 &&
-          (steps.head.alts.size > 1 || !steps.head.inverse))
+        // a single ALL-FORWARD step is an ordinary triple (one atom)
+        // or PathAlt's domain (an alternation) — both backtrack; any
+        // inverse atom (`^p`, `^(p1|p2)`, `(p1|^p2)`) stays here
+        if (steps.size == 1 && steps.head.alts.forall(!_._2))
           failure("single step: ordinary triple / bare alternation")
         else success(GroupOrUnionElem(PathSeq(s, steps, o)))
+    }
+
+  /** Inverse of a parenthesized SEQUENCE: `term ^(p1/p2) term .` ≡
+    * `term ^p2/^p1 term .` — §9.1 inv(seq) reverses the steps and
+    * inverts each (alternation steps invert member-wise). Single-atom
+    * parens stay `^p`'s domain.
+    */
+  private def invSeqPathTriple: Parser[GroupElem] =
+    term ~ ("^" ~> "(" ~> rep1sep(pathStep, "/") <~ ")") ~ term <~ opt(".") >> {
+      case s ~ steps ~ o =>
+        if (steps.size < 2) failure("single-step inverse parens: use ^p")
+        else success(GroupOrUnionElem(PathSeq(s,
+          steps.reverse.map(st =>
+            PathStep(st.alts.map { case (p, i) => (p, !i) })), o)))
     }
 
   /** Modifier over a parenthesized SEQUENCE: `term (p1/p2)+ term .`
@@ -501,7 +518,7 @@ object SparqlParser extends RegexParsers {
     filterElem | optionalElem | minusElem | bindElem | valuesElem |
       graphElem | negPathTriple | pathTriple | seqModPathTriple |
       rangePathTriple | seqRangePathTriple |
-      altPathTriple | seqPathTriple |
+      altPathTriple | invSeqPathTriple | seqPathTriple |
       subSelectElem | groupOrUnion | (triplesSameSubject ^^ TriplesElem.apply)
 
   private def groupGraphPattern: Parser[Pattern] =

@@ -1664,6 +1664,31 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("x" -> "r:1", "y" -> "r:3")))
   }
 
+  test("property-path:inverse-group — ^(p1|p2) and ^(p1/p2) desugar") {
+    val data = Seq(
+      ("n:1", ":p", "n:2", Option.empty[Double], true, Option.empty[String]),
+      ("n:3", ":q", "n:2", None, true, None),
+      ("n:2", ":r", "n:4", None, true, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // ^(p|q) ≡ (^p|^q): from n:2 back over either edge
+    assert(run(data, "SELECT ?x WHERE { <n:2> ^(:p|:q) ?x }") ==
+      Set(b("x" -> "n:1"), b("x" -> "n:3")))
+    // ^(p/r) ≡ ^r/^p: from n:4 back over r then p — only n:1
+    assert(run(data, "SELECT ?x WHERE { <n:4> ^(:p/:r) ?x }") ==
+      Set(b("x" -> "n:1")))
+    // equivalence with the spelled-out forms
+    assert(run(data, "SELECT ?x ?y WHERE { ?x ^(:p|:q) ?y }") ==
+      run(data, "SELECT ?x ?y WHERE { { ?x ^:p ?y } UNION { ?x ^:q ?y } }"))
+    assert(run(data, "SELECT ?x ?y WHERE { ?x ^(:p/:r) ?y }") ==
+      run(data, "SELECT ?x ?y WHERE { ?x ^:r/^:p ?y }"))
+    // an inverse group composing INSIDE a sequence
+    assert(run(data, "SELECT ?x WHERE { <n:1> :p/^(:q) ?x }") ==
+      Set(b("x" -> "n:3")))
+    // mixed-direction single alternation step `(p|^r)` from n:2
+    assert(run(data, "SELECT ?x WHERE { <n:2> (:r|^:p) ?x }") ==
+      Set(b("x" -> "n:4"), b("x" -> "n:1")))
+  }
+
   test("exists:graph-body — FILTER EXISTS { GRAPH <g> { … } } over quads") {
     val quads = Seq(
       ("g:a", "x:1", ":n", "a", Option.empty[Double], false, Option.empty[String]),
