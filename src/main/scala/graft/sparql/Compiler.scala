@@ -963,7 +963,11 @@ object Compiler {
     case FnCall("MINUTES", Seq(a)) => dtComponent(df, a, 5)
     case FnCall("SECONDS", Seq(a)) => dtComponent(df, a, 6)
     case VIf(c, t, f) =>
-      when(exprColumn(df, c), numVExpr(df, t)).otherwise(numVExpr(df, f))
+      // §17.4.1.2: IF with an ERROR condition is an error (unbound)
+      // — two positive-match arms instead of otherwise, so a null
+      // condition (type error / out-of-scope guard) selects NEITHER
+      val cc = exprColumn(df, guardScope(df, c))
+      when(cc, numVExpr(df, t)).when(!cc, numVExpr(df, f))
     case FnCall(fn, _) =>
       throw new IllegalArgumentException(s"$fn is not numeric in BIND")
   }
@@ -1149,7 +1153,9 @@ object Compiler {
       else when(coalesce(col(iriCol(n)), lit(true)), lit(null).cast("string"))
         .otherwise(lower(coalesce(col(langCol(n)), lit(""))))
     case VIf(c, t, f) =>
-      when(exprColumn(df, c), strVExpr(df, t)).otherwise(strVExpr(df, f))
+      // §17.4.1.2: IF with an ERROR condition is an error (unbound)
+      val cc = exprColumn(df, guardScope(df, c))
+      when(cc, strVExpr(df, t)).when(!cc, strVExpr(df, f))
     case other =>
       throw new IllegalArgumentException(s"$other is not a string BIND expression")
   }
@@ -1254,6 +1260,14 @@ object Compiler {
     case Bind(input, expr, as) =>
       val df = compilePattern(triples, quads, input)
       require(!df.columns.contains(as), s"BIND ?$as: variable already in scope")
+      // §10.1 + §17.2: an expression over a variable the pattern never
+      // binds evaluates to a TYPE ERROR, and a BIND error leaves the
+      // target unbound for the row — here statically unbound for ALL
+      // rows, so bind the fill sentinel (no companions, the unbound
+      // convention) instead of letting col(missing) crash analysis.
+      // COALESCE-tolerated vars are excluded by vexprVars.
+      if (!vexprVars(expr).subsetOf(df.columns.toSet))
+        return df.withColumn(as, lit("N/A"))
       expr match {
         // plain variable copy keeps the companion columns too, so the
         // alias stays filterable/sortable exactly like its source

@@ -1559,6 +1559,16 @@ class W3cConformanceSpec extends AnyFunSuite {
       """SELECT ?n ?m WHERE { ?x :name ?n
         |  BIND(COALESCE(?zzz, "fallback") AS ?m) }""".stripMargin)
       .forall(_("m") == "fallback"))
+    // a BIND whose expression errors (out-of-scope var) leaves the
+    // target UNBOUND — the row survives, the var doesn't (§10.1)
+    val bound = run(people,
+      "SELECT ?n ?m WHERE { ?x :name ?n BIND(?zzz + 1 AS ?m) }")
+    assert(bound.size == 4 && bound.forall(!_.contains("m")))
+    // IF with an error condition is an error → unbound (§17.4.1.2)
+    val ifb = run(people,
+      """SELECT ?n ?m WHERE { ?x :name ?n
+        |  BIND(IF(?zzz > 5, "a", "b") AS ?m) }""".stripMargin)
+    assert(ifb.size == 4 && ifb.forall(!_.contains("m")))
   }
 
   test("bind:rebind-in-scope-rejected — §10.1 BIND must mint a fresh var") {
