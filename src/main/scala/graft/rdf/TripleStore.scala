@@ -29,7 +29,7 @@ object TripleStore {
   }
 
   def triples(spark: SparkSession, sfDir: String): DataFrame =
-    sessionCache(spark).getOrElseUpdate(sfDir,
+    sessionCache(spark).getOrElseUpdate(sfDir, TripleStats.register(
       // an RDF graph is a SET of triples: duplicate source rows (they
       // exist — sf0.001 has a duplicated lineitem quad) must not yield
       // duplicate triples. tpchTriplesSet guarantees that WITHOUT a
@@ -39,14 +39,17 @@ object TripleStore {
       // wide-string distinct shuffle this replaces was ~85% of the
       // store build time.
       RdfModel.tpchTriplesSet(spark, sfDir)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persist(StorageLevel.MEMORY_AND_DISK)))
 
   /** Dimension-only slice (no lineitem facts) — a filter over the
-    * shared cached relation, not a second materialization.
+    * shared cached relation, not a second materialization. Cached as
+    * ONE instance per (session, sfDir) so [[TripleStats]]' identity-
+    * keyed registry serves its profile to every query over it.
     */
   def dimensionTriples(spark: SparkSession, sfDir: String): DataFrame =
-    triples(spark, sfDir)
-      .filter(!org.apache.spark.sql.functions.col("s").startsWith("line:"))
+    sessionCache(spark).getOrElseUpdate("dim:" + sfDir,
+      TripleStats.register(triples(spark, sfDir)
+        .filter(!org.apache.spark.sql.functions.col("s").startsWith("line:"))))
 
   /** Drop the cached in-memory triple relation for (session, sfDir).
     * Bench warmup materializes the parquet layouts — which derives
@@ -115,7 +118,7 @@ object TripleStore {
       // runs don't accumulate dead copies in the temp dir
       reapOnExit(dir)
       writePartitioned(triples(spark, sfDir), dir.getAbsolutePath)
-      readPartitioned(spark, dir.getAbsolutePath)
+      TripleStats.register(readPartitioned(spark, dir.getAbsolutePath))
     })
 
   // ONE shutdown hook draining a list — per-materialization hooks
@@ -200,6 +203,6 @@ object TripleStore {
       reapOnExit(new java.io.File(
         new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
           .getPath, table))
-      spark.table(table)
+      TripleStats.register(spark.table(table))
     })
 }

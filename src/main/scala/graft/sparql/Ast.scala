@@ -125,6 +125,16 @@ object Ast {
   private[sparql] final case class ConstBool(b: Boolean) extends Expr
 
   sealed trait Pattern
+  /** Compiler-internal, never parsed: a pre-compiled solution
+    * relation spliced into a pattern tree. Carries the OUTER group's
+    * bindings of the named variables into a correlated EXISTS body
+    * (§8.1.1 substitution), so a FILTER inside the body evaluates
+    * against each outer binding instead of degrading to a constant
+    * type error under the §17.2 scope guard.
+    */
+  private[sparql] final case class PreBound(
+      frame: org.apache.spark.sql.DataFrame,
+      vars: Seq[String]) extends Pattern
   final case class Bgp(patterns: Seq[TriplePattern]) extends Pattern
   final case class Filter(exprs: Seq[Expr], input: Pattern) extends Pattern
   /** OPTIONAL: right side is a BGP (+ filters), reference fills

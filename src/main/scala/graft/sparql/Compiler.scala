@@ -138,20 +138,89 @@ object Compiler {
     * always extend with a pattern sharing a variable (avoids
     * accidental cartesian products when the BGP is connected).
     */
-  private def orderPatterns(ps: Seq[TriplePattern]): Seq[TriplePattern] = {
+  private[sparql] def orderPatterns(triples: DataFrame,
+                                    ps: Seq[TriplePattern]): Seq[TriplePattern] = {
     if (ps.size <= 1) return ps
-    val remaining = scala.collection.mutable.ListBuffer(ps.sortBy(-selectivity(_)): _*)
-    val out = Seq.newBuilder[TriplePattern]
-    var boundVars = Set.empty[String]
-    while (remaining.nonEmpty) {
-      val next = remaining.find(p => boundVars.isEmpty || vars(p).intersect(boundVars).nonEmpty)
-        .getOrElse(remaining.head) // disconnected BGP: cartesian is semantically required
-      remaining -= next
-      out += next
-      boundVars ++= vars(next)
+    statsOf(triples) match {
+      case Some(stats) =>
+        // stats-driven greedy: start from the pattern with the
+        // SMALLEST estimated scan (real per-predicate counts), always
+        // extend with the smallest-estimate connected pattern; the
+        // static bound-term weight breaks ties so equal-count
+        // patterns keep the heuristic order. At 100× scale joining
+        // the rare predicate's slice first bounds every intermediate
+        // by ~|rare| instead of ~|hot|.
+        val total = stats.valuesIterator.map(_.n).sum
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          ps.map(p => (p, estimateRows(stats, total, p))): _*)
+        val out = Seq.newBuilder[TriplePattern]
+        var boundVars = Set.empty[String]
+        while (remaining.nonEmpty) {
+          val connected = remaining.filter(c =>
+            boundVars.isEmpty || vars(c._1).intersect(boundVars).nonEmpty)
+          val pool = if (connected.nonEmpty) connected else remaining
+          val next = pool.minBy(c => (c._2, -selectivity(c._1)))
+          remaining -= next
+          out += next._1
+          boundVars ++= vars(next._1)
+        }
+        out.result()
+      case None =>
+        val remaining = scala.collection.mutable.ListBuffer(ps.sortBy(-selectivity(_)): _*)
+        val out = Seq.newBuilder[TriplePattern]
+        var boundVars = Set.empty[String]
+        while (remaining.nonEmpty) {
+          val next = remaining.find(p => boundVars.isEmpty || vars(p).intersect(boundVars).nonEmpty)
+            .getOrElse(remaining.head) // disconnected BGP: cartesian is semantically required
+          remaining -= next
+          out += next
+          boundVars ++= vars(next)
+        }
+        out.result()
     }
-    out.result()
   }
+
+  /** The registered per-predicate profile of the relation, if any
+    * (empty profiles — a cleared weak ref — read as none).
+    */
+  private def statsOf(triples: DataFrame)
+      : Option[Map[String, graft.rdf.TripleStats.PredStat]] =
+    graft.rdf.TripleStats.forFrame(triples).filter(_.nonEmpty)
+
+  /** Estimated solution rows of ONE pattern's scan against a profiled
+    * relation: the predicate's actual triple count, divided by its
+    * distinct-subject / distinct-object count per bound endpoint
+    * (uniformity assumption — the standard first-order cardinality
+    * model). A constant predicate absent from the data estimates 0:
+    * its scan is provably empty and should lead the join chain.
+    */
+  private def estimateRows(stats: Map[String, graft.rdf.TripleStats.PredStat],
+                           total: Long, tp: TriplePattern): Double = {
+    val (n, ns, no) = tp.p match {
+      case Iri(pv) => stats.get(pv) match {
+        case Some(st) => (st.n.toDouble,
+          st.nSubjects.toDouble.max(1.0), st.nObjects.toDouble.max(1.0))
+        case None => (0.0, 1.0, 1.0)
+      }
+      case _ =>
+        // variable predicate: the whole relation; endpoint fan-in
+        // approximated by the summed per-predicate distinct counts
+        (total.toDouble,
+          stats.valuesIterator.map(_.nSubjects).sum.toDouble.max(1.0),
+          stats.valuesIterator.map(_.nObjects).sum.toDouble.max(1.0))
+    }
+    val sFactor = tp.s match { case Var(_) => 1.0; case _ => ns }
+    val oFactor = tp.o match { case Var(_) => 1.0; case _ => no }
+    n / sFactor / oFactor
+  }
+
+  /** A pattern scan estimated at or under this many rows gets a
+    * broadcast hint: its join never shuffles the big side. Sized so
+    * the hinted relation (3-4 short string columns) stays well under
+    * a 10 MB broadcast budget; AQE still upgrades larger sides to
+    * broadcast at runtime when their measured size allows.
+    */
+  private val broadcastRows = 100000L
 
   /** All variables a pattern can bind in its solution frame. */
   private def allVars(p: Pattern): Set[String] = p match {
@@ -171,6 +240,7 @@ object Compiler {
     case Bind(in, _, as) => allVars(in) + as
     case ValuesPattern(vs, _) => vs.map(_.name).toSet
     case SubSelect(q) => subSelectVars(q)
+    case PreBound(_, vs) => vs.toSet
     case other =>
       // path forms: variable endpoints
       val ts: Seq[Term] = other match {
@@ -632,7 +702,26 @@ object Compiler {
 
   private def compileBgp(triples: DataFrame, ps: Seq[TriplePattern]): DataFrame =
     if (ps.isEmpty) unitTable(triples)
-    else orderPatterns(ps).map(patternDf(triples, _)).reduceLeft(joinOnVars(_, _))
+    else {
+      val ordered = orderPatterns(triples, ps)
+      val hinted = statsOf(triples) match {
+        case Some(stats) =>
+          // broadcast-hint the pattern sides whose ESTIMATED scan is
+          // small (real stats, not hope): their joins hash-broadcast
+          // instead of shuffling the big side, and the hint reaches
+          // the initial plan — before AQE's first shuffle would have
+          // measured it
+          val total = stats.valuesIterator.map(_.n).sum
+          ordered.map { tp =>
+            val df = patternDf(triples, tp)
+            if (estimateRows(stats, total, tp) <= broadcastRows)
+              broadcast(df)
+            else df
+          }
+        case None => ordered.map(patternDf(triples, _))
+      }
+      hinted.reduceLeft(joinOnVars(_, _))
+    }
 
   /** GRAPH-scoped BGP over the quad relation: a constant graph prunes
     * to its slice BEFORE any pattern filter (at cluster scale the quad
@@ -645,7 +734,7 @@ object Compiler {
     case Iri(gv) => compileBgp(quads.filter(col("g") === gv).drop("g"), ps)
     case Var(gn) =>
       if (ps.isEmpty) quads.select(col("g").as(gn)).distinct()
-      else orderPatterns(ps).map(patternDf(quads, _, Some(gn)))
+      else orderPatterns(quads, ps).map(patternDf(quads, _, Some(gn)))
         .reduceLeft(joinOnVars(_, _))
     case _ =>
       throw new IllegalArgumentException("literal graph name")
@@ -663,7 +752,17 @@ object Compiler {
     case Arith(_, l, r) => vexprVars(l) ++ vexprVars(r)
     case FnCall("COALESCE", _) => Set.empty
     case FnCall(_, as) => as.flatMap(vexprVars).toSet
-    case VIf(c, t, f) => exprVars(c) ++ vexprVars(t) ++ vexprVars(f)
+    // IF evaluates only the CHOSEN branch (§17.4.1.2), so an
+    // out-of-scope var in the other branch must not statically
+    // unbind the whole expression — the defaulting idiom
+    // BIND(IF(BOUND(?x), ?x, "default") AS ?y) is exactly that. The
+    // condition too contributes nothing here: its compile runs
+    // through [[guardScope]] (BOUND of a missing var is FALSE, other
+    // missing-var leaves are per-row type errors selecting neither
+    // branch), and the branch compiles are null-safe on missing
+    // columns — so the error surfaces per-row, as the spec demands,
+    // not statically for all rows.
+    case VIf(_, _, _) => Set.empty
     case _ => Set.empty
   }
 
@@ -741,14 +840,17 @@ object Compiler {
     case LangCmp(eq, v, tag) =>
       // lang() of a non-literal binding is a SPARQL type error, which
       // FILTER treats as false; a plain literal's language is "".
-      // The data-side tag lowercases (the RDF 1.1 term component is
-      // lowercase — @EN and @en are one term); the QUERY constant
-      // stays verbatim, so lang(?v) = "EN" is false per §17.4.2.4's
-      // codepoint equality while = "en" matches either spelling
+      // BOTH sides lowercase: RDF 1.1 §3.3 defines the term's
+      // language component over the lowercase value space (@EN and
+      // @en are one term), and the triple-pattern tagged-literal
+      // match (patternDf) already compares that way — so
+      // lang(?v) = "en-US" matches data tagged @en-US (BCP47's
+      // canonical casing) instead of silently returning zero rows.
       if (!df.columns.contains(langCol(v.name))) lit(false)
       else {
         val l = lower(coalesce(col(langCol(v.name)), lit("")))
-        if (eq) l === tag else l =!= tag
+        val t = tag.toLowerCase
+        if (eq) l === t else l =!= t
       }
     case LangMatches(v, range) =>
       // RFC 4647 basic filtering, case-insensitive: "*" passes every
@@ -876,6 +978,59 @@ object Compiler {
     case _ => false
   }
 
+  /** §8.1.1 substitution for correlated EXISTS / NOT EXISTS bodies:
+    * a FILTER inside the body may reference a variable bound ONLY by
+    * the outer group (the body's patterns never bind it). The spec
+    * evaluates the body once per outer solution with that binding
+    * substituted; relationally, splice the outer frame's DISTINCT
+    * bindings of exactly the correlated variables into the filter's
+    * input (a [[Ast.PreBound]] leaf joined in), so the filter
+    * evaluates against each outer value and the correlated columns
+    * ride the body's frame — keying the semi/anti/flag join back to
+    * the outer rows. Without this the §17.2 scope guard degrades the
+    * filter to a constant type error, making EXISTS constant-false.
+    *
+    * Scale shape: the spliced relation is the outer distinct
+    * projection onto the few correlated vars (+ companions) — value-
+    * domain-sized, joined (or theta-filtered by Catalyst when
+    * disjoint) before the flag join; never a row-at-a-time subquery.
+    * Scope walls respected: MINUS right sides and sub-SELECTs are
+    * not substituted into (§8.3 MINUS does not see outer bindings —
+    * the normative MINUS/NOT-EXISTS divergence).
+    */
+  private def substituteOuter(outer: DataFrame, p: Pattern): Pattern = {
+    val outerVars = outer.columns.filterNot(isCompanion).toSet
+    def refVars(e: Expr): Set[String] = e match {
+      case And(a, b) => refVars(a) ++ refVars(b)
+      case Or(a, b) => refVars(a) ++ refVars(b)
+      case Not(x) => refVars(x)
+      case Bound(v) => Set(v.name)
+      case leaf => exprVars(leaf)
+    }
+    def walk(p: Pattern): Pattern = p match {
+      case Filter(exprs, input) =>
+        val in2 = walk(input)
+        val need = exprs.flatMap(refVars).toSet
+          .diff(allVars(in2)).intersect(outerVars)
+        if (need.isEmpty) Filter(exprs, in2)
+        else {
+          val vs = need.toSeq.sorted
+          val cols = vs.flatMap(v => Seq(v, numCol(v), langCol(v), iriCol(v))
+            .filter(outer.columns.contains))
+          Filter(exprs, Join(
+            PreBound(outer.select(cols.map(col): _*).distinct(), vs), in2))
+        }
+      case LeftJoin(l, r) => LeftJoin(walk(l), walk(r))
+      case Union(l, r) => Union(walk(l), walk(r))
+      case Join(l, r) => Join(walk(l), walk(r))
+      case Minus(l, r) => Minus(walk(l), r)
+      case Bind(in, e, as) => Bind(walk(in), e, as)
+      case GraphGroup(g, in) => GraphGroup(g, walk(in))
+      case other => other
+    }
+    walk(p)
+  }
+
   /** Rewrite every EXISTS / NOT EXISTS inside a compound filter
     * expression to an [[ExistsFlag]] marker, binding each marker with
     * one flag left-join: the body compiles once, projects to its
@@ -891,7 +1046,7 @@ object Compiler {
     var markers = Vector.empty[String]
     def bind(p: Pattern, neg: Boolean): Expr = {
       val name = s"__exists_${markers.size}"
-      val sub = compilePattern(triples, quads, p)
+      val sub = compilePattern(triples, quads, substituteOuter(df0, p))
       val shared = df0.columns.intersect(sub.columns).filterNot(isCompanion)
       val flagged =
         if (shared.isEmpty) sub.limit(1).select(lit(true).as(name))
@@ -1201,14 +1356,21 @@ object Compiler {
             "name the graph or restrict the body to triple patterns")
       }
     case Bgp(ps) => compileBgp(triples, ps)
+    case PreBound(frame, _) => frame
     case Filter(exprs, input) =>
       exprs.foldLeft(compilePattern(triples, quads, input)) {
         // top-level EXISTS / NOT EXISTS: the body is a full group
-        // pattern (r12); the filter IS a semi/anti join on shared vars
+        // pattern (r12); the filter IS a semi/anti join on shared
+        // vars — correlated FILTER-only vars spliced in first
+        // (§8.1.1 substitution) so they key the semi/anti join too
         case (df, Exists(p)) =>
-          joinOnVars(df, compilePattern(triples, quads, p), "left_semi")
+          joinOnVars(df,
+            compilePattern(triples, quads, substituteOuter(df, p)),
+            "left_semi")
         case (df, NotExists(p)) =>
-          joinOnVars(df, compilePattern(triples, quads, p), "left_anti")
+          joinOnVars(df,
+            compilePattern(triples, quads, substituteOuter(df, p)),
+            "left_anti")
         // EXISTS nested inside &&/||/!: each occurrence binds a
         // boolean marker via ONE distinct-projected flag left-join,
         // then the whole expression filters over the markers — never
@@ -1362,12 +1524,15 @@ object Compiler {
         .map(compilePattern(triples, quads, _))
       // a var lands in subject position in one branch (no companions)
       // and object position in another (full companions) when the
-      // choices differ in direction — union on the COMMON columns, so
-      // every branch exposes the subject convention for such vars
-      val common = branches.map(_.columns.toSet).reduce(_ intersect _)
-      branches
-        .map(df => df.select(df.columns.filter(common).map(col): _*))
-        .reduce(_.unionByName(_))
+      // choices differ in direction — pad the MISSING companions with
+      // typed nulls per branch (the Union case's convention) instead
+      // of dropping to the common column set: the branches that DO
+      // bind the endpoint in object position keep their numeric/lang/
+      // is-IRI companions, so a downstream FILTER(?y > 5) or tiered
+      // ORDER BY still sees them; subject-position rows carry null
+      // companions, which read as "resource term / no numeric value"
+      // exactly like a subject binding elsewhere
+      padUnion(branches)
     case PathSeq(s, steps, o) =>
       // desugar to the BGP chain s step1 ?__path1 . ?__path1 step2 … o
       // (an inverse step swaps its pattern's endpoints); the fresh
@@ -1823,14 +1988,30 @@ object Compiler {
     val keep = (projCols ++ sortExtras).flatMap { c =>
       Seq(c) ++ (if (df.columns.contains(numCol(c))) Seq(numCol(c)) else Nil) ++
         // the §15.1 term-kind tier sorts on the is-IRI companion —
-        // keep it for sort vars (non-DISTINCT only: distinctness is
-        // defined over the projection, and the tier check below falls
-        // back to the untiered key when the companion is gone)
-        (if (!q.distinct && q.orderBy.exists(_._1 == c) &&
+        // keep it for sort vars; under DISTINCT it is carried THROUGH
+        // the distinct below (grouped out, max-aggregated back) so
+        // SELECT DISTINCT … ORDER BY over mixed term kinds still
+        // tiers instead of falling back to untiered lexical order
+        (if (q.orderBy.exists(_._1 == c) &&
           df.columns.contains(iriCol(c))) Seq(iriCol(c)) else Nil)
     }
     df = df.select(keep.distinct.map(col): _*)
-    if (q.distinct) df = df.distinct()
+    if (q.distinct) {
+      // distinctness is defined over the PROJECTION (§18.2.5.2): the
+      // numeric companions are functionally dependent on the lexical
+      // forms so a plain distinct over them is safe, but the is-IRI
+      // tier companion must not split groups — group by everything
+      // else and re-derive it (max: if any surviving duplicate was an
+      // IRI the row tiers as one; lexical collisions across kinds are
+      // the engine's standing lexical-distinctness convention)
+      val tierCols = df.columns.filter(isIriCol).toSeq
+      if (tierCols.isEmpty) df = df.distinct()
+      else {
+        val groupCols = df.columns.filterNot(tierCols.contains).toSeq
+        val aggs = tierCols.map(c => max(col(c)).as(c))
+        df = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+    }
     if (q.orderBy.nonEmpty) {
       // order by the numeric companion THEN the lexical form: a
       // numeric binding sorts by value, while a string/IRI binding

@@ -831,6 +831,9 @@ object SparqlParser extends RegexParsers {
     case PathAlt(s, preds, o) =>
       PathAlt(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
     case SubSelect(q) => SubSelect(q.copy(where = rewritePattern(q.where, f)))
+    // compiler-internal splice; never present in a parsed tree and
+    // carries no IRIs to rewrite
+    case pb: PreBound => pb
   }
 
   private def finish[T](res: ParseResult[T]): T = res match {

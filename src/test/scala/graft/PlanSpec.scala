@@ -1281,6 +1281,25 @@ class PlanSpec extends AnyFunSuite {
       "branches must compile to equi-joins")
   }
 
+  test("stats-driven BGP order: rare predicate's scan leads; small sides broadcast") {
+    // the per-predicate profile (TripleStats) must drive the join
+    // chain: :inRegion (25 rows) leads despite being syntactically
+    // second, and the stats-hinted small sides broadcast — at 100×
+    // scale this bounds every intermediate by ~|rare| instead of
+    // ~|hot| and removes the shuffle entirely
+    val store = graft.rdf.TripleStore.triples(spark, dir)
+    val p = Graft.sparql(store,
+      "SELECT ?x WHERE { ?x rdf:type ?t . ?x :inRegion ?r }")
+      .queryExecution.executedPlan.toString
+    val iRare = p.indexOf(":inRegion")
+    val iHot = p.indexOf("rdf:type")
+    assert(iRare >= 0 && iHot >= 0, "both pattern filters must appear in the plan")
+    assert(iRare < iHot,
+      "the rare predicate's pattern must lead the join chain")
+    assert(p.contains("BroadcastHashJoin"),
+      "stats-hinted small pattern sides must broadcast")
+  }
+
   test("text_contamination_bloom: join-free screen, distributed build") {
     // the Bloom screen's whole point: the corpus side is ONE narrow
     // codegen pass (filter on bloom_contains) plus the per-doc count

@@ -23,6 +23,21 @@ class CompilerSpec extends AnyFunSuite {
   private def v(n: String) = Var(n)
   private def tp(s: Term, p: String, o: Term) = TriplePattern(s, Iri(p), o)
 
+  test("stats-driven BGP ordering: rare predicate leads the join chain") {
+    // the canonical store is registered with TripleStats; :inRegion
+    // has 25 triples while rdf:type covers every subject — with the
+    // hot pattern listed FIRST, the static bound-term heuristic
+    // (equal weights, stable order) would keep it there; real
+    // per-predicate counts must flip the order
+    val store = graft.rdf.TripleStore.triples(spark, SharedSpark.sfDir)
+    val hot = tp(v("x"), "rdf:type", v("t"))
+    val rare = tp(v("x"), ":inRegion", v("r"))
+    assert(Compiler.orderPatterns(store, Seq(hot, rare)) == Seq(rare, hot))
+    // an unregistered frame keeps the static heuristic: equal
+    // weights, syntactic order preserved
+    assert(Compiler.orderPatterns(triples, Seq(hot, rare)) == Seq(hot, rare))
+  }
+
   test("BGP star join binds shared subject var") {
     val q = SelectQuery(
       where = Bgp(Seq(tp(v("x"), ":name", v("n")), tp(v("x"), ":age", v("a")))),

@@ -1480,10 +1480,12 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(run(casedTags,
       """SELECT ?x WHERE { ?x :label ?v FILTER(lang(?v) = "en") }""") ==
       Set(b("x" -> "x:1"), b("x" -> "x:2")))
-    // … so comparing against an uppercase constant is codepoint-false
+    // … and the `=` comparison runs over the same lowercase value
+    // space on BOTH sides (r15, matching the triple-pattern tagged-
+    // literal match): an uppercase query constant still matches
     assert(run(casedTags,
       """SELECT ?x WHERE { ?x :label ?v FILTER(lang(?v) = "EN") }""") ==
-      Set.empty[Map[String, String]])
+      Set(b("x" -> "x:1"), b("x" -> "x:2")))
     // LANGMATCHES stays RFC 4647 case-insensitive incl. subtags
     assert(run(casedTags,
       """SELECT ?x WHERE { ?x :label ?v FILTER(LANGMATCHES(LANG(?v), "EN")) }""") ==
@@ -1787,5 +1789,104 @@ class W3cConformanceSpec extends AnyFunSuite {
       .select("g", "s", "o")) ==
       Set(b("g" -> "g:c", "s" -> "x:1", "o" -> "a"),
         b("g" -> "g:c", "s" -> "x:2", "o" -> "b")))
+  }
+
+  // ---- r15 batch: BIND/IF defaulting, correlated EXISTS (§8.1.1
+  // ---- substitution), alternation-in-sequence companions, lang-tag
+  // ---- region subtags, §15.1 tier under DISTINCT -------------------
+
+  test("bind:if-bound-default — out-of-scope var in one branch stays per-row") {
+    // the defaulting idiom: the then-branch references a var the
+    // pattern NEVER binds; the spec evaluates only the chosen branch,
+    // so every row takes the else value — not static unbound
+    assert(run(people,
+      """SELECT ?n ?y WHERE { ?x :name ?n .
+        |BIND(IF(BOUND(?nope), ?nope, "fallback") AS ?y) }""".stripMargin) ==
+      Set(b("n" -> "Alice", "y" -> "fallback"),
+        b("n" -> "Bob", "y" -> "fallback"),
+        b("n" -> "Carol", "y" -> "fallback"),
+        b("n" -> "Dave", "y" -> "fallback")))
+  }
+
+  test("bind:if-bound-optional — per-row branch choice over an OPTIONAL var") {
+    assert(run(people,
+      """SELECT ?n ?y WHERE { ?x :name ?n OPTIONAL { ?x :mbox ?m }
+        |BIND(IF(BOUND(?m), ?m, "none") AS ?y) }""".stripMargin) ==
+      Set(b("n" -> "Alice", "y" -> "mailto:alice@work.example"),
+        b("n" -> "Bob", "y" -> "mailto:bob@work.example"),
+        b("n" -> "Carol", "y" -> "none"),
+        b("n" -> "Dave", "y" -> "none")))
+  }
+
+  test("negation:exists-correlated — body FILTER reads an outer-only var") {
+    // §8.1.1 substitution: ?a is bound ONLY by the outer group; the
+    // EXISTS body evaluates per outer solution with ?a substituted
+    assert(run(people,
+      """SELECT ?x WHERE { ?x :age ?a .
+        |FILTER EXISTS { ?x :knows ?y . FILTER(?a > 28) } }""".stripMargin) ==
+      Set(b("x" -> "p:alice"), b("x" -> "p:bob")))
+    assert(run(people,
+      """SELECT ?x WHERE { ?x :age ?a .
+        |FILTER NOT EXISTS { ?x :knows ?y . FILTER(?a > 28) } }""".stripMargin) ==
+      Set(b("x" -> "p:carol")))
+  }
+
+  test("negation:exists-correlated-disjoint — body shares NO pattern var") {
+    // exists someone strictly younger: the correlated ?a is the only
+    // link between outer and body (the flag join keys on it alone)
+    assert(run(people,
+      """SELECT ?x WHERE { ?x :age ?a .
+        |FILTER EXISTS { ?p2 :age ?a2 . FILTER(?a2 < ?a) } }""".stripMargin) ==
+      Set(b("x" -> "p:alice"), b("x" -> "p:bob")))
+  }
+
+  test("negation:exists-correlated-marker — correlated EXISTS nested in &&") {
+    assert(run(people,
+      """SELECT ?x WHERE { ?x :age ?a .
+        |FILTER(?a < 35 && EXISTS { ?x :knows ?y . FILTER(?a > 28) }) }""".stripMargin) ==
+      Set(b("x" -> "p:alice")))
+  }
+
+  test("negation:not-exists-correlated-optional — outer var from OPTIONAL") {
+    // Dave has no age: the substituted ?a is unbound for his row, the
+    // body filter type-errors to false, the body is empty, NOT EXISTS
+    // keeps him (§17.2 error algebra composed with §8.1.1)
+    assert(run(people,
+      """SELECT ?x WHERE { ?x :name ?n OPTIONAL { ?x :age ?a }
+        |FILTER NOT EXISTS { ?x :knows ?y . FILTER(?a > 28) } }""".stripMargin) ==
+      Set(b("x" -> "p:carol"), b("x" -> "p:dave")))
+  }
+
+  test("path:alt-in-seq-companions — numeric FILTER after mixed-direction alternation") {
+    // forward branch :knows/:age binds ?v in OBJECT position (numeric
+    // companion rides); inverse branch :knows/^:knows binds it in
+    // subject position (companion padded null → type error → false).
+    // The forward branch's companion must survive the branch union.
+    assert(run(people,
+      """SELECT ?x ?v WHERE { ?x :knows/(:age|^:knows) ?v .
+        |FILTER(?v > 28) }""".stripMargin) ==
+      Set(b("x" -> "p:alice", "v" -> "40")))
+  }
+
+  test("lang:region-subtag — lang(?v) = \"en-US\" matches BCP47 canonical casing") {
+    // both sides compare over RDF 1.1's lowercase value space — the
+    // same posture as the tagged-literal triple-pattern match
+    assert(run(casedTags,
+      """SELECT ?x WHERE { ?x :label ?l . FILTER(lang(?l) = "en-US") }""") ==
+      Set(b("x" -> "x:4")))
+    assert(run(casedTags,
+      """SELECT ?x WHERE { ?x :label ?l . FILTER(lang(?l) = "EN") }""") ==
+      Set(b("x" -> "x:1"), b("x" -> "x:2")))
+  }
+
+  test("order:distinct-term-kinds — §15.1 tier survives DISTINCT") {
+    import spark.implicits._
+    val vs = Graft.sparql(mixedKinds,
+      "SELECT DISTINCT ?v WHERE { ?x :v ?v } ORDER BY ?v")
+      .as[String].collect().toSeq
+    // blank < IRIs (lexical within the tier) < literal — lexical
+    // order would interleave (apple before zz:iri2)
+    assert(vs == Seq("_:b1", "ab:iri1", "zz:iri2", "apple"),
+      s"tiered DISTINCT order, got $vs")
   }
 }
