@@ -2,7 +2,6 @@ package graft.inference
 
 import graft.graphx.Analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** owl:sameAs identity resolution ("smushing"): every sameAs-connected
@@ -37,8 +36,15 @@ object SameAs {
       .select(xxhash64(col("uri")).as("id"), col("uri"))
     val comp = Analytics.componentsById(spark,
       sameAs.select(xxhash64(col("s")).as("src"), xxhash64(col("o")).as("dst")))
-    verts.join(comp, Seq("id"))
-      .withColumn("canon", min(col("uri")).over(Window.partitionBy(col("comp"))))
+    // per-component canon via groupBy + join back, NOT a window: real
+    // identity graphs are one giant component plus dust, and a window
+    // over comp sorts the whole blob inside ONE task; the groupBy
+    // partial-aggregates map-side (min folds before the shuffle) and
+    // the join back is a keyed equi-join AQE can skew-split
+    val membership = verts.join(comp, Seq("id"))
+    val canons = membership.groupBy(col("comp"))
+      .agg(min(col("uri")).as("canon"))
+    membership.join(canons, Seq("comp"))
       .select(col("uri"), col("canon"))
       .filter(col("uri") =!= col("canon"))
   }

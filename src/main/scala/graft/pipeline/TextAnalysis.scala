@@ -896,17 +896,29 @@ object TextAnalysis {
     * (what a perplexity filter drops), the low tail is boilerplate.
     *
     * Scale shape: one token explode, a vocabulary-keyed count fold
-    * (partial-agg), one corpus-linear join of tokens against the
-    * vocabulary table, a broadcast total, and a per-doc partial agg —
-    * no quadratic anything, no driver math.
+    * (partial-agg — skew-safe, map-side combine absorbs the Zipf
+    * head), then the bm25 head-broadcast idiom for the token↔vocab
+    * join: the TOP-K vocabulary rows (the Zipf head — "the" alone is
+    * ~5% of any English corpus) broadcast and join map-side, so only
+    * TAIL tokens — whose per-key multiplicity is bounded by the
+    * head cutoff — ever shuffle keyed by token. A single token-keyed
+    * join of the full stream would put the hottest key's entire
+    * occurrence list in one reducer at 100 TB. Broadcast total, then
+    * a per-doc partial agg — no quadratic anything, no driver math.
     */
-  def unigramSurprisal(docs: DataFrame): DataFrame = {
+  def unigramSurprisal(docs: DataFrame, headK: Int = 10000): DataFrame = {
     val toks = docs.select(col("doc_id"),
         explode(wsTokens(lower(col("text")))).as("tok"))
       .filter(col("tok") =!= "")
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("ntok"))
     val total = uni.agg(sum(col("ntok")).as("nn"))
-    toks.join(uni, "tok")
+    val head = uni.orderBy(col("ntok").desc, col("tok")).limit(headK)
+    val headJoined = toks.join(broadcast(head), Seq("tok"))
+    val tailJoined = toks
+      .join(broadcast(head.select(col("tok"))), Seq("tok"), "left_anti")
+      .join(uni.join(broadcast(head.select(col("tok"))), Seq("tok"), "left_anti"),
+        Seq("tok"))
+    headJoined.unionByName(tailJoined)
       .crossJoin(broadcast(total))
       .withColumn("bits", length(bin(expr("nn div ntok"))) - 1)
       .groupBy(col("doc_id"))

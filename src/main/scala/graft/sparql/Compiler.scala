@@ -723,6 +723,37 @@ object Compiler {
       hinted.reduceLeft(joinOnVars(_, _))
     }
 
+  /** Push a variable graph term into every BGP of a group body, so
+    * the graph name rides each pattern as a joined column (the
+    * column-threading that makes `GRAPH ?g { general body }` one
+    * relational pass). Returns None when the body contains a node the
+    * column cannot thread through — path closures, sub-SELECTs,
+    * inline VALUES (whose rows would need per-graph replication) —
+    * in which case the caller enumerates named graphs instead.
+    * Nested GRAPH nodes pass through UNTOUCHED: they re-scope to
+    * their own graph term (§13.3), not ours.
+    */
+  private def threadGraphVar(gn: String, p: Pattern): Option[Pattern] = p match {
+    case Bgp(ps) => Some(GraphBgp(Var(gn), ps))
+    case Filter(es, in) => threadGraphVar(gn, in).map(Filter(es, _))
+    case LeftJoin(l, r) => for {
+      l2 <- threadGraphVar(gn, l); r2 <- threadGraphVar(gn, r)
+    } yield LeftJoin(l2, r2)
+    case Union(l, r) => for {
+      l2 <- threadGraphVar(gn, l); r2 <- threadGraphVar(gn, r)
+    } yield Union(l2, r2)
+    case Join(l, r) => for {
+      l2 <- threadGraphVar(gn, l); r2 <- threadGraphVar(gn, r)
+    } yield Join(l2, r2)
+    case Minus(l, r) => for {
+      l2 <- threadGraphVar(gn, l); r2 <- threadGraphVar(gn, r)
+    } yield Minus(l2, r2)
+    case Bind(in, e, as) => threadGraphVar(gn, in).map(Bind(_, e, as))
+    case gb: GraphBgp => Some(gb)
+    case gg: GraphGroup => Some(gg)
+    case _ => None
+  }
+
   /** GRAPH-scoped BGP over the quad relation: a constant graph prunes
     * to its slice BEFORE any pattern filter (at cluster scale the quad
     * table is partitioned by graph, so this is partition pruning); a
@@ -1351,9 +1382,47 @@ object Compiler {
           // sub-pattern, so paths/OPTIONAL/FILTER compose unchanged;
           // nested GRAPH groups still see the full named dataset
           compilePattern(qd.filter(col("g") === gv).drop("g"), quads, inner)
+        case Var(gn) =>
+          // §13.3 variable graph over a GENERAL body: thread the
+          // graph column through the group — every BGP becomes a
+          // graph-aware pattern emitting ?g, and the group's natural
+          // joins (incl. OPTIONAL/MINUS compat machinery) align it,
+          // so the whole body evaluates per named graph in ONE pass
+          // over the quad relation, no per-graph loop. ?g is bound by
+          // every threaded pattern, so it is never maybe-unbound and
+          // the compat mask split ignores it correctly.
+          threadGraphVar(gn, inner) match {
+            case Some(threaded) if allVars(threaded).contains(gn) =>
+              compilePattern(triples, quads, threaded)
+            case Some(threaded) =>
+              // a body binding no graph-linked variable (e.g. a bare
+              // VALUES-free filter group): every named graph yields
+              // the body's solutions with ?g bound to its name
+              compilePattern(triples, quads, Join(
+                PreBound(qd.select(col("g").as(gn)).distinct(), Seq(gn)),
+                threaded))
+            case None =>
+              // bodies with closure operators (property paths) or a
+              // sub-SELECT evaluate PER NAMED GRAPH against that
+              // graph's slice — graph names are metadata-scale (like
+              // predicates), so the branch count is small and each
+              // branch keeps the constant-graph machinery's pruning
+              val graphs = qd.select(col("g")).distinct()
+                .collect().map(_.getString(0)).sorted.toSeq
+              if (graphs.isEmpty)
+                compilePattern(qd.filter(lit(false)).drop("g"), quads, inner)
+                  .withColumn(gn, lit(null).cast("string"))
+              else padUnion(graphs.map { gv =>
+                val sub = compilePattern(
+                  qd.filter(col("g") === gv).drop("g"), quads, inner)
+                // GRAPH ?g { … ?g … }: a body occurrence of the graph
+                // var constrains this slice's rows to it
+                if (sub.columns.contains(gn)) sub.filter(col(gn) === gv)
+                else sub.withColumn(gn, lit(gv))
+              })
+          }
         case other => throw new IllegalArgumentException(
-          s"GRAPH $other over a non-BGP body is not supported — " +
-            "name the graph or restrict the body to triple patterns")
+          s"GRAPH $other: the graph term must be an IRI or a variable")
       }
     case Bgp(ps) => compileBgp(triples, ps)
     case PreBound(frame, _) => frame

@@ -1043,6 +1043,25 @@ object SparqlQueries {
       Compiler.runQuads(namedGraphQuads(s, dir), SparqlParser.parse(
         "SELECT ?g ?s ?n WHERE { GRAPH ?g { ?s :name ?n } }"))
     },
+    // GRAPH with a variable over a GENERAL group body (r15): the
+    // graph column threads through the OPTIONAL's compat join, so the
+    // optional match must come from the SAME graph as its subject's
+    // name — one relational pass, no per-graph loop
+    "sparql_graph_var_group" -> { (s, dir) =>
+      val t = TripleStore.dimensionTriples(s, dir)
+      val cust = t.filter(col("s").startsWith("cust:") &&
+          col("p").isin(":name", ":mktsegment"))
+        .withColumn("g", org.apache.spark.sql.functions.lit("g:cust"))
+      val nat = t.filter(col("s").startsWith("nat:") && col("p") === ":name")
+        .withColumn("g", org.apache.spark.sql.functions.lit("g:nation"))
+      Compiler.runQuads(
+        cust.unionAll(nat).select(col("g"), col("s"), col("p"), col("o"),
+          col("o_num"), col("o_is_iri"), col("lang")),
+        SparqlParser.parse(
+          """SELECT ?g ?s ?n ?m WHERE { GRAPH ?g {
+            |  ?s :name ?n OPTIONAL { ?s :mktsegment ?m FILTER(?m != "BUILDING") }
+            |} }""".stripMargin))
+    },
     // PREFIX declarations: prefixed names expand to the declared
     // namespace before compilation (two prefixes, both resolved)
     "sparql_prefix_decl" -> { (s, dir) =>
@@ -1346,6 +1365,13 @@ object SparqlQueries {
         |SELECT 'g:region', 'reg:'||r_regionkey, r_name FROM region
         |UNION ALL
         |SELECT 'g:supp', 'supp:'||s_suppkey, s_name FROM supplier""".stripMargin,
+    "sparql_graph_var_group" ->
+      """SELECT 'g:cust' AS g, 'cust:'||c_custkey AS s, c_name AS n,
+        |  coalesce(CASE WHEN c_mktsegment <> 'BUILDING' THEN c_mktsegment END,
+        |           'N/A') AS m
+        |FROM customer
+        |UNION ALL
+        |SELECT 'g:nation', 'nat:'||n_nationkey, n_name, 'N/A' FROM nation""".stripMargin,
     "sparql_num_builtins" ->
       """SELECT 'cust:'||c_custkey AS c, abs(c_acctbal) AS ab,
         |  ceil(c_acctbal) AS ce, floor(c_acctbal) AS fl,

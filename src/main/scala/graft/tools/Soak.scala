@@ -69,6 +69,14 @@ object Soak {
     } else System.err.println(s"[soak] reusing data at $dataDir")
 
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // the cold store build + cache materialization used to land on
+    // whatever key ran FIRST (SOAK_r14's "1261 s" first key was ~18 s
+    // warm) — warm it explicitly and report the cost as its own line,
+    // so every per-key number below is per-operator truth
+    val w0 = System.nanoTime()
+    graft.rdf.TripleStore.triples(spark, dataDir).count()
+    val warmupSec = (System.nanoTime() - w0) / 1e9
+    println(f"[soak] warmup (store build + cache materialization) $warmupSec%.1f s")
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     keys.foreach { name =>
@@ -102,7 +110,8 @@ object Soak {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"soak","sf":${times10 / 10.0},"queries":$qs,""" +
+    println(s"""{"metric":"soak","sf":${times10 / 10.0},""" +
+      f""""warmup_sec":$warmupSec%.1f,"queries":$qs,""" +
       s""""errors":$es,"n_err":${errors.size}}""")
     spark.stop()
   }

@@ -1281,6 +1281,26 @@ class PlanSpec extends AnyFunSuite {
       "branches must compile to equi-joins")
   }
 
+  test("infer_sameas_canon: canon pick is a keyed agg + join, never a window") {
+    // one giant component + dust is the usual identity-graph shape;
+    // a window over comp would sort the blob inside one task, while
+    // groupBy(comp).min partial-aggregates map-side and joins back
+    val p = plan("infer_sameas_canon")
+    assert(!p.contains("Window"),
+      "per-component canon must not run through a window sort")
+  }
+
+  test("text_unigram_surprisal: Zipf head broadcasts; only the tail shuffles by token") {
+    // bm25 idiom: the top-K vocabulary joins map-side (broadcast);
+    // the token-keyed exchange only ever carries tail tokens, whose
+    // per-key multiplicity the head cutoff bounds
+    val p = plan("text_unigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      "the head vocabulary join must broadcast")
+    assert(p.contains("Union"),
+      "head and tail regimes must union back")
+  }
+
   test("stats-driven BGP order: rare predicate's scan leads; small sides broadcast") {
     // the per-predicate profile (TripleStats) must drive the join
     // chain: :inRegion (25 rows) leads despite being syntactically

@@ -744,13 +744,20 @@ class CompilerSpec extends AnyFunSuite {
         |  GRAPH <g:a> { { ?x :name ?n . ?x :age ?a } UNION { ?x :name ?n . FILTER(STRSTARTS(?n, "b")) } }
         |}""".stripMargin)
       .collect().map(_.getString(0)).toSet == Set("ann", "cyn", "bob"))
-    // a variable graph over a general body is a pointed rejection
-    // (per-graph replay of arbitrary operators is a documented subset)
-    val e = intercept[IllegalArgumentException] {
-      q("SELECT ?n WHERE { GRAPH ?g { ?x :name ?n OPTIONAL { ?x :age ?a } } }")
-        .collect()
-    }
-    assert(e.getMessage.contains("non-BGP"))
+    // a VARIABLE graph over a general body (r15): the graph column
+    // threads through the OPTIONAL's join, so bob's g:a row must NOT
+    // adopt the p:2 age that lives only in g:b
+    val varRows = q(
+      """SELECT ?g ?n ?a WHERE {
+        |  GRAPH ?g { ?x :name ?n OPTIONAL { ?x :age ?a } }
+        |}""".stripMargin)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(varRows == Set(
+      ("g:a", "ann", Some("30")),
+      ("g:a", "bob", Some("N/A")),
+      ("g:a", "cyn", Some("9")),
+      ("g:b", "zed", Some("N/A"))))
   }
 
   test("GROUP_CONCAT DISTINCT collects the value set; ENCODE_FOR_URI escapes") {

@@ -1879,6 +1879,61 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("x" -> "x:1"), b("x" -> "x:2")))
   }
 
+  /** Two named graphs with names, scores, a block edge, and next
+    * edges split across graphs (the path-closure scoping pivot).
+    */
+  private lazy val varGraphQuads: DataFrame = Seq(
+    ("g:a", "e:1", ":name", "alpha", Option.empty[Double], false, Option.empty[String]),
+    ("g:a", "e:1", ":score", "5", Some(5.0), false, None),
+    ("g:a", "e:2", ":name", "beta", None, false, None),
+    ("g:b", "e:3", ":name", "gamma", None, false, None),
+    ("g:b", "e:3", ":score", "7", Some(7.0), false, None),
+    ("g:b", "e:3", ":blocked", "y", None, false, None),
+    // next edges: 1→2 lives in g:a, 2→4 in g:b — a closure that
+    // crossed graphs would invent 1→4
+    ("g:a", "e:1", ":next", "e:2", None, true, None),
+    ("g:b", "e:2", ":next", "e:4", None, true, None))
+    .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+
+  private def runQ(q: String): Set[Map[String, String]] =
+    bindings(Compiler.runQuads(varGraphQuads, SparqlParser.parse(q)))
+
+  test("graph:var-group-optional — GRAPH ?g over an OPTIONAL body") {
+    assert(runQ(
+      """SELECT ?gr ?s ?n ?sc WHERE { GRAPH ?gr {
+        |  ?s :name ?n OPTIONAL { ?s :score ?sc } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1", "n" -> "alpha", "sc" -> "5"),
+        b("gr" -> "g:a", "s" -> "e:2", "n" -> "beta"),
+        b("gr" -> "g:b", "s" -> "e:3", "n" -> "gamma", "sc" -> "7")))
+  }
+
+  test("graph:var-group-filter — GRAPH ?g over a FILTER body") {
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  ?s :name ?n FILTER(?n = "alpha" || ?n = "gamma") } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1"),
+        b("gr" -> "g:b", "s" -> "e:3")))
+  }
+
+  test("graph:var-group-minus — MINUS scopes per graph under GRAPH ?g") {
+    // e:3 is blocked in g:b (its own graph) → dropped there; g:a has
+    // no blocks, so its names all survive
+    assert(runQ(
+      """SELECT ?gr ?s ?n WHERE { GRAPH ?gr {
+        |  ?s :name ?n MINUS { ?s :blocked ?z } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1", "n" -> "alpha"),
+        b("gr" -> "g:a", "s" -> "e:2", "n" -> "beta")))
+  }
+
+  test("graph:var-group-path — path closure never crosses graphs") {
+    // per-graph evaluation: 1→2 only in g:a, 2→4 only in g:b; a
+    // union-dataset closure would fabricate 1→4
+    assert(runQ(
+      "SELECT ?gr ?x ?y WHERE { GRAPH ?gr { ?x :next+ ?y } }") ==
+      Set(b("gr" -> "g:a", "x" -> "e:1", "y" -> "e:2"),
+        b("gr" -> "g:b", "x" -> "e:2", "y" -> "e:4")))
+  }
+
   test("order:distinct-term-kinds — §15.1 tier survives DISTINCT") {
     import spark.implicits._
     val vs = Graft.sparql(mixedKinds,
