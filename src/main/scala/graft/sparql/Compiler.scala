@@ -735,6 +735,11 @@ object Compiler {
     */
   private def threadGraphVar(gn: String, p: Pattern): Option[Pattern] = p match {
     case Bgp(ps) => Some(GraphBgp(Var(gn), ps))
+    // EXISTS bodies evaluate against the ACTIVE graph (§13.3) — the
+    // column cannot reach into the body's own compile, so a filter
+    // carrying one falls back to per-graph enumeration, where the
+    // body compiles against the slice
+    case Filter(es, _) if es.exists(containsExists) => None
     case Filter(es, in) => threadGraphVar(gn, in).map(Filter(es, _))
     case LeftJoin(l, r) => for {
       l2 <- threadGraphVar(gn, l); r2 <- threadGraphVar(gn, r)
@@ -1062,6 +1067,42 @@ object Compiler {
     walk(p)
   }
 
+  /** W3C-compatible EXISTS / NOT EXISTS join (§8.1.1 substitution
+    * composed with §6.2 compatibility): an outer solution whose
+    * SHARED variable is unbound leaves that variable FREE in the
+    * substituted body — it must not key the semi/anti join, or an
+    * OPTIONAL-unmatched outer row can never see a body match. Left
+    * rows mask-split over the possibly-unbound shared vars (a static
+    * set, almost always empty → the single plain semi/anti join);
+    * each slice joins on its bound subset. Past the mask budget, ONE
+    * null-tolerant theta semi/anti — the same escape hatch as the
+    * other compat operators.
+    */
+  private def compatExists(ldf0: DataFrame, sub0: DataFrame,
+                           lRisky: Set[String], neg: Boolean): DataFrame = {
+    val shared = ldf0.columns.intersect(sub0.columns).filterNot(isCompanion).toSeq
+    val risky = shared.filter(lRisky)
+    val jt = if (neg) "left_anti" else "left_semi"
+    if (risky.isEmpty) return joinOnVars(ldf0, sub0, jt)
+    if (risky.size > maskBudget) {
+      val rSlim = sub0.select(shared.map(col): _*).distinct()
+      val r2 = rPrefixed(rSlim)
+      val compat = shared.map { v =>
+        if (risky.contains(v)) unboundCol(ldf0, v) || col(v) === rCol(v)
+        else col(v) === rCol(v)
+      }.reduce(_ && _)
+      return ldf0.join(r2, compat, jt)
+    }
+    // every slice re-reads both inputs — checkpoint once
+    val ldf = Checkpoints.tracked(ldf0)
+    val sub = Checkpoints.tracked(sub0)
+    val slices = unboundMaskSlices(ldf, risky).map { case (unb, slice) =>
+      val out = joinOnVars(slice, sub, jt)
+      unb.foldLeft(out)((d, v) => d.withColumn(v, lit("N/A")))
+    }
+    padUnion(slices)
+  }
+
   /** Rewrite every EXISTS / NOT EXISTS inside a compound filter
     * expression to an [[ExistsFlag]] marker, binding each marker with
     * one flag left-join: the body compiles once, projects to its
@@ -1071,7 +1112,8 @@ object Compiler {
     * single-row flag joined on true, left rows always survive.
     */
   private def bindExistsMarkers(triples: DataFrame, quads: Option[DataFrame],
-                                df0: DataFrame, e0: Expr)
+                                df0: DataFrame, e0: Expr,
+                                lRisky: Set[String] = Set.empty)
       : (DataFrame, Expr, Seq[String]) = {
     var df = df0
     var markers = Vector.empty[String]
@@ -1079,11 +1121,32 @@ object Compiler {
       val name = s"__exists_${markers.size}"
       val sub = compilePattern(triples, quads, substituteOuter(df0, p))
       val shared = df0.columns.intersect(sub.columns).filterNot(isCompanion)
-      val flagged =
-        if (shared.isEmpty) sub.limit(1).select(lit(true).as(name))
-        else sub.select(shared.map(col).toSeq: _*).distinct()
-          .withColumn(name, lit(true))
-      df = joinOnVars(df, flagged, "left_outer")
+      val risky = shared.filter(lRisky)
+      if (risky.isEmpty) {
+        val flagged =
+          if (shared.isEmpty) sub.limit(1).select(lit(true).as(name))
+          else sub.select(shared.map(col).toSeq: _*).distinct()
+            .withColumn(name, lit(true))
+        df = joinOnVars(df, flagged, "left_outer")
+      } else {
+        // possibly-unbound shared vars (outer OPTIONAL bindings): a
+        // left row whose var is unbound leaves it FREE in the body —
+        // mask-split the left and flag-join each slice on its BOUND
+        // subset, exactly the compatExists shape with a flag column
+        val subT = Checkpoints.tracked(sub)
+        val slices = unboundMaskSlices(Checkpoints.tracked(df), risky.toSeq)
+          .map { case (unb, slice) =>
+            val keys = slice.columns.intersect(subT.columns)
+              .filterNot(isCompanion).toSeq
+            val flagged =
+              if (keys.isEmpty) subT.limit(1).select(lit(true).as(name))
+              else subT.select(keys.map(col): _*).distinct()
+                .withColumn(name, lit(true))
+            val joined = joinOnVars(slice, flagged, "left_outer")
+            unb.foldLeft(joined)((d, v) => d.withColumn(v, lit("N/A")))
+          }
+        df = padUnion(slices)
+      }
       markers :+= name
       ExistsFlag(name, neg)
     }
@@ -1427,25 +1490,27 @@ object Compiler {
     case Bgp(ps) => compileBgp(triples, ps)
     case PreBound(frame, _) => frame
     case Filter(exprs, input) =>
+      val lRisky = maybeUnboundVars(input)
       exprs.foldLeft(compilePattern(triples, quads, input)) {
         // top-level EXISTS / NOT EXISTS: the body is a full group
         // pattern (r12); the filter IS a semi/anti join on shared
         // vars — correlated FILTER-only vars spliced in first
-        // (§8.1.1 substitution) so they key the semi/anti join too
+        // (§8.1.1 substitution) so they key the semi/anti join too,
+        // and possibly-unbound outer vars mask-split out of the keys
         case (df, Exists(p)) =>
-          joinOnVars(df,
+          compatExists(df,
             compilePattern(triples, quads, substituteOuter(df, p)),
-            "left_semi")
+            lRisky, neg = false)
         case (df, NotExists(p)) =>
-          joinOnVars(df,
+          compatExists(df,
             compilePattern(triples, quads, substituteOuter(df, p)),
-            "left_anti")
+            lRisky, neg = true)
         // EXISTS nested inside &&/||/!: each occurrence binds a
         // boolean marker via ONE distinct-projected flag left-join,
         // then the whole expression filters over the markers — never
         // a row-at-a-time subquery
         case (df, e) if containsExists(e) =>
-          val (df2, e2, ms) = bindExistsMarkers(triples, quads, df, e)
+          val (df2, e2, ms) = bindExistsMarkers(triples, quads, df, e, lRisky)
           df2.filter(exprColumn(df2, guardScope(df2, e2))).drop(ms: _*)
         case (df, e) => df.filter(exprColumn(df, guardScope(df, e)))
       }
@@ -2051,9 +2116,16 @@ object Compiler {
     projCols.filterNot(df.columns.contains).foreach { c =>
       df = df.withColumn(c, lit("N/A"))
     }
+    // §15.1 error algebra: a sort key bound NOWHERE in the query is
+    // constant-unbound — every row compares equal, so the key orders
+    // nothing and is dropped (not an analysis crash). A key that IS
+    // in scope but unavailable under DISTINCT stays a loud error
+    // below (§18.2.5.3 requires DISTINCT sort keys to be projected).
     val sortExtras =
       if (q.distinct) Seq.empty
       else q.orderBy.map(_._1).filterNot(projCols.contains)
+        .filter(df.columns.contains)
+    val preProjCols = df.columns.toSet
     val keep = (projCols ++ sortExtras).flatMap { c =>
       Seq(c) ++ (if (df.columns.contains(numCol(c))) Seq(numCol(c)) else Nil) ++
         // the §15.1 term-kind tier sorts on the is-IRI companion —
@@ -2096,7 +2168,17 @@ object Compiler {
       // the term-kind companion (object-position bindings, the one
       // place kinds mix); single-kind columns get a constant tier, so
       // all-literal / all-IRI keys sort exactly as before
-      val sorts = q.orderBy.flatMap { case (v, asc) =>
+      val sorts = q.orderBy.filter { case (v, _) =>
+        // bound-nowhere keys were dropped from sortExtras above —
+        // skip them here too (constant-unbound orders nothing); a key
+        // that WAS in scope but fell to the DISTINCT projection wall
+        // stays a loud error (§18.2.5.3)
+        df.columns.contains(v) || {
+          require(!preProjCols.contains(v),
+            s"ORDER BY ?$v: a DISTINCT query may only sort on projected variables")
+          false
+        }
+      }.flatMap { case (v, asc) =>
         val tier =
           if (df.columns.contains(iriCol(v)))
             Seq(when(unboundCol(df, v), lit(0))

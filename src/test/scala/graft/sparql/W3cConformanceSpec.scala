@@ -1892,7 +1892,10 @@ class W3cConformanceSpec extends AnyFunSuite {
     // next edges: 1→2 lives in g:a, 2→4 in g:b — a closure that
     // crossed graphs would invent 1→4
     ("g:a", "e:1", ":next", "e:2", None, true, None),
-    ("g:b", "e:2", ":next", "e:4", None, true, None))
+    ("g:b", "e:2", ":next", "e:4", None, true, None),
+    // e:2 has a score ONLY in g:b — the EXISTS-scoping pivot: a
+    // union-graph EXISTS would wrongly see it from g:a
+    ("g:b", "e:2", ":score", "1", Some(1.0), false, None))
     .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
 
   private def runQ(q: String): Set[Map[String, String]] =
@@ -1925,6 +1928,42 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("gr" -> "g:a", "s" -> "e:2", "n" -> "beta")))
   }
 
+  test("graph:var-group-exists — EXISTS body is scoped to the active graph") {
+    // e:2's only score lives in g:b, where it has no :name — so e:2
+    // must NOT pass the g:a-scoped EXISTS (the union graph would let
+    // it leak through)
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  ?s :name ?n FILTER EXISTS { ?s :score ?sc } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1"),
+        b("gr" -> "g:b", "s" -> "e:3")))
+  }
+
+  test("graph:nested-const-in-var — inner GRAPH re-scopes, not ours") {
+    // the nested constant GRAPH matches in g:b regardless of ?gr
+    assert(runQ(
+      """SELECT ?gr ?n ?n2 WHERE { GRAPH ?gr {
+        |  ?s :name ?n GRAPH <g:b> { ?s2 :name ?n2 } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "n" -> "alpha", "n2" -> "gamma"),
+        b("gr" -> "g:a", "n" -> "beta", "n2" -> "gamma"),
+        b("gr" -> "g:b", "n" -> "gamma", "n2" -> "gamma")))
+  }
+
+  test("graph:const-group-exists — EXISTS inside GRAPH <g> reads the slice") {
+    assert(runQ(
+      """SELECT ?s WHERE { GRAPH <g:a> {
+        |  ?s :name ?n FILTER EXISTS { ?s :score ?sc } } }""".stripMargin) ==
+      Set(b("s" -> "e:1")))
+  }
+
+  test("graph:var-group-values — inline VALUES under GRAPH ?g stays per-graph") {
+    assert(runQ(
+      """SELECT ?gr ?s ?n WHERE { GRAPH ?gr {
+        |  ?s :name ?n VALUES ?n { "alpha" "gamma" } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1", "n" -> "alpha"),
+        b("gr" -> "g:b", "s" -> "e:3", "n" -> "gamma")))
+  }
+
   test("graph:var-group-path — path closure never crosses graphs") {
     // per-graph evaluation: 1→2 only in g:a, 2→4 only in g:b; a
     // union-dataset closure would fabricate 1→4
@@ -1932,6 +1971,102 @@ class W3cConformanceSpec extends AnyFunSuite {
       "SELECT ?gr ?x ?y WHERE { GRAPH ?gr { ?x :next+ ?y } }") ==
       Set(b("gr" -> "g:a", "x" -> "e:1", "y" -> "e:2"),
         b("gr" -> "g:b", "x" -> "e:2", "y" -> "e:4")))
+  }
+
+  test("negation:exists-unbound-shared — unbound outer var is FREE in the body") {
+    // §8.1.1: substituting carol's UNBOUND ?m leaves it free, so her
+    // body matches any (y, mbox) with y != carol; alice and bob bind
+    // ?m to their own mbox, which no OTHER ?y carries → false
+    assert(run(people,
+      """SELECT ?x WHERE { ?x rdf:type :Person . OPTIONAL { ?x :mbox ?m }
+        |FILTER EXISTS { ?y :mbox ?m . FILTER(?y != ?x) } }""".stripMargin) ==
+      Set(b("x" -> "p:carol")))
+    assert(run(people,
+      """SELECT ?x WHERE { ?x rdf:type :Person . OPTIONAL { ?x :mbox ?m }
+        |FILTER NOT EXISTS { ?y :mbox ?m . FILTER(?y != ?x) } }""".stripMargin) ==
+      Set(b("x" -> "p:alice"), b("x" -> "p:bob")))
+  }
+
+  test("negation:exists-unbound-shared-marker — same semantics inside ||") {
+    assert(run(people,
+      """SELECT ?x WHERE { ?x rdf:type :Person . OPTIONAL { ?x :mbox ?m }
+        |FILTER(EXISTS { ?y :mbox ?m . FILTER(?y != ?x) }
+        |       || STRSTARTS(STR(?x), "p:a")) }""".stripMargin) ==
+      Set(b("x" -> "p:alice"), b("x" -> "p:carol")))
+  }
+
+  test("order:ghost-sort-key — ORDER BY over a var bound nowhere is a no-op") {
+    // §15.1 error algebra: an unbound sort key compares equal on
+    // every row — the query returns all solutions, not an analysis
+    // crash
+    assert(run(people,
+      "SELECT ?n WHERE { ?x :name ?n } ORDER BY ?ghost") ==
+      Set(b("n" -> "Alice"), b("n" -> "Bob"),
+        b("n" -> "Carol"), b("n" -> "Dave")))
+  }
+
+  test("order:unbound-desc-last — DESC puts the unbound tier last") {
+    val df = Graft.sparql(people,
+      """SELECT ?n WHERE { ?x :name ?n OPTIONAL { ?x :age ?a } }
+        |ORDER BY DESC(?a)""".stripMargin)
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("Bob", "Alice", "Carol", "Dave"))
+  }
+
+  test("aggregates:group-by-error-expr — erroring key expression forms the error group") {
+    // dave has no age: FLOOR(?a / 10) errors for his row, which lands
+    // in the unbound-key group rather than vanishing or crashing
+    assert(run(people,
+      """SELECT ?b (COUNT(?x) AS ?c) WHERE {
+        |  ?x :name ?n OPTIONAL { ?x :age ?a }
+        |} GROUP BY (FLOOR(?a / 10) AS ?b)""".stripMargin) ==
+      Set(b("b" -> "3", "c" -> "1"), b("b" -> "4", "c" -> "1"),
+        b("b" -> "2", "c" -> "1"), b("c" -> "1")))
+  }
+
+  test("update:using-named-var-graph — GRAPH ?g in WHERE ranges over USING NAMED only") {
+    val quads = Seq(
+      ("g:a", "x:1", ":n", "a", Option.empty[Double], false, Option.empty[String]),
+      ("g:b", "x:2", ":n", "b", None, false, None),
+      ("g:c", "x:3", ":n", "c", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    val out = Graft.updateQuads(quads,
+      """WITH <g:out> INSERT { ?s :from ?g }
+        |USING NAMED <g:a> USING NAMED <g:b>
+        |WHERE { GRAPH ?g { ?s :n ?v } }""".stripMargin)
+    assert(bindings(out.filter(org.apache.spark.sql.functions.col("p") === ":from")
+      .select("g", "s", "o")) ==
+      Set(b("g" -> "g:out", "s" -> "x:1", "o" -> "g:a"),
+        b("g" -> "g:out", "s" -> "x:2", "o" -> "g:b")))
+  }
+
+  test("update:with-delete-insert — both templates write the WITH graph") {
+    val quads = Seq(
+      ("g:a", "x:1", ":n", "a", Option.empty[Double], false, Option.empty[String]),
+      ("g:b", "x:2", ":n", "b", None, false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    val out = Graft.updateQuads(quads,
+      "WITH <g:a> DELETE { ?s :n ?v } INSERT { ?s :renamed ?v } WHERE { ?s :n ?v }")
+    assert(bindings(out.select("g", "s", "p", "o")) ==
+      Set(b("g" -> "g:a", "s" -> "x:1", "p" -> ":renamed", "o" -> "a"),
+        b("g" -> "g:b", "s" -> "x:2", "p" -> ":n", "o" -> "b")))
+  }
+
+  test("bind:if-error-condition — an erroring IF condition leaves the BIND unbound") {
+    // dave has no age: ?a > 28 is a type error for his row, and
+    // §17.4.1.2 makes the whole IF an error → ?y unbound, row kept
+    assert(run(people,
+      """SELECT ?n ?y WHERE { ?x :name ?n OPTIONAL { ?x :age ?a }
+        |BIND(IF(?a > 28, "hi", "lo") AS ?y) }""".stripMargin) ==
+      Set(b("n" -> "Alice", "y" -> "hi"), b("n" -> "Bob", "y" -> "hi"),
+        b("n" -> "Carol", "y" -> "lo"), b("n" -> "Dave")))
+  }
+
+  test("order:ghost-then-real — an unbound leading key defers to the next") {
+    val df = Graft.sparql(people,
+      "SELECT ?n WHERE { ?x :name ?n } ORDER BY ?ghost ?n")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("Alice", "Bob", "Carol", "Dave"))
   }
 
   test("order:distinct-term-kinds — §15.1 tier survives DISTINCT") {
