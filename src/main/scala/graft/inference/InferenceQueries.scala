@@ -40,7 +40,11 @@ object InferenceQueries {
         lit(null).cast("string").as("lang"))
       val links = sameAs(col("s"), alias("custA"))
         .unionAll(sameAs(alias("custA"), alias("custB")))
-      val merged = SameAs.canonicalize(s, split.unionByName(links))
+      // both star arms read the merged store — checkpoint it so the
+      // canonicalization (GraphX CC + two rewrite joins + distinct)
+      // runs ONCE, not once per arm
+      val merged = graft.Checkpoints.tracked(
+        SameAs.canonicalize(s, split.unionByName(links)))
       merged.filter(col("p") === ":name")
         .select(col("s").as("c"), col("o").as("n"))
         .join(merged.filter(col("p") === ":acctbal")

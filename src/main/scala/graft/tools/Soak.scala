@@ -69,14 +69,22 @@ object Soak {
     } else System.err.println(s"[soak] reusing data at $dataDir")
 
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // the cold store build + cache materialization used to land on
-    // whatever key ran FIRST (SOAK_r14's "1261 s" first key was ~18 s
-    // warm) — warm it explicitly and report the cost as its own line,
-    // so every per-key number below is per-operator truth
+    // the cold store build + cache/layout materialization used to
+    // land on whatever key ran FIRST (SOAK_r14's "1261 s" first key
+    // was ~18 s warm; this round's first sf1 probe put the 200 s
+    // partitioned-parquet write on sparql_bgp_chain) — warm the store
+    // AND both scratch layouts explicitly, reporting the cost as its
+    // own line, so every per-key number below is per-operator truth
     val w0 = System.nanoTime()
     graft.rdf.TripleStore.triples(spark, dataDir).count()
+    try {
+      graft.rdf.TripleStore.partitionedTriples(spark, dataDir)
+      graft.rdf.TripleStore.bucketedTriples(spark, dataDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[soak] layout warmup failed: ${e.getMessage}")
+    }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    println(f"[soak] warmup (store build + cache materialization) $warmupSec%.1f s")
+    println(f"[soak] warmup (store build + cache + layouts) $warmupSec%.1f s")
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     keys.foreach { name =>
