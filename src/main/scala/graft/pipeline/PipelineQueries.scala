@@ -61,6 +61,8 @@ object PipelineQueries {
     // ---- §F similarity search --------------------------------------
     "ann_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryId = 0, k = 20)),
+    "ann_rrf_fusion" -> ((s, dir) =>
+      Similarity.rrfFusion(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
     "ann_ivf_topk" -> ((s, dir) =>
@@ -174,6 +176,8 @@ object PipelineQueries {
       TextAnalysis.sampleStratified(Tables.documents(s, dir))),
     "text_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir))),
+    "text_zipf_head_coverage" -> ((s, dir) =>
+      TextAnalysis.zipfHeadCoverage(Tables.documents(s, dir))),
     "text_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir))),
     "data_shard_assign" -> ((s, dir) =>
@@ -2486,6 +2490,60 @@ object PipelineQueries {
            |  count(*) AS matched
            |FROM sc GROUP BY doc_id
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // RRF hybrid retrieval: the bm25 CTE block is the text_bm25_topk
+    // oracle verbatim (kept token-for-token so the double trees
+    // match); only integer RANKS cross into the fused score, so the
+    // two-term 1/(60+r) sum is engine-exact
+    "ann_rrf_fusion" ->
+      raw"""WITH d AS (SELECT doc_id,
+           |    len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+           |  FROM documents),
+           |c AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+           |  FROM d),
+           |h AS (SELECT doc_id, token, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+           |      AS token FROM documents)
+           |  WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+           |fr AS (SELECT token, count(*) AS df FROM h GROUP BY 1),
+           |sc AS (SELECT h.doc_id, h.token,
+           |    (((c.n_docs - fr.df) + 0.5e0) / (fr.df + 0.5e0)) *
+           |    ((h.tf * 2.2e0) / (h.tf + 1.2e0 * (0.25e0 +
+           |      0.75e0 * d.dl / (CAST(c.sum_dl AS DOUBLE) / c.n_docs)))) AS s
+           |  FROM h JOIN fr USING (token) JOIN d USING (doc_id), c),
+           |bm AS (SELECT doc_id,
+           |  coalesce(sum(CASE WHEN token = 'spark' THEN s END), 0.0e0)
+           |  + coalesce(sum(CASE WHEN token = 'merge' THEN s END), 0.0e0)
+           |  + coalesce(sum(CASE WHEN token = 'window' THEN s END), 0.0e0) AS score
+           |  FROM sc GROUP BY doc_id),
+           |lexN AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+           |lex AS (SELECT doc_id, CAST(row_number() OVER
+           |    (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex FROM lexN),
+           |vecN AS (SELECT b.vec_id, list_cosine_similarity(
+           |    (SELECT embedding FROM embeddings WHERE vec_id = 0), b.embedding) AS cos
+           |  FROM embeddings b WHERE b.vec_id != 0
+           |  ORDER BY cos DESC, b.vec_id LIMIT 50),
+           |vec AS (SELECT vec_id, CAST(row_number() OVER
+           |    (ORDER BY cos DESC, vec_id) AS BIGINT) AS r_vec FROM vecN)
+           |SELECT coalesce(lex.doc_id, vec.vec_id) AS doc_id, r_lex, r_vec,
+           |  coalesce(1.0e0 / (60 + r_lex), 0.0e0)
+           |  + coalesce(1.0e0 / (60 + r_vec), 0.0e0) AS rrf
+           |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.vec_id
+           |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "text_zipf_head_coverage" ->
+      raw"""WITH t AS (SELECT source,
+           |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           |  FROM documents),
+           |t2 AS (SELECT source, tok, count(*) AS c FROM t
+           |  WHERE tok <> '' GROUP BY 1, 2),
+           |head AS (SELECT tok FROM (SELECT tok, CAST(sum(c) AS BIGINT) AS n
+           |  FROM t2 GROUP BY 1 ORDER BY n DESC, tok LIMIT 10)),
+           |j AS (SELECT t2.source, t2.c,
+           |    CASE WHEN head.tok IS NOT NULL THEN t2.c ELSE 0 END AS hc
+           |  FROM t2 LEFT JOIN head ON t2.tok = head.tok)
+           |SELECT source, CAST(sum(c) AS BIGINT) AS n_toks,
+           |  CAST(sum(hc) AS BIGINT) AS head_toks,
+           |  (CAST(sum(hc) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT) AS cov_ppm
+           |FROM j GROUP BY source""".stripMargin,
     "text_bpe_pairs" ->
       raw"""WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS l
            |  FROM documents),

@@ -51,6 +51,50 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"))
 
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/
+    * Büttcher's RRF — the production RAG ranker): a lexical BM25 arm
+    * over the documents table and an exact cosine arm over the
+    * embeddings table (doc_id ≡ vec_id in this corpus), each ranked
+    * independently to top-`n`, fused by Σ 1/(rrfK + rank). Ranks are
+    * INTEGERS with a deterministic tiebreak (score desc, id asc), so
+    * the fused double is the same two-term sum on any engine — no
+    * data-ordered float accumulation anywhere.
+    *
+    * Scale shape: each arm is its own operator's plan (BM25's
+    * map-side folds; the vector arm swaps for any ANN variant
+    * unchanged); both are top-n bounded BEFORE the fuse, so the full
+    * outer join and the rank windows run on ≤2n constant rows —
+    * arm cost dominates, fuse cost is nil at any corpus size.
+    */
+  def rrfFusion(docs: DataFrame, embeddings: DataFrame,
+                queryId: Long = 0,
+                terms: Seq[String] = Seq("spark", "merge", "window"),
+                n: Int = 50, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextAnalysis.bm25TopK(docs, terms, n)
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id").as("id"), col("r_lex"))
+    val vec = vecs(embeddings)
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(queryVec(embeddings, queryId))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(n)
+      .withColumn("r_vec", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .select(col("vec_id").as("id"), col("r_vec"))
+    lex.join(vec, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+  }
+
   /** Deterministic ±1 hyperplane coefficients from md5(plane_dim). */
   private[pipeline] def hyperplane(plane: Int, dims: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -926,6 +926,34 @@ object TextAnalysis {
         sum(col("bits")).cast("long").as("bits_total"))
   }
 
+  /** Zipf head coverage per source: what fraction (ppm, integer-
+    * exact) of each source's token OCCURRENCES the global top-K
+    * vocabulary covers — the statistic that sizes a tokenizer/vocab
+    * budget and flags sources whose mass lives in the tail (code,
+    * non-English, gibberish). Per-(source, token) counts fold FIRST
+    * (map-side combine absorbs the Zipf head), the global top-K head
+    * derives from that vocabulary-sized table, and the head joins
+    * back BROADCAST — no full token stream ever shuffles keyed by
+    * token, the same posture as [[unigramSurprisal]]'s head split.
+    * Coverage is an integer ppm (floor division) so both engines
+    * agree bit-for-bit.
+    */
+  def zipfHeadCoverage(docs: DataFrame, headK: Int = 10): DataFrame = {
+    val bySrcTok = docs.select(col("source"),
+        explode(wsTokens(lower(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val head = bySrcTok.groupBy(col("tok")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(headK)
+      .select(col("tok"), lit(1).as("__h"))
+    bySrcTok.join(broadcast(head), Seq("tok"), "left_outer")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_toks"),
+        sum(when(col("__h").isNotNull, col("c")).otherwise(0L))
+          .cast("long").as("head_toks"))
+      .withColumn("cov_ppm", expr("head_toks * 1000000 div n_toks"))
+  }
+
   /** Term burstiness profile — the clumping statistic df alone hides:
     * for the k highest-frequency terms, total occurrences (tf),
     * document frequency (df), how many docs carry the term MORE THAN
