@@ -1301,6 +1301,14 @@ class PlanSpec extends AnyFunSuite {
       "head and tail regimes must union back")
   }
 
+  test("text_zipf_head_coverage: head joins broadcast; counts fold first") {
+    // the top-K head is vocabulary-bounded — it must broadcast onto
+    // the per-(source, token) counts, never shuffle them by token
+    val p = plan("text_zipf_head_coverage")
+    assert(p.contains("BroadcastHashJoin"),
+      "the head join must broadcast")
+  }
+
   test("stats-driven BGP order: rare predicate's scan leads; small sides broadcast") {
     // the per-predicate profile (TripleStats) must drive the join
     // chain: :inRegion (25 rows) leads despite being syntactically

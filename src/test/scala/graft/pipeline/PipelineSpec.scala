@@ -1626,4 +1626,40 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toMap
     assert(sums.values.forall(v => math.abs(v - 1.0) < 1e-9))
   }
+
+  test("rrf fusion blends lexical and vector ranks; one-arm docs score one term") {
+    // lexical: d1 hits all three query terms, d2 one, d3 none;
+    // vector: v1 closest to the query, v2 orthogonal, v3 opposite
+    val d = docs(
+      (1L, "spark merge window"),
+      (2L, "spark x y"),
+      (3L, "a b c"))
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(-1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.rrfFusion(d, emb, queryId = 0, n = 3, k = 10)
+      .collect().map(x => (x.getLong(0),
+        Option(x.get(1)).map(_.asInstanceOf[Long]),
+        Option(x.get(2)).map(_.asInstanceOf[Long]),
+        x.getDouble(3)))
+    // both-arm doc 1 (ranks 1+1) beats both-arm doc 2 (2+2) beats the
+    // vector-only doc 3 (rank 3); one-arm rows carry a null lex rank
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(r(0)._4 == 2.0 / 61 && r(1)._4 == 2.0 / 62 && r(2)._4 == 1.0 / 63)
+    assert(r(2)._2.isEmpty && r(2)._3 == Some(3L))
+  }
+
+  test("zipf head coverage is an exact ppm per source") {
+    val d = Seq(
+      (1L, "a a a b", "en", "A", 7L),
+      (2L, "b c", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // global counts a=3 b=2 c=1; head(2) = {a, b}
+    val r = TextAnalysis.zipfHeadCoverage(d, headK = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(r == Set(("A", 4L, 4L, 1000000L), ("B", 2L, 1L, 500000L)))
+  }
 }
