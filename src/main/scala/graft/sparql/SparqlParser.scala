@@ -976,9 +976,22 @@ object SparqlParser extends RegexParsers {
         opt("(?i)INTO".r ~> "(?i)GRAPH".r ~> graphName) ^^ {
         case sil ~ src ~ g => Update.Load(src.value, g, sil.isDefined)
       }
+    // QuadData (grammar [48]/[49]): `{ (GRAPH g { triples })+ }` —
+    // GRAPH-scoped data blocks; bare triples keep the triple-store
+    // data forms (the quad default graph is the read-time union)
+    val quadBlock: Parser[(String, Seq[TriplePattern])] =
+      ("(?i)GRAPH".r ~> ((iriRef | pname) ^^ (_.value))) ~ bgpOnly ^^ {
+        case g ~ ts => (g, ts)
+      }
+    val quadData: Parser[Seq[(String, Seq[TriplePattern])]] =
+      "{" ~> rep1(quadBlock <~ opt(".")) <~ "}"
     val (pfx, op) = finish(parseAll(prologue ~ (
-      "(?i)INSERT\\s+DATA".r ~> bgpOnly ^^ Update.InsertData.apply |
-      "(?i)DELETE\\s+DATA".r ~> bgpOnly ^^ Update.DeleteData.apply |
+      "(?i)INSERT\\s+DATA".r ~> (
+        quadData ^^ Update.InsertQuadData.apply |
+        bgpOnly ^^ Update.InsertData.apply) |
+      "(?i)DELETE\\s+DATA".r ~> (
+        quadData ^^ Update.DeleteQuadData.apply |
+        bgpOnly ^^ Update.DeleteData.apply) |
       "(?i)DELETE\\s+WHERE".r ~> bgpOnly ^^ Update.DeleteWhere.apply |
       load |
       graphMgmt |
@@ -990,6 +1003,10 @@ object SparqlParser extends RegexParsers {
     op match {
       case Update.InsertData(ts) => Update.InsertData(rw(ts))
       case Update.DeleteData(ts) => Update.DeleteData(rw(ts))
+      case Update.InsertQuadData(bs) =>
+        Update.InsertQuadData(bs.map { case (g, ts) => (rg(g), rw(ts)) })
+      case Update.DeleteQuadData(bs) =>
+        Update.DeleteQuadData(bs.map { case (g, ts) => (rg(g), rw(ts)) })
       case Update.DeleteWhere(ts) => Update.DeleteWhere(rw(ts))
       case Update.Modify(d, i, w) =>
         Update.Modify(rw(d), rw(i), rewritePattern(w, expandIri(_, pfx)))

@@ -1062,6 +1062,19 @@ object SparqlQueries {
             |  ?s :name ?n OPTIONAL { ?s :mktsegment ?m FILTER(?m != "BUILDING") }
             |} }""".stripMargin))
     },
+    // QuadData (grammar [48]/[49], r15): GRAPH-scoped blocks inside
+    // INSERT DATA / DELETE DATA — insert into an existing and a NEW
+    // graph, then delete one ground quad from a third; only the
+    // touched slices change
+    "sparql_update_quad_data" -> { (s, dir) =>
+      val q0 = namedGraphQuads(s, dir)
+      val q1 = graft.Graft.updateQuads(q0,
+        """INSERT DATA { GRAPH <g:nation> { <extra:1> :name "EXTRA_ONE" }
+          |              GRAPH <g:new> { <extra:2> :name "EXTRA_TWO" } }""".stripMargin)
+      val q2 = graft.Graft.updateQuads(q1,
+        """DELETE DATA { GRAPH <g:region> { <reg:0> :name "AFRICA" } }""")
+      q2.filter(col("p") === ":name").select(col("g"), col("s"), col("o"))
+    },
     // PREFIX declarations: prefixed names expand to the declared
     // namespace before compilation (two prefixes, both resolved)
     "sparql_prefix_decl" -> { (s, dir) =>
@@ -1365,6 +1378,13 @@ object SparqlQueries {
         |SELECT 'g:region', 'reg:'||r_regionkey, r_name FROM region
         |UNION ALL
         |SELECT 'g:supp', 'supp:'||s_suppkey, s_name FROM supplier""".stripMargin,
+    "sparql_update_quad_data" ->
+      """SELECT 'g:nation' AS g, 'nat:'||n_nationkey AS s, n_name AS o FROM nation
+        |UNION ALL SELECT 'g:nation', 'extra:1', 'EXTRA_ONE'
+        |UNION ALL SELECT 'g:new', 'extra:2', 'EXTRA_TWO'
+        |UNION ALL SELECT 'g:region', 'reg:'||r_regionkey, r_name
+        |  FROM region WHERE r_regionkey <> 0
+        |UNION ALL SELECT 'g:supp', 'supp:'||s_suppkey, s_name FROM supplier""".stripMargin,
     "sparql_graph_var_group" ->
       """SELECT 'g:cust' AS g, 'cust:'||c_custkey AS s, c_name AS n,
         |  coalesce(CASE WHEN c_mktsegment <> 'BUILDING' THEN c_mktsegment END,

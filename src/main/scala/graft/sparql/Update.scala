@@ -18,6 +18,16 @@ object Update {
   sealed trait Op
   final case class InsertData(triples: Seq[TriplePattern]) extends Op
   final case class DeleteData(triples: Seq[TriplePattern]) extends Op
+  /** QuadData (grammar [48]/[49]): GRAPH-scoped blocks inside
+    * INSERT DATA / DELETE DATA, applied to a quad relation — each
+    * block is (destination graph IRI, ground triples). Bare
+    * default-graph triples keep the triple-store forms above (the
+    * quad model's default graph is the read-time union).
+    */
+  final case class InsertQuadData(
+      blocks: Seq[(String, Seq[TriplePattern])]) extends Op
+  final case class DeleteQuadData(
+      blocks: Seq[(String, Seq[TriplePattern])]) extends Op
   final case class DeleteWhere(patterns: Seq[TriplePattern]) extends Op
   /** `DELETE { tmpl } INSERT { tmpl } WHERE { pattern }` — the
     * template modify form; either template may be empty.
@@ -96,6 +106,9 @@ object Update {
     case Load(_, Some(g), _) =>
       throw new IllegalArgumentException(
         s"LOAD INTO GRAPH <$g> needs a quad relation — use applyQuads")
+    case _: InsertQuadData | _: DeleteQuadData =>
+      throw new IllegalArgumentException(
+        "GRAPH-scoped data blocks need a quad relation — use applyQuads")
     case m: ModifyGraph =>
       throw new IllegalArgumentException(
         s"WITH/USING modify ${m.withGraph.orElse(m.using.headOption).getOrElse("")} " +
@@ -202,6 +215,26 @@ object Update {
       else TripleOps.add(afterDel,
         ins.map(instantiate(sol, _).withColumn("g", lit(target)))
           .reduce(_.unionByName(_)))
+    case InsertQuadData(blocks) =>
+      // per-destination set-semantics merge (the LOAD INTO idiom):
+      // only the touched graph's slice pays a dedup, the rest of the
+      // dataset passes through untouched
+      blocks.foldLeft(quads) { case (q, (g, ts)) =>
+        val merged = q.filter(col("g") === g)
+          .unionByName(ground(q, ts).withColumn("g", lit(g)),
+            allowMissingColumns = true)
+          .distinct()
+        q.filter(col("g") =!= g)
+          .unionByName(merged, allowMissingColumns = true)
+      }
+    case DeleteQuadData(blocks) =>
+      // term-identity set minus per block (the TripleOps.subtract
+      // convention: all quad columns participate, so a lang-tagged
+      // literal never deletes its plain twin)
+      blocks.foldLeft(quads) { case (q, (g, ts)) =>
+        q.except(ground(q, ts).withColumn("g", lit(g))
+          .select(q.columns.map(col).toSeq: _*))
+      }
     case ClearGraph(g) => TripleOps.clearGraph(quads, g)
     case CreateGraph(_) => quads
     case CopyGraph(from, to) => TripleOps.copyGraph(quads, from, to)

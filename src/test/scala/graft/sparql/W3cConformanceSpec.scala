@@ -2040,6 +2040,28 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("g" -> "g:out", "s" -> "x:2", "o" -> "g:b")))
   }
 
+  test("update:quad-data — GRAPH blocks inside INSERT DATA / DELETE DATA") {
+    val quads = Seq(
+      ("g:a", "x:1", ":n", "a", Option.empty[Double], false, Option.empty[String]))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    val ins = Graft.updateQuads(quads,
+      """INSERT DATA { GRAPH <g:a> { <x:2> :n "b" }
+        |              GRAPH <g:b> { <x:3> :n "c" } }""".stripMargin)
+    assert(bindings(ins.select("g", "s", "o")) ==
+      Set(b("g" -> "g:a", "s" -> "x:1", "o" -> "a"),
+        b("g" -> "g:a", "s" -> "x:2", "o" -> "b"),
+        b("g" -> "g:b", "s" -> "x:3", "o" -> "c")))
+    // re-inserting the same data is a no-op (quad SET semantics)
+    assert(Graft.updateQuads(ins,
+      """INSERT DATA { GRAPH <g:a> { <x:2> :n "b" } }""").count() == 3)
+    // delete is per-graph term identity: the same triple in g:b stays
+    val del = Graft.updateQuads(ins,
+      """DELETE DATA { GRAPH <g:a> { <x:1> :n "a" } }""")
+    assert(bindings(del.select("g", "s", "o")) ==
+      Set(b("g" -> "g:a", "s" -> "x:2", "o" -> "b"),
+        b("g" -> "g:b", "s" -> "x:3", "o" -> "c")))
+  }
+
   test("update:with-delete-insert — both templates write the WITH graph") {
     val quads = Seq(
       ("g:a", "x:1", ":n", "a", Option.empty[Double], false, Option.empty[String]),
