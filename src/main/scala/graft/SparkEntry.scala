@@ -98,8 +98,13 @@ object SparkEntry {
     // twin, neighbor-degree profile, the three SPARQL grammar keys,
     // the forced embedding-sweep regime) reuse benched Expand /
     // broadcast-fold / keyed-join shapes and stay verify-only
-    "events_rolling_daily", "events_engagement_gini")
-    // r12 keys stay verify-only: the gated CN/Jaccard wedge joins now
+    "events_rolling_daily", "events_engagement_gini",
+    // r15: the two NEW retrieval/statistic shapes — the two-arm RRF
+    // fuse (hybrid retrieval) and the broadcast-head coverage fold;
+    // the variable-graph group and QuadData keys reuse benched
+    // quad-join / set-merge shapes and stay verify-only
+    "ann_rrf_fusion", "text_zipf_head_coverage")
+    // r12-r14 keys stay verify-only: the gated CN/Jaccard wedge joins
     // share graph_resource_alloc's benched priced-gate shape, and the
     // datetime/TZ builtins, DESCRIBE semi-join arms, multi-valued LPG
     // collect folds, VALUES-UNDEF broadcast joins, and the 0-band
