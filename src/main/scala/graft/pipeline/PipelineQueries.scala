@@ -76,6 +76,11 @@ object PipelineQueries {
       Similarity.knnJoin(Tables.embeddings(s, dir), maxBroadcastQueries = 0)),
     "ann_range_search" -> ((s, dir) =>
       Similarity.rangeSearch(Tables.embeddings(s, dir), queryId = 0)),
+    // reciprocal k-NN: pairs that are in EACH OTHER's top-k — the
+    // re-ranking / dup-validation tie, one knnTopK pass + a keyed
+    // self-join on the reversed pair
+    "ann_mutual_topk" -> ((s, dir) =>
+      Similarity.mutualTopK(Tables.embeddings(s, dir))),
     "ann_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir))),
     "emb_kmeans_assign" -> ((s, dir) =>
@@ -439,6 +444,18 @@ object PipelineQueries {
     // perplexity-filter shape, r14)
     "text_unigram_surprisal" -> ((s, dir) =>
       TextAnalysis.unigramSurprisal(Tables.documents(s, dir))),
+    // one token of context on top: the bigram LM rung (whole-bit
+    // conditional surprisal, head-broadcast joins) (r15)
+    "text_bigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, dir))),
+    // integer-exact character-entropy witness — the gibberish /
+    // key-mash detector token stats can't see (r15)
+    "text_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(Tables.documents(s, dir))),
+    // temperature-sampled (α=0.5) source rebalancing via exact
+    // integer sqrt weights + the hex-29 md5 slice (r15)
+    "data_mix_temperature" -> ((s, dir) =>
+      TextAnalysis.mixTemperature(Tables.documents(s, dir))),
     "text_burstiness" -> ((s, dir) =>
       TextAnalysis.termBurstiness(Tables.documents(s, dir))),
     // quality-weighted acceptance (thins instead of cliff-filtering);
@@ -1058,6 +1075,24 @@ object PipelineQueries {
         |      AS rnk
         |  FROM embeddings e, q WHERE e.vec_id != q.query_id)
         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    // reciprocal k-NN over the %10 slice: both directions ranked
+    // within the slice, pairs kept iff each is in the other's top-5;
+    // only integer ranks reach the output
+    "ann_mutual_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE vec_id % 10 = 0),
+        |ranked AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+        |        e.vec_id) AS rnk
+        |  FROM e, e q WHERE e.vec_id != q.vec_id),
+        |k AS (SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5)
+        |SELECT x.query_id AS a, x.neighbor_id AS b,
+        |  x.rnk AS rnk_ab, y.rnk AS rnk_ba
+        |FROM k x JOIN k y
+        |  ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
+        |WHERE x.query_id < x.neighbor_id""".stripMargin,
     // the forced-approximate regime: same bucket-code CTEs as
     // ann_lsh_topk, candidates = bucket pairs within Hamming 2 —
     // exactly the probe-mask set the Spark side explodes — then
@@ -1664,6 +1699,63 @@ object PipelineQueries {
            |  CAST(sum(length(bin(nn // ntok)) - 1) AS BIGINT) AS bits_total
            |FROM t JOIN uni USING (tok) CROSS JOIN tot
            |GROUP BY 1""".stripMargin,
+    // bigram rung of the LM ladder: ⌊log2(n_x // n_xy)⌋ whole bits of
+    // conditional surprisal — same bit-length idiom, n_x = x's count
+    // as a LEFT context (Σ_y n_xy), all exact integers
+    "text_bigram_surprisal" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+           |      x -> x != '') AS l
+           |  FROM documents),
+           |z AS (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr
+           |  FROM t WHERE len(l) >= 2),
+           |p AS (SELECT doc_id, pr[1] AS a, pr[2] AS b FROM z),
+           |bg AS (SELECT a, b, count(*) AS nxy FROM p GROUP BY 1, 2),
+           |cx AS (SELECT a, CAST(sum(nxy) AS BIGINT) AS nx FROM bg GROUP BY 1)
+           |SELECT doc_id, count(*) AS n_pairs,
+           |  CAST(sum(length(bin(nx // nxy)) - 1) AS BIGINT) AS bits_total
+           |FROM p JOIN bg USING (a, b) JOIN cx USING (a)
+           |GROUP BY 1""".stripMargin,
+    // character-entropy witness: Σ n_c·⌊log2(n // n_c)⌋ over the
+    // doc's own char histogram — bit lengths of exact integer ratios
+    "text_char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |dc AS (SELECT doc_id, ch, count(*) AS nc FROM c
+        |  WHERE ch != '' GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n_chars,
+        |    count(*) AS n_distinct
+        |  FROM dc GROUP BY 1)
+        |SELECT doc_id, t.n_chars, t.n_distinct,
+        |  CAST(sum(nc * (length(bin(t.n_chars // nc)) - 1)) AS BIGINT)
+        |    AS bits_total
+        |FROM dc JOIN t USING (doc_id)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // temperature mixing α=0.5: isqrt weights exact via the
+    // floor(sqrt)+neighbor correction, integer floor-division rates,
+    // md5 hex chars 29-32 (the eighth decorrelated slice)
+    "data_mix_temperature" ->
+      raw"""WITH d AS (SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           |      AS n_toks
+           |  FROM documents),
+           |tot AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS t
+           |  FROM d GROUP BY 1),
+           |w0 AS (SELECT source, t,
+           |    CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS s0 FROM tot),
+           |w AS (SELECT source, t,
+           |    CASE WHEN (s0+1)*(s0+1) <= t THEN s0+1
+           |         WHEN s0*s0 > t THEN s0-1 ELSE s0 END AS w
+           |  FROM w0),
+           |s AS (SELECT CAST(sum(t) AS BIGINT) AS tt,
+           |    CAST(sum(w) AS BIGINT) AS ww FROM w),
+           |r AS (SELECT source,
+           |    least(10000, ((tt // 2) * w // ww) * 10000 // t) AS rate_e4
+           |  FROM w, s)
+           |SELECT d.doc_id, d.source, d.n_toks
+           |FROM d JOIN r USING (source)
+           |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 29, 4))::BIGINT
+           |      % 10000 < r.rate_e4""".stripMargin,
     "text_burstiness" ->
       raw"""WITH t AS (SELECT doc_id,
            |    string_split_regex(trim(lower(text)), '\s+') AS l

@@ -328,6 +328,34 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** Mutual (reciprocal) k-NN pairs over a deterministic id slice:
+    * (a, b) survives iff b is in a's top-k AND a is in b's top-k —
+    * the re-ranking / duplicate-validation primitive (mutual
+    * neighborhood is a far stronger tie than one-directional rank,
+    * the classic k-reciprocal signal). Both directions come from ONE
+    * [[knnTopK]] pass with the slice as both corpus and query side
+    * (regime — exact broadcast vs LSH-band shuffle — picked by the
+    * same query-count gate as [[knnJoin]]), then mutuality is a
+    * keyed self-equi-join on the reversed (query, neighbor) pair —
+    * lists-of-neighbors scale, never vectors². Emitted once per
+    * unordered pair (a < b) with both ranks.
+    */
+  def mutualTopK(embeddings: DataFrame, k: Int = 5,
+                 slice: Int = 10,
+                 maxBroadcastQueries: Long = 100000L): DataFrame = {
+    val e = vecs(embeddings).filter(col("vec_id") % slice === 0)
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val knn = knnTopK(e, q, k, maxBroadcastQueries)
+      .select(col("query_id"), col("vec_id"), col("rnk"))
+    knn.filter(col("query_id") < col("vec_id"))
+      .join(knn
+          .select(col("vec_id").as("query_id"), col("query_id").as("vec_id"),
+            col("rnk").as("rnk_ba")),
+        Seq("query_id", "vec_id"))
+      .select(col("query_id").as("a"), col("vec_id").as("b"),
+        col("rnk").as("rnk_ab"), col("rnk_ba"))
+  }
+
   /** k-NN classification: each query vector takes the majority label
     * of its k nearest corpus neighbors (ties break on the smaller
     * label — deterministic on any cluster). Same scale shape as

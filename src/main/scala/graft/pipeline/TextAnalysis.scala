@@ -1143,4 +1143,117 @@ object TextAnalysis {
         min(col("n_docs")).as("min_docs"), max(col("n_docs")).as("max_docs"),
         min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
   }
+
+  /** Per-document BIGRAM surprisal — [[unigramSurprisal]] with one
+    * token of context, the next rung of the LM-quality ladder (a
+    * unigram model scores "the the the" as perfectly fluent; the
+    * bigram model charges it log2 of the full context count). Each
+    * adjacent pair (x, y) contributes ⌊log2(n_x / n_xy)⌋ whole bits
+    * where n_xy counts the pair and n_x counts x as a LEFT CONTEXT
+    * (Σ_y n_xy — the MLE conditional's denominator), so the ratio is
+    * an exact integer ≥ 1 and its ⌊log2⌋ is a bit length — no libm,
+    * engine-identical. Doc score = (n_pairs, bits_total); divide for
+    * bits/pair downstream.
+    *
+    * Scale shape: the pair stream folds to bigram counts FIRST
+    * (partial agg — the Zipf head combines map-side), context counts
+    * are a refold of that vocabulary²-bounded table, and both joins
+    * back onto the pair stream use the bm25 head-broadcast idiom —
+    * the top-K bigrams / contexts broadcast and join map-side, so
+    * only tail pairs (per-key multiplicity bounded by the head
+    * cutoff) ever shuffle keyed by pair. Same posture as
+    * [[unigramSurprisal]]; nothing quadratic, no driver math.
+    */
+  def bigramSurprisal(docs: DataFrame, headK: Int = 10000): DataFrame = {
+    val toks = filter(wsTokens(lower(col("text"))), t => t =!= lit(""))
+    val pairs = docs
+      .select(col("doc_id"), toks.as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        slice(col("l"), lit(2), size(col("l")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+    val bg = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nxy"))
+    val cx = bg.groupBy(col("a")).agg(sum(col("nxy")).as("nx"))
+    val bgHead = bg.orderBy(col("nxy").desc, col("a"), col("b")).limit(headK)
+    val withBg = pairs.join(broadcast(bgHead), Seq("a", "b"))
+      .unionByName(pairs
+        .join(broadcast(bgHead.select(col("a"), col("b"))), Seq("a", "b"),
+          "left_anti")
+        .join(bg.join(broadcast(bgHead.select(col("a"), col("b"))),
+          Seq("a", "b"), "left_anti"), Seq("a", "b")))
+    val cxHead = cx.orderBy(col("nx").desc, col("a")).limit(headK)
+    withBg.join(broadcast(cxHead), Seq("a"))
+      .unionByName(withBg
+        .join(broadcast(cxHead.select(col("a"))), Seq("a"), "left_anti")
+        .join(cx.join(broadcast(cxHead.select(col("a"))), Seq("a"),
+          "left_anti"), Seq("a")))
+      .withColumn("bits", length(bin(expr("nx div nxy"))) - 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("bits")).cast("long").as("bits_total"))
+  }
+
+  /** Per-document character-entropy witness — the gibberish / key-
+    * mash / single-char-run detector quality pipelines pair with the
+    * token-level scores (a doc of "aaaa…" has perfect token stats
+    * and ~0 bits/char). Entropy is carried as the EXACT integer
+    * Σ_c n_c·⌊log2(n / n_c)⌋ over the doc's own character histogram
+    * (n = doc length): each term is a bit length of an integer
+    * ratio, so the witness is engine-identical — a float Σ −p·log2 p
+    * would hand the comparison to libm. Low bits_total/n_chars ⇒
+    * repetitive or single-script runs; high ⇒ diverse text. Also
+    * emits the distinct-character count (the cheap alphabet-size
+    * companion). One per-(doc, char) fold + a per-doc refold — both
+    * partial-agg, map-parallel at any corpus size, no joins at all.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val dc = docs
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), ""), c => c =!= lit(""))).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("nc"))
+    val totals = dc.groupBy(col("doc_id"))
+      .agg(sum(col("nc")).cast("long").as("n_chars"),
+        count(lit(1)).as("n_distinct"))
+    dc.join(totals, "doc_id")
+      .withColumn("bits", col("nc") * (length(bin(expr("n_chars div nc"))) - 1))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_chars")).as("n_chars"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum(col("bits")).cast("long").as("bits_total"))
+  }
+
+  /** Temperature-sampled source mixing (α = 0.5) — the multilingual /
+    * multi-source rebalancing rule (sample source s with weight
+    * ∝ tokens_s^α) that upweights tail sources without letting the
+    * head drown them. INTEGER-EXACT end to end: w_s = isqrt(tokens_s)
+    * via floor(sqrt)+neighbor correction (exact for any int64 — the
+    * double sqrt is only a seed), the corpus budget is Σtokens / 2,
+    * per-source budgets and acceptance rates are integer floor
+    * divisions, and the accept decision is the md5 hex-29-32 bucket
+    * (the eighth decorrelated slice in the ledger at [[hashSlice]])
+    * compared against rate_e4 — reproducible on any engine, any
+    * cluster, any partitioning. Token totals fold map-side; rates
+    * broadcast back onto the scan — the decision is per-row, no
+    * shuffle of the corpus itself.
+    */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(wsTokens(col("text"))).cast("long").as("n_toks"))
+    val isqrt = expr(
+      """CASE WHEN (s0+1)*(s0+1) <= t THEN s0+1
+        |     WHEN s0*s0 > t THEN s0-1 ELSE s0 END""".stripMargin)
+    val totals = toks.groupBy(col("source")).agg(sum(col("n_toks")).as("t"))
+      .withColumn("s0", floor(sqrt(col("t").cast("double"))).cast("long"))
+      .withColumn("w", isqrt).drop("s0")
+    val sums = totals.agg(sum(col("t")).as("tt"), sum(col("w")).as("ww"))
+    val rates = totals.crossJoin(broadcast(sums))
+      .select(col("source"),
+        least(lit(10000L),
+          expr("((tt div 2) * w div ww) * 10000 div t")).as("rate_e4"))
+    toks.join(broadcast(rates), "source")
+      .filter(hashSlice(29) % 10000 < col("rate_e4"))
+      .select(col("doc_id"), col("source"), col("n_toks"))
+  }
 }

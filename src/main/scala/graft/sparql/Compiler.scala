@@ -922,6 +922,12 @@ object Compiler {
       else {
         val hasNum = df.columns.contains(numCol(v.name))
         val tests = values.map {
+          // IRI equality is TERM equality: where the binding carries
+          // an is-IRI companion, a plain literal with the same
+          // lexical form must not match (s/p-position bindings are
+          // resource terms by construction — lexical compare suffices)
+          case Iri(x) if df.columns.contains(iriCol(v.name)) =>
+            col(v.name) === x && coalesce(col(iriCol(v.name)), lit(false))
           case Iri(x) => col(v.name) === x
           case Lit(_, Some(n), _) if hasNum => col(numCol(v.name)) === n
           case l @ Lit(lex, _, _) if l.lang.isDefined &&
@@ -1896,7 +1902,11 @@ object Compiler {
                               where: Pattern): DataFrame = {
     val df = compilePattern(triples, where)
     def termCol(t: Term): Column = t match {
-      case Var(n) => col(n)
+      // a template var the WHERE never binds: the allBound filter
+      // already empties this slice — emit a typed null so the select
+      // still resolves
+      case Var(n) =>
+        if (df.columns.contains(n)) col(n) else lit(null).cast("string")
       case Iri(x) => lit(x)
       case Lit(lex, _, _) => lit(lex)
       case Undef => lit(null).cast("string")
@@ -1914,11 +1924,21 @@ object Compiler {
       case l: Lit if l.lang.isDefined => lit(l.lang.get)
       case _ => lit(null).cast("string")
     }
+    // §16.2: a template triple instantiates only from solutions where
+    // ALL its variables are bound — an OPTIONAL-unbound var (null or
+    // the N/A sentinel) omits THAT triple while the solution still
+    // feeds the template's other triples
+    def allBound(tp: TriplePattern): Column =
+      Seq(tp.s, tp.p, tp.o).collect { case Var(n) => n }.distinct
+        .map(n =>
+          if (df.columns.contains(n)) !unboundCol(df, n) else lit(false))
+        .foldLeft(lit(true))(_ && _)
     template.map { tp =>
       val (isIri, num) = typing(tp.o)
-      df.select(termCol(tp.s).as("s"), termCol(tp.p).as("p"),
-        termCol(tp.o).as("o"), num.as("o_num"),
-        isIri.as("o_is_iri"), langOf(tp.o).as("lang"))
+      df.filter(allBound(tp))
+        .select(termCol(tp.s).as("s"), termCol(tp.p).as("p"),
+          termCol(tp.o).as("o"), num.as("o_num"),
+          isIri.as("o_is_iri"), langOf(tp.o).as("lang"))
     }.reduce(_.unionAll(_))
   }
 
@@ -2044,8 +2064,16 @@ object Compiler {
           case Count => v.map(vr => count(lexGuard(vr.name)))
             .orElse(aggExpr.map(e => count(numVExpr(df, e))))
             .getOrElse(count(lit(1)))
-          case CountDistinct =>
-            countDistinct(lexGuard(varOf("COUNT(DISTINCT").name))
+          case CountDistinct => v match {
+            case Some(vr) => countDistinct(lexGuard(vr.name))
+            // COUNT(DISTINCT *): distinct full solutions — struct
+            // over every visible column (companions excluded; the
+            // struct tolerates unbound cells, so no row silently
+            // drops the way a multi-arg countDistinct would)
+            case None =>
+              val vis = df.columns.filterNot(isCompanion).map(col)
+              countDistinct(struct(vis.toIndexedSeq: _*))
+          }
           case Max => aggExpr.map(e => max(numVExpr(df, e)))
             .getOrElse(minMaxAgg("MAX", isMin = false))
           case Min => aggExpr.map(e => min(numVExpr(df, e)))

@@ -155,6 +155,13 @@ object SparqlParser extends RegexParsers {
       case VVar(n) ~ op ~ l => Cmp(op, Var(n), l)
       case e ~ op ~ l => ExprCmp(op, e, l)
     } |
+    // term equality against an IRI constant (`?x = <iri>` /
+    // `?x != :name`): desugars to the single-element IN machinery,
+    // which checks the is-IRI companion where present — ordering
+    // operators on IRIs are a §17.3 type error and stay unparsed
+    varTerm ~ ("!=" | "=") ~ (iriRef | pname) ^^ {
+      case v ~ op ~ i => In(v, Seq(i), op == "!=")
+    } |
     // var-var / expr-expr form: both sides computed
     vAdditive ~ cmpOp ~ vAdditive ^^ {
       case l ~ op ~ r => CmpVV(op, l, r)
@@ -187,8 +194,26 @@ object SparqlParser extends RegexParsers {
     }
   private def inFilter: Parser[Expr] =
     varTerm ~ (opt("(?i)NOT".r) <~ "(?i)IN".r) ~
-      ("(" ~> rep1sep(valuesConst, ",") <~ ")") ^^ {
-      case v ~ neg ~ vals => In(v, vals, neg.isDefined)
+      ("(" ~> rep1sep(
+        valuesConst ^^ (Left(_): Either[Term, VExpr]) |
+          vAdditive ^^ (Right(_): Either[Term, VExpr]), ",") <~ ")") ^^ {
+      case v ~ neg ~ elems if elems.forall(_.isLeft) =>
+        In(v, elems.map(_.left.get), neg.isDefined)
+      case v ~ neg ~ elems =>
+        // expression elements: §17.4.1.9 defines IN as the ||-chain
+        // of = — desugar so errors propagate by the || algebra
+        // (TRUE || error = TRUE keeps rows whose earlier constant
+        // matched; error otherwise drops the row). NOT IN is the
+        // &&-chain of != (De Morgan over the same 3-valued logic).
+        val eqs: Seq[Expr] = elems.map {
+          case Left(i @ Iri(_)) => In(v, Seq(i), neg = false)
+          case Left(l: Lit) => Cmp(Eq, v, l)
+          case Left(_) =>
+            throw new IllegalArgumentException("IN elements must be constants or expressions")
+          case Right(e) => CmpVV(Eq, VVar(v.name), e)
+        }
+        val chain = eqs.reduceLeft(Or.apply)
+        if (neg.isDefined) Not(chain) else chain
     }
   private def boundExpr: Parser[Expr] =
     "(?i)BOUND".r ~> "(" ~> varTerm <~ ")" ^^ Bound.apply
@@ -492,16 +517,17 @@ object SparqlParser extends RegexParsers {
     */
   private def valuesPattern: Parser[ValuesPattern] =
     "(?i)VALUES".r ~> (
-      // multi-var form: VALUES (?a ?b) { (c1 c2) … }
+      // multi-var form: VALUES (?a ?b) { (c1 c2) … } — zero rows is
+      // legal (§18.2.4.2 an empty DataBlock joins as the empty table)
       ("(" ~> rep1(varTerm) <~ ")") ~
-        ("{" ~> rep1("(" ~> rep1(valuesConst) <~ ")") <~ "}") >> {
+        ("{" ~> rep("(" ~> rep1(valuesConst) <~ ")") <~ "}") >> {
         case vs ~ rows =>
           if (rows.exists(_.size != vs.size))
             failure(s"VALUES row arity must be ${vs.size}")
           else success(ValuesPattern(vs, rows))
       } |
-      // single-var form: VALUES ?v { c… }
-      varTerm ~ ("{" ~> rep1(valuesConst) <~ "}") ^^ {
+      // single-var form: VALUES ?v { c… } (possibly empty)
+      varTerm ~ ("{" ~> rep(valuesConst) <~ "}") ^^ {
         case v ~ vals => ValuesPattern(Seq(v), vals.map(Seq(_)))
       })
   private def valuesElem: Parser[GroupElem] =
@@ -595,8 +621,9 @@ object SparqlParser extends RegexParsers {
         else {
         val sepStr = sep.map(_.lexical).getOrElse(" ")
         arg match {
-          // only plain COUNT takes '*'
-          case None if realOp != Count =>
+          // '*' is COUNT-family only: COUNT(*) and COUNT(DISTINCT *)
+          // (distinct full solutions, §18.5.1)
+          case None if realOp != Count && realOp != CountDistinct =>
             failure(s"$realOp(*) is not supported — name a variable")
           case None =>
             success(AggSel(Agg(realOp, None, alias.name, sepStr)))

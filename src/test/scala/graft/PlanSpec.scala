@@ -1309,6 +1309,49 @@ class PlanSpec extends AnyFunSuite {
       "the head join must broadcast")
   }
 
+  test("text_bigram_surprisal: head bigrams/contexts broadcast; tail unions back") {
+    // same bm25 posture as the unigram rung, applied twice (bigram
+    // table + context table): the Zipf-head pair keys join map-side,
+    // so the pair-keyed exchange only ever carries tail pairs
+    val p = plan("text_bigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      "the head joins must broadcast")
+    assert(p.contains("Union"),
+      "head and tail regimes must union back")
+    assert(!p.contains("SortMergeJoin"),
+      "no full-stream sort-merge join keyed by pair")
+  }
+
+  test("text_char_entropy: two partial-agg folds, no window, no wide join") {
+    // per-(doc, char) fold + per-doc refold + a doc-keyed join back —
+    // everything partial-aggregates; a window over the char stream
+    // would sort each doc's characters inside one task
+    val p = plan("text_char_entropy")
+    assert(!p.contains("Window"), "no window over the char stream")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("data_mix_temperature: rates broadcast onto the scan; decision is map-side") {
+    // source-level rate table is metadata-sized — it must broadcast;
+    // the accept decision is a per-row md5 bucket compare, so the
+    // corpus itself never shuffles
+    val p = plan("data_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source rate join must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle for a metadata-sized join")
+  }
+
+  test("ann_mutual_topk: one knn pass; mutuality is a keyed equi-join") {
+    // the reciprocal filter must be a hash join on the reversed
+    // (query, neighbor) pair — never a second vectors² pass
+    val p = plan("ann_mutual_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must prune before the window shuffle")
+    assert(!p.contains("CartesianProduct"),
+      "mutuality must join on pair keys, not re-pair the slice")
+  }
+
   test("stats-driven BGP order: rare predicate's scan leads; small sides broadcast") {
     // the per-predicate profile (TripleStats) must drive the join
     // chain: :inRegion (25 rows) leads despite being syntactically

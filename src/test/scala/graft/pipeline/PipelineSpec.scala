@@ -318,6 +318,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((3L, 2L)), 2L -> ((2L, 2L))))
   }
 
+  test("bigram surprisal: conditional whole-bit witness, head cutoff invariant") {
+    // pairs: doc1 (a,b)(b,a)(a,c), doc2 (a,b). bigram counts:
+    // (a,b)→2 (b,a)→1 (a,c)→1; context counts: a→3, b→1.
+    // bits = ⌊log2(nx div nxy)⌋: (a,b) 3 div 2 = 1 → 0; (b,a) 1 → 0;
+    // (a,c) 3 → ⌊log2 3⌋ = 1. doc1 = (3, 1), doc2 = (1, 0)
+    val d = docs(1L -> "a b a c", 2L -> "a b")
+    def run(headK: Int) = TextAnalysis.bigramSurprisal(d, headK)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, bits) => id -> ((n, bits)) }.toMap
+    assert(run(10000) == Map(1L -> ((3L, 1L)), 2L -> ((1L, 0L))))
+    // headK=0 forces every pair through the tail (shuffled) arm —
+    // the regime split must not change the answer
+    assert(run(0) == run(10000))
+  }
+
+  test("char entropy: exact integer witness per document") {
+    // "aaab": n=4, a×3 b×1 → 3·⌊log2(4 div 3)⌋ + 1·⌊log2 4⌋ = 2
+    // "ab":   n=2, 1+1 bits = 2;  "aaaa": 0 bits
+    val d = docs(1L -> "aaab", 2L -> "ab", 3L -> "aaaa")
+    val got = TextAnalysis.charEntropy(d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, n, k, bits) => id -> ((n, k, bits)) }.toMap
+    assert(got == Map(1L -> ((4L, 2L, 2L)), 2L -> ((2L, 2L, 2L)),
+      3L -> ((4L, 1L, 0L))))
+  }
+
+  test("temperature mix: isqrt weights, integer rates, md5-bucket decision") {
+    // sources A/B/C with 15/16/17 tokens: w = isqrt = 3/4/4 (the
+    // 15→3 vs 16→4 step is the exactness check), tt=48, budget=24,
+    // ww=11 → per-source budgets 6/8/8 → rate_e4 4000/5000/4705.
+    // md5 hex-29 buckets: doc1→3947 (<4000, in), doc2→4348 (<5000,
+    // in), doc3→7859 (≥4705, out)
+    val d = Seq(
+      (1L, Seq.fill(15)("t").mkString(" "), "A"),
+      (2L, Seq.fill(16)("t").mkString(" "), "B"),
+      (3L, Seq.fill(17)("t").mkString(" "), "C"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val got = TextAnalysis.mixTemperature(d)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "A", 15L), (2L, "B", 16L)))
+  }
+
+  test("mutual top-k keeps exactly the reciprocal pairs") {
+    // slice %10 → ids 0/10/20/30; two tight 2D clusters. k=1: 0↔10
+    // and 20↔30 are each other's nearest — both mutual, nothing else
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (10L, Array(0.9f, 0.1f), 0),
+      (20L, Array(0.0f, 1.0f), 1), (30L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.5f, 0.5f), 2)) // not on the slice — must be ignored
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.mutualTopK(e, k = 1)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == Set((0L, 10L, 1, 1), (20L, 30L, 1, 1)))
+  }
+
   test("bloom contamination flags the docs the exact screen flags") {
     // doc 0 (0 % 97 == 0) is the benchmark slice; doc 1 shares a
     // 5-gram with it, doc 2 does not

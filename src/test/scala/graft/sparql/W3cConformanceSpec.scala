@@ -2101,4 +2101,101 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(vs == Seq("_:b1", "ab:iri1", "zz:iri2", "apple"),
       s"tiered DISTINCT order, got $vs")
   }
+
+  // ---- r15.b batch: construct / select-expr / VALUES / IN-error /
+  // path negated-inverse / subquery-filter corners ---------------------
+
+  test("construct:unbound-template-drop — §16.2 omits triples with unbound vars") {
+    // carol has no mbox: her :hasMbox template triple is NOT
+    // generated, but her :seen triple (fully bound) IS
+    val out = Graft.query(people,
+      """CONSTRUCT { ?x :hasMbox ?m . ?x :seen "y" } WHERE {
+        |?x rdf:type :Person OPTIONAL { ?x :mbox ?m } }""".stripMargin)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("p:alice", ":hasMbox", "mailto:alice@work.example"),
+      ("p:bob", ":hasMbox", "mailto:bob@work.example"),
+      ("p:alice", ":seen", "y"), ("p:bob", ":seen", "y"),
+      ("p:carol", ":seen", "y")))
+  }
+
+  test("select-expr:alias-reuse — a later SELECT expression reads an earlier alias") {
+    // Extend composes left to right (§18.2.4.4): ?b is in scope for ?c
+    assert(run(people,
+      "SELECT (?a + 10 AS ?b) (?b * 2 AS ?c) WHERE { <p:alice> :age ?a }") ==
+      Set(b("b" -> "40", "c" -> "80")))
+  }
+
+  test("bindings:values-empty — an empty VALUES block yields no solutions") {
+    assert(run(people,
+      "SELECT ?n WHERE { ?x :name ?n VALUES ?x {} }") == Set.empty)
+  }
+
+  test("functions:in-error-after-match — TRUE || error is TRUE (§17.4.1.9)") {
+    // IN desugars to a ||-chain of =: an erroring element (out-of-
+    // scope var arithmetic) poisons rows whose earlier elements
+    // didn't already match — alice (30) matched first, bob/carol drop
+    assert(run(people,
+      "SELECT ?n WHERE { ?x :name ?n . ?x :age ?a FILTER(?a IN (30, ?zzz + 1)) }") ==
+      Set(b("n" -> "Alice")))
+  }
+
+  test("aggregates:count-distinct-star — duplicate full rows collapse") {
+    assert(run(people,
+      "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?x :knows ?y }") ==
+      Set(b("n" -> "3")))
+  }
+
+  test("functions:str-of-number — STR returns the lexical form") {
+    assert(run(people,
+      "SELECT (STR(?a) AS ?s) WHERE { <p:alice> :age ?a }") ==
+      Set(b("s" -> "30")))
+  }
+
+  test("negation:not-exists-path-body — a property path inside NOT EXISTS") {
+    // knows∘knows exists for alice (→carol) and bob (→dave); carol's
+    // ends at dave who knows nobody; dave isn't a Person
+    assert(run(people,
+      """SELECT ?x WHERE { ?x rdf:type :Person
+        |FILTER NOT EXISTS { ?x :knows/:knows ?z } }""".stripMargin) ==
+      Set(b("x" -> "p:carol")))
+  }
+
+  test("subquery:outer-filter-on-inner-agg — FILTER reads the subquery alias") {
+    assert(run(orgs,
+      """SELECT ?d ?c WHERE {
+        |  { SELECT ?d (COUNT(?e) AS ?c) WHERE { ?d :employee ?e } GROUP BY ?d }
+        |  FILTER(?c > 1) }""".stripMargin) ==
+      Set(b("d" -> "o:dep1", "c" -> "2")))
+  }
+
+  test("describe:absent-node — an unknown IRI describes to the empty graph") {
+    assert(Graft.query(people, "DESCRIBE <p:nobody>").count() == 0)
+  }
+
+  test("graph:no-such-graph — a constant GRAPH over an absent name is empty") {
+    val quads = Seq(
+      ("g:a", "e:1", ":next", "e:2", Option.empty[Double], true, Option.empty[String]))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(bindings(Compiler.runQuads(quads, SparqlParser.parse(
+      "SELECT ?s WHERE { GRAPH <g:zzz> { ?s :next ?o } }"))) == Set.empty)
+  }
+
+  test("property-path:neg-set-mixed-inverse — !(f…|^r…) unions both directions") {
+    // from n:a — forward except :p: :q→n:e, :s→lit1; reverse except
+    // :p: none (only :p comes in) → {n:e, lit1}
+    assert(run(paths, "SELECT ?y WHERE { <n:a> !(:p|^:p) ?y }") ==
+      Set(b("y" -> "n:e"), b("y" -> "lit1")))
+    // forward except :q,:s → :p→n:b; reverse except :r → ^:p from
+    // n:d → {n:b, n:d}
+    assert(run(paths, "SELECT ?y WHERE { <n:a> !(:q|:s|^:r) ?y }") ==
+      Set(b("y" -> "n:b"), b("y" -> "n:d")))
+  }
+
+  test("aggregates:sample-empty — ungrouped SAMPLE over no solutions is unbound") {
+    assert(run(people,
+      "SELECT (SAMPLE(?m) AS ?s) WHERE { ?x :mbox ?m FILTER(?x = <p:nobody>) }") ==
+      Set(b()))
+  }
 }
