@@ -802,6 +802,55 @@ object Compiler {
     case _ => Set.empty
   }
 
+  /** [[exprVars]] through And/Or/Not and BOUND — the full variable
+    * footprint of a filter expression, used to decide whether an
+    * OPTIONAL body's filter references outer (LHS) vars and must
+    * lift into the LeftJoin condition (§8.1.1).
+    */
+  private def deepExprVars(e: Expr): Set[String] = e match {
+    case And(a, b) => deepExprVars(a) ++ deepExprVars(b)
+    case Or(a, b) => deepExprVars(a) ++ deepExprVars(b)
+    case Not(x) => deepExprVars(x)
+    case Bound(v) => Set(v.name)
+    case other => exprVars(other)
+  }
+
+  /** LeftJoin with a CONDITION — LeftJoin(P1, P2, F), the algebra of
+    * `P1 OPTIONAL { P2 FILTER F }` when F reads P1's vars: matched
+    * solutions are the compat inner join filtered by F over the
+    * MERGED frame; left rows with NO surviving match union back bare
+    * (right-only columns typed-null), preserving bag semantics via a
+    * per-row id. The id side of the anti join is narrow and the left
+    * input is checkpointed once (the id must be stable across its
+    * two uses), so this stays two keyed joins — no nested loop, no
+    * row-at-a-time subquery, skew no worse than the inner join's.
+    */
+  private def leftJoinWithCondition(ldf0: DataFrame, rdf: DataFrame,
+                                    lRisky: Set[String], rRisky: Set[String],
+                                    conds: Seq[Expr]): DataFrame = {
+    val idc = "__lj_id"
+    val ldf = Checkpoints.tracked(
+      ldf0.withColumn(idc, monotonically_increasing_id()))
+    val joined = compatInnerJoin(ldf, rdf, lRisky, rRisky)
+    val matched = conds.foldLeft(joined)((df, e) =>
+      df.filter(exprColumn(df, guardScope(df, e))))
+    val bare = ldf.join(matched.select(col(idc)), Seq(idc), "left_anti")
+    val allCols =
+      (matched.columns.toSeq ++ bare.columns.toSeq.diff(matched.columns.toSeq)).distinct
+    // bare rows fill right-only LEXICAL vars with the engine's "N/A"
+    // sentinel (the compatLeftJoin convention — Bound/serializers/
+    // oracles all read it); companions stay typed null
+    val optOnly = rdf.columns.filterNot(isCompanion).diff(ldf0.columns).toSet
+    def pad(df: DataFrame): DataFrame =
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else if (optOnly.contains(c)) lit("N/A").as(c)
+        else lit(null).cast(
+          if (isNumCol(c)) "double"
+          else if (isIriCol(c)) "boolean" else "string").as(c)): _*)
+    pad(matched).unionByName(pad(bare)).drop(idc)
+  }
+
   /** The variables a FILTER leaf reads. BOUND and the composite /
     * scope-owning forms (And/Or/Not, EXISTS bodies, HAVING aggregate
     * forms, markers) are handled by [[guardScope]] directly.
@@ -1520,6 +1569,26 @@ object Compiler {
           df2.filter(exprColumn(df2, guardScope(df2, e2))).drop(ms: _*)
         case (df, e) => df.filter(exprColumn(df, guardScope(df, e)))
       }
+    // §8.1.1 / §18.2.2.3: OPTIONAL { P FILTER F } where F references
+    // LHS vars translates to LeftJoin(P1, P2, F) — the filter is the
+    // JOIN CONDITION, evaluated over the MERGED bindings, never a
+    // body-local filter (which would see the outer var as a type
+    // error and kill every match). Inner-only filters keep the plain
+    // body-filter path; EXISTS-bearing filters stay in the body,
+    // where the marker machinery owns them.
+    case LeftJoin(l, Filter(es, inner)) if {
+      val iv = allVars(inner); val lv = allVars(l)
+      es.exists(e => !containsExists(e) &&
+        !deepExprVars(e).subsetOf(iv) && deepExprVars(e).exists(lv))
+    } =>
+      val iv = allVars(inner); val lv = allVars(l)
+      val (lifted, kept) = es.partition(e => !containsExists(e) &&
+        !deepExprVars(e).subsetOf(iv) && deepExprVars(e).exists(lv))
+      val rPat = if (kept.isEmpty) inner else Filter(kept, inner)
+      leftJoinWithCondition(
+        compilePattern(triples, quads, l),
+        compilePattern(triples, quads, rPat),
+        maybeUnboundVars(l), maybeUnboundVars(rPat), lifted)
     case LeftJoin(l, r) =>
       val ldf = compilePattern(triples, quads, l)
       val rdf = compilePattern(triples, quads, r)

@@ -128,6 +128,19 @@ object SparqlQueries {
           |             FILTER(?pr = "1-URGENT") }
           |}""".stripMargin))
     },
+    // the OPTIONAL body's FILTER reads an OUTER var — §8.1.1
+    // LeftJoin(P1, P2, F): the filter is the JOIN CONDITION over the
+    // merged bindings (rich customers keep their order matches, poor
+    // ones keep their row with the N/A fill); evaluating it inside
+    // the body frame would type-error and kill every match (r15.c)
+    "sparql_optional_join_filter" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT DISTINCT ?c ?pr WHERE {
+          |  ?c a :Customer . ?c :acctbal ?b .
+          |  OPTIONAL { ?o :byCustomer ?c . ?o :orderpriority ?pr .
+          |             FILTER(?b > 5000) }
+          |}""".stripMargin))
+    },
     "sparql_union" -> { (s, dir) =>
       run(s, dir, SparqlParser.parse(
         """SELECT ?x ?nm WHERE {
@@ -1124,6 +1137,13 @@ object SparqlQueries {
         |       coalesce(o_orderpriority, 'N/A') AS pr
         |FROM customer LEFT JOIN orders
         |  ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'""".stripMargin,
+    // the outer-var condition: the LEFT JOIN's ON clause reads the
+    // CUSTOMER side — exactly the §8.1.1 LeftJoin(P1, P2, F) algebra
+    "sparql_optional_join_filter" ->
+      """SELECT DISTINCT 'cust:'||c_custkey AS c,
+        |       coalesce(o_orderpriority, 'N/A') AS pr
+        |FROM customer LEFT JOIN orders
+        |  ON o_custkey = c_custkey AND c_acctbal > 5000""".stripMargin,
     "sparql_union" ->
       """SELECT 'nat:'||n_nationkey AS x, n_name AS nm FROM nation
         |UNION ALL

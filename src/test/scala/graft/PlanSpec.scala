@@ -1342,6 +1342,17 @@ class PlanSpec extends AnyFunSuite {
       "the corpus must not shuffle for a metadata-sized join")
   }
 
+  test("sparql_optional_join_filter: condition LeftJoin stays keyed joins") {
+    // §8.1.1 LeftJoin(P1, P2, F): matched = inner equi-join + merged-
+    // frame filter, bare = id-keyed anti join — never a nested loop
+    // or a product, whatever the condition's shape
+    val p = plan("sparql_optional_join_filter")
+    assert(!p.contains("CartesianProduct"),
+      "the condition must not degrade the join to a product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the condition must not force a nested loop")
+  }
+
   test("ann_mutual_topk: one knn pass; mutuality is a keyed equi-join") {
     // the reciprocal filter must be a hash join on the reversed
     // (query, neighbor) pair — never a second vectors² pass

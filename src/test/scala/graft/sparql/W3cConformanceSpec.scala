@@ -2198,4 +2198,94 @@ class W3cConformanceSpec extends AnyFunSuite {
       "SELECT (SAMPLE(?m) AS ?s) WHERE { ?x :mbox ?m FILTER(?x = <p:nobody>) }") ==
       Set(b()))
   }
+
+  // ---- r15.c batch: BIND/subquery scope, update snapshot, string
+  // builtins, syntax forms ---------------------------------------------
+
+  test("bind:sees-only-preceding-patterns — §10.1 closes the prior group") {
+    // BIND evaluates against the PRECEDING elements only: ?a binds
+    // after the BIND, so ?y is unbound for every row even though the
+    // group eventually binds ?a
+    assert(run(people,
+      "SELECT ?n ?y WHERE { ?x :name ?n BIND(?a + 1 AS ?y) ?x :age ?a }") ==
+      Set(b("n" -> "Alice"), b("n" -> "Bob"), b("n" -> "Carol")))
+  }
+
+  test("subquery:projection-hides-inner-vars — unprojected vars leave scope") {
+    // ?y exists only inside the subquery; outside, BOUND(?y) is false
+    assert(run(people,
+      """SELECT ?x WHERE {
+        |  { SELECT ?x WHERE { ?x :knows ?y } }
+        |  FILTER(BOUND(?y)) }""".stripMargin) == Set.empty)
+  }
+
+  test("update:delete-insert-snapshot — both templates read the pre-state") {
+    // the classic swap: both WHERE matches evaluate against the
+    // ORIGINAL graph, so a and b exchange names atomically
+    import spark.implicits._
+    val g = Seq(
+      ("x:a", ":name", "left", Option.empty[Double], false, Option.empty[String]),
+      ("x:b", ":name", "right", None, false, None),
+      ("x:a", ":swapWith", "x:b", None, true, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val out = Graft.update(g,
+      """DELETE { ?p :name ?pn . ?q :name ?qn }
+        |INSERT { ?p :name ?qn . ?q :name ?pn }
+        |WHERE { ?p :swapWith ?q . ?p :name ?pn . ?q :name ?qn }""".stripMargin)
+    assert(bindings(out.filter("p = ':name'").select("s", "o")) ==
+      Set(b("s" -> "x:a", "o" -> "right"), b("s" -> "x:b", "o" -> "left")))
+  }
+
+  test("functions:replace-capture — $1 backreference substitutes the group") {
+    assert(run(people,
+      """SELECT (REPLACE(?n, "^(A)l", "$1L") AS ?r) WHERE { <p:alice> :name ?n }""") ==
+      Set(b("r" -> "ALice")))
+  }
+
+  test("functions:concat-three-args — CONCAT is n-ary") {
+    assert(run(people,
+      """SELECT (CONCAT(?n, "-", ?n) AS ?r) WHERE { <p:bob> :name ?n }""") ==
+      Set(b("r" -> "Bob-Bob")))
+  }
+
+  test("functions:contains-empty — every string contains the empty string") {
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n FILTER CONTAINS(?n, "") }""").size == 4)
+  }
+
+  test("syntax:predicate-object-list — ';' shares the subject") {
+    assert(run(people,
+      "SELECT ?n ?a WHERE { ?x :name ?n ; :age ?a . FILTER(?a > 35) }") ==
+      Set(b("n" -> "Bob", "a" -> "40")))
+  }
+
+  test("modifiers:limit-without-order — a bare LIMIT slices some N rows") {
+    assert(Graft.sparql(people,
+      "SELECT ?n WHERE { ?x :name ?n } LIMIT 2").count() == 2)
+  }
+
+  test("aggregates:group-concat-default-separator — space, per §18.5.1.7") {
+    val got = run(orgs,
+      """SELECT (GROUP_CONCAT(?e) AS ?es) WHERE { <o:dep1> :employee ?e }""")
+    assert(got.size == 1)
+    val s = got.head("es")
+    assert(s.split(" ").toSet == Set("o:emp1", "o:emp2"), s)
+  }
+
+  test("functions:uri-synonym — URI() and IRI() are the same builtin") {
+    assert(run(people,
+      """SELECT (URI(CONCAT("p:", "alice")) AS ?u) WHERE { <p:alice> :age ?a }
+        |""".stripMargin) == Set(b("u" -> "p:alice")))
+  }
+
+  test("optional:filter-uses-outer-var — §8.1.1 inner filter reads the LHS") {
+    // the W3C optional-filter family: a FILTER inside the OPTIONAL
+    // referencing an outer var constrains the MATCH, never the
+    // outer row's survival
+    assert(run(people,
+      """SELECT ?n ?m WHERE { ?x :name ?n . ?x :age ?a
+        |OPTIONAL { ?x :mbox ?m FILTER(?a > 35) } }""".stripMargin) ==
+      Set(b("n" -> "Alice"), b("n" -> "Carol"),
+        b("n" -> "Bob", "m" -> "mailto:bob@work.example")))
+  }
 }
