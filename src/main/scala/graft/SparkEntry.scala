@@ -103,7 +103,13 @@ object SparkEntry {
     // fuse (hybrid retrieval) and the broadcast-head coverage fold;
     // the variable-graph group and QuadData keys reuse benched
     // quad-join / set-merge shapes and stay verify-only
-    "ann_rrf_fusion", "text_zipf_head_coverage")
+    "ann_rrf_fusion", "text_zipf_head_coverage",
+    // r15.b: the DOUBLE head-broadcast over pair keys (bigram LM
+    // scoring — bigram AND context joins both head-split); char
+    // entropy / temperature mix / mutual knn / the LeftJoin-condition
+    // key reuse benched fold / broadcast-rate / knn / compat shapes
+    // and stay verify-only
+    "text_bigram_surprisal")
     // r12-r14 keys stay verify-only: the gated CN/Jaccard wedge joins
     // share graph_resource_alloc's benched priced-gate shape, and the
     // datetime/TZ builtins, DESCRIBE semi-join arms, multi-valued LPG

@@ -191,6 +191,9 @@ object PipelineQueries {
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     "data_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir))),
+    // the fill-ratio card over the pack assignment (r15.d)
+    "data_packing_efficiency" -> ((s, dir) =>
+      TextAnalysis.packingEfficiency(Tables.documents(s, dir))),
     // ---- §H multimodal ---------------------------------------------
     "mm_binary_features" -> ((s, dir) =>
       Multimodal.binaryFeatures(Tables.documents(s, dir))),
@@ -1489,6 +1492,23 @@ object PipelineQueries {
            |  FROM x)
            |SELECT doc_id, bucket, (cum - n_tokens) // 512 AS pack_id, n_tokens
            |FROM c""".stripMargin,
+    // the pack CTE refolded per bucket: integer fill ppm
+    "data_packing_efficiency" ->
+      raw"""WITH x AS (SELECT doc_id,
+           |    ('0x' || substr(md5(doc_id::VARCHAR), 9, 4))::BIGINT % 8 AS bucket,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+           |  FROM documents),
+           |c AS (SELECT doc_id, bucket, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+           |      AS BIGINT) AS cum
+           |  FROM x),
+           |p AS (SELECT doc_id, bucket, (cum - n_tokens) // 512 AS pack_id,
+           |    n_tokens FROM c)
+           |SELECT bucket, count(DISTINCT pack_id) AS n_packs,
+           |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_toks,
+           |  (CAST(sum(n_tokens) AS BIGINT) * 1000000)
+           |    // (count(DISTINCT pack_id) * 512) AS fill_ppm
+           |FROM p GROUP BY bucket""".stripMargin,
     // trunc() before the int cast: DuckDB's double→int CAST rounds,
     // Spark's truncates — trunc makes both engines agree bit-for-bit
     "emb_quantize" ->

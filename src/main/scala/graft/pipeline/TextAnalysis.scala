@@ -483,6 +483,25 @@ object TextAnalysis {
         col("n_tokens"))
   }
 
+  /** Packing-efficiency card over [[packSequences]]' assignment — the
+    * "how full are my training sequences" statistic an operator reads
+    * before burning GPU-hours on padding: per hash bucket the pack
+    * count, doc count, token volume, and the integer fill ratio
+    * (ppm, floor division — engine-exact). Fill < 1e6 means padding
+    * waste (the last pack of each bucket underfills); a pack whose
+    * final doc straddles the boundary can push a bucket slightly
+    * over. One partial-agg refold of the pack relation.
+    */
+  def packingEfficiency(docs: DataFrame, seqTokens: Int = 512,
+                        buckets: Int = 8): DataFrame =
+    packSequences(docs, seqTokens, buckets)
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("pack_id")).as("n_packs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_toks"))
+      .withColumn("fill_ppm",
+        expr(s"n_toks * 1000000 div (n_packs * $seqTokens)"))
+
   /** Per-doc top-k characteristic terms: rank by term frequency, then
     * RARE-first corpus document frequency, then the token — a tf-idf
     * stand-in whose ranking keys are all integers, so the result is

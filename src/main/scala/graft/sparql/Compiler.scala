@@ -1894,8 +1894,12 @@ object Compiler {
       case (Some(sv), None) => single(sv)
       case (None, Some(ov)) => single(ov)
       case _ =>
+        // both endpoints variable: (t, t) for EVERY term of the graph
+        // — subjects and objects alike, literal objects included
+        // (§9.3 defines the zero-length pairs over all terms of G,
+        // not just resources; found by conformance batch r15.d)
         triples.select(col("s"))
-          .unionByName(triples.filter(col("o_is_iri")).select(col("o").as("s")))
+          .unionByName(triples.select(col("o").as("s")))
           .distinct()
           .select(col("s").as("sub"), col("s").as("sup"))
     }
@@ -2070,13 +2074,30 @@ object Compiler {
       "FROM / FROM NAMED require a quad dataset — run the query via runQuads")
     var df = compilePattern(triples, quads, q.where)
 
-    if (q.aggregates.nonEmpty) {
+    // §11.4: HAVING may reference an aggregate ABSENT from the SELECT
+    // projection — synthesize hidden aggregate columns for those,
+    // filter, then drop the helpers (they never reach projection:
+    // SELECT * filters the __hv prefix like other internals)
+    def havingNeeds(e: Expr, acc: Seq[Agg]): Seq[Agg] = e match {
+      case HavingAggCmp(op, v, _, _)
+          if !(q.aggregates ++ acc).exists(a =>
+            a.op == op && a.v.map(_.name) == v.map(_.name) && a.expr.isEmpty) =>
+        acc :+ Agg(op, v, s"__hv${acc.size}", " ")
+      case And(a, b) => havingNeeds(b, havingNeeds(a, acc))
+      case Or(a, b) => havingNeeds(b, havingNeeds(a, acc))
+      case _ => acc
+    }
+    val hiddenAggs =
+      q.having.foldLeft(Seq.empty[Agg])((acc, e) => havingNeeds(e, acc))
+    val allAggs = q.aggregates ++ hiddenAggs
+
+    if (allAggs.nonEmpty) {
       // MIN/MAX aliases aggregated as (num, key, lex) pairs, unpacked
       // after the fold (see minMaxAgg below); keyAliases is the
       // no-numeric-companion twin folding (key, lex) only
       val pairAliases = scala.collection.mutable.ListBuffer.empty[String]
       val keyAliases = scala.collection.mutable.ListBuffer.empty[String]
-      val aggCols = q.aggregates.map { case Agg(op, v, alias, sep, aggExpr, dist) =>
+      val aggCols = allAggs.map { case Agg(op, v, alias, sep, aggExpr, dist) =>
         // W3C §18.5: unbound is an error, and error rows are removed
         // from the aggregate's multiset — fold the engine's unmatched-
         // OPTIONAL "N/A" sentinel to null so Spark's null-skipping
@@ -2192,7 +2213,10 @@ object Compiler {
       // HAVING compares the typed aggregate outputs directly (they
       // carry real numeric types, unlike pattern bindings, which
       // compare through their lexical/companion split)
-      q.having.foreach(e => df = df.filter(havingColumn(e, q.aggregates)))
+      q.having.foreach(e => df = df.filter(havingColumn(e, allAggs)))
+      if (hiddenAggs.nonEmpty)
+        df = df.drop(hiddenAggs.flatMap(a =>
+          Seq(a.alias, numCol(a.alias))): _*)
     }
 
     // SPARQL evaluates DISTINCT before ORDER BY: project (keeping the

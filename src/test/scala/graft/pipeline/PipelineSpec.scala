@@ -362,6 +362,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set((1L, "A", 15L), (2L, "B", 16L)))
   }
 
+  test("packing efficiency card folds the pack assignment exactly") {
+    val d = docs((1L to 40L).map(i => i -> ("tok " * (i % 7 + 1).toInt).trim): _*)
+    val packs = TextAnalysis.packSequences(d, seqTokens = 16, buckets = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = packs.groupBy(_._2).map { case (b, rows) =>
+      val nPacks = rows.map(_._3).distinct.length.toLong
+      val nToks = rows.map(_._4).sum
+      (b, nPacks, rows.length.toLong, nToks, nToks * 1000000L / (nPacks * 16))
+    }.toSet
+    val got = TextAnalysis.packingEfficiency(d, seqTokens = 16, buckets = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.map(_._3).sum == 40L)
+  }
+
   test("mutual top-k keeps exactly the reciprocal pairs") {
     // slice %10 → ids 0/10/20/30; two tight 2D clusters. k=1: 0↔10
     // and 20↔30 are each other's nearest — both mutual, nothing else

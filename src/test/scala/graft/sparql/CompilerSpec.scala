@@ -356,8 +356,11 @@ class CompilerSpec extends AnyFunSuite {
     val pairs = Compiler.run(triples, vv).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs.contains(("p:1", "p:2")))
+    // §9.3: the zero-length pairs cover EVERY term of the graph —
+    // literal objects included (r15.d: the resources-only universe
+    // was a conformance miss, deliberately updated)
     assert(pairs.filter(p => p._1 == p._2).map(_._1) ==
-      Set("p:1", "p:2", ":Person"))
+      Set("p:1", "p:2", ":Person", "30", "40", "ann", "bob"))
     val zo = SelectQuery(
       where = PathZeroOne(Iri("p:2"), Seq(":knows"), v("y")),
       projection = Seq("y"))

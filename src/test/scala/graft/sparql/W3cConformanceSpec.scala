@@ -2278,6 +2278,28 @@ class W3cConformanceSpec extends AnyFunSuite {
         |""".stripMargin) == Set(b("u" -> "p:alice")))
   }
 
+  test("property-path:zeroone-both-vars — zero-length relates every graph term") {
+    // §9.3 ZeroOrOnePath with both ends unbound: (t, t) for every
+    // term IN the graph — subjects AND objects, literals included —
+    // plus the one-hop :q pairs
+    assert(run(paths, "SELECT ?x ?y WHERE { ?x :q? ?y }") ==
+      Set(
+        b("x" -> "n:a", "y" -> "n:a"), b("x" -> "n:b", "y" -> "n:b"),
+        b("x" -> "n:c", "y" -> "n:c"), b("x" -> "n:d", "y" -> "n:d"),
+        b("x" -> "n:e", "y" -> "n:e"), b("x" -> "n:f", "y" -> "n:f"),
+        b("x" -> "lit1", "y" -> "lit1"),
+        b("x" -> "n:a", "y" -> "n:e")))
+  }
+
+  test("aggregates:having-unprojected — HAVING names an aggregate SELECT omits") {
+    // §11.4: the constraint aggregates over the group even when the
+    // projection never asks for the value — a hidden aggregate
+    // column computes it and is dropped after the filter
+    assert(run(orgs,
+      "SELECT ?d WHERE { ?d :employee ?e } GROUP BY ?d HAVING (COUNT(?e) > 1)") ==
+      Set(b("d" -> "o:dep1")))
+  }
+
   test("optional:filter-uses-outer-var — §8.1.1 inner filter reads the LHS") {
     // the W3C optional-filter family: a FILTER inside the OPTIONAL
     // referencing an outer var constrains the MATCH, never the
