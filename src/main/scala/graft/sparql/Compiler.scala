@@ -1274,6 +1274,12 @@ object Compiler {
       when(cc, numVExpr(df, t)).when(!cc, numVExpr(df, f))
     case FnCall(fn, _) =>
       throw new IllegalArgumentException(s"$fn is not numeric in BIND")
+    case _: VAgg =>
+      // the select builder lifts every legal VAgg (§18.2.4.4) into a
+      // hidden inner aggregate — one surviving to evaluation sits in
+      // BIND/FILTER position, where aggregates are illegal
+      throw new IllegalArgumentException(
+        "aggregate calls are only allowed in SELECT expressions, HAVING, and ORDER BY")
   }
 
   /** xsd:date / xsd:dateTime lexical shape: groups 1-3 are the date
@@ -1973,7 +1979,41 @@ object Compiler {
 
   private def constructSlices(triples: DataFrame, template: Seq[TriplePattern],
                               where: Pattern): DataFrame = {
-    val df = compilePattern(triples, where)
+    val df0 = compilePattern(triples, where)
+    // §16.2.1: a blank node in the TEMPLATE mints a fresh blank node
+    // per solution, shared across the template's triples for the same
+    // label. The parser encodes template bnode labels as __bn* vars;
+    // any such var the WHERE does not itself bind gets a per-solution
+    // node column here. The id is the hash of the full binding row plus
+    // a duplicate index (row_number within the hash group — group size
+    // is the solution's multiplicity, so the window never sees skew
+    // beyond duplicate-solution counts), so identical solutions still
+    // mint distinct nodes and the output is run-deterministic. The
+    // cost is paid only when the template actually has blank nodes.
+    val freshBnodes = template.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+      .collect {
+        case Var(n) if n.startsWith("__bn") && !df0.columns.contains(n) => n
+      }.distinct
+    val df =
+      if (freshBnodes.isEmpty) df0
+      else {
+        val solHash =
+          if (df0.columns.isEmpty) lit("0")
+          else md5(to_json(struct(df0.columns.map(col): _*)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__sol_h")).orderBy(lit(1))
+        val withId = df0.withColumn("__sol_h", solHash)
+          .withColumn("__sol_i", row_number().over(w))
+        freshBnodes.foldLeft(withId) { (d, n) =>
+          // recover the user-facing label: `_:c` parses to __bn_c,
+          // bracketed lists to __bn<counter>
+          val label =
+            if (n.startsWith("__bn_")) n.stripPrefix("__bn_")
+            else "b" + n.stripPrefix("__bn")
+          d.withColumn(n, concat(lit("_:" + label + "-"),
+            substring(col("__sol_h"), 1, 12), lit("-"), col("__sol_i")))
+        }.drop("__sol_h", "__sol_i")
+      }
     def termCol(t: Term): Column = t match {
       // a template var the WHERE never binds: the allBound filter
       // already empties this slice — emit a typed null so the select
@@ -1986,6 +2026,10 @@ object Compiler {
     }
     def typing(t: Term): (Column, Column) = t match {
       case Iri(_) => (lit(true), lit(null).cast("double"))
+      // a minted blank node is a resource: the serializers key bnode
+      // syntax off (o_is_iri && startsWith("_:"))
+      case Var(n) if freshBnodes.contains(n) =>
+        (lit(true), lit(null).cast("double"))
       case Lit(_, num, _) =>
         (lit(false), num.map(n => lit(n): Column)
           .getOrElse(lit(null).cast("double")))
@@ -2227,9 +2271,12 @@ object Compiler {
     val projCols: Seq[String] =
       if (q.projection.nonEmpty) q.projection
       // blank nodes parse to `__bn*` non-distinguished variables
-      // (§4.1.4): they join like variables but never reach SELECT *
+      // (§4.1.4): they join like variables but never reach SELECT *;
+      // the other reserved internal prefixes (hidden sort keys,
+      // lifted §18.2.4.4 aggregates, HAVING helpers) stay hidden too
       else df.columns.filterNot(isCompanion)
-        .filterNot(_.startsWith("__bn")).toSeq
+        .filterNot(n => n.startsWith("__bn") || n.startsWith("__ord") ||
+          n.startsWith("__sagg") || n.startsWith("__hv")).toSeq
     // SPARQL §18.2.4: projecting a variable NO pattern binds is legal
     // and yields the unbound value on every row — materialize it as
     // the engine's "N/A" sentinel (the unmatched-OPTIONAL fill)

@@ -2310,4 +2310,142 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("n" -> "Alice"), b("n" -> "Carol"),
         b("n" -> "Bob", "m" -> "mailto:bob@work.example")))
   }
+
+  // ---- r15.f batch: SELECT/ORDER BY expressions over aggregates ----
+  // (§18.2.4.4 — the last parser-level rejections in the agg family)
+
+  test("aggregates:agg-expr-ratio — SELECT expression over two aggregates") {
+    // SUM(?s)/COUNT(?e) is a single SELECT expression with two
+    // embedded aggregate calls — §18.2.4.4 evaluates it AFTER
+    // grouping, over the aggregate results
+    assert(run(orgs,
+      """SELECT ?org (SUM(?s) AS ?tot) (SUM(?s)/COUNT(?e) AS ?avg)
+        |WHERE { ?org :affiliates ?d . ?d :employee ?e . ?e :salary ?s }
+        |GROUP BY ?org""".stripMargin) ==
+      Set(b("org" -> "o:org1", "tot" -> "600", "avg" -> "200"),
+        b("org" -> "o:org2", "tot" -> "400", "avg" -> "400")))
+  }
+
+  test("aggregates:agg-alias-reuse — later SELECT expression reads an aggregate alias") {
+    assert(run(orgs,
+      "SELECT (COUNT(?e) AS ?c) (?c * 10 AS ?d) WHERE { ?dep :employee ?e }") ==
+      Set(b("c" -> "4", "d" -> "40")))
+  }
+
+  test("aggregates:order-by-agg — ORDER BY DESC(COUNT) reuses the projected fold") {
+    val df = Graft.sparql(orgs,
+      """SELECT ?dep (COUNT(?e) AS ?c) WHERE { ?dep :employee ?e }
+        |GROUP BY ?dep ORDER BY DESC(COUNT(?e)) ASC(?dep)""".stripMargin)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("o:dep1", 2L), ("o:dep2", 1L), ("o:dep3", 1L)))
+  }
+
+  test("aggregates:order-by-hidden-agg — ORDER BY over an UNPROJECTED aggregate") {
+    val df = Graft.sparql(orgs,
+      """SELECT ?dep WHERE { ?dep :employee ?e }
+        |GROUP BY ?dep ORDER BY DESC(COUNT(?e)) ASC(?dep)""".stripMargin)
+    assert(df.columns.toSeq == Seq("dep"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("o:dep1", "o:dep2", "o:dep3"))
+  }
+
+  test("aggregates:agg-in-order-expr — ORDER BY expression combining aggregates") {
+    // per-dept average salary: dep1 150, dep2 300, dep3 400
+    val df = Graft.sparql(orgs,
+      """SELECT ?dep WHERE { ?dep :employee ?e . ?e :salary ?s }
+        |GROUP BY ?dep ORDER BY DESC(SUM(?s)/COUNT(?e))""".stripMargin)
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("o:dep3", "o:dep2", "o:dep1"))
+  }
+
+  test("aggregates:values-after-group — final VALUES joins the GROUPED solutions") {
+    // §18.2.4: the query-final data block joins after grouping, so it
+    // can constrain a group key without changing what aggregates see
+    assert(run(orgs,
+      """SELECT ?dep (COUNT(?e) AS ?c) WHERE { ?dep :employee ?e }
+        |GROUP BY ?dep VALUES ?dep { o:dep1 }""".stripMargin) ==
+      Set(b("dep" -> "o:dep1", "c" -> "2")))
+  }
+
+  test("aggregates:select-expr-group-key — expression over a group key beside aggregates") {
+    assert(run(people,
+      """SELECT ?n (CONCAT(?n, "!") AS ?u) (COUNT(?x) AS ?c)
+        |WHERE { ?x :name ?n } GROUP BY ?n""".stripMargin) ==
+      Set(b("n" -> "Alice", "u" -> "Alice!", "c" -> "1"),
+        b("n" -> "Bob", "u" -> "Bob!", "c" -> "1"),
+        b("n" -> "Carol", "u" -> "Carol!", "c" -> "1"),
+        b("n" -> "Dave", "u" -> "Dave!", "c" -> "1")))
+  }
+
+  test("aggregates:agg-in-if — IF over an aggregate comparison") {
+    assert(run(orgs,
+      """SELECT ?org (IF(COUNT(?e) > 2, "big", "small") AS ?sz)
+        |WHERE { ?org :affiliates ?d . ?d :employee ?e }
+        |GROUP BY ?org""".stripMargin) ==
+      Set(b("org" -> "o:org1", "sz" -> "big"),
+        b("org" -> "o:org2", "sz" -> "small")))
+  }
+
+  test("distinct:order-by-expr — SELECT DISTINCT with an expression sort key") {
+    // §18.2.5.3: the sort key is an expression over a PROJECTED var,
+    // legal under DISTINCT; distinct evaluates before the sort
+    val df = Graft.sparql(people,
+      "SELECT DISTINCT ?n WHERE { ?x :name ?n } ORDER BY DESC(STRLEN(?n)) ?n")
+    assert(df.columns.toSeq == Seq("n"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("Alice", "Carol", "Dave", "Bob"))
+  }
+
+  // ---- r15.e batch: CONSTRUCT blank-node templates (§16.2.1) ---------
+
+  test("construct:template-bnode — a template bnode mints a fresh node per solution") {
+    // §16.2.1: _:c is instantiated FRESH for each solution, shared
+    // across the template's triples within one solution. Three people
+    // with names → three distinct bnodes, each linking its person to
+    // its name through the same node.
+    val out = Graft.query(people,
+      """CONSTRUCT { ?x :contact _:c . _:c :label ?n }
+        |WHERE { ?x rdf:type :Person . ?x :name ?n }""".stripMargin)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val contact = rows.filter(_._2 == ":contact")
+    val label = rows.filter(_._2 == ":label")
+    assert(contact.length == 3 && label.length == 3)
+    // fresh per solution: three distinct bnode values, all bnode-shaped
+    assert(contact.map(_._3).distinct.length == 3)
+    assert(contact.forall(_._3.startsWith("_:")))
+    // shared within a solution: contact's object = label's subject,
+    // and the linkage carries the right name for each person
+    val byNode = label.map(t => t._1 -> t._3).toMap
+    val linked = contact.map(t => (t._1, byNode(t._3))).toSet
+    assert(linked == Set(("p:alice", "Alice"), ("p:bob", "Bob"),
+      ("p:carol", "Carol")))
+  }
+
+  test("construct:template-bnode-proplist — [ ... ] in a template is a fresh node") {
+    // the bracketed property list desugars to a generated bnode var;
+    // same §16.2.1 freshness applies
+    val out = Graft.query(people,
+      "CONSTRUCT { ?x :addr [ :city ?n ] } WHERE { ?x :name ?n . ?x :mbox ?m }")
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val addr = rows.filter(_._2 == ":addr")
+    val city = rows.filter(_._2 == ":city")
+    assert(addr.length == 2 && city.length == 2)
+    assert(addr.map(_._3).distinct.length == 2)
+    val byNode = city.map(t => t._1 -> t._3).toMap
+    assert(addr.map(t => (t._1, byNode(t._3))).toSet ==
+      Set(("p:alice", "Alice"), ("p:bob", "Bob")))
+  }
+
+  test("construct:template-bnode-typed — minted nodes serialize as bnodes") {
+    // constructTyped marks the minted object a resource, so the
+    // NTriples serializer emits bnode syntax (no angle brackets)
+    val (tmpl, where) = SparqlParser.parseConstruct(
+      "CONSTRUCT { ?x :contact _:c } WHERE { ?x :mbox ?m }")
+    val typed = Compiler.constructTyped(people, tmpl, where)
+    val lines = graft.rdf.NTriples.format(typed).collect().map(_.getString(0))
+    assert(lines.length == 2)
+    assert(lines.forall(_.matches("<p:(alice|bob)> <:contact> _:c-[0-9a-f]{12}-\\d+ \\.")))
+  }
 }
