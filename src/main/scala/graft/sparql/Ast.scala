@@ -172,6 +172,17 @@ object Ast {
   final case class FnCall(fn: String, args: Seq[VExpr]) extends VExpr
   /** IF(cond, then, else) — conditional value expression. */
   final case class VIf(cond: Expr, t: VExpr, f: VExpr) extends VExpr
+  /** Parse-time only: an aggregate call embedded in a SELECT or
+    * ORDER BY expression (§18.2.4.4 — `SELECT (SUM(?a)/SUM(?b) AS
+    * ?r)`, `ORDER BY DESC(COUNT(?x))`). The select builder lifts
+    * every VAgg into a hidden aggregate (`__sagg<i>`) of an inner
+    * subquery and rewrites the node to VVar(alias); the compiler
+    * never evaluates one — an aggregate surviving to BIND/FILTER
+    * position is rejected loudly.
+    */
+  final case class VAgg(op: AggOp, v: Option[Var],
+                        distinct: Boolean = false, sep: String = " ",
+                        expr: Option[VExpr] = None) extends VExpr
   /** Property path `(p1|p2|…)+`: s and o related by one or more hops
     * over any of the predicates (SPARQL alternation + OneOrMore).
     */

@@ -481,11 +481,47 @@ object SparqlParser extends RegexParsers {
     "(?i)(STRUUID|UUID|NOW)".r ~ "(" ~ ")" ^^ {
       case f ~ _ ~ _ => FnCall(f.toUpperCase, Nil)
     }
+  /** Aggregate call in EXPRESSION position (§18.2.4.4 —
+    * `SELECT (SUM(?a)/SUM(?b) AS ?r)`, `ORDER BY DESC(COUNT(?x))`):
+    * parses to the parse-time-only [[Ast.VAgg]] node, which the
+    * select builder lifts into a hidden aggregate of an inner
+    * subquery. Argument rules mirror aggSel's.
+    */
+  private def aggCall: Parser[VExpr] =
+    aggOp ~ ("(" ~> opt("(?i)DISTINCT".r) ~
+      (vAdditive ^^ Some.apply | "*" ^^^ None) ~
+      opt(";" ~> "(?i)SEPARATOR".r ~> "=" ~> strLit) <~ ")") >> {
+      case op ~ (dist ~ arg ~ sep) =>
+        val realOp = if (op == Count && dist.isDefined) CountDistinct else op
+        val distFlag = dist.isDefined &&
+          (realOp == Sum || realOp == GroupConcat)
+        if (dist.isDefined &&
+            !Seq(Count, CountDistinct, Sum, GroupConcat).contains(realOp))
+          failure(s"DISTINCT is not supported for $realOp")
+        else {
+          val sepStr = sep.map(_.lexical).getOrElse(" ")
+          arg match {
+            case None if realOp != Count && realOp != CountDistinct =>
+              failure(s"$realOp(*) is not supported — name a variable")
+            case None => success(VAgg(realOp, None, sep = sepStr))
+            case Some(VVar(n)) =>
+              if (sep.isDefined && realOp != GroupConcat)
+                failure("SEPARATOR only applies to GROUP_CONCAT")
+              else success(VAgg(realOp, Some(Var(n)), distFlag, sepStr))
+            case Some(e) =>
+              if (!Seq(Count, Sum, Avg, Max, Min).contains(realOp))
+                failure(s"$realOp over an expression is not supported")
+              else success(VAgg(realOp, None, distFlag, sepStr,
+                expr = Some(e)))
+          }
+        }
+    }
   private def vPrimary: Parser[VExpr] =
     ("(" ~> vAdditive <~ ")") |
     ifExpr |
     strLangDt |
     zeroArgFn |
+    aggCall |
     fnName ~ ("(" ~> rep1sep(vAdditive, ",") <~ ")") ^^ {
       case f ~ args => FnCall(f, args)
     } |
@@ -710,6 +746,75 @@ object SparqlParser extends RegexParsers {
       case e ~ v => Right((e, v.name))
     }
 
+  /** §18.2.4.4 lift: replace every [[Ast.VAgg]] in `e` with a VVar
+    * over a hidden aggregate alias, accumulating the hidden Agg
+    * entries. An identical VISIBLE aggregate (same op/arg/flags)
+    * reuses its alias, so `ORDER BY DESC(COUNT(?x))` next to
+    * `(COUNT(?x) AS ?c)` rides the projected fold instead of
+    * aggregating twice.
+    */
+  private def liftAggs(e: VExpr, visible: Seq[Agg],
+      buf: scala.collection.mutable.ListBuffer[Agg]): VExpr = e match {
+    case VAgg(op, v, dst, sep, ex) =>
+      val all = visible ++ buf
+      val alias = all.find(a => a.op == op && a.v == v &&
+          a.distinct == dst && a.sep == sep && a.expr == ex)
+        .map(_.alias).getOrElse {
+          val nm = s"__sagg${buf.size}"
+          buf += Agg(op, v, nm, sep, ex, dst)
+          nm
+        }
+      VVar(alias)
+    case Arith(op, l, r) =>
+      Arith(op, liftAggs(l, visible, buf), liftAggs(r, visible, buf))
+    case FnCall(f, as) => FnCall(f, as.map(liftAggs(_, visible, buf)))
+    case VIf(c, t, f) => VIf(liftAggsExpr(c, visible, buf),
+      liftAggs(t, visible, buf), liftAggs(f, visible, buf))
+    case other => other
+  }
+  private def liftAggsExpr(e: Expr, visible: Seq[Agg],
+      buf: scala.collection.mutable.ListBuffer[Agg]): Expr = e match {
+    // a lift that leaves a BARE variable takes the companion-aware
+    // Cmp path (ExprCmp dispatches statically on the expression
+    // SHAPE, which would misread a lone alias var as non-numeric —
+    // the same normalization the cmp parser applies)
+    case ExprCmp(op, x, l) => liftAggs(x, visible, buf) match {
+      case VVar(n) => Cmp(op, Var(n), l)
+      case lifted => ExprCmp(op, lifted, l)
+    }
+    case CmpVV(op, l, r) =>
+      CmpVV(op, liftAggs(l, visible, buf), liftAggs(r, visible, buf))
+    case And(l, r) =>
+      And(liftAggsExpr(l, visible, buf), liftAggsExpr(r, visible, buf))
+    case Or(l, r) =>
+      Or(liftAggsExpr(l, visible, buf), liftAggsExpr(r, visible, buf))
+    case Not(x) => Not(liftAggsExpr(x, visible, buf))
+    case other => other
+  }
+
+  /** Conservative variable footprint of a select/order expression
+    * (post-lift: no VAgg remains) — used for the §18.2.5.3 DISTINCT
+    * sort-key scope check.
+    */
+  private def vexprVarNames(e: VExpr): Set[String] = e match {
+    case VVar(n) => Set(n)
+    case Arith(_, l, r) => vexprVarNames(l) ++ vexprVarNames(r)
+    case FnCall(_, as) => as.flatMap(vexprVarNames).toSet
+    case VIf(c, t, f) =>
+      exprVarNames(c) ++ vexprVarNames(t) ++ vexprVarNames(f)
+    case _ => Set.empty
+  }
+  private def exprVarNames(e: Expr): Set[String] = e match {
+    case Cmp(_, v, _) => Set(v.name)
+    case ExprCmp(_, x, _) => vexprVarNames(x)
+    case CmpVV(_, l, r) => vexprVarNames(l) ++ vexprVarNames(r)
+    case And(l, r) => exprVarNames(l) ++ exprVarNames(r)
+    case Or(l, r) => exprVarNames(l) ++ exprVarNames(r)
+    case Not(x) => exprVarNames(x)
+    case Bound(v) => Set(v.name)
+    case _ => Set.empty
+  }
+
   private def selectQuery: Parser[SelectQuery] =
     "(?i)SELECT".r ~> opt("(?i)DISTINCT".r) ~ (rep1(selector) ^^ Some.apply | "*" ^^^ None) ~
       rep(datasetClause) ~
@@ -730,57 +835,146 @@ object SparqlParser extends RegexParsers {
         val limit = slices.collectFirst { case ("limit", n) => n }
         val offset = slices.collectFirst { case ("offset", n) => n }
         val selectors = sels.getOrElse(Seq.empty)
-        if (tval.isDefined && selectors.exists(_.isInstanceOf[AggSel]))
-          throw new IllegalArgumentException(
-            "a final VALUES clause alongside aggregates is not supported")
-        val where = tval.fold(where0)(vp => Join(where0, vp))
-        val exprSels = selectors.collect { case e: ExprSel => e }
-        if (exprSels.nonEmpty && selectors.exists(_.isInstanceOf[AggSel]))
-          throw new IllegalArgumentException(
-            "SELECT expressions alongside aggregates are not supported")
-        // expression order keys become hidden pre-projection BINDs, so
-        // they only compose with pattern-level (non-aggregated,
-        // non-DISTINCT) queries — variables (incl. aggregate aliases)
-        // keep the direct path
-        val orderConds = order.getOrElse(Seq.empty)
-        val orderExprs = orderConds.zipWithIndex.collect {
+        val aggSels = selectors.collect { case AggSel(a) => a }
+        val groupConds = group.getOrElse(Seq.empty)
+        val groupNames = groupConds.map {
+          case Left(n) => n
+          case Right((_, n)) => n
+        }
+        val groupExprBinds = groupConds.collect { case Right(en) => en }
+        // §18.2.4.4: lift aggregate calls embedded in SELECT / ORDER
+        // BY expressions into hidden aggregates (an embedded call
+        // identical to a projected one reuses its alias)
+        val hidden = scala.collection.mutable.ListBuffer.empty[Agg]
+        val exprSels = selectors.collect { case ExprSel(e, alias) =>
+          ExprSel(liftAggs(e, aggSels, hidden), alias)
+        }
+        val orderKeys = order.getOrElse(Seq.empty).map {
+          // a pure aggregate-call key normalizes to its (possibly
+          // hidden) alias and keeps the direct variable-sort path
+          case (OrderExpr(e), asc) => liftAggs(e, aggSels, hidden) match {
+            case VVar(n) => (OrderVar(n): OrderKey, asc)
+            case lifted => (OrderExpr(lifted): OrderKey, asc)
+          }
+          case other => other
+        }
+        val orderExprs = orderKeys.zipWithIndex.collect {
           case ((OrderExpr(e), _), idx) => (s"__ord$idx", e)
         }
-        if (orderExprs.nonEmpty &&
-            (dist.isDefined || selectors.exists(_.isInstanceOf[AggSel])))
-          throw new IllegalArgumentException(
-            "ORDER BY expressions alongside DISTINCT/aggregates are not supported")
-        val orderBy = orderConds.zipWithIndex.map {
+        val orderBy = orderKeys.zipWithIndex.map {
           case ((OrderVar(n), asc), _) => (n, asc)
           case ((OrderExpr(_), asc), idx) => (s"__ord$idx", asc)
         }
-        val groupConds = group.getOrElse(Seq.empty)
-        val groupExprBinds = groupConds.collect { case Right(en) => en }
-        val whereWithSels = exprSels.foldLeft(where)((w, s) => Bind(w, s.e, s.alias))
-        val whereWithGroups = groupExprBinds.foldLeft(whereWithSels) {
-          case (w, (e, nm)) => Bind(w, e, nm)
+        val projection = selectors.map {
+          case VarSel(n) => n
+          case AggSel(a) => a.alias
+          case ExprSel(_, alias) => alias
         }
-        SelectQuery(
-          where = orderExprs.foldLeft(whereWithGroups) {
-            case (w, (nm, e)) => Bind(w, e, nm)
-          },
-          projection = selectors.map {
-            case VarSel(n) => n
-            case AggSel(a) => a.alias
-            case ExprSel(_, alias) => alias
-          },
-          aggregates = selectors.collect { case AggSel(a) => a },
-          groupBy = groupConds.map {
-            case Left(n) => n
-            case Right((_, n)) => n
-          },
-          having = hav.toSeq,
-          distinct = dist.isDefined,
-          orderBy = orderBy,
-          offset = offset.getOrElse(0L),
-          limit = limit.getOrElse(-1L),
-          fromGraphs = dataset.collect { case (false, g) => g },
-          fromNamed = dataset.collect { case (true, g) => g })
+        val fromG = dataset.collect { case (false, g) => g }
+        val fromN = dataset.collect { case (true, g) => g }
+        val hasAgg = aggSels.nonEmpty || hidden.nonEmpty
+        // §18.2.5.3: under DISTINCT a sort key must be an expression
+        // over PROJECTED variables (aggregate aliases count — hidden
+        // lifted ones included, they are group-functional); anything
+        // else is a loud error, matching the variable-key posture
+        if (dist.isDefined && orderExprs.nonEmpty && projection.nonEmpty) {
+          val allowed = (projection ++ aggSels.map(_.alias) ++
+            hidden.map(_.alias)).toSet
+          orderExprs.foreach { case (_, e) =>
+            val bad = vexprVarNames(e) -- allowed
+            if (bad.nonEmpty) throw new IllegalArgumentException(
+              "ORDER BY expression under DISTINCT references unprojected " +
+                bad.map("?" + _).mkString(", ") + " (§18.2.5.3)")
+          }
+        }
+        if (hasAgg &&
+            (exprSels.nonEmpty || orderExprs.nonEmpty || tval.isDefined)) {
+          // §18.2.4 staging via a subquery: (1) group/aggregate +
+          // HAVING in an inner SELECT, (2) the final VALUES block
+          // joins the GROUPED solutions (not the pattern ones), (3)
+          // SELECT expressions extend them left-to-right, (4) ORDER
+          // BY expressions bind hidden sort keys, then DISTINCT and
+          // the slice apply on top
+          val varSelNames = selectors.collect { case VarSel(n) => n }
+          val inner = SelectQuery(
+            where = groupExprBinds.foldLeft(where0) {
+              case (w, (e, nm)) => Bind(w, e, nm)
+            },
+            projection = (varSelNames ++ groupNames ++
+              aggSels.map(_.alias) ++ hidden.map(_.alias)).distinct,
+            aggregates = aggSels ++ hidden.toSeq,
+            groupBy = groupNames,
+            having = hav.toSeq)
+          val joined = tval.fold(SubSelect(inner): Pattern)(vp =>
+            Join(SubSelect(inner), vp))
+          val extended =
+            exprSels.foldLeft(joined)((w, s) => Bind(w, s.e, s.alias))
+          if (dist.isDefined && orderExprs.nonEmpty) {
+            // DISTINCT evaluates before ORDER BY: distinct the
+            // projection in a middle subquery, sort on hidden keys
+            // bound OUTSIDE it (§18.2.5.3 — the keys are expressions
+            // over projected variables)
+            val mid = SelectQuery(where = extended,
+              projection = projection, distinct = true)
+            SelectQuery(
+              where = orderExprs.foldLeft(SubSelect(mid): Pattern) {
+                case (w, (nm, e)) => Bind(w, e, nm)
+              },
+              projection = projection, orderBy = orderBy,
+              offset = offset.getOrElse(0L), limit = limit.getOrElse(-1L),
+              fromGraphs = fromG, fromNamed = fromN)
+          } else
+            SelectQuery(
+              where = orderExprs.foldLeft(extended) {
+                case (w, (nm, e)) => Bind(w, e, nm)
+              },
+              projection = projection,
+              distinct = dist.isDefined,
+              orderBy = orderBy,
+              offset = offset.getOrElse(0L), limit = limit.getOrElse(-1L),
+              fromGraphs = fromG, fromNamed = fromN)
+        } else if (!hasAgg && dist.isDefined && orderExprs.nonEmpty) {
+          // SELECT DISTINCT … ORDER BY <expr>: distinct runs first
+          // over the projection (SELECT expressions pre-bound as
+          // usual), the hidden sort keys bind outside the subquery
+          val whereJ = tval.fold(where0)(vp => Join(where0, vp))
+          val whereWithSels =
+            exprSels.foldLeft(whereJ)((w, s) => Bind(w, s.e, s.alias))
+          val whereWithGroups = groupExprBinds.foldLeft(whereWithSels) {
+            case (w, (e, nm)) => Bind(w, e, nm)
+          }
+          val mid = SelectQuery(where = whereWithGroups,
+            projection = projection, distinct = true)
+          SelectQuery(
+            where = orderExprs.foldLeft(SubSelect(mid): Pattern) {
+              case (w, (nm, e)) => Bind(w, e, nm)
+            },
+            projection = projection, orderBy = orderBy,
+            offset = offset.getOrElse(0L), limit = limit.getOrElse(-1L),
+            fromGraphs = fromG, fromNamed = fromN)
+        } else {
+          // pattern-level path: SELECT expressions and expression
+          // order keys desugar to pre-projection BINDs
+          val where = tval.fold(where0)(vp => Join(where0, vp))
+          val whereWithSels =
+            exprSels.foldLeft(where)((w, s) => Bind(w, s.e, s.alias))
+          val whereWithGroups = groupExprBinds.foldLeft(whereWithSels) {
+            case (w, (e, nm)) => Bind(w, e, nm)
+          }
+          SelectQuery(
+            where = orderExprs.foldLeft(whereWithGroups) {
+              case (w, (nm, e)) => Bind(w, e, nm)
+            },
+            projection = projection,
+            aggregates = aggSels ++ hidden.toSeq,
+            groupBy = groupNames,
+            having = hav.toSeq,
+            distinct = dist.isDefined,
+            orderBy = orderBy,
+            offset = offset.getOrElse(0L),
+            limit = limit.getOrElse(-1L),
+            fromGraphs = fromG, fromNamed = fromN)
+        }
     }
 
   // ---- PREFIX declarations -----------------------------------------

@@ -497,6 +497,39 @@ object SparqlQueries {
           |WHERE { ?l :ofOrder ?o . ?o :byCustomer ?c . ?l :quantity ?q }
           |GROUP BY ?c HAVING (SUM(?q) > 900)""".stripMargin))
     },
+    // §18.2.4.4 SELECT expression over aggregate results — the ratio
+    // SUM/COUNT is a single select expression with two embedded
+    // aggregate calls, lifted into a hidden inner subquery and bound
+    // post-aggregation. The driver-hashable witness is the rational
+    // reconstruction (av × cnt = the 2-decimal-quantized group sum,
+    // drift-proof under round like the avg_rational key)
+    "sparql_select_expr_agg" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c (SUM(?t)/COUNT(?o) AS ?av) (COUNT(?o) AS ?cnt)
+          |WHERE { ?o :byCustomer ?c . ?o :totalprice ?t }
+          |GROUP BY ?c""".stripMargin))
+        .select(col("c"), round(col("av") * col("cnt"), 2).as("av_x_cnt"),
+          col("cnt"))
+    },
+    // §18.2.4.4 ORDER BY over an aggregate call: DESC(COUNT(?c))
+    // normalizes onto the projected fold's alias (one aggregation,
+    // PlanSpec-pinned), ASC(?m) breaks count ties so the LIMIT slice
+    // is deterministic on both engines
+    "sparql_order_by_agg" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?m (COUNT(?c) AS ?cnt)
+          |WHERE { ?c a :Customer . ?c :mktsegment ?m }
+          |GROUP BY ?m ORDER BY DESC(COUNT(?c)) ASC(?m) LIMIT 3""".stripMargin))
+    },
+    // §18.2.4: the query-final VALUES block joins the GROUPED
+    // solutions (after HAVING, before select expressions) — here it
+    // constrains the group key, leaving counts untouched
+    "sparql_values_post_agg" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?m (COUNT(?c) AS ?cnt)
+          |WHERE { ?c a :Customer . ?c :mktsegment ?m }
+          |GROUP BY ?m VALUES ?m { "BUILDING" "MACHINERY" }""".stripMargin))
+    },
     // W3C GroupCondition `(expr AS ?v)` (r11): the grouping key is a
     // computed expression, desugared into a hidden BIND so the
     // aggregation still runs over a named typed column
@@ -1611,6 +1644,21 @@ object SparqlQueries {
         |       count(*) AS nl
         |FROM li JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 HAVING sum(l_quantity) > 900""".stripMargin,
+    // same ulp posture as avg_rational: (sum/count)*count reconstructs
+    // the 2-decimal-quantized sum on both engines, round(…, 2) absorbs
+    // the division's drift
+    "sparql_select_expr_agg" ->
+      """SELECT 'cust:'||o_custkey AS c,
+        |       round((sum(o_totalprice) / count(*)) * count(*), 2) AS av_x_cnt,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    "sparql_order_by_agg" ->
+      """SELECT c_mktsegment AS m, count(*) AS cnt FROM customer
+        |GROUP BY 1 ORDER BY cnt DESC, m ASC LIMIT 3""".stripMargin,
+    "sparql_values_post_agg" ->
+      """SELECT c_mktsegment AS m, count(*) AS cnt FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |GROUP BY 1""".stripMargin,
     "sparql_groupby_expr" ->
       """SELECT CAST(floor(p_size / 10) AS DOUBLE) AS bkt,
         |       count(*) AS cnt

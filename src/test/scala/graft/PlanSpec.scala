@@ -1382,6 +1382,51 @@ class PlanSpec extends AnyFunSuite {
       "stats-hinted small pattern sides must broadcast")
   }
 
+  test("sparql_order_by_agg: ORDER BY DESC(COUNT) reuses the projected fold") {
+    // §18.2.4.4 normalization: the order key is the SAME aggregate as
+    // the projected (COUNT(?c) AS ?cnt) — differential pin: the plan
+    // has NO MORE HashAggregate nodes than the identical query without
+    // the aggregate order key (the store-build prefix is shared), and
+    // the top-3 never globally sorts
+    val store = graft.rdf.TripleStore.triples(spark, dir)
+    def aggCount(q: String) = "HashAggregate".r.findAllIn(
+      Graft.sparql(store, q).queryExecution.executedPlan.toString).size
+    val base = aggCount(
+      """SELECT ?m (COUNT(?c) AS ?cnt)
+        |WHERE { ?c a :Customer . ?c :mktsegment ?m } GROUP BY ?m""".stripMargin)
+    val withOrder = aggCount(
+      """SELECT ?m (COUNT(?c) AS ?cnt)
+        |WHERE { ?c a :Customer . ?c :mktsegment ?m }
+        |GROUP BY ?m ORDER BY DESC(COUNT(?c)) ASC(?m) LIMIT 3""".stripMargin)
+    assert(withOrder <= base,
+      s"order key must reuse the projected fold ($withOrder vs $base HashAggregates)")
+    assert(plan("sparql_order_by_agg").contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT must stay a top-k, not a global sort")
+  }
+
+  test("sparql_select_expr_agg: post-agg expressions stay on the aggregated frame") {
+    // the SUM/COUNT ratio binds AFTER the fold: both embedded
+    // aggregates share ONE aggregation (differential: no more
+    // HashAggregates than the plain two-aggregate projection) and the
+    // pattern frame is never re-joined
+    val store = graft.rdf.TripleStore.triples(spark, dir)
+    def planOf(q: String) =
+      Graft.sparql(store, q).queryExecution.executedPlan.toString
+    val base = "HashAggregate".r.findAllIn(planOf(
+      """SELECT ?c (SUM(?t) AS ?s) (COUNT(?o) AS ?n)
+        |WHERE { ?o :byCustomer ?c . ?o :totalprice ?t }
+        |GROUP BY ?c""".stripMargin)).size
+    val pp = planOf(
+      """SELECT ?c (SUM(?t)/COUNT(?o) AS ?av) (COUNT(?o) AS ?cnt)
+        |WHERE { ?o :byCustomer ?c . ?o :totalprice ?t }
+        |GROUP BY ?c""".stripMargin)
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      "post-aggregation select expressions must not re-join the pattern")
+    val aggs = "HashAggregate".r.findAllIn(pp).size
+    assert(aggs <= base,
+      s"the two embedded aggregates must share one fold ($aggs vs $base HashAggregates)")
+  }
+
   test("text_contamination_bloom: join-free screen, distributed build") {
     // the Bloom screen's whole point: the corpus side is ONE narrow
     // codegen pass (filter on bloom_contains) plus the per-doc count

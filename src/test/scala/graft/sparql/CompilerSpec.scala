@@ -553,7 +553,10 @@ class CompilerSpec extends AnyFunSuite {
     val out = Compiler.run(triples, q)
     assert(out.columns.toSeq == Seq("x"))
     assert(out.collect().map(_.getString(0)).toSeq == Seq("p:2"))
-    // guarded: expression order keys can't ride DISTINCT or aggregates
+    // §18.2.5.3: under DISTINCT a sort expression may only reference
+    // PROJECTED variables — ?a is unprojected, loud error (expression
+    // keys over projected vars now ride DISTINCT via the staged
+    // subquery desugar; see distinct:order-by-expr in conformance)
     intercept[IllegalArgumentException] {
       SparqlParser.parse(
         "SELECT DISTINCT ?x WHERE { ?x :age ?a } ORDER BY ASC(?a + 1)")
