@@ -2080,11 +2080,43 @@ object Compiler {
             "must also appear in the SELECT projection"))
       applyCmp(c, col(alias),
         value.num.map(n => lit(n): Column).getOrElse(lit(value.lexical)))
+    // general expression forms (`HAVING (SUM(?s)/COUNT(?e) > n)`,
+    // `HAVING (SUM(?s) - MAX(?s) > 0)`): aggregate calls were lifted
+    // to hidden aliases at parse time, so both sides evaluate as
+    // arithmetic over the aggregated frame's typed columns
+    case ExprCmp(op, e, value) =>
+      val rhs = value.num.map(n => lit(n): Column)
+        .getOrElse(lit(value.lexical).try_cast("double"))
+      applyCmp(op, havingNum(e), rhs)
+    case CmpVV(op, l, r) => applyCmp(op, havingNum(l), havingNum(r))
     case And(a, b) => havingColumn(a, aggs) && havingColumn(b, aggs)
     case Or(a, b) => havingColumn(a, aggs) || havingColumn(b, aggs)
+    case Not(x) => !havingColumn(x, aggs)
     case other =>
       throw new IllegalArgumentException(
         s"HAVING supports comparisons over aliases, got $other")
+  }
+
+  /** Numeric evaluation of a HAVING expression over the AGGREGATED
+    * frame: aggregate outputs are typed columns (or lexical with a
+    * value that parses — MIN/MAX unpack), group keys fall back to
+    * their lexical parse; a non-numeric value reads null and the
+    * comparison drops the group, the SPARQL error posture.
+    */
+  private def havingNum(e: VExpr): Column = e match {
+    case VVar(n) => col(n).try_cast("double")
+    case VNum(d) => lit(d)
+    case Arith(op, l, r) =>
+      val (a, b) = (havingNum(l), havingNum(r))
+      op match {
+        case AddOp => a + b
+        case SubOp => a - b
+        case MulOp => a * b
+        case DivOp => a / b
+      }
+    case other =>
+      throw new IllegalArgumentException(
+        s"HAVING expressions support arithmetic over aggregates, got $other")
   }
 
   /** Full SELECT pipeline: where → group/aggregate → order → project →
@@ -2194,23 +2226,33 @@ object Compiler {
             if (isMin) min(pair) else max(pair)
           }
         }
+        // expression arguments evaluate by their STATIC shape:
+        // numeric shapes through the arithmetic machinery, string
+        // shapes through the lexical one — COUNT(UCASE(?n)) must
+        // count strings, not null-parsed numbers
+        def typedArg(e: VExpr): Column =
+          if (isNumericVExpr(e)) numVExpr(df, e) else strVExpr(df, e)
         val c = op match {
           case Count => v.map(vr => count(lexGuard(vr.name)))
-            .orElse(aggExpr.map(e => count(numVExpr(df, e))))
+            .orElse(aggExpr.map(e => count(typedArg(e))))
             .getOrElse(count(lit(1)))
-          case CountDistinct => v match {
-            case Some(vr) => countDistinct(lexGuard(vr.name))
-            // COUNT(DISTINCT *): distinct full solutions — struct
-            // over every visible column (companions excluded; the
-            // struct tolerates unbound cells, so no row silently
-            // drops the way a multi-arg countDistinct would)
-            case None =>
-              val vis = df.columns.filterNot(isCompanion).map(col)
-              countDistinct(struct(vis.toIndexedSeq: _*))
+          case CountDistinct => aggExpr match {
+            // COUNT(DISTINCT expr): distinct non-error evaluations
+            case Some(e) => countDistinct(typedArg(e))
+            case None => v match {
+              case Some(vr) => countDistinct(lexGuard(vr.name))
+              // COUNT(DISTINCT *): distinct full solutions — struct
+              // over every visible column (companions excluded; the
+              // struct tolerates unbound cells, so no row silently
+              // drops the way a multi-arg countDistinct would)
+              case None =>
+                val vis = df.columns.filterNot(isCompanion).map(col)
+                countDistinct(struct(vis.toIndexedSeq: _*))
+            }
           }
-          case Max => aggExpr.map(e => max(numVExpr(df, e)))
+          case Max => aggExpr.map(e => max(typedArg(e)))
             .getOrElse(minMaxAgg("MAX", isMin = false))
-          case Min => aggExpr.map(e => min(numVExpr(df, e)))
+          case Min => aggExpr.map(e => min(typedArg(e)))
             .getOrElse(minMaxAgg("MIN", isMin = true))
           // Sum/Avg over the EMPTY multiset are 0, not unbound (W3C
           // §18.5.1.3-4 define Sum({}) = Avg({}) = 0) — the coalesce
@@ -2223,6 +2265,14 @@ object Compiler {
             aggExpr.map(e => sum(numVExpr(df, e)))
               .getOrElse(sum(numOnly(varOf("SUM").name, "SUM"))),
             lit(0.0))
+          // AVG(DISTINCT): mean of the value SET — sum_distinct over
+          // countDistinct, guarded so the empty multiset is 0
+          // (§18.5.1.4) instead of a division error
+          case Avg if dist =>
+            val x = aggExpr.map(e => numVExpr(df, e))
+              .getOrElse(numOnly(varOf("AVG").name, "AVG"))
+            when(countDistinct(x) > 0, sum_distinct(x) / countDistinct(x))
+              .otherwise(lit(0.0))
           case Avg => coalesce(
             aggExpr.map(e => avg(numVExpr(df, e)))
               .getOrElse(avg(numOnly(varOf("AVG").name, "AVG"))),
@@ -2230,8 +2280,10 @@ object Compiler {
           case GroupConcat =>
             // sort before joining: collect order is partition-
             // dependent, the sorted join is deterministic anywhere;
-            // DISTINCT collects the value SET
-            val src = lexGuard(varOf("GROUP_CONCAT").name)
+            // DISTINCT collects the value SET. An expression argument
+            // (GROUP_CONCAT(UCASE(?n))) concatenates its string form
+            val src = aggExpr.map(e => typedArg(e).cast("string"))
+              .getOrElse(lexGuard(varOf("GROUP_CONCAT").name))
             array_join(array_sort(
               if (dist) collect_set(src) else collect_list(src)), sep)
           case Sample =>

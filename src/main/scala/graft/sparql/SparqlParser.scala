@@ -494,26 +494,21 @@ object SparqlParser extends RegexParsers {
       case op ~ (dist ~ arg ~ sep) =>
         val realOp = if (op == Count && dist.isDefined) CountDistinct else op
         val distFlag = dist.isDefined &&
-          (realOp == Sum || realOp == GroupConcat)
-        if (dist.isDefined &&
-            !Seq(Count, CountDistinct, Sum, GroupConcat).contains(realOp))
-          failure(s"DISTINCT is not supported for $realOp")
-        else {
-          val sepStr = sep.map(_.lexical).getOrElse(" ")
-          arg match {
-            case None if realOp != Count && realOp != CountDistinct =>
-              failure(s"$realOp(*) is not supported — name a variable")
-            case None => success(VAgg(realOp, None, sep = sepStr))
-            case Some(VVar(n)) =>
-              if (sep.isDefined && realOp != GroupConcat)
-                failure("SEPARATOR only applies to GROUP_CONCAT")
-              else success(VAgg(realOp, Some(Var(n)), distFlag, sepStr))
-            case Some(e) =>
-              if (!Seq(Count, Sum, Avg, Max, Min).contains(realOp))
-                failure(s"$realOp over an expression is not supported")
-              else success(VAgg(realOp, None, distFlag, sepStr,
-                expr = Some(e)))
-          }
+          (realOp == Sum || realOp == GroupConcat || realOp == Avg)
+        val sepStr = sep.map(_.lexical).getOrElse(" ")
+        arg match {
+          case None if realOp != Count && realOp != CountDistinct =>
+            failure(s"$realOp(*) is not supported — name a variable")
+          case None => success(VAgg(realOp, None, sep = sepStr))
+          case Some(VVar(n)) =>
+            if (sep.isDefined && realOp != GroupConcat)
+              failure("SEPARATOR only applies to GROUP_CONCAT")
+            else success(VAgg(realOp, Some(Var(n)), distFlag, sepStr))
+          case Some(e) =>
+            if (realOp == Sample)
+              failure(s"$realOp over an expression is not supported")
+            else success(VAgg(realOp, None, distFlag, sepStr,
+              expr = Some(e)))
         }
     }
   private def vPrimary: Parser[VExpr] =
@@ -646,15 +641,11 @@ object SparqlParser extends RegexParsers {
           case (Count, true) => CountDistinct
           case (o, _) => o
         }
-        // DISTINCT beyond COUNT: set semantics for SUM and
-        // GROUP_CONCAT (AVG/MAX/MIN DISTINCT either isn't order-safe
-        // under the oracle hash or is a no-op; COUNT has its own op)
+        // DISTINCT set semantics for SUM / AVG / GROUP_CONCAT; a
+        // no-op for MIN/MAX/SAMPLE (§18.5.1 — the distinct multiset
+        // has the same extremes); COUNT has its own op
         val distFlag = dist.isDefined &&
-          (realOp == Sum || realOp == GroupConcat)
-        if (dist.isDefined &&
-          !Seq(Count, CountDistinct, Sum, GroupConcat).contains(realOp))
-          failure(s"DISTINCT is not supported for $realOp")
-        else {
+          (realOp == Sum || realOp == GroupConcat || realOp == Avg)
         val sepStr = sep.map(_.lexical).getOrElse(" ")
         arg match {
           // '*' is COUNT-family only: COUNT(*) and COUNT(DISTINCT *)
@@ -668,14 +659,14 @@ object SparqlParser extends RegexParsers {
               failure("SEPARATOR only applies to GROUP_CONCAT")
             else success(AggSel(Agg(realOp, Some(Var(n)), alias.name, sepStr,
               distinct = distFlag)))
-          // expression argument: numeric aggregates only
+          // expression argument: every aggregate but SAMPLE (whose
+          // deterministic lexical-min pick needs a stored binding)
           case Some(e) =>
-            if (!Seq(Count, Sum, Avg, Max, Min).contains(realOp))
+            if (realOp == Sample)
               failure(s"$realOp over an expression is not supported")
             else success(AggSel(
               Agg(realOp, None, alias.name, sepStr, expr = Some(e),
                 distinct = distFlag)))
-        }
         }
     }
 
@@ -858,6 +849,10 @@ object SparqlParser extends RegexParsers {
           }
           case other => other
         }
+        // general HAVING expressions (`HAVING (SUM(?s)/COUNT(?e) >
+        // n)`) lift their aggregate calls the same way; the dedicated
+        // HavingAggCmp form passes through untouched
+        val havs = hav.toSeq.map(liftAggsExpr(_, aggSels, hidden))
         val orderExprs = orderKeys.zipWithIndex.collect {
           case ((OrderExpr(e), _), idx) => (s"__ord$idx", e)
         }
@@ -904,7 +899,7 @@ object SparqlParser extends RegexParsers {
               aggSels.map(_.alias) ++ hidden.map(_.alias)).distinct,
             aggregates = aggSels ++ hidden.toSeq,
             groupBy = groupNames,
-            having = hav.toSeq)
+            having = havs)
           val joined = tval.fold(SubSelect(inner): Pattern)(vp =>
             Join(SubSelect(inner), vp))
           val extended =
@@ -968,7 +963,7 @@ object SparqlParser extends RegexParsers {
             projection = projection,
             aggregates = aggSels ++ hidden.toSeq,
             groupBy = groupNames,
-            having = hav.toSeq,
+            having = havs,
             distinct = dist.isDefined,
             orderBy = orderBy,
             offset = offset.getOrElse(0L),

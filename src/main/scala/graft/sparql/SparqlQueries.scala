@@ -497,6 +497,16 @@ object SparqlQueries {
           |WHERE { ?l :ofOrder ?o . ?o :byCustomer ?c . ?l :quantity ?q }
           |GROUP BY ?c HAVING (SUM(?q) > 900)""".stripMargin))
     },
+    // general HAVING expression (beyond the agg08 direct form): the
+    // group constraint is an aggregate RATIO — mean line quantity
+    // over 30. Quantities are integers, so sum/count is exact on
+    // both engines and the strict compare has no boundary drift
+    "sparql_having_expr" -> { (s, dir) =>
+      run(s, dir, SparqlParser.parse(
+        """SELECT ?c (COUNT(?l) AS ?nl)
+          |WHERE { ?l :ofOrder ?o . ?o :byCustomer ?c . ?l :quantity ?q }
+          |GROUP BY ?c HAVING (SUM(?q)/COUNT(?l) > 30)""".stripMargin))
+    },
     // §18.2.4.4 SELECT expression over aggregate results — the ratio
     // SUM/COUNT is a single select expression with two embedded
     // aggregate calls, lifted into a hidden inner subquery and bound
@@ -1644,6 +1654,12 @@ object SparqlQueries {
         |       count(*) AS nl
         |FROM li JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 HAVING sum(l_quantity) > 900""".stripMargin,
+    "sparql_having_expr" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey,
+        |              l_suppkey, l_quantity FROM lineitem)
+        |SELECT 'cust:'||o_custkey AS c, count(*) AS nl
+        |FROM li JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 HAVING sum(l_quantity) / count(*) > 30""".stripMargin,
     // same ulp posture as avg_rational: (sum/count)*count reconstructs
     // the 2-decimal-quantized sum on both engines, round(…, 2) absorbs
     // the division's drift

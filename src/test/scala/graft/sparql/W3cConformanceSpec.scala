@@ -2396,6 +2396,66 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq("Alice", "Carol", "Dave", "Bob"))
   }
 
+  // ---- r15.g batch: HAVING expressions + DISTINCT aggregate forms ----
+
+  private lazy val dupVals: DataFrame = Seq(
+    ("d:a", ":v", "2", Some(2.0), false, Option.empty[String]),
+    ("d:b", ":v", "2", Some(2.0), false, None),
+    ("d:c", ":v", "5", Some(5.0), false, None))
+    .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+
+  test("aggregates:avg-distinct — AVG(DISTINCT) means the value SET") {
+    // plain AVG = (2+2+5)/3 = 3; distinct AVG = (2+5)/2 = 3.5
+    assert(run(dupVals,
+      "SELECT (AVG(DISTINCT ?x) AS ?ad) (AVG(?x) AS ?a) WHERE { ?s :v ?x }") ==
+      Set(b("ad" -> "3.5", "a" -> "3")))
+  }
+
+  test("aggregates:min-max-distinct-noop — DISTINCT is a no-op for extremes") {
+    assert(run(dupVals,
+      "SELECT (MIN(DISTINCT ?x) AS ?mn) (MAX(DISTINCT ?x) AS ?mx) WHERE { ?s :v ?x }") ==
+      Set(b("mn" -> "2", "mx" -> "5")))
+  }
+
+  test("aggregates:count-distinct-expr — COUNT(DISTINCT expr) counts distinct evaluations") {
+    // name lengths {5, 3, 5, 4} → 3 distinct
+    assert(run(people,
+      "SELECT (COUNT(DISTINCT STRLEN(?n)) AS ?c) WHERE { ?x :name ?n }") ==
+      Set(b("c" -> "3")))
+  }
+
+  test("aggregates:group-concat-expr — GROUP_CONCAT over an expression") {
+    assert(run(people,
+      """SELECT (GROUP_CONCAT(UCASE(?n); SEPARATOR=",") AS ?all)
+        |WHERE { ?x :name ?n }""".stripMargin) ==
+      Set(b("all" -> "ALICE,BOB,CAROL,DAVE")))
+  }
+
+  test("aggregates:having-ratio — HAVING over an aggregate ratio") {
+    // org1 mean salary 200, org2 400 — only org2 clears 250
+    assert(run(orgs,
+      """SELECT ?org (COUNT(?e) AS ?c)
+        |WHERE { ?org :affiliates ?d . ?d :employee ?e . ?e :salary ?s }
+        |GROUP BY ?org HAVING (SUM(?s)/COUNT(?e) > 250)""".stripMargin) ==
+      Set(b("org" -> "o:org2", "c" -> "1")))
+  }
+
+  test("aggregates:having-agg-arith — HAVING compares two aggregates") {
+    // SUM − MAX > 0 keeps groups with more than one distinct-salary
+    // member: dep1 (100+200 vs 200); dep2/dep3 are singletons
+    assert(run(orgs,
+      """SELECT ?dep (COUNT(?e) AS ?c)
+        |WHERE { ?dep :employee ?e . ?e :salary ?s }
+        |GROUP BY ?dep HAVING (SUM(?s) - MAX(?s) > 0)""".stripMargin) ==
+      Set(b("dep" -> "o:dep1", "c" -> "2")))
+  }
+
+  test("aggregates:max-string-expr — MAX over a string expression is lexical") {
+    assert(run(people,
+      "SELECT (MAX(UCASE(?n)) AS ?mx) WHERE { ?x :name ?n }") ==
+      Set(b("mx" -> "DAVE")))
+  }
+
   // ---- r15.e batch: CONSTRUCT blank-node templates (§16.2.1) ---------
 
   test("construct:template-bnode — a template bnode mints a fresh node per solution") {
