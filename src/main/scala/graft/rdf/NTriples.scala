@@ -66,7 +66,9 @@ object NTriples {
       .otherwise(concat(lit("<"), col("s"), lit(">")))
     val obj = when(col("o_is_iri") && col("o").startsWith("_:"), col("o"))
       .when(col("o_is_iri"), concat(lit("<"), col("o"), lit(">")))
-      .when(col("lang").isNotNull,
+      // "" is the engine's explicit plain-literal marker (a CONCAT of
+      // mixed-tag args) — never a serializable tag
+      .when(col("lang").isNotNull && col("lang") =!= "",
         concat(lit("\""), esc(col("o")), lit("\"@"), col("lang")))
       .when(col("o_num").isNotNull,
         concat(lit("\""), esc(col("o")), lit("\"^^<" + XSD_DOUBLE + ">")))

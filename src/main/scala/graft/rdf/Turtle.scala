@@ -41,7 +41,8 @@ object Turtle {
         .withColumn("o_term", when(col("o_is_iri"), col("o"))))))
     val lex = NTriples.esc(col("o"))
     val objRendered = when(col("o_is_iri"), col("o_term"))
-      .when(col("lang").isNotNull,
+      // "" is the explicit plain-literal marker, never a tag
+      .when(col("lang").isNotNull && col("lang") =!= "",
         concat(lit("\""), lex, lit("\"@"), col("lang")))
       .when(col("o_num").isNotNull,
         concat(lit("\""), lex, lit("\"^^<" + XSD_DOUBLE + ">")))

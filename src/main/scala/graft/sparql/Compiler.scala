@@ -484,7 +484,12 @@ object Compiler {
     * no companion and still reads as unbound.
     */
   private def unboundCol(df: DataFrame, v: String): Column =
-    if (df.columns.contains(iriCol(v)))
+    // a TYPED column (aggregate output riding a subquery frame) can
+    // never hold the string sentinel — and comparing it to "N/A"
+    // would ANSI-crash the cast; typed unboundness is plain null
+    if (df.schema(v).dataType != org.apache.spark.sql.types.StringType)
+      col(v).isNull
+    else if (df.columns.contains(iriCol(v)))
       col(v).isNull || (col(v) === "N/A" && col(iriCol(v)).isNull)
     else col(v).isNull || col(v) === "N/A"
 
@@ -492,7 +497,12 @@ object Compiler {
     * compatibility join.
     */
   private def unboundColR(rdf: DataFrame, v: String): Column =
-    if (rdf.columns.contains(iriCol(v)))
+    // `rdf` is the right side BEFORE the __cr_ rename (callers use it
+    // for companion checks); the produced Column references the
+    // renamed frame
+    if (rdf.schema(v).dataType != org.apache.spark.sql.types.StringType)
+      rCol(v).isNull
+    else if (rdf.columns.contains(iriCol(v)))
       rCol(v).isNull || (rCol(v) === "N/A" && rCol(iriCol(v)).isNull)
     else rCol(v).isNull || rCol(v) === "N/A"
 
@@ -987,7 +997,9 @@ object Compiler {
           case _ =>
             throw new IllegalArgumentException("IN values must be constants")
         }
-        val c = tests.reduce(_ || _)
+        // §17.4.1.9: IN with the empty list is plain false (so NOT
+        // IN () is true for every in-scope binding)
+        val c = if (tests.isEmpty) lit(false) else tests.reduce(_ || _)
         if (neg) !c else c
       }
     case Bound(v) =>
@@ -1347,13 +1359,17 @@ object Compiler {
         if (sep.isEmpty) l else when(instr(strVExpr(df, a), sep) > 0, l))
     case FnCall("STRLANG", Seq(_, VStr(tag))) => Some(lit(tag))
     case FnCall("CONCAT", as) if as.nonEmpty =>
+      // §17.4.3.12: the result is tagged only when EVERY argument
+      // carries the SAME tag; any plain argument or tag mismatch
+      // yields a simple literal — "" marks plainness explicitly so
+      // LANG() distinguishes it from a type error
       val tags = as.map(langPropagated(df, _))
-      if (tags.exists(_.isEmpty)) None
+      if (tags.forall(_.isEmpty)) None
       else {
-        val cols = tags.flatten
-        Some(when(cols.map(_.isNotNull).reduce(_ && _) &&
-          cols.tail.foldLeft(lit(true))((acc, c) => acc && c === cols.head),
-          cols.head))
+        val cols = tags.map(_.getOrElse(lit(null).cast("string")))
+        val allSame = cols.tail.foldLeft(cols.head.isNotNull)((acc, c) =>
+          acc && coalesce(c === cols.head, lit(false)))
+        Some(when(allSame, cols.head).otherwise(lit("")))
       }
     case _ => None
   }
@@ -1409,6 +1425,16 @@ object Compiler {
     case FnCall("STRLANG" | "STRDT", Seq(a, _)) => strVExpr(df, a)
     // fresh UUIDs per solution row (necessarily nondeterministic, so
     // no oracled key uses them; tests assert format + uniqueness)
+    // BNODE() mints a fresh node per call (§17.4.2.9 — freshness via
+    // uuid, like STRUUID); BNODE(str) is deterministic per argument
+    // (documented subset: the spec scopes same-arg identity to one
+    // solution and distinctness across solutions, but bnode identity
+    // is only observable through joins — the per-arg hash keeps the
+    // engine's everything-is-reproducible posture)
+    case FnCall("BNODE", Nil) =>
+      concat(lit("_:b"), expr("replace(uuid(), '-', '')"))
+    case FnCall("BNODE", Seq(a)) =>
+      concat(lit("_:b"), md5(strVExpr(df, a)))
     case FnCall("STRUUID", Nil) => expr("uuid()")
     case FnCall("UUID", Nil) => concat(lit("urn:uuid:"), expr("uuid()"))
     // NOW(): the query-constant xsd:dateTime, serialized in the same
@@ -1459,9 +1485,15 @@ object Compiler {
       // The tag comes back LOWERCASED: RDF 1.1 §3.3 defines the
       // language-tag component of the term in lowercase, so data
       // spelled @EN denotes the same term as @en and lang() = "en"
-      if (!df.columns.contains(iriCol(n))) lit(null).cast("string")
-      else when(coalesce(col(iriCol(n)), lit(true)), lit(null).cast("string"))
-        .otherwise(lower(coalesce(col(langCol(n)), lit(""))))
+      if (df.columns.contains(iriCol(n)))
+        when(coalesce(col(iriCol(n)), lit(true)), lit(null).cast("string"))
+          .otherwise(lower(coalesce(col(langCol(n)), lit(""))))
+      // a BIND-minted literal carries no term-kind companion but may
+      // carry a lang companion (STRLANG, tag-preserving builtins) —
+      // LANG reads it; "" is the explicit plain-literal marker
+      else if (df.columns.contains(langCol(n)))
+        lower(coalesce(col(langCol(n)), lit("")))
+      else lit(null).cast("string")
     case VIf(c, t, f) =>
       // §17.4.1.2: IF with an ERROR condition is an error (unbound)
       val cc = exprColumn(df, guardScope(df, c))
@@ -1634,6 +1666,17 @@ object Compiler {
       val shared = ldf.columns.intersect(rdf.columns).filterNot(isCompanion)
       if (shared.isEmpty) ldf
       else compatMinus(ldf, rdf, maybeUnboundVars(l), maybeUnboundVars(r))
+    // BIND(IF(EXISTS {…}, t, f) AS ?v): the EXISTS condition binds a
+    // boolean marker through the same flag left-join the FILTER path
+    // uses (one distinct-projected body compile, never row-at-a-time),
+    // then the IF compiles over the marker and the helpers drop
+    case Bind(input, VIf(c, t, f), as) if containsExists(c) =>
+      val df0 = compilePattern(triples, quads, input)
+      require(!df0.columns.contains(as), s"BIND ?$as: variable already in scope")
+      val (df2, c2, ms) = bindExistsMarkers(triples, quads, df0, c)
+      val bound = compilePattern(triples, quads,
+        Bind(PreBound(df2, df2.columns.toSeq), VIf(c2, t, f), as))
+      bound.drop(ms: _*)
     case Bind(input, expr, as) =>
       val df = compilePattern(triples, quads, input)
       require(!df.columns.contains(as), s"BIND ?$as: variable already in scope")
@@ -1682,6 +1725,11 @@ object Compiler {
           else base
         case e @ FnCall("UUID", Nil) =>
           // a minted urn:uuid is a resource term like IRI()
+          df.withColumn(as, strVExpr(df, e))
+            .withColumn(iriCol(as), lit(true))
+        case e @ FnCall("BNODE", _) =>
+          // a minted blank node is a resource term whose `_:` lexical
+          // prefix makes isBlank/serializers see bnode syntax
           df.withColumn(as, strVExpr(df, e))
             .withColumn(iriCol(as), lit(true))
         case e if langPropagated(df, e).isDefined =>
@@ -1977,19 +2025,21 @@ object Compiler {
                      where: Pattern): DataFrame =
     constructSlices(triples, template, where).distinct()
 
-  private def constructSlices(triples: DataFrame, template: Seq[TriplePattern],
-                              where: Pattern): DataFrame = {
-    val df0 = compilePattern(triples, where)
-    // §16.2.1: a blank node in the TEMPLATE mints a fresh blank node
-    // per solution, shared across the template's triples for the same
-    // label. The parser encodes template bnode labels as __bn* vars;
-    // any such var the WHERE does not itself bind gets a per-solution
-    // node column here. The id is the hash of the full binding row plus
-    // a duplicate index (row_number within the hash group — group size
-    // is the solution's multiplicity, so the window never sees skew
-    // beyond duplicate-solution counts), so identical solutions still
-    // mint distinct nodes and the output is run-deterministic. The
-    // cost is paid only when the template actually has blank nodes.
+  /** §16.2.1 (and Update §3.1.3, which shares the rule): a blank node
+    * in a CONSTRUCT/INSERT TEMPLATE mints a fresh blank node per
+    * solution, shared across the template's triples for the same
+    * label. The parser encodes template bnode labels as __bn* vars;
+    * any such var the solution frame does not itself bind gets a
+    * per-solution node column here. The id is the hash of the full
+    * binding row plus a duplicate index (row_number within the hash
+    * group — group size is the solution's multiplicity, so the window
+    * never sees skew beyond duplicate-solution counts), so identical
+    * solutions still mint distinct nodes and the output is
+    * run-deterministic. Zero cost when the template has no blank
+    * nodes. Returns the extended frame plus the minted names.
+    */
+  private[sparql] def mintTemplateBnodes(df0: DataFrame,
+      template: Seq[TriplePattern]): (DataFrame, Set[String]) = {
     val freshBnodes = template.flatMap(tp => Seq(tp.s, tp.p, tp.o))
       .collect {
         case Var(n) if n.startsWith("__bn") && !df0.columns.contains(n) => n
@@ -2014,6 +2064,13 @@ object Compiler {
             substring(col("__sol_h"), 1, 12), lit("-"), col("__sol_i")))
         }.drop("__sol_h", "__sol_i")
       }
+    (df, freshBnodes.toSet)
+  }
+
+  private def constructSlices(triples: DataFrame, template: Seq[TriplePattern],
+                              where: Pattern): DataFrame = {
+    val df0 = compilePattern(triples, where)
+    val (df, freshBnodes) = mintTemplateBnodes(df0, template)
     def termCol(t: Term): Column = t match {
       // a template var the WHERE never binds: the allBound filter
       // already empties this slice — emit a typed null so the select

@@ -194,7 +194,8 @@ object SparqlParser extends RegexParsers {
     }
   private def inFilter: Parser[Expr] =
     varTerm ~ (opt("(?i)NOT".r) <~ "(?i)IN".r) ~
-      ("(" ~> rep1sep(
+      // repsep, not rep1sep: ExpressionList admits NIL (`?x IN ()`)
+      ("(" ~> repsep(
         valuesConst ^^ (Left(_): Either[Term, VExpr]) |
           vAdditive ^^ (Right(_): Either[Term, VExpr]), ",") <~ ")") ^^ {
       case v ~ neg ~ elems if elems.forall(_.isLeft) =>
@@ -454,7 +455,7 @@ object SparqlParser extends RegexParsers {
   // longer names before their prefixes: regex alternation is ordered
   // (STRBEFORE/STRAFTER/STRLEN before STR, SUBSTR before STR)
   private def fnName: Parser[String] =
-    "(?i)(ENCODE_FOR_URI|CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG|ABS|CEIL|FLOOR|ROUND|MD5|SHA1|SHA256|SHA384|SHA512|IRI|URI|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ)".r ^^
+    "(?i)(ENCODE_FOR_URI|CONCAT|UCASE|LCASE|STRLEN|STRBEFORE|STRAFTER|SUBSTR|REPLACE|COALESCE|STR|DATATYPE|LANG|BNODE|ABS|CEIL|FLOOR|ROUND|MD5|SHA1|SHA256|SHA384|SHA512|IRI|URI|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ)".r ^^
       (_.toUpperCase)
   private def ifExpr: Parser[VExpr] =
     "(?i)IF".r ~> "(" ~> orExpr ~ ("," ~> vAdditive) ~ ("," ~> vAdditive) <~ ")" ^^ {
@@ -478,7 +479,7 @@ object SparqlParser extends RegexParsers {
     * a single query execution").
     */
   private def zeroArgFn: Parser[VExpr] =
-    "(?i)(STRUUID|UUID|NOW)".r ~ "(" ~ ")" ^^ {
+    "(?i)(STRUUID|UUID|NOW|BNODE)".r ~ "(" ~ ")" ^^ {
       case f ~ _ ~ _ => FnCall(f.toUpperCase, Nil)
     }
   /** Aggregate call in EXPRESSION position (§18.2.4.4 —
@@ -579,7 +580,10 @@ object SparqlParser extends RegexParsers {
       subSelectElem | groupOrUnion | (triplesSameSubject ^^ TriplesElem.apply)
 
   private def groupGraphPattern: Parser[Pattern] =
-    "{" ~> rep(groupElem) <~ "}" ^^ assemble
+    // grammar rule [54] GroupGraphPatternSub: an optional '.' may
+    // follow any GraphPatternNotTriples (`BIND(…) . BIND(…)`,
+    // `{…} . ?s :p ?o`) — triple blocks consume their own terminator
+    "{" ~> rep(groupElem <~ opt(".")) <~ "}" ^^ assemble
 
   /** SPARQL group semantics: triples merge into one BGP, OPTIONAL
     * left-joins everything seen so far, sub-groups/UNIONs join in,
@@ -984,12 +988,23 @@ object SparqlParser extends RegexParsers {
     "(?i)PREFIX".r ~> ("""[A-Za-z][A-Za-z0-9_-]*:""".r | ":") ~ iriRef ^^ {
       case p ~ i => (p, i.value)
     }
+  /** `BASE <iri>` — stored under a reserved key (no user prefix can
+    * collide: prefixes end in ':'); a later BASE wins via toMap. A
+    * relative IRI (`<alice>`, no scheme colon) resolves by
+    * concatenation — the straight-prepend subset of RFC 3986 (no
+    * dot-segment normalization), which covers the hash/slash
+    * namespace layout every RDF vocabulary uses.
+    */
+  private def baseDecl: Parser[(String, String)] =
+    "(?i)BASE".r ~> iriRef ^^ (i => (" base", i.value))
   private def prologue: Parser[Map[String, String]] =
-    rep(prefixDecl) ^^ (_.toMap)
+    rep(prefixDecl | baseDecl) ^^ (_.toMap)
 
   private def expandIri(v: String, pfx: Map[String, String]): String = {
     val idx = v.indexOf(':')
-    if (idx < 0 || pfx.isEmpty) v
+    if (idx < 0)
+      pfx.get(" base").map(_ + v).getOrElse(v)
+    else if (pfx.isEmpty) v
     else pfx.get(v.substring(0, idx + 1))
       .map(_ + v.substring(idx + 1)).getOrElse(v)
   }

@@ -91,13 +91,19 @@ object Update {
       // WHERE evaluates against the pre-update state), then delete
       // applies before insert
       val sol = Compiler.compilePattern(store, where)
+      rejectDeleteBnodes(sol, del)
       val afterDel =
         if (del.isEmpty) store
         else TripleOps.subtract(store,
           del.map(instantiate(sol, _)).reduce(_.unionByName(_)))
       if (ins.isEmpty) afterDel
-      else TripleOps.add(afterDel,
-        ins.map(instantiate(sol, _)).reduce(_.unionByName(_)))
+      else {
+        // §3.1.3: a blank node in the INSERT template mints fresh per
+        // solution (the CONSTRUCT rule) — shared minting machinery
+        val (solIns, _) = Compiler.mintTemplateBnodes(sol, ins)
+        TripleOps.add(afterDel,
+          ins.map(instantiate(solIns, _)).reduce(_.unionByName(_)))
+      }
     case Load(src, None, silent) =>
       loaded(store.sparkSession, src, silent) match {
         case Some(doc) => TripleOps.add(store, doc.drop("g"))
@@ -206,15 +212,19 @@ object Update {
       val named =
         if (hasDataset) quads.filter(col("g").isin(usingNamed: _*)) else quads
       val sol = Compiler.compilePattern(defaultTriples, Some(named), where)
+      rejectDeleteBnodes(sol, del)
       val afterDel =
         if (del.isEmpty) quads
         else TripleOps.subtract(quads,
           del.map(instantiate(sol, _).withColumn("g", lit(target)))
             .reduce(_.unionByName(_)))
       if (ins.isEmpty) afterDel
-      else TripleOps.add(afterDel,
-        ins.map(instantiate(sol, _).withColumn("g", lit(target)))
-          .reduce(_.unionByName(_)))
+      else {
+        val (solIns, _) = Compiler.mintTemplateBnodes(sol, ins)
+        TripleOps.add(afterDel,
+          ins.map(instantiate(solIns, _).withColumn("g", lit(target)))
+            .reduce(_.unionByName(_)))
+      }
     case InsertQuadData(blocks) =>
       // per-destination set-semantics merge (the LOAD INTO idiom):
       // only the touched graph's slice pays a dedup, the rest of the
@@ -266,6 +276,20 @@ object Update {
     case Iri(v) => v
     case other =>
       throw new IllegalArgumentException(s"$pos must be an IRI, got $other")
+  }
+
+  /** SPARQL Update §3.1.3: blank nodes are ILLEGAL in a DELETE
+    * template (a fresh node can never match stored data). The parser
+    * encodes them as __bn* vars; one the WHERE doesn't bind would
+    * otherwise crash column resolution — reject it pointedly.
+    */
+  private def rejectDeleteBnodes(sol: DataFrame,
+                                 del: Seq[TriplePattern]): Unit = {
+    val bad = del.flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect {
+      case Var(n) if n.startsWith("__bn") && !sol.columns.contains(n) => n
+    }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      "blank nodes are not allowed in a DELETE template (Update §3.1.3)")
   }
 
   /** One pattern instantiated over the solution relation. */

@@ -2396,6 +2396,173 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq("Alice", "Carol", "Dave", "Bob"))
   }
 
+  // ---- r15.i batch: BASE, empty IN, EXISTS-in-IF, subquery corners --
+
+  test("prologue:base-relative — BASE resolves relative IRIs") {
+    assert(run(people,
+      """BASE <p:>
+        |SELECT ?n WHERE { <alice> :name ?n }""".stripMargin) ==
+      Set(b("n" -> "Alice")))
+  }
+
+  test("prologue:base-and-prefix — BASE and PREFIX compose") {
+    assert(run(people,
+      """BASE <p:>
+        |PREFIX foaf: <:>
+        |SELECT ?n WHERE { <bob> foaf:name ?n }""".stripMargin) ==
+      Set(b("n" -> "Bob")))
+  }
+
+  test("expressions:in-empty — IN () is false, NOT IN () is true") {
+    assert(run(people,
+      "SELECT ?x WHERE { ?x :age ?a . FILTER(?a IN ()) }") == Set.empty)
+    assert(run(people,
+      "SELECT ?x WHERE { ?x :age ?a . FILTER(?a NOT IN ()) }") ==
+      Set(b("x" -> "p:alice"), b("x" -> "p:bob"), b("x" -> "p:carol")))
+  }
+
+  test("functions:exists-in-if — EXISTS as an IF condition in BIND") {
+    assert(run(people,
+      """SELECT ?x ?v WHERE { ?x rdf:type :Person .
+        |BIND(IF(EXISTS { ?x :mbox ?m }, "has", "none") AS ?v) }""".stripMargin) ==
+      Set(b("x" -> "p:alice", "v" -> "has"),
+        b("x" -> "p:bob", "v" -> "has"),
+        b("x" -> "p:carol", "v" -> "none")))
+  }
+
+  test("minus:filter-inside — the MINUS side applies its own filter first") {
+    // only people with age > 28 are subtracted
+    assert(run(people,
+      """SELECT ?x WHERE { ?x rdf:type :Person .
+        |MINUS { ?x :age ?a . FILTER(?a > 28) } }""".stripMargin) ==
+      Set(b("x" -> "p:carol")))
+  }
+
+  test("subquery:having-inside — a subquery's HAVING prunes before the outer join") {
+    assert(run(orgs,
+      """SELECT ?dep ?c WHERE {
+        |  ?org :affiliates ?dep .
+        |  { SELECT ?dep (COUNT(?e) AS ?c) WHERE { ?dep :employee ?e }
+        |    GROUP BY ?dep HAVING (COUNT(?e) > 1) }
+        |}""".stripMargin) ==
+      Set(b("dep" -> "o:dep1", "c" -> "2")))
+  }
+
+  test("construct:where-path — CONSTRUCT over a property-path WHERE") {
+    val out = Graft.query(people,
+      "CONSTRUCT { ?x :reaches ?y } WHERE { ?x (:knows)+ ?y . ?y rdf:type :Robot }")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(rows == Set(("p:alice", "p:dave"), ("p:bob", "p:dave"),
+      ("p:carol", "p:dave")))
+  }
+
+  // ---- r15.h batch: builtin corners (BNODE, string args, slices) ----
+
+  test("update:insert-template-bnode — INSERT mints a fresh node per solution") {
+    // Update §3.1.3 shares the CONSTRUCT §16.2.1 rule: the bracketed
+    // property list in the INSERT template creates one fresh bnode
+    // per WHERE solution, linking each person to their own card
+    val store = Seq(
+      ("p:1", ":name", "ann", Option.empty[Double], false, Option.empty[String]),
+      ("p:2", ":name", "bob", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    val out = graft.Graft.update(store,
+      "INSERT { ?x :card [ :label ?n ] } WHERE { ?x :name ?n }")
+    assert(out.count() == 6)
+    val cards = out.filter($"p" === ":card").select("s", "o").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(cards.length == 2 && cards.map(_._2).distinct.length == 2)
+    assert(cards.forall(_._2.startsWith("_:")))
+    val labels = out.filter($"p" === ":label").select("s", "o").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cards.map { case (person, node) => (person, labels(node)) }.toSet ==
+      Set(("p:1", "ann"), ("p:2", "bob")))
+  }
+
+  test("update:delete-template-bnode-rejected — blank nodes are illegal in DELETE") {
+    val store = Seq(
+      ("p:1", ":name", "ann", Option.empty[Double], false, Option.empty[String]))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    intercept[IllegalArgumentException] {
+      graft.Graft.update(store,
+        "DELETE { ?x :card [ :label ?n ] } WHERE { ?x :name ?n }")
+    }
+  }
+
+  test("functions:bnode-fresh — BNODE() mints a distinct blank node per row") {
+    val df = Graft.sparql(people,
+      """SELECT ?x ?b WHERE { ?x :name ?n . BIND(BNODE() AS ?b)
+        |FILTER(isBlank(?b)) }""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getString(1)).distinct.length == 4)
+    assert(rows.forall(_.getString(1).startsWith("_:")))
+  }
+
+  test("functions:bnode-arg — BNODE(str) is stable per argument") {
+    val out = run(people,
+      """SELECT ?x ?same WHERE { ?x :age ?a .
+        |BIND(BNODE("k") AS ?b1) . BIND(BNODE("k") AS ?b2)
+        |BIND(IF(?b1 = ?b2, "yes", "no") AS ?same) }""".stripMargin)
+    assert(out.forall(_.get("same").contains("yes")))
+    assert(out.size == 3)
+  }
+
+  test("functions:strbefore-lang — STRBEFORE keeps the argument's language tag") {
+    // §17.4.3.8: a found match returns a literal with the first
+    // argument's language; lang() must see it through the BIND
+    assert(run(people,
+      """SELECT ?l WHERE { <p:alice> :greeting ?g . FILTER(LANG(?g) = "en")
+        |BIND(STRBEFORE(?g, "llo") AS ?pre) . BIND(LANG(?pre) AS ?l) }""".stripMargin) ==
+      Set(b("l" -> "en")))
+  }
+
+  test("functions:concat-lang — CONCAT keeps the tag only when ALL args share it") {
+    // same-tag args → tagged result; mixing with a plain literal
+    // drops to a simple literal (empty lang)
+    assert(run(people,
+      """SELECT ?l1 ?l2 WHERE { <p:alice> :greeting ?g . FILTER(LANG(?g) = "en")
+        |BIND(CONCAT(?g, ?g) AS ?both) . BIND(LANG(?both) AS ?l1)
+        |BIND(CONCAT(?g, "!") AS ?mix) . BIND(LANG(?mix) AS ?l2) }""".stripMargin) ==
+      Set(b("l1" -> "en", "l2" -> "")))
+  }
+
+  test("functions:substr-one-based — SUBSTR indexes from 1, per xsd:substring") {
+    assert(run(people,
+      """SELECT ?a ?b WHERE { <p:alice> :name ?n .
+        |BIND(SUBSTR(?n, 2) AS ?a) . BIND(SUBSTR(?n, 1, 3) AS ?b) }""".stripMargin) ==
+      Set(b("a" -> "lice", "b" -> "Ali")))
+  }
+
+  test("modifiers:limit-zero — LIMIT 0 is the empty sequence") {
+    assert(run(people, "SELECT ?x WHERE { ?x :name ?n } LIMIT 0") == Set.empty)
+  }
+
+  test("modifiers:offset-beyond — OFFSET past the result is empty") {
+    assert(run(people, "SELECT ?x WHERE { ?x :name ?n } OFFSET 100") == Set.empty)
+  }
+
+  test("aggregates:nested-agg-rejected — an aggregate inside an aggregate is a loud error") {
+    intercept[IllegalArgumentException] {
+      Graft.sparql(people,
+        "SELECT (SUM(COUNT(?x)) AS ?s) WHERE { ?x :name ?n }").collect()
+    }
+  }
+
+  test("aggregates:values-joins-agg-output — final VALUES constrains an aggregate result") {
+    // the data block joins the grouped solutions on the COUNT column
+    assert(run(orgs,
+      """SELECT ?dep (COUNT(?e) AS ?c) WHERE { ?dep :employee ?e }
+        |GROUP BY ?dep VALUES ?c { 2 }""".stripMargin) ==
+      Set(b("dep" -> "o:dep1", "c" -> "2")))
+  }
+
+  test("functions:negative-literal — comparison and arithmetic with negatives") {
+    assert(run(people,
+      "SELECT ?x WHERE { ?x :age ?a . FILTER(?a - 35 > -6) }") ==
+      Set(b("x" -> "p:alice"), b("x" -> "p:bob")))
+  }
+
   // ---- r15.g batch: HAVING expressions + DISTINCT aggregate forms ----
 
   private lazy val dupVals: DataFrame = Seq(
