@@ -42,28 +42,67 @@ object TripleStats {
   // the memo holds its frame WEAKLY: a strong value→key reference
   // inside a WeakHashMap would pin the entry forever (the classic
   // leak); a cleared referent just means no stats
-  private final class Memo(df0: DataFrame) {
+  private final class Memo(df0: DataFrame,
+      pre: Option[Map[String, PredStat]] = None) {
     private val ref = new java.lang.ref.WeakReference(df0)
-    lazy val stats: Map[String, PredStat] = Option(ref.get()) match {
-      case None => Map.empty
-      case Some(df) =>
-        df.groupBy(col("p"))
-          .agg(count(lit(1)).as("n"),
-            approx_count_distinct(col("s")).as("ns"),
-            approx_count_distinct(col("o")).as("no"))
-          .collect()
-          .map(r => r.getString(0) ->
-            PredStat(r.getLong(1), r.getLong(2), r.getLong(3)))
-          .toMap
-    }
+    lazy val stats: Map[String, PredStat] = pre.getOrElse(
+      Option(ref.get()) match {
+        case None => Map.empty
+        case Some(df) =>
+          profile(df).collect()
+            .map(r => r.getString(0) ->
+              PredStat(r.getLong(1), r.getLong(2), r.getLong(3)))
+            .toMap
+      })
     lazy val total: Long = stats.valuesIterator.map(_.n).sum
   }
+
+  /** The profile as a relation — the ANALYZE pass itself. */
+  def profile(df: DataFrame): DataFrame =
+    df.groupBy(col("p"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("s")).as("ns"),
+        approx_count_distinct(col("o")).as("no"))
 
   /** Register a triple relation for lazy profiling; returns it. */
   def register(df: DataFrame): DataFrame = {
     registry.putIfAbsent(df, new Memo(df))
     df
   }
+
+  /** Register with a PRECOMPUTED profile (loaded from the sidecar a
+    * layout write persisted): no scan ever runs against this frame —
+    * the 100 TB posture, where a new session's first compile must not
+    * pay an ANALYZE pass the writer already paid.
+    */
+  def registerPrecomputed(df: DataFrame,
+                          stats: Map[String, PredStat]): DataFrame = {
+    registry.put(df, new Memo(df, Some(stats)))
+    df
+  }
+
+  /** The sidecar directory name — underscore-prefixed, so Spark's
+    * file index treats it as hidden and partition discovery over the
+    * layout never sees it.
+    */
+  val SIDECAR = "_predicate_stats"
+
+  /** Persist the profile beside a written layout. */
+  def persist(triples: DataFrame, layoutPath: String): Unit =
+    profile(triples).coalesce(1)
+      .write.mode("overwrite").parquet(s"$layoutPath/$SIDECAR")
+
+  /** Load a persisted profile, or None when the sidecar is absent or
+    * unreadable (stats are an accelerator, never a dependency).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           layoutPath: String): Option[Map[String, PredStat]] =
+    try {
+      Some(spark.read.parquet(s"$layoutPath/$SIDECAR").collect()
+        .map(r => r.getString(0) ->
+          PredStat(r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap)
+    } catch { case _: Exception => None }
 
   /** The memoized profile of a registered frame (computing it on
     * first use), or None for unregistered frames.

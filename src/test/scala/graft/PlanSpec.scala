@@ -1427,6 +1427,32 @@ class PlanSpec extends AnyFunSuite {
       s"the two embedded aggregates must share one fold ($aggs vs $base HashAggregates)")
   }
 
+  test("TripleStats sidecar: write-time profile persists, loads, and hides from reads") {
+    // the ANALYZE-at-write posture: a new session loads the
+    // join-ordering stats in O(vocabulary) instead of re-scanning —
+    // and the hidden `_predicate_stats` dir never leaks into the
+    // layout's own partition discovery
+    val t = Graft.triples(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_stats_t").toString
+    try {
+      graft.rdf.TripleStore.writePartitioned(t, path)
+      val loaded = graft.rdf.TripleStats.load(spark, path)
+      assert(loaded.isDefined && loaded.get.nonEmpty, "sidecar must load")
+      val direct = graft.rdf.TripleStats.profile(t).collect()
+        .map(r => r.getString(0) -> graft.rdf.TripleStats.PredStat(
+          r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(loaded.get == direct, "persisted profile must equal the direct one")
+      val back = graft.rdf.TripleStore.readPartitioned(spark, path)
+      assert(back.count() == t.count(),
+        "the sidecar must be invisible to the layout read")
+      val served = graft.rdf.TripleStats.registerPrecomputed(back, loaded.get)
+      assert(graft.rdf.TripleStats.forFrame(served).contains(direct),
+        "precomputed registration must serve without a scan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+  }
+
   test("text_contamination_bloom: join-free screen, distributed build") {
     // the Bloom screen's whole point: the corpus side is ONE narrow
     // codegen pass (filter on bloom_contains) plus the per-doc count
