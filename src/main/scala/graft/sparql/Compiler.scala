@@ -1822,6 +1822,12 @@ object Compiler {
         .select(col("s").as("sub"), col("o").as("sup"))
       projectPathEndpoints(
         hop.unionByName(zeroPairs(triples, s, o)).distinct(), s, o)
+    case PathRange(s, preds, mn, mx, o) if mx < 0 =>
+      // `{n,}` — unbounded above (mx = -1 sentinel; ARQ extension the
+      // reference's Jena front end accepts): n-1 exact hops composed
+      // with the one-or-more closure
+      rangeMinPairs(triples, triples.filter(col("p").isin(preds: _*))
+        .select(col("s").as("sub"), col("o").as("sup")), mn, s, o)
     case PathRange(s, preds, mn, mx, o) =>
       // union of the k-hop chain relations for k ∈ [mn, mx]: edges
       // composed k times (each composition an equi-join on the hop
@@ -1831,6 +1837,8 @@ object Compiler {
       // the predicate slice regardless of graph size.
       rangePairs(triples, triples.filter(col("p").isin(preds: _*))
         .select(col("s").as("sub"), col("o").as("sup")), mn, mx, s, o)
+    case PathSeqRange(s, steps, mn, mx, o) if mx < 0 =>
+      rangeMinPairs(triples, seqEdges(triples, steps), mn, s, o)
     case PathSeqRange(s, steps, mn, mx, o) =>
       // the sequence-operand twin of PathRange: same k-hop union, over
       // the COMPOSED edge relation
@@ -1892,6 +1900,45 @@ object Compiler {
     val hops = ((mn max 1) to mx).map(kHop) ++
       (if (mn == 0) Seq(zeroPairs(triples, s, o)) else Nil)
     projectPathEndpoints(hops.reduceLeft(_.unionByName(_)).distinct(), s, o)
+  }
+
+  /** `{n,}` pairs: exactly n−1 hops (a bounded join chain — a
+    * constant subject pushes through the chain to the first scan),
+    * composed with the one-or-more closure from the reached nodes,
+    * endpoint-deduplicated like the other closure forms. n ∈ {0, 1}
+    * degenerate to `*` / `+` and keep their seeded-BFS optimizations;
+    * n ≥ 2 with a variable subject pays the var-var closure — the
+    * same cost class as var-var `+`, which the shape contains.
+    */
+  private def rangeMinPairs(triples: DataFrame, edges: DataFrame,
+                            mn: Int, s: Term, o: Term): DataFrame = {
+    if (mn <= 0)
+      projectPathEndpoints(plusPairsOver(edges, s, o)
+        .unionByName(zeroPairs(triples, s, o)).distinct(), s, o)
+    else if (mn == 1)
+      projectPathEndpoints(plusPairsOver(edges, s, o), s, o)
+    else {
+      val prefix0 = (2 to (mn - 1)).foldLeft(edges) { (acc, _) =>
+        acc.join(edges.select(col("sub").as("sup"), col("sup").as("nxt")), "sup")
+          .select(col("sub"), col("nxt").as("sup"))
+      }
+      val prefix = (s match {
+        case Iri(sv) => prefix0.filter(col("sub") === sv)
+        case _ => prefix0
+      }).distinct()
+      // ≥ n hops = (n-1 hops) ∘ (1-or-more hops): compose on the
+      // frontier node, dedup endpoints. A constant object keeps the
+      // closure arm's backward-seeded BFS (plusPairsOver's Iri case)
+      // instead of the full transitive closure.
+      val closure = (o match {
+        case Iri(_) => plusPairsOver(edges, Var("__prm_l"), o)
+        case _ => plusPairsOver(edges, Var("__prm_l"), Var("__prm_r"))
+      }).select(col("sub").as("mid"), col("sup"))
+      val pairs = prefix.select(col("sub"), col("sup").as("mid"))
+        .join(closure, "mid")
+        .select(col("sub"), col("sup")).distinct()
+      projectPathEndpoints(pairs, s, o)
+    }
   }
 
   /** The composed (sub, sup) edge relation of a sequence path: each

@@ -307,6 +307,12 @@ object SparqlParser extends RegexParsers {
       val parts = t.substring(1, t.length - 1).split(',')
       (parts(0).toInt, parts(1).toInt)
     } |
+    // `{n,}` — unbounded above (the Jena ARQ extension the
+    // reference's parser accepts): max = -1 sentinel, compiled as
+    // n-1 exact hops composed with the one-or-more closure
+    """\{\d+,\}""".r ^^ { t =>
+      (t.substring(1, t.length - 2).toInt, -1)
+    } |
     """\{\d+\}""".r ^^ { t =>
       val n = t.substring(1, t.length - 1).toInt; (n, n)
     }
@@ -314,7 +320,7 @@ object SparqlParser extends RegexParsers {
     term ~ ("(" ~> rep1sep(iriRef | pname, "|") <~ ")" |
             ((iriRef | pname) ^^ (Seq(_)))) ~ rangeSuffix ~ term <~ opt(".") >> {
       case s ~ preds ~ ((mn, mx)) ~ o =>
-        if (mn > mx) failure(s"path range {$mn,$mx}: min exceeds max")
+        if (mx >= 0 && mn > mx) failure(s"path range {$mn,$mx}: min exceeds max")
         else success(GroupOrUnionElem(PathRange(s, preds.map(_.value), mn, mx, o)))
     }
 
@@ -428,7 +434,7 @@ object SparqlParser extends RegexParsers {
       opt(".") >> {
       case s ~ steps ~ ((mn, mx)) ~ o =>
         if (steps.size < 2) failure("single-step parens: use p{n,m}")
-        else if (mn > mx) failure(s"path range {$mn,$mx}: min exceeds max")
+        else if (mx >= 0 && mn > mx) failure(s"path range {$mn,$mx}: min exceeds max")
         else success(GroupOrUnionElem(PathSeqRange(s, steps, mn, mx, o)))
     }
 

@@ -243,6 +243,16 @@ object SparqlQueries {
       runP(s, dir, SparqlParser.parse(
         "SELECT ?x ?y WHERE { ?x (:hasNation/:inRegion){1,2} ?y }"))
     },
+    // `{n,}` — unbounded-above range (ARQ extension the reference's
+    // Jena front end accepts): n-1 exact hops composed with the
+    // one-or-more closure. Over the entity→nation→region hierarchy
+    // {2,} is exactly the two-hop entity→region relation (no deeper
+    // edges exist), so the oracle is the plain two-hop join while the
+    // ENGINE still runs the full prefix∘closure machinery
+    "sparql_path_range_min" -> { (s, dir) =>
+      runP(s, dir, SparqlParser.parse(
+        "SELECT ?x ?y WHERE { ?x (:hasNation|:inRegion){2,} ?y }"))
+    },
     "sparql_parser_e2e" -> { (s, dir) =>
       val text =
         """SELECT ?c ?b ?m WHERE {
@@ -1349,6 +1359,15 @@ object SparqlQueries {
       """SELECT 'nat:'||a.n_nationkey AS x, 'nat:'||b.n_nationkey AS y
         |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey""".stripMargin,
     "sparql_path_seq_range" ->
+      """SELECT 'cust:'||c_custkey AS x, 'reg:'||n_regionkey AS y
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |UNION
+        |SELECT 'supp:'||s_suppkey, 'reg:'||n_regionkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    // {2,} over the alternation edge set: ≥2 hops exist only as
+    // entity→nation→region (regions have no outgoing edge), so the
+    // answer is the two-hop join
+    "sparql_path_range_min" ->
       """SELECT 'cust:'||c_custkey AS x, 'reg:'||n_regionkey AS y
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |UNION

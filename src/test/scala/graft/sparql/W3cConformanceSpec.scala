@@ -2396,6 +2396,70 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq("Alice", "Carol", "Dave", "Bob"))
   }
 
+  // ---- r15.j batch: TZ, graph-var aggregation, regex/group corners --
+
+  test("paths:range-min — {n,} matches n or more hops") {
+    // alice→bob→carol→dave (:knows chain, no cycle)
+    assert(run(people,
+      "SELECT ?y WHERE { <p:alice> :knows{2,} ?y }") ==
+      Set(b("y" -> "p:carol"), b("y" -> "p:dave")))
+    assert(run(people,
+      "SELECT ?x ?y WHERE { ?x :knows{2,} ?y }") ==
+      Set(b("x" -> "p:alice", "y" -> "p:carol"),
+        b("x" -> "p:alice", "y" -> "p:dave"),
+        b("x" -> "p:bob", "y" -> "p:dave")))
+    // constant object: the closure arm seeds backward
+    assert(run(people,
+      "SELECT ?x WHERE { ?x :knows{2,} <p:dave> }") ==
+      Set(b("x" -> "p:alice"), b("x" -> "p:bob")))
+    // {1,} degenerates to +
+    assert(run(people,
+      "SELECT ?y WHERE { <p:carol> :knows{1,} ?y }") ==
+      Set(b("y" -> "p:dave")))
+  }
+
+  test("paths:seq-range-min — {n,} over a parenthesized sequence") {
+    // (:knows/:knows) is the two-hop edge; {1,} closes over it
+    assert(run(people,
+      "SELECT ?x ?y WHERE { ?x (:knows/:knows){1,} ?y }") ==
+      Set(b("x" -> "p:alice", "y" -> "p:carol"),
+        b("x" -> "p:bob", "y" -> "p:dave")))
+  }
+
+  test("datetime:tz-builtin — TZ returns the zone suffix, '' when absent") {
+    assert(run(zonedTimes,
+      """SELECT ?x ?z WHERE { ?x :at ?t . BIND(TZ(?t) AS ?z)
+        |FILTER(?x IN (e:1, e:2, e:5)) }""".stripMargin) ==
+      Set(b("x" -> "e:1", "z" -> "+02:00"),
+        b("x" -> "e:2", "z" -> "Z"),
+        b("x" -> "e:5", "z" -> "")))
+  }
+
+  test("aggregates:graph-var-count — COUNT groups by the graph variable") {
+    val quads = Seq(
+      ("g:a", "e:1", ":next", "e:2", Option.empty[Double], true, Option.empty[String]),
+      ("g:a", "e:2", ":next", "e:3", None, true, None),
+      ("g:b", "e:3", ":next", "e:4", None, true, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(bindings(Compiler.runQuads(quads, SparqlParser.parse(
+      """SELECT ?g (COUNT(?s) AS ?c) WHERE { GRAPH ?g { ?s :next ?o } }
+        |GROUP BY ?g""".stripMargin))) ==
+      Set(b("g" -> "g:a", "c" -> "2"), b("g" -> "g:b", "c" -> "1")))
+  }
+
+  test("functions:regex-anchors — ^ and $ anchor the whole lexical form") {
+    assert(run(people,
+      """SELECT ?n WHERE { ?x :name ?n . FILTER(REGEX(?n, "^A.*e$")) }""") ==
+      Set(b("n" -> "Alice")))
+  }
+
+  test("groupby:if-expr-key — a conditional expression as the group key") {
+    assert(run(people,
+      """SELECT ?band (COUNT(?x) AS ?c) WHERE { ?x :age ?a }
+        |GROUP BY (IF(?a > 28, "adult", "minor") AS ?band)""".stripMargin) ==
+      Set(b("band" -> "adult", "c" -> "2"), b("band" -> "minor", "c" -> "1")))
+  }
+
   // ---- r15.i batch: BASE, empty IN, EXISTS-in-IF, subquery corners --
 
   test("prologue:base-relative — BASE resolves relative IRIs") {
