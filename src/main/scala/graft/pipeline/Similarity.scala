@@ -441,25 +441,55 @@ object Similarity {
   /** Distributed Gram matrix XᵀX over the INT8-quantized codes — the
     * covariance fold PCA / whitening / OPQ rotation training starts
     * from, exact in integer arithmetic (the float Gram would drift
-    * with partition summation order). Each row explodes into its
-    * dims·(dims+1)/2 upper-triangle products and the aggregation
-    * combines MAP-SIDE, so any partition contributes at most ~2k cell
-    * rows to the one shuffle regardless of corpus size — the shuffle
-    * is dims², not rows, which is what makes a 100 TB pass feasible.
-    * Products are ≤127² and cells sum |rows| of them: BIGINT holds to
-    * ~5·10¹⁴ vectors.
+    * with partition summation order). A treeAggregate of per-partition
+    * primitive long[d(d+1)/2] accumulators (the BloomContains build's
+    * idiom): each partition folds its rows into ONE upper-triangle
+    * array, the tree merge moves dims²-sized arrays only — no per-row
+    * explode, no row-count-proportional shuffle, which is what makes
+    * a 100 TB pass feasible. (The previous shape exploded every row
+    * into its ~2k upper-triangle structs before the map-side combine
+    * — integer-identical output, but allocation-bound at ~d²·|rows|
+    * struct churn.) Products are ≤127² and cells sum |rows| of them:
+    * BIGINT holds to ~5·10¹⁴ vectors.
     */
   def gramMatrix(embeddings: DataFrame): DataFrame = {
-    val idx = sequence(lit(0), size(col("q")) - 1)
-    val cells = flatten(transform(idx, i =>
-      transform(slice(idx, i + 1, size(col("q")) - i), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col("q"), i + 1).cast("long") *
-            element_at(col("q"), j + 1)).as("p")))))
-    quantized(embeddings)
-      .select(explode(cells).as("c"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(sum(col("c.p")).as("gram"), count(lit(1)).as("n_vecs"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = quantized(embeddings)
+      .select(col("q").cast("array<long>")).as[Seq[Long]]
+    val (acc, nVecs) = q.rdd.treeAggregate(
+      (null: Array[Long], 0L))(
+      seqOp = { case ((a0, n), v) =>
+        val d = v.length
+        val a = if (a0 != null) a0 else new Array[Long](d * (d + 1) / 2)
+        require(a.length == d * (d + 1) / 2,
+          s"gramMatrix: mixed embedding widths ($d vs accumulated)")
+        var i = 0; var k = 0
+        while (i < d) {
+          val vi = v(i)
+          var j = i
+          while (j < d) { a(k) += vi * v(j); k += 1; j += 1 }
+          i += 1
+        }
+        (a, n + 1)
+      },
+      combOp = {
+        case ((null, n1), (b, n2)) => (b, n1 + n2)
+        case ((a, n1), (null, n2)) => (a, n1 + n2)
+        case ((a, n1), (b, n2)) =>
+          var k = 0
+          while (k < a.length) { a(k) += b(k); k += 1 }
+          (a, n1 + n2)
+      })
+    // invert the flat upper-triangle layout back to (i, j) cells —
+    // dims²-sized, a local table
+    val d = if (acc == null) 0
+      else ((math.sqrt(8.0 * acc.length + 1) - 1) / 2).round.toInt
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield (i, j, acc(i * d - i * (i - 1) / 2 + (j - i)), nVecs)
+    rows.toDF("i", "j", "gram", "n_vecs")
   }
 
   /** Dimension-truncation retrieval evaluation (the Matryoshka /

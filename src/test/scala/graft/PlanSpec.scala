@@ -488,13 +488,15 @@ class PlanSpec extends AnyFunSuite {
       "the hourly grid must come from a sequence explode, not a join")
   }
 
-  test("emb_gram_matrix: cell products fold map-side into one exchange") {
+  test("emb_gram_matrix: treeAggregate fold — the SQL plan sees only the dims² result") {
+    // the fold is a per-partition primitive-array treeAggregate (the
+    // Bloom-build idiom): no per-row struct explode, no SQL-side
+    // exchange — the result lands as a local dims²-row table
     val p = plan("emb_gram_matrix")
-    assert(p.contains("partial_sum"),
-      "cell sums must partial-aggregate before the shuffle")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      "the Gram fold is ONE dims²-row shuffle")
-    assert(!p.contains("Join"), "the fold is per-row expansion, never a join")
+    assert(p.contains("LocalTableScan"),
+      "the folded Gram must be a local dims² table")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      "the Gram fold must not join or shuffle on the SQL side")
   }
 
   test("graph_hits: message passing stays keyed; top-k heaps per task") {
