@@ -73,14 +73,21 @@ object Endpoint {
     * distributed writers ([[NTriples.write]] etc.).
     */
   def describeAs(triples: DataFrame, uri: String, format: String): String = {
-    val d = describe(triples, uri).drop("dir")
+    // priced once at the triple level: the formatted unit varies per
+    // format (Turtle folds a subject star into one line), so the
+    // line-level collect bound alone is not a memory bound
+    val d = FormatGuard.assertBounded(
+      describe(triples, uri).drop("dir"), s"describeAs($format)")
     format match {
       case "ntriples" =>
-        NTriples.format(d).collect().map(_.getString(0)).sorted.mkString("\n")
+        FormatGuard.collectBounded(NTriples.format(d), "describeAs(ntriples)")
+          .map(_.getString(0)).sorted.mkString("\n")
       case "turtle" =>
-        Turtle.format(d).collect().map(_.getString(0)).mkString("\n")
+        FormatGuard.collectBounded(Turtle.format(d), "describeAs(turtle)")
+          .map(_.getString(0)).mkString("\n")
       case "jsonld" =>
-        JsonLd.format(d).collect().map(_.getString(0)).sorted.mkString("\n")
+        FormatGuard.collectBounded(JsonLd.format(d), "describeAs(jsonld)")
+          .map(_.getString(0)).sorted.mkString("\n")
       case "rdfxml" =>
         RdfXml.formatString(d)
       case other =>

@@ -147,8 +147,9 @@ object RdfXml {
     * the store-canonical term strings exactly.
     */
   def formatString(triples: DataFrame): String = {
-    val rows = triples
-      .select("s", "p", "o", "o_num", "o_is_iri", "lang").collect()
+    val rows = FormatGuard.collectBounded(
+      triples.select("s", "p", "o", "o_num", "o_is_iri", "lang"),
+      "RdfXml.formatString")
     def split(p: String): (String, String) = {
       val i = p.lastIndexWhere(c => c == ':' || c == '/' || c == '#')
       (p.substring(0, i + 1), p.substring(i + 1))

@@ -213,9 +213,9 @@ object Turtle {
     // where the keyword has whitespace.
     val isPrefixLine = col("line").startsWith("@prefix") ||
       lower(col("line")).startsWith("prefix ")
-    val prefixes: Map[String, String] = trimmed
-      .filter(isPrefixLine)
-      .as[String].collect()
+    val prefixes: Map[String, String] = FormatGuard.collectBounded(
+      trimmed.filter(isPrefixLine), "Turtle.parse prefix table")
+      .map(_.getString(0))
       .map { l =>
         val m = "(?i)@?prefix\\s+([^\\s]+)\\s+<([^>]*)>\\s*\\.?\\s*$".r
           .findFirstMatchIn(l)

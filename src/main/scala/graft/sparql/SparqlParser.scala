@@ -1002,14 +1002,14 @@ object SparqlParser extends RegexParsers {
     * namespace layout every RDF vocabulary uses.
     */
   private def baseDecl: Parser[(String, String)] =
-    "(?i)BASE".r ~> iriRef ^^ (i => (" base", i.value))
+    "(?i)BASE".r ~> iriRef ^^ (i => ("\u0000base", i.value))
   private def prologue: Parser[Map[String, String]] =
     rep(prefixDecl | baseDecl) ^^ (_.toMap)
 
   private def expandIri(v: String, pfx: Map[String, String]): String = {
     val idx = v.indexOf(':')
     if (idx < 0)
-      pfx.get(" base").map(_ + v).getOrElse(v)
+      pfx.get("\u0000base").map(_ + v).getOrElse(v)
     else if (pfx.isEmpty) v
     else pfx.get(v.substring(0, idx + 1))
       .map(_ + v.substring(idx + 1)).getOrElse(v)

@@ -590,4 +590,28 @@ class RdfSpec extends AnyFunSuite {
     // distinct statements get distinct IRIs
     assert(r.map(_._1).toSet.size == 2)
   }
+
+  test("FormatGuard caps driver-side document assembly loudly") {
+    // over-cap: the guard fails with the pointed message BEFORE an
+    // unbounded collect can OOM the driver (the limit rides into the
+    // scan, so at most cap+1 rows ever materialize driver-side)
+    val big = spark.range(0, 50).select(
+      lit("s:hub").as("s"), lit(":p").as("p"),
+      concat(lit("o:"), col("id")).as("o"),
+      lit(null).cast("double").as("o_num"), lit(true).as("o_is_iri"),
+      lit(null).cast("string").as("lang"))
+    sys.props("graft.format.collect.max") = "10"
+    try {
+      val e = intercept[IllegalStateException](RdfXml.formatString(big))
+      assert(e.getMessage.contains("driver-assembly cap"))
+      assert(e.getMessage.contains("NTriples.write"))
+      val e2 = intercept[IllegalStateException](
+        Endpoint.describeAs(big, "s:hub", "turtle"))
+      assert(e2.getMessage.contains("driver-assembly cap"))
+    } finally sys.props.remove("graft.format.collect.max")
+    // under-cap: identical output to the unguarded path — round-trips
+    val back = RdfXml.parse(spark, RdfXml.formatString(nasty))
+    assert(back.count() == nasty.count())
+    assert(Endpoint.describeAs(nasty, "s:2", "ntriples").contains("s:2"))
+  }
 }
