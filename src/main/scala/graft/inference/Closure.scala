@@ -65,6 +65,34 @@ object Closure {
     reached
   }
 
+  /** Nodes reachable in one or more hops from ANY seed — the
+    * multi-seed twin of [[reachableFrom]], same frontier BFS with the
+    * seed SET joined in instead of a constant filter. One column,
+    * "sup". Per-seed attribution is NOT tracked: callers needing it
+    * (the graph-encoded path compile, where each named graph
+    * contributes one seed) must ensure the seeds' reachable
+    * components are disjoint. `seeds` is one column "src",
+    * metadata-scale (broadcast into the frontier joins).
+    */
+  def reachableFromAny(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val seedB = broadcast(seeds.select(col("src")).distinct())
+    var reached = edges.join(seedB, edges("sub") === seedB("src"))
+      .select(col("sup")).distinct().localCheckpoint()
+    var frontier = reached.toDF("f_sup")
+    var done = reached.isEmpty
+    while (!done) {
+      val next = frontier.join(edges, col("f_sup") === col("sub"))
+        .select(col("sup")).distinct()
+        .except(reached).localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        reached = reached.union(next).distinct().localCheckpoint()
+        frontier = next.toDF("f_sup")
+      }
+    }
+    reached
+  }
+
   /** Reflexive-transitive sub-closure seeded at `top`: `top` itself
     * plus everything below it. One column, "c".
     */

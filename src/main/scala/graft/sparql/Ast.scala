@@ -271,6 +271,15 @@ object Ast {
     * would need a graph-partitioned replay — documented subset).
     */
   final case class GraphGroup(g: Term, pattern: Pattern) extends Pattern
+  /** Compiler-internal: a property-path pattern evaluated under a
+    * VARIABLE graph term (`GRAPH ?g { … path … }`), produced by the
+    * graph-threading rewrite — never by the parser. Compiles as ONE
+    * pass over the quad relation: the closure/k-hop machinery runs on
+    * graph-encoded node ids (g⊕node), so reachability never crosses
+    * graphs and the per-named-graph plan loop disappears.
+    */
+  private[sparql] final case class GraphPath(graphVar: String,
+                                             path: Pattern) extends Pattern
   /** Nested `{ SELECT … }` subquery: evaluated bottom-up, its
     * projected variables join with the enclosing group (SPARQL 1.1
     * §12). Numeric outputs (aggregate aliases) re-derive their typed

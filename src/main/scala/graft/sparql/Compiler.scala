@@ -222,6 +222,79 @@ object Compiler {
     */
   private val broadcastRows = 100000L
 
+  /** Stats phase 2 (r16): estimated OUTPUT rows of a whole BGP under
+    * the uniformity join model (System-R): patterns fold in
+    * [[orderPatterns]] order; each join on a shared variable divides
+    * by the larger of the two sides' distinct-value estimates, and
+    * the surviving distinct estimate is the smaller. Per-pattern
+    * inputs are EXACT per-predicate counts from the persisted stats;
+    * only the join independence assumption is a model. Drives the
+    * OPTIONAL/MINUS small-side broadcast hints.
+    */
+  private def estimateBgpRows(
+      stats: Map[String, graft.rdf.TripleStats.PredStat],
+      total: Long, ps: Seq[TriplePattern]): Double = {
+    var card = 1.0
+    val distinct = scala.collection.mutable.Map.empty[String, Double]
+    ps.foreach { tp =>
+      val n = estimateRows(stats, total, tp)
+      // endpoint distinct-value estimates for this pattern's scan
+      val (ns, no) = tp.p match {
+        case Iri(pv) => stats.get(pv) match {
+          case Some(st) => (st.nSubjects.toDouble.max(1.0),
+            st.nObjects.toDouble.max(1.0))
+          case None => (1.0, 1.0)
+        }
+        case _ => (stats.valuesIterator.map(_.nSubjects).sum.toDouble.max(1.0),
+          stats.valuesIterator.map(_.nObjects).sum.toDouble.max(1.0))
+      }
+      var sel = 1.0
+      def joinVar(v: String, vp: Double): Unit = distinct.get(v) match {
+        case Some(vr) =>
+          sel /= vr.max(vp)
+          distinct(v) = vr.min(vp)
+        case None => distinct(v) = vp
+      }
+      tp.s match { case Var(a) => joinVar(a, ns.min(n.max(1.0))); case _ => () }
+      tp.o match { case Var(a) => joinVar(a, no.min(n.max(1.0))); case _ => () }
+      tp.p match { case Var(a) => joinVar(a, stats.size.toDouble.max(1.0)); case _ => () }
+      card = card * n * sel
+    }
+    card
+  }
+
+  /** Estimated output rows of a pattern when the model covers it:
+    * BGPs estimate through [[estimateBgpRows]]; filters and BINDs
+    * only shrink or keep their input. Anything else (unions, paths,
+    * subqueries) returns None — no hint rather than a guess.
+    */
+  private def estimatePatternRows(triples: DataFrame,
+                                  p: Pattern): Option[Double] =
+    statsOf(triples).flatMap { stats =>
+      val total = stats.valuesIterator.map(_.n).sum
+      def est(p: Pattern): Option[Double] = p match {
+        case Bgp(ps) if ps.nonEmpty =>
+          Some(estimateBgpRows(stats, total, orderPatterns(triples, ps)))
+        case Filter(_, in) => est(in)
+        case Bind(in, _, _) => est(in)
+        case _ => None
+      }
+      est(p)
+    }
+
+  /** Broadcast-hint a compiled OPTIONAL/MINUS right side whose
+    * estimated output is small: the compat join then hashes the
+    * little frame on every executor instead of shuffling the (often
+    * store-sized) left side. The hint reaches the INITIAL plan, so
+    * the first execution never pays the shuffle AQE would only
+    * un-do in a reused-exchange re-plan.
+    */
+  private def hintSmallSide(triples: DataFrame, p: Pattern,
+                            df: DataFrame): DataFrame =
+    if (estimatePatternRows(triples, p).exists(_ <= broadcastRows))
+      broadcast(df)
+    else df
+
   /** All variables a pattern can bind in its solution frame. */
   private def allVars(p: Pattern): Set[String] = p match {
     case Bgp(ps) => ps.flatMap(vars).toSet
@@ -232,6 +305,7 @@ object Compiler {
     // decisions upstream of that rejection must still see it)
     case GraphGroup(g, inner) => allVars(inner) ++
       (g match { case Var(n) => Set(n); case _ => Set.empty[String] })
+    case GraphPath(gn, inner) => allVars(inner) + gn
     case Filter(_, in) => allVars(in)
     case LeftJoin(l, r) => allVars(l) ++ allVars(r)
     case Union(l, r) => allVars(l) ++ allVars(r)
@@ -745,12 +819,17 @@ object Compiler {
     */
   private def threadGraphVar(gn: String, p: Pattern): Option[Pattern] = p match {
     case Bgp(ps) => Some(GraphBgp(Var(gn), ps))
-    // EXISTS bodies evaluate against the ACTIVE graph (§13.3) — the
-    // column cannot reach into the body's own compile, so a filter
-    // carrying one falls back to per-graph enumeration, where the
-    // body compiles against the slice
-    case Filter(es, _) if es.exists(containsExists) => None
-    case Filter(es, in) => threadGraphVar(gn, in).map(Filter(es, _))
+    // EXISTS bodies evaluate against the ACTIVE graph (§13.3): thread
+    // the graph column into each body too, so the semi/anti/flag join
+    // keys on ?g and the whole filter stays one pass over the quads.
+    // That keying NEEDS ?g bound on the input side — an input that
+    // never binds it (e.g. pure VALUES) cannot correlate the body's
+    // graph to the solution's, so those fall back to enumeration.
+    case Filter(es, in) => for {
+      in2 <- threadGraphVar(gn, in)
+      es2 <- if (es.exists(containsExists) && !allVars(in2).contains(gn)) None
+             else sequenceOpts(es.map(threadGraphInExpr(gn, _)))
+    } yield Filter(es2, in2)
     case LeftJoin(l, r) => for {
       l2 <- threadGraphVar(gn, l); r2 <- threadGraphVar(gn, r)
     } yield LeftJoin(l2, r2)
@@ -763,10 +842,98 @@ object Compiler {
     case Minus(l, r) => for {
       l2 <- threadGraphVar(gn, l); r2 <- threadGraphVar(gn, r)
     } yield Minus(l2, r2)
-    case Bind(in, e, as) => threadGraphVar(gn, in).map(Bind(_, e, as))
+    case Bind(in, e, as) => for {
+      in2 <- threadGraphVar(gn, in)
+      e2 <- if (vexprContainsExists(e) && !allVars(in2).contains(gn)) None
+            else threadGraphInVExpr(gn, e)
+    } yield Bind(in2, e2, as)
+    // property paths thread as GraphPath: the closure/k-hop machinery
+    // runs over graph-ENCODED node ids (g⊕node) of the quad relation,
+    // so per-graph reachability is one distributed computation — the
+    // pre-r16 per-named-graph plan loop is gone
+    case path @ (_: PathPlus | _: PathStar | _: PathZeroOne |
+                 _: PathRange | _: PathSeq | _: PathSeqMod |
+                 _: PathSeqRange | _: PathAlt | _: NegPath) =>
+      Some(GraphPath(gn, path))
+    // inline VALUES rows are graph-independent constants — they join
+    // the threaded patterns unchanged and ?g rides from those
+    case vp: ValuesPattern => Some(vp)
+    // a sub-SELECT threads when adding ?g to its projection/grouping
+    // preserves per-graph semantics: no LIMIT/OFFSET (those are
+    // per-graph under enumeration), no GLOBAL aggregate (which must
+    // yield a row even for match-free graphs), no dataset clause, and
+    // no variable named ?g already inside (a different variable —
+    // in-scope collision). Everything else — grouped aggregates,
+    // DISTINCT, plain projections — evaluates per graph by carrying
+    // ?g as one more grouping/projection column.
+    case SubSelect(q)
+      if q.limit < 0 && q.offset == 0 &&
+        q.fromGraphs.isEmpty && q.fromNamed.isEmpty &&
+        !(q.aggregates.nonEmpty && q.groupBy.isEmpty) &&
+        !allVars(q.where).contains(gn) && !q.projection.contains(gn) =>
+      threadGraphVar(gn, q.where).filter(w => allVars(w).contains(gn))
+        .map { w2 =>
+          SubSelect(q.copy(
+            where = w2,
+            projection =
+              if (q.projection.isEmpty && q.aggregates.isEmpty) Seq.empty
+              else q.projection :+ gn,
+            groupBy =
+              if (q.aggregates.nonEmpty) q.groupBy :+ gn else q.groupBy))
+        }
     case gb: GraphBgp => Some(gb)
     case gg: GraphGroup => Some(gg)
     case _ => None
+  }
+
+  private def sequenceOpts[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  /** Does a BIND expression carry an EXISTS anywhere (IF conditions,
+    * nested function arguments)? Drives the graph-threading guard.
+    */
+  private def vexprContainsExists(e: VExpr): Boolean = e match {
+    case VIf(c, t, f) =>
+      containsExists(c) || vexprContainsExists(t) || vexprContainsExists(f)
+    case FnCall(_, as) => as.exists(vexprContainsExists)
+    case Arith(_, l, r) => vexprContainsExists(l) || vexprContainsExists(r)
+    case _ => false
+  }
+
+  /** Thread the graph variable into every EXISTS / NOT EXISTS body of
+    * a filter expression (the §13.3 active graph reaches into EXISTS
+    * evaluation). Non-EXISTS leaves pass through untouched.
+    */
+  private def threadGraphInExpr(gn: String, e: Expr): Option[Expr] = e match {
+    case Exists(p) => threadGraphVar(gn, p).map(Exists)
+    case NotExists(p) => threadGraphVar(gn, p).map(NotExists)
+    case Not(x) => threadGraphInExpr(gn, x).map(Not)
+    case And(a, b) => for {
+      a2 <- threadGraphInExpr(gn, a); b2 <- threadGraphInExpr(gn, b)
+    } yield And(a2, b2)
+    case Or(a, b) => for {
+      a2 <- threadGraphInExpr(gn, a); b2 <- threadGraphInExpr(gn, b)
+    } yield Or(a2, b2)
+    case other => Some(other)
+  }
+
+  /** The VExpr twin of [[threadGraphInExpr]]: BIND(IF(EXISTS{…},…))
+    * bodies also evaluate against the active graph. Before r16 a
+    * threaded Bind kept its EXISTS body compiling against the DEFAULT
+    * graph — a silent active-graph divergence this rewrite closes.
+    */
+  private def threadGraphInVExpr(gn: String, e: VExpr): Option[VExpr] = e match {
+    case VIf(c, t, f) => for {
+      c2 <- threadGraphInExpr(gn, c)
+      t2 <- threadGraphInVExpr(gn, t)
+      f2 <- threadGraphInVExpr(gn, f)
+    } yield VIf(c2, t2, f2)
+    case FnCall(fn, as) =>
+      sequenceOpts(as.map(threadGraphInVExpr(gn, _))).map(FnCall(fn, _))
+    case Arith(op, l, r) => for {
+      l2 <- threadGraphInVExpr(gn, l); r2 <- threadGraphInVExpr(gn, r)
+    } yield Arith(op, l2, r2)
+    case other => Some(other)
   }
 
   /** GRAPH-scoped BGP over the quad relation: a constant graph prunes
@@ -1472,12 +1639,31 @@ object Compiler {
     // as xsd:double / rdf:langString / xsd:string; an IRI (or s/p
     // position, or unbound) is a type error → null binding
     case FnCall("DATATYPE", Seq(VVar(n))) =>
-      if (!df.columns.contains(iriCol(n))) lit(null).cast("string")
-      else when(coalesce(col(iriCol(n)), lit(true)), lit(null).cast("string"))
+      if (!df.columns.contains(iriCol(n))) {
+        // a BIND-minted literal carries no term-kind companion but may
+        // carry lang/num companions (STRLANG, CONCAT, numeric BIND) —
+        // type it like a parsed literal; bare minted strings are kept
+        // as errors (null) to match the pre-companion behavior
+        val isNum =
+          if (df.columns.contains(numCol(n))) col(numCol(n)).isNotNull
+          else lit(false)
+        val isTagged =
+          if (df.columns.contains(langCol(n)))
+            col(langCol(n)).isNotNull && col(langCol(n)) =!= ""
+          else lit(false)
+        if (df.columns.contains(langCol(n)) || df.columns.contains(numCol(n)))
+          when(isNum, lit("http://www.w3.org/2001/XMLSchema#double"))
+            .when(isTagged,
+              lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+            .otherwise(lit("http://www.w3.org/2001/XMLSchema#string"))
+        else lit(null).cast("string")
+      } else when(coalesce(col(iriCol(n)), lit(true)), lit(null).cast("string"))
         .otherwise(
           when(col(numCol(n)).isNotNull,
             lit("http://www.w3.org/2001/XMLSchema#double"))
-            .when(col(langCol(n)).isNotNull,
+            // lang "" is the explicit plain-literal marker (CONCAT over
+            // mixed tags mints it) — xsd:string, like LANG/the serializers
+            .when(col(langCol(n)).isNotNull && col(langCol(n)) =!= "",
               lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
             .otherwise(lit("http://www.w3.org/2001/XMLSchema#string")))
     case FnCall("LANG", Seq(VVar(n))) =>
@@ -1580,6 +1766,10 @@ object Compiler {
         case other => throw new IllegalArgumentException(
           s"GRAPH $other: the graph term must be an IRI or a variable")
       }
+    case GraphPath(gn, path) =>
+      val qd = quads.getOrElse(throw new IllegalArgumentException(
+        "GRAPH requires a quad dataset — run the query via runQuads"))
+      compileGraphPath(qd, gn, path)
     case Bgp(ps) => compileBgp(triples, ps)
     case PreBound(frame, _) => frame
     case Filter(exprs, input) =>
@@ -1629,7 +1819,7 @@ object Compiler {
         maybeUnboundVars(l), maybeUnboundVars(rPat), lifted)
     case LeftJoin(l, r) =>
       val ldf = compilePattern(triples, quads, l)
-      val rdf = compilePattern(triples, quads, r)
+      val rdf = hintSmallSide(triples, r, compilePattern(triples, quads, r))
       compatLeftJoin(ldf, rdf, maybeUnboundVars(l))
     case Union(l, r) =>
       val ldf = compilePattern(triples, quads, l)
@@ -1662,7 +1852,7 @@ object Compiler {
       // no-op (unlike NOT EXISTS, which would drop everything when the
       // right side is non-empty)
       val ldf = compilePattern(triples, quads, l)
-      val rdf = compilePattern(triples, quads, r)
+      val rdf = hintSmallSide(triples, r, compilePattern(triples, quads, r))
       val shared = ldf.columns.intersect(rdf.columns).filterNot(isCompanion)
       if (shared.isEmpty) ldf
       else compatMinus(ldf, rdf, maybeUnboundVars(l), maybeUnboundVars(r))
@@ -1673,7 +1863,8 @@ object Compiler {
     case Bind(input, VIf(c, t, f), as) if containsExists(c) =>
       val df0 = compilePattern(triples, quads, input)
       require(!df0.columns.contains(as), s"BIND ?$as: variable already in scope")
-      val (df2, c2, ms) = bindExistsMarkers(triples, quads, df0, c)
+      val (df2, c2, ms) =
+        bindExistsMarkers(triples, quads, df0, c, maybeUnboundVars(input))
       val bound = compilePattern(triples, quads,
         Bind(PreBound(df2, df2.columns.toSeq), VIf(c2, t, f), as))
       bound.drop(ms: _*)
@@ -1867,14 +2058,46 @@ object Compiler {
   private def plusPairs(triples: DataFrame, preds: Seq[String],
                         s: Term, o: Term): DataFrame =
     plusPairsOver(triples.filter(col("p").isin(preds: _*))
-      .select(col("s").as("sub"), col("o").as("sup")), s, o)
+      .select(col("s").as("sub"), col("o").as("sup")), s, o,
+      preferBackward = backwardSeedCheaper(triples, preds))
+
+  /** Stats phase 2 (r16): for a BOTH-endpoints-bound closure
+    * (`<a> :p+ <b>`) either endpoint can seed the BFS — pick the
+    * direction with the smaller average branching factor from the
+    * persisted per-predicate stats (forward frontier grows by the
+    * avg out-degree n/|subjects|, backward by the avg in-degree
+    * n/|objects|). A many-to-one hierarchy (child→parent) explodes
+    * BACKWARD from the root but stays single-chain FORWARD from the
+    * leaf — and inverted for one-to-many. No stats → forward, the
+    * historical default.
+    */
+  private[sparql] def backwardSeedCheaper(triples: DataFrame,
+                                          preds: Seq[String]): Boolean =
+    statsOf(triples).exists { stats =>
+      val sel = preds.flatMap(stats.get)
+      val n = sel.map(_.n).sum.toDouble
+      n > 0 && {
+        val outDeg = n / sel.map(_.nSubjects).sum.toDouble.max(1.0)
+        val inDeg = n / sel.map(_.nObjects).sum.toDouble.max(1.0)
+        inDeg < outDeg
+      }
+    }
 
   /** The closure machinery over an ARBITRARY (sub, sup) edge relation
     * — shared by the predicate-slice paths and [[Ast.PathSeqMod]]'s
-    * composed-sequence edges.
+    * composed-sequence edges. `preferBackward` (stats-driven, only
+    * meaningful when BOTH endpoints are bound) seeds the BFS at the
+    * object and walks edges in reverse; results are identical either
+    * way, only the traversal cost differs.
     */
-  private def plusPairsOver(edges: DataFrame, s: Term, o: Term): DataFrame =
+  private def plusPairsOver(edges: DataFrame, s: Term, o: Term,
+                            preferBackward: Boolean = false): DataFrame =
     (s, o) match {
+      case (Iri(sv), Iri(ov)) if preferBackward =>
+        val flipped = edges.select(col("sup").as("sub"), col("sub").as("sup"))
+        graft.inference.Closure.reachableFrom(flipped, ov)
+          .select(col("sup").as("sub"), lit(ov).as("sup"))
+          .filter(col("sub") === sv)
       case (Iri(sv), _) =>
         graft.inference.Closure.reachableFrom(edges, sv)
           .select(lit(sv).as("sub"), col("sup"))
@@ -1892,15 +2115,20 @@ object Compiler {
     */
   private def rangePairs(triples: DataFrame, edges: DataFrame,
                          mn: Int, mx: Int, s: Term, o: Term): DataFrame = {
-    def kHop(k: Int): DataFrame =
-      (2 to k).foldLeft(edges) { (acc, _) =>
-        acc.join(edges.select(col("sub").as("sup"), col("sup").as("nxt")), "sup")
-          .select(col("sub"), col("nxt").as("sup"))
-      }
-    val hops = ((mn max 1) to mx).map(kHop) ++
+    val hops = ((mn max 1) to mx).map(kHopCompose(edges, _)) ++
       (if (mn == 0) Seq(zeroPairs(triples, s, o)) else Nil)
     projectPathEndpoints(hops.reduceLeft(_.unionByName(_)).distinct(), s, o)
   }
+
+  /** The k-fold composition of a (sub, sup) edge relation — k−1
+    * equi-joins on the hop node, each AQE-eligible. Shared by the
+    * bounded-range path forms and their graph-encoded twins.
+    */
+  private def kHopCompose(edges: DataFrame, k: Int): DataFrame =
+    (2 to k).foldLeft(edges) { (acc, _) =>
+      acc.join(edges.select(col("sub").as("sup"), col("sup").as("nxt")), "sup")
+        .select(col("sub"), col("nxt").as("sup"))
+    }
 
   /** `{n,}` pairs: exactly n−1 hops (a bounded join chain — a
     * constant subject pushes through the chain to the first scan),
@@ -1918,10 +2146,7 @@ object Compiler {
     else if (mn == 1)
       projectPathEndpoints(plusPairsOver(edges, s, o), s, o)
     else {
-      val prefix0 = (2 to (mn - 1)).foldLeft(edges) { (acc, _) =>
-        acc.join(edges.select(col("sub").as("sup"), col("sup").as("nxt")), "sup")
-          .select(col("sub"), col("nxt").as("sup"))
-      }
+      val prefix0 = kHopCompose(edges, mn - 1)
       val prefix = (s match {
         case Iri(sv) => prefix0.filter(col("sub") === sv)
         case _ => prefix0
@@ -2036,6 +2261,244 @@ object Compiler {
       case _ => ()
     }
     df.select(out.result(): _*)
+  }
+
+  // ---- property paths under a VARIABLE graph (one-pass compile) ----
+
+  /** Separator for graph-encoded node ids (`g⊕node`). A control char:
+    * RFC 3987 forbids it in IRIs, so the GRAPH half of an encoding is
+    * unambiguous (graph names are IRIs). Literal NODES may contain it
+    * in principle — the limit-2 decode keeps such lexicals intact.
+    */
+  private val GSEP = "\u0001"
+
+  private def encNode(g: Column, n: Column): Column = concat(g, lit(GSEP), n)
+  private def gOf(c: Column): Column = substring_index(c, GSEP, 1)
+  private def nodeOf(c: Column): Column = split(c, GSEP, 2).getItem(1)
+
+  /** The quad relation as a graph-ENCODED (s, p, o) view: node ids
+    * carry their graph (`g⊕node`), so every path helper — predicate
+    * slices, [[seqEdges]] compositions, [[Closure.transitive]],
+    * [[zeroPairs]] — computes per-graph reachability UNCHANGED: an
+    * encoded node only ever equi-joins nodes of its own graph. This
+    * is what makes `GRAPH ?g { …path… }` one distributed pass instead
+    * of a plan per named graph.
+    */
+  private def encQuads(qd: DataFrame): DataFrame =
+    qd.select(encNode(col("g"), col("s")).as("s"), col("p"),
+      encNode(col("g"), col("o")).as("o"))
+
+  /** [[plusPairsOver]] under a variable graph: the var-var closure is
+    * per-graph for free on encoded edges; a BOUND endpoint seeds one
+    * frontier per named graph (the seeds FRAME — graph names never
+    * collect to the driver) and each reached node reconstructs its
+    * seed from its own graph half.
+    */
+  private def plusPairsOverG(graphs: DataFrame, encEdges: DataFrame,
+                             s: Term, o: Term): DataFrame = (s, o) match {
+    case (Iri(sv), _) =>
+      val seeds = graphs.select(encNode(col("g"), lit(sv)).as("src"))
+      graft.inference.Closure.reachableFromAny(encEdges, seeds)
+        .select(encNode(gOf(col("sup")), lit(sv)).as("sub"), col("sup"))
+    case (_, Iri(ov)) =>
+      val flipped = encEdges.select(col("sup").as("sub"), col("sub").as("sup"))
+      val seeds = graphs.select(encNode(col("g"), lit(ov)).as("src"))
+      graft.inference.Closure.reachableFromAny(flipped, seeds)
+        .select(col("sup").as("sub"),
+          encNode(gOf(col("sup")), lit(ov)).as("sup"))
+    case _ => graft.inference.Closure.transitive(encEdges)
+  }
+
+  /** [[zeroPairs]] under a variable graph: a bound endpoint relates
+    * to itself IN EVERY NAMED GRAPH (§9.3 zero-length semantics,
+    * evaluated per active graph); the var-var form takes each graph's
+    * own term set — both via the encoded ids, never a graph collect.
+    */
+  private def zeroPairsG(qd: DataFrame, s: Term, o: Term): DataFrame = {
+    def lex(t: Term): Option[String] = t match {
+      case Iri(v) => Some(v)
+      case l: Lit => Some(l.lexical)
+      case _ => None
+    }
+    val graphs = qd.select(col("g")).distinct()
+    def single(v: String) = graphs.select(
+      encNode(col("g"), lit(v)).as("sub"), encNode(col("g"), lit(v)).as("sup"))
+    (lex(s), lex(o)) match {
+      case (Some(sv), Some(ov)) =>
+        if (sv == ov) single(sv)
+        else qd.sparkSession.range(0)
+          .select(lit("").as("sub"), lit("").as("sup"))
+      case (Some(sv), None) => single(sv)
+      case (None, Some(ov)) => single(ov)
+      case _ =>
+        val enc = encQuads(qd)
+        enc.select(col("s"))
+          .unionByName(enc.select(col("o").as("s")))
+          .distinct()
+          .select(col("s").as("sub"), col("s").as("sup"))
+    }
+  }
+
+  /** Decode graph-encoded (sub, sup) pairs to (?g, endpoints) and
+    * apply the same endpoint filtering/projection discipline as
+    * [[projectPathEndpoints]]. An endpoint variable SPELLING the
+    * graph variable (`GRAPH ?g { ?a :p+ ?g }`) constrains that
+    * endpoint to the graph name, emitted once.
+    */
+  private def projectGraphPathEndpoints(pairs: DataFrame, gn: String,
+                                        s: Term, o: Term): DataFrame = {
+    var df = pairs.select(gOf(col("sub")).as("__g"),
+      nodeOf(col("sub")).as("sub"), nodeOf(col("sup")).as("sup"))
+    s match {
+      case Iri(v) => df = df.filter(col("sub") === v)
+      case l: Lit => df = df.filter(col("sub") === l.lexical)
+      case _ => ()
+    }
+    o match {
+      case Iri(v) => df = df.filter(col("sup") === v)
+      case l: Lit => df = df.filter(col("sup") === l.lexical)
+      case _ => ()
+    }
+    (s, o) match {
+      case (Var(a), Var(b)) if a == b =>
+        df = df.filter(col("sub") === col("sup"))
+      case _ => ()
+    }
+    s match {
+      case Var(n) if n == gn => df = df.filter(col("sub") === col("__g"))
+      case _ => ()
+    }
+    o match {
+      case Var(n) if n == gn => df = df.filter(col("sup") === col("__g"))
+      case _ => ()
+    }
+    val out = Seq.newBuilder[Column]
+    out += col("__g").as(gn)
+    s match {
+      case Var(n) if n != gn => out += col("sub").as(n)
+      case _ => ()
+    }
+    o match {
+      case Var(n) if n != gn && s != o => out += col("sup").as(n)
+      case _ => ()
+    }
+    df.select(out.result(): _*)
+  }
+
+  /** One-pass compile of a property path under `GRAPH ?g`: every hop
+    * relation is built from the graph-encoded quad view, so the
+    * shared closure / k-hop machinery computes per-graph reachability
+    * in one distributed computation — no per-named-graph plan
+    * enumeration, no driver-side graph collect (the pre-r16 fallback
+    * for exactly these bodies).
+    */
+  private def compileGraphPath(qd: DataFrame, gn: String,
+                               p: Pattern): DataFrame = {
+    val enc = encQuads(qd)
+    def slice(preds: Seq[String]) = enc.filter(col("p").isin(preds: _*))
+      .select(col("s").as("sub"), col("o").as("sup"))
+    val graphs = qd.select(col("g")).distinct()
+    p match {
+      // the one-hop forms stay ordinary graph-aware patterns — no
+      // encoding needed, the quad scan emits ?g directly
+      case PathAlt(s, preds, o) =>
+        patternDf(qd.filter(col("p").isin(preds: _*)),
+          TriplePattern(s, Var("__altp"), o), Some(gn)).drop("__altp")
+      case NegPath(s, preds, o) =>
+        patternDf(qd.filter(!col("p").isin(preds: _*)),
+          TriplePattern(s, Var("__negp"), o), Some(gn)).drop("__negp")
+      case PathSeq(s, steps, o) if steps.exists(_.alts.size > 1) =>
+        // same union-of-branches expansion as the default-graph case,
+        // each branch re-entering the graph-aware compile
+        val combos = steps.foldLeft(Seq(Seq.empty[(String, Boolean)])) {
+          (acc, st) => acc.flatMap(pre => st.alts.map(pre :+ _))
+        }
+        padUnion(combos.map(c => compileGraphPath(qd, gn,
+          PathSeq(s, c.map(a => PathStep(a._1, a._2)), o))))
+      case PathSeq(s, steps, o) =>
+        // the BGP-chain desugar with the graph column riding every
+        // hop — all hops of one solution align on one named graph
+        val terms: Seq[Term] =
+          s +: (1 until steps.size).map(i => Var(s"__path$i")) :+ o
+        val patterns = steps.zipWithIndex.map { case (st, i) =>
+          if (st.inverse) TriplePattern(terms(i + 1), Iri(st.pred), terms(i))
+          else TriplePattern(terms(i), Iri(st.pred), terms(i + 1))
+        }
+        val df = compileGraphBgp(qd, Var(gn), patterns)
+        df.drop(df.columns.filter(_.startsWith("__path")): _*)
+      case PathPlus(s, preds, o) =>
+        projectGraphPathEndpoints(
+          plusPairsOverG(graphs, slice(preds), s, o), gn, s, o)
+      case PathStar(s, preds, o) =>
+        projectGraphPathEndpoints(
+          plusPairsOverG(graphs, slice(preds), s, o)
+            .unionByName(zeroPairsG(qd, s, o)).distinct(), gn, s, o)
+      case PathZeroOne(s, preds, o) =>
+        projectGraphPathEndpoints(
+          slice(preds).unionByName(zeroPairsG(qd, s, o)).distinct(),
+          gn, s, o)
+      case PathRange(s, preds, mn, mx, o) if mx < 0 =>
+        rangeMinPairsG(qd, graphs, slice(preds), mn, gn, s, o)
+      case PathRange(s, preds, mn, mx, o) =>
+        rangePairsG(qd, slice(preds), mn, mx, gn, s, o)
+      case PathSeqRange(s, steps, mn, mx, o) if mx < 0 =>
+        rangeMinPairsG(qd, graphs, seqEdges(enc, steps), mn, gn, s, o)
+      case PathSeqRange(s, steps, mn, mx, o) =>
+        rangePairsG(qd, seqEdges(enc, steps), mn, mx, gn, s, o)
+      case PathSeqMod(s, steps, mod, o) =>
+        val edges = seqEdges(enc, steps)
+        mod match {
+          case '+' => projectGraphPathEndpoints(
+            plusPairsOverG(graphs, edges, s, o), gn, s, o)
+          case '*' => projectGraphPathEndpoints(
+            plusPairsOverG(graphs, edges, s, o)
+              .unionByName(zeroPairsG(qd, s, o)).distinct(), gn, s, o)
+          case _ => projectGraphPathEndpoints(
+            edges.unionByName(zeroPairsG(qd, s, o)).distinct(), gn, s, o)
+        }
+      case other => throw new IllegalArgumentException(
+        s"GraphPath: not a path pattern: $other")
+    }
+  }
+
+  /** [[rangePairs]] over graph-encoded edges. */
+  private def rangePairsG(qd: DataFrame, edges: DataFrame, mn: Int, mx: Int,
+                          gn: String, s: Term, o: Term): DataFrame = {
+    val hops = ((mn max 1) to mx).map(kHopCompose(edges, _)) ++
+      (if (mn == 0) Seq(zeroPairsG(qd, s, o)) else Nil)
+    projectGraphPathEndpoints(
+      hops.reduceLeft(_.unionByName(_)).distinct(), gn, s, o)
+  }
+
+  /** [[rangeMinPairs]] over graph-encoded edges — same prefix ∘
+    * closure composition; bound-endpoint filters compare the DECODED
+    * node half, closure seeding goes per graph.
+    */
+  private def rangeMinPairsG(qd: DataFrame, graphs: DataFrame,
+                             edges: DataFrame, mn: Int, gn: String,
+                             s: Term, o: Term): DataFrame = {
+    if (mn <= 0)
+      projectGraphPathEndpoints(plusPairsOverG(graphs, edges, s, o)
+        .unionByName(zeroPairsG(qd, s, o)).distinct(), gn, s, o)
+    else if (mn == 1)
+      projectGraphPathEndpoints(
+        plusPairsOverG(graphs, edges, s, o), gn, s, o)
+    else {
+      val prefix0 = kHopCompose(edges, mn - 1)
+      val prefix = (s match {
+        case Iri(sv) => prefix0.filter(nodeOf(col("sub")) === sv)
+        case l: Lit => prefix0.filter(nodeOf(col("sub")) === l.lexical)
+        case _ => prefix0
+      }).distinct()
+      val closure = (o match {
+        case Iri(_) => plusPairsOverG(graphs, edges, Var("__prm_l"), o)
+        case _ => graft.inference.Closure.transitive(edges)
+      }).select(col("sub").as("mid"), col("sup"))
+      val pairs = prefix.select(col("sub"), col("sup").as("mid"))
+        .join(closure, "mid")
+        .select(col("sub"), col("sup")).distinct()
+      projectGraphPathEndpoints(pairs, gn, s, o)
+    }
   }
 
   /** ASK query form: one row, one boolean column. The underlying

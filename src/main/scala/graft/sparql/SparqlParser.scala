@@ -1068,9 +1068,10 @@ object SparqlParser extends RegexParsers {
     case PathAlt(s, preds, o) =>
       PathAlt(rewriteTerm(s, f), preds.map(f), rewriteTerm(o, f))
     case SubSelect(q) => SubSelect(q.copy(where = rewritePattern(q.where, f)))
-    // compiler-internal splice; never present in a parsed tree and
-    // carries no IRIs to rewrite
+    // compiler-internal nodes; never present in a parsed tree —
+    // PreBound carries no IRIs, GraphPath recurses for completeness
     case pb: PreBound => pb
+    case GraphPath(gn, path) => GraphPath(gn, rewritePattern(path, f))
   }
 
   private def finish[T](res: ParseResult[T]): T = res match {

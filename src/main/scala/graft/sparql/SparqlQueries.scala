@@ -1128,6 +1128,27 @@ object SparqlQueries {
             |  ?s :name ?n OPTIONAL { ?s :mktsegment ?m FILTER(?m != "BUILDING") }
             |} }""".stripMargin))
     },
+    // property path under a VARIABLE graph (r16): the closure runs
+    // ONE pass over graph-encoded node ids — per-graph reachability
+    // with no per-named-graph plan loop. The fixture splits the
+    // supp→nat and nat→reg hops into separate graphs (so a closure
+    // that leaked across graphs would wrongly emit 2-hop pairs there)
+    // plus one graph holding both (where the 2-hop pairs are real).
+    "sparql_graph_var_path" -> { (s, dir) =>
+      val t = TripleStore.dimensionTriples(s, dir)
+      val sn = t.filter(col("s").startsWith("supp:") &&
+        col("p") === ":hasNation")
+      val nr = t.filter(col("p") === ":inRegion")
+      def tag(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.withColumn("g", org.apache.spark.sql.functions.lit(name))
+      Compiler.runQuads(
+        tag(sn, "g:sn").unionAll(tag(nr, "g:nr"))
+          .unionAll(tag(sn, "g:both")).unionAll(tag(nr, "g:both"))
+          .select(col("g"), col("s"), col("p"), col("o"),
+            col("o_num"), col("o_is_iri"), col("lang")),
+        SparqlParser.parse(
+          "SELECT ?g ?s ?r WHERE { GRAPH ?g { ?s (:hasNation|:inRegion)+ ?r } }"))
+    },
     // QuadData (grammar [48]/[49], r15): GRAPH-scoped blocks inside
     // INSERT DATA / DELETE DATA — insert into an existing and a NEW
     // graph, then delete one ground quad from a third; only the
@@ -1467,6 +1488,18 @@ object SparqlQueries {
         |UNION ALL SELECT 'g:region', 'reg:'||r_regionkey, r_name
         |  FROM region WHERE r_regionkey <> 0
         |UNION ALL SELECT 'g:supp', 'supp:'||s_suppkey, s_name FROM supplier""".stripMargin,
+    "sparql_graph_var_path" ->
+      """SELECT 'g:sn' AS g, 'supp:'||s_suppkey AS s, 'nat:'||s_nationkey AS r
+        |FROM supplier
+        |UNION ALL
+        |SELECT 'g:nr', 'nat:'||n_nationkey, 'reg:'||n_regionkey FROM nation
+        |UNION ALL
+        |SELECT 'g:both', 'supp:'||s_suppkey, 'nat:'||s_nationkey FROM supplier
+        |UNION ALL
+        |SELECT 'g:both', 'nat:'||n_nationkey, 'reg:'||n_regionkey FROM nation
+        |UNION ALL
+        |SELECT 'g:both', 'supp:'||s_suppkey, 'reg:'||n_regionkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "sparql_graph_var_group" ->
       """SELECT 'g:cust' AS g, 'cust:'||c_custkey AS s, c_name AS n,
         |  coalesce(CASE WHEN c_mktsegment <> 'BUILDING' THEN c_mktsegment END,

@@ -1009,6 +1009,41 @@ class CompilerSpec extends AnyFunSuite {
       Set(("g:a", "x:1", ":label2", "ann")))
   }
 
+  test("stats phase 2: closure seed direction flips with the planted stats") {
+    import graft.rdf.TripleStats
+    import graft.rdf.TripleStats.PredStat
+    // a chain a→b→c→d plus a fan-in hub so both directions have work
+    val chain = Seq(
+      ("n:a", ":next", "n:b", Option.empty[Double], true, Option.empty[String]),
+      ("n:b", ":next", "n:c", None, true, None),
+      ("n:c", ":next", "n:d", None, true, None),
+      ("n:x", ":next", "n:d", None, true, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // many-to-one (child→parent): avg in-degree (n/objects) EXCEEDS
+    // avg out-degree (n/subjects) — forward from the subject is the
+    // narrow frontier, so backward must NOT be chosen
+    val m2o = TripleStats.registerPrecomputed(chain,
+      Map(":next" -> PredStat(1000, 1000, 10)))
+    assert(!Compiler.backwardSeedCheaper(m2o, Seq(":next")),
+      "many-to-one edges must seed FORWARD")
+    // one-to-many (parent→child): the inverse — backward is narrower
+    val o2m = TripleStats.registerPrecomputed(
+      chain.select("*"), // distinct frame identity for the registry
+      Map(":next" -> PredStat(1000, 10, 1000)))
+    assert(Compiler.backwardSeedCheaper(o2m, Seq(":next")),
+      "one-to-many edges must seed BACKWARD")
+    // unregistered → no stats → the historical forward default
+    assert(!Compiler.backwardSeedCheaper(chain.select("*"), Seq(":next")))
+    // correctness is direction-independent: the both-bound closure
+    // answers identically under either planted profile
+    def ask(t: DataFrame, q: String) =
+      Compiler.run(t, SparqlParser.parse(q)).count()
+    val q = "SELECT ?x WHERE { BIND(1 AS ?x) FILTER EXISTS { <n:a> :next+ <n:d> } }"
+    assert(ask(m2o, q) == 1 && ask(o2m, q) == 1)
+    val qNeg = "SELECT ?x WHERE { BIND(1 AS ?x) FILTER EXISTS { <n:d> :next+ <n:a> } }"
+    assert(ask(m2o, qNeg) == 0 && ask(o2m, qNeg) == 0)
+  }
+
   test("Results.toTsv escapes tab/newline/backslash, nulls go empty") {
     // backslash doubles FIRST, so a literal "\t" in the data becomes
     // \\t, distinct from a real tab's \t — the round-trippable order

@@ -1973,6 +1973,80 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("gr" -> "g:b", "x" -> "e:2", "y" -> "e:4")))
   }
 
+  // ---- r16: one-pass GRAPH ?g over paths / sub-SELECT / EXISTS ----
+
+  test("graph:var-path-bound-endpoints — seeded closures stay per-graph") {
+    // bound subject: the BFS seeds <e:1> in EVERY graph; only g:a has
+    // an outgoing edge
+    assert(runQ(
+      "SELECT ?gr ?y WHERE { GRAPH ?gr { <e:1> :next+ ?y } }") ==
+      Set(b("gr" -> "g:a", "y" -> "e:2")))
+    // bound object: backward-seeded — e:4 is reached only within g:b
+    assert(runQ(
+      "SELECT ?gr ?x WHERE { GRAPH ?gr { ?x :next+ <e:4> } }") ==
+      Set(b("gr" -> "g:b", "x" -> "e:2")))
+  }
+
+  test("graph:var-path-star — zero-length pairs bind every named graph") {
+    // §9.3 per active graph: <e:1> relates to itself in BOTH graphs;
+    // the one-hop arm only matches in g:a
+    assert(runQ(
+      "SELECT ?gr ?y WHERE { GRAPH ?gr { <e:1> :next* ?y } }") ==
+      Set(b("gr" -> "g:a", "y" -> "e:1"),
+        b("gr" -> "g:b", "y" -> "e:1"),
+        b("gr" -> "g:a", "y" -> "e:2")))
+  }
+
+  test("graph:var-path-optional — path composes with OPTIONAL per graph") {
+    // e:2's score lives only in g:b: the g:a path solution must NOT
+    // pick it up (per-graph OPTIONAL), the g:b solution has none for
+    // e:4 either
+    assert(runQ(
+      """SELECT ?gr ?x ?y ?sc WHERE { GRAPH ?gr {
+        |  ?x :next+ ?y OPTIONAL { ?y :score ?sc } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "x" -> "e:1", "y" -> "e:2"),
+        b("gr" -> "g:b", "x" -> "e:2", "y" -> "e:4")))
+  }
+
+  test("graph:var-exists-path — a path inside an EXISTS body under GRAPH ?g") {
+    // only e:1 has an outgoing :next+ within its naming graph
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  ?s :name ?n FILTER EXISTS { ?s :next+ ?y } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1")))
+  }
+
+  test("graph:var-subselect-agg — grouped aggregate evaluates per graph") {
+    assert(runQ(
+      """SELECT ?gr ?s ?cnt WHERE { GRAPH ?gr {
+        |  { SELECT ?s (COUNT(?o2) AS ?cnt) WHERE { ?s :name ?o2 }
+        |    GROUP BY ?s } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1", "cnt" -> "1"),
+        b("gr" -> "g:a", "s" -> "e:2", "cnt" -> "1"),
+        b("gr" -> "g:b", "s" -> "e:3", "cnt" -> "1")))
+  }
+
+  test("graph:var-subselect-distinct — DISTINCT subquery stays per-graph") {
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT DISTINCT ?s WHERE { ?s :next ?y } } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1"),
+        b("gr" -> "g:b", "s" -> "e:2")))
+  }
+
+  test("graph:var-bind-if-exists — BIND's EXISTS body reads the ACTIVE graph") {
+    // e:2's only score lives in g:b where it has no name: under g:a
+    // the BIND must see "none" — before r16 the threaded BIND's
+    // EXISTS body compiled against the DEFAULT graph and leaked "has"
+    assert(runQ(
+      """SELECT ?gr ?s ?v WHERE { GRAPH ?gr {
+        |  ?s :name ?n
+        |  BIND(IF(EXISTS { ?s :score ?sc2 }, "has", "none") AS ?v) } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1", "v" -> "has"),
+        b("gr" -> "g:a", "s" -> "e:2", "v" -> "none"),
+        b("gr" -> "g:b", "s" -> "e:3", "v" -> "has")))
+  }
+
   test("negation:exists-unbound-shared — unbound outer var is FREE in the body") {
     // §8.1.1: substituting carol's UNBOUND ?m leaves it free, so her
     // body matches any (y, mbox) with y != carol; alice and bob bind
@@ -2727,6 +2801,47 @@ class W3cConformanceSpec extends AnyFunSuite {
     val byNode = city.map(t => t._1 -> t._3).toMap
     assert(addr.map(t => (t._1, byNode(t._3))).toSet ==
       Set(("p:alice", "Alice"), ("p:bob", "Bob")))
+  }
+
+  test("bind:if-exists-unbound-shared — unbound OPTIONAL var is FREE in the body") {
+    // §8.1.1: EXISTS substitutes only BOUND outer vars into the body;
+    // carol's ?m is unbound, so { ?y :mbox ?m } evaluates with ?m
+    // free — it matches the mbox triples unconstrained (true), rather
+    // than keying the flag join on the unbound sentinel (false).
+    // Regression for the BIND(IF(EXISTS)) path missing the lRisky set
+    // the FILTER path already passes.
+    assert(run(people,
+      """SELECT ?x ?v WHERE { ?x rdf:type :Person .
+        |OPTIONAL { ?x :mbox ?m }
+        |BIND(IF(EXISTS { ?y :mbox ?m }, "linked", "free") AS ?v) }""".stripMargin) ==
+      Set(b("x" -> "p:alice", "v" -> "linked"),
+        b("x" -> "p:bob", "v" -> "linked"),
+        b("x" -> "p:carol", "v" -> "linked")))
+  }
+
+  test("functions:datatype-concat-plain — mixed-tag CONCAT types as xsd:string") {
+    // §17.4.3.12: CONCAT over a tagged and a plain argument yields a
+    // simple literal; DATATYPE must see the "" plain-literal marker
+    // as xsd:string, exactly like LANG() and the serializers do
+    assert(run(people,
+      """SELECT ?g ?dt WHERE { p:alice :greeting ?g . p:alice :name ?n .
+        |BIND(CONCAT(?g, ?n) AS ?c)
+        |BIND(DATATYPE(?c) AS ?dt) }""".stripMargin) ==
+      Set(b("g" -> "Hello", "dt" -> "http://www.w3.org/2001/XMLSchema#string"),
+        b("g" -> "Bonjour", "dt" -> "http://www.w3.org/2001/XMLSchema#string")))
+  }
+
+  test("functions:datatype-tagged-bind — tag-preserving BIND keeps rdf:langString") {
+    // the minted ?c carries UCASE's propagated tag; DATATYPE reads the
+    // lang companion on a term-kind-less minted literal
+    assert(run(people,
+      """SELECT ?g ?dt WHERE { p:alice :greeting ?g .
+        |BIND(UCASE(?g) AS ?c)
+        |BIND(DATATYPE(?c) AS ?dt) }""".stripMargin) ==
+      Set(b("g" -> "Hello",
+          "dt" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
+        b("g" -> "Bonjour",
+          "dt" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")))
   }
 
   test("construct:template-bnode-typed — minted nodes serialize as bnodes") {
