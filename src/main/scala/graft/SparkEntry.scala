@@ -109,7 +109,13 @@ object SparkEntry {
     // entropy / temperature mix / mutual knn / the LeftJoin-condition
     // key reuse benched fold / broadcast-rate / knn / compat shapes
     // and stay verify-only
-    "text_bigram_surprisal")
+    "text_bigram_surprisal",
+    // r16: the two NEW shapes — the graph-encoded per-graph closure
+    // (one-pass GRAPH ?g over a property path) and the composed
+    // IVF-probe → PQ-ADC → exact-rerank index; the recall eval and
+    // the conformance-driven keys reuse benched shapes and stay
+    // verify-only
+    "sparql_graph_var_path", "ann_ivf_pq_topk")
     // r12-r14 keys stay verify-only: the gated CN/Jaccard wedge joins
     // share graph_resource_alloc's benched priced-gate shape, and the
     // datetime/TZ builtins, DESCRIBE semi-join arms, multi-valued LPG

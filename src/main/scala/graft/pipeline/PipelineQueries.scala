@@ -90,6 +90,15 @@ object PipelineQueries {
       Similarity.kmeansUpdate(Tables.embeddings(s, dir))),
     "ann_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
+    // the production composition: IVF coarse probe prunes the corpus,
+    // PQ-ADC integer scores the probed lists, exact cosine re-ranks
+    // the bounded shortlist
+    "ann_ivf_pq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
+    // recall of the composed index vs float brute force at fixed
+    // (nprobe, subspaces) — the acceptance number for deploying it
+    "ann_ivfpq_recall_eval" -> ((s, dir) =>
+      Similarity.ivfPqRecallEval(Tables.embeddings(s, dir))),
     "ann_int8_topk" -> ((s, dir) =>
       Similarity.int8TopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
     "dedup_embedding_clusters" -> ((s, dir) => {
@@ -789,13 +798,17 @@ object PipelineQueries {
     * DuckDB evaluates the identical float operation order as Spark's
     * sequential array folds.
     */
-  private def pqSql(queryId: Long, k: Int, subspaces: Int, sub: Int,
-                    samplePct: Int, sampleCap: Int): String = {
+  /** The shared PQ CTE block (sampling → codebook → subspace slices →
+    * per-vector codes → query ADC table) reused verbatim by the plain
+    * PQ oracle and the IVF+PQ composition.
+    */
+  private def pqCtes(queryId: Long, subspaces: Int, sub: Int,
+                     samplePct: Int, sampleCap: Int): String = {
     def terms(f: (String, String) => String): String =
       (1 to sub).map(i => f(s"sv[$i]", s"cv[$i]")).mkString(" + ")
     val d2 = terms((a, b) => s"($a - $b) * ($a - $b)")
     val pd = terms((a, b) => s"$a * $b")
-    s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    s"""emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |            FROM embeddings),
        |hb AS (SELECT vec_id, label, v,
        |         ('0x' || substr(md5(vec_id::VARCHAR), 1, 4))::BIGINT % 100
@@ -822,13 +835,46 @@ object PipelineQueries {
        |   WHERE r = 1),
        |adc AS (SELECT vs.s AS s, c,
        |          CAST(floor(($pd) * 1000000) AS BIGINT) AS pdot
-       |        FROM vs JOIN cbv ON cbv.s = vs.s WHERE vec_id = $queryId)
+       |        FROM vs JOIN cbv ON cbv.s = vs.s WHERE vec_id = $queryId)"""
+      .stripMargin
+  }
+
+  private def pqSql(queryId: Long, k: Int, subspaces: Int, sub: Int,
+                    samplePct: Int, sampleCap: Int): String =
+    s"""WITH ${pqCtes(queryId, subspaces, sub, samplePct, sampleCap)}
        |SELECT vec_id FROM (
        |  SELECT codes.vec_id AS vec_id, sum(pdot) AS score
        |  FROM codes JOIN adc ON adc.s = codes.s AND adc.c = codes.code
        |  WHERE codes.vec_id != $queryId GROUP BY 1)
        |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
-  }
+
+  /** IVF + PQ composed oracle: the IVF centroid probe prunes to the
+    * nprobe nearest lists, PQ codes score only those candidates, the
+    * integer-score shortlist re-ranks by exact cosine.
+    */
+  private def ivfPqSql(queryId: Long, k: Int, nprobe: Int, rerank: Int,
+                       subspaces: Int, sub: Int, samplePct: Int,
+                       sampleCap: Int): String =
+    s"""WITH ${pqCtes(queryId, subspaces, sub, samplePct, sampleCap)},
+       |cent AS (SELECT label, d, avg(embedding[d + 1]) AS m
+       |         FROM embeddings, range(0, ${subspaces * sub}) td(d)
+       |         GROUP BY 1, 2),
+       |ccv AS (SELECT label, list(m ORDER BY d) AS ccv FROM cent GROUP BY 1),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |probed AS (SELECT label FROM ccv, q
+       |           ORDER BY list_cosine_similarity(ccv, qv) DESC, label
+       |           LIMIT $nprobe),
+       |cand AS (SELECT e.vec_id FROM embeddings e JOIN probed USING (label)
+       |         WHERE e.vec_id != $queryId),
+       |short AS (SELECT vec_id FROM (
+       |    SELECT codes.vec_id AS vec_id, sum(pdot) AS score
+       |    FROM codes JOIN cand USING (vec_id)
+       |    JOIN adc ON adc.s = codes.s AND adc.c = codes.code
+       |    GROUP BY 1)
+       |  ORDER BY score DESC, vec_id LIMIT $rerank)
+       |SELECT e.vec_id FROM embeddings e JOIN short USING (vec_id), q
+       |ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+       |LIMIT $k""".stripMargin
 
   /** Pairwise HLL overlap oracle: the by-source register construction
     * (verbatim from the `sketch_hll_by_source` oracle), then per-pair
@@ -1050,6 +1096,24 @@ object PipelineQueries {
     // fixed-point ADC partials make the final score an integer sum
     "ann_pq_topk" -> pqSql(queryId = 0, k = 10, subspaces = 8, sub = 8,
       samplePct = 50, sampleCap = 128),
+    "ann_ivf_pq_topk" -> ivfPqSql(queryId = 0, k = 10, nprobe = 2,
+      rerank = 32, subspaces = 8, sub = 8, samplePct = 50, sampleCap = 128),
+    // recall eval: the composed-index answer joined to the float
+    // brute-force truth — replayed from the two shipped oracles
+    // (nested WITH: DuckDB scopes the inner CTEs to the ap branch)
+    "ann_ivfpq_recall_eval" ->
+      s"""WITH ap AS (${ivfPqSql(queryId = 0, k = 10, nprobe = 2,
+            rerank = 32, subspaces = 8, sub = 8, samplePct = 50,
+            sampleCap = 128)}),
+         |bf AS (SELECT e.vec_id
+         |  FROM embeddings e,
+         |    (SELECT embedding AS qv0 FROM embeddings WHERE vec_id = 0) t
+         |  WHERE e.vec_id != 0
+         |  ORDER BY list_cosine_similarity(e.embedding, t.qv0) DESC, e.vec_id
+         |  LIMIT 10)
+         |SELECT 2 AS nprobe, 10 AS k, count(*) AS n_hit,
+         |  CAST(count(*) AS DOUBLE) / 10 AS recall
+         |FROM ap JOIN bf USING (vec_id)""".stripMargin,
     // ivf: centroids are per-label per-dim averages; probe the 2
     // nearest-centroid labels, exact top-k within
     "ann_ivf_topk" ->

@@ -728,10 +728,25 @@ object Similarity {
              subspaces: Int = 8, dims: Int = 64,
              scale: Double = 1e6, samplePct: Int = 50,
              sampleCap: Int = 128): DataFrame = {
-    val sub = dims / subspaces
     val e = vecs(embeddings)
+    pqAdcScores(e, e.filter(col("vec_id") =!= queryId), queryId,
+      subspaces, dims / subspaces, scale, samplePct, sampleCap)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"))
+  }
+
+  /** The PQ-ADC scoring core shared by [[pqTopK]] (whole corpus) and
+    * [[ivfPqTopK]] (IVF-probed candidate slice): codebook trained on
+    * the FULL corpus sample, candidates encoded to one small int per
+    * subspace, query scored against the broadcast ADC table, integer
+    * score per candidate — exact under any aggregation order.
+    */
+  private def pqAdcScores(e: DataFrame, cand: DataFrame, queryId: Long,
+                          subspaces: Int, sub: Int, scale: Double,
+                          samplePct: Int, sampleCap: Int): DataFrame = {
     val cbv = pqCodebook(e, sub, samplePct, sampleCap)
-    val vs = e.select(col("vec_id"),
+    def slices(src: DataFrame) = src.select(col("vec_id"),
         explode(array((0 until subspaces).map(s =>
           struct(lit(s).as("s"),
             slice(col("v"), s * sub + 1, sub).as("sv"))): _*)).as("z"))
@@ -741,21 +756,73 @@ object Similarity {
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
-    val codes = vs.join(broadcast(cbv), Seq("s"))
+    val codes = slices(cand).join(broadcast(cbv), Seq("s"))
       .withColumn("d2", sqDist(col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("s"))
       .agg(max(struct((-col("d2")).as("nd"), (-col("c")).as("nc"))).as("best"))
       .select(col("vec_id"), col("s"), (-col("best.nc")).cast("int").as("code"))
-    val adc = broadcast(vs.filter(col("vec_id") === queryId)
+    val adc = broadcast(slices(e.filter(col("vec_id") === queryId))
       .join(cbv, Seq("s"))
       .select(col("s").as("qs"), col("c"),
         floor(dot(col("sv"), col("cv")) * scale).cast("long").as("pdot")))
     codes.filter(col("vec_id") =!= queryId)
       .join(adc, col("s") === col("qs") && col("code") === col("c"))
       .groupBy(col("vec_id")).agg(sum(col("pdot")).as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** IVF + PQ composed — the production ANN shape a 100 TB vector
+    * deployment runs: the coarse quantizer prunes the corpus to the
+    * `nprobe` nearest centroid lists (a broadcast semi-join, as in
+    * [[ivfTopK]]); PQ-ADC scores ONLY the probed candidates (integer
+    * scores, memory-bandwidth bound on 1-byte-per-subspace codes);
+    * the top-`rerank` shortlist re-ranks by EXACT cosine over the
+    * original floats. Every stage is bounded: probe list is
+    * nprobe-sized, shortlist rerank-sized and broadcast back for the
+    * float re-read — no all-pairs, no CartesianProduct against the
+    * corpus (PlanSpec pins the shape).
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryId: Long, k: Int,
+                nprobe: Int = 2, rerank: Int = 32,
+                subspaces: Int = 8, dims: Int = 64,
+                scale: Double = 1e6, samplePct: Int = 50,
+                sampleCap: Int = 128): DataFrame = {
+    val e = vecs(embeddings)
+    val q = queryVec(embeddings, queryId)
+    val probed = broadcast(centroids(e).crossJoin(q)
+      .withColumn("cdist", cosine(col("cv"), col("qv")))
+      .orderBy(col("cdist").desc, col("label"))
+      .limit(nprobe)
+      .select(col("label")))
+    val cand = e.filter(col("vec_id") =!= queryId)
+      .join(probed, Seq("label"), "left_semi")
+    val shortlist = broadcast(
+      pqAdcScores(e, cand, queryId, subspaces, dims / subspaces,
+        scale, samplePct, sampleCap)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(rerank)
+        .select(col("vec_id")))
+    e.join(shortlist, Seq("vec_id"), "left_semi")
+      .crossJoin(q)
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"))
+  }
+
+  /** Recall@k of [[ivfPqTopK]] against the float brute-force truth at
+    * fixed (nprobe, subspaces) — the acceptance number for the
+    * composed index: how much answer quality the two approximations
+    * (coarse pruning + quantized scoring) cost together.
+    */
+  def ivfPqRecallEval(embeddings: DataFrame, queryId: Long = 0,
+                      k: Int = 10, nprobe: Int = 2,
+                      rerank: Int = 32): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryId, k)
+    ivfPqTopK(embeddings, queryId, k, nprobe, rerank)
+      .join(truth, "vec_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(nprobe).as("nprobe"), lit(k).as("k"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(k)).as("recall"))
   }
 
   /** Per-label mean vectors — the "trained" coarse quantizer shared by

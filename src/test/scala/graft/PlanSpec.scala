@@ -113,6 +113,51 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), "probed labels must prune via semi-join")
   }
 
+  test("stats phase 2: OPTIONAL small side broadcasts only under small planted stats") {
+    // with auto-broadcast disabled, ONLY the compiler's stats-driven
+    // hint can produce a BroadcastHashJoin — differential: the same
+    // query broadcasts its OPTIONAL side under a small-side profile
+    // and shuffles under a huge-side profile
+    import spark.implicits._
+    import graft.rdf.TripleStats
+    import graft.rdf.TripleStats.PredStat
+    val base = Seq(
+      ("p:1", ":hot", "x:1", Option.empty[Double], true, Option.empty[String]),
+      ("p:1", ":rare", "y:1", None, true, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    def planWith(rareN: Long): String = {
+      val t = TripleStats.registerPrecomputed(base.select("*"),
+        Map(":hot" -> PredStat(10000000L, 5000000L, 5000000L),
+          ":rare" -> PredStat(rareN, rareN, rareN)))
+      Graft.sparql(t,
+        "SELECT ?s ?a ?b WHERE { ?s :hot ?a OPTIONAL { ?s :rare ?b } }")
+        .queryExecution.executedPlan.toString
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = planWith(100L)
+      val huge = planWith(50000000L)
+      assert(small.contains("BroadcastHashJoin"),
+        "a 100-row-estimate OPTIONAL side must broadcast-hint")
+      assert(!huge.contains("BroadcastHashJoin"),
+        "a 50M-row-estimate OPTIONAL side must not be forced broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ann_ivf_pq_topk: centroid semi-join prunes; shortlist bounded; no cartesian") {
+    val p = plan("ann_ivf_pq_topk")
+    assert(p.contains("LeftSemi"),
+      "probed labels and the rerank shortlist must prune via semi-joins")
+    assert(!p.contains("CartesianProduct"),
+      "no unbounded cartesian anywhere in the composed index")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ADC shortlist and final top-k must never globally sort")
+    // the PQ half still trains on the capped sample (shared codepath)
+    assert(p.contains("WindowGroupLimit"),
+      "codebook training sample must stay capped per label")
+  }
+
   test("rdf_describe: both lookup arms filter the cached triple relation") {
     val p = plan("rdf_describe")
     assert(p.contains("InMemoryTableScan"), "describe must read the persisted store")
@@ -1453,6 +1498,33 @@ class PlanSpec extends AnyFunSuite {
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     }
+  }
+
+  test("sparql_graph_var_path: ONE pass over the quads, invariant in graph count") {
+    // the r16 one-pass compile: a property path under GRAPH ?g runs
+    // the closure over graph-encoded node ids — the plan must NOT
+    // grow a union branch (or a scan) per named graph the way the
+    // old per-named-graph fallback did. Differential pin: identical
+    // plan shape for 2 and 6 named graphs.
+    import spark.implicits._
+    def quadsOf(n: Int) =
+      (0 until n).flatMap { g =>
+        Seq((s"g:$g", s"n:$g:1", ":e", s"n:$g:2",
+          Option.empty[Double], true, Option.empty[String]),
+          (s"g:$g", s"n:$g:2", ":e", s"n:$g:3", None, true, None))
+      }.toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    def planOf(n: Int, q: String) =
+      graft.sparql.Compiler.runQuads(quadsOf(n),
+        graft.sparql.SparqlParser.parse(q))
+        .queryExecution.executedPlan.toString
+    def shape(p: String) =
+      ("Union".r.findAllIn(p).size, "Scan".r.findAllIn(p).size)
+    val varVar = "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x :e+ ?y } }"
+    assert(shape(planOf(6, varVar)) == shape(planOf(2, varVar)),
+      "var-var closure plan must not scale with named-graph count")
+    val seeded = "SELECT ?g ?y WHERE { GRAPH ?g { <n:0:1> :e+ ?y } }"
+    assert(shape(planOf(6, seeded)) == shape(planOf(2, seeded)),
+      "seeded-BFS plan must not scale with named-graph count")
   }
 
   test("text_contamination_bloom: join-free screen, distributed build") {
