@@ -116,11 +116,34 @@ object SparqlParser extends RegexParsers {
         })
     }
 
-  /** An object position: a plain term, or a nested blank node property
-    * list contributing its own triples.
+  /** RDF collection `( o1 o2 … )` (grammar rules [102]/[103]):
+    * desugars to the rdf:first / rdf:rest cons chain over fresh
+    * non-distinguished `__bn` variables — in a WHERE pattern those
+    * match existing list structure; in a CONSTRUCT / update template
+    * [[Compiler.mintTemplateBnodes]] mints them as fresh blank nodes
+    * per solution. `()` alone is the term rdf:nil.
+    */
+  private def collection: Parser[(Term, Seq[TriplePattern])] =
+    "(" ~ ")" ^^^ ((Iri("rdf:nil"): Term, Seq.empty[TriplePattern])) |
+    "(" ~> rep1(objTerm) <~ ")" ^^ { objs =>
+      val cells: Seq[Term] =
+        objs.map(_ => Var("__bn" + bnCounter.getAndIncrement()))
+      val triples = cells.zip(objs).zipWithIndex.flatMap {
+        case ((cell, (o, extra)), i) =>
+          Seq(TriplePattern(cell, Iri("rdf:first"), o),
+            TriplePattern(cell, Iri("rdf:rest"),
+              if (i == cells.size - 1) Iri("rdf:nil") else cells(i + 1))) ++
+            extra
+      }
+      (cells.head, triples)
+    }
+
+  /** An object position: a plain term, a nested blank node property
+    * list, or an RDF collection — the latter two contribute their own
+    * triples.
     */
   private def objTerm: Parser[(Term, Seq[TriplePattern])] =
-    bnodePropList | term ^^ (t => (t, Seq.empty[TriplePattern]))
+    bnodePropList | collection | term ^^ (t => (t, Seq.empty[TriplePattern]))
 
   /** `s p1 o1 , o2 ; p2 o3 .` — object lists share the (s, p) pair and
     * predicate-object chains share the subject (grammar rules
@@ -129,8 +152,10 @@ object SparqlParser extends RegexParsers {
     */
   private def triplesSameSubject: Parser[Seq[TriplePattern]] =
     // a blank node property list subject may stand alone (rule [78]
-    // allows its PropertyListPath to be empty: `{ [ :p ?o ] }`)
-    bnodePropList ~ repsep(term ~ rep1sep(objTerm, ","), ";") <~ opt(".") ^^ {
+    // allows its PropertyListPath to be empty: `{ [ :p ?o ] }`); a
+    // collection may also stand as subject (rule [98] TriplesNode)
+    (bnodePropList | collection) ~
+      repsep(term ~ rep1sep(objTerm, ","), ";") <~ opt(".") ^^ {
       case ((s, sExtra)) ~ pos => sExtra ++ flattenPo(s, pos)
     } |
     term ~ rep1sep(term ~ rep1sep(objTerm, ","), ";") <~ opt(".") ^^ {

@@ -2047,6 +2047,184 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("gr" -> "g:b", "s" -> "e:3", "v" -> "has")))
   }
 
+  // ---- r16: collections, BNODE scoping, aggregate error corners ----
+
+  private lazy val listData: DataFrame = Seq(
+    // x:1 :tags (red green) — a well-formed two-cell list
+    ("x:1", ":tags", "_:c1", Option.empty[Double], true, Option.empty[String]),
+    ("_:c1", "rdf:first", "red", None, false, None),
+    ("_:c1", "rdf:rest", "_:c2", None, true, None),
+    ("_:c2", "rdf:first", "green", None, false, None),
+    ("_:c2", "rdf:rest", "rdf:nil", None, true, None),
+    // x:2 :tags (blue) — a one-cell list
+    ("x:2", ":tags", "_:c3", None, true, None),
+    ("_:c3", "rdf:first", "blue", None, false, None),
+    ("_:c3", "rdf:rest", "rdf:nil", None, true, None))
+    .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+
+  test("syntax:collection-in-pattern — ( ?a ) matches one-element lists") {
+    // the collection desugars to fresh non-distinguished vars over
+    // rdf:first/rdf:rest, anchored at rdf:nil — only x:2's list has
+    // exactly one cell
+    assert(run(listData,
+      "SELECT ?x ?a WHERE { ?x :tags ( ?a ) }") ==
+      Set(b("x" -> "x:2", "a" -> "blue")))
+    // two-element form matches only x:1
+    assert(run(listData,
+      "SELECT ?x ?a ?b WHERE { ?x :tags ( ?a ?b ) }") ==
+      Set(b("x" -> "x:1", "a" -> "red", "b" -> "green")))
+    // () is the term rdf:nil — nothing here tags an empty list
+    assert(run(listData, "SELECT ?x WHERE { ?x :tags () }") == Set.empty)
+  }
+
+  test("construct:collection-template — ( ?n ) mints a fresh cons cell") {
+    val out = Graft.query(people,
+      "CONSTRUCT { ?x :names ( ?n ) } WHERE { ?x :name ?n . ?x :mbox ?m }")
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val names = rows.filter(_._2 == ":names")
+    val firsts = rows.filter(_._2 == "rdf:first")
+    val rests = rows.filter(_._2 == "rdf:rest")
+    assert(names.length == 2 && firsts.length == 2 && rests.length == 2)
+    // fresh cell per solution, bnode-shaped, rest closes at rdf:nil
+    assert(names.map(_._3).distinct.length == 2)
+    assert(names.forall(_._3.startsWith("_:")))
+    assert(rests.forall(_._3 == "rdf:nil"))
+    // linkage: each solution's cell carries that person's name
+    val byCell = firsts.map(t => t._1 -> t._3).toMap
+    assert(names.map(t => (t._1, byCell(t._3))).toSet ==
+      Set(("p:alice", "Alice"), ("p:bob", "Bob")))
+  }
+
+  test("bind:bnode-scoping-union — BNODE() is fresh per solution across branches") {
+    // §17.4.2.9: BNODE() returns a DISTINCT blank node for every
+    // solution — two UNION branches never share, and neither do two
+    // solutions of one branch
+    val out = Graft.sparql(people,
+      """SELECT ?x ?bn WHERE {
+        |  { ?x :mbox ?m BIND(BNODE() AS ?bn) }
+        |  UNION { ?x :age ?a BIND(BNODE() AS ?bn) } }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.length == 5, s"2 mbox + 3 age solutions, got ${out.length}")
+    assert(out.map(_._2).distinct.length == 5,
+      "every solution must mint a distinct blank node")
+    assert(out.forall(_._2.startsWith("_:")))
+  }
+
+  test("aggregates:distinct-mixed-errors — SUM(DISTINCT) over a mixed column") {
+    // ?v carries numbers (5, 5, 7) and one non-numeric string: the
+    // engine's documented error-algebra skips non-numeric values in
+    // numeric folds, and DISTINCT collapses the duplicated 5
+    val mixed = Seq(
+      ("s:1", ":v", "5", Some(5.0), false, Option.empty[String]),
+      ("s:2", ":v", "5", Some(5.0), false, None),
+      ("s:3", ":v", "7", Some(7.0), false, None),
+      ("s:4", ":v", "oops", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(run(mixed,
+      "SELECT (SUM(DISTINCT ?v) AS ?t) WHERE { ?s :v ?v }") ==
+      Set(b("t" -> "12")))
+    // COUNT(DISTINCT ?v) counts TERMS, not numeric values: the two
+    // "5"s are one term, "oops" is still a term → 3
+    assert(run(mixed,
+      "SELECT (COUNT(DISTINCT ?v) AS ?c) WHERE { ?s :v ?v }") ==
+      Set(b("c" -> "3")))
+  }
+
+  test("update:using-named-graph-where — USING NAMED bounds GRAPH in UPDATE WHERE") {
+    import spark.implicits._
+    // USING NAMED <g:a>: the WHERE's GRAPH ?g may match only g:a —
+    // e:3 (named only in g:b) must not produce an insert
+    val r1 = graft.Graft.updateQuads(varGraphQuads,
+      """WITH <g:out> INSERT { ?s :flagged "y" }
+        |USING NAMED <g:a> WHERE { GRAPH ?g { ?s :name ?n } }""".stripMargin)
+    assert(r1.filter($"g" === "g:out" && $"p" === ":flagged")
+      .select("s").as[String].collect().toSet == Set("e:1", "e:2"))
+    // a CONSTANT graph outside the USING NAMED set matches nothing
+    val r2 = graft.Graft.updateQuads(varGraphQuads,
+      """WITH <g:out> INSERT { ?s :flagged "y" }
+        |USING NAMED <g:a> WHERE { GRAPH <g:b> { ?s :name ?n } }""".stripMargin)
+    assert(r2.filter($"g" === "g:out").isEmpty)
+    // USING composes the DEFAULT graph while USING NAMED bounds GRAPH:
+    // the default-graph pattern reads g:b, the GRAPH pattern g:a
+    val r3 = graft.Graft.updateQuads(varGraphQuads,
+      """WITH <g:out> INSERT { ?s :pair ?s2 }
+        |USING <g:b> USING NAMED <g:a>
+        |WHERE { ?s :name ?n . GRAPH ?g { ?s2 :name ?n2 } }""".stripMargin)
+    assert(r3.filter($"g" === "g:out" && $"p" === ":pair")
+      .select("s", "o").as[(String, String)].collect().toSet ==
+      Set(("e:3", "e:1"), ("e:3", "e:2")))
+    // a property path under GRAPH ?g inside UPDATE WHERE (r16
+    // composition): only g:a's next+ pairs drive inserts
+    val r4 = graft.Graft.updateQuads(varGraphQuads,
+      """WITH <g:out> INSERT { ?x :reaches ?y }
+        |USING NAMED <g:a> WHERE { GRAPH ?g { ?x :next+ ?y } }""".stripMargin)
+    assert(r4.filter($"g" === "g:out" && $"p" === ":reaches")
+      .select("s", "o").as[(String, String)].collect().toSet ==
+      Set(("e:1", "e:2")))
+  }
+
+  test("syntax:collection-nested — ( ( ?a ) ?b ) recurses through objTerm") {
+    // x:1 :wrap ((red) green): outer list = [inner, "green"], inner =
+    // ["red"] — the nested collection desugars recursively
+    val nested = Seq(
+      ("x:1", ":wrap", "_:o1", Option.empty[Double], true, Option.empty[String]),
+      ("_:o1", "rdf:first", "_:i1", None, true, None),
+      ("_:o1", "rdf:rest", "_:o2", None, true, None),
+      ("_:o2", "rdf:first", "green", None, false, None),
+      ("_:o2", "rdf:rest", "rdf:nil", None, true, None),
+      ("_:i1", "rdf:first", "red", None, false, None),
+      ("_:i1", "rdf:rest", "rdf:nil", None, true, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(run(nested,
+      "SELECT ?x ?a ?b WHERE { ?x :wrap ( ( ?a ) ?b ) }") ==
+      Set(b("x" -> "x:1", "a" -> "red", "b" -> "green")))
+  }
+
+  test("bind:bnode-labeled — BNODE(str) is stable per argument") {
+    // documented subset: same argument → same bnode (observable only
+    // through joins), distinct arguments → distinct bnodes
+    val out = Graft.sparql(people,
+      """SELECT ?x ?b1 ?b2 ?b3 WHERE { ?x :mbox ?m
+        |BIND(BNODE("k") AS ?b1) BIND(BNODE("k") AS ?b2)
+        |BIND(BNODE(?x) AS ?b3) }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3)))
+    assert(out.length == 2)
+    assert(out.forall(t => t._2 == t._3), "same argument, same bnode")
+    assert(out.forall(t => t._2 != t._4), "different argument, different bnode")
+    assert(out.map(_._4).distinct.length == 2,
+      "per-?x arguments mint per-?x bnodes")
+    assert(out.forall(t => t._2.startsWith("_:") && t._4.startsWith("_:")))
+  }
+
+  test("aggregates:avg-distinct-errors — AVG(DISTINCT) skips error terms") {
+    val mixed = Seq(
+      ("s:1", ":v", "4", Some(4.0), false, Option.empty[String]),
+      ("s:2", ":v", "4", Some(4.0), false, None),
+      ("s:3", ":v", "8", Some(8.0), false, None),
+      ("s:4", ":v", "bad", None, false, None))
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    // numeric DISTINCT domain {4, 8} → avg 6; the non-numeric term is
+    // outside the numeric fold (engine error-algebra), and MIN/MAX
+    // compare over the §15.1 order where numbers precede plain
+    // literals lexically larger — pin the engine's value choice
+    assert(run(mixed,
+      "SELECT (AVG(DISTINCT ?v) AS ?a) WHERE { ?s :v ?v }") ==
+      Set(b("a" -> "6")))
+  }
+
+  test("graph:var-exists-correlated — GRAPH ?g inside EXISTS correlates with outer ?g") {
+    // the outer GRAPH binds ?gr; the EXISTS body re-enters GRAPH ?gr
+    // (same var) — the body must match within the SAME graph as the
+    // outer solution, not any graph
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr { ?s :name ?n }
+        |FILTER EXISTS { GRAPH ?gr { ?s :score ?sc } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1"),
+        b("gr" -> "g:b", "s" -> "e:3")))
+  }
+
   test("negation:exists-unbound-shared — unbound outer var is FREE in the body") {
     // §8.1.1: substituting carol's UNBOUND ?m leaves it free, so her
     // body matches any (y, mbox) with y != carol; alice and bob bind
