@@ -1781,12 +1781,12 @@ object Compiler {
         // (§8.1.1 substitution) so they key the semi/anti join too,
         // and possibly-unbound outer vars mask-split out of the keys
         case (df, Exists(p)) =>
-          compatExists(df,
-            compilePattern(triples, quads, substituteOuter(df, p)),
+          compatExists(df, hintSmallSide(triples, p,
+            compilePattern(triples, quads, substituteOuter(df, p))),
             lRisky, neg = false)
         case (df, NotExists(p)) =>
-          compatExists(df,
-            compilePattern(triples, quads, substituteOuter(df, p)),
+          compatExists(df, hintSmallSide(triples, p,
+            compilePattern(triples, quads, substituteOuter(df, p))),
             lRisky, neg = true)
         // EXISTS nested inside &&/||/!: each occurrence binds a
         // boolean marker via ONE distinct-projected flag left-join,
@@ -1815,7 +1815,7 @@ object Compiler {
       val rPat = if (kept.isEmpty) inner else Filter(kept, inner)
       leftJoinWithCondition(
         compilePattern(triples, quads, l),
-        compilePattern(triples, quads, rPat),
+        hintSmallSide(triples, rPat, compilePattern(triples, quads, rPat)),
         maybeUnboundVars(l), maybeUnboundVars(rPat), lifted)
     case LeftJoin(l, r) =>
       val ldf = compilePattern(triples, quads, l)
@@ -1843,8 +1843,12 @@ object Compiler {
     case Join(ValuesPattern(vs, rows), r) if rows.exists(_.contains(Undef)) =>
       compatValuesJoin(compilePattern(triples, quads, r), vs, rows)
     case Join(l, r) =>
-      compatInnerJoin(compilePattern(triples, quads, l),
-        compilePattern(triples, quads, r),
+      // either group side may be the stats-estimated small one — hint
+      // it so the group-level join broadcasts like the BGP-internal
+      // joins already do (when both qualify Spark picks one side)
+      compatInnerJoin(
+        hintSmallSide(triples, l, compilePattern(triples, quads, l)),
+        hintSmallSide(triples, r, compilePattern(triples, quads, r)),
         maybeUnboundVars(l), maybeUnboundVars(r))
     case Minus(l, r) =>
       // SPARQL 1.1 §8.3: remove left solutions compatible with a right

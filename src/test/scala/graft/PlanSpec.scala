@@ -142,6 +142,19 @@ class PlanSpec extends AnyFunSuite {
         "a 100-row-estimate OPTIONAL side must broadcast-hint")
       assert(!huge.contains("BroadcastHashJoin"),
         "a 50M-row-estimate OPTIONAL side must not be forced broadcast")
+      // the EXISTS semi-join side takes the same hint
+      def existsPlan(rareN: Long): String = {
+        val t = TripleStats.registerPrecomputed(base.select("*"),
+          Map(":hot" -> PredStat(10000000L, 5000000L, 5000000L),
+            ":rare" -> PredStat(rareN, rareN, rareN)))
+        Graft.sparql(t,
+          "SELECT ?s WHERE { ?s :hot ?a FILTER EXISTS { ?s :rare ?b } }")
+          .queryExecution.executedPlan.toString
+      }
+      assert(existsPlan(100L).contains("BroadcastHashJoin"),
+        "a small-estimate EXISTS body must broadcast into the semi-join")
+      assert(!existsPlan(50000000L).contains("BroadcastHashJoin"),
+        "a huge-estimate EXISTS body must not be forced broadcast")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
