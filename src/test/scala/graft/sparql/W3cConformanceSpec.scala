@@ -2225,6 +2225,54 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("gr" -> "g:b", "s" -> "e:3")))
   }
 
+  test("optional:nested-inner-only — inner OPTIONAL extends only matched rows") {
+    // nested OPTIONALs: the inner one evaluates within the outer
+    // body's frame — dave (a Robot, no age) contributes nothing to
+    // the inner; carol matches the outer (age) but not the inner
+    // (mbox); alice and bob match both
+    assert(run(people,
+      """SELECT ?x ?a ?m WHERE { ?x rdf:type :Person
+        |OPTIONAL { ?x :age ?a OPTIONAL { ?x :mbox ?m } } }""".stripMargin) ==
+      Set(b("x" -> "p:alice", "a" -> "30", "m" -> "mailto:alice@work.example"),
+        b("x" -> "p:bob", "a" -> "40", "m" -> "mailto:bob@work.example"),
+        b("x" -> "p:carol", "a" -> "25")))
+  }
+
+  test("path:literal-endpoints — a literal object ends a path") {
+    // §9.3: paths may end at literals; the pair relation compares the
+    // lexical form (documented subset)
+    assert(run(paths,
+      "SELECT ?x WHERE { ?x :q/:r ?f . ?f :p* ?f }") ==
+      Set(b("x" -> "n:a")))
+    assert(run(paths,
+      """SELECT ?x WHERE { ?x :s "lit1" }""") == Set(b("x" -> "n:a")))
+    // zero-or-one to a literal: the one arm matches the :s edge AND
+    // the zero arm relates "lit1" to ITSELF (§9.3 relates any term,
+    // literals included, to itself) — ?x = "lit1" is a real solution
+    assert(run(paths,
+      """SELECT ?x WHERE { ?x :s? "lit1" }""") ==
+      Set(b("x" -> "n:a"), b("x" -> "lit1")))
+  }
+
+  test("modifiers:distinct-order-offset — OFFSET cuts after DISTINCT + ORDER") {
+    import spark.implicits._
+    val got = Graft.sparql(people,
+      """SELECT DISTINCT ?n WHERE { ?x :name ?n . ?x rdf:type ?t }
+        |ORDER BY ?n OFFSET 1 LIMIT 2""".stripMargin)
+      .select("n").as[String].collect().toSeq
+    assert(got == Seq("Bob", "Carol"), s"got $got")
+  }
+
+  test("aggregates:groupby-expr-having — HAVING reads the grouped expression") {
+    // group people by an age band expression and filter the groups on
+    // an aggregate over it
+    assert(run(people,
+      """SELECT ?band (COUNT(?x) AS ?n) WHERE { ?x :age ?a
+        |BIND(IF(?a >= 30, "old", "young") AS ?band) }
+        |GROUP BY ?band HAVING (COUNT(?x) >= 2)""".stripMargin) ==
+      Set(b("band" -> "old", "n" -> "2")))
+  }
+
   test("negation:exists-unbound-shared — unbound outer var is FREE in the body") {
     // §8.1.1: substituting carol's UNBOUND ?m leaves it free, so her
     // body matches any (y, mbox) with y != carol; alice and bob bind
