@@ -15,7 +15,7 @@ object Checkpoints {
 
   private val released =
     java.util.Collections.synchronizedList(
-      new java.util.ArrayList[() => Unit]())
+      new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]())
 
   /** Eager localCheckpoint whose backing RDD is registered for
     * [[releaseCaches]].
@@ -35,12 +35,18 @@ object Checkpoints {
     }.getOrElse(sys.error(
       "localCheckpoint did not produce a LogicalRDD leaf — " +
         "Spark version drift in checkpoint plan shape"))
-    released.add(() => rdd.unpersist(blocking = false))
+    released.add(rdd)
     (out, rdd)
   }
 
-  def releaseCaches(): Unit = released.synchronized {
+  /** Drain the registry. `blocking = true` waits for the block
+    * manager to actually drop each block — the measurement loops use
+    * it so an async removal backlog from rep N can't pressure rep
+    * N+1's checkpoints into disk spills (the r16 adjudication of the
+    * LPA medians spread); operators keep the non-blocking default.
+    */
+  def releaseCaches(blocking: Boolean = false): Unit = released.synchronized {
     val it = released.iterator()
-    while (it.hasNext) { it.next().apply(); it.remove() }
+    while (it.hasNext) { it.next().unpersist(blocking); it.remove() }
   }
 }

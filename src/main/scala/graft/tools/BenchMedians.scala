@@ -92,10 +92,15 @@ object BenchMedians {
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // cleanup runs BETWEEN reps, outside the timed region — and
+        // BLOCKING, so rep N's async removal backlog can't pressure
+        // rep N+1's checkpoints into disk spills (the r16 LPA-spread
+        // adjudication: non-blocking drains tripled later reps)
         graft.pipeline.Dedup.releaseCaches()
         graft.graphx.Analytics.releaseCaches()
-        graft.Checkpoints.releaseCaches()
-        (System.nanoTime() - t0) / 1e9
+        graft.Checkpoints.releaseCaches(blocking = true)
+        dt
       }.sorted
       val median = runs(runs.length / 2)
       println(f"[medians] $name sweep=$sweepSec%.2f median=$median%.2f " +

@@ -101,7 +101,7 @@ object Soak {
         } finally {
           graft.pipeline.Dedup.releaseCaches()
           graft.graphx.Analytics.releaseCaches()
-          graft.Checkpoints.releaseCaches()
+          graft.Checkpoints.releaseCaches(blocking = true)
         }
       }.sorted
       if (runs.nonEmpty) {
