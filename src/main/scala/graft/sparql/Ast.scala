@@ -280,6 +280,14 @@ object Ast {
     */
   private[sparql] final case class GraphPath(graphVar: String,
                                              path: Pattern) extends Pattern
+  /** Compiler-internal: a graph-threaded sub-SELECT whose ORDER BY +
+    * LIMIT/OFFSET must apply PER NAMED GRAPH — produced by the
+    * graph-threading rewrite (never the parser) and compiled as one
+    * pass: the limit-less inner query runs threaded, then a window
+    * partitioned on the graph column applies the ordered cut.
+    */
+  private[sparql] final case class PerGraphLimited(graphVar: String,
+                                                   q: SelectQuery) extends Pattern
   /** Nested `{ SELECT … }` subquery: evaluated bottom-up, its
     * projected variables join with the enclosing group (SPARQL 1.1
     * §12). Numeric outputs (aggregate aliases) re-derive their typed

@@ -306,6 +306,7 @@ object Compiler {
     case GraphGroup(g, inner) => allVars(inner) ++
       (g match { case Var(n) => Set(n); case _ => Set.empty[String] })
     case GraphPath(gn, inner) => allVars(inner) + gn
+    case PerGraphLimited(gn, q) => subSelectVars(q) + gn
     case Filter(_, in) => allVars(in)
     case LeftJoin(l, r) => allVars(l) ++ allVars(r)
     case Union(l, r) => allVars(l) ++ allVars(r)
@@ -361,6 +362,7 @@ object Compiler {
       // projection, no aggregates) projects every where-var.
       maybeUnboundVars(q.where).intersect(subSelectVars(q)) ++
         (q.projection.toSet diff allVars(q.where))
+    case PerGraphLimited(_, q) => maybeUnboundVars(SubSelect(q))
     case _ => Set.empty
   }
 
@@ -881,6 +883,20 @@ object Compiler {
             groupBy =
               if (q.aggregates.nonEmpty) q.groupBy :+ gn else q.groupBy))
         }
+    // LIMIT/OFFSET with a deterministic ORDER BY over projected plain
+    // variables: the cut is PER GRAPH — thread the limit-less query
+    // and apply the ordered cut as a window partitioned on ?g
+    // (PerGraphLimited). Kept to the statically-safe shape: explicit
+    // projection, no aggregates, every sort key projected.
+    case SubSelect(q)
+      if (q.limit >= 0 || q.offset > 0) && q.orderBy.nonEmpty &&
+        q.projection.nonEmpty && q.aggregates.isEmpty &&
+        q.orderBy.forall(o => q.projection.contains(o._1)) &&
+        q.fromGraphs.isEmpty && q.fromNamed.isEmpty &&
+        !allVars(q.where).contains(gn) && !q.projection.contains(gn) =>
+      threadGraphVar(gn, q.where).filter(w => allVars(w).contains(gn))
+        .map(w2 => PerGraphLimited(gn,
+          q.copy(where = w2, projection = q.projection :+ gn)))
     case gb: GraphBgp => Some(gb)
     case gg: GraphGroup => Some(gg)
     case _ => None
@@ -1770,6 +1786,31 @@ object Compiler {
       val qd = quads.getOrElse(throw new IllegalArgumentException(
         "GRAPH requires a quad dataset — run the query via runQuads"))
       compileGraphPath(qd, gn, path)
+    case PerGraphLimited(gn, q) =>
+      // the threaded limit-less sub-SELECT runs once; the ordered cut
+      // applies per named graph via a window partitioned on ?g — the
+      // one pass the enumerate fallback used to buy with a plan per
+      // graph. Numeric companions re-derive first (the SubSelect
+      // convention), so typed sort keys order numerically; the
+      // term-kind tier follows the engine's standing convention for
+      // ordering post-projection subquery outputs (companion-less →
+      // dateTime-aware lexical).
+      val inner0 = run(triples, quads,
+        q.copy(orderBy = Seq.empty, limit = -1L, offset = 0L))
+      val inner = inner0.schema.fields.filterNot(f => isCompanion(f.name))
+        .foldLeft(inner0)((d, f) =>
+          if (d.columns.contains(numCol(f.name))) d
+          else d.withColumn(numCol(f.name), col(f.name).try_cast("double")))
+      val sorts = tieredSortKeys(inner,
+        q.orderBy.filter(o => inner.columns.contains(o._1)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(gn)).orderBy(sorts: _*)
+      val rn = inner.withColumn("__pgl_rn", row_number().over(w))
+      (if (q.limit >= 0)
+        rn.filter(col("__pgl_rn") > q.offset &&
+          col("__pgl_rn") <= q.offset + q.limit)
+      else rn.filter(col("__pgl_rn") > q.offset))
+        .drop("__pgl_rn")
     case Bgp(ps) => compileBgp(triples, ps)
     case PreBound(frame, _) => frame
     case Filter(exprs, input) =>
@@ -2969,27 +3010,37 @@ object Compiler {
             s"ORDER BY ?$v: a DISTINCT query may only sort on projected variables")
           false
         }
-      }.flatMap { case (v, asc) =>
-        val tier =
-          if (df.columns.contains(iriCol(v)))
-            Seq(when(unboundCol(df, v), lit(0))
-              .when(coalesce(col(iriCol(v)), lit(false)) &&
-                col(v).startsWith("_:"), lit(1))
-              .when(coalesce(col(iriCol(v)), lit(false)), lit(2))
-              .otherwise(lit(3)))
-          else Seq.empty[Column]
-        val keys = tier ++
-          (if (df.columns.contains(numCol(v)))
-            Seq(col(numCol(v)), dtSortKey(col(v)))
-          else Seq(dtSortKey(col(v))))
-        keys.map(c => if (asc) c.asc else c.desc)
       }
-      df = df.orderBy(sorts: _*)
+      df = df.orderBy(tieredSortKeys(df, sorts): _*)
     }
     if (q.offset > 0) df = df.offset(q.offset.toInt)
     if (q.limit >= 0) df = df.limit(q.limit.toInt)
     df.select(projCols.map(col): _*)
   }
+
+  /** The §15.1-aware sort keys for a list of (var, ascending) pairs:
+    * term-kind tier where the is-IRI companion is available (unbound
+    * < blank < IRI < literal), then numeric companion, then the
+    * dateTime-aware lexical key. Shared by the query-final ORDER BY
+    * and the per-graph window of [[Ast.PerGraphLimited]].
+    */
+  private[sparql] def tieredSortKeys(df: DataFrame,
+      orderBy: Seq[(String, Boolean)]): Seq[Column] =
+    orderBy.flatMap { case (v, asc) =>
+      val tier =
+        if (df.columns.contains(iriCol(v)))
+          Seq(when(unboundCol(df, v), lit(0))
+            .when(coalesce(col(iriCol(v)), lit(false)) &&
+              col(v).startsWith("_:"), lit(1))
+            .when(coalesce(col(iriCol(v)), lit(false)), lit(2))
+            .otherwise(lit(3)))
+        else Seq.empty[Column]
+      val keys = tier ++
+        (if (df.columns.contains(numCol(v)))
+          Seq(col(numCol(v)), dtSortKey(col(v)))
+        else Seq(dtSortKey(col(v))))
+      keys.map(c => if (asc) c.asc else c.desc)
+    }
 
   /** DESCRIBE execution (SPARQL 1.1 §16.4): the described set is
     * every constant target plus every binding of each listed variable

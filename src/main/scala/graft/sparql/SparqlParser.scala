@@ -1097,6 +1097,8 @@ object SparqlParser extends RegexParsers {
     // PreBound carries no IRIs, GraphPath recurses for completeness
     case pb: PreBound => pb
     case GraphPath(gn, path) => GraphPath(gn, rewritePattern(path, f))
+    case PerGraphLimited(gn, q) =>
+      PerGraphLimited(gn, q.copy(where = rewritePattern(q.where, f)))
   }
 
   private def finish[T](res: ParseResult[T]): T = res match {

@@ -2034,6 +2034,27 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("gr" -> "g:b", "s" -> "e:2")))
   }
 
+  test("graph:var-subselect-limit — ORDER BY + LIMIT cuts PER GRAPH") {
+    // one pass: the window partitions on ?gr — a global LIMIT 1 would
+    // keep one row total instead of one per graph
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT ?s WHERE { ?s :name ?n } ORDER BY ?s LIMIT 1 } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1"),
+        b("gr" -> "g:b", "s" -> "e:3")))
+    // OFFSET skips per graph too: g:a has a second subject, g:b not
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT ?s WHERE { ?s :name ?n } ORDER BY ?s OFFSET 1 } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:2")))
+    // DESC order flips which subject survives the per-graph cut
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT ?s WHERE { ?s :name ?n } ORDER BY DESC(?s) LIMIT 1 } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:2"),
+        b("gr" -> "g:b", "s" -> "e:3")))
+  }
+
   test("graph:var-bind-if-exists — BIND's EXISTS body reads the ACTIVE graph") {
     // e:2's only score lives in g:b where it has no name: under g:a
     // the BIND must see "none" — before r16 the threaded BIND's
