@@ -288,6 +288,16 @@ object Ast {
     */
   private[sparql] final case class PerGraphLimited(graphVar: String,
                                                    q: SelectQuery) extends Pattern
+  /** Compiler-internal: a graph-threaded GLOBAL aggregate — per §18.5
+    * every named graph yields one row even when its slice matches
+    * nothing, so the threaded groupBy-?g result right-joins the
+    * distinct graph names and match-free graphs fill each aggregate's
+    * empty-group value (COUNT/SUM/AVG → 0, GROUP_CONCAT → "",
+    * MIN/MAX/SAMPLE → unbound). `q` is already rewritten with ?g in
+    * its projection and grouping.
+    */
+  private[sparql] final case class PerGraphGlobalAgg(graphVar: String,
+                                                     q: SelectQuery) extends Pattern
   /** Nested `{ SELECT … }` subquery: evaluated bottom-up, its
     * projected variables join with the enclosing group (SPARQL 1.1
     * §12). Numeric outputs (aggregate aliases) re-derive their typed

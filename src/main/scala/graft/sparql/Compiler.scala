@@ -307,6 +307,7 @@ object Compiler {
       (g match { case Var(n) => Set(n); case _ => Set.empty[String] })
     case GraphPath(gn, inner) => allVars(inner) + gn
     case PerGraphLimited(gn, q) => subSelectVars(q) + gn
+    case PerGraphGlobalAgg(gn, q) => subSelectVars(q) + gn
     case Filter(_, in) => allVars(in)
     case LeftJoin(l, r) => allVars(l) ++ allVars(r)
     case Union(l, r) => allVars(l) ++ allVars(r)
@@ -363,6 +364,11 @@ object Compiler {
       maybeUnboundVars(q.where).intersect(subSelectVars(q)) ++
         (q.projection.toSet diff allVars(q.where))
     case PerGraphLimited(_, q) => maybeUnboundVars(SubSelect(q))
+    // a match-free graph's MIN/MAX/SAMPLE fill as unbound
+    case PerGraphGlobalAgg(_, q) =>
+      maybeUnboundVars(SubSelect(q)) ++ q.aggregates.collect {
+        case a if Set[AggOp](Min, Max, Sample).contains(a.op) => a.alias
+      }
     case _ => Set.empty
   }
 
@@ -897,6 +903,22 @@ object Compiler {
       threadGraphVar(gn, q.where).filter(w => allVars(w).contains(gn))
         .map(w2 => PerGraphLimited(gn,
           q.copy(where = w2, projection = q.projection :+ gn)))
+    // GLOBAL aggregate (no GROUP BY): §18.5 gives EVERY named graph a
+    // row — match-free graphs included — so the threaded groupBy-?g
+    // result must right-join the graph-name set and fill empty-group
+    // values (PerGraphGlobalAgg). HAVING stays on the fallback: it
+    // filters real groups BEFORE the fill would apply.
+    case SubSelect(q)
+      if q.aggregates.nonEmpty && q.groupBy.isEmpty &&
+        q.having.isEmpty && q.limit < 0 && q.offset == 0 &&
+        q.orderBy.isEmpty &&
+        q.fromGraphs.isEmpty && q.fromNamed.isEmpty &&
+        !allVars(q.where).contains(gn) && !q.projection.contains(gn) =>
+      threadGraphVar(gn, q.where).filter(w => allVars(w).contains(gn))
+        .map(w2 => PerGraphGlobalAgg(gn, q.copy(
+          where = w2,
+          projection = q.projection :+ gn,
+          groupBy = Seq(gn))))
     case gb: GraphBgp => Some(gb)
     case gg: GraphGroup => Some(gg)
     case _ => None
@@ -1811,6 +1833,35 @@ object Compiler {
           col("__pgl_rn") <= q.offset + q.limit)
       else rn.filter(col("__pgl_rn") > q.offset))
         .drop("__pgl_rn")
+    case PerGraphGlobalAgg(gn, q) =>
+      // the threaded aggregate (grouped on ?g) yields rows only for
+      // MATCHING graphs; §18.5 demands one row per named graph, so
+      // the distinct graph-name frame left-joins the fold and
+      // match-free graphs fill each aggregate's empty-group value
+      // (Sum({}) = Avg({}) = 0, Count({}) = 0, GroupConcat({}) = "",
+      // Min/Max/Sample({}) = unbound) — still one pass, no plan per
+      // graph
+      val qd = quads.getOrElse(throw new IllegalArgumentException(
+        "GRAPH requires a quad dataset — run the query via runQuads"))
+      val agg = run(triples, quads, q)
+      val graphs = qd.select(col("g").as(gn)).distinct()
+      val joined = graphs.join(agg, Seq(gn), "left_outer")
+      val filled = q.aggregates.foldLeft(joined) { (d, a) =>
+        a.op match {
+          case Count | CountDistinct =>
+            d.withColumn(a.alias, coalesce(col(a.alias), lit(0L)))
+          case Sum | Avg =>
+            d.withColumn(a.alias, coalesce(col(a.alias), lit(0.0)))
+          case GroupConcat =>
+            d.withColumn(a.alias, coalesce(col(a.alias), lit("")))
+          case Min | Max | Sample =>
+            d.withColumn(a.alias, coalesce(col(a.alias), lit("N/A")))
+        }
+      }
+      filled.schema.fields.filterNot(f => isCompanion(f.name))
+        .foldLeft(filled)((d, f) =>
+          if (d.columns.contains(numCol(f.name))) d
+          else d.withColumn(numCol(f.name), col(f.name).try_cast("double")))
     case Bgp(ps) => compileBgp(triples, ps)
     case PreBound(frame, _) => frame
     case Filter(exprs, input) =>

@@ -1099,6 +1099,8 @@ object SparqlParser extends RegexParsers {
     case GraphPath(gn, path) => GraphPath(gn, rewritePattern(path, f))
     case PerGraphLimited(gn, q) =>
       PerGraphLimited(gn, q.copy(where = rewritePattern(q.where, f)))
+    case PerGraphGlobalAgg(gn, q) =>
+      PerGraphGlobalAgg(gn, q.copy(where = rewritePattern(q.where, f)))
   }
 
   private def finish[T](res: ParseResult[T]): T = res match {

@@ -2055,6 +2055,25 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("gr" -> "g:b", "s" -> "e:3")))
   }
 
+  test("graph:var-subselect-global-agg — every named graph yields a row") {
+    // §18.5: a global aggregate yields one row per active graph EVEN
+    // when the slice matches nothing — g:a has no :blocked triple, so
+    // its COUNT row is 0 (a graph-grouped fold alone would drop it)
+    assert(runQ(
+      """SELECT ?gr ?c WHERE { GRAPH ?gr {
+        |  { SELECT (COUNT(?z) AS ?c) WHERE { ?s :blocked ?z } } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "c" -> "0"),
+        b("gr" -> "g:b", "c" -> "1")))
+    // SUM over the match-free graph is 0 (§18.5.1.3); MIN is unbound
+    assert(runQ(
+      """SELECT ?gr ?t ?m WHERE { GRAPH ?gr {
+        |  { SELECT (SUM(?sc) AS ?t) (MIN(?n) AS ?m)
+        |    WHERE { ?s :blocked ?z . ?s :score ?sc . ?s :name ?n } } } }"""
+        .stripMargin) ==
+      Set(b("gr" -> "g:a", "t" -> "0"),
+        b("gr" -> "g:b", "t" -> "7", "m" -> "gamma")))
+  }
+
   test("graph:var-bind-if-exists — BIND's EXISTS body reads the ACTIVE graph") {
     // e:2's only score lives in g:b where it has no name: under g:a
     // the BIND must see "none" — before r16 the threaded BIND's
