@@ -61,19 +61,40 @@ object SameAs {
     // identity links must join two RESOURCES; a malformed sameAs with
     // a literal object is dropped with the rest of the sameAs slice
     // but never seeds a cluster
-    val m = canonicalMap(spark,
-      store.filter(col("p") === OWL_SAMEAS && col("o_is_iri")))
+    val m = graft.Checkpoints.tracked(canonicalMap(spark,
+      store.filter(col("p") === OWL_SAMEAS && col("o_is_iri"))))
     val base = store.filter(col("p") =!= OWL_SAMEAS)
     val ms = m.select(col("uri").as("s"), col("canon").as("__s_canon"))
     val mo = m.select(col("uri").as("__o_uri"), col("canon").as("__o_canon"))
-    base
+    // canon-membership flags: a collapse-created duplicate can only
+    // pair a REWRITTEN row with a row already keyed on a canon URI
+    // (subject, or IRI object — a literal spelled like a canon is a
+    // different term and never collides), so only that neighborhood
+    // pays the wide-row set-dedup below
+    val cs = m.select(col("canon").as("s")).distinct()
+      .withColumn("__cs", lit(true))
+    val co = m.select(col("canon").as("__co_uri")).distinct()
+      .withColumn("__co", lit(true))
+    val marked = base
       .join(ms, Seq("s"), "left_outer")
       .join(mo, base("o") === mo("__o_uri") && base("o_is_iri"), "left_outer")
-      .select(
-        coalesce(col("__s_canon"), col("s")).as("s"),
-        col("p"),
-        coalesce(col("__o_canon"), col("o")).as("o"),
-        col("o_num"), col("o_is_iri"), col("lang"))
-      .distinct()
+      .join(cs, Seq("s"), "left_outer")
+      .join(co, base("o") === co("__co_uri") && base("o_is_iri"), "left_outer")
+    val rewritten = marked.select(
+      coalesce(col("__s_canon"), col("s")).as("s"),
+      col("p"),
+      coalesce(col("__o_canon"), col("o")).as("o"),
+      col("o_num"), col("o_is_iri"), col("lang"),
+      (col("__s_canon").isNotNull || col("__o_canon").isNotNull ||
+        col("__cs").isNotNull || col("__co").isNotNull).as("__touched"))
+    // the untouched bulk was a set before the rewrite and stays one —
+    // at scale this is ~the whole store (identity clusters are sparse
+    // next to data), so skipping its dedup shuffle is the difference
+    // between a canon-neighborhood-sized distinct and a store-sized
+    // one (the r16 sf1 finding: the full-store wide-string distinct
+    // was the superlinear term)
+    rewritten.filter(!col("__touched")).drop("__touched")
+      .unionByName(
+        rewritten.filter(col("__touched")).drop("__touched").distinct())
   }
 }
