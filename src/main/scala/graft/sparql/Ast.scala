@@ -298,6 +298,17 @@ object Ast {
     */
   private[sparql] final case class PerGraphGlobalAgg(graphVar: String,
                                                      q: SelectQuery) extends Pattern
+  /** Compiler-internal: the distinct named-graph-name frame bound to
+    * the threaded graph column — produced by the graph-threading
+    * rewrite (never the parser) to replicate a graph-INDEPENDENT
+    * operand (inline VALUES, a var-free filter group) per named graph
+    * when its composition needs `?g` bound on that side: a UNION
+    * branch whose sibling binds `?g`, or the left operand of
+    * MINUS/OPTIONAL whose right side does (§13.3: every branch still
+    * solves per named graph). Graph names are metadata-scale, so the
+    * frame broadcasts.
+    */
+  private[sparql] final case class GraphNames(graphVar: String) extends Pattern
   /** Nested `{ SELECT … }` subquery: evaluated bottom-up, its
     * projected variables join with the enclosing group (SPARQL 1.1
     * §12). Numeric outputs (aggregate aliases) re-derive their typed

@@ -308,6 +308,7 @@ object Compiler {
     case GraphPath(gn, inner) => allVars(inner) + gn
     case PerGraphLimited(gn, q) => subSelectVars(q) + gn
     case PerGraphGlobalAgg(gn, q) => subSelectVars(q) + gn
+    case GraphNames(gn) => Set(gn)
     case Filter(_, in) => allVars(in)
     case LeftJoin(l, r) => allVars(l) ++ allVars(r)
     case Union(l, r) => allVars(l) ++ allVars(r)
@@ -831,29 +832,46 @@ object Compiler {
     // the graph column into each body too, so the semi/anti/flag join
     // keys on ?g and the whole filter stays one pass over the quads.
     // That keying NEEDS ?g bound on the input side — an input that
-    // never binds it (e.g. pure VALUES) cannot correlate the body's
-    // graph to the solution's, so those fall back to enumeration.
+    // never binds it (pure VALUES) gets the graph-name frame joined
+    // in, so each row carries the graph its EXISTS evaluates against.
     case Filter(es, in) => for {
-      in2 <- threadGraphVar(gn, in)
-      es2 <- if (es.exists(containsExists) && !allVars(in2).contains(gn)) None
-             else sequenceOpts(es.map(threadGraphInExpr(gn, _)))
+      in1 <- threadGraphVar(gn, in)
+      in2 = bindGn(gn, in1, es.exists(containsExists))
+      es2 <- sequenceOpts(es.map(threadGraphInExpr(gn, _)))
     } yield Filter(es2, in2)
     case LeftJoin(l, r) => for {
       l2 <- threadGraphVar(gn, l); r2 <- threadGraphVar(gn, r)
-    } yield LeftJoin(l2, r2)
+    } yield LeftJoin(bindGn(gn, l2, allVars(r2).contains(gn)), r2)
+    // a UNION branch that binds no graph-linked variable (inline
+    // VALUES, a var-free group) still solves PER NAMED GRAPH when its
+    // sibling does — padding its ?g to null (what the raw union would
+    // do) is wrong, so the graph-name frame replicates it instead
     case Union(l, r) => for {
       l2 <- threadGraphVar(gn, l); r2 <- threadGraphVar(gn, r)
-    } yield Union(l2, r2)
+    } yield Union(bindGn(gn, l2, allVars(r2).contains(gn)),
+                  bindGn(gn, r2, allVars(l2).contains(gn)))
     case Join(l, r) => for {
       l2 <- threadGraphVar(gn, l); r2 <- threadGraphVar(gn, r)
     } yield Join(l2, r2)
+    // MINUS scopes per graph through the SHARED ?g column. A left side
+    // that leaves it unbound (VALUES) would be diminished by right
+    // rows from ALL graphs — and joining the graph frame in is no fix:
+    // that puts ?g into the §8.3 domain-disjointness decision, so a
+    // left row sharing only UNDEF/no variables with the right (which
+    // the spec KEEPS) would be removed on a graph-only compat.
+    // Enumeration stays the correct plan for this rare shape. The
+    // mirrored shape (?g-free RIGHT side) threads fine: its rows are
+    // graph-independent, so compat over the remaining shared vars
+    // makes the same decision for every graph.
     case Minus(l, r) => for {
       l2 <- threadGraphVar(gn, l); r2 <- threadGraphVar(gn, r)
-    } yield Minus(l2, r2)
+      m <- if (allVars(r2).contains(gn) && !allVars(l2).contains(gn)) None
+           else Some(Minus(l2, r2))
+    } yield m
     case Bind(in, e, as) => for {
-      in2 <- threadGraphVar(gn, in)
-      e2 <- if (vexprContainsExists(e) && !allVars(in2).contains(gn)) None
-            else threadGraphInVExpr(gn, e)
+      in1 <- threadGraphVar(gn, in)
+      in2 = bindGn(gn, in1, vexprContainsExists(e))
+      e2 <- threadGraphInVExpr(gn, e)
     } yield Bind(in2, e2, as)
     // property paths thread as GraphPath: the closure/k-hop machinery
     // runs over graph-ENCODED node ids (g⊕node) of the quad relation,
@@ -863,8 +881,12 @@ object Compiler {
                  _: PathRange | _: PathSeq | _: PathSeqMod |
                  _: PathSeqRange | _: PathAlt | _: NegPath) =>
       Some(GraphPath(gn, path))
-    // inline VALUES rows are graph-independent constants — they join
-    // the threaded patterns unchanged and ?g rides from those
+    // inline VALUES rows are graph-independent constants: under a
+    // conjunctive Join with a ?g-binding side they pass unchanged and
+    // ?g rides from that side; every composition where the raw rows
+    // would leave ?g unbound (UNION branch, MINUS/OPTIONAL left
+    // operand, EXISTS input) wraps them with the graph-name frame at
+    // that composition site (bindGn)
     case vp: ValuesPattern => Some(vp)
     // a sub-SELECT threads when adding ?g to its projection/grouping
     // preserves per-graph semantics: no LIMIT/OFFSET (those are
@@ -923,6 +945,16 @@ object Compiler {
     case gg: GraphGroup => Some(gg)
     case _ => None
   }
+
+  /** Force a threaded operand to bind the graph variable when its
+    * composition requires it (`need`): a side that already binds `?g`
+    * passes through; a graph-independent side (inline VALUES, a
+    * var-free group) joins the distinct graph-name frame so each of
+    * its rows carries every named graph — §13.3's per-graph solving
+    * for branches the column threading alone can't reach.
+    */
+  private def bindGn(gn: String, p: Pattern, need: Boolean): Pattern =
+    if (!need || allVars(p).contains(gn)) p else Join(GraphNames(gn), p)
 
   private def sequenceOpts[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
@@ -1863,6 +1895,12 @@ object Compiler {
           if (d.columns.contains(numCol(f.name))) d
           else d.withColumn(numCol(f.name), col(f.name).try_cast("double")))
     case Bgp(ps) => compileBgp(triples, ps)
+    case GraphNames(gn) =>
+      // distinct named-graph names (metadata-scale, broadcast): the
+      // per-graph replication frame for graph-independent operands
+      val qd = quads.getOrElse(throw new IllegalArgumentException(
+        "GRAPH requires a quad dataset — run the query via runQuads"))
+      broadcast(qd.select(col("g").as(gn)).distinct())
     case PreBound(frame, _) => frame
     case Filter(exprs, input) =>
       val lRisky = maybeUnboundVars(input)

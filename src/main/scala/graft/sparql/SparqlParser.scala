@@ -1096,6 +1096,7 @@ object SparqlParser extends RegexParsers {
     // compiler-internal nodes; never present in a parsed tree —
     // PreBound carries no IRIs, GraphPath recurses for completeness
     case pb: PreBound => pb
+    case g: GraphNames => g
     case GraphPath(gn, path) => GraphPath(gn, rewritePattern(path, f))
     case PerGraphLimited(gn, q) =>
       PerGraphLimited(gn, q.copy(where = rewritePattern(q.where, f)))

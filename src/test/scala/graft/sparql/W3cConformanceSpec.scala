@@ -1964,6 +1964,78 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("gr" -> "g:b", "s" -> "e:3", "n" -> "gamma")))
   }
 
+  // ---- r17: graph-independent (VALUES) operands under GRAPH ?g ----
+  // §13.3: EVERY branch of the body solves per named graph — a VALUES
+  // operand whose composition leaves ?g unbound must be replicated
+  // per graph (the GraphNames frame), never padded to a null ?g.
+
+  test("graph:var-values-union-branch — a pure VALUES UNION branch solves per graph") {
+    // the VALUES rows are graph-independent: they appear once PER
+    // NAMED GRAPH with ?gr bound, not once with ?gr unbound
+    assert(runQ(
+      """SELECT ?gr ?s ?n WHERE { GRAPH ?gr {
+        |  { ?s :name ?n } UNION { VALUES (?s ?n) { (<e:9> "iota") } } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1", "n" -> "alpha"),
+        b("gr" -> "g:a", "s" -> "e:2", "n" -> "beta"),
+        b("gr" -> "g:b", "s" -> "e:3", "n" -> "gamma"),
+        b("gr" -> "g:a", "s" -> "e:9", "n" -> "iota"),
+        b("gr" -> "g:b", "s" -> "e:9", "n" -> "iota")))
+  }
+
+  test("graph:var-values-optional-left — VALUES as the OPTIONAL left keeps per-graph scope") {
+    // e:1 scores only in g:a, e:3 only in g:b — each graph extends
+    // its own rows and null-pads the other's
+    assert(runQ(
+      """SELECT ?gr ?s ?sc WHERE { GRAPH ?gr {
+        |  VALUES ?s { <e:1> <e:3> } OPTIONAL { ?s :score ?sc } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1", "sc" -> "5"),
+        b("gr" -> "g:a", "s" -> "e:3"),
+        b("gr" -> "g:b", "s" -> "e:1"),
+        b("gr" -> "g:b", "s" -> "e:3", "sc" -> "7")))
+  }
+
+  test("graph:var-values-minus-left — VALUES as the MINUS left keeps per-graph scope") {
+    // e:3 is blocked only in g:b: it must survive g:a's evaluation
+    // (pre-fix, the threaded MINUS removed it from BOTH graphs)
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  VALUES ?s { <e:1> <e:3> } MINUS { ?s :blocked ?z } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1"),
+        b("gr" -> "g:a", "s" -> "e:3"),
+        b("gr" -> "g:b", "s" -> "e:1")))
+  }
+
+  test("graph:var-values-minus-disjoint — §8.3 disjoint domains keep the row in every graph") {
+    // no shared variable between the sides → MINUS removes nothing,
+    // in each graph (the graph var must NOT enter the disjointness
+    // decision)
+    assert(runQ(
+      """SELECT ?gr ?x WHERE { GRAPH ?gr {
+        |  VALUES ?x { "q" } MINUS { ?s :name ?n } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "x" -> "q"),
+        b("gr" -> "g:b", "x" -> "q")))
+  }
+
+  test("graph:var-values-exists — EXISTS over a VALUES input keys on the active graph") {
+    // scores: e:1 in g:a; e:2 and e:3 in g:b
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  VALUES ?s { <e:1> <e:2> <e:3> }
+        |  FILTER EXISTS { ?s :score ?sc } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1"),
+        b("gr" -> "g:b", "s" -> "e:2"),
+        b("gr" -> "g:b", "s" -> "e:3")))
+  }
+
+  test("graph:var-values-bind-exists — BIND(IF(EXISTS…)) over a VALUES input") {
+    assert(runQ(
+      """SELECT ?gr ?s ?f WHERE { GRAPH ?gr {
+        |  VALUES ?s { <e:1> }
+        |  BIND(IF(EXISTS { ?s :score ?sc }, "y", "n") AS ?f) } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1", "f" -> "y"),
+        b("gr" -> "g:b", "s" -> "e:1", "f" -> "n")))
+  }
+
   test("graph:var-group-path — path closure never crosses graphs") {
     // per-graph evaluation: 1→2 only in g:a, 2→4 only in g:b; a
     // union-dataset closure would fabricate 1→4
