@@ -56,6 +56,17 @@ object SameAs {
     * dedup with set semantics. Literals are never rewritten — a
     * literal spelled like a clustered URI is a different RDF term,
     * which is why the object join also keys on o_is_iri.
+    *
+    * CONTRACT: the input store must already be a SET of triples. The
+    * canon-neighborhood-scoped dedup below only removes duplicates
+    * the COLLAPSE creates (a rewritten row landing on an existing
+    * canon-keyed row); pre-existing duplicates in the untouched bulk
+    * pass through — the r16 full-store distinct that silently
+    * repaired them was the sf1 superlinear term and is deliberately
+    * gone. The engine's canonical store holds the invariant
+    * ([[graft.rdf.RdfModel.tpchTriplesSet]] dedups at build, and the
+    * derived slices are filters of that set); a caller feeding a raw
+    * parse or any other external frame must `distinct()` it first.
     */
   def canonicalize(spark: SparkSession, store: DataFrame): DataFrame = {
     // identity links must join two RESOURCES; a malformed sameAs with

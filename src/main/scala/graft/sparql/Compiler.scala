@@ -267,6 +267,14 @@ object Compiler {
     * BGPs estimate through [[estimateBgpRows]]; filters and BINDs
     * only shrink or keep their input. Anything else (unions, paths,
     * subqueries) returns None — no hint rather than a guess.
+    *
+    * The estimate is floored at the largest single pattern's EXACT
+    * per-predicate input count: the System-R division assumes join
+    * independence, and a correlated join's real output tracks its
+    * input scale — taking max(model, exact floor) keeps a store-sized
+    * side from being force-broadcast on an optimistic division (an
+    * explicit hint bypasses autoBroadcastJoinThreshold and AQE never
+    * demotes it, so a bad hint is an executor OOM, not a slow plan).
     */
   private def estimatePatternRows(triples: DataFrame,
                                   p: Pattern): Option[Double] =
@@ -274,7 +282,9 @@ object Compiler {
       val total = stats.valuesIterator.map(_.n).sum
       def est(p: Pattern): Option[Double] = p match {
         case Bgp(ps) if ps.nonEmpty =>
-          Some(estimateBgpRows(stats, total, orderPatterns(triples, ps)))
+          val ordered = orderPatterns(triples, ps)
+          Some(estimateBgpRows(stats, total, ordered)
+            .max(ordered.map(estimateRows(stats, total, _)).max))
         case Filter(_, in) => est(in)
         case Bind(in, _, _) => est(in)
         case _ => None
@@ -928,11 +938,13 @@ object Compiler {
     // GLOBAL aggregate (no GROUP BY): §18.5 gives EVERY named graph a
     // row — match-free graphs included — so the threaded groupBy-?g
     // result must right-join the graph-name set and fill empty-group
-    // values (PerGraphGlobalAgg). HAVING stays on the fallback: it
-    // filters real groups BEFORE the fill would apply.
+    // values (PerGraphGlobalAgg). HAVING threads too: per §18.5.1
+    // Group((), Ω) = {() → Ω} even for empty Ω, so the filled row of
+    // a match-free graph IS a group — the compile branch applies
+    // HAVING after the fill.
     case SubSelect(q)
       if q.aggregates.nonEmpty && q.groupBy.isEmpty &&
-        q.having.isEmpty && q.limit < 0 && q.offset == 0 &&
+        q.limit < 0 && q.offset == 0 &&
         q.orderBy.isEmpty &&
         q.fromGraphs.isEmpty && q.fromNamed.isEmpty &&
         !allVars(q.where).contains(gn) && !q.projection.contains(gn) =>
@@ -1722,7 +1734,12 @@ object Compiler {
             col(langCol(n)).isNotNull && col(langCol(n)) =!= ""
           else lit(false)
         if (df.columns.contains(langCol(n)) || df.columns.contains(numCol(n)))
-          when(isNum, lit("http://www.w3.org/2001/XMLSchema#double"))
+          // the value itself may be null — an error-valued BIND, or a
+          // Union-padded row where only the OTHER branch binds the
+          // var — and DATATYPE of an error/unbound is an error, not
+          // xsd:string
+          when(col(n).isNull, lit(null).cast("string"))
+            .when(isNum, lit("http://www.w3.org/2001/XMLSchema#double"))
             .when(isTagged,
               lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
             .otherwise(lit("http://www.w3.org/2001/XMLSchema#string"))
@@ -1814,11 +1831,16 @@ object Compiler {
                 PreBound(qd.select(col("g").as(gn)).distinct(), Seq(gn)),
                 threaded))
             case None =>
-              // bodies with closure operators (property paths) or a
-              // sub-SELECT evaluate PER NAMED GRAPH against that
-              // graph's slice — graph names are metadata-scale (like
-              // predicates), so the branch count is small and each
-              // branch keeps the constant-graph machinery's pruning
+              // the residual enumerate classes — evaluated PER NAMED
+              // GRAPH against that graph's slice: (a) a ?g-free left
+              // operand of MINUS (threading it would put ?g into the
+              // §8.3 domain-disjointness decision), (b) a body already
+              // using a variable named like ?g (in-scope collision),
+              // (c) sub-SELECT shapes the window/fill rewrites don't
+              // cover (ORDER BY over a global aggregate, un-ordered
+              // LIMIT, dataset clauses). Graph names are metadata-
+              // scale (like predicates), so the branch count is small
+              // and each branch keeps the constant-graph pruning
               val graphs = qd.select(col("g")).distinct()
                 .collect().map(_.getString(0)).sorted.toSeq
               if (graphs.isEmpty)
@@ -1875,10 +1897,21 @@ object Compiler {
       // graph
       val qd = quads.getOrElse(throw new IllegalArgumentException(
         "GRAPH requires a quad dataset — run the query via runQuads"))
-      val agg = run(triples, quads, q)
+      // HAVING applies AFTER the fill (§18.5.1: Group((), Ω) = {() → Ω}
+      // even for empty Ω, so a match-free graph's filled row IS a
+      // group and HAVING filters it like any other) — strip it from
+      // the inner run and synthesize its hidden aggregates here, so
+      // they survive the inner projection wall until the post-fill
+      // filter has used them
+      val hidden = hiddenHavingAggs(q)
+      val allAggs = q.aggregates ++ hidden
+      val agg = run(triples, quads, q.copy(
+        projection = q.projection ++ hidden.map(_.alias),
+        aggregates = allAggs,
+        having = Seq.empty))
       val graphs = qd.select(col("g").as(gn)).distinct()
       val joined = graphs.join(agg, Seq(gn), "left_outer")
-      val filled = q.aggregates.foldLeft(joined) { (d, a) =>
+      val filled = allAggs.foldLeft(joined) { (d, a) =>
         a.op match {
           case Count | CountDistinct =>
             d.withColumn(a.alias, coalesce(col(a.alias), lit(0L)))
@@ -1890,8 +1923,11 @@ object Compiler {
             d.withColumn(a.alias, coalesce(col(a.alias), lit("N/A")))
         }
       }
-      filled.schema.fields.filterNot(f => isCompanion(f.name))
-        .foldLeft(filled)((d, f) =>
+      val kept = q.having
+        .foldLeft(filled)((d, e) => d.filter(havingColumn(e, allAggs)))
+        .drop(hidden.flatMap(a => Seq(a.alias, numCol(a.alias))): _*)
+      kept.schema.fields.filterNot(f => isCompanion(f.name))
+        .foldLeft(kept)((d, f) =>
           if (d.columns.contains(numCol(f.name))) d
           else d.withColumn(numCol(f.name), col(f.name).try_cast("double")))
     case Bgp(ps) => compileBgp(triples, ps)
@@ -2760,6 +2796,25 @@ object Compiler {
     }.reduce(_.unionAll(_))
   }
 
+  /** §11.4: HAVING may reference an aggregate ABSENT from the SELECT
+    * projection — synthesize hidden aggregate columns for those,
+    * filter, then drop the helpers (they never reach projection:
+    * SELECT * filters the __hv prefix like other internals). Shared by
+    * [[run]] and the PerGraphGlobalAgg fill-then-HAVING path.
+    */
+  private def hiddenHavingAggs(q: SelectQuery): Seq[Agg] = {
+    def needs(e: Expr, acc: Seq[Agg]): Seq[Agg] = e match {
+      case HavingAggCmp(op, v, _, _)
+          if !(q.aggregates ++ acc).exists(a =>
+            a.op == op && a.v.map(_.name) == v.map(_.name) && a.expr.isEmpty) =>
+        acc :+ Agg(op, v, s"__hv${acc.size}", " ")
+      case And(a, b) => needs(b, needs(a, acc))
+      case Or(a, b) => needs(b, needs(a, acc))
+      case _ => acc
+    }
+    q.having.foldLeft(Seq.empty[Agg])((acc, e) => needs(e, acc))
+  }
+
   /** HAVING constraint over group/aggregate output columns: the
     * referenced "variables" are aggregate aliases or group keys, whose
     * columns are typed — compare them directly.
@@ -2851,21 +2906,7 @@ object Compiler {
       "FROM / FROM NAMED require a quad dataset — run the query via runQuads")
     var df = compilePattern(triples, quads, q.where)
 
-    // §11.4: HAVING may reference an aggregate ABSENT from the SELECT
-    // projection — synthesize hidden aggregate columns for those,
-    // filter, then drop the helpers (they never reach projection:
-    // SELECT * filters the __hv prefix like other internals)
-    def havingNeeds(e: Expr, acc: Seq[Agg]): Seq[Agg] = e match {
-      case HavingAggCmp(op, v, _, _)
-          if !(q.aggregates ++ acc).exists(a =>
-            a.op == op && a.v.map(_.name) == v.map(_.name) && a.expr.isEmpty) =>
-        acc :+ Agg(op, v, s"__hv${acc.size}", " ")
-      case And(a, b) => havingNeeds(b, havingNeeds(a, acc))
-      case Or(a, b) => havingNeeds(b, havingNeeds(a, acc))
-      case _ => acc
-    }
-    val hiddenAggs =
-      q.having.foldLeft(Seq.empty[Agg])((acc, e) => havingNeeds(e, acc))
+    val hiddenAggs = hiddenHavingAggs(q)
     val allAggs = q.aggregates ++ hiddenAggs
 
     if (allAggs.nonEmpty) {

@@ -1540,6 +1540,39 @@ class PlanSpec extends AnyFunSuite {
       "seeded-BFS plan must not scale with named-graph count")
   }
 
+  test("graph-var sub-SELECT rewrites: WindowGroupLimit cut, one-pass HAVING") {
+    import spark.implicits._
+    def quadsOf(n: Int) =
+      (0 until n).flatMap { g =>
+        Seq((s"g:$g", s"n:$g:1", ":e", s"n:$g:2",
+          Option.empty[Double], true, Option.empty[String]),
+          (s"g:$g", s"n:$g:2", ":e", s"n:$g:3", None, true, None))
+      }.toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    def planOf(n: Int, q: String) =
+      graft.sparql.Compiler.runQuads(quadsOf(n),
+        graft.sparql.SparqlParser.parse(q))
+        .queryExecution.executedPlan.toString
+    def shape(p: String) =
+      ("Union".r.findAllIn(p).size, "Scan".r.findAllIn(p).size)
+    // PerGraphLimited: the ordered per-graph cut must reach Spark's
+    // WindowGroupLimit rewrite (Partial mode applies the rank cut
+    // map-side), not sort whole graph partitions under a full Window
+    val lim = """SELECT ?g ?s WHERE { GRAPH ?g {
+      { SELECT ?s WHERE { ?s :e ?o } ORDER BY ?s LIMIT 1 } } }"""
+    val pLim = planOf(2, lim)
+    assert(pLim.contains("WindowGroupLimit"),
+      "per-graph ordered cut must apply as a group limit before the window")
+    assert(shape(planOf(6, lim)) == shape(pLim),
+      "per-graph cut plan must not scale with named-graph count")
+    // PerGraphGlobalAgg + HAVING: fill-then-HAVING stays ONE pass —
+    // no union branch per named graph (the pre-r17 fallback shape)
+    val hv = """SELECT ?g ?c WHERE { GRAPH ?g {
+      { SELECT (COUNT(?o) AS ?c) WHERE { ?s :e ?o }
+        HAVING (COUNT(?o) > 0) } } }"""
+    assert(shape(planOf(6, hv)) == shape(planOf(2, hv)),
+      "threaded HAVING-over-global-aggregate must not scale with graph count")
+  }
+
   test("text_contamination_bloom: join-free screen, distributed build") {
     // the Bloom screen's whole point: the corpus side is ONE narrow
     // codegen pass (filter on bloom_contains) plus the per-doc count

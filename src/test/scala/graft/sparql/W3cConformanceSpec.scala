@@ -2146,6 +2146,36 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("gr" -> "g:b", "t" -> "7", "m" -> "gamma")))
   }
 
+  test("graph:var-global-agg-having — HAVING applies AFTER the §18.5 empty-group fill") {
+    // per §18.5.1 Group((), Ω) = {() → Ω} even for empty Ω: the
+    // match-free graph's COUNT-0 row EXISTS and HAVING filters it.
+    // Outcome 1: the filled row FAILS the constraint — only g:b
+    // (count 1) survives
+    assert(runQ(
+      """SELECT ?gr ?c WHERE { GRAPH ?gr {
+        |  { SELECT (COUNT(?z) AS ?c) WHERE { ?s :blocked ?z }
+        |    HAVING (COUNT(?z) > 0) } } }""".stripMargin) ==
+      Set(b("gr" -> "g:b", "c" -> "1")))
+    // Outcome 2: the filled row PASSES — g:a's 0 is a real group row
+    // the constraint keeps (an enumerate-then-drop plan and a
+    // fill-then-HAVING plan agree here; a HAVING-before-fill plan
+    // would lose g:a)
+    assert(runQ(
+      """SELECT ?gr ?c WHERE { GRAPH ?gr {
+        |  { SELECT (COUNT(?z) AS ?c) WHERE { ?s :blocked ?z }
+        |    HAVING (COUNT(?z) >= 0) } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "c" -> "0"),
+        b("gr" -> "g:b", "c" -> "1")))
+    // §11.4: the HAVING aggregate need not be projected — the hidden
+    // SUM threads through the fill too (g:a fills SUM=0 → dropped;
+    // g:b's scores sum to 8 → kept)
+    assert(runQ(
+      """SELECT ?gr ?c WHERE { GRAPH ?gr {
+        |  { SELECT (COUNT(?sc) AS ?c) WHERE { ?s :score ?sc }
+        |    HAVING (SUM(?sc) > 5) } } }""".stripMargin) ==
+      Set(b("gr" -> "g:b", "c" -> "2")))
+  }
+
   test("graph:var-bind-if-exists — BIND's EXISTS body reads the ACTIVE graph") {
     // e:2's only score lives in g:b where it has no name: under g:a
     // the BIND must see "none" — before r16 the threaded BIND's
@@ -3180,6 +3210,22 @@ class W3cConformanceSpec extends AnyFunSuite {
           "dt" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
         b("g" -> "Bonjour",
           "dt" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")))
+  }
+
+  test("functions:datatype-minted-null — DATATYPE of a null minted value is an error") {
+    // a UNION pads the minted ?c to null on the branch that never
+    // binds it — DATATYPE there is an error (unbound ?dt), NOT
+    // xsd:string, even though ?c's lang companion column exists in
+    // the frame (r17 ADVICE: the companion-typed when-chain must
+    // check the value itself first)
+    assert(run(people,
+      """SELECT ?x ?dt WHERE {
+        |  { p:alice :greeting ?g BIND(UCASE(?g) AS ?c) BIND("t" AS ?x) }
+        |  UNION { p:bob :name ?n BIND("u" AS ?x) }
+        |  BIND(DATATYPE(?c) AS ?dt) }""".stripMargin) ==
+      Set(b("x" -> "t",
+          "dt" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
+        b("x" -> "u")))
   }
 
   test("construct:template-bnode-typed — minted nodes serialize as bnodes") {
