@@ -99,6 +99,10 @@ object PipelineQueries {
     // (nprobe, subspaces) — the acceptance number for deploying it
     "ann_ivfpq_recall_eval" -> ((s, dir) =>
       Similarity.ivfPqRecallEval(Tables.embeddings(s, dir))),
+    // the composed index's tuning curve: recall@10 per probe count at
+    // fixed subspaces/rerank (r17 — ann_ivf_probe_sweep's twin)
+    "ann_ivfpq_probe_sweep" -> ((s, dir) =>
+      Similarity.ivfPqProbeSweep(Tables.embeddings(s, dir))),
     "ann_int8_topk" -> ((s, dir) =>
       Similarity.int8TopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
     "dedup_embedding_clusters" -> ((s, dir) => {
@@ -1114,6 +1118,26 @@ object PipelineQueries {
          |SELECT 2 AS nprobe, 10 AS k, count(*) AS n_hit,
          |  CAST(count(*) AS DOUBLE) / 10 AS recall
          |FROM ap JOIN bf USING (vec_id)""".stripMargin,
+    // the composed-index tuning curve: one UNION branch per probe
+    // point, each the full ivfPq oracle (nested WITH) joined to the
+    // shared brute-force truth CTE
+    "ann_ivfpq_probe_sweep" -> {
+      val bf =
+        """bf AS (SELECT e.vec_id
+          |  FROM embeddings e,
+          |    (SELECT embedding AS qv0 FROM embeddings WHERE vec_id = 0) t
+          |  WHERE e.vec_id != 0
+          |  ORDER BY list_cosine_similarity(e.embedding, t.qv0) DESC, e.vec_id
+          |  LIMIT 10)""".stripMargin
+      val branches = Seq(1, 2, 4).map { np =>
+        s"""SELECT $np AS nprobe, 10 AS k, count(*) AS n_hit,
+           |  CAST(count(*) AS DOUBLE) / 10 AS recall
+           |FROM (${ivfPqSql(queryId = 0, k = 10, nprobe = np, rerank = 32,
+              subspaces = 8, sub = 8, samplePct = 50, sampleCap = 128)}) ap
+           |JOIN bf USING (vec_id)""".stripMargin
+      }
+      s"WITH $bf\n" + branches.mkString("\nUNION ALL\n")
+    },
     // ivf: centroids are per-label per-dim averages; probe the 2
     // nearest-centroid labels, exact top-k within
     "ann_ivf_topk" ->

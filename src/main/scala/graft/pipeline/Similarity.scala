@@ -230,6 +230,26 @@ object Similarity {
     }.reduceLeft(_.unionByName(_))
   }
 
+  /** IVF+PQ tuning curve: recall@k of [[ivfPqTopK]] at each probe
+    * count, at fixed subspaces/rerank — [[ivfProbeSweep]]'s twin for
+    * the COMPOSED production index: how many coarse lists buy back
+    * the recall the two stacked approximations (pruning + quantized
+    * scoring) cost together. Probe counts are query constants, so
+    * the plan is one union branch per point, each the shipped
+    * operator joined against the shipped float truth.
+    */
+  def ivfPqProbeSweep(embeddings: DataFrame, queryId: Long = 0,
+                      k: Int = 10, rerank: Int = 32,
+                      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryId, k)
+    probes.map { np =>
+      ivfPqTopK(embeddings, queryId, k, np, rerank).join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(np).as("nprobe"), lit(k).as("k"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(k)).as("recall"))
+    }.reduceLeft(_.unionByName(_))
+  }
+
   /** Quantization-error evaluation: recall@k of the SQ8 (int8)
     * ranking against the float brute-force truth — the number that
     * decides whether the 4× memory-bandwidth saving of a quantized

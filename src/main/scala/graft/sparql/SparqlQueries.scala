@@ -1149,6 +1149,40 @@ object SparqlQueries {
         SparqlParser.parse(
           "SELECT ?g ?s ?r WHERE { GRAPH ?g { ?s (:hasNation|:inRegion)+ ?r } }"))
     },
+    // Dataset clause (§13.2, r17): FROM composes the default graph,
+    // FROM NAMED bounds what GRAPH may match — both REPLACE the
+    // store's dataset. The fixture plants a decoy default-graph
+    // candidate (g:decoy, region edges rotated one key) and a decoy
+    // named-graph candidate (g:region2, region names suffixed), so a
+    // dataset clause that failed to restrict EITHER axis changes the
+    // answer — rotated pairs from g:decoy, suffixed names from
+    // g:region2 — instead of passing by accident
+    "sparql_from_named" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{concat, lit, substring}
+      val t = TripleStore.dimensionTriples(s, dir)
+      def tag(df: org.apache.spark.sql.DataFrame, g: String) =
+        df.withColumn("g", lit(g))
+      val natSlice = t.filter(col("s").startsWith("nat:") &&
+        col("p").isin(":name", ":inRegion"))
+      val regNames = t.filter(col("s").startsWith("reg:") &&
+        col("p") === ":name")
+      val decoyEdges = natSlice.filter(col("p") === ":inRegion")
+        .withColumn("o", concat(lit("reg:"),
+          ((substring(col("o"), 5, 10).cast("int") + 1) % 5).cast("string")))
+      val decoyNames = regNames.withColumn("o", concat(col("o"), lit("_X")))
+      Compiler.runQuads(
+        tag(natSlice, "g:nation").unionAll(tag(decoyEdges, "g:decoy"))
+          .unionAll(tag(regNames, "g:region"))
+          .unionAll(tag(decoyNames, "g:region2"))
+          .select(col("g"), col("s"), col("p"), col("o"),
+            col("o_num"), col("o_is_iri"), col("lang")),
+        SparqlParser.parse(
+          """SELECT ?g ?s ?n ?rn
+            |FROM <g:nation>
+            |FROM NAMED <g:region>
+            |WHERE { ?s :name ?n . ?s :inRegion ?r .
+            |        GRAPH ?g { ?r :name ?rn } }""".stripMargin))
+    },
     // QuadData (grammar [48]/[49], r15): GRAPH-scoped blocks inside
     // INSERT DATA / DELETE DATA — insert into an existing and a NEW
     // graph, then delete one ground quad from a third; only the
@@ -1481,6 +1515,10 @@ object SparqlQueries {
         |SELECT 'g:region', 'reg:'||r_regionkey, r_name FROM region
         |UNION ALL
         |SELECT 'g:supp', 'supp:'||s_suppkey, s_name FROM supplier""".stripMargin,
+    "sparql_from_named" ->
+      """SELECT 'g:region' AS g, 'nat:'||n_nationkey AS s, n_name AS n,
+        |       r_name AS rn
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "sparql_update_quad_data" ->
       """SELECT 'g:nation' AS g, 'nat:'||n_nationkey AS s, n_name AS o FROM nation
         |UNION ALL SELECT 'g:nation', 'extra:1', 'EXTRA_ONE'

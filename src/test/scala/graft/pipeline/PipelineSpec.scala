@@ -1260,6 +1260,21 @@ class PipelineSpec extends AnyFunSuite {
       "probing every cluster must reproduce the brute-force truth")
   }
 
+  test("ivf+pq probe sweep: recall is monotone in probes; full probe + full rerank = exact") {
+    val e = Tables.embeddings(spark, SharedSpark.sfDir)
+    // rerank = corpus bound: with every cluster probed AND the whole
+    // shortlist exact-reranked, the composed index must reproduce the
+    // float brute-force truth (recall 1.0); 1-probe recall can only
+    // be lower or equal
+    val got = Similarity.ivfPqProbeSweep(e, rerank = 100000,
+        probes = Seq(1, 1000))
+      .as[(Int, Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.head._3 <= got.last._3,
+      "more probes can only add candidates")
+    assert(got.last._4 == 1.0,
+      "probing every cluster with an unbounded rerank must be exact")
+  }
+
   test("winnowing guarantees a shared fingerprint for shared 7-token runs") {
     // MOSS's detection floor: any common run of ≥ win+k−1 = 7 tokens
     // must share at least one selected fingerprint, however the run
