@@ -2176,6 +2176,17 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("gr" -> "g:b", "c" -> "2")))
   }
 
+  test("graph:var-global-agg-having-min — an unbound MIN fill never passes equality HAVING") {
+    // MIN over an empty multiset is an ERROR (§18.5.1): the match-free
+    // graph's fill is unbound, and the HAVING comparison over it is an
+    // error → dropped; the matching graph compares its real minimum
+    assert(runQ(
+      """SELECT ?gr ?m WHERE { GRAPH ?gr {
+        |  { SELECT (MIN(?z) AS ?m) WHERE { ?s :blocked ?z }
+        |    HAVING (MIN(?z) = "y") } } }""".stripMargin) ==
+      Set(b("gr" -> "g:b", "m" -> "y")))
+  }
+
   test("graph:var-bind-if-exists — BIND's EXISTS body reads the ACTIVE graph") {
     // e:2's only score lives in g:b where it has no name: under g:a
     // the BIND must see "none" — before r16 the threaded BIND's
@@ -2236,6 +2247,112 @@ class W3cConformanceSpec extends AnyFunSuite {
     val byCell = firsts.map(t => t._1 -> t._3).toMap
     assert(names.map(t => (t._1, byCell(t._3))).toSet ==
       Set(("p:alice", "Alice"), ("p:bob", "Bob")))
+  }
+
+  // ---- r17: shared-endpoint closures, computed-key error corners,
+  // per-graph cut combos, multi-cell CONSTRUCT collections ----
+
+  /** A chain (1→2→3) plus a 2-cycle (4⇄5) — the shared-endpoint
+    * closure pivot: only the cycle nodes reach THEMSELVES via + .
+    */
+  private lazy val cycleData: DataFrame = Seq(
+    ("e:1", ":next", "e:2"), ("e:2", ":next", "e:3"),
+    ("e:4", ":next", "e:5"), ("e:5", ":next", "e:4"))
+    .map(t => (t._1, t._2, t._3, Option.empty[Double], true,
+      Option.empty[String]))
+    .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+
+  test("path:star-shared-endpoint — ?x :p* ?x binds every term once") {
+    // §9.3: the zero-length path relates every term of the graph to
+    // itself — the cycle adds no duplicates (ALP visits each node
+    // once), and the chain nodes appear despite never cycling
+    assert(run(cycleData, "SELECT ?x WHERE { ?x :next* ?x }") ==
+      Set(b("x" -> "e:1"), b("x" -> "e:2"), b("x" -> "e:3"),
+        b("x" -> "e:4"), b("x" -> "e:5")))
+  }
+
+  test("path:plus-shared-endpoint — ?x :p+ ?x keeps only cycle members") {
+    assert(run(cycleData, "SELECT ?x WHERE { ?x :next+ ?x }") ==
+      Set(b("x" -> "e:4"), b("x" -> "e:5")))
+    // seeded: a chain node does not reach itself through one-or-more
+    assert(run(cycleData,
+      "SELECT ?x WHERE { ?x :next+ ?x . FILTER(?x = <e:1>) }") == Set.empty)
+    assert(run(cycleData,
+      "SELECT ?x WHERE { ?x :next+ ?x . FILTER(?x = <e:4>) }") ==
+      Set(b("x" -> "e:4")))
+  }
+
+  test("graph:var-path-shared-endpoint — per-graph zero-length terms, no cross-graph cycle") {
+    // g:a holds 1→2, g:b holds 2→4 — a union-graph closure would see
+    // no cycle either, but the ZERO-length terms must stay per graph:
+    // e:4 self-pairs only in g:b, e:1 only in g:a
+    import spark.implicits._
+    val quads = Seq(
+      ("g:a", "e:1", ":next", "e:2"), ("g:b", "e:2", ":next", "e:4"))
+      .map(t => (t._1, t._2, t._3, t._4, Option.empty[Double], true,
+        Option.empty[String]))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(bindings(Compiler.runQuads(quads, SparqlParser.parse(
+      "SELECT ?gr ?x WHERE { GRAPH ?gr { ?x :next* ?x } }"))) ==
+      Set(b("gr" -> "g:a", "x" -> "e:1"), b("gr" -> "g:a", "x" -> "e:2"),
+        b("gr" -> "g:b", "x" -> "e:2"), b("gr" -> "g:b", "x" -> "e:4")))
+    assert(bindings(Compiler.runQuads(quads, SparqlParser.parse(
+      "SELECT ?gr ?x WHERE { GRAPH ?gr { ?x :next+ ?x } }"))) == Set.empty)
+  }
+
+  test("aggregates:distinct-errors-computed-key — error values drop under a computed group key") {
+    // groups come from a COMPUTED key (UCASE over the raw tag);
+    // SUM(DISTINCT) must collapse the duplicated 5 inside group A and
+    // skip the non-numeric value (error algebra), never leaking it
+    // into a neighboring group or nulling the whole fold
+    val mixed = Seq(
+      ("s:1", "a", "5", Some(5.0)), ("s:2", "A", "5", Some(5.0)),
+      ("s:3", "a", "oops", Option.empty[Double]),
+      ("s:4", "b", "7", Some(7.0)))
+      .flatMap { case (s, g, v, num) => Seq(
+        (s, ":grp", g, Option.empty[Double], false, Option.empty[String]),
+        (s, ":v", v, num, false, None)) }
+      .toDF("s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(run(mixed,
+      """SELECT ?k (SUM(DISTINCT ?v) AS ?t) (COUNT(DISTINCT ?v) AS ?c)
+        |WHERE { ?s :grp ?g0 . ?s :v ?v }
+        |GROUP BY (UCASE(?g0) AS ?k)""".stripMargin) ==
+      Set(b("k" -> "A", "t" -> "5", "c" -> "2"),
+        b("k" -> "B", "t" -> "7", "c" -> "1")))
+  }
+
+  test("graph:var-subselect-offset-limit — OFFSET and LIMIT compose per graph") {
+    // g:a names: e:1 alpha, e:2 beta; g:b: e:3 gamma — DESC + OFFSET 1
+    // LIMIT 1 keeps each graph's SECOND subject descending: e:1 in
+    // g:a, nothing in g:b (only one row there)
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT ?s WHERE { ?s :name ?n }
+        |    ORDER BY DESC(?s) OFFSET 1 LIMIT 1 } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1")))
+  }
+
+  test("construct:collection-template-multi — (\"tag\" ?n) chains two fresh cells") {
+    val out = Graft.query(people,
+      """CONSTRUCT { ?x :names ( "tag" ?n ) }
+        |WHERE { ?x :name ?n . ?x :mbox ?m }""".stripMargin)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val names = rows.filter(_._2 == ":names")
+    val firsts = rows.filter(_._2 == "rdf:first").map(t => t._1 -> t._3).toMap
+    val rests = rows.filter(_._2 == "rdf:rest").map(t => t._1 -> t._3).toMap
+    // 2 solutions × (1 :names + 2 first + 2 rest) = 10 triples
+    assert(names.length == 2 && firsts.size == 4 && rests.size == 4)
+    // per solution: head cell carries "tag", its rest chains to the
+    // second cell carrying that person's name, closed at rdf:nil
+    val expected = Set("Alice", "Bob")
+    val got = names.map { case (_, _, cell1) =>
+      assert(firsts(cell1) == "tag")
+      val cell2 = rests(cell1)
+      assert(rests(cell2) == "rdf:nil")
+      firsts(cell2)
+    }.toSet
+    assert(got == expected)
   }
 
   test("bind:bnode-scoping-union — BNODE() is fresh per solution across branches") {
