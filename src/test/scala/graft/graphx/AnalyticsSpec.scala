@@ -24,6 +24,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cc == Set(("a", 4L), ("e", 2L)))
   }
 
+  test("componentsByIdDF agrees with GraphX on labels, including chains") {
+    // a 6-chain (diameter stresses the round loop), a 2-cycle, and an
+    // isolated self-contained pair — labels must be the component
+    // MINIMUM id on every vertex, exactly componentsById's contract
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 10L), (20L, 21L)).toDF("src", "dst")
+    val viaGraphX = Analytics.componentsById(spark, e)
+      .as[(Long, Long)].collect().toMap
+    val viaDF = Analytics.componentsByIdDF(spark, e)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDF == viaGraphX)
+    assert(viaDF(6L) == 1L && viaDF(11L) == 10L && viaDF(21L) == 20L)
+    // fixpoint needed ~diameter rounds, not the safety bound
+    assert(Analytics.lastCcRounds <= 7)
+  }
+
   test("triangle count") {
     assert(Analytics.triangleTotal(spark, edges).as[Long].head() == 1L)
   }
