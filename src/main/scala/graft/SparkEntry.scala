@@ -115,7 +115,11 @@ object SparkEntry {
     // IVF-probe → PQ-ADC → exact-rerank index; the recall eval and
     // the conformance-driven keys reuse benched shapes and stay
     // verify-only
-    "sparql_graph_var_path", "ann_ivf_pq_topk")
+    "sparql_graph_var_path", "ann_ivf_pq_topk",
+    // r17: the dataset-clause compile (decoy-bearing quad fixture) is
+    // a new benched shape; the IVF+PQ probe sweep is three runs of
+    // the benched composed index and stays verify-only
+    "sparql_from_named")
     // r12-r14 keys stay verify-only: the gated CN/Jaccard wedge joins
     // share graph_resource_alloc's benched priced-gate shape, and the
     // datetime/TZ builtins, DESCRIBE semi-join arms, multi-valued LPG
