@@ -925,34 +925,45 @@ object Compiler {
     // variables: the cut is PER GRAPH — thread the limit-less query
     // and apply the ordered cut as a window partitioned on ?g
     // (PerGraphLimited). Kept to the statically-safe shape: explicit
-    // projection, no aggregates, every sort key projected.
+    // projection, no aggregates, every sort key projected. An
+    // UN-ordered LIMIT/OFFSET (r17) threads too: §18.2.5.3 leaves the
+    // slice's choice unconstrained without ORDER BY, so ANY n rows
+    // per graph are a correct answer — the window sorts on the full
+    // projection, a deterministic (and therefore reproducible)
+    // instantiation of that freedom.
     case SubSelect(q)
-      if (q.limit >= 0 || q.offset > 0) && q.orderBy.nonEmpty &&
+      if (q.limit >= 0 || q.offset > 0) &&
         q.projection.nonEmpty && q.aggregates.isEmpty &&
         q.orderBy.forall(o => q.projection.contains(o._1)) &&
         q.fromGraphs.isEmpty && q.fromNamed.isEmpty &&
         !allVars(q.where).contains(gn) && !q.projection.contains(gn) =>
       threadGraphVar(gn, q.where).filter(w => allVars(w).contains(gn))
         .map(w2 => PerGraphLimited(gn,
-          q.copy(where = w2, projection = q.projection :+ gn)))
+          q.copy(where = w2, projection = q.projection :+ gn,
+            orderBy =
+              if (q.orderBy.nonEmpty) q.orderBy
+              else q.projection.map(_ -> true))))
     // GLOBAL aggregate (no GROUP BY): §18.5 gives EVERY named graph a
     // row — match-free graphs included — so the threaded groupBy-?g
     // result must right-join the graph-name set and fill empty-group
     // values (PerGraphGlobalAgg). HAVING threads too: per §18.5.1
     // Group((), Ω) = {() → Ω} even for empty Ω, so the filled row of
     // a match-free graph IS a group — the compile branch applies
-    // HAVING after the fill.
+    // HAVING after the fill. ORDER BY threads by DROPPING (r17): a
+    // subquery's solution order is unobservable through the enclosing
+    // join without a slice (§18.2.5.3), and the slice case is
+    // excluded by the limit/offset guard.
     case SubSelect(q)
       if q.aggregates.nonEmpty && q.groupBy.isEmpty &&
         q.limit < 0 && q.offset == 0 &&
-        q.orderBy.isEmpty &&
         q.fromGraphs.isEmpty && q.fromNamed.isEmpty &&
         !allVars(q.where).contains(gn) && !q.projection.contains(gn) =>
       threadGraphVar(gn, q.where).filter(w => allVars(w).contains(gn))
         .map(w2 => PerGraphGlobalAgg(gn, q.copy(
           where = w2,
           projection = q.projection :+ gn,
-          groupBy = Seq(gn))))
+          groupBy = Seq(gn),
+          orderBy = Seq.empty)))
     case gb: GraphBgp => Some(gb)
     case gg: GraphGroup => Some(gg)
     case _ => None
@@ -1837,10 +1848,11 @@ object Compiler {
               // §8.3 domain-disjointness decision), (b) a body already
               // using a variable named like ?g (in-scope collision),
               // (c) sub-SELECT shapes the window/fill rewrites don't
-              // cover (ORDER BY over a global aggregate, un-ordered
-              // LIMIT, dataset clauses). Graph names are metadata-
-              // scale (like predicates), so the branch count is small
-              // and each branch keeps the constant-graph pruning
+              // cover (SELECT * or aggregate outputs under a slice,
+              // unprojected sort keys, dataset clauses). Graph names
+              // are metadata-scale (like predicates), so the branch
+              // count is small and each branch keeps the
+              // constant-graph pruning
               val graphs = qd.select(col("g")).distinct()
                 .collect().map(_.getString(0)).sorted.toSeq
               if (graphs.isEmpty)

@@ -1571,6 +1571,15 @@ class PlanSpec extends AnyFunSuite {
         HAVING (COUNT(?o) > 0) } } }"""
     assert(shape(planOf(6, hv)) == shape(planOf(2, hv)),
       "threaded HAVING-over-global-aggregate must not scale with graph count")
+    // un-ordered LIMIT (r17): threads as a deterministic per-graph
+    // window cut — same one-pass shape, same group-limit rewrite
+    val ul = """SELECT ?g ?s WHERE { GRAPH ?g {
+      { SELECT ?s WHERE { ?s :e ?o } LIMIT 1 } } }"""
+    val pUl = planOf(2, ul)
+    assert(pUl.contains("WindowGroupLimit"),
+      "un-ordered per-graph cut must apply as a group limit")
+    assert(shape(planOf(6, ul)) == shape(pUl),
+      "un-ordered per-graph cut must not scale with graph count")
   }
 
   test("text_contamination_bloom: join-free screen, distributed build") {

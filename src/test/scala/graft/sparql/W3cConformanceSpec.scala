@@ -2176,6 +2176,38 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("gr" -> "g:b", "c" -> "2")))
   }
 
+  test("graph:var-subselect-unordered-limit — LIMIT without ORDER BY cuts per graph") {
+    // §18.2.5.3 leaves the un-ordered slice's CHOICE free; its
+    // CARDINALITY is not free — one row per graph here (g:a has two
+    // name solutions, g:b one), and every returned row must be a
+    // real solution of its graph
+    val got = runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT ?s WHERE { ?s :name ?n } LIMIT 1 } } }""".stripMargin)
+    assert(got.size == 2, s"one row per graph, got $got")
+    assert(got.map(_("gr")) == Set("g:a", "g:b"))
+    val valid = Set(("g:a", "e:1"), ("g:a", "e:2"), ("g:b", "e:3"))
+    assert(got.forall(m => valid.contains((m("gr"), m("s")))))
+    // OFFSET without ORDER BY skips per graph: g:a retains one of its
+    // two solutions, g:b (one solution) retains none
+    val off = runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT ?s WHERE { ?s :name ?n } OFFSET 1 } } }""".stripMargin)
+    assert(off.size == 1 && off.head("gr") == "g:a")
+  }
+
+  test("graph:var-global-agg-orderby — ORDER BY over a global aggregate is unobservable") {
+    // without a slice, a subquery's solution order cannot be observed
+    // through the enclosing join — the threaded plan drops it and the
+    // answer matches the order-free form, match-free fill included
+    assert(runQ(
+      """SELECT ?gr ?c WHERE { GRAPH ?gr {
+        |  { SELECT (COUNT(?z) AS ?c) WHERE { ?s :blocked ?z }
+        |    ORDER BY ?c } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "c" -> "0"),
+        b("gr" -> "g:b", "c" -> "1")))
+  }
+
   test("graph:var-global-agg-having-min — an unbound MIN fill never passes equality HAVING") {
     // MIN over an empty multiset is an ERROR (§18.5.1): the match-free
     // graph's fill is unbound, and the HAVING comparison over it is an
