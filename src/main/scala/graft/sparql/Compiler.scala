@@ -931,15 +931,25 @@ object Compiler {
     // per graph are a correct answer — the window sorts on the full
     // projection, a deterministic (and therefore reproducible)
     // instantiation of that freedom.
+    // GROUPED aggregates under a slice thread the same way (r17,
+    // top-k-per-graph): ?g joins the grouping keys, the grouped fold
+    // runs once, the cut windows on ?g — match-free graphs correctly
+    // yield nothing (grouped aggregation of an empty multiset has no
+    // groups, unlike the global fill case below). GLOBAL aggregates
+    // under a slice stay on the fallback: their cut interacts with
+    // the §18.5 one-row-per-graph fill.
     case SubSelect(q)
       if (q.limit >= 0 || q.offset > 0) &&
-        q.projection.nonEmpty && q.aggregates.isEmpty &&
+        q.projection.nonEmpty &&
+        (q.aggregates.isEmpty || q.groupBy.nonEmpty) &&
         q.orderBy.forall(o => q.projection.contains(o._1)) &&
         q.fromGraphs.isEmpty && q.fromNamed.isEmpty &&
         !allVars(q.where).contains(gn) && !q.projection.contains(gn) =>
       threadGraphVar(gn, q.where).filter(w => allVars(w).contains(gn))
         .map(w2 => PerGraphLimited(gn,
           q.copy(where = w2, projection = q.projection :+ gn,
+            groupBy =
+              if (q.aggregates.nonEmpty) q.groupBy :+ gn else q.groupBy,
             orderBy =
               if (q.orderBy.nonEmpty) q.orderBy
               else q.projection.map(_ -> true))))

@@ -2196,6 +2196,27 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(off.size == 1 && off.head("gr") == "g:a")
   }
 
+  test("graph:var-subselect-grouped-topk — grouped aggregate + ordered LIMIT cuts per graph") {
+    // top-1 subject by name-count per graph: g:a counts e:1→1, e:2→1
+    // (tie broken ascending by ?s), g:b counts e:3→1 — one row per
+    // graph, and a match-free grouping never invents a row
+    assert(runQ(
+      """SELECT ?gr ?s ?c WHERE { GRAPH ?gr {
+        |  { SELECT ?s (COUNT(?n) AS ?c) WHERE { ?s :name ?n }
+        |    GROUP BY ?s ORDER BY DESC(?c) ?s LIMIT 1 } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1", "c" -> "1"),
+        b("gr" -> "g:b", "s" -> "e:3", "c" -> "1")))
+    // the numeric sort key orders by VALUE: e:1 has two scored rows
+    // in no graph, but g:b's scores (7 for e:3, 1 for e:2) rank by
+    // the aggregate, not its lexical form
+    assert(runQ(
+      """SELECT ?gr ?s ?m WHERE { GRAPH ?gr {
+        |  { SELECT ?s (MAX(?sc) AS ?m) WHERE { ?s :score ?sc }
+        |    GROUP BY ?s ORDER BY DESC(?m) LIMIT 1 } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1", "m" -> "5"),
+        b("gr" -> "g:b", "s" -> "e:3", "m" -> "7")))
+  }
+
   test("graph:var-global-agg-orderby — ORDER BY over a global aggregate is unobservable") {
     // without a slice, a subquery's solution order cannot be observed
     // through the enclosing join — the threaded plan drops it and the
