@@ -96,6 +96,17 @@ class PlanSpec extends AnyFunSuite {
       "codebook medians must partial-aggregate")
   }
 
+  test("ann_ivfpq_probe_sweep: every probe branch keeps the composed shape") {
+    // three stacked ivfPqTopK branches — each must preserve the
+    // composed index's plan: semi-join pruning, no corpus cross-join
+    // (the query-vector crossJoin is 1-row broadcast, never Cartesian)
+    val p = plan("ann_ivfpq_probe_sweep")
+    assert(!p.contains("CartesianProduct"),
+      "no probe point may fall to a Cartesian corpus product")
+    assert(p.contains("LeftSemi"),
+      "probed lists must prune via semi-join in every branch")
+  }
+
   test("data_curriculum: cuts come from the capped sample, not a " +
        "full-corpus percentile") {
     val p = plan("data_curriculum")
