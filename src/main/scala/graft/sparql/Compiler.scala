@@ -940,19 +940,31 @@ object Compiler {
     // the §18.5 one-row-per-graph fill.
     case SubSelect(q)
       if (q.limit >= 0 || q.offset > 0) &&
-        q.projection.nonEmpty &&
+        (q.projection.nonEmpty || q.aggregates.isEmpty) &&
         (q.aggregates.isEmpty || q.groupBy.nonEmpty) &&
-        q.orderBy.forall(o => q.projection.contains(o._1)) &&
         q.fromGraphs.isEmpty && q.fromNamed.isEmpty &&
-        !allVars(q.where).contains(gn) && !q.projection.contains(gn) =>
+        !allVars(q.where).contains(gn) && !q.projection.contains(gn) && {
+          // SELECT * projects every where-var except non-distinguished
+          // blanks (§4.1.4) and the reserved internals (lifted sort
+          // keys / aggregates / HAVING helpers — run()'s own star
+          // convention) — a statically-known set, so the star form
+          // threads like an explicit projection
+          val proj = if (q.projection.nonEmpty) q.projection
+            else starProjection(q.where)
+          proj.nonEmpty && q.orderBy.forall(o => proj.contains(o._1))
+        } =>
       threadGraphVar(gn, q.where).filter(w => allVars(w).contains(gn))
-        .map(w2 => PerGraphLimited(gn,
-          q.copy(where = w2, projection = q.projection :+ gn,
-            groupBy =
-              if (q.aggregates.nonEmpty) q.groupBy :+ gn else q.groupBy,
-            orderBy =
-              if (q.orderBy.nonEmpty) q.orderBy
-              else q.projection.map(_ -> true))))
+        .map { w2 =>
+          val proj = if (q.projection.nonEmpty) q.projection
+            else starProjection(q.where)
+          PerGraphLimited(gn,
+            q.copy(where = w2, projection = proj :+ gn,
+              groupBy =
+                if (q.aggregates.nonEmpty) q.groupBy :+ gn else q.groupBy,
+              orderBy =
+                if (q.orderBy.nonEmpty) q.orderBy
+                else proj.map(_ -> true)))
+        }
     // GLOBAL aggregate (no GROUP BY): §18.5 gives EVERY named graph a
     // row — match-free graphs included — so the threaded groupBy-?g
     // result must right-join the graph-name set and fill empty-group
@@ -978,6 +990,17 @@ object Compiler {
     case gg: GraphGroup => Some(gg)
     case _ => None
   }
+
+  /** The statically-known SELECT * variable set of a pattern: every
+    * where-var minus non-distinguished blanks (§4.1.4) and the
+    * reserved internal namespaces (lifted sort keys, §18.2.4.4
+    * aggregates, HAVING helpers) — run()'s star convention, sorted
+    * for deterministic synthesized orderings.
+    */
+  private def starProjection(w: Pattern): Seq[String] =
+    allVars(w).filterNot(n => n.startsWith("__bn") ||
+      n.startsWith("__ord") || n.startsWith("__sagg") ||
+      n.startsWith("__hv")).toSeq.sorted
 
   /** Force a threaded operand to bind the graph variable when its
     * composition requires it (`need`): a side that already binds `?g`

@@ -2217,6 +2217,22 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("gr" -> "g:b", "s" -> "e:3", "m" -> "7")))
   }
 
+  test("graph:var-subselect-star-limit — SELECT * under a slice threads per graph") {
+    // the star set is statically known (every where-var), so the
+    // ordered cut windows per graph like an explicit projection
+    assert(runQ(
+      """SELECT ?gr ?s ?n WHERE { GRAPH ?gr {
+        |  { SELECT * WHERE { ?s :name ?n }
+        |    ORDER BY DESC(?n) LIMIT 1 } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:2", "n" -> "beta"),
+        b("gr" -> "g:b", "s" -> "e:3", "n" -> "gamma")))
+    // un-ordered star slice: per-graph cardinality only
+    val got = runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT * WHERE { ?s :name ?n } LIMIT 1 } } }""".stripMargin)
+    assert(got.size == 2 && got.map(_("gr")) == Set("g:a", "g:b"))
+  }
+
   test("graph:var-global-agg-orderby — ORDER BY over a global aggregate is unobservable") {
     // without a slice, a subquery's solution order cannot be observed
     // through the enclosing join — the threaded plan drops it and the
