@@ -62,9 +62,15 @@ object GraphScaleSoak {
     val groupQ =
       """SELECT ?g ?x ?n ?y WHERE { GRAPH ?g {
         |  ?x :name ?n OPTIONAL { ?x :e ?y } } }""".stripMargin
+    // r17.j machinery: the grouped top-k-per-graph cut (one grouped
+    // fold + one group-limit window, no plan per graph)
+    val topkQ =
+      """SELECT ?g ?x ?c WHERE { GRAPH ?g {
+        |  { SELECT ?x (COUNT(?y) AS ?c) WHERE { ?x :e ?y }
+        |    GROUP BY ?x ORDER BY DESC(?c) ?x LIMIT 3 } } }""".stripMargin
     val counts = Seq(10, 100, 1000)
     val results = for (n <- counts; (qname, q) <- Seq("path" -> pathQ,
-        "group" -> groupQ)) yield {
+        "group" -> groupQ, "topk" -> topkQ)) yield {
       // materialize the fixture OUTSIDE the timing (parquet scratch,
       // like the bench layout warmup) so the timer sees query cost,
       // not fixture synthesis
@@ -94,7 +100,8 @@ object GraphScaleSoak {
         .queryExecution.executedPlan.toString
       ("Union".r.findAllIn(p).size, "Scan".r.findAllIn(p).size)
     }
-    val shapes = Seq("path" -> pathQ, "group" -> groupQ).map {
+    val shapes = Seq("path" -> pathQ, "group" -> groupQ,
+        "topk" -> topkQ).map {
       case (nm, q) => nm -> (shape(10, q), shape(1000, q))
     }
     val medJson = results.map { case (n, qn, m) =>
