@@ -973,11 +973,15 @@ object Compiler {
     // a match-free graph IS a group — the compile branch applies
     // HAVING after the fill. ORDER BY threads by DROPPING (r17): a
     // subquery's solution order is unobservable through the enclosing
-    // join without a slice (§18.2.5.3), and the slice case is
-    // excluded by the limit/offset guard.
+    // join without a slice (§18.2.5.3) — and the slice threads away
+    // too: the per-graph solution sequence has EXACTLY one row (≤1
+    // after HAVING), so OFFSET 0 + LIMIT ≥ 1 keeps whatever survives
+    // and the sliced form answers identically to the slice-free one.
+    // Only the degenerate empties (OFFSET ≥ 1, LIMIT 0) stay on the
+    // fallback.
     case SubSelect(q)
       if q.aggregates.nonEmpty && q.groupBy.isEmpty &&
-        q.limit < 0 && q.offset == 0 &&
+        (q.limit < 0 || q.limit >= 1) && q.offset == 0 &&
         q.fromGraphs.isEmpty && q.fromNamed.isEmpty &&
         !allVars(q.where).contains(gn) && !q.projection.contains(gn) =>
       threadGraphVar(gn, q.where).filter(w => allVars(w).contains(gn))
@@ -985,7 +989,7 @@ object Compiler {
           where = w2,
           projection = q.projection :+ gn,
           groupBy = Seq(gn),
-          orderBy = Seq.empty)))
+          orderBy = Seq.empty, limit = -1L, offset = 0L)))
     case gb: GraphBgp => Some(gb)
     case gg: GraphGroup => Some(gg)
     case _ => None
@@ -1880,11 +1884,11 @@ object Compiler {
               // operand of MINUS (threading it would put ?g into the
               // §8.3 domain-disjointness decision), (b) a body already
               // using a variable named like ?g (in-scope collision),
-              // (c) sub-SELECT shapes the window/fill rewrites don't
-              // cover (SELECT * or aggregate outputs under a slice,
-              // unprojected sort keys, dataset clauses). Graph names
-              // are metadata-scale (like predicates), so the branch
-              // count is small and each branch keeps the
+              // (c) sub-SELECT residue the window/fill rewrites
+              // leave: degenerate global-aggregate slices (OFFSET ≥ 1
+              // or LIMIT 0), unprojected sort keys, dataset clauses.
+              // Graph names are metadata-scale (like predicates), so
+              // the branch count is small and each branch keeps the
               // constant-graph pruning
               val graphs = qd.select(col("g")).distinct()
                 .collect().map(_.getString(0)).sorted.toSeq

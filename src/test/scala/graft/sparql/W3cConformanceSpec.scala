@@ -2245,6 +2245,25 @@ class W3cConformanceSpec extends AnyFunSuite {
         b("gr" -> "g:b", "c" -> "1")))
   }
 
+  test("graph:var-global-agg-limit — a sliced global aggregate still fills per graph") {
+    // the per-graph solution sequence of a global aggregate is ONE
+    // row, so LIMIT 1 keeps it — including the match-free graph's
+    // COUNT-0 fill (a GLOBAL limit-1 plan would keep one row total)
+    assert(runQ(
+      """SELECT ?gr ?c WHERE { GRAPH ?gr {
+        |  { SELECT (COUNT(?z) AS ?c) WHERE { ?s :blocked ?z }
+        |    ORDER BY ?c LIMIT 1 } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "c" -> "0"),
+        b("gr" -> "g:b", "c" -> "1")))
+    // composed with HAVING: the surviving ≤1-row sequence is what the
+    // slice keeps — only g:b's row exists to keep
+    assert(runQ(
+      """SELECT ?gr ?c WHERE { GRAPH ?gr {
+        |  { SELECT (COUNT(?z) AS ?c) WHERE { ?s :blocked ?z }
+        |    HAVING (COUNT(?z) > 0) LIMIT 1 } } }""".stripMargin) ==
+      Set(b("gr" -> "g:b", "c" -> "1")))
+  }
+
   test("graph:var-global-agg-having-min — an unbound MIN fill never passes equality HAVING") {
     // MIN over an empty multiset is an ERROR (§18.5.1): the match-free
     // graph's fill is unbound, and the HAVING comparison over it is an
