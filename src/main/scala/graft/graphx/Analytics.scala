@@ -200,6 +200,15 @@ object Analytics {
       rounds += 1
     }
     lastCcRounds = rounds
+    // maxRounds is a safety valve, not an output mode: hash-min labels
+    // are only correct AT the fixpoint, so exiting the loop un-converged
+    // must be an error, not a silently-truncated answer that the
+    // documented componentsById contract can't distinguish (lastCcRounds
+    // alone can't tell converged-at-max from truncated).
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentsByIdDF did not converge in $maxRounds rounds " +
+          "(graph diameter exceeds maxRounds); raise maxRounds")
     comp
   }
 

@@ -221,7 +221,11 @@ object Similarity {
     */
   def ivfProbeSweep(embeddings: DataFrame, queryId: Long = 0, k: Int = 10,
                     probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
-    val truth = bruteForceTopK(embeddings, queryId, k)
+    // checkpoint the shared truth (the dimTruncEval idiom): fed
+    // un-materialized into |probes| union branches, Spark would
+    // duplicate the brute-force corpus scan into each branch
+    val truth = graft.Checkpoints.tracked(
+      bruteForceTopK(embeddings, queryId, k))
     probes.map { np =>
       ivfTopK(embeddings, queryId, k, np).join(truth, "vec_id")
         .agg(count(lit(1)).as("n_hit"))
@@ -241,7 +245,10 @@ object Similarity {
   def ivfPqProbeSweep(embeddings: DataFrame, queryId: Long = 0,
                       k: Int = 10, rerank: Int = 32,
                       probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
-    val truth = bruteForceTopK(embeddings, queryId, k)
+    // checkpoint the shared truth (the dimTruncEval idiom) — one
+    // materialized truth subtree instead of one scan per probe branch
+    val truth = graft.Checkpoints.tracked(
+      bruteForceTopK(embeddings, queryId, k))
     probes.map { np =>
       ivfPqTopK(embeddings, queryId, k, np, rerank).join(truth, "vec_id")
         .agg(count(lit(1)).as("n_hit"))

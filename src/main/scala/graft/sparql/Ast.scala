@@ -285,9 +285,15 @@ object Ast {
     * graph-threading rewrite (never the parser) and compiled as one
     * pass: the limit-less inner query runs threaded, then a window
     * partitioned on the graph column applies the ordered cut.
+    * `dropAfterCut` lists sort keys the rewrite LIFTED into the inner
+    * projection because the user query orders by them without
+    * projecting them (r18) — they exist only for the window's sort
+    * and are dropped (with their companions) once the cut has run, so
+    * the frame the enclosing group sees matches the user projection.
     */
-  private[sparql] final case class PerGraphLimited(graphVar: String,
-                                                   q: SelectQuery) extends Pattern
+  private[sparql] final case class PerGraphLimited(
+      graphVar: String, q: SelectQuery,
+      dropAfterCut: Seq[String] = Seq.empty) extends Pattern
   /** Compiler-internal: a graph-threaded GLOBAL aggregate — per §18.5
     * every named graph yields one row even when its slice matches
     * nothing, so the threaded groupBy-?g result right-joins the

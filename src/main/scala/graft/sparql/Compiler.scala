@@ -316,7 +316,8 @@ object Compiler {
     case GraphGroup(g, inner) => allVars(inner) ++
       (g match { case Var(n) => Set(n); case _ => Set.empty[String] })
     case GraphPath(gn, inner) => allVars(inner) + gn
-    case PerGraphLimited(gn, q) => subSelectVars(q) + gn
+    case PerGraphLimited(gn, q, dropAfter) =>
+      subSelectVars(q) -- dropAfter + gn
     case PerGraphGlobalAgg(gn, q) => subSelectVars(q) + gn
     case GraphNames(gn) => Set(gn)
     case Filter(_, in) => allVars(in)
@@ -374,7 +375,8 @@ object Compiler {
       // projection, no aggregates) projects every where-var.
       maybeUnboundVars(q.where).intersect(subSelectVars(q)) ++
         (q.projection.toSet diff allVars(q.where))
-    case PerGraphLimited(_, q) => maybeUnboundVars(SubSelect(q))
+    case PerGraphLimited(_, q, dropAfter) =>
+      maybeUnboundVars(SubSelect(q)) -- dropAfter
     // a match-free graph's MIN/MAX/SAMPLE fill as unbound
     case PerGraphGlobalAgg(_, q) =>
       maybeUnboundVars(SubSelect(q)) ++ q.aggregates.collect {
@@ -410,9 +412,16 @@ object Compiler {
     val risky = shared.filter(maybeUnbound)
     def naFill(df: DataFrame, leftCols: Seq[String]): DataFrame = {
       // reference fills unmatched OPTIONAL vars with constant "N/A"
-      // (SparqlToGremlinCompiler.java:122)
+      // (SparqlToGremlinCompiler.java:122). TYPED right-only columns
+      // (numeric BIND outputs riding the frame) represent unbound as
+      // SQL null instead — coalescing the lexical sentinel into a
+      // double column ANSI-crashes the cast (r18, found by the
+      // DATATYPE fill probe), and unboundCol's typed branch already
+      // reads plain null
       val optOnly = rdf0.columns.filterNot(isCompanion).diff(leftCols)
-      optOnly.foldLeft(df)((d, c) => d.withColumn(c, coalesce(col(c), lit("N/A"))))
+      optOnly.foldLeft(df)((d, c) =>
+        if (d.schema(c).dataType != org.apache.spark.sql.types.StringType) d
+        else d.withColumn(c, coalesce(col(c), lit("N/A"))))
     }
     if (risky.isEmpty)
       return naFill(joinOnVars(ldf0, rdf0, "left_outer"), ldf0.columns.toSeq)
@@ -921,16 +930,20 @@ object Compiler {
             groupBy =
               if (q.aggregates.nonEmpty) q.groupBy :+ gn else q.groupBy))
         }
-    // LIMIT/OFFSET with a deterministic ORDER BY over projected plain
-    // variables: the cut is PER GRAPH — thread the limit-less query
-    // and apply the ordered cut as a window partitioned on ?g
-    // (PerGraphLimited). Kept to the statically-safe shape: explicit
-    // projection, no aggregates, every sort key projected. An
-    // UN-ordered LIMIT/OFFSET (r17) threads too: §18.2.5.3 leaves the
-    // slice's choice unconstrained without ORDER BY, so ANY n rows
-    // per graph are a correct answer — the window sorts on the full
-    // projection, a deterministic (and therefore reproducible)
-    // instantiation of that freedom.
+    // LIMIT/OFFSET with a deterministic ORDER BY: the cut is PER
+    // GRAPH — thread the limit-less query and apply the ordered cut
+    // as a window partitioned on ?g (PerGraphLimited). An UNPROJECTED
+    // sort key (r18) threads by LIFTING it into the inner projection
+    // for the window's sort and dropping it after the cut — sound
+    // when the key resolves in the where frame and no DISTINCT or
+    // aggregate projection wall sits between the sort and the key
+    // (under DISTINCT §18.2.5.3 requires projected keys anyway; under
+    // grouping a sort key must be a grouping key/alias, i.e.
+    // projected). An UN-ordered LIMIT/OFFSET (r17) threads too:
+    // §18.2.5.3 leaves the slice's choice unconstrained without ORDER
+    // BY, so ANY n rows per graph are a correct answer — the window
+    // sorts on the full projection, a deterministic (and therefore
+    // reproducible) instantiation of that freedom.
     // GROUPED aggregates under a slice thread the same way (r17,
     // top-k-per-graph): ?g joins the grouping keys, the grouped fold
     // runs once, the cut windows on ?g — match-free graphs correctly
@@ -951,19 +964,24 @@ object Compiler {
           // threads like an explicit projection
           val proj = if (q.projection.nonEmpty) q.projection
             else starProjection(q.where)
-          proj.nonEmpty && q.orderBy.forall(o => proj.contains(o._1))
+          val unproj = q.orderBy.map(_._1).filterNot(proj.contains).distinct
+          proj.nonEmpty && (unproj.isEmpty ||
+            (q.aggregates.isEmpty && !q.distinct &&
+              unproj.forall(allVars(q.where).contains)))
         } =>
       threadGraphVar(gn, q.where).filter(w => allVars(w).contains(gn))
         .map { w2 =>
           val proj = if (q.projection.nonEmpty) q.projection
             else starProjection(q.where)
+          val unproj = q.orderBy.map(_._1).filterNot(proj.contains).distinct
           PerGraphLimited(gn,
-            q.copy(where = w2, projection = proj :+ gn,
+            q.copy(where = w2, projection = (proj ++ unproj) :+ gn,
               groupBy =
                 if (q.aggregates.nonEmpty) q.groupBy :+ gn else q.groupBy,
               orderBy =
                 if (q.orderBy.nonEmpty) q.orderBy
-                else proj.map(_ -> true)))
+                else proj.map(_ -> true)),
+            dropAfterCut = unproj)
         }
     // GLOBAL aggregate (no GROUP BY): §18.5 gives EVERY named graph a
     // row — match-free graphs included — so the threaded groupBy-?g
@@ -1151,7 +1169,15 @@ object Compiler {
     def pad(df: DataFrame): DataFrame =
       df.select(allCols.map(c =>
         if (df.columns.contains(c)) col(c)
-        else if (optOnly.contains(c)) lit("N/A").as(c)
+        else if (optOnly.contains(c)) {
+          // TYPED right-only vars (numeric BINDs) stay null-typed —
+          // the sentinel string would force a union-wide re-type
+          val dt = matched.schema.fields.collectFirst {
+            case f if f.name == c => f.dataType
+          }.getOrElse(org.apache.spark.sql.types.StringType)
+          if (dt == org.apache.spark.sql.types.StringType) lit("N/A").as(c)
+          else lit(null).cast(dt).as(c)
+        }
         else lit(null).cast(
           if (isNumCol(c)) "double"
           else if (isIriCol(c)) "boolean" else "string").as(c)): _*)
@@ -1782,11 +1808,13 @@ object Compiler {
             col(langCol(n)).isNotNull && col(langCol(n)) =!= ""
           else lit(false)
         if (df.columns.contains(langCol(n)) || df.columns.contains(numCol(n)))
-          // the value itself may be null — an error-valued BIND, or a
+          // the value itself may be unbound — an error-valued BIND, a
           // Union-padded row where only the OTHER branch binds the
-          // var — and DATATYPE of an error/unbound is an error, not
-          // xsd:string
-          when(col(n).isNull, lit(null).cast("string"))
+          // var, or an OPTIONAL-unmatched row carrying the lexical
+          // "N/A" fill — and DATATYPE of an error/unbound is an
+          // error, not xsd:string. unboundCol is the house predicate
+          // for exactly this (null OR the companion-less sentinel)
+          when(unboundCol(df, n), lit(null).cast("string"))
             .when(isNum, lit("http://www.w3.org/2001/XMLSchema#double"))
             .when(isTagged,
               lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
@@ -1811,9 +1839,13 @@ object Compiler {
           .otherwise(lower(coalesce(col(langCol(n)), lit(""))))
       // a BIND-minted literal carries no term-kind companion but may
       // carry a lang companion (STRLANG, tag-preserving builtins) —
-      // LANG reads it; "" is the explicit plain-literal marker
+      // LANG reads it; "" is the explicit plain-literal marker. Like
+      // DATATYPE above, the value itself may be unbound (error BIND,
+      // union padding, OPTIONAL "N/A" fill) — LANG of unbound is an
+      // error, not ""
       else if (df.columns.contains(langCol(n)))
-        lower(coalesce(col(langCol(n)), lit("")))
+        when(unboundCol(df, n), lit(null).cast("string"))
+          .otherwise(lower(coalesce(col(langCol(n)), lit(""))))
       else lit(null).cast("string")
     case VIf(c, t, f) =>
       // §17.4.1.2: IF with an ERROR condition is an error (unbound)
@@ -1886,7 +1918,9 @@ object Compiler {
               // using a variable named like ?g (in-scope collision),
               // (c) sub-SELECT residue the window/fill rewrites
               // leave: degenerate global-aggregate slices (OFFSET ≥ 1
-              // or LIMIT 0), unprojected sort keys, dataset clauses.
+              // or LIMIT 0), unprojected sort keys under a DISTINCT
+              // or aggregate projection wall (plain unprojected keys
+              // thread via the r18 lift), dataset clauses.
               // Graph names are metadata-scale (like predicates), so
               // the branch count is small and each branch keeps the
               // constant-graph pruning
@@ -1911,7 +1945,7 @@ object Compiler {
       val qd = quads.getOrElse(throw new IllegalArgumentException(
         "GRAPH requires a quad dataset — run the query via runQuads"))
       compileGraphPath(qd, gn, path)
-    case PerGraphLimited(gn, q) =>
+    case PerGraphLimited(gn, q, dropAfter) =>
       // the threaded limit-less sub-SELECT runs once; the ordered cut
       // applies per named graph via a window partitioned on ?g — the
       // one pass the enumerate fallback used to buy with a plan per
@@ -1931,11 +1965,16 @@ object Compiler {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(gn)).orderBy(sorts: _*)
       val rn = inner.withColumn("__pgl_rn", row_number().over(w))
-      (if (q.limit >= 0)
+      val cut = (if (q.limit >= 0)
         rn.filter(col("__pgl_rn") > q.offset &&
           col("__pgl_rn") <= q.offset + q.limit)
       else rn.filter(col("__pgl_rn") > q.offset))
         .drop("__pgl_rn")
+      // lifted unprojected sort keys (r18) leave the frame here, with
+      // their companions — the cut has consumed them
+      if (dropAfter.isEmpty) cut
+      else cut.drop(dropAfter.flatMap(c =>
+        Seq(c, numCol(c), iriCol(c), langCol(c))): _*)
     case PerGraphGlobalAgg(gn, q) =>
       // the threaded aggregate (grouped on ?g) yields rows only for
       // MATCHING graphs; §18.5 demands one row per named graph, so

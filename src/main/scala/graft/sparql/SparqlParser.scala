@@ -18,8 +18,17 @@ object SparqlParser extends RegexParsers {
   override val whiteSpace = """(\s|#[^\n]*)+""".r
 
   // ---- terms -------------------------------------------------------
+  // the `__` prefix is the compiler's reserved namespace (synthesized
+  // helper columns: __bn_*, __hv*, __ord*, __cr_*) — a user variable
+  // there would be silently dropped by SELECT *'s star convention and
+  // could mis-bind against a synthesized helper, so it is a hard
+  // parse error (err, not failure: no alternative may swallow it)
   private def varTerm: Parser[Var] =
-    """\?[A-Za-z_][A-Za-z0-9_]*""".r ^^ (s => Var(s.tail))
+    """\?[A-Za-z_][A-Za-z0-9_]*""".r >> { s =>
+      if (s.startsWith("?__"))
+        err(s"variable name '$s' uses the reserved '__' prefix")
+      else success(Var(s.tail))
+    }
   private def iriRef: Parser[Iri] =
     """<[^<>\s]*>""".r ^^ (s => Iri(s.substring(1, s.length - 1)))
   // W3C PN_LOCAL permits a leading digit (`reg:2` is a valid prefixed
@@ -1098,8 +1107,8 @@ object SparqlParser extends RegexParsers {
     case pb: PreBound => pb
     case g: GraphNames => g
     case GraphPath(gn, path) => GraphPath(gn, rewritePattern(path, f))
-    case PerGraphLimited(gn, q) =>
-      PerGraphLimited(gn, q.copy(where = rewritePattern(q.where, f)))
+    case PerGraphLimited(gn, q, dropAfter) =>
+      PerGraphLimited(gn, q.copy(where = rewritePattern(q.where, f)), dropAfter)
     case PerGraphGlobalAgg(gn, q) =>
       PerGraphGlobalAgg(gn, q.copy(where = rewritePattern(q.where, f)))
   }

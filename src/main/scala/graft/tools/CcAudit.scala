@@ -38,28 +38,36 @@ object CcAudit {
       .select(col("src"), col("dst"))
     println(s"[ccaudit] edges=${edges.count()}")
 
-    def time(name: String)(run: () => Unit): Double = {
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        run()
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.graphx.Analytics.releaseCaches()
-        graft.Checkpoints.releaseCaches(blocking = true)
-        dt
-      }.sorted
-      val med = ts(ts.length / 2)
-      println(f"[ccaudit] $name median=$med%.2f " +
-        s"runs=${ts.map(x => f"$x%.2f").mkString(",")}")
-      med
+    def rep(run: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      run()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.graphx.Analytics.releaseCaches()
+      graft.Checkpoints.releaseCaches(blocking = true)
+      dt
     }
-    val gx = time("graphx") { () =>
+    val runGx = () =>
       graft.graphx.Analytics.connectedComponents(spark, edges)
         .write.format("noop").mode("overwrite").save()
-    }
-    val df = time("dfloop") { () =>
+    val runDf = () =>
       graft.graphx.Analytics.connectedComponentsDF(spark, edges)
         .write.format("noop").mode("overwrite").save()
+    // order-neutral comparison (r17 ADVICE): one discarded warm-up rep
+    // per engine, then ALTERNATE which engine goes first within each
+    // timed round, so JIT/codegen/page-cache warm-up can't
+    // systematically favor whichever engine runs second
+    rep(runGx); rep(runDf)
+    val rounds = (1 to reps).map { i =>
+      if (i % 2 == 1) { val g = rep(runGx); val d = rep(runDf); (g, d) }
+      else { val d = rep(runDf); val g = rep(runGx); (g, d) }
     }
+    def med(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.length / 2) }
+    val gx = med(rounds.map(_._1))
+    val df = med(rounds.map(_._2))
+    println(f"[ccaudit] graphx median=$gx%.2f " +
+      s"runs=${rounds.map(r => f"${r._1}%.2f").mkString(",")}")
+    println(f"[ccaudit] dfloop median=$df%.2f " +
+      s"runs=${rounds.map(r => f"${r._2}%.2f").mkString(",")}")
     println(s"""{"metric":"cc_audit","sf_dir":"$dir","reps":$reps,""" +
       s""""graphx_median":$gx,"dfloop_median":$df,""" +
       s""""df_rounds":${graft.graphx.Analytics.lastCcRounds}}""")

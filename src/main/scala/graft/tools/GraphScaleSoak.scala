@@ -92,13 +92,32 @@ object GraphScaleSoak {
       (n, qname, med)
     }
     // plan-shape counters at the sweep's ends: the threaded plan must
-    // not grow a union branch or a scan per named graph
+    // not grow a union branch or a scan per named graph. Count CONCRETE
+    // operator nodes (r17 ADVICE) — a substring match on the plan
+    // string can hit unrelated tokens ("ReusedScan", column names) and
+    // drifts across Spark versions; a tree walk cannot. "Scans" =
+    // leaf exec nodes (file/local/in-memory scans), descending into
+    // AQE wrappers so the counted tree is the one that would execute.
     def shape(n: Int, q: String): (Int, Int) = {
+      import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, UnionExec}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       val qd = spark.read.parquet(s"target/graphsoak/q$n")
       val p = graft.sparql.Compiler.runQuads(qd,
         graft.sparql.SparqlParser.parse(q))
-        .queryExecution.executedPlan.toString
-      ("Union".r.findAllIn(p).size, "Scan".r.findAllIn(p).size)
+        .queryExecution.executedPlan
+      var unions = 0
+      var scans = 0
+      def walk(node: SparkPlan): Unit = {
+        node match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case _: UnionExec => unions += 1
+          case _: LeafExecNode => scans += 1
+          case _ => ()
+        }
+        node.children.foreach(walk)
+      }
+      walk(p)
+      (unions, scans)
     }
     val shapes = Seq("path" -> pathQ, "group" -> groupQ,
         "topk" -> topkQ).map {

@@ -2233,6 +2233,113 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(got.size == 2 && got.map(_("gr")) == Set("g:a", "g:b"))
   }
 
+  /** Numeric-score quads for the unprojected-sort-key probes (r18):
+    * values chosen so LEXICAL ordering picks a different winner than
+    * numeric ordering in every graph.
+    */
+  private lazy val ordQuads: DataFrame = Seq(
+    ("g:a", "x:1", ":v", "5", Some(5.0), false, Option.empty[String]),
+    ("g:a", "x:2", ":v", "40", Some(40.0), false, None),
+    ("g:a", "x:3", ":v", "7", Some(7.0), false, None),
+    ("g:b", "y:1", ":v", "10", Some(10.0), false, None),
+    ("g:b", "y:2", ":v", "9", Some(9.0), false, None))
+    .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+
+  test("graph:var-values-union-optional — VALUES under a UNION-of-OPTIONAL branch replicates per graph") {
+    // the VALUES branch is ?g-free until the GraphNames frame
+    // replicates it: e:9 has no score in EITHER graph, so both
+    // graphs carry its null-padded row next to the pattern branch's
+    // per-graph OPTIONAL rows
+    assert(runQ(
+      """SELECT ?gr ?s ?sc WHERE { GRAPH ?gr {
+        |  { ?s :name ?n OPTIONAL { ?s :score ?sc } }
+        |  UNION
+        |  { VALUES ?s { <e:9> } OPTIONAL { ?s :score ?sc } } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1", "sc" -> "5"),
+        b("gr" -> "g:a", "s" -> "e:2"),
+        b("gr" -> "g:b", "s" -> "e:3", "sc" -> "7"),
+        b("gr" -> "g:a", "s" -> "e:9"),
+        b("gr" -> "g:b", "s" -> "e:9")))
+  }
+
+  test("graph:var-values-exists-minus — EXISTS over a pure-VALUES input inside a MINUS right") {
+    // the MINUS right side is VALUES + EXISTS: :blocked exists only
+    // in g:b, so e:3 is removed from g:b's evaluation only — g:a
+    // keeps its full name set
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  ?s :name ?n
+        |  MINUS { VALUES ?s { <e:3> } FILTER EXISTS { ?s :blocked ?z } } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1"),
+        b("gr" -> "g:a", "s" -> "e:2")))
+  }
+
+  test("graph:from-named-threaded-path — FROM NAMED restricts a threaded closure") {
+    // §13.2 composing with the one-pass GRAPH ?g path: only g:a is
+    // in the named set, so g:b's 2→4 edge must not contribute
+    assert(runQ(
+      """SELECT ?gr ?x ?y FROM NAMED <g:a>
+        |WHERE { GRAPH ?gr { ?x :next+ ?y } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "x" -> "e:1", "y" -> "e:2")))
+  }
+
+  test("graph:var-unordered-slice-determinism — the synthesized cut is partitioning-invariant") {
+    // §18.2.5.3 leaves an un-ordered slice's choice free; the engine
+    // instantiates it with a deterministic full-projection sort, so
+    // the SAME rows must come back under any physical partitioning
+    val q = SparqlParser.parse(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT ?s WHERE { ?s :name ?n } LIMIT 1 } } }""".stripMargin)
+    val r1 = bindings(Compiler.runQuads(varGraphQuads.repartition(1), q))
+    val r7 = bindings(Compiler.runQuads(varGraphQuads.repartition(7), q))
+    assert(r1 == r7)
+    assert(r1.size == 2 && r1.map(_("gr")) == Set("g:a", "g:b"))
+  }
+
+  test("graph:var-subselect-unprojected-key — ORDER BY over an unprojected var cuts per graph") {
+    // the sort key ?sc is NOT projected: it lifts into the window's
+    // sort and is dropped after the cut — the binding maps must carry
+    // ONLY ?gr/?s (a leaked lift would add a key to the maps)
+    assert(bindings(Compiler.runQuads(varGraphQuads, SparqlParser.parse(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT ?s WHERE { ?s :score ?sc }
+        |    ORDER BY DESC(?sc) LIMIT 1 } } }""".stripMargin))) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1"),
+        b("gr" -> "g:b", "s" -> "e:3")))
+  }
+
+  test("graph:var-subselect-unprojected-numeric — lifted keys order numerically") {
+    // 40 > 7 > 5 numerically but "7" > "5" > "40" lexically; 10 > 9
+    // but "9" > "10" — a lexical sort picks the wrong winner in BOTH
+    // graphs
+    def q(mods: String) = bindings(Compiler.runQuads(ordQuads,
+      SparqlParser.parse(
+        s"""SELECT ?gr ?s WHERE { GRAPH ?gr {
+           |  { SELECT ?s WHERE { ?s :v ?n } $mods } } }""".stripMargin)))
+    assert(q("ORDER BY DESC(?n) LIMIT 1") ==
+      Set(b("gr" -> "g:a", "s" -> "x:2"), b("gr" -> "g:b", "s" -> "y:1")))
+    // OFFSET composes with the lifted key per graph
+    assert(q("ORDER BY DESC(?n) OFFSET 1 LIMIT 1") ==
+      Set(b("gr" -> "g:a", "s" -> "x:3"), b("gr" -> "g:b", "s" -> "y:2")))
+  }
+
+  test("graph:var-subselect-unprojected-ties — tied lifted keys inside the cut all survive") {
+    // z:1/z:2 tie at 3: LIMIT 2 keeps both regardless of which the
+    // window ranks first — the probe is deterministic AS A SET
+    val tieQuads = Seq(
+      ("g:c", "z:1", ":v", "3", Some(3.0), false, Option.empty[String]),
+      ("g:c", "z:2", ":v", "3", Some(3.0), false, None),
+      ("g:c", "z:3", ":v", "1", Some(1.0), false, None),
+      ("g:d", "w:1", ":v", "2", Some(2.0), false, None))
+      .toDF("g", "s", "p", "o", "o_num", "o_is_iri", "lang")
+    assert(bindings(Compiler.runQuads(tieQuads, SparqlParser.parse(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT ?s WHERE { ?s :v ?n }
+        |    ORDER BY DESC(?n) LIMIT 2 } } }""".stripMargin))) ==
+      Set(b("gr" -> "g:c", "s" -> "z:1"), b("gr" -> "g:c", "s" -> "z:2"),
+        b("gr" -> "g:d", "s" -> "w:1")))
+  }
+
   test("graph:var-global-agg-orderby — ORDER BY over a global aggregate is unobservable") {
     // without a slice, a subquery's solution order cannot be observed
     // through the enclosing join — the threaded plan drops it and the
@@ -3431,6 +3538,50 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(b("x" -> "t",
           "dt" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
         b("x" -> "u")))
+  }
+
+  test("functions:datatype-optional-fill — DATATYPE of an OPTIONAL-unmatched minted var is an error") {
+    // dave has no :age: the OPTIONAL fills ?b with the lexical "N/A"
+    // sentinel (not SQL null) and null companions — DATATYPE must
+    // treat that as unbound (error), not type the sentinel as
+    // xsd:string (r17 ADVICE: the guard reads unboundCol, not isNull)
+    assert(run(people,
+      """SELECT ?x ?dt WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :age ?a BIND(?a + 0 AS ?b) }
+        |  BIND(DATATYPE(?b) AS ?dt) }""".stripMargin) ==
+      Set(b("x" -> "p:alice", "dt" -> "http://www.w3.org/2001/XMLSchema#double"),
+        b("x" -> "p:bob", "dt" -> "http://www.w3.org/2001/XMLSchema#double"),
+        b("x" -> "p:carol", "dt" -> "http://www.w3.org/2001/XMLSchema#double"),
+        b("x" -> "p:dave")))
+  }
+
+  test("functions:lang-optional-fill — LANG of an OPTIONAL-unmatched minted var is an error") {
+    // same fill path through LANG: the tagged mint exists only where
+    // the OPTIONAL matched; dave's filled row must yield an error
+    // (unbound ?lg), not the plain-literal ""
+    assert(run(people,
+      """SELECT ?x ?lg WHERE { ?x :name ?n
+        |  OPTIONAL { ?x :age ?a BIND(STRLANG(?a, "en") AS ?t) }
+        |  BIND(LANG(?t) AS ?lg) }""".stripMargin) ==
+      Set(b("x" -> "p:alice", "lg" -> "en"),
+        b("x" -> "p:bob", "lg" -> "en"),
+        b("x" -> "p:carol", "lg" -> "en"),
+        b("x" -> "p:dave")))
+  }
+
+  test("syntax:reserved-var-prefix — user variables in the __ namespace are a parse error") {
+    // ?__-prefixed names are the compiler's synthesized-helper
+    // namespace (__bn*/__hv*/__ord*): SELECT * silently drops them
+    // and a collision could mis-bind, so the parser hard-errors
+    // instead of letting them vanish (r17 verdict)
+    val e = intercept[IllegalArgumentException] {
+      SparqlParser.parse("SELECT ?__x WHERE { ?__x :name ?n }")
+    }
+    assert(e.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException] {
+      SparqlParser.parse("SELECT ?s WHERE { ?s :name ?__ord0 }")
+    }
+    assert(e2.getMessage.contains("reserved"))
   }
 
   test("construct:template-bnode-typed — minted nodes serialize as bnodes") {
