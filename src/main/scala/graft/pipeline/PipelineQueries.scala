@@ -198,6 +198,12 @@ object PipelineQueries {
       TextAnalysis.zipfHeadCoverage(Tables.documents(s, dir))),
     "text_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir))),
+    // the corpus-scale vocabulary-training LOOP (r18): k merge rounds
+    // + the encode pass reading the trained table
+    "text_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, dir))),
+    "text_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, dir))),
     "data_shard_assign" -> ((s, dir) =>
       TextAnalysis.shardAssign(Tables.documents(s, dir))),
     "emb_quantize" -> ((s, dir) =>
@@ -571,6 +577,49 @@ object PipelineQueries {
     * choice). Shared by the default key and the forced-regime key so
     * the replays can never drift apart.
     */
+  /** Unrolled-round BPE oracle base (r18): the word-type table as
+    * space-joined character sequences with the </w> marker, plus one
+    * (pair-count, argmax, apply) CTE triple per merge round — the
+    * graph_kcore unroll pattern. Rounds are a fixed query constant
+    * (not observed), so the SQL is static. The argmax tiebreak
+    * (n DESC, tok_l, tok_r — binary string order in both engines)
+    * and the literal left-to-right non-overlapping `replace` make
+    * the two replays step-for-step equal.
+    */
+  private def bpeSqlCtes(rounds: Int): String = {
+    val base =
+      raw"""w0 AS (SELECT ' ' || array_to_string(
+           |    list_filter(regexp_split_to_array(w, ''), x -> x <> ''), ' ')
+           |    || ' </w> ' AS seq, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           |        FROM documents)
+           |  WHERE w <> '' GROUP BY 1)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""p$i AS (SELECT pr[1] AS tok_l, pr[2] AS tok_r,
+         |    CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS pr, freq
+         |        FROM (SELECT string_split(trim(seq), ' ') AS a, freq FROM w${i - 1})
+         |        WHERE len(a) >= 2)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT tok_l, tok_r, n FROM p$i ORDER BY n DESC, tok_l, tok_r LIMIT 1),
+         |w$i AS (SELECT replace(seq, ' '||tok_l||' '||tok_r||' ', ' '||tok_l||tok_r||' ') AS seq,
+         |    freq FROM w${i - 1}, m$i)""".stripMargin
+    }
+    s"WITH $base,\n${steps.mkString(",\n")}"
+  }
+
+  private def bpeTrainSql(rounds: Int): String =
+    bpeSqlCtes(rounds) + "\n" + (1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, tok_l, tok_r, n FROM m$i")
+      .mkString("\nUNION ALL\n")
+
+  private def bpeEncodeSql(rounds: Int, k: Int): String =
+    bpeSqlCtes(rounds) +
+      s"""
+         |SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |  SELECT unnest(string_split(trim(seq), ' ')) AS token, freq FROM w$rounds)
+         |GROUP BY 1 ORDER BY n DESC, token LIMIT $k""".stripMargin
+
   private def embSweepSql(budget: Long): String =
     s"""WITH tot AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS t
        |             FROM (SELECT count(*) AS n FROM embeddings GROUP BY label)),
@@ -2752,6 +2801,8 @@ object PipelineQueries {
            |SELECT pr[1] AS tok_l, pr[2] AS tok_r, count(*) AS n
            |FROM z GROUP BY 1, 2
            |ORDER BY n DESC, tok_l, tok_r LIMIT 200""".stripMargin,
+    "text_bpe_train" -> bpeTrainSql(8),
+    "text_bpe_encode" -> bpeEncodeSql(8, 20),
     // md5 hex chars 17-20: decorrelated from the split (1-4),
     // stratified-sample (5-8), pack (9-12) and mix (13-16) hashes
     "data_shard_assign" ->

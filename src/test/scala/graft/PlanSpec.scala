@@ -105,6 +105,20 @@ class PlanSpec extends AnyFunSuite {
       "no probe point may fall to a Cartesian corpus product")
     assert(p.contains("LeftSemi"),
       "probed lists must prune via semi-join in every branch")
+    // the shared brute-force truth is checkpointed ONCE (r17 verdict):
+    // the branches join a materialized ExistingRDD, and the truth's
+    // corpus-scoring subtree (global cos sort) is absent from the lazy
+    // plan instead of being duplicated into every probe branch
+    assert(p.contains("ExistingRDD"),
+      "the shared truth must be one materialized checkpoint")
+  }
+
+  test("ann_ivf_probe_sweep: shared truth materialized once across branches") {
+    val p = plan("ann_ivf_probe_sweep")
+    assert(p.contains("ExistingRDD"),
+      "the shared truth must be one materialized checkpoint")
+    assert(!p.contains("CartesianProduct"),
+      "no probe point may fall to a Cartesian corpus product")
   }
 
   test("data_curriculum: cuts come from the capped sample, not a " +
@@ -1591,6 +1605,39 @@ class PlanSpec extends AnyFunSuite {
       "un-ordered per-graph cut must apply as a group limit")
     assert(shape(planOf(6, ul)) == shape(pUl),
       "un-ordered per-graph cut must not scale with graph count")
+    // UNPROJECTED sort key (r18): lifted into the window's sort and
+    // dropped after the cut — same one-pass group-limit shape, no
+    // enumerate fallback, and the lifted key must not leak out
+    val up = """SELECT ?g ?s WHERE { GRAPH ?g {
+      { SELECT ?s WHERE { ?s :e ?o } ORDER BY DESC(?o) LIMIT 1 } } }"""
+    val dfUp = graft.sparql.Compiler.runQuads(quadsOf(2),
+      graft.sparql.SparqlParser.parse(up))
+    assert(!dfUp.columns.contains("o"),
+      "lifted sort key must be dropped after the per-graph cut")
+    val pUp = dfUp.queryExecution.executedPlan.toString
+    assert(pUp.contains("WindowGroupLimit"),
+      "unprojected-key per-graph cut must apply as a group limit")
+    assert(shape(planOf(6, up)) == shape(pUp),
+      "unprojected-key per-graph cut must not scale with graph count")
+  }
+
+  test("bpe round: pair count is ONE keyed fold with map-side combine, no join") {
+    import spark.implicits._
+    val words = Seq((" a b </w> ", 3L), (" c d </w> ", 2L)).toDF("seq", "freq")
+    val p = graft.pipeline.TextAnalysis.bpeSymbolPairs(words)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"),
+      "pair counts must partial-aggregate before the shuffle")
+    assert(!p.contains("Join"), "the per-round fold must not join")
+  }
+
+  test("text_bpe_encode: reads the checkpointed vocab, not the corpus; top-k without global sort") {
+    val p = plan("text_bpe_encode")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("ExistingRDD"),
+      "encode must fold the checkpointed vocab generation (the corpus " +
+        "is scanned once, in the training loop)")
+    assert(!p.contains("Join"), "encode is join-free")
   }
 
   test("text_contamination_bloom: join-free screen, distributed build") {

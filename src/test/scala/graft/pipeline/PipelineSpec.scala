@@ -13,6 +13,88 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")))
 
+  /** Reference single-machine BPE (the public Sennrich et al. 2016
+    * learn_bpe algorithm, plain collections): overlapping pair counts
+    * over word types weighted by frequency, argmax with the
+    * (count DESC, pair lexicographic) tiebreak, left-to-right
+    * non-overlapping merge — the ground truth [[TextAnalysis
+    * .bpeTrain]]'s distributed loop must reproduce exactly.
+    */
+  private def refBpe(words: Map[String, Long], rounds: Int)
+      : (Seq[(Long, String, String, Long)], Map[Vector[String], Long]) = {
+    var vocab: Map[Vector[String], Long] = words.map { case (w, f) =>
+      (w.split("").filter(_.nonEmpty).toVector :+ "</w>") -> f
+    }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((seq, f) <- vocab; i <- 0 until seq.length - 1)
+        counts((seq(i), seq(i + 1))) =
+          counts.getOrElse((seq(i), seq(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((l, rt), n) =
+          counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+        merges += ((r.toLong, l, rt, n))
+        vocab = vocab.map { case (seq, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < seq.length) {
+            if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == rt) {
+              out += l + rt; i += 2
+            } else { out += seq(i); i += 1 }
+          }
+          out.result() -> f
+        }
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  test("bpe trainer matches the reference single-machine BPE, round for round") {
+    // the classic subword fixture (low/lower/newest/widest) plus an
+    // overlap torture word family (aaa/aa/a: the (a,a) pair counts
+    // overlapping occurrences but merges non-overlapping)
+    val d = docs(
+      1L -> "low low low low low lower lower newest newest",
+      2L -> "newest newest newest newest widest widest widest",
+      3L -> "aaa aa a")
+    val wordFreq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "aaa" -> 1L, "aa" -> 1L, "a" -> 1L)
+    val (refMerges, refVocab) = refBpe(wordFreq, 8)
+    val got = TextAnalysis.bpeTrain(d, 8)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == refMerges)
+    // the encode fold agrees with the reference vocab's token counts
+    val refTokens = refVocab.toSeq
+      .flatMap { case (seq, f) => seq.map(_ -> f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(20)
+    val gotTok = TextAnalysis.bpeEncode(d, 8, 20)
+      .as[(String, Long)].collect().toSeq
+    assert(gotTok == refTokens)
+  }
+
+  test("bpe trainer tiebreak: equal-count pairs resolve lexicographically") {
+    // every pair counts 2 — the argmax must take (a,b) first (left
+    // symbol lexicographic), then round 2's (ab,</w>) beats (c,d)
+    val d = docs(1L -> "ab ab cd cd")
+    val got = TextAnalysis.bpeTrain(d, 2)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", "b", 2L), (2L, "ab", "</w>", 2L)))
+  }
+
+  test("bpe trainer stops when no pairs remain (single-char corpus)") {
+    // one single-char word type: round 1 merges (a,</w>); after that
+    // every word is ONE symbol — no pairs, the loop exits early
+    val d = docs(1L -> "a a a")
+    val got = TextAnalysis.bpeTrain(d, 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "</w>", 3L)))
+    // and the encode of the exhausted vocab is the lone merged token
+    assert(TextAnalysis.bpeEncode(d, 5, 10)
+      .as[(String, Long)].collect().toSeq == Seq(("a</w>", 3L)))
+  }
+
   test("exact dedup groups identical texts") {
     val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val groups = Dedup.exact(d).as[(String, Long)].collect().map(_._2).sorted
