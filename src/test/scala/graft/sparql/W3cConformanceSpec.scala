@@ -2321,6 +2321,22 @@ class W3cConformanceSpec extends AnyFunSuite {
     // OFFSET composes with the lifted key per graph
     assert(q("ORDER BY DESC(?n) OFFSET 1 LIMIT 1") ==
       Set(b("gr" -> "g:a", "s" -> "x:3"), b("gr" -> "g:b", "s" -> "y:2")))
+    // an ORDER BY EXPRESSION desugars to a hidden __ord bind — also
+    // unprojected, also lifted and dropped after the cut
+    assert(q("ORDER BY (0 - ?n) LIMIT 1") ==
+      Set(b("gr" -> "g:a", "s" -> "x:2"), b("gr" -> "g:b", "s" -> "y:1")))
+  }
+
+  test("graph:var-subselect-unprojected-optional-key — a sometimes-unbound lifted key sorts bound-first under DESC") {
+    // the lifted sort key comes from an OPTIONAL: §15.1 puts unbound
+    // lowest, so DESC ranks the bound row first in g:a (e:1 has a
+    // score, e:2 does not)
+    assert(runQ(
+      """SELECT ?gr ?s WHERE { GRAPH ?gr {
+        |  { SELECT ?s WHERE { ?s :name ?n OPTIONAL { ?s :score ?sc } }
+        |    ORDER BY DESC(?sc) LIMIT 1 } } }""".stripMargin) ==
+      Set(b("gr" -> "g:a", "s" -> "e:1"),
+        b("gr" -> "g:b", "s" -> "e:3")))
   }
 
   test("graph:var-subselect-unprojected-ties — tied lifted keys inside the cut all survive") {
