@@ -470,6 +470,10 @@ object PipelineQueries {
     // conditional surprisal, head-broadcast joins) (r15)
     "text_bigram_surprisal" -> ((s, dir) =>
       TextAnalysis.bigramSurprisal(Tables.documents(s, dir))),
+    // cross-split perplexity gate: unigram LM trained on the TRAIN
+    // split scores the held-out docs, add-1 smoothed whole bits (r18)
+    "text_lm_gate" -> ((s, dir) =>
+      TextAnalysis.crossEntropyGate(Tables.documents(s, dir))),
     // integer-exact character-entropy witness — the gibberish /
     // key-mash detector token stats can't see (r15)
     "text_char_entropy" -> ((s, dir) =>
@@ -1873,6 +1877,34 @@ object PipelineQueries {
            |  CAST(sum(length(bin(nx // nxy)) - 1) AS BIGINT) AS bits_total
            |FROM p JOIN bg USING (a, b) JOIN cx USING (a)
            |GROUP BY 1""".stripMargin,
+    // cross-split gate: LM counts from the hex-1-4 train slice score
+    // the held-out docs — add-1 smoothed ⌊log2((N+V) // (c+1))⌋ whole
+    // bits (OOV c=0), all exact integers, same bit-length idiom
+    "text_lm_gate" ->
+      raw"""WITH d AS (SELECT doc_id, text,
+           |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+           |  FROM documents),
+           |tt AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+           |    AS tok FROM d WHERE b < 80),
+           |uni AS (SELECT tok, count(*) AS c FROM tt WHERE tok != ''
+           |  GROUP BY 1),
+           |st AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+           |    CAST(count(*) AS BIGINT) AS vv FROM uni),
+           |sc AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           |  FROM d WHERE b >= 80),
+           |s AS (SELECT doc_id, tok FROM sc WHERE tok != ''),
+           |j AS (SELECT s.doc_id, COALESCE(uni.c, 0) AS c
+           |  FROM s LEFT JOIN uni USING (tok)),
+           |g AS (SELECT doc_id, count(*) AS n_toks,
+           |    CAST(sum(length(bin((nn + vv) // (c + 1))) - 1) AS BIGINT)
+           |      AS bits_total
+           |  FROM j CROSS JOIN st GROUP BY 1)
+           |SELECT doc_id, n_toks, bits_total,
+           |  bits_total * 1000 // n_toks AS bpt_e3,
+           |  CAST(CASE WHEN bits_total * 1000 // n_toks <= 4100
+           |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+           |FROM g""".stripMargin,
     // character-entropy witness: Σ n_c·⌊log2(n // n_c)⌋ over the
     // doc's own char histogram — bit lengths of exact integer ratios
     "text_char_entropy" ->

@@ -1385,4 +1385,59 @@ object TextAnalysis {
       .filter(hashSlice(29) % 10000 < col("rate_e4"))
       .select(col("doc_id"), col("source"), col("n_toks"))
   }
+
+  /** Cross-split LM perplexity gate — the CCNet-style quality filter
+    * (Wenzek et al. 2020): train a unigram LM on the TRAIN split (the
+    * same md5 hex-1-4 assignment [[assignSplit]] uses, so the "model"
+    * slice is the pipeline's own training corpus) and score every
+    * HELD-OUT document by its cross-entropy under that model — docs
+    * whose text the trained distribution finds surprising (gibberish,
+    * wrong-language, boilerplate-free noise) score high and are cut.
+    * Unlike [[unigramSurprisal]] (a document scored by its own
+    * corpus-wide distribution), the scoring stream here contains
+    * OUT-OF-VOCABULARY tokens, so the score is add-1 smoothed:
+    * bits(tok) = ⌊log2((N + V) div (c + 1))⌋ with c the trained
+    * count (0 for OOV), N the trained token total, V the trained
+    * vocabulary size — an exact integer ratio ≥ 1 whose ⌊log2⌋ is a
+    * bit length, engine-identical, no libm. Per doc: token count,
+    * total bits, bits/token (milli-bits, floor), and the keep flag at
+    * `keepBptE3`.
+    *
+    * Scale shape: trained counts fold map-side to a vocabulary-scale
+    * table; scoring reuses [[unigramSurprisal]]'s head-broadcast
+    * posture — the Zipf head of the TRAINED vocab broadcasts and
+    * joins map-side, and only tail tokens shuffle keyed (a hot scored
+    * key is in the head by construction — the splits share one
+    * distribution — so OOV keys are rare and bounded). The smoothing
+    * constants (N, V) ride a 1-row broadcast. Nothing quadratic, no
+    * driver math.
+    */
+  def crossEntropyGate(docs: DataFrame, headK: Int = 10000,
+                       keepBptE3: Long = 4100L): DataFrame = {
+    val bucket = hashSlice(1) % 100
+    val tokOf = (d: DataFrame) => d
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+    val uni = tokOf(docs.filter(bucket < 80))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val consts = uni.agg(sum(col("c")).cast("long").as("nn"),
+      count(lit(1)).cast("long").as("vv"))
+    val head = uni.orderBy(col("c").desc, col("tok")).limit(headK)
+    val sToks = tokOf(docs.filter(bucket >= 80))
+    val headJoined = sToks.join(broadcast(head), Seq("tok"))
+    val tailJoined = sToks
+      .join(broadcast(head.select(col("tok"))), Seq("tok"), "left_anti")
+      .join(uni.join(broadcast(head.select(col("tok"))), Seq("tok"),
+        "left_anti"), Seq("tok"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    headJoined.unionByName(tailJoined)
+      .crossJoin(broadcast(consts))
+      .withColumn("bits", length(bin(expr("(nn + vv) div (c + 1)"))) - 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("bits")).cast("long").as("bits_total"))
+      .withColumn("bpt_e3", expr("bits_total * 1000 div n_toks"))
+      .withColumn("kept",
+        when(col("bpt_e3") <= keepBptE3, lit(1L)).otherwise(lit(0L)))
+  }
 }

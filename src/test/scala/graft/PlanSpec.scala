@@ -1386,6 +1386,20 @@ class PlanSpec extends AnyFunSuite {
       "head and tail regimes must union back")
   }
 
+  test("text_lm_gate: trained head broadcasts; OOV rides the tail's outer join") {
+    // the trained vocabulary's Zipf head joins the scoring stream
+    // map-side; only tail tokens (bounded multiplicity) shuffle keyed,
+    // and the smoothing constants ride a 1-row broadcast — no
+    // corpus-keyed exchange of the hot tokens
+    val p = plan("text_lm_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the trained head join must broadcast")
+    assert(p.contains("Union"),
+      "head and tail scoring regimes must union back")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
+      "the (N, V) smoothing constants must broadcast")
+  }
+
   test("text_zipf_head_coverage: head joins broadcast; counts fold first") {
     // the top-K head is vocabulary-bounded — it must broadcast onto
     // the per-(source, token) counts, never shuffle them by token

@@ -415,6 +415,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(0) == run(10000))
   }
 
+  test("cross-split LM gate: smoothed whole bits, OOV, threshold, regime split") {
+    // md5 hex-1-4 % 100: ids 1,2 → 78,30 (train); 5,8 → 86,96 (score).
+    // train "a a b" + "a c": uni a→3 b→1 c→1, N=5, V=3, N+V=8.
+    // bits = ⌊log2(8 div (c+1))⌋: a→1, b→2, c→2, OOV→⌊log2 8⌋=3.
+    // doc5 "a b z" → (3, 6, 2000); doc8 "z z" → (2, 6, 3000).
+    // keepBptE3=2500 keeps doc5 and cuts doc8.
+    val d = docs(1L -> "a a b", 2L -> "a c", 5L -> "a b z", 8L -> "z z")
+    def run(headK: Int) = TextAnalysis.crossEntropyGate(d, headK, 2500L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, n, bits, bpt, k) => id -> ((n, bits, bpt, k)) }.toMap
+    val expect = Map(5L -> ((3L, 6L, 2000L, 1L)), 8L -> ((2L, 6L, 3000L, 0L)))
+    assert(run(10000) == expect) // train docs never scored
+    // headK=0 forces every scored token through the tail (keyed) arm,
+    // including the OOV left-outer path — same answer
+    assert(run(0) == expect)
+  }
+
   test("char entropy: exact integer witness per document") {
     // "aaab": n=4, a×3 b×1 → 3·⌊log2(4 div 3)⌋ + 1·⌊log2 4⌋ = 2
     // "ab":   n=2, 1+1 bits = 2;  "aaaa": 0 bits
