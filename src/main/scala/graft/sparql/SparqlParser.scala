@@ -912,6 +912,32 @@ object SparqlParser extends RegexParsers {
         val fromG = dataset.collect { case (false, g) => g }
         val fromN = dataset.collect { case (true, g) => g }
         val hasAgg = aggSels.nonEmpty || hidden.nonEmpty
+        // §18.2.4.1 validity: in an aggregate query (any aggregate
+        // call or GROUP BY clause) the projection may use only group
+        // keys and aggregate results — an ungrouped variable has no
+        // single value per group, and the spec makes referencing one
+        // a QUERY error, not a free choice. Without this guard the
+        // post-aggregation projection would silently materialize the
+        // variable as unbound (the bound-nowhere sentinel path).
+        // SELECT * in an aggregate query is the same error in star
+        // form (§18.2.4.1 defines the projection by enumeration).
+        if (hasAgg || groupNames.nonEmpty) {
+          if (sels.isEmpty) throw new IllegalArgumentException(
+            "SELECT * is not allowed in an aggregate query (§18.2.4.1)")
+          val aliases = (aggSels.map(_.alias) ++ hidden.map(_.alias) ++
+            selectors.collect { case ExprSel(_, a) => a }).toSet
+          val badVars = selectors.collect { case VarSel(n) => n }
+            .filterNot(groupNames.contains)
+          if (badVars.nonEmpty) throw new IllegalArgumentException(
+            badVars.map("?" + _).mkString(", ") +
+              " projected but neither grouped nor aggregated (§18.2.4.1)")
+          exprSels.foreach { case ExprSel(e, alias) =>
+            val bad = vexprVarNames(e) -- groupNames.toSet -- aliases
+            if (bad.nonEmpty) throw new IllegalArgumentException(
+              s"SELECT expression ?$alias references ungrouped " +
+                bad.map("?" + _).mkString(", ") + " (§18.2.4.1)")
+          }
+        }
         // §18.2.5.3: under DISTINCT a sort key must be an expression
         // over PROJECTED variables (aggregate aliases count — hidden
         // lifted ones included, they are group-functional); anything

@@ -3600,6 +3600,44 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("reserved"))
   }
 
+  test("agg:ungrouped-projection — non-group variables in an aggregate projection are query errors") {
+    // §18.2.4.1: an aggregate query's projection may use only group
+    // keys and aggregate results. Before the guard the ungrouped
+    // variable silently fell through to the bound-nowhere sentinel
+    // path and projected as unbound — a wrong ANSWER, not an error
+    val e = intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        "SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s :name ?o } GROUP BY ?o")
+    }
+    assert(e.getMessage.contains("18.2.4.1"))
+    // the same rule through a SELECT expression over an ungrouped var
+    val e2 = intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        "SELECT (STRLEN(?s) AS ?l) (COUNT(?o) AS ?c) " +
+          "WHERE { ?s :name ?o } GROUP BY ?o")
+    }
+    assert(e2.getMessage.contains("18.2.4.1"))
+    // GROUP BY with no aggregates is still an aggregate query
+    val e3 = intercept[IllegalArgumentException] {
+      SparqlParser.parse("SELECT ?s ?o WHERE { ?s :name ?o } GROUP BY ?s")
+    }
+    assert(e3.getMessage.contains("18.2.4.1"))
+  }
+
+  test("agg:star-with-groupby — SELECT * in an aggregate query is a query error") {
+    // §18.2.4.1 defines an aggregate projection by enumeration; the
+    // star form has no defined expansion once grouping collapses rows
+    val e = intercept[IllegalArgumentException] {
+      SparqlParser.parse("SELECT * WHERE { ?s :name ?o } GROUP BY ?s")
+    }
+    assert(e.getMessage.contains("18.2.4.1"))
+    // positive control: group keys + aggregates + expressions over
+    // them stay accepted, including the (expr AS ?v) group form
+    assert(run(people,
+      """SELECT ?k (COUNT(?n) AS ?c) WHERE { ?x :name ?n }
+        |GROUP BY (STRLEN(?n) AS ?k)""".stripMargin).nonEmpty)
+  }
+
   test("construct:template-bnode-typed — minted nodes serialize as bnodes") {
     // constructTyped marks the minted object a resource, so the
     // NTriples serializer emits bnode syntax (no angle brackets)
