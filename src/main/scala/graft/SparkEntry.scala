@@ -119,7 +119,12 @@ object SparkEntry {
     // r17: the dataset-clause compile (decoy-bearing quad fixture) is
     // a new benched shape; the IVF+PQ probe sweep is three runs of
     // the benched composed index and stays verify-only
-    "sparql_from_named")
+    "sparql_from_named",
+    // r18: the vocabulary-training LOOP (k synchronous merge rounds
+    // over the word-type table) is a NEW benched shape; the encoder
+    // and the cross-split LM gate reuse benched fold / head-broadcast
+    // scoring shapes and stay verify-only
+    "text_bpe_train")
     // r12-r14 keys stay verify-only: the gated CN/Jaccard wedge joins
     // share graph_resource_alloc's benched priced-gate shape, and the
     // datetime/TZ builtins, DESCRIBE semi-join arms, multi-valued LPG

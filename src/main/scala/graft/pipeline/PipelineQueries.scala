@@ -88,6 +88,10 @@ object PipelineQueries {
     // the Lloyd UPDATE step: recompute centroids from the assignment
     "emb_kmeans_update" -> ((s, dir) =>
       Similarity.kmeansUpdate(Tables.embeddings(s, dir))),
+    // the full Lloyd TRAINING loop in exact fixed-point arithmetic —
+    // the second member of the training-loop class bpeTrain opened (r18)
+    "emb_kmeans_train" -> ((s, dir) =>
+      Similarity.kmeansTrain(Tables.embeddings(s, dir))),
     "ann_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), queryId = 0, k = 10)),
     // the production composition: IVF coarse probe prunes the corpus,
@@ -623,6 +627,54 @@ object PipelineQueries {
          |SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM (
          |  SELECT unnest(string_split(trim(seq), ' ')) AS token, freq FROM w$rounds)
          |GROUP BY 1 ORDER BY n DESC, token LIMIT $k""".stripMargin
+
+  /** Unrolled exact fixed-point Lloyd chain (the bpeTrainSql
+    * pattern): round r = integer-witness scoring of every (vector,
+    * centroid) pair, per-vector argmax with the DESC-key/ASC-c
+    * tiebreak, floor-div integer update — kmeansTrain's loop
+    * replayed CTE-for-CTE. The float32 input widens to DOUBLE
+    * explicitly so both engines quantize the same double.
+    */
+  private def kmeansTrainSql(rounds: Int): String = {
+    val fd = "(s - ((s % n + n) % n)) // n"
+    val cte0 =
+      s"""WITH ev AS (SELECT vec_id, label, d.d AS pos,
+         |    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000)
+         |      AS BIGINT) AS xe6
+         |  FROM embeddings, range(0, 64) d(d)),
+         |cent0 AS (SELECT c, pos, $fd AS me6 FROM (
+         |  SELECT label AS c, pos, CAST(sum(xe6) AS BIGINT) AS s,
+         |    count(*) AS n FROM ev GROUP BY 1, 2))""".stripMargin
+    val rnds = (1 to rounds).map { r =>
+      s"""nc$r AS (SELECT c, CAST(sum(me6 * me6) AS BIGINT) AS nc
+         |  FROM cent${r - 1} GROUP BY 1 HAVING sum(me6 * me6) > 0),
+         |dot$r AS (SELECT e.vec_id, c.c,
+         |    CAST(sum(e.xe6 * c.me6) AS BIGINT) AS dot
+         |  FROM ev e JOIN cent${r - 1} c USING (pos) GROUP BY 1, 2),
+         |key$r AS (SELECT vec_id, d.c,
+         |    CASE WHEN dot >= 0
+         |         THEN CAST(CAST(dot AS HUGEINT) * dot // nc AS BIGINT)
+         |         ELSE -CAST(CAST(dot AS HUGEINT) * dot // nc AS BIGINT)
+         |    END AS key
+         |  FROM dot$r d JOIN nc$r USING (c)),
+         |a$r AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY key DESC, c) AS rn
+         |  FROM key$r) WHERE rn = 1),
+         |cent$r AS (SELECT c, pos, $fd AS me6 FROM (
+         |  SELECT a.c, e.pos, CAST(sum(e.xe6) AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM ev e JOIN a$r a USING (vec_id) GROUP BY 1, 2))""".stripMargin
+    }.mkString(",\n")
+    val fin =
+      s"""SELECT CAST(m.c AS BIGINT) AS cluster, m.n_members, s.l1_e6
+         |FROM (SELECT c, CAST(count(*) AS BIGINT) AS n_members
+         |      FROM a$rounds GROUP BY 1) m
+         |JOIN (SELECT c, CAST(sum(abs(me6)) AS BIGINT) AS l1_e6
+         |      FROM cent$rounds GROUP BY 1
+         |      HAVING sum(me6 * me6) > 0) s USING (c)""".stripMargin
+    cte0 + ",\n" + rnds + "\n" + fin
+  }
 
   private def embSweepSql(budget: Long): String =
     s"""WITH tot AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS t
@@ -1475,6 +1527,8 @@ object PipelineQueries {
         |  avg(e.embedding[d + 1]) AS m
         |FROM embeddings e JOIN a USING (vec_id), range(0, 64) td(d)
         |GROUP BY 1, 2""".stripMargin,
+    // the full training loop: 3 unrolled fixed-point Lloyd rounds
+    "emb_kmeans_train" -> kmeansTrainSql(3),
     "events_funnel" -> FUNNEL_SQL,
     // the funnel text wrapped one rollup deeper — per-segment
     // conversion shares the per-user stage derivation verbatim

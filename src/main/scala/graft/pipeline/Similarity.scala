@@ -927,6 +927,96 @@ object Similarity {
       .agg(count(lit(1)).as("n"), avg(col("x")).as("m"))
   }
 
+  /** Lloyd k-means TRAINING loop — the second member of the
+    * vocabulary/model-training operator class [[graft.pipeline
+    * .TextAnalysis.bpeTrain]] opened: `rounds` full assign+update
+    * iterations from the label-seeded centroids, in EXACT fixed-point
+    * arithmetic so any two engines (and any two partitionings) agree
+    * bit-for-bit where float Lloyd would hand the argmax to summation
+    * order. Vectors and centroids quantize to integer micro-units
+    * (xe6 = ⌊x·10⁶⌋); the per-vector nearest-centroid choice orders
+    * by the integer witness sign(dot)·(dot² div ‖c‖²) — a monotone
+    * transform of cosine for fixed ‖v‖ (the vector norm cancels
+    * within a per-vector argmax), bounded by ‖v‖² ≤ 64·(3·10⁵)² via
+    * Cauchy–Schwarz so the divided key fits a long (dot² carried in
+    * DECIMAL(38,0) internally, per the 64-bit output rule); ties
+    * break to the smaller centroid id. Updates floor-divide exact
+    * integer sums (the explicit positive-mod form, so truncating and
+    * flooring engines agree on negative sums). Empty clusters die
+    * (standard Lloyd), zero-norm centroids are filtered before
+    * scoring on both engines.
+    *
+    * Scale shape: per round the centroid table (k·dims rows → k
+    * array rows) BROADCASTS; the dot product is a per-row integer
+    * fold (zip_with + aggregate, no join); the argmax groupBy
+    * map-side-combines to ONE row per vector; the update is one
+    * keyed (cluster, dim) fold — two narrow shuffles per round, no
+    * driver-side centroid math, each generation a tracked
+    * localCheckpoint with the superseded one released (the
+    * kcore/LPA/bpeTrain loop idiom). Output: one row per surviving
+    * cluster (cluster, n_members, l1_e6 — the exact integer L1 norm
+    * of the trained centroid, the engine-identical witness).
+    */
+  def kmeansTrain(embeddings: DataFrame, rounds: Int = 3): DataFrame = {
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    // exact floor division for possibly-negative integer sums: strip
+    // the positive remainder first so `div` (truncating) == floor —
+    // identical on a flooring engine, all-integer, no 2^53 ceiling
+    val floorDivSql = "(s - ((s % n + n) % n)) div n"
+    val ve = vecs(embeddings).select(col("vec_id"),
+      transform(col("v"), x => floor(x * 1e6).cast("long")).as("ve6"))
+    val ev = vecs(embeddings).select(col("vec_id"), col("label"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("x") * 1e6).cast("long").as("xe6"))
+    def assemble(rows: DataFrame): DataFrame = rows
+      .groupBy(col("c"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("me6")))).as("pm"))
+      .select(col("c"),
+        transform(col("pm"), s => s.getField("me6")).as("ce6"))
+      .withColumn("nc", dotL(col("ce6"), col("ce6")))
+      .filter(col("nc") > 0)
+    var (cent, handle) = graft.Checkpoints.trackedWithHandle(assemble(
+      ev.groupBy(col("label").as("c"), col("pos"))
+        .agg(sum(col("xe6")).as("s"), count(lit(1)).as("n"))
+        .select(col("c"), col("pos"), expr(floorDivSql).as("me6"))))
+    var assign: DataFrame = null
+    var aHandle: org.apache.spark.rdd.RDD[_] = null
+    for (_ <- 1 to rounds) {
+      // the assignment checkpoints too: the round's scoring reads the
+      // PREVIOUS centroid generation, which the end of this iteration
+      // releases — a lazy assignment would reference freed blocks
+      val (a, ah) = graft.Checkpoints.trackedWithHandle(
+        ve.crossJoin(broadcast(cent))
+          .withColumn("dot", dotL(col("ve6"), col("ce6")))
+          .withColumn("q", expr(
+            "(cast(dot as decimal(38,0)) * dot) div nc"))
+          .withColumn("key",
+            when(col("dot") >= 0, col("q")).otherwise(-col("q")))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("key"), (-col("c")).as("negc"))).as("b"))
+          .select(col("vec_id"), (-col("b.negc")).as("c")))
+      if (aHandle != null) aHandle.unpersist(false)
+      assign = a
+      aHandle = ah
+      val (next, h2) = graft.Checkpoints.trackedWithHandle(assemble(
+        ev.join(assign, "vec_id")
+          .groupBy(col("c"), col("pos"))
+          .agg(sum(col("xe6")).as("s"), count(lit(1)).as("n"))
+          .select(col("c"), col("pos"), expr(floorDivSql).as("me6"))))
+      handle.unpersist(false)
+      cent = next
+      handle = h2
+    }
+    assign.groupBy(col("c")).agg(count(lit(1)).as("n_members"))
+      .join(cent.select(col("c"),
+        aggregate(col("ce6"), lit(0L), (acc, v) => acc + abs(v)).as("l1_e6")),
+        Seq("c"))
+      .select(col("c").cast("long").as("cluster"),
+        col("n_members"), col("l1_e6"))
+  }
+
   /** IVF-style: centroids = per-label mean vectors ("trained"
     * partition assignment), probe the `nprobe` centroids nearest the
     * query, exact top-k within the probed partitions.

@@ -1654,6 +1654,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "encode is join-free")
   }
 
+  test("emb_kmeans_train: output folds checkpointed generations, corpus scanned only inside the loop") {
+    // the final plan joins the LAST assignment checkpoint with the
+    // LAST centroid checkpoint — the parquet corpus must not reappear
+    // (each round consumed it once; the output is generation-scale)
+    val p = plan("emb_kmeans_train")
+    assert(p.contains("ExistingRDD"),
+      "output must read the checkpointed generations")
+    assert(!p.contains("Scan parquet"),
+      "the corpus must not be re-scanned outside the training rounds")
+  }
+
   test("text_contamination_bloom: join-free screen, distributed build") {
     // the Bloom screen's whole point: the corpus side is ONE narrow
     // codegen pass (filter on bloom_contains) plus the per-doc count

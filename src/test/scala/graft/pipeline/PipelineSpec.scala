@@ -932,6 +932,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(got((1, 1))._2 - (1.0f + 0.9f) / 2.0) < 1e-7)
   }
 
+  test("kmeans training loop: exact fixed-point, mis-seeded vector migrates, partitioning-invariant") {
+    // v4 carries seed label 0 but sits on the y-axis: round 1 must
+    // move it to cluster 1, after which the clustering is stable.
+    // Hand fixed-point math (float32 0.9 → 899999, 0.1 → 100000):
+    // converged centroids (949999, 50000) / (50000, 949999), so both
+    // clusters end with 2 members and l1_e6 = 999999 exactly.
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.1f, 0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    def res(d: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansTrain(d, 3).as[(Long, Long, Long)].collect().toSet
+    val expect = Set((0L, 2L, 999999L), (1L, 2L, 999999L))
+    assert(res(e) == expect)
+    // the fixed-point design's whole point: a different partitioning
+    // (different float-summation order under a float Lloyd) must
+    // reproduce the result BIT-FOR-BIT
+    assert(res(e.repartition(7)) == expect)
+  }
+
+  test("kmeans training loop: an emptied cluster dies") {
+    // identical vectors under two seed labels: round 1's tie-break
+    // (smaller centroid id) drains cluster 1; the output carries only
+    // the survivor
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 1),
+      (3L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.kmeansTrain(e, 2).as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 3L, 1000000L)))
+  }
+
   test("contamination flags only docs sharing a benchmark n-gram") {
     val d = docs(
       0L -> "alpha beta gamma delta epsilon zeta",       // benchmark (0 % 97)
