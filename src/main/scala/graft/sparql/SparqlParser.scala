@@ -937,6 +937,16 @@ object SparqlParser extends RegexParsers {
               s"SELECT expression ?$alias references ungrouped " +
                 bad.map("?" + _).mkString(", ") + " (§18.2.4.1)")
           }
+          // HAVING evaluates over GROUPS, so a plain variable there
+          // must be a group key or an aggregate alias too (the
+          // HavingAggCmp form and lifted aggregate calls arrive as
+          // their aliases and pass); previously this surfaced as a
+          // raw unresolved-column crash at compile
+          val badHav = havs.flatMap(exprVarNames)
+            .filterNot(n => groupNames.contains(n) || aliases.contains(n))
+          if (badHav.nonEmpty) throw new IllegalArgumentException(
+            "HAVING references ungrouped " +
+              badHav.distinct.map("?" + _).mkString(", ") + " (§18.2.4.1)")
         }
         // §18.2.5.3: under DISTINCT a sort key must be an expression
         // over PROJECTED variables (aggregate aliases count — hidden

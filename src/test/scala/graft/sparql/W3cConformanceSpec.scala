@@ -3638,6 +3638,23 @@ class W3cConformanceSpec extends AnyFunSuite {
         |GROUP BY (STRLEN(?n) AS ?k)""".stripMargin).nonEmpty)
   }
 
+  test("agg:having-ungrouped-var — HAVING over a non-group variable is a query error") {
+    // HAVING evaluates over groups (§18.2.4.1): a plain variable
+    // there must be a group key or an aggregate alias; previously the
+    // engine surfaced this as a raw unresolved-column crash
+    val e = intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        """SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s :name ?o }
+          |GROUP BY ?s HAVING (?o > 3)""".stripMargin)
+    }
+    assert(e.getMessage.contains("18.2.4.1"))
+    // positive controls: a group key and an aggregate alias in
+    // HAVING stay accepted
+    assert(run(people,
+      """SELECT ?x (COUNT(?n) AS ?c) WHERE { ?x :name ?n }
+        |GROUP BY ?x HAVING (?c >= 1)""".stripMargin).nonEmpty)
+  }
+
   test("construct:template-bnode-typed — minted nodes serialize as bnodes") {
     // constructTyped marks the minted object a resource, so the
     // NTriples serializer emits bnode syntax (no angle brackets)
