@@ -1953,7 +1953,8 @@ object PipelineQueries {
            |g AS (SELECT doc_id, count(*) AS n_toks,
            |    CAST(sum(length(bin((nn + vv) // (c + 1))) - 1) AS BIGINT)
            |      AS bits_total
-           |  FROM j CROSS JOIN st GROUP BY 1)
+           |  FROM j CROSS JOIN st
+           |  WHERE nn IS NOT NULL AND nn > 0 GROUP BY 1)
            |SELECT doc_id, n_toks, bits_total,
            |  bits_total * 1000 // n_toks AS bpt_e3,
            |  CAST(CASE WHEN bits_total * 1000 // n_toks <= 4100

@@ -958,6 +958,8 @@ object Similarity {
     * of the trained centroid, the engine-identical witness).
     */
   def kmeansTrain(embeddings: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1,
+      s"kmeansTrain needs at least one assign+update round, got $rounds")
     def dotL(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
     // exact floor division for possibly-negative integer sums: strip

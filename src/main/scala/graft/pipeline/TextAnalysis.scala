@@ -1432,6 +1432,11 @@ object TextAnalysis {
       .withColumn("c", coalesce(col("c"), lit(0L)))
     headJoined.unionByName(tailJoined)
       .crossJoin(broadcast(consts))
+      // an EMPTY train split has no model: nn folds to null and every
+      // downstream score would be null-but-present (kept=0 with no
+      // evidence) — drop the scored rows instead, so no model means
+      // no verdicts (the SQL twin applies the same WHERE)
+      .filter(col("nn").isNotNull && col("nn") > 0)
       .withColumn("bits", length(bin(expr("(nn + vv) div (c + 1)"))) - 1)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),

@@ -913,18 +913,20 @@ object SparqlParser extends RegexParsers {
         val fromN = dataset.collect { case (true, g) => g }
         val hasAgg = aggSels.nonEmpty || hidden.nonEmpty
         // §18.2.4.1 validity: in an aggregate query (any aggregate
-        // call or GROUP BY clause) the projection may use only group
-        // keys and aggregate results — an ungrouped variable has no
-        // single value per group, and the spec makes referencing one
-        // a QUERY error, not a free choice. Without this guard the
-        // post-aggregation projection would silently materialize the
-        // variable as unbound (the bound-nowhere sentinel path).
-        // SELECT * in an aggregate query is the same error in star
-        // form (§18.2.4.1 defines the projection by enumeration).
-        if (hasAgg || groupNames.nonEmpty) {
+        // call, GROUP BY clause, OR bare HAVING — §18.2.4 groups the
+        // whole solution sequence into one implicit group for it) the
+        // projection may use only group keys and aggregate results —
+        // an ungrouped variable has no single value per group, and
+        // the spec makes referencing one a QUERY error, not a free
+        // choice. Without this guard the post-aggregation projection
+        // would silently materialize the variable as unbound (the
+        // bound-nowhere sentinel path). SELECT * in an aggregate
+        // query is the same error in star form (§18.2.4.1 defines
+        // the projection by enumeration).
+        if (hasAgg || groupNames.nonEmpty || hav.isDefined) {
           if (sels.isEmpty) throw new IllegalArgumentException(
             "SELECT * is not allowed in an aggregate query (§18.2.4.1)")
-          val aliases = (aggSels.map(_.alias) ++ hidden.map(_.alias) ++
+          val exprAliases = (aggSels.map(_.alias) ++ hidden.map(_.alias) ++
             selectors.collect { case ExprSel(_, a) => a }).toSet
           val badVars = selectors.collect { case VarSel(n) => n }
             .filterNot(groupNames.contains)
@@ -932,18 +934,23 @@ object SparqlParser extends RegexParsers {
             badVars.map("?" + _).mkString(", ") +
               " projected but neither grouped nor aggregated (§18.2.4.1)")
           exprSels.foreach { case ExprSel(e, alias) =>
-            val bad = vexprVarNames(e) -- groupNames.toSet -- aliases
+            val bad = vexprVarNames(e) -- groupNames.toSet -- exprAliases
             if (bad.nonEmpty) throw new IllegalArgumentException(
               s"SELECT expression ?$alias references ungrouped " +
                 bad.map("?" + _).mkString(", ") + " (§18.2.4.1)")
           }
           // HAVING evaluates over GROUPS, so a plain variable there
-          // must be a group key or an aggregate alias too (the
+          // must be a group key or an AGGREGATE alias (the
           // HavingAggCmp form and lifted aggregate calls arrive as
-          // their aliases and pass); previously this surfaced as a
-          // raw unresolved-column crash at compile
+          // their aliases and pass). Non-aggregate SELECT-expression
+          // aliases are NOT admissible: §18.2.4.4 evaluates SELECT
+          // expressions after HAVING, so they are out of scope there.
+          // Previously both classes surfaced as raw unresolved-column
+          // crashes at compile.
+          val aggAliases =
+            (aggSels.map(_.alias) ++ hidden.map(_.alias)).toSet
           val badHav = havs.flatMap(exprVarNames)
-            .filterNot(n => groupNames.contains(n) || aliases.contains(n))
+            .filterNot(n => groupNames.contains(n) || aggAliases.contains(n))
           if (badHav.nonEmpty) throw new IllegalArgumentException(
             "HAVING references ungrouped " +
               badHav.distinct.map("?" + _).mkString(", ") + " (§18.2.4.1)")

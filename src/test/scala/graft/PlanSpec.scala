@@ -1396,7 +1396,8 @@ class PlanSpec extends AnyFunSuite {
       "the trained head join must broadcast")
     assert(p.contains("Union"),
       "head and tail scoring regimes must union back")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
       "the (N, V) smoothing constants must broadcast")
   }
 

@@ -432,6 +432,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(0) == expect)
   }
 
+  test("cross-split LM gate: an empty train split yields no verdicts") {
+    // ids 5, 8, 14 all hash into the scored bucket (md5 hex-1-4 ≥ 80):
+    // with no model there is no evidence — the gate must emit zero
+    // rows, not null-scored kept=0 rows
+    val d = docs(5L -> "a b", 8L -> "c d", 14L -> "e f")
+    assert(TextAnalysis.crossEntropyGate(d).count() == 0L)
+  }
+
   test("char entropy: exact integer witness per document") {
     // "aaab": n=4, a×3 b×1 → 3·⌊log2(4 div 3)⌋ + 1·⌊log2 4⌋ = 2
     // "ab":   n=2, 1+1 bits = 2;  "aaaa": 0 bits

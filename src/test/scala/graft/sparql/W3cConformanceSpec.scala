@@ -3648,11 +3648,32 @@ class W3cConformanceSpec extends AnyFunSuite {
           |GROUP BY ?s HAVING (?o > 3)""".stripMargin)
     }
     assert(e.getMessage.contains("18.2.4.1"))
-    // positive controls: a group key and an aggregate alias in
+    // positive controls: an aggregate alias AND a group key in
     // HAVING stay accepted
     assert(run(people,
       """SELECT ?x (COUNT(?n) AS ?c) WHERE { ?x :name ?n }
         |GROUP BY ?x HAVING (?c >= 1)""".stripMargin).nonEmpty)
+    assert(run(people,
+      """SELECT ?x (COUNT(?n) AS ?c) WHERE { ?x :name ?n }
+        |GROUP BY ?x HAVING (?x != "nobody")""".stripMargin).nonEmpty)
+    // a bare HAVING makes the query an aggregate query (§18.2.4 —
+    // one implicit group), so a plain projected variable is the same
+    // §18.2.4.1 error, not a silently-unbound answer
+    val e2 = intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        "SELECT ?s WHERE { ?s :name ?o } HAVING (COUNT(?o) > 3)")
+    }
+    assert(e2.getMessage.contains("18.2.4.1"))
+    // a non-aggregate SELECT-expression alias is out of scope in
+    // HAVING (§18.2.4.4 evaluates SELECT expressions AFTER it) — a
+    // deliberate error, not an unresolved-column crash
+    val e3 = intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        """SELECT ?x (STRLEN(?x) AS ?l) (COUNT(?n) AS ?c)
+          |WHERE { ?x :name ?n } GROUP BY ?x
+          |HAVING (?l > 1)""".stripMargin)
+    }
+    assert(e3.getMessage.contains("18.2.4.1"))
   }
 
   test("construct:template-bnode-typed — minted nodes serialize as bnodes") {
