@@ -587,16 +587,28 @@ object PipelineQueries {
     */
   /** Unrolled-round BPE oracle base (r18): the word-type table as
     * space-joined character sequences with the </w> marker, plus one
-    * (pair-count, argmax, apply) CTE triple per merge round — the
+    * (pair-count, argmax, apply) CTE group per merge round — the
     * graph_kcore unroll pattern. Rounds are a fixed query constant
     * (not observed), so the SQL is static. The argmax tiebreak
     * (n DESC, tok_l, tok_r — binary string order in both engines)
-    * and the literal left-to-right non-overlapping `replace` make
-    * the two replays step-for-step equal.
+    * matches bpeCore's; the merge APPLICATION replays bpeMergeApply's
+    * greedy left-to-right non-overlapping scan via windows (a literal
+    * `replace` silently skips back-to-back occurrences — they share
+    * the single delimiting space — and mis-partitions l==r runs):
+    * candidate positions (sym=l ∧ next=r) split into islands of
+    * consecutive indices, the greedy picks are the even island
+    * offsets, a picked position emits the merged symbol and its
+    * successor is skipped. A round whose pair table is EMPTY
+    * (exhausted corpus) passes the vocab through unchanged instead of
+    * annihilating it on the cross join. The per-round vocab and
+    * argmax CTEs are MATERIALIZED: DuckDB inlines plain CTEs at every
+    * reference, and each round references the previous vocab three
+    * times (pair count, symbol explode, exhaustion fallback) — 3^k
+    * inlined re-scans of the base parquet blow the fd limit at k=8.
     */
   private def bpeSqlCtes(rounds: Int): String = {
     val base =
-      raw"""w0 AS (SELECT ' ' || array_to_string(
+      raw"""w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
            |    list_filter(regexp_split_to_array(w, ''), x -> x <> ''), ' ')
            |    || ' </w> ' AS seq, CAST(count(*) AS BIGINT) AS freq
            |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -609,9 +621,33 @@ object PipelineQueries {
          |        FROM (SELECT string_split(trim(seq), ' ') AS a, freq FROM w${i - 1})
          |        WHERE len(a) >= 2)
          |  GROUP BY 1, 2),
-         |m$i AS (SELECT tok_l, tok_r, n FROM p$i ORDER BY n DESC, tok_l, tok_r LIMIT 1),
-         |w$i AS (SELECT replace(seq, ' '||tok_l||' '||tok_r||' ', ' '||tok_l||tok_r||' ') AS seq,
-         |    freq FROM w${i - 1}, m$i)""".stripMargin
+         |m$i AS MATERIALIZED (SELECT tok_l, tok_r, n
+         |  FROM p$i ORDER BY n DESC, tok_l, tok_r LIMIT 1),
+         |s$i AS (SELECT u.seq, u.freq, u.i, u.sym, m.tok_l, m.tok_r
+         |  FROM (SELECT seq, freq,
+         |          unnest(string_split(trim(seq), ' ')) AS sym,
+         |          generate_subscripts(string_split(trim(seq), ' '), 1) AS i
+         |        FROM w${i - 1}) u(seq, freq, sym, i), m$i m),
+         |c$i AS (SELECT *, (sym = tok_l AND
+         |    lead(sym) OVER (PARTITION BY seq ORDER BY i) = tok_r) AS c
+         |  FROM s$i),
+         |g$i AS (SELECT *, CASE WHEN c THEN
+         |    i - ROW_NUMBER() OVER (PARTITION BY seq, c ORDER BY i) END AS grp
+         |  FROM c$i),
+         |k$i AS (SELECT *, c AND
+         |    ((i - min(i) OVER (PARTITION BY seq, grp)) % 2 = 0) AS pick
+         |  FROM g$i),
+         |e$i AS (SELECT seq, freq, i,
+         |    CASE WHEN pick THEN tok_l || tok_r ELSE sym END AS osym,
+         |    coalesce(lag(pick) OVER (PARTITION BY seq ORDER BY i), false)
+         |      AS skip
+         |  FROM k$i),
+         |w$i AS MATERIALIZED (
+         |  SELECT ' ' || string_agg(osym, ' ' ORDER BY i) || ' ' AS seq, freq
+         |  FROM e$i WHERE NOT skip GROUP BY seq, freq
+         |  UNION ALL
+         |  SELECT seq, freq FROM w${i - 1}
+         |  WHERE NOT EXISTS (SELECT 1 FROM m$i))""".stripMargin
     }
     s"WITH $base,\n${steps.mkString(",\n")}"
   }

@@ -862,10 +862,10 @@ object TextAnalysis {
     * end-of-word marker (" k e y </w> "); each round is ONE keyed
     * fold ([[bpeSymbolPairs]]) + a 1-row ordered argmax
     * (count DESC, then pair lexicographic — deterministic under
-    * ties, identical to the oracle's ORDER BY) + one narrow literal
-    * `replace` applying the merge left-to-right non-overlapping
-    * (exactly the classic scan's convention — the space-delimited
-    * encoding makes the two provably equal). Each vocab generation
+    * ties, identical to the oracle's ORDER BY) + one narrow per-row
+    * greedy merge fold ([[bpeMergeApply]] — the classic scan's
+    * left-to-right non-overlapping semantics; a literal string
+    * replace is NOT equivalent, see there). Each vocab generation
     * rides a tracked localCheckpoint with the superseded one
     * unpersisted (the kcore/LPA loop idiom), so the plan stays
     * round-sized.
@@ -873,15 +873,52 @@ object TextAnalysis {
     * Scale shape: the only corpus-scale work is the ONE initial
     * word-count fold; every round after runs on the word-type table
     * (vocabulary-scale — millions of rows at 100 TB, not trillions),
-    * the merge pair is a query CONSTANT inside `replace` (no
+    * the merge pair is a query CONSTANT inside the fold (no
     * per-round broadcast join, no corpus re-scan), and the driver
     * holds exactly one argmax row per round — the same footprint as
     * the graph loops' convergence counters.
     *
     * Returns the merge list and the final vocab generation.
     */
-  private def bpeCore(docs: DataFrame,
-                      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+  /** Apply one BPE merge (l, r) to a space-delimited symbol sequence
+    * with the classic scan's GREEDY left-to-right non-overlapping
+    * semantics, as a per-row array fold. A literal string `replace`
+    * of " l r " is NOT equivalent: back-to-back occurrences share
+    * their single delimiting space, so `replace` consumes it with
+    * the first match and silently skips the second — " a b a b "
+    * under (a,b) must become " ab ab ", and an (a,a) merge over a
+    * 6-run must partition as the scan does (aa aa aa), which even an
+    * iterated replace gets wrong (it strands every other occurrence
+    * with a non-greedy partition). The fold carries (out, carry):
+    * carry=l meeting x=r emits the merged symbol, anything else
+    * flushes the carry — exactly the reference scan.
+    */
+  private[graft] def bpeMergeApply(seq: Column, l: String, r: String): Column = {
+    val folded = aggregate(
+      filter(split(trim(seq), " "), s => s =!= ""),
+      struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("carry")),
+      (acc, x) => {
+        val out = acc.getField("out")
+        val c = acc.getField("carry")
+        struct(
+          when(c.isNull, out)
+            .when(c === lit(l) && x === lit(r),
+              concat(out, array(lit(l + r))))
+            .otherwise(concat(out, array(c))).as("out"),
+          when(c.isNull, x)
+            .when(c === lit(l) && x === lit(r), lit(null).cast("string"))
+            .otherwise(x).as("carry"))
+      },
+      acc => when(acc.getField("carry").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"),
+          array(acc.getField("carry")))))
+    concat(lit(" "), concat_ws(" ", folded), lit(" "))
+  }
+
+  private def bpeCore(docs: DataFrame, rounds: Int,
+                      needFinalVocab: Boolean)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     val words0 = docs
       .select(explode(wsTokens(lower(col("text")))).as("w"))
       .filter(col("w") =!= "")
@@ -905,13 +942,17 @@ object TextAnalysis {
         val l = top(0).getString(0)
         val rt = top(0).getString(1)
         merges += ((r.toLong, l, rt, top(0).getLong(2)))
-        val (next, h2) = graft.Checkpoints.trackedWithHandle(
-          words.select(
-            replace(col("seq"), lit(s" $l $rt "), lit(s" $l$rt ")).as("seq"),
-            col("freq")))
-        handle.unpersist(false)
-        words = next
-        handle = h2
+        // the last round's post-merge vocab is only needed when the
+        // caller encodes with it (bpeEncode); bpeTrain wants the
+        // merge list alone, so skip the final vocabulary-scale build
+        if (r < rounds || needFinalVocab) {
+          val (next, h2) = graft.Checkpoints.trackedWithHandle(
+            words.select(bpeMergeApply(col("seq"), l, rt).as("seq"),
+              col("freq")))
+          handle.unpersist(false)
+          words = next
+          handle = h2
+        }
         r += 1
       }
     }
@@ -926,7 +967,7 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, rounds: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, _) = bpeCore(docs, rounds)
+    val (merges, _) = bpeCore(docs, rounds, needFinalVocab = false)
     merges.toDF("round", "tok_l", "tok_r", "n")
   }
 
@@ -939,7 +980,7 @@ object TextAnalysis {
     * (TakeOrderedAndProject, no global sort).
     */
   def bpeEncode(docs: DataFrame, rounds: Int = 8, k: Int = 20): DataFrame = {
-    val (_, words) = bpeCore(docs, rounds)
+    val (_, words) = bpeCore(docs, rounds, needFinalVocab = true)
     words.select(col("freq"), explode(split(trim(col("seq")), " ")).as("token"))
       .groupBy(col("token")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)

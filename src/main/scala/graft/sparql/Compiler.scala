@@ -654,10 +654,17 @@ object Compiler {
                 sideCol(rdf, c, right = true)))
           else if (ldf.columns.contains(c)) col(c)
           else rCol(c)
-        } else if (sharedRisky)
-          coalesce(when(unboundCol(ldf, c), rCol(c)).otherwise(col(c)),
-            lit("N/A"))
-        else if (ldf.columns.contains(c)) col(c)
+        } else if (sharedRisky) {
+          // TYPED columns represent unbound as SQL null — coalescing
+          // the lexical sentinel into them ANSI-crashes the cast
+          // (same r18 fix as naFill / leftJoinWithCondition.pad)
+          val merged = when(unboundCol(ldf, c), rCol(c)).otherwise(col(c))
+          if (ldf.schema(c).dataType !=
+            org.apache.spark.sql.types.StringType) merged
+          else coalesce(merged, lit("N/A"))
+        } else if (ldf.columns.contains(c)) col(c)
+        else if (rdf.schema(c).dataType !=
+          org.apache.spark.sql.types.StringType) rCol(c)
         else coalesce(rCol(c), lit("N/A"))
       expr.as(c)
     }

@@ -74,6 +74,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotTok == refTokens)
   }
 
+  test("bpe merge applies greedily to back-to-back occurrences and l==r runs") {
+    // "abab": the winning (a,b) pair occurs back-to-back — a literal
+    // string replace of " a b " consumes the shared delimiting space
+    // with the first match and silently skips the second, so this
+    // fixture distinguishes the greedy fold from replace (the r18
+    // review's latent-bug case; the quiet corpus above never puts a
+    // winning pair back-to-back)
+    val d = docs(1L -> "abab abab abab")
+    val (refMerges, refVocab) = refBpe(Map("abab" -> 3L), 4)
+    val got = TextAnalysis.bpeTrain(d, 4)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == refMerges)
+    val refTokens = refVocab.toSeq
+      .flatMap { case (seq, f) => seq.map(_ -> f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(10)
+    assert(TextAnalysis.bpeEncode(d, 4, 10)
+      .as[(String, Long)].collect().toSeq == refTokens)
+    // the l==r run: greedy partitions a 6-run as (aa)(aa)(aa); even an
+    // ITERATED replace strands the non-greedy aa,a,aa,a partition
+    val d2 = docs(1L -> "aaaaaa aaaaaa")
+    val (refMerges2, refVocab2) = refBpe(Map("aaaaaa" -> 2L), 2)
+    assert(TextAnalysis.bpeTrain(d2, 2)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      == refMerges2)
+    val refTokens2 = refVocab2.toSeq
+      .flatMap { case (seq, f) => seq.map(_ -> f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(10)
+    assert(TextAnalysis.bpeEncode(d2, 2, 10)
+      .as[(String, Long)].collect().toSeq == refTokens2)
+  }
+
   test("bpe trainer tiebreak: equal-count pairs resolve lexicographically") {
     // every pair counts 2 — the argmax must take (a,b) first (left
     // symbol lexicographic), then round 2's (ab,</w>) beats (c,d)
