@@ -14,8 +14,81 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Parse a Spark byte-size conf value ("8m", "134217728", "1g"). */
+  private def parseBytes(v: String): Long = {
+    val s = v.trim.toLowerCase
+    val (num, mult) =
+      if (s.endsWith("k")) (s.dropRight(1), 1L << 10)
+      else if (s.endsWith("m")) (s.dropRight(1), 1L << 20)
+      else if (s.endsWith("g")) (s.dropRight(1), 1L << 30)
+      else if (s.endsWith("b")) (s.dropRight(1), 1L)
+      else (s, 1L)
+    (num.toDouble * mult).toLong
+  }
+
+  /** Widen degenerate scans (optimization guide §2.5, "input skew: one
+    * huge unsplittable file"): the driver's test tables are
+    * SINGLE-ROW-GROUP parquet files, so no `maxPartitionBytes` setting
+    * can split their scan below one task — and every per-row expression
+    * chain evaluated in the scan stage (the 9-way triple explode, gram
+    * md5 transforms, shingle arrays) runs SERIAL on one core while the
+    * other 31 idle (observed: a 100 s single-task md5 stage on an
+    * otherwise 95 %-idle box). When the file cannot fill the session's
+    * cores at the configured split size, round-robin repartition right
+    * after the read — one shuffle of the (tiny, by the same condition)
+    * source rows buys full map-side parallelism for everything above.
+    *
+    * Scale posture: on a cluster layout (multi-file tables, row groups
+    * ≥ cores) `bytes < cores · split` is false and the scan is
+    * untouched — this does not tune FOR local mode, it un-tunes a
+    * degenerate input layout, adaptively to the session's actual core
+    * count and split size. Files under 64 KB (broadcast-scale dims)
+    * skip the spread: scheduling 32 tasks over 25 rows costs more than
+    * it buys. Results cannot move: every operator in this repo is
+    * partition-order-safe by construction (sorted collects, min-based
+    * SAMPLE, md5-keyed tie-breaks), re-verified against the DuckDB
+    * oracle after this change.
+    */
+  private[graft] def spread(spark: SparkSession, df: DataFrame,
+                            path: String): DataFrame = {
+    val bytes = try new java.io.File(path).length() catch { case _: Throwable => 0L }
+    if (bytes < 65536) return df // non-local path (0) or broadcast-scale dim
+    val split = try parseBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    catch { case _: Throwable => 134217728L }
+    val cores = spark.sparkContext.defaultParallelism
+    if (bytes < split.min(Int.MaxValue.toLong) * cores) df.repartition(cores)
+    else df
+  }
+
+  /** Tables whose every declared consumer is partition-order-safe
+    * (integer-exact arithmetic, md5-keyed choices, sorted collects, or
+    * float sums rounded well inside reassociation drift) — the §G/§H/§I
+    * pipeline operators were BUILT that way. The relational TPC-H
+    * anchors, by contrast, sum raw doubles (q1's sum_disc_price etc.)
+    * whose 10-digit agreement with the oracle depends on file-order
+    * summation, so their sources (lineitem, orders, customer, part,
+    * supplier) must NOT be re-ordered here — the RDF store build spreads
+    * those itself ([[graft.rdf.RdfModel]]), where every downstream
+    * aggregate is audited order-safe.
+    */
+  private val spreadSafe = Set("documents", "embeddings", "events")
+
+  /** [[spread]] applied to a named table load — for call sites (the
+    * store build) whose downstream is order-safe but whose table is
+    * not on the [[spreadSafe]] list.
+    */
+  private[graft] def loadSpread(spark: SparkSession, sfDir: String,
+                                name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    spread(spark, spark.read.parquet(path), path)
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    if (spreadSafe(name)) spread(spark, df, path) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -4,6 +4,7 @@ import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
 import org.apache.spark.graphx.lib.ShortestPaths
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** GraphX analytics over the RDF edge set — the north star's "GraphX
   * for RDF analytics queries". URIs get stable 64-bit vertex ids via
@@ -648,15 +649,23 @@ object Analytics {
     */
   def commonNeighbors(edges: DataFrame, k: Int = 20,
                       wedgeBudget: Long = 10000000L): DataFrame = {
-    val e = canonicalUndirected(edges)
+    // materialize the shared relations ONCE (r19, guide §2.4/§5): the
+    // canonical edge set feeds both adjacency orientations plus the
+    // final anti-join, the degree table feeds the gate's pricing
+    // ACTION plus three joins, and the capped adjacency is self-joined
+    // — un-checkpointed, every reference re-derives the caller's edge
+    // expression (for the co-order graph a lineitem self-join +
+    // distinct), so one query paid it ~5×.
+    val e = checkpointTracked(canonicalUndirected(edges))
     val adj = e.select(col("src").as("v"), col("dst").as("w"))
       .union(e.select(col("dst").as("v"), col("src").as("w")))
-    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val deg = checkpointTracked(
+      adj.groupBy(col("v")).agg(count(lit(1)).as("deg")))
     val degW = deg.select(col("v").as("mw"), col("deg").as("degw"))
     val effCap = pricedWedgeCap(degW, wedgeBudget, "commonNeighbors")
-    val adjF = adj.join(degW.filter(col("degw") <= effCap),
+    val adjF = checkpointTracked(adj.join(degW.filter(col("degw") <= effCap),
         col("w") === col("mw"))
-      .select(col("v"), col("mw"))
+      .select(col("v"), col("mw")))
     val wedges = adjF.as("a")
       .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
         col("mw") === col("mw2") && col("v") < col("v2"))
@@ -701,11 +710,18 @@ object Analytics {
     */
   def resourceAllocation(edges: DataFrame, k: Int = 20,
                          wedgeBudget: Long = 10000000L): DataFrame = {
-    val e = canonicalUndirected(edges)
+    // materialize the shared relations ONCE (r19, guide §2.4/§5) —
+    // same reuse structure as [[commonNeighbors]]: edge set (two
+    // adjacency orientations + final anti-join), degree table (the
+    // gate's pricing ACTION + the capped-adjacency join), capped
+    // adjacency (self-joined). Un-checkpointed, one query re-derived
+    // the caller's edge expression ~5×.
+    val e = checkpointTracked(canonicalUndirected(edges))
     val adj = e.select(col("src").as("v"), col("dst").as("w"))
       .union(e.select(col("dst").as("v"), col("src").as("w")))
-    val degW = adj.groupBy(col("w")).agg(count(lit(1)).as("degw"))
-      .withColumnRenamed("w", "mw")
+    val degW = checkpointTracked(
+      adj.groupBy(col("w")).agg(count(lit(1)).as("degw"))
+        .withColumnRenamed("w", "mw"))
     // candidate-volume gate ([[pricedWedgeCap]]): for RA specifically
     // an over-budget cap drops the LOWEST-weight contributions (a
     // deg-d middle adds only 1e9/d per pair), so scores degrade from
@@ -714,9 +730,9 @@ object Analytics {
     // degrees ride the ADJACENCY into the self-join (2·|E| rows), not
     // the wedge output (Σdeg² rows) — joining the weight after the
     // enumeration re-shuffles the whole wedge volume for nothing
-    val adjF = adj.join(degW.filter(col("degw") <= effCap),
+    val adjF = checkpointTracked(adj.join(degW.filter(col("degw") <= effCap),
         col("w") === col("mw"))
-      .select(col("v"), col("mw"), col("degw"))
+      .select(col("v"), col("mw"), col("degw")))
     val wedges = adjF.as("a")
       .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
         col("mw") === col("mw2") && col("v") < col("v2"))
@@ -745,8 +761,12 @@ object Analytics {
     * anywhere (r11).
     */
   def avgNeighborDegree(edges: DataFrame): DataFrame = {
-    val adj = edges.select(col("src").as("v"), col("dst").as("w"))
-      .union(edges.select(col("dst").as("v"), col("src").as("w")))
+    // the adjacency feeds the degree fold AND the join probe — 2·|E|
+    // materialized once instead of deriving the caller's edge
+    // expression per reference (r19)
+    val adj = checkpointTracked(
+      edges.select(col("src").as("v"), col("dst").as("w"))
+        .union(edges.select(col("dst").as("v"), col("src").as("w"))))
     val degW = adj.groupBy(col("w")).agg(count(lit(1)).as("degw"))
       .withColumnRenamed("w", "mw")
     adj.join(degW, col("w") === col("mw"))
@@ -764,7 +784,10 @@ object Analytics {
     * one keyed shuffle.
     */
   def reciprocity(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // three consumers (count, semi-join probe, semi-join build) — one
+    // materialization (r19)
+    val e = checkpointTracked(
+      edges.select(col("src"), col("dst")).distinct())
     val recip = e.join(
       e.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")
@@ -788,8 +811,12 @@ object Analytics {
     * Katz is the wrong tool anyway.
     */
   def katzCentrality(edges: DataFrame, k: Int = 30): DataFrame = {
-    val adj = edges.select(col("src").as("v"), col("dst").as("w"))
-      .union(edges.select(col("dst").as("v"), col("src").as("w")))
+    // the adjacency feeds w1 plus two walk-recurrence joins — one
+    // materialization instead of ~6 derivations of the caller's edge
+    // expression (r19)
+    val adj = checkpointTracked(
+      edges.select(col("src").as("v"), col("dst").as("w"))
+        .union(edges.select(col("dst").as("v"), col("src").as("w"))))
     val w1 = adj.groupBy(col("v")).agg(count(lit(1)).as("w1"))
     def nextWalks(prev: DataFrame, cIn: String, cOut: String): DataFrame =
       adj.join(prev.select(col("v").as("w"), col(cIn)), "w")
@@ -901,15 +928,17 @@ object Analytics {
     */
   def jaccardLinkPred(edges: DataFrame, k: Int = 20,
                       wedgeBudget: Long = 10000000L): DataFrame = {
-    val e = canonicalUndirected(edges)
+    // shared-relation checkpoints — see [[commonNeighbors]] (r19)
+    val e = checkpointTracked(canonicalUndirected(edges))
     val adj = e.select(col("src").as("v"), col("dst").as("w"))
       .union(e.select(col("dst").as("v"), col("src").as("w")))
-    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val deg = checkpointTracked(
+      adj.groupBy(col("v")).agg(count(lit(1)).as("deg")))
     val degW = deg.select(col("v").as("mw"), col("deg").as("degw"))
     val effCap = pricedWedgeCap(degW, wedgeBudget, "jaccardLinkPred")
-    val adjF = adj.join(degW.filter(col("degw") <= effCap),
+    val adjF = checkpointTracked(adj.join(degW.filter(col("degw") <= effCap),
         col("w") === col("mw"))
-      .select(col("v"), col("mw"))
+      .select(col("v"), col("mw")))
     val wedges = adjF.as("a")
       .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
         col("mw") === col("mw2") && col("v") < col("v2"))

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.rdf.{PropertyGraph, TripleStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** SURVEY §D: graph analytics over the RDF edge set.
   *

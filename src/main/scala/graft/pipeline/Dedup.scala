@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** Deduplication operators over the documents table.
   *
@@ -426,14 +427,17 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, w: Int = 8,
                       minDf: Int = 2): DataFrame = {
     val toks = TextAnalysis.wsTokens(lower(col("text")))
-    val wins = docs
+    // persisted: the df fold and the hot-window join both read the
+    // window relation — unshared, the O(tokens) md5 transform ran
+    // twice (r19, guide §5 reuse rule)
+    val wins = persistTracked(docs
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), size(col("t")).as("n_toks"),
         posexplode(transform(sequence(lit(0), size(col("t")) - w),
           i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(w)))
             .cast("binary")))))
-      .withColumnRenamed("col", "hx")
+      .withColumnRenamed("col", "hx"))
     val hotHashes = wins.groupBy(col("hx"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -476,7 +480,10 @@ object Dedup {
     */
   def paragraphDedup(docs: DataFrame, chunkTokens: Int = 20): DataFrame = {
     val ct = chunkTokens
-    val chunks = docs
+    // persisted: keeper fold + keeper join both read the chunk
+    // relation (r19, guide §5 reuse rule — the md5 chunk transform
+    // otherwise ran twice)
+    val chunks = persistTracked(docs
       .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("t"))
       .filter(size(col("t")) >= 1)
       .select(col("doc_id"), size(col("t")).as("n_toks"),
@@ -486,7 +493,7 @@ object Dedup {
             .cast("binary")))))
       .withColumnRenamed("col", "hx")
       .withColumn("ctoks", least(lit(ct), col("n_toks") - col("pos") * ct))
-      .withColumn("ck", shiftleft(col("doc_id"), 20) + col("pos"))
+      .withColumn("ck", shiftleft(col("doc_id"), 20) + col("pos")))
     val keeper = chunks.groupBy(col("hx")).agg(min(col("ck")).as("keep_ck"))
     chunks.join(keeper, "hx")
       .groupBy(col("doc_id"), col("n_toks"))

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-stream operators. `windowAgg` is the shared transform for
@@ -1349,12 +1350,16 @@ object Events {
       .agg(count(lit(1)).as("n_obs"),
         max_by(col("value"), key).as("v"),
         max_by(col("us"), key).as("obs_us"))
-    val grid = obs.groupBy(col("user_id"))
+    // (user, hour)-grain relation read by BOTH the grid bounds fold
+    // and the fill join — materialized once so the fact-scale scan +
+    // aggregation doesn't run twice (r19, guide §5 reuse rule)
+    val obsCk = graft.Checkpoints.tracked(obs)
+    val grid = obsCk.groupBy(col("user_id"))
       .agg(min(col("hour_us")).as("h0"), max(col("hour_us")).as("h1"))
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), lit(hourUs))).as("hour_us"))
     val fill = Window.partitionBy(col("user_id")).orderBy(col("hour_us"))
-    grid.join(obs, Seq("user_id", "hour_us"), "left")
+    grid.join(obsCk, Seq("user_id", "hour_us"), "left")
       .select(col("user_id"), col("hour_us"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         last(col("v"), ignoreNulls = true).over(fill).as("filled_value"),

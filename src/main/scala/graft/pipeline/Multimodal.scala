@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** Multimodal-column plumbing: opaque binary payloads with typed
   * metadata, a decode/feature-extract stage, and frame sampling.

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** End-to-end training-data preparation: the §E/§G operators composed
   * into the pipeline a real corpus run executes — one declarative

@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** SURVEY §E-§I: the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal plumbing) and the event anchors,

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** Distributed sketches for corpus statistics. The cardinality sketch
   * here is a PORTABLE HyperLogLog: registers derive from md5 hex via
@@ -84,14 +85,17 @@ object Sketch {
         i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(n)))
           .cast("binary")))).as("hx")): _*)
 
-  def hllNgramDistinct(docs: DataFrame, n: Int = 5): DataFrame = {
+  private def hllEstimateOf(digests: DataFrame): DataFrame = {
     val (r, rho) = registerRho(col("hx"))
-    val registers = gramDigests(docs, n, Nil)
+    val registers = digests
       .select(r.as("r"), rho.as("rho"))
       .groupBy(col("r")).agg(max(col("rho")).as("mx"))
     estimated(
       registers.agg(count(lit(1)).as("n_present"), fpSum.as("fp")), Nil)
   }
+
+  def hllNgramDistinct(docs: DataFrame, n: Int = 5): DataFrame =
+    hllEstimateOf(gramDigests(docs, n, Nil))
 
   /** HLL accuracy eval — the "measured, not asserted" loop for the
     * cardinality sketch: the SHIPPED estimate next to the exact
@@ -102,8 +106,12 @@ object Sketch {
     * register rows on the full corpus.
     */
   def hllErrorEval(docs: DataFrame, n: Int = 5): DataFrame = {
-    val est = hllNgramDistinct(docs, n).select(col("estimate"))
-    val exact = gramDigests(docs, n, Nil)
+    // one gram-digest pass, materialized, read by both the estimate
+    // fold and the exact distinct (r19, guide §5 reuse rule — the
+    // O(tokens) md5 explode otherwise ran twice)
+    val gd = graft.Checkpoints.tracked(gramDigests(docs, n, Nil))
+    val est = hllEstimateOf(gd).select(col("estimate"))
+    val exact = gd
       .agg(countDistinct(col("hx")).as("exact_distinct"))
     exact.crossJoin(broadcast(est))
       .select(col("exact_distinct"), col("estimate"),

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** Text-analysis operators for a training-data pipeline: token
   * counting, quality scoring, language ID, fingerprinting. All pure
@@ -344,7 +345,12 @@ object TextAnalysis {
     */
   def splitContamination(docs: DataFrame, n: Int = 5): DataFrame = {
     val split = assignSplit(docs).select(col("doc_id"), col("split"))
-    val grams = docGrams(docs, n).join(split, "doc_id")
+    // materialized once: the train-distinct build AND the test probe
+    // both read the split-tagged gram relation — unshared, the
+    // corpus-scale docGrams explode (md5 per gram) ran twice (r19,
+    // guide §5 reuse rule); the doc-scale split table broadcasts
+    val grams = graft.Checkpoints.tracked(
+      docGrams(docs, n).join(broadcast(split), "doc_id"))
     val trainG = grams.filter(col("split") === "train")
       .select(col("g")).distinct()
     grams.filter(col("split") === "test")
@@ -718,12 +724,23 @@ object TextAnalysis {
     * rides the same keys. Integer outputs — hash-stable anywhere.
     */
   def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
-    val grams = docGrams(docs, n)
-    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    grams.join(df, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_distinct"),
-        count(when(col("df") === 1, 1)).as("n_novel"))
+    // a df=1 gram has exactly ONE holder, so min(doc_id) in the df fold
+    // IS that holder — novelty counts come straight off the gram-keyed
+    // aggregation, replacing the corpus-scale grams⋈df join (which
+    // shuffled the 32-char md5 gram table by g a second time and
+    // re-derived the explode) with one fold per key domain (r19 §2.3:
+    // aggregate before you shuffle / shuffle fewer bytes). The gram
+    // table is checkpointed once; both folds read the materialized rows.
+    val grams = graft.Checkpoints.tracked(docGrams(docs, n))
+    val perDoc = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val novel = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
   }
 
   /** Domain mixing: downsample sources to hit a target mixture — the
@@ -1459,8 +1476,13 @@ object TextAnalysis {
     val tokOf = (d: DataFrame) => d
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("tok"))
       .filter(col("tok") =!= "")
-    val uni = tokOf(docs.filter(bucket < 80))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // materialized ONCE (vocabulary-scale): the smoothing consts, the
+    // Zipf head, and the tail left-outer join all read `uni` — unshared,
+    // each reference re-tokenizes and re-aggregates the corpus-scale
+    // train split (ADVICE r18; the same triplicated-subplan class the
+    // r18.b ANN-sweep checkpoint removed)
+    val uni = graft.Checkpoints.tracked(tokOf(docs.filter(bucket < 80))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c")))
     val consts = uni.agg(sum(col("c")).cast("long").as("nn"),
       count(lit(1)).cast("long").as("vv"))
     val head = uni.orderBy(col("c").desc, col("tok")).limit(headK)

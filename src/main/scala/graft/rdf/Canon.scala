@@ -2,6 +2,7 @@ package graft.rdf
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** Blank-node canonical labeling — the per-NODE companion of
   * [[Reification.graphDigest]]'s whole-graph hash, and the problem the

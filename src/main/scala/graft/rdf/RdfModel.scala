@@ -88,7 +88,14 @@ object RdfModel {
     */
   def tpchTriplesSet(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val li = Tables.lineitem(spark, sfDir)
+    // spread the fact scan before the 9-way triple explode (r19, guide
+    // §2.5): the test file is single-row-group parquet, so the explode
+    // — 9 struct constructions + string concats per row, ~90 % of the
+    // store build — otherwise runs on ONE task. Downstream is
+    // order-safe: the store is a SET of triples, and every declared
+    // aggregate over store numerics is integer-exact or rounded well
+    // inside reassociation drift (audited r19; oracle-green after).
+    val li = Tables.loadSpread(spark, sfDir, "lineitem")
     val dupKeys = li.select(lineitemKey.map(col): _*)
       .groupBy(lineitemKey.map(col): _*)
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).drop("__c")
@@ -101,12 +108,14 @@ object RdfModel {
 
   private def dimensionAndOrderTriples(spark: SparkSession,
                                        sfDir: String): DataFrame = {
-    val cust = Tables.customer(spark, sfDir)
+    // spread before the per-row triple explode (see tpchTriplesSet);
+    // sub-64 KB dims (nation, region, supplier) skip inside loadSpread
+    val cust = Tables.loadSpread(spark, sfDir, "customer")
     val nat = Tables.nation(spark, sfDir)
     val reg = Tables.region(spark, sfDir)
     val supp = Tables.supplier(spark, sfDir)
-    val part = Tables.part(spark, sfDir)
-    val ord = Tables.orders(spark, sfDir)
+    val part = Tables.loadSpread(spark, sfDir, "part")
+    val ord = Tables.loadSpread(spark, sfDir, "orders")
 
     val c = uri("cust", col("c_custkey"))
     val n = uri("nat", col("n_nationkey"))

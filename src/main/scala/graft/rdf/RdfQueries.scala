@@ -2,6 +2,7 @@ package graft.rdf
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** SURVEY §A: RDF data model & ingestion operators as driver-checkable
   * entries (triple build, N-Triples round-trip, property-graph view,

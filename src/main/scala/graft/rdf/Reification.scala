@@ -2,6 +2,7 @@ package graft.rdf
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** RDF reification (RDF 1.1 §5.3): each statement becomes a resource
   * carrying rdf:subject / rdf:predicate / rdf:object — the classic

@@ -2,6 +2,7 @@ package graft.rdf
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** RDF 1.1 blank-node skolemization: replace every blank node
   * (`_:label`) with a globally-unique, DETERMINISTIC Skolem IRI

@@ -3,6 +3,7 @@ package graft.sparql
 import graft.Checkpoints
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 import Ast._
 
 /** Compiles the SPARQL algebra subset (Ast) onto the triple relation.

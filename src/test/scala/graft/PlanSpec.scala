@@ -86,7 +86,8 @@ class PlanSpec extends AnyFunSuite {
   test("ann_pq_topk: codebook trains on the capped md5-bucket sample") {
     val p = plan("ann_pq_topk")
     // sample filter evaluates directly on the scan, before any agg
-    assert(p.contains("conv(substring(md5("),
+    // (md5 routes through md5_fast since r19 — match the prefix)
+    assert(p.contains("conv(substring(md5"),
       "md5-bucket sample filter must gate the codebook input")
     // the per-label cap applies map-side (Partial WindowGroupLimit),
     // so percentile state is bounded by the cap, not the corpus
@@ -126,7 +127,8 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("data_curriculum")
     assert(!p.contains("percentile"),
       "no exact-percentile buffer over any input — cuts are rank-picked")
-    assert(p.contains("conv(substring(md5("),
+    // (md5 routes through md5_fast since r19 — match the prefix)
+    assert(p.contains("conv(substring(md5"),
       "md5-bucket sample filter must gate the cut input")
     assert(p.contains("WindowGroupLimit"),
       "per-shard cap must bound the sample before the rank")
@@ -334,7 +336,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the rate table must broadcast")
     assert(!p.contains("SortMergeJoin"), "sampling must not shuffle the corpus")
     val q = plan("emb_quantize")
-    assert(!q.contains("Exchange"), "quantization must be one narrow pass")
+    // the r19 degenerate-scan spread round-robins the single-row-group
+    // embeddings file across the cores; the pin's INTENT — no keyed
+    // shuffle, quantization stays a per-row pass — is unchanged
+    assert(!q.contains("Exchange hashpartitioning"),
+      "quantization must be one narrow pass (no keyed shuffle)")
   }
 
   test("sparql_subquery: inner aggregate joins without a cartesian") {
@@ -561,11 +567,15 @@ class PlanSpec extends AnyFunSuite {
       "version + lead must ride ONE user-keyed shuffle")
   }
 
-  test("events_gap_fill: hour compaction combines map-side; grid join keyed") {
+  test("events_gap_fill: obs materialized once; grid join keyed") {
+    // r19: the (user, hour) max_by compaction runs ONCE into a tracked
+    // checkpoint (it feeds both the grid-bounds fold and the fill
+    // join — previously two fact-scale scans + aggregations), so the
+    // final plan reads the materialized relation instead of showing
+    // the max_by; the compaction itself is pinned by the oracle hash
     val p = plan("events_gap_fill")
-    assert(p.contains("partial_max_by") || p.contains("partial_finalmerge_max_by")
-      || p.contains("max_by"),
-      "per-hour last-observation must be the algebraic max_by compaction")
+    assert(p.contains("ExistingRDD"),
+      "the (user, hour) observation aggregate must be materialized once")
     assert(!p.contains("CartesianProduct"), "grid join must stay keyed")
     assert(p.contains("Generate explode"),
       "the hourly grid must come from a sequence explode, not a join")
