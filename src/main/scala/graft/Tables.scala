@@ -72,7 +72,12 @@ object Tables {
     * those itself ([[graft.rdf.RdfModel]]), where every downstream
     * aggregate is audited order-safe.
     */
-  private val spreadSafe = Set("documents", "embeddings", "events")
+  // embeddings deliberately NOT spread (r19 measured): the table is
+  // row-few (binary vector payloads make file bytes a poor proxy for
+  // rows/work), and spreading its 2 000 rows over 32 partitions cost
+  // the ANN keys 30-70 % in pure tiny-task scheduling while the
+  // vector expressions were never scan-stage-bound.
+  private val spreadSafe = Set("documents", "events")
 
   /** [[spread]] applied to a named table load — for call sites (the
     * store build) whose downstream is order-safe but whose table is

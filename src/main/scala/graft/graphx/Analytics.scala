@@ -145,11 +145,23 @@ object Analytics {
     * the canonical representative.
     */
   def componentsById(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val edgeRdd = track(edges
+    val edgeRdd0 = track(edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))(
       _.unpersist(blocking = false))
+    // size partitions to the graph like [[build]] does (1 per ~500k
+    // edges, floor 4): the input frame often inherits a WIDE upstream
+    // layout (a filtered slice of the spread cached store arrives with
+    // cores×legs partitions), and Pregel pays a fixed per-partition
+    // cost per superstep — unsized, the sameAs CC measured 12× slower
+    // purely from tiny-task scheduling (r19)
+    val nParts = math.max(4, math.min(
+      spark.sparkContext.defaultParallelism,
+      (edgeRdd0.count() / 500000L).toInt + 1))
+    val edgeRdd =
+      if (nParts < edgeRdd0.getNumPartitions) edgeRdd0.coalesce(nParts)
+      else edgeRdd0
     val g = track(Graph.fromEdges(edgeRdd, 0))(_.unpersist(blocking = false))
     val cc = track(g.connectedComponents())(_.unpersist(blocking = false))
     spark.createDataFrame(cc.vertices).toDF("id", "comp")
@@ -428,8 +440,19 @@ object Analytics {
     * avoids a window. Returns (v, label).
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    // hash-partition the (invariant) adjacency by the per-round join
+    // key BEFORE checkpointing: LogicalRDD preserves the partitioning,
+    // so every round's und⋈lab join moves only the vertex-scale label
+    // table — the edge relation never re-shuffles (r19, guide §2.4
+    // "two operations keyed the same way share one exchange"; the
+    // GraphX posture — edges stay put, labels move — in DataFrame form)
     val und = checkpointTracked(edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      // explicit count (REPARTITION_BY_NUM): AQE never coalesces it,
+      // so the checkpointed partitioning provably matches the
+      // per-round join's requirement
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("dst")))
     var (lab, labRdd) = ckpt(und.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label")))
     for (_ <- 1 to rounds) {
@@ -538,10 +561,20 @@ object Analytics {
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int,
                scale: Long = 1000000000L): DataFrame = {
     val e = checkpointTracked(edges.select(col("src"), col("dst")))
+    // vertex set partitioned by its join key: the per-iteration
+    // verts⋈msgs left join then lines up with the message
+    // aggregation's own hash partitioning — neither side re-shuffles
+    // inside the loop (r19, guide §2.4)
     val verts = checkpointTracked(e.select(col("src").as("uri"))
-      .unionAll(e.select(col("dst").as("uri"))).distinct())
+      .unionAll(e.select(col("dst").as("uri"))).distinct()
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("uri")))
+    // edge+outdeg relation partitioned by src: each iteration's
+    // withDeg⋈rank join moves only the vertex-scale rank table
     val withDeg = checkpointTracked(e.join(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src")))
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("src")))
     var rank = verts.select(col("uri"), lit(scale).as("rank"))
     var rankRdd: org.apache.spark.rdd.RDD[_] = null
     for (_ <- 1 to iters) {

@@ -40,11 +40,17 @@ object InferenceQueries {
         lit(null).cast("string").as("lang"))
       val links = sameAs(col("s"), alias("custA"))
         .unionAll(sameAs(alias("custA"), alias("custB")))
+      // the assembled (split ∪ links) store feeds ~6 consumers inside
+      // canonicalize (sameAs slice → CC edges + 2 vertex refs, the
+      // base filter, the rewrite joins) — materialize it ONCE so each
+      // reference is a cheap scan instead of a store-scan + two
+      // distinct legs (r19, guide §5 reuse rule)
+      val assembled = graft.Checkpoints.tracked(split.unionByName(links))
       // both star arms read the merged store — checkpoint it so the
       // canonicalization (GraphX CC + two rewrite joins + distinct)
       // runs ONCE, not once per arm
       val merged = graft.Checkpoints.tracked(
-        SameAs.canonicalize(s, split.unionByName(links)))
+        SameAs.canonicalize(s, assembled))
       merged.filter(col("p") === ":name")
         .select(col("s").as("c"), col("o").as("n"))
         .join(merged.filter(col("p") === ":acctbal")

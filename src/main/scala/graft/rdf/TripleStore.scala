@@ -30,6 +30,17 @@ object TripleStore {
 
   def triples(spark: SparkSession, sfDir: String): DataFrame =
     sessionCache(spark).getOrElseUpdate(sfDir, TripleStats.register(
+      // coalesce the union to the session's core count BEFORE caching
+      // (r19): the spread source scans (Tables.loadSpread) make each
+      // union leg defaultParallelism-wide, so the raw union is
+      // legs×cores partitions — the cached store then hands every
+      // downstream scan (and the GraphX edge derivations) hundreds of
+      // tiny-task partitions, which measured a 2-12× regression on the
+      // CC-family keys. Coalesce is NARROW (no wide-string shuffle —
+      // the thing this build deliberately avoids): the triple explode
+      // still computes cores-wide, each cached partition just folds
+      // ~legs source slices. On a cluster (partitioned parquet store)
+      // this path isn't used; coalesce never grows a partition count.
       // an RDF graph is a SET of triples: duplicate source rows (they
       // exist — sf0.001 has a duplicated lineitem quad) must not yield
       // duplicate triples. tpchTriplesSet guarantees that WITHOUT a
@@ -39,6 +50,7 @@ object TripleStore {
       // wide-string distinct shuffle this replaces was ~85% of the
       // store build time.
       RdfModel.tpchTriplesSet(spark, sfDir)
+        .coalesce(spark.sparkContext.defaultParallelism)
         .persist(StorageLevel.MEMORY_AND_DISK)))
 
   /** Dimension-only slice (no lineitem facts) — a filter over the
