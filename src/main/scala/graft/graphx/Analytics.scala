@@ -253,8 +253,18 @@ object Analytics {
     // distinct by construction and no dedup shuffle is needed. Peel
     // on the caller's key type: numeric ids shuffle/join far cheaper
     // than URI strings, so callers should map to strings AFTER.
+    // hash-partition the doubled relation by src ONCE (r19): the
+    // per-round degree fold is keyed src, so it then aggregates
+    // WITHOUT an exchange; the semi-joins' keep side is vertex-scale
+    // (AQE broadcasts it), so the surviving-edge projection keeps the
+    // src partitioning and the checkpoint PRESERVES it into the next
+    // round — the peel loop's edge relation never re-shuffles.
+    // Explicit count (REPARTITION_BY_NUM) so AQE can't coalesce the
+    // partitioning out of alignment with later rounds.
     var (cur, curRdd) = ckpt(edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("src")))
     var prev = cur.count()
     var rounds = 0
     var converged = prev == 0L
@@ -763,6 +773,11 @@ object Analytics {
     // degrees ride the ADJACENCY into the self-join (2·|E| rows), not
     // the wedge output (Σdeg² rows) — joining the weight after the
     // enumeration re-shuffles the whole wedge volume for nothing
+    // NOT pre-partitioned by the middle (r19 measured 2.5× WORSE):
+    // the wedge join's key is skew-prone (hub middles), and
+    // co-partitioned checkpoint sides leave AQE no shuffle stage to
+    // skew-split — let the join shuffle so AQE can split hot middles
+    // (guide §2.5: AQE skew handling only applies to shuffled joins).
     val adjF = checkpointTracked(adj.join(degW.filter(col("degw") <= effCap),
         col("w") === col("mw"))
       .select(col("v"), col("mw"), col("degw")))

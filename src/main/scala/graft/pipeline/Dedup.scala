@@ -228,10 +228,14 @@ object Dedup {
     val sh = sets.select(col("doc_id"), col("n_sh"),
       explode(col("sh_set")).as("sh"))
     val dfAgg = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // persisted: the prefix build AND the candidate join's full-index
-    // probe side both read the df-attached index — unshared, the
-    // shingle explode + df fold + join ran twice (r19, guide §5)
-    val withDf = persistTracked(sh.join(dfAgg, "sh"))
+    // NOT persisted (r19 measured): the df-attached index is derived
+    // twice (prefix build + candidate probe side), but both derive
+    // from the already-persisted `sets` via a cheap explode — a trial
+    // persist of the wide posting relation (long shingle strings ×
+    // every posting) cost 1.6× in materialization/memory churn over
+    // just re-deriving it. Recompute wins when the base is cached and
+    // the derivation is narrow.
+    val withDf = sh.join(dfAgg, "sh")
     // prefix filter, containment form (PPJoin's overlap bound): the
     // SMALLER doc of a qualifying pair shares >= ceil(tau·n_s) of its
     // n_s shingles, so its first n_s − ceil(tau·n_s) + 1 under the

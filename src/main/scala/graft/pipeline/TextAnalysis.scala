@@ -727,11 +727,13 @@ object TextAnalysis {
     // a df=1 gram has exactly ONE holder, so min(doc_id) in the df fold
     // IS that holder — novelty counts come straight off the gram-keyed
     // aggregation, replacing the corpus-scale grams⋈df join (which
-    // shuffled the 32-char md5 gram table by g a second time and
-    // re-derived the explode) with one fold per key domain (r19 §2.3:
-    // aggregate before you shuffle / shuffle fewer bytes). The gram
-    // table is checkpointed once; both folds read the materialized rows.
-    val grams = graft.Checkpoints.tracked(docGrams(docs, n))
+    // shuffled the 32-char md5 gram table by g a second time) with one
+    // fold per key domain (r19 §2.3: aggregate before you shuffle).
+    // Deliberately NOT checkpointed (measured): with the scan spread +
+    // Md5Fast the two gram derivations are cheap parallel passes, and
+    // materializing the corpus-scale md5 gram table cost 1.7× more
+    // than re-deriving it.
+    val grams = docGrams(docs, n)
     val perDoc = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_distinct"))
     val novel = grams.groupBy(col("g"))
