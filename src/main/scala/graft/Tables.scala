@@ -72,12 +72,17 @@ object Tables {
     * those itself ([[graft.rdf.RdfModel]]), where every downstream
     * aggregate is audited order-safe.
     */
-  // embeddings deliberately NOT spread (r19 measured): the table is
-  // row-few (binary vector payloads make file bytes a poor proxy for
-  // rows/work), and spreading its 2 000 rows over 32 partitions cost
-  // the ANN keys 30-70 % in pure tiny-task scheduling while the
-  // vector expressions were never scan-stage-bound.
-  private val spreadSafe = Set("documents", "events")
+  // embeddings and events deliberately NOT spread (r19 measured):
+  // embeddings is row-few (binary vector payloads make file bytes a
+  // poor proxy for rows/work) and spreading its 2 000 rows over 32
+  // partitions cost the ANN keys 30-70 % in tiny-task scheduling;
+  // events' map-side work is light (timestamps/ints, no explode or
+  // digest) and most of its operators shuffle by user_id immediately,
+  // so the spread exchange was pure overhead (+30 % total across the
+  // 13 benched events keys). Only documents has the heavy scan-stage
+  // expression chains (gram/shingle/window md5 explodes) that the
+  // spread exists for.
+  private val spreadSafe = Set("documents")
 
   /** [[spread]] applied to a named table load — for call sites (the
     * store build) whose downstream is order-safe but whose table is
