@@ -43,15 +43,16 @@ object Sketch {
     */
   private def registerRho(hx: org.apache.spark.sql.Column):
       (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    val slice48 = substring(hx, 3, 12)
-    val zerosHex = length(regexp_extract(slice48, "^0*", 0))
-    val firstNonzero = substring(regexp_replace(slice48, "^0*", ""), 1, 1)
-    val headBits = when(firstNonzero === "1", 3)
-      .when(firstNonzero.isin("2", "3"), 2)
-      .when(firstNonzero.isin("4", "5", "6", "7"), 1)
-      .otherwise(0)
-    val rho = when(slice48 === "000000000000", lit(49))
-      .otherwise(zerosHex * 4 + headBits + 1)
+    // rho = leading-zero BITS of the 48-bit slice + 1, computed
+    // arithmetically: for v > 0, bit_length(v) = length(bin(v)), so
+    // lz = 48 − bit_length and rho = 49 − bit_length; v = 0 ⇒ 49.
+    // Replaces two per-gram regexps (r19, guide step 4 — the regex
+    // engine was the only non-trivial expression left in the register
+    // fold); value-identical to the hex-string form for every digest,
+    // and still plain integer/string ops any engine reproduces.
+    val v48 = conv(substring(hx, 3, 12), 16, 10).cast("long")
+    val rho = when(v48 === 0L, lit(49))
+      .otherwise(lit(49) - length(bin(v48)).cast("int"))
     (conv(substring(hx, 1, 2), 16, 10).cast("long"), rho)
   }
 
