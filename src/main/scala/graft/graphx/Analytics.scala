@@ -2,8 +2,9 @@ package graft.graphx
 
 import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
 import org.apache.spark.graphx.lib.ShortestPaths
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 import graft.functions.FastHash.md5 // shadows functions.md5 → Md5Fast (r19)
 
 /** GraphX analytics over the RDF edge set — the north star's "GraphX
@@ -644,16 +645,28 @@ object Analytics {
     * are dropped first, and the chosen cap is computed, not guessed.
     * `degW` must carry a `degw` column (one row per middle vertex).
     */
+  private final case class WedgeGate(cap: Long, packIds: Boolean)
+
   private def pricedWedgeCap(degW: DataFrame, wedgeBudget: Long,
-                             who: String): Long = {
+                             who: String): WedgeGate = {
     import org.apache.spark.sql.expressions.Window
-    if (wedgeBudget <= 0) return Long.MaxValue
-    val perDeg = degW.groupBy(col("degw")).agg(count(lit(1)).as("nv"))
-      .withColumn("vol", col("nv") * expr("(degw * (degw - 1)) div 2"))
-    val total = perDeg.agg(sum(col("vol"))).head()
-    val t = if (total.isNullAt(0)) 0L else total.getLong(0)
-    if (t <= wedgeBudget) Long.MaxValue
+    // ONE vocabulary-scale action prices the total volume AND
+    // witnesses the id range (r20): non-negative ids below 2³¹ let
+    // every wedge consumer carry its (u,v) pair as ONE packed long —
+    // half the aggregation-key bytes through the wedge exchange
+    // (guide §2.3 "narrower types"). Middle ids cover ALL vertex ids
+    // (the adjacency is the two-orientation union), so the witness
+    // covers the spoke columns too.
+    val row = degW.agg(
+      sum(expr("(degw * (degw - 1)) div 2")),
+      min(col("mw").cast("long")), max(col("mw").cast("long"))).head()
+    val t = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val packIds = !row.isNullAt(1) && row.getLong(1) >= 0 &&
+      row.getLong(2) < (1L << 31)
+    if (wedgeBudget <= 0 || t <= wedgeBudget) WedgeGate(Long.MaxValue, packIds)
     else {
+      val perDeg = degW.groupBy(col("degw")).agg(count(lit(1)).as("nv"))
+        .withColumn("vol", col("nv") * expr("(degw * (degw - 1)) div 2"))
       val one = substring(col("degw").cast("string"), 0, 0)
       val cum = perDeg.withColumn("cumvol", sum(col("vol")).over(
         Window.partitionBy(one).orderBy(col("degw"))
@@ -664,9 +677,40 @@ object Analytics {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"$who: wedge volume $t over budget $wedgeBudget — " +
           s"middle-degree cap set to $c (hub middles dropped)")
-      c
+      WedgeGate(c, packIds)
     }
   }
+
+  /** (u << 32) | v — injective for the id range [[pricedWedgeCap]]
+    * witnesses, and ORDER-PRESERVING: u non-negative major, v < 2³²
+    * minor, so sorting by the packed long equals sorting by (u, v).
+    */
+  private def packPair(a: Column, b: Column): Column =
+    shiftleft(a.cast("long"), 32).bitwiseOR(b.cast("long"))
+
+  private def unpackHi(pr: Column, dt: DataType): Column =
+    shiftright(pr, 32).cast(dt)
+
+  private def unpackLo(pr: Column, dt: DataType): Column =
+    pr.bitwiseAND(lit(0xffffffffL)).cast(dt)
+
+  /** Spread the capped adjacency across the session's cores on the
+    * wedge join key (r20, guide §2.2/§2.5 — the inverse of the input-
+    * skew rule): AQE sizes the self-join's shuffle read by its INPUT
+    * bytes, which after the degree cap are metadata-scale, and
+    * coalesced the wedge stage to 2 tasks while its OUTPUT is the
+    * Σ C(deg,2) wedge volume (measured on the co-order graph: 2
+    * tasks, 6.4 s, 2.2 MB shuffle in → 104 MB out, 30 cores idle).
+    * An explicit REPARTITION_BY_NUM is exempt from AQE coalescing,
+    * and both self-join sides reuse the ONE exchange. Skew safety:
+    * the priced cap bounds any middle's wedge fan-out to C(cap, 2),
+    * so hash placement stays balanced without AQE's skew splitter —
+    * and the partition count derives from defaultParallelism, never
+    * a local constant.
+    */
+  private def spreadForWedgeJoin(adjF: DataFrame): DataFrame =
+    adjF.repartition(
+      adjF.sparkSession.sparkContext.defaultParallelism, col("mw"))
 
   /** Common-neighbor link prediction: the top `k` NON-adjacent pairs
     * ranked by shared-neighbor count, with both endpoint degrees
@@ -705,22 +749,51 @@ object Analytics {
     val deg = checkpointTracked(
       adj.groupBy(col("v")).agg(count(lit(1)).as("deg")))
     val degW = deg.select(col("v").as("mw"), col("deg").as("degw"))
-    val effCap = pricedWedgeCap(degW, wedgeBudget, "commonNeighbors")
-    val adjF = checkpointTracked(adj.join(degW.filter(col("degw") <= effCap),
+    val gate = pricedWedgeCap(degW, wedgeBudget, "commonNeighbors")
+    val adjF = spreadForWedgeJoin(
+      checkpointTracked(adj.join(degW.filter(col("degw") <= gate.cap),
         col("w") === col("mw"))
-      .select(col("v"), col("mw")))
-    val wedges = adjF.as("a")
-      .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
-        col("mw") === col("mw2") && col("v") < col("v2"))
-      .groupBy(col("v").as("u"), col("v2").as("v"))
-      .agg(count(lit(1)).as("cn"))
-    wedges
-      .join(e, wedges("u") === e("src") && wedges("v") === e("dst"),
-        "left_anti")
+      .select(col("v"), col("mw"))))
+    // the top-k heap depends only on (cn, u, v), so the endpoint-degree
+    // joins run AFTER the limit — k rows × 2 joins instead of
+    // pair-volume rows × 2 joins (r20, guide §1.2: don't compute what
+    // you throw away). Inner 1:1 joins on vertices guaranteed present
+    // in deg (u, v come from the adjacency), so the k rows are exactly
+    // the same; the final orderBy restores the deterministic order the
+    // joins do not preserve.
+    val top =
+      if (gate.packIds) {
+        // one packed long replaces the two-column aggregation/anti-join
+        // key; order-preserving, so (cn desc, pr) == (cn desc, u, v)
+        val vt = adj.schema("v").dataType
+        val wedges = adjF.as("a")
+          .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
+            col("mw") === col("mw2") && col("v") < col("v2"))
+          .groupBy(packPair(col("v"), col("v2")).as("pr"))
+          .agg(count(lit(1)).as("cn"))
+        wedges
+          .join(e.select(packPair(col("src"), col("dst")).as("pr")),
+            Seq("pr"), "left_anti")
+          .orderBy(col("cn").desc, col("pr"))
+          .limit(k)
+          .select(unpackHi(col("pr"), vt).as("u"),
+            unpackLo(col("pr"), vt).as("v"), col("cn"))
+      } else {
+        val wedges = adjF.as("a")
+          .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
+            col("mw") === col("mw2") && col("v") < col("v2"))
+          .groupBy(col("v").as("u"), col("v2").as("v"))
+          .agg(count(lit(1)).as("cn"))
+        wedges
+          .join(e, wedges("u") === e("src") && wedges("v") === e("dst"),
+            "left_anti")
+          .orderBy(col("cn").desc, col("u"), col("v"))
+          .limit(k)
+      }
+    top
       .join(deg.select(col("v").as("u"), col("deg").as("deg_u")), "u")
       .join(deg.select(col("v"), col("deg").as("deg_v")), "v")
       .orderBy(col("cn").desc, col("u"), col("v"))
-      .limit(k)
       .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"))
   }
 
@@ -769,30 +842,50 @@ object Analytics {
     // an over-budget cap drops the LOWEST-weight contributions (a
     // deg-d middle adds only 1e9/d per pair), so scores degrade from
     // the least-informative end.
-    val effCap = pricedWedgeCap(degW, wedgeBudget, "resourceAllocation")
+    val gate = pricedWedgeCap(degW, wedgeBudget, "resourceAllocation")
     // degrees ride the ADJACENCY into the self-join (2·|E| rows), not
     // the wedge output (Σdeg² rows) — joining the weight after the
-    // enumeration re-shuffles the whole wedge volume for nothing
-    // NOT pre-partitioned by the middle (r19 measured 2.5× WORSE):
-    // the wedge join's key is skew-prone (hub middles), and
-    // co-partitioned checkpoint sides leave AQE no shuffle stage to
-    // skew-split — let the join shuffle so AQE can split hot middles
-    // (guide §2.5: AQE skew handling only applies to shuffled joins).
-    val adjF = checkpointTracked(adj.join(degW.filter(col("degw") <= effCap),
+    // enumeration re-shuffles the whole wedge volume for nothing.
+    // (r19's checkpoint-side pre-partitioning stays out; r20's
+    // spreadForWedgeJoin instead repartitions INSIDE the query, which
+    // fixes the measured AQE 2-task coalesce without pinning the
+    // checkpoint layout.)
+    val adjF = spreadForWedgeJoin(
+      checkpointTracked(adj.join(degW.filter(col("degw") <= gate.cap),
         col("w") === col("mw"))
-      .select(col("v"), col("mw"), col("degw")))
-    val wedges = adjF.as("a")
-      .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
-        col("mw") === col("mw2") && col("v") < col("v2"))
-      .groupBy(col("v").as("u"), col("v2").as("v"))
-      .agg(sum(expr("1000000000 div degw")).as("ra_e9"),
-        count(lit(1)).as("cn"))
-    wedges
-      .join(e, wedges("u") === e("src") && wedges("v") === e("dst"),
-        "left_anti")
-      .orderBy(col("ra_e9").desc, col("u"), col("v"))
-      .limit(k)
-      .select(col("u"), col("v"), col("ra_e9"), col("cn"))
+      .select(col("v"), col("mw"), col("degw"))))
+    if (gate.packIds) {
+      // packed pair key (see pricedWedgeCap): halves the aggregation
+      // key bytes through the wedge exchange, single-column anti-join,
+      // order-preserving so (ra_e9 desc, pr) == (ra_e9 desc, u, v)
+      val vt = adj.schema("v").dataType
+      val wedges = adjF.as("a")
+        .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
+          col("mw") === col("mw2") && col("v") < col("v2"))
+        .groupBy(packPair(col("v"), col("v2")).as("pr"))
+        .agg(sum(expr("1000000000 div degw")).as("ra_e9"),
+          count(lit(1)).as("cn"))
+      wedges
+        .join(e.select(packPair(col("src"), col("dst")).as("pr")),
+          Seq("pr"), "left_anti")
+        .orderBy(col("ra_e9").desc, col("pr"))
+        .limit(k)
+        .select(unpackHi(col("pr"), vt).as("u"),
+          unpackLo(col("pr"), vt).as("v"), col("ra_e9"), col("cn"))
+    } else {
+      val wedges = adjF.as("a")
+        .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
+          col("mw") === col("mw2") && col("v") < col("v2"))
+        .groupBy(col("v").as("u"), col("v2").as("v"))
+        .agg(sum(expr("1000000000 div degw")).as("ra_e9"),
+          count(lit(1)).as("cn"))
+      wedges
+        .join(e, wedges("u") === e("src") && wedges("v") === e("dst"),
+          "left_anti")
+        .orderBy(col("ra_e9").desc, col("u"), col("v"))
+        .limit(k)
+        .select(col("u"), col("v"), col("ra_e9"), col("cn"))
+    }
   }
 
   /** Average-neighbor-degree profile (the knn(v) curve of network
@@ -983,18 +1076,37 @@ object Analytics {
     val deg = checkpointTracked(
       adj.groupBy(col("v")).agg(count(lit(1)).as("deg")))
     val degW = deg.select(col("v").as("mw"), col("deg").as("degw"))
-    val effCap = pricedWedgeCap(degW, wedgeBudget, "jaccardLinkPred")
-    val adjF = checkpointTracked(adj.join(degW.filter(col("degw") <= effCap),
+    val gate = pricedWedgeCap(degW, wedgeBudget, "jaccardLinkPred")
+    val adjF = spreadForWedgeJoin(
+      checkpointTracked(adj.join(degW.filter(col("degw") <= gate.cap),
         col("w") === col("mw"))
-      .select(col("v"), col("mw")))
-    val wedges = adjF.as("a")
-      .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
-        col("mw") === col("mw2") && col("v") < col("v2"))
-      .groupBy(col("v").as("u"), col("v2").as("v"))
-      .agg(count(lit(1)).as("cn"))
-    wedges
-      .join(e, wedges("u") === e("src") && wedges("v") === e("dst"),
-        "left_anti")
+      .select(col("v"), col("mw"))))
+    // unlike commonNeighbors, the jaccard ORDER depends on the degree
+    // joins (union_n), so they stay before the top-k — but the wedge
+    // aggregation and anti-join still run on the packed key when the
+    // id range allows (r20, guide §2.3)
+    val pairs =
+      if (gate.packIds) {
+        val vt = adj.schema("v").dataType
+        adjF.as("a")
+          .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
+            col("mw") === col("mw2") && col("v") < col("v2"))
+          .groupBy(packPair(col("v"), col("v2")).as("pr"))
+          .agg(count(lit(1)).as("cn"))
+          .join(e.select(packPair(col("src"), col("dst")).as("pr")),
+            Seq("pr"), "left_anti")
+          .select(unpackHi(col("pr"), vt).as("u"),
+            unpackLo(col("pr"), vt).as("v"), col("cn"))
+      } else {
+        val wedges = adjF.as("a")
+          .join(adjF.select(col("v").as("v2"), col("mw").as("mw2")).as("b"),
+            col("mw") === col("mw2") && col("v") < col("v2"))
+          .groupBy(col("v").as("u"), col("v2").as("v"))
+          .agg(count(lit(1)).as("cn"))
+        wedges.join(e, wedges("u") === e("src") && wedges("v") === e("dst"),
+          "left_anti")
+      }
+    pairs
       .join(deg.select(col("v").as("u"), col("deg").as("deg_u")), "u")
       .join(deg.select(col("v"), col("deg").as("deg_v")), "v")
       .withColumn("union_n", col("deg_u") + col("deg_v") - col("cn"))

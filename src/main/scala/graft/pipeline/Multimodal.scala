@@ -144,8 +144,12 @@ object Multimodal {
   /** Overlapping analysis windows over the byte stream — the audio
     * framing shape (window / hop), with a deterministic per-window
     * "energy" (sum of byte values) standing in for the real DSP. The
-    * explode is the only row multiplier; the inner fold is a pure
-    * per-row expression, so the pass stays narrow at corpus scale.
+    * explode is the only row multiplier; the inner fold is a fused
+    * codegen kernel ([[graft.functions.ByteSums.byteWindowSum]],
+    * value-identical to the aggregate/substr/ascii HOF tree it
+    * replaces — r20, guide step 4: that tree ran interpreted with one
+    * substr allocation per byte), so the pass stays narrow AND
+    * codegen'd at corpus scale.
     */
   def audioWindows(docs: DataFrame, winBytes: Int = 32,
                    hop: Int = 16): DataFrame =
@@ -156,9 +160,8 @@ object Multimodal {
           .as("s"))
       .select(col("doc_id"),
         (col("s") / hop).cast("long").as("win_idx"),
-        aggregate(sequence(lit(1), lit(winBytes)), lit(0L),
-          (acc, i) => acc + ascii(col("text").substr(col("s") + i, lit(1)))
-            .cast("long")).as("energy"))
+        graft.functions.ByteSums.byteWindowSum(col("text"), col("s"), winBytes)
+          .as("energy"))
 
   /** Stub PERCEPTUAL hash (block-mean aHash shape): the payload is
     * cut into 64 equal byte blocks, each block's byte-sum is compared
@@ -175,12 +178,13 @@ object Multimodal {
   def phashChunks(docs: DataFrame, blocks: Int = 64): DataFrame = {
     val len = length(col("text"))
     // block bounds by exact floor division: len·k/64 is a power-of-two
-    // divide of an integer-valued double → floor is engine-exact
-    def bound(k: org.apache.spark.sql.Column) =
-      floor((len * k).cast("double") / blocks).cast("int")
-    val sums = transform(sequence(lit(0), lit(blocks - 1)), k =>
-      aggregate(sequence(bound(k) + 1, bound(k + 1)), lit(0L),
-        (acc, p) => acc + ascii(col("text").substr(p, lit(1)))))
+    // divide of an integer-valued double → floor is engine-exact.
+    // The per-block sums run as one fused codegen kernel
+    // ([[graft.functions.ByteSums.byteBlockSums]], same double-floor
+    // bounds, value-identical to the transform/aggregate HOF tree it
+    // replaces — r20, guide step 4: that tree ran interpreted, one
+    // substr allocation + lambda dispatch per BYTE of the payload).
+    val sums = graft.functions.ByteSums.byteBlockSums(col("text"), blocks)
     docs.filter(len >= blocks)
       .select(col("doc_id"), sums.as("s"))
       .withColumn("total", aggregate(col("s"), lit(0L), _ + _))
